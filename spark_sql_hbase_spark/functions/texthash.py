@@ -1,0 +1,160 @@
+"""Cross-engine deterministic text & hashing primitives.
+
+Every dedup / text-analysis operator must be verifiable against an ANSI-SQL
+oracle (DuckDB), so the primitives here are defined **twice in lockstep**:
+once as PySpark Column expressions (JVM-side, codegen'd — no Python UDFs in
+the hot path) and once as SQL-text generators producing the identical
+value in DuckDB. Both sides use only constructs with engine-identical
+semantics: lowercase-hex ``md5``, integer arithmetic, regex over
+``[a-z0-9]`` classes.
+
+Word hash: the first 14 hex digits of ``md5(word)`` as an integer — 56
+bits, fits int64, identical in any engine with a standard md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD_P = 1_000_000_007  # rolling-hash / minhash modulus (keeps products < 2^63)
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+# -- tokenization -----------------------------------------------------------
+def tokens(col: Column | str) -> Column:
+    """Lowercased alphanumeric word tokens, empty strings removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_RE}'),"
+        f" x -> x <> '')"
+    )
+
+
+# -- 56-bit word hash -------------------------------------------------------
+def word_hash(col: Column) -> Column:
+    """First 14 hex digits of md5 as a bigint (deterministic cross-engine)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def word_hash_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 14))::BIGINT)"
+
+
+# -- word n-gram shingles ---------------------------------------------------
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) from a token array."""
+    def make(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(tok, i + j + 1) for j in range(n)])
+
+    idx = F.sequence(F.lit(0), F.size(tok) - n)
+    return F.when(F.size(tok) >= n, F.array_distinct(F.transform(idx, make))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(tok_expr: str, n: int = 3) -> str:
+    join = " || ' ' || ".join(f"__t[__i + {j + 1}]" for j in range(n))
+    return (
+        f"(SELECT CASE WHEN len(__t) >= {n} THEN "
+        f"list_distinct([{join} for __i in range(0, len(__t) - {n} + 1)]) "
+        f"ELSE [] END FROM (SELECT {tok_expr} AS __t))"
+    )
+
+
+# -- rolling hash (document fingerprint) ------------------------------------
+def rolling_hash(tok: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over word hashes, mod p.
+
+    ``h = fold(tokens, 0, (acc, w) -> (acc*31 + md5_56(w) % p) % p)`` —
+    a single JVM-side ``aggregate`` over the token array, O(len) per row,
+    no shuffle, no Python.
+    """
+    return F.aggregate(
+        tok,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + word_hash(w) % MOD_P) % MOD_P,
+    )
+
+
+def rolling_hash_sql(tok_expr: str) -> str:
+    wh = word_hash_sql("x")
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({tok_expr}, x -> {wh} % {MOD_P})), "
+        f"(acc, h) -> (acc * 31 + h) % {MOD_P})"
+    )
+
+
+# -- simhash (60-bit) -------------------------------------------------------
+SIMHASH_BITS = 60
+
+
+def simhash_agg_columns() -> list[Column]:
+    """Per-bit vote aggregates over an exploded (doc, token-hash ``th``)
+    relation: ``SUM(CASE bit set THEN 1 ELSE -1)`` for each of 60 bits.
+
+    Single-pass hash aggregation with map-side combine — the scalable
+    formulation (no per-bit explode multiplying rows ×60).
+    """
+    cols = []
+    for i in range(SIMHASH_BITS):
+        bit = F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1))
+        cols.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}"))
+    return cols
+
+
+def simhash_combine() -> Column:
+    """Combine the 60 vote columns into one bigint fingerprint."""
+    out = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        out = out + F.when(F.col(f"b{i}") >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_sql(doc_table: str, id_col: str, tok_expr: str) -> str:
+    """DuckDB SQL computing the identical 60-bit simhash per document."""
+    wh = word_hash_sql("w")
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN ((th >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN b{i} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH __tok AS (
+        SELECT {id_col}, unnest({tok_expr}) AS w FROM {doc_table}
+    ), __th AS (
+        SELECT {id_col}, {wh} AS th FROM __tok
+    ), __votes AS (
+        SELECT {id_col}, {votes} FROM __th GROUP BY {id_col}
+    )
+    SELECT {id_col}, CAST({combine} AS BIGINT) AS simhash FROM __votes
+    """
+
+
+# -- stopword language scoring ---------------------------------------------
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "en", "por", "que"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "au", "ce", "que"],
+}
+
+
+def stopword_count(tok: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tok, lambda x: F.array_contains(words, x)))
+
+
+def stopword_count_sql(tok_expr: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({tok_expr}, x -> list_contains([{lst}], x)))"

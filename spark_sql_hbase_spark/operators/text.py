@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token statistics, document fingerprinting.
+
+All hot-path expressions are JVM built-ins (split/filter/aggregate/regexp)
+— no Python in the row path — so they run inside whole-stage codegen and
+scale linearly with input bytes. Each has an exact ANSI-SQL twin used by
+the correctness oracle (see queries/llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.functions.texthash import (
+    STOPWORDS,
+    rolling_hash,
+    stopword_count,
+    tokens,
+)
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation.
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID over a fixed language set.
+
+    Scores = count of language-stopword occurrences in the token stream;
+    prediction = argmax with deterministic alphabetical tie-break, 'und'
+    when no stopword hits at all.
+    """
+    tok = tokens(F.col(text_col))
+    scores = {lang: stopword_count(tok, lang) for lang in STOPWORDS}
+    out = df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"s_{lang}") for lang in sorted(STOPWORDS)],
+    )
+    g = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(STOPWORDS)])
+    pred = F.when(g == 0, F.lit("und"))
+    for lang in sorted(STOPWORDS):  # alphabetical order = tie-break
+        pred = pred.when(F.col(f"s_{lang}") == g, F.lit(lang))
+    return out.select(id_col, *[f"s_{lang}" for lang in sorted(STOPWORDS)],
+                      pred.alias("pred_lang"))
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + a composite score.
+
+    Features: char count, token count, mean token length, punctuation
+    count, stopword ratio. Score is a bounded linear combination — the
+    point is the deterministic, partition-parallel plumbing, not the
+    specific weights.
+    """
+    tok = tokens(F.col(text_col))
+    n_tok = F.size(tok)
+    tok_chars = F.aggregate(tok, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"))
+    sw = stopword_count(tok, "en")
+    # Every ratio is ONE IEEE division of exact integers — no decimal
+    # rounding anywhere, so any engine computes the bit-identical double
+    # (decimal rounding of doubles is tie-unstable across engines).
+    mean_tok_len = F.when(n_tok > 0, tok_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tok > 0, sw.cast("double") / n_tok).otherwise(F.lit(0.0))
+    # quality = min(1, n_tok/100) - 0.5*min(1, n_punct/d) + 0.5*sw/d over
+    # d = max(n_tok, 1), expressed as one integer-ratio division.
+    d = F.greatest(n_tok, F.lit(1))
+    num = (
+        F.lit(2) * d * F.least(n_tok, F.lit(100))
+        - F.lit(100) * F.least(n_punct, d)
+        + F.lit(100) * sw
+    )
+    score = num.cast("double") / (F.lit(200) * d)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars_actual"),
+        n_tok.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_tok_len"),
+        n_punct.cast("long").alias("n_punct"),
+        sw_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish sub-token count + distinct words."""
+    ws_tokens = F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
+    tok = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(ws_tokens).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_RE)).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_words"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint of the token stream."""
+    return df.select(
+        F.col(id_col), rolling_hash(tokens(F.col(text_col))).alias("fp")
+    )

@@ -1,0 +1,342 @@
+"""LLM-data-pipeline query pack: deduplication, similarity search, text
+analysis, multimodal columns — over the ``documents`` / ``embeddings``
+tables. These are the beyond-reference operators (SURVEY §7.1 item 5 /
+BASELINE.json north star), each with a DuckDB oracle built from the same
+cross-engine-deterministic primitives (functions/texthash.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.functions.texthash import (
+    SIMHASH_BITS,
+    rolling_hash_sql,
+    simhash_sql,
+    stopword_count_sql,
+    tokens_sql,
+)
+from spark_sql_hbase_spark.operators import dedup, multimodal, similarity, text
+from spark_sql_hbase_spark.queries import register, table
+
+JACCARD_T = 0.6
+SHINGLE_N = 3
+
+_TOK = tokens_sql("text")
+
+_SHINGLE_CTES = f"""
+    WITH __tok AS (
+        SELECT doc_id, {_TOK} AS t FROM documents
+    ), __sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {SHINGLE_N} THEN list_distinct(
+                   [t[__i+1] || ' ' || t[__i+2] || ' ' || t[__i+3]
+                    for __i in range(0, len(t) - {SHINGLE_N} + 1)])
+               ELSE [] END AS s
+        FROM __tok
+    ), __sizes AS (
+        SELECT doc_id, len(s) AS n FROM __sh WHERE len(s) > 0
+    ), __inv AS (
+        SELECT doc_id, unnest(s) AS g FROM __sh
+    ), __pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM __inv a JOIN __inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+"""
+
+_JACCARD_ORACLE = f"""{_SHINGLE_CTES}
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) AS jac
+    FROM __pairs
+    JOIN __sizes na ON id_a = na.doc_id
+    JOIN __sizes nb ON id_b = nb.doc_id
+    WHERE ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) >= {JACCARD_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# d01 — exact dedup by content digest.
+# ---------------------------------------------------------------------------
+@register(
+    "d01_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS text_sha,
+           min(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    description="exact dedup: hash-groupBy on sha256(text), min-id representative",
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# d02 — exact n-gram Jaccard similarity join (inverted index).
+# ---------------------------------------------------------------------------
+@register(
+    "d02_ngram_jaccard_join",
+    oracle=_JACCARD_ORACLE,
+    description="exact 3-gram shingle Jaccard self-join via inverted index",
+)
+def d02_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_join(docs, "doc_id", "text", JACCARD_T, SHINGLE_N)
+
+
+# ---------------------------------------------------------------------------
+# d03 — MinHash-LSH near-dup join; verified candidates → same contract as
+# the exact join (recall loss < 1e-8 at t=0.6 with 64 bands × 2 rows).
+# ---------------------------------------------------------------------------
+@register(
+    "d02_minhash_lsh_neardup",
+    oracle=_JACCARD_ORACLE,
+    description="MinHash(128) + LSH(64×2) candidates + exact Jaccard verification",
+)
+def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_join(docs, "doc_id", "text", JACCARD_T, SHINGLE_N)
+
+
+# ---------------------------------------------------------------------------
+# d04 — SimHash fingerprints (60-bit, md5-vote).
+# ---------------------------------------------------------------------------
+@register(
+    "d04_simhash_fingerprint",
+    oracle=simhash_sql("documents", "doc_id", _TOK),
+    description="per-document 60-bit simhash fingerprint (single-pass agg)",
+)
+def d04_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = dedup.simhash_fingerprints(docs, "doc_id", "text")
+    return fp.select(F.col("id").alias("doc_id"), "simhash")
+
+
+# ---------------------------------------------------------------------------
+# d05 — SimHash near-dup pairs (hamming ≤ 3) via pigeonhole blocking.
+# ---------------------------------------------------------------------------
+@register(
+    "d05_simhash_neardup",
+    oracle=f"""
+    WITH __fp AS ({simhash_sql('documents', 'doc_id', _TOK)})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM __fp a JOIN __fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    description="simhash hamming≤3 pairs via segment blocking + popcount",
+)
+def d05_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup(docs, "doc_id", "text", max_hamming=3, segments=4)
+
+
+# ---------------------------------------------------------------------------
+# d06 — embedding near-dup pairs within coarse cells.
+# ---------------------------------------------------------------------------
+@register(
+    "d06_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 4) >= 0.35
+    """,
+    description="embedding-cosine near-dup pairs, cell-blocked (IVF-style)",
+)
+def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup(emb, "vec_id", "embedding", "label", 0.35)
+
+
+# ---------------------------------------------------------------------------
+# s01 — brute-force exact ANN top-10 for a small query set.
+# ---------------------------------------------------------------------------
+@register(
+    "s01_ann_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos_raw
+        FROM q, embeddings
+        WHERE vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cos,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 10
+    """,
+    description="brute-force cosine top-10 per query (broadcast query set)",
+)
+def s01_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", 10)
+
+
+# ---------------------------------------------------------------------------
+# s02 — IVF-style partition-pruned ANN top-5 (cell = label).
+# ---------------------------------------------------------------------------
+@register(
+    "s02_ann_partitioned",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS cell, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id, e.label AS cell,
+               list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS cos_raw
+        FROM q JOIN embeddings e ON q.cell = e.label
+        WHERE e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cell, ROUND(cos_raw, 4) AS cos,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+    description="IVF-style ANN: search pruned to the query's coarse cell",
+)
+def s02_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.partitioned_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", "label", 5
+    )
+
+
+# ---------------------------------------------------------------------------
+# t01 — language ID by stopword vote.
+# ---------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    from spark_sql_hbase_spark.functions.texthash import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    scores = ",\n           ".join(
+        f"CAST({stopword_count_sql('t', lang)} AS INTEGER) AS s_{lang}" for lang in langs
+    )
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {g} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH __tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    __sc AS (
+        SELECT doc_id,
+           {scores}
+        FROM __tok
+    )
+    SELECT doc_id, s_de, s_en, s_es, s_fr, {case} AS pred_lang FROM __sc
+    """
+
+
+@register(
+    "t01_lang_id",
+    oracle=_langid_oracle(),
+    description="stopword-vote language ID (deterministic tie-break)",
+)
+def t01_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# t02 — quality scoring.
+# ---------------------------------------------------------------------------
+@register(
+    "t02_quality_score",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT doc_id, text, {_TOK} AS t FROM documents
+    ), __feat AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS tok_chars,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+               {stopword_count_sql('t', 'en')} AS sw
+        FROM __tok
+    ), __r AS (
+        SELECT doc_id, n_chars_actual, n_tokens, sw,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(tok_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_tok_len,
+               n_punct,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(sw AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio,
+               greatest(n_tokens, CAST(1 AS BIGINT)) AS d
+        FROM __feat
+    )
+    SELECT doc_id, n_chars_actual, n_tokens, mean_tok_len, n_punct, stopword_ratio,
+           CAST(2 * d * least(n_tokens, 100) - 100 * least(n_punct, d) + 100 * sw
+               AS DOUBLE) / (200 * d) AS quality
+    FROM __r
+    """,
+    description="heuristic doc quality features + composite score",
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# t03 — token statistics (whitespace + BPE-ish + distinct words).
+# ---------------------------------------------------------------------------
+@register(
+    "t03_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+               AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct({_TOK})) AS BIGINT) AS n_distinct_words
+    FROM documents
+    """,
+    description="whitespace / BPE-ish / distinct-word token counts",
+)
+def t03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.token_stats(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# t04 — rolling-hash document fingerprint.
+# ---------------------------------------------------------------------------
+@register(
+    "t04_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {rolling_hash_sql(_TOK)} AS fp FROM documents
+    """,
+    description="order-sensitive polynomial rolling hash over the token stream",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# m01 — multimodal metadata extraction (mapInPandas over binary column).
+# ---------------------------------------------------------------------------
+@register(
+    "m01_media_metadata",
+    oracle=multimodal.media_metadata_oracle_sql("documents"),
+    description="binary media column → metadata via Arrow-batched mapInPandas "
+    "(decode stubbed deterministically; container has no codecs)",
+)
+def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return multimodal.extract_media_metadata(with_payload, "doc_id", "payload")

@@ -1,0 +1,830 @@
+"""Relational query pack — exercises the *inherited* Spark SQL operator
+surface that the reference re-registers wholesale (SURVEY §2.B; reference
+``HBaseSessionStateBuilder.scala:90-107``): scans, projection/filter,
+joins (broadcast/shuffle, semi/anti), aggregation (hash/distinct/rollup/
+cube/grouping sets), window functions, sort/limit/top-k, set operations,
+scalar functions, conditional aggregation, correlated subqueries, pivot,
+time-bucketed aggregation, sessionization, and as-of joins.
+
+Every query is written DataFrame-first with deterministic aggregates
+(:mod:`spark_sql_hbase_spark.functions.det`) and carries a DuckDB oracle.
+
+Scale notes are inline per query: the driver runs these at sf0.01/sf0.1,
+but each plan is chosen to survive 100 TB (broadcast only provably-small
+sides, single-shuffle window tricks instead of O(n·m) joins, map-side
+partial aggregation everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.functions.det import DEC, davg, davg_sql, dsum, dsum_sql
+from spark_sql_hbase_spark.queries import register, table
+
+
+# ---------------------------------------------------------------------------
+# q01 — TPC-H Q1 pricing summary: filter → hash-agg with partial aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 'sum_qty')},
+           {dsum_sql('l_extendedprice', 'sum_base_price')},
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {davg_sql('l_quantity', 'avg_qty')},
+           {davg_sql('l_extendedprice', 'avg_price')},
+           {davg_sql('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1: scan+filter+group-by agg (map-side combine, 6 groups)",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — global top-k: ORDER BY ... LIMIT → TakeOrderedAndProject (no full
+# sort at scale: per-partition top-k then merge on the driver).
+# ---------------------------------------------------------------------------
+@register(
+    "q02_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    description="top-k via TakeOrderedAndProject (deterministic tiebreak)",
+)
+def q02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — TPC-H Q5 regional revenue: 6-way join. region/nation are broadcast
+# (constant-size dims); customer⋈orders⋈lineitem⋈supplier shuffle on keys;
+# AQE reorders/broadcasts as stats allow.
+# ---------------------------------------------------------------------------
+@register(
+    "q03_regional_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    description="TPC-H Q5: multi-way join with broadcast dims + shuffle joins",
+)
+def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        cu.join(o, cu.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (cu.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — TPC-H Q4 shape: EXISTS → left-semi join (never materializes the
+# match side; at scale the semi join shuffles only distinct keys).
+# ---------------------------------------------------------------------------
+@register(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    description="EXISTS via left-semi join + agg",
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — explicit broadcast join: part (dim) into lineitem (fact).
+# ---------------------------------------------------------------------------
+@register(
+    "q05_brand_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    description="broadcast hash join dim→fact + agg",
+)
+def q05_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — TPC-H Q6: pure scan+filter+agg; filters push to parquet row groups.
+# ---------------------------------------------------------------------------
+@register(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount', 'revenue', 4)},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 25
+    """,
+    description="TPC-H Q6: predicate-pushdown scan + global agg",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", 4),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — top-k per group: window row_number with full tiebreak. One shuffle
+# on l_suppkey; at scale this is the canonical "no global sort" top-k.
+# ---------------------------------------------------------------------------
+@register(
+    "q07_topk_parts_per_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, l_partkey,
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM lineitem GROUP BY l_suppkey, l_partkey
+    )
+    SELECT l_suppkey, l_partkey, revenue, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey
+        ) AS rn
+        FROM rev
+    ) WHERE rn <= 3
+    """,
+    description="window row_number top-3 per group over pre-aggregated revenue",
+)
+def q07_topk_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    w = W.partitionBy("l_suppkey").orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+    return rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# q08 — running totals + lag/lead: aggregate-over-window with ROWS frame.
+# ---------------------------------------------------------------------------
+@register(
+    "q08_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS running_spend,
+           lag(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_price,
+           lead(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS next_price
+    FROM orders
+    """,
+    description="running decimal sum + lag/lead per customer",
+)
+def q08_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — ROLLUP with NULL-indicator-free output (COALESCE to 'ALL').
+# ---------------------------------------------------------------------------
+@register(
+    "q09_rollup",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           {dsum_sql('l_quantity', 'sum_qty')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    description="ROLLUP aggregation (partial totals + grand total)",
+)
+def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — CUBE + GROUPING SETS via the SQL API (spark.sql passthrough — the
+# reference's CLI path, HBaseSQLClient.scala:98).
+# ---------------------------------------------------------------------------
+@register(
+    "q10_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           {dsum_sql('o_totalprice', 'sum_price')},
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="GROUPING SETS via SQL API",
+)
+def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+                   AS sum_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — set operations: INTERSECT / EXCEPT, tagged and unioned.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_setops",
+    oracle="""
+    SELECT 'with_orders' AS tag, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'without_orders' AS tag, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders
+    )
+    """,
+    description="INTERSECT + EXCEPT + UNION ALL",
+)
+def q11_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    building = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    order_cust = o.select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = building.intersect(order_cust).select(
+        F.lit("with_orders").alias("tag"), "c_custkey"
+    )
+    without = building.exceptAll(order_cust).distinct().select(
+        F.lit("without_orders").alias("tag"), "c_custkey"
+    )
+    return with_orders.unionAll(without)
+
+
+# ---------------------------------------------------------------------------
+# q12 — NOT EXISTS → left-anti join.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    description="NOT EXISTS via left-anti join",
+)
+def q12_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — scalar function coverage (string/math/conditional), all codegen'd.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 8)) AS name8,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           p_brand || '/' || p_type AS brand_type,
+           abs(p_size - 25) AS size_dist,
+           p_size % 7 AS size_mod,
+           CASE WHEN p_retailprice > 1500 THEN 'HI'
+                WHEN p_retailprice > 800 THEN 'MID'
+                ELSE 'LO' END AS price_band
+    FROM part
+    """,
+    description="scalar string/math/CASE expression coverage",
+)
+def q13_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name8"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.when(F.col("p_retailprice") > 1500, "HI")
+        .when(F.col("p_retailprice") > 800, "MID")
+        .otherwise("LO")
+        .alias("price_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — date/time functions.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_date_parts",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 'month_rev')}
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    description="date extraction + formatting + monthly agg",
+)
+def q14_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "month_rev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — exact DISTINCT aggregation (expand + two-phase agg in Spark).
+# ---------------------------------------------------------------------------
+@register(
+    "q15_distinct_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    description="exact count-distinct per group",
+)
+def q15_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    return cu.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — approximate distinct (HLL++). Sketches are engine-specific, so no
+# value oracle — the driver records a rows-only check (expected).
+# ---------------------------------------------------------------------------
+@register(
+    "q16_approx_distinct",
+    oracle=None,
+    description="approx_count_distinct (HLL++) — engine-specific sketch, rows-only check",
+)
+def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — conditional aggregation: CASE-gated sums and counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_conditional_agg",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+           {dsum_sql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END", 'urgent_rev')}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    description="CASE-gated conditional aggregation",
+)
+def q17_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("n_big"),
+        dsum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(
+                F.lit(0.0)
+            ),
+            "urgent_rev",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — TPC-H Q17 shape: per-key average joined back (correlated subquery
+# decorrelated into agg + broadcast join-back).
+# ---------------------------------------------------------------------------
+@register(
+    "q18_below_avg_quantity",
+    oracle=f"""
+    WITH pavg AS (
+        SELECT l_partkey AS pk, {davg_sql('l_quantity', 'avg_qty')}
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small,
+           {dsum_sql('l_extendedprice', 'small_rev')}
+    FROM lineitem JOIN pavg ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+    description="correlated-subquery shape: per-part avg, join-back, filter",
+)
+def q18_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(davg("l_quantity", "avg_qty"))
+    return (
+        li.join(F.broadcast(pavg), li.l_partkey == pavg.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.count(F.lit(1)).alias("n_small"), dsum("l_extendedprice", "small_rev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — pivot (wide aggregation).
+# ---------------------------------------------------------------------------
+@register(
+    "q19_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_o')},
+           {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_f')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="pivot on l_linestatus with fixed value set",
+)
+def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast(DEC)), 2).cast("double"))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — tumbling-window aggregation over the event stream (batch analogue of
+# the Structured Streaming pipeline in streaming/; same F.window operator).
+# ---------------------------------------------------------------------------
+@register(
+    "q20_events_tumbling",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+               AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 'sum_value', 4)}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="5-minute tumbling window aggregation (batch twin of streaming demo)",
+)
+def q20_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value", 4))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — sessionization: gap>30min starts a new session. Single shuffle on
+# user_id; lag + conditional cumsum — the canonical scalable pattern.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_sessionization",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_id
+        FROM marked
+    )
+    SELECT user_id, sess_id, COUNT(*) AS n_events,
+           date_diff('millisecond', min(ts), max(ts)) AS dur_ms
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+    description="sessionization via lag + conditional cumsum (one shuffle)",
+)
+def q21_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))) > 1800000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("dur_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — as-of join (purchase → most recent preceding click per user), via
+# the engine's scalable union+window implementation (operators/asof.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q22_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST
+               ) AS rn
+        FROM purchases p
+        LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT purchase_id, user_id, click_id FROM j WHERE rn = 1
+    """,
+    description="as-of (backward, inclusive) join via single-shuffle union+window",
+)
+def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"event_id": "click_id"},
+        tolerance=None,
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"), "user_id", "click_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — ranking family: rank / dense_rank / ntile with deterministic order.
+# ---------------------------------------------------------------------------
+@register(
+    "q23_ranking",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    description="rank/dense_rank/ntile per nation",
+)
+def q23_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return cu.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — argmax via agg + join-back (deterministic even under value ties).
+# ---------------------------------------------------------------------------
+@register(
+    "q24_richest_customer_per_nation",
+    oracle="""
+    WITH mx AS (
+        SELECT c_nationkey AS nk, max(c_acctbal) AS max_bal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT n_name, min(c_custkey) AS custkey, max_bal
+    FROM customer
+    JOIN mx ON c_nationkey = nk AND c_acctbal = max_bal
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, max_bal
+    """,
+    description="argmax per group via max + join-back (tie-safe)",
+)
+def q24_richest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    mx = cu.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.max("c_acctbal").alias("max_bal")
+    )
+    return (
+        cu.join(
+            F.broadcast(mx),
+            (cu.c_nationkey == mx.nk) & (cu.c_acctbal == mx.max_bal),
+        )
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "max_bal")
+        .agg(F.min("c_custkey").alias("custkey"))
+        .select("n_name", "custkey", "max_bal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — scalar Pandas UDF (Arrow-vectorized Python; the §2.B "PythonEvals"
+# surface). sha256 digest per row — vectorized over Arrow batches, never
+# row-at-a-time.
+# ---------------------------------------------------------------------------
+@register(
+    "q25_pandas_udf_digest",
+    oracle="""
+    SELECT c_custkey, sha256(c_name) AS name_sha
+    FROM customer
+    """,
+    description="scalar @pandas_udf (Arrow batches) computing sha256 per row",
+)
+def q25_pandas_udf_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type hints: module-level `from __future__ import annotations` makes
+    # them strings, which the pandas_udf hint-inference can't resolve
+    def _sha(s):
+        return s.map(lambda x: hashlib.sha256(x.encode("utf-8")).hexdigest())
+
+    sha_udf = pandas_udf(_sha, "string", PandasUDFType.SCALAR)
+
+    cu = table(spark, sf_dir, "customer")
+    return cu.select("c_custkey", sha_udf("c_name").alias("name_sha"))
+
+
+# ---------------------------------------------------------------------------
+# q26 — exact interpolated percentiles per group (sort-agg path).
+# ---------------------------------------------------------------------------
+@register(
+    "q26_percentiles",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           ROUND(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+           ROUND(quantile_cont(c_acctbal, 0.75), 4) AS p75
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    description="exact interpolated quartiles of account balance per nation",
+)
+def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    return cu.groupBy("c_nationkey").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("c_acctbal", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("p75"),
+    )

@@ -1,0 +1,220 @@
+"""Keyed-table store: the engine's rebuild of the reference's HBase-backed
+table layer, expressed as key-sorted range-partitioned Parquet.
+
+Reference → our mapping (SURVEY §1, §2.A):
+
+- HBase table ``ns:name``            → directory ``<warehouse>/<ns>/<name>``
+- region (split keys)                → range partition on ``row_key``
+  (``repartitionByRange``); the "split" table property
+  (``HBaseClientImpl.scala:262,273``) becomes the partition count/bounds
+- HFile (rowkey-sorted cells)        → parquet file sorted by ``row_key``
+  (``sortWithinPartitions``) with min/max stats per row group
+- server-side Filter pushdown (A3)   → Catalyst → parquet predicate
+  pushdown + row-group skipping (strictly stronger: no silently-dropped
+  predicates, no startswith/endswith swap — SURVEY §2.B.1 bug notes)
+- row-key point/range fast path (A4) → min/max pruning on the sorted key
+- scan (A1) / HFile read (A9)        → vectorized parquet scan
+- insert w/ row-key generator (A5/A6)→ :meth:`KeyedTableStore.insert`
+- CTAS (A7)                          → :meth:`KeyedTableStore.ctas`
+- catalog/DDL (A8)                   → registry + Spark session catalog
+  (databases == namespaces; temp-view registration per session)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.catalog import ROW_KEY, SchemaRegistry, TableSpec
+
+DEFAULT_REGIONS = 4  # default range-partition count when no split keys given
+
+
+class TableNotFoundError(KeyError):
+    pass
+
+
+class TableAlreadyExistsError(ValueError):
+    pass
+
+
+class KeyedTableStore:
+    """Namespace/table catalog + storage over a warehouse directory."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        registry: SchemaRegistry | None = None,
+    ):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.registry = registry or SchemaRegistry()
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def table_path(self, spec: TableSpec) -> str:
+        return os.path.join(self.warehouse_dir, spec.namespace, spec.name)
+
+    # -- namespace DDL (reference: HBaseExternalCatalog create/drop db) ---
+    def create_namespace(self, ns: str, ignore_if_exists: bool = True) -> None:
+        path = os.path.join(self.warehouse_dir, ns)
+        if os.path.exists(path) and not ignore_if_exists:
+            raise TableAlreadyExistsError(f"namespace exists: {ns}")
+        os.makedirs(path, exist_ok=True)
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{ns}`")
+
+    def drop_namespace(self, ns: str, cascade: bool = False) -> None:
+        tables = self.registry.tables(ns)
+        if tables and not cascade:
+            raise ValueError(f"namespace {ns} not empty: {tables}")
+        for qualified in tables:
+            self.drop_table(qualified)
+        shutil.rmtree(os.path.join(self.warehouse_dir, ns), ignore_errors=True)
+        self.spark.sql(f"DROP DATABASE IF EXISTS `{ns}` CASCADE")
+
+    def namespaces(self) -> list[str]:
+        return self.registry.namespaces()
+
+    # -- table DDL --------------------------------------------------------
+    def create_table(self, spec: TableSpec, ignore_if_exists: bool = False) -> None:
+        """Create an empty keyed table (reference:
+        ``HBaseClientImpl.createTable``, ``client/HBaseClientImpl.scala:303-365``)."""
+        if self.registry.exists(spec.qualified_name):
+            if ignore_if_exists:
+                return
+            raise TableAlreadyExistsError(spec.qualified_name)
+        self.create_namespace(spec.namespace)
+        path = self.table_path(spec)
+        os.makedirs(path, exist_ok=True)
+        # materialize an empty parquet footprint so reads of a fresh table
+        # return an empty, correctly-typed DataFrame
+        empty = self.spark.createDataFrame([], spec.schema())
+        empty.write.mode("overwrite").parquet(path)
+        self.registry.register(spec)
+        self._register_view(spec)
+
+    def drop_table(self, qualified_name: str) -> None:
+        spec = self.registry.get(qualified_name)
+        shutil.rmtree(self.table_path(spec), ignore_errors=True)
+        self.registry.drop(qualified_name)
+        self.spark.catalog.dropTempView(self._view_name(spec))
+
+    def exists(self, qualified_name: str) -> bool:
+        return self.registry.exists(qualified_name)
+
+    def tables(self, namespace: str | None = None) -> list[str]:
+        return self.registry.tables(namespace)
+
+    # -- read path (A1/A9: scan with pruning + pushdown via Catalyst) -----
+    def read(self, qualified_name: str) -> DataFrame:
+        spec = self.registry.get(qualified_name)
+        return self.spark.read.schema(spec.schema()).parquet(self.table_path(spec))
+
+    def refresh(self, qualified_name: str) -> None:
+        """Invalidate cached file listings/metadata (reference:
+        ``refreshTable`` after insert, ``InsertIntoHBaseTable.scala:110``)."""
+        spec = self.registry.get(qualified_name)
+        self.spark.catalog.refreshByPath(self.table_path(spec))
+        self._register_view(spec)
+
+    # -- write path (A5/A6/A10) -------------------------------------------
+    def insert(
+        self,
+        qualified_name: str,
+        df: DataFrame,
+        overwrite: bool = False,
+        generate_row_key: bool | None = None,
+    ) -> None:
+        """INSERT INTO with pluggable row-key generation.
+
+        Mirrors ``InsertIntoHBaseTable.run`` (reference
+        ``execution/InsertIntoHBaseTable.scala:54-117``): resolve the
+        table's generator, produce keys, write key-sorted batches, refresh
+        catalog metadata. The reference writes 1000-``Put`` batches to
+        RegionServers; we write range-partitioned sorted parquet — the
+        HFile bulk-load path (A10) rather than the RPC path, which is the
+        scan-optimal layout.
+
+        ``generate_row_key=None`` auto-detects: generate iff the input has
+        no ``row_key`` column OR the table declares a generator (the
+        reference's default generator *always* overrides user-supplied
+        keys — ``README.md:66``).
+        """
+        from spark_sql_hbase_spark.functions.rowkey import resolve
+
+        spec = self.registry.get(qualified_name)
+        path = self.table_path(spec)
+
+        if generate_row_key is None:
+            generate_row_key = spec.generator is not None or ROW_KEY not in df.columns
+        if generate_row_key:
+            gen = resolve(spec.generator)
+            start_at = 0
+            if not overwrite and spec.generator in (None, "sequence", "default"):
+                # continue the dense sequence from the current max key
+                existing = self.read(qualified_name)
+                row = existing.agg(F.max(ROW_KEY)).collect()[0][0]
+                start_at = int(row) if row is not None else 0
+            df = gen(df.drop(ROW_KEY) if ROW_KEY in df.columns else df, start_at=start_at)
+
+        # conform column order/types to the declared schema
+        schema = spec.schema()
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        out = df.select(*cols)
+
+        # "regions": range-partition by key; "HFiles": sort within partition
+        n_regions = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
+        out = out.repartitionByRange(n_regions, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        out.write.mode("overwrite" if overwrite else "append").parquet(path)
+        self.refresh(qualified_name)
+
+    def ctas(self, spec: TableSpec, query: DataFrame, mode: str = "error") -> None:
+        """CREATE TABLE AS SELECT with SaveMode + drop-on-failure semantics
+        (reference: ``CreateHBaseTableAsSelectCommand.scala:18-88``)."""
+        existed = self.registry.exists(spec.qualified_name)
+        if existed:
+            if mode == "error":
+                raise TableAlreadyExistsError(spec.qualified_name)
+            if mode == "ignore":
+                return
+        else:
+            self.create_table(spec)
+        try:
+            self.insert(spec.qualified_name, query, overwrite=(mode == "overwrite"))
+        except Exception:
+            if not existed:
+                self.drop_table(spec.qualified_name)  # drop-on-failure
+            raise
+
+    # -- compaction (A10 bulk-rewrite analogue) ---------------------------
+    def compact(self, qualified_name: str, n_regions: int | None = None) -> None:
+        """Rewrite the table into ``n_regions`` key-sorted partitions —
+        the major-compaction analogue (merge many small "HFiles" into few
+        sorted ones, restoring scan locality after many inserts)."""
+        spec = self.registry.get(qualified_name)
+        n = n_regions or (
+            max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
+        )
+        snapshot = self.read(qualified_name).localCheckpoint(eager=True)
+        out = snapshot.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        out.write.mode("overwrite").parquet(self.table_path(spec))
+        self.refresh(qualified_name)
+
+    # -- session-catalog integration (A8) ---------------------------------
+    def _view_name(self, spec: TableSpec) -> str:
+        return f"{spec.namespace}__{spec.name}"
+
+    def _register_view(self, spec: TableSpec) -> None:
+        """Expose the table to SQL. Temp views cannot be dot-qualified, so
+        SQL sees ``<ns>__<name>`` while the Python API uses ``ns.name``."""
+        self.read(spec.qualified_name).createOrReplaceTempView(self._view_name(spec))
+
+    def bootstrap_views(self) -> None:
+        """Re-register all registry tables after session (re)start — the
+        analogue of the reference's catalog resolving tables on lookup."""
+        for qualified in self.registry.tables():
+            self._register_view(self.registry.get(qualified))

@@ -1,0 +1,176 @@
+"""Streaming pipelines: watermarked window aggregation, streaming exact
+dedup, and stateful sessionization.
+
+All three are built on stock Structured Streaming operators (the reference
+inherits exactly this surface — SURVEY §2.B "Streaming" row). Each
+transformation is expressed on an unbounded DataFrame, so the same code
+runs on a file/kafka/rate source in production and on a memory/file source
+in tests.
+
+Scale notes (the 100 TB / always-on ingest view):
+
+- **Watermarks bound state.** Every stateful stage declares a watermark;
+  state for windows/keys older than it is dropped by the state store.
+- **Partition-parallel state.** Aggregation and ``applyInPandasWithState``
+  state live in the shuffle-partitioned state store (RocksDB-backed in
+  production via ``spark.sql.streaming.stateStore.providerClass``) — no
+  driver state, no per-key collect.
+- **Streaming dedup = ``dropDuplicatesWithinWatermark``** on the content
+  digest: exact dedup with bounded state (only digests inside the
+  watermark horizon are retained); digests (32 B) shuffle, documents don't.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window counts + value sum per
+    event type — the streaming twin of the batch query
+    ``q20_events_tumbling`` (same ``F.window`` operator).
+
+    Late rows beyond ``watermark`` are dropped and their window state
+    evicted; output mode "update"/"append" both work downstream.
+    """
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    ).alias("win")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup by content digest with bounded state.
+
+    Emits the first occurrence of each distinct document (by sha256 of
+    the text) seen within the watermark horizon. State = one 32-byte
+    digest per distinct doc inside the horizon — the streaming analogue
+    of :func:`spark_sql_hbase_spark.operators.dedup.exact_dedup`.
+    """
+    with_digest = docs.withColumn(
+        "text_sha", F.sha2(F.col(text_col).cast("binary"), 256)
+    )
+    return with_digest.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["text_sha"]
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = "start_us long, end_us long, n long"
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``:
+    a session closes after ``gap_minutes`` of event-time inactivity per
+    user (emitted once the watermark passes the gap).
+
+    The batch twin (identical gap semantics over a static frame) is
+    ``q21_sessionization``; this is the operator SURVEY §7.1 marks as the
+    "custom stateful streaming" extension — state is per-key in the state
+    store, Arrow-batched, and evicted on event-time timeout, so state
+    size is bounded by (active users × one (start, end, n) triple).
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    gap_us = gap_ms * 1000
+
+    def emit(sessions: list[tuple[int, int, int]], key) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
+
+    def session_fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (start_us, end_us, n) = state.get
+            state.remove()
+            yield emit([(start_us, end_us, n)], key)
+            return
+
+        # gather this batch's event times (µs), sorted
+        all_ts: list[int] = []
+        for pdf in pdf_iter:
+            all_ts.extend(pd.to_datetime(pdf["ts"]).astype("int64") // 1000)
+        all_ts.sort()
+
+        if not all_ts and not state.exists:
+            return
+
+        # seed with the open session from state, then split on gaps
+        sessions: list[tuple[int, int, int]] = []  # (start, end, n) closed
+        if state.exists:
+            cur_s, cur_e, cur_n = state.get
+        else:
+            cur_s, cur_e, cur_n = all_ts[0], all_ts[0], 0  # first t re-counted below
+        for t in all_ts:
+            if t - cur_e > gap_us:
+                sessions.append((cur_s, cur_e, cur_n))  # gap → session closed
+                cur_s, cur_e, cur_n = t, t, 1
+            else:
+                cur_e, cur_n = max(cur_e, t), cur_n + 1
+        state.update((cur_s, cur_e, cur_n))
+        # close the open session when the watermark passes last-event + gap
+        state.setTimeoutTimestamp(cur_e // 1000 + gap_ms)
+        if sessions:
+            yield emit(sessions, key)
+
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

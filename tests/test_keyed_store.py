@@ -1,0 +1,255 @@
+"""Keyed-table store: reference-parity behavior tests.
+
+Covers SURVEY §2.A operators: scan + pruning + pushdown (A1-A4), insert
+with row-key generation (A5-A6), CTAS (A7), catalog/DDL (A8), key-sorted
+bulk layout + compaction (A9-A10) — against the reference's own
+deterministic fixture law (FIXTURES.md) with DuckDB as the oracle.
+"""
+
+import glob
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.catalog import TableSpec
+from spark_sql_hbase_spark.plans.pushdown import (
+    assert_pruned_to,
+    assert_pushed,
+    pushed_filters,
+)
+from spark_sql_hbase_spark.sources import fixtures
+from spark_sql_hbase_spark.sources.keyed_parquet import (
+    KeyedTableStore,
+    TableAlreadyExistsError,
+)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    store = KeyedTableStore(spark, wh)
+    fixtures.install_all(store)
+    return store
+
+
+def duck(store, qualified, sql):
+    ns, name = qualified.split(".")
+    path = os.path.join(store.warehouse_dir, ns, name, "*.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}')")
+    return con.sql(sql).fetchall()
+
+
+# -- A1/A2/A3: the README demo query end-to-end --------------------------
+def test_reference_demo_query(store):
+    """``select `A:A_00` from pw.test where `A:A_00` like "%24%"``
+    (reference README.md:47) — result matches the fixture law and DuckDB."""
+    df = store.read("pw.test").select("A:A_00").filter(F.col("A:A_00").like("%24%"))
+    got = sorted(r[0] for r in df.collect())
+    expected = sorted(
+        f"A_00_{i:04d}" for i in range(fixtures.N_ROWS) if "24" in f"A_00_{i:04d}"
+    )
+    assert got == expected
+    oracle = sorted(
+        r[0]
+        for r in duck(store, "pw.test", 'SELECT "A:A_00" FROM t WHERE "A:A_00" LIKE \'%24%\'')
+    )
+    assert got == oracle
+    # pruning: only the one column is read; pushdown: the LIKE reaches the scan
+    assert_pruned_to(df, 1)
+    assert_pushed(df, "StringContains(A:A_00,24)")
+
+
+def test_sql_surface_via_view(store):
+    """SQL access through the session catalog view (A8/A12 surface)."""
+    n = store.spark.sql(
+        "SELECT count(*) AS n FROM pw__test WHERE `B:B_07` = 'B_07_0042'"
+    ).collect()[0][0]
+    assert n == 1
+
+
+# -- §2.B.1 pushdown matrix (correct semantics, no reference bugs) --------
+MATRIX = [
+    # (filter_expr, expected_rowkeys_predicate, pushed_fragment)
+    (lambda c: c == "A_05_0123", lambda i: i == 123, "EqualTo(A:A_05,A_05_0123)"),
+    (lambda c: c > "A_05_0990", lambda i: i > 990, "GreaterThan(A:A_05"),
+    (lambda c: c >= "A_05_0990", lambda i: i >= 990, "GreaterThanOrEqual(A:A_05"),
+    (lambda c: c < "A_05_0010", lambda i: i < 10, "LessThan(A:A_05"),
+    (lambda c: c <= "A_05_0010", lambda i: i <= 10, "LessThanOrEqual(A:A_05"),
+    (
+        lambda c: c.isin("A_05_0001", "A_05_0002"),
+        lambda i: i in (1, 2),
+        "In(A:A_05",
+    ),
+    (lambda c: c.isNotNull(), lambda i: True, "IsNotNull(A:A_05)"),
+    (lambda c: c.startswith("A_05_01"), lambda i: 100 <= i <= 199, "StringStartsWith"),
+    (lambda c: c.endswith("77"), lambda i: str(i).zfill(4).endswith("77"), "StringEndsWith"),
+    (lambda c: c.contains("024"), lambda i: "024" in f"A_05_{i:04d}", "StringContains"),
+    (
+        lambda c: (c > "A_05_0990") | (c < "A_05_0005"),
+        lambda i: i > 990 or i < 5,
+        "Or(GreaterThan",
+    ),
+    (
+        lambda c: (c > "A_05_0500") & (c <= "A_05_0502"),
+        lambda i: 500 < i <= 502,
+        "GreaterThan(A:A_05",
+    ),
+]
+
+
+@pytest.mark.parametrize("case", range(len(MATRIX)))
+def test_pushdown_matrix(store, case):
+    filt, law, fragment = MATRIX[case]
+    df = store.read("pw.test").filter(filt(F.col("A:A_05"))).select("row_key")
+    got = sorted(r[0] for r in df.collect())
+    expected = sorted(f"{i:04d}" for i in range(fixtures.N_ROWS) if law(i))
+    assert got == expected, f"case {case}: wrong rows"
+    assert_pushed(df, fragment)
+
+
+def test_literal_first_comparison_not_swapped(store):
+    """lit > col (literal-on-left): the reference compiled this unflipped —
+    a correctness bug (HBaseSparkFilterUtils.scala:81-112). Ours must give
+    the mathematically correct result."""
+    df = store.read("pw.test").filter(F.lit("A_05_0010") > F.col("A:A_05"))
+    assert df.count() == 10  # rows 0000..0009
+
+
+def test_rowkey_point_and_range(store):
+    """Row-key fast path (A4): point/range predicates prune to the sorted
+    key's parquet stats; results exact."""
+    point = store.read("pw.test").filter(F.col("row_key") == "0042")
+    assert [r["A:A_00"] for r in point.collect()] == ["A_00_0042"]
+    assert_pushed(point, "EqualTo(row_key,0042)")
+    rng = store.read("pw.test").filter(
+        (F.col("row_key") >= "0100") & (F.col("row_key") < "0110")
+    )
+    assert rng.count() == 10
+
+
+def test_untranslatable_predicate_never_dropped(store):
+    """Predicates the storage layer can't push (e.g. substring arithmetic)
+    must still be evaluated (the reference silently dropped them —
+    HBaseSparkFilterUtils.scala:126). Catalyst keeps a residual Filter."""
+    df = store.read("pw.test").filter(
+        F.substring(F.col("A:A_00"), 6, 4).cast("int") % 2 == 1
+    )
+    assert df.count() == 500  # odd row ids
+
+
+# -- A5/A6: insert with row-key generation --------------------------------
+def test_insert_generator_overrides_key(store):
+    """README.md:54-66: inserting ('0000','TestSql') repeatedly yields
+    generator-assigned sequential keys 0001..000N — the supplied key is
+    ignored by the default generator."""
+    spark = store.spark
+    row = spark.createDataFrame(
+        [("0000", "TestSql")], "`row_key` string, `T:T_00` string"
+    )
+    store.insert("pw.test_insert", row)
+    store.insert("pw.test_insert", row)
+    got = sorted(
+        (r["row_key"], r["T:T_00"]) for r in store.read("pw.test_insert").collect()
+    )
+    assert got == [("0001", "TestSql"), ("0002", "TestSql")]
+
+
+def test_insert_select_and_readback(store):
+    """INSERT INTO ... SELECT (A5) with explicit keys preserved."""
+    spec = TableSpec(
+        namespace="pw", name="copy_a", key_type="string", families={"A": {"A_00": "string"}}
+    )
+    store.create_table(spec, ignore_if_exists=True)
+    src = store.read("pw.test").select("row_key", "A:A_00").filter(F.col("row_key") < "0010")
+    store.insert("pw.copy_a", src, overwrite=True, generate_row_key=False)
+    assert store.read("pw.copy_a").count() == 10
+    oracle = duck(store, "pw.copy_a", 'SELECT count(*) FROM t')[0][0]
+    assert oracle == 10
+
+
+# -- A7: CTAS ------------------------------------------------------------
+def test_ctas_modes(store):
+    spec = TableSpec(
+        namespace="pw", name="ctas1", key_type="string", families={"A": {"A_00": "string"}}
+    )
+    src = store.read("pw.test").select("row_key", "A:A_00").limit(5)
+    store.ctas(spec, src)
+    assert store.read("pw.ctas1").count() == 5
+    with pytest.raises(TableAlreadyExistsError):
+        store.ctas(spec, src, mode="error")
+    store.ctas(spec, src, mode="ignore")  # no-op
+    assert store.read("pw.ctas1").count() == 5
+    store.ctas(spec, src.limit(3), mode="overwrite")
+    assert store.read("pw.ctas1").count() == 3
+
+
+# -- typed table: full type fidelity (the reference degraded these) -------
+def test_typed_nulls_and_negatives(store):
+    t = store.read("pw.typed")
+    n_null = t.filter(F.col("t:c_int").isNull()).count()
+    assert n_null == len([i for i in range(fixtures.N_ROWS) if i % 97 == 0])
+    # negative numerics compare correctly (HBase byte-order would not —
+    # SURVEY §2.B.1 note)
+    neg = t.filter(F.col("t:c_short") < 0).count()
+    assert neg == len([i for i in range(fixtures.N_ROWS) if i - 500 < 0 and i % 97 != 0])
+    # timestamp ms precision round-trip
+    row = t.filter(F.col("row_key") == "0002").select("t:c_ts").collect()[0][0]
+    assert row.isoformat() == "2024-01-01T00:02:00"
+
+
+def test_binary_and_meta_table(store):
+    m = store.read("hbase.meta")
+    assert m.count() == 50
+    blob = m.filter(F.col("row_key") == "region_007").select("info:regioninfo").collect()
+    assert bytes(blob[0][0]) == b"regioninfo_007"
+
+
+# -- A8: catalog surface --------------------------------------------------
+def test_catalog_listing(store):
+    assert "pw" in store.namespaces()
+    assert "pw.test" in store.tables("pw")
+    assert store.exists("pw.test") and not store.exists("pw.nope")
+
+
+# -- A10: key-sorted layout + compaction ----------------------------------
+def test_layout_sorted_and_compaction(store):
+    spec = fixtures.pw_test_spec()
+    path = store.table_path(spec)
+    files = [f for f in glob.glob(f"{path}/*.parquet") if os.path.getsize(f) > 0]
+    # range-partitioned: per-file min/max key ranges must not overlap
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        keys = [
+            (
+                md.row_group(i).column(0).statistics.min,
+                md.row_group(i).column(0).statistics.max,
+            )
+            for i in range(md.num_row_groups)
+        ]
+        if keys:
+            ranges.append((min(k[0] for k in keys), max(k[1] for k in keys)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping key ranges {hi1} > {lo2}"
+
+    spec2 = TableSpec(
+        namespace="pw", name="compactme", key_type="string",
+        families={"A": {"A_00": "string"}},
+    )
+    store.create_table(spec2, ignore_if_exists=True)
+    src = store.read("pw.test").select("row_key", "A:A_00")
+    store.insert("pw.compactme", src.filter(F.col("row_key") < "0500"),
+                 generate_row_key=False)
+    store.insert("pw.compactme", src.filter(F.col("row_key") >= "0500"),
+                 generate_row_key=False)
+    before = len(glob.glob(os.path.join(store.table_path(spec2), "*.parquet")))
+    store.compact("pw.compactme", n_regions=2)
+    after = len(glob.glob(os.path.join(store.table_path(spec2), "*.parquet")))
+    assert store.read("pw.compactme").count() == 1000
+    assert after <= before

@@ -1,0 +1,152 @@
+"""Structured Streaming coverage: watermarked window agg, streaming dedup
+(bounded state), and stateful sessionization — each run as a real streaming
+query over a file source (availableNow) into a memory sink, and where a
+batch twin exists, checked against it.
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.streaming import (
+    sessionize_stream,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """events re-written as four time-ordered files (sequential writes →
+    increasing mtime) so the file source replays them in event-time order
+    across micro-batches, advancing the watermark between batches.
+    ``queries.table`` normalizes the ns-timestamp column to a real
+    TIMESTAMP (required for watermarks)."""
+    from spark_sql_hbase_spark.queries import table as load_table
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, SF, "events").cache()
+    ts_q = [r[0] for r in ev.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) AS q"
+    ).selectExpr("explode(q)").collect()]
+    lo = [None] + ts_q
+    hi = ts_q + [None]
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        part = ev
+        if a is not None:
+            part = part.filter(F.unix_micros("ts") > a)
+        if b is not None:
+            part = part.filter(F.unix_micros("ts") <= b)
+        part.coalesce(1).write.mode("append").parquet(out)
+    ev.unpersist()
+    return out
+
+
+def _run_to_memory(stream_df, name, spark, output_mode):
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")  # fresh: memory sink can't recover
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def _read_stream(spark, path, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(path)
+    )
+
+
+def test_windowed_counts_match_batch(spark, events_stream_dir):
+    ev = spark.read.parquet(events_stream_dir)
+    stream = _read_stream(spark, events_stream_dir, ev.schema)
+
+    got = _run_to_memory(
+        windowed_event_counts(stream, watermark="10 minutes"),
+        "win_counts", spark, "append",
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    # append mode only emits windows sealed by the final watermark; every
+    # emitted window must exactly match the batch result
+    emitted = got.select("win_start", "win_end", "event_type", "n_events")
+    assert emitted.count() > 0
+    mismatched = emitted.exceptAll(batch)
+    assert mismatched.count() == 0, mismatched.limit(5).collect()
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "alpha"),
+            (2, "2024-01-01 00:01:00", "beta"),
+            (3, "2024-01-01 00:02:00", "alpha"),  # dup of 1 inside horizon
+            (4, "2024-01-01 00:03:00", "gamma"),
+        ],
+        "doc_id long, ts string, text string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    docs.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    got = _run_to_memory(
+        streaming_dedup(stream, watermark="1 hour"), "dedup_docs", spark, "append"
+    )
+    kept_texts = sorted(r["text"] for r in got.select("text").collect())
+    assert kept_texts == ["alpha", "beta", "gamma"]
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, events_stream_dir):
+    ev = spark.read.parquet(events_stream_dir)
+    stream = _read_stream(spark, events_stream_dir, ev.schema)
+
+    got = _run_to_memory(sessionize_stream(stream, 30), "sessions", spark, "append")
+    # sessions whose gap-timeout predates the final watermark have been
+    # emitted; each must be internally consistent and match the batch
+    # sessionization law (session bounds align to some batch session)
+    rows = got.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+        assert r["n_events"] >= 1
+
+    from spark_sql_hbase_spark.queries import load_all
+
+    batch = load_all()["q21_sessionization"].fn(spark, SF)
+    batch_sessions = {
+        (r["user_id"], r["n_events"], r["dur_ms"])
+        for r in batch.select("user_id", "n_events", "dur_ms").collect()
+    }
+    # batch dur_ms = unix_millis(max) - unix_millis(min): each endpoint is
+    # floored to ms BEFORE subtracting — mirror that exactly
+    from datetime import datetime, timedelta
+
+    epoch = datetime(1970, 1, 1)
+
+    def ms(d):
+        return ((d - epoch) // timedelta(microseconds=1)) // 1000
+
+    emitted = {
+        (r["user_id"], r["n_events"], ms(r["session_end"]) - ms(r["session_start"]))
+        for r in rows
+    }
+    assert emitted <= batch_sessions, emitted - batch_sessions
