@@ -38,8 +38,13 @@ def main() -> None:
 
     registry = load_all()
     spark = build_spark(app_name="bench")
-    # warm the JVM / parquet footers so per-query times reflect execution
-    spark.range(1).count()
+    # Warm the JVM so per-query times reflect execution, not first-call
+    # class loading + codegen: run a tiny parquet scan-filter-agg-join on
+    # the smoke SF (different data from the measured SF).
+    warm = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    warm.join(warm.select("r_regionkey"), "r_regionkey").filter(
+        "r_name IS NOT NULL"
+    ).groupBy("r_name").count().collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

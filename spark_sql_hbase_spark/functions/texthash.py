@@ -47,12 +47,21 @@ def word_hash_sql(expr: str) -> str:
 
 # -- word n-gram shingles ---------------------------------------------------
 def shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined) from a token array."""
-    def make(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(tok, i + j + 1) for j in range(n)])
+    """Distinct word n-gram shingles (space-joined) from a token array.
 
-    idx = F.sequence(F.lit(0), F.size(tok) - n)
-    return F.when(F.size(tok) >= n, F.array_distinct(F.transform(idx, make))).otherwise(
+    Implemented as ``zip_with`` over n shifted ``slice``s of the token
+    array, so ``tok`` is evaluated a constant ~2n times per ROW. Never
+    reference a derived array per-ELEMENT (e.g. ``element_at(tok, i+j)``
+    inside a transform): higher-order lambdas are interpreted with no
+    common-subexpression elimination and ``CollapseProject`` inlines
+    aliases, so each reference re-runs the full tokenization — O(len·n)
+    regex splits per row instead of O(n)."""
+    m = F.size(tok) - (n - 1)  # shingle count when size >= n
+    parts = [F.slice(tok, j + 1, m) for j in range(n)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.zip_with(joined, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(tok) >= n, F.array_distinct(joined)).otherwise(
         F.array().cast("array<string>")
     )
 

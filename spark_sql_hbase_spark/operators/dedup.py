@@ -32,8 +32,6 @@ from spark_sql_hbase_spark.functions.texthash import (
     MOD_P,
     SIMHASH_BITS,
     shingles,
-    simhash_agg_columns,
-    simhash_combine,
     tokens,
     word_hash,
 )
@@ -64,9 +62,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def _parallelized(df: DataFrame) -> DataFrame:
+    """Spread a under-partitioned input across the cluster before heavy
+    per-row compute. A single small parquet file scans as one partition,
+    serializing the (CPU-bound) tokenize/hash folds; at scale inputs are
+    already well-partitioned and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle_set array) — distinct word n-grams per document."""
-    return df.select(
+    return _parallelized(df).select(
         F.col(id_col).alias("id"), shingles(tokens(F.col(text_col)), n).alias("sh")
     )
 
@@ -132,21 +141,64 @@ def ngram_jaccard_join(
 
 
 # ---------------------------------------------------------------------------
-def minhash_signatures(
-    sets: DataFrame, num_hashes: int = 128
-) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) minhash signature via k fixed affine
-    permutations of the 56-bit shingle hash, computed in one aggregation
-    pass over the exploded (id, shingle-hash) relation."""
+def minhash_signature_col(sh: F.Column, num_hashes: int = 128) -> F.Column:
+    """Minhash signature (array<bigint>, one slot per permutation) as ONE
+    fold over the shingle array.
+
+    Shuffle-free and single-reference: the shingle hashes are the fold's
+    collection argument (each shingle md5-hashed exactly once), and each
+    step ``zip_with``-mins the running signature against the element's
+    128 affine permutations. Single-reference discipline matters because
+    HOF lambdas are interpreted with no subexpression elimination — an
+    expression referenced k times is evaluated k times per row."""
     params = minhash_params(num_hashes)
-    exploded = sets.select("id", F.explode("sh").alias("s")).select(
-        "id", (word_hash(F.col("s")) % MOD_P).alias("h")
+    perms = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD_P).alias(f"mh_{j}")
-        for j, (a, b) in enumerate(params)
-    ]
-    return exploded.groupBy("id").agg(*aggs)
+    return F.aggregate(
+        F.transform(sh, lambda s: word_hash(s) % MOD_P),
+        F.array_repeat(F.lit(MOD_P).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(perms, lambda p: (p["a"] * h + p["b"]) % MOD_P),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
+def minhash_signatures(sets: DataFrame, num_hashes: int = 128) -> DataFrame:
+    """(id, sig: array<bigint>) minhash signatures per document."""
+    return sets.select("id", minhash_signature_col(F.col("sh"), num_hashes).alias("sig"))
+
+
+def band_keys_col(sig: F.Column, rows_per_band: int = 2) -> F.Column:
+    """LSH band keys (array<bigint>) from a signature column, as ONE fold.
+
+    Band key = xxhash64(band-index, the band's ``rows_per_band``
+    minhashes) — the band index is baked into the hash so a single
+    equi-join on the key suffices. Folding (rather than 64 ``element_at``
+    probes) references ``sig`` exactly once, which keeps the chained
+    tokens→shingles→signature→bands expression linear per row."""
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("bands"),
+        F.array().cast("array<bigint>").alias("buf"),
+    )
+
+    def step(acc: F.Column, mh: F.Column) -> F.Column:
+        buf2 = F.concat(acc["buf"], F.array(mh))  # bounded: ≤ rows_per_band
+        full = F.size(buf2) == rows_per_band
+        key = F.xxhash64(
+            F.size(acc["bands"]),
+            *[F.element_at(buf2, i + 1) for i in range(rows_per_band)],
+        )
+        return F.struct(
+            F.when(full, F.concat(acc["bands"], F.array(key)))
+            .otherwise(acc["bands"])
+            .alias("bands"),
+            F.when(full, F.array().cast("array<bigint>")).otherwise(buf2).alias("buf"),
+        )
+
+    return F.aggregate(sig, init, step, lambda acc: acc["bands"])
 
 
 def minhash_lsh_join(
@@ -166,29 +218,19 @@ def minhash_lsh_join(
     Verification computes exact Jaccard on candidates only, so output ⊆
     exact join; recall at t=0.6 with 64×2 bands ≈ 1 - (1-0.36)^64 ≈ 1-1e-13.
     """
-    num_bands = num_hashes // rows_per_band
     sets = _shingle_sets(df, id_col, text_col, n).filter(F.size("sh") > 0).cache()
-    sigs = minhash_signatures(sets, num_hashes)
-    bands = sigs.select(
+    # one linear per-row expression: shingles → signature → band keys;
+    # each stage referenced once, no shuffle until the band equi-join
+    bands = sets.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("sig"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "bs.band", "bs.sig")
-    ba = bands.select(F.col("id").alias("id_a"), "band", "sig")
-    bb = bands.select(F.col("id").alias("id_b"), "band", "sig")
+            band_keys_col(minhash_signature_col(F.col("sh"), num_hashes), rows_per_band)
+        ).alias("band_key"),
+    ).cache()  # both self-join sides read this; don't run the fold twice
+    ba = bands.select(F.col("id").alias("id_a"), "band_key")
+    bb = bands.select(F.col("id").alias("id_b"), "band_key")
     candidates = (
-        ba.join(bb, ["band", "sig"])
+        ba.join(bb, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -198,12 +240,44 @@ def minhash_lsh_join(
 
 # ---------------------------------------------------------------------------
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) 60-bit fingerprint per document (single-pass agg)."""
-    tok = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
-    ).select("id", word_hash(F.col("w")).alias("th"))
-    votes = tok.groupBy("id").agg(*simhash_agg_columns())
-    return votes.select("id", simhash_combine().alias("simhash"))
+    """(id, simhash) 60-bit fingerprint per document.
+
+    Shuffle-free: per-bit set-counts are accumulated in ONE ``aggregate``
+    pass over the token-hash array (``zip_with`` against the bit mask of
+    each hash), then combined against the per-doc token count — bit i is
+    set iff set-count·2 ≥ n, identical to the sum-of-±1-votes ≥ 0 rule.
+    The explode + 60-column group-by formulation shuffles every token;
+    this touches each row once where it already lives. Docs with zero
+    tokens are dropped (parity with the grouped formulation)."""
+    df = _parallelized(df)
+    tok = tokens(F.col(text_col))
+    hashes = F.transform(tok, lambda w: word_hash(w))
+    zero = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
+                    for i in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    n = F.size(tok).cast("long")
+    combine = F.aggregate(
+        F.zip_with(counts, powers, lambda c, p: F.when(c * 2 >= n, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.filter(F.size(tokens(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("id"), combine.alias("simhash"))
+    )
 
 
 def simhash_neardup(
@@ -216,7 +290,9 @@ def simhash_neardup(
     segment_bits) — linear shuffle — followed by popcount verification.
     """
     assert segments >= max_hamming + 1, "need ≥ k+1 segments for pigeonhole recall"
-    fp = simhash_fingerprints(df, id_col, text_col)
+    # cache: both sides of the self-join read the fingerprints; without it
+    # the md5+fold pipeline runs twice
+    fp = simhash_fingerprints(df, id_col, text_col).cache()
     seg_width = SIMHASH_BITS // segments
     mask = (1 << seg_width) - 1
     segs = fp.select(
