@@ -103,30 +103,6 @@ def rolling_hash_sql(tok_expr: str) -> str:
 SIMHASH_BITS = 60
 
 
-def simhash_agg_columns() -> list[Column]:
-    """Per-bit vote aggregates over an exploded (doc, token-hash ``th``)
-    relation: ``SUM(CASE bit set THEN 1 ELSE -1)`` for each of 60 bits.
-
-    Single-pass hash aggregation with map-side combine — the scalable
-    formulation (no per-bit explode multiplying rows ×60).
-    """
-    cols = []
-    for i in range(SIMHASH_BITS):
-        bit = F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1))
-        cols.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}"))
-    return cols
-
-
-def simhash_combine() -> Column:
-    """Combine the 60 vote columns into one bigint fingerprint."""
-    out = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        out = out + F.when(F.col(f"b{i}") >= 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
-
-
 def simhash_sql(doc_table: str, id_col: str, tok_expr: str) -> str:
     """DuckDB SQL computing the identical 60-bit simhash per document."""
     wh = word_hash_sql("w")

@@ -86,6 +86,54 @@ def extract_media_metadata(df: DataFrame, id_col: str, binary_col: str) -> DataF
     return binary_df.mapInPandas(extract, META_SCHEMA)
 
 
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, binary_col: str, every: int = 4
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (every ``every``-th
+    64-byte block) — the one-to-many ``mapInPandas`` shape of a real video
+    frame-sampler (decode stubbed: frame identity = content digest; the
+    container ships no codecs).
+
+    Scale: output fan-out happens executor-side per Arrow batch — no
+    explode of pre-materialized frame arrays, no shuffle; a downstream
+    repartition can spread frames if the per-doc fan-out is skewed.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(
+                            payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        sample, FRAME_SAMPLE_SCHEMA
+    )
+
+
 def media_metadata_oracle_sql(doc_table: str = "documents") -> str:
     """DuckDB twin of :func:`extract_media_metadata` over the synthetic
     binary payload (utf-8 bytes of ``text``) — verifies the whole

@@ -79,5 +79,6 @@ def load_all() -> dict[str, QueryDef]:
     """Import every query module so REGISTRY is fully populated."""
     from spark_sql_hbase_spark.queries import relational  # noqa: F401
     from spark_sql_hbase_spark.queries import llm  # noqa: F401
+    from spark_sql_hbase_spark.queries import keyed  # noqa: F401
 
     return REGISTRY

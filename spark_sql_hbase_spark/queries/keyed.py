@@ -1,0 +1,115 @@
+"""Keyed-table store queries for the driver correctness gate.
+
+The store's reference-parity behaviors (scan + pushdown + pruning, insert
+with row-key generation, CTAS, compaction — SURVEY §2.A A1-A10) are
+covered in depth by ``tests/test_keyed_store.py`` against the reference's
+own fixture law; these queries additionally exercise the store END TO END
+inside the driver's DuckDB-checked gate, by round-tripping driver tables
+through a keyed warehouse and querying them back.
+
+Each query materializes into a private temp warehouse per invocation, so
+runs are deterministic and side-effect-free.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.queries import register, table
+
+
+def _store(spark: SparkSession):
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    return KeyedTableStore(spark, tempfile.mkdtemp(prefix="keyed_wh_"))
+
+
+# ---------------------------------------------------------------------------
+# k01 — CTAS a driver table into a key-sorted keyed table, read it back
+# through the store with a key-range + value predicate (A1/A4/A7).
+# ---------------------------------------------------------------------------
+@register(
+    "k01_keyed_ctas_scan",
+    oracle="""
+    SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS row_key,
+           o_orderstatus AS "o:status",
+           o_totalprice AS "o:totalprice"
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 2000 AND o_totalprice > 150000
+    """,
+    description="CTAS into keyed store (range-partitioned, key-sorted) + "
+    "row-key range scan with value pushdown",
+)
+def k01_keyed_ctas_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("o_orderstatus").alias("o:status"),
+        F.col("o_totalprice").alias("o:totalprice"),
+    )
+    spec = TableSpec(
+        namespace="gate",
+        name="orders_k",
+        key_type="string",
+        families={"o": {"status": "string", "totalprice": "double"}},
+        split_keys=["0000005000", "0000010000"],
+    )
+    store.ctas(spec, o, mode="overwrite")
+    # key-range fast path (sorted-parquet min/max pruning) + value filter
+    return store.read("gate.orders_k").filter(
+        (F.col("row_key") >= F.lpad(F.lit("1000"), 10, "0"))
+        & (F.col("row_key") <= F.lpad(F.lit("2000"), 10, "0"))
+        & (F.col("o:totalprice") > 150000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k02 — two inserts + compaction, aggregate readback (A5/A10).
+# ---------------------------------------------------------------------------
+@register(
+    "k02_keyed_insert_compact",
+    oracle="""
+    SELECT n_nationkey, count(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    description="keyed-store double insert + major compaction + join-agg readback",
+)
+def k02_keyed_insert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.functions.det import dsum
+
+    store = _store(spark)
+    cu = table(spark, sf_dir, "customer").select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("c_nationkey").alias("c:nationkey"),
+        F.col("c_acctbal").alias("c:acctbal"),
+    )
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_k",
+        key_type="string",
+        families={"c": {"nationkey": "long", "acctbal": "double"}},
+    )
+    store.create_table(spec, ignore_if_exists=True)
+    half = F.col("row_key") < F.lpad(F.lit("750"), 10, "0")
+    store.insert("gate.cust_k", cu.filter(half), generate_row_key=False)
+    store.insert("gate.cust_k", cu.filter(~half), generate_row_key=False)
+    store.compact("gate.cust_k", n_regions=4)
+    n = table(spark, sf_dir, "nation")
+    k = store.read("gate.cust_k")
+    return (
+        k.join(F.broadcast(n), k["c:nationkey"] == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("`c:acctbal`", "sum_bal"),
+        )
+    )

@@ -340,3 +340,74 @@ def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return multimodal.extract_media_metadata(with_payload, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# u01 — Python UDTF (PythonEvals / tableFunctionRegistry surface, SURVEY
+# §2.B): context-window chunking — split each document's token stream into
+# fixed 32-token chunks, one output row per chunk (lateral join).
+# ---------------------------------------------------------------------------
+CHUNK = 32
+
+
+@register(
+    "u01_udtf_chunking",
+    oracle=f"""
+    WITH __tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    __n AS (
+        SELECT doc_id, t, CAST(CEIL(len(t) / {CHUNK}.0) AS INTEGER) AS n_chunks
+        FROM __tok WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_id,
+           list_aggregate(t[unnest(range(0, n_chunks)) * {CHUNK} + 1 :
+                            least((unnest(range(0, n_chunks)) + 1) * {CHUNK}, len(t))],
+                          'string_agg', ' ') AS chunk,
+           CAST(least((unnest(range(0, n_chunks)) + 1) * {CHUNK}, len(t))
+                - unnest(range(0, n_chunks)) * {CHUNK} AS INTEGER) AS n_tokens
+    FROM __n
+    """,
+    description="Python UDTF: 32-token context-window chunking via LATERAL join",
+)
+def u01_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_id int, chunk string, n_tokens int")
+    class Chunker:
+        def eval(self, doc_id, text):
+            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            for i in range(0, len(toks), CHUNK):
+                piece = toks[i : i + CHUNK]
+                yield doc_id, i // CHUNK, " ".join(piece), len(piece)
+
+    spark.udtf.register("chunker", Chunker)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("SELECT c.* FROM documents, LATERAL chunker(doc_id, text) c")
+
+
+# ---------------------------------------------------------------------------
+# m02 — multimodal frame sampling: one row per sampled 64-byte "frame"
+# (every 4th), mapInPandas one-to-many (the decode itself is the
+# deterministic stub — no codecs in this container).
+# ---------------------------------------------------------------------------
+@register(
+    "m02_frame_sample",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text, CAST(CEIL(length(text) / {multimodal.FRAME_BYTES}.0) AS INTEGER) AS nf
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, nf, 4)) AS INTEGER) AS frame_idx,
+           sha256(substr(text, unnest(range(0, nf, 4)) * {multimodal.FRAME_BYTES} + 1,
+                         {multimodal.FRAME_BYTES})) AS frame_sha
+    FROM b
+    """,
+    description="frame sampling (every 4th 64B block) via one-to-many mapInPandas",
+)
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return multimodal.sample_frames(with_payload, "doc_id", "payload", every=4)

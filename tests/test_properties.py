@@ -1,0 +1,140 @@
+"""Property-based checks (hypothesis) for the custom operators whose
+semantics are easy to get subtly wrong: the as-of join (tie handling,
+tolerance, missing matches) and the shingle/minhash expressions (must
+agree with a plain-Python reference implementation on arbitrary input).
+
+Each example builds a small DataFrame — examples are capped so the suite
+stays fast; the operators themselves are the same code paths exercised at
+scale.
+"""
+
+import datetime
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.operators.asof import asof_join
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=1000),  # ts offset (seconds)
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@st.composite
+def asof_case(draw):
+    return draw(events), draw(events)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_case())
+def test_asof_join_matches_naive(spark, case):
+    left_rows, right_rows = case
+    if not left_rows:
+        return
+    to_ts = lambda s: EPOCH + datetime.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(k, to_ts(ts), i) for i, (k, ts, _) in enumerate(left_rows)],
+        "key long, ts timestamp, left_id long",
+    )
+    right = spark.createDataFrame(
+        [(k, to_ts(ts), v) for (k, ts, v) in right_rows],
+        "key long, ts timestamp, val long",
+    ) if right_rows else spark.createDataFrame([], "key long, ts timestamp, val long")
+
+    got = {
+        r["left_id"]: r["matched"]
+        for r in asof_join(
+            left, right, on="key", left_ts="ts", right_ts="ts",
+            right_cols={"val": "matched"},
+        ).collect()
+    }
+
+    # naive reference: latest right at-or-before, ties broken by LARGEST
+    # payload (operator orders ties by the output column, last() wins)
+    for i, (k, ts, _) in enumerate(left_rows):
+        candidates = [
+            v for (rk, rts, v) in right_rows if rk == k and rts <= ts
+        ]
+        best_ts = max((rts for (rk, rts, v) in right_rows if rk == k and rts <= ts),
+                      default=None)
+        expect = (
+            max(v for (rk, rts, v) in right_rows if rk == k and rts == best_ts)
+            if best_ts is not None
+            else None
+        )
+        assert got[i] == expect, (i, k, ts, candidates)
+
+
+token_lists = st.lists(
+    st.text(alphabet="ab1 .,", min_size=0, max_size=12), min_size=0, max_size=6
+)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_shingles(toks: list[str], n: int = 3) -> list[str]:
+    if len(toks) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(token_lists, min_size=1, max_size=5))
+def test_shingles_match_python_reference(spark, texts):
+    from spark_sql_hbase_spark.functions.texthash import shingles, tokens
+
+    docs = [" ".join(t) for t in texts]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "id long, text string")
+    got = {
+        r["id"]: r["sh"]
+        for r in df.select("id", shingles(tokens(F.col("text")), 3).alias("sh")).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == _py_shingles(_py_tokens(d)), d
+
+
+def test_minhash_signature_is_elementwise_min(spark):
+    """sig[j] must equal min over shingles of (a_j * h + b_j) % p — checked
+    against a direct Python computation on a fixed corpus."""
+    import hashlib
+
+    from spark_sql_hbase_spark.operators.dedup import (
+        MOD_P, minhash_params, minhash_signatures,
+    )
+
+    docs = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "pack my box with five dozen liquor jugs")]
+    sets = spark.createDataFrame(docs, "id long, text string").select(
+        "id",
+        F.split("text", " ").alias("toks"),
+    )
+    from spark_sql_hbase_spark.functions.texthash import shingles
+
+    sets = sets.select("id", shingles(F.col("toks"), 3).alias("sh"))
+    got = {r["id"]: r["sig"] for r in minhash_signatures(sets, 16).collect()}
+
+    params = minhash_params(16)
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        sh = _py_shingles(toks)
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:14], 16) % MOD_P for s in sh]
+        expect = [min((a * h + b) % MOD_P for h in hs) for (a, b) in params]
+        assert got[doc_id] == expect
