@@ -70,6 +70,9 @@ def build_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # allow Python DataSources (sources/keyed_datasource.py) to receive
+        # pushed filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)

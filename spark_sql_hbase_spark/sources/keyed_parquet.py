@@ -114,6 +114,28 @@ class KeyedTableStore:
         spec = self.registry.get(qualified_name)
         return self.spark.read.schema(spec.schema()).parquet(self.table_path(spec))
 
+    def read_via_datasource(self, qualified_name: str) -> DataFrame:
+        """Scan through the ``keyedtable`` Python DataSource — region-
+        aligned partitions + row-key pruning + pushdown in OUR code rather
+        than the parquet reader's (the faithful A1 rebuild; ``read`` stays
+        the default because Spark's native vectorized parquet scan is
+        faster — same reasoning SURVEY §4 applies throughout)."""
+        from spark_sql_hbase_spark.sources.keyed_datasource import (
+            KeyedTableDataSource,
+        )
+
+        if not getattr(self.spark, "_keyedtable_registered", False):
+            self.spark.dataSource.register(KeyedTableDataSource)
+            self.spark._keyedtable_registered = True
+        self.spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spec = self.registry.get(qualified_name)
+        return (
+            self.spark.read.format("keyedtable")
+            .schema(spec.schema())
+            .option("path", self.table_path(spec))
+            .load()
+        )
+
     def refresh(self, qualified_name: str) -> None:
         """Invalidate cached file listings/metadata (reference:
         ``refreshTable`` after insert, ``InsertIntoHBaseTable.scala:110``)."""
