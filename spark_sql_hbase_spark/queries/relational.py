@@ -828,3 +828,69 @@ def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("c_acctbal", F.lit(0.50)), 4).alias("p50"),
         F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q27 — salted two-phase aggregation (heavy-hitter-safe groupBy): same
+# result as a plain groupBy, but hot keys spread over 16 reducers first.
+# ---------------------------------------------------------------------------
+@register(
+    "q27_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {dsum_sql('l_extendedprice', 'sum_l_extendedprice')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="salted two-phase aggregation (skew-proof heavy-hitter groupBy)",
+)
+def q27_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.skew import salted_count_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_count_sum(li, ["l_returnflag"], "l_extendedprice", salt=16)
+
+
+# ---------------------------------------------------------------------------
+# q28 — skew join with hot-key salting: revenue for the 3 hottest parts
+# joined back to part attributes without broadcasting or AQE reliance.
+# ---------------------------------------------------------------------------
+@register(
+    "q28_salted_join",
+    oracle=f"""
+    WITH hot AS (
+        SELECT l_partkey AS hk FROM lineitem
+        GROUP BY l_partkey ORDER BY count(*) DESC, l_partkey LIMIT 3
+    )
+    SELECT p_partkey, p_brand,
+           COUNT(*) AS n_items,
+           {dsum_sql('l_extendedprice', 'revenue')}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_partkey IN (SELECT hk FROM hot)
+    GROUP BY p_partkey, p_brand
+    """,
+    description="hot-key salted join (replicate-right) + aggregation",
+)
+def q28_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k"), "l_extendedprice"
+    )
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), "p_partkey", "p_brand"
+    )
+    hot = [
+        r["k"]
+        for r in li.groupBy("k")
+        .count()
+        .orderBy(F.desc("count"), "k")
+        .limit(3)
+        .collect()
+    ]
+    joined = salted_join(li.filter(F.col("k").isin(hot)), p, on="k", hot_keys=hot)
+    return joined.groupBy("p_partkey", "p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice", "revenue"),
+    )

@@ -87,6 +87,38 @@ def streaming_dedup(
     )
 
 
+def write_stream_to_keyed_table(
+    stream_df: DataFrame,
+    store,
+    qualified_name: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming INSERT INTO a keyed table (the streaming twin of the
+    reference's insert path, A5): each micro-batch is appended through
+    ``KeyedTableStore.insert`` — row-key generation, range partitioning
+    and key-sorting included — via ``foreachBatch``.
+
+    Exactly-once note: ``foreachBatch`` gives at-least-once on retry; the
+    keyed store appends files, so a failed batch can leave duplicates —
+    production would stage per-batch output under a batch-id path and
+    commit atomically (the standard parquet-sink pattern). Scale: each
+    batch writes its own region files; periodic ``compact()`` restores
+    the global key-sorted layout, exactly like HBase memstore flush +
+    compaction.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        store.insert(qualified_name, batch_df)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

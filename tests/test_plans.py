@@ -1,0 +1,113 @@
+"""Plan-shape assertions: the scale properties the engine claims (filter
+pushdown to the scan, column pruning, broadcast of dims, shuffle-free
+bucketed joins) must be visible in the physical plan, not just assumed.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.plans.pushdown import (
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+    scan_columns,
+)
+from spark_sql_hbase_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_q06_filters_reach_parquet(spark, registry):
+    df = registry["q06_forecast_revenue"].fn(spark, SF)
+    joined = " ".join(pushed_filters(df))
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"):
+        assert frag in joined, joined
+
+
+def test_q06_column_pruning(spark, registry):
+    df = registry["q06_forecast_revenue"].fn(spark, SF)
+    cols = scan_columns(df)
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, cols
+
+
+def test_q05_broadcasts_dim(spark, registry):
+    plan = formatted_plan(registry["q05_brand_revenue"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the fact side must NOT be broadcast: only one broadcast exchange node
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+
+
+def test_q01_partial_aggregation(spark, registry):
+    """Map-side combine: HashAggregate appears in partial+final pairs."""
+    plan = formatted_plan(registry["q01_pricing_summary"].fn(spark, SF))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    assert "partial" in plan.lower() or "merge" in plan.lower() or "Final" in plan
+
+
+def test_q02_topk_no_global_sort(spark, registry):
+    plan = formatted_plan(registry["q02_top_orders"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no full sort
+
+
+def test_whole_stage_codegen_covers_scan_agg(spark, registry):
+    """Codegen spans only materialize in the FINAL adaptive plan — execute,
+    then inspect the executed plan."""
+    df = registry["q01_pricing_summary"].fn(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark whole-stage-codegen spans in the executed plan
+    assert re.search(r"\*\(\d+\) (HashAggregate|ColumnarToRow|Filter)", executed), executed
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join (A10 analogue at query time): two tables bucketed
+    on the join key sort-merge-join without any shuffle exchange."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    import shutil
+
+    for name, df, key in (("b_lineitem", li, "l_orderkey"), ("b_orders", o, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = warehouse.replace("file:", "") + f"/{name}"
+        shutil.rmtree(loc, ignore_errors=True)  # stale location from prior runs
+        (df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name))
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = formatted_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan  # bucket co-location
+    n = joined.count()
+    assert n == spark.read.parquet(f"{SF}/lineitem.parquet").count()
+
+
+def test_keyed_store_rowkey_stats_pruning(spark, tmp_path):
+    """Row-key point read on the key-sorted store: every non-matching row
+    group is skipped via parquet min/max (observable: pushed filter on
+    row_key + key-sorted layout asserted in test_keyed_store)."""
+    from spark_sql_hbase_spark.sources import fixtures
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    store.create_table(fixtures.pw_test_spec())
+    store.insert("pw.test", fixtures.pw_test_df(spark), overwrite=True,
+                 generate_row_key=False)
+    df = store.read("pw.test").filter(F.col("row_key") == "0042")
+    assert "EqualTo(row_key,0042)" in " ".join(pushed_filters(df))
+    schemas = read_schemas(df)
+    assert all("row_key" in s for s in schemas)

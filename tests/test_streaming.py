@@ -150,3 +150,46 @@ def test_sessionize_stream_emits_closed_sessions(spark, events_stream_dir):
         for r in rows
     }
     assert emitted <= batch_sessions, emitted - batch_sessions
+
+
+def test_stream_into_keyed_table(spark, tmp_path):
+    """Streaming ingest into the keyed store: micro-batches append through
+    the insert path (row-key generation + key-sorted regions), then a
+    compaction restores one sorted layout."""
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+    from spark_sql_hbase_spark.streaming.pipelines import write_stream_to_keyed_table
+
+    src = str(tmp_path / "in")
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(20)], "doc_id long, text string"
+    )
+    docs.repartition(2).write.parquet(src)
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    store.create_table(TableSpec(
+        namespace="stream", name="docs", key_type="string",
+        families={"d": {"doc_id": "long", "text": "string"}},
+    ))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            F.col("doc_id").alias("d:doc_id"),
+            F.col("text").alias("d:text"),
+        )
+    )
+    q = write_stream_to_keyed_table(
+        stream, store, "stream.docs", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    out = store.read("stream.docs")
+    assert out.count() == 20
+    # generated row keys are dense and unique across batches
+    keys = [r["row_key"] for r in out.select("row_key").collect()]
+    assert len(set(keys)) == 20
+    store.compact("stream.docs", n_regions=2)
+    assert store.read("stream.docs").count() == 20
