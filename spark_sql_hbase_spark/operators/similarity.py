@@ -113,6 +113,90 @@ def partitioned_ann_topk(
     )
 
 
+def hyperplanes(dim: int, nbits: int, seed: int = 7) -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes for sign-LSH (deterministic across
+    engines: plain Python RNG, 6-decimal literals)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)] for _ in range(nbits)
+    ]
+
+
+def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = [dot(vec, h_i) >= 0]. 2^nbits coarse
+    cells computed from the vector itself — the learned-quantizer-free
+    IVF analogue (same plan shape: equi-join on the cell id)."""
+    bucket = F.lit(0)
+    for i, h in enumerate(planes):
+        dot_i = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in h]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def signlsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of :func:`signlsh_bucket`."""
+    terms = []
+    for i, h in enumerate(planes):
+        lits = ", ".join(repr(x) for x in h)
+        terms.append(
+            f"(CASE WHEN list_inner_product({vec_expr}, [{lits}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nbits: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH bucketed ANN: score only candidates in the query's bucket.
+
+    Unlike :func:`partitioned_ann_topk` (precomputed cell column), the
+    coarse cell here is derived from the vector itself, so this works on
+    any embedding table. At scale the bucket id is materialized at ingest
+    and the table is partitioned by it → bucket probes become partition-
+    pruned scans; nprobe>1 = probing the Hamming-adjacent buckets.
+    """
+    planes = hyperplanes(dim, nbits)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", signlsh_bucket(F.col("qv"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", signlsh_bucket(F.col("cv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "bucket",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round("cos_raw", 4).alias("cos"), "rank",
+        )
+    )
+
+
 def embedding_neardup(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -411,3 +411,43 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return multimodal.sample_frames(with_payload, "doc_id", "payload", every=4)
+
+
+# ---------------------------------------------------------------------------
+# s03 — sign-LSH bucketed ANN: coarse cell derived from the vector itself
+# (random-hyperplane sign bits), probe = the query's bucket.
+# ---------------------------------------------------------------------------
+def _s03_oracle() -> str:
+    planes = similarity.hyperplanes(dim=64, nbits=6)
+    b = similarity.signlsh_bucket_sql("embedding::DOUBLE[]", planes)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {b} AS bucket FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 8
+    ), scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id, e.bucket,
+               list_cosine_similarity(qv, e.v) AS cos_raw
+        FROM q JOIN e USING (bucket)
+        WHERE e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, CAST(bucket AS INTEGER) AS bucket,
+           ROUND(cos_raw, 4) AS cos, CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@register(
+    "s03_ann_signlsh",
+    oracle=_s03_oracle(),
+    description="sign-LSH (6-bit hyperplane) bucketed ANN top-5",
+)
+def s03_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5, nbits=6, dim=64
+    )

@@ -89,3 +89,52 @@ def test_reader_prunes_regions_by_key(store):
 
     r3 = _reader(store)
     assert len(r3.partitions()) == 4  # no key predicate → all regions
+
+
+# -- write path: staged-file commit protocol ------------------------------
+def test_datasource_write_append_and_overwrite(store, spark, tmp_path):
+    from spark_sql_hbase_spark.sources.keyed_datasource import KeyedTableDataSource
+
+    if not getattr(spark, "_keyedtable_registered", False):
+        spark.dataSource.register(KeyedTableDataSource)
+        spark._keyedtable_registered = True
+
+    path = str(tmp_path / "ds_write")
+    import os
+    os.makedirs(path, exist_ok=True)
+
+    df = spark.range(100).select(
+        F.format_string("%04d", F.col("id")).alias("row_key"),
+        F.col("id").alias("v"),
+    )
+    df.repartitionByRange(2, "row_key").write.format("keyedtable").mode(
+        "append"
+    ).option("path", path).save()
+    back = spark.read.format("keyedtable").schema("row_key string, v long").option(
+        "path", path
+    ).load()
+    assert back.count() == 100
+
+    # staged files are gone; region files are key-sorted parquet
+    assert not os.path.exists(os.path.join(path, "_staging"))
+    import pyarrow.parquet as pq
+    import glob
+    for f in glob.glob(f"{path}/*.parquet"):
+        keys = pq.read_table(f, columns=["row_key"])["row_key"].to_pylist()
+        assert keys == sorted(keys)
+
+    # append again → 200; overwrite → 50
+    df.write.format("keyedtable").mode("append").option("path", path).save()
+    assert (
+        spark.read.format("keyedtable")
+        .schema("row_key string, v long")
+        .option("path", path).load().count()
+        == 200
+    )
+    df.limit(50).write.format("keyedtable").mode("overwrite").option("path", path).save()
+    assert (
+        spark.read.format("keyedtable")
+        .schema("row_key string, v long")
+        .option("path", path).load().count()
+        == 50
+    )

@@ -253,3 +253,46 @@ def test_layout_sorted_and_compaction(store):
     after = len(glob.glob(os.path.join(store.table_path(spec2), "*.parquet")))
     assert store.read("pw.compactme").count() == 1000
     assert after <= before
+
+
+# -- A6: distributed-safe generators --------------------------------------
+def test_uuid_and_snowflake_generators(store):
+    from spark_sql_hbase_spark.functions.rowkey import snowflake_row_key, uuid_row_key
+
+    src = store.read("pw.test").select("A:A_00").limit(100)
+    u = uuid_row_key(src)
+    assert u.select("row_key").distinct().count() == 100
+    assert all(len(r[0]) == 36 for r in u.select("row_key").collect())
+    s = snowflake_row_key(src)
+    keys = [r[0] for r in s.select("row_key").collect()]
+    assert len(set(keys)) == 100 and all(len(k) == 16 for k in keys)
+
+
+# -- A8: drop table / namespace -------------------------------------------
+def test_drop_table_and_namespace(store):
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    spec = TableSpec(namespace="tmpns", name="t1", key_type="string",
+                     families={"A": {"A_00": "string"}})
+    store.create_table(spec)
+    assert store.exists("tmpns.t1")
+    with pytest.raises(ValueError):
+        store.drop_namespace("tmpns", cascade=False)  # non-empty
+    store.drop_namespace("tmpns", cascade=True)
+    assert not store.exists("tmpns.t1")
+    assert "tmpns" not in store.namespaces()
+
+
+# -- A8: cache/uncache surface (reference: HBaseCatalogImpl cache ops) ----
+def test_cache_table_surface(store):
+    spark = store.spark
+    spark.catalog.cacheTable("pw__test")
+    try:
+        assert spark.catalog.isCached("pw__test")
+        df = spark.sql("SELECT count(*) AS n FROM pw__test")
+        assert df.collect()[0]["n"] == fixtures.N_ROWS
+        plan = spark.sql("SELECT * FROM pw__test")._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+    finally:
+        spark.catalog.uncacheTable("pw__test")
+    assert not spark.catalog.isCached("pw__test")
