@@ -138,10 +138,13 @@ class SchemaRegistry:
 
         with open(path) as fh:
             doc = yaml.safe_load(fh) or {}
-        return cls(
-            {qualified: cls._parse_entry(qualified, entry) for qualified, entry in doc.items()},
-            path=path,
-        )
+        specs: dict[str, TableSpec] = {}
+        for yaml_key, entry in doc.items():
+            # YAML keys use the reference's `ns:table` form; the registry
+            # keys by the engine's `ns.table` qualified name
+            spec = cls._parse_entry(yaml_key, entry)
+            specs[spec.qualified_name] = spec
+        return cls(specs, path=path)
 
     @staticmethod
     def _parse_entry(qualified: str, entry: dict) -> TableSpec:

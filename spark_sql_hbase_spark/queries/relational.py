@@ -894,3 +894,64 @@ def q28_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_extendedprice", "revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q29 — full outer join: per-nation customer and supplier counts, keeping
+# nations that have only one side.
+# ---------------------------------------------------------------------------
+@register(
+    "q29_full_outer_join",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1
+    ), s AS (
+        SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    description="full outer join of per-nation aggregates with COALESCE",
+)
+def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    c_agg = cu.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s_agg = s.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        c_agg.join(s_agg, c_agg.nk_c == s_agg.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — cartesian product (BroadcastNestedLoopJoin) of two tiny dims — the
+# only join shape where a cross product is legitimate.
+# ---------------------------------------------------------------------------
+@register(
+    "q30_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    WHERE n.n_regionkey <> r.r_regionkey
+    """,
+    description="cross join of bounded dims + theta filter (nested-loop join)",
+)
+def q30_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(F.broadcast(n))
+        .filter(F.col("n_regionkey") != F.col("r_regionkey"))
+        .select("r_name", "n_name")
+    )

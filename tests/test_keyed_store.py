@@ -296,3 +296,42 @@ def test_cache_table_surface(store):
     finally:
         spark.catalog.uncacheTable("pw__test")
     assert not spark.catalog.isCached("pw__test")
+
+
+# -- §1.3: YAML schema registry (reference: test.yml + getSchemaProp) -----
+def test_yaml_registry_roundtrip(spark):
+    import os
+
+    from spark_sql_hbase_spark.catalog import SchemaRegistry
+
+    path = os.path.join(
+        os.path.dirname(fixtures.__file__), "..", "conf", "tables.yml"
+    )
+    reg = SchemaRegistry.load(path)
+    assert sorted(reg.namespaces()) == ["hbase", "pw"]
+    assert "pw.test" in reg.tables("pw")
+
+    spec = reg.get("pw.test")
+    assert spec.split_keys == ["0250", "0500", "0750"]
+    assert spec.schema() == fixtures.pw_test_spec().schema()
+
+    ins = reg.get("pw.test_insert")
+    assert ins.generator == "default"
+
+    typed = reg.get("pw.typed")
+    assert typed.schema() == fixtures.pw_typed_spec().schema()
+
+    meta = reg.get("hbase.meta")
+    assert meta.schema() == fixtures.hbase_meta_spec().schema()
+
+
+def test_engine_session_with_registry(spark):
+    import os
+
+    from spark_sql_hbase_spark.session import EngineSession
+
+    path = os.path.join(
+        os.path.dirname(fixtures.__file__), "..", "conf", "tables.yml"
+    )
+    sess = EngineSession(spark=spark, registry_path=path)
+    assert sess.registry.exists("pw.test")
