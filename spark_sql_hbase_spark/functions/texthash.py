@@ -23,9 +23,15 @@ TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 # -- tokenization -----------------------------------------------------------
 def tokens(col: Column | str) -> Column:
-    """Lowercased alphanumeric word tokens, empty strings removed."""
+    """Lowercased alphanumeric word tokens, empty strings removed.
+
+    ``array_remove(split(...), '')`` rather than a ``filter`` lambda: both
+    remove the boundary empties, but array_remove is a native codegen'd
+    expression while HOF lambdas are interpreted per element — tokens()
+    sits under every text operator and is referenced several times per
+    row, so this is the engine's hottest expression."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != "")
+    return F.array_remove(F.split(F.lower(c), TOKEN_SPLIT_RE), "")
 
 
 def tokens_sql(expr: str) -> str:

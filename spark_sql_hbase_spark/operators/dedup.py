@@ -155,8 +155,12 @@ def minhash_signature_col(sh: F.Column, num_hashes: int = 128) -> F.Column:
     perms = F.array(
         *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
     )
+    # xxhash64, not the md5-based word_hash: signatures are internal to
+    # candidate generation (verification is exact Jaccard on the shingle
+    # arrays), so cross-engine hash determinism isn't needed — only
+    # self-consistency — and xxhash64 is a native codegen-able expression
     return F.aggregate(
-        F.transform(sh, lambda s: word_hash(s) % MOD_P),
+        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MOD_P))),
         F.array_repeat(F.lit(MOD_P).cast("long"), num_hashes),
         lambda acc, h: F.zip_with(
             acc,

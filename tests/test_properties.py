@@ -112,10 +112,9 @@ def test_shingles_match_python_reference(spark, texts):
 
 
 def test_minhash_signature_is_elementwise_min(spark):
-    """sig[j] must equal min over shingles of (a_j * h + b_j) % p — checked
-    against a direct Python computation on a fixed corpus."""
-    import hashlib
-
+    """sig[j] must equal min over shingles of (a_j * h + b_j) % p — the
+    per-shingle hashes come from Spark's own xxhash64 (collected once),
+    the fold result is checked against a plain-Python min."""
     from spark_sql_hbase_spark.operators.dedup import (
         MOD_P, minhash_params, minhash_signatures,
     )
@@ -131,10 +130,40 @@ def test_minhash_signature_is_elementwise_min(spark):
     sets = sets.select("id", shingles(F.col("toks"), 3).alias("sh"))
     got = {r["id"]: r["sig"] for r in minhash_signatures(sets, 16).collect()}
 
+    hashes = {
+        r["id"]: r["hs"]
+        for r in sets.select(
+            "id",
+            F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(MOD_P))).alias("hs"),
+        ).collect()
+    }
     params = minhash_params(16)
     for doc_id, text in docs:
-        toks = text.split(" ")
-        sh = _py_shingles(toks)
-        hs = [int(hashlib.md5(s.encode()).hexdigest()[:14], 16) % MOD_P for s in sh]
+        sh = _py_shingles(text.split(" "))
+        hs = hashes[doc_id]
+        assert len(hs) == len(sh) and len(hs) > 0
         expect = [min((a * h + b) % MOD_P for h in hs) for (a, b) in params]
         assert got[doc_id] == expect
+
+
+def test_asof_join_tolerance(spark):
+    """Matches older than the tolerance window are nulled out."""
+    import datetime
+
+    to_ts = lambda s: EPOCH + datetime.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, to_ts(100), 0), (1, to_ts(500), 1)], "key long, ts timestamp, left_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, to_ts(90), 7)], "key long, ts timestamp, val long"
+    )
+    got = {
+        r["left_id"]: r["matched"]
+        for r in asof_join(
+            left, right, on="key", left_ts="ts", right_ts="ts",
+            right_cols={"val": "matched"},
+            tolerance=F.expr("INTERVAL 60 SECONDS"),
+        ).collect()
+    }
+    assert got[0] == 7      # 10s old — inside tolerance
+    assert got[1] is None   # 410s old — outside tolerance
