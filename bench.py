@@ -39,12 +39,16 @@ def main() -> None:
     registry = load_all()
     spark = build_spark(app_name="bench")
     # Warm the JVM so per-query times reflect execution, not first-call
-    # class loading + codegen: run a tiny parquet scan-filter-agg-join on
-    # the smoke SF (different data from the measured SF).
+    # class loading + codegen: a tiny parquet scan-filter-agg-join, plus
+    # one HOF-heavy fold pipeline (interpreted-expression + window paths)
+    # — both on the smoke SF, NOT the measured SF.
     warm = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
     warm.join(warm.select("r_regionkey"), "r_regionkey").filter(
         "r_name IS NOT NULL"
     ).groupBy("r_name").count().collect()
+    for q in ("d02_minhash_lsh_neardup", "s01_ann_topk"):
+        if q in registry:
+            registry[q].fn(spark, "/root/testdata/sf0.001").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
