@@ -12,8 +12,8 @@ Four families, all partition-parallel and shuffle-bounded:
   verification of candidates only. Verification makes the output exact up
   to LSH recall (miss probability ≈ (1-t^2)^64 < 1e-8 at t=0.6), so the
   result is oracle-comparable against the exhaustive join.
-- **SimHash**: 60-bit md5-vote fingerprint per document (single-pass,
-  60 aggregate columns — no row multiplication), near-dup pairs via
+- **SimHash**: 60-bit md5-vote fingerprint per document (one shuffle-free
+  fold over the token array — no row multiplication), near-dup pairs via
   pigeonhole segment blocking + popcount verification.
 
 At 100 TB the LSH/SimHash paths are the real ones (linear shuffles);

@@ -1041,3 +1041,62 @@ def q32_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q33 — multiset set ops: EXCEPT ALL / INTERSECT ALL (bag semantics, unlike
+# q11's distinct variants).
+# ---------------------------------------------------------------------------
+@register(
+    "q33_multiset_ops",
+    oracle="""
+    SELECT 'only_in_first_bag' AS tag, l_partkey FROM (
+        SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+        EXCEPT ALL
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    UNION ALL
+    SELECT 'in_both_bags' AS tag, l_partkey FROM (
+        SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+        INTERSECT ALL
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    """,
+    description="EXCEPT ALL + INTERSECT ALL multiset semantics",
+)
+def q33_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") >= 25).select("l_partkey")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return (
+        big.exceptAll(ret).select(F.lit("only_in_first_bag").alias("tag"), "l_partkey")
+        .unionAll(
+            big.intersectAll(ret).select(F.lit("in_both_bags").alias("tag"), "l_partkey")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — semi-structured JSON column: parse props, extract fields, aggregate
+# (the json/map function-registry surface).
+# ---------------------------------------------------------------------------
+@register(
+    "q34_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    description="JSON field extraction (get_json_object / from_json) + agg",
+)
+def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -30,6 +30,13 @@ Usage::
           .schema(spec.schema())        # or let schema() infer from footers
           .option("path", store.table_path(spec))
           .load())
+
+Known limitation: ``CREATE TABLE ... USING keyedtable OPTIONS(path ...)``
+followed by SQL ``INSERT INTO`` does not reach the writer with the stored
+table OPTIONS in Spark 4.1's Python DataSource integration (the writer
+receives an empty options map) — SQL-surface DML goes through the
+``KeyedTableStore`` temp views instead (see ``EngineSession``/CLI), which
+is also where row-key generation lives.
 """
 
 from __future__ import annotations
