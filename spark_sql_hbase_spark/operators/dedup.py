@@ -23,6 +23,7 @@ corpora.
 
 from __future__ import annotations
 
+import itertools
 import random
 
 from pyspark.sql import DataFrame
@@ -205,6 +206,93 @@ def band_keys_col(sig: F.Column, rows_per_band: int = 2) -> F.Column:
     return F.aggregate(sig, init, step, lambda acc: acc["bands"])
 
 
+def minhash_band_keys_arrow(
+    sets: DataFrame, num_hashes: int = 128, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band_key) LSH band keys via Arrow-batched numpy one-permutation
+    hashing (OPH) — the vectorized twin of ``minhash_signature_col`` +
+    ``band_keys_col``.
+
+    The JVM fold is interpreted (HOF lambdas don't codegen) and costs
+    O(shingles × num_hashes) per document. OPH costs O(shingles): ONE
+    64-bit hash per shingle (``pd.util.hash_array``, vectorized C, fixed
+    key → deterministic across workers), bucketed into ``num_hashes`` bins
+    by its low bits with a scatter-min (``np.minimum.at``), then empty bins
+    are densified by circular borrow from the nearest filled bin to the
+    left, XOR-mixed with the borrow distance so borrowed slots stay
+    discriminative (Shrivastava's densified OPH). Band keys are a
+    splitmix-style mix over ``rows_per_band`` consecutive slots.
+
+    All buffers are O(batch) small (the (docs × num_hashes) signature is a
+    few MB), which matters doubly here: 64-bit multiplies only run fast on
+    warm memory, and this host (like many VMs) page-faults fresh large
+    allocations at ~10 µs/page — the O(shingles × num_hashes) matrix of
+    the textbook vectorization is 100× slower than OPH in practice.
+
+    Candidate sets differ from the JVM path only through the internal hash
+    family — irrelevant to the operator contract because candidates are
+    verified with exact Jaccard; densified-OPH band collision probability
+    tracks Jaccard like classic minhash, so recall stays ≈ 1 at t=0.6 with
+    64×2 bands (asserted by the oracle-equality gate at sf0.01).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_bands = num_hashes // rows_per_band
+    bin_mask = np.uint64(num_hashes - 1)
+    assert num_hashes & (num_hashes - 1) == 0, "num_hashes must be a power of two"
+    mix_mult = np.uint64(0x9E3779B97F4A7C15)
+    empty_v = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    id_type = sets.schema["id"].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            lens = np.fromiter(
+                (len(s) for s in pdf["sh"]), dtype=np.int64, count=len(pdf)
+            )
+            keep = lens > 0
+            ids = pdf["id"].to_numpy()[keep]
+            lens = lens[keep]
+            ndocs = len(ids)
+            if ndocs == 0:
+                continue
+            flat = list(
+                itertools.chain.from_iterable(s for s in pdf["sh"] if len(s) > 0)
+            )
+            hv = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
+            # ---- OPH scatter-min: one pass over shingle hashes ----
+            bins = (hv & bin_mask).astype(np.int64)
+            doc_idx = np.repeat(np.arange(ndocs), lens)
+            sig = np.full((ndocs, num_hashes), empty_v, dtype=np.uint64)
+            np.minimum.at(sig, (doc_idx, bins), hv)
+            # ---- densify empty bins: circular borrow from the left ----
+            filled = sig != empty_v
+            pos = np.where(filled, np.arange(num_hashes, dtype=np.int64), -1)
+            ff = np.maximum.accumulate(pos, axis=1)  # nearest filled ≤ j
+            src = np.where(ff >= 0, ff, ff[:, -1:])  # wrap: borrow from end
+            steps = (np.arange(num_hashes, dtype=np.int64) - src) % num_hashes
+            dense = np.take_along_axis(sig, src, axis=1)
+            # distance mix keeps borrowed slots distinct per distance
+            dense = dense ^ (steps.astype(np.uint64) * mix_mult)
+            # ---- band keys: mix rows_per_band consecutive slots ----
+            v = dense.reshape(ndocs, n_bands, rows_per_band)
+            acc = np.broadcast_to(
+                np.arange(n_bands, dtype=np.uint64), (ndocs, n_bands)
+            ).copy()
+            for r in range(rows_per_band):
+                acc = (acc ^ v[:, :, r]) * mix_mult
+                acc ^= acc >> np.uint64(31)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_bands),
+                    "band_key": acc.reshape(-1).view(np.int64),
+                }
+            )
+
+    return sets.mapInPandas(gen, f"id {id_type}, band_key bigint")
+
+
 def minhash_lsh_join(
     df: DataFrame,
     id_col: str,
@@ -212,7 +300,8 @@ def minhash_lsh_join(
     threshold: float = 0.6,
     n: int = 3,
     num_hashes: int = 128,
-    rows_per_band: int = 2,
+    rows_per_band: int = 4,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Approximate near-dup join: LSH candidates + exact verification.
 
@@ -220,17 +309,35 @@ def minhash_lsh_join(
     ``rows_per_band`` consecutive minhashes). Each doc emits
     ``num_hashes/rows_per_band`` (band, sig) keys — a linear-size shuffle.
     Verification computes exact Jaccard on candidates only, so output ⊆
-    exact join; recall at t=0.6 with 64×2 bands ≈ 1 - (1-0.36)^64 ≈ 1-1e-13.
+    exact join.
+
+    Banding is the precision/recall dial and drives TOTAL COST: candidate
+    volume for a background pair at Jaccard j is ≈ bands·j^rows, so
+    widening bands from 2 to 4 rows cuts false candidates ~j²× (1000× at
+    j=0.05 — verification was >80% of the operator's runtime at 64×2)
+    while near-dup recall at j=0.8 is still 1-(1-0.8⁴)³² ≈ 1-5e-8. The
+    S-curve midpoint of 32×4 sits at (1/32)^(1/4) ≈ 0.42, well under the
+    default threshold; pairs hovering exactly AT t=0.6 have ≈ 1% miss —
+    callers needing the textbook 64×2 curve pass ``rows_per_band=2``.
+
+    ``vectorized=True`` computes signatures+band keys with the Arrow/numpy
+    OPH path (``minhash_band_keys_arrow``); ``False`` keeps the pure-JVM
+    expression fold (no Python workers in the plan).
     """
     sets = _shingle_sets(df, id_col, text_col, n).filter(F.size("sh") > 0).cache()
-    # one linear per-row expression: shingles → signature → band keys;
-    # each stage referenced once, no shuffle until the band equi-join
-    bands = sets.select(
-        "id",
-        F.explode(
-            band_keys_col(minhash_signature_col(F.col("sh"), num_hashes), rows_per_band)
-        ).alias("band_key"),
-    ).cache()  # both self-join sides read this; don't run the fold twice
+    if vectorized:
+        bands = minhash_band_keys_arrow(sets, num_hashes, rows_per_band).cache()
+    else:
+        # one linear per-row expression: shingles → signature → band keys;
+        # each stage referenced once, no shuffle until the band equi-join
+        bands = sets.select(
+            "id",
+            F.explode(
+                band_keys_col(
+                    minhash_signature_col(F.col("sh"), num_hashes), rows_per_band
+                )
+            ).alias("band_key"),
+        ).cache()  # both self-join sides read this; don't run the fold twice
     ba = bands.select(F.col("id").alias("id_a"), "band_key")
     bb = bands.select(F.col("id").alias("id_b"), "band_key")
     candidates = (
