@@ -1,0 +1,184 @@
+"""Streaming gate queries: run the Structured Streaming pipelines
+(streaming/pipelines.py) to completion over the driver's parquet tables
+with ``trigger(availableNow=True)`` and a memory sink, so the driver's
+DuckDB-oracle gate can check STREAMING results — not just their batch
+twins.
+
+Why this is oracle-able at all: each gate rewrites its input as ONE
+parquet file, so available-now processes it as ONE micro-batch followed by
+one empty flush batch. With a single data batch no row is ever late (the
+watermark is still unset while the data is processed), so the emitted set
+is a pure function of the final watermark = max(event time) - delay:
+
+- append-mode window aggregation emits exactly the windows finalized by
+  the last watermark;
+- ``applyInPandasWithState`` sessionization emits every gap-closed session
+  plus the trailing open sessions whose event-time timeout fired;
+- ``dropDuplicatesWithinWatermark`` keeps one row per digest.
+
+Each of those is a deterministic, SQL-expressible condition, written into
+the oracle below. (Which physical row survives dedup IS batch-dependent,
+so st03 projects only the digest set.)
+
+The reference inherits stock Structured Streaming (SURVEY §2.B
+"Streaming" row); these gates cover the windowed-agg / dedup / custom
+stateful session operators listed there and in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.functions.det import DEC
+from spark_sql_hbase_spark.queries import register, table
+from spark_sql_hbase_spark.streaming.pipelines import (
+    sessionize_stream,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+_WM_MIN = 10  # st01 watermark delay (minutes)
+_GAP_MIN = 30  # st02 session gap == watermark delay (minutes)
+
+
+def _one_batch_stream(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Rewrite ``df`` as a single parquet file and open it as a file
+    stream — one file → one micro-batch, the precondition for the
+    deterministic-emission argument in the module docstring."""
+    src = os.path.join(tempfile.mkdtemp(prefix="stream_gate_src_"), "in")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
+def _run_available_now(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain the stream into a uniquely-named memory sink; return the
+    sink's table. Memory sink is test/gate-only — production sinks are the
+    keyed-table / parquet / kafka writers (streaming/pipelines.py)."""
+    spark = stream_df.sparkSession
+    name = f"gate_{uuid.uuid4().hex}"
+    ckpt = tempfile.mkdtemp(prefix=f"stream_gate_ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "st01_stream_windowed_counts",
+    oracle=f"""
+    WITH wm AS (
+        SELECT epoch_ms(max(ts)) - {_WM_MIN * 60000} AS wm_ms FROM events
+    ), agg AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, n_events, sum_value
+    FROM agg, wm
+    WHERE epoch_ms(wstart + INTERVAL 5 MINUTE) <= wm.wm_ms
+    """,
+    description="streaming watermarked tumbling-window agg, append-mode "
+    "finalized windows (availableNow over the events table)",
+)
+def st01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value").cast(DEC).alias("value")
+    )
+    stream = _one_batch_stream(spark, ev)
+    out = _run_available_now(
+        windowed_event_counts(stream, watermark=f"{_WM_MIN} minutes")
+    )
+    # append mode == only watermark-finalized windows are in the sink
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "st02_stream_sessionize",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('millisecond', lag(ts) OVER w, ts)
+                            > {_GAP_MIN * 60000}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_id
+        FROM marked
+    ), s AS (
+        SELECT user_id, sess_id,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) AS session_end_us,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sess_id
+    ), wm AS (
+        SELECT epoch_ms(max(ts)) - {_GAP_MIN * 60000} AS wm_ms FROM events
+    ), last AS (
+        SELECT user_id, max(sess_id) AS last_id FROM s GROUP BY user_id
+    )
+    SELECT s.user_id, s.session_start_us, s.session_end_us, s.n_events
+    FROM s JOIN last USING (user_id), wm
+    WHERE s.sess_id < last.last_id
+       OR (s.session_end_us // 1000 + {_GAP_MIN * 60000}) < wm.wm_ms
+    """,
+    description="streaming stateful sessionization (applyInPandasWithState): "
+    "gap-closed sessions + event-time-timeout flushes",
+)
+def st02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    stream = _one_batch_stream(spark, ev)
+    out = _run_available_now(sessionize_stream(stream, gap_minutes=_GAP_MIN))
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+@register(
+    "st03_stream_dedup_digests",
+    oracle="SELECT DISTINCT sha256(text) AS text_sha FROM documents",
+    description="streaming exact dedup (dropDuplicatesWithinWatermark): "
+    "surviving digest set == batch DISTINCT",
+)
+def st03_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        # synthetic deterministic event time: one doc per second keeps the
+        # whole corpus inside the 1h horizon *per micro-batch* (the horizon
+        # only evicts across batches; one-batch input → pure digest dedup).
+        # Offset by a day: epoch-0 event time ties the initial watermark
+        # (0 ms) and is filtered as late.
+        F.timestamp_micros((F.col("doc_id") + 86_400) * 1_000_000).alias("ts"),
+    )
+    stream = _one_batch_stream(spark, docs)
+    out = _run_available_now(streaming_dedup(stream, watermark="1 hour"))
+    return out.select("text_sha").distinct()
