@@ -81,5 +81,6 @@ def load_all() -> dict[str, QueryDef]:
     from spark_sql_hbase_spark.queries import llm  # noqa: F401
     from spark_sql_hbase_spark.queries import keyed  # noqa: F401
     from spark_sql_hbase_spark.queries import streaming_gate  # noqa: F401
+    from spark_sql_hbase_spark.queries import sources_gate  # noqa: F401
 
     return REGISTRY

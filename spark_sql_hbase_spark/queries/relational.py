@@ -1100,3 +1100,87 @@ def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q35 — native session-window aggregation (F.session_window): Spark's own
+# gap-based session operator (the engine twin of the hand-rolled q21 /
+# streaming st02). Session = [min ts, max ts + gap); single shuffle on
+# (user_id, merged session), merging done by the operator — at scale this
+# beats the two-pass window-function formulation when sessions are short.
+# ---------------------------------------------------------------------------
+@register(
+    "q35_session_window_native",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+    description="F.session_window gap-based sessions (native Spark operator)",
+)
+def q35_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — sliding-window aggregation (F.window with slide < length): each row
+# lands in length/slide windows. Spark plans this as an explode over the
+# per-row window set then a hash agg — linear blow-up of 3× here, map-side
+# combined before the shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q36_events_sliding",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts)
+                    - k * INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S')
+               AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 'sum_value', 4)}
+    FROM events, (VALUES (0), (1), (2)) offsets(k)
+    GROUP BY 1, 2
+    """,
+    description="15-minute windows sliding by 5 (3 windows per event)",
+)
+def q36_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes", "5 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value", 4))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
