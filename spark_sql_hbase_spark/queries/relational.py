@@ -1184,3 +1184,74 @@ def q36_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q40 — TPC-H Q22 shape: uncorrelated scalar subquery (global avg) gating a
+# filter, then anti join. The scalar is a 1-row aggregate cross-joined back
+# (broadcast) — the distributed formulation of a scalar subquery: no
+# driver-side collect, and the fact side streams against a 1-row build.
+# ---------------------------------------------------------------------------
+@register(
+    "q40_waiting_customers",
+    oracle=f"""
+    WITH cavg AS (
+        SELECT {davg_sql('c_acctbal', 'avg_bal')}
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           {dsum_sql('c_acctbal', 'total_bal')}
+    FROM customer, cavg
+    WHERE c_acctbal > cavg.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    description="scalar subquery (broadcast 1-row agg) + anti join + agg",
+)
+def q40_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cavg = cu.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal", "avg_bal"))
+    return (
+        cu.crossJoin(F.broadcast(cavg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, cu.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_custs"), dsum("c_acctbal", "total_bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — TPC-H Q13 shape: left outer join with an extra join-side predicate
+# (so customers whose only orders fail it still count as 0), per-customer
+# count, then a histogram over the counts. Two shuffles: custkey, c_count.
+# ---------------------------------------------------------------------------
+@register(
+    "q41_order_count_histogram",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+    description="left outer join w/ join-side predicate + count histogram",
+)
+def q41_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    c_orders = (
+        cu.join(
+            o,
+            (cu.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
