@@ -17,7 +17,7 @@ from spark_sql_hbase_spark.functions.texthash import (
     stopword_count_sql,
     tokens_sql,
 )
-from spark_sql_hbase_spark.operators import dedup, multimodal, similarity, text
+from spark_sql_hbase_spark.operators import dedup, graph, multimodal, similarity, text
 from spark_sql_hbase_spark.queries import register, table
 
 JACCARD_T = 0.6
@@ -451,3 +451,73 @@ def s03_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5, nbits=6, dim=64
     )
+
+
+# ---------------------------------------------------------------------------
+# d07 — near-dup clustering: LSH pairs → connected components → canonical
+# representative per cluster (the "keep one copy" stage of a dedup
+# pipeline). Oracle: same exact-Jaccard pair set (d02), closed transitively
+# with a recursive CTE, labeled by component-min.
+# ---------------------------------------------------------------------------
+_CLUSTER_ORACLE = f"""{_SHINGLE_CTES}
+    , __jp AS (
+        SELECT id_a, id_b
+        FROM __pairs
+        JOIN __sizes na ON id_a = na.doc_id
+        JOIN __sizes nb ON id_b = nb.doc_id
+        WHERE ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) >= {JACCARD_T}
+    ), __edges AS (
+        SELECT id_a AS s, id_b AS d FROM __jp
+        UNION
+        SELECT id_b, id_a FROM __jp
+    ), __reach(id, lbl) AS (
+        SELECT s, s FROM __edges
+        UNION
+        SELECT e.d, r.lbl FROM __reach r JOIN __edges e ON e.s = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id
+    FROM __reach
+    GROUP BY id
+""".replace("WITH __tok", "WITH RECURSIVE __tok", 1)
+
+
+@register(
+    "d07_dedup_clusters",
+    oracle=_CLUSTER_ORACLE,
+    description="near-dup pairs -> connected components -> (doc, cluster) "
+    "membership with deterministic min-id canonical labels",
+)
+def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_join(
+        docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
+    )
+    comp = graph.connected_components(pairs.select("id_a", "id_b"))
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t05 — deterministic stratified sampling: hash-gated per-stratum rates
+# (en 50%, others 12.5%). Seedable, reproducible across engines and runs,
+# and embarrassingly parallel — the sampling decision is a pure row
+# function of (id, stratum), so no shuffle, no RNG state, and the same
+# documents are picked on any cluster size. The standard way to downsample
+# a 100 TB corpus with per-language quotas.
+# ---------------------------------------------------------------------------
+@register(
+    "t05_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '20' END
+    """,
+    description="hash-gated deterministic stratified sample (per-lang rates)",
+)
+def t05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    thresh = F.when(F.col("lang") == "en", "80").otherwise("20")
+    return docs.filter(gate < thresh).select("doc_id", "lang")

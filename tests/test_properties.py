@@ -167,3 +167,46 @@ def test_asof_join_tolerance(spark):
     }
     assert got[0] == 7      # 10s old — inside tolerance
     assert got[1] is None   # 410s old — outside tolerance
+
+
+# ---------------------------------------------------------------------------
+# connected components: must agree with a plain-Python union-find on
+# arbitrary edge lists (chains, cliques, singleton-free, duplicate edges).
+# ---------------------------------------------------------------------------
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    from spark_sql_hbase_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert got == _uf_components(edges)
