@@ -111,3 +111,21 @@ def test_keyed_store_rowkey_stats_pruning(spark, tmp_path):
     assert "EqualTo(row_key,0042)" in " ".join(pushed_filters(df))
     schemas = read_schemas(df)
     assert all("row_key" in s for s in schemas)
+
+
+def test_q35_native_session_window_operator(spark, registry):
+    """F.session_window plans as the dedicated MergingSessions operator
+    (partial-aggregated, ONE exchange on the grouping key) — not a window
+    function or self-join rewrite."""
+    plan = formatted_plan(registry["q35_session_window_native"].fn(spark, SF))
+    assert "MergingSessions" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_q40_scalar_subquery_is_broadcast(spark, registry):
+    """The 1-row aggregate joins as a broadcast nested loop (never a
+    shuffle); the anti join stays an equi-join (hash/merge, no cartesian
+    against the big side)."""
+    plan = formatted_plan(registry["q40_waiting_customers"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
