@@ -1255,3 +1255,50 @@ def q41_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q42 — grouped-map applyInPandas: per-group custom computation on whole
+# Arrow-batched groups (the remaining pandas API shape next to scalar
+# pandas_udf q25 / mapInPandas m01-m02 / applyInPandasWithState st02).
+# Median is order-independent (sorted interpolation), so the result is
+# deterministic under shuffle — unlike a double sum, which would need the
+# det.py decimal trick that pandas can't replicate bit-for-bit.
+# Scale: one shuffle on the grouping key; each group must fit one worker's
+# memory (groups here are event types — bounded cardinality, big rows →
+# for huge groups the pattern is pre-aggregate or mapInPandas instead).
+# ---------------------------------------------------------------------------
+@register(
+    "q42_grouped_pandas_median",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(median(value), 6) AS med_value,
+           ROUND(quantile_cont(value, 0.9) - quantile_cont(value, 0.1), 6)
+               AS decile_spread
+    FROM events
+    GROUP BY event_type
+    """,
+    description="grouped applyInPandas: exact per-group median + decile spread",
+)
+def q42_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        q10, q50, q90 = np.quantile(v, [0.1, 0.5, 0.9])  # linear interpolation
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [len(v)],
+                "med_value": [round(q50, 6)],
+                "decile_spread": [round(q90 - q10, 6)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        stats, "event_type string, n_events bigint, med_value double, decile_spread double"
+    )
