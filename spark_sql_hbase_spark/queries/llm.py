@@ -256,9 +256,7 @@ def t01_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # t02 — quality scoring.
 # ---------------------------------------------------------------------------
-@register(
-    "t02_quality_score",
-    oracle=f"""
+_QUALITY_ORACLE = f"""
     WITH __tok AS (
         SELECT doc_id, text, {_TOK} AS t FROM documents
     ), __feat AS (
@@ -283,7 +281,12 @@ def t01_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(2 * d * least(n_tokens, 100) - 100 * least(n_punct, d) + 100 * sw
                AS DOUBLE) / (200 * d) AS quality
     FROM __r
-    """,
+    """
+
+
+@register(
+    "t02_quality_score",
+    oracle=_QUALITY_ORACLE,
     description="heuristic doc quality features + composite score",
 )
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,3 +524,76 @@ def t05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
     thresh = F.when(F.col("lang") == "en", "80").otherwise("20")
     return docs.filter(gate < thresh).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# p01 — end-to-end training-data curation pipeline: language filter →
+# quality filter → exact dedup (canonical min-id doc) → per-source token
+# accounting. The composition a real corpus build runs, expressed as pure
+# DataFrame ops over the same operators the t/d gates check individually —
+# one shuffle per stage (join on doc_id, groupBy sha, groupBy source), no
+# Python in the hot path, all counters integer-exact.
+# ---------------------------------------------------------------------------
+_WS_TOKENS = (
+    "CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)"
+)
+_BPE_TOKENS = (
+    "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)"
+)
+
+_PIPELINE_ORACLE = f"""
+    WITH __lang AS ({_langid_oracle()}),
+    __qual AS ({_QUALITY_ORACLE}),
+    __keep AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d
+        JOIN __lang l ON d.doc_id = l.doc_id AND l.pred_lang = 'en'
+        JOIN __qual q ON d.doc_id = q.doc_id AND q.quality >= 0.55
+    ),
+    __canon AS (
+        SELECT min(doc_id) AS doc_id FROM __keep GROUP BY sha256(text)
+    ),
+    __surv AS (SELECT k.* FROM __keep k JOIN __canon c USING (doc_id))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM({_WS_TOKENS}) AS total_ws_tokens,
+           SUM({_BPE_TOKENS}) AS total_bpe_tokens
+    FROM __surv
+    GROUP BY source
+"""
+
+
+@register(
+    "p01_curation_pipeline",
+    oracle=_PIPELINE_ORACLE,
+    description="composed corpus curation: lang-ID filter -> quality filter "
+    "-> exact dedup -> per-source token accounting",
+)
+def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    lang_ok = (
+        text.lang_id(docs, "doc_id", "text")
+        .filter(F.col("pred_lang") == "en")
+        .select("doc_id")
+    )
+    qual_ok = (
+        text.quality_score(docs, "doc_id", "text")
+        .filter(F.col("quality") >= 0.55)
+        .select("doc_id")
+    )
+    keep = docs.join(lang_ok, "doc_id").join(qual_ok, "doc_id")
+    canon = dedup.exact_dedup(keep, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    surv = keep.join(canon, "doc_id")
+    stats = text.token_stats(surv, "doc_id", "text")
+    return (
+        surv.select("doc_id", "source")
+        .join(stats, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws_tokens").alias("total_ws_tokens"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+    )
