@@ -23,6 +23,21 @@ from spark_sql_hbase_spark.functions.texthash import (
 BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
 
+def lang_scores(tok: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over a token array column."""
+    return {lang: stopword_count(tok, lang) for lang in STOPWORDS}
+
+
+def lang_pred(score_cols: dict[str, Column]) -> Column:
+    """Argmax language with deterministic alphabetical tie-break; 'und'
+    when no stopword hits at all."""
+    g = F.greatest(*[score_cols[lang] for lang in sorted(score_cols)])
+    pred = F.when(g == 0, F.lit("und"))
+    for lang in sorted(score_cols):  # alphabetical order = tie-break
+        pred = pred.when(score_cols[lang] == g, F.lit(lang))
+    return pred
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-vote language ID over a fixed language set.
 
@@ -31,17 +46,31 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     when no stopword hits at all.
     """
     tok = tokens(F.col(text_col))
-    scores = {lang: stopword_count(tok, lang) for lang in STOPWORDS}
+    scores = lang_scores(tok)
     out = df.select(
         F.col(id_col),
         *[scores[lang].alias(f"s_{lang}") for lang in sorted(STOPWORDS)],
     )
-    g = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(STOPWORDS)])
-    pred = F.when(g == 0, F.lit("und"))
-    for lang in sorted(STOPWORDS):  # alphabetical order = tie-break
-        pred = pred.when(F.col(f"s_{lang}") == g, F.lit(lang))
+    named = {lang: F.col(f"s_{lang}") for lang in sorted(STOPWORDS)}
     return out.select(id_col, *[f"s_{lang}" for lang in sorted(STOPWORDS)],
-                      pred.alias("pred_lang"))
+                      lang_pred(named).alias("pred_lang"))
+
+
+def quality_expr(text_col: str, tok: Column) -> Column:
+    """The composite quality score as a single row-local expression:
+    min(1, n_tok/100) - 0.5*min(1, n_punct/d) + 0.5*sw/d over
+    d = max(n_tok, 1), as ONE integer-ratio IEEE division (bit-identical
+    across engines — decimal rounding of doubles is tie-unstable)."""
+    n_tok = F.size(tok)
+    n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"))
+    sw = stopword_count(tok, "en")
+    d = F.greatest(n_tok, F.lit(1))
+    num = (
+        F.lit(2) * d * F.least(n_tok, F.lit(100))
+        - F.lit(100) * F.least(n_punct, d)
+        + F.lit(100) * sw
+    )
+    return num.cast("double") / (F.lit(200) * d)
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -62,15 +91,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # (decimal rounding of doubles is tie-unstable across engines).
     mean_tok_len = F.when(n_tok > 0, tok_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
     sw_ratio = F.when(n_tok > 0, sw.cast("double") / n_tok).otherwise(F.lit(0.0))
-    # quality = min(1, n_tok/100) - 0.5*min(1, n_punct/d) + 0.5*sw/d over
-    # d = max(n_tok, 1), expressed as one integer-ratio division.
-    d = F.greatest(n_tok, F.lit(1))
-    num = (
-        F.lit(2) * d * F.least(n_tok, F.lit(100))
-        - F.lit(100) * F.least(n_punct, d)
-        + F.lit(100) * sw
-    )
-    score = num.cast("double") / (F.lit(200) * d)
+    score = quality_expr(text_col, tok)
     return df.select(
         F.col(id_col),
         F.length(text_col).cast("long").alias("n_chars_actual"),
@@ -82,14 +103,25 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def ws_token_count(text_col: str) -> Column:
+    """Whitespace token count as a row-local expression."""
+    return F.size(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
+    ).cast("long")
+
+
+def bpe_token_count(text_col: str) -> Column:
+    """BPE-ish sub-token count as a row-local expression."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_RE)).cast("long")
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish sub-token count + distinct words."""
-    ws_tokens = F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
     tok = tokens(F.col(text_col))
     return df.select(
         F.col(id_col),
-        F.size(ws_tokens).cast("long").alias("n_ws_tokens"),
-        F.regexp_count(F.col(text_col), F.lit(BPE_RE)).cast("long").alias("n_bpe_tokens"),
+        ws_token_count(text_col).alias("n_ws_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
         F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_words"),
     )
 

@@ -570,30 +570,33 @@ _PIPELINE_ORACLE = f"""
     "-> exact dedup -> per-source token accounting",
 )
 def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
     docs = table(spark, sf_dir, "documents")
-    lang_ok = (
-        text.lang_id(docs, "doc_id", "text")
-        .filter(F.col("pred_lang") == "en")
-        .select("doc_id")
+    # FUSED plan: every feature (lang, quality, token counts, digest) is a
+    # row-local expression, so the filters cost ZERO shuffles — unlike the
+    # naive compose-by-join of the t01/t02 DataFrames, which would shuffle
+    # the full text corpus once per stage. The only wide stages left are
+    # the dedup window (one shuffle of surviving rows on the digest) and
+    # the per-source rollup (map-side-combined, bytes of traffic).
+    tok = tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        text.lang_pred(text.lang_scores(tok)).alias("pred_lang"),
+        text.quality_expr("text", tok).alias("quality"),
     )
-    qual_ok = (
-        text.quality_score(docs, "doc_id", "text")
-        .filter(F.col("quality") >= 0.55)
-        .select("doc_id")
+    keep = feats.filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.55))
+    w = W.partitionBy(F.sha2(F.col("text").cast("binary"), 256)).orderBy("doc_id")
+    surv = (
+        keep.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)  # canonical = min doc_id per digest
     )
-    keep = docs.join(lang_ok, "doc_id").join(qual_ok, "doc_id")
-    canon = dedup.exact_dedup(keep, "doc_id", "text").select(
-        F.col("keep_id").alias("doc_id")
-    )
-    surv = keep.join(canon, "doc_id")
-    stats = text.token_stats(surv, "doc_id", "text")
-    return (
-        surv.select("doc_id", "source")
-        .join(stats, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_ws_tokens").alias("total_ws_tokens"),
-            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
-        )
+    return surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.ws_token_count("text")).alias("total_ws_tokens"),
+        F.sum(text.bpe_token_count("text")).alias("total_bpe_tokens"),
     )

@@ -129,3 +129,13 @@ def test_q40_scalar_subquery_is_broadcast(spark, registry):
     plan = formatted_plan(registry["q40_waiting_customers"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_p01_pipeline_is_fused_zero_join(spark, registry):
+    """The curation pipeline computes all filters row-locally: no joins,
+    exactly two exchanges (dedup window on the digest + per-source
+    rollup). Composing the stages by join would shuffle the text corpus
+    once per stage."""
+    plan = formatted_plan(registry["p01_curation_pipeline"].fn(spark, SF))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
