@@ -1302,3 +1302,58 @@ def q42_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         stats, "event_type string, n_events bigint, med_value double, decile_spread double"
     )
+
+
+# ---------------------------------------------------------------------------
+# r01 — range (interval) join via bucketed equi-join (operators/rangejoin).
+# Intervals = the 20 busiest 5-minute buckets, widened to [bucket-10min,
+# bucket+15min); points = all events. A naive ts-BETWEEN join would plan
+# as a nested-loop; the operator turns it into a shuffle-parallel hash
+# join on the bucket id + residual filter (asserted in test_plans).
+# ---------------------------------------------------------------------------
+@register(
+    "r01_interval_join",
+    oracle=f"""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS bs, COUNT(*) AS c
+        FROM events GROUP BY 1
+    ), top AS (
+        SELECT bs, row_number() OVER (ORDER BY c DESC, bs) AS interval_id
+        FROM b
+    ), iv AS (
+        SELECT interval_id,
+               bs - INTERVAL '10 minutes' AS s,
+               bs + INTERVAL '15 minutes' AS e
+        FROM top WHERE interval_id <= 20
+    )
+    SELECT interval_id,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 'sum_value', 4)}
+    FROM iv JOIN events ON ts >= s AND ts <= e
+    GROUP BY interval_id
+    """,
+    description="interval join (ts in [start,end]) as bucketed equi-join",
+)
+def r01_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.rangejoin import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.window("ts", "5 minutes").getField("start").alias("bs")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        buckets.withColumn(
+            "interval_id",
+            F.row_number().over(W.orderBy(F.col("c").desc(), F.col("bs"))),
+        )
+        .filter(F.col("interval_id") <= 20)
+        .select(
+            "interval_id",
+            (F.col("bs") - F.expr("INTERVAL 10 MINUTES")).alias("s"),
+            (F.col("bs") + F.expr("INTERVAL 15 MINUTES")).alias("e"),
+        )
+    )
+    joined = interval_join(ev.select("ts", "value"), top, "ts", "s", "e")
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value", 4)
+    )

@@ -139,3 +139,11 @@ def test_p01_pipeline_is_fused_zero_join(spark, registry):
     plan = formatted_plan(registry["p01_curation_pipeline"].fn(spark, SF))
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+
+
+def test_r01_range_join_is_equi_not_nested_loop(spark, registry):
+    """The interval join must plan as a shuffle-parallel equi-join on the
+    bucket id — never a nested-loop/cartesian over points × intervals."""
+    plan = formatted_plan(registry["r01_interval_join"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
