@@ -210,3 +210,50 @@ def test_connected_components_matches_union_find(spark, edges):
         r["id"]: r["comp"] for r in connected_components(pairs).collect()
     }
     assert got == _uf_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# interval join: bucketed equi-join + residual must equal the naive
+# nested-loop semantics on arbitrary point/interval layouts, including
+# empty/inverted intervals and bucket-boundary timestamps.
+# ---------------------------------------------------------------------------
+points_s = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=900),  # ts offset (s)
+              st.integers(min_value=0, max_value=99)),  # point id payload
+    min_size=0, max_size=10,
+)
+intervals_s = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=900),   # start offset
+              st.integers(min_value=-60, max_value=900)),  # end = start+delta
+    min_size=0, max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(points_s, intervals_s)
+def test_interval_join_matches_naive(spark, pts, ivs):
+    from spark_sql_hbase_spark.operators.rangejoin import interval_join
+
+    if not pts or not ivs:
+        return
+    to_ts = lambda s: EPOCH + datetime.timedelta(seconds=s)  # noqa: E731
+    points = spark.createDataFrame(
+        [(to_ts(ts), i) for i, (ts, _) in enumerate(pts)],
+        "ts timestamp, point_id long",
+    )
+    intervals = spark.createDataFrame(
+        [(j, to_ts(s), to_ts(s + d)) for j, (s, d) in enumerate(ivs)],
+        "interval_id long, s timestamp, e timestamp",
+    )
+    got = {
+        (r["point_id"], r["interval_id"])
+        for r in interval_join(points, intervals, "ts", "s", "e",
+                               bucket_width_seconds=60).collect()
+    }
+    want = {
+        (i, j)
+        for i, (ts, _) in enumerate(pts)
+        for j, (s, d) in enumerate(ivs)
+        if s <= ts <= s + d
+    }
+    assert got == want
