@@ -491,13 +491,17 @@ def q15_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q16_approx_distinct",
     oracle=None,
-    description="approx_count_distinct (HLL++) — engine-specific sketch, rows-only check",
+    description="approx_count_distinct (HLL++) + percentile_approx (KLL-style "
+    "quantile sketch) — engine-specific sketches, rows-only check",
 )
 def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias(
+            "approx_price_quantiles"
+        ),
     )
 
 
