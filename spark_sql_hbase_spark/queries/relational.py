@@ -1361,3 +1361,43 @@ def r01_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("interval_id").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value", 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# q43 — grouped-aggregate pandas UDF (the UDAF shape): a custom Arrow-
+# batched aggregate usable in groupBy (and over windows). XOR is
+# commutative/associative, so the result is order- and partition-
+# independent — the property a custom distributed aggregate must have.
+# ---------------------------------------------------------------------------
+@register(
+    "q43_pandas_udaf_xor",
+    oracle="""
+    SELECT event_type,
+           bit_xor(event_id) AS xor_ids,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    description="grouped-agg pandas_udf (custom UDAF): XOR digest per group",
+)
+def q43_pandas_udaf_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` stringifies
+    # type hints, which the hint-based pandas_udf inference can't read
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def xor_agg(ids):
+        return int(np.bitwise_xor.reduce(ids.to_numpy(dtype=np.int64)))
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas agg too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_agg(ids):
+        return len(ids)
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        xor_agg("event_id").alias("xor_ids"),
+        count_agg("event_id").alias("n_events"),
+    )
