@@ -556,8 +556,8 @@ _PIPELINE_ORACLE = f"""
     __surv AS (SELECT k.* FROM __keep k JOIN __canon c USING (doc_id))
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM({_WS_TOKENS}) AS total_ws_tokens,
-           SUM({_BPE_TOKENS}) AS total_bpe_tokens
+           CAST(SUM({_WS_TOKENS}) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM({_BPE_TOKENS}) AS BIGINT) AS total_bpe_tokens
     FROM __surv
     GROUP BY source
 """

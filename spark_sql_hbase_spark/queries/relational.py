@@ -492,16 +492,17 @@ def q15_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_approx_distinct",
     oracle=None,
     description="approx_count_distinct (HLL++) + percentile_approx (KLL-style "
-    "quantile sketch) — engine-specific sketches, rows-only check",
+    "quantile sketch) — engine-specific sketches, rows-only check. Quantiles "
+    "are projected as scalar p50/p95 columns (the driver's rows-only digest "
+    "cannot hash array cells).",
 )
 def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias(
-            "approx_price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_price_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("approx_price_p95"),
     )
 
 
@@ -513,7 +514,7 @@ def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
            {dsum_sql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END", 'urgent_rev')}
     FROM orders
     GROUP BY o_orderstatus
@@ -634,10 +635,10 @@ def q20_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts, event_id,
-               SUM(new_sess) OVER (
+               CAST(SUM(new_sess) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS sess_id
+               ) AS BIGINT) AS sess_id
         FROM marked
     )
     SELECT user_id, sess_id, COUNT(*) AS n_events,
@@ -1089,7 +1090,7 @@ def q33_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events
     GROUP BY event_type

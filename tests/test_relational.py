@@ -19,3 +19,44 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
     ok, msg = compare(df, qd.oracle, sf_dir)
     assert ok, f"{name}: {msg}"
+
+
+def test_oracle_harness_is_type_sensitive(spark, sf_dir):
+    """Round-1 failure class: DuckDB returns bare integer SUM as HUGEINT,
+    which the driver hashes differently from Spark's bigint even when the
+    values match.  A deliberately-HUGEINT oracle must FAIL locally."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.queries import table
+
+    df = table(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("n_big")
+    )
+    bare = (
+        "SELECT o_orderstatus, SUM(CASE WHEN o_totalprice>100000 THEN 1 ELSE 0 END)"
+        " AS n_big FROM orders GROUP BY o_orderstatus"
+    )
+    ok, msg = compare(df, bare, sf_dir)
+    assert not ok and "values differ" in msg
+    cast = bare.replace(
+        "SUM(CASE WHEN o_totalprice>100000 THEN 1 ELSE 0 END)",
+        "CAST(SUM(CASE WHEN o_totalprice>100000 THEN 1 ELSE 0 END) AS BIGINT)",
+    )
+    ok, msg = compare(df, cast, sf_dir)
+    assert ok, msg
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_schema_is_scalar(spark, sf_dir, name):
+    """The driver's row digest dies on non-scalar cells (pandas unique on a
+    list) — q16's round-1 ERR.  No registered query may return array/map/
+    struct columns."""
+    from pyspark.sql import types as T
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name}: non-scalar result columns {bad}"
