@@ -19,13 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q01_pricing_summary",
     "q03_regional_revenue",
-    "q05_brand_revenue",
-    "q06_forecast_revenue",
+    "z04_brand_revenue",
+    "z05_forecast_revenue",
     "q07_topk_parts_per_supplier",
     "q21_sessionization",
     "q22_asof_join",
     "d02_minhash_lsh_neardup",
-    "d04_simhash_fingerprint",
+    "z01_simhash_fingerprint",
     "s01_ann_topk",
     "t03_token_stats",
 ]

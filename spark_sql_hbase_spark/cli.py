@@ -77,12 +77,7 @@ def main(argv: list[str] | None = None) -> None:
 
     from spark_sql_hbase_spark.session import EngineSession
 
-    session = EngineSession(registry_path=args.registry)
-    if args.warehouse:
-        from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
-
-        store = KeyedTableStore(session.spark, args.warehouse, session.registry)
-        store.bootstrap_views()
+    session = EngineSession(registry_path=args.registry, warehouse_dir=args.warehouse)
 
     if args.execute:
         process(session, args.execute.rstrip(";"))

@@ -69,9 +69,12 @@ def _parallelized(df: DataFrame) -> DataFrame:
     serializing the (CPU-bound) tokenize/hash folds; at scale inputs are
     already well-partitioned and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # decide from the scan's file list — probing df.rdd would force the
+    # whole plan through the RDD conversion path on every call
+    n_files = len(df.inputFiles())
+    if 0 < n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

@@ -28,6 +28,12 @@ def _store(spark: SparkSession):
     return KeyedTableStore(spark, tempfile.mkdtemp(prefix="keyed_wh_"))
 
 
+def _session(spark: SparkSession):
+    from spark_sql_hbase_spark.session import EngineSession
+
+    return EngineSession(spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="keyed_wh_"))
+
+
 # ---------------------------------------------------------------------------
 # k01 — CTAS a driver table into a key-sorted keyed table, read it back
 # through the store with a key-range + value predicate (A1/A4/A7).
@@ -113,3 +119,74 @@ def k02_keyed_insert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("`c:acctbal`", "sum_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k03 — the reference README's SQL demo flow, verbatim statement shapes
+# (README.md:41-66): CREATE TABLE ... USING keyed, USE ns, INSERT INTO ...
+# VALUES (the declared sequence generator OVERRIDES the user-supplied key,
+# per the README's own note), INSERT INTO ... SELECT, dot-free readback.
+# Routed by sqlfront.KeyedSqlRouter — the rebuild of the reference's
+# InsertIntoHBaseTable strategy (HBaseStrategies.scala:243-260).
+# ---------------------------------------------------------------------------
+@register(
+    "k03_sql_insert_readback",
+    oracle="""
+    SELECT '0001' AS row_key, 'TestSql' AS "cf:name"
+    UNION ALL SELECT '0002', 'TestSql'
+    UNION ALL SELECT '0003', 'TestSql'
+    UNION ALL
+    SELECT printf('%04d', 3 + row_number() OVER (ORDER BY n_name)) AS row_key,
+           n_name AS "cf:name"
+    FROM nation
+    """,
+    description="SQL INSERT INTO keyed table: VALUES x3 (generator overrides "
+    "supplied keys) + INSERT..SELECT, SQL readback",
+)
+def k03_sql_insert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = _session(spark)
+    prev_db = spark.catalog.currentDatabase()
+    try:
+        sess.sql(
+            "CREATE TABLE pw.test_insert (row_key string, `cf:name` string) "
+            "USING keyed OPTIONS (generator='sequence')"
+        )
+        sess.sql("use pw")
+        for _ in range(3):
+            sess.sql("insert into test_insert values('0000', 'TestSql')")
+        table(spark, sf_dir, "nation").createOrReplaceTempView("__k03_nation")
+        sess.sql("insert into test_insert select n_name from __k03_nation order by n_name")
+        return sess.sql("select * from test_insert")
+    finally:
+        spark.catalog.setCurrentDatabase(prev_db)
+
+
+# ---------------------------------------------------------------------------
+# k04 — namespace-qualified SQL names + SQL CTAS (README.md:12-18, 49:
+# `select * from pw.test where `A:A_00` like "%24%"`): keyed tables live in
+# per-namespace session-catalog databases, so plain spark.sql resolves
+# `pw.test` dot-qualified with cf:qualifier columns backtick-quoted, and
+# the LIKE predicate pushes into the scan. CTAS rebuild of
+# CreateHBaseTableAsSelectCommand.scala:18-88.
+# ---------------------------------------------------------------------------
+@register(
+    "k04_namespace_ctas_select",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
+           c_name AS "A:A_00"
+    FROM customer
+    WHERE c_name LIKE '%24%'
+    """,
+    description="SQL CTAS into namespace + dot-qualified SELECT with LIKE "
+    "over a cf:qualifier column",
+)
+def k04_namespace_ctas_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = _session(spark)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__k04_customer")
+    sess.sql(
+        "CREATE TABLE pw.test USING keyed AS "
+        "SELECT lpad(CAST(c_custkey AS STRING), 10, '0') AS row_key, "
+        "       c_name AS `A:A_00` "
+        "FROM __k04_customer"
+    )
+    return sess.sql("select row_key, `A:A_00` from pw.test where `A:A_00` like '%24%'")

@@ -106,11 +106,11 @@ def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d04 — SimHash fingerprints (60-bit, md5-vote).
 # ---------------------------------------------------------------------------
 @register(
-    "d04_simhash_fingerprint",
+    "z01_simhash_fingerprint",
     oracle=simhash_sql("documents", "doc_id", _TOK),
     description="per-document 60-bit simhash fingerprint (single-pass agg)",
 )
-def d04_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z01_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     fp = dedup.simhash_fingerprints(docs, "doc_id", "text")
     return fp.select(F.col("id").alias("doc_id"), "simhash")

@@ -69,7 +69,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sort at scale: per-partition top-k then merge on the driver).
 # ---------------------------------------------------------------------------
 @register(
-    "q02_top_orders",
+    "z02_top_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -78,7 +78,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="top-k via TakeOrderedAndProject (deterministic tiebreak)",
 )
-def q02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -132,7 +132,7 @@ def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # match side; at scale the semi join shuffles only distinct keys).
 # ---------------------------------------------------------------------------
 @register(
-    "q04_order_priority",
+    "z03_order_priority",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
@@ -144,7 +144,7 @@ def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="EXISTS via left-semi join + agg",
 )
-def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z03_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     return (
@@ -162,7 +162,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q05 — explicit broadcast join: part (dim) into lineitem (fact).
 # ---------------------------------------------------------------------------
 @register(
-    "q05_brand_revenue",
+    "z04_brand_revenue",
     oracle=f"""
     SELECT p_brand,
            {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
@@ -172,7 +172,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="broadcast hash join dim→fact + agg",
 )
-def q05_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z04_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     return (
@@ -189,7 +189,7 @@ def q05_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q06 — TPC-H Q6: pure scan+filter+agg; filters push to parquet row groups.
 # ---------------------------------------------------------------------------
 @register(
-    "q06_forecast_revenue",
+    "z05_forecast_revenue",
     oracle=f"""
     SELECT {dsum_sql('l_extendedprice * l_discount', 'revenue', 4)},
            COUNT(*) AS n_items
@@ -201,7 +201,7 @@ def q05_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q6: predicate-pushdown scan + global agg",
 )
-def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z05_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -251,7 +251,7 @@ def q07_topk_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q08 — running totals + lag/lead: aggregate-over-window with ROWS frame.
 # ---------------------------------------------------------------------------
 @register(
-    "q08_running_totals",
+    "z06_running_totals",
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
@@ -268,7 +268,7 @@ def q07_topk_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="running decimal sum + lag/lead per customer",
 )
-def q08_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z06_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -353,32 +353,55 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q11_setops",
     oracle="""
-    SELECT 'with_orders' AS tag, c_custkey FROM (
+    SELECT 'with_orders' AS tag, c_custkey AS key FROM (
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         INTERSECT
         SELECT o_custkey FROM orders
     )
     UNION ALL
-    SELECT 'without_orders' AS tag, c_custkey FROM (
+    SELECT 'without_orders' AS tag, c_custkey AS key FROM (
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         EXCEPT
         SELECT o_custkey FROM orders
     )
+    UNION ALL
+    SELECT 'only_in_first_bag' AS tag, l_partkey AS key FROM (
+        SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+        EXCEPT ALL
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    UNION ALL
+    SELECT 'in_both_bags' AS tag, l_partkey AS key FROM (
+        SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+        INTERSECT ALL
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    )
     """,
-    description="INTERSECT + EXCEPT + UNION ALL",
+    description="set + multiset ops: INTERSECT / EXCEPT (distinct) and "
+    "INTERSECT ALL / EXCEPT ALL (bag semantics), tagged and unioned "
+    "(merged round-1 q11+q33)",
 )
 def q11_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
     building = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     order_cust = o.select(F.col("o_custkey").alias("c_custkey"))
     with_orders = building.intersect(order_cust).select(
-        F.lit("with_orders").alias("tag"), "c_custkey"
+        F.lit("with_orders").alias("tag"), F.col("c_custkey").alias("key")
     )
     without = building.exceptAll(order_cust).distinct().select(
-        F.lit("without_orders").alias("tag"), "c_custkey"
+        F.lit("without_orders").alias("tag"), F.col("c_custkey").alias("key")
     )
-    return with_orders.unionAll(without)
+    big = li.filter(F.col("l_quantity") >= 25).select("l_partkey")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    only_first = big.exceptAll(ret).select(
+        F.lit("only_in_first_bag").alias("tag"), F.col("l_partkey").alias("key")
+    )
+    both = big.intersectAll(ret).select(
+        F.lit("in_both_bags").alias("tag"), F.col("l_partkey").alias("key")
+    )
+    return with_orders.unionAll(without).unionAll(only_first).unionAll(both)
 
 
 # ---------------------------------------------------------------------------
@@ -402,63 +425,48 @@ def q12_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q13 — scalar function coverage (string/math/conditional), all codegen'd.
+# q13 — scalar function coverage: string/math/CASE *and* date extraction /
+# formatting in one per-row projection over orders (merged round-1 q13+q14
+# so both surfaces carry driver signal inside the 50-entry window). All
+# expressions are JVM-side and whole-stage-codegen'd.
 # ---------------------------------------------------------------------------
 @register(
     "q13_scalar_functions",
     oracle="""
-    SELECT p_partkey,
-           upper(substr(p_name, 1, 8)) AS name8,
-           CAST(length(p_name) AS INTEGER) AS name_len,
-           p_brand || '/' || p_type AS brand_type,
-           abs(p_size - 25) AS size_dist,
-           p_size % 7 AS size_mod,
-           CASE WHEN p_retailprice > 1500 THEN 'HI'
-                WHEN p_retailprice > 800 THEN 'MID'
-                ELSE 'LO' END AS price_band
-    FROM part
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 8)) AS prio8,
+           CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+           o_orderstatus || '/' || o_orderpriority AS status_prio,
+           abs(o_custkey - 500) AS cust_dist,
+           o_orderkey % 7 AS key_mod,
+           CASE WHEN o_totalprice > 150000 THEN 'HI'
+                WHEN o_totalprice > 50000 THEN 'MID'
+                ELSE 'LO' END AS price_band,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mth,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
     """,
-    description="scalar string/math/CASE expression coverage",
+    description="scalar string/math/CASE/date expression coverage (one projection)",
 )
 def q13_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper(F.substring("p_name", 1, 8)).alias("name8"),
-        F.length("p_name").cast("int").alias("name_len"),
-        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
-        F.abs(F.col("p_size") - 25).alias("size_dist"),
-        (F.col("p_size") % 7).alias("size_mod"),
-        F.when(F.col("p_retailprice") > 1500, "HI")
-        .when(F.col("p_retailprice") > 800, "MID")
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio8"),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.abs(F.col("o_custkey") - 500).alias("cust_dist"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.when(F.col("o_totalprice") > 150000, "HI")
+        .when(F.col("o_totalprice") > 50000, "MID")
         .otherwise("LO")
         .alias("price_band"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q14 — date/time functions.
-# ---------------------------------------------------------------------------
-@register(
-    "q14_date_parts",
-    oracle=f"""
-    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
-           strftime(o_orderdate, '%Y-%m') AS ym,
-           COUNT(*) AS n_orders,
-           {dsum_sql('o_totalprice', 'month_rev')}
-    FROM orders
-    GROUP BY 1, 2
-    """,
-    description="date extraction + formatting + monthly agg",
-)
-def q14_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.year("o_orderdate").cast("int").alias("yr"),
-            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "month_rev"))
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mth"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
 
 
@@ -466,7 +474,7 @@ def q14_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q15 — exact DISTINCT aggregation (expand + two-phase agg in Spark).
 # ---------------------------------------------------------------------------
 @register(
-    "q15_distinct_agg",
+    "z07_distinct_agg",
     oracle="""
     SELECT c_mktsegment,
            COUNT(DISTINCT c_nationkey) AS n_nations,
@@ -476,7 +484,7 @@ def q14_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="exact count-distinct per group",
 )
-def q15_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z07_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     return cu.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
@@ -589,33 +597,56 @@ def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q20 — tumbling-window aggregation over the event stream (batch analogue of
-# the Structured Streaming pipeline in streaming/; same F.window operator).
+# q20 — time-window aggregation over the event stream: tumbling (5 min) AND
+# sliding (15 min sliding by 5 → each event lands in 3 windows, planned as
+# an explode + map-side-combined hash agg) in one tagged union (merged
+# round-1 q20+q36; batch analogue of the Structured Streaming pipeline in
+# streaming/ — same F.window operator).
 # ---------------------------------------------------------------------------
 @register(
-    "q20_events_tumbling",
+    "q20_events_windows",
     oracle=f"""
-    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+    SELECT 'tumbling' AS win_kind,
+           strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
                AS win_start,
            event_type,
            COUNT(*) AS n_events,
            {dsum_sql('value', 'sum_value', 4)}
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS win_kind,
+           strftime(time_bucket(INTERVAL '5 minutes', ts)
+                    - k * INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S')
+               AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 'sum_value', 4)}
+    FROM events, (VALUES (0), (1), (2)) offsets(k)
+    GROUP BY 2, 3
     """,
-    description="5-minute tumbling window aggregation (batch twin of streaming demo)",
+    description="tumbling (5m) + sliding (15m/5m) window aggregation, tagged union",
 )
-def q20_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q20_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value", 4))
-        .select(
-            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
+
+    def _windowed(win: F.Column, kind: str) -> DataFrame:
+        return (
+            ev.groupBy(win.alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value", 4))
+            .select(
+                F.lit(kind).alias("win_kind"),
+                F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "win_start"
+                ),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
         )
+
+    return _windowed(F.window("ts", "5 minutes"), "tumbling").unionAll(
+        _windowed(F.window("ts", "15 minutes", "5 minutes"), "sliding")
     )
 
 
@@ -750,7 +781,7 @@ def q23_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q24 — argmax via agg + join-back (deterministic even under value ties).
 # ---------------------------------------------------------------------------
 @register(
-    "q24_richest_customer_per_nation",
+    "z08_richest_customer_per_nation",
     oracle="""
     WITH mx AS (
         SELECT c_nationkey AS nk, max(c_acctbal) AS max_bal
@@ -764,7 +795,7 @@ def q23_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="argmax per group via max + join-back (tie-safe)",
 )
-def q24_richest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z08_richest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     mx = cu.groupBy(F.col("c_nationkey").alias("nk")).agg(
@@ -815,7 +846,7 @@ def q25_pandas_udf_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q26 — exact interpolated percentiles per group (sort-agg path).
 # ---------------------------------------------------------------------------
 @register(
-    "q26_percentiles",
+    "z09_percentiles",
     oracle="""
     SELECT c_nationkey,
            ROUND(quantile_cont(c_acctbal, 0.25), 4) AS p25,
@@ -826,7 +857,7 @@ def q25_pandas_udf_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="exact interpolated quartiles of account balance per nation",
 )
-def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     return cu.groupBy("c_nationkey").agg(
         F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
@@ -858,24 +889,33 @@ def q27_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q28 — skew join with hot-key salting: revenue for the 3 hottest parts
+# q28 — skew join with hot-key salting: revenue for a known-hot key set
 # joined back to part attributes without broadcasting or AQE reliance.
+#
+# The hot-key set is a PARAMETER, not a computed pre-pass: at 100 TB you
+# get it from table statistics, an offline sampling job, or operational
+# knowledge — never by groupBy-count-collecting the fact table inside the
+# query itself (round-1 version did exactly that: a full extra shuffle of
+# lineitem before the real work; the sampled alternative can't be exact,
+# and this engine's test data is near-uniform so an estimated top-k isn't
+# even well-defined).  AQE skew-join (on in session.py) handles the same
+# case automatically when the skew shows up at runtime; salted_join is the
+# deterministic, planner-independent form.
 # ---------------------------------------------------------------------------
+_Q28_HOT_KEYS = [100, 200, 300]
+
 @register(
     "q28_salted_join",
     oracle=f"""
-    WITH hot AS (
-        SELECT l_partkey AS hk FROM lineitem
-        GROUP BY l_partkey ORDER BY count(*) DESC, l_partkey LIMIT 3
-    )
     SELECT p_partkey, p_brand,
            COUNT(*) AS n_items,
            {dsum_sql('l_extendedprice', 'revenue')}
     FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_partkey IN (SELECT hk FROM hot)
+    WHERE l_partkey IN ({", ".join(str(k) for k in _Q28_HOT_KEYS)})
     GROUP BY p_partkey, p_brand
     """,
-    description="hot-key salted join (replicate-right) + aggregation",
+    description="hot-key salted join (replicate-right, parameterized hot set) "
+    "+ aggregation",
 )
 def q28_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.skew import salted_join
@@ -886,14 +926,8 @@ def q28_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("k"), "p_partkey", "p_brand"
     )
-    hot = [
-        r["k"]
-        for r in li.groupBy("k")
-        .count()
-        .orderBy(F.desc("count"), "k")
-        .limit(3)
-        .collect()
-    ]
+    hot = _Q28_HOT_KEYS
+    # isin on the fact side pushes into the parquet scan (PushedFilters: In)
     joined = salted_join(li.filter(F.col("k").isin(hot)), p, on="k", hot_keys=hot)
     return joined.groupBy("p_partkey", "p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -944,7 +978,7 @@ def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only join shape where a cross product is legitimate.
 # ---------------------------------------------------------------------------
 @register(
-    "q30_cross_join",
+    "z10_cross_join",
     oracle="""
     SELECT r.r_name, n.n_name
     FROM region r CROSS JOIN nation n
@@ -952,7 +986,7 @@ def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="cross join of bounded dims + theta filter (nested-loop join)",
 )
-def q30_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
     return (
@@ -966,7 +1000,7 @@ def q30_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q31 — TPC-H Q3 shipping priority: selective join + agg + global top-10.
 # ---------------------------------------------------------------------------
 @register(
-    "q31_shipping_priority",
+    "z11_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
            {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
@@ -983,7 +1017,7 @@ def q30_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q3: selective multi-join, agg, TakeOrdered top-10",
 )
-def q31_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
@@ -1011,7 +1045,7 @@ def q31_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q32 — TPC-H Q10 returned items: 4-way join + agg + top-20 customers.
 # ---------------------------------------------------------------------------
 @register(
-    "q32_returned_items",
+    "z12_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
            {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
@@ -1028,7 +1062,7 @@ def q31_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q10: returned-item revenue per customer, top-20",
 )
-def q32_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
@@ -1045,39 +1079,6 @@ def q32_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
-    )
-
-
-# ---------------------------------------------------------------------------
-# q33 — multiset set ops: EXCEPT ALL / INTERSECT ALL (bag semantics, unlike
-# q11's distinct variants).
-# ---------------------------------------------------------------------------
-@register(
-    "q33_multiset_ops",
-    oracle="""
-    SELECT 'only_in_first_bag' AS tag, l_partkey FROM (
-        SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
-        EXCEPT ALL
-        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
-    )
-    UNION ALL
-    SELECT 'in_both_bags' AS tag, l_partkey FROM (
-        SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
-        INTERSECT ALL
-        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
-    )
-    """,
-    description="EXCEPT ALL + INTERSECT ALL multiset semantics",
-)
-def q33_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    big = li.filter(F.col("l_quantity") >= 25).select("l_partkey")
-    ret = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
-    return (
-        big.exceptAll(ret).select(F.lit("only_in_first_bag").alias("tag"), "l_partkey")
-        .unionAll(
-            big.intersectAll(ret).select(F.lit("in_both_bags").alias("tag"), "l_partkey")
-        )
     )
 
 
@@ -1156,49 +1157,13 @@ def q35_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q36 — sliding-window aggregation (F.window with slide < length): each row
-# lands in length/slide windows. Spark plans this as an explode over the
-# per-row window set then a hash agg — linear blow-up of 3× here, map-side
-# combined before the shuffle.
-# ---------------------------------------------------------------------------
-@register(
-    "q36_events_sliding",
-    oracle=f"""
-    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts)
-                    - k * INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S')
-               AS win_start,
-           event_type,
-           COUNT(*) AS n_events,
-           {dsum_sql('value', 'sum_value', 4)}
-    FROM events, (VALUES (0), (1), (2)) offsets(k)
-    GROUP BY 1, 2
-    """,
-    description="15-minute windows sliding by 5 (3 windows per event)",
-)
-def q36_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.window("ts", "15 minutes", "5 minutes").alias("win"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value", 4))
-        .select(
-            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # q40 — TPC-H Q22 shape: uncorrelated scalar subquery (global avg) gating a
 # filter, then anti join. The scalar is a 1-row aggregate cross-joined back
 # (broadcast) — the distributed formulation of a scalar subquery: no
 # driver-side collect, and the fact side streams against a 1-row build.
 # ---------------------------------------------------------------------------
 @register(
-    "q40_waiting_customers",
+    "z13_waiting_customers",
     oracle=f"""
     WITH cavg AS (
         SELECT {davg_sql('c_acctbal', 'avg_bal')}
@@ -1214,7 +1179,7 @@ def q36_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="scalar subquery (broadcast 1-row agg) + anti join + agg",
 )
-def q40_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     cavg = cu.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal", "avg_bal"))
@@ -1233,7 +1198,7 @@ def q40_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count, then a histogram over the counts. Two shuffles: custkey, c_count.
 # ---------------------------------------------------------------------------
 @register(
-    "q41_order_count_histogram",
+    "z14_order_count_histogram",
     oracle="""
     WITH c_orders AS (
         SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -1247,7 +1212,7 @@ def q40_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="left outer join w/ join-side predicate + count histogram",
 )
-def q41_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z14_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     c_orders = (
@@ -1274,7 +1239,7 @@ def q41_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for huge groups the pattern is pre-aggregate or mapInPandas instead).
 # ---------------------------------------------------------------------------
 @register(
-    "q42_grouped_pandas_median",
+    "z15_grouped_pandas_median",
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
@@ -1286,7 +1251,7 @@ def q41_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="grouped applyInPandas: exact per-group median + decile spread",
 )
-def q42_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z15_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 

@@ -93,16 +93,38 @@ class EngineSession:
     (backtick-quoted, per the reference's ``README.md:16-18``).
     """
 
-    def __init__(self, spark: SparkSession | None = None, registry_path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        registry_path: str | None = None,
+        warehouse_dir: str | None = None,
+    ):
         self.spark = spark or build_spark()
         # imported lazily to avoid a cycle at package import time
         from spark_sql_hbase_spark.catalog import SchemaRegistry
 
         self.registry = SchemaRegistry.load(registry_path) if registry_path else SchemaRegistry()
+        self.store = None
+        self._router = None
+        if warehouse_dir is not None:
+            from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+            from spark_sql_hbase_spark.sqlfront import KeyedSqlRouter
+
+            self.store = KeyedTableStore(self.spark, warehouse_dir, self.registry)
+            self.store.bootstrap_views()
+            self._router = KeyedSqlRouter(self.store)
 
     # -- reference surface ------------------------------------------------
     def sql(self, statement: str) -> DataFrame:
-        """Dispatch a SQL statement (reference: ``HBaseSQLClient.scala:98``)."""
+        """Dispatch a SQL statement (reference: ``HBaseSQLClient.scala:98``).
+
+        With a keyed warehouse attached, INSERT / CREATE TABLE ... USING
+        keyed / DROP TABLE over registered keyed tables route through the
+        store (row-key generation + key-sorted bulk write); everything else
+        is stock Spark SQL (see :mod:`spark_sql_hbase_spark.sqlfront`).
+        """
+        if self._router is not None:
+            return self._router.sql(statement)
         return self.spark.sql(statement)
 
     def use(self, database: str) -> None:

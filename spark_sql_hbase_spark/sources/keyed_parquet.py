@@ -102,6 +102,9 @@ class KeyedTableStore:
         shutil.rmtree(self.table_path(spec), ignore_errors=True)
         self.registry.drop(qualified_name)
         self.spark.catalog.dropTempView(self._view_name(spec))
+        self.spark.sql(f"DROP TABLE IF EXISTS `{spec.namespace}`.`{spec.name}`")
+        if hasattr(self, "_catalog_paths"):
+            self._catalog_paths.pop(qualified_name, None)
 
     def exists(self, qualified_name: str) -> bool:
         return self.registry.exists(qualified_name)
@@ -231,9 +234,40 @@ class KeyedTableStore:
         return f"{spec.namespace}__{spec.name}"
 
     def _register_view(self, spec: TableSpec) -> None:
-        """Expose the table to SQL. Temp views cannot be dot-qualified, so
-        SQL sees ``<ns>__<name>`` while the Python API uses ``ns.name``."""
+        """Expose the table to SQL, twice:
+
+        1. A ``<ns>__<name>`` temp view (round-1 surface, kept for
+           compatibility).
+        2. A real session-catalog entry ``<ns>.<name>`` — an external
+           parquet table inside the namespace's database — so SQL resolves
+           dot-qualified names, ``USE ns`` + bare names, and ``SHOW
+           DATABASES`` / ``SHOW TABLES`` list namespaces natively
+           (reference: ``HBaseSessionCatalog.scala:63-102``, which resolves
+           ``pw.test`` through its HBase external catalog).
+        """
         self.read(spec.qualified_name).createOrReplaceTempView(self._view_name(spec))
+        self._register_catalog_table(spec)
+
+    def _register_catalog_table(self, spec: TableSpec) -> None:
+        if not hasattr(self, "_catalog_paths"):
+            self._catalog_paths: dict[str, str] = {}
+        path = self.table_path(spec)
+        qual = f"`{spec.namespace}`.`{spec.name}`"
+        if self._catalog_paths.get(spec.qualified_name) == path:
+            # already registered by this store — just invalidate metadata
+            self.spark.sql(f"REFRESH TABLE {qual}")
+            return
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in spec.schema().fields
+        )
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{spec.namespace}`")
+        # drop-first: another store instance (e.g. an earlier gate query's
+        # private warehouse) may have bound the same name to a stale path
+        self.spark.sql(f"DROP TABLE IF EXISTS {qual}")
+        self.spark.sql(
+            f"CREATE TABLE {qual} ({ddl}) USING parquet LOCATION '{path}'"
+        )
+        self._catalog_paths[spec.qualified_name] = path
 
     def bootstrap_views(self) -> None:
         """Re-register all registry tables after session (re)start — the

@@ -25,7 +25,7 @@ def registry():
 
 
 def test_q06_filters_reach_parquet(spark, registry):
-    df = registry["q06_forecast_revenue"].fn(spark, SF)
+    df = registry["z05_forecast_revenue"].fn(spark, SF)
     joined = " ".join(pushed_filters(df))
     for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
                  "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"):
@@ -33,13 +33,13 @@ def test_q06_filters_reach_parquet(spark, registry):
 
 
 def test_q06_column_pruning(spark, registry):
-    df = registry["q06_forecast_revenue"].fn(spark, SF)
+    df = registry["z05_forecast_revenue"].fn(spark, SF)
     cols = scan_columns(df)
     assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, cols
 
 
 def test_q05_broadcasts_dim(spark, registry):
-    plan = formatted_plan(registry["q05_brand_revenue"].fn(spark, SF))
+    plan = formatted_plan(registry["z04_brand_revenue"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     # the fact side must NOT be broadcast: only one broadcast exchange node
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
@@ -53,7 +53,7 @@ def test_q01_partial_aggregation(spark, registry):
 
 
 def test_q02_topk_no_global_sort(spark, registry):
-    plan = formatted_plan(registry["q02_top_orders"].fn(spark, SF))
+    plan = formatted_plan(registry["z02_top_orders"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no full sort
 
@@ -126,7 +126,7 @@ def test_q40_scalar_subquery_is_broadcast(spark, registry):
     """The 1-row aggregate joins as a broadcast nested loop (never a
     shuffle); the anti join stays an equi-join (hash/merge, no cartesian
     against the big side)."""
-    plan = formatted_plan(registry["q40_waiting_customers"].fn(spark, SF))
+    plan = formatted_plan(registry["z13_waiting_customers"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
 

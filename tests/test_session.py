@@ -64,3 +64,78 @@ def test_refresh_after_external_write(session):
     store.insert("pw2.demo", more, generate_row_key=False)
     sess.refresh_table("pw2__demo")
     assert sess.sql("SELECT count(*) AS n FROM pw2__demo").collect()[0]["n"] == 15
+
+
+# ---------------------------------------------------------------------------
+# Round-2 SQL surface: the sqlfront router + namespace-qualified catalog
+# tables (reference README.md:41-66 statement flow).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def sql_session(spark, tmp_path):
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    prev = spark.catalog.currentDatabase()
+    yield sess
+    spark.catalog.setCurrentDatabase(prev)
+    for qualified in list(sess.store.registry.tables()):
+        sess.store.drop_table(qualified)
+
+
+def test_sql_create_insert_readback_readme_flow(sql_session):
+    """The reference README demo, statement-for-statement."""
+    sess = sql_session
+    sess.sql(
+        "CREATE TABLE pw.test_insert (row_key string, `cf:name` string) "
+        "USING keyed OPTIONS (generator='sequence')"
+    )
+    sess.sql("use pw")
+    sess.sql("insert into test_insert values('0000', 'TestSql')")
+    sess.sql("insert into test_insert values('0000', 'TestSql')")
+    rows = sess.sql("select * from test_insert").collect()
+    # the sequence generator overrides the supplied '0000' (README note)
+    assert sorted((r.row_key, r["cf:name"]) for r in rows) == [
+        ("0001", "TestSql"),
+        ("0002", "TestSql"),
+    ]
+
+
+def test_sql_namespace_qualified_and_show(sql_session):
+    sess = sql_session
+    sess.sql("CREATE TABLE hb.meta (row_key string, `i:v` long) USING keyed")
+    sess.sql("insert into hb.meta values('k1', 7)")
+    assert [r["i:v"] for r in sess.sql("select * from hb.meta").collect()] == [7]
+    assert "hb" in [r[0] for r in sess.sql("SHOW DATABASES").collect()]
+    assert "meta" in [r.tableName for r in sess.sql("SHOW TABLES IN hb").collect()]
+
+
+def test_sql_ctas_and_drop(sql_session):
+    sess = sql_session
+    sess.spark.range(5).selectExpr(
+        "format_string('%04d', id) AS row_key", "CAST(id * 2 AS LONG) AS v"
+    ).createOrReplaceTempView("__ctas_src")
+    sess.sql("CREATE TABLE pw.ctas_t USING keyed AS SELECT * FROM __ctas_src")
+    got = sess.sql("select `cf:v` from pw.ctas_t where row_key >= '0003'").collect()
+    assert sorted(r[0] for r in got) == [6, 8]
+    sess.sql("drop table pw.ctas_t")
+    assert not sess.store.registry.exists("pw.ctas_t")
+
+
+def test_sql_insert_overwrite(sql_session):
+    sess = sql_session
+    sess.sql("CREATE TABLE pw.ow (row_key string, `cf:v` string) USING keyed")
+    sess.sql("insert into pw.ow values('a', 'x')")
+    sess.sql("insert overwrite pw.ow values('b', 'y')")
+    rows = sess.sql("select * from pw.ow").collect()
+    assert [(r.row_key, r["cf:v"]) for r in rows] == [("b", "y")]
+
+
+def test_sql_non_keyed_statements_pass_through(sql_session):
+    sess = sql_session
+    assert sess.sql("SELECT 40 + 2 AS x").collect()[0].x == 42
+    # INSERT into a non-keyed target is NOT routed (falls through to Spark,
+    # which raises its own analysis error for an unknown table)
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.AnalysisException):
+        sess.sql("insert into no_such_table values(1)")
