@@ -147,3 +147,28 @@ def test_r01_range_join_is_equi_not_nested_loop(spark, registry):
     plan = formatted_plan(registry["r01_interval_join"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_q28_no_hotkey_prepass(spark, registry):
+    """Round-2 fix: the hot-key set is a parameter — the query plan must
+    contain NO extra aggregation pre-pass, and the In-filter must push
+    into the lineitem scan."""
+    df = registry["q28_salted_join"].fn(spark, SF)
+    joined = " ".join(pushed_filters(df))
+    assert "In(l_partkey" in joined, joined
+
+
+def test_q37_multiformat_three_scans_no_join(spark, registry):
+    """The merged roundtrip gate is three independent branches unioned —
+    no join anywhere, one agg pair per branch."""
+    plan = formatted_plan(registry["q37_multiformat_roundtrip"].fn(spark, SF))
+    assert "Join" not in plan, plan[:500]
+    assert len(re.findall(r"\(\d+\) Union", plan)) >= 1
+
+
+def test_k04_like_filter_pushes_into_keyed_scan(spark, registry):
+    """Dot-qualified SELECT over a keyed catalog table: the LIKE predicate
+    must reach the parquet scan as StringContains."""
+    df = registry["k04_namespace_ctas_select"].fn(spark, SF)
+    joined = " ".join(pushed_filters(df))
+    assert "StringContains" in joined or "Contains" in joined, joined
