@@ -38,3 +38,40 @@ def test_process_dispatch(spark):
     assert cli.process(Sess(), "quit") is False
     # errors are caught, REPL stays alive
     assert cli.process(Sess(), "SELECT FROM nope") is True
+
+
+def test_reference_readme_statements_verbatim(spark, tmp_path):
+    """The reference README's demo statements (README.md:41-66), run
+    statement-for-statement through the REPL's process() with a mounted
+    warehouse: show databases / show tables / use pw / insert into ...
+    values / select readback — generator overrides the supplied key."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    prev = spark.catalog.currentDatabase()
+    try:
+        # table exists up-front (reference: created via client API / yaml)
+        sess.sql(
+            "CREATE TABLE pw.test_insert (row_key string, `cf:name` string) "
+            "USING keyed OPTIONS (generator='sequence')"
+        )
+        for stmt in [
+            "show databases",
+            "show tables",
+            "use pw",
+            "insert into test_insert  values('0000', 'TestSql')",
+            "select * from test_insert",
+            "insert into test_insert  values('0000', 'TestSql')",
+            "insert into test_insert  values('0000', 'TestSql')",
+            "select * from test_insert",
+        ]:
+            assert cli.process(sess, stmt) is True
+        rows = sess.sql("select * from test_insert").collect()
+        assert sorted((r.row_key, r["cf:name"]) for r in rows) == [
+            ("0001", "TestSql"),
+            ("0002", "TestSql"),
+            ("0003", "TestSql"),
+        ]
+    finally:
+        spark.catalog.setCurrentDatabase(prev)
+        sess.store.drop_table("pw.test_insert")
