@@ -600,3 +600,51 @@ def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(text.ws_token_count("text")).alias("total_ws_tokens"),
         F.sum(text.bpe_token_count("text")).alias("total_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z16 — sequence packing (concat-then-chunk planning): assign every doc a
+# byte-exact (sequence, offset) slot in fixed-token-budget training
+# sequences, then the per-sequence manifest. One window cumsum per stream
+# + one agg — no stateful loop, no UDF (operators/packing.py).
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+@register(
+    "z16_sequence_packing",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT source, doc_id, {_WS_TOKENS} AS n_tokens FROM documents
+    ), __off AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS BIGINT) AS "offset"
+        FROM __tok
+    )
+    SELECT source,
+           "offset" // {_PACK_BUDGET} AS seq_id,
+           COUNT(*) AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           CAST(SUM(n_tokens) AS BIGINT) AS docs_tokens
+    FROM __off
+    GROUP BY 1, 2
+    """,
+    description="sequence packing manifest: per-stream cumsum offsets -> "
+    "fixed-budget training sequences (concat-then-chunk)",
+)
+def z16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.packing import pack_summary
+
+    docs = table(spark, sf_dir, "documents")
+    docs = docs.withColumn("n_tok", text.ws_token_count("text"))
+    return pack_summary(docs, "source", "doc_id", "n_tok", _PACK_BUDGET).select(
+        "source",
+        "seq_id",
+        "n_docs",
+        "first_doc",
+        "last_doc",
+        "docs_tokens",
+    )

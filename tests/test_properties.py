@@ -257,3 +257,36 @@ def test_interval_join_matches_naive(spark, pts, ivs):
         if s <= ts <= s + d
     }
     assert got == want
+
+
+def test_pack_plan_invariants(spark):
+    """Packing law: offsets are the exact prefix sums per stream;
+    seq_id/seq_offset reconstruct the offset; sequences cover the stream
+    contiguously (concat-then-chunk semantics)."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.packing import pack_plan
+
+    rows = [("a", i, 1 + (i * 7) % 13) for i in range(50)] + [
+        ("b", i, 2048) for i in range(3)  # exact-budget docs
+    ] + [("c", 0, 5000)]  # one doc bigger than the budget
+    df = spark.createDataFrame(rows, "stream string, doc_id long, n long")
+    plan = pack_plan(df, "stream", "doc_id", "n", budget=2048).collect()
+
+    by_stream = {}
+    for r in plan:
+        by_stream.setdefault(r["stream"], []).append(r)
+    for stream, rs in by_stream.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        expect_offset = 0
+        for r in rs:
+            assert r["offset"] == expect_offset
+            assert r["seq_id"] * 2048 + r["seq_offset"] == r["offset"]
+            assert 0 <= r["seq_offset"] < 2048
+            expect_offset += r["n_tokens"]
+    # exact-budget docs start at sequence boundaries
+    b = by_stream["b"]
+    assert [r["seq_id"] for r in sorted(b, key=lambda r: r["doc_id"])] == [0, 1, 2]
+    assert all(r["seq_offset"] == 0 for r in b)
+    # the oversized doc still gets a well-defined slot (straddles seqs)
+    assert by_stream["c"][0]["seq_id"] == 0 and by_stream["c"][0]["seq_offset"] == 0
