@@ -31,6 +31,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_sql_hbase_spark.catalog import ROW_KEY, TableSpec
 
@@ -39,7 +40,9 @@ _QUALIFIED = rf"{_IDENT}(?:\s*\.\s*{_IDENT})?"
 
 _INSERT_RE = re.compile(
     rf"^\s*insert\s+(?P<mode>into|overwrite)\s+(?:table\s+)?"
-    rf"(?P<target>{_QUALIFIED})\s*(?P<source>\(?\s*(?:values|select|with|from|table)\b.*)$",
+    rf"(?P<target>{_QUALIFIED})\s*"
+    rf"(?P<cols>\((?:[^()]|`[^`]*`)*\)\s*)??"
+    rf"(?P<source>\(?\s*(?:values|select|with|from|table)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_RE = re.compile(
@@ -156,10 +159,30 @@ class KeyedSqlRouter:
             return self.spark.sql(f"SELECT * FROM {src}")
         return self.spark.sql(src)
 
-    def _conform(self, df: DataFrame, spec: TableSpec) -> DataFrame:
+    def _conform(
+        self, df: DataFrame, spec: TableSpec, cols: str | None = None
+    ) -> DataFrame:
         """Positional column mapping, with or without an explicit row_key
         (the reference's VALUES lists always carry the key slot, which the
-        generator then overrides — ``README.md:58-66``)."""
+        generator then overrides — ``README.md:58-66``).  An explicit
+        ``(col, ...)`` list maps by the listed names instead — without it,
+        a column-list INSERT would fall through to Spark's parquet append
+        and silently bypass key generation and the key-sorted layout."""
+        if cols:
+            listed = [_unquote(c) for c in _split_top_level_commas(cols.strip()[1:-1])]
+            declared = set(spec.column_names())
+            unknown = [c for c in listed if c not in declared]
+            if unknown:
+                raise ValueError(
+                    f"INSERT column(s) {unknown} not in {spec.qualified_name} "
+                    f"schema {sorted(declared)}"
+                )
+            if len(listed) != len(df.columns):
+                raise ValueError(
+                    f"INSERT arity mismatch for {spec.qualified_name}: "
+                    f"{len(df.columns)} values for listed columns {listed}"
+                )
+            return df.toDF(*listed)
         names = [f.name for f in spec.schema().fields]
         if len(df.columns) == len(names):
             return df.toDF(*names)
@@ -178,7 +201,9 @@ class KeyedSqlRouter:
         if m:
             ns, name = _split_qualified(m.group("target"), self.spark)
             if self._is_keyed(ns, name):
-                return self._insert(ns, name, m.group("source"), m.group("mode"))
+                return self._insert(
+                    ns, name, m.group("source"), m.group("mode"), m.group("cols")
+                )
 
         m = _CREATE_RE.match(stmt)
         if m and _USING_KEYED_RE.search(m.group("rest")):
@@ -193,9 +218,16 @@ class KeyedSqlRouter:
 
         return self.spark.sql(statement)
 
-    def _insert(self, ns: str, name: str, source: str, mode: str) -> DataFrame:
+    def _insert(
+        self, ns: str, name: str, source: str, mode: str, cols: str | None = None
+    ) -> DataFrame:
         spec = self.store.registry.get(f"{ns}.{name}")
-        df = self._conform(self._source_df(source), spec)
+        df = self._conform(self._source_df(source), spec, cols)
+        # SQL semantics: unlisted columns are NULL (the store's conform
+        # select would otherwise fail on them; row_key is generator-filled)
+        for f in spec.schema().fields:
+            if f.name not in df.columns and f.name != ROW_KEY:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         self.store.insert(
             f"{ns}.{name}", df, overwrite=(mode.lower() == "overwrite")
         )
@@ -210,8 +242,6 @@ class KeyedSqlRouter:
         as_m = re.search(r"\bas\b\s*(?P<query>(?:select|with|from|table)\b.*)$",
                          rest, re.IGNORECASE | re.DOTALL)
         if as_m:  # CTAS — CreateHBaseTableAsSelectCommand.scala:18-88
-            from pyspark.sql import functions as F
-
             query = self.spark.sql(as_m.group("query").strip())
             cols = [(f.name, f.dataType.simpleString()) for f in query.schema.fields]
             spec = _spec_from_columns(ns, name, cols, options)

@@ -139,3 +139,22 @@ def test_sql_non_keyed_statements_pass_through(sql_session):
 
     with pytest.raises(pyspark.errors.exceptions.base.AnalysisException):
         sess.sql("insert into no_such_table values(1)")
+
+
+def test_sql_insert_with_column_list(sql_session):
+    """Column-list INSERT routes through the store (a passthrough would
+    append raw parquet and silently bypass key generation/sorting)."""
+    sess = sql_session
+    sess.sql(
+        "CREATE TABLE pw.cl (row_key string, `a:x` string, `a:y` long) "
+        "USING keyed OPTIONS (generator='sequence')"
+    )
+    sess.sql("insert into pw.cl (`a:y`, `a:x`) values(7, 'seven')")
+    sess.sql("insert into pw.cl (`a:x`) values('only-x')")
+    rows = {r.row_key: (r["a:x"], r["a:y"]) for r in
+            sess.sql("select * from pw.cl").collect()}
+    assert rows == {"0001": ("seven", 7), "0002": ("only-x", None)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in pw.cl"):
+        sess.sql("insert into pw.cl (`nope`) values('v')")
