@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from spark_sql_hbase_spark.functions.texthash import (
     SIMHASH_BITS,
     rolling_hash_sql,
+    shingles_sql,
     simhash_sql,
     stopword_count_sql,
     tokens_sql,
@@ -647,4 +648,51 @@ def z16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_doc",
         "last_doc",
         "docs_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# z17 — train/test decontamination: training docs sharing >= 3 distinct
+# 5-grams with the (deterministic) held-out eval slice. Eval index is
+# broadcast — the corpus side is never shuffled to find matches
+# (operators/decontam.py).
+# ---------------------------------------------------------------------------
+_DECON_N = 5
+_DECON_MIN = 3
+_DECON_EVAL = "doc_id % 29 = 0"
+
+@register(
+    "z17_decontamination",
+    oracle=f"""
+    WITH __sh AS (
+        SELECT doc_id, {shingles_sql(tokens_sql('text'), _DECON_N)} AS s
+        FROM documents
+    ), __inv AS (
+        SELECT doc_id, unnest(s) AS g FROM __sh
+    ), __pairs AS (
+        SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+               COUNT(*) AS n_shared
+        FROM (SELECT * FROM __inv WHERE NOT ({_DECON_EVAL})) tr
+        JOIN (SELECT * FROM __inv WHERE {_DECON_EVAL}) ev USING (g)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_DECON_MIN}
+    )
+    SELECT train_id,
+           COUNT(*) AS n_eval_docs,
+           CAST(SUM(n_shared) AS BIGINT) AS total_shared,
+           CAST(MAX(n_shared) AS BIGINT) AS max_shared
+    FROM __pairs
+    GROUP BY train_id
+    """,
+    description="n-gram-overlap decontamination vs a held-out eval slice "
+    "(broadcast eval inverted index)",
+)
+def z17_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.decontam import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 29) == 0
+    return decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text",
+        n=_DECON_N, min_overlap=_DECON_MIN,
     )
