@@ -177,8 +177,8 @@ def k03_sql_insert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WHERE c_name LIKE '%24%'
     """,
-    description="SQL CTAS into namespace + dot-qualified SELECT with LIKE "
-    "over a cf:qualifier column",
+    description="SQL CTAS into namespace + CACHE TABLE + dot-qualified "
+    "SELECT with LIKE over a cf:qualifier column",
 )
 def k04_namespace_ctas_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = _session(spark)
@@ -189,4 +189,11 @@ def k04_namespace_ctas_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       c_name AS `A:A_00` "
         "FROM __k04_customer"
     )
-    return sess.sql("select row_key, `A:A_00` from pw.test where `A:A_00` like '%24%'")
+    # caching surface (SURVEY §2.B): CACHE TABLE over the namespace-
+    # qualified keyed table; the readback below plans against the
+    # InMemoryRelation (cache stays hot for the session; a re-register
+    # of the table name drops it)
+    sess.sql("CACHE TABLE pw.test")
+    return sess.sql(
+        "select row_key, `A:A_00` from pw.test where `A:A_00` like '%24%'"
+    )

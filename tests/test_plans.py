@@ -166,9 +166,29 @@ def test_q37_multiformat_three_scans_no_join(spark, registry):
     assert len(re.findall(r"\(\d+\) Union", plan)) >= 1
 
 
-def test_k04_like_filter_pushes_into_keyed_scan(spark, registry):
-    """Dot-qualified SELECT over a keyed catalog table: the LIKE predicate
-    must reach the parquet scan as StringContains."""
+def test_k04_keyed_select_uses_cache_with_contains_filter(spark, registry):
+    """Dot-qualified SELECT over a keyed catalog table after CACHE TABLE:
+    the readback plans against the InMemoryRelation, with the LIKE
+    predicate applied as a Contains filter over the cached batches."""
     df = registry["k04_namespace_ctas_select"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan or "Scan In-memory" in plan, plan[:800]
+    assert "Contains" in plan, plan[:800]
+
+
+def test_k04_like_pushes_to_parquet_without_cache(spark, tmp_path):
+    """Same keyed catalog table, uncached: the LIKE predicate reaches the
+    parquet scan as StringContains (the 100 TB path — you don't cache a
+    100 TB table; pushdown carries the filter)."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    spark.range(100).selectExpr(
+        "format_string('%04d', id) AS row_key",
+        "concat('v_', id) AS `A:A_00`",
+    ).createOrReplaceTempView("__k04p_src")
+    sess.sql("CREATE TABLE pwp.t USING keyed AS SELECT * FROM __k04p_src")
+    df = sess.sql("select row_key, `A:A_00` from pwp.t where `A:A_00` like '%24%'")
     joined = " ".join(pushed_filters(df))
-    assert "StringContains" in joined or "Contains" in joined, joined
+    assert "StringContains" in joined, joined
+    sess.store.drop_table("pwp.t")
