@@ -204,6 +204,25 @@ class KeyedSqlRouter:
                 return self._insert(
                     ns, name, m.group("source"), m.group("mode"), m.group("cols")
                 )
+        elif re.match(r"^\s*insert\b", stmt, re.IGNORECASE):
+            # INSERT-shaped but unparseable: if it targets a keyed table,
+            # fail loudly — falling through would let Spark append raw
+            # parquet to the catalog table, silently bypassing row-key
+            # generation and the key-sorted layout.
+            tm = re.match(
+                rf"^\s*insert\s+(?:into|overwrite)\s+(?:table\s+)?"
+                rf"(?P<target>{_QUALIFIED})",
+                stmt,
+                re.IGNORECASE,
+            )
+            if tm:
+                ns, name = _split_qualified(tm.group("target"), self.spark)
+                if self._is_keyed(ns, name):
+                    raise ValueError(
+                        f"unsupported INSERT form for keyed table {ns}.{name}; "
+                        "use INSERT [INTO|OVERWRITE] <table> [(cols)] "
+                        "VALUES (...) | SELECT ..."
+                    )
 
         m = _CREATE_RE.match(stmt)
         if m and _USING_KEYED_RE.search(m.group("rest")):

@@ -158,3 +158,17 @@ def test_sql_insert_with_column_list(sql_session):
 
     with _pytest.raises(ValueError, match="not in pw.cl"):
         sess.sql("insert into pw.cl (`nope`) values('v')")
+
+
+def test_sql_unparseable_insert_on_keyed_table_fails_loudly(sql_session):
+    """An INSERT the router can't parse must never fall through to a raw
+    parquet append on a keyed table."""
+    sess = sql_session
+    sess.sql("CREATE TABLE pw.guard (row_key string, `cf:v` string) USING keyed")
+    with pytest.raises(ValueError, match="unsupported INSERT form"):
+        sess.sql("insert into pw.guard partition (x=1) values('a','b')")
+    # non-keyed unparseable inserts still pass through to Spark's own error
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.AnalysisException):
+        sess.sql("insert into nokeyed_tbl partition (x=1) values(1)")
