@@ -21,6 +21,15 @@ parquet table inside its namespace database (``pw.test`` resolves
 dot-qualified; ``SHOW DATABASES`` / ``SHOW TABLES`` list namespaces —
 reference ``HBaseSessionCatalog.scala:63-102``).
 
+Why not ``CREATE TABLE ... USING keyedtable`` (the Python DataSource) in
+the session catalog instead?  Tried: DDL works, but on ``INSERT INTO`` a
+catalog-backed Python DataSource writer receives an EMPTY options map
+(verified against pyspark 4.1 — ``DataSource.options`` is ``{}`` in the
+catalog write path, so the writer cannot locate its storage), and the
+write path would bypass row-key generation regardless.  External parquet
+catalog tables (read path, full pushdown, vectorized scan) + this router
+(write path, keyed semantics) cover both halves with stock Spark.
+
 Scale: routing is string-level and driver-side O(statement length); the
 data path of every routed statement is the store's range-partitioned,
 key-sorted bulk write — no per-row driver work.
