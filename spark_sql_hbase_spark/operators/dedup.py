@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import itertools
 import random
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,10 +33,15 @@ from pyspark.sql import functions as F
 from spark_sql_hbase_spark.functions.texthash import (
     MOD_P,
     SIMHASH_BITS,
+    TOKEN_SPLIT_RE,
     shingles,
     tokens,
     word_hash,
 )
+
+# Python twin of the JVM tokenizer split (parity pinned by
+# tests/test_properties.py::test_python_shingles_match_jvm)
+_TOKEN_RE = re.compile(TOKEN_SPLIT_RE)
 
 # Fixed seed → fixed permutation constants: results are reproducible run
 # to run and node to node.
@@ -251,49 +257,118 @@ def minhash_band_keys_arrow(
 
     def gen(batches):
         for pdf in batches:
-            lens = np.fromiter(
-                (len(s) for s in pdf["sh"]), dtype=np.int64, count=len(pdf)
+            shingle_lists = list(pdf["sh"])
+            out = _oph_band_keys_numpy(
+                pdf["id"].to_numpy(), shingle_lists, num_hashes, rows_per_band
             )
-            keep = lens > 0
-            ids = pdf["id"].to_numpy()[keep]
-            lens = lens[keep]
-            ndocs = len(ids)
-            if ndocs == 0:
-                continue
-            flat = list(
-                itertools.chain.from_iterable(s for s in pdf["sh"] if len(s) > 0)
-            )
-            hv = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
-            # ---- OPH scatter-min: one pass over shingle hashes ----
-            bins = (hv & bin_mask).astype(np.int64)
-            doc_idx = np.repeat(np.arange(ndocs), lens)
-            sig = np.full((ndocs, num_hashes), empty_v, dtype=np.uint64)
-            np.minimum.at(sig, (doc_idx, bins), hv)
-            # ---- densify empty bins: circular borrow from the left ----
-            filled = sig != empty_v
-            pos = np.where(filled, np.arange(num_hashes, dtype=np.int64), -1)
-            ff = np.maximum.accumulate(pos, axis=1)  # nearest filled ≤ j
-            src = np.where(ff >= 0, ff, ff[:, -1:])  # wrap: borrow from end
-            steps = (np.arange(num_hashes, dtype=np.int64) - src) % num_hashes
-            dense = np.take_along_axis(sig, src, axis=1)
-            # distance mix keeps borrowed slots distinct per distance
-            dense = dense ^ (steps.astype(np.uint64) * mix_mult)
-            # ---- band keys: mix rows_per_band consecutive slots ----
-            v = dense.reshape(ndocs, n_bands, rows_per_band)
-            acc = np.broadcast_to(
-                np.arange(n_bands, dtype=np.uint64), (ndocs, n_bands)
-            ).copy()
-            for r in range(rows_per_band):
-                acc = (acc ^ v[:, :, r]) * mix_mult
-                acc ^= acc >> np.uint64(31)
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(ids, n_bands),
-                    "band_key": acc.reshape(-1).view(np.int64),
-                }
-            )
+            if out is not None:
+                yield out
 
     return sets.mapInPandas(gen, f"id {id_type}, band_key bigint")
+
+
+def _oph_band_keys_numpy(ids_arr, shingle_lists, num_hashes, rows_per_band):
+    """Shared numpy core of the densified-OPH band-key computation (see
+    ``minhash_band_keys_arrow`` docstring). Returns a pandas DataFrame of
+    (id, band_key) or None for an empty batch."""
+    import numpy as np
+    import pandas as pd
+
+    n_bands = num_hashes // rows_per_band
+    bin_mask = np.uint64(num_hashes - 1)
+    assert num_hashes & (num_hashes - 1) == 0, "num_hashes must be a power of two"
+    mix_mult = np.uint64(0x9E3779B97F4A7C15)
+    empty_v = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    lens = np.fromiter(
+        (len(s) for s in shingle_lists), dtype=np.int64, count=len(shingle_lists)
+    )
+    keep = lens > 0
+    ids = ids_arr[keep]
+    lens = lens[keep]
+    ndocs = len(ids)
+    if ndocs == 0:
+        return None
+    flat = list(
+        itertools.chain.from_iterable(s for s in shingle_lists if len(s) > 0)
+    )
+    hv = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
+    # ---- OPH scatter-min: one pass over shingle hashes ----
+    bins = (hv & bin_mask).astype(np.int64)
+    doc_idx = np.repeat(np.arange(ndocs), lens)
+    sig = np.full((ndocs, num_hashes), empty_v, dtype=np.uint64)
+    np.minimum.at(sig, (doc_idx, bins), hv)
+    # ---- densify empty bins: circular borrow from the left ----
+    filled = sig != empty_v
+    pos = np.where(filled, np.arange(num_hashes, dtype=np.int64), -1)
+    ff = np.maximum.accumulate(pos, axis=1)  # nearest filled ≤ j
+    src = np.where(ff >= 0, ff, ff[:, -1:])  # wrap: borrow from end
+    steps = (np.arange(num_hashes, dtype=np.int64) - src) % num_hashes
+    dense = np.take_along_axis(sig, src, axis=1)
+    # distance mix keeps borrowed slots distinct per distance
+    dense = dense ^ (steps.astype(np.uint64) * mix_mult)
+    # ---- band keys: mix rows_per_band consecutive slots ----
+    v = dense.reshape(ndocs, n_bands, rows_per_band)
+    acc = np.broadcast_to(
+        np.arange(n_bands, dtype=np.uint64), (ndocs, n_bands)
+    ).copy()
+    for r in range(rows_per_band):
+        acc = (acc ^ v[:, :, r]) * mix_mult
+        acc ^= acc >> np.uint64(31)
+    return pd.DataFrame(
+        {
+            "id": np.repeat(ids, n_bands),
+            "band_key": acc.reshape(-1).view(np.int64),
+        }
+    )
+
+
+def _py_shingles(text: str, n: int) -> list:
+    """Python twin of ``texthash.tokens`` + ``texthash.shingles`` — MUST
+    produce byte-identical shingles (pinned by
+    ``test_python_shingles_match_jvm``): lowercase, split on
+    ``[^a-z0-9]+``, drop empties, distinct space-joined word n-grams in
+    first-occurrence order (order is irrelevant downstream: OPH hashes the
+    set)."""
+    toks = [t for t in _TOKEN_RE.split(text.lower()) if t]
+    if len(toks) < n:
+        return []
+    return list({" ".join(toks[i : i + n]): None for i in range(len(toks) - n + 1)})
+
+
+def minhash_band_keys_arrow_text(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band_key) straight from raw text: tokenize + shingle INSIDE the
+    Arrow pass, then the same densified-OPH core.
+
+    Skips both costs of the sets-based path: the interpreted JVM
+    shingle fold (HOF lambdas, no codegen) AND the Arrow transfer of the
+    per-document shingle arrays — only (id, text) crosses into Python.
+    Shingling here is plain Python over the batch; at ~100-token docs
+    that is microseconds per document, far under the JVM fold it
+    replaces. Candidate recall needs Python shingles == JVM shingles,
+    which the parity test pins; exactness of the final operator output
+    never depends on it (verification is exact JVM-side Jaccard)."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            shingle_lists = [_py_shingles(t, n) for t in pdf[text_col]]
+            out = _oph_band_keys_numpy(
+                pdf[id_col].to_numpy(), shingle_lists, num_hashes, rows_per_band
+            )
+            if out is not None:
+                yield out
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"id {id_type}, band_key bigint"
+    )
 
 
 def minhash_lsh_join(
@@ -305,6 +380,7 @@ def minhash_lsh_join(
     num_hashes: int = 128,
     rows_per_band: int = 4,
     vectorized: bool = True,
+    verify_scope: str = "corpus",
 ) -> DataFrame:
     """Approximate near-dup join: LSH candidates + exact verification.
 
@@ -323,24 +399,53 @@ def minhash_lsh_join(
     default threshold; pairs hovering exactly AT t=0.6 have ≈ 1% miss —
     callers needing the textbook 64×2 curve pass ``rows_per_band=2``.
 
-    ``vectorized=True`` computes signatures+band keys with the Arrow/numpy
-    OPH path (``minhash_band_keys_arrow``); ``False`` keeps the pure-JVM
+    ``vectorized=True`` computes band keys straight from text with the
+    Arrow/numpy OPH path (``minhash_band_keys_arrow_text`` — tokenize +
+    shingle + OPH in one Python pass; the interpreted JVM shingle fold is
+    OFF the banding path entirely); ``False`` keeps the pure-JVM
     expression fold (no Python workers in the plan).
+
+    ``verify_scope`` picks the shingle strategy, and the banding input
+    couples to it:
+
+    - ``"corpus"`` (default): one cached JVM shingle fold over the whole
+      input serves BOTH the band keys (Arrow OPH over the shingle
+      arrays) and both sides of the verify join — fewest jobs, no
+      redundant shingling.  Right when candidates touch a large fraction
+      of documents (boilerplate-heavy corpora — this engine's test set
+      has most docs in at least one candidate pair).
+    - ``"candidates"``: band keys come straight from text
+      (``minhash_band_keys_arrow_text`` — tokenize + shingle + OPH in
+      one Python pass, NO corpus-wide JVM fold anywhere), then the input
+      is semi-joined down to candidate doc ids and only those are
+      shingle-folded for exact verification.  Right for the common
+      web-scale case where candidates are a small percent of the corpus:
+      the O(corpus) interpreted fold disappears from the plan at the
+      cost of one broadcast of the candidate-id set.
+
+    Either way verification is exact JVM-side Jaccard, so the output
+    contract is identical (pinned by ``test_lsh_verify_scopes_agree``).
     """
-    sets = _shingle_sets(df, id_col, text_col, n).filter(F.size("sh") > 0).cache()
-    if vectorized:
-        bands = minhash_band_keys_arrow(sets, num_hashes, rows_per_band).cache()
+    if vectorized and verify_scope == "candidates":
+        bands = minhash_band_keys_arrow_text(
+            _parallelized(df), id_col, text_col, n, num_hashes, rows_per_band
+        ).cache()
+        sets_all = None
     else:
-        # one linear per-row expression: shingles → signature → band keys;
-        # each stage referenced once, no shuffle until the band equi-join
-        bands = sets.select(
-            "id",
-            F.explode(
-                band_keys_col(
-                    minhash_signature_col(F.col("sh"), num_hashes), rows_per_band
-                )
-            ).alias("band_key"),
-        ).cache()  # both self-join sides read this; don't run the fold twice
+        sets_all = _shingle_sets(df, id_col, text_col, n).filter(F.size("sh") > 0).cache()
+        if vectorized:
+            bands = minhash_band_keys_arrow(sets_all, num_hashes, rows_per_band).cache()
+        else:
+            # one linear per-row expression: shingles → signature → band
+            # keys; each stage referenced once, no shuffle until the join
+            bands = sets_all.select(
+                "id",
+                F.explode(
+                    band_keys_col(
+                        minhash_signature_col(F.col("sh"), num_hashes), rows_per_band
+                    )
+                ).alias("band_key"),
+            ).cache()  # both self-join sides read this; don't run the fold twice
     ba = bands.select(F.col("id").alias("id_a"), "band_key")
     bb = bands.select(F.col("id").alias("id_b"), "band_key")
     candidates = (
@@ -349,6 +454,19 @@ def minhash_lsh_join(
         .select("id_a", "id_b")
         .distinct()
     )
+    if sets_all is not None:
+        sets = sets_all
+    else:
+        candidates = candidates.cache()  # verify join + candidate-id set
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("cid"))
+            .union(candidates.select(F.col("id_b").alias("cid")))
+            .distinct()
+        )
+        cand_docs = df.join(
+            F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
+        )
+        sets = _shingle_sets(cand_docs, id_col, text_col, n)
     return _verify_jaccard(candidates, sets, threshold)
 
 

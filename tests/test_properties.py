@@ -290,3 +290,36 @@ def test_pack_plan_invariants(spark):
     assert all(r["seq_offset"] == 0 for r in b)
     # the oversized doc still gets a well-defined slot (straddles seqs)
     assert by_stream["c"][0]["seq_id"] == 0 and by_stream["c"][0]["seq_offset"] == 0
+
+
+def test_python_shingles_match_jvm(spark, sf_dir):
+    """LSH candidate recall depends on the Python shingle twin producing
+    the same shingle SETS as the JVM fold (verification exactness never
+    does — it is always JVM-side). Compare on the real documents table."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.dedup import _py_shingles, _shingle_sets
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    jvm = {
+        r["id"]: set(r["sh"])
+        for r in _shingle_sets(docs, "doc_id", "text", 3).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert set(_py_shingles(r["text"], 3)) == jvm[r["doc_id"]], r["doc_id"]
+
+
+def test_lsh_verify_scopes_agree(spark, sf_dir):
+    """corpus- and candidates-scoped verification produce the identical
+    exact result (and, because the Python shingle twin matches the JVM
+    fold, identical band keys → identical candidates)."""
+    from spark_sql_hbase_spark.operators.dedup import minhash_lsh_join
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = minhash_lsh_join(docs, "doc_id", "text", 0.6, 3, verify_scope="corpus")
+    b = minhash_lsh_join(docs, "doc_id", "text", 0.6, 3, verify_scope="candidates")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
