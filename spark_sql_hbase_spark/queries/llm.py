@@ -696,3 +696,30 @@ def z17_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text",
         n=_DECON_N, min_overlap=_DECON_MIN,
     )
+
+
+# ---------------------------------------------------------------------------
+# z18 — BM25 relevance scoring against a query term set (topical filter /
+# relevance weighting for curation). Query-term-filtered explode: the
+# shuffle carries only matching terms, never the corpus vocabulary
+# (operators/ranking.py).
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["stream", "window", "checkpoint"]
+
+@register(
+    "z18_bm25_scoring",
+    oracle="SELECT id AS doc_id, score FROM ({})".format(
+        __import__(
+            "spark_sql_hbase_spark.operators.ranking", fromlist=["bm25_sql"]
+        ).bm25_sql("documents", "doc_id", _TOK, _BM25_TERMS)
+    ),
+    description="Okapi BM25 scoring vs a fixed query term set (no UDF, "
+    "term-filtered explode)",
+)
+def z18_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.ranking import bm25_scores
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", "text", _BM25_TERMS).select(
+        F.col("id").alias("doc_id"), "score"
+    )
