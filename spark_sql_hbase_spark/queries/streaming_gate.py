@@ -182,3 +182,37 @@ def st03_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _one_batch_stream(spark, docs)
     out = _run_available_now(streaming_dedup(stream, watermark="1 hour"))
     return out.select("text_sha").distinct()
+
+
+# ---------------------------------------------------------------------------
+# z19 — stream-stream inner join (click→purchase attribution). With one
+# data micro-batch no click or purchase is ever late, so the emitted set
+# is exactly every pair satisfying the time-bounded join condition — a
+# plain self-join for the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "z19_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_ms(p.ts) AS purchase_ms,
+           epoch_ms(p.ts) - epoch_ms(c.ts) AS delay_ms,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+    description="stream-stream inner join with two watermarks + "
+    "time-bounded condition (bounded state), run to completion",
+)
+def z19_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        click_purchase_attribution,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    stream = _one_batch_stream(spark, ev)
+    return _run_available_now(click_purchase_attribution(stream, 10))

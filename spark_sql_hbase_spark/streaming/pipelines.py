@@ -206,3 +206,53 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def click_purchase_attribution(
+    events: DataFrame, window_minutes: int = 10
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to every click by
+    the same user within the preceding ``window_minutes``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so Spark can expire join state: click state is held for
+    ``window_minutes`` past the watermark, purchases match only against
+    retained clicks — state is O(events within the window), not O(stream).
+    That bounded-state shape is exactly what survives an unbounded 100 TB
+    /day stream; an unbounded condition would accumulate state forever.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{window_minutes} minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", f"{window_minutes} minutes")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_millis("purchase_ts").alias("purchase_ms"),
+        (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("delay_ms"),
+        F.round(F.col("purchase_value"), 4).alias("purchase_value"),
+    )
