@@ -323,3 +323,36 @@ def test_lsh_verify_scopes_agree(spark, sf_dir):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb and len(ra) > 0
+
+
+# -- sqlfront fuzz -----------------------------------------------------------
+_tricky_text = st.text(
+    alphabet="abyz 09(),.*=<>-_;|" + "selectvaluesinsertfromwher",
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_tricky_text, min_size=1, max_size=4))
+def test_sqlfront_insert_roundtrips_tricky_values(spark, tmp_path_factory, vals):
+    """VALUES payloads containing SQL keywords, parens, commas, and
+    operators survive the router byte-identically."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(
+        spark=spark, warehouse_dir=str(tmp_path_factory.mktemp("fuzz_wh"))
+    )
+    prev = spark.catalog.currentDatabase()
+    try:
+        sess.sql(
+            "CREATE TABLE fz.t (row_key string, `cf:v` string) "
+            "USING keyed OPTIONS (generator='sequence')"
+        )
+        lits = ", ".join("('k', '{}')".format(v.replace("'", "''")) for v in vals)
+        sess.sql(f"insert into fz.t values {lits}")
+        got = sorted(r["cf:v"] for r in sess.sql("select * from fz.t").collect())
+        assert got == sorted(vals)
+    finally:
+        spark.catalog.setCurrentDatabase(prev)
+        sess.store.drop_table("fz.t")
