@@ -554,3 +554,51 @@ def simhash_neardup(
         .select("id_a", "id_b", F.bit_count("x").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_lsh_join_incremental(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    n: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental near-dup join: match an incoming batch against an
+    existing corpus (the shape a daily ingest runs — dedup the delta, not
+    the world). Emits (id_new, id_corpus, jac) for pairs with exact
+    shingle-Jaccard ≥ ``threshold``.
+
+    Scale shape: BOTH sides band straight from text with the Python OPH
+    pass (``minhash_band_keys_arrow_text``) — no corpus-wide JVM fold
+    anywhere; the band equi-join shuffles (id, band_key) pairs only; the
+    exact-verification fold runs over candidate documents only (semi-join
+    on both sides). In production the corpus band index is written once
+    and reused across batches — recomputing it here keeps the operator
+    self-contained; the plan from a persisted index is the same join
+    minus the corpus banding stage.  Identifier spaces of ``new`` and
+    ``corpus`` must be disjoint (they are different tables in practice).
+    """
+    bn = minhash_band_keys_arrow_text(
+        _parallelized(new), id_col, text_col, n, num_hashes, rows_per_band
+    )
+    bc = minhash_band_keys_arrow_text(
+        _parallelized(corpus), id_col, text_col, n, num_hashes, rows_per_band
+    )
+    candidates = (
+        bn.select(F.col("id").alias("id_a"), "band_key")
+        .join(bc.select(F.col("id").alias("id_b"), "band_key"), "band_key")
+        .select("id_a", "id_b")
+        .distinct()
+        .cache()  # verify join + both candidate-id semi-joins
+    )
+    cand_a = candidates.select(F.col("id_a").alias("cid")).distinct()
+    cand_b = candidates.select(F.col("id_b").alias("cid")).distinct()
+    docs_a = new.join(F.broadcast(cand_a), F.col(id_col) == F.col("cid"), "left_semi")
+    docs_b = corpus.join(
+        F.broadcast(cand_b), F.col(id_col) == F.col("cid"), "left_semi"
+    )
+    sets = _shingle_sets(docs_a.unionByName(docs_b), id_col, text_col, n)
+    return _verify_jaccard(candidates, sets, threshold)

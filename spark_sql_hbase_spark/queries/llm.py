@@ -723,3 +723,49 @@ def z18_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, "doc_id", "text", _BM25_TERMS).select(
         F.col("id").alias("doc_id"), "score"
     )
+
+
+# ---------------------------------------------------------------------------
+# z20 — incremental near-dup dedup: an incoming batch (doc_id % 17 = 0)
+# matched against the existing corpus (the rest) — the daily-ingest shape:
+# dedup the delta, not the world. Text-direct OPH banding on BOTH sides,
+# exact verification on candidates only (operators/dedup.py::
+# minhash_lsh_join_incremental).
+# ---------------------------------------------------------------------------
+_INC_NEW = "doc_id % 17 = 0"
+
+@register(
+    "z20_incremental_neardup",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT doc_id, {_TOK} AS t FROM documents
+    ), __sh AS (
+        SELECT doc_id, {{sh}} AS s FROM __tok
+    ), __sizes AS (
+        SELECT doc_id, len(s) AS n FROM __sh WHERE len(s) > 0
+    ), __inv AS (
+        SELECT doc_id, unnest(s) AS g FROM __sh
+    ), __pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM __inv a JOIN __inv b ON a.g = b.g
+        WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 <> 0
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) AS jac
+    FROM __pairs
+    JOIN __sizes na ON id_a = na.doc_id
+    JOIN __sizes nb ON id_b = nb.doc_id
+    WHERE ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) >= {JACCARD_T}
+    """.format(sh=shingles_sql("t", SHINGLE_N)),
+    description="incremental LSH near-dup: incoming batch vs corpus, "
+    "text-direct banding both sides, candidate-only verification",
+)
+def z20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.dedup import minhash_lsh_join_incremental
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 17) == 0
+    return minhash_lsh_join_incremental(
+        docs.filter(is_new), docs.filter(~is_new), "doc_id", "text", JACCARD_T, SHINGLE_N
+    )
