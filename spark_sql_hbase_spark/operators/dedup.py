@@ -602,3 +602,69 @@ def minhash_lsh_join_incremental(
     )
     sets = _shingle_sets(docs_a.unionByName(docs_b), id_col, text_col, n)
     return _verify_jaccard(candidates, sets, threshold)
+
+
+def persist_band_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_name: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 4,
+    buckets: int = 32,
+) -> None:
+    """Build and persist the corpus LSH band index as a BUCKETED table on
+    ``band_key`` (``table_name`` in the session catalog).
+
+    This is the production half of incremental dedup: the corpus index is
+    built ONCE (text-direct OPH banding — one Arrow pass over the corpus)
+    and every subsequent delta join reads it bucket-aligned, so the big
+    side never reshuffles — only the incoming batch's (id, band_key)
+    pairs exchange (see ``test_band_index_join_reuses_buckets``).
+    """
+    bands = minhash_band_keys_arrow_text(
+        _parallelized(corpus), id_col, text_col, n, num_hashes, rows_per_band
+    )
+    (
+        bands.write.mode("overwrite")
+        .bucketBy(buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(table_name)
+    )
+
+
+def minhash_lsh_join_against_index(
+    new: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    n: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental near-dup join against a PREBUILT band index (see
+    :func:`persist_band_index`): bands the delta only, equi-joins against
+    the index, verifies candidates exactly.  Output contract identical to
+    :func:`minhash_lsh_join_incremental` (pinned by
+    ``test_band_index_join_matches_direct``)."""
+    bn = minhash_band_keys_arrow_text(
+        _parallelized(new), id_col, text_col, n, num_hashes, rows_per_band
+    )
+    candidates = (
+        bn.select(F.col("id").alias("id_a"), "band_key")
+        .join(index.select(F.col("id").alias("id_b"), "band_key"), "band_key")
+        .select("id_a", "id_b")
+        .distinct()
+        .cache()
+    )
+    cand_a = candidates.select(F.col("id_a").alias("cid")).distinct()
+    cand_b = candidates.select(F.col("id_b").alias("cid")).distinct()
+    docs_a = new.join(F.broadcast(cand_a), F.col(id_col) == F.col("cid"), "left_semi")
+    docs_b = corpus.join(
+        F.broadcast(cand_b), F.col(id_col) == F.col("cid"), "left_semi"
+    )
+    sets = _shingle_sets(docs_a.unionByName(docs_b), id_col, text_col, n)
+    return _verify_jaccard(candidates, sets, threshold)

@@ -192,3 +192,64 @@ def test_k04_like_pushes_to_parquet_without_cache(spark, tmp_path):
     joined = " ".join(pushed_filters(df))
     assert "StringContains" in joined, joined
     sess.store.drop_table("pwp.t")
+
+
+def test_band_index_join_reuses_buckets(spark):
+    """The persisted LSH band index is bucketed on band_key: the
+    candidate equi-join must NOT exchange the index side — only the
+    incoming batch's band keys shuffle."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.operators.dedup import (
+        minhash_band_keys_arrow_text,
+        persist_band_index,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    docs = qtable(spark, SF, "documents")
+    is_new = (F2.col("doc_id") % 17) == 0
+    spark.sql("DROP TABLE IF EXISTS band_idx_t")
+    loc = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "") + "/band_idx_t"
+    shutil.rmtree(loc, ignore_errors=True)
+    persist_band_index(docs.filter(~is_new), "doc_id", "text", "band_idx_t", buckets=8)
+
+    bn = minhash_band_keys_arrow_text(docs.filter(is_new), "doc_id", "text")
+    joined = bn.withColumnRenamed("id", "id_a").join(
+        spark.table("band_idx_t").withColumnRenamed("id", "id_b"), "band_key"
+    )
+    plan = formatted_plan(joined)
+    # exactly ONE exchange: the new-batch side; the bucketed index side
+    # is read pre-partitioned
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "Scan parquet spark_catalog.default.band_idx_t" in plan
+
+
+def test_band_index_join_matches_direct(spark):
+    """Index-backed incremental join == direct incremental join."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.operators.dedup import (
+        minhash_lsh_join_against_index,
+        minhash_lsh_join_incremental,
+        persist_band_index,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    docs = qtable(spark, SF, "documents")
+    is_new = (F2.col("doc_id") % 17) == 0
+    new, corpus = docs.filter(is_new), docs.filter(~is_new)
+    spark.sql("DROP TABLE IF EXISTS band_idx_eq")
+    loc = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "") + "/band_idx_eq"
+    shutil.rmtree(loc, ignore_errors=True)
+    persist_band_index(corpus, "doc_id", "text", "band_idx_eq", buckets=8)
+    via_index = minhash_lsh_join_against_index(
+        new, spark.table("band_idx_eq"), corpus, "doc_id", "text"
+    )
+    direct = minhash_lsh_join_incremental(new, corpus, "doc_id", "text")
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
