@@ -131,3 +131,34 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), rolling_hash(tokens(F.col(text_col))).alias("fp")
     )
+
+
+def vocabulary(
+    df: DataFrame, text_col: str, top_k: int = 1000, min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary with counts — the tokenizer-training prep step
+    (top-V candidate list for BPE/unigram training, OOV-rate studies).
+
+    Plan: tokenize once per doc (single-reference), explode, one
+    map-side-combined count per term, top-k via TakeOrdered (no global
+    sort).  The shuffle carries (term, partial_count) pairs — at 100 TB
+    that is the corpus VOCABULARY (Heaps-law sublinear), not the corpus;
+    per-executor partial maps keep hot terms combined before exchange.
+    Deterministic tiebreak: count desc, then term asc.
+    """
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    from pyspark.sql import Window as W
+
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(top_k)
+    # rank assignment runs over the ≤ top_k surviving rows only
+    return top.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("n").desc(), F.col("term"))).cast("int"),
+    )

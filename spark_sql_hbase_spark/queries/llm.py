@@ -769,3 +769,29 @@ def z20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_join_incremental(
         docs.filter(is_new), docs.filter(~is_new), "doc_id", "text", JACCARD_T, SHINGLE_N
     )
+
+
+# ---------------------------------------------------------------------------
+# z21 — corpus vocabulary with counts (tokenizer-training prep): explode →
+# map-side-combined term counts → top-k, deterministic tiebreak
+# (operators/text.py::vocabulary).
+# ---------------------------------------------------------------------------
+@register(
+    "z21_vocabulary_topk",
+    oracle=f"""
+    WITH __t AS (
+        SELECT unnest({_TOK}) AS term FROM documents
+    ), __c AS (
+        SELECT term, COUNT(*) AS n FROM __t GROUP BY 1
+    )
+    SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS rank
+    FROM __c
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+    description="corpus vocabulary top-50 with counts (tokenizer prep, "
+    "map-side-combined, TakeOrdered)",
+)
+def z21_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.vocabulary(docs, "text", top_k=50)
