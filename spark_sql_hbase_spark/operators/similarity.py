@@ -229,3 +229,105 @@ def embedding_neardup(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def squared_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_step(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration: assign every vector to its nearest centroid
+    (squared L2, deterministic tiebreak on cluster_id), recompute
+    centroids. This is the index-construction primitive behind a real IVF
+    quantizer — iterate to convergence by feeding the output back in.
+
+    ``centroids``: (cluster_id, cv: array<double>) — small, broadcast.
+    Returns long-format (cluster_id, dim, centroid, n_members): one row
+    per centroid dimension — scalar columns, so the result is
+    hashable/oracle-comparable (no array cells).
+
+    Scale shape: assignment is a broadcast nested-loop over K centroids —
+    O(n·K·dim) compute, NO shuffle of vectors; the only exchange is the
+    map-side-combined per-(cluster, dim) average, whose cardinality is
+    K·dim regardless of corpus size. Distances are rounded before the
+    argmin so the assignment decision is reproducible cross-engine.
+    """
+    # Centroids are bounded MODEL STATE (K·dim values), not data: fold
+    # them into the assignment expression as literals, so assignment is a
+    # pure per-row computation — no join, no shuffle of vectors, and the
+    # argmin happens inside one projection.
+    cent = centroids.select("cluster_id", "cv").collect()
+    v = vectors.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("ev")
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                F.round(
+                    squared_l2(
+                        F.col("ev"), F.array(*[F.lit(float(x)) for x in row["cv"]])
+                    ),
+                    round_to,
+                ).alias("d2"),
+                F.lit(row["cluster_id"]).alias("cluster_id"),
+            )
+            for row in cent
+        ]
+    )
+    assigned = v.select(
+        F.array_min(cands)["cluster_id"].alias("cluster_id"), "ev"
+    )
+    dims = assigned.select(
+        "cluster_id", F.posexplode("ev").alias("pos", "val")
+    )
+    return dims.groupBy("cluster_id", (F.col("pos") + 1).cast("int").alias("dim")).agg(
+        F.round(F.avg("val"), round_to).alias("centroid"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def kmeans(
+    vectors: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Iterated Lloyd: k deterministic seeds (lowest ids), ``n_iter``
+    steps of :func:`kmeans_step`. Returns the final long-format
+    centroids.
+
+    The driver loop carries MODEL STATE only (K·dim floats collected per
+    round); the data passes never loop — each iteration is one scan +
+    one K·dim aggregation, the same shape Spark MLlib's KMeans executes
+    per step. Empty clusters keep their previous centroid (standard
+    Lloyd convention)."""
+    cent = vectors.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cluster_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    prev = {r["cluster_id"]: list(r["cv"]) for r in cent.collect()}
+    for _ in range(n_iter):
+        step = kmeans_step(vectors, cent, id_col, vec_col)
+        rows = step.collect()
+        new = dict(prev)
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], []).append((r["dim"], r["centroid"]))
+        for cid, dims in by_cluster.items():
+            new[cid] = [v for _, v in sorted(dims)]
+        prev = new
+        cent = vectors.sparkSession.createDataFrame(
+            [(cid, cv) for cid, cv in sorted(prev.items())],
+            "cluster_id long, cv array<double>",
+        )
+    return kmeans_step(vectors, cent, id_col, vec_col)

@@ -795,3 +795,50 @@ def z20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def z21_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.vocabulary(docs, "text", top_k=50)
+
+
+# ---------------------------------------------------------------------------
+# z22 — one k-means Lloyd step over the embeddings (IVF quantizer
+# construction primitive; feed the output back in to iterate). Assignment
+# is a pure projection against literal centroids — no join, no vector
+# shuffle; the only exchange carries K x dim partial averages
+# (operators/similarity.py::kmeans_step).
+# ---------------------------------------------------------------------------
+_KM_K = 4
+
+@register(
+    "z22_kmeans_step",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cluster_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {_KM_K}
+    ), v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), d AS (
+        SELECT vec_id, cluster_id,
+               ROUND(list_sum([ (ev[i] - cv[i]) ^ 2 for i in range(1, 65) ]), 6) AS d2
+        FROM v, c
+    ), a AS (
+        SELECT vec_id, cluster_id
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn FROM d)
+        WHERE rn = 1
+    )
+    SELECT a.cluster_id,
+           CAST(t.i AS INTEGER) AS dim,
+           ROUND(AVG(ev[t.i]), 6) AS centroid,
+           COUNT(*) AS n_members
+    FROM a JOIN v USING (vec_id), range(1, 65) t(i)
+    GROUP BY 1, 2
+    """,
+    description="k-means Lloyd step: literal-centroid assignment (no "
+    "shuffle of vectors) + K x dim centroid recompute",
+)
+def z22_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.similarity import _to_double, kmeans_step
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"), _to_double(F.col("embedding")).alias("cv")
+    )
+    return kmeans_step(emb, cent, "vec_id", "embedding")

@@ -356,3 +356,50 @@ def test_sqlfront_insert_roundtrips_tricky_values(spark, tmp_path_factory, vals)
     finally:
         spark.catalog.setCurrentDatabase(prev)
         sess.store.drop_table("fz.t")
+
+
+def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
+    """Lloyd's algorithm: total within-cluster squared distance is
+    non-increasing across iterations (checked over the real embeddings)."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        kmeans_step,
+        squared_l2,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def centroids_df(rows):
+        by_c: dict = {}
+        for r in rows:
+            by_c.setdefault(r["cluster_id"], []).append((r["dim"], r["centroid"]))
+        data = [(cid, [v for _, v in sorted(d)]) for cid, d in sorted(by_c.items())]
+        return spark.createDataFrame(data, "cluster_id long, cv array<double>")
+
+    def inertia(cent):
+        lits = [
+            F.struct(
+                F.round(
+                    squared_l2(F.col("ev"), F.array(*[F.lit(x) for x in r["cv"]])), 6
+                ).alias("d2"),
+                F.lit(r["cluster_id"]).alias("cluster_id"),
+            )
+            for r in cent.collect()
+        ]
+        v = emb.select(_to_double(F.col("embedding")).alias("ev"))
+        return v.select(
+            F.array_min(F.array(*lits))["d2"].alias("d2")
+        ).agg(F.sum("d2")).collect()[0][0]
+
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster_id"), _to_double(F.col("embedding")).alias("cv")
+    )
+    scores = [inertia(cent)]
+    for _ in range(3):
+        cent = centroids_df(kmeans_step(emb, cent).collect())
+        scores.append(inertia(cent))
+    assert all(b <= a + 1e-6 for a, b in zip(scores, scores[1:])), scores
+    assert scores[-1] < scores[0]
