@@ -403,3 +403,51 @@ def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
         scores.append(inertia(cent))
     assert all(b <= a + 1e-6 for a, b in zip(scores, scores[1:])), scores
     assert scores[-1] < scores[0]
+
+
+def test_learned_ivf_cells_give_useful_recall(spark, sf_dir):
+    """End-to-end IVF construction: k-means-learned cells (z22 operator)
+    replace the precomputed label column, and partitioned ANN over the
+    learned cells recovers a solid fraction of the brute-force top-5.
+    (Recall < 1 is expected — single-probe IVF misses cross-cell
+    neighbors; the point is the learned quantizer plugs into the same
+    partitioned operator.)"""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        cosine_topk,
+        kmeans,
+        partitioned_ann_topk,
+        squared_l2,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    final = kmeans(emb, k=4, n_iter=3).collect()
+    by_c: dict = {}
+    for r in final:
+        by_c.setdefault(r["cluster_id"], []).append((r["dim"], r["centroid"]))
+    cent = [(cid, [v for _, v in sorted(d)]) for cid, d in sorted(by_c.items())]
+
+    ev = _to_double(F.col("embedding"))
+    lits = [
+        F.struct(
+            F.round(squared_l2(ev, F.array(*[F.lit(x) for x in cv])), 6).alias("d2"),
+            F.lit(cid).alias("cluster_id"),
+        )
+        for cid, cv in cent
+    ]
+    cells = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_min(F.array(*lits))["cluster_id"].alias("cell"),
+    )
+
+    queries = cells.filter(F.col("vec_id") < 8)
+    approx = partitioned_ann_topk(cells, queries, "vec_id", "embedding", "cell", k=5)
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", 5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.4, recall
