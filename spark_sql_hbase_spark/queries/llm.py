@@ -612,7 +612,7 @@ def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 2048
 
 @register(
-    "z16_sequence_packing",
+    "p02_sequence_packing",
     oracle=f"""
     WITH __tok AS (
         SELECT source, doc_id, {_WS_TOKENS} AS n_tokens FROM documents
@@ -662,7 +662,7 @@ _DECON_MIN = 3
 _DECON_EVAL = "doc_id % 29 = 0"
 
 @register(
-    "z17_decontamination",
+    "d08_decontamination",
     oracle=f"""
     WITH __sh AS (
         SELECT doc_id, {shingles_sql(tokens_sql('text'), _DECON_N)} AS s
@@ -735,7 +735,7 @@ def z18_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_NEW = "doc_id % 17 = 0"
 
 @register(
-    "z20_incremental_neardup",
+    "d09_incremental_neardup",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id, {_TOK} AS t FROM documents

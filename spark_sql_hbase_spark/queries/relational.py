@@ -291,7 +291,7 @@ def z06_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q09 — ROLLUP with NULL-indicator-free output (COALESCE to 'ALL').
 # ---------------------------------------------------------------------------
 @register(
-    "q09_rollup",
+    "z23_rollup",
     oracle=f"""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -754,7 +754,7 @@ def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q23 — ranking family: rank / dense_rank / ntile with deterministic order.
 # ---------------------------------------------------------------------------
 @register(
-    "q23_ranking",
+    "z24_ranking",
     oracle="""
     SELECT c_custkey, c_nationkey,
            CAST(rank() OVER w AS INTEGER) AS rnk,
@@ -1336,7 +1336,7 @@ def r01_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # independent — the property a custom distributed aggregate must have.
 # ---------------------------------------------------------------------------
 @register(
-    "q43_pandas_udaf_xor",
+    "z25_pandas_udaf_xor",
     oracle="""
     SELECT event_type,
            bit_xor(event_id) AS xor_ids,
