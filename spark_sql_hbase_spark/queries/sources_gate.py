@@ -1,4 +1,4 @@
-"""Source-format gate query: CSV, JSON, and ORC round-trips in one gate.
+"""Source-format gate query: CSV, JSON, ORC, and XML round-trips in one gate.
 
 SURVEY §2.B's "Scans/sources" row inherits ALL Spark file sources
 (reference registers the stock `FileSourceStrategy` /
@@ -6,9 +6,9 @@ SURVEY §2.B's "Scans/sources" row inherits ALL Spark file sources
 of the query packs exercise parquet and the custom ``keyedtable``
 DataSource. This gate covers the remaining text + columnar formats by
 ROUND-TRIP: rewrite a projection of ``lineitem`` through each format, read
-it back, aggregate, union the three tagged results — so the oracle (DuckDB
+it back, aggregate, union the tagged results — so the oracle (DuckDB
 over the original parquet) checks writer AND reader value fidelity for all
-three formats in one driver row (merged round-1 q37/q38/q39 so the whole
+four formats in one driver row (merged round-1 q37/q38/q39 so the whole
 family carries driver signal inside the 50-entry window).
 
 Fidelity notes per format:
@@ -21,10 +21,12 @@ Fidelity notes per format:
 - **JSON** (JSON-lines): same textual-number argument; schema is supplied
   on read (inference would widen types).
 - **ORC** is fully typed — timestamps included to prove it.
+- **XML** (Spark 4 built-in source): text-typed like CSV/JSON — same
+  shortest-roundtrip double argument; schema supplied on read.
 
 Scale: a round-trip gate is IO-shaped like a real ingest (write N rows,
 read N rows, one map-side-combined agg per format); nothing here is
-driver-side, and the three branches share nothing, so they pipeline as
+driver-side, and the branches share nothing, so they pipeline as
 independent stages.
 """
 
@@ -55,10 +57,18 @@ _ORACLE = " UNION ALL ".join(
         ("csv", "CAST(NULL AS VARCHAR)"),
         ("json", "CAST(NULL AS VARCHAR)"),
         ("orc", "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')"),
+        ("xml", "CAST(NULL AS VARCHAR)"),
     ]
 )
 
 _COLS = ["l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"]
+
+
+_FMT_OPTS = {
+    "csv": {"header": "true"},
+    # XML is native in Spark 4 (built-in spark-xml); rowTag is mandatory
+    "xml": {"rootTag": "rows", "rowTag": "row"},
+}
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, with_ts: bool) -> DataFrame:
@@ -66,9 +76,10 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, with_ts: bool) -> Dat
         *_COLS, *(["l_shipdate"] if with_ts else [])
     )
     out = os.path.join(tempfile.mkdtemp(prefix=f"src_gate_{fmt}_"), "data")
-    li.write.format(fmt).option("header", "true").mode("overwrite").save(out)
+    opts = _FMT_OPTS.get(fmt, {})
+    li.write.format(fmt).options(**opts).mode("overwrite").save(out)
     # explicit schema on read: inference would widen/reorder types
-    return spark.read.format(fmt).schema(li.schema).option("header", "true").load(out)
+    return spark.read.format(fmt).schema(li.schema).options(**opts).load(out)
 
 
 def _branch(spark: SparkSession, sf_dir: str, fmt: str, with_ts: bool) -> DataFrame:
@@ -93,12 +104,14 @@ def _branch(spark: SparkSession, sf_dir: str, fmt: str, with_ts: bool) -> DataFr
 @register(
     "q37_multiformat_roundtrip",
     oracle=_ORACLE,
-    description="CSV + JSON + ORC write→read round-trips, tagged aggregate "
-    "fidelity union (ORC branch proves typed timestamps)",
+    description="CSV + JSON + ORC + XML write→read round-trips, tagged "
+    "aggregate fidelity union (ORC branch proves typed timestamps; XML is "
+    "Spark 4's built-in source)",
 )
 def q37_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _branch(spark, sf_dir, "csv", with_ts=False)
         .unionAll(_branch(spark, sf_dir, "json", with_ts=False))
         .unionAll(_branch(spark, sf_dir, "orc", with_ts=True))
+        .unionAll(_branch(spark, sf_dir, "xml", with_ts=False))
     )
