@@ -172,3 +172,22 @@ def test_sql_unparseable_insert_on_keyed_table_fails_loudly(sql_session):
 
     with pytest.raises(pyspark.errors.exceptions.base.AnalysisException):
         sess.sql("insert into nokeyed_tbl partition (x=1) values(1)")
+
+
+def test_analyze_and_describe_keyed_catalog_table(sql_session):
+    """Keyed tables are real session-catalog entries: ANALYZE TABLE
+    computes CBO stats and DESCRIBE EXTENDED surfaces them (the stats
+    feed Catalyst's join-size estimates at planning time)."""
+    sess = sql_session
+    sess.sql("CREATE TABLE pw.stats_t (row_key string, `cf:v` long) USING keyed")
+    sess.sql(
+        "insert into pw.stats_t select format_string('%04d', id), id * 3 "
+        "from range(100)"
+    )
+    sess.sql("ANALYZE TABLE pw.stats_t COMPUTE STATISTICS")
+    rows = sess.sql("DESCRIBE TABLE EXTENDED pw.stats_t").collect()
+    stats = [r for r in rows if r.col_name == "Statistics"]
+    assert stats and "100 rows" in stats[0].data_type, stats
+    # DESCRIBE shows the cf:qualifier columns
+    cols = {r.col_name for r in rows}
+    assert {"row_key", "cf:v"} <= cols, cols
