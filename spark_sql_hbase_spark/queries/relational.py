@@ -239,6 +239,12 @@ def z05_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="window row_number top-3 per group over pre-aggregated revenue",
 )
 def q07_topk_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan note: aggregate-then-window = two shuffles of (suppkey,partkey)
+    # aggregates. In THIS synthetic data the pairs are ~unique (591k
+    # groups from 600k rows at sf0.1), so partial aggregation barely
+    # reduces and a single repartition(suppkey) would be locally faster —
+    # but at a real TPC-H distribution (~7.5 rows/pair) the partial agg
+    # shrinks BOTH shuffles ~7×, which is the 100 TB-correct trade.
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey", "l_partkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
