@@ -77,8 +77,27 @@ def _parallelized(df: DataFrame) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     # decide from the scan's file list — probing df.rdd would force the
     # whole plan through the RDD conversion path on every call
-    n_files = len(df.inputFiles())
-    if 0 < n_files >= target:
+    files = df.inputFiles()
+    if not files:
+        return df  # non-file input: partitioning is the source's business
+    if len(files) >= target:
+        return df
+    # few files can still mean many partitions: Spark splits by
+    # maxPartitionBytes. Only repartition when the byte math says the scan
+    # really is under-parallelized (the small-single-file case).
+    import os as _os
+
+    try:
+        total = sum(
+            _os.path.getsize(f.removeprefix("file:")) for f in files
+        )
+        max_pb = int(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .removesuffix("b")
+        )
+    except (OSError, ValueError):
+        return df.repartition(target)
+    if max(len(files), -(-total // max_pb)) >= target:
         return df
     return df.repartition(target)
 
@@ -330,6 +349,8 @@ def _py_shingles(text: str, n: int) -> list:
     ``[^a-z0-9]+``, drop empties, distinct space-joined word n-grams in
     first-occurrence order (order is irrelevant downstream: OPH hashes the
     set)."""
+    if not isinstance(text, str) or not text:
+        return []  # NULL / NaN text: no shingles, same as the JVM path
     toks = [t for t in _TOKEN_RE.split(text.lower()) if t]
     if len(toks) < n:
         return []
@@ -426,6 +447,14 @@ def minhash_lsh_join(
     Either way verification is exact JVM-side Jaccard, so the output
     contract is identical (pinned by ``test_lsh_verify_scopes_agree``).
     """
+    if verify_scope not in ("corpus", "candidates"):
+        raise ValueError(f"verify_scope must be corpus|candidates, got {verify_scope!r}")
+    if verify_scope == "candidates" and not vectorized:
+        raise ValueError(
+            "verify_scope='candidates' requires vectorized=True: the JVM "
+            "band path computes the corpus-wide shingle fold anyway, so "
+            "candidate-scoped verification would be a lie there"
+        )
     if vectorized and verify_scope == "candidates":
         bands = minhash_band_keys_arrow_text(
             _parallelized(df), id_col, text_col, n, num_hashes, rows_per_band
@@ -600,7 +629,8 @@ def minhash_lsh_join_incremental(
     docs_b = corpus.join(
         F.broadcast(cand_b), F.col(id_col) == F.col("cid"), "left_semi"
     )
-    sets = _shingle_sets(docs_a.unionByName(docs_b), id_col, text_col, n)
+    # cached: _verify_jaccard consumes sets on BOTH join sides
+    sets = _shingle_sets(docs_a.unionByName(docs_b), id_col, text_col, n).cache()
     return _verify_jaccard(candidates, sets, threshold)
 
 
@@ -666,5 +696,6 @@ def minhash_lsh_join_against_index(
     docs_b = corpus.join(
         F.broadcast(cand_b), F.col(id_col) == F.col("cid"), "left_semi"
     )
-    sets = _shingle_sets(docs_a.unionByName(docs_b), id_col, text_col, n)
+    # cached: _verify_jaccard consumes sets on BOTH join sides
+    sets = _shingle_sets(docs_a.unionByName(docs_b), id_col, text_col, n).cache()
     return _verify_jaccard(candidates, sets, threshold)

@@ -49,13 +49,18 @@ def pack_plan(
     tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     w = W.partitionBy(stream_col).orderBy(order_col)
     offset = (F.sum(tok).over(w) - tok).cast("long")
-    return docs.select(
+    base = docs.select(
         F.col(stream_col),
         F.col(order_col),
         tok.cast("long").alias("n_tokens"),
         offset.alias("offset"),
-        (offset / budget).cast("long").alias("seq_id"),
-        (offset % budget).cast("long").alias("seq_offset"),
+    )
+    # integer `div`, not double `/`: float division loses exactness once a
+    # stream's cumulative token count passes 2^53 — real at corpus scale
+    return base.select(
+        "*",
+        F.expr(f"offset div {int(budget)}").alias("seq_id"),
+        F.expr(f"offset % {int(budget)}").alias("seq_offset"),
     )
 
 

@@ -312,8 +312,14 @@ def kmeans(
     one K·dim aggregation, the same shape Spark MLlib's KMeans executes
     per step. Empty clusters keep their previous centroid (standard
     Lloyd convention)."""
-    cent = vectors.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cluster_id"), _to_double(F.col(vec_col)).alias("cv")
+    # k lowest ids, whatever the id type — filter(id < k) would under-seed
+    # 1-based ids and break entirely on string ids
+    cent = (
+        vectors.orderBy(F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cluster_id"), _to_double(F.col(vec_col)).alias("cv")
+        )
     )
     prev = {r["cluster_id"]: list(r["cv"]) for r in cent.collect()}
     for _ in range(n_iter):
@@ -326,8 +332,9 @@ def kmeans(
         for cid, dims in by_cluster.items():
             new[cid] = [v for _, v in sorted(dims)]
         prev = new
+        id_type = vectors.schema[id_col].dataType.simpleString()
         cent = vectors.sparkSession.createDataFrame(
             [(cid, cv) for cid, cv in sorted(prev.items())],
-            "cluster_id long, cv array<double>",
+            f"cluster_id {id_type}, cv array<double>",
         )
     return kmeans_step(vectors, cent, id_col, vec_col)

@@ -254,9 +254,14 @@ class KeyedTableStore:
         path = self.table_path(spec)
         qual = f"`{spec.namespace}`.`{spec.name}`"
         if self._catalog_paths.get(spec.qualified_name) == path:
-            # already registered by this store — just invalidate metadata
-            self.spark.sql(f"REFRESH TABLE {qual}")
-            return
+            # already registered by this store — just invalidate metadata;
+            # if someone dropped the catalog entry out from under us,
+            # fall through and re-register (self-heal)
+            try:
+                self.spark.sql(f"REFRESH TABLE {qual}")
+                return
+            except Exception:
+                self._catalog_paths.pop(spec.qualified_name, None)
         ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in spec.schema().fields
         )

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from spark_sql_hbase_spark.catalog import ROW_KEY, TableSpec
 
 _IDENT = r"(?:`[^`]+`|[A-Za-z_][\w]*)"
-_QUALIFIED = rf"{_IDENT}(?:\s*\.\s*{_IDENT})?"
+_QUALIFIED = rf"{_IDENT}(?:\s*\.\s*{_IDENT}){{0,2}}"
 
 _INSERT_RE = re.compile(
     rf"^\s*insert\s+(?P<mode>into|overwrite)\s+(?:table\s+)?"
@@ -74,12 +74,18 @@ def _unquote(ident: str) -> str:
 
 
 def _split_qualified(target: str, spark: SparkSession) -> tuple[str, str]:
-    """``ns.table`` → (ns, table); bare names resolve against the current
-    database (the reference's ``use pw`` flow, ``README.md:55``)."""
-    parts = [p for p in re.split(r"\s*\.\s*", target.strip()) if p]
+    """``[catalog.]ns.table`` → (ns, table); bare names resolve against
+    the current database (the reference's ``use pw`` flow,
+    ``README.md:55``).  A leading session-catalog qualifier is dropped so
+    ``spark_catalog.pw.t`` routes identically to ``pw.t`` — otherwise a
+    3-part target would evade keyed routing and fall through to a raw
+    parquet append."""
+    parts = [_unquote(p) for p in re.split(r"\s*\.\s*", target.strip()) if p]
+    if len(parts) == 3:
+        parts = parts[1:]  # drop the catalog qualifier
     if len(parts) == 2:
-        return _unquote(parts[0]), _unquote(parts[1])
-    return spark.catalog.currentDatabase(), _unquote(parts[0])
+        return parts[0], parts[1]
+    return spark.catalog.currentDatabase(), parts[0]
 
 
 def _split_top_level_commas(s: str) -> list[str]:
@@ -234,8 +240,17 @@ class KeyedSqlRouter:
                     )
 
         m = _CREATE_RE.match(stmt)
-        if m and _USING_KEYED_RE.search(m.group("rest")):
-            return self._create(m)
+        if m:
+            rest = m.group("rest")
+            # only the DDL clause before any `AS <query>` counts — a query
+            # string merely CONTAINING the words "using keyed" must not
+            # hijack a stock-Spark CTAS
+            as_m = re.search(
+                r"\bas\b\s*(?:select|with|from|table)\b", rest, re.IGNORECASE
+            )
+            ddl_clause = rest[: as_m.start()] if as_m else rest
+            if _USING_KEYED_RE.search(ddl_clause):
+                return self._create(m)
 
         m = _DROP_RE.match(stmt)
         if m:

@@ -451,3 +451,37 @@ def test_learned_ivf_cells_give_useful_recall(spark, sf_dir):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.4, recall
+
+
+def test_lsh_text_paths_tolerate_null_text(spark):
+    """NULL / empty text rows must not crash the text-direct banding
+    paths (review finding r2): they contribute no shingles, like the JVM
+    fold."""
+    from spark_sql_hbase_spark.operators.dedup import minhash_lsh_join
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_join(
+        df, "doc_id", "text", 0.5, 3, verify_scope="candidates"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_kmeans_seeds_lowest_ids_not_id_lt_k(spark):
+    """Seeding takes the k lowest ids — 1-based id spaces must still get
+    k seeds (review finding r2)."""
+    import random
+
+    from spark_sql_hbase_spark.operators.similarity import kmeans
+
+    rng = random.Random(7)
+    rows = [(i + 1, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans(df, k=3, n_iter=2).collect()
+    clusters = {r["cluster_id"] for r in out}
+    assert clusters == {1, 2, 3}, clusters  # the three lowest (1-based) ids

@@ -191,3 +191,32 @@ def test_analyze_and_describe_keyed_catalog_table(sql_session):
     # DESCRIBE shows the cf:qualifier columns
     cols = {r.col_name for r in rows}
     assert {"row_key", "cf:v"} <= cols, cols
+
+
+def test_sql_catalog_qualified_insert_routes_to_store(sql_session):
+    """3-part targets (spark_catalog.ns.t) must route through the store,
+    not fall through to a raw parquet append (review finding r2)."""
+    sess = sql_session
+    sess.sql(
+        "CREATE TABLE pw.cq (row_key string, `cf:v` string) "
+        "USING keyed OPTIONS (generator='sequence')"
+    )
+    sess.sql("insert into spark_catalog.pw.cq values('0000', 'three-part')")
+    rows = sess.sql("select * from spark_catalog.pw.cq").collect()
+    # generator key proves the store path ran (raw append would keep '0000')
+    assert [(r.row_key, r["cf:v"]) for r in rows] == [("0001", "three-part")]
+
+
+def test_sql_ctas_query_containing_using_keyed_text_not_hijacked(sql_session):
+    """A stock-Spark CTAS whose QUERY TEXT contains the words 'using
+    keyed' must pass through untouched (review finding r2)."""
+    sess = sql_session
+    sess.sql("DROP TABLE IF EXISTS default.notes_t")
+    sess.sql(
+        "CREATE TABLE default.notes_t AS SELECT 'docs about using keyed tables' AS note"
+    )
+    rows = sess.sql("SELECT note FROM default.notes_t").collect()
+    # column NOT renamed to cf:note, no row_key injected → not keyed-routed
+    assert [r.note for r in rows] == ["docs about using keyed tables"]
+    assert not sess.store.registry.exists("default.notes_t")
+    sess.sql("DROP TABLE IF EXISTS default.notes_t")
