@@ -485,3 +485,55 @@ def test_kmeans_seeds_lowest_ids_not_id_lt_k(spark):
     out = kmeans(df, k=3, n_iter=2).collect()
     clusters = {r["cluster_id"] for r in out}
     assert clusters == {1, 2, 3}, clusters  # the three lowest (1-based) ids
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """nprobe=2 over kmeans-learned cells recovers at least as many
+    brute-force top-5 neighbors as nprobe=1, and strictly more than half."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        cosine_topk,
+        kmeans,
+        multiprobe_ann_topk,
+        squared_l2,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    final = kmeans(emb, k=4, n_iter=3).collect()
+    by_c: dict = {}
+    for r in final:
+        by_c.setdefault(r["cluster_id"], []).append((r["dim"], r["centroid"]))
+    cent = [(cid, [v for _, v in sorted(d)]) for cid, d in sorted(by_c.items())]
+
+    ev = _to_double(F.col("embedding"))
+    lits = [
+        F.struct(
+            F.round(squared_l2(ev, F.array(*[F.lit(x) for x in cv])), 6).alias("d2"),
+            F.lit(cid).alias("cell"),
+        )
+        for cid, cv in cent
+    ]
+    cells = emb.select(
+        "vec_id", "embedding", F.array_min(F.array(*lits))["cell"].alias("cell")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", 5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in multiprobe_ann_topk(
+                cells, queries, cent, "vec_id", "embedding", "cell", 5, nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, (r1, r2)
+    assert r2 > 0.5, (r1, r2)
