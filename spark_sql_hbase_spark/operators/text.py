@@ -162,3 +162,30 @@ def vocabulary(
         "rank",
         F.row_number().over(W.orderBy(F.col("n").desc(), F.col("term"))).cast("int"),
     )
+
+
+# -- PII detection / redaction ----------------------------------------------
+# Conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB): plain character classes, no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+}
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII hit counts + redacted text length — the standard
+    pre-training scrub step (detect, count for audit, strip).
+
+    Pure JVM regexp expressions (regexp_count / regexp_replace), one
+    projection — no shuffle, no UDF; the per-source audit rollup
+    downstream is a map-side-combined aggregate.
+    """
+    cols = [F.col(id_col), F.col(text_col)]
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, f"<{name}>")
+    cols.append(F.length(red).alias("redacted_len"))
+    return df.select(*cols)

@@ -842,3 +842,58 @@ def z22_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster_id"), _to_double(F.col("embedding")).alias("cv")
     )
     return kmeans_step(emb, cent, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# z26 — PII detection + redaction audit (operators/text.py::pii_scan).
+# The synthetic corpus has no PII, so the gate injects deterministic
+# markers (same expression in both engines) before scanning — the
+# detection/redaction plumbing is what's under test.
+# ---------------------------------------------------------------------------
+_PII_AUG = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user42@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' host 192.168.1.100 up' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567 today' ELSE '' END"
+)
+
+@register(
+    "z26_pii_scan",
+    oracle=r"""
+    WITH __aug AS (
+        SELECT doc_id, {aug} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS INTEGER)
+               AS n_email,
+           CAST(len(regexp_extract_all(t,
+               '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}')) AS INTEGER)
+               AS n_ip,
+           CAST(len(regexp_extract_all(t,
+               '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS INTEGER) AS n_phone,
+           CAST(length(
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<email>', 'g'),
+                   '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}', '<ip>', 'g'),
+                   '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<phone>', 'g')
+           ) AS INTEGER) AS redacted_len
+    FROM __aug
+    WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0
+    """.format(aug=_PII_AUG),
+    description="PII detect + redact audit (regexp_count/replace, no UDF) "
+    "over deterministically injected markers",
+)
+def z26_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_AUG).alias("t"))
+    scanned = text.pii_scan(aug, "doc_id", "t")
+    return scanned.filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0)
+        | (F.col("doc_id") % 13 == 0)
+    ).select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.col("redacted_len").cast("int").alias("redacted_len"),
+    )
