@@ -189,3 +189,42 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         red = F.regexp_replace(red, pat, f"<{name}>")
     cols.append(F.length(red).alias("redacted_len"))
     return df.select(*cols)
+
+
+def quality_mix_plan(
+    df: DataFrame,
+    stream_col: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Data-mix planning: bucket documents into per-stream quality
+    deciles and emit the (stream, decile) manifest a mixture sampler
+    draws from — counts and whitespace-token budgets per bucket.
+
+    One window (ntile over the per-stream quality order, deterministic
+    doc-id tiebreak) + one map-side-combined aggregate.  At 100 TB the
+    window partitions by stream (bounded cardinality); the manifest is
+    streams × buckets rows regardless of corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
+    scored = df.select(
+        F.col(stream_col),
+        F.col(id_col),
+        quality_expr(text_col, tokens(F.col(text_col))).alias("quality"),
+        ws_token_count(text_col).alias("n_tokens"),
+    )
+    w = W.partitionBy(stream_col).orderBy(F.col("quality"), F.col(id_col))
+    return (
+        scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy(stream_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+            F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+        )
+    )

@@ -897,3 +897,36 @@ def z26_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_phone",
         F.col("redacted_len").cast("int").alias("redacted_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z27 — data-mix planning: per-stream quality deciles with doc counts and
+# token budgets — the manifest a mixture sampler draws from
+# (operators/text.py::quality_mix_plan).
+# ---------------------------------------------------------------------------
+@register(
+    "z27_quality_mix_plan",
+    oracle=f"""
+    WITH __m AS (
+        SELECT d.source, q.doc_id, q.quality,
+               {_WS_TOKENS.replace("text", "d.text")} AS n_tokens,
+               ntile(10) OVER (
+                   PARTITION BY d.source ORDER BY q.quality, q.doc_id
+               ) AS bucket
+        FROM ({_QUALITY_ORACLE}) q JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(bucket AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(quality), 6) AS min_quality,
+           ROUND(MAX(quality), 6) AS max_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+    FROM __m
+    GROUP BY 1, 2
+    """,
+    description="per-stream quality-decile manifest (ntile + rollup) for "
+    "mixture sampling",
+)
+def z27_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.quality_mix_plan(docs, "source", "doc_id", "text", 10)
