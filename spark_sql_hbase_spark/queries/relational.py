@@ -499,24 +499,69 @@ def z07_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q16 — approximate distinct (HLL++). Sketches are engine-specific, so no
-# value oracle — the driver records a rows-only check (expected).
+# q16 — approximate distinct (HLL++) + quantile sketch, SELF-VALIDATING.
+#
+# Sketch outputs are engine-specific, so the raw sketch values cannot be
+# value-oracled against DuckDB. Instead the query emits the EXACT per-group
+# values alongside booleans asserting the sketches sit inside their error
+# bounds; the DuckDB twin computes the same exact values and literal TRUEs.
+# Both HLL++ and the Greenwald-Khanna-style quantile sketch are deterministic
+# functions of the data, so the booleans are stable run-to-run and the row is
+# fully hash-matchable — this asserts the sketches' error bounds instead of
+# ignoring them:
+#   * parts_ok/orders_ok: |approx - exact| / exact <= 0.05 (sketch built at
+#     rsd=0.02, checked at 2.5 sigma).
+#   * p50_ok/p95_ok: the sketch quantile lies between the exact interpolated
+#     percentiles at a +/-2%-rank band (sketch rank error is 1/accuracy =
+#     0.1%, so the band has 20x headroom; a data value at rank r in
+#     [p-0.001, p+0.001] is always within [pct_cont(p-0.02), pct_cont(p+0.02)]
+#     because order statistics are monotone in rank).
+# Reference parity: approx aggregates are part of the inherited Spark SQL
+# surface the reference session exposes (HBaseSessionStateBuilder.scala:101).
 # ---------------------------------------------------------------------------
 @register(
     "q16_approx_distinct",
-    oracle=None,
-    description="approx_count_distinct (HLL++) + percentile_approx (KLL-style "
-    "quantile sketch) — engine-specific sketches, rows-only check. Quantiles "
-    "are projected as scalar p50/p95 columns (the driver's rows-only digest "
-    "cannot hash array cells).",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_ok,
+           TRUE AS orders_ok,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="approx_count_distinct (HLL++) + percentile_approx sketches, "
+    "validated in-query against exact values (error-bound booleans); the "
+    "oracle twin computes the exact values and literal TRUEs.",
 )
 def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_price_p50"),
-        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("approx_price_p95"),
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_ao"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("_p95"),
+        F.percentile("l_extendedprice", 0.48).alias("_p48"),
+        F.percentile("l_extendedprice", 0.52).alias("_p52"),
+        F.percentile("l_extendedprice", 0.93).alias("_p93"),
+        F.percentile("l_extendedprice", 0.97).alias("_p97"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("_ap") - F.col("exact_parts")) / F.col("exact_parts") <= F.lit(0.05)
+        ).alias("parts_ok"),
+        (
+            F.abs(F.col("_ao") - F.col("exact_orders")) / F.col("exact_orders") <= F.lit(0.05)
+        ).alias("orders_ok"),
+        ((F.col("_p50") >= F.col("_p48")) & (F.col("_p50") <= F.col("_p52"))).alias("p50_ok"),
+        ((F.col("_p95") >= F.col("_p93")) & (F.col("_p95") <= F.col("_p97"))).alias("p95_ok"),
     )
 
 
