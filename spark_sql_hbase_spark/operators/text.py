@@ -197,18 +197,45 @@ def quality_mix_plan(
     id_col: str,
     text_col: str,
     n_buckets: int = 10,
+    boundaries: str = "approx",
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Data-mix planning: bucket documents into per-stream quality
     deciles and emit the (stream, decile) manifest a mixture sampler
     draws from — counts and whitespace-token budgets per bucket.
 
-    One window (ntile over the per-stream quality order, deterministic
-    doc-id tiebreak) + one map-side-combined aggregate.  At 100 TB the
-    window partitions by stream (bounded cardinality); the manifest is
-    streams × buckets rows regardless of corpus size.
-    """
-    from pyspark.sql import Window as W
+    Scale-safe plan (NO window): per-stream decile *boundaries* via one
+    map-side-combined percentile aggregate, broadcast back (streams x
+    (n_buckets-1) doubles), bucket by range comparison — one aggregate +
+    one projection + one final rollup.  The round-2 ntile version sorted
+    every document of a stream through ONE task (per-stream global sort);
+    at 100 TB a single web-crawl stream is most of the corpus, so that
+    shape is a scale-killer.  This one never sorts: the boundary pass is
+    a sketch aggregate and the bucket pass is a row-local projection.
 
+    Bucket rule (deterministic, right-closed): bucket = 1 + #{i :
+    quality > b_i} over boundaries b_1..b_{n_buckets-1}, i.e. bucket i
+    covers (b_{i-1}, b_i] — a doc exactly AT a boundary falls in the
+    LOWER bucket.  Ties share a bucket (value-based, no id tiebreak), so
+    bucket sizes are approximately n/n_buckets rather than ntile-exact;
+    empty buckets are simply absent from the manifest.
+
+    boundaries="approx" (default, the 100 TB path): boundaries from
+    percentile_approx (Greenwald-Khanna sketch, map-side combined,
+    bounded memory).  boundaries="exact": ANSI percentile_disc ==
+    DuckDB quantile_disc, bit-reproducible by an external oracle, but
+    memory-bound by distinct quality values per stream; used by the z27
+    gate so DuckDB can compute the twin.  Both modes pick boundaries
+    that are actual DATA VALUES (disc / sketch), never interpolated:
+    percentile_cont-style interpolation differs by 1 ulp between
+    engines, and a doc whose quality sits exactly at a boundary then
+    flips buckets (observed at sf0.1).  Both modes share the exact same
+    plan shape (aggregate -> broadcast join -> projection -> rollup);
+    only the boundary aggregate differs.
+
+    The source is scanned twice (boundary pass + bucket pass) — cache
+    the scored frame upstream if the quality expression is hot.
+    """
     from spark_sql_hbase_spark.functions.texthash import tokens
 
     scored = df.select(
@@ -217,9 +244,39 @@ def quality_mix_plan(
         quality_expr(text_col, tokens(F.col(text_col))).alias("quality"),
         ws_token_count(text_col).alias("n_tokens"),
     )
-    w = W.partitionBy(stream_col).orderBy(F.col("quality"), F.col(id_col))
+    if boundaries == "approx":
+        ps = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+        bounds = scored.groupBy(stream_col).agg(
+            F.percentile_approx("quality", ps, F.lit(accuracy)).alias("_bs")
+        )
+    elif boundaries == "exact":
+        aggs = [
+            F.expr(
+                f"percentile_disc({i / n_buckets}) WITHIN GROUP (ORDER BY quality)"
+            ).alias(f"_b{i}")
+            for i in range(1, n_buckets)
+        ]
+        bounds = scored.groupBy(stream_col).agg(*aggs).select(
+            stream_col,
+            F.array(*[F.col(f"_b{i}") for i in range(1, n_buckets)]).alias("_bs"),
+        )
+    else:
+        raise ValueError(f"boundaries must be 'approx' or 'exact', got {boundaries!r}")
+    # _bs is an aggregate output (a materialized row value, not an
+    # inlinable derived-array expression), so per-item references below
+    # are plain GetArrayItem reads — the single-reference HOF discipline
+    # does not apply across the aggregation barrier.
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + (F.col("quality") > F.col("_bs")[i]).cast("int")
     return (
-        scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+        scored.join(F.broadcast(bounds), stream_col)
+        .select(
+            F.col(stream_col),
+            F.col("quality"),
+            F.col("n_tokens"),
+            bucket.cast("int").alias("bucket"),
+        )
         .groupBy(stream_col, "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

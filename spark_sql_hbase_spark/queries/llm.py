@@ -903,30 +903,47 @@ def z26_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # z27 — data-mix planning: per-stream quality deciles with doc counts and
 # token budgets — the manifest a mixture sampler draws from
 # (operators/text.py::quality_mix_plan).
+#
+# Scale-safe shape (round 3): decile BOUNDARIES via a percentile aggregate,
+# broadcast back, bucket by range comparison — no per-stream global sort /
+# ntile window anywhere (tests/test_plans.py pins the window-free plan).
+# The gate runs boundaries="exact" (ANSI percentile_disc == DuckDB
+# quantile_disc — boundaries are actual data values, bit-identical across
+# engines; interpolated percentile_cont differs by 1 ulp and flips docs that
+# sit exactly on a boundary); production default is the percentile_approx
+# sketch with the identical plan shape.
 # ---------------------------------------------------------------------------
+_Z27_BOUNDS = ",\n               ".join(
+    f"quantile_disc(quality, {i / 10}) AS b{i}" for i in range(1, 10)
+)
+_Z27_BUCKET = " + ".join(f"CAST(m.quality > b.b{i} AS INTEGER)" for i in range(1, 10))
+
+
 @register(
     "z27_quality_mix_plan",
     oracle=f"""
     WITH __m AS (
         SELECT d.source, q.doc_id, q.quality,
-               {_WS_TOKENS.replace("text", "d.text")} AS n_tokens,
-               ntile(10) OVER (
-                   PARTITION BY d.source ORDER BY q.quality, q.doc_id
-               ) AS bucket
+               {_WS_TOKENS.replace("text", "d.text")} AS n_tokens
         FROM ({_QUALITY_ORACLE}) q JOIN documents d USING (doc_id)
+    ), __b AS (
+        SELECT source,
+               {_Z27_BOUNDS}
+        FROM __m
+        GROUP BY source
     )
-    SELECT source,
-           CAST(bucket AS INTEGER) AS bucket,
+    SELECT m.source,
+           CAST(1 + {_Z27_BUCKET} AS INTEGER) AS bucket,
            COUNT(*) AS n_docs,
-           ROUND(MIN(quality), 6) AS min_quality,
-           ROUND(MAX(quality), 6) AS max_quality,
-           CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
-    FROM __m
+           ROUND(MIN(m.quality), 6) AS min_quality,
+           ROUND(MAX(m.quality), 6) AS max_quality,
+           CAST(SUM(m.n_tokens) AS BIGINT) AS bucket_tokens
+    FROM __m m JOIN __b b USING (source)
     GROUP BY 1, 2
     """,
-    description="per-stream quality-decile manifest (ntile + rollup) for "
-    "mixture sampling",
+    description="per-stream quality-decile manifest via broadcast boundary "
+    "bucketing (no window) for mixture sampling",
 )
 def z27_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return text.quality_mix_plan(docs, "source", "doc_id", "text", 10)
+    return text.quality_mix_plan(docs, "source", "doc_id", "text", 10, boundaries="exact")

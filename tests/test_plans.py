@@ -253,3 +253,33 @@ def test_band_index_join_matches_direct(spark):
     assert sorted(map(tuple, via_index.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_z27_mix_plan_has_no_window(spark, registry):
+    """Round-2 weak finding: per-stream ntile funneled every document of a
+    stream through ONE task.  The round-3 shape computes broadcast decile
+    boundaries and buckets by range comparison — no Window operator may
+    appear in either boundary mode, and the boundary side must broadcast."""
+    from spark_sql_hbase_spark.operators.text import quality_mix_plan
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    docs = qtable(spark, SF, "documents")
+    for mode in ("exact", "approx"):
+        plan = formatted_plan(
+            quality_mix_plan(docs, "source", "doc_id", "text", 10, boundaries=mode)
+        )
+        assert "Window" not in plan, (mode, plan)
+        assert "BroadcastHashJoin" in plan, (mode, plan)
+
+
+def test_z27_approx_matches_exact_at_test_scale(spark):
+    """At test scale the GK sketch (accuracy=10000) is exact, so the
+    production approx path must produce the identical manifest to the
+    oracle-checked exact path."""
+    from spark_sql_hbase_spark.operators.text import quality_mix_plan
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    docs = qtable(spark, SF, "documents")
+    ex = quality_mix_plan(docs, "source", "doc_id", "text", 10, boundaries="exact")
+    ap = quality_mix_plan(docs, "source", "doc_id", "text", 10, boundaries="approx")
+    assert sorted(map(tuple, ex.collect())) == sorted(map(tuple, ap.collect()))
