@@ -197,3 +197,44 @@ def k04_namespace_ctas_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.sql(
         "select row_key, `A:A_00` from pw.test where `A:A_00` like '%24%'"
     )
+
+
+# ---------------------------------------------------------------------------
+# k05 — SQL schema evolution over a keyed table (reference
+# HBaseExternalCatalog.scala:69 alterTable / :72 alterTableDataSchema):
+# CREATE ... USING keyed, INSERT, ALTER TABLE ADD COLUMNS (metadata-only —
+# existing parquet files are NOT rewritten; the widened scan reads the new
+# qualifier back as NULL), INSERT into the widened schema, readback.
+# ---------------------------------------------------------------------------
+@register(
+    "k05_sql_alter_add_columns",
+    oracle="""
+    SELECT printf('%04d', row_number() OVER (ORDER BY n_name)) AS row_key,
+           n_name AS "cf:name",
+           CAST(NULL AS BIGINT) AS "cf:region"
+    FROM nation
+    UNION ALL
+    SELECT printf('%04d', (SELECT COUNT(*) FROM nation)
+                          + row_number() OVER (ORDER BY n_name)),
+           n_name,
+           CAST(n_regionkey AS BIGINT)
+    FROM nation
+    """,
+    description="ALTER TABLE ADD COLUMNS schema evolution: pre-ALTER rows "
+    "read the new qualifier as NULL (no data rewrite), post-ALTER INSERT "
+    "fills it",
+)
+def k05_sql_alter_add_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = _session(spark)
+    table(spark, sf_dir, "nation").createOrReplaceTempView("__k05_nation")
+    sess.sql(
+        "CREATE TABLE pw.evolve (row_key string, `cf:name` string) "
+        "USING keyed OPTIONS (generator='sequence')"
+    )
+    sess.sql("insert into pw.evolve select n_name from __k05_nation order by n_name")
+    sess.sql("ALTER TABLE pw.evolve ADD COLUMNS (`cf:region` bigint)")
+    sess.sql(
+        "insert into pw.evolve (`cf:name`, `cf:region`) "
+        "select n_name, CAST(n_regionkey AS BIGINT) from __k05_nation order by n_name"
+    )
+    return sess.sql("select row_key, `cf:name`, `cf:region` from pw.evolve")

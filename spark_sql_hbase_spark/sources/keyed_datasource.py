@@ -219,7 +219,14 @@ class KeyedTableReader(DataSourceReader):
         ``Result.getValue`` loop)."""
         import pyarrow.dataset as ds
 
-        dataset = ds.dataset(partition.path, format="parquet")
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        # scan against the DECLARED schema, not the file's: after ALTER
+        # TABLE ADD COLUMNS, pre-ALTER region files lack the new qualifier
+        # and the dataset fills it with nulls (parquet schema evolution)
+        dataset = ds.dataset(
+            partition.path, format="parquet", schema=to_arrow_schema(self.schema)
+        )
         scanner = dataset.scanner(
             columns=[f.name for f in self.schema.fields],
             filter=self._arrow_filter(),

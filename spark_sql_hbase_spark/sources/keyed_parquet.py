@@ -109,6 +109,63 @@ class KeyedTableStore:
     def exists(self, qualified_name: str) -> bool:
         return self.registry.exists(qualified_name)
 
+    # -- ALTER surface (reference: HBaseExternalCatalog.scala:34 alterDatabase,
+    # :69 alterTable, :72 alterTableDataSchema) ---------------------------
+    def alter_table_add_columns(
+        self, qualified_name: str, cols: list[tuple[str, str]]
+    ) -> None:
+        """ADD COLUMNS schema evolution (reference ``alterTableDataSchema``,
+        ``HBaseExternalCatalog.scala:72`` — add a qualifier to a family).
+
+        Registry-first and data-free: the new ``cf:qualifier`` merges into
+        the spec's families; existing parquet files simply lack the column
+        and the spec-schema scan reads it back as NULL (parquet schema
+        evolution), so NO data rewrite happens — at 100 TB an ADD COLUMNS
+        is a metadata-only operation.  The session-catalog table is
+        re-registered with the widened DDL (drop/recreate of the external
+        entry; the files never move)."""
+        spec = self.registry.get(qualified_name)
+        for col, typ in cols:
+            if col == ROW_KEY:
+                raise ValueError(f"cannot ADD COLUMNS the key column {ROW_KEY!r}")
+            cf, _, qual = col.partition(":")
+            if not qual:
+                cf, qual = "cf", col
+            if qual in spec.families.get(cf, {}):
+                raise TableAlreadyExistsError(
+                    f"column {cf}:{qual} already exists in {qualified_name}"
+                )
+            spec.families.setdefault(cf, {})[qual] = typ
+        self.registry.register(spec)
+        # force a full catalog re-register (the cached-path fast path would
+        # otherwise just REFRESH the old DDL)
+        if hasattr(self, "_catalog_paths"):
+            self._catalog_paths.pop(qualified_name, None)
+        self._register_view(spec)
+
+    def alter_table_set_properties(
+        self, qualified_name: str, props: dict[str, str]
+    ) -> None:
+        """Table property update (reference ``alterTable``,
+        ``HBaseExternalCatalog.scala:69`` — metadata-only)."""
+        spec = self.registry.get(qualified_name)
+        spec.properties.update(props)
+        self.registry.register(spec)
+
+    def alter_namespace(self, ns: str, props: dict[str, str]) -> None:
+        """Namespace property update (reference ``alterDatabase``,
+        ``HBaseExternalCatalog.scala:34``)."""
+        if not os.path.isdir(os.path.join(self.warehouse_dir, ns)):
+            raise TableNotFoundError(f"namespace not found: {ns}")
+        if not hasattr(self, "_namespace_props"):
+            self._namespace_props: dict[str, dict[str, str]] = {}
+        self._namespace_props.setdefault(ns, {}).update(props)
+        kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+        self.spark.sql(f"ALTER DATABASE `{ns}` SET DBPROPERTIES ({kv})")
+
+    def namespace_properties(self, ns: str) -> dict[str, str]:
+        return dict(getattr(self, "_namespace_props", {}).get(ns, {}))
+
     def tables(self, namespace: str | None = None) -> list[str]:
         return self.registry.tables(namespace)
 

@@ -8,8 +8,10 @@ The reference injects ``HBaseStrategies`` into the session state so that
 (``execution/CreateHBaseTableAsSelectCommand.scala:18-88``).  PySpark cannot
 inject Catalyst strategies, so the same dispatch happens one level up: the
 session front-end recognizes the handful of statement shapes that must hit
-the keyed store (INSERT, CREATE TABLE, CTAS, DROP TABLE, CREATE/DROP
-DATABASE over *registered keyed tables*) and routes them through
+the keyed store — INSERT, CREATE TABLE ... USING keyed, CTAS, DROP TABLE,
+ALTER TABLE ADD COLUMNS / SET TBLPROPERTIES, ALTER DATABASE SET
+DBPROPERTIES, and DROP DATABASE over namespaces holding *registered keyed
+tables* — and routes them through
 :class:`~spark_sql_hbase_spark.sources.keyed_parquet.KeyedTableStore`; every
 other statement — SELECT, SHOW, USE, EXPLAIN, and all DML over non-keyed
 tables — passes through to Spark untouched, exactly as the reference keeps
@@ -63,6 +65,27 @@ _DROP_RE = re.compile(
     rf"^\s*drop\s+table\s+(?P<ie>if\s+exists\s+)?(?P<target>{_QUALIFIED})\s*$",
     re.IGNORECASE,
 )
+_ALTER_TABLE_RE = re.compile(
+    rf"^\s*alter\s+table\s+(?P<target>{_QUALIFIED})\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ADD_COLUMNS_RE = re.compile(
+    r"^add\s+columns?\s*\((?P<body>.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_SET_TBLPROPS_RE = re.compile(
+    r"^set\s+tblproperties\s*\((?P<body>.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_ALTER_DB_RE = re.compile(
+    rf"^\s*alter\s+(?:database|schema|namespace)\s+(?P<ns>{_IDENT})\s+"
+    r"set\s+(?:dbproperties|properties)\s*\((?P<body>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_DB_RE = re.compile(
+    rf"^\s*drop\s+(?:database|schema|namespace)\s+(?P<ie>if\s+exists\s+)?"
+    rf"(?P<ns>{_IDENT})\s*(?P<cascade>cascade|restrict)?\s*$",
+    re.IGNORECASE,
+)
+_PROP_KV_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
 _USING_KEYED_RE = re.compile(r"\busing\s+keyed(?:table)?\b", re.IGNORECASE)
 _OPTIONS_RE = re.compile(r"\boptions\s*\(", re.IGNORECASE)
 _OPTION_KV_RE = re.compile(r"(\w+)\s*=\s*'([^']*)'")
@@ -76,13 +99,18 @@ def _unquote(ident: str) -> str:
 def _split_qualified(target: str, spark: SparkSession) -> tuple[str, str]:
     """``[catalog.]ns.table`` → (ns, table); bare names resolve against
     the current database (the reference's ``use pw`` flow,
-    ``README.md:55``).  A leading session-catalog qualifier is dropped so
+    ``README.md:55``).  A leading SESSION-catalog qualifier is dropped so
     ``spark_catalog.pw.t`` routes identically to ``pw.t`` — otherwise a
     3-part target would evade keyed routing and fall through to a raw
-    parquet append."""
+    parquet append.  A non-session catalog qualifier is kept as part of
+    the namespace, so ``othercat.pw.t`` can never shadow the keyed
+    ``pw.t`` — it falls through to Spark's own catalog resolution."""
     parts = [_unquote(p) for p in re.split(r"\s*\.\s*", target.strip()) if p]
     if len(parts) == 3:
-        parts = parts[1:]  # drop the catalog qualifier
+        if parts[0].lower() == "spark_catalog":
+            parts = parts[1:]  # drop the session-catalog qualifier
+        else:
+            return f"{parts[0]}.{parts[1]}", parts[2]
     if len(parts) == 2:
         return parts[0], parts[1]
     return spark.catalog.currentDatabase(), parts[0]
@@ -259,7 +287,55 @@ class KeyedSqlRouter:
                 self.store.drop_table(f"{ns}.{name}")
                 return self.spark.sql("SELECT 1 WHERE 1=0")  # empty result, like DDL
 
+        m = _ALTER_TABLE_RE.match(stmt)
+        if m:
+            ns, name = _split_qualified(m.group("target"), self.spark)
+            if self._is_keyed(ns, name):
+                return self._alter_table(ns, name, m.group("rest").strip())
+
+        m = _ALTER_DB_RE.match(stmt)
+        if m:
+            ns = _unquote(m.group("ns"))
+            if ns in self.store.namespaces():
+                self.store.alter_namespace(
+                    ns, dict(_PROP_KV_RE.findall(m.group("body")))
+                )
+                return self.spark.sql("SELECT 1 WHERE 1=0")
+
+        m = _DROP_DB_RE.match(stmt)
+        if m:
+            ns = _unquote(m.group("ns"))
+            if self.store.registry.tables(ns):
+                # a plain-Spark DROP DATABASE ... CASCADE would drop the
+                # catalog tables while the registry and warehouse files
+                # remain — route through the store so all three stay in sync
+                cascade = (m.group("cascade") or "").lower() == "cascade"
+                self.store.drop_namespace(ns, cascade=cascade)
+                return self.spark.sql("SELECT 1 WHERE 1=0")
+
         return self.spark.sql(statement)
+
+    def _alter_table(self, ns: str, name: str, rest: str) -> DataFrame:
+        """ALTER TABLE over a keyed table (reference ``alterTable`` /
+        ``alterTableDataSchema``, ``HBaseExternalCatalog.scala:69,72``).
+        Unsupported forms fail loudly: passing them through to Spark would
+        mutate the catalog parquet table and desync the registry."""
+        qualified = f"{ns}.{name}"
+        m = _ADD_COLUMNS_RE.match(rest)
+        if m:
+            cols = _parse_column_defs(m.group("body"))
+            self.store.alter_table_add_columns(qualified, cols)
+            return self.spark.sql("SELECT 1 WHERE 1=0")
+        m = _SET_TBLPROPS_RE.match(rest)
+        if m:
+            self.store.alter_table_set_properties(
+                qualified, dict(_PROP_KV_RE.findall(m.group("body")))
+            )
+            return self.spark.sql("SELECT 1 WHERE 1=0")
+        raise ValueError(
+            f"unsupported ALTER TABLE form for keyed table {qualified}: {rest!r}; "
+            "supported: ADD COLUMNS (col type, ...) | SET TBLPROPERTIES ('k'='v', ...)"
+        )
 
     def _insert(
         self, ns: str, name: str, source: str, mode: str, cols: str | None = None
@@ -279,11 +355,14 @@ class KeyedSqlRouter:
     def _create(self, m: re.Match) -> DataFrame:
         ns, name = _split_qualified(m.group("target"), self.spark)
         rest = m.group("rest")
-        options = _extract_options(rest)
         ine = bool(m.group("ine"))
 
         as_m = re.search(r"\bas\b\s*(?P<query>(?:select|with|from|table)\b.*)$",
                          rest, re.IGNORECASE | re.DOTALL)
+        # options come from the DDL clause ONLY — OPTIONS-like text inside
+        # the CTAS query (e.g. a string literal containing
+        # "options (generator='x')") must not inject into the TableSpec
+        options = _extract_options(rest[: as_m.start()] if as_m else rest)
         if as_m:  # CTAS — CreateHBaseTableAsSelectCommand.scala:18-88
             query = self.spark.sql(as_m.group("query").strip())
             cols = [(f.name, f.dataType.simpleString()) for f in query.schema.fields]

@@ -138,3 +138,25 @@ def test_datasource_write_append_and_overwrite(store, spark, tmp_path):
         .option("path", path).load().count()
         == 50
     )
+
+
+def test_datasource_reads_pre_alter_files_with_nulls(spark, tmp_path):
+    """After ALTER TABLE ADD COLUMNS, region files written before the
+    ALTER lack the new qualifier — the DataSource scan must fill NULLs
+    (declared-schema scan), not crash on the missing column."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.sql(
+        "CREATE TABLE pw.ds_ev (row_key string, `cf:v` string) "
+        "USING keyed OPTIONS (generator='sequence')"
+    )
+    sess.sql("insert into pw.ds_ev values('0000','old')")
+    sess.sql("ALTER TABLE pw.ds_ev ADD COLUMNS (`cf:w` bigint)")
+    sess.sql("insert into pw.ds_ev values('0000','new', 7)")
+    rows = sess.store.read_via_datasource("pw.ds_ev").collect()
+    assert sorted((r["row_key"], r["cf:v"], r["cf:w"]) for r in rows) == [
+        ("0001", "old", None),
+        ("0002", "new", 7),
+    ]
+    sess.store.drop_table("pw.ds_ev")

@@ -220,3 +220,110 @@ def test_sql_ctas_query_containing_using_keyed_text_not_hijacked(sql_session):
     assert [r.note for r in rows] == ["docs about using keyed tables"]
     assert not sess.store.registry.exists("default.notes_t")
     sess.sql("DROP TABLE IF EXISTS default.notes_t")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 SQL surface: ALTER TABLE / ALTER DATABASE / DROP DATABASE routing
+# (reference HBaseExternalCatalog.scala:34 alterDatabase, :69 alterTable,
+# :72 alterTableDataSchema).
+# ---------------------------------------------------------------------------
+
+
+def test_sql_alter_table_add_columns_schema_evolution(sql_session):
+    """ADD COLUMNS is metadata-only: pre-ALTER rows read the new qualifier
+    as NULL; post-ALTER inserts fill it; dot-qualified SQL sees the new
+    schema."""
+    sess = sql_session
+    sess.sql(
+        "CREATE TABLE pw.ev (row_key string, `cf:name` string) "
+        "USING keyed OPTIONS (generator='sequence')"
+    )
+    sess.sql("insert into pw.ev values('0000', 'before')")
+    sess.sql("ALTER TABLE pw.ev ADD COLUMNS (`cf:score` double)")
+    sess.sql("insert into pw.ev values('0000', 'after', 1.5)")
+    rows = sorted(
+        (r.row_key, r["cf:name"], r["cf:score"])
+        for r in sess.sql("select * from pw.ev").collect()
+    )
+    assert rows == [("0001", "before", None), ("0002", "after", 1.5)]
+    spec = sess.store.registry.get("pw.ev")
+    assert spec.families["cf"]["score"] == "double"
+
+
+def test_sql_alter_table_set_tblproperties(sql_session):
+    sess = sql_session
+    sess.sql("CREATE TABLE pw.tp (row_key string, `cf:v` string) USING keyed")
+    sess.sql("ALTER TABLE pw.tp SET TBLPROPERTIES ('owner'='gate', 'ttl'='7d')")
+    assert sess.store.registry.get("pw.tp").properties == {
+        "owner": "gate",
+        "ttl": "7d",
+    }
+
+
+def test_sql_alter_table_unsupported_form_fails_loudly(sql_session):
+    """Passing an unrouted ALTER through to Spark would desync registry
+    and catalog — it must raise instead."""
+    sess = sql_session
+    sess.sql("CREATE TABLE pw.uf (row_key string, `cf:v` string) USING keyed")
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        sess.sql("ALTER TABLE pw.uf DROP COLUMN `cf:v`")
+    # non-keyed ALTER passes through untouched
+    sess.sql("DROP TABLE IF EXISTS default.plain_t")
+    sess.sql("CREATE TABLE default.plain_t (v string) USING parquet")
+    sess.sql("ALTER TABLE default.plain_t SET TBLPROPERTIES ('x'='1')")
+    sess.sql("DROP TABLE IF EXISTS default.plain_t")
+
+
+def test_sql_alter_database_properties(sql_session):
+    sess = sql_session
+    sess.sql("CREATE TABLE pw.db1 (row_key string, `cf:v` string) USING keyed")
+    sess.sql("ALTER DATABASE pw SET DBPROPERTIES ('team'='data')")
+    assert sess.store.namespace_properties("pw") == {"team": "data"}
+
+
+def test_sql_drop_database_cascade_syncs_registry(sql_session):
+    """DROP DATABASE ... CASCADE over a keyed namespace must clear the
+    registry, the warehouse files, AND the catalog database (round-2
+    what's-wrong #4: plain passthrough dropped only the catalog side)."""
+    import os
+
+    sess = sql_session
+    sess.sql("CREATE TABLE pwx.d1 (row_key string, `cf:v` string) USING keyed")
+    sess.sql("insert into pwx.d1 values('0001', 'x')")
+    wh_path = os.path.join(sess.store.warehouse_dir, "pwx")
+    assert os.path.isdir(wh_path)
+    sess.sql("DROP DATABASE pwx CASCADE")
+    assert not sess.store.registry.tables("pwx")
+    assert not os.path.isdir(wh_path)
+    assert not any(d.name == "pwx" for d in sess.spark.catalog.listDatabases())
+    # non-cascade on a non-empty namespace fails loudly
+    sess.sql("CREATE TABLE pwy.d2 (row_key string, `cf:v` string) USING keyed")
+    with pytest.raises(ValueError, match="not empty"):
+        sess.sql("DROP DATABASE pwy")
+
+
+def test_sql_ctas_options_in_query_text_not_injected(sql_session):
+    """ADVICE r2 (medium): OPTIONS-like text inside the CTAS query must
+    not inject generator/split_keys into the TableSpec."""
+    sess = sql_session
+    sess.sql(
+        "CREATE TABLE pw.oinj USING keyed AS "
+        "SELECT '0009' AS row_key, "
+        "'read the options (generator=''sequence'') docs' AS note"
+    )
+    spec = sess.store.registry.get("pw.oinj")
+    assert spec.generator is None, spec
+    # the supplied key survives (no generator ran)
+    rows = sess.sql("select * from pw.oinj").collect()
+    assert [r.row_key for r in rows] == ["0009"]
+
+
+def test_sql_non_session_catalog_target_not_keyed_routed(sql_session):
+    """ADVICE r2 (low): othercat.pw.t must NOT resolve to the keyed pw.t."""
+    from spark_sql_hbase_spark.sqlfront import _split_qualified
+
+    sess = sql_session
+    sess.sql("CREATE TABLE pw.nc (row_key string, `cf:v` string) USING keyed")
+    ns, name = _split_qualified("othercat.pw.nc", sess.spark)
+    assert (ns, name) == ("othercat.pw", "nc")
+    assert not sess.store.registry.exists(f"{ns}.{name}")
