@@ -283,3 +283,21 @@ def test_z27_approx_matches_exact_at_test_scale(spark):
     ex = quality_mix_plan(docs, "source", "doc_id", "text", 10, boundaries="exact")
     ap = quality_mix_plan(docs, "source", "doc_id", "text", 10, boundaries="approx")
     assert sorted(map(tuple, ex.collect())) == sorted(map(tuple, ap.collect()))
+
+
+def test_sequence_generator_has_no_single_partition_exchange(spark):
+    """Round-3: the dense-sequence row-key generator assigns keys via
+    per-partition offsets (zipWithIndex shape) — the plan must contain no
+    global window and no single-partition exchange, and keys must still
+    be the dense zero-padded sequence."""
+    from spark_sql_hbase_spark.functions.rowkey import sequence_row_key
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    nat = qtable(spark, SF, "nation").repartition(4).select("n_name")
+    keyed = sequence_row_key(nat, start_at=5)
+    plan = formatted_plan(keyed)
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    keys = sorted(r.row_key for r in keyed.collect())
+    n = nat.count()
+    assert keys == [f"{i:04d}" for i in range(6, 6 + n)]
