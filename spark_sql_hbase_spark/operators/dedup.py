@@ -128,6 +128,30 @@ def _verify_jaccard(pairs: DataFrame, sets: DataFrame, threshold: float) -> Data
     )
 
 
+def _verify_jaccard_two_sided(
+    pairs: DataFrame, sets_a: DataFrame, sets_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard where the pair sides come from DIFFERENT tables:
+    ``id_a`` resolves only against ``sets_a`` and ``id_b`` only against
+    ``sets_b``.  The single-frame variant would join BOTH docs onto each
+    candidate side whenever the two tables share an id value (two distinct
+    tables with overlapping integer ids is a plausible call — ADVICE r2)."""
+    sa = sets_a.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets_b.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
 def ngram_jaccard_join(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6, n: int = 3
 ) -> DataFrame:
@@ -495,7 +519,10 @@ def minhash_lsh_join(
         cand_docs = df.join(
             F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
         )
-        sets = _shingle_sets(cand_docs, id_col, text_col, n)
+        # cached: _verify_jaccard consumes this frame on BOTH join sides —
+        # without it the interpreted shingle fold over candidate docs runs
+        # twice (the incremental variants already did this)
+        sets = _shingle_sets(cand_docs, id_col, text_col, n).cache()
     return _verify_jaccard(candidates, sets, threshold)
 
 
@@ -608,7 +635,8 @@ def minhash_lsh_join_incremental(
     and reused across batches — recomputing it here keeps the operator
     self-contained; the plan from a persisted index is the same join
     minus the corpus banding stage.  Identifier spaces of ``new`` and
-    ``corpus`` must be disjoint (they are different tables in practice).
+    ``corpus`` may overlap: verification is side-separated (``id_a``
+    resolves only against ``new``, ``id_b`` only against ``corpus``).
     """
     bn = minhash_band_keys_arrow_text(
         _parallelized(new), id_col, text_col, n, num_hashes, rows_per_band
@@ -629,9 +657,11 @@ def minhash_lsh_join_incremental(
     docs_b = corpus.join(
         F.broadcast(cand_b), F.col(id_col) == F.col("cid"), "left_semi"
     )
-    # cached: _verify_jaccard consumes sets on BOTH join sides
-    sets = _shingle_sets(docs_a.unionByName(docs_b), id_col, text_col, n).cache()
-    return _verify_jaccard(candidates, sets, threshold)
+    # side-separated: each sets frame feeds exactly one join side, so an id
+    # value shared by new and corpus can never cross-match (ADVICE r2)
+    sets_a = _shingle_sets(docs_a, id_col, text_col, n)
+    sets_b = _shingle_sets(docs_b, id_col, text_col, n)
+    return _verify_jaccard_two_sided(candidates, sets_a, sets_b, threshold)
 
 
 def persist_band_index(
@@ -696,6 +726,8 @@ def minhash_lsh_join_against_index(
     docs_b = corpus.join(
         F.broadcast(cand_b), F.col(id_col) == F.col("cid"), "left_semi"
     )
-    # cached: _verify_jaccard consumes sets on BOTH join sides
-    sets = _shingle_sets(docs_a.unionByName(docs_b), id_col, text_col, n).cache()
-    return _verify_jaccard(candidates, sets, threshold)
+    # side-separated: each sets frame feeds exactly one join side, so an id
+    # value shared by new and corpus can never cross-match (ADVICE r2)
+    sets_a = _shingle_sets(docs_a, id_col, text_col, n)
+    sets_b = _shingle_sets(docs_b, id_col, text_col, n)
+    return _verify_jaccard_two_sided(candidates, sets_a, sets_b, threshold)

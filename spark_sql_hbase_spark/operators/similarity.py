@@ -311,7 +311,13 @@ def kmeans(
     round); the data passes never loop — each iteration is one scan +
     one K·dim aggregation, the same shape Spark MLlib's KMeans executes
     per step. Empty clusters keep their previous centroid (standard
-    Lloyd convention)."""
+    Lloyd convention).  Exactly ``n_iter`` Lloyd updates run in total:
+    ``n_iter - 1`` driver-collected refinements plus the final
+    distributed :func:`kmeans_step` whose output is returned (ADVICE r2:
+    the loop previously ran the full ``n_iter`` before the final step,
+    i.e. one extra iteration)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     # k lowest ids, whatever the id type — filter(id < k) would under-seed
     # 1-based ids and break entirely on string ids
     cent = (
@@ -322,7 +328,7 @@ def kmeans(
         )
     )
     prev = {r["cluster_id"]: list(r["cv"]) for r in cent.collect()}
-    for _ in range(n_iter):
+    for _ in range(n_iter - 1):
         step = kmeans_step(vectors, cent, id_col, vec_col)
         rows = step.collect()
         new = dict(prev)

@@ -537,3 +537,32 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1, (r1, r2)
     assert r2 > 0.5, (r1, r2)
+
+
+def test_incremental_lsh_tolerates_overlapping_ids(spark):
+    """ADVICE r2 (medium): new and corpus are different tables, so an id
+    value may appear on both sides.  Verification must resolve id_a only
+    against `new` and id_b only against `corpus` — the old single-frame
+    union joined both docs onto each side and corrupted the Jaccard."""
+    from spark_sql_hbase_spark.operators.dedup import minhash_lsh_join_incremental
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again ok"
+    # corpus id 1 is a near-dup of new id 1's text; corpus also holds an
+    # unrelated doc under id 2 while new holds a DIFFERENT doc under id 2
+    new = spark.createDataFrame(
+        [(1, text_a), (2, "completely unrelated payload about spark plans")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, text_a + " extra"), (2, "another corpus document on parquet files")],
+        "doc_id long, text string",
+    )
+    rows = minhash_lsh_join_incremental(
+        new, corpus, "doc_id", "text", threshold=0.5
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.jac for r in rows}
+    assert (1, 1) in pairs, rows
+    # exact Jaccard of the true (new-1, corpus-1) pair — not a self-match
+    # of either doc with itself (which would be 1.0)
+    assert pairs[(1, 1)] < 1.0
+    assert (2, 2) not in pairs
