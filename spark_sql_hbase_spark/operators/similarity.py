@@ -346,6 +346,39 @@ def kmeans(
     return kmeans_step(vectors, cent, id_col, vec_col)
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: list[tuple],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid cell (rounded squared-L2
+    argmin, deterministic tiebreak on cell id) — the IVF index-BUILD step
+    pairing with :func:`multiprobe_ann_topk`'s search step.
+
+    Same scale shape as :func:`kmeans_step` assignment: centroids are
+    bounded literal model state, so the whole assignment is one
+    projection over the vectors — no join, no shuffle."""
+    v = vectors.withColumn("__ev", _to_double(F.col(vec_col)))
+    cand = F.array(
+        *[
+            F.struct(
+                F.round(
+                    squared_l2(
+                        F.col("__ev"), F.array(*[F.lit(float(x)) for x in cv])
+                    ),
+                    round_to,
+                ).alias("d2"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return v.withColumn(cell_col, F.array_min(cand)["cell"]).drop("__ev")
+
+
 def multiprobe_ann_topk(
     corpus_with_cells: DataFrame,
     queries: DataFrame,

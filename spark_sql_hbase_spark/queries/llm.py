@@ -458,6 +458,97 @@ def s03_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s04 — multi-probe IVF search (operators/similarity.py::multiprobe_ann_topk
+# + ::assign_cells): each query probes its nprobe=2 nearest quantizer cells
+# instead of one, recovering the recall a single-probe search loses at cell
+# boundaries.  Probe selection explodes the broadcast QUERY side only — the
+# corpus never explodes or reshuffles.  Promoted into the driver window in
+# round 3 (VERDICT r2 next-round #6); the quantizer is the _KM_K literal
+# centroids, so the DuckDB twin recomputes assignment + probes exactly.
+# ---------------------------------------------------------------------------
+_S04_K = 4
+_S04_NPROBE = 2
+
+
+@register(
+    "s04_ann_multiprobe",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {_S04_K}
+    ), v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), a AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell, row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY ROUND(list_sum(
+                    [ (ev[i] - cv[i]) ^ 2 for i in range(1, 65) ]), 6), c.cell
+            ) AS rn
+            FROM v, c
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 8
+    ), p AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell, row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY ROUND(list_sum(
+                    [ (qv[i] - cv[i]) ^ 2 for i in range(1, 65) ]), 6), c.cell
+            ) AS rn
+            FROM q, c
+        ) WHERE rn <= {_S04_NPROBE}
+    ), scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, v.ev) AS cos_raw
+        FROM p
+        JOIN a USING (cell)
+        JOIN v ON v.vec_id = a.vec_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cos,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+    description="multi-probe IVF ANN (nprobe=2): probe explode on the "
+    "broadcast query side only; corpus assigned once via literal centroids",
+)
+def s04_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        assign_cells,
+        multiprobe_ann_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = [
+        (r["cluster_id"], list(r["cv"]))
+        for r in emb.filter(F.col("vec_id") < _S04_K)
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            _to_double(F.col("embedding")).alias("cv"),
+        )
+        .collect()
+    ]
+    corpus = assign_cells(emb, cents, "vec_id", "embedding", "cell")
+    return multiprobe_ann_topk(
+        corpus,
+        emb.filter(F.col("vec_id") < 8),
+        cents,
+        "vec_id",
+        "embedding",
+        "cell",
+        k=5,
+        nprobe=_S04_NPROBE,
+    )
+
+
+# ---------------------------------------------------------------------------
 # d07 — near-dup clustering: LSH pairs → connected components → canonical
 # representative per cluster (the "keep one copy" stage of a dedup
 # pipeline). Oracle: same exact-Jaccard pair set (d02), closed transitively
@@ -707,7 +798,7 @@ def z17_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["stream", "window", "checkpoint"]
 
 @register(
-    "z18_bm25_scoring",
+    "t06_bm25_scoring",
     oracle="SELECT id AS doc_id, score FROM ({})".format(
         __import__(
             "spark_sql_hbase_spark.operators.ranking", fromlist=["bm25_sql"]
@@ -716,7 +807,7 @@ _BM25_TERMS = ["stream", "window", "checkpoint"]
     description="Okapi BM25 scoring vs a fixed query term set (no UDF, "
     "term-filtered explode)",
 )
-def z18_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t06_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import bm25_scores
 
     docs = table(spark, sf_dir, "documents")
@@ -807,7 +898,7 @@ def z21_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 4
 
 @register(
-    "z22_kmeans_step",
+    "s05_kmeans_step",
     oracle=f"""
     WITH c AS (
         SELECT vec_id AS cluster_id, embedding::DOUBLE[] AS cv
@@ -834,7 +925,7 @@ _KM_K = 4
     description="k-means Lloyd step: literal-centroid assignment (no "
     "shuffle of vectors) + K x dim centroid recompute",
 )
-def z22_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s05_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import _to_double, kmeans_step
 
     emb = table(spark, sf_dir, "embeddings")
@@ -857,7 +948,7 @@ _PII_AUG = (
 )
 
 @register(
-    "z26_pii_scan",
+    "t07_pii_scan",
     oracle=r"""
     WITH __aug AS (
         SELECT doc_id, {aug} AS t FROM documents
@@ -883,7 +974,7 @@ _PII_AUG = (
     description="PII detect + redact audit (regexp_count/replace, no UDF) "
     "over deterministically injected markers",
 )
-def z26_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t07_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     aug = docs.select("doc_id", F.expr(_PII_AUG).alias("t"))
     scanned = text.pii_scan(aug, "doc_id", "t")
@@ -920,7 +1011,7 @@ _Z27_BUCKET = " + ".join(f"CAST(m.quality > b.b{i} AS INTEGER)" for i in range(1
 
 
 @register(
-    "z27_quality_mix_plan",
+    "t08_quality_mix_plan",
     oracle=f"""
     WITH __m AS (
         SELECT d.source, q.doc_id, q.quality,
@@ -944,6 +1035,6 @@ _Z27_BUCKET = " + ".join(f"CAST(m.quality > b.b{i} AS INTEGER)" for i in range(1
     description="per-stream quality-decile manifest via broadcast boundary "
     "bucketing (no window) for mixture sampling",
 )
-def z27_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t08_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quality_mix_plan(docs, "source", "doc_id", "text", 10, boundaries="exact")

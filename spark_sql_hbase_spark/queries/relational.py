@@ -327,7 +327,7 @@ def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference's CLI path, HBaseSQLClient.scala:98).
 # ---------------------------------------------------------------------------
 @register(
-    "q10_grouping_sets",
+    "z28_grouping_sets",
     oracle=f"""
     SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
            COALESCE(o_orderpriority, 'ALL') AS orderpriority,
@@ -338,7 +338,7 @@ def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="GROUPING SETS via SQL API",
 )
-def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
@@ -357,7 +357,7 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q11 — set operations: INTERSECT / EXCEPT, tagged and unioned.
 # ---------------------------------------------------------------------------
 @register(
-    "q11_setops",
+    "z29_setops",
     oracle="""
     SELECT 'with_orders' AS tag, c_custkey AS key FROM (
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -387,7 +387,7 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "INTERSECT ALL / EXCEPT ALL (bag semantics), tagged and unioned "
     "(merged round-1 q11+q33)",
 )
-def q11_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z29_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -569,7 +569,7 @@ def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q17 — conditional aggregation: CASE-gated sums and counts.
 # ---------------------------------------------------------------------------
 @register(
-    "q17_conditional_agg",
+    "z30_conditional_agg",
     oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
@@ -580,7 +580,7 @@ def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="CASE-gated conditional aggregation",
 )
-def q17_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z30_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -626,7 +626,7 @@ def q18_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q19 — pivot (wide aggregation).
 # ---------------------------------------------------------------------------
 @register(
-    "q19_pivot",
+    "z31_pivot",
     oracle=f"""
     SELECT l_returnflag,
            {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_o')},
@@ -636,7 +636,7 @@ def q18_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="pivot on l_linestatus with fixed value set",
 )
-def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z31_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -870,14 +870,14 @@ def z08_richest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
 # row-at-a-time.
 # ---------------------------------------------------------------------------
 @register(
-    "q25_pandas_udf_digest",
+    "z32_pandas_udf_digest",
     oracle="""
     SELECT c_custkey, sha256(c_name) AS name_sha
     FROM customer
     """,
     description="scalar @pandas_udf (Arrow batches) computing sha256 per row",
 )
-def q25_pandas_udf_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z32_pandas_udf_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     from pyspark.sql.functions import PandasUDFType, pandas_udf
@@ -1138,7 +1138,7 @@ def z12_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the json/map function-registry surface).
 # ---------------------------------------------------------------------------
 @register(
-    "q34_json_extract",
+    "z33_json_extract",
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
@@ -1149,7 +1149,7 @@ def z12_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="JSON field extraction (get_json_object / from_json) + agg",
 )
-def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(

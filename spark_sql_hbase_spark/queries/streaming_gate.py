@@ -163,12 +163,12 @@ def st02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "st03_stream_dedup_digests",
+    "z34_stream_dedup_digests",
     oracle="SELECT DISTINCT sha256(text) AS text_sha FROM documents",
     description="streaming exact dedup (dropDuplicatesWithinWatermark): "
     "surviving digest set == batch DISTINCT",
 )
-def st03_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z34_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
@@ -191,7 +191,7 @@ def st03_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain self-join for the oracle.
 # ---------------------------------------------------------------------------
 @register(
-    "z19_stream_stream_join",
+    "st04_stream_stream_join",
     oracle="""
     SELECT c.user_id,
            c.event_id AS click_id,
@@ -208,7 +208,7 @@ def st03_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="stream-stream inner join with two watermarks + "
     "time-bounded condition (bounded state), run to completion",
 )
-def z19_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.streaming.pipelines import (
         click_purchase_attribution,
     )

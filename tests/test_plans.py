@@ -255,7 +255,7 @@ def test_band_index_join_matches_direct(spark):
     )
 
 
-def test_z27_mix_plan_has_no_window(spark, registry):
+def test_t08_mix_plan_has_no_window(spark, registry):
     """Round-2 weak finding: per-stream ntile funneled every document of a
     stream through ONE task.  The round-3 shape computes broadcast decile
     boundaries and buckets by range comparison — no Window operator may
@@ -272,7 +272,7 @@ def test_z27_mix_plan_has_no_window(spark, registry):
         assert "BroadcastHashJoin" in plan, (mode, plan)
 
 
-def test_z27_approx_matches_exact_at_test_scale(spark):
+def test_t08_approx_matches_exact_at_test_scale(spark):
     """At test scale the GK sketch (accuracy=10000) is exact, so the
     production approx path must produce the identical manifest to the
     oracle-checked exact path."""
