@@ -3,6 +3,20 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Round-3 hygiene (VERDICT r2 next-round #7):
+
+- every headline query runs N_RUNS=3 times; "queries" reports the
+  per-query MEDIAN, "value" the sum of medians (comparable to the
+  single-pass totals of earlier rounds), and "spread" the per-query
+  max-min across runs so a ±10% q07-style wobble is distinguishable from
+  a real regression;
+- "cold_total" / "warm_total" record the first pass (JVM warm, data
+  cold) vs the best subsequent pass;
+- "production_paths" times the two dedup shapes a 100 TB deployment
+  actually runs — the candidates-scoped LSH verify and the persisted
+  bucketed band-index incremental join (index build and delta join timed
+  separately) — OUTSIDE "value" so the headline stays comparable.
+
 Each query is executed with a count()-style action (no driver
 materialization of results beyond the aggregate row counts)."""
 
@@ -10,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,6 +44,50 @@ HEADLINE = [
     "s01_ann_topk",
     "t03_token_stats",
 ]
+
+N_RUNS = 3
+
+
+def _production_paths(spark, sf_dir: str) -> dict[str, float]:
+    """Time the production dedup shapes at the measured SF: the
+    candidates-scoped LSH verify (no corpus-wide shingle fold) and the
+    bucketed band-index incremental join (corpus side never reshuffles)."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.dedup import (
+        minhash_lsh_join,
+        minhash_lsh_join_against_index,
+        persist_band_index,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    out: dict[str, float] = {}
+    docs = table(spark, sf_dir, "documents")
+
+    t0 = time.perf_counter()
+    n = minhash_lsh_join(
+        docs, "doc_id", "text", verify_scope="candidates"
+    ).count()
+    out["d02_lsh_verify_candidates"] = round(time.perf_counter() - t0, 3)
+    print(f"# d02_lsh_verify_candidates: {out['d02_lsh_verify_candidates']}s "
+          f"rows={n}", file=sys.stderr)
+
+    is_new = (F.col("doc_id") % 17) == 0
+    new, corpus = docs.filter(is_new), docs.filter(~is_new)
+    spark.sql("DROP TABLE IF EXISTS __bench_band_idx")
+    t0 = time.perf_counter()
+    persist_band_index(corpus, "doc_id", "text", "__bench_band_idx")
+    out["d09_band_index_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n = minhash_lsh_join_against_index(
+        new, spark.table("__bench_band_idx"), corpus, "doc_id", "text"
+    ).count()
+    out["d09_band_index_delta_join"] = round(time.perf_counter() - t0, 3)
+    print(f"# d09_band_index build={out['d09_band_index_build']}s "
+          f"delta_join={out['d09_band_index_delta_join']}s rows={n}",
+          file=sys.stderr)
+    spark.sql("DROP TABLE IF EXISTS __bench_band_idx")
+    return out
 
 
 def main() -> None:
@@ -50,18 +109,35 @@ def main() -> None:
         if q in registry:
             registry[q].fn(spark, "/root/testdata/sf0.001").count()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        qd = registry.get(name)
-        if qd is None:
-            continue
-        t0 = time.perf_counter()
-        df = qd.fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+    runs: list[dict[str, float]] = []
+    for i in range(N_RUNS):
+        times: dict[str, float] = {}
+        for name in HEADLINE:
+            qd = registry.get(name)
+            if qd is None:
+                continue
+            t0 = time.perf_counter()
+            n = qd.fn(spark, sf_dir).count()
+            times[name] = round(time.perf_counter() - t0, 3)
+            if i == 0:
+                print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+        runs.append(times)
+        # operators cache intermediates (LSH folds etc.) — drop them so
+        # every pass re-executes the full plan
+        spark.catalog.clearCache()
+        print(f"# pass {i + 1}/{N_RUNS}: "
+              f"{round(sum(times.values()), 3)}s", file=sys.stderr)
 
-    total = round(sum(times.values()), 3)
+    names = [n for n in HEADLINE if n in runs[0]]
+    med = {n: round(statistics.median(r[n] for r in runs), 3) for n in names}
+    spread = {
+        n: round(max(r[n] for r in runs) - min(r[n] for r in runs), 3)
+        for n in names
+    }
+    totals = [round(sum(r.values()), 3) for r in runs]
+    production = _production_paths(spark, sf_dir)
+
+    total = round(sum(med.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -69,8 +145,13 @@ def main() -> None:
                 "metric": "headline_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": med,
                 "sf": float(sf) if sf else None,
+                "runs": N_RUNS,
+                "cold_total": totals[0],
+                "warm_total": min(totals[1:]) if len(totals) > 1 else None,
+                "spread": spread,
+                "production_paths": production,
             }
         )
     )
