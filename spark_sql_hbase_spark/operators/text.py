@@ -191,6 +191,77 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(*cols)
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    'Scaling Language Models' §A1.1 quality heuristics, public):
+
+    - ``dup_token_frac``: fraction of token occurrences that are repeats
+      (1 - distinct/total);
+    - ``top_token_frac``: share of the single most frequent token — the
+      longest run in the SORTED token array, computed by one row-local
+      fold (no explode, no per-token shuffle);
+    - ``dup_2gram_frac``: fraction of duplicated 2-gram occurrences.
+
+    Everything is a row-local projection over one tokenize — the filter a
+    100 TB curation pass applies per document with zero shuffle.  Ratios
+    are single IEEE divisions of exact integers (cross-engine
+    bit-identical, same rule as :func:`quality_score`).
+    """
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
+    tok = tokens(F.col(text_col))
+    n = F.size(tok).cast("long")
+    d = F.greatest(n, F.lit(1).cast("long"))
+    # longest equal-run in the sorted array == max token multiplicity;
+    # the fold state is (prev token, current run, best run) — state-field
+    # references are row-value reads, not upstream recomputation
+    def _step(acc, x):
+        nxt = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            nxt.alias("run"),
+            F.greatest(acc["best"], nxt).alias("best"),
+        )
+
+    top_cnt = F.aggregate(
+        F.array_sort(tok),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _step,
+        lambda acc: acc["best"],
+    )
+    # RAW (non-distinct) 2-gram list — texthash.shingles dedupes, which
+    # would make the duplicate fraction identically zero
+    tok2 = tokens(F.col(text_col))
+    m2 = F.size(tok2) - 1
+    g2 = F.when(
+        F.size(tok2) >= 2,
+        F.zip_with(
+            F.slice(tok2, 1, m2),
+            F.slice(tok2, 2, m2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n2 = F.size(g2).cast("long")
+    d2 = F.greatest(n2, F.lit(1).cast("long"))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        ((n - F.size(F.array_distinct(tok)).cast("long")).cast("double") / d).alias(
+            "dup_token_frac"
+        ),
+        (top_cnt.cast("double") / d).alias("top_token_frac"),
+        ((n2 - F.size(F.array_distinct(g2)).cast("long")).cast("double") / d2).alias(
+            "dup_2gram_frac"
+        ),
+    )
+
+
 def quality_mix_plan(
     df: DataFrame,
     stream_col: str,

@@ -1038,3 +1038,46 @@ _Z27_BUCKET = " + ".join(f"CAST(m.quality > b.b{i} AS INTEGER)" for i in range(1
 def t08_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quality_mix_plan(docs, "source", "doc_id", "text", 10, boundaries="exact")
+
+
+# ---------------------------------------------------------------------------
+# z36 — Gopher-style intra-document repetition stats (round-3 addition;
+# operators/text.py::repetition_stats): duplicate-token fraction, top-token
+# share (longest sorted run, one row-local fold), duplicate-2-gram
+# fraction.  Pure row-local projection — zero shuffle at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "z36_repetition_stats",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT doc_id, {_TOK} AS t FROM documents
+    ), __top AS (
+        SELECT doc_id, MAX(c) AS top_cnt FROM (
+            SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS w FROM __tok)
+            GROUP BY doc_id, w
+        ) GROUP BY doc_id
+    ), __g AS (
+        SELECT doc_id, len(t) AS n,
+               len(list_distinct(t)) AS nd,
+               CASE WHEN len(t) >= 2 THEN
+                   [t[__i + 1] || ' ' || t[__i + 2]
+                    for __i in range(0, len(t) - 1)]
+               ELSE [] END AS g2
+        FROM __tok
+    )
+    SELECT g.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(n - nd AS DOUBLE) / greatest(n, 1) AS dup_token_frac,
+           CAST(COALESCE(top_cnt, 0) AS DOUBLE) / greatest(n, 1)
+               AS top_token_frac,
+           CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+               / greatest(len(g2), 1) AS dup_2gram_frac
+    FROM __g g LEFT JOIN __top USING (doc_id)
+    """,
+    description="Gopher-style repetition filter signals (dup-token/"
+    "top-token/dup-2gram fractions) — row-local, shuffle-free",
+)
+def z36_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "doc_id", "text")
