@@ -79,6 +79,81 @@ def bm25_scores(
     )
 
 
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document mean unigram surprisal under the corpus's own unigram
+    distribution: mean over token occurrences of ``-ln(c_t / N)`` where
+    ``c_t`` is the corpus count of term t and N the corpus token count.
+
+    The classic rare-token quality signal (a cheap LM-free stand-in for
+    perplexity scoring): LOW = boilerplate/common-word text, HIGH =
+    rare-token-heavy text.  Emits (id, n_tokens, surprisal) for documents
+    with ≥1 token.
+
+    Plan shape (scales to 100 TB):
+    - tokenize once, explode to (doc, term, tf) via one map-side-combined
+      aggregate — the shuffle carries (doc, DISTINCT-term) pairs;
+    - corpus term counts are a second map-side-combined aggregate whose
+      cardinality is the VOCABULARY (Heaps-law sublinear), joined back on
+      term — both sides already hash-partitioned by term, and no
+      broadcast of an unbounded vocabulary anywhere;
+    - the per-doc combine is Σ tf·(-ln(c_t/N)) / dl over the doc's
+      distinct terms.  Same determinism contract as :func:`bm25_scores`
+      (ln + ROUND(round_to) — driver-green precedent).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tok")
+    )
+    tf = (
+        toks.select("id", F.size("tok").alias("dl"), F.explode("tok").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = (
+        toks.select(F.explode("tok").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    total = toks.agg(F.sum(F.size("tok")).alias("n_total"))
+    return (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("part", F.col("tf") * -F.log(F.col("ct") / F.col("n_total")))
+        .groupBy("id", "dl")
+        .agg(F.round(F.sum("part") / F.col("dl"), round_to).alias("surprisal"))
+        .select("id", F.col("dl").cast("long").alias("n_tokens"), "surprisal")
+    )
+
+
+def unigram_surprisal_sql(
+    table: str, id_expr: str, tokens_expr: str, round_to: int = 4
+) -> str:
+    """DuckDB twin of :func:`unigram_surprisal` (oracle generator)."""
+    return f"""
+    WITH __tok AS (
+        SELECT {id_expr} AS id, {tokens_expr} AS tok FROM {table}
+    ), __tf AS (
+        SELECT id, len(tok) AS dl, unnest(tok) AS term FROM __tok
+    ), __g AS (
+        SELECT id, dl, term, COUNT(*) AS tf FROM __tf GROUP BY 1, 2, 3
+    ), __ct AS (
+        SELECT term, COUNT(*) AS ct FROM __tf GROUP BY 1
+    ), __n AS (
+        SELECT SUM(len(tok)) AS n_total FROM __tok
+    )
+    SELECT id,
+           CAST(dl AS BIGINT) AS n_tokens,
+           ROUND(SUM(tf * -ln(ct * 1.0 / n_total)) / dl, {round_to})
+               AS surprisal
+    FROM __g JOIN __ct USING (term), __n
+    GROUP BY id, dl
+    """
+
+
 def bm25_sql(
     table: str,
     id_expr: str,

@@ -1081,3 +1081,27 @@ def t08_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def z36_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.repetition_stats(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# z37 — unigram-LM surprisal scoring (round-3 addition;
+# operators/ranking.py::unigram_surprisal): per-doc mean -ln(c_t/N) under
+# the corpus's own unigram distribution — the rare-token quality signal.
+# Same determinism contract as the BM25 gate (ln + ROUND(4)).
+# ---------------------------------------------------------------------------
+from spark_sql_hbase_spark.operators.ranking import unigram_surprisal_sql as _usql
+
+
+@register(
+    "z37_unigram_surprisal",
+    oracle="SELECT q.id AS doc_id, q.n_tokens, q.surprisal FROM ("
+    + _usql("documents", "doc_id", _TOK)
+    + ") q",
+    description="per-doc mean unigram surprisal (corpus-trained, ln+round4)",
+)
+def z37_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.ranking import unigram_surprisal
+
+    docs = table(spark, sf_dir, "documents")
+    out = unigram_surprisal(docs, "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "surprisal")
