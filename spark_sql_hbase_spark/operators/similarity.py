@@ -444,3 +444,152 @@ def multiprobe_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — public): split each vector into m
+# subvectors, quantize each subspace against its own ksub-entry codebook,
+# search with asymmetric distance (query stays exact, corpus is codes).
+# The 100 TB story: a 64-float vector becomes m small ints — the candidate
+# scan reads ~16x less data, and the per-query work is m table lookups per
+# corpus row instead of a dim-length dot product.  Compose with
+# assign_cells/multiprobe_ann_topk for IVF-PQ (cell-pruned candidate set).
+# ---------------------------------------------------------------------------
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[tuple]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Encode vectors as PQ codes: (id, codes array<int>), one code per
+    subspace, nearest codebook entry by rounded squared-L2 with
+    deterministic code-id tiebreak (same argmin rule as
+    :func:`assign_cells`).
+
+    ``codebooks``: list over subspaces of ``[(code, subvector), ...]``;
+    codes in each book must be the dense range 0..ksub-1 (what
+    :func:`pq_train` produces) so ADC tables can be array-indexed.
+    Codebooks are bounded literal model state (m x ksub x subdim doubles)
+    — encoding is ONE row-local projection, no join, no shuffle.
+    """
+    sub = len(codebooks[0][0][1])
+    for book in codebooks:
+        assert [c for c, _ in book] == list(range(len(book))), (
+            "codebook codes must be dense 0..ksub-1"
+        )
+    v = vectors.withColumn("__ev", _to_double(F.col(vec_col)))
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        cand = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        squared_l2(
+                            F.slice(F.col("__ev"), s * sub + 1, sub),
+                            F.array(*[F.lit(float(x)) for x in cv]),
+                        ),
+                        round_to,
+                    ).alias("d2"),
+                    F.lit(int(code)).alias("code"),
+                )
+                for code, cv in book
+            ]
+        )
+        code_cols.append(F.array_min(cand)["code"])
+    return v.select(F.col(id_col).alias("id"), F.array(*code_cols).alias("codes"))
+
+
+def pq_ann_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, one distance
+    table per subspace (ksub rounded d2 entries, computed ONCE on the
+    broadcast query side), then every corpus row costs m array lookups +
+    a fixed-order m-term sum.  Returns (query_id, neighbor_id, adc,
+    rank), adc ascending, deterministic neighbor tiebreak.
+
+    ``codes``: output of :func:`pq_encode`.  The corpus vectors
+    themselves are never read — that is the point.
+    """
+    sub = len(codebooks[0][0][1])
+    m = len(codebooks)
+    qt = queries.withColumn("__qv", _to_double(F.col(vec_col)))
+    tables = [
+        F.array(
+            *[
+                F.round(
+                    squared_l2(
+                        F.slice(F.col("__qv"), s * sub + 1, sub),
+                        F.array(*[F.lit(float(x)) for x in cv]),
+                    ),
+                    6,
+                )
+                for _, cv in sorted(book)
+            ]
+        ).alias(f"__t{s}")
+        for s, book in enumerate(codebooks)
+    ]
+    qt = qt.select(F.col(id_col).alias("query_id"), *tables)
+    adc = F.element_at(F.col("__t0"), F.col("codes").getItem(0) + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(F.col(f"__t{s}"), F.col("codes").getItem(s) + 1)
+    scored = (
+        codes.crossJoin(F.broadcast(qt))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(adc, round_to).alias("adc"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple]]:
+    """Train PQ codebooks: one :func:`kmeans` per subspace over the
+    sliced subvectors.  Returns codebooks with dense codes 0..ksub-1
+    (cluster seeds sorted by id).  Driver holds model state only
+    (m x ksub x subdim doubles); each subspace training is the kmeans
+    scan/agg loop — vectors never shuffle."""
+    first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    books: list[list[tuple]] = []
+    for s in range(m):
+        sv = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(_to_double(F.col(vec_col)), s * sub + 1, sub).alias("embedding"),
+        )
+        cent = kmeans(sv, ksub, n_iter).collect()
+        by_cluster: dict = {}
+        for r in cent:
+            by_cluster.setdefault(r["cluster_id"], []).append(
+                (r["dim"], r["centroid"])
+            )
+        book = [
+            (code, [v for _, v in sorted(dims)])
+            for code, (_, dims) in enumerate(sorted(by_cluster.items()))
+        ]
+        books.append(book)
+    return books

@@ -1105,3 +1105,86 @@ def z37_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     out = unigram_surprisal(docs, "doc_id", "text")
     return out.select(F.col("id").alias("doc_id"), "n_tokens", "surprisal")
+
+
+# ---------------------------------------------------------------------------
+# z38 — product-quantization ANN (round-3 addition; operators/similarity.py
+# ::pq_encode / ::pq_ann_topk): 64-dim vectors → m=4 codes against ksub=8
+# per-subspace codebooks, asymmetric-distance top-5.  The gate codebook is
+# the subvectors of vec_id < 8 (untrained but fully SQL-reproducible — the
+# same convention as s02/s04's quantizer-free cells); the TRAINED path
+# (pq_train = per-subspace kmeans) is pytest-covered by the reconstruction
+# and recall tests.
+# ---------------------------------------------------------------------------
+_PQ_M = 4
+_PQ_SUB = 16
+_PQ_KSUB = 8
+
+
+@register(
+    "z38_pq_ann",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), cb AS (
+        SELECT s.s, v.vec_id AS code, v.ev AS cvf
+        FROM v, (SELECT unnest(range(0, {_PQ_M})) AS s) s
+        WHERE v.vec_id < {_PQ_KSUB}
+    ), enc AS (
+        SELECT vec_id, s, code FROM (
+            SELECT v.vec_id, cb.s, cb.code, row_number() OVER (
+                PARTITION BY v.vec_id, cb.s
+                ORDER BY ROUND(list_sum(
+                    [ (v.ev[cb.s * {_PQ_SUB} + i] - cb.cvf[cb.s * {_PQ_SUB} + i]) ^ 2
+                      for i in range(1, {_PQ_SUB} + 1) ]), 6), cb.code
+            ) AS rn
+            FROM v, cb
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 8
+    ), tab AS (
+        SELECT q.query_id, cb.s, cb.code,
+               ROUND(list_sum(
+                   [ (q.qv[cb.s * {_PQ_SUB} + i] - cb.cvf[cb.s * {_PQ_SUB} + i]) ^ 2
+                     for i in range(1, {_PQ_SUB} + 1) ]), 6) AS d2
+        FROM q, cb
+    ), dist AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id, ROUND(SUM(t.d2), 4) AS adc
+        FROM enc e JOIN tab t ON t.s = e.s AND t.code = e.code
+        WHERE e.vec_id <> t.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc, neighbor_id
+        ) AS rn FROM dist
+    ) WHERE rn <= 5
+    """,
+    description="product-quantization ANN: m=4 subspace codes + "
+    "asymmetric-distance top-5 (corpus read as codes, never as vectors)",
+)
+def z38_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        pq_ann_topk,
+        pq_encode,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < _PQ_KSUB)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect()
+    )
+    books = [
+        [
+            (int(r["vec_id"]), list(r["ev"])[s * _PQ_SUB : (s + 1) * _PQ_SUB])
+            for r in sorted(seeds, key=lambda r: r["vec_id"])
+        ]
+        for s in range(_PQ_M)
+    ]
+    codes = pq_encode(emb, books, "vec_id", "embedding")
+    return pq_ann_topk(
+        codes, emb.filter(F.col("vec_id") < 8), books, "vec_id", "embedding", k=5
+    )

@@ -566,3 +566,97 @@ def test_incremental_lsh_tolerates_overlapping_ids(spark):
     # of either doc with itself (which would be 1.0)
     assert pairs[(1, 1)] < 1.0
     assert (2, 2) not in pairs
+
+
+def test_pq_trained_codebooks_beat_untrained_reconstruction(spark, sf_dir):
+    """Lloyd training per subspace must reduce PQ quantization error:
+    mean squared reconstruction error with pq_train codebooks < error
+    with the naive first-ksub-vectors codebook the z38 gate uses."""
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        pq_encode,
+        pq_train,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+    from pyspark.sql import functions as F2
+
+    emb = qtable(spark, sf_dir, "embeddings")
+    m, sub, ksub = 4, 16, 8
+    seeds = (
+        emb.filter(F2.col("vec_id") < ksub)
+        .select("vec_id", _to_double(F2.col("embedding")).alias("ev"))
+        .collect()
+    )
+    naive = [
+        [
+            (int(r["vec_id"]), list(r["ev"])[s * sub : (s + 1) * sub])
+            for r in sorted(seeds, key=lambda r: r["vec_id"])
+        ]
+        for s in range(m)
+    ]
+    trained = pq_train(emb, m=m, ksub=ksub, n_iter=3)
+
+    vecs = {
+        r["vec_id"]: list(r["ev"])
+        for r in emb.select("vec_id", _to_double(F2.col("embedding")).alias("ev")).collect()
+    }
+
+    def mse(books):
+        codes = {
+            r["id"]: list(r["codes"])
+            for r in pq_encode(emb, books, "vec_id", "embedding").collect()
+        }
+        total = 0.0
+        for vid, v in vecs.items():
+            for s in range(m):
+                cv = dict(books[s])[codes[vid][s]]
+                total += sum(
+                    (v[s * sub + i] - cv[i]) ** 2 for i in range(sub)
+                )
+        return total / len(vecs)
+
+    assert mse(trained) < mse(naive), (mse(trained), mse(naive))
+
+
+def test_pq_adc_recall_beats_random(spark, sf_dir):
+    """PQ ADC top-10 must overlap the exact L2 top-10 far above the
+    random baseline (10/N) — the approximation has to carry signal."""
+    from spark_sql_hbase_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_encode,
+        pq_train,
+        squared_l2,
+        _to_double,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+    from pyspark.sql import Window as W2
+    from pyspark.sql import functions as F2
+
+    emb = qtable(spark, sf_dir, "embeddings")
+    n = emb.count()
+    books = pq_train(emb, m=4, ksub=8, n_iter=3)
+    queries = emb.filter(F2.col("vec_id") < 8)
+    codes = pq_encode(emb, books, "vec_id", "embedding")
+    approx = pq_ann_topk(codes, queries, books, k=10)
+
+    q = queries.select(
+        F2.col("vec_id").alias("query_id"), _to_double(F2.col("embedding")).alias("qv")
+    )
+    c = emb.select(
+        F2.col("vec_id").alias("neighbor_id"), _to_double(F2.col("embedding")).alias("cv")
+    )
+    w = W2.partitionBy("query_id").orderBy(F2.col("d2"), F2.col("neighbor_id"))
+    exact = (
+        c.join(F2.broadcast(q), F2.col("neighbor_id") != F2.col("query_id"))
+        .select("query_id", "neighbor_id", squared_l2(F2.col("qv"), F2.col("cv")).alias("d2"))
+        .withColumn("rank", F2.row_number().over(w))
+        .filter(F2.col("rank") <= 10)
+    )
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(ap & ex) / len(ex)
+    random_baseline = 10.0 / max(n - 1, 1)
+    # m=4 x ksub=8 is a 16x-compression quantizer; measured recall ~0.26
+    # vs random ~0.02 — assert the approximation carries strong signal,
+    # not an arbitrary absolute bar
+    assert recall >= max(0.15, 5 * random_baseline), (recall, random_baseline)
