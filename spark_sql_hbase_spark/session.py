@@ -152,3 +152,39 @@ class EngineSession:
             df.createOrReplaceTempView(name)
             out[name] = df
         return out
+
+
+def enable_runtime_bloom_filters(
+    spark: SparkSession,
+    application_side_scan_threshold: str = "0",
+    creation_side_threshold: str = "100MB",
+) -> dict[str, str | None]:
+    """Turn on Spark's runtime bloom-filter join pruning and lower its
+    size gates so it fires at local test scale.
+
+    At 100 TB this is the semi-join reduction that matters for
+    fact ⋈ filtered-dim shuffle joins: the optimizer builds a bloom
+    filter over the FILTERED creation side's join keys and injects a
+    ``might_contain`` predicate into the probe side's scan, so rows that
+    cannot match never enter the shuffle.  Spark's defaults only inject
+    when the probe side scans >10 GB — correct on a cluster, never true
+    locally, hence this helper for tests/demos
+    (``test_plans.py::test_runtime_bloom_filter_prunes_probe_side``).
+
+    Returns the previous values so callers can restore them.
+    """
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            application_side_scan_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            creation_side_threshold,
+    }
+    old: dict[str, str | None] = {}
+    for k, v in conf.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    return old

@@ -301,3 +301,35 @@ def test_sequence_generator_has_no_single_partition_exchange(spark):
     keys = sorted(r.row_key for r in keyed.collect())
     n = nat.count()
     assert keys == [f"{i:04d}" for i in range(6, 6 + n)]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning (the 100 TB semi-join reduction
+    for fact ⋈ filtered-dim shuffle joins): with the engine helper's
+    thresholds, the probe-side scan must gain a might_contain predicate
+    fed by a bloom_filter_agg over the filtered creation side."""
+    from spark_sql_hbase_spark.queries import table as qtable
+    from spark_sql_hbase_spark.session import enable_runtime_bloom_filters
+
+    old = enable_runtime_bloom_filters(spark)
+    save_bcast = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        # force a shuffle join so the bloom path (not broadcast) is used
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        li = qtable(spark, SF, "lineitem")
+        o = qtable(spark, SF, "orders").filter(F.col("o_totalprice") > 400000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in {**old, **save_bcast}.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
