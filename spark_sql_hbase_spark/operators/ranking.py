@@ -94,16 +94,20 @@ def unigram_surprisal(
     rare-token-heavy text.  Emits (id, n_tokens, surprisal) for documents
     with ≥1 token.
 
-    Plan shape (scales to 100 TB):
-    - tokenize once, explode to (doc, term, tf) via one map-side-combined
-      aggregate — the shuffle carries (doc, DISTINCT-term) pairs;
-    - corpus term counts are a second map-side-combined aggregate whose
-      cardinality is the VOCABULARY (Heaps-law sublinear), joined back on
-      term — both sides already hash-partitioned by term, and no
-      broadcast of an unbounded vocabulary anywhere;
-    - the per-doc combine is Σ tf·(-ln(c_t/N)) / dl over the doc's
-      distinct terms.  Same determinism contract as :func:`bm25_scores`
-      (ln + ROUND(round_to) — driver-green precedent).
+    Plan shape (scales to 100 TB — ONE corpus scan total):
+    - tokenize + explode to (doc, term, tf) via one map-side-combined
+      aggregate — the shuffle carries (doc, DISTINCT-term) pairs; this is
+      the only subtree that reads ``docs``;
+    - corpus term counts derive from ``tf`` itself (``Σ tf`` per term — a
+      vocabulary-cardinality aggregate over already-aggregated rows), and
+      the corpus token total derives from ``counts`` (tiny) — Catalyst's
+      ReuseExchange collapses the three references to ``tf`` onto one
+      scan+shuffle (pinned by ``test_plans.py``), so the corpus is read
+      and tokenized exactly once;
+    - no broadcast of an unbounded vocabulary anywhere; the per-doc
+      combine is Σ tf·(-ln(c_t/N)) / dl over the doc's distinct terms.
+      Same determinism contract as :func:`bm25_scores` (ln +
+      ROUND(round_to) — driver-green precedent).
     """
     toks = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tok")
@@ -113,12 +117,8 @@ def unigram_surprisal(
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    counts = (
-        toks.select(F.explode("tok").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    total = toks.agg(F.sum(F.size("tok")).alias("n_total"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = counts.agg(F.sum("ct").alias("n_total"))
     return (
         tf.join(counts, "term")
         .crossJoin(F.broadcast(total))

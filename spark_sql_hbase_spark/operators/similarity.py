@@ -462,6 +462,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Encode vectors as PQ codes: (id, codes array<int>), one code per
     subspace, nearest codebook entry by rounded squared-L2 with
@@ -473,6 +474,9 @@ def pq_encode(
     :func:`pq_train` produces) so ADC tables can be array-indexed.
     Codebooks are bounded literal model state (m x ksub x subdim doubles)
     — encoding is ONE row-local projection, no join, no shuffle.
+
+    ``extra_cols`` pass through unchanged (e.g. the coarse ``cell``
+    column for the IVFADC composition, :func:`ivfadc_ann_topk`).
     """
     sub = len(codebooks[0][0][1])
     for book in codebooks:
@@ -498,7 +502,11 @@ def pq_encode(
             ]
         )
         code_cols.append(F.array_min(cand)["code"])
-    return v.select(F.col(id_col).alias("id"), F.array(*code_cols).alias("codes"))
+    return v.select(
+        F.col(id_col).alias("id"),
+        *extra_cols,
+        F.array(*code_cols).alias("codes"),
+    )
 
 
 def pq_ann_topk(
@@ -543,6 +551,97 @@ def pq_ann_topk(
         adc = adc + F.element_at(F.col(f"__t{s}"), F.col("codes").getItem(s) + 1)
     scored = (
         codes.crossJoin(F.broadcast(qt))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(adc, round_to).alias("adc"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def ivfadc_ann_topk(
+    codes_with_cells: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple],
+    codebooks: list[list[tuple]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    k: int = 5,
+    nprobe: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVFADC: asymmetric-distance PQ search restricted to the query's
+    ``nprobe`` nearest coarse cells (Jegou et al. 2011 §IV — the
+    composition of the IVF candidate pruning of
+    :func:`multiprobe_ann_topk` with the ADC scoring of
+    :func:`pq_ann_topk`).
+
+    ``codes_with_cells``: the index — :func:`assign_cells` then
+    :func:`pq_encode` with ``extra_cols=(cell_col,)``: one row per
+    corpus vector carrying only (id, cell, m codes).  ``centroids``:
+    [(cell_id, vector)] coarse quantizer; ``codebooks``: per-subspace PQ
+    books — both bounded literal model state.
+
+    The 100 TB shape: probe selection AND the per-query distance tables
+    live on the broadcast query side (nprobe rows x m·ksub floats per
+    query); the corpus side is an equi-join on the cell id over rows of
+    m small ints — no vector is ever read at search time, no corpus row
+    outside a probed cell is scored, and with the index table
+    partitioned by cell the probe is a partition-pruned scan.  Neither
+    side shuffles: broadcast-hash join + per-query top-k.
+    """
+    sub = len(codebooks[0][0][1])
+    m = len(codebooks)
+    qt = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qv")
+    )
+    # nprobe nearest coarse cells per query — rounded-d2 argsort with
+    # deterministic cell tiebreak (array_sort on (d2, cell) structs).
+    cand = F.array(
+        *[
+            F.struct(
+                F.round(
+                    squared_l2(F.col("__qv"), F.array(*[F.lit(float(x)) for x in cv])),
+                    6,
+                ).alias("d2"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    tables = [
+        F.array(
+            *[
+                F.round(
+                    squared_l2(
+                        F.slice(F.col("__qv"), s * sub + 1, sub),
+                        F.array(*[F.lit(float(x)) for x in cv]),
+                    ),
+                    6,
+                )
+                for _, cv in sorted(book)
+            ]
+        ).alias(f"__t{s}")
+        for s, book in enumerate(codebooks)
+    ]
+    probes = qt.select(
+        "query_id",
+        F.explode(F.slice(F.array_sort(cand), 1, nprobe)).alias("probe"),
+        *tables,
+    ).select("query_id", F.col("probe.cell").alias(cell_col), *[f"__t{s}" for s in range(m)])
+    adc = F.element_at(F.col("__t0"), F.col("codes").getItem(0) + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(F.col(f"__t{s}"), F.col("codes").getItem(s) + 1)
+    scored = (
+        codes_with_cells.join(F.broadcast(probes), cell_col)
         .filter(F.col("id") != F.col("query_id"))
         .select(
             "query_id",

@@ -66,12 +66,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_ts_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # µs-precision naive parquet timestamps (isAdjustedToUTC=false) come
+    # back as TIMESTAMP_NTZ under Spark's inferTimestampNTZ default; the
+    # streaming operators need event-time columns to be TIMESTAMP (LTZ),
+    # and with the session timezone pinned to UTC the cast maps the naive
+    # value to the identical instant — same semantics the ns path above
+    # (timestamp_micros → LTZ) has always produced.
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

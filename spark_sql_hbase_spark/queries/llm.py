@@ -77,14 +77,14 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d02 — exact n-gram Jaccard similarity join (inverted index).
+# z39 — exact n-gram Jaccard (demoted round 4; was d02_ngram: minhash keeps the near-dup family in-window) similarity join (inverted index).
 # ---------------------------------------------------------------------------
 @register(
-    "d02_ngram_jaccard_join",
+    "z39_ngram_jaccard_join",
     oracle=_JACCARD_ORACLE,
     description="exact 3-gram shingle Jaccard self-join via inverted index",
 )
-def d02_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z39_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_join(docs, "doc_id", "text", JACCARD_T, SHINGLE_N)
 
@@ -392,12 +392,12 @@ def u01_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# m02 — multimodal frame sampling: one row per sampled 64-byte "frame"
+# z40 — multimodal frame sampling (demoted round 4; was m02: m01/u01/st02 keep the Arrow-UDF family in-window): one row per sampled 64-byte "frame"
 # (every 4th), mapInPandas one-to-many (the decode itself is the
 # deterministic stub — no codecs in this container).
 # ---------------------------------------------------------------------------
 @register(
-    "m02_frame_sample",
+    "z40_frame_sample",
     oracle=f"""
     WITH b AS (
         SELECT doc_id, text, CAST(CEIL(length(text) / {multimodal.FRAME_BYTES}.0) AS INTEGER) AS nf
@@ -411,7 +411,7 @@ def u01_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="frame sampling (every 4th 64B block) via one-to-many mapInPandas",
 )
-def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return multimodal.sample_frames(with_payload, "doc_id", "payload", every=4)
@@ -863,12 +863,12 @@ def z20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z21 — corpus vocabulary with counts (tokenizer-training prep): explode →
+# t09 — corpus vocabulary (promoted round 4; was z21) with counts (tokenizer-training prep): explode →
 # map-side-combined term counts → top-k, deterministic tiebreak
 # (operators/text.py::vocabulary).
 # ---------------------------------------------------------------------------
 @register(
-    "z21_vocabulary_topk",
+    "t09_vocabulary_topk",
     oracle=f"""
     WITH __t AS (
         SELECT unnest({_TOK}) AS term FROM documents
@@ -883,7 +883,7 @@ def z20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="corpus vocabulary top-50 with counts (tokenizer prep, "
     "map-side-combined, TakeOrdered)",
 )
-def z21_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t09_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.vocabulary(docs, "text", top_k=50)
 
@@ -1041,13 +1041,13 @@ def t08_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z36 — Gopher-style intra-document repetition stats (round-3 addition;
+# t10 — Gopher-style (promoted round 4; was z36) intra-document repetition stats (round-3 addition;
 # operators/text.py::repetition_stats): duplicate-token fraction, top-token
 # share (longest sorted run, one row-local fold), duplicate-2-gram
 # fraction.  Pure row-local projection — zero shuffle at any scale.
 # ---------------------------------------------------------------------------
 @register(
-    "z36_repetition_stats",
+    "t10_repetition_stats",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id, {_TOK} AS t FROM documents
@@ -1078,13 +1078,13 @@ def t08_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Gopher-style repetition filter signals (dup-token/"
     "top-token/dup-2gram fractions) — row-local, shuffle-free",
 )
-def z36_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t10_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.repetition_stats(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
-# z37 — unigram-LM surprisal scoring (round-3 addition;
+# t11 — unigram-LM surprisal (promoted round 4; was z37) scoring (round-3 addition;
 # operators/ranking.py::unigram_surprisal): per-doc mean -ln(c_t/N) under
 # the corpus's own unigram distribution — the rare-token quality signal.
 # Same determinism contract as the BM25 gate (ln + ROUND(4)).
@@ -1093,13 +1093,13 @@ from spark_sql_hbase_spark.operators.ranking import unigram_surprisal_sql as _us
 
 
 @register(
-    "z37_unigram_surprisal",
+    "t11_unigram_surprisal",
     oracle="SELECT q.id AS doc_id, q.n_tokens, q.surprisal FROM ("
     + _usql("documents", "doc_id", _TOK)
     + ") q",
     description="per-doc mean unigram surprisal (corpus-trained, ln+round4)",
 )
-def z37_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t11_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import unigram_surprisal
 
     docs = table(spark, sf_dir, "documents")
@@ -1108,7 +1108,7 @@ def z37_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z38 — product-quantization ANN (round-3 addition; operators/similarity.py
+# s07 — product-quantization ANN (promoted round 4; was z38) (round-3 addition; operators/similarity.py
 # ::pq_encode / ::pq_ann_topk): 64-dim vectors → m=4 codes against ksub=8
 # per-subspace codebooks, asymmetric-distance top-5.  The gate codebook is
 # the subvectors of vec_id < 8 (untrained but fully SQL-reproducible — the
@@ -1122,7 +1122,7 @@ _PQ_KSUB = 8
 
 
 @register(
-    "z38_pq_ann",
+    "s07_pq_ann",
     oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
@@ -1164,7 +1164,7 @@ _PQ_KSUB = 8
     description="product-quantization ANN: m=4 subspace codes + "
     "asymmetric-distance top-5 (corpus read as codes, never as vectors)",
 )
-def z38_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s07_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         pq_ann_topk,
@@ -1187,4 +1187,121 @@ def z38_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, books, "vec_id", "embedding")
     return pq_ann_topk(
         codes, emb.filter(F.col("vec_id") < 8), books, "vec_id", "embedding", k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# s06 — IVFADC (round-4 addition; operators/similarity.py::ivfadc_ann_topk):
+# the composition of the IVF coarse cells (s02/s04) with the PQ codes (s07)
+# — ADC scoring restricted to each query's nprobe=2 nearest of 4 coarse
+# cells, so neither the full code table nor any corpus vector is scanned
+# per query.  Gate model state follows the SQL-reproducible untrained
+# convention: coarse centroids = embeddings of vec_id < 4, PQ codebooks =
+# subvectors of vec_id < 8 (same as s07); the TRAINED composition
+# (kmeans coarse + pq_train books) is pytest-covered by the recall test.
+# ---------------------------------------------------------------------------
+_IVF_C = 4
+_IVF_NPROBE = 2
+
+
+@register(
+    "s06_ivfadc",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), cc AS (
+        SELECT vec_id AS cell, ev AS ccv FROM v WHERE vec_id < {_IVF_C}
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, cc.cell, row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY ROUND(list_sum(
+                    [ (v.ev[i] - cc.ccv[i]) ^ 2 for i in range(1, 65) ]), 6), cc.cell
+            ) AS rn
+            FROM v, cc
+        ) WHERE rn = 1
+    ), cb AS (
+        SELECT s.s, v.vec_id AS code, v.ev AS cvf
+        FROM v, (SELECT unnest(range(0, {_PQ_M})) AS s) s
+        WHERE v.vec_id < {_PQ_KSUB}
+    ), enc AS (
+        SELECT vec_id, s, code FROM (
+            SELECT v.vec_id, cb.s, cb.code, row_number() OVER (
+                PARTITION BY v.vec_id, cb.s
+                ORDER BY ROUND(list_sum(
+                    [ (v.ev[cb.s * {_PQ_SUB} + i] - cb.cvf[cb.s * {_PQ_SUB} + i]) ^ 2
+                      for i in range(1, {_PQ_SUB} + 1) ]), 6), cb.code
+            ) AS rn
+            FROM v, cb
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 8
+    ), probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, cc.cell, row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY ROUND(list_sum(
+                    [ (q.qv[i] - cc.ccv[i]) ^ 2 for i in range(1, 65) ]), 6), cc.cell
+            ) AS rn
+            FROM q, cc
+        ) WHERE rn <= {_IVF_NPROBE}
+    ), tab AS (
+        SELECT q.query_id, cb.s, cb.code,
+               ROUND(list_sum(
+                   [ (q.qv[cb.s * {_PQ_SUB} + i] - cb.cvf[cb.s * {_PQ_SUB} + i]) ^ 2
+                     for i in range(1, {_PQ_SUB} + 1) ]), 6) AS d2
+        FROM q, cb
+    ), dist AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id, ROUND(SUM(t.d2), 4) AS adc
+        FROM enc e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN tab t ON t.s = e.s AND t.code = e.code
+        JOIN probes p ON p.cell = a.cell AND p.query_id = t.query_id
+        WHERE e.vec_id <> t.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc, neighbor_id
+        ) AS rn FROM dist
+    ) WHERE rn <= 5
+    """,
+    description="IVFADC: PQ asymmetric-distance top-5 within each query's "
+    "nprobe=2 nearest coarse cells — corpus read as (cell, codes) only",
+)
+def s06_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        assign_cells,
+        ivfadc_ann_topk,
+        pq_encode,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < _PQ_KSUB)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: r["vec_id"])
+    cents = [(int(r["vec_id"]), list(r["ev"])) for r in seeds[:_IVF_C]]
+    books = [
+        [
+            (int(r["vec_id"]), list(r["ev"])[s * _PQ_SUB : (s + 1) * _PQ_SUB])
+            for r in seeds
+        ]
+        for s in range(_PQ_M)
+    ]
+    cells = assign_cells(emb, cents, "vec_id", "embedding")
+    codes = pq_encode(cells, books, "vec_id", "embedding", extra_cols=("cell",))
+    return ivfadc_ann_topk(
+        codes,
+        emb.filter(F.col("vec_id") < 8),
+        cents,
+        books,
+        "vec_id",
+        "embedding",
+        k=5,
+        nprobe=_IVF_NPROBE,
     )

@@ -411,10 +411,10 @@ def z29_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q12 — NOT EXISTS → left-anti join.
+# z42 — NOT EXISTS (demoted round 4; was q12: q18 keeps the subquery family in-window) → left-anti join.
 # ---------------------------------------------------------------------------
 @register(
-    "q12_customers_without_orders",
+    "z42_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
@@ -422,7 +422,7 @@ def z29_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="NOT EXISTS via left-anti join",
 )
-def q12_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z42_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select(
@@ -648,14 +648,14 @@ def z31_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q20 — time-window aggregation over the event stream: tumbling (5 min) AND
+# z41 — time-window aggregation (demoted round 4; was q20: q35 keeps time-windows in-window) over the event stream: tumbling (5 min) AND
 # sliding (15 min sliding by 5 → each event lands in 3 windows, planned as
 # an explode + map-side-combined hash agg) in one tagged union (merged
 # round-1 q20+q36; batch analogue of the Structured Streaming pipeline in
 # streaming/ — same F.window operator).
 # ---------------------------------------------------------------------------
 @register(
-    "q20_events_windows",
+    "z41_events_windows",
     oracle=f"""
     SELECT 'tumbling' AS win_kind,
            strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
@@ -678,7 +678,7 @@ def z31_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="tumbling (5m) + sliding (15m/5m) window aggregation, tagged union",
 )
-def q20_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z41_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
 
     def _windowed(win: F.Column, kind: str) -> DataFrame:

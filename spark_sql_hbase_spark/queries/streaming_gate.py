@@ -75,7 +75,7 @@ def _run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Dat
 
 
 @register(
-    "st01_stream_windowed_counts",
+    "z43_stream_windowed_counts",
     oracle=f"""
     WITH wm AS (
         SELECT epoch_ms(max(ts)) - {_WM_MIN * 60000} AS wm_ms FROM events
@@ -96,7 +96,7 @@ def _run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Dat
     description="streaming watermarked tumbling-window agg, append-mode "
     "finalized windows (availableNow over the events table)",
 )
-def st01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z43_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "ts", "event_type", F.col("value").cast(DEC).alias("value")
     )
