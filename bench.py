@@ -87,6 +87,26 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
           f"delta_join={out['d09_band_index_delta_join']}s rows={n}",
           file=sys.stderr)
     spark.sql("DROP TABLE IF EXISTS __bench_band_idx")
+
+    # write path: keyed-store create + double insert + major compaction +
+    # join-agg readback (the k02 gate end-to-end) — round-3 verdict asked
+    # for write-path regression visibility
+    from spark_sql_hbase_spark.queries import load_all
+
+    registry = load_all()
+    t0 = time.perf_counter()
+    n = registry["k02_keyed_insert_compact"].fn(spark, sf_dir).count()
+    out["k02_keyed_insert_compact"] = round(time.perf_counter() - t0, 3)
+    print(f"# k02_keyed_insert_compact: {out['k02_keyed_insert_compact']}s "
+          f"rows={n}", file=sys.stderr)
+
+    # streaming path: availableNow watermarked window agg end-to-end
+    # (single-file rewrite + memory sink drain, the z43/st01 gate)
+    t0 = time.perf_counter()
+    n = registry["z43_stream_windowed_counts"].fn(spark, sf_dir).count()
+    out["st_windowed_availablenow"] = round(time.perf_counter() - t0, 3)
+    print(f"# st_windowed_availablenow: {out['st_windowed_availablenow']}s "
+          f"rows={n}", file=sys.stderr)
     return out
 
 

@@ -660,3 +660,98 @@ def test_pq_adc_recall_beats_random(spark, sf_dir):
     # vs random ~0.02 — assert the approximation carries strong signal,
     # not an arbitrary absolute bar
     assert recall >= max(0.15, 5 * random_baseline), (recall, random_baseline)
+
+
+def test_ivfadc_recall_dominates_flat_pq_at_equal_scan_fraction(spark, sf_dir):
+    """IVFADC with a TRAINED coarse quantizer (kmeans cells + pq_train
+    books, nprobe=2 of 4 cells) scores only the rows in probed cells —
+    roughly half the corpus.  At that same scan budget, flat PQ ADC over
+    a hash-selected half of the corpus must not beat it: the learned
+    cells concentrate true neighbors into the probed subset, a random
+    subset loses them uniformly.  Also: IVFADC over ALL cells (nprobe=4)
+    must equal flat PQ exactly — the composition degrades to s07 when
+    nothing is pruned."""
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        assign_cells,
+        ivfadc_ann_topk,
+        kmeans,
+        pq_ann_topk,
+        pq_encode,
+        pq_train,
+        squared_l2,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+    from pyspark.sql import Window as W2
+
+    emb = qtable(spark, sf_dir, "embeddings")
+    final = kmeans(emb, k=4, n_iter=3).collect()
+    by_c: dict = {}
+    for r in final:
+        by_c.setdefault(r["cluster_id"], []).append((r["dim"], r["centroid"]))
+    cents = [(cid, [v for _, v in sorted(d)]) for cid, d in sorted(by_c.items())]
+    books = pq_train(emb, m=4, ksub=8, n_iter=3)
+
+    cells = assign_cells(emb, cents, "vec_id", "embedding")
+    codes = pq_encode(cells, books, "vec_id", "embedding", extra_cols=("cell",))
+    queries = emb.filter(F2.col("vec_id") < 8)
+
+    # exact L2 ground truth
+    q = queries.select(
+        F2.col("vec_id").alias("query_id"), _to_double(F2.col("embedding")).alias("qv")
+    )
+    c = emb.select(
+        F2.col("vec_id").alias("neighbor_id"), _to_double(F2.col("embedding")).alias("cv")
+    )
+    w = W2.partitionBy("query_id").orderBy(F2.col("d2"), F2.col("neighbor_id"))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in (
+            c.join(F2.broadcast(q), F2.col("neighbor_id") != F2.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                squared_l2(F2.col("qv"), F2.col("cv")).alias("d2"),
+            )
+            .withColumn("rank", F2.row_number().over(w))
+            .filter(F2.col("rank") <= 10)
+        ).collect()
+    }
+
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfadc_ann_topk(
+            codes, queries, cents, books, k=10, nprobe=2
+        ).collect()
+    }
+    # measure the actual PER-QUERY scan fraction IVFADC paid (scored
+    # candidate pairs / all-pairs) and give flat PQ a hash-selected
+    # subset of >= that size
+    n_total = emb.count()
+    n_queries = queries.count()
+    probed = ivfadc_ann_topk(codes, queries, cents, books, k=10**9, nprobe=2)
+    frac = probed.count() / (n_queries * (n_total - 1))
+    flat_codes = pq_encode(emb, books, "vec_id", "embedding")
+    subset = flat_codes.filter(
+        (F2.abs(F2.hash(F2.col("id"))) % 100) < int(frac * 100) + 1
+    )
+    rand = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_ann_topk(subset, queries, books, k=10).collect()
+    }
+    r_ivf = len(ivf & exact) / len(exact)
+    r_rand = len(rand & exact) / len(exact)
+    assert r_ivf >= r_rand, (r_ivf, r_rand, frac)
+    assert r_ivf > 0.1, r_ivf
+
+    # nprobe = all cells == flat PQ (sanity: the composition is exact
+    # over the unpruned candidate set)
+    all_ivf = sorted(
+        map(tuple, ivfadc_ann_topk(codes, queries, cents, books, k=10, nprobe=4).collect())
+    )
+    all_flat = sorted(
+        map(tuple, pq_ann_topk(flat_codes, queries, books, k=10).collect())
+    )
+    assert all_ivf == all_flat
