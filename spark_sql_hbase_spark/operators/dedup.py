@@ -731,3 +731,86 @@ def minhash_lsh_join_against_index(
     sets_a = _shingle_sets(docs_a, id_col, text_col, n)
     sets_b = _shingle_sets(docs_b, id_col, text_col, n)
     return _verify_jaccard_two_sided(candidates, sets_a, sets_b, threshold)
+
+
+# ---------------------------------------------------------------------------
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring detection at token-window granularity —
+    the scalable analogue of suffix-array substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    public): any substring of >= ``window`` tokens that appears >=
+    ``min_count`` times in the corpus (across documents OR repeated
+    within one) is covered by at least one duplicated rolling window, so
+    flagging window hashes with total corpus count >= ``min_count`` finds
+    every such span at window resolution.
+
+    Emits per-doc (id, n_windows, n_dup_windows, dup_frac) — the
+    remove/keep signal a curation pass thresholds on (C4/MassiveText drop
+    documents with high duplicate-span mass).
+
+    Plan shape (scales to 100 TB):
+    - one tokenize per doc (bound behind a Generate barrier — the rolling
+      windows reference the bound array per ELEMENT, which would
+      otherwise re-tokenize per position), then one rolling-window hash
+      array per doc: ``transform(sequence(...), i -> word_hash(concat_ws
+      (' ', slice(tok, i+1, w))))`` — row-local, O(len·w) character work,
+      same cost class as shingling;
+    - explode to (id, window_hash) — one row per token position, the
+      inherent cost of substring-level dedup (a suffix array pays the
+      same); the shuffle carries 8-byte hashes + ids, never text;
+    - corpus counts per hash: map-side-combined aggregate partitioned by
+      hash; duplicated hashes semi-join back to the exploded side on the
+      SAME partitioning, then one per-doc count.  At production scale,
+      cap runaway boilerplate hashes by df (same df-cap note as
+      :func:`ngram_jaccard_join`) and stride the windows.
+    """
+    # sequence(0, -k) would count DOWN (and slice(_, 0, _) errors), so
+    # short docs take the empty-array branch explicitly
+    wh = (
+        f"CASE WHEN size(__tok) >= {window} THEN "
+        f"transform(sequence(0, size(__tok) - {window}), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', slice(__tok, i + 1, "
+        f"{window}))), 1, 14), 16, 10) AS BIGINT)) "
+        f"ELSE cast(array() AS array<bigint>) END"
+    )
+    # one tokenize + one window-hash pass per doc; the cached (id, hashes)
+    # frame feeds all three consumers (corpus counts, semi-join, per-doc
+    # window totals) — the text column never survives past this projection
+    arr = (
+        _parallelized(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+        )
+        .select("id", F.expr(wh).alias("whs"))
+        .cache()
+    )
+    win = arr.select("id", F.explode("whs").alias("h"))
+    counts = win.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = counts.filter(F.col("cnt") >= min_count).select("h")
+    per_doc = (
+        win.join(dup, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    base = arr.select("id", F.size("whs").cast("long").alias("n_windows"))
+    return (
+        base.join(per_doc, "id", "left_outer")
+        .select(
+            "id",
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            (
+                F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_windows"), F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )

@@ -566,6 +566,66 @@ def pq_ann_topk(
     )
 
 
+def residualize(
+    vectors: DataFrame,
+    centroids: list[tuple],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest coarse cell and subtract that
+    cell's centroid: (id_col, cell, vec_col := x - c(cell)) — the encode
+    preprocessing for RESIDUAL product quantization (IVFADC proper,
+    Jegou et al. 2011 §IV.B: residuals have far less energy than raw
+    vectors, so the same m×ksub code budget quantizes them much finer).
+
+    Centroids fold in as a literal map lookup (bounded model state, same
+    convention as :func:`assign_cells`) — one row-local projection, no
+    join, no shuffle.  At huge C (>10⁴ cells) swap the literal map for a
+    broadcast join against a centroid table; same plan role.
+    """
+    assigned = assign_cells(vectors, centroids, id_col, vec_col, cell_col)
+    entries = []
+    for cid, cv in centroids:
+        entries.append(F.lit(cid))
+        entries.append(F.array(*[F.lit(float(x)) for x in cv]))
+    cent_map = F.create_map(*entries)
+    resid = F.zip_with(
+        _to_double(F.col(vec_col)),
+        F.element_at(cent_map, F.col(cell_col)),
+        lambda x, c: x - c,
+    )
+    return assigned.withColumn(vec_col, resid)
+
+
+def ivfpq_train(
+    vectors: DataFrame,
+    n_cells: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple], list[list[tuple]]]:
+    """Train the full IVFADC model: coarse k-means cells over the raw
+    vectors, then per-subspace PQ codebooks over the cell RESIDUALS.
+    Returns ``(centroids, codebooks)`` ready for
+    :func:`residualize` → :func:`pq_encode` (index build) and
+    :func:`ivfadc_ann_topk` with ``residual=True`` (search).
+
+    Driver holds model state only (C·dim + m·ksub·subdim doubles); both
+    training stages are the kmeans scan/agg loop — vectors never
+    shuffle."""
+    final = kmeans(vectors, n_cells, n_iter, id_col, vec_col).collect()
+    by_c: dict = {}
+    for r in final:
+        by_c.setdefault(r["cluster_id"], []).append((r["dim"], r["centroid"]))
+    cents = [(cid, [v for _, v in sorted(d)]) for cid, d in sorted(by_c.items())]
+    resid = residualize(vectors, cents, id_col, vec_col)
+    books = pq_train(resid, m, ksub, n_iter, id_col, vec_col)
+    return cents, books
+
+
 def ivfadc_ann_topk(
     codes_with_cells: DataFrame,
     queries: DataFrame,
@@ -577,6 +637,7 @@ def ivfadc_ann_topk(
     k: int = 5,
     nprobe: int = 2,
     round_to: int = 4,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC: asymmetric-distance PQ search restricted to the query's
     ``nprobe`` nearest coarse cells (Jegou et al. 2011 §IV — the
@@ -597,6 +658,13 @@ def ivfadc_ann_topk(
     outside a probed cell is scored, and with the index table
     partitioned by cell the probe is a partition-pruned scan.  Neither
     side shuffles: broadcast-hash join + per-query top-k.
+
+    ``residual=True`` is IVFADC proper: the index holds codes of the
+    CELL RESIDUALS (:func:`residualize` → :func:`pq_encode`, books from
+    :func:`ivfpq_train`), and each per-probe distance table is computed
+    from the query's residual against the probed cell — still a pure
+    projection on the broadcast side (the probe struct carries its
+    centroid literal).
     """
     sub = len(codebooks[0][0][1])
     m = len(codebooks)
@@ -604,7 +672,8 @@ def ivfadc_ann_topk(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qv")
     )
     # nprobe nearest coarse cells per query — rounded-d2 argsort with
-    # deterministic cell tiebreak (array_sort on (d2, cell) structs).
+    # deterministic cell tiebreak (array_sort on (d2, cell, cv) structs;
+    # the cv field is never reached: cells are unique).
     cand = F.array(
         *[
             F.struct(
@@ -613,16 +682,27 @@ def ivfadc_ann_topk(
                     6,
                 ).alias("d2"),
                 F.lit(cid).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
             )
             for cid, cv in centroids
         ]
+    )
+    probed = qt.select(
+        "query_id",
+        "__qv",
+        F.explode(F.slice(F.array_sort(cand), 1, nprobe)).alias("probe"),
+    ).withColumn(
+        "__qr",
+        F.zip_with(F.col("__qv"), F.col("probe.cv"), lambda x, c: x - c)
+        if residual
+        else F.col("__qv"),
     )
     tables = [
         F.array(
             *[
                 F.round(
                     squared_l2(
-                        F.slice(F.col("__qv"), s * sub + 1, sub),
+                        F.slice(F.col("__qr"), s * sub + 1, sub),
                         F.array(*[F.lit(float(x)) for x in cv]),
                     ),
                     6,
@@ -632,11 +712,9 @@ def ivfadc_ann_topk(
         ).alias(f"__t{s}")
         for s, book in enumerate(codebooks)
     ]
-    probes = qt.select(
-        "query_id",
-        F.explode(F.slice(F.array_sort(cand), 1, nprobe)).alias("probe"),
-        *tables,
-    ).select("query_id", F.col("probe.cell").alias(cell_col), *[f"__t{s}" for s in range(m)])
+    probes = probed.select(
+        "query_id", F.col("probe.cell").alias(cell_col), *tables
+    )
     adc = F.element_at(F.col("__t0"), F.col("codes").getItem(0) + 1)
     for s in range(1, m):
         adc = adc + F.element_at(F.col(f"__t{s}"), F.col("codes").getItem(s) + 1)

@@ -1305,3 +1305,47 @@ def s06_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=_IVF_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# z44 — exact duplicate-span detection at token-window granularity (round-4
+# addition; operators/dedup.py::duplicate_spans): the scalable analogue of
+# Lee et al. 2022 suffix-array substring dedup — rolling 10-token window
+# hashes, corpus-count >= 2 marks a window duplicated, per-doc duplicated-
+# window mass is the drop/keep curation signal.
+# ---------------------------------------------------------------------------
+_SPAN_W = 10
+
+@register(
+    "z44_duplicate_spans",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT doc_id, {_TOK} AS t FROM documents
+    ), __w AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {_SPAN_W} THEN
+                   [('0x' || substr(md5(array_to_string(
+                        t[__i + 1 : __i + {_SPAN_W}], ' ')), 1, 14))::BIGINT
+                    for __i in range(0, len(t) - {_SPAN_W} + 1)]
+               ELSE [] END AS whs
+        FROM __tok
+    ), __x AS (
+        SELECT doc_id, unnest(whs) AS h FROM __w
+    ), __c AS (
+        SELECT h FROM (SELECT h, COUNT(*) AS c FROM __x GROUP BY 1)
+        WHERE c >= 2
+    ), __d AS (
+        SELECT doc_id, COUNT(*) AS nd FROM __x JOIN __c USING (h) GROUP BY 1
+    )
+    SELECT w.doc_id AS id,
+           CAST(len(whs) AS BIGINT) AS n_windows,
+           CAST(COALESCE(nd, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(nd, 0) AS DOUBLE) / greatest(len(whs), 1) AS dup_frac
+    FROM __w w LEFT JOIN __d USING (doc_id)
+    """,
+    description="duplicate-span mass per doc: rolling 10-token window "
+    "hashes with corpus count >= 2 (substring-dedup signal)",
+)
+def z44_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "doc_id", "text", window=_SPAN_W)

