@@ -216,3 +216,62 @@ def st04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     stream = _one_batch_stream(spark, ev)
     return _run_available_now(click_purchase_attribution(stream, 10))
+
+
+# ---------------------------------------------------------------------------
+# z45 — stream-stream LEFT OUTER join (round-4 addition): matched
+# click→purchase attributions PLUS one NULL-extended row per click whose
+# match window expired under the final watermark (evict-and-emit).  The
+# emitted set is deterministic given the final global watermark =
+# min(max click ts, max purchase ts) - delay (multipleWatermarkPolicy
+# default "min"); clicks still inside their window at end-of-stream stay
+# in state and are NOT emitted — the oracle applies the same rule.
+# ---------------------------------------------------------------------------
+_SS_W_MIN = 10
+
+
+@register(
+    "z45_stream_stream_outer_join",
+    oracle=f"""
+    WITH wm AS (
+        SELECT least(
+            (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'click'),
+            (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'purchase')
+        ) - {_SS_W_MIN * 60000} AS wm_ms
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_ms(p.ts) - epoch_ms(c.ts) AS delay_ms,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {_SS_W_MIN} MINUTE
+    UNION ALL
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS delay_ms,
+           CAST(NULL AS DOUBLE) AS purchase_value
+    FROM events c, wm
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {_SS_W_MIN} MINUTE
+      )
+      AND epoch_ms(c.ts) + {_SS_W_MIN * 60000} < wm.wm_ms
+    """,
+    description="stream-stream left-outer join: matched attributions + "
+    "watermark-expired unmatched clicks (bounded state, evict-and-emit)",
+)
+def z45_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        click_purchase_attribution_outer,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    stream = _one_batch_stream(spark, ev)
+    return _run_available_now(click_purchase_attribution_outer(stream, _SS_W_MIN))

@@ -256,3 +256,55 @@ def click_purchase_attribution(
         (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("delay_ms"),
         F.round(F.col("purchase_value"), 4).alias("purchase_value"),
     )
+
+
+def click_purchase_attribution_outer(
+    events: DataFrame, window_minutes: int = 10
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click emits — joined to each
+    same-user purchase in the following ``window_minutes``, or once with
+    NULL purchase columns when the watermark proves no match can arrive.
+
+    Same bounded-state shape as :func:`click_purchase_attribution` (both
+    sides watermarked, join condition time-bounded on both ends); the
+    outer semantics additionally EVICT-AND-EMIT: a click row leaves state
+    as a NULL-extended result when the global watermark passes
+    ``click_ts + window`` — the unmatched-click audit a 100 TB/day
+    attribution pipeline needs without a second batch pass.  Clicks still
+    inside the window at end-of-stream stay unemitted (they could yet
+    match) — deterministic given the final watermark.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{window_minutes} minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", f"{window_minutes} minutes")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("delay_ms"),
+        F.round(F.col("purchase_value"), 4).alias("purchase_value"),
+    )

@@ -817,3 +817,37 @@ def test_residual_ivfpq_reconstructs_better_than_raw_pq(spark, sf_dir):
     for r in out:
         per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert all(len(v) == 5 for v in per_q.values()), per_q
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.sampled_from("abc"), min_size=0, max_size=8), min_size=1, max_size=6))
+def test_duplicate_spans_matches_python_reference(spark, token_docs):
+    """duplicate_spans must agree with a plain-Python rolling-window
+    counter on arbitrary tiny corpora (short docs, empty docs, heavy
+    repetition — the alphabet is 3 letters so cross-doc collisions are
+    common by construction)."""
+    from collections import Counter
+
+    from spark_sql_hbase_spark.operators.dedup import duplicate_spans
+
+    w = 3
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in duplicate_spans(df, "doc_id", "text", window=w).collect()
+    }
+
+    wins = {
+        i: (
+            [" ".join(toks[j : j + w]) for j in range(len(toks) - w + 1)]
+            if len(toks) >= w
+            else []
+        )
+        for i, toks in enumerate(token_docs)
+    }
+    cnt = Counter(x for ws in wins.values() for x in ws)
+    expect = {
+        i: (len(ws), sum(1 for x in ws if cnt[x] >= 2)) for i, ws in wins.items()
+    }
+    assert got == expect, (got, expect)
