@@ -367,3 +367,64 @@ def quality_mix_plan(
             F.sum("n_tokens").cast("long").alias("bucket_tokens"),
         )
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int,
+    gate_mod: int = 1_000_000,
+) -> DataFrame:
+    """Token-budget subsampling per stratum — the step that CONSUMES a
+    mix manifest (:func:`quality_mix_plan`): downsample each stratum to
+    ≈ ``budget_tokens`` whitespace tokens by keeping documents whose
+    deterministic id-hash gate falls below ``frac · gate_mod``, where
+    ``frac = min(1, budget / stratum_total)``.
+
+    Kept token mass equals the budget in EXPECTATION (the md5 gate is
+    uniform and independent of document length; relative deviation
+    ~ 1/√n_kept) and equals the stratum exactly when the budget covers
+    it.  Same hash-gate contract as the ``t05`` stratified sample: the
+    keep decision is a pure row function of (id, stratum) — reproducible
+    across engines, runs, and cluster sizes, no RNG state.
+
+    Scale shape: one map-side-combined per-stratum token total
+    (broadcast back — strata are bounded), one row-local gate
+    comparison, one final per-stratum rollup.  NO sort, NO window, no
+    per-stratum single-task funnel anywhere — the alternative
+    "cumulative-sum until budget" formulation puts every document of a
+    stratum through one ordered task, the exact shape the round-2 mix
+    plan was rejected for.
+
+    Returns the audit report (stratum, total_tokens, cut, kept_docs,
+    kept_tokens); filter the corpus with the same gate expression to
+    materialize the sample itself.
+    """
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+
+    m = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        ws_token_count(text_col).alias("n_tokens"),
+        (word_hash(F.col(id_col).cast("string")) % gate_mod).alias("gate"),
+    )
+    totals = m.groupBy("stratum").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens")
+    )
+    cuts = totals.select(
+        "stratum",
+        "total_tokens",
+        F.floor(
+            F.least(F.lit(1.0), F.lit(float(budget_tokens)) / F.col("total_tokens"))
+            * gate_mod
+        )
+        .cast("long")
+        .alias("cut"),
+    )
+    kept = m.join(F.broadcast(cuts), "stratum").filter(F.col("gate") < F.col("cut"))
+    return kept.groupBy("stratum", "total_tokens", "cut").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+    )

@@ -1349,3 +1349,46 @@ _SPAN_W = 10
 def z44_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.duplicate_spans(docs, "doc_id", "text", window=_SPAN_W)
+
+
+# ---------------------------------------------------------------------------
+# z46 — token-budget mix sampling (round-4 addition; operators/text.py::
+# budget_sample): downsample each source stream to ~500 whitespace tokens
+# via a deterministic id-hash gate at frac = min(1, budget/total) — the
+# step that consumes the t08 mix manifest.  No sort/window; budget met in
+# expectation under hash uniformity (audited by the report itself).
+# ---------------------------------------------------------------------------
+_BUDGET_TOK = 500
+
+
+@register(
+    "z46_budget_sample",
+    oracle=f"""
+    WITH m AS (
+        SELECT source AS stratum, doc_id,
+               {_WS_TOKENS} AS n_tokens,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                % 1000000) AS gate
+        FROM documents
+    ), t AS (
+        SELECT stratum, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM m GROUP BY 1
+    ), c AS (
+        SELECT stratum, total_tokens,
+               CAST(floor(least(1.0, 1.0 * {_BUDGET_TOK} / total_tokens)
+                          * 1000000) AS BIGINT) AS cut
+        FROM t
+    )
+    SELECT m.stratum, c.total_tokens, c.cut,
+           COUNT(*) AS kept_docs,
+           CAST(SUM(m.n_tokens) AS BIGINT) AS kept_tokens
+    FROM m JOIN c USING (stratum)
+    WHERE m.gate < c.cut
+    GROUP BY 1, 2, 3
+    """,
+    description="per-source token-budget subsample report: deterministic "
+    "hash gate at min(1, budget/total) — no sort, no window",
+)
+def z46_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.budget_sample(docs, "source", "doc_id", "text", _BUDGET_TOK)
