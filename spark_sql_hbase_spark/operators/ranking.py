@@ -192,3 +192,123 @@ def bm25_sql(
     FROM __tf JOIN __df USING (term), __stats
     GROUP BY id
     """
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document mean BIGRAM surprisal under the corpus's own add-k
+    smoothed bigram LM: mean over bigram occurrences of
+    ``-ln((c(w1 w2) + k) / (ctx(w1) + k·V))`` where ``c`` is the corpus
+    bigram count, ``ctx(w1) = Σ_w2 c(w1 w2)`` the context count, and
+    ``V`` the number of distinct successor types.  One tier above
+    :func:`unigram_surprisal` as a fluency signal (word-order-sensitive
+    — shuffled text scores high even when its unigram mix looks fine);
+    the LM-free stand-in for perplexity filtering.  Emits (id,
+    n_bigrams, bigram_surprisal) for documents with ≥ 2 tokens.
+
+    Plan shape (scales to 100 TB — ONE corpus scan): the only corpus
+    read builds per-doc bigram frequencies ``tf2`` (tokenize bound once
+    behind a Generate barrier, lambda-free ``arrays_zip`` bigrams, one
+    map-side-combined aggregate), which is CACHED — the repo's standard
+    treatment for a multi-consumer corpus-scale intermediate (PERF.md
+    item 4; same as the LSH band-key cache).  An uncached formulation
+    cannot share the scan: Catalyst rewrites each downstream
+    sum-of-count aggregate into a direct count over the raw rows
+    (cheaper per branch, but four different subtrees → ReuseExchange
+    never matches; measured 4 corpus scans).  Everything derives from
+    the cached ``tf2``: corpus bigram counts ``c2``
+    (bigram-vocabulary cardinality, Heaps-sublinear), context counts
+    ``ctx`` (Σ over c2), the scalar ``V`` — joins run on
+    already-hash-partitioned keys; nothing unbounded is broadcast.
+    Determinism contract as :func:`bm25_scores` (ln + ROUND).
+    """
+    from pyspark.sql import functions as F2
+
+    bound = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+    )
+    m2 = F.size("__tok") - 1
+    pairs = F.when(
+        F.size("__tok") >= 2,
+        F.arrays_zip(F.slice("__tok", 1, m2), F.slice("__tok", 2, m2)),
+    ).otherwise(F.expr("CAST(array() AS array<struct<`0`:string,`1`:string>>)"))
+    tf2 = (
+        bound.select(
+            "id",
+            F.size(pairs).cast("long").alias("n2"),
+            F.explode(pairs).alias("pr"),
+        )
+        .select("id", "n2", F.concat("pr.0", F.lit(" "), "pr.1").alias("bg"))
+        .groupBy("id", "n2", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    c2 = tf2.groupBy("bg").agg(F.sum("tf").alias("ct2"))
+    c2s = c2.select(
+        "bg",
+        "ct2",
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    ctx = c2s.groupBy("w1").agg(F.sum("ct2").alias("c1"))
+    v = c2s.agg(F2.countDistinct("w2").alias("v"))
+    part = F.col("tf") * -F.log(
+        (F.col("ct2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    )
+    return (
+        tf2.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c2, "bg")
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("id", "n2")
+        .agg(F.round(F.sum(part) / F.col("n2"), round_to).alias("bigram_surprisal"))
+        .select("id", F.col("n2").alias("n_bigrams"), "bigram_surprisal")
+    )
+
+
+def bigram_surprisal_sql(
+    table: str, id_expr: str, tokens_expr: str, k: float = 1.0, round_to: int = 4
+) -> str:
+    """DuckDB twin of :func:`bigram_surprisal` (oracle generator)."""
+    return f"""
+    WITH __tok AS (
+        SELECT {id_expr} AS id, {tokens_expr} AS t FROM {table}
+    ), __g AS (
+        SELECT id,
+               CASE WHEN len(t) >= 2 THEN
+                   [t[__i + 1] || ' ' || t[__i + 2]
+                    for __i in range(0, len(t) - 1)]
+               ELSE [] END AS g2
+        FROM __tok
+    ), __tf AS (
+        SELECT id, len(g2) AS n2, unnest(g2) AS bg FROM __g
+    ), __tf2 AS (
+        SELECT id, n2, bg, COUNT(*) AS tf FROM __tf GROUP BY 1, 2, 3
+    ), __c2 AS (
+        SELECT bg, SUM(tf) AS ct2 FROM __tf2 GROUP BY 1
+    ), __c2s AS (
+        SELECT bg, ct2,
+               split_part(bg, ' ', 1) AS w1,
+               split_part(bg, ' ', 2) AS w2
+        FROM __c2
+    ), __ctx AS (
+        SELECT w1, SUM(ct2) AS c1 FROM __c2s GROUP BY 1
+    ), __v AS (
+        SELECT COUNT(DISTINCT w2) AS v FROM __c2s
+    )
+    SELECT id,
+           CAST(n2 AS BIGINT) AS n_bigrams,
+           ROUND(SUM(tf * -ln((ct2 + {k}) / (c1 + {k} * v))) / n2, {round_to})
+               AS bigram_surprisal
+    FROM __tf2
+    JOIN __c2 USING (bg)
+    JOIN __ctx ON __ctx.w1 = split_part(__tf2.bg, ' ', 1)
+    CROSS JOIN __v
+    GROUP BY id, n2
+    """

@@ -1392,3 +1392,29 @@ _BUDGET_TOK = 500
 def z46_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.budget_sample(docs, "source", "doc_id", "text", _BUDGET_TOK)
+
+
+# ---------------------------------------------------------------------------
+# z47 — bigram-LM surprisal (round-4 addition; operators/ranking.py::
+# bigram_surprisal): per-doc mean -ln p_addk(w2|w1) under the corpus's own
+# bigram model — the word-order-sensitive fluency signal one tier above
+# t11's unigram surprisal.  Single corpus scan (all counts derive from the
+# bigram tf, the t11 discipline).
+# ---------------------------------------------------------------------------
+from spark_sql_hbase_spark.operators.ranking import bigram_surprisal_sql as _bsql
+
+
+@register(
+    "z47_bigram_surprisal",
+    oracle="SELECT q.id AS doc_id, q.n_bigrams, q.bigram_surprisal FROM ("
+    + _bsql("documents", "doc_id", _TOK)
+    + ") q",
+    description="per-doc mean add-1 bigram surprisal (corpus-trained, "
+    "ln+round4, one corpus scan)",
+)
+def z47_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.ranking import bigram_surprisal
+
+    docs = table(spark, sf_dir, "documents")
+    out = bigram_surprisal(docs, "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "n_bigrams", "bigram_surprisal")

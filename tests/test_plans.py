@@ -384,6 +384,21 @@ def test_d09_index_delta_join_exchanges_delta_only(spark):
     assert "band_idx_pin" in plan, plan
 
 
+def test_z47_bigram_surprisal_consumers_hit_cache(spark, registry):
+    """The bigram tf frame is the one corpus-derived intermediate; all
+    four downstream consumers (per-doc join, bigram counts, context
+    counts, successor-vocabulary scalar) must read it from cache —
+    uncached, Catalyst rewrites each branch's sum-of-count into a direct
+    count over raw rows (four distinct subtrees, ReuseExchange never
+    matches) and the corpus is scanned 4x."""
+    df = registry["z47_bigram_surprisal"].fn(spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 4, plan[:2000]
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark):
     """Runtime bloom-filter join pruning (the 100 TB semi-join reduction
     for fact ⋈ filtered-dim shuffle joins): with the engine helper's
