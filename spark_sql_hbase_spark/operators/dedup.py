@@ -740,6 +740,7 @@ def duplicate_spans(
     text_col: str,
     window: int = 10,
     min_count: int = 2,
+    stride: int = 1,
 ) -> DataFrame:
     """Exact repeated-substring detection at token-window granularity —
     the scalable analogue of suffix-array substring dedup (Lee et al.
@@ -768,13 +769,17 @@ def duplicate_spans(
       hash; duplicated hashes semi-join back to the exploded side on the
       SAME partitioning, then one per-doc count.  At production scale,
       cap runaway boilerplate hashes by df (same df-cap note as
-      :func:`ngram_jaccard_join`) and stride the windows.
+      :func:`ngram_jaccard_join`) and set ``stride`` > 1 (windows start
+      every ``stride`` positions — a duplicated substring of >=
+      ``window + stride - 1`` tokens is still guaranteed to contain an
+      aligned window on one side; detection of shorter spans becomes
+      alignment-dependent, the standard stride trade).
     """
     # sequence(0, -k) would count DOWN (and slice(_, 0, _) errors), so
     # short docs take the empty-array branch explicitly
     wh = (
         f"CASE WHEN size(__tok) >= {window} THEN "
-        f"transform(sequence(0, size(__tok) - {window}), "
+        f"transform(sequence(0, size(__tok) - {window}, {stride}), "
         f"i -> cast(conv(substring(md5(concat_ws(' ', slice(__tok, i + 1, "
         f"{window}))), 1, 14), 16, 10) AS BIGINT)) "
         f"ELSE cast(array() AS array<bigint>) END"
