@@ -193,3 +193,43 @@ def test_stream_into_keyed_table(spark, tmp_path):
     assert len(set(keys)) == 20
     store.compact("stream.docs", n_regions=2)
     assert store.read("stream.docs").count() == 20
+
+
+def test_streaming_checkpoint_incremental_resume(spark, tmp_path):
+    """Production restart semantics: two availableNow runs sharing one
+    checkpoint process each input file exactly once — the second run
+    picks up ONLY the file that arrived after the first, and the file
+    sink (whose _spark_metadata commit log is the exactly-once
+    mechanism) never duplicates the first batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema("v long").parquet(src)
+        q = (
+            stream.select((F.col("v") * 10).alias("w"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.range(5).selectExpr("id AS v").coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got1 = sorted(r.w for r in spark.read.parquet(out).collect())
+    assert got1 == [0, 10, 20, 30, 40], got1
+
+    spark.range(100, 103).selectExpr("id AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    got2 = sorted(r.w for r in spark.read.parquet(out).collect())
+    assert got2 == [0, 10, 20, 30, 40, 1000, 1010, 1020], got2
