@@ -107,6 +107,19 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
     out["st_windowed_availablenow"] = round(time.perf_counter() - t0, 3)
     print(f"# st_windowed_availablenow: {out['st_windowed_availablenow']}s "
           f"rows={n}", file=sys.stderr)
+
+    # round-4 scale paths: cell-pruned PQ search and the rolling-window
+    # substring-dedup scan (the one operator whose explode is inherently
+    # one row per token — regression visibility for its shuffle volume)
+    for name, key in (
+        ("s06_ivfadc", "s06_ivfadc"),
+        ("z44_duplicate_spans", "z44_duplicate_spans"),
+    ):
+        t0 = time.perf_counter()
+        n = registry[name].fn(spark, sf_dir).count()
+        out[key] = round(time.perf_counter() - t0, 3)
+        print(f"# {key}: {out[key]}s rows={n}", file=sys.stderr)
+        spark.catalog.clearCache()
     return out
 
 

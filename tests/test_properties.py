@@ -851,3 +851,37 @@ def test_duplicate_spans_matches_python_reference(spark, token_docs):
         i: (len(ws), sum(1 for x in ws if cnt[x] >= 2)) for i, ws in wins.items()
     }
     assert got == expect, (got, expect)
+
+
+def test_budget_sample_invariants(spark, sf_dir):
+    """budget_sample report invariants: kept ⊆ stratum (tokens and
+    docs), a covering budget keeps everything exactly, and the kept
+    token mass lands within a loose concentration band of the budget
+    when sampling is real (hash-gate expectation argument)."""
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.operators.text import budget_sample, ws_token_count
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    docs = qtable(spark, sf_dir, "documents")
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F2.sum(ws_token_count("text")).alias("t"))
+        .collect()
+    }
+    # covering budget: every stratum kept whole
+    big = budget_sample(docs, "source", "doc_id", "text", 10**9).collect()
+    assert {r["stratum"]: r["kept_tokens"] for r in big} == totals
+    assert all(r["cut"] == 1_000_000 for r in big)
+
+    # real sampling: kept <= total, and aggregate kept mass within
+    # [0.2x, 2.5x] of the aggregate budget (loose: ~5-8 docs/stratum)
+    budget = 500
+    rep = budget_sample(docs, "source", "doc_id", "text", budget).collect()
+    for r in rep:
+        assert r["kept_tokens"] <= totals[r["stratum"]]
+        assert r["kept_docs"] >= 1
+    agg_budget = budget * len(totals)
+    agg_kept = sum(r["kept_tokens"] for r in rep)
+    assert 0.2 * agg_budget <= agg_kept <= 2.5 * agg_budget, (agg_kept, agg_budget)
