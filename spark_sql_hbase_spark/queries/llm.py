@@ -1418,3 +1418,61 @@ def z47_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     out = bigram_surprisal(docs, "doc_id", "text")
     return out.select(F.col("id").alias("doc_id"), "n_bigrams", "bigram_surprisal")
+
+
+# ---------------------------------------------------------------------------
+# z48 — cross-source duplication matrix (round-4 addition): near-dup pairs
+# (the d02 minhash operator) joined to each side's source stream, rolled up
+# to the unordered (source_a, source_b) overlap matrix — the curation
+# analytic that decides which streams to dedup against each other / drop.
+# Pure composition of existing oracled operators; pairs are vastly smaller
+# than the corpus, so the two metadata joins are broadcast-sized at any
+# scale where the matrix is meaningful.
+# ---------------------------------------------------------------------------
+@register(
+    "z48_source_overlap_matrix",
+    oracle=f"""
+    WITH __jac AS ({_JACCARD_ORACLE}),
+    __src AS (
+        SELECT j.id_a, j.id_b, j.jac,
+               least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b
+        FROM __jac j
+        JOIN documents da ON j.id_a = da.doc_id
+        JOIN documents db ON j.id_b = db.doc_id
+    )
+    SELECT source_a, source_b,
+           COUNT(*) AS n_pairs,
+           CAST(ROUND(SUM(CAST(jac AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_jac,
+           ROUND(MAX(jac), 4) AS max_jac
+    FROM __src
+    GROUP BY 1, 2
+    """,
+    description="unordered source-pair near-dup overlap matrix "
+    "(minhash pairs x metadata joins, rollup)",
+)
+def z48_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_join(docs, "doc_id", "text", JACCARD_T, SHINGLE_N)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jac",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            # decimal-exact sum (functions/det.py convention): a double
+            # AVG is partial-agg summation-order-sensitive across engines
+            F.round(F.sum(F.col("jac").cast("decimal(38,6)")), 4)
+            .cast("double")
+            .alias("sum_jac"),
+            F.round(F.max("jac"), 4).alias("max_jac"),
+        )
+    )
