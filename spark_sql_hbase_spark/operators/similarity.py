@@ -770,3 +770,34 @@ def pq_train(
         ]
         books.append(book)
     return books
+
+
+def persist_ivfpq_index(
+    vectors: DataFrame,
+    centroids: list[tuple],
+    codebooks: list[list[tuple]],
+    table_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> None:
+    """Write the IVFADC index as a cell-PARTITIONED catalog table: one
+    parquet partition per coarse cell holding only (id, m codes) — the
+    production half of :func:`ivfadc_ann_topk`, mirroring what
+    ``persist_band_index`` is to the LSH delta join.
+
+    Search against ``spark.table(table_name)`` reads ONLY probed cells:
+    the broadcast probe join on the partition column triggers dynamic
+    partition pruning (the scan gains a ``dynamicpruning`` subquery fed
+    by the reused probe broadcast — pinned in ``test_plans.py``), so at
+    C cells / nprobe probes the index scan touches nprobe/C of the
+    files with zero manual pruning logic.  Build cost is one encode pass
+    over the vectors; the index never reshuffles across queries.
+    """
+    enc_in = (
+        residualize(vectors, centroids, id_col, vec_col)
+        if residual
+        else assign_cells(vectors, centroids, id_col, vec_col)
+    )
+    codes = pq_encode(enc_in, codebooks, id_col, vec_col, extra_cols=("cell",))
+    codes.write.mode("overwrite").partitionBy("cell").saveAsTable(table_name)

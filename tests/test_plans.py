@@ -429,3 +429,61 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivfpq_index_probe_is_dynamic_partition_pruned(spark):
+    """The persisted cell-partitioned IVFADC index: joining it with the
+    broadcast probe set must dynamically prune the scan to probed cells
+    (dynamicpruning expression on the partition column) and return the
+    same top-k as searching the in-memory codes frame."""
+    import re as re2
+
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        assign_cells,
+        ivfadc_ann_topk,
+        persist_ivfpq_index,
+        pq_encode,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    emb = qtable(spark, SF, "embeddings")
+    seeds = sorted(
+        emb.filter(F2.col("vec_id") < 8)
+        .select("vec_id", _to_double(F2.col("embedding")).alias("ev"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), list(r["ev"])) for r in seeds[:4]]
+    books = [
+        [(int(r["vec_id"]), list(r["ev"])[s * 16 : (s + 1) * 16]) for r in seeds]
+        for s in range(4)
+    ]
+    spark.sql("DROP TABLE IF EXISTS ivfpq_idx_pin")
+    import shutil
+
+    loc = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "") + "/ivfpq_idx_pin"
+    shutil.rmtree(loc, ignore_errors=True)
+    persist_ivfpq_index(emb, cents, books, "ivfpq_idx_pin")
+
+    queries = emb.filter(F2.col("vec_id") < 8)
+    from_index = ivfadc_ann_topk(
+        spark.table("ivfpq_idx_pin"), queries, cents, books, k=5, nprobe=2
+    )
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert re2.search(r"dynamicpruning", plan, re2.IGNORECASE), plan[:3000]
+
+    cells = assign_cells(emb, cents, "vec_id", "embedding")
+    direct = ivfadc_ann_topk(
+        pq_encode(cells, books, "vec_id", "embedding", extra_cols=("cell",)),
+        queries,
+        cents,
+        books,
+        k=5,
+        nprobe=2,
+    )
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
