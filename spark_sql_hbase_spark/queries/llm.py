@@ -1476,3 +1476,44 @@ def z48_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("jac"), 4).alias("max_jac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# z49 — exact-quota stratified sampling (round-4 addition; operators/
+# text.py::quota_sample): k=5 docs per source as the k smallest id-hash
+# gates, two-phase (broadcast oversample threshold → window over the
+# ~3k survivors only — never a per-stratum corpus sort).
+# ---------------------------------------------------------------------------
+_QUOTA_K = 5
+
+
+@register(
+    "z49_quota_sample",
+    oracle=f"""
+    WITH m AS (
+        SELECT source AS stratum, doc_id AS id,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                % 1000000) AS gate
+        FROM documents
+    ), c AS (
+        SELECT stratum,
+               CAST(floor(least(1.0, {3.0 * _QUOTA_K} / COUNT(*)) * 1000000)
+                    AS BIGINT) AS cut
+        FROM m GROUP BY 1
+    ), cand AS (
+        SELECT m.stratum, m.id, m.gate
+        FROM m JOIN c USING (stratum)
+        WHERE m.gate < c.cut
+    )
+    SELECT stratum, id, gate, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY stratum ORDER BY gate, id
+        ) AS rn FROM cand
+    ) WHERE rn <= {_QUOTA_K}
+    """,
+    description="exact-quota sample: k smallest id-hash gates per source, "
+    "two-phase (no per-stratum corpus sort)",
+)
+def z49_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.quota_sample(docs, "source", "doc_id", _QUOTA_K)
