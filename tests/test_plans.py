@@ -487,3 +487,49 @@ def test_ivfpq_index_probe_is_dynamic_partition_pruned(spark):
     assert sorted(map(tuple, from_index.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_z44_duplicate_spans_shuffles_hashes_only(spark, registry):
+    """Substring-dedup's real shuffles must carry only (id, 8-byte hash,
+    count) — never text.  The single text-carrying exchange allowed is
+    the RoundRobin repartition from _parallelized (test-scale artifact:
+    a single small parquet file scans as one partition; a no-op at
+    scale)."""
+    plan = formatted_plan(registry["z44_duplicate_spans"].fn(spark, SF))
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if line.strip().startswith("Arguments: hashpartitioning"):
+            # the Input [...] line above lists the exchange's columns
+            inputs = lines[i - 1]
+            assert "text" not in inputs, (inputs, line)
+
+
+def test_z46_budget_sample_no_window_no_sort(spark, registry):
+    """The token-budget sampler must stay sort-free: broadcast totals
+    join + row-local gate + rollup — no Window, no range partitioning
+    (the cumulative-sum formulation both would appear in funnels each
+    stratum through one ordered task)."""
+    plan = formatted_plan(registry["z46_budget_sample"].fn(spark, SF))
+    assert "Window" not in plan, plan[:800]
+    assert "rangepartitioning" not in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_z49_quota_sample_window_over_candidates_only(spark, registry):
+    """Exact-quota sampling: the ranking window runs over the gated
+    candidate subset (broadcast threshold join BELOW the window) and
+    Spark inserts WindowGroupLimit — a pre-shuffle partial top-k — so
+    even the candidate ranking is combiner-style, never a full
+    per-stratum sort of the corpus."""
+    import re as re2
+
+    plan = formatted_plan(registry["z49_quota_sample"].fn(spark, SF))
+    assert len(re2.findall(r"\(\d+\) Window\b", plan)) == 1, plan[:800]
+    assert "WindowGroupLimit" in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan
+    # the gate filter must sit below the window: Filter on gate < cut
+    # appears before the Window node in execution order (higher node id
+    # = later in formatted numbering)
+    win_id = int(re2.search(r"\((\d+)\) Window\b", plan).group(1))
+    join_id = int(re2.search(r"\((\d+)\) BroadcastHashJoin", plan).group(1))
+    assert join_id < win_id, (join_id, win_id)
