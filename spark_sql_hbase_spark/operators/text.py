@@ -423,8 +423,13 @@ def budget_sample(
     cuts = totals.select(
         "stratum",
         "total_tokens",
+        # greatest(total, 1): a zero-token stratum takes frac = 1 (keep
+        # all) instead of an ANSI divide-by-zero
         F.floor(
-            F.least(F.lit(1.0), F.lit(float(budget_tokens)) / F.col("total_tokens"))
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_tokens)) / F.greatest(F.col("total_tokens"), F.lit(1)),
+            )
             * gate_mod
         )
         .cast("long")

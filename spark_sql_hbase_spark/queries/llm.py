@@ -1375,7 +1375,7 @@ _BUDGET_TOK = 500
         FROM m GROUP BY 1
     ), c AS (
         SELECT stratum, total_tokens,
-               CAST(floor(least(1.0, 1.0 * {_BUDGET_TOK} / total_tokens)
+               CAST(floor(least(1.0, 1.0 * {_BUDGET_TOK} / greatest(total_tokens, 1))
                           * 1000000) AS BIGINT) AS cut
         FROM t
     )

@@ -885,3 +885,64 @@ def test_budget_sample_invariants(spark, sf_dir):
     agg_budget = budget * len(totals)
     agg_kept = sum(r["kept_tokens"] for r in rep)
     assert 0.2 * agg_budget <= agg_kept <= 2.5 * agg_budget, (agg_kept, agg_budget)
+
+
+def test_round4_operator_edge_cases(spark):
+    """Boundary conditions the gate oracles don't reach: nprobe beyond
+    the cell count (slice clamps), k beyond the stratum population
+    (quota returns what exists), empty/short documents in the span
+    scanner, and a budget over an empty-text stratum."""
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.operators.dedup import duplicate_spans
+    from spark_sql_hbase_spark.operators.similarity import (
+        assign_cells,
+        ivfadc_ann_topk,
+        pq_encode,
+    )
+    from spark_sql_hbase_spark.operators.text import budget_sample, quota_sample
+
+    # ivfadc: nprobe > #cells must behave as probe-all, not error
+    import random
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = [(0, vecs[0][1]), (1, vecs[1][1])]
+    books = [
+        [(c, vecs[c][1][s * 4 : (s + 1) * 4]) for c in range(4)] for s in range(2)
+    ]
+    cells = assign_cells(emb, cents, "vec_id", "embedding")
+    codes = pq_encode(cells, books, "vec_id", "embedding", extra_cols=("cell",))
+    out = ivfadc_ann_topk(
+        codes, emb.limit(3), cents, books, "vec_id", "embedding", k=3, nprobe=99
+    ).collect()
+    assert len(out) == 9 and all(r["rank"] <= 3 for r in out)
+
+    # duplicate_spans: docs shorter than the window yield (0, 0, 0.0)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None), (4, "a b c d e")],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in duplicate_spans(docs, "doc_id", "text", window=3).collect()
+    }
+    assert spans[1] == (0, 0, 0.0) and spans[2] == (0, 0, 0.0)
+    assert spans[3] == (0, 0, 0.0)
+    assert spans[4] == (3, 0, 0.0)
+
+    # quota_sample: k larger than the stratum keeps every doc, ranked
+    small = spark.createDataFrame(
+        [("s", i, f"d{i}") for i in range(3)], "src string, doc_id long, text string"
+    )
+    q = quota_sample(small, "src", "doc_id", k=10).collect()
+    assert len(q) == 3 and sorted(r["rn"] for r in q) == [1, 2, 3]
+
+    # budget_sample: empty-text stratum reports zero totals, keeps all
+    empt = spark.createDataFrame(
+        [("e", 1, ""), ("e", 2, "")], "src string, doc_id long, text string"
+    )
+    b = budget_sample(empt, "src", "doc_id", "text", 100).collect()
+    assert len(b) == 1 and b[0]["total_tokens"] == 0 and b[0]["kept_tokens"] == 0
+    assert b[0]["kept_docs"] == 2  # frac=1 when budget covers the stratum
