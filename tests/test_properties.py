@@ -946,3 +946,42 @@ def test_round4_operator_edge_cases(spark):
     b = budget_sample(empt, "src", "doc_id", "text", 100).collect()
     assert len(b) == 1 and b[0]["total_tokens"] == 0 and b[0]["kept_tokens"] == 0
     assert b[0]["kept_docs"] == 2  # frac=1 when budget covers the stratum
+
+
+def test_persisted_residual_ivfpq_index_matches_direct(spark, sf_dir):
+    """persist_ivfpq_index(residual=True) + ivfadc_ann_topk(residual=
+    True) over the catalog table must equal the in-memory residual
+    path — the full trained IVFADC production loop round-trips through
+    the partitioned index."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        ivfadc_ann_topk,
+        ivfpq_train,
+        persist_ivfpq_index,
+        pq_encode,
+        residualize,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    emb = qtable(spark, sf_dir, "embeddings")
+    cents, books = ivfpq_train(emb, n_cells=4, m=4, ksub=8, n_iter=2)
+    spark.sql("DROP TABLE IF EXISTS ivfpq_res_idx")
+    loc = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "") + "/ivfpq_res_idx"
+    shutil.rmtree(loc, ignore_errors=True)
+    persist_ivfpq_index(emb, cents, books, "ivfpq_res_idx", residual=True)
+
+    queries = emb.filter(F2.col("vec_id") < 6)
+    from_index = ivfadc_ann_topk(
+        spark.table("ivfpq_res_idx"), queries, cents, books, k=5, nprobe=2,
+        residual=True,
+    )
+    direct = ivfadc_ann_topk(
+        pq_encode(residualize(emb, cents), books, extra_cols=("cell",)),
+        queries, cents, books, k=5, nprobe=2, residual=True,
+    )
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
