@@ -346,6 +346,47 @@ def kmeans(
     return kmeans_step(vectors, cent, id_col, vec_col)
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """The full trained centroid list ``[(cluster_id, cv)]`` after
+    ``n_iter`` Lloyd updates — INCLUDING clusters that end up empty at
+    the final step, which retain their previous centroid (the documented
+    Lloyd convention).  This is the model-state twin of :func:`kmeans`:
+    same seeds, same update sequence, but the driver-side state dict is
+    overlaid with each step's output rather than rebuilt from it, so a
+    cluster with no members on the last iteration does not silently
+    disappear (ADVICE r4: ``ivfpq_train`` built its coarse quantizer
+    from :func:`kmeans`'s final-step OUTPUT and could train fewer than
+    ``n_cells`` cells)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    seeds = (
+        vectors.orderBy(F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cluster_id"), _to_double(F.col(vec_col)).alias("cv")
+        )
+    )
+    prev = {r["cluster_id"]: list(r["cv"]) for r in seeds.collect()}
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    for _ in range(n_iter):
+        cent = vectors.sparkSession.createDataFrame(
+            [(cid, cv) for cid, cv in sorted(prev.items())],
+            f"cluster_id {id_type}, cv array<double>",
+        )
+        by_cluster: dict = {}
+        for r in kmeans_step(vectors, cent, id_col, vec_col).collect():
+            by_cluster.setdefault(r["cluster_id"], []).append((r["dim"], r["centroid"]))
+        for cid, dims in by_cluster.items():
+            prev[cid] = [v for _, v in sorted(dims)]
+    return [(cid, cv) for cid, cv in sorted(prev.items())]
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: list[tuple],
@@ -379,10 +420,72 @@ def assign_cells(
     return v.withColumn(cell_col, F.array_min(cand)["cell"]).drop("__ev")
 
 
+def _centroid_relation(spark, centroids) -> DataFrame:
+    """Normalize quantizer model state to a (cell, cv: array<double>)
+    relation.  Accepts either the driver-side ``[(cell_id, vector)]``
+    list (converted to a LocalRelation — DATA in the plan, not
+    expression nodes, so plan size and codegen stay O(1) in C·dim) or an
+    already-built DataFrame (the production path: the model read straight
+    from parquet, never materialized on the driver)."""
+    if isinstance(centroids, DataFrame):
+        return centroids.select("cell", "cv")
+    cid_type = "string" if isinstance(centroids[0][0], str) else "bigint"
+    return spark.createDataFrame(
+        [(cid, [float(x) for x in cv]) for cid, cv in centroids],
+        f"cell {cid_type}, cv array<double>",
+    )
+
+
+def _codebook_relation(spark, codebooks) -> DataFrame:
+    """Normalize PQ codebooks to a (s, code, cv: array<double>) relation
+    — one row per (subspace, code).  Same contract as
+    :func:`_centroid_relation`: list → LocalRelation, DataFrame →
+    pass-through."""
+    if isinstance(codebooks, DataFrame):
+        return codebooks.select("s", "code", "cv")
+    rows = [
+        (s, int(code), [float(x) for x in cv])
+        for s, book in enumerate(codebooks)
+        for code, cv in book
+    ]
+    return spark.createDataFrame(rows, "s int, code int, cv array<double>")
+
+
+def _subdim(codebooks, books: DataFrame) -> int:
+    """Subspace width: free from the list form, one tiny lookup from the
+    relation form."""
+    if isinstance(codebooks, DataFrame):
+        return int(books.select(F.size("cv").alias("n")).first()["n"])
+    return len(codebooks[0][0][1])
+
+
+def _probe_cells(
+    queries_qv: DataFrame, cent: DataFrame, nprobe: int, carry_cv: bool = False
+) -> DataFrame:
+    """nprobe nearest coarse cells per query (rounded-d2 ranking with
+    deterministic cell tiebreak) via a broadcast join against the
+    centroid relation — the query side is small, so the |Q|·C ranking is
+    broadcast-sized at any corpus scale.  Input must carry (query_id,
+    __qv); output carries (query_id, __qv, cell[, cv])."""
+    ranked = queries_qv.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "__qv",
+        "cell",
+        *(["cv"] if carry_cv else []),
+        F.round(squared_l2(F.col("__qv"), F.col("cv")), 6).alias("__d2"),
+    )
+    w = W.partitionBy("query_id").orderBy("__d2", "cell")
+    return (
+        ranked.withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= nprobe)
+        .drop("__d2", "__pr")
+    )
+
+
 def multiprobe_ann_topk(
     corpus_with_cells: DataFrame,
     queries: DataFrame,
-    centroids: list[tuple],
+    centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
@@ -393,37 +496,22 @@ def multiprobe_ann_topk(
     nearest cells instead of one, recovering most of the recall a
     single-probe search loses at cell boundaries.
 
-    ``centroids``: [(cell_id, vector)] — the learned quantizer (e.g. from
-    :func:`kmeans`), folded into a literal expression exactly like
-    :func:`kmeans_step`'s assignment, so probe selection is a pure
-    projection on the (small, broadcast) query set.  The probed (query,
-    cell) pairs explode the query side ``nprobe``×, never the corpus:
-    scan cost is nprobe/|cells| of the corpus per query batch.
+    ``centroids``: the learned quantizer (e.g. from :func:`kmeans`) as
+    either ``[(cell_id, vector)]`` or a (cell, cv) DataFrame — carried as
+    a small BROADCAST RELATION, not plan literals (round 5: the literal
+    form grew O(C·dim) expression nodes, stalling plan compilation at
+    production C — the model is data, so it rides a LocalRelation /
+    parquet scan instead).  Probe selection is a broadcast-sized ranking
+    on the query side; the probed (query, cell) pairs multiply only the
+    query side ``nprobe``×, never the corpus: scan cost is
+    nprobe/|cells| of the corpus per query batch.
     """
-    cand = F.array(
-        *[
-            F.struct(
-                F.round(
-                    squared_l2(
-                        F.col("qv"), F.array(*[F.lit(float(x)) for x in cv])
-                    ),
-                    6,
-                ).alias("d2"),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, cv in centroids
-        ]
+    cent = _centroid_relation(queries.sparkSession, centroids)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qv")
     )
-    probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-        )
-        .select(
-            "query_id",
-            "qv",
-            F.explode(F.slice(F.array_sort(cand), 1, nprobe)).alias("probe"),
-        )
-        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
+    probes = _probe_cells(q, cent, nprobe).select(
+        "query_id", F.col("__qv").alias("qv"), "cell"
     )
     c = corpus_with_cells.select(
         F.col(id_col).alias("neighbor_id"),
@@ -509,10 +597,49 @@ def pq_encode(
     )
 
 
+def _distance_tables(probed: DataFrame, books: DataFrame, sub: int) -> DataFrame:
+    """Per-(query row) ADC distance tables from the codebook RELATION:
+    join each probed query row to the m·ksub codebook entries, compute
+    the rounded subspace d2 from COLUMNS (no literals), and fold back to
+    one row per input row carrying ``__tabs: array<array<double>>``
+    ordered by (subspace, code) — ready for
+    :func:`_adc`.  ``probed`` must carry (``__qr``: the exact query
+    vector, raw or residual) plus any number of key columns named in its
+    schema; all non-``__qr`` columns are preserved."""
+    keys = [c for c in probed.columns if c != "__qr"]
+    d2 = F.round(
+        squared_l2(F.slice(F.col("__qr"), F.col("s") * sub + 1, sub), F.col("cv")), 6
+    )
+    per_code = probed.crossJoin(F.broadcast(books)).select(
+        *keys, F.col("s"), F.col("code"), d2.alias("__d2")
+    )
+    per_sub = per_code.groupBy(*keys, "s").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code", "__d2"))), lambda st: st["__d2"]
+        ).alias("__tab")
+    )
+    return per_sub.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "__tab"))), lambda st: st["__tab"]
+        ).alias("__tabs")
+    )
+
+
+def _adc(tabs: Column, codes: Column) -> Column:
+    """ADC lookup-sum: Σ_s tabs[s][codes[s]] — a left fold in subspace
+    order (the same fixed summation order as the literal-table form, so
+    results are bit-identical)."""
+    return F.aggregate(
+        F.zip_with(tabs, codes, lambda t, c: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_ann_topk(
     codes: DataFrame,
     queries: DataFrame,
-    codebooks: list[list[tuple]],
+    codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -525,37 +652,25 @@ def pq_ann_topk(
     rank), adc ascending, deterministic neighbor tiebreak.
 
     ``codes``: output of :func:`pq_encode`.  The corpus vectors
-    themselves are never read — that is the point.
+    themselves are never read — that is the point.  ``codebooks``:
+    ``[[(code, subvector)]]`` or a (s, code, cv) DataFrame — a broadcast
+    model RELATION, not plan literals (round 5; see
+    :func:`_codebook_relation`), so plan compilation stays O(1) as
+    m·ksub·sub grows.
     """
-    sub = len(codebooks[0][0][1])
-    m = len(codebooks)
-    qt = queries.withColumn("__qv", _to_double(F.col(vec_col)))
-    tables = [
-        F.array(
-            *[
-                F.round(
-                    squared_l2(
-                        F.slice(F.col("__qv"), s * sub + 1, sub),
-                        F.array(*[F.lit(float(x)) for x in cv]),
-                    ),
-                    6,
-                )
-                for _, cv in sorted(book)
-            ]
-        ).alias(f"__t{s}")
-        for s, book in enumerate(codebooks)
-    ]
-    qt = qt.select(F.col(id_col).alias("query_id"), *tables)
-    adc = F.element_at(F.col("__t0"), F.col("codes").getItem(0) + 1)
-    for s in range(1, m):
-        adc = adc + F.element_at(F.col(f"__t{s}"), F.col("codes").getItem(s) + 1)
+    books = _codebook_relation(queries.sparkSession, codebooks)
+    sub = _subdim(codebooks, books)
+    qt = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qr")
+    )
+    tabs = _distance_tables(qt, books, sub)
     scored = (
-        codes.crossJoin(F.broadcast(qt))
+        codes.crossJoin(F.broadcast(tabs))
         .filter(F.col("id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(adc, round_to).alias("adc"),
+            F.round(_adc(F.col("__tabs"), F.col("codes")), round_to).alias("adc"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
@@ -615,12 +730,10 @@ def ivfpq_train(
 
     Driver holds model state only (C·dim + m·ksub·subdim doubles); both
     training stages are the kmeans scan/agg loop — vectors never
-    shuffle."""
-    final = kmeans(vectors, n_cells, n_iter, id_col, vec_col).collect()
-    by_c: dict = {}
-    for r in final:
-        by_c.setdefault(r["cluster_id"], []).append((r["dim"], r["centroid"]))
-    cents = [(cid, [v for _, v in sorted(d)]) for cid, d in sorted(by_c.items())]
+    shuffle.  The coarse quantizer comes from :func:`kmeans_centroids`,
+    so a cell that empties on the final Lloyd step keeps its previous
+    centroid instead of vanishing from the model (ADVICE r4)."""
+    cents = kmeans_centroids(vectors, n_cells, n_iter, id_col, vec_col)
     resid = residualize(vectors, cents, id_col, vec_col)
     books = pq_train(resid, m, ksub, n_iter, id_col, vec_col)
     return cents, books
@@ -629,8 +742,8 @@ def ivfpq_train(
 def ivfadc_ann_topk(
     codes_with_cells: DataFrame,
     queries: DataFrame,
-    centroids: list[tuple],
-    codebooks: list[list[tuple]],
+    centroids,
+    codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
@@ -647,9 +760,16 @@ def ivfadc_ann_topk(
 
     ``codes_with_cells``: the index — :func:`assign_cells` then
     :func:`pq_encode` with ``extra_cols=(cell_col,)``: one row per
-    corpus vector carrying only (id, cell, m codes).  ``centroids``:
-    [(cell_id, vector)] coarse quantizer; ``codebooks``: per-subspace PQ
-    books — both bounded literal model state.
+    corpus vector carrying only (id, cell, m codes).  ``centroids``
+    (coarse quantizer: [(cell_id, vector)] or (cell, cv) DataFrame) and
+    ``codebooks`` (per-subspace PQ books: [[(code, subvector)]] or
+    (s, code, cv) DataFrame) are bounded model state carried as small
+    BROADCAST RELATIONS — round 5 replaced the previous
+    ``F.lit``-folded form, whose O(C·dim + m·ksub·sub) expression nodes
+    made plans uncompilable at production model sizes (C=4096, ksub=256);
+    as relations the model is plan DATA, so compile/codegen cost is O(1)
+    in model size and the production path can read the model straight
+    from parquet.
 
     The 100 TB shape: probe selection AND the per-query distance tables
     live on the broadcast query side (nprobe rows x m·ksub floats per
@@ -662,69 +782,34 @@ def ivfadc_ann_topk(
     ``residual=True`` is IVFADC proper: the index holds codes of the
     CELL RESIDUALS (:func:`residualize` → :func:`pq_encode`, books from
     :func:`ivfpq_train`), and each per-probe distance table is computed
-    from the query's residual against the probed cell — still a pure
-    projection on the broadcast side (the probe struct carries its
-    centroid literal).
+    from the query's residual against the probed cell — still computed
+    entirely on the broadcast side (the probe row carries its centroid
+    column).
     """
-    sub = len(codebooks[0][0][1])
-    m = len(codebooks)
+    spark = queries.sparkSession
+    cent = _centroid_relation(spark, centroids)
+    books = _codebook_relation(spark, codebooks)
+    sub = _subdim(codebooks, books)
     qt = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qv")
     )
-    # nprobe nearest coarse cells per query — rounded-d2 argsort with
-    # deterministic cell tiebreak (array_sort on (d2, cell, cv) structs;
-    # the cv field is never reached: cells are unique).
-    cand = F.array(
-        *[
-            F.struct(
-                F.round(
-                    squared_l2(F.col("__qv"), F.array(*[F.lit(float(x)) for x in cv])),
-                    6,
-                ).alias("d2"),
-                F.lit(cid).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-            )
-            for cid, cv in centroids
-        ]
-    )
-    probed = qt.select(
+    probed = _probe_cells(qt, cent, nprobe, carry_cv=True).select(
         "query_id",
-        "__qv",
-        F.explode(F.slice(F.array_sort(cand), 1, nprobe)).alias("probe"),
-    ).withColumn(
-        "__qr",
-        F.zip_with(F.col("__qv"), F.col("probe.cv"), lambda x, c: x - c)
-        if residual
-        else F.col("__qv"),
+        "cell",
+        (
+            F.zip_with(F.col("__qv"), F.col("cv"), lambda x, c: x - c)
+            if residual
+            else F.col("__qv")
+        ).alias("__qr"),
     )
-    tables = [
-        F.array(
-            *[
-                F.round(
-                    squared_l2(
-                        F.slice(F.col("__qr"), s * sub + 1, sub),
-                        F.array(*[F.lit(float(x)) for x in cv]),
-                    ),
-                    6,
-                )
-                for _, cv in sorted(book)
-            ]
-        ).alias(f"__t{s}")
-        for s, book in enumerate(codebooks)
-    ]
-    probes = probed.select(
-        "query_id", F.col("probe.cell").alias(cell_col), *tables
-    )
-    adc = F.element_at(F.col("__t0"), F.col("codes").getItem(0) + 1)
-    for s in range(1, m):
-        adc = adc + F.element_at(F.col(f"__t{s}"), F.col("codes").getItem(s) + 1)
+    probes = _distance_tables(probed, books, sub).withColumnRenamed("cell", cell_col)
     scored = (
         codes_with_cells.join(F.broadcast(probes), cell_col)
         .filter(F.col("id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(adc, round_to).alias("adc"),
+            F.round(_adc(F.col("__tabs"), F.col("codes")), round_to).alias("adc"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
