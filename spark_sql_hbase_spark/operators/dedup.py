@@ -783,6 +783,13 @@ def duplicate_spans(
       ``window + stride - 1`` tokens is still guaranteed to contain an
       aligned window on one side; detection of shorter spans becomes
       alignment-dependent, the standard stride trade).
+
+    Cache contract (ADVICE r4): the (id, window-hash array) frame is
+    ``.cache()``d so its three consumers share one tokenize pass, and it
+    stays in executor storage for the session — callers invoking this
+    repeatedly (benchmarks, test loops) should ``spark.catalog.
+    clearCache()`` (or unpersist) between invocations, the same contract
+    the LSH band caches carry.
     """
     # sequence(0, -k) would count DOWN (and slice(_, 0, _) errors), so
     # short docs take the empty-array branch explicitly

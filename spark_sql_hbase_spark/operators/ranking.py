@@ -235,6 +235,12 @@ def bigram_surprisal(
     ``ctx`` (Σ over c2), the scalar ``V`` — joins run on
     already-hash-partitioned keys; nothing unbounded is broadcast.
     Determinism contract as :func:`bm25_scores` (ln + ROUND).
+
+    Cache contract (ADVICE r4): ``tf2`` stays in executor storage for
+    the session — callers invoking this repeatedly should
+    ``spark.catalog.clearCache()`` (or unpersist) between invocations,
+    the same contract :func:`~spark_sql_hbase_spark.operators.dedup.
+    duplicate_spans` and the LSH band caches carry.
     """
     from pyspark.sql import functions as F2
 

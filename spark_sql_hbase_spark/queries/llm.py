@@ -1380,10 +1380,10 @@ _BUDGET_TOK = 500
         FROM t
     )
     SELECT m.stratum, c.total_tokens, c.cut,
-           COUNT(*) AS kept_docs,
-           CAST(SUM(m.n_tokens) AS BIGINT) AS kept_tokens
+           COUNT(CASE WHEN m.gate < c.cut THEN 1 END) AS kept_docs,
+           CAST(COALESCE(SUM(CASE WHEN m.gate < c.cut THEN m.n_tokens END), 0)
+               AS BIGINT) AS kept_tokens
     FROM m JOIN c USING (stratum)
-    WHERE m.gate < c.cut
     GROUP BY 1, 2, 3
     """,
     description="per-source token-budget subsample report: deterministic "

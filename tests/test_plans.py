@@ -542,11 +542,17 @@ def test_z44_duplicate_spans_shuffles_hashes_only(spark, registry):
     scale)."""
     plan = formatted_plan(registry["z44_duplicate_spans"].fn(spark, SF))
     lines = plan.splitlines()
+    matched = 0
     for i, line in enumerate(lines):
         if line.strip().startswith("Arguments: hashpartitioning"):
             # the Input [...] line above lists the exchange's columns
             inputs = lines[i - 1]
             assert "text" not in inputs, (inputs, line)
+            matched += 1
+    # ADVICE r4: without this the loop body can never execute under
+    # formatted-explain layout drift and the test passes vacuously — the
+    # hash-count and dup semi-join exchanges must both be present
+    assert matched >= 2, plan
 
 
 def test_z46_budget_sample_no_window_no_sort(spark, registry):
