@@ -113,13 +113,28 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
     # one row per token — regression visibility for its shuffle volume)
     for name, key in (
         ("s06_ivfadc", "s06_ivfadc"),
-        ("z44_duplicate_spans", "z44_duplicate_spans"),
+        ("d10_duplicate_spans", "d10_duplicate_spans"),
     ):
         t0 = time.perf_counter()
         n = registry[name].fn(spark, sf_dir).count()
         out[key] = round(time.perf_counter() - t0, 3)
         print(f"# {key}: {out[key]}s rows={n}", file=sys.stderr)
         spark.catalog.clearCache()
+
+    # round-5: the duplicate-spans PRODUCTION knobs (stride=4 windows +
+    # df-cap on boilerplate hashes) — the documented trade the gate
+    # (stride=1, uncapped) does not exercise; timed on the same corpus so
+    # the reduction is directly comparable to d10 above
+    from spark_sql_hbase_spark.operators.dedup import duplicate_spans
+
+    t0 = time.perf_counter()
+    n = duplicate_spans(
+        docs, "doc_id", "text", window=10, stride=4, max_df=100
+    ).count()
+    out["d10_spans_stride4_dfcap"] = round(time.perf_counter() - t0, 3)
+    print(f"# d10_spans_stride4_dfcap: {out['d10_spans_stride4_dfcap']}s "
+          f"rows={n}", file=sys.stderr)
+    spark.catalog.clearCache()
     return out
 
 

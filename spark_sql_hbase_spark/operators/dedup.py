@@ -750,6 +750,7 @@ def duplicate_spans(
     window: int = 10,
     min_count: int = 2,
     stride: int = 1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact repeated-substring detection at token-window granularity —
     the scalable analogue of suffix-array substring dedup (Lee et al.
@@ -777,8 +778,11 @@ def duplicate_spans(
     - corpus counts per hash: map-side-combined aggregate partitioned by
       hash; duplicated hashes semi-join back to the exploded side on the
       SAME partitioning, then one per-doc count.  At production scale,
-      cap runaway boilerplate hashes by df (same df-cap note as
-      :func:`ngram_jaccard_join`) and set ``stride`` > 1 (windows start
+      set ``max_df`` to drop runaway boilerplate hashes (corpus count >
+      ``max_df``) from the duplicated set — they dominate the semi-join
+      match volume while carrying no curation signal beyond "boilerplate"
+      (same df-cap trade as :func:`ngram_jaccard_join`; dup_frac then
+      measures NON-boilerplate duplication) — and set ``stride`` > 1 (windows start
       every ``stride`` positions — a duplicated substring of >=
       ``window + stride - 1`` tokens is still guaranteed to contain an
       aligned window on one side; detection of shorter spans becomes
@@ -814,7 +818,10 @@ def duplicate_spans(
     )
     win = arr.select("id", F.explode("whs").alias("h"))
     counts = win.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-    dup = counts.filter(F.col("cnt") >= min_count).select("h")
+    dup_cond = F.col("cnt") >= min_count
+    if max_df is not None:
+        dup_cond = dup_cond & (F.col("cnt") <= max_df)
+    dup = counts.filter(dup_cond).select("h")
     per_doc = (
         win.join(dup, "h", "left_semi")
         .groupBy("id")

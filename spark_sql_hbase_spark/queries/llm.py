@@ -58,10 +58,11 @@ _JACCARD_ORACLE = f"""{_SHINGLE_CTES}
 
 
 # ---------------------------------------------------------------------------
-# d01 — exact dedup by content digest.
+# z50 — exact dedup by content digest (demoted round 5; was d01: d02/d08/
+# d09/d10/d11 keep the dedup family in-window; r1-r4 driver-green).
 # ---------------------------------------------------------------------------
 @register(
-    "d01_exact_dedup",
+    "z50_exact_dedup",
     oracle="""
     SELECT sha256(text) AS text_sha,
            min(doc_id) AS keep_id,
@@ -71,7 +72,7 @@ _JACCARD_ORACLE = f"""{_SHINGLE_CTES}
     """,
     description="exact dedup: hash-groupBy on sha256(text), min-id representative",
 )
-def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs, "doc_id", "text")
 
@@ -118,10 +119,11 @@ def z01_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d05 — SimHash near-dup pairs (hamming ≤ 3) via pigeonhole blocking.
+# z51 — SimHash near-dup pairs (hamming ≤ 3) via pigeonhole blocking
+# (demoted round 5; was d05: d02 keeps near-dup in-window; r1-r4 green).
 # ---------------------------------------------------------------------------
 @register(
-    "d05_simhash_neardup",
+    "z51_simhash_neardup",
     oracle=f"""
     WITH __fp AS ({simhash_sql('documents', 'doc_id', _TOK)})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -131,16 +133,17 @@ def z01_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="simhash hamming≤3 pairs via segment blocking + popcount",
 )
-def d05_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z51_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.simhash_neardup(docs, "doc_id", "text", max_hamming=3, segments=4)
 
 
 # ---------------------------------------------------------------------------
-# d06 — embedding near-dup pairs within coarse cells.
+# z52 — embedding near-dup pairs within coarse cells (demoted round 5;
+# was d06: s01-s08 keep the embedding-similarity family in-window).
 # ---------------------------------------------------------------------------
 @register(
-    "d06_embedding_neardup",
+    "z52_embedding_neardup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
            ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -152,7 +155,7 @@ def d05_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="embedding-cosine near-dup pairs, cell-blocked (IVF-style)",
 )
-def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z52_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup(emb, "vec_id", "embedding", "label", 0.35)
 
@@ -317,16 +320,18 @@ def t03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# t04 — rolling-hash document fingerprint.
+# z56 — rolling-hash document fingerprint (demoted round 5; was t04:
+# t01-t03/t05-t14 keep text analysis in-window; d10's rolling window
+# hashes evidence the same primitive).
 # ---------------------------------------------------------------------------
 @register(
-    "t04_fingerprint",
+    "z56_fingerprint",
     oracle=f"""
     SELECT doc_id, {rolling_hash_sql(_TOK)} AS fp FROM documents
     """,
     description="order-sensitive polynomial rolling hash over the token stream",
 )
-def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z56_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.fingerprint(docs, "doc_id", "text")
 
@@ -549,7 +554,9 @@ def s04_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d07 — near-dup clustering: LSH pairs → connected components → canonical
+# z53 — near-dup clustering (demoted round 5; was d07, r1-r4 green —
+# same no-sibling precedent as the round-3 setops/pivot demotions):
+# LSH pairs → connected components → canonical
 # representative per cluster (the "keep one copy" stage of a dedup
 # pipeline). Oracle: same exact-Jaccard pair set (d02), closed transitively
 # with a recursive CTE, labeled by component-min.
@@ -577,12 +584,12 @@ _CLUSTER_ORACLE = f"""{_SHINGLE_CTES}
 
 
 @register(
-    "d07_dedup_clusters",
+    "z53_dedup_clusters",
     oracle=_CLUSTER_ORACLE,
     description="near-dup pairs -> connected components -> (doc, cluster) "
     "membership with deterministic min-id canonical labels",
 )
-def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_join(
         docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
@@ -1308,7 +1315,137 @@ def s06_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z44 — exact duplicate-span detection at token-window granularity (round-4
+# s08 — residual IVFADC (round-5 addition; VERDICT r4 stretch #7): the
+# configuration a production 100 TB index actually runs — the PQ codebooks
+# quantize the CELL RESIDUALS (x − c(cell)), which carry far less energy
+# than raw vectors (Jegou et al. 2011 §IV.B), and each per-probe ADC table
+# is computed from the query's residual against that probed cell.  Gate
+# model state follows the SQL-reproducible untrained convention: coarse
+# centroids = embeddings of vec_id < 4 (s06), PQ codebooks = subvectors of
+# the RESIDUALS of vec_id < 8 — every step (assignment, residual, encode,
+# probe, residual ADC) recomputed exactly by the DuckDB twin.  The TRAINED
+# residual path (ivfpq_train) stays pytest-covered (reconstruction +
+# persisted-index round-trip).
+# ---------------------------------------------------------------------------
+@register(
+    "s08_ivfadc_residual",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), cc AS (
+        SELECT vec_id AS cell, ev AS ccv FROM v WHERE vec_id < {_IVF_C}
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, cc.cell, row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY ROUND(list_sum(
+                    [ (v.ev[i] - cc.ccv[i]) ^ 2 for i in range(1, 65) ]), 6), cc.cell
+            ) AS rn
+            FROM v, cc
+        ) WHERE rn = 1
+    ), resid AS (
+        SELECT v.vec_id, a.cell,
+               [ v.ev[i] - cc.ccv[i] for i in range(1, 65) ] AS rv
+        FROM v JOIN assign a USING (vec_id) JOIN cc ON cc.cell = a.cell
+    ), cb AS (
+        SELECT s.s, r.vec_id AS code, r.rv AS cvf
+        FROM resid r, (SELECT unnest(range(0, {_PQ_M})) AS s) s
+        WHERE r.vec_id < {_PQ_KSUB}
+    ), enc AS (
+        SELECT vec_id, cell, s, code FROM (
+            SELECT r.vec_id, r.cell, cb.s, cb.code, row_number() OVER (
+                PARTITION BY r.vec_id, cb.s
+                ORDER BY ROUND(list_sum(
+                    [ (r.rv[cb.s * {_PQ_SUB} + i] - cb.cvf[cb.s * {_PQ_SUB} + i]) ^ 2
+                      for i in range(1, {_PQ_SUB} + 1) ]), 6), cb.code
+            ) AS rn
+            FROM resid r, cb
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 8
+    ), probes AS (
+        SELECT query_id, cell, ccv FROM (
+            SELECT q.query_id, cc.cell, cc.ccv, row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY ROUND(list_sum(
+                    [ (q.qv[i] - cc.ccv[i]) ^ 2 for i in range(1, 65) ]), 6), cc.cell
+            ) AS rn
+            FROM q, cc
+        ) WHERE rn <= {_IVF_NPROBE}
+    ), qr AS (
+        SELECT p.query_id, p.cell,
+               [ q.qv[i] - p.ccv[i] for i in range(1, 65) ] AS qrv
+        FROM probes p JOIN q USING (query_id)
+    ), tab AS (
+        SELECT qr.query_id, qr.cell, cb.s, cb.code,
+               ROUND(list_sum(
+                   [ (qr.qrv[cb.s * {_PQ_SUB} + i] - cb.cvf[cb.s * {_PQ_SUB} + i]) ^ 2
+                     for i in range(1, {_PQ_SUB} + 1) ]), 6) AS d2
+        FROM qr, cb
+    ), dist AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id, ROUND(SUM(t.d2), 4) AS adc
+        FROM enc e
+        JOIN tab t ON t.s = e.s AND t.code = e.code AND t.cell = e.cell
+        WHERE e.vec_id <> t.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc, neighbor_id
+        ) AS rn FROM dist
+    ) WHERE rn <= 5
+    """,
+    description="residual IVFADC: PQ codes over cell residuals, per-probe "
+    "residual ADC tables — the production 100 TB index configuration",
+)
+def s08_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        ivfadc_ann_topk,
+        pq_encode,
+        residualize,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = sorted(
+        emb.filter(F.col("vec_id") < _IVF_C)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), list(r["ev"])) for r in seeds]
+    resid = residualize(emb, cents, "vec_id", "embedding")
+    rseeds = sorted(
+        resid.filter(F.col("vec_id") < _PQ_KSUB)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    books = [
+        [
+            (int(r["vec_id"]), list(r["embedding"])[s * _PQ_SUB : (s + 1) * _PQ_SUB])
+            for r in rseeds
+        ]
+        for s in range(_PQ_M)
+    ]
+    codes = pq_encode(resid, books, "vec_id", "embedding", extra_cols=("cell",))
+    return ivfadc_ann_topk(
+        codes,
+        emb.filter(F.col("vec_id") < 8),
+        cents,
+        books,
+        "vec_id",
+        "embedding",
+        k=5,
+        nprobe=_IVF_NPROBE,
+        residual=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# d10 — exact duplicate-span detection at token-window granularity
+# (promoted round 5; was z44) (round-4
 # addition; operators/dedup.py::duplicate_spans): the scalable analogue of
 # Lee et al. 2022 suffix-array substring dedup — rolling 10-token window
 # hashes, corpus-count >= 2 marks a window duplicated, per-doc duplicated-
@@ -1317,7 +1454,7 @@ def s06_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_W = 10
 
 @register(
-    "z44_duplicate_spans",
+    "d10_duplicate_spans",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id, {_TOK} AS t FROM documents
@@ -1346,13 +1483,14 @@ _SPAN_W = 10
     description="duplicate-span mass per doc: rolling 10-token window "
     "hashes with corpus count >= 2 (substring-dedup signal)",
 )
-def z44_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d10_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.duplicate_spans(docs, "doc_id", "text", window=_SPAN_W)
 
 
 # ---------------------------------------------------------------------------
-# z46 — token-budget mix sampling (round-4 addition; operators/text.py::
+# t12 — token-budget mix sampling (promoted round 5; was z46)
+# (round-4 addition; operators/text.py::
 # budget_sample): downsample each source stream to ~500 whitespace tokens
 # via a deterministic id-hash gate at frac = min(1, budget/total) — the
 # step that consumes the t08 mix manifest.  No sort/window; budget met in
@@ -1362,7 +1500,7 @@ _BUDGET_TOK = 500
 
 
 @register(
-    "z46_budget_sample",
+    "t12_budget_sample",
     oracle=f"""
     WITH m AS (
         SELECT source AS stratum, doc_id,
@@ -1389,13 +1527,14 @@ _BUDGET_TOK = 500
     description="per-source token-budget subsample report: deterministic "
     "hash gate at min(1, budget/total) — no sort, no window",
 )
-def z46_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t12_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.budget_sample(docs, "source", "doc_id", "text", _BUDGET_TOK)
 
 
 # ---------------------------------------------------------------------------
-# z47 — bigram-LM surprisal (round-4 addition; operators/ranking.py::
+# t13 — bigram-LM surprisal (promoted round 5; was z47)
+# (round-4 addition; operators/ranking.py::
 # bigram_surprisal): per-doc mean -ln p_addk(w2|w1) under the corpus's own
 # bigram model — the word-order-sensitive fluency signal one tier above
 # t11's unigram surprisal.  Single corpus scan (all counts derive from the
@@ -1405,14 +1544,14 @@ from spark_sql_hbase_spark.operators.ranking import bigram_surprisal_sql as _bsq
 
 
 @register(
-    "z47_bigram_surprisal",
+    "t13_bigram_surprisal",
     oracle="SELECT q.id AS doc_id, q.n_bigrams, q.bigram_surprisal FROM ("
     + _bsql("documents", "doc_id", _TOK)
     + ") q",
     description="per-doc mean add-1 bigram surprisal (corpus-trained, "
     "ln+round4, one corpus scan)",
 )
-def z47_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t13_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import bigram_surprisal
 
     docs = table(spark, sf_dir, "documents")
@@ -1421,7 +1560,8 @@ def z47_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z48 — cross-source duplication matrix (round-4 addition): near-dup pairs
+# d11 — cross-source duplication matrix (promoted round 5; was z48)
+# (round-4 addition): near-dup pairs
 # (the d02 minhash operator) joined to each side's source stream, rolled up
 # to the unordered (source_a, source_b) overlap matrix — the curation
 # analytic that decides which streams to dedup against each other / drop.
@@ -1430,7 +1570,7 @@ def z47_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale where the matrix is meaningful.
 # ---------------------------------------------------------------------------
 @register(
-    "z48_source_overlap_matrix",
+    "d11_source_overlap_matrix",
     oracle=f"""
     WITH __jac AS ({_JACCARD_ORACLE}),
     __src AS (
@@ -1451,7 +1591,7 @@ def z47_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="unordered source-pair near-dup overlap matrix "
     "(minhash pairs x metadata joins, rollup)",
 )
-def z48_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d11_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_join(docs, "doc_id", "text", JACCARD_T, SHINGLE_N)
     src = docs.select("doc_id", "source")
@@ -1479,7 +1619,8 @@ def z48_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z49 — exact-quota stratified sampling (round-4 addition; operators/
+# t14 — exact-quota stratified sampling (promoted round 5; was z49)
+# (round-4 addition; operators/
 # text.py::quota_sample): k=5 docs per source as the k smallest id-hash
 # gates, two-phase (broadcast oversample threshold → window over the
 # ~3k survivors only — never a per-stratum corpus sort).
@@ -1488,7 +1629,7 @@ _QUOTA_K = 5
 
 
 @register(
-    "z49_quota_sample",
+    "t14_quota_sample",
     oracle=f"""
     WITH m AS (
         SELECT source AS stratum, doc_id AS id,
@@ -1514,6 +1655,6 @@ _QUOTA_K = 5
     description="exact-quota sample: k smallest id-hash gates per source, "
     "two-phase (no per-stratum corpus sort)",
 )
-def z49_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t14_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quota_sample(docs, "source", "doc_id", _QUOTA_K)

@@ -431,13 +431,15 @@ def z42_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q13 — scalar function coverage: string/math/CASE *and* date extraction /
+# z54 — scalar function coverage (demoted round 5; was q13, r1-r4 green:
+# q01/q16/q18 keep scalar expressions in-window): string/math/CASE *and*
+# date extraction /
 # formatting in one per-row projection over orders (merged round-1 q13+q14
 # so both surfaces carry driver signal inside the 50-entry window). All
 # expressions are JVM-side and whole-stage-codegen'd.
 # ---------------------------------------------------------------------------
 @register(
-    "q13_scalar_functions",
+    "z54_scalar_functions",
     oracle="""
     SELECT o_orderkey,
            upper(substr(o_orderpriority, 1, 8)) AS prio8,
@@ -456,7 +458,7 @@ def z42_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="scalar string/math/CASE/date expression coverage (one projection)",
 )
-def q13_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z54_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -987,11 +989,13 @@ def q28_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q29 — full outer join: per-nation customer and supplier counts, keeping
+# z55 — full outer join (demoted round 5; was q29, r1-r4 green: q03/q22/
+# q28/r01 keep the join family in-window): per-nation customer and
+# supplier counts, keeping
 # nations that have only one side.
 # ---------------------------------------------------------------------------
 @register(
-    "q29_full_outer_join",
+    "z55_full_outer_join",
     oracle="""
     WITH c AS (
         SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1
@@ -1005,7 +1009,7 @@ def q28_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="full outer join of per-nation aggregates with COALESCE",
 )
-def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z55_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     s = table(spark, sf_dir, "supplier")
     c_agg = cu.groupBy(F.col("c_nationkey").alias("nk_c")).agg(

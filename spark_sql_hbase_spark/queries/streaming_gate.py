@@ -219,7 +219,8 @@ def st04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z45 — stream-stream LEFT OUTER join (round-4 addition): matched
+# st05 — stream-stream LEFT OUTER join (promoted round 5; was z45)
+# (round-4 addition): matched
 # click→purchase attributions PLUS one NULL-extended row per click whose
 # match window expired under the final watermark (evict-and-emit).  The
 # emitted set is deterministic given the final global watermark =
@@ -231,7 +232,7 @@ _SS_W_MIN = 10
 
 
 @register(
-    "z45_stream_stream_outer_join",
+    "st05_stream_stream_outer_join",
     oracle=f"""
     WITH wm AS (
         SELECT least(
@@ -267,7 +268,7 @@ _SS_W_MIN = 10
     description="stream-stream left-outer join: matched attributions + "
     "watermark-expired unmatched clicks (bounded state, evict-and-emit)",
 )
-def z45_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st05_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.streaming.pipelines import (
         click_purchase_attribution_outer,
     )

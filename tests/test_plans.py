@@ -429,14 +429,14 @@ def test_d09_index_delta_join_exchanges_delta_only(spark):
     assert "band_idx_pin" in plan, plan
 
 
-def test_z47_bigram_surprisal_consumers_hit_cache(spark, registry):
+def test_t13_bigram_surprisal_consumers_hit_cache(spark, registry):
     """The bigram tf frame is the one corpus-derived intermediate; all
     four downstream consumers (per-doc join, bigram counts, context
     counts, successor-vocabulary scalar) must read it from cache —
     uncached, Catalyst rewrites each branch's sum-of-count into a direct
     count over raw rows (four distinct subtrees, ReuseExchange never
     matches) and the corpus is scanned 4x."""
-    df = registry["z47_bigram_surprisal"].fn(spark, SF)
+    df = registry["t13_bigram_surprisal"].fn(spark, SF)
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") >= 4, plan[:2000]
@@ -534,13 +534,13 @@ def test_ivfpq_index_probe_is_dynamic_partition_pruned(spark):
     )
 
 
-def test_z44_duplicate_spans_shuffles_hashes_only(spark, registry):
+def test_d10_duplicate_spans_shuffles_hashes_only(spark, registry):
     """Substring-dedup's real shuffles must carry only (id, 8-byte hash,
     count) — never text.  The single text-carrying exchange allowed is
     the RoundRobin repartition from _parallelized (test-scale artifact:
     a single small parquet file scans as one partition; a no-op at
     scale)."""
-    plan = formatted_plan(registry["z44_duplicate_spans"].fn(spark, SF))
+    plan = formatted_plan(registry["d10_duplicate_spans"].fn(spark, SF))
     lines = plan.splitlines()
     matched = 0
     for i, line in enumerate(lines):
@@ -555,18 +555,18 @@ def test_z44_duplicate_spans_shuffles_hashes_only(spark, registry):
     assert matched >= 2, plan
 
 
-def test_z46_budget_sample_no_window_no_sort(spark, registry):
+def test_t12_budget_sample_no_window_no_sort(spark, registry):
     """The token-budget sampler must stay sort-free: broadcast totals
     join + row-local gate + rollup — no Window, no range partitioning
     (the cumulative-sum formulation both would appear in funnels each
     stratum through one ordered task)."""
-    plan = formatted_plan(registry["z46_budget_sample"].fn(spark, SF))
+    plan = formatted_plan(registry["t12_budget_sample"].fn(spark, SF))
     assert "Window" not in plan, plan[:800]
     assert "rangepartitioning" not in plan, plan[:800]
     assert "BroadcastHashJoin" in plan
 
 
-def test_z49_quota_sample_window_over_candidates_only(spark, registry):
+def test_t14_quota_sample_window_over_candidates_only(spark, registry):
     """Exact-quota sampling: the ranking window runs over the gated
     candidate subset (broadcast threshold join BELOW the window) and
     Spark inserts WindowGroupLimit — a pre-shuffle partial top-k — so
@@ -574,7 +574,7 @@ def test_z49_quota_sample_window_over_candidates_only(spark, registry):
     per-stratum sort of the corpus."""
     import re as re2
 
-    plan = formatted_plan(registry["z49_quota_sample"].fn(spark, SF))
+    plan = formatted_plan(registry["t14_quota_sample"].fn(spark, SF))
     assert len(re2.findall(r"\(\d+\) Window\b", plan)) == 1, plan[:800]
     assert "WindowGroupLimit" in plan, plan[:800]
     assert "BroadcastHashJoin" in plan

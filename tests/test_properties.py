@@ -853,6 +853,38 @@ def test_duplicate_spans_matches_python_reference(spark, token_docs):
     assert got == expect, (got, expect)
 
 
+def test_duplicate_spans_df_cap_drops_boilerplate(spark):
+    """max_df (round 5): hashes with corpus count > max_df leave the
+    duplicated set, so a window repeated everywhere (boilerplate) stops
+    counting toward dup mass while ordinary duplicates still do."""
+    from spark_sql_hbase_spark.operators.dedup import duplicate_spans
+
+    boiler = "alpha beta gamma"            # in every doc → df = 4
+    docs = [
+        (0, f"{boiler} one two three"),
+        (1, f"{boiler} one two three"),    # "one two three" df = 2
+        (2, f"{boiler} four five six"),
+        (3, f"{boiler} seven eight nine"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        r["id"]: r["n_dup_windows"]
+        for r in duplicate_spans(df, "doc_id", "text", window=3).collect()
+    }
+    capped = {
+        r["id"]: r["n_dup_windows"]
+        for r in duplicate_spans(df, "doc_id", "text", window=3, max_df=3).collect()
+    }
+    # every doc has boilerplate-driven dup windows uncapped
+    assert all(v > 0 for v in uncapped.values()), uncapped
+    # capped: only the genuinely duplicated tail of docs 0/1 remains
+    assert capped[2] == 0 and capped[3] == 0, capped
+    assert 0 < capped[0] < uncapped[0] and 0 < capped[1] < uncapped[1], (
+        capped,
+        uncapped,
+    )
+
+
 def test_budget_sample_invariants(spark, sf_dir):
     """budget_sample report invariants: kept ⊆ stratum (tokens and
     docs), a covering budget keeps everything exactly, and the kept
