@@ -355,6 +355,12 @@ def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # u01 — Python UDTF (PythonEvals / tableFunctionRegistry surface, SURVEY
 # §2.B): context-window chunking — split each document's token stream into
 # fixed 32-token chunks, one output row per chunk (lateral join).
+#
+# NOTE (VERDICT r4 #3): the per-row Python UDTF exists to exercise the
+# UDTF surface itself; production chunking at corpus scale should ride
+# the JVM expression path (tokenize + slice over a posexplode'd chunk
+# index, zero Python) or Arrow-batched mapInPandas (operators/
+# multimodal.py pattern) — both shapes this repo already ships.
 # ---------------------------------------------------------------------------
 CHUNK = 32
 
