@@ -239,6 +239,33 @@ def squared_l2(a: Column, b: Column) -> Column:
     )
 
 
+def _packed_model(model: DataFrame, key: str, vec: str = "cv") -> DataFrame:
+    """Fold a small model relation into ONE row carrying
+    ``__model: array<struct<{key}, {vec}>>`` sorted by key — broadcast
+    this row and the whole model becomes a single column VALUE on every
+    task (plan data, not expression nodes), so a per-corpus-row argmin
+    over it is one ``transform`` + ``array_min`` with O(1) plan size in
+    the model dimensions and NO corpus explosion (the cross join is
+    against one row)."""
+    return model.agg(
+        F.array_sort(F.collect_list(F.struct(key, vec))).alias("__model")
+    )
+
+
+def _nearest(ev: Column, key: str, round_to: int = 6) -> Column:
+    """argmin_{entry ∈ __model} rounded-d2(ev, entry.cv), deterministic
+    tiebreak on the entry key — the packed-model twin of the old literal
+    candidate array (same rounding, same struct comparison order)."""
+    cands = F.transform(
+        F.col("__model"),
+        lambda c: F.struct(
+            F.round(squared_l2(ev, c["cv"]), round_to).alias("d2"),
+            c[key].alias(key),
+        ),
+    )
+    return F.array_min(cands)[key]
+
+
 def kmeans_step(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -261,31 +288,19 @@ def kmeans_step(
     map-side-combined per-(cluster, dim) average, whose cardinality is
     K·dim regardless of corpus size. Distances are rounded before the
     argmin so the assignment decision is reproducible cross-engine.
+    Round 5: the centroids ride as ONE packed broadcast row (see
+    :func:`_packed_model`) instead of plan literals, so the plan stays
+    compilable at production K·dim and the model is never collected to
+    the driver here.
     """
-    # Centroids are bounded MODEL STATE (K·dim values), not data: fold
-    # them into the assignment expression as literals, so assignment is a
-    # pure per-row computation — no join, no shuffle of vectors, and the
-    # argmin happens inside one projection.
-    cent = centroids.select("cluster_id", "cv").collect()
+    packed = _packed_model(
+        centroids.select(F.col("cluster_id"), F.col("cv")), "cluster_id"
+    )
     v = vectors.select(
         F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("ev")
     )
-    cands = F.array(
-        *[
-            F.struct(
-                F.round(
-                    squared_l2(
-                        F.col("ev"), F.array(*[F.lit(float(x)) for x in row["cv"]])
-                    ),
-                    round_to,
-                ).alias("d2"),
-                F.lit(row["cluster_id"]).alias("cluster_id"),
-            )
-            for row in cent
-        ]
-    )
-    assigned = v.select(
-        F.array_min(cands)["cluster_id"].alias("cluster_id"), "ev"
+    assigned = v.crossJoin(F.broadcast(packed)).select(
+        _nearest(F.col("ev"), "cluster_id", round_to).alias("cluster_id"), "ev"
     )
     dims = assigned.select(
         "cluster_id", F.posexplode("ev").alias("pos", "val")
@@ -389,7 +404,7 @@ def kmeans_centroids(
 
 def assign_cells(
     vectors: DataFrame,
-    centroids: list[tuple],
+    centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
@@ -399,25 +414,21 @@ def assign_cells(
     argmin, deterministic tiebreak on cell id) — the IVF index-BUILD step
     pairing with :func:`multiprobe_ann_topk`'s search step.
 
-    Same scale shape as :func:`kmeans_step` assignment: centroids are
-    bounded literal model state, so the whole assignment is one
-    projection over the vectors — no join, no shuffle."""
+    ``centroids``: ``[(cell_id, vector)]`` or a (cell, cv) DataFrame.
+    Same scale shape as :func:`kmeans_step` assignment — round 5: the
+    quantizer rides as ONE packed broadcast row (:func:`_packed_model`)
+    instead of plan literals, so index BUILD stays compilable at
+    production C·dim (the search side got the same treatment; a literal
+    model made both sides uncompilable at C=4096).  Still no shuffle and
+    no corpus explosion: the cross join is against a single row."""
+    cent = _centroid_relation(vectors.sparkSession, centroids)
+    packed = _packed_model(cent, "cell")
     v = vectors.withColumn("__ev", _to_double(F.col(vec_col)))
-    cand = F.array(
-        *[
-            F.struct(
-                F.round(
-                    squared_l2(
-                        F.col("__ev"), F.array(*[F.lit(float(x)) for x in cv])
-                    ),
-                    round_to,
-                ).alias("d2"),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, cv in centroids
-        ]
+    return (
+        v.crossJoin(F.broadcast(packed))
+        .withColumn(cell_col, _nearest(F.col("__ev"), "cell", round_to))
+        .drop("__ev", "__model")
     )
-    return v.withColumn(cell_col, F.array_min(cand)["cell"]).drop("__ev")
 
 
 def _centroid_relation(spark, centroids) -> DataFrame:
@@ -546,7 +557,7 @@ def multiprobe_ann_topk(
 # ---------------------------------------------------------------------------
 def pq_encode(
     vectors: DataFrame,
-    codebooks: list[list[tuple]],
+    codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
@@ -557,40 +568,46 @@ def pq_encode(
     deterministic code-id tiebreak (same argmin rule as
     :func:`assign_cells`).
 
-    ``codebooks``: list over subspaces of ``[(code, subvector), ...]``;
-    codes in each book must be the dense range 0..ksub-1 (what
-    :func:`pq_train` produces) so ADC tables can be array-indexed.
-    Codebooks are bounded literal model state (m x ksub x subdim doubles)
-    — encoding is ONE row-local projection, no join, no shuffle.
+    ``codebooks``: ``[[(code, subvector)]]`` (codes in each book must be
+    the dense range 0..ksub-1, what :func:`pq_train` produces, so ADC
+    tables can be array-indexed) or a (s, code, cv) DataFrame.  Round 5:
+    the books ride as ONE packed broadcast row — m·ksub·subdim doubles
+    of plan DATA with O(m) expression nodes, where the literal form's
+    O(m·ksub·subdim) nodes made encode uncompilable at production
+    model sizes.  Encoding stays one row-local projection per corpus
+    row: no shuffle, no corpus explosion.
 
     ``extra_cols`` pass through unchanged (e.g. the coarse ``cell``
     column for the IVFADC composition, :func:`ivfadc_ann_topk`).
     """
-    sub = len(codebooks[0][0][1])
-    for book in codebooks:
-        assert [c for c, _ in book] == list(range(len(book))), (
-            "codebook codes must be dense 0..ksub-1"
-        )
+    books = _codebook_relation(vectors.sparkSession, codebooks)
+    sub = _subdim(codebooks, books)
+    if not isinstance(codebooks, DataFrame):
+        m = len(codebooks)
+        for book in codebooks:
+            assert [c for c, _ in book] == list(range(len(book))), (
+                "codebook codes must be dense 0..ksub-1"
+            )
+    else:
+        m = int(books.agg(F.countDistinct("s").alias("m")).first()["m"])
+    packed = books.agg(
+        F.array_sort(F.collect_list(F.struct("s", "code", "cv"))).alias("__books")
+    )
     v = vectors.withColumn("__ev", _to_double(F.col(vec_col)))
     code_cols = []
-    for s, book in enumerate(codebooks):
-        cand = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        squared_l2(
-                            F.slice(F.col("__ev"), s * sub + 1, sub),
-                            F.array(*[F.lit(float(x)) for x in cv]),
-                        ),
-                        round_to,
-                    ).alias("d2"),
-                    F.lit(int(code)).alias("code"),
-                )
-                for code, cv in book
-            ]
+    for s in range(m):
+        cand = F.transform(
+            F.filter("__books", lambda b: b["s"] == F.lit(s)),
+            lambda b: F.struct(
+                F.round(
+                    squared_l2(F.slice(F.col("__ev"), s * sub + 1, sub), b["cv"]),
+                    round_to,
+                ).alias("d2"),
+                b["code"].alias("code"),
+            ),
         )
         code_cols.append(F.array_min(cand)["code"])
-    return v.select(
+    return v.crossJoin(F.broadcast(packed)).select(
         F.col(id_col).alias("id"),
         *extra_cols,
         F.array(*code_cols).alias("codes"),
@@ -683,7 +700,7 @@ def pq_ann_topk(
 
 def residualize(
     vectors: DataFrame,
-    centroids: list[tuple],
+    centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
@@ -694,23 +711,25 @@ def residualize(
     Jegou et al. 2011 §IV.B: residuals have far less energy than raw
     vectors, so the same m×ksub code budget quantizes them much finer).
 
-    Centroids fold in as a literal map lookup (bounded model state, same
-    convention as :func:`assign_cells`) — one row-local projection, no
-    join, no shuffle.  At huge C (>10⁴ cells) swap the literal map for a
-    broadcast join against a centroid table; same plan role.
+    ``centroids``: ``[(cell_id, vector)]`` or a (cell, cv) DataFrame.
+    Round 5: the centroid lookup is a broadcast equi-join on the cell id
+    (the literal create_map form grew O(C·dim) plan nodes) — corpus side
+    never shuffles, the join build side is the C-row model relation.
     """
+    cent = _centroid_relation(vectors.sparkSession, centroids)
     assigned = assign_cells(vectors, centroids, id_col, vec_col, cell_col)
-    entries = []
-    for cid, cv in centroids:
-        entries.append(F.lit(cid))
-        entries.append(F.array(*[F.lit(float(x)) for x in cv]))
-    cent_map = F.create_map(*entries)
     resid = F.zip_with(
-        _to_double(F.col(vec_col)),
-        F.element_at(cent_map, F.col(cell_col)),
-        lambda x, c: x - c,
+        _to_double(F.col(vec_col)), F.col("__ccv"), lambda x, c: x - c
     )
-    return assigned.withColumn(vec_col, resid)
+    return (
+        assigned.join(
+            F.broadcast(cent.select(F.col("cell").alias(cell_col),
+                                    F.col("cv").alias("__ccv"))),
+            cell_col,
+        )
+        .withColumn(vec_col, resid)
+        .drop("__ccv")
+    )
 
 
 def ivfpq_train(

@@ -345,15 +345,16 @@ def test_s04_multiprobe_never_explodes_corpus(spark, registry):
 def test_s06_ivfadc_corpus_side_is_codes_only(spark, registry):
     """IVFADC: the corpus join input must be the (cell, codes) index —
     scored via per-query ADC tables on the broadcast side.  Since round 5
-    the model rides broadcast relations instead of plan literals: exactly
-    three BroadcastExchanges (centroids → probe ranking, codebooks →
-    distance tables, probe tables → the cell equi-join), no Generate
-    anywhere, and no corpus vector column survives into the join (the
-    embeddings scan feeds encoding only; the join input is m code
-    ints)."""
+    the model rides broadcast relations instead of plan literals on BOTH
+    sides: exactly five BroadcastExchanges (packed centroids → corpus
+    cell assignment, packed codebooks → corpus encode, centroids → probe
+    ranking, codebooks → distance tables, probe tables → the cell
+    equi-join), no Generate anywhere, and no corpus vector column
+    survives into the join (the embeddings scan feeds encoding only; the
+    join input is m code ints)."""
     plan = formatted_plan(registry["s06_ivfadc"].fn(spark, SF))
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
-    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 3, plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 5, plan
 
 
 def test_ann_plan_size_bounded_in_model_size(spark):
@@ -387,15 +388,19 @@ def test_ann_plan_size_bounded_in_model_size(spark):
     emb = qtable(spark, SF, "embeddings")
     q = emb.filter(F.col("vec_id") < 4)
     small_c, large_c = cents(8), cents(64)
-    corpus = assign_cells(emb, small_c, "vec_id", "embedding")
-    p_small = formatted_plan(multiprobe_ann_topk(corpus, q, small_c, nprobe=2))
-    p_large = formatted_plan(multiprobe_ann_topk(corpus, q, large_c, nprobe=2))
+    # BOTH sides grow with the model: the corpus assignment (index build)
+    # uses the same quantizer as the search — plan must stay flat anyway
+    p_small = formatted_plan(
+        multiprobe_ann_topk(assign_cells(emb, small_c), q, small_c, nprobe=2)
+    )
+    p_large = formatted_plan(
+        multiprobe_ann_topk(assign_cells(emb, large_c), q, large_c, nprobe=2)
+    )
     assert len(p_large) < 1.5 * len(p_small), (len(p_small), len(p_large))
 
     small_b, large_b = books(8), books(64)
-    codes = pq_encode(emb, small_b, "vec_id", "embedding")
-    p_small = formatted_plan(pq_ann_topk(codes, q, small_b))
-    p_large = formatted_plan(pq_ann_topk(codes, q, large_b))
+    p_small = formatted_plan(pq_ann_topk(pq_encode(emb, small_b), q, small_b))
+    p_large = formatted_plan(pq_ann_topk(pq_encode(emb, large_b), q, large_b))
     assert len(p_large) < 1.5 * len(p_small), (len(p_small), len(p_large))
 
 
