@@ -164,6 +164,56 @@ def vocabulary(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, top_k: int = 50, min_count: int = 1
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the corpus — the counting
+    step of one BPE merge iteration (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units", public): the
+    top pair is the next merge a BPE trainer would apply.  Pairs are
+    2-char substrings at every position within a word, weighted by the
+    word's corpus frequency (every occurrence of "aaa" contributes two
+    "aa" pairs).  Emits (pair, n, rank), count desc, pair-asc tiebreak.
+
+    Plan shape (scales to 100 TB): ONE corpus scan builds the word-
+    frequency table (map-side-combined — the shuffle carries the
+    VOCABULARY, Heaps-law sublinear, not the corpus); the pair explode
+    then runs over DISTINCT words only (vocabulary cardinality ×
+    word length — O(10⁶·10) rows regardless of corpus size, the
+    classic BPE-training trick), one more vocabulary-sized count, and a
+    TakeOrdered top-k.  No UDF anywhere; the position enumeration is a
+    ``sequence``/``transform`` pair per distinct word.
+    """
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
+    wc = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = wc.filter(F.length("word") >= 2).select(
+        "wf",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    counts = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    from pyspark.sql import Window as W
+
+    top = counts.orderBy(F.col("n").desc(), F.col("pair")).limit(top_k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("n").desc(), F.col("pair"))).cast("int"),
+    )
+
+
 # -- PII detection / redaction ----------------------------------------------
 # Conservative patterns that parse identically under Java regex (Spark)
 # and RE2 (DuckDB): plain character classes, no backrefs, no lookaround.

@@ -1625,6 +1625,43 @@ def d11_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# z57 — BPE merge-candidate pair counts (round-5 addition; operators/
+# text.py::bpe_pair_counts): adjacent 2-char pairs within words, weighted
+# by word corpus frequency — the counting step of one BPE merge iteration
+# (Sennrich et al. 2016).  The pair explode runs over DISTINCT words only
+# (vocabulary cardinality, never the corpus) — the classic BPE-training
+# scale trick.
+# ---------------------------------------------------------------------------
+@register(
+    "z57_bpe_pair_counts",
+    oracle=f"""
+    WITH __w AS (
+        SELECT unnest({_TOK}) AS word FROM documents
+    ), __wc AS (
+        SELECT word, COUNT(*) AS wf FROM __w GROUP BY 1
+    ), __p AS (
+        SELECT wf,
+               unnest([substr(word, __i, 2) for __i in range(1, len(word))])
+                   AS pair
+        FROM __wc WHERE len(word) >= 2
+    ), __c AS (
+        SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM __p GROUP BY 1
+    )
+    SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER)
+               AS rank
+    FROM __c
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+    description="BPE merge-candidate pair counts: within-word adjacent "
+    "char pairs weighted by word frequency, top-50 (tokenizer training)",
+)
+def z57_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, "text", top_k=50)
+
+
+# ---------------------------------------------------------------------------
 # t14 — exact-quota stratified sampling (promoted round 5; was z49)
 # (round-4 addition; operators/
 # text.py::quota_sample): k=5 docs per source as the k smallest id-hash

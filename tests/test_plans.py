@@ -539,6 +539,23 @@ def test_ivfpq_index_probe_is_dynamic_partition_pruned(spark):
     )
 
 
+def test_z57_bpe_pairs_explode_vocabulary_not_corpus(spark, registry):
+    """BPE pair counting: the pair explode must consume the AGGREGATED
+    word-frequency table (vocabulary cardinality), not raw corpus tokens
+    — its Generate sits above the word-count exchange, and top-k is a
+    TakeOrdered, never a global sort."""
+    plan = formatted_plan(registry["z57_bpe_pair_counts"].fn(spark, SF))
+    gens = [int(m) for m in re.findall(r"\((\d+)\) Generate", plan)]
+    assert len(gens) == 2, plan  # tokenize explode + pair explode
+    exchanges = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
+    # formatted-plan ids grow toward the leaves: the pair explode (lower
+    # id = later in execution) must sit above at least one exchange (the
+    # word-count shuffle) — i.e. some exchange has a HIGHER id than it
+    assert min(gens) < max(exchanges), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
 def test_d10_duplicate_spans_shuffles_hashes_only(spark, registry):
     """Substring-dedup's real shuffles must carry only (id, 8-byte hash,
     count) — never text.  The single text-carrying exchange allowed is
