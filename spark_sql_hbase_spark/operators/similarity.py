@@ -876,6 +876,36 @@ def pq_train(
     return books
 
 
+def persist_ivfpq_model(
+    spark,
+    centroids,
+    codebooks,
+    cent_table: str,
+    books_table: str,
+) -> None:
+    """Persist the IVF-PQ MODEL (coarse centroids + PQ codebooks) as two
+    catalog tables — the other half of the round-5 model-as-relation
+    design: every search/encode entry point accepts the model as
+    DataFrames, so a production deployment trains once, saves here, and
+    every subsequent job reads (cell, cv) / (s, code, cv) straight from
+    parquet with ZERO driver-side materialization (contrast the
+    ``[(id, vector)]`` list form, which exists for tests and small
+    models)."""
+    _centroid_relation(spark, centroids).write.mode("overwrite").saveAsTable(
+        cent_table
+    )
+    _codebook_relation(spark, codebooks).write.mode("overwrite").saveAsTable(
+        books_table
+    )
+
+
+def load_ivfpq_model(spark, cent_table: str, books_table: str):
+    """Load a model persisted by :func:`persist_ivfpq_model` as the
+    (centroids, codebooks) DataFrame pair every ANN entry point
+    accepts."""
+    return spark.table(cent_table), spark.table(books_table)
+
+
 def persist_ivfpq_index(
     vectors: DataFrame,
     centroids: list[tuple],

@@ -975,6 +975,61 @@ def test_sample_rows_helpers_match_reports(spark, sf_dir):
     assert got_ids == sel_ids
 
 
+def test_dataframe_model_matches_list_model(spark, sf_dir):
+    """Round 5: every ANN entry point accepts the model as DataFrames —
+    persist the model as catalog tables, load it back, and the full
+    assign → encode → IVFADC search pipeline must return exactly what
+    the driver-side list form returns (the production path: model read
+    straight from parquet, zero driver materialization)."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        assign_cells,
+        ivfadc_ann_topk,
+        load_ivfpq_model,
+        persist_ivfpq_model,
+        pq_encode,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    emb = qtable(spark, sf_dir, "embeddings")
+    seeds = sorted(
+        emb.filter(F2.col("vec_id") < 8)
+        .select("vec_id", _to_double(F2.col("embedding")).alias("ev"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), list(r["ev"])) for r in seeds[:4]]
+    books = [
+        [(int(r["vec_id"]), list(r["ev"])[s * 16 : (s + 1) * 16]) for r in seeds]
+        for s in range(4)
+    ]
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    for t in ("ivfpq_model_cents", "ivfpq_model_books"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    persist_ivfpq_model(spark, cents, books, "ivfpq_model_cents", "ivfpq_model_books")
+    cent_df, books_df = load_ivfpq_model(
+        spark, "ivfpq_model_cents", "ivfpq_model_books"
+    )
+
+    queries = emb.filter(F2.col("vec_id") < 8)
+    from_list = ivfadc_ann_topk(
+        pq_encode(assign_cells(emb, cents), books, extra_cols=("cell",)),
+        queries, cents, books, k=5, nprobe=2,
+    )
+    from_tables = ivfadc_ann_topk(
+        pq_encode(assign_cells(emb, cent_df), books_df, extra_cols=("cell",)),
+        queries, cent_df, books_df, k=5, nprobe=2,
+    )
+    assert sorted(map(tuple, from_tables.collect())) == sorted(
+        map(tuple, from_list.collect())
+    )
+
+
 def test_round4_operator_edge_cases(spark):
     """Boundary conditions the gate oracles don't reach: nprobe beyond
     the cell count (slice clamps), k beyond the stratum population
