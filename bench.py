@@ -113,6 +113,7 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
     # one row per token — regression visibility for its shuffle volume)
     for name, key in (
         ("s06_ivfadc", "s06_ivfadc"),
+        ("s08_ivfadc_residual", "s08_ivfadc_residual"),
         ("d10_duplicate_spans", "d10_duplicate_spans"),
     ):
         t0 = time.perf_counter()
