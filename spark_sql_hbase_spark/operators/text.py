@@ -214,6 +214,50 @@ def bpe_pair_counts(
     )
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-stream boilerplate detection: the top-``k`` ``n``-gram
+    shingles by DOCUMENT FREQUENCY within each stream — the "most common
+    lines/spans" analysis a web-corpus curation pass runs to find
+    navigation chrome, license banners, and template text worth
+    stripping (the C4/RefinedWeb boilerplate heuristic, at shingle
+    granularity).  Emits (stream, gram, df, rank), df desc, gram-asc
+    tiebreak, df ≥ ``min_df``.
+
+    Plan shape (scales to 100 TB): one corpus scan explodes DISTINCT
+    shingles per doc (so df counts documents, not occurrences), one
+    map-side-combined (stream, gram) count — the shuffle carries the
+    per-stream shingle vocabulary, Heaps-sublinear — then the per-stream
+    top-k window runs over aggregated counts with Spark's
+    WindowGroupLimit partial top-k (combiner-style; never a full sort of
+    the vocabulary, same pinned shape as the quota sampler)."""
+    from spark_sql_hbase_spark.functions.texthash import shingles, tokens
+
+    grams = df.select(
+        F.col(group_col).alias("stream"),
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    counts = grams.groupBy("stream", "gram").agg(
+        F.count(F.lit(1)).alias("df")
+    ).filter(F.col("df") >= min_df)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("stream").orderBy(F.col("df").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("stream", "gram", "df", "rank")
+    )
+
+
 # -- PII detection / redaction ----------------------------------------------
 # Conservative patterns that parse identically under Java regex (Spark)
 # and RE2 (DuckDB): plain character classes, no backrefs, no lookaround.

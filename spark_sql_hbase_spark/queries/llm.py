@@ -1662,6 +1662,49 @@ def z57_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# z58 — per-source boilerplate shingles (round-5 addition; operators/
+# text.py::boilerplate_ngrams): top 5-gram shingles by DOCUMENT FREQUENCY
+# within each source stream — the "most common spans" analysis that finds
+# navigation chrome / template text worth stripping (C4/RefinedWeb
+# boilerplate heuristic at shingle granularity).  Shuffle carries the
+# per-stream shingle vocabulary (Heaps-sublinear); per-stream top-k runs
+# over aggregated counts with WindowGroupLimit.
+# ---------------------------------------------------------------------------
+_BP_N = 5
+_BP_K = 5
+
+
+@register(
+    "z58_boilerplate_ngrams",
+    oracle=f"""
+    WITH __sh AS (
+        SELECT source AS stream, doc_id,
+               {shingles_sql(tokens_sql('text'), _BP_N)} AS s
+        FROM documents
+    ), __g AS (
+        SELECT stream, doc_id, unnest(s) AS gram FROM __sh
+    ), __c AS (
+        SELECT stream, gram, COUNT(*) AS df
+        FROM __g GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT stream, gram, df, CAST(rn AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY stream ORDER BY df DESC, gram
+        ) AS rn FROM __c
+    ) WHERE rn <= {_BP_K}
+    """,
+    description="per-source top-5 boilerplate 5-gram shingles by document "
+    "frequency (most-common-spans curation analytic)",
+)
+def z58_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.boilerplate_ngrams(
+        docs, "source", "doc_id", "text", n=_BP_N, k=_BP_K
+    )
+
+
+# ---------------------------------------------------------------------------
 # t14 — exact-quota stratified sampling (promoted round 5; was z49)
 # (round-4 addition; operators/
 # text.py::quota_sample): k=5 docs per source as the k smallest id-hash

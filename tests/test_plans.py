@@ -548,12 +548,28 @@ def test_z57_bpe_pairs_explode_vocabulary_not_corpus(spark, registry):
     gens = [int(m) for m in re.findall(r"\((\d+)\) Generate", plan)]
     assert len(gens) == 2, plan  # tokenize explode + pair explode
     exchanges = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
-    # formatted-plan ids grow toward the leaves: the pair explode (lower
-    # id = later in execution) must sit above at least one exchange (the
-    # word-count shuffle) — i.e. some exchange has a HIGHER id than it
-    assert min(gens) < max(exchanges), plan
+    # formatted-plan ids grow leaf → root (lower = earlier in
+    # execution): the pair explode (the LATER Generate) must sit above
+    # the word-count shuffle — its id exceeds the earliest exchange's
+    assert exchanges and max(gens) > min(exchanges), (gens, exchanges)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_z58_boilerplate_topk_is_partial_over_aggregated_counts(spark, registry):
+    """Per-stream boilerplate hitters: the ranking window must run over
+    the AGGREGATED (stream, gram) counts — never raw shingle rows — and
+    get Spark's WindowGroupLimit pre-shuffle partial top-k, so the
+    per-stream ranking is combiner-style at vocabulary cardinality."""
+    plan = formatted_plan(registry["z58_boilerplate_ngrams"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan, plan[:800]
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan[:800]
+    # the (stream, gram) count aggregate sits below the window: its
+    # HashAggregate has a LOWER formatted id (ids grow leaf → root, so
+    # lower = earlier in execution — same convention as the t14 pin)
+    win_id = int(re.search(r"\((\d+)\) Window\b", plan).group(1))
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert agg_ids and min(agg_ids) < win_id, (win_id, agg_ids)
 
 
 def test_d10_duplicate_spans_shuffles_hashes_only(spark, registry):
