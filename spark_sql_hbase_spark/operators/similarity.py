@@ -470,27 +470,46 @@ def _subdim(codebooks, books: DataFrame) -> int:
     return len(codebooks[0][0][1])
 
 
+def _n_subspaces(codebooks, books: DataFrame) -> int:
+    """Subspace count m: free from the list form, one tiny aggregate
+    from the relation form."""
+    if isinstance(codebooks, DataFrame):
+        return int(books.agg(F.countDistinct("s").alias("m")).first()["m"])
+    return len(codebooks)
+
+
 def _probe_cells(
     queries_qv: DataFrame, cent: DataFrame, nprobe: int, carry_cv: bool = False
 ) -> DataFrame:
-    """nprobe nearest coarse cells per query (rounded-d2 ranking with
-    deterministic cell tiebreak) via a broadcast join against the
-    centroid relation — the query side is small, so the |Q|·C ranking is
-    broadcast-sized at any corpus scale.  Input must carry (query_id,
+    """nprobe nearest coarse cells per query: rounded-d2 ``array_sort``
+    over the packed centroid model (struct comparison falls through
+    (d2, cell); cells are unique so the optional cv field is never
+    compared), sliced to nprobe (clamps when nprobe > C) and exploded —
+    a pure ROW-LOCAL projection per query against the one-row broadcast
+    model, no ranking window, no exchange.  Input must carry (query_id,
     __qv); output carries (query_id, __qv, cell[, cv])."""
-    ranked = queries_qv.crossJoin(F.broadcast(cent)).select(
+    packed = _packed_model(cent, "cell")
+    cand = F.transform(
+        F.col("__model"),
+        lambda c: F.struct(
+            F.round(squared_l2(F.col("__qv"), c["cv"]), 6).alias("d2"),
+            c["cell"].alias("cell"),
+            *([c["cv"].alias("cv")] if carry_cv else []),
+        ),
+    )
+    probed = queries_qv.crossJoin(F.broadcast(packed)).select(
         "query_id",
         "__qv",
-        "cell",
-        *(["cv"] if carry_cv else []),
-        F.round(squared_l2(F.col("__qv"), F.col("cv")), 6).alias("__d2"),
+        F.explode(F.slice(F.array_sort(cand), 1, nprobe)).alias("__probe"),
     )
-    w = W.partitionBy("query_id").orderBy("__d2", "cell")
-    return (
-        ranked.withColumn("__pr", F.row_number().over(w))
-        .filter(F.col("__pr") <= nprobe)
-        .drop("__d2", "__pr")
-    )
+    cols = [
+        F.col("query_id"),
+        F.col("__qv"),
+        F.col("__probe.cell").alias("cell"),
+    ]
+    if carry_cv:
+        cols.append(F.col("__probe.cv").alias("cv"))
+    return probed.select(*cols)
 
 
 def multiprobe_ann_topk(
@@ -512,10 +531,11 @@ def multiprobe_ann_topk(
     a small BROADCAST RELATION, not plan literals (round 5: the literal
     form grew O(C·dim) expression nodes, stalling plan compilation at
     production C — the model is data, so it rides a LocalRelation /
-    parquet scan instead).  Probe selection is a broadcast-sized ranking
-    on the query side; the probed (query, cell) pairs multiply only the
-    query side ``nprobe``×, never the corpus: scan cost is
-    nprobe/|cells| of the corpus per query batch.
+    parquet scan instead).  Probe selection is a ROW-LOCAL array_sort
+    over the packed model per query (no ranking window, no exchange);
+    the probed (query, cell) pairs multiply only the query side
+    ``nprobe``×, never the corpus: scan cost is nprobe/|cells| of the
+    corpus per query batch.
     """
     cent = _centroid_relation(queries.sparkSession, centroids)
     q = queries.select(
@@ -582,14 +602,12 @@ def pq_encode(
     """
     books = _codebook_relation(vectors.sparkSession, codebooks)
     sub = _subdim(codebooks, books)
+    m = _n_subspaces(codebooks, books)
     if not isinstance(codebooks, DataFrame):
-        m = len(codebooks)
         for book in codebooks:
             assert [c for c, _ in book] == list(range(len(book))), (
                 "codebook codes must be dense 0..ksub-1"
             )
-    else:
-        m = int(books.agg(F.countDistinct("s").alias("m")).first()["m"])
     packed = books.agg(
         F.array_sort(F.collect_list(F.struct("s", "code", "cv"))).alias("__books")
     )
@@ -614,31 +632,33 @@ def pq_encode(
     )
 
 
-def _distance_tables(probed: DataFrame, books: DataFrame, sub: int) -> DataFrame:
-    """Per-(query row) ADC distance tables from the codebook RELATION:
-    join each probed query row to the m·ksub codebook entries, compute
-    the rounded subspace d2 from COLUMNS (no literals), and fold back to
-    one row per input row carrying ``__tabs: array<array<double>>``
-    ordered by (subspace, code) — ready for
-    :func:`_adc`.  ``probed`` must carry (``__qr``: the exact query
-    vector, raw or residual) plus any number of key columns named in its
-    schema; all non-``__qr`` columns are preserved."""
+def _distance_tables(
+    probed: DataFrame, books: DataFrame, sub: int, m: int
+) -> DataFrame:
+    """Per-(query row) ADC distance tables from the packed codebook
+    model: one row-local projection computes ``__tabs:
+    array<array<double>>`` — for each of the ``m`` subspaces, the ksub
+    rounded d2 values in code order (the pack is sorted by (s, code) and
+    ``filter`` preserves order) — from COLUMNS, not literals, against
+    the one-row broadcast model.  No join fan-out, no aggregation, no
+    exchange: the query side stays shuffle-free end to end.  ``probed``
+    must carry ``__qr`` (the exact query vector, raw or residual); all
+    other columns are preserved."""
     keys = [c for c in probed.columns if c != "__qr"]
-    d2 = F.round(
-        squared_l2(F.slice(F.col("__qr"), F.col("s") * sub + 1, sub), F.col("cv")), 6
+    packed = books.agg(
+        F.array_sort(F.collect_list(F.struct("s", "code", "cv"))).alias("__books")
     )
-    per_code = probed.crossJoin(F.broadcast(books)).select(
-        *keys, F.col("s"), F.col("code"), d2.alias("__d2")
-    )
-    per_sub = per_code.groupBy(*keys, "s").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("code", "__d2"))), lambda st: st["__d2"]
-        ).alias("__tab")
-    )
-    return per_sub.groupBy(*keys).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "__tab"))), lambda st: st["__tab"]
-        ).alias("__tabs")
+
+    def tab(s: int):
+        return F.transform(
+            F.filter("__books", lambda b: b["s"] == F.lit(s)),
+            lambda b: F.round(
+                squared_l2(F.slice(F.col("__qr"), s * sub + 1, sub), b["cv"]), 6
+            ),
+        )
+
+    return probed.crossJoin(F.broadcast(packed)).select(
+        *keys, F.array(*[tab(s) for s in range(m)]).alias("__tabs")
     )
 
 
@@ -677,10 +697,11 @@ def pq_ann_topk(
     """
     books = _codebook_relation(queries.sparkSession, codebooks)
     sub = _subdim(codebooks, books)
+    m = _n_subspaces(codebooks, books)
     qt = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qr")
     )
-    tabs = _distance_tables(qt, books, sub)
+    tabs = _distance_tables(qt, books, sub, m)
     scored = (
         codes.crossJoin(F.broadcast(tabs))
         .filter(F.col("id") != F.col("query_id"))
@@ -809,6 +830,7 @@ def ivfadc_ann_topk(
     cent = _centroid_relation(spark, centroids)
     books = _codebook_relation(spark, codebooks)
     sub = _subdim(codebooks, books)
+    m = _n_subspaces(codebooks, books)
     qt = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qv")
     )
@@ -821,7 +843,9 @@ def ivfadc_ann_topk(
             else F.col("__qv")
         ).alias("__qr"),
     )
-    probes = _distance_tables(probed, books, sub).withColumnRenamed("cell", cell_col)
+    probes = _distance_tables(probed, books, sub, m).withColumnRenamed(
+        "cell", cell_col
+    )
     scored = (
         codes_with_cells.join(F.broadcast(probes), cell_col)
         .filter(F.col("id") != F.col("query_id"))

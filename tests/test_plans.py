@@ -333,28 +333,33 @@ def test_t10_repetition_single_tokenize(spark, registry):
 
 def test_s04_multiprobe_never_explodes_corpus(spark, registry):
     """Probe selection must multiply only the (tiny, broadcast) query
-    side — since round 5 it is a broadcast ranking join against the
-    centroid RELATION, so the whole plan is Generate-free and the corpus
-    reaches the cell equi-join unexploded."""
+    side — a row-local array_sort over the packed centroid model then
+    one nprobe explode: exactly one Generate in the whole plan, no
+    ranking Window, and the corpus reaches the cell equi-join
+    unexploded."""
     plan = formatted_plan(registry["s04_ann_multiprobe"].fn(spark, SF))
     gens = re.findall(r"\(\d+\) Generate", plan)
-    assert len(gens) == 0, plan
+    assert len(gens) == 1, plan
+    # the only Windows allowed are the final per-query top-k (1)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
     assert "BroadcastHashJoin" in plan
 
 
 def test_s06_ivfadc_corpus_side_is_codes_only(spark, registry):
     """IVFADC: the corpus join input must be the (cell, codes) index —
     scored via per-query ADC tables on the broadcast side.  Since round 5
-    the model rides broadcast relations instead of plan literals on BOTH
-    sides: exactly five BroadcastExchanges (packed centroids → corpus
-    cell assignment, packed codebooks → corpus encode, centroids → probe
-    ranking, codebooks → distance tables, probe tables → the cell
-    equi-join), no Generate anywhere, and no corpus vector column
-    survives into the join (the embeddings scan feeds encoding only; the
-    join input is m code ints)."""
+    the model rides as packed broadcast relations instead of plan
+    literals on BOTH sides: exactly five BroadcastExchanges (packed
+    centroids × 2 — corpus assignment and probe selection, packed
+    codebooks × 2 — corpus encode and distance tables, probe tables →
+    the cell equi-join), exactly one Generate (the query-side nprobe
+    explode), and the query side is SHUFFLE-FREE up to the final top-k
+    (probe selection and ADC tables are row-local projections — no
+    ranking window, no aggregation exchanges)."""
     plan = formatted_plan(registry["s06_ivfadc"].fn(spark, SF))
-    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 5, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
 
 
 def test_ann_plan_size_bounded_in_model_size(spark):
