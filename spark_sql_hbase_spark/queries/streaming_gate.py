@@ -276,3 +276,75 @@ def st05_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = table(spark, sf_dir, "events")
     stream = _one_batch_stream(spark, ev)
     return _run_available_now(click_purchase_attribution_outer(stream, _SS_W_MIN))
+
+
+# ---------------------------------------------------------------------------
+# z59 — stream-stream FULL OUTER join (round-5 addition): the complete
+# attribution audit in one pass — matched pairs + watermark-expired
+# unmatched clicks (left audit, st05) + never-attributable purchases
+# (right audit: a purchase NULL-emits once the watermark passes its ts —
+# any later click would need click_ts <= purchase_ts < watermark, and
+# late rows are dropped).  Emitted set deterministic given the final
+# global watermark (min-policy), same argument as st05; rows still inside
+# their bound at end-of-stream stay stateful — the oracle applies both
+# eviction rules.
+# ---------------------------------------------------------------------------
+@register(
+    "z59_stream_stream_full_outer",
+    oracle=f"""
+    WITH wm AS (
+        SELECT least(
+            (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'click'),
+            (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'purchase')
+        ) - {_SS_W_MIN * 60000} AS wm_ms
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_ms(p.ts) - epoch_ms(c.ts) AS delay_ms,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {_SS_W_MIN} MINUTE
+    UNION ALL
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS delay_ms,
+           CAST(NULL AS DOUBLE) AS purchase_value
+    FROM events c, wm
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {_SS_W_MIN} MINUTE
+      )
+      AND epoch_ms(c.ts) + {_SS_W_MIN * 60000} < wm.wm_ms
+    UNION ALL
+    SELECT p.user_id,
+           CAST(NULL AS BIGINT) AS click_id,
+           p.event_id AS purchase_id,
+           CAST(NULL AS BIGINT) AS delay_ms,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events p, wm
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {_SS_W_MIN} MINUTE
+      )
+      AND epoch_ms(p.ts) < wm.wm_ms
+    """,
+    description="stream-stream full-outer join: matched attributions + "
+    "expired unmatched clicks + never-attributable purchases",
+)
+def z59_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        click_purchase_attribution_full,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    stream = _one_batch_stream(spark, ev)
+    return _run_available_now(click_purchase_attribution_full(stream, _SS_W_MIN))

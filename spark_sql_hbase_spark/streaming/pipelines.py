@@ -308,3 +308,57 @@ def click_purchase_attribution_outer(
         (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("delay_ms"),
         F.round(F.col("purchase_value"), 4).alias("purchase_value"),
     )
+
+
+def click_purchase_attribution_full(
+    events: DataFrame, window_minutes: int = 10
+) -> DataFrame:
+    """Stream-stream FULL OUTER join — the complete attribution audit in
+    one pass: matched click→purchase pairs, PLUS NULL-extended clicks
+    whose match window expired (the left-outer audit), PLUS NULL-extended
+    purchases the watermark proves can never be attributed to a click
+    (organic/direct purchases — the right-side audit).
+
+    Same bounded state as :func:`click_purchase_attribution`; eviction is
+    two-sided.  From the condition bounds Spark derives each side's state
+    watermark: a click is evictable (and NULL-emits if unmatched) once
+    the global watermark passes ``click_ts + window``; a purchase once
+    the watermark passes ``purchase_ts`` (any later click would need
+    ``click_ts <= purchase_ts < watermark`` — impossible, late rows are
+    dropped).  Rows still inside their bound at end-of-stream stay
+    stateful and unemitted — deterministic given the final watermark.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{window_minutes} minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", f"{window_minutes} minutes")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "full_outer").select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("delay_ms"),
+        F.round(F.col("purchase_value"), 4).alias("purchase_value"),
+    )
