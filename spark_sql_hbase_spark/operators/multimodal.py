@@ -134,6 +134,57 @@ def sample_frames(
     )
 
 
+FEATURE_DIM = 8
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_media_features(
+    df: DataFrame, id_col: str, binary_col: str, dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Feature extraction over a binary media column: (doc_id,
+    embedding array<double>) — the encode step between decode and the
+    ANN/near-dup operators (compose with ``similarity.py``: the output
+    plugs straight into ``assign_cells``/``pq_encode``/
+    ``embedding_neardup``).
+
+    STUB — real deployments plug a vision/audio encoder into the batch
+    loop (the container ships no model runtimes).  Deterministic fake:
+    ``dim`` 16-bit integers from the content sha256 scaled to [0, 1]
+    doubles — reproducible cross-engine, so the full binary → embedding
+    pipeline stays oracle-checkable.  Doubles (not float32) by the
+    repo's determinism contract: the oracle recomputes the same IEEE
+    ops; a production float32 column would need approximate compare.
+
+    Scale shape: Arrow-batched ``mapInPandas`` — vectorized per batch,
+    no shuffle, embarrassingly parallel; the payload column never
+    survives past this stage.
+    """
+    assert dim * 4 <= 64, "sha256 hex provides 16 four-hex-digit features"
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, embs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                digest = hashlib.sha256(payload).hexdigest()
+                embs.append(
+                    [int(digest[4 * i : 4 * i + 4], 16) / 65535.0 for i in range(dim)]
+                )
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "embedding": embs}
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        feats, EMBED_SCHEMA
+    )
+
+
 def media_metadata_oracle_sql(doc_table: str = "documents") -> str:
     """DuckDB twin of :func:`extract_media_metadata` over the synthetic
     binary payload (utf-8 bytes of ``text``) — verifies the whole

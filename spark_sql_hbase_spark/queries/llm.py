@@ -429,6 +429,63 @@ def z40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# z60 — multimodal feature extraction (round-5 addition; operators/
+# multimodal.py::extract_media_features): binary payload → embedding via
+# Arrow-batched mapInPandas — the encode step between decode (m01's
+# metadata stub) and the ANN/near-dup operators.  The deterministic fake
+# encoder (sha256 16-bit features, [0,1] doubles) keeps the whole
+# binary → embedding pipeline oracle-checkable; the gate emits scalar
+# signature columns (dim, first value, mean, l2 norm) whose fixed-order
+# double arithmetic both engines reproduce bit-identically.
+# ---------------------------------------------------------------------------
+def _z60_oracle() -> str:
+    dim = multimodal.FEATURE_DIM
+    fs = ",\n               ".join(
+        f"('0x' || substr(sha, {4 * i + 1}, 4))::BIGINT / 65535.0 AS f{i}"
+        for i in range(dim)
+    )
+    mean = "(" + " + ".join(f"f{i}" for i in range(dim)) + f") / {dim}"
+    norm = "sqrt(" + " + ".join(f"f{i} * f{i}" for i in range(dim)) + ")"
+    return f"""
+    WITH b AS (
+        SELECT doc_id, sha256(text) AS sha FROM documents
+    ), f AS (
+        SELECT doc_id,
+               {fs}
+        FROM b
+    )
+    SELECT doc_id,
+           CAST({dim} AS INTEGER) AS emb_dim,
+           ROUND(f0, 6) AS emb0,
+           ROUND({mean}, 6) AS emb_mean,
+           ROUND({norm}, 6) AS emb_norm
+    FROM f
+    """
+
+
+@register(
+    "z60_media_features",
+    oracle=_z60_oracle(),
+    description="binary media column -> embedding via Arrow mapInPandas "
+    "(deterministic fake encoder; scalar signature columns)",
+)
+def z60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    emb = multimodal.extract_media_features(with_payload, "doc_id", "payload")
+    dim = multimodal.FEATURE_DIM
+    total = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)
+    sq = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("emb_dim"),
+        F.round(F.element_at("embedding", 1), 6).alias("emb0"),
+        F.round(total / dim, 6).alias("emb_mean"),
+        F.round(F.sqrt(sq), 6).alias("emb_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # s03 — sign-LSH bucketed ANN: coarse cell derived from the vector itself
 # (random-hyperplane sign bits), probe = the query's bucket.
 # ---------------------------------------------------------------------------
