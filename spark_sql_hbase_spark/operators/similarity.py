@@ -959,3 +959,71 @@ def persist_ivfpq_index(
     )
     codes = pq_encode(enc_in, codebooks, id_col, vec_col, extra_cols=("cell",))
     codes.write.mode("overwrite").partitionBy("cell").saveAsTable(table_name)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): quantize the embedding
+    space with a coarse centroid model, then drop semantic duplicates
+    WITHIN each cell — of every in-cell pair whose cosine clears
+    ``threshold``, only the lowest-id member survives (the canonical-min
+    convention shared with :func:`~spark_sql_hbase_spark.operators.graph.
+    dedup_clusters`; the paper keeps one arbitrary exemplar per
+    duplicate group — min-id makes that choice deterministic and
+    cross-engine reproducible).
+
+    ``centroids``: ``[(cell_id, vector)]`` or a (cell, cv) DataFrame —
+    typically :func:`kmeans_centroids` output, or an untrained seed list
+    for a SQL-reproducible twin.
+
+    Returns the per-vector audit relation ``(id, cell, kept)``; filter
+    on ``kept`` for the deduplicated corpus, on ``NOT kept`` for the
+    drop report — both come from the same relation.
+
+    Scale shape: cell assignment is the packed-broadcast-model argmin of
+    :func:`assign_cells` (no shuffle, O(1) plan size in C·dim); the
+    candidate pair space is blocked to Σ|cell|² by an equi-join on cell
+    — never all-pairs (a trained quantizer with C ∝ n/target_cell_size
+    bounds every cell, the same contract as the IVF search); the drop
+    set and the final audit join exchange bare ids only, never vectors.
+    Cosines are rounded to 4 before the threshold comparison so keep
+    decisions are reproducible cross-engine.  The corpus is scanned
+    three times (two pair sides + audit spine) — at index scale, run
+    this against the cell-partitioned output of
+    :func:`persist_ivfpq_index` instead so assignment is computed once
+    at build time.
+    """
+    cells = assign_cells(corpus, centroids, id_col, vec_col, "cell", round_to)
+    a = cells.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cell"),
+        _to_double(F.col(vec_col)).alias("va"),
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cell"),
+        _to_double(F.col(vec_col)).alias("vb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
+        .select(F.col("id_a").alias("__dup_id"))
+        .distinct()
+    )
+    return (
+        cells.select(F.col(id_col), F.col("cell"))
+        .join(dropped, F.col(id_col) == F.col("__dup_id"), "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("__dup_id").isNull().alias("kept"),
+        )
+    )

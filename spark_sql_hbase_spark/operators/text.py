@@ -656,3 +656,88 @@ def quota_sample_rows(
     return df.join(
         F.broadcast(sel), df[id_col] == sel["__sel_id"], "left_semi"
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stream_col: str,
+    text_col: str,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-scaled source mixture planning (the multilingual /
+    multi-source sampling rule of Raffel et al. 2020 §3.4.3 and Conneau
+    et al. 2020 §3): each stream's natural token share ``p = tokens /
+    total`` is flattened to sampling weight ``q ∝ p^alpha`` (alpha < 1
+    up-samples small sources, alpha = 1 is natural, alpha = 0 uniform),
+    and a global token budget is split as ``target = floor(q · budget)``.
+
+    Returns one row per stream: (stream, n_docs, stream_tokens, p, q,
+    target_tokens, sample_rate) — ``sample_rate = min(1, target /
+    stream_tokens)`` plugs straight into the :func:`budget_sample` /
+    :func:`_sample_gate` hash-gate machinery (pass ``target_tokens`` as
+    that stream's budget) to materialize the mixture.
+
+    Scale shape: ONE corpus scan (map-side-combined per-stream doc/token
+    totals); everything after operates on the stream-cardinality
+    aggregate — the two unpartitioned windows (grand total, weight
+    normalizer) exchange a handful of rows, never documents.  ``p`` and
+    ``q`` are rounded before deriving targets so the plan is
+    reproducible cross-engine; ``alpha = 0.5`` (the common default)
+    rides ``sqrt``, which IEEE-754 requires to be correctly rounded —
+    bit-identical across engines — while other alphas use ``pow`` (1-ulp
+    envelope, absorbed by the rounding).
+    """
+    from pyspark.sql import Window
+
+    per = (
+        df.select(
+            F.col(stream_col).alias("stream"),
+            ws_token_count(text_col).alias("n_tokens"),
+        )
+        .groupBy("stream")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("stream_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    scored = per.withColumn(
+        "p",
+        F.round(
+            F.col("stream_tokens")
+            / F.greatest(F.sum("stream_tokens").over(w_all), F.lit(1)),
+            round_to,
+        ),
+    )
+    weight = (
+        F.sqrt(F.col("p"))
+        if float(alpha) == 0.5
+        else F.pow(F.col("p"), F.lit(float(alpha)))
+    )
+    scored = scored.withColumn("__w", weight).withColumn(
+        "q", F.round(F.col("__w") / F.sum("__w").over(w_all), round_to)
+    )
+    return (
+        scored.select(
+            "stream",
+            "n_docs",
+            "stream_tokens",
+            "p",
+            "q",
+            F.floor(F.col("q") * F.lit(int(budget_tokens)))
+            .cast("long")
+            .alias("target_tokens"),
+        ).withColumn(
+            "sample_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_tokens")
+                    / F.greatest(F.col("stream_tokens"), F.lit(1)),
+                ),
+                round_to,
+            ),
+        )
+    )

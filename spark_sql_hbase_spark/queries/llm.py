@@ -1801,3 +1801,104 @@ _QUOTA_K = 5
 def t14_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quota_sample(docs, "source", "doc_id", _QUOTA_K)
+
+
+# ---------------------------------------------------------------------------
+# z61 — SemDeDup semantic deduplication (round-5 addition; operators/
+# similarity.py::semantic_dedup — Abbas et al. 2023): coarse-quantize the
+# embedding space, drop within-cell pairs at cosine >= t keeping the
+# lowest id.  Gate model follows the SQL-reproducible untrained
+# convention (centroids = embeddings of vec_id < 4, the s06/s08 seeds) so
+# DuckDB recomputes assignment, pair pruning, and the audit spine exactly.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_T = 0.35
+
+
+@register(
+    "z61_semantic_dedup",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), cc AS (
+        SELECT vec_id AS cell, ev AS ccv FROM v WHERE vec_id < {_IVF_C}
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, cc.cell, row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY ROUND(list_sum(
+                    [ (v.ev[i] - cc.ccv[i]) ^ 2 for i in range(1, 65) ]), 6), cc.cell
+            ) AS rn
+            FROM v, cc
+        ) WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assign a
+        JOIN assign b ON b.cell = a.cell AND b.vec_id < a.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE ROUND(list_cosine_similarity(va.ev, vb.ev), 4) >= {_SEMDEDUP_T}
+    )
+    SELECT a.vec_id, a.cell, d.vec_id IS NULL AS kept
+    FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """,
+    description="SemDeDup: coarse-cell semantic dedup, min-id exemplar "
+    "per near-dup pair (cell-blocked, never all-pairs)",
+)
+def z61_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        semantic_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = sorted(
+        emb.filter(F.col("vec_id") < _IVF_C)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), list(r["ev"])) for r in seeds]
+    return semantic_dedup(emb, cents, "vec_id", "embedding", _SEMDEDUP_T)
+
+
+# ---------------------------------------------------------------------------
+# z62 — temperature-scaled source mixture planning (round-5 addition;
+# operators/text.py::temperature_mix — the p^alpha sampling rule of
+# Raffel et al. 2020 / Conneau et al. 2020): flatten natural per-source
+# token shares with alpha = 0.5 and split a global token budget into
+# per-source targets + sample rates.  One corpus scan; alpha = 0.5 rides
+# IEEE-correctly-rounded sqrt so the twin is bit-reproducible.
+# ---------------------------------------------------------------------------
+_MIX_BUDGET = 100_000
+
+
+@register(
+    "z62_temperature_mix",
+    oracle=f"""
+    WITH per AS (
+        SELECT source AS stream, COUNT(*) AS n_docs,
+               CAST(SUM({_WS_TOKENS}) AS BIGINT) AS stream_tokens
+        FROM documents GROUP BY 1
+    ), p AS (
+        SELECT stream, n_docs, stream_tokens,
+               ROUND(CAST(stream_tokens AS DOUBLE) /
+                     greatest(SUM(stream_tokens) OVER (), 1), 6) AS p
+        FROM per
+    ), w AS (
+        SELECT *, sqrt(p) AS __w FROM p
+    )
+    SELECT stream, n_docs, stream_tokens, p,
+           ROUND(__w / SUM(__w) OVER (), 6) AS q,
+           CAST(floor(ROUND(__w / SUM(__w) OVER (), 6) * {_MIX_BUDGET})
+                AS BIGINT) AS target_tokens,
+           ROUND(least(CAST(1.0 AS DOUBLE),
+               CAST(floor(ROUND(__w / SUM(__w) OVER (), 6) * {_MIX_BUDGET})
+                    AS BIGINT) / greatest(stream_tokens, 1)), 6) AS sample_rate
+    FROM w
+    """,
+    description="temperature-scaled (alpha=0.5) source mixture plan: "
+    "p^alpha sampling weights, per-source token targets + rates",
+)
+def z62_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.temperature_mix(docs, "source", "text", _MIX_BUDGET, alpha=0.5)

@@ -627,3 +627,44 @@ def test_t14_quota_sample_window_over_candidates_only(spark, registry):
     win_id = int(re2.search(r"\((\d+)\) Window\b", plan).group(1))
     join_id = int(re2.search(r"\((\d+)\) BroadcastHashJoin", plan).group(1))
     assert join_id < win_id, (join_id, win_id)
+
+
+def test_z61_semantic_dedup_pair_space_cell_blocked(spark, registry):
+    """SemDeDup: the candidate pair space must be blocked by a cell
+    EQUI-join — never an all-pairs product over the corpus.  The only
+    nested-loop joins allowed are the single-row packed-model cross
+    joins of assign_cells (one per corpus branch: pair side a, pair side
+    b, audit spine)."""
+    plan = formatted_plan(registry["z61_semantic_dedup"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:800]
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert 1 <= n_bnlj <= 3, plan[:800]
+    # the candidate join itself is keyed on cell: some equi-join's
+    # details block (the lines right after its "(n) <Join>" header)
+    # names cell# in its keys
+    lines = plan.splitlines()
+    joins = [
+        " ".join(lines[i + 1 : i + 4])
+        for i, line in enumerate(lines)
+        if re.match(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+                    line.strip())
+    ]
+    assert joins and any("cell#" in j for j in joins), plan[:1200]
+
+
+def test_z62_temperature_mix_single_scan_windows_above_agg(spark, registry):
+    """Temperature mixture planning: ONE corpus scan; the two
+    unpartitioned windows (grand total, weight normalizer) run over the
+    stream-cardinality AGGREGATE — the corpus aggregate sits below every
+    Window in execution order, so the single-partition exchange carries
+    a handful of stream rows, never documents."""
+    df = registry["z62_temperature_mix"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1, plan
+    fplan = formatted_plan(df)
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window\b", fplan)]
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", fplan)]
+    # formatted-explain ids number leaves first: the corpus aggregate
+    # (lowest HashAggregate id) must precede every Window
+    assert win_ids and agg_ids, fplan[:800]
+    assert min(agg_ids) < min(win_ids), (agg_ids, win_ids)

@@ -1128,3 +1128,76 @@ def test_persisted_residual_ivfpq_index_matches_direct(spark, sf_dir):
     assert sorted(map(tuple, from_index.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup audit relation: (a) one row per corpus vector (kept +
+    dropped partition the corpus), (b) a threshold above any possible
+    cosine keeps everything, (c) the lowest id of every cell is always
+    kept (nothing below it to dominate it), (d) every dropped vector
+    really has a smaller-id in-cell neighbor at cos >= t (cross-checked
+    row-by-row against a brute-force pandas replica)."""
+    import itertools
+
+    import numpy as np
+
+    from spark_sql_hbase_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = sorted(
+        emb.filter(F.col("vec_id") < 4).collect(), key=lambda r: r["vec_id"]
+    )
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds]
+
+    out = semantic_dedup(emb, cents, "vec_id", "embedding", threshold=0.35)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == emb.count()  # (a)
+
+    allkept = semantic_dedup(emb, cents, "vec_id", "embedding", threshold=1.01)
+    assert allkept.filter(~F.col("kept")).count() == 0  # (b)
+
+    by_cell: dict = {}
+    for r in rows.values():
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        low = min(members, key=lambda r: r["vec_id"])
+        assert low["kept"], (cell, low)  # (c)
+
+    # (d) brute-force replica: same rounded cosine rule
+    vecs = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for cell, members in by_cell.items():
+        ids = sorted(r["vec_id"] for r in members)
+        dominated = set()
+        for a, b in itertools.combinations(ids, 2):  # a < b
+            va, vb = vecs[a], vecs[b]
+            cos = round(
+                float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 4
+            )
+            if cos >= 0.35:
+                dominated.add(b)
+        for r in members:
+            assert r["kept"] == (r["vec_id"] not in dominated), r
+
+
+def test_temperature_mix_invariants(spark, sf_dir):
+    """Temperature mixture plan: q sums to ~1, targets never exceed the
+    budget in total, sample_rate <= 1, alpha=1 reproduces the natural
+    distribution (q == p), and alpha=0.5 up-weights the smallest source
+    relative to its natural share."""
+    from spark_sql_hbase_spark.operators.text import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 50_000
+    plan = temperature_mix(docs, "source", "text", budget, alpha=0.5).collect()
+    assert abs(sum(r["q"] for r in plan) - 1.0) < 1e-4
+    assert sum(r["target_tokens"] for r in plan) <= budget
+    assert all(0.0 <= r["sample_rate"] <= 1.0 for r in plan)
+    smallest = min(plan, key=lambda r: r["stream_tokens"])
+    assert smallest["q"] > smallest["p"]  # alpha<1 flattens toward uniform
+
+    natural = temperature_mix(docs, "source", "text", budget, alpha=1.0).collect()
+    for r in natural:
+        assert abs(r["q"] - r["p"]) <= 2e-6, r  # pow(p,1) == p up to rounding
