@@ -327,3 +327,141 @@ def bigram_surprisal_sql(
     CROSS JOIN __v
     GROUP BY id, n2
     """
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+    round_to: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-domain-like its hashed-feature distribution
+    is — per-doc mean over token occurrences of ``ln p(f) − ln q(f)``,
+    where ``p`` is the add-1-smoothed hashed-unigram distribution of the
+    TARGET set, ``q`` that of the raw corpus, and ``f = word_hash(token)
+    mod n_buckets``.  High = looks like the target domain (select it);
+    the paper resamples ∝ exp(weight) — downstream, feed the score to
+    :func:`~spark_sql_hbase_spark.operators.text.quality_mix_plan` /
+    ``budget_sample`` buckets for the deterministic analogue.  (The
+    paper sums log-ratios; we report the length-normalized mean, the
+    repo's surprisal convention, so the signal is length-insensitive.)
+
+    Emits (id, n_tokens, importance) for raw documents with ≥ 1 token.
+
+    Scale shape — BETTER than the surprisal family because hashing
+    bounds the feature space: the log-ratio relation has exactly
+    ``n_buckets`` rows regardless of corpus size, so the per-doc combine
+    is a BROADCAST join onto the (doc, feature, tf) aggregate — no
+    vocabulary-cardinality shuffle anywhere.  One scan of the raw corpus
+    (its feature counts derive from the per-doc tf, the t11 discipline;
+    ReuseExchange collapses the references) + one scan of the (much
+    smaller) target set.  Determinism: ln + ROUND(round_to), the
+    bm25/surprisal driver-green precedent.
+    """
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+
+    feat = lambda c: (word_hash(c) % n_buckets).alias("feat")  # noqa: E731
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        # Generate barrier: dl and the explode both reference the array
+        F.explode(F.array(tokens(F.col(text_col)))).alias("tok"),
+    )
+    tf = (
+        toks.select("id", F.size("tok").alias("dl"), F.explode("tok").alias("term"))
+        .select("id", "dl", feat(F.col("term")))
+        .groupBy("id", "dl", "feat")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # always true (md5 of a non-null term) — but the inner combine
+        # join infers it on its branch only, which de-canonicalizes the
+        # two tf subtrees and defeats ReuseExchange; stating it on tf
+        # itself keeps the corpus at ONE scan
+        .filter(F.col("feat").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    # totals via unpartitioned windows over the BOUNDED count relations
+    # (≤ n_buckets rows — the z62 pattern): no extra aggregate branches,
+    # so ReuseExchange keeps the corpus at ONE scan for the raw side
+    w_all = Window.partitionBy()
+    raw_ct = (
+        tf.groupBy("feat")
+        .agg(F.sum("tf").alias("cq"))
+        .withColumn("nq", F.sum("cq").over(w_all))
+    )
+    tgt_ct = (
+        target.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .select(feat(F.col("term")))
+        .groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("cp"))
+        .withColumn("np", F.sum("cp").over(w_all))
+    )
+    ratio = (
+        raw_ct.join(tgt_ct, "feat", "left")
+        .withColumn("np", F.coalesce(F.max("np").over(w_all), F.lit(0)))
+        .select(
+            "feat",
+            (
+                F.log(
+                    (F.coalesce(F.col("cp"), F.lit(0)) + 1)
+                    / (F.col("np") + F.lit(n_buckets))
+                )
+                - F.log((F.col("cq") + 1) / (F.col("nq") + F.lit(n_buckets)))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(ratio), "feat")
+        .groupBy("id", "dl")
+        .agg(F.round(F.sum(F.col("tf") * F.col("logratio")) / F.col("dl"), round_to).alias("importance"))
+        .select("id", F.col("dl").cast("long").alias("n_tokens"), "importance")
+    )
+
+
+def dsir_importance_sql(
+    table: str,
+    id_expr: str,
+    tokens_expr: str,
+    target_pred: str,
+    n_buckets: int = 1024,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`dsir_importance` — ``target_pred`` is the SQL
+    predicate selecting the target rows of ``table``."""
+    from spark_sql_hbase_spark.functions.texthash import word_hash_sql
+
+    fh = word_hash_sql("term") + f" % {n_buckets}"
+    return f"""
+    WITH __tok AS (
+        SELECT {id_expr} AS id, ({target_pred}) AS is_tgt,
+               {tokens_expr} AS tok FROM {table}
+    ), __tf AS (
+        SELECT id, dl, feat, COUNT(*) AS tf FROM (
+            SELECT id, len(tok) AS dl, {fh} AS feat
+            FROM (SELECT id, tok, unnest(tok) AS term FROM __tok)
+        ) GROUP BY 1, 2, 3
+    ), __cq AS (
+        SELECT feat, SUM(tf) AS cq FROM __tf GROUP BY 1
+    ), __nq AS (
+        SELECT SUM(cq) AS nq FROM __cq
+    ), __cp AS (
+        SELECT feat, COUNT(*) AS cp FROM (
+            SELECT {fh} AS feat
+            FROM (SELECT unnest(tok) AS term FROM __tok WHERE is_tgt)
+        ) GROUP BY 1
+    ), __np AS (
+        SELECT SUM(cp) AS np FROM __cp
+    ), __r AS (
+        SELECT __cq.feat,
+               ln((COALESCE(cp, 0) + 1) * 1.0 / (np + {n_buckets}))
+               - ln((cq + 1) * 1.0 / (nq + {n_buckets})) AS logratio
+        FROM __cq LEFT JOIN __cp USING (feat), __nq, __np
+    )
+    SELECT id, CAST(dl AS BIGINT) AS n_tokens,
+           ROUND(SUM(tf * logratio) / dl, {round_to}) AS importance
+    FROM __tf JOIN __r USING (feat)
+    GROUP BY id, dl
+    """

@@ -1902,3 +1902,34 @@ _MIX_BUDGET = 100_000
 def z62_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.temperature_mix(docs, "source", "text", _MIX_BUDGET, alpha=0.5)
+
+
+# ---------------------------------------------------------------------------
+# z63 — DSIR-style importance weighting (round-5 addition; operators/
+# ranking.py::dsir_importance — Xie et al. 2023): hashed-unigram log-ratio
+# of a target-domain LM (source = src0) vs the raw-corpus LM, per-doc
+# length-normalized.  The hashed feature space is BOUNDED (n_buckets), so
+# the per-doc combine is a broadcast join — no vocabulary-cardinality
+# shuffle anywhere.
+# ---------------------------------------------------------------------------
+from spark_sql_hbase_spark.operators.ranking import dsir_importance_sql as _dsql
+
+_DSIR_B = 1024
+
+
+@register(
+    "z63_dsir_importance",
+    oracle="SELECT q.id AS doc_id, q.n_tokens, q.importance FROM ("
+    + _dsql("documents", "doc_id", _TOK, "source = 'src0'", _DSIR_B)
+    + ") q",
+    description="DSIR importance: per-doc mean hashed-unigram "
+    "ln p_target/p_raw (add-1, 1024 buckets, target = src0)",
+)
+def z63_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.ranking import dsir_importance
+
+    docs = table(spark, sf_dir, "documents")
+    out = dsir_importance(
+        docs, docs.filter(F.col("source") == "src0"), "doc_id", "text", _DSIR_B
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "importance")

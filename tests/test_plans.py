@@ -668,3 +668,20 @@ def test_z62_temperature_mix_single_scan_windows_above_agg(spark, registry):
     # (lowest HashAggregate id) must precede every Window
     assert win_ids and agg_ids, fplan[:800]
     assert min(agg_ids) < min(win_ids), (agg_ids, win_ids)
+
+
+def test_z63_dsir_combine_is_broadcast_no_vocab_shuffle(spark, registry):
+    """DSIR: the hashed feature space is bounded (n_buckets), so the
+    per-doc combine joins tf against a BROADCAST log-ratio relation —
+    the only exchanges carry (doc, feat, tf) aggregates, never a
+    vocabulary- or corpus-cardinality join side.  Corpus reads: one for
+    the raw tf (its feature counts derive from tf — ReuseExchange), one
+    for the target subset."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry["z63_dsir_importance"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("documents.parquet") == 2, plan
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1201,3 +1201,29 @@ def test_temperature_mix_invariants(spark, sf_dir):
     natural = temperature_mix(docs, "source", "text", budget, alpha=1.0).collect()
     for r in natural:
         assert abs(r["q"] - r["p"]) <= 2e-6, r  # pow(p,1) == p up to rounding
+
+
+def test_dsir_importance_invariants(spark, sf_dir):
+    """DSIR weights: (a) one score per non-empty doc; (b) target == raw
+    corpus makes every log-ratio exactly 0 (p-hat == q-hat including the
+    smoothing denominators); (c) the target-source docs score higher on
+    average than the rest — the average log-ratio of samples drawn from
+    p-hat estimates KL(p-hat || q-hat) >= 0 plus sampling noise, which
+    is the selling point of the method."""
+    from spark_sql_hbase_spark.operators.ranking import dsir_importance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_importance(
+        docs, docs.filter(F.col("source") == "src0"), "doc_id", "text"
+    )
+    rows = out.collect()
+    n_nonempty = docs.filter(F.length(F.trim("text")) > 0).count()
+    assert len(rows) == n_nonempty  # (a)
+
+    selfscore = dsir_importance(docs, docs, "doc_id", "text").collect()
+    assert all(r["importance"] == 0.0 for r in selfscore), selfscore[:3]  # (b)
+
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    tgt = [r["importance"] for r in rows if src[r["id"]] == "src0"]
+    rest = [r["importance"] for r in rows if src[r["id"]] != "src0"]
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)  # (c)
