@@ -1027,3 +1027,75 @@ def semantic_dedup(
             F.col("__dup_id").isNull().alias("kept"),
         )
     )
+
+
+def ivfadc_rerank_topk(
+    codes_with_cells: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    k: int = 5,
+    rerank: int = 20,
+    nprobe: int = 2,
+    round_to: int = 4,
+    residual: bool = False,
+) -> DataFrame:
+    """IVFADC with exact re-ranking (the short-list refinement of Jegou
+    et al., "Searching in one billion vectors: re-rank with source
+    coding", ICASSP 2011 — the classic refine step of production ANN
+    stacks): :func:`ivfadc_ann_topk` produces a ``rerank``-sized ADC
+    short-list per query, whose EXACT squared-L2 distances are then
+    computed from the raw vectors and re-ranked to the final ``k``.
+    Buys back most of the recall PQ quantization loses at the cost of
+    reading ``rerank`` full vectors per query instead of zero.
+
+    Emits (query_id, neighbor_id, d2, rank) — ``d2`` is the exact
+    rounded squared L2, so re-ranked output is directly comparable to a
+    flat exact search.
+
+    The 100 TB shape: the ADC stage never reads vectors (see
+    :func:`ivfadc_ann_topk`); the refinement joins the Q·rerank
+    candidate list — BROADCAST, with each candidate carrying its query
+    vector — INTO the vector table scan, so the corpus side never
+    shuffles and only candidate rows survive the join (with the vector
+    table laid out id-sorted, parquet min/max stats prune non-candidate
+    row groups — the keyed-store contract).  The final window ranks
+    Q·rerank rows, never the corpus.
+    """
+    cand = ivfadc_ann_topk(
+        codes_with_cells,
+        queries,
+        centroids,
+        codebooks,
+        id_col,
+        vec_col,
+        cell_col,
+        k=rerank,
+        nprobe=nprobe,
+        round_to=round_to,
+        residual=residual,
+    ).select("query_id", "neighbor_id")
+    qt = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("__nv"),
+    )
+    exact = v.join(
+        F.broadcast(cand.join(F.broadcast(qt), "query_id")), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(squared_l2(F.col("__qv"), F.col("__nv")), round_to).alias("d2"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d2", "rank")
+    )

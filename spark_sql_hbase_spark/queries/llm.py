@@ -1933,3 +1933,131 @@ def z63_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, docs.filter(F.col("source") == "src0"), "doc_id", "text", _DSIR_B
     )
     return out.select(F.col("id").alias("doc_id"), "n_tokens", "importance")
+
+
+# ---------------------------------------------------------------------------
+# z64 — IVFADC + exact re-ranking (round-5 addition; operators/
+# similarity.py::ivfadc_rerank_topk — Jegou et al. ICASSP 2011 / the FAISS
+# refine step): ADC short-list of 15 per query, exact squared-L2 re-rank
+# to top-5 reading ONLY the 15 candidate vectors per query.  Same
+# untrained SQL-reproducible model as s06.
+# ---------------------------------------------------------------------------
+_RERANK_R = 15
+
+
+@register(
+    "z64_ivfadc_rerank",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), cc AS (
+        SELECT vec_id AS cell, ev AS ccv FROM v WHERE vec_id < {_IVF_C}
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, cc.cell, row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY ROUND(list_sum(
+                    [ (v.ev[i] - cc.ccv[i]) ^ 2 for i in range(1, 65) ]), 6), cc.cell
+            ) AS rn
+            FROM v, cc
+        ) WHERE rn = 1
+    ), cb AS (
+        SELECT s.s, v.vec_id AS code, v.ev AS cvf
+        FROM v, (SELECT unnest(range(0, {_PQ_M})) AS s) s
+        WHERE v.vec_id < {_PQ_KSUB}
+    ), enc AS (
+        SELECT vec_id, s, code FROM (
+            SELECT v.vec_id, cb.s, cb.code, row_number() OVER (
+                PARTITION BY v.vec_id, cb.s
+                ORDER BY ROUND(list_sum(
+                    [ (v.ev[cb.s * {_PQ_SUB} + i] - cb.cvf[cb.s * {_PQ_SUB} + i]) ^ 2
+                      for i in range(1, {_PQ_SUB} + 1) ]), 6), cb.code
+            ) AS rn
+            FROM v, cb
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 8
+    ), probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, cc.cell, row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY ROUND(list_sum(
+                    [ (q.qv[i] - cc.ccv[i]) ^ 2 for i in range(1, 65) ]), 6), cc.cell
+            ) AS rn
+            FROM q, cc
+        ) WHERE rn <= {_IVF_NPROBE}
+    ), tab AS (
+        SELECT q.query_id, cb.s, cb.code,
+               ROUND(list_sum(
+                   [ (q.qv[cb.s * {_PQ_SUB} + i] - cb.cvf[cb.s * {_PQ_SUB} + i]) ^ 2
+                     for i in range(1, {_PQ_SUB} + 1) ]), 6) AS d2
+        FROM q, cb
+    ), dist AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id, ROUND(SUM(t.d2), 4) AS adc
+        FROM enc e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN tab t ON t.s = e.s AND t.code = e.code
+        JOIN probes p ON p.cell = a.cell AND p.query_id = t.query_id
+        WHERE e.vec_id <> t.query_id
+        GROUP BY 1, 2
+    ), cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc, neighbor_id
+            ) AS rn FROM dist
+        ) WHERE rn <= {_RERANK_R}
+    ), exact AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND(list_sum(
+                   [ (q.qv[i] - nv.ev[i]) ^ 2 for i in range(1, 65) ]), 4) AS d2
+        FROM cand c
+        JOIN q ON q.query_id = c.query_id
+        JOIN v nv ON nv.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, d2, CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY d2, neighbor_id
+        ) AS rn FROM exact
+    ) WHERE rn <= 5
+    """,
+    description="IVFADC + exact re-rank: ADC short-list of 15, exact "
+    "squared-L2 top-5 reading only candidate vectors",
+)
+def z64_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        assign_cells,
+        ivfadc_rerank_topk,
+        pq_encode,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < _PQ_KSUB)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: r["vec_id"])
+    cents = [(int(r["vec_id"]), list(r["ev"])) for r in seeds[:_IVF_C]]
+    books = [
+        [
+            (int(r["vec_id"]), list(r["ev"])[s * _PQ_SUB : (s + 1) * _PQ_SUB])
+            for r in seeds
+        ]
+        for s in range(_PQ_M)
+    ]
+    cells = assign_cells(emb, cents, "vec_id", "embedding")
+    codes = pq_encode(cells, books, "vec_id", "embedding", extra_cols=("cell",))
+    return ivfadc_rerank_topk(
+        codes,
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        cents,
+        books,
+        "vec_id",
+        "embedding",
+        k=5,
+        rerank=_RERANK_R,
+        nprobe=_IVF_NPROBE,
+    )

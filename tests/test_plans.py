@@ -685,3 +685,22 @@ def test_z63_dsir_combine_is_broadcast_no_vocab_shuffle(spark, registry):
         assert "BroadcastHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_z64_rerank_shuffles_candidates_only(spark, registry):
+    """IVFADC+refine: the exact stage joins the BROADCAST candidate list
+    into the vector scan — the vector table never shuffles, and every
+    hash exchange is a per-query candidate ranking (keyed on query_id,
+    carrying no embedding column)."""
+    plan = formatted_plan(registry["z64_ivfadc_rerank"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:800]
+    lines = plan.splitlines()
+    matched = 0
+    for i, line in enumerate(lines):
+        if line.strip().startswith("Arguments: hashpartitioning"):
+            assert "query_id" in line, line
+            inputs = lines[i - 1]
+            assert "__nv" not in inputs and "__qv" not in inputs, (inputs, line)
+            matched += 1
+    assert matched >= 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan

@@ -1227,3 +1227,64 @@ def test_dsir_importance_invariants(spark, sf_dir):
     tgt = [r["importance"] for r in rows if src[r["id"]] == "src0"]
     rest = [r["importance"] for r in rows if src[r["id"]] != "src0"]
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)  # (c)
+
+
+def test_ivfadc_rerank_recall_dominates_adc_only(spark, sf_dir):
+    """Exact re-ranking must buy back quantization recall: top-5-of-
+    short-list-15 against exact L2 ground truth is at least as good as
+    the plain ADC top-5, and the re-ranked d2 values ARE the exact
+    distances (spot-checked against numpy)."""
+    import numpy as np
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        assign_cells,
+        ivfadc_ann_topk,
+        ivfadc_rerank_topk,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    vecs = {int(r["vec_id"]): np.array(r["embedding"], np.float64) for r in rows}
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows[:4]]
+    sub = 16
+    books = [
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]][s * sub : (s + 1) * sub])
+            for r in rows[:8]
+        ]
+        for s in range(4)
+    ]
+    cells = assign_cells(emb, cents, "vec_id", "embedding")
+    codes = pq_encode(cells, books, "vec_id", "embedding", extra_cols=("cell",))
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    adc = ivfadc_ann_topk(codes, queries, cents, books, "vec_id", "embedding",
+                          k=5, nprobe=2)
+    rr = ivfadc_rerank_topk(codes, emb, queries, cents, books, "vec_id",
+                            "embedding", k=5, rerank=15, nprobe=2)
+
+    def topk_sets(df, col):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = {}
+    for qid in range(8):
+        qv = vecs[qid]
+        d = sorted(
+            ((round(float(((qv - v) ** 2).sum()), 4), nid)
+             for nid, v in vecs.items() if nid != qid)
+        )
+        truth[qid] = {nid for _, nid in d[:5]}
+
+    adc_sets, rr_sets = topk_sets(adc, "adc"), topk_sets(rr, "d2")
+    adc_recall = sum(len(adc_sets[q] & truth[q]) for q in truth) / (5 * len(truth))
+    rr_recall = sum(len(rr_sets[q] & truth[q]) for q in truth) / (5 * len(truth))
+    assert rr_recall >= adc_recall, (rr_recall, adc_recall)
+
+    # d2 is the exact metric
+    for r in rr.collect():
+        expect = round(float(((vecs[r["query_id"]] - vecs[r["neighbor_id"]]) ** 2).sum()), 4)
+        assert abs(r["d2"] - expect) < 1e-9, (r, expect)
