@@ -348,3 +348,81 @@ def z59_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     stream = _one_batch_stream(spark, ev)
     return _run_available_now(click_purchase_attribution_full(stream, _SS_W_MIN))
+
+
+# ---------------------------------------------------------------------------
+# z65 — STREAM-STATIC near-dup against the persisted band index (round-5
+# addition): the streaming lift of d09 — deltas arrive as micro-batches,
+# each is banded and joined against the static bucketed index, candidates
+# verified exactly, pairs appended to a sink table (foreachBatch; zero
+# streaming state).  One data batch → the emitted pair set equals the
+# batch d09 contract, so the oracle is d09's exact-Jaccard twin verbatim.
+# ---------------------------------------------------------------------------
+from spark_sql_hbase_spark.functions.texthash import shingles_sql, tokens_sql
+from spark_sql_hbase_spark.queries.llm import JACCARD_T, SHINGLE_N
+
+
+@register(
+    "z65_stream_neardup_index",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT doc_id, {tokens_sql("text")} AS t FROM documents
+    ), __sh AS (
+        SELECT doc_id, {shingles_sql("t", SHINGLE_N)} AS s FROM __tok
+    ), __sizes AS (
+        SELECT doc_id, len(s) AS n FROM __sh WHERE len(s) > 0
+    ), __inv AS (
+        SELECT doc_id, unnest(s) AS g FROM __sh
+    ), __pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM __inv a JOIN __inv b ON a.g = b.g
+        WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 <> 0
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) AS jac
+    FROM __pairs
+    JOIN __sizes na ON id_a = na.doc_id
+    JOIN __sizes nb ON id_b = nb.doc_id
+    WHERE ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) >= {JACCARD_T}
+    """,
+    description="streaming delta near-dup vs static bucketed band index "
+    "(foreachBatch stream-static join, zero streaming state)",
+)
+def z65_stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.dedup import persist_band_index
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        stream_neardup_against_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 17) == 0
+    new, corpus = docs.filter(is_new), docs.filter(~is_new)
+    idx_name = "__z65_band_idx"
+    sink = "__z65_sink"
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for t in (idx_name, sink):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a managed-table location left by a PREVIOUS session (in-memory
+        # catalog: DROP in this session cannot see it) blocks creation
+        shutil.rmtree(
+            warehouse.replace("file:", "") + f"/{t}", ignore_errors=True
+        )
+    persist_band_index(corpus, "doc_id", "text", idx_name)
+    stream = _one_batch_stream(spark, new)
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_z65_")
+    q = stream_neardup_against_index(
+        stream,
+        spark.table(idx_name),
+        corpus,
+        "doc_id",
+        "text",
+        ckpt,
+        sink,
+        JACCARD_T,
+        SHINGLE_N,
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -362,3 +362,66 @@ def click_purchase_attribution_full(
         (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("delay_ms"),
         F.round(F.col("purchase_value"), 4).alias("purchase_value"),
     )
+
+
+def stream_neardup_against_index(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    sink_table: str,
+    threshold: float = 0.6,
+    n: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Streaming incremental near-dup: every arriving delta micro-batch is
+    LSH-joined against the PREBUILT static band index
+    (``operators/dedup.py::persist_band_index``) and its verified
+    near-dup pairs appended to ``sink_table`` — the streaming lift of
+    ``minhash_lsh_join_against_index``, reused VERBATIM per batch via
+    ``foreachBatch``.
+
+    Why ``foreachBatch`` and not an always-incremental plan: per-delta
+    dedup semantics are inherently per-micro-batch (a delta deduplicates
+    against the corpus, not against other deltas), and the batch
+    operator's candidate ``distinct``/``cache``/broadcast-semi steps are
+    batch-only constructs — ``foreachBatch`` is Structured Streaming's
+    documented shape for exactly this stream-static pattern, not an
+    escape hatch around it.
+
+    Scale/state: ZERO streaming state — the index is static and bucketed
+    (its side of the band join never reshuffles, only the delta's
+    (id, band_key) pairs exchange), and each batch's candidates die with
+    the batch.  Exactly-once note: ``foreachBatch`` is at-least-once on
+    retry and the sink appends — production stages per-``batch_id``
+    output paths for idempotent commit (same contract as
+    :func:`write_stream_to_keyed_table`).
+    """
+    from spark_sql_hbase_spark.operators.dedup import (
+        minhash_lsh_join_against_index,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = minhash_lsh_join_against_index(
+            batch_df,
+            index,
+            corpus,
+            id_col,
+            text_col,
+            threshold,
+            n,
+            num_hashes,
+            rows_per_band,
+        )
+        out.write.mode("append").saveAsTable(sink_table)
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -233,3 +233,64 @@ def test_streaming_checkpoint_incremental_resume(spark, tmp_path):
     run_once()
     got2 = sorted(r.w for r in spark.read.parquet(out).collect())
     assert got2 == [0, 10, 20, 30, 40, 1000, 1010, 1020], got2
+
+
+def test_stream_neardup_index_multi_batch_matches_batch(spark, tmp_path):
+    """The foreachBatch stream-static near-dup must accumulate, across
+    MULTIPLE micro-batches, exactly the pair set the batch operator
+    produces over the whole delta — per-delta dedup semantics compose
+    batch-by-batch (each delta doc verifies against the static corpus
+    only, so batch boundaries cannot change the result)."""
+    from spark_sql_hbase_spark.operators.dedup import (
+        minhash_lsh_join_against_index,
+        persist_band_index,
+    )
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        stream_neardup_against_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    is_new = (F.col("doc_id") % 17) == 0
+    new, corpus = docs.filter(is_new), docs.filter(~is_new)
+
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for t in ("z65t_idx", "z65t_sink"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(warehouse.replace("file:", "") + f"/{t}", ignore_errors=True)
+    persist_band_index(corpus, "doc_id", "text", "z65t_idx")
+
+    src = str(tmp_path / "delta_src")
+    new.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(src)
+    )
+    q = stream_neardup_against_index(
+        stream,
+        spark.table("z65t_idx"),
+        corpus,
+        "doc_id",
+        "text",
+        str(tmp_path / "ckpt"),
+        "z65t_sink",
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+
+    got = sorted(map(tuple, spark.table("z65t_sink").collect()))
+    want = sorted(
+        map(
+            tuple,
+            minhash_lsh_join_against_index(
+                new, spark.table("z65t_idx"), corpus, "doc_id", "text"
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert n_batches >= 2, n_batches  # the split actually exercised >1 batch
+    spark.sql("DROP TABLE IF EXISTS z65t_idx")
+    spark.sql("DROP TABLE IF EXISTS z65t_sink")
