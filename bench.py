@@ -136,6 +136,23 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
     print(f"# d10_spans_stride4_dfcap: {out['d10_spans_stride4_dfcap']}s "
           f"rows={n}", file=sys.stderr)
     spark.catalog.clearCache()
+
+    # round-5 additions: semantic dedup (cell-blocked pair join), DSIR
+    # importance scoring (bounded broadcast feature table), IVFADC exact
+    # re-rank (candidate-only vector reads), and the foreachBatch
+    # stream-static delta dedup (timed END-TO-END including its
+    # persist_band_index build — the one-shot production setup cost)
+    for name in (
+        "z61_semantic_dedup",
+        "z63_dsir_importance",
+        "z64_ivfadc_rerank",
+        "z65_stream_neardup_index",
+    ):
+        t0 = time.perf_counter()
+        n = registry[name].fn(spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {out[name]}s rows={n}", file=sys.stderr)
+        spark.catalog.clearCache()
     return out
 
 

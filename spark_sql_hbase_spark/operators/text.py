@@ -716,8 +716,15 @@ def temperature_mix(
         if float(alpha) == 0.5
         else F.pow(F.col("p"), F.lit(float(alpha)))
     )
+    # greatest(·, 1e-12): an all-empty-text corpus makes every weight 0
+    # and the normalizer 0/0 — emit q = 0 rows instead of NULLs (a no-op
+    # for any real corpus; the oracle twin applies the same guard)
     scored = scored.withColumn("__w", weight).withColumn(
-        "q", F.round(F.col("__w") / F.sum("__w").over(w_all), round_to)
+        "q",
+        F.round(
+            F.col("__w") / F.greatest(F.sum("__w").over(w_all), F.lit(1e-12)),
+            round_to,
+        ),
     )
     return (
         scored.select(

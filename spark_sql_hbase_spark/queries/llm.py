@@ -1888,12 +1888,13 @@ _MIX_BUDGET = 100_000
         SELECT *, sqrt(p) AS __w FROM p
     )
     SELECT stream, n_docs, stream_tokens, p,
-           ROUND(__w / SUM(__w) OVER (), 6) AS q,
-           CAST(floor(ROUND(__w / SUM(__w) OVER (), 6) * {_MIX_BUDGET})
-                AS BIGINT) AS target_tokens,
+           ROUND(__w / greatest(SUM(__w) OVER (), 1e-12), 6) AS q,
+           CAST(floor(ROUND(__w / greatest(SUM(__w) OVER (), 1e-12), 6)
+                      * {_MIX_BUDGET}) AS BIGINT) AS target_tokens,
            ROUND(least(CAST(1.0 AS DOUBLE),
-               CAST(floor(ROUND(__w / SUM(__w) OVER (), 6) * {_MIX_BUDGET})
-                    AS BIGINT) / greatest(stream_tokens, 1)), 6) AS sample_rate
+               CAST(floor(ROUND(__w / greatest(SUM(__w) OVER (), 1e-12), 6)
+                          * {_MIX_BUDGET}) AS BIGINT)
+               / greatest(stream_tokens, 1)), 6) AS sample_rate
     FROM w
     """,
     description="temperature-scaled (alpha=0.5) source mixture plan: "

@@ -1288,3 +1288,68 @@ def test_ivfadc_rerank_recall_dominates_adc_only(spark, sf_dir):
     for r in rr.collect():
         expect = round(float(((vecs[r["query_id"]] - vecs[r["neighbor_id"]]) ** 2).sum()), 4)
         assert abs(r["d2"] - expect) < 1e-9, (r, expect)
+
+
+def test_round5_operator_edge_cases(spark):
+    """Boundary conditions the round-5 gate oracles don't reach: empty
+    corpus / drop-everything thresholds in semantic_dedup, zero budget
+    and alpha=0 (uniform) in temperature_mix, an EMPTY target set in
+    dsir_importance (pure smoothing ratio, finite), and a re-rank
+    short-list smaller than k."""
+    import random
+
+    from spark_sql_hbase_spark.operators.ranking import dsir_importance
+    from spark_sql_hbase_spark.operators.similarity import (
+        assign_cells,
+        ivfadc_rerank_topk,
+        pq_encode,
+        semantic_dedup,
+    )
+    from spark_sql_hbase_spark.operators.text import temperature_mix
+
+    rng = random.Random(17)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = [(0, vecs[0][1]), (1, vecs[1][1])]
+
+    # semantic_dedup: empty corpus -> empty audit, no error
+    assert semantic_dedup(emb.filter("vec_id < 0"), cents).count() == 0
+    # threshold below any cosine (cos >= -1) -> only each cell's min id kept
+    allpairs = semantic_dedup(emb, cents, threshold=-1.01).collect()
+    kept = [r for r in allpairs if r["kept"]]
+    cells_seen = {r["cell"] for r in allpairs}
+    assert len(kept) == len(cells_seen)
+    for c in cells_seen:
+        members = [r["vec_id"] for r in allpairs if r["cell"] == c]
+        assert min(members) in {r["vec_id"] for r in kept}
+
+    # temperature_mix: zero budget -> zero targets and rates; alpha=0 ->
+    # uniform weights regardless of stream size
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "word " * (10 + 40 * (i % 3))) for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    z = temperature_mix(docs, "source", "text", 0, alpha=0.5).collect()
+    assert all(r["target_tokens"] == 0 and r["sample_rate"] == 0.0 for r in z)
+    u = temperature_mix(docs, "source", "text", 90_000, alpha=0.0).collect()
+    qs = {r["q"] for r in u}
+    assert len(u) == 3 and max(qs) - min(qs) <= 2e-6, u
+
+    # dsir: empty target -> finite scores (pure smoothing ratio), no error
+    d = dsir_importance(docs, docs.filter("doc_id < 0"), "doc_id", "text")
+    rows = d.collect()
+    assert len(rows) == 30 and all(r["importance"] is not None for r in rows)
+
+    # rerank short-list smaller than k -> at most `rerank` rows per query
+    books = [
+        [(c, vecs[c][1][s * 4 : (s + 1) * 4]) for c in range(4)] for s in range(2)
+    ]
+    cells = assign_cells(emb, cents, "vec_id", "embedding")
+    codes = pq_encode(cells, books, "vec_id", "embedding", extra_cols=("cell",))
+    rr = ivfadc_rerank_topk(
+        codes, emb, emb.limit(2), cents, books, k=5, rerank=2, nprobe=2
+    ).collect()
+    by_q: dict = {}
+    for r in rr:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q and all(len(v) <= 2 for v in by_q.values()), rr
