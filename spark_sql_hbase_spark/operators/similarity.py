@@ -1099,3 +1099,67 @@ def ivfadc_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "d2", "rank")
     )
+
+
+def projection_matrix(in_dim: int, out_dim: int, seed: int = 7) -> list[tuple]:
+    """Deterministic ±1 random-projection matrix (Achlioptas 2003,
+    "Database-friendly random projections"): entry sign from the parity
+    of the 56-bit md5 word hash of ``"{seed}:{i}:{j}"`` — the same
+    primitive (``functions/texthash.py::word_hash``) every dedup gate
+    already reproduces in SQL, so the matrix is bit-identical in any
+    engine with a standard md5.  Returns ``[(j, row_j)]`` with
+    ``row_j[i] ∈ {+1.0, -1.0}`` — scaling by 1/√out_dim is applied at
+    projection time."""
+    import hashlib
+
+    def sign(i: int, j: int) -> float:
+        h = int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:14], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    return [
+        (j, [sign(i, j) for i in range(in_dim)]) for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    seed: int = 7,
+    round_to: int = 6,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out_dim`` deterministic ±1 directions
+    (:func:`projection_matrix`), scaled by 1/√out_dim so pairwise
+    squared distances are preserved in expectation — the standard cheap
+    precursor to ANN over very high-dimensional embeddings (project
+    once, index/search in the small space, optionally re-rank exact via
+    :func:`ivfadc_rerank_topk`'s refinement pattern).
+
+    Scale shape: the matrix rides as ONE packed broadcast row
+    (:func:`_packed_model` — plan DATA, O(1) plan size in in_dim·out_dim);
+    the projection is a row-local ``transform`` + dot fold per output
+    dimension.  No shuffle, no UDF.  Components are rounded so the
+    projected vectors are cross-engine reproducible.
+    """
+    in_dim = len(df.select(vec_col).first()[0])
+    mat = projection_matrix(in_dim, out_dim, seed)
+    rel = df.sparkSession.createDataFrame(mat, "j int, cv array<double>")
+    packed = _packed_model(rel, "j")
+    scale = 1.0 / (out_dim ** 0.5)
+    return (
+        df.withColumn("__ev", _to_double(F.col(vec_col)))
+        .crossJoin(F.broadcast(packed))
+        .withColumn(
+            out_col,
+            F.transform(
+                F.col("__model"),
+                lambda e: F.round(
+                    dot(F.col("__ev"), e["cv"]) * F.lit(scale), round_to
+                ),
+            ),
+        )
+        .drop("__ev", "__model")
+    )

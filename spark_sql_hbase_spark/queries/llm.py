@@ -2062,3 +2062,81 @@ def z64_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=_RERANK_R,
         nprobe=_IVF_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# z66 — Johnson–Lindenstrauss random projection audit (round-5 addition;
+# operators/similarity.py::random_projection — Achlioptas 2003 ±1
+# projections): project 64-dim embeddings to 16 dims with a
+# md5-parity-deterministic sign matrix and emit per-pair (exact d2,
+# projected d2) for the first 20 vectors — the distance-preservation
+# audit a JL deployment runs before switching its ANN index to the small
+# space.  Matrix, projection, and both distance sides recomputed exactly
+# by the DuckDB twin.
+# ---------------------------------------------------------------------------
+_JL_OUT = 16
+_JL_SEED = 7
+
+
+@register(
+    "z66_jl_projection",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        WHERE vec_id < 20
+    ), m AS (
+        SELECT j.j, i.i,
+               CASE WHEN (('0x' || substr(md5('{_JL_SEED}:' || i.i || ':' || j.j),
+                                          1, 14))::BIGINT % 2) = 0
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE)
+               END AS r
+        FROM (SELECT unnest(range(0, {_JL_OUT})) AS j) j,
+             (SELECT unnest(range(0, 64)) AS i) i
+    ), p AS (
+        SELECT v.vec_id, m.j,
+               ROUND(SUM(v.ev[m.i + 1] * m.r) / sqrt(CAST({_JL_OUT} AS DOUBLE)),
+                     6) AS c
+        FROM v, m GROUP BY 1, 2
+    ), dproj AS (
+        SELECT pa.vec_id AS id_a, pb.vec_id AS id_b,
+               ROUND(SUM((pa.c - pb.c) ^ 2), 4) AS d2_proj
+        FROM p pa JOIN p pb ON pa.j = pb.j AND pa.vec_id < pb.vec_id
+        GROUP BY 1, 2
+    ), dorig AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_sum(
+                   [ (a.ev[i] - b.ev[i]) ^ 2 for i in range(1, 65) ]), 4)
+                   AS d2_orig
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, d2_orig, d2_proj
+    FROM dorig JOIN dproj USING (id_a, id_b)
+    """,
+    description="JL projection audit: exact vs 16-dim-projected pairwise "
+    "squared distances (md5-parity sign matrix, deterministic)",
+)
+def z66_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        random_projection,
+        squared_l2,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    proj = random_projection(emb, "vec_id", "embedding", _JL_OUT, _JL_SEED)
+    a = proj.select(
+        F.col("vec_id").alias("id_a"),
+        _to_double(F.col("embedding")).alias("__ea"),
+        F.col("proj").alias("__pa"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("id_b"),
+        _to_double(F.col("embedding")).alias("__eb"),
+        F.col("proj").alias("__pb"),
+    )
+    return a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(squared_l2(F.col("__ea"), F.col("__eb")), 4).alias("d2_orig"),
+        F.round(squared_l2(F.col("__pa"), F.col("__pb")), 4).alias("d2_proj"),
+    )

@@ -1353,3 +1353,43 @@ def test_round5_operator_edge_cases(spark):
     for r in rr:
         by_q.setdefault(r["query_id"], []).append(r)
     assert by_q and all(len(v) <= 2 for v in by_q.values()), rr
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: 16-dim ±1 projections preserve pairwise squared
+    distances in expectation — mean distortion ratio near 1, every ratio
+    within the loose (0.2, 3.0) envelope JL guarantees at this dimension
+    with overwhelming probability.  Also pins the scale shape: the
+    projection plan is SHUFFLE-FREE (packed broadcast matrix + row-local
+    fold — zero Exchange nodes)."""
+    from spark_sql_hbase_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 40
+    )
+    proj = random_projection(emb, "vec_id", "embedding", 16)
+    from spark_sql_hbase_spark.plans.pushdown import formatted_plan
+
+    fplan = formatted_plan(proj)
+    # shuffle-free for the CORPUS: the only exchanges are the packed
+    # 16-row matrix's SinglePartition fold + its broadcast — never a
+    # hash/range repartition of the embedding table
+    assert "hashpartitioning" not in fplan, fplan[:800]
+    assert "rangepartitioning" not in fplan, fplan[:800]
+    assert "BroadcastNestedLoopJoin" in fplan, fplan[:800]
+
+    rows = {r["vec_id"]: (list(r["embedding"]), list(r["proj"])) for r in proj.collect()}
+    assert all(len(p) == 16 for _, p in rows.values())
+    ratios = []
+    ids = sorted(rows)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            ev_a, pa = rows[ids[x]]
+            ev_b, pb = rows[ids[y]]
+            d_o = sum((float(a) - float(b)) ** 2 for a, b in zip(ev_a, ev_b))
+            d_p = sum((a - b) ** 2 for a, b in zip(pa, pb))
+            if d_o > 0:
+                ratios.append(d_p / d_o)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.25, mean
+    assert all(0.2 < r < 3.0 for r in ratios), (min(ratios), max(ratios))
