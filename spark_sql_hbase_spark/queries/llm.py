@@ -2140,3 +2140,215 @@ def z66_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(squared_l2(F.col("__ea"), F.col("__eb")), 4).alias("d2_orig"),
         F.round(squared_l2(F.col("__pa"), F.col("__pb")), 4).alias("d2_proj"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z67 — winnowing fingerprints (round-5 addition; operators/text.py::
+# winnowing_fingerprints — Schleimer et al. 2003, the MOSS algorithm):
+# per-window minimum of k-gram hashes, the guaranteed-coverage
+# low-density document fingerprint.  Shuffle-free end to end (pinned);
+# the DuckDB twin recomputes every k-gram hash and window minimum.
+# ---------------------------------------------------------------------------
+_WINNOW_K = 4
+_WINNOW_W = 5
+_WINNOW_GRAM = " || ' ' || ".join(f"t[__i + {j + 1}]" for j in range(_WINNOW_K))
+
+
+@register(
+    "z67_winnowing_fingerprints",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT doc_id, {_TOK} AS t FROM documents
+    ), __wh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {_WINNOW_K} THEN
+                   [ (('0x' || substr(md5({_WINNOW_GRAM}), 1, 14))::BIGINT)
+                     for __i in range(0, len(t) - {_WINNOW_K} + 1) ]
+               ELSE [] END AS whs
+        FROM __tok
+    ), __fp AS (
+        SELECT doc_id,
+               CASE WHEN len(whs) >= {_WINNOW_W} THEN
+                   list_distinct(
+                       [ list_min(whs[__j + 1:__j + {_WINNOW_W}])
+                         for __j in range(0, len(whs) - {_WINNOW_W} + 1) ])
+               WHEN len(whs) > 0 THEN [list_min(whs)]
+               ELSE [] END AS fps
+        FROM __wh
+    )
+    SELECT doc_id AS id, unnest(fps) AS fp FROM __fp
+    """,
+    description="winnowing (MOSS) fingerprints: per-window min of k-gram "
+    "hashes, shuffle-free, guaranteed substring coverage",
+)
+def z67_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(
+        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
+# ---------------------------------------------------------------------------
+# z68 — within-doc token entropy (round-5 addition; operators/text.py::
+# token_entropy): Shannon entropy of each document's own token
+# distribution — the no-corpus-pass repetitiveness/diversity quality
+# feature (low = template text).  Same ln+ROUND determinism contract as
+# bm25/surprisal (driver-green precedent).
+# ---------------------------------------------------------------------------
+@register(
+    "z68_token_entropy",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT doc_id AS id, {_TOK} AS tok FROM documents
+    ), __tf AS (
+        SELECT id, len(tok) AS dl, unnest(tok) AS term FROM __tok
+    ), __g AS (
+        SELECT id, dl, term, COUNT(*) AS tf FROM __tf GROUP BY 1, 2, 3
+    )
+    SELECT id, CAST(dl AS BIGINT) AS n_tokens,
+           ROUND(SUM(-(tf * 1.0 / dl) * ln(tf * 1.0 / dl)), 4) AS entropy
+    FROM __g
+    GROUP BY id, dl
+    """,
+    description="per-doc Shannon token entropy (nats): within-doc "
+    "repetitiveness quality feature, no corpus pass",
+)
+def z68_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.token_entropy(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# z69 — quality-aware canonical selection (round-5 addition;
+# operators/graph.py::canonical_selection): near-dup clusters keep the
+# HIGHEST-quality member (ties -> min id) instead of the min-id pick —
+# the C4/RefinedWeb keep-best convention.  Oracle: z53's recursive
+# component closure + the t02 quality expression, argmax via
+# max-then-filter-then-min (the same deterministic rule).
+# ---------------------------------------------------------------------------
+_CANON_ORACLE = f"""{_SHINGLE_CTES}
+    , __jp AS (
+        SELECT id_a, id_b
+        FROM __pairs
+        JOIN __sizes na ON id_a = na.doc_id
+        JOIN __sizes nb ON id_b = nb.doc_id
+        WHERE ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) >= {JACCARD_T}
+    ), __edges AS (
+        SELECT id_a AS s, id_b AS d FROM __jp
+        UNION
+        SELECT id_b, id_a FROM __jp
+    ), __reach(id, lbl) AS (
+        SELECT s, s FROM __edges
+        UNION
+        SELECT e.d, r.lbl FROM __reach r JOIN __edges e ON e.s = r.id
+    ), __memb AS (
+        SELECT id AS doc_id, min(lbl) AS cluster_id
+        FROM __reach
+        GROUP BY id
+    ), __qf AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_punct,
+               {stopword_count_sql('t', 'en')} AS sw,
+               greatest(len(t), 1) AS d
+        FROM (SELECT doc_id, text, {_TOK} AS t FROM documents)
+    ), __q AS (
+        SELECT doc_id,
+               CAST(2 * d * least(n_tokens, 100) - 100 * least(n_punct, d)
+                    + 100 * sw AS DOUBLE) / (200 * d) AS quality
+        FROM __qf
+    ), __m AS (
+        SELECT m.doc_id, m.cluster_id, q.quality
+        FROM __memb m JOIN __q q USING (doc_id)
+    ), __best AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MAX(quality) AS canonical_score
+        FROM __m GROUP BY 1
+    ), __win AS (
+        SELECT m.cluster_id, MIN(m.doc_id) AS canonical_id
+        FROM __m m
+        JOIN __best b
+          ON m.cluster_id = b.cluster_id AND m.quality = b.canonical_score
+        GROUP BY 1
+    )
+    SELECT b.cluster_id, b.n_docs, w.canonical_id, b.canonical_score
+    FROM __best b JOIN __win w USING (cluster_id)
+""".replace("WITH __tok", "WITH RECURSIVE __tok", 1)
+
+
+@register(
+    "z69_canonical_selection",
+    oracle=_CANON_ORACLE,
+    description="keep-best dedup: near-dup clusters keep the highest-"
+    "quality member (deterministic min-id tie-break)",
+)
+def z69_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_join(
+        docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
+    )
+    scores = text.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "quality"
+    )
+    return graph.canonical_selection(
+        pairs.select("id_a", "id_b"), scores, "doc_id", "quality"
+    )
+
+
+# ---------------------------------------------------------------------------
+# z70 — count-min-sketch heavy hitters (round-5 addition;
+# operators/ranking.py::cms_heavy_hitters — Cormode & Muthukrishnan
+# 2005): corpus term frequencies through a bounded 3x512 counter grid,
+# report terms whose MIN-row estimate clears 0.1% of the token stream
+# (est*1000 >= n_total, integer-exact), with the exact count as audit.
+# n_total derives from the sketch itself (sum of one counter row).
+# ---------------------------------------------------------------------------
+_CMS_D = 3
+_CMS_W = 512
+_CMS_PPM = 1000  # est * 1e6 >= n_total * ppm  <=>  est/n_total >= 0.1%
+
+
+def _cms_rows_sql() -> str:
+    from spark_sql_hbase_spark.functions.texthash import word_hash_sql
+
+    parts = []
+    for r in range(_CMS_D):
+        wh = word_hash_sql(f"('cms{r}:' || term)")
+        parts.append(
+            f"SELECT term, {r} AS row, {wh} % {_CMS_W} AS bucket FROM __t"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "z70_cms_heavy_hitters",
+    oracle=f"""
+    WITH __t AS (
+        SELECT unnest({_TOK}) AS term FROM documents
+    ), __p AS (
+        {{rows}}
+    ), __sk AS (
+        SELECT row, bucket, COUNT(*) AS c FROM __p GROUP BY 1, 2
+    ), __cand AS (
+        SELECT term, row, bucket, COUNT(*) AS tc FROM __p GROUP BY 1, 2, 3
+    ), __n AS (
+        SELECT SUM(c) AS n_total FROM __sk WHERE row = 0
+    ), __est AS (
+        SELECT term, MIN(c) AS est, MAX(tc) AS true_ct
+        FROM __cand JOIN __sk USING (row, bucket)
+        GROUP BY term
+    )
+    SELECT term, CAST(est AS BIGINT) AS est, CAST(true_ct AS BIGINT) AS true_ct
+    FROM __est, __n
+    WHERE est * 1000000 >= n_total * {_CMS_PPM}
+    """.format(rows=_cms_rows_sql()),
+    description="count-min-sketch heavy hitters: bounded 3x512 counter "
+    "grid, min-row estimate vs exact audit (est >= true always)",
+)
+def z70_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.ranking import cms_heavy_hitters
+
+    docs = table(spark, sf_dir, "documents")
+    return cms_heavy_hitters(
+        docs, "text", threshold_ppm=_CMS_PPM, depth=_CMS_D, width=_CMS_W
+    )

@@ -704,3 +704,53 @@ def test_z64_rerank_shuffles_candidates_only(spark, registry):
             matched += 1
     assert matched >= 1, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+
+
+def test_z67_winnowing_is_shuffle_free(spark, registry):
+    """Winnowing is row-local end to end: tokenize, k-gram hash, window
+    minima, explode — NO hash/range exchange anywhere (the only Exchange
+    allowed is _parallelized's RoundRobin test-scale artifact), no
+    Window, no Sort.  The 100 TB story: embarrassingly parallel."""
+    plan = formatted_plan(registry["z67_winnowing_fingerprints"].fn(spark, SF))
+    assert "hashpartitioning" not in plan, plan[:1200]
+    assert "rangepartitioning" not in plan, plan[:1200]
+    assert not re.findall(r"\(\d+\) (Window|Sort)\b", plan), plan[:1200]
+
+
+def test_z68_entropy_exchanges_carry_terms_not_text(spark, registry):
+    """Entropy's two shuffles are keyed by doc id and carry (id, dl,
+    term[, tf]) — never the document text (the Generate barrier projects
+    text away before any exchange)."""
+    plan = formatted_plan(registry["z68_token_entropy"].fn(spark, SF))
+    lines = plan.splitlines()
+    matched = 0
+    for i, line in enumerate(lines):
+        if line.strip().startswith("Arguments: hashpartitioning"):
+            assert "text" not in lines[i - 1], (lines[i - 1], line)
+            matched += 1
+    assert matched == 2, plan[:1200]
+
+
+def test_z69_canonical_selection_no_cartesian(spark, registry):
+    """Keep-best selection stays equi-join/broadcast everywhere — no
+    CartesianProduct and no unpartitioned Window sneaks in via the
+    argmax (it is max-then-filter-then-min, not a window rank)."""
+    plan = formatted_plan(registry["z69_canonical_selection"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert not re.findall(r"\(\d+\) Window\b", plan), plan[:1200]
+
+
+def test_z70_cms_single_corpus_scan(spark, registry):
+    """The sketch grid derives from the ONE per-(term,row,bucket)
+    aggregate (Σ tc rollup), so both references to it collapse onto a
+    single corpus scan via ReuseExchange — the t11/z63 single-scan
+    discipline.  (AQE off for the static assert; AQE performs the same
+    reuse at runtime.)"""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry["z70_cms_heavy_hitters"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("documents.parquet") == 1, plan
+        assert plan.count("ReusedExchange") >= 1, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1393,3 +1393,114 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     mean = sum(ratios) / len(ratios)
     assert 0.8 < mean < 1.25, mean
     assert all(0.2 < r < 3.0 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_winnowing_guarantee_and_subset(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a substring of >= k + w - 1 tokens MUST share at least one
+    fingerprint; and every selected fingerprint is one of the doc's own
+    k-gram hashes.  Short docs (>= 1 k-gram, < w of them) emit exactly
+    their global minimum."""
+    from spark_sql_hbase_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+    rows = [
+        (1, "intro words here " + shared + " tail one"),
+        (2, shared + " completely different ending text follows now"),
+        (3, "no overlap with anything else whatsoever in this document"),
+        (4, "tiny doc four words"),  # 4 tokens -> exactly one 4-gram
+        (5, "ab"),  # 1 token -> zero 4-grams -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=4, w=5)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[3] & by_doc[1])
+    assert len(by_doc[4]) == 1  # single k-gram -> its hash is the min
+    assert 5 not in by_doc
+    # subset property: fingerprints come from the doc's own k-gram hashes
+    from spark_sql_hbase_spark.functions.texthash import tokens, word_hash
+
+    grams = (
+        df.filter(F.col("doc_id") == 1)
+        .select(tokens(F.col("text")).alias("tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 4), "
+                    "i -> concat_ws(' ', slice(tk, i + 1, 4)))"
+                )
+            ).alias("g")
+        )
+        .select(word_hash(F.col("g")).alias("h"))
+    )
+    all_hashes = {r["h"] for r in grams.collect()}
+    assert by_doc[1] <= all_hashes
+
+
+def test_token_entropy_bounds_and_extremes(spark):
+    """Entropy is 0 for a constant token stream, ln(n) for n distinct
+    tokens appearing once each, and always within [0, ln(dl)]."""
+    import math
+
+    from spark_sql_hbase_spark.operators.text import token_entropy
+
+    rows = [
+        (1, "same same same same same"),  # constant -> 0
+        (2, "one two three four"),  # uniform distinct -> ln(4)
+        (3, "a a b b c c d d"),  # uniform over 4 -> ln(4)
+        (4, ""),  # empty -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in token_entropy(df, "doc_id", "text").collect()}
+    assert got[1]["entropy"] == 0.0
+    assert abs(got[2]["entropy"] - round(math.log(4), 4)) < 1e-9
+    assert abs(got[3]["entropy"] - round(math.log(4), 4)) < 1e-9
+    assert 4 not in got
+    for r in got.values():  # 5e-5 = half of the 4-dp rounding step
+        assert -1e-9 <= r["entropy"] <= math.log(max(r["n_tokens"], 1)) + 5e-5
+
+
+def test_cms_estimate_dominates_truth(spark, sf_dir):
+    """The count-min invariant: counters only over-count on collisions,
+    so est >= true_ct for EVERY reported term — and with 3x512 counters
+    over the smoke corpus the heavy-hitter set must be non-empty."""
+    from spark_sql_hbase_spark.operators.ranking import cms_heavy_hitters
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = cms_heavy_hitters(docs, "text", threshold_ppm=1000).collect()
+    assert out, "no heavy hitters at 0.1% of the token stream"
+    assert all(r["est"] >= r["true_ct"] for r in out)
+    # absolute-threshold mode agrees with itself under the min estimate
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(docs, "text")
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(docs, "text", threshold=5, threshold_ppm=5)
+
+
+def test_canonical_selection_is_argmax_with_min_id_ties(spark):
+    """The canonical pick is the highest-score member; ties go to the
+    MIN id (deterministic, partition-order-independent)."""
+    from spark_sql_hbase_spark.operators.graph import canonical_selection
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.2), (11, 0.1)],
+        "doc_id long, quality double",
+    )
+    got = {
+        r["cluster_id"]: r
+        for r in canonical_selection(pairs, scores).collect()
+    }
+    assert got[1]["canonical_id"] == 2  # 2 and 3 tie at 0.9 -> min id
+    assert got[1]["canonical_score"] == 0.9
+    assert got[1]["n_docs"] == 3
+    assert got[10]["canonical_id"] == 10
+    assert got[10]["n_docs"] == 2
