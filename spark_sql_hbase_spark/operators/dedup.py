@@ -842,3 +842,66 @@ def duplicate_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Asymmetric containment near-dup join (Broder 1997's containment
+    coefficient, public): pairs where the SMALLER document's distinct
+    k-gram shingle set is ≥ ``threshold`` contained in the larger's —
+    ``cont = |S_a ∩ S_b| / min(|S_a|, |S_b|)``.  Catches the case plain
+    Jaccard misses by construction: a short document embedded verbatim in
+    a much longer one (wire story inside a page, quoted post inside a
+    thread) has LOW Jaccard (union is dominated by the long side) but
+    containment ≈ 1.
+
+    Emits ``(id_a, id_b, cont)`` with ``id_a < id_b``.
+
+    Plan shape (scales to 100 TB):
+    - candidates come from the winnowing fingerprint index
+      (:func:`~spark_sql_hbase_spark.operators.text.
+      winnowing_fingerprints`): the self-join key is an 8-byte selected
+      hash at ~2/(w+1) of k-gram density, never the full shingle
+      inverted index — strictly cheaper than the exact
+      :func:`ngram_jaccard_join` index by the winnowing density factor;
+    - recall contract: a candidate requires one shared token run of
+      ≥ k+w−1 tokens (the winnowing guarantee).  An embedded copy shares
+      its whole length as one run, so containment-style duplication is
+      exactly the case the guarantee covers; adversarially SCATTERED
+      overlap (shared vocabulary, no shared runs) can be missed — by
+      design, that is not containment;
+    - verify is exact and candidate-only: the two (bounded) shingle
+      arrays meet per pair, same as the LSH candidates-verify path.
+    """
+    from spark_sql_hbase_spark.operators.text import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
+    fa = fps.select(F.col("id").alias("id_a"), "fp")
+    fb = fps.select(F.col("id").alias("id_b"), "fp")
+    candidates = (
+        fa.join(fb, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = _shingle_sets(df, id_col, text_col, k)
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    denom = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / denom, 4).alias("cont"),
+        )
+        .filter(F.col("cont") >= threshold)
+    )

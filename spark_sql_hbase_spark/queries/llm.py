@@ -2352,3 +2352,69 @@ def z70_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(
         docs, "text", threshold_ppm=_CMS_PPM, depth=_CMS_D, width=_CMS_W
     )
+
+
+# ---------------------------------------------------------------------------
+# z71 — containment near-dup join (round-5 addition; operators/dedup.py::
+# containment_join — Broder 1997 containment coefficient): the
+# embedded-copy case plain Jaccard misses.  Candidates ride the
+# winnowing fingerprint index (z67) — selected 8-byte hashes at ~1/3 of
+# k-gram density — then exact |S_a ∩ S_b| / min(|S_a|,|S_b|) on
+# candidates only.  Oracle: same fingerprint candidate generation + the
+# exact containment, recomputed end to end.
+# ---------------------------------------------------------------------------
+_CONT_T = 0.9
+
+
+@register(
+    "z71_containment_neardup",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT doc_id, {_TOK} AS t FROM documents
+    ), __wh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {_WINNOW_K} THEN
+                   [ (('0x' || substr(md5({_WINNOW_GRAM}), 1, 14))::BIGINT)
+                     for __i in range(0, len(t) - {_WINNOW_K} + 1) ]
+               ELSE [] END AS whs
+        FROM __tok
+    ), __fp AS (
+        SELECT doc_id,
+               CASE WHEN len(whs) >= {_WINNOW_W} THEN
+                   list_distinct(
+                       [ list_min(whs[__j + 1:__j + {_WINNOW_W}])
+                         for __j in range(0, len(whs) - {_WINNOW_W} + 1) ])
+               WHEN len(whs) > 0 THEN [list_min(whs)]
+               ELSE [] END AS fps
+        FROM __wh
+    ), __inv AS (
+        SELECT doc_id, unnest(fps) AS fp FROM __fp
+    ), __cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM __inv a JOIN __inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), __sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {_WINNOW_K} THEN
+                   list_distinct([ {_WINNOW_GRAM}
+                                   for __i in range(0, len(t) - {_WINNOW_K} + 1) ])
+               ELSE [] END AS s
+        FROM __tok
+    )
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(sa.s, sb.s)) * 1.0
+                 / least(len(sa.s), len(sb.s)), 4) AS cont
+    FROM __cand
+    JOIN __sh sa ON id_a = sa.doc_id
+    JOIN __sh sb ON id_b = sb.doc_id
+    WHERE ROUND(len(list_intersect(sa.s, sb.s)) * 1.0
+                / least(len(sa.s), len(sb.s)), 4) >= {_CONT_T}
+    """,
+    description="containment near-dup: winnowing-index candidates + exact "
+    "|A∩B|/min coefficient — catches short-doc-embedded-in-long",
+)
+def z71_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.containment_join(
+        docs, "doc_id", "text", threshold=_CONT_T, k=_WINNOW_K, w=_WINNOW_W
+    )

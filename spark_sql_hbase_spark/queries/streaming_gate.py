@@ -426,3 +426,47 @@ def z65_stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# z72 — streaming count-min sketch (round-5 addition;
+# streaming/pipelines.py::streaming_cms_sketch): the ingest-monitoring
+# twin of z70 — token stream folds into the depth×width counter grid as
+# a streaming aggregation whose state is BOUNDED at depth·width rows
+# forever (no watermark needed, nothing evicted; complete-mode output is
+# the same constant).  Oracle: the batch counter grid over the same
+# documents — streaming and batch sketches are bit-identical because CMS
+# counters are pure mergeable sums.
+# ---------------------------------------------------------------------------
+@register(
+    "z72_stream_cms_sketch",
+    oracle=None,  # set below — reuses llm._cms_rows_sql after import
+    description="streaming count-min sketch: bounded depth*width counter "
+    "state over the token stream, complete-mode counters == batch sketch",
+)
+def z72_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.streaming.pipelines import streaming_cms_sketch
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    stream = _one_batch_stream(spark, docs)
+    agg = streaming_cms_sketch(stream, "text", depth=3, width=512)
+    return _run_available_now(agg, output_mode="complete")
+
+
+def _z72_oracle() -> str:
+    from spark_sql_hbase_spark.queries.llm import _TOK, _cms_rows_sql
+
+    return f"""
+    WITH __t AS (
+        SELECT unnest({_TOK}) AS term FROM documents
+    ), __p AS (
+        {_cms_rows_sql()}
+    )
+    SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM __p GROUP BY 1, 2
+    """
+
+
+from spark_sql_hbase_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_REG["z72_stream_cms_sketch"].oracle = _z72_oracle()

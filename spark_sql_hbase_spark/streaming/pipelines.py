@@ -425,3 +425,51 @@ def stream_neardup_against_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_cms_sketch(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Count–min sketch maintained OVER A STREAM: the ingest-monitoring
+    twin of :func:`~spark_sql_hbase_spark.operators.ranking.
+    cms_heavy_hitters` — the incoming document stream is tokenized, each
+    token votes into the same ``depth × width`` counter grid, and the
+    streaming aggregation keeps the running counters.
+
+    Why this is the right streaming shape: CMS counters are pure sums, so
+    the sketch is MERGEABLE across micro-batches by construction — the
+    state store holds exactly ``depth·width`` rows (1536 longs at the
+    defaults) FOREVER, regardless of stream volume.  No watermark is
+    needed (nothing is ever evicted) and complete-mode output is bounded
+    by the same constant.  This is the production "which terms are
+    trending across a 100 TB/day ingest" primitive: executors absorb the
+    token stream into map-side partials; the per-batch state update
+    exchanges at most depth·width rows.
+
+    Returns the un-started aggregated streaming DataFrame
+    ``(row, bucket, c)``; run with ``outputMode("complete")``.  After
+    draining, the counters are bit-identical to the batch operator's
+    sketch over the same documents (pinned by the gate oracle and the
+    multi-batch pytest).
+    """
+    from spark_sql_hbase_spark.functions.texthash import tokens, word_hash
+
+    terms = stream_docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (word_hash(F.concat(F.lit(f"cms{r}:"), F.col("term"))) % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    placed = terms.select(F.explode(rows).alias("rb")).select(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    return placed.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))

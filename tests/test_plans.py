@@ -754,3 +754,19 @@ def test_z70_cms_single_corpus_scan(spark, registry):
         assert plan.count("ReusedExchange") >= 1, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_z71_containment_candidate_index_is_hashes_only(spark, registry):
+    """Containment candidates come from the winnowing fingerprint
+    inverted index: every hash exchange carries ids + the 8-byte
+    selected hash (or the bounded shingle arrays on the verify side) —
+    never the document text; and nothing degenerates to a cartesian."""
+    plan = formatted_plan(registry["z71_containment_neardup"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:1200]
+    lines = plan.splitlines()
+    matched = 0
+    for i, line in enumerate(lines):
+        if line.strip().startswith("Arguments: hashpartitioning"):
+            assert "text" not in lines[i - 1], (lines[i - 1], line)
+            matched += 1
+    assert matched >= 2, plan[:1200]

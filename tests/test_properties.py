@@ -1504,3 +1504,22 @@ def test_canonical_selection_is_argmax_with_min_id_ties(spark):
     assert got[1]["n_docs"] == 3
     assert got[10]["canonical_id"] == 10
     assert got[10]["n_docs"] == 2
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short document embedded verbatim in a much longer one has LOW
+    Jaccard (union dominated by the long side) but containment ~= 1 —
+    the case this operator exists for."""
+    from spark_sql_hbase_spark.operators.dedup import (
+        containment_join,
+        ngram_jaccard_join,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog every single morning"
+    filler = " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    rows = [(1, short), (2, filler + " " + short + " trailing words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = containment_join(df, "doc_id", "text", threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["cont"] >= 0.99
+    jac = ngram_jaccard_join(df, "doc_id", "text", threshold=0.6).collect()
+    assert jac == []  # Jaccard misses the embedded copy at any sane t

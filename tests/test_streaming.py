@@ -294,3 +294,47 @@ def test_stream_neardup_index_multi_batch_matches_batch(spark, tmp_path):
     assert n_batches >= 2, n_batches  # the split actually exercised >1 batch
     spark.sql("DROP TABLE IF EXISTS z65t_idx")
     spark.sql("DROP TABLE IF EXISTS z65t_sink")
+
+
+def test_stream_cms_multi_batch_matches_batch_sketch(spark, sf_dir):
+    """CMS counters are pure mergeable sums, so a MULTI-batch drain
+    (maxFilesPerTrigger=1) must land bit-identical to the batch
+    operator's sketch over the same documents — the bounded-state
+    streaming-aggregation contract."""
+    import os
+    import tempfile
+    import uuid
+
+    from spark_sql_hbase_spark.queries import table
+    from spark_sql_hbase_spark.streaming.pipelines import streaming_cms_sketch
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    src = os.path.join(tempfile.mkdtemp(prefix="cms_stream_src_"), "in")
+    docs.repartition(4).write.mode("overwrite").parquet(src)  # 4 files
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = streaming_cms_sketch(stream, "text", depth=3, width=512)
+    name = f"cms_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="cms_stream_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["row"], r["bucket"]): r["c"] for r in spark.table(name).collect()
+    }
+    # batch twin: same grid from the batch documents frame
+    batch = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in streaming_cms_sketch(docs, "text", depth=3, width=512).collect()
+    }
+    assert got == batch and len(got) > 0
