@@ -61,3 +61,96 @@ def decontaminate(
         F.sum("n_shared").cast("long").alias("total_shared"),
         F.max("n_shared").cast("long").alias("max_shared"),
     )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_overlap: int = 3,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom-filter pre-gate (Bloom 1970,
+    public): the eval n-gram set is folded into an ``m_bits``-bit bitmap
+    (``k_hashes`` probes per shingle), and the TRAINING side tests
+    membership row-locally before any join — only surviving shingles
+    (true matches + the bounded false-positive fraction) ever meet the
+    exact eval index.
+
+    Result is IDENTICAL to :func:`decontaminate` by construction: Bloom
+    filters have no false negatives, and the exact verify join removes
+    every false positive — which is also why the gate can share d08's
+    exact oracle.
+
+    Scale design (100 TB train side, large benchmark suite):
+    - the broadcast is ``m_bits/8`` BYTES (32 KiB at the default) packed
+      as a map of 64-bit words riding ONE broadcast row — not the eval
+      shingle STRINGS (the plain operator's broadcast grows with the
+      benchmark suite; this one is constant and tunable by false-positive
+      budget, fp ≈ (1 − e^(−k·n_ev/m))^k);
+    - the membership test is a row-local JVM bit test (word lookup +
+      mask) per probe — no shuffle, no UDF; the training inverted index
+      shrinks by the non-matching fraction BEFORE the first exchange;
+    - the exact pair join then runs over the small survivor set, exactly
+      the plain operator's shape.
+    """
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+
+    def probe_pos(i: int, s) -> "F.Column":
+        return word_hash(F.concat(F.lit(f"bl{i}:"), s)) % m_bits
+
+    ev_sh = (
+        _shingle_sets(eval_df, id_col, text_col, n)
+        .select(F.col("id").alias("eval_id"), F.explode("sh").alias("s"))
+    )
+    pos = ev_sh.select(
+        F.explode(
+            F.array(*[probe_pos(i, F.col("s")) for i in range(k_hashes)])
+        ).alias("pos")
+    )
+    words = pos.select(
+        F.expr("pos div 64").alias("w"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias("b"),
+    )
+    bitmap = (
+        words.groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("w", "bits")))
+            ).alias("__bm")
+        )
+    )
+    tr = _shingle_sets(train, id_col, text_col, n).select(
+        F.col("id").alias("train_id"), F.explode("sh").alias("s")
+    )
+    gated = tr.join(F.broadcast(bitmap)).select(  # 1-row broadcast cross join
+        "train_id",
+        "s",
+        "__bm",
+        *[probe_pos(i, F.col("s")).alias(f"__p{i}") for i in range(k_hashes)],
+    )
+    member = F.lit(True)
+    for i in range(k_hashes):
+        word = F.coalesce(
+            F.element_at(F.col("__bm"), F.expr(f"__p{i} div 64")),
+            F.lit(0).cast("long"),
+        )
+        mask = F.expr(f"shiftleft(cast(1 as bigint), cast(__p{i} % 64 as int))")
+        member = member & (word.bitwiseAND(mask) != 0)
+    survivors = gated.filter(member).select("train_id", "s")
+    ev = ev_sh  # exact verify index (broadcast, as in the plain operator)
+    pairs = (
+        survivors.join(F.broadcast(ev), "s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    return pairs.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_docs"),
+        F.sum("n_shared").cast("long").alias("total_shared"),
+        F.max("n_shared").cast("long").alias("max_shared"),
+    )

@@ -851,3 +851,43 @@ def token_entropy(
         .agg(F.round(F.sum(-p * F.log(p)), round_to).alias("entropy"))
         .select("id", F.col("dl").cast("long").alias("n_tokens"), "entropy")
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    term_col: str = "term",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a reference vocabulary
+    (tokenizer-coverage analysis: what fraction of a corpus' token
+    occurrences would an LM's top-V vocabulary miss?).  Pairs with
+    :func:`vocabulary` — feed it the top-V list — or any external
+    lexicon relation.
+
+    Emits ``(id, n_tokens, n_oov, oov_rate)`` for docs with ≥ 1 token;
+    the rate is ONE exact integer-ratio IEEE division (t02 convention).
+
+    Plan shape (scales to 100 TB): tokenize + explode once; the corpus
+    side LEFT-joins the (bounded, broadcast) vocabulary, so OOV marking
+    is map-side; one per-doc count rollup keyed by id.  The vocabulary
+    must be the bounded top-V (the point of the analysis), never the full
+    corpus vocabulary.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+    ).select("id", F.size("__tok").alias("dl"), F.explode("__tok").alias("term"))
+    v = vocab.select(F.col(term_col).alias("term"), F.lit(1).alias("__in"))
+    marked = toks.join(F.broadcast(v), "term", "left_outer")
+    return (
+        marked.groupBy("id", "dl")
+        .agg(F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"))
+        .select(
+            "id",
+            F.col("dl").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            (F.col("n_oov").cast("double") / F.col("dl")).alias("oov_rate"),
+        )
+    )

@@ -2418,3 +2418,87 @@ def z71_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_join(
         docs, "doc_id", "text", threshold=_CONT_T, k=_WINNOW_K, w=_WINNOW_W
     )
+
+
+# ---------------------------------------------------------------------------
+# z73 — Bloom-prefiltered decontamination (round-5 addition;
+# operators/decontam.py::bloom_decontaminate — Bloom 1970): the d08
+# operator with a 32 KiB packed-bitmap pre-gate on the training side.
+# No false negatives + exact verify ⇒ the result is IDENTICAL to d08's,
+# so the gate shares d08's exact oracle verbatim — the oracle checks the
+# sketch-accelerated path against ground truth.
+# ---------------------------------------------------------------------------
+@register(
+    "z73_bloom_decontam",
+    oracle=f"""
+    WITH __sh AS (
+        SELECT doc_id, {shingles_sql(tokens_sql('text'), _DECON_N)} AS s
+        FROM documents
+    ), __inv AS (
+        SELECT doc_id, unnest(s) AS g FROM __sh
+    ), __pairs AS (
+        SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+               COUNT(*) AS n_shared
+        FROM (SELECT * FROM __inv WHERE NOT ({_DECON_EVAL})) tr
+        JOIN (SELECT * FROM __inv WHERE {_DECON_EVAL}) ev USING (g)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_DECON_MIN}
+    )
+    SELECT train_id,
+           COUNT(*) AS n_eval_docs,
+           CAST(SUM(n_shared) AS BIGINT) AS total_shared,
+           CAST(MAX(n_shared) AS BIGINT) AS max_shared
+    FROM __pairs
+    GROUP BY train_id
+    """,
+    description="Bloom-prefiltered decontamination: 32 KiB bitmap gate on "
+    "the train side + exact verify — result identical to d08",
+)
+def z73_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.decontam import bloom_decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 29) == 0
+    return bloom_decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text",
+        n=_DECON_N, min_overlap=_DECON_MIN,
+    )
+
+
+# ---------------------------------------------------------------------------
+# z74 — out-of-vocabulary rate vs the corpus top-V (round-5 addition;
+# operators/text.py::oov_rate): tokenizer-coverage analysis — what
+# fraction of each doc's token stream falls outside the top-500
+# vocabulary (t09's TakeOrdered list, broadcast).  Integer-exact ratio
+# (t02 convention).
+# ---------------------------------------------------------------------------
+_OOV_TOPV = 500
+
+
+@register(
+    "z74_oov_rate",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT doc_id AS id, {_TOK} AS tok FROM documents
+    ), __tf AS (
+        SELECT id, len(tok) AS dl, unnest(tok) AS term FROM __tok
+    ), __v AS (
+        SELECT term FROM (
+            SELECT term, COUNT(*) AS n FROM __tf GROUP BY 1
+        ) ORDER BY n DESC, term LIMIT {_OOV_TOPV}
+    )
+    SELECT id, CAST(dl AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / dl AS oov_rate
+    FROM __tf LEFT JOIN __v v USING (term)
+    GROUP BY id, dl
+    """,
+    description="per-doc OOV rate vs the corpus top-500 vocabulary "
+    "(broadcast lexicon, map-side marking)",
+)
+def z74_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    vocab = text.vocabulary(docs, "text", top_k=_OOV_TOPV).select("term")
+    return text.oov_rate(docs, vocab, "doc_id", "text")

@@ -770,3 +770,26 @@ def test_z71_containment_candidate_index_is_hashes_only(spark, registry):
             assert "text" not in lines[i - 1], (lines[i - 1], line)
             matched += 1
     assert matched >= 2, plan[:1200]
+
+
+def test_z74_oov_vocab_is_broadcast(spark, registry):
+    """The vocabulary side must broadcast (bounded top-V) and the OOV
+    marking join must be a BroadcastHashJoin — the corpus is never
+    shuffled to be marked; exchanges never carry text."""
+    plan = formatted_plan(registry["z74_oov_rate"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if line.strip().startswith("Arguments: hashpartitioning"):
+            assert "text" not in lines[i - 1], (lines[i - 1], line)
+
+
+def test_z73_bloom_bitmap_rides_one_broadcast_row(spark, registry):
+    """The Bloom gate's bitmap is ONE packed broadcast row (map of 64-bit
+    words) cross-joined into the training index — a
+    BroadcastNestedLoopJoin over a single row, never a shuffle; and the
+    whole query keeps the d08 shape otherwise (no cartesian between
+    real relations)."""
+    plan = formatted_plan(registry["z73_bloom_decontam"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1200]
+    assert "CartesianProduct" not in plan, plan[:1200]

@@ -1523,3 +1523,47 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert len(cont) == 1 and cont[0]["cont"] >= 0.99
     jac = ngram_jaccard_join(df, "doc_id", "text", threshold=0.6).collect()
     assert jac == []  # Jaccard misses the embedded copy at any sane t
+
+
+def test_bloom_decontam_identical_to_exact_even_at_tiny_bitmap(spark, sf_dir):
+    """Bloom pre-gating must never change the answer: no false negatives
+    + exact verify ⇒ identical to the plain operator — even with a
+    pathological 64-bit bitmap where nearly every probe collides (the
+    gate then filters nothing and the verify does all the work)."""
+    from spark_sql_hbase_spark.operators.decontam import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 29) == 0
+    tr, ev = docs.filter(~is_eval), docs.filter(is_eval)
+    exact = {
+        tuple(r) for r in decontaminate(tr, ev, "doc_id", "text").collect()
+    }
+    for m_bits in (64, 1 << 18):
+        got = {
+            tuple(r)
+            for r in bloom_decontaminate(
+                tr, ev, "doc_id", "text", m_bits=m_bits
+            ).collect()
+        }
+        assert got == exact and len(got) > 0, (m_bits, len(got), len(exact))
+
+
+def test_oov_rate_bounds_and_full_vocab_zero(spark):
+    """OOV rate is within [0,1]; against the corpus' own FULL vocabulary
+    it is exactly 0 for every doc; against an empty vocabulary it is
+    exactly 1."""
+    from spark_sql_hbase_spark.operators.text import oov_rate, vocabulary
+
+    rows = [(1, "alpha beta gamma"), (2, "delta delta epsilon zeta"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = vocabulary(df, "text", top_k=1000).select("term")
+    got = oov_rate(df, full, "doc_id", "text").collect()
+    assert got and all(r["oov_rate"] == 0.0 and r["n_oov"] == 0 for r in got)
+    assert {r["id"] for r in got} == {1, 2}  # empty doc emits no row
+    empty = spark.createDataFrame([], "term string")
+    got1 = oov_rate(df, empty, "doc_id", "text").collect()
+    assert all(r["oov_rate"] == 1.0 and r["n_oov"] == r["n_tokens"] for r in got1)
