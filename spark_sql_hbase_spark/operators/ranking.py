@@ -560,3 +560,66 @@ def cms_heavy_hitters(
     return kept.select(
         "term", "est", F.col("true_ct").cast("long").alias("true_ct")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church & Hanks
+    1990, public): ``pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) )`` over
+    adjacent token pairs, with all probabilities taken from the bigram
+    table's own marginals (``c1 = Σ_w2 c12``, ``c2 = Σ_w1 c12``,
+    ``B = Σ c12``) — the self-consistent convention, so the whole
+    statistic derives from ONE corpus aggregate.
+
+    ``min_count`` suppresses the rare-pair noise PMI is notorious for;
+    the top-k is deterministic (pmi desc, then w1, w2 — computed on the
+    ROUNDED value so the cutoff is cross-engine stable).
+
+    Plan shape (scales to 100 TB): the bigram count is the only
+    corpus-scanning aggregate (shuffle carries (w1, w2, partial) — t13's
+    accepted vocabulary-squared class, Heaps-sublinear in practice);
+    marginals and the scalar total are rollups OVER the cached bigram
+    frame, so the corpus is read and tokenized once; final ranking is
+    TakeOrdered over the min_count survivors.  Cache contract as
+    :func:`bigram_surprisal` (caller clears between repeated runs).
+    """
+    bound = docs.select(
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok")
+    )
+    m2 = F.size("__tok") - 1
+    prs = F.when(
+        F.size("__tok") >= 2,
+        F.arrays_zip(F.slice("__tok", 1, m2), F.slice("__tok", 2, m2)),
+    ).otherwise(F.expr("CAST(array() AS array<struct<`0`:string,`1`:string>>)"))
+    big = (
+        bound.select(F.explode(prs).alias("pr"))
+        .select(F.col("pr.0").alias("w1"), F.col("pr.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .cache()
+    )
+    left = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = big.agg(F.sum("c12").alias("b_total"))
+    ratio = (F.col("c12").cast("double") * F.col("b_total")) / (
+        F.col("c1").cast("double") * F.col("c2")
+    )
+    return (
+        big.filter(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(F.log(ratio), round_to).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )

@@ -2502,3 +2502,130 @@ def z74_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     vocab = text.vocabulary(docs, "text", top_k=_OOV_TOPV).select("term")
     return text.oov_rate(docs, vocab, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# z75 — PMI collocations (round-5 addition; operators/ranking.py::
+# pmi_collocations — Church & Hanks 1990): top-k adjacent-pair
+# collocations by pointwise mutual information, probabilities from the
+# bigram table's own marginals so the statistic is ONE corpus aggregate
+# + vocab-cardinality rollups.  Deterministic cutoff: rank on the
+# ROUNDED pmi, ties by (w1, w2).
+# ---------------------------------------------------------------------------
+_PMI_MIN = 5
+_PMI_K = 100
+
+
+@register(
+    "z75_pmi_collocations",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT {_TOK} AS t FROM documents
+    ), __bg AS (
+        SELECT t[__i + 1] AS w1, t[__i + 2] AS w2
+        FROM __tok, LATERAL (
+            SELECT unnest(range(0, greatest(len(t) - 1, 0))) AS __i
+        )
+    ), __c AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM __bg GROUP BY 1, 2
+    ), __l AS (
+        SELECT w1, SUM(c12) AS c1 FROM __c GROUP BY 1
+    ), __r AS (
+        SELECT w2, SUM(c12) AS c2 FROM __c GROUP BY 1
+    ), __t AS (
+        SELECT SUM(c12) AS b_total FROM __c
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           ROUND(ln((c12 * 1.0 * b_total) / (c1 * 1.0 * c2)), 4) AS pmi
+    FROM __c JOIN __l USING (w1) JOIN __r USING (w2), __t
+    WHERE c12 >= {_PMI_MIN}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_K}
+    """,
+    description="top-k PMI collocations from the bigram table's own "
+    "marginals — one corpus aggregate, deterministic rounded-pmi cutoff",
+)
+def z75_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.ranking import pmi_collocations
+
+    docs = table(spark, sf_dir, "documents")
+    return pmi_collocations(
+        docs, "text", min_count=_PMI_MIN, top_k=_PMI_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# z76 — train/test split leakage audit (round-5 addition): assign every
+# document to a deterministic hash split (10% test), then report every
+# NEAR-DUP pair (d02's banded LSH + exact verify) that CROSSES the
+# boundary — the contamination a random split silently ships when the
+# corpus still contains near-duplicates.  Composition gate: split
+# assignment is row-local; the pair machinery is exactly d02's.
+# ---------------------------------------------------------------------------
+_SPLIT_MOD = 10  # test = hash(doc_id) % 10 == 0 (10% held out)
+
+
+def _split_sql(idexpr: str) -> str:
+    from spark_sql_hbase_spark.functions.texthash import word_hash_sql
+
+    wh = word_hash_sql(f"('split:' || {idexpr})")
+    return f"CASE WHEN {wh} % {_SPLIT_MOD} = 0 THEN 'test' ELSE 'train' END"
+
+
+def _z76_oracle() -> str:
+    jp = f"""{_SHINGLE_CTES}
+    , __jp AS (
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) AS jac
+        FROM __pairs
+        JOIN __sizes na ON id_a = na.doc_id
+        JOIN __sizes nb ON id_b = nb.doc_id
+        WHERE ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) >= {JACCARD_T}
+    )
+    SELECT * FROM (
+        SELECT id_a, id_b, jac,
+               {_split_sql('id_a')} AS side_a,
+               {_split_sql('id_b')} AS side_b
+        FROM __jp
+    ) WHERE side_a <> side_b
+    """
+    return jp
+
+
+@register(
+    "z76_split_leakage",
+    oracle=None,  # assembled below (needs _split_sql defined first)
+    description="split-leakage audit: near-dup pairs crossing a "
+    "deterministic 90/10 hash split",
+)
+def z76_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_join(
+        docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
+    )
+
+    def side(idcol: str):
+        h = word_hash(
+            F.concat(F.lit("split:"), F.col(idcol).cast("string"))
+        )
+        return F.when(h % _SPLIT_MOD == 0, F.lit("test")).otherwise(
+            F.lit("train")
+        )
+
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "jac",
+            side("id_a").alias("side_a"),
+            side("id_b").alias("side_b"),
+        )
+        .filter(F.col("side_a") != F.col("side_b"))
+    )
+
+
+from spark_sql_hbase_spark.queries import REGISTRY as _REG76  # noqa: E402
+
+_REG76["z76_split_leakage"].oracle = _z76_oracle()

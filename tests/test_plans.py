@@ -793,3 +793,26 @@ def test_z73_bloom_bitmap_rides_one_broadcast_row(spark, registry):
     plan = formatted_plan(registry["z73_bloom_decontam"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan, plan[:1200]
     assert "CartesianProduct" not in plan, plan[:1200]
+
+
+def test_z75_pmi_consumers_hit_cache(spark, registry):
+    """The bigram count frame is the one corpus-derived intermediate;
+    its four consumers (min_count filter branch, left marginal, right
+    marginal, scalar total) must read it from cache so the corpus is
+    tokenized once (t13's cache discipline)."""
+    df = registry["z75_pmi_collocations"].fn(spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 4, plan[:2000]
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_z75_pmi_topk_is_take_ordered(spark, registry):
+    """The final ranking must be TakeOrderedAndProject (partial top-k per
+    partition), never a global sort of the collocation table."""
+    plan = formatted_plan(registry["z75_pmi_collocations"].fn(spark, SF))
+    try:
+        assert "TakeOrderedAndProject" in plan, plan[:1200]
+    finally:
+        spark.catalog.clearCache()

@@ -1567,3 +1567,44 @@ def test_oov_rate_bounds_and_full_vocab_zero(spark):
     empty = spark.createDataFrame([], "term string")
     got1 = oov_rate(df, empty, "doc_id", "text").collect()
     assert all(r["oov_rate"] == 1.0 and r["n_oov"] == r["n_tokens"] for r in got1)
+
+
+def test_pmi_collocations_matches_naive_reference(spark):
+    """The operator must agree pair-for-pair (and in rank order) with a
+    plain-Python replica of the marginal-PMI formula on a small corpus;
+    counts respect min_count and the output is capped at top_k."""
+    import math
+    from collections import Counter
+
+    from spark_sql_hbase_spark.operators.ranking import pmi_collocations
+
+    doc = ("san francisco " + "the cat sat on a mat ") * 6
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    out = pmi_collocations(df, "text", min_count=3, top_k=5).collect()
+    assert 0 < len(out) <= 5
+    assert all(r["c12"] >= 3 for r in out)
+    toks = doc.split()
+    big = Counter(zip(toks, toks[1:]))
+    c1, c2 = Counter(), Counter()
+    for (a, b), c in big.items():
+        c1[a] += c
+        c2[b] += c
+    B = sum(big.values())
+    exp = [
+        (w1, w2, c, round(math.log((c * float(B)) / (c1[w1] * float(c2[w2]))), 4))
+        for (w1, w2), c in big.items()
+        if c >= 3
+    ]
+    exp.sort(key=lambda t: (-t[3], t[0], t[1]))
+    got = [(r["w1"], r["w2"], r["c12"], r["pmi"]) for r in out]
+    assert got == exp[:5], (got, exp[:5])
+
+
+def test_split_leakage_sides_differ_and_pairs_are_neardups(spark, sf_dir):
+    """Every reported pair crosses the split boundary and is a verified
+    near-dup (jac >= the d02 threshold)."""
+    from spark_sql_hbase_spark.queries import load_all
+
+    out = load_all()["z76_split_leakage"].fn(spark, sf_dir).collect()
+    assert all(r["side_a"] != r["side_b"] for r in out)
+    assert all(r["jac"] >= 0.6 for r in out)
