@@ -470,3 +470,82 @@ def _z72_oracle() -> str:
 from spark_sql_hbase_spark.queries import REGISTRY as _REG  # noqa: E402
 
 _REG["z72_stream_cms_sketch"].oracle = _z72_oracle()
+
+
+# ---------------------------------------------------------------------------
+# z77 — streaming quality-gated ingest into the keyed store (round-5
+# addition): the end-to-end curation INGEST pipeline — document stream →
+# row-local quality score (t02's expression, pure JVM) → gate → keyed
+# table (row-key generation + key-sorted regions via foreachBatch
+# insert, the streaming twin of the reference's A5 insert path) → read
+# back.  Oracle: the same quality expression + threshold as plain batch
+# SQL — streaming adds no nondeterminism because the score is row-local
+# and the sink appends exactly the gated rows.
+# ---------------------------------------------------------------------------
+_Z77_QT = 0.5  # keep docs with composite quality >= 0.5
+
+
+@register(
+    "z77_stream_quality_sink",
+    oracle=None,  # assembled below (reuses llm's tokenizer SQL)
+    description="streaming quality-gated ingest: stream -> row-local "
+    "quality gate -> keyed-table sink -> readback",
+)
+def z77_stream_quality_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.operators.text import quality_expr
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        write_stream_to_keyed_table,
+    )
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = _one_batch_stream(spark, docs)
+    gated = stream.select(
+        F.col("doc_id").alias("d:doc_id"),
+        quality_expr("text", tokens(F.col("text"))).alias("d:quality"),
+    ).filter(F.col("`d:quality`") >= _Z77_QT)
+    wh = tempfile.mkdtemp(prefix="z77_keyed_wh_")
+    store = KeyedTableStore(spark, wh)
+    store.create_table(
+        TableSpec(
+            namespace="z77",
+            name="kept",
+            key_type="string",
+            families={"d": {"doc_id": "long", "quality": "double"}},
+        )
+    )
+    q = write_stream_to_keyed_table(
+        gated, store, "z77.kept", tempfile.mkdtemp(prefix="z77_ckpt_")
+    )
+    q.awaitTermination()
+    return store.read("z77.kept").select(
+        F.col("`d:doc_id`").alias("doc_id"),
+        F.col("`d:quality`").alias("quality"),
+    )
+
+
+def _z77_oracle() -> str:
+    from spark_sql_hbase_spark.queries.llm import _TOK
+    from spark_sql_hbase_spark.functions.texthash import stopword_count_sql
+
+    return f"""
+    WITH __f AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_punct,
+               {stopword_count_sql('t', 'en')} AS sw,
+               greatest(len(t), 1) AS d
+        FROM (SELECT doc_id, text, {_TOK} AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(2 * d * least(n_tokens, 100) - 100 * least(n_punct, d)
+                + 100 * sw AS DOUBLE) / (200 * d) AS quality
+    FROM __f
+    WHERE CAST(2 * d * least(n_tokens, 100) - 100 * least(n_punct, d)
+               + 100 * sw AS DOUBLE) / (200 * d) >= {_Z77_QT}
+    """
+
+
+_REG["z77_stream_quality_sink"].oracle = _z77_oracle()
