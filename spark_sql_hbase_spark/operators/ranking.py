@@ -623,3 +623,48 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+def surprisal_buckets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", public): documents split into LM-quality tertiles by their
+    corpus-unigram surprisal — ``head`` = lowest-surprisal third (most
+    fluent under the LM), ``tail`` = highest.  CCNet does this with a
+    real LM's perplexity; the engine's LM-free twin rides
+    :func:`unigram_surprisal`.
+
+    Emits per-doc ``(id, n_tokens, surprisal, bucket)``.
+
+    Plan shape (scales to 100 TB): surprisal once (cached — two
+    consumers), tertile boundaries via ONE ``percentile_disc`` aggregate
+    (exact data values, the t08 cross-engine-reproducible convention —
+    never interpolated, so a doc AT a boundary cannot flip engines), the
+    bucket label a row-local comparison against the broadcast scalar
+    pair.  No window, no sort.  Cache contract as
+    :func:`bigram_surprisal`.
+    """
+    s = unigram_surprisal(docs, id_col, text_col, round_to).cache()
+    b = s.agg(
+        F.expr(
+            "percentile_disc(0.3333333333333333)"
+            " WITHIN GROUP (ORDER BY surprisal)"
+        ).alias("__b1"),
+        F.expr(
+            "percentile_disc(0.6666666666666666)"
+            " WITHIN GROUP (ORDER BY surprisal)"
+        ).alias("__b2"),
+    )
+    bucket = (
+        F.when(F.col("surprisal") <= F.col("__b1"), F.lit("head"))
+        .when(F.col("surprisal") <= F.col("__b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return s.crossJoin(F.broadcast(b)).select(
+        "id", "n_tokens", "surprisal", bucket.alias("bucket")
+    )

@@ -2629,3 +2629,50 @@ def z76_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 from spark_sql_hbase_spark.queries import REGISTRY as _REG76  # noqa: E402
 
 _REG76["z76_split_leakage"].oracle = _z76_oracle()
+
+
+# ---------------------------------------------------------------------------
+# z78 — CCNet head/middle/tail surprisal buckets (round-5 addition;
+# operators/ranking.py::surprisal_buckets — Wenzek et al. 2020): LM-
+# quality tertiles over the corpus-unigram surprisal; boundaries are
+# percentile_disc DATA VALUES (t08's cross-engine convention — DuckDB
+# quantile_disc computes the identical element).
+# ---------------------------------------------------------------------------
+@register(
+    "z78_surprisal_buckets",
+    oracle=f"""
+    WITH __tok AS (
+        SELECT doc_id AS id, {_TOK} AS tok FROM documents
+    ), __tf AS (
+        SELECT id, len(tok) AS dl, unnest(tok) AS term FROM __tok
+    ), __g AS (
+        SELECT id, dl, term, COUNT(*) AS tf FROM __tf GROUP BY 1, 2, 3
+    ), __ct AS (
+        SELECT term, COUNT(*) AS ct FROM __tf GROUP BY 1
+    ), __n AS (
+        SELECT SUM(len(tok)) AS n_total FROM __tok
+    ), __s AS (
+        SELECT id,
+               CAST(dl AS BIGINT) AS n_tokens,
+               ROUND(SUM(tf * -ln(ct * 1.0 / n_total)) / dl, 4) AS surprisal
+        FROM __g JOIN __ct USING (term), __n
+        GROUP BY id, dl
+    ), __b AS (
+        SELECT quantile_disc(surprisal, 0.3333333333333333) AS b1,
+               quantile_disc(surprisal, 0.6666666666666666) AS b2
+        FROM __s
+    )
+    SELECT id, n_tokens, surprisal,
+           CASE WHEN surprisal <= b1 THEN 'head'
+                WHEN surprisal <= b2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM __s, __b
+    """,
+    description="CCNet-style head/middle/tail tertiles over corpus-"
+    "unigram surprisal (percentile_disc boundaries, no window)",
+)
+def z78_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.ranking import surprisal_buckets
+
+    docs = table(spark, sf_dir, "documents")
+    return surprisal_buckets(docs, "doc_id", "text")

@@ -816,3 +816,19 @@ def test_z75_pmi_topk_is_take_ordered(spark, registry):
         assert "TakeOrderedAndProject" in plan, plan[:1200]
     finally:
         spark.catalog.clearCache()
+
+
+def test_z78_surprisal_buckets_no_window_boundaries_broadcast(spark, registry):
+    """Tertile bucketing must stay sort/window-free: percentile_disc is
+    ONE sketchless exact aggregate over the cached surprisal frame, the
+    labels a row-local comparison against the broadcast scalar pair."""
+    df = registry["z78_surprisal_buckets"].fn(spark, SF)
+    try:
+        plan = formatted_plan(df)
+        assert not re.findall(r"\(\d+\) Window\b", plan), plan[:1200]
+        assert "rangepartitioning" not in plan, plan[:1200]
+        assert "BroadcastNestedLoopJoin" in plan, plan[:1200]
+        rt = df._jdf.queryExecution().executedPlan().toString()
+        assert rt.count("InMemoryTableScan") >= 2, rt[:2000]
+    finally:
+        spark.catalog.clearCache()

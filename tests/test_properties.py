@@ -1608,3 +1608,26 @@ def test_split_leakage_sides_differ_and_pairs_are_neardups(spark, sf_dir):
     out = load_all()["z76_split_leakage"].fn(spark, sf_dir).collect()
     assert all(r["side_a"] != r["side_b"] for r in out)
     assert all(r["jac"] >= 0.6 for r in out)
+
+
+def test_surprisal_buckets_partition_and_order(spark, sf_dir):
+    """Buckets partition the corpus ~evenly into thirds; every head doc
+    has surprisal <= every middle doc <= every tail doc (tertile law on
+    the rounded values)."""
+    from spark_sql_hbase_spark.operators.ranking import surprisal_buckets
+    from spark_sql_hbase_spark.queries import table
+
+    try:
+        docs = table(spark, sf_dir, "documents")
+        out = surprisal_buckets(docs, "doc_id", "text").collect()
+        by = {}
+        for r in out:
+            by.setdefault(r["bucket"], []).append(r["surprisal"])
+        assert set(by) == {"head", "middle", "tail"}
+        assert max(by["head"]) <= min(by["middle"])
+        assert max(by["middle"]) <= min(by["tail"])
+        n = len(out)
+        for b in by.values():  # each tertile within ±20% of n/3
+            assert abs(len(b) - n / 3) < 0.2 * n
+    finally:
+        spark.catalog.clearCache()
