@@ -905,3 +905,76 @@ def containment_join(
         )
         .filter(F.col("cont") >= threshold)
     )
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    min_line_tokens: int = 3,
+) -> DataFrame:
+    """C4-style line-level duplicate detection (Raffel et al. 2020 §2.2,
+    public: C4 deduplicates repeated lines/sentences across the corpus):
+    sentences are split on terminal punctuation, normalized (lowercase,
+    trimmed), hashed, and any sentence whose corpus count reaches
+    ``min_count`` is flagged; per-doc stats report the duplicated-line
+    mass a curation pass thresholds on.  Sentences shorter than
+    ``min_line_tokens`` words are ignored (punctuation fragments and
+    headers dominate otherwise — the C4 convention keeps lines with ≥ 3
+    words).
+
+    Emits ``(id, n_lines, n_dup_lines, dup_frac)`` for docs with ≥ 1
+    qualifying line.
+
+    Plan shape (scales to 100 TB): sentence split + normalize + hash are
+    row-local; the explode emits one 8-byte hash per line (not per
+    token — strictly cheaper than
+    :func:`duplicate_spans`); corpus counts are one map-side-combined
+    aggregate keyed by hash; flagged hashes semi-join back on the SAME
+    partitioning; one per-doc rollup.  Text never survives past the
+    hash projection.
+    """
+    norm = (
+        "filter(transform(split(lower({t}), '[.!?]+'), "
+        "x -> trim(x)), x -> x <> '' AND "
+        "size(array_remove(split(x, '[^a-z0-9]+'), '')) >= {mt})"
+    ).format(t=text_col, mt=min_line_tokens)
+    lh = (
+        f"transform({norm}, x -> "
+        f"cast(conv(substring(md5(x), 1, 14), 16, 10) AS BIGINT))"
+    )
+    # cached: three consumers (corpus counts, semi-join side, per-doc
+    # totals) share one split+hash pass — same contract as
+    # duplicate_spans (callers clearCache between repeated runs)
+    arr = (
+        _parallelized(df)
+        .select(F.col(id_col).alias("id"), F.expr(lh).alias("lhs"))
+        .cache()
+    )
+    lines = arr.select("id", F.explode("lhs").alias("h"))
+    dup = (
+        lines.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    per_doc = (
+        lines.join(dup, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_lines"))
+    )
+    base = arr.select("id", F.size("lhs").cast("long").alias("n_lines")).filter(
+        F.col("n_lines") > 0
+    )
+    return base.join(per_doc, "id", "left_outer").select(
+        "id",
+        "n_lines",
+        F.coalesce(F.col("n_dup_lines"), F.lit(0)).cast("long").alias(
+            "n_dup_lines"
+        ),
+        (
+            F.coalesce(F.col("n_dup_lines"), F.lit(0)).cast("double")
+            / F.col("n_lines")
+        ).alias("dup_frac"),
+    )

@@ -2676,3 +2676,57 @@ def z78_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return surprisal_buckets(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# z79 — C4-style line-level dedup stats (round-5 addition;
+# operators/dedup.py::line_dedup_stats — Raffel et al. 2020 §2.2):
+# normalized sentences hashed, corpus count >= 2 flags duplicated lines,
+# per-doc duplicated-line mass.  One 8-byte hash per LINE in the shuffle
+# (cheaper than the per-token duplicate_spans).
+# ---------------------------------------------------------------------------
+_LINE_MT = 3  # C4 convention: lines with >= 3 words
+
+
+@register(
+    "z79_line_dedup_stats",
+    oracle=f"""
+    WITH __ln AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split_regex(lower(text), '[.!?]+'),
+                                  x -> trim(x)),
+                   x -> x <> '' AND
+                        len(list_filter(
+                            string_split_regex(x, '[^a-z0-9]+'),
+                            y -> y <> '')) >= {_LINE_MT}) AS ls
+        FROM documents
+    ), __h AS (
+        SELECT doc_id,
+               list_transform(ls,
+                   x -> (('0x' || substr(md5(x), 1, 14))::BIGINT)) AS lhs
+        FROM __ln
+    ), __e AS (
+        SELECT doc_id, unnest(lhs) AS h FROM __h
+    ), __dup AS (
+        SELECT h FROM __e GROUP BY h HAVING COUNT(*) >= 2
+    ), __pd AS (
+        SELECT doc_id, COUNT(*) AS n_dup
+        FROM __e WHERE h IN (SELECT h FROM __dup)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id AS id,
+           CAST(len(b.lhs) AS BIGINT) AS n_lines,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_lines,
+           COALESCE(p.n_dup, 0) * 1.0 / len(b.lhs) AS dup_frac
+    FROM __h b LEFT JOIN __pd p USING (doc_id)
+    WHERE len(b.lhs) > 0
+    """,
+    description="C4-style line-level dedup stats: normalized-sentence "
+    "hashes, corpus count >= 2, per-doc duplicated-line mass",
+)
+def z79_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.line_dedup_stats(
+        docs, "doc_id", "text", min_line_tokens=_LINE_MT
+    )

@@ -832,3 +832,21 @@ def test_z78_surprisal_buckets_no_window_boundaries_broadcast(spark, registry):
         assert rt.count("InMemoryTableScan") >= 2, rt[:2000]
     finally:
         spark.catalog.clearCache()
+
+
+def test_z79_line_dedup_shuffles_hashes_only(spark, registry):
+    """Line-level dedup exchanges carry (id, 8-byte line hash[, count])
+    — never the document text (d10's exchange contract at line
+    granularity)."""
+    df = registry["z79_line_dedup_stats"].fn(spark, SF)
+    try:
+        plan = formatted_plan(df)
+        lines = plan.splitlines()
+        matched = 0
+        for i, line in enumerate(lines):
+            if line.strip().startswith("Arguments: hashpartitioning"):
+                assert "text" not in lines[i - 1], (lines[i - 1], line)
+                matched += 1
+        assert matched >= 2, plan[:1500]
+    finally:
+        spark.catalog.clearCache()

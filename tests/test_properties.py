@@ -1631,3 +1631,48 @@ def test_surprisal_buckets_partition_and_order(spark, sf_dir):
             assert abs(len(b) - n / 3) < 0.2 * n
     finally:
         spark.catalog.clearCache()
+
+
+def test_line_dedup_matches_python_reference(spark):
+    """Per-doc duplicated-line stats agree with a naive Python replica:
+    repeated boilerplate sentences are flagged, unique prose is not,
+    sub-3-word fragments are ignored."""
+    import re as _re
+
+    from spark_sql_hbase_spark.operators.dedup import line_dedup_stats
+
+    rows = [
+        (1, "Subscribe to our newsletter today. This is unique prose one."),
+        (2, "Subscribe to our newsletter today. Totally different words here."),
+        (3, "Nothing shared with anything. Ok."),  # 'ok' fragment ignored
+        (4, "!!! ..."),  # no qualifying line -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in line_dedup_stats(df, "doc_id", "text").collect()}
+    try:
+        # naive replica
+        def lines(t):
+            out = []
+            for x in _re.split(r"[.!?]+", t.lower()):
+                x = x.strip()
+                if x and len([w for w in _re.split(r"[^a-z0-9]+", x) if w]) >= 3:
+                    out.append(x)
+            return out
+
+        from collections import Counter
+
+        all_lines = Counter()
+        per_doc = {i: lines(t) for i, t in rows}
+        for ls in per_doc.values():
+            all_lines.update(ls)
+        for i, ls in per_doc.items():
+            if not ls:
+                assert i not in got
+                continue
+            nd = sum(1 for x in ls if all_lines[x] >= 2)
+            assert got[i]["n_lines"] == len(ls), (i, got[i])
+            assert got[i]["n_dup_lines"] == nd, (i, got[i])
+        assert got[1]["n_dup_lines"] == 1 and got[2]["n_dup_lines"] == 1
+        assert got[3]["n_dup_lines"] == 0 and got[3]["n_lines"] == 1
+    finally:
+        spark.catalog.clearCache()
