@@ -978,3 +978,82 @@ def line_dedup_stats(
             / F.col("n_lines")
         ).alias("dup_frac"),
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int = 5,
+    min_line_tokens: int = 3,
+) -> DataFrame:
+    """The TRANSFORMATION twin of :func:`line_dedup_stats`: produce the
+    cleaned corpus with corpus-frequent lines removed (document frequency
+    > ``max_df`` — navigation chrome, cookie banners, boilerplate
+    footers; the removal step C4-style pipelines run after detection).
+    Reconstruction is over the NORMALIZED qualifying lines re-joined with
+    ``'. '`` — the curation convention, not byte-identical source text.
+
+    Emits ``(id, n_lines, n_kept, clean_text)`` for docs with ≥ 1
+    qualifying line (``clean_text`` may be empty when everything was
+    boilerplate).
+
+    Plan shape (scales to 100 TB): the ONLY shuffle is the flagged-set
+    aggregate, and it carries 8-byte hashes; the flagged lines (df >
+    max_df) are BOUNDED by nature — boilerplate is few distinct strings
+    repeated often — so they ride one packed broadcast row as a
+    map<hash, true>, and the reconstruction is a row-local array filter
+    with an exact map-membership test per line.  Document text NEVER
+    enters an exchange: scan → filter → output, embarrassingly parallel
+    (contrast: an explode + anti-join + re-agg shape would shuffle the
+    whole corpus text twice).
+    """
+    norm = (
+        "filter(transform(split(lower({t}), '[.!?]+'), "
+        "x -> trim(x)), x -> x <> '' AND "
+        "size(array_remove(split(x, '[^a-z0-9]+'), '')) >= {mt})"
+    ).format(t=text_col, mt=min_line_tokens)
+    line_hash = "cast(conv(substring(md5({x}), 1, 14), 16, 10) AS BIGINT)"
+    # flagged-set pass: hashes only in the exchange
+    hashes = _parallelized(df).select(
+        F.explode(F.expr(f"transform({norm}, x -> {line_hash.format(x='x')})"))
+        .alias("h")
+    )
+    flagged = (
+        hashes.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_df)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("h", F.lit(True).alias("v"))))
+            ).alias("__fl")
+        )
+    )
+    # reconstruction pass: bind the line array once (Generate barrier),
+    # then one row-local filter against the broadcast flagged map —
+    # map_contains_key on a NULL map (zero flagged lines) is NULL, so
+    # coalesce keeps every line in that case
+    keep = (
+        f"filter(__ls, x -> NOT coalesce("
+        f"map_contains_key(__fl, {line_hash.format(x='x')}), false))"
+    )
+    return (
+        _parallelized(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(F.expr(norm))).alias("__ls"),
+        )
+        .filter(F.size("__ls") > 0)
+        .join(F.broadcast(flagged))
+        .select(
+            "id",
+            F.size("__ls").cast("long").alias("n_lines"),
+            F.expr(keep).alias("__kept"),
+        )
+        .select(
+            "id",
+            "n_lines",
+            F.size("__kept").cast("long").alias("n_kept"),
+            F.concat_ws(". ", F.col("__kept")).alias("clean_text"),
+        )
+    )

@@ -2730,3 +2730,62 @@ def z79_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup_stats(
         docs, "doc_id", "text", min_line_tokens=_LINE_MT
     )
+
+
+# ---------------------------------------------------------------------------
+# z80 — boilerplate-line stripping (round-5 addition; operators/dedup.py
+# ::strip_boilerplate_lines): the transformation twin of z79/z58 —
+# corpus-frequent lines (df > max_df) removed, cleaned corpus emitted.
+# Document text never enters an exchange: the flagged set (bounded —
+# boilerplate is few distinct strings) rides one packed broadcast row as
+# an exact hash map and the reconstruction is a row-local array filter.
+# ---------------------------------------------------------------------------
+_STRIP_DF = 5
+
+
+@register(
+    "z80_boilerplate_strip",
+    oracle=f"""
+    WITH __ln AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split_regex(lower(text), '[.!?]+'),
+                                  x -> trim(x)),
+                   x -> x <> '' AND
+                        len(list_filter(
+                            string_split_regex(x, '[^a-z0-9]+'),
+                            y -> y <> '')) >= {_LINE_MT}) AS ls
+        FROM documents
+    ), __e AS (
+        SELECT doc_id, ls[i + 1] AS x, i AS pos
+        FROM __ln, LATERAL (SELECT unnest(range(0, len(ls))) AS i)
+    ), __cnt AS (
+        SELECT (('0x' || substr(md5(x), 1, 14))::BIGINT) AS h, COUNT(*) AS c
+        FROM __e GROUP BY 1
+    ), __fl AS (
+        SELECT h FROM __cnt WHERE c > {_STRIP_DF}
+    ), __kept AS (
+        SELECT doc_id, x, pos
+        FROM __e
+        WHERE (('0x' || substr(md5(x), 1, 14))::BIGINT) NOT IN
+              (SELECT h FROM __fl)
+    ), __agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(x, '. ' ORDER BY pos) AS clean_text
+        FROM __kept GROUP BY doc_id
+    )
+    SELECT b.doc_id AS id,
+           CAST(len(b.ls) AS BIGINT) AS n_lines,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM __ln b LEFT JOIN __agg a USING (doc_id)
+    WHERE len(b.ls) > 0
+    """,
+    description="boilerplate-line stripping: corpus-frequent lines "
+    "removed via a broadcast hash map, cleaned corpus emitted shuffle-free",
+)
+def z80_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.strip_boilerplate_lines(
+        docs, "doc_id", "text", max_df=_STRIP_DF, min_line_tokens=_LINE_MT
+    )

@@ -850,3 +850,19 @@ def test_z79_line_dedup_shuffles_hashes_only(spark, registry):
         assert matched >= 2, plan[:1500]
     finally:
         spark.catalog.clearCache()
+
+
+def test_z80_strip_text_never_exchanged(spark, registry):
+    """The cleaned-corpus transformation must keep document text out of
+    every exchange: the only hash exchange is the flagged-set aggregate
+    (8-byte line hashes), and the flagged map rides a single-row
+    BroadcastNestedLoopJoin into the row-local filter."""
+    plan = formatted_plan(registry["z80_boilerplate_strip"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1200]
+    lines = plan.splitlines()
+    matched = 0
+    for i, line in enumerate(lines):
+        if line.strip().startswith("Arguments: hashpartitioning"):
+            assert "text" not in lines[i - 1], (lines[i - 1], line)
+            matched += 1
+    assert matched >= 1, plan[:1500]

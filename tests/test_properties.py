@@ -1676,3 +1676,31 @@ def test_line_dedup_matches_python_reference(spark):
         assert got[3]["n_dup_lines"] == 0 and got[3]["n_lines"] == 1
     finally:
         spark.catalog.clearCache()
+
+
+def test_strip_boilerplate_removes_frequent_keeps_unique(spark):
+    """Lines above the df cap disappear from every doc; unique prose
+    survives verbatim (normalized); stats reconcile."""
+    from spark_sql_hbase_spark.operators.dedup import strip_boilerplate_lines
+
+    bp = "subscribe to our newsletter"
+    rows = [(i, f"{bp}. unique sentence number {i} here.") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in strip_boilerplate_lines(
+            df, "doc_id", "text", max_df=5
+        ).collect()
+    }
+    assert len(out) == 7
+    for i, r in out.items():
+        assert r["n_lines"] == 2 and r["n_kept"] == 1, r
+        assert r["clean_text"] == f"unique sentence number {i} here"
+    # below the cap nothing is stripped
+    out2 = {
+        r["id"]: r
+        for r in strip_boilerplate_lines(
+            df, "doc_id", "text", max_df=10
+        ).collect()
+    }
+    assert all(r["n_kept"] == 2 for r in out2.values())
