@@ -238,3 +238,62 @@ def k05_sql_alter_add_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select n_name, CAST(n_regionkey AS BIGINT) from __k05_nation order by n_name"
     )
     return sess.sql("select row_key, `cf:name`, `cf:region` from pw.evolve")
+
+
+# ---------------------------------------------------------------------------
+# z81 — Phoenix-style covered secondary index (round-5 addition;
+# sources/keyed_parquet.py::create_covered_index): value-column access
+# on a keyed table via a second keyed table whose row key is
+# lpad(value)|primary_key carrying the covered columns — the query is an
+# index-only RANGE scan (A4 fast path), the main table untouched.
+# Oracle: the plain value predicate over the source relation.
+# ---------------------------------------------------------------------------
+@register(
+    "z81_secondary_index",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           c_name AS name,
+           c_acctbal AS acctbal
+    FROM customer
+    WHERE c_nationkey = 5
+    """,
+    description="covered secondary index: value-predicate query served "
+    "by an index-only key-range scan, main table untouched",
+)
+def z81_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    c = table(spark, sf_dir, "customer").select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("c_name").alias("c:name"),
+        F.col("c_nationkey").alias("c:nationkey"),
+        F.col("c_acctbal").alias("c:acctbal"),
+    )
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_k",
+        key_type="string",
+        families={
+            "c": {"name": "string", "nationkey": "long", "acctbal": "double"}
+        },
+    )
+    store.ctas(spec, c, mode="overwrite")
+    store.create_covered_index(
+        "gate.cust_k",
+        "gate.cust_by_nation",
+        index_col="c:nationkey",
+        include=["c:name", "c:acctbal"],
+        key_width=5,
+        mode="overwrite",
+    )
+    idx = store.read("gate.cust_by_nation")
+    # index-only range scan: every nation-5 row sits in the contiguous
+    # '00005|' key range — the sorted layout prunes everything else
+    return idx.filter(
+        (F.col("row_key") >= "00005|") & (F.col("row_key") < "00005}")
+    ).select(
+        F.col("`i:src_key`").cast("long").alias("custkey"),
+        F.col("`c:name`").alias("name"),
+        F.col("`c:acctbal`").alias("acctbal"),
+    )

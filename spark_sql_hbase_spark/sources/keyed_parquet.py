@@ -28,7 +28,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_sql_hbase_spark.catalog import ROW_KEY, SchemaRegistry, TableSpec
+from spark_sql_hbase_spark.catalog import (
+    COLUMN_QUALIFIER_SPLITTER,
+    ROW_KEY,
+    SchemaRegistry,
+    TableSpec,
+)
 
 DEFAULT_REGIONS = 4  # default range-partition count when no split keys given
 
@@ -271,6 +276,58 @@ class KeyedTableStore:
             if not existed:
                 self.drop_table(spec.qualified_name)  # drop-on-failure
             raise
+
+    # -- secondary index (Phoenix-style covered index) --------------------
+    def create_covered_index(
+        self,
+        qualified_name: str,
+        index_qualified_name: str,
+        index_col: str,
+        include: list[str] | None = None,
+        key_width: int = 12,
+        mode: str = "error",
+    ) -> None:
+        """Phoenix-style GLOBAL COVERED secondary index (public Apache
+        Phoenix design): a second keyed table whose row key is the
+        indexed VALUE (zero-padded, stringified) concatenated with the
+        primary row key (for uniqueness), carrying the covered columns —
+        so a value-predicate query is answered by an index-only RANGE
+        scan (key-sorted layout + region pruning, the A4 fast path)
+        without ever touching the main table.
+
+        The reference engine indexes only the row key; HBase deployments
+        add value-column access via Phoenix global indexes — this is that
+        extension on the keyed store.  Consistency contract: built via
+        CTAS over a snapshot of the main table; production keeps it fresh
+        by dual-writes or periodic rebuild (Phoenix ASYNC semantics).
+        Scale: the index build is one range-partitioned key-sorted write
+        (same cost class as compaction); the read path replaces a full
+        main-table scan + filter with an index range scan bounded by the
+        predicate's key range.
+        """
+        main_spec = self.registry.get(qualified_name)
+        cf, qual = index_col.split(COLUMN_QUALIFIER_SPLITTER, 1)
+        covered = list(include or [])
+        ns, iname = index_qualified_name.split(".", 1)
+        fams: dict[str, dict[str, str]] = {"i": {"src_key": "string"}}
+        for c in [index_col] + covered:
+            ccf, cq = c.split(COLUMN_QUALIFIER_SPLITTER, 1)
+            fams.setdefault(ccf, {})[cq] = main_spec.families[ccf][cq]
+        spec = TableSpec(
+            namespace=ns, name=iname, key_type="string", families=fams
+        )
+        main = self.read(qualified_name)
+        ik = F.concat(
+            F.lpad(F.col(f"`{index_col}`").cast("string"), key_width, "0"),
+            F.lit("|"),
+            F.col(ROW_KEY),
+        )
+        proj = main.select(
+            ik.alias(ROW_KEY),
+            F.col(ROW_KEY).alias("i:src_key"),
+            *[F.col(f"`{c}`").alias(c) for c in [index_col] + covered],
+        )
+        self.ctas(spec, proj, mode=mode)
 
     # -- compaction (A10 bulk-rewrite analogue) ---------------------------
     def compact(self, qualified_name: str, n_regions: int | None = None) -> None:

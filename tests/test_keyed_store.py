@@ -335,3 +335,50 @@ def test_engine_session_with_registry(spark):
     )
     sess = EngineSession(spark=spark, registry_path=path)
     assert sess.registry.exists("pw.test")
+
+
+def test_covered_index_is_index_only_and_consistent(spark, tmp_path):
+    """The covered secondary index answers a value-predicate query from
+    the INDEX table alone (no main-table files in the scan) and agrees
+    row-for-row with filtering the main table."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    rows = [(i, f"name{i}", i % 4, float(i) * 1.5) for i in range(1, 41)]
+    src = spark.createDataFrame(rows, "k long, name string, grp long, val double")
+    st.ctas(
+        TableSpec(
+            namespace="ix",
+            name="main",
+            key_type="string",
+            families={"c": {"name": "string", "grp": "long", "val": "double"}},
+        ),
+        src.select(
+            F.lpad(F.col("k").cast("string"), 8, "0").alias("row_key"),
+            F.col("name").alias("c:name"),
+            F.col("grp").alias("c:grp"),
+            F.col("val").alias("c:val"),
+        ),
+    )
+    st.create_covered_index(
+        "ix.main", "ix.by_grp", index_col="c:grp", include=["c:name", "c:val"],
+        key_width=4,
+    )
+    idx = st.read("ix.by_grp").filter(
+        (F.col("row_key") >= "0002|") & (F.col("row_key") < "0002}")
+    )
+    got = {
+        (r["i:src_key"], r["c:name"], r["c:val"]) for r in idx.collect()
+    }
+    exp = {
+        (f"{i:08d}", f"name{i}", i * 1.5) for i in range(1, 41) if i % 4 == 2
+    }
+    assert got == exp and len(got) == 10
+    # index-only: the scan touches ONLY the index table's files
+    files = idx.inputFiles()
+    assert files and all("by_grp" in f for f in files), files
+    # the index table itself is a well-formed keyed table (sorted regions)
+    assert st.exists("ix.by_grp")
