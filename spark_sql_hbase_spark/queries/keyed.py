@@ -297,3 +297,54 @@ def z81_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`c:name`").alias("name"),
         F.col("`c:acctbal`").alias("acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z82 — versioned cells + as-of read (round-5 addition;
+# sources/keyed_parquet.py::read_versions_asof): the append-only keyed
+# layout gives HBase timestamp semantics for free — two insert batches
+# stamp versions 1 and 2 (batch 2 "updates" every 7th customer's
+# balance), and the as-of read returns the latest version per key at
+# the cut.  Oracle: the same two-batch construction as plain SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "z82_versioned_asof_read",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS acctbal,
+           CASE WHEN c_custkey % 7 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS v
+    FROM customer
+    """,
+    description="versioned keyed cells: append-only inserts stamp "
+    "versions, as-of read returns latest-per-key at the cut",
+)
+def z82_versioned_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    c = table(spark, sf_dir, "customer")
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_v",
+        key_type="string",
+        families={"c": {"acctbal": "double", "v": "long"}},
+    )
+    base = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("c_acctbal").alias("c:acctbal"),
+        F.lit(1).cast("long").alias("c:v"),
+    )
+    store.ctas(spec, base, mode="overwrite")
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        (F.col("c_acctbal") + 100.0).alias("c:acctbal"),
+        F.lit(2).cast("long").alias("c:v"),
+    )
+    store.insert("gate.cust_v", updates)
+    return store.read_versions_asof("gate.cust_v", "c:v", 2).select(
+        "row_key",
+        F.col("`c:acctbal`").alias("acctbal"),
+        F.col("`c:v`").alias("v"),
+    )

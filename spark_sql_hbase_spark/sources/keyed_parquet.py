@@ -329,6 +329,45 @@ class KeyedTableStore:
         )
         self.ctas(spec, proj, mode=mode)
 
+    # -- versioned reads (HBase timestamp semantics) ----------------------
+    def read_versions_asof(
+        self,
+        qualified_name: str,
+        version_col: str,
+        asof,
+    ) -> DataFrame:
+        """HBase timestamp-read analogue: keyed tables APPEND on insert,
+        so a logical row accumulates versions — one physical row per
+        (row_key, version) where ``version_col`` is a monotonically
+        increasing qualifier the writer stamps (HBase: the cell
+        timestamp).  Returns the LATEST version per row key with
+        ``version <= asof`` — the Get/Scan-with-TIMERANGE semantics an
+        HBase user expects, and the time-travel read the append-only
+        layout gives for free.
+
+        Contract: (row_key, version) unique per table — the writer owns
+        version assignment exactly as HBase clients own timestamps.
+
+        Plan shape (scales to 100 TB): filter + ONE map-side-combined
+        max aggregate keyed by row_key + an equi-join back on
+        (row_key, version) — deterministic under the uniqueness contract
+        (no ``max_by``, whose tie winner is partition-order-dependent),
+        no window, no global sort.  Old versions are physically removed
+        by :meth:`compact` callers that pre-filter (major compaction
+        discarding expired cells).
+        """
+        df = self.read(qualified_name).filter(
+            F.col(f"`{version_col}`") <= F.lit(asof)
+        )
+        latest = df.groupBy(ROW_KEY).agg(
+            F.max(f"`{version_col}`").alias("__v")
+        )
+        return df.join(
+            latest,
+            (df[ROW_KEY] == latest[ROW_KEY])
+            & (df[f"`{version_col}`"] == latest["__v"]),
+        ).select(df["*"])
+
     # -- compaction (A10 bulk-rewrite analogue) ---------------------------
     def compact(self, qualified_name: str, n_regions: int | None = None) -> None:
         """Rewrite the table into ``n_regions`` key-sorted partitions —

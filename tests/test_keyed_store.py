@@ -382,3 +382,41 @@ def test_covered_index_is_index_only_and_consistent(spark, tmp_path):
     assert files and all("by_grp" in f for f in files), files
     # the index table itself is a well-formed keyed table (sorted regions)
     assert st.exists("ix.by_grp")
+
+
+def test_versioned_asof_read_cuts(spark, tmp_path):
+    """As-of reads honor the version cut: asof=1 sees only batch-1
+    values, asof=2 sees batch-2 updates where present, and untouched
+    keys keep their batch-1 row at every cut."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="v", name="t", key_type="string",
+        families={"c": {"val": "long", "v": "long"}},
+    )
+    st.create_table(spec)
+    b1 = spark.createDataFrame(
+        [(f"{i:04d}", i, 1) for i in range(10)],
+        "row_key string, `c:val` long, `c:v` long",
+    )
+    b2 = spark.createDataFrame(
+        [(f"{i:04d}", i + 1000, 2) for i in range(0, 10, 3)],
+        "row_key string, `c:val` long, `c:v` long",
+    )
+    st.insert("v.t", b1, generate_row_key=False)
+    st.insert("v.t", b2, generate_row_key=False)
+    asof1 = {
+        r["row_key"]: r["c:val"]
+        for r in st.read_versions_asof("v.t", "c:v", 1).collect()
+    }
+    assert asof1 == {f"{i:04d}": i for i in range(10)}
+    asof2 = {
+        r["row_key"]: r["c:val"]
+        for r in st.read_versions_asof("v.t", "c:v", 2).collect()
+    }
+    exp = {f"{i:04d}": (i + 1000 if i % 3 == 0 else i) for i in range(10)}
+    assert asof2 == exp
