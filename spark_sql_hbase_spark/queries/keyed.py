@@ -348,3 +348,53 @@ def z82_versioned_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`c:acctbal`").alias("acctbal"),
         F.col("`c:v`").alias("v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z83 — salted row keys + fan-out range scan (round-5 addition;
+# sources/keyed_parquet.py::salted_key / read_salted_key_range — the
+# HBase hot-spotting fix, Phoenix SALT_BUCKETS): monotonically
+# increasing order keys are salted into 8 buckets at write time so
+# ingest spreads across regions; the logical key range fans out to 8
+# physical ranges in one OR-of-ranges predicate.  Oracle: the plain
+# range predicate over the source relation.
+# ---------------------------------------------------------------------------
+_SALT_B = 8
+
+
+@register(
+    "z83_salted_key_range",
+    oracle="""
+    SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS row_key,
+           o_totalprice AS totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 2000
+    """,
+    description="salted row keys: hash-prefix buckets kill ingest "
+    "hot-spotting; range scan fans out to B salted ranges",
+)
+def z83_salted_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    store = _store(spark)
+    o = table(spark, sf_dir, "orders")
+    key = F.lpad(F.col("o_orderkey").cast("string"), 10, "0")
+    spec = TableSpec(
+        namespace="gate",
+        name="orders_salted",
+        key_type="string",
+        families={"o": {"totalprice": "double"}},
+        split_keys=[f"{b:02d}|" for b in range(1, _SALT_B)],
+    )
+    store.ctas(
+        spec,
+        o.select(
+            KeyedTableStore.salted_key(key, _SALT_B).alias("row_key"),
+            F.col("o_totalprice").alias("o:totalprice"),
+        ),
+        mode="overwrite",
+    )
+    return store.read_salted_key_range(
+        "gate.orders_salted", _SALT_B, "0000001000", "0000002000"
+    ).select("row_key", F.col("`o:totalprice`").alias("totalprice"))

@@ -368,6 +368,43 @@ class KeyedTableStore:
             & (df[f"`{version_col}`"] == latest["__v"]),
         ).select(df["*"])
 
+    # -- salted keys (HBase hot-spotting fix / Phoenix SALT_BUCKETS) ------
+    @staticmethod
+    def salted_key(key: "F.Column", buckets: int) -> "F.Column":
+        """Salt a row key with a deterministic hash-prefix bucket —
+        ``NN|<key>`` where ``NN = md5_56(key) % buckets`` — the standard
+        HBase fix for monotonically-increasing keys hot-spotting one
+        region (Phoenix ``SALT_BUCKETS`` semantics, public).  Writes
+        spread across ``buckets`` key ranges; split the table on the
+        salt prefixes so each bucket is its own region."""
+        h = F.conv(F.substring(F.md5(key.cast("string")), 1, 14), 16, 10).cast(
+            "long"
+        )
+        return F.concat(
+            F.lpad((h % buckets).cast("string"), 2, "0"), F.lit("|"), key
+        )
+
+    def read_salted_key_range(
+        self, qualified_name: str, buckets: int, lo: str, hi: str
+    ) -> DataFrame:
+        """Key-range scan over a salted table: the logical range
+        ``[lo, hi]`` fans out to ``buckets`` physical ranges
+        ``[NN|lo, NN|hi]`` — one per salt prefix — expressed as a single
+        OR-of-ranges predicate so parquet row-group min/max stats (and
+        the datasource's region pruning) skip everything outside all
+        ``buckets`` stripes.  The salt is stripped from the returned
+        ``row_key``.  This is exactly how Phoenix serves range queries
+        over salted tables: B parallel range scans instead of one."""
+        df = self.read(qualified_name)
+        cond = None
+        for b in range(buckets):
+            p = f"{b:02d}|"
+            rng = (F.col(ROW_KEY) >= p + lo) & (F.col(ROW_KEY) <= p + hi)
+            cond = rng if cond is None else (cond | rng)
+        return df.filter(cond).withColumn(
+            ROW_KEY, F.substring(F.col(ROW_KEY), 4, 10_000_000)
+        )
+
     # -- compaction (A10 bulk-rewrite analogue) ---------------------------
     def compact(self, qualified_name: str, n_regions: int | None = None) -> None:
         """Rewrite the table into ``n_regions`` key-sorted partitions —

@@ -420,3 +420,42 @@ def test_versioned_asof_read_cuts(spark, tmp_path):
     }
     exp = {f"{i:04d}": (i + 1000 if i % 3 == 0 else i) for i in range(10)}
     assert asof2 == exp
+
+
+def test_salted_keys_spread_and_range_scan_exact(spark, tmp_path):
+    """Salting spreads a monotonically increasing key across buckets
+    (every bucket non-empty at modest cardinality) and the fan-out range
+    scan returns exactly the logical range with the salt stripped."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    src = spark.range(1, 201).select(
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    spec = TableSpec(
+        namespace="s", name="t", key_type="string",
+        families={"c": {"v": "long"}},
+    )
+    st.ctas(
+        spec,
+        src.select(
+            KeyedTableStore.salted_key(F.col("k"), 4).alias("row_key"),
+            F.col("v").alias("c:v"),
+        ),
+    )
+    raw = st.read("s.t")
+    prefixes = {
+        r["p"] for r in raw.select(
+            F.substring("row_key", 1, 2).alias("p")
+        ).distinct().collect()
+    }
+    assert prefixes == {"00", "01", "02", "03"}
+    got = {
+        (r["row_key"], r["c:v"])
+        for r in st.read_salted_key_range("s.t", 4, "000050", "000060").collect()
+    }
+    assert got == {(f"{i:06d}", i * 2) for i in range(50, 61)}
