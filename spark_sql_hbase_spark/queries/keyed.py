@@ -398,3 +398,54 @@ def z83_salted_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read_salted_key_range(
         "gate.orders_salted", _SALT_B, "0000001000", "0000002000"
     ).select("row_key", F.col("`o:totalprice`").alias("totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# z84 — version-GC compaction (round-5 addition; sources/keyed_parquet.py
+# ::compact_versions): after the z82 two-batch construction, a major
+# compaction with VERSIONS=1 semantics physically drops superseded
+# cells; the PLAIN read then equals what the as-of read computed —
+# compaction is semantically invisible (same oracle as z82 by design).
+# ---------------------------------------------------------------------------
+@register(
+    "z84_version_gc_compaction",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS acctbal,
+           CASE WHEN c_custkey % 7 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS v
+    FROM customer
+    """,
+    description="version-GC major compaction: superseded cells physically "
+    "dropped, plain read == pre-compaction as-of read",
+)
+def z84_version_gc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    c = table(spark, sf_dir, "customer")
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_gc",
+        key_type="string",
+        families={"c": {"acctbal": "double", "v": "long"}},
+    )
+    base = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("c_acctbal").alias("c:acctbal"),
+        F.lit(1).cast("long").alias("c:v"),
+    )
+    store.ctas(spec, base, mode="overwrite")
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        (F.col("c_acctbal") + 100.0).alias("c:acctbal"),
+        F.lit(2).cast("long").alias("c:v"),
+    )
+    store.insert("gate.cust_gc", updates)
+    store.compact_versions("gate.cust_gc", "c:v")
+    return store.read("gate.cust_gc").select(
+        "row_key",
+        F.col("`c:acctbal`").alias("acctbal"),
+        F.col("`c:v`").alias("v"),
+    )

@@ -405,6 +405,47 @@ class KeyedTableStore:
             ROW_KEY, F.substring(F.col(ROW_KEY), 4, 10_000_000)
         )
 
+    # -- version GC at compaction (HBase VERSIONS=1 / TTL semantics) ------
+    def compact_versions(
+        self,
+        qualified_name: str,
+        version_col: str,
+        min_version=None,
+        n_regions: int | None = None,
+    ) -> None:
+        """Major compaction with version garbage collection: rewrite the
+        table keeping only the LATEST version per row key (HBase
+        ``VERSIONS => 1``), optionally dropping rows below
+        ``min_version`` first (TTL expiry — cells older than the cut are
+        gone even if they are the only version).  Reads before and after
+        are equivalent for any ``read_versions_asof`` at or above the
+        surviving versions — compaction is semantically invisible, it
+        only reclaims space and restores scan locality.
+
+        Same cost class as :meth:`compact`: one latest-per-key reduction
+        (filter + max aggregate + equi-join, deterministic under the
+        (key, version) uniqueness contract) + one range-partitioned
+        key-sorted rewrite.
+        """
+        spec = self.registry.get(qualified_name)
+        snap = self.read(qualified_name)
+        if min_version is not None:
+            snap = snap.filter(F.col(f"`{version_col}`") >= F.lit(min_version))
+        latest = snap.groupBy(ROW_KEY).agg(
+            F.max(f"`{version_col}`").alias("__v")
+        )
+        kept = snap.join(
+            latest,
+            (snap[ROW_KEY] == latest[ROW_KEY])
+            & (snap[f"`{version_col}`"] == latest["__v"]),
+        ).select(snap["*"]).localCheckpoint(eager=True)
+        n = n_regions or (
+            max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
+        )
+        out = kept.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        out.write.mode("overwrite").parquet(self.table_path(spec))
+        self.refresh(qualified_name)
+
     # -- compaction (A10 bulk-rewrite analogue) ---------------------------
     def compact(self, qualified_name: str, n_regions: int | None = None) -> None:
         """Rewrite the table into ``n_regions`` key-sorted partitions —

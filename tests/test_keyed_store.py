@@ -459,3 +459,39 @@ def test_salted_keys_spread_and_range_scan_exact(spark, tmp_path):
         for r in st.read_salted_key_range("s.t", 4, "000050", "000060").collect()
     }
     assert got == {(f"{i:06d}", i * 2) for i in range(50, 61)}
+
+
+def test_version_gc_compaction_drops_superseded_and_ttl(spark, tmp_path):
+    """After compact_versions the table physically holds one row per key
+    (VERSIONS=1); with min_version the TTL path drops expired cells even
+    when they are the only version."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="gc", name="t", key_type="string",
+        families={"c": {"val": "long", "v": "long"}},
+    )
+    st.create_table(spec)
+    b1 = spark.createDataFrame(
+        [(f"{i:04d}", i, 1) for i in range(10)],
+        "row_key string, `c:val` long, `c:v` long",
+    )
+    b2 = spark.createDataFrame(
+        [(f"{i:04d}", i + 1000, 2) for i in range(0, 10, 2)],
+        "row_key string, `c:val` long, `c:v` long",
+    )
+    st.insert("gc.t", b1, generate_row_key=False)
+    st.insert("gc.t", b2, generate_row_key=False)
+    assert st.read("gc.t").count() == 15  # 10 + 5 physical rows
+    st.compact_versions("gc.t", "c:v")
+    rows = {r["row_key"]: (r["c:val"], r["c:v"]) for r in st.read("gc.t").collect()}
+    assert len(rows) == 10
+    assert rows["0000"] == (1000, 2) and rows["0001"] == (1, 1)
+    # TTL: expire everything below version 2 — only updated keys survive
+    st.compact_versions("gc.t", "c:v", min_version=2)
+    rows2 = {r["row_key"] for r in st.read("gc.t").collect()}
+    assert rows2 == {f"{i:04d}" for i in range(0, 10, 2)}
