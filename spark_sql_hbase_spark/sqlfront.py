@@ -86,6 +86,14 @@ _DROP_DB_RE = re.compile(
     re.IGNORECASE,
 )
 _PROP_KV_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
+_CREATE_INDEX_RE = re.compile(
+    rf"^\s*create\s+index\s+(?P<ine>if\s+not\s+exists\s+)?"
+    rf"(?P<idx>{_QUALIFIED})\s+on\s+(?:table\s+)?(?P<target>{_QUALIFIED})\s*"
+    rf"\(\s*(?P<col>`[^`]+`|[\w:]+)\s*\)\s*"
+    rf"(?:include\s*\((?P<inc>[^)]*)\)\s*)?"
+    rf"(?:options\s*\((?P<opts>[^)]*)\)\s*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
 _USING_KEYED_RE = re.compile(r"\busing\s+keyed(?:table)?\b", re.IGNORECASE)
 _OPTIONS_RE = re.compile(r"\boptions\s*\(", re.IGNORECASE)
 _OPTION_KV_RE = re.compile(r"(\w+)\s*=\s*'([^']*)'")
@@ -279,6 +287,28 @@ class KeyedSqlRouter:
             ddl_clause = rest[: as_m.start()] if as_m else rest
             if _USING_KEYED_RE.search(ddl_clause):
                 return self._create(m)
+
+        m = _CREATE_INDEX_RE.match(stmt)
+        if m:
+            ns, name = _split_qualified(m.group("target"), self.spark)
+            if self._is_keyed(ns, name):
+                ins, iname = _split_qualified(m.group("idx"), self.spark)
+                if m.group("ine") and self._is_keyed(ins, iname):
+                    return self.spark.sql("SELECT 1 WHERE 1=0")
+                include = [
+                    _unquote(c)
+                    for c in _split_top_level_commas(m.group("inc") or "")
+                    if c.strip()
+                ]
+                opts = dict(_OPTION_KV_RE.findall(m.group("opts") or ""))
+                self.store.create_covered_index(
+                    f"{ns}.{name}",
+                    f"{ins}.{iname}",
+                    index_col=_unquote(m.group("col")),
+                    include=include,
+                    key_width=int(opts.get("key_width", "12")),
+                )
+                return self.spark.sql("SELECT 1 WHERE 1=0")
 
         m = _DROP_RE.match(stmt)
         if m:

@@ -327,3 +327,42 @@ def test_sql_non_session_catalog_target_not_keyed_routed(sql_session):
     ns, name = _split_qualified("othercat.pw.nc", sess.spark)
     assert (ns, name) == ("othercat.pw", "nc")
     assert not sess.store.registry.exists(f"{ns}.{name}")
+
+
+def test_sql_create_index_routes_to_covered_index(spark, tmp_path):
+    """CREATE INDEX ... ON <keyed table> (col) INCLUDE (...) routes to
+    the store's covered-index builder; the index is a queryable keyed
+    table and IF NOT EXISTS is idempotent."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    prev_db = spark.catalog.currentDatabase()
+    try:
+        sess.sql(
+            "CREATE TABLE ixq.t (row_key string, `c:grp` long, `c:val` long) "
+            "USING keyed"
+        )
+        rows = spark.createDataFrame(
+            [(f"{i:04d}", i % 3, i * 10) for i in range(12)],
+            "row_key string, `c:grp` long, `c:val` long",
+        )
+        rows.createOrReplaceTempView("__ix_src")
+        sess.sql("INSERT INTO ixq.t SELECT * FROM __ix_src")
+        sess.sql(
+            "CREATE INDEX ixq.by_grp ON ixq.t (`c:grp`) "
+            "INCLUDE (`c:val`) OPTIONS (key_width='3')"
+        )
+        idx = sess.store.read("ixq.by_grp").filter(
+            (F.col("row_key") >= "001|") & (F.col("row_key") < "001}")
+        )
+        got = {(r["i:src_key"], r["c:val"]) for r in idx.collect()}
+        assert got == {(f"{i:04d}", i * 10) for i in range(12) if i % 3 == 1}
+        # idempotent under IF NOT EXISTS
+        sess.sql(
+            "CREATE INDEX IF NOT EXISTS ixq.by_grp ON ixq.t (`c:grp`) "
+            "INCLUDE (`c:val`) OPTIONS (key_width='3')"
+        )
+    finally:
+        spark.catalog.setCurrentDatabase(prev_db)
