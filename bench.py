@@ -142,23 +142,16 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
     # re-rank (candidate-only vector reads), and the foreachBatch
     # stream-static delta dedup (timed END-TO-END including its
     # persist_band_index build — the one-shot production setup cost)
+    # ...plus the round-5 late additions: winnowing fingerprint selection
+    # (exchange-free scan shape), containment candidates off that index,
+    # the count-min counter grid (bounded-shuffle aggregate), the
+    # Bloom-gated decontamination, and PMI collocations (cached bigram
+    # aggregate)
     for name in (
         "z61_semantic_dedup",
         "z63_dsir_importance",
         "z64_ivfadc_rerank",
         "z65_stream_neardup_index",
-    ):
-        t0 = time.perf_counter()
-        n = registry[name].fn(spark, sf_dir).count()
-        out[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {out[name]}s rows={n}", file=sys.stderr)
-        spark.catalog.clearCache()
-
-    # round-5 late additions: winnowing fingerprint selection (exchange-
-    # free scan shape), containment candidates off that index, the
-    # count-min counter grid (bounded-shuffle aggregate), the Bloom-gated
-    # decontamination, and PMI collocations (cached bigram aggregate)
-    for name in (
         "z67_winnowing_fingerprints",
         "z71_containment_neardup",
         "z70_cms_heavy_hitters",

@@ -907,6 +907,24 @@ def containment_join(
     )
 
 
+def _norm_lines_sql(text_col: str, min_line_tokens: int) -> str:
+    """SQL expression: normalized qualifying sentences of ``text_col`` —
+    split on terminal punctuation, trimmed, lowercased, >= N words.
+    Shared by the detection (:func:`line_dedup_stats`) and
+    transformation (:func:`strip_boilerplate_lines`) twins so their
+    line law can never drift apart."""
+    return (
+        "filter(transform(split(lower({t}), '[.!?]+'), "
+        "x -> trim(x)), x -> x <> '' AND "
+        "size(array_remove(split(x, '[^a-z0-9]+'), '')) >= {mt})"
+    ).format(t=text_col, mt=min_line_tokens)
+
+
+#: SQL template: 56-bit md5 hash of a line expression (same law as
+#: functions/texthash.word_hash) — shared by the z79/z80 twins.
+_LINE_HASH_SQL = "cast(conv(substring(md5({x}), 1, 14), 16, 10) AS BIGINT)"
+
+
 def line_dedup_stats(
     df: DataFrame,
     id_col: str,
@@ -935,15 +953,8 @@ def line_dedup_stats(
     partitioning; one per-doc rollup.  Text never survives past the
     hash projection.
     """
-    norm = (
-        "filter(transform(split(lower({t}), '[.!?]+'), "
-        "x -> trim(x)), x -> x <> '' AND "
-        "size(array_remove(split(x, '[^a-z0-9]+'), '')) >= {mt})"
-    ).format(t=text_col, mt=min_line_tokens)
-    lh = (
-        f"transform({norm}, x -> "
-        f"cast(conv(substring(md5(x), 1, 14), 16, 10) AS BIGINT))"
-    )
+    norm = _norm_lines_sql(text_col, min_line_tokens)
+    lh = f"transform({norm}, x -> {_LINE_HASH_SQL.format(x='x')})"
     # cached: three consumers (corpus counts, semi-join side, per-doc
     # totals) share one split+hash pass — same contract as
     # duplicate_spans (callers clearCache between repeated runs)
@@ -1008,16 +1019,19 @@ def strip_boilerplate_lines(
     (contrast: an explode + anti-join + re-agg shape would shuffle the
     whole corpus text twice).
     """
-    norm = (
-        "filter(transform(split(lower({t}), '[.!?]+'), "
-        "x -> trim(x)), x -> x <> '' AND "
-        "size(array_remove(split(x, '[^a-z0-9]+'), '')) >= {mt})"
-    ).format(t=text_col, mt=min_line_tokens)
-    line_hash = "cast(conv(substring(md5({x}), 1, 14), 16, 10) AS BIGINT)"
-    # flagged-set pass: hashes only in the exchange
+    norm = _norm_lines_sql(text_col, min_line_tokens)
+    line_hash = _LINE_HASH_SQL
+    # flagged-set pass: hashes only in the exchange; per-doc
+    # array_distinct FIRST so the count is true DOCUMENT frequency — a
+    # single document repeating its own (unique) line many times must
+    # not push that line over the corpus df cap
     hashes = _parallelized(df).select(
-        F.explode(F.expr(f"transform({norm}, x -> {line_hash.format(x='x')})"))
-        .alias("h")
+        F.explode(
+            F.expr(
+                f"array_distinct(transform({norm}, "
+                f"x -> {line_hash.format(x='x')}))"
+            )
+        ).alias("h")
     )
     flagged = (
         hashes.groupBy("h")

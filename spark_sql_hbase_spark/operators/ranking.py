@@ -467,6 +467,30 @@ def dsir_importance_sql(
     """
 
 
+def cms_placed(docs: DataFrame, text_col: str, depth: int, width: int) -> DataFrame:
+    """(term, row, bucket) placements of the token stream into the
+    count-min grid — the ONE hash law shared by the batch operator and
+    the streaming sketch (their bit-identical-counters contract depends
+    on this staying a single definition)."""
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+
+    terms = docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (word_hash(F.concat(F.lit(f"cms{r}:"), F.col("term"))) % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return terms.select("term", F.explode(rows).alias("rb")).select(
+        "term", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+
+
 def cms_heavy_hitters(
     docs: DataFrame,
     text_col: str,
@@ -499,23 +523,7 @@ def cms_heavy_hitters(
     exists for the audit column only — a pure production run drops it and
     with it the vocabulary-cardinality aggregate (t09's accepted class).
     """
-    from spark_sql_hbase_spark.functions.texthash import word_hash
-
-    terms = docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"),
-                (word_hash(F.concat(F.lit(f"cms{r}:"), F.col("term"))) % width)
-                .cast("int")
-                .alias("bucket"),
-            )
-            for r in range(depth)
-        ]
-    )
-    placed = terms.select("term", F.explode(rows).alias("rb")).select(
-        "term", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
-    )
+    placed = cms_placed(docs, text_col, depth, width)
     # ONE corpus-scanning aggregate: per-(term,row,bucket) counts.  The
     # counter grid is a rollup of cand (Σ tc per (row,bucket) — vocab-
     # cardinality input, NOT a second corpus pass), and the always-true
@@ -553,9 +561,11 @@ def cms_heavy_hitters(
     if threshold is not None:
         kept = probed.filter(F.col("est") >= threshold)
     else:
+        # decimal side-steps int64 overflow of est * 1e6 at very large
+        # stream totals (a 100 TB token stream crosses ~9.2e12 counts)
         kept = probed.filter(
-            F.col("est") * F.lit(1_000_000)
-            >= F.col("n_total") * F.lit(int(threshold_ppm))
+            F.col("est").cast("decimal(38,0)") * F.lit(1_000_000)
+            >= F.col("n_total").cast("decimal(38,0)") * F.lit(int(threshold_ppm))
         )
     return kept.select(
         "term", "est", F.col("true_ct").cast("long").alias("true_ct")

@@ -2760,8 +2760,11 @@ _STRIP_DF = 5
         SELECT doc_id, ls[i + 1] AS x, i AS pos
         FROM __ln, LATERAL (SELECT unnest(range(0, len(ls))) AS i)
     ), __cnt AS (
-        SELECT (('0x' || substr(md5(x), 1, 14))::BIGINT) AS h, COUNT(*) AS c
-        FROM __e GROUP BY 1
+        SELECT h, COUNT(*) AS c FROM (
+            SELECT DISTINCT doc_id,
+                   (('0x' || substr(md5(x), 1, 14))::BIGINT) AS h
+            FROM __e
+        ) GROUP BY h
     ), __fl AS (
         SELECT h FROM __cnt WHERE c > {_STRIP_DF}
     ), __kept AS (

@@ -317,6 +317,27 @@ class KeyedTableStore:
             namespace=ns, name=iname, key_type="string", families=fams
         )
         main = self.read(qualified_name)
+        # lpad TRUNCATES strings longer than the pad width, which would
+        # silently collide distinct index values into one key prefix (and
+        # a leading '-' breaks lexicographic order outright) — reject
+        # both at build time; this is one bounded aggregate over the
+        # snapshot the CTAS is about to read anyway
+        probe = main.agg(
+            F.max(F.length(F.col(f"`{index_col}`").cast("string"))).alias("w"),
+            F.max(
+                F.col(f"`{index_col}`").cast("string").startswith("-").cast("int")
+            ).alias("neg"),
+        ).collect()[0]
+        if probe["w"] is not None and probe["w"] > key_width:
+            raise ValueError(
+                f"index values up to {probe['w']} chars exceed "
+                f"key_width={key_width}; pass a wider key_width"
+            )
+        if probe["neg"]:
+            raise ValueError(
+                "negative index values break lexicographic key order; "
+                "bias the column into a non-negative range first"
+            )
         ik = F.concat(
             F.lpad(F.col(f"`{index_col}`").cast("string"), key_width, "0"),
             F.lit("|"),
@@ -377,6 +398,10 @@ class KeyedTableStore:
         region (Phoenix ``SALT_BUCKETS`` semantics, public).  Writes
         spread across ``buckets`` key ranges; split the table on the
         salt prefixes so each bucket is its own region."""
+        if not 1 <= buckets <= 100:
+            raise ValueError(
+                f"buckets must be in [1, 100] (2-char salt prefix), got {buckets}"
+            )
         h = F.conv(F.substring(F.md5(key.cast("string")), 1, 14), 16, 10).cast(
             "long"
         )
@@ -395,6 +420,10 @@ class KeyedTableStore:
         ``buckets`` stripes.  The salt is stripped from the returned
         ``row_key``.  This is exactly how Phoenix serves range queries
         over salted tables: B parallel range scans instead of one."""
+        if not 1 <= buckets <= 100:
+            raise ValueError(
+                f"buckets must be in [1, 100] (2-char salt prefix), got {buckets}"
+            )
         df = self.read(qualified_name)
         cond = None
         for b in range(buckets):

@@ -455,21 +455,7 @@ def streaming_cms_sketch(
     sketch over the same documents (pinned by the gate oracle and the
     multi-batch pytest).
     """
-    from spark_sql_hbase_spark.functions.texthash import tokens, word_hash
+    from spark_sql_hbase_spark.operators.ranking import cms_placed
 
-    terms = stream_docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"),
-                (word_hash(F.concat(F.lit(f"cms{r}:"), F.col("term"))) % width)
-                .cast("int")
-                .alias("bucket"),
-            )
-            for r in range(depth)
-        ]
-    )
-    placed = terms.select(F.explode(rows).alias("rb")).select(
-        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
-    )
+    placed = cms_placed(stream_docs, text_col, depth, width)
     return placed.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))

@@ -495,3 +495,53 @@ def test_version_gc_compaction_drops_superseded_and_ttl(spark, tmp_path):
     st.compact_versions("gc.t", "c:v", min_version=2)
     rows2 = {r["row_key"] for r in st.read("gc.t").collect()}
     assert rows2 == {f"{i:04d}" for i in range(0, 10, 2)}
+
+
+def test_covered_index_rejects_overwidth_and_negative_values(spark, tmp_path):
+    """lpad truncates over-width values into colliding index prefixes and
+    a leading '-' breaks lexicographic order — both must fail the build
+    loudly instead of silently corrupting the index."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="w", name="t", key_type="string",
+        families={"c": {"grp": "long"}},
+    )
+    st.ctas(
+        spec,
+        spark.createDataFrame(
+            [("0001", 12345), ("0002", 12346)], "row_key string, `c:grp` long"
+        ),
+    )
+    with pytest.raises(ValueError, match="key_width"):
+        st.create_covered_index("w.t", "w.ix", "c:grp", key_width=4)
+    st2 = KeyedTableStore(spark, str(tmp_path / "wh2"))
+    st2.ctas(
+        TableSpec(namespace="w", name="n", key_type="string",
+                  families={"c": {"grp": "long"}}),
+        spark.createDataFrame(
+            [("0001", -5)], "row_key string, `c:grp` long"
+        ),
+    )
+    with pytest.raises(ValueError, match="negative"):
+        st2.create_covered_index("w.n", "w.ixn", "c:grp", key_width=4)
+
+
+def test_salted_buckets_capped_at_two_char_prefix(spark, tmp_path):
+    """Bucket counts above 100 would fold via lpad truncation — rejected
+    on both the write and read paths."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    with pytest.raises(ValueError, match="buckets"):
+        KeyedTableStore.salted_key(F.lit("k"), 150)
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="buckets"):
+        st.read_salted_key_range("x.y", 101, "a", "b")

@@ -1704,3 +1704,30 @@ def test_strip_boilerplate_removes_frequent_keeps_unique(spark):
         ).collect()
     }
     assert all(r["n_kept"] == 2 for r in out2.values())
+
+
+def test_strip_boilerplate_counts_document_frequency_not_occurrences(spark):
+    """A single document repeating its own unique line 6 times must NOT
+    have it stripped at max_df=5 — the cap is DOCUMENT frequency, not
+    occurrence count."""
+    from spark_sql_hbase_spark.operators.dedup import strip_boilerplate_lines
+
+    solo = ". ".join(["my very own repeated refrain"] * 6) + "."
+    rows = [(1, solo)] + [
+        (i, f"unrelated unique sentence number {i} here.") for i in range(2, 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in strip_boilerplate_lines(df, "doc_id", "text", max_df=5).collect()
+    }
+    assert out[1]["n_kept"] == 6  # df=1, never flagged
+    # but a line in SIX DIFFERENT docs does get stripped at max_df=5
+    rows2 = [(i, "shared banner line appears here. unique bit %d." % i)
+             for i in range(1, 8)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {
+        r["id"]: r
+        for r in strip_boilerplate_lines(df2, "doc_id", "text", max_df=5).collect()
+    }
+    assert all(r["n_kept"] == 1 for r in out2.values())
