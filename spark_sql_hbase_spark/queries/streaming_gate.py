@@ -549,3 +549,81 @@ def _z77_oracle() -> str:
 
 
 _REG["z77_stream_quality_sink"].oracle = _z77_oracle()
+
+
+# ---------------------------------------------------------------------------
+# z85 — streaming CDC upsert materialization (round-5 addition):
+# Spark Structured Streaming has no native UPSERT sink; the versioned
+# keyed table provides one — each micro-batch APPENDS (row_key, value,
+# version) cells through the keyed insert path, and `read_versions_asof`
+# materializes the latest-state view.  Two batches update overlapping
+# keys (versions ride the batch sequence); the view shows batch-2 values
+# for updated keys, batch-1 for the rest — the classic CDC "apply
+# changes" semantics, bounded state (none — state IS the table).
+# ---------------------------------------------------------------------------
+@register(
+    "z85_stream_upsert_view",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
+                ELSE c_acctbal END AS acctbal,
+           CASE WHEN c_custkey % 5 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS v
+    FROM customer
+    """,
+    description="streaming CDC upsert: micro-batches append versioned "
+    "cells, as-of read materializes the latest-state view",
+)
+def z85_stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        write_stream_to_keyed_table,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("c_acctbal").alias("c:acctbal"),
+        F.lit(1).cast("long").alias("c:v"),
+    )
+    updates = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        (F.col("c_acctbal") * 2.0).alias("c:acctbal"),
+        F.lit(2).cast("long").alias("c:v"),
+    )
+    # change feed: one file per batch, maxFilesPerTrigger=1 -> the two
+    # change sets arrive as separate micro-batches in order (file mtime)
+    src = os.path.join(tempfile.mkdtemp(prefix="z85_feed_"), "in")
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes order the batches
+    updates.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    wh = tempfile.mkdtemp(prefix="z85_wh_")
+    store = KeyedTableStore(spark, wh)
+    store.create_table(
+        TableSpec(
+            namespace="z85",
+            name="state",
+            key_type="string",
+            families={"c": {"acctbal": "double", "v": "long"}},
+        )
+    )
+    q = write_stream_to_keyed_table(
+        stream, store, "z85.state", tempfile.mkdtemp(prefix="z85_ckpt_")
+    )
+    q.awaitTermination()
+    return store.read_versions_asof("z85.state", "c:v", 2).select(
+        "row_key",
+        F.col("`c:acctbal`").alias("acctbal"),
+        F.col("`c:v`").alias("v"),
+    )
