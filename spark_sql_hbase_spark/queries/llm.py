@@ -2792,3 +2792,80 @@ def z80_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.strip_boilerplate_lines(
         docs, "doc_id", "text", max_df=_STRIP_DF, min_line_tokens=_LINE_MT
     )
+
+
+# ---------------------------------------------------------------------------
+# z86 — kNN label propagation over embeddings (round-5 addition): the
+# classic semi-supervised curation classifier (label the unlabeled pool
+# by majority vote of its k nearest labeled neighbors — the embedding-
+# space analogue of fastText-style quality classifiers).  Composition:
+# s01's broadcast-query cosine top-k + a deterministic majority
+# (max-votes, ties -> smallest label; no max_by).
+# ---------------------------------------------------------------------------
+_KNN_K = 5
+
+
+@register(
+    "z86_knn_label_propagation",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 23 = 0
+    ), pool AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % 23 <> 0
+    ), scored AS (
+        SELECT query_id, vec_id AS neighbor_id, label,
+               list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos_raw
+        FROM q, pool
+    ), nn AS (
+        SELECT query_id, label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+            ) AS rn FROM scored
+        ) WHERE rn <= {_KNN_K}
+    ), votes AS (
+        SELECT query_id, label, COUNT(*) AS n FROM nn GROUP BY 1, 2
+    ), best AS (
+        SELECT query_id, MAX(n) AS best_n FROM votes GROUP BY 1
+    )
+    SELECT v.query_id,
+           CAST(MIN(v.label) AS INTEGER) AS pred_label,
+           CAST(b.best_n AS BIGINT) AS n_votes
+    FROM votes v JOIN best b
+      ON v.query_id = b.query_id AND v.n = b.best_n
+    GROUP BY v.query_id, b.best_n
+    """,
+    description="kNN label propagation: majority label of the k nearest "
+    "labeled neighbors (deterministic min-label ties)",
+)
+def z86_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    is_q = F.col("vec_id") % 23 == 0
+    queries, pool = emb.filter(is_q), emb.filter(~is_q)
+    nn = similarity.cosine_topk(pool, queries, "vec_id", "embedding", _KNN_K)
+    votes = (
+        nn.join(
+            F.broadcast(
+                pool.select(F.col("vec_id").alias("neighbor_id"), "label")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = votes.groupBy("query_id").agg(F.max("n").alias("best_n")).select(
+        F.col("query_id").alias("__bq"), "best_n"
+    )
+    return (
+        votes.join(
+            best,
+            (votes["query_id"] == best["__bq"]) & (votes["n"] == best["best_n"]),
+        )
+        .select("query_id", "label", "best_n")
+        .groupBy("query_id", "best_n")
+        .agg(F.min("label").cast("int").alias("pred_label"))
+        .select(
+            "query_id", "pred_label", F.col("best_n").cast("long").alias("n_votes")
+        )
+    )
