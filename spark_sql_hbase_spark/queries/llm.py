@@ -2869,3 +2869,64 @@ def z86_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "pred_label", F.col("best_n").cast("long").alias("n_votes")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# z87 — corpus snapshot diff (round-5 addition): the dataset-versioning
+# audit run between two corpus releases — full outer join on doc id,
+# content compared by sha256, per-source rollup of added / removed /
+# changed / unchanged.  Snapshot v2 is constructed deterministically
+# from the driver table (every 13th doc dropped, every 11th doc's text
+# amended), so the oracle replays the same construction.
+# ---------------------------------------------------------------------------
+@register(
+    "z87_corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, source, sha256(text) AS sha FROM documents
+    ), v2 AS (
+        SELECT doc_id, source,
+               sha256(CASE WHEN doc_id % 11 = 0
+                           THEN text || ' [amended v2]' ELSE text END) AS sha
+        FROM documents WHERE doc_id % 13 <> 0
+    ), d AS (
+        SELECT COALESCE(v1.source, v2.source) AS source,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.sha <> v2.sha THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    )
+    SELECT source, status, COUNT(*) AS n_docs
+    FROM d GROUP BY 1, 2
+    """,
+    description="corpus snapshot diff: full-outer sha compare between "
+    "releases, per-source added/removed/changed/unchanged rollup",
+)
+def z87_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    v1 = docs.select(
+        "doc_id", "source", F.sha2(F.col("text").cast("binary"), 256).alias("sha")
+    )
+    v2 = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.col("source").alias("source2"),
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.col("text"), F.lit(" [amended v2]")),
+            )
+            .otherwise(F.col("text"))
+            .cast("binary"),
+            256,
+        ).alias("sha2v"),
+    )
+    d = v1.join(v2, "doc_id", "full_outer").select(
+        F.coalesce(F.col("source"), F.col("source2")).alias("source"),
+        F.when(F.col("sha").isNull(), F.lit("added"))
+        .when(F.col("sha2v").isNull(), F.lit("removed"))
+        .when(F.col("sha") != F.col("sha2v"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return d.groupBy("source", "status").agg(F.count(F.lit(1)).alias("n_docs"))
