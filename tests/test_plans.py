@@ -866,3 +866,24 @@ def test_z80_strip_text_never_exchanged(spark, registry):
             assert "text" not in lines[i - 1], (lines[i - 1], line)
             matched += 1
     assert matched >= 1, plan[:1500]
+
+
+def test_z81_index_scan_pushes_key_range(spark, registry):
+    """The covered-index query's value predicate becomes a row-key RANGE
+    on the index table, and that range must reach the parquet scan
+    (row-group skipping over the key-sorted layout = the A4 fast path
+    serving a VALUE predicate)."""
+    df = registry["z81_secondary_index"].fn(spark, SF)
+    joined = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(row_key,00005|" in joined, joined
+    assert "LessThan(row_key,00005}" in joined, joined
+
+
+def test_z83_salted_scan_pushes_or_of_ranges(spark, registry):
+    """The salted range scan's OR-of-B-ranges predicate must reach the
+    parquet scan as an Or filter tree over row_key bounds — that is what
+    lets row-group stats skip everything outside all B stripes."""
+    df = registry["z83_salted_key_range"].fn(spark, SF)
+    joined = " ".join(pushed_filters(df))
+    assert "Or(" in joined and "row_key,00|0000001000" in joined, joined
+    assert "row_key,07|0000002000" in joined, joined
