@@ -627,3 +627,39 @@ def z85_stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`c:acctbal`").alias("acctbal"),
         F.col("`c:v`").alias("v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z88 — per-key quota admission (round-5 addition; streaming/pipelines.py
+# ::quota_admission_stream): the ingest-guard primitive — a GroupState
+# running total per key admits events until the lifetime quota is
+# exhausted.  One batch → per-user admitted/rejected under a quota of
+# 10; count-based admission makes the output row-order-independent, so
+# the batch twin is plain SQL.  (transformWithStateInPandas is the
+# designated successor API but needs google.protobuf, absent here —
+# see the operator docstring.)
+# ---------------------------------------------------------------------------
+_Z88_QUOTA = 10
+
+
+@register(
+    "z88_stream_quota_admission",
+    oracle=f"""
+    SELECT user_id, LEAST(n, {_Z88_QUOTA}) AS admitted,
+           GREATEST(n - {_Z88_QUOTA}, 0) AS rejected
+    FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1)
+    """,
+    description="stateful quota admission: GroupState running total per "
+    "key, admitted/rejected per batch",
+)
+def z88_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.streaming.pipelines import quota_admission_stream
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+    stream = _one_batch_stream(spark, ev)
+    out = _run_available_now(
+        quota_admission_stream(stream, "user_id", _Z88_QUOTA),
+        output_mode="update",
+    )
+    return out.select(F.col("key").alias("user_id"), "admitted", "rejected")

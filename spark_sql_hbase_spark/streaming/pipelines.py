@@ -459,3 +459,55 @@ def streaming_cms_sketch(
 
     placed = cms_placed(stream_docs, text_col, depth, width)
     return placed.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def quota_admission_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    quota: int = 10,
+) -> DataFrame:
+    """Per-key quota admission — the ingest-guard primitive (per-tenant
+    rate caps, per-source document budgets during corpus ingest): each
+    key carries a running lifetime total; every micro-batch admits
+    events until the key's quota is exhausted and reports
+    ``(key, admitted, rejected)`` for the batch.
+
+    Implemented on ``applyInPandasWithState`` (GroupState, one long per
+    key).  Spark 4's ``transformWithStateInPandas`` (StatefulProcessor +
+    typed ValueState handles) is the designated successor surface for
+    this operator, but its Python driver worker requires the
+    ``google.protobuf`` package, which this runtime does not ship — the
+    GroupState form is semantically identical here (state = one running
+    count; count-based admission is row-order-independent).
+
+    Scale: state is ONE long per key, partition-parallel; batch output
+    is one row per active key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "key long, admitted long, rejected long"
+    state_schema = "cnt long"
+
+    def admit(key, pdfs, state):
+        import pandas as pd
+
+        n = 0
+        for df in pdfs:
+            n += len(df)
+        (prev,) = state.get if state.exists else (0,)
+        admitted = max(0, min(n, quota - prev))
+        state.update((prev + n,))
+        yield pd.DataFrame(
+            {"key": [key[0]], "admitted": [admitted], "rejected": [n - admitted]}
+        )
+
+    return (
+        events.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            admit,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -338,3 +338,43 @@ def test_stream_cms_multi_batch_matches_batch_sketch(spark, sf_dir):
         for r in streaming_cms_sketch(docs, "text", depth=3, width=512).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_quota_admission_state_spans_batches(spark, tmp_path):
+    """The lifetime quota carries across micro-batches: with quota=10 and
+    two 8-event batches per user, batch 1 admits 8 and batch 2 admits 2
+    — the GroupState running total is the whole point."""
+    from spark_sql_hbase_spark.streaming.pipelines import quota_admission_stream
+
+    import os
+    import uuid
+
+    src = str(tmp_path / "in")
+    b = spark.createDataFrame(
+        [(u,) for u in (1, 2) for _ in range(8)], "user_id long"
+    )
+    b.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"quota_{uuid.uuid4().hex}"
+    q = (
+        quota_admission_stream(stream, "user_id", quota=10)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["key"], []).append((r["admitted"], r["rejected"]))
+    for u in (1, 2):
+        batches = sorted(per_user[u], reverse=True)  # (8,0) then (2,6)
+        assert batches == [(8, 0), (2, 6)], per_user[u]
