@@ -1422,3 +1422,58 @@ def q43_pandas_udaf_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
         xor_agg("event_id").alias("xor_ids"),
         count_agg("event_id").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z89 — regular-grid resample + forward fill (round-5 addition;
+# operators/asof.py::resample_ffill): the time-series gap-filling
+# primitive — hourly grid per user between first and last observation,
+# per-bucket deterministic last value (struct max over the unique
+# (ts, event_id) order), empty buckets forward-filled.  Oracle: same
+# grid via generate_series + IGNORE NULLS window.
+# ---------------------------------------------------------------------------
+@register(
+    "z89_resample_ffill",
+    oracle="""
+    WITH e AS (
+        SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
+               ts, event_id, value
+        FROM events
+    ), pb AS (
+        SELECT key, bucket, value AS v FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY key, bucket ORDER BY ts DESC, event_id DESC
+            ) AS rn FROM e
+        ) WHERE rn = 1
+    ), sp AS (
+        SELECT key, date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM e GROUP BY key
+    ), grid AS (
+        SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM sp
+    ), j AS (
+        SELECT g.key, g.bucket, pb.v
+        FROM grid g LEFT JOIN pb ON g.key = pb.key AND g.bucket = pb.bucket
+    )
+    SELECT key AS user_id,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value
+    FROM j
+    """,
+    description="hourly resample + forward fill: per-user grid, "
+    "deterministic per-bucket last, ffill through empty cells",
+)
+def z89_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.asof import resample_ffill
+
+    ev = table(spark, sf_dir, "events")
+    out = resample_ffill(ev, "user_id", "ts", "value", "event_id", unit="hour")
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "value",
+    )
