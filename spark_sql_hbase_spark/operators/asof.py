@@ -143,9 +143,11 @@ def resample_ffill(
         )
         .select("key", "bucket", F.col("__last.v").alias("v"))
     )
-    spans = events.groupBy(F.col(key_col).alias("key")).agg(
-        F.date_trunc(unit, F.min(ts_col)).alias("lo"),
-        F.date_trunc(unit, F.max(ts_col)).alias("hi"),
+    # spans derive from per_bucket (date_trunc is monotone, so
+    # min/max(bucket) == trunc(min/max(ts))) — one input scan total, not
+    # two; the rollup runs over the already-aggregated tiny relation
+    spans = per_bucket.groupBy("key").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
     grid = spans.select(
         "key", F.explode(F.sequence("lo", "hi", step)).alias("bucket")

@@ -2843,12 +2843,15 @@ def z86_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % 23 == 0
     queries, pool = emb.filter(is_q), emb.filter(~is_q)
+    # determinism note: the k-th-rank cutoff shares s01's accepted
+    # cross-engine contract (raw-cosine ordering + neighbor_id ties,
+    # driver-green since r1); the broadcast hint goes on the TINY nn
+    # relation (|queries|*k rows), never the corpus-sized label pool
     nn = similarity.cosine_topk(pool, queries, "vec_id", "embedding", _KNN_K)
     votes = (
-        nn.join(
-            F.broadcast(
-                pool.select(F.col("vec_id").alias("neighbor_id"), "label")
-            ),
+        F.broadcast(nn)
+        .join(
+            pool.select(F.col("vec_id").alias("neighbor_id"), "label"),
             "neighbor_id",
         )
         .groupBy("query_id", "label")
@@ -2905,8 +2908,15 @@ def z86_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def z87_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # presence is tracked by explicit flags, NOT by sha nullability — a
+    # NULL text would null the sha on a row that IS present and
+    # misclassify it (review finding); `changed` keeps plain != NULL
+    # semantics to mirror the oracle's CASE exactly
     v1 = docs.select(
-        "doc_id", "source", F.sha2(F.col("text").cast("binary"), 256).alias("sha")
+        "doc_id",
+        "source",
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha"),
+        F.lit(1).alias("__p1"),
     )
     v2 = docs.filter(F.col("doc_id") % 13 != 0).select(
         "doc_id",
@@ -2920,11 +2930,12 @@ def z87_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("binary"),
             256,
         ).alias("sha2v"),
+        F.lit(1).alias("__p2"),
     )
     d = v1.join(v2, "doc_id", "full_outer").select(
         F.coalesce(F.col("source"), F.col("source2")).alias("source"),
-        F.when(F.col("sha").isNull(), F.lit("added"))
-        .when(F.col("sha2v").isNull(), F.lit("removed"))
+        F.when(F.col("__p1").isNull(), F.lit("added"))
+        .when(F.col("__p2").isNull(), F.lit("removed"))
         .when(F.col("sha") != F.col("sha2v"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),

@@ -575,8 +575,6 @@ _REG["z77_stream_quality_sink"].oracle = _z77_oracle()
     "cells, as-of read materializes the latest-state view",
 )
 def z85_stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
     from spark_sql_hbase_spark.streaming.pipelines import (
@@ -598,14 +596,12 @@ def z85_stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # change sets arrive as separate micro-batches in order (file mtime)
     src = os.path.join(tempfile.mkdtemp(prefix="z85_feed_"), "in")
     base.coalesce(1).write.mode("overwrite").parquet(src)
-    import time as _time
-
-    _time.sleep(1.1)  # distinct mtimes order the batches
     updates.coalesce(1).write.mode("append").parquet(src)
+    # no ordering dance needed: the view is batch-order-INDEPENDENT (the
+    # highest stamped version wins however the micro-batches interleave)
     stream = (
         spark.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
         .parquet(src)
     )
     wh = tempfile.mkdtemp(prefix="z85_wh_")
