@@ -2941,3 +2941,79 @@ def z87_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
     )
     return d.groupBy("source", "status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# z90 — HLL sketch-union vocabulary overlap (round-5 addition): the
+# MERGEABLE-sketch algebra a 100 TB deployment runs — one DataSketches
+# HLL per source (built distributed, map-side combined), pairwise
+# |A ∩ B| estimated by inclusion–exclusion over sketch UNIONS (sketches
+# merge; exact distinct sets don't).  Self-validating gate in the q16
+# convention: the output carries the EXACT pairwise vocabulary overlap
+# plus an estimate-within-8%-of-exact-union boolean; the oracle computes
+# the exact values and literal TRUEs (the sketch estimate itself is
+# engine-specific and never hashed).
+# ---------------------------------------------------------------------------
+@register(
+    "z90_hll_vocab_overlap",
+    oracle=f"""
+    WITH __t AS (
+        SELECT DISTINCT source, unnest({_TOK}) AS term FROM documents
+    ), __pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS exact_inter
+        FROM __t a JOIN __t b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    ), __sz AS (
+        SELECT source, COUNT(*) AS n FROM __t GROUP BY 1
+    )
+    SELECT src_a, src_b,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           CAST(sa.n + sb.n - exact_inter AS BIGINT) AS exact_union,
+           TRUE AS union_est_ok
+    FROM __pairs
+    JOIN __sz sa ON src_a = sa.source
+    JOIN __sz sb ON src_b = sb.source
+    """,
+    description="HLL sketch-union vocabulary overlap per source pair: "
+    "exact values + estimate-error-bound boolean (q16 convention)",
+)
+def z90_hll_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
+    ).distinct()
+    sk = t.groupBy("source").agg(
+        F.hll_sketch_agg("term").alias("sk"), F.count(F.lit(1)).alias("n")
+    )
+    a = sk.select(
+        F.col("source").alias("src_a"), F.col("sk").alias("sk_a"), F.col("n").alias("n_a")
+    )
+    b = sk.select(
+        F.col("source").alias("src_b"), F.col("sk").alias("sk_b"), F.col("n").alias("n_b")
+    )
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    exact = t.select(F.col("source").alias("src_a"), "term").join(
+        t.select(F.col("source").alias("src_b"), "term"), "term"
+    ).filter(F.col("src_a") < F.col("src_b")).groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("exact_inter")
+    )
+    out = pairs.join(exact, ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        (F.col("n_a") + F.col("n_b") - F.col("exact_inter"))
+        .cast("long")
+        .alias("exact_union"),
+        (
+            F.abs(
+                est_union
+                - (F.col("n_a") + F.col("n_b") - F.col("exact_inter"))
+            )
+            / (F.col("n_a") + F.col("n_b") - F.col("exact_inter"))
+            <= F.lit(0.08)
+        ).alias("union_est_ok"),
+    )
+    return out
