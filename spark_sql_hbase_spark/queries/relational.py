@@ -1477,3 +1477,35 @@ def z89_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# z91 — unpivot / melt (round-5 addition): the wide→long reshape
+# (DataFrame.unpivot, SQL UNPIVOT) — the inverse of z31's pivot and the
+# missing half of the reshape surface.  Part measures melt into
+# (p_partkey, measure, value) rows; oracle = UNION ALL.
+# ---------------------------------------------------------------------------
+@register(
+    "z91_unpivot_measures",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey <= 500
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice
+    FROM part WHERE p_partkey <= 500
+    """,
+    description="unpivot/melt: wide part measures to (key, measure, value) "
+    "long form — the inverse of the pivot gate",
+)
+def z91_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
