@@ -120,8 +120,8 @@ def resample_ffill(
     — a lexicographic struct max over the unique ``(ts, order_col)``
     total order, never ``last()`` (partition-order-dependent).
 
-    Plan shape (scales to 100 TB): one map-side-combined per-(key,
-    bucket) aggregate + one per-key span aggregate (broadcast-sized);
+    Plan shape (scales to 100 TB): ONE input scan — the cached per-(key,
+    bucket) aggregate feeds both the span rollup and the fill join;
     the grid explode is a row-local ``sequence``; the fill window
     partitions by key and orders by bucket — per-key grid cardinality,
     the same scale class as sessionization (q21's accepted window).
@@ -142,6 +142,12 @@ def resample_ffill(
             ).alias("__last")
         )
         .select("key", "bucket", F.col("__last.v").alias("v"))
+        # cached: the spans branch prunes the value aggregate away, so
+        # its subtree can never be exchange-reused against the join
+        # branch — caching the (key, bucket, v) relation (tiny: one row
+        # per occupied grid cell) makes both consumers share one input
+        # scan; same caller-clearCache contract as the LSH/bigram caches
+        .cache()
     )
     # spans derive from per_bucket (date_trunc is monotone, so
     # min/max(bucket) == trunc(min/max(ts))) — one input scan total, not

@@ -887,3 +887,28 @@ def test_z83_salted_scan_pushes_or_of_ranges(spark, registry):
     joined = " ".join(pushed_filters(df))
     assert "Or(" in joined and "row_key,00|0000001000" in joined, joined
     assert "row_key,07|0000002000" in joined, joined
+
+
+def test_z82_asof_read_is_window_free(spark, registry):
+    """The latest-per-key reduction must be filter + max aggregate +
+    equi-join — never a per-key Window (which would funnel every key's
+    versions through ordered tasks) and never max_by (partition-order-
+    dependent ties)."""
+    plan = formatted_plan(registry["z82_versioned_asof_read"].fn(spark, SF))
+    assert not re.findall(r"\(\d+\) Window\b", plan), plan[:1200]
+    assert "max_by" not in plan, plan[:1200]
+
+
+def test_z89_resample_single_scan_one_window(spark, registry):
+    """Gap filling reads the events input ONCE — the cached per-bucket
+    aggregate feeds both the span rollup and the fill join (column
+    pruning makes the two subtrees non-reusable uncached, so this is
+    t13's cache discipline) — and uses exactly one Window: the per-key
+    forward fill."""
+    df = registry["z89_resample_ffill"].fn(spark, SF)
+    try:
+        plan = formatted_plan(df)
+        assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan[:1500]
+        assert plan.count("events.parquet") == 1, plan[:1500]
+    finally:
+        spark.catalog.clearCache()
