@@ -891,3 +891,59 @@ def oov_rate(
             (F.col("n_oov").cast("double") / F.col("dl")).alias("oov_rate"),
         )
     )
+
+
+def source_standardized_quality(
+    docs: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-source standardized quality z-scores — domain normalization
+    (a raw quality cut biases against whole domains whose style scores
+    systematically low; standardizing within source compares each doc to
+    its OWN domain's distribution, the per-domain curation convention).
+
+    Emits ``(id, source, quality, z)`` with
+    ``z = (q − μ_src) / σ_src`` (population σ; 0.0 for degenerate
+    single-value sources).
+
+    Determinism contract: μ and σ derive from ORDER-INDEPENDENT
+    decimal-exact sums (``Σ q`` at DECIMAL(38,6), ``Σ q²`` at
+    DECIMAL(38,12) — the functions/det.py law), so the broadcast moments
+    are bit-identical in any engine; the remaining arithmetic is one
+    fixed IEEE sequence + ROUND.  Plan: one moments aggregate
+    (broadcast, sources × 3 values) + one scoring projection — the
+    source is scanned twice (cache the scored frame upstream if the
+    quality expression is hot; t08's documented trade).
+    """
+    q = quality_expr(text_col, F.col("__tok"))
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.col(text_col),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+    ).select("id", "source", q.alias("q"))
+    m = scored.groupBy("source").agg(
+        F.sum(F.col("q").cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mu * mu, F.lit(0.0))
+    return (
+        scored.join(F.broadcast(m), "source")
+        .select(
+            "id",
+            "source",
+            F.col("q").alias("quality"),
+            F.when(
+                var > 0, F.round((F.col("q") - mu) / F.sqrt(var), round_to)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+    )

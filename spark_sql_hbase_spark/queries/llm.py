@@ -3017,3 +3017,63 @@ def z90_hll_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("union_est_ok"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# z92 — per-source standardized quality (round-5 addition;
+# operators/text.py::source_standardized_quality): domain-normalized
+# z-scores — μ/σ per source from ORDER-INDEPENDENT decimal-exact sums
+# (the det.py law: Σq at DECIMAL(38,6), Σq² at DECIMAL(38,12)), so the
+# broadcast moments are bit-identical cross-engine; remaining arithmetic
+# is one fixed IEEE sequence + ROUND.
+# ---------------------------------------------------------------------------
+_Z92_Q = (
+    "CAST(2 * __d * least(__nt, 100) - 100 * least(__np, __d) + 100 * __sw"
+    " AS DOUBLE) / (200 * __d)"
+)
+
+
+def _z92_oracle() -> str:
+    from spark_sql_hbase_spark.functions.texthash import stopword_count_sql
+
+    return f"""
+    WITH __f AS (
+        SELECT doc_id, source, len(t) AS __nt,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS __np,
+               {stopword_count_sql('t', 'en')} AS __sw,
+               greatest(len(t), 1) AS __d
+        FROM (SELECT doc_id, source, text, {_TOK} AS t FROM documents)
+    ), __q AS (
+        SELECT doc_id, source, {_Z92_Q} AS q FROM __f
+    ), __m AS (
+        SELECT source,
+               CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(q * q AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+               COUNT(*) AS n
+        FROM __q GROUP BY 1
+    )
+    SELECT doc_id AS id, source, q AS quality,
+           CASE WHEN greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) > 0
+                THEN ROUND((q - s1 / n)
+                           / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)),
+                           4)
+                ELSE 0.0 END AS z
+    FROM __q JOIN __m USING (source)
+    """
+
+
+@register(
+    "z92_source_standardized_quality",
+    oracle=None,  # assembled below
+    description="per-source quality z-scores: decimal-exact moments, "
+    "broadcast standardization (domain-normalized curation cuts)",
+)
+def z92_source_standardized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.source_standardized_quality(docs, "source", "doc_id", "text")
+
+
+from spark_sql_hbase_spark.queries import REGISTRY as _REG92  # noqa: E402
+
+_REG92["z92_source_standardized_quality"].oracle = _z92_oracle()

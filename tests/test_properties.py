@@ -1731,3 +1731,26 @@ def test_strip_boilerplate_counts_document_frequency_not_occurrences(spark):
         for r in strip_boilerplate_lines(df2, "doc_id", "text", max_df=5).collect()
     }
     assert all(r["n_kept"] == 1 for r in out2.values())
+
+
+def test_source_standardized_quality_moments(spark):
+    """Within every source the z-scores have (up to rounding) mean 0 and
+    population variance 1; a constant-quality source standardizes to
+    all-zero z."""
+    import statistics
+
+    from spark_sql_hbase_spark.operators.text import source_standardized_quality
+
+    rows = (
+        [(i, "a", f"varied text with {'word ' * (i % 7)} tail") for i in range(20)]
+        + [(100 + i, "b", "identical constant text here") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = source_standardized_quality(df, "source", "doc_id", "text").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r["z"])
+    assert all(z == 0.0 for z in by["b"])
+    zs = by["a"]
+    assert abs(statistics.mean(zs)) < 1e-3
+    assert abs(statistics.pvariance(zs) - 1.0) < 1e-2
