@@ -659,3 +659,65 @@ def z88_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return out.select(F.col("key").alias("user_id"), "admitted", "rejected")
+
+
+# ---------------------------------------------------------------------------
+# z93 — streaming per-source vocabulary cardinality (round-5 addition):
+# HLL++ sketches as STREAMING state — approx_count_distinct's partial
+# sketch is mergeable, so a streaming aggregation holds exactly one
+# bounded sketch per source forever (the z72 counter-grid argument, now
+# for distinct counting; no watermark, complete mode).  q16-convention
+# self-validating gate: output carries the batch-exact distinct count +
+# an estimate-within-5% boolean; the engine-specific estimate is never
+# hashed.
+# ---------------------------------------------------------------------------
+@register(
+    "z93_stream_vocab_cardinality",
+    oracle=None,  # assembled below (reuses llm's tokenizer SQL)
+    description="streaming HLL distinct per source: one bounded sketch "
+    "of state per key, complete-mode estimate vs batch-exact bound",
+)
+def z93_stream_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    stream = _one_batch_stream(spark, docs)
+    agg = (
+        stream.select("source", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("source")
+        .agg(F.approx_count_distinct("term", rsd=0.02).alias("est"))
+    )
+    est = _run_available_now(agg, output_mode="complete")
+    exact = (
+        docs.select(
+            "source", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= F.lit(0.05)
+        ).alias("est_ok"),
+    )
+
+
+def _z93_oracle() -> str:
+    from spark_sql_hbase_spark.queries.llm import _TOK
+
+    return f"""
+    WITH __t AS (
+        SELECT DISTINCT source, unnest({_TOK}) AS term FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct,
+           TRUE AS est_ok
+    FROM __t GROUP BY source
+    """
+
+
+_REG["z93_stream_vocab_cardinality"].oracle = _z93_oracle()
