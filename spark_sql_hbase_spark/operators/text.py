@@ -947,3 +947,49 @@ def source_standardized_quality(
             .alias("z"),
         )
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 500,
+    round_to: int = 4,
+) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary — the standard corpus-
+    health audit (natural text follows freq ∝ rank^(−s) with s ≈ 1;
+    template/boilerplate-heavy or synthetic corpora deviate sharply):
+    least-squares slope of ``ln(freq)`` on ``ln(rank)`` over the top-k
+    terms, plus the fit's R².
+
+    Emits ONE row: ``(n_terms, slope, r2)``.
+
+    Plan shape (scales to 100 TB): the corpus contributes exactly the
+    t09 vocabulary aggregate (map-side-combined counts + TakeOrdered
+    top-k); the regression runs over the ≤ top_k surviving rows — the
+    moments are single-partition sums over 500 doubles, computed in ONE
+    aggregate whose input is already tiny.  Determinism: ln over exact
+    integer counts and 1-based ranks (both engines bit-identical), then
+    one fixed IEEE moment sequence + ROUND.
+    """
+    v = vocabulary(df, text_col, top_k=top_k)
+    pts = v.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / k
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / k
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / k
+    return m.select(
+        F.col("k").cast("long").alias("n_terms"),
+        F.round(cov / varx, round_to).alias("slope"),
+        F.round((cov * cov) / (varx * vary), round_to).alias("r2"),
+    )

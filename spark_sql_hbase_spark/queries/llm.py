@@ -3077,3 +3077,43 @@ def z92_source_standardized_quality(spark: SparkSession, sf_dir: str) -> DataFra
 from spark_sql_hbase_spark.queries import REGISTRY as _REG92  # noqa: E402
 
 _REG92["z92_source_standardized_quality"].oracle = _z92_oracle()
+
+
+# ---------------------------------------------------------------------------
+# z94 — Zipf-slope corpus audit (round-5 addition; operators/text.py::
+# zipf_slope): least-squares ln(freq)-on-ln(rank) fit over the top-500
+# vocabulary — natural text sits near slope ≈ −1; boilerplate-heavy or
+# synthetic corpora deviate.  The corpus contributes exactly the t09
+# vocabulary aggregate; the regression runs over ≤ 500 rows.
+# ---------------------------------------------------------------------------
+@register(
+    "z94_zipf_slope",
+    oracle=f"""
+    WITH __tf AS (
+        SELECT unnest({_TOK}) AS term FROM documents
+    ), __v AS (
+        SELECT term, COUNT(*) AS n FROM __tf GROUP BY 1
+        ORDER BY n DESC, term LIMIT 500
+    ), __r AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE))
+                   AS x,
+               ln(CAST(n AS DOUBLE)) AS y
+        FROM __v
+    ), __m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM __r
+    )
+    SELECT CAST(k AS BIGINT) AS n_terms,
+           ROUND((sxy - sx * sy / k) / (sxx - sx * sx / k), 4) AS slope,
+           ROUND(((sxy - sx * sy / k) * (sxy - sx * sy / k))
+                 / ((sxx - sx * sx / k) * (syy - sy * sy / k)), 4) AS r2
+    FROM __m
+    """,
+    description="Zipf-law fit over the top-500 vocabulary: ln-ln "
+    "least-squares slope + R2 — the corpus-health audit",
+)
+def z94_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.zipf_slope(docs, "text", top_k=500)
