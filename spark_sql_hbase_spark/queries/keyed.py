@@ -449,3 +449,55 @@ def z84_version_gc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`c:acctbal`").alias("acctbal"),
         F.col("`c:v`").alias("v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z95 — SQL MERGE INTO upsert (round-5 addition; sources/keyed_parquet.py
+# ::upsert + sqlfront MERGE routing): the Put-overwrites-the-cell write
+# primitive as SQL — MERGE INTO keyed table USING a view ON row_key,
+# UPDATE SET * / INSERT *.  Every 5th customer's balance doubled via the
+# merge; the oracle replays the same upsert as a CASE.
+# ---------------------------------------------------------------------------
+@register(
+    "z95_sql_merge_upsert",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
+                ELSE c_acctbal END AS acctbal
+    FROM customer
+    """,
+    description="SQL MERGE INTO over a keyed table: row-key upsert, "
+    "matched rows replaced, new rows appended",
+)
+def z95_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    sess = _session(spark)
+    store = sess.store
+    c = table(spark, sf_dir, "customer")
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_m",
+        key_type="string",
+        families={"c": {"acctbal": "double"}},
+    )
+    store.ctas(
+        spec,
+        c.select(
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("c_acctbal").alias("c:acctbal"),
+        ),
+        mode="overwrite",
+    )
+    c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        (F.col("c_acctbal") * 2.0).alias("c:acctbal"),
+    ).createOrReplaceTempView("__z95_updates")
+    sess.sql(
+        "MERGE INTO gate.cust_m USING __z95_updates ON row_key "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    return store.read("gate.cust_m").select(
+        "row_key", F.col("`c:acctbal`").alias("acctbal")
+    )

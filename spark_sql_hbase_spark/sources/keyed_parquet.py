@@ -475,6 +475,39 @@ class KeyedTableStore:
         out.write.mode("overwrite").parquet(self.table_path(spec))
         self.refresh(qualified_name)
 
+    # -- upsert (MERGE INTO ... UPDATE SET * / INSERT * analogue) ---------
+    def upsert(self, qualified_name: str, df: DataFrame) -> None:
+        """Row-key upsert: rows in ``df`` REPLACE same-key rows in the
+        table, new keys append — the ``MERGE INTO ... WHEN MATCHED THEN
+        UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` semantics (the one
+        write primitive HBase users take for granted: a Put overwrites
+        the cell).
+
+        Implementation: snapshot ⟕ anti-join out the incoming keys,
+        union the incoming rows, one range-partitioned key-sorted
+        rewrite — a major compaction fused with the merge (same cost
+        class as :meth:`compact`; at 100 TB the alternative is the
+        versioned-append path + :meth:`read_versions_asof`, which defers
+        the rewrite — see ``z82``/``z85``).
+        """
+        spec = self.registry.get(qualified_name)
+        cur = self.read(qualified_name)
+        cols = cur.columns
+        if sorted(df.columns) != sorted(cols):
+            raise ValueError(
+                f"upsert source columns {sorted(df.columns)} != table "
+                f"columns {sorted(cols)}"
+            )
+        incoming = df.select(*cols).localCheckpoint(eager=True)
+        keep = cur.join(
+            incoming.select(ROW_KEY), ROW_KEY, "left_anti"
+        )
+        merged = keep.unionByName(incoming).localCheckpoint(eager=True)
+        n = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
+        out = merged.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        out.write.mode("overwrite").parquet(self.table_path(spec))
+        self.refresh(qualified_name)
+
     # -- compaction (A10 bulk-rewrite analogue) ---------------------------
     def compact(self, qualified_name: str, n_regions: int | None = None) -> None:
         """Rewrite the table into ``n_regions`` key-sorted partitions —

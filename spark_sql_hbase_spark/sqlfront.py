@@ -86,6 +86,13 @@ _DROP_DB_RE = re.compile(
     re.IGNORECASE,
 )
 _PROP_KV_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
+_MERGE_RE = re.compile(
+    rf"^\s*merge\s+into\s+(?P<target>{_QUALIFIED})\s+using\s+"
+    rf"(?P<src>{_QUALIFIED})\s+on\s+(?P<key>`[^`]+`|[\w:]+)\s+"
+    r"when\s+matched\s+then\s+update\s+set\s+\*\s+"
+    r"when\s+not\s+matched\s+then\s+insert\s+\*\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_INDEX_RE = re.compile(
     rf"^\s*create\s+index\s+(?P<ine>if\s+not\s+exists\s+)?"
     rf"(?P<idx>{_QUALIFIED})\s+on\s+(?:table\s+)?(?P<target>{_QUALIFIED})\s*"
@@ -287,6 +294,33 @@ class KeyedSqlRouter:
             ddl_clause = rest[: as_m.start()] if as_m else rest
             if _USING_KEYED_RE.search(ddl_clause):
                 return self._create(m)
+
+        m = _MERGE_RE.match(stmt)
+        if m:
+            ns, name = _split_qualified(m.group("target"), self.spark)
+            if self._is_keyed(ns, name):
+                if _unquote(m.group("key")) != ROW_KEY:
+                    raise ValueError(
+                        "MERGE over keyed tables supports ON row_key only"
+                    )
+                src_df = self.spark.table(m.group("src"))
+                self.store.upsert(f"{ns}.{name}", src_df)
+                return self.spark.sql("SELECT 1 WHERE 1=0")
+        elif re.match(r"^\s*merge\b", stmt, re.IGNORECASE):
+            tm = re.match(
+                rf"^\s*merge\s+into\s+(?P<target>{_QUALIFIED})",
+                stmt,
+                re.IGNORECASE,
+            )
+            if tm:
+                ns, name = _split_qualified(tm.group("target"), self.spark)
+                if self._is_keyed(ns, name):
+                    raise ValueError(
+                        f"unsupported MERGE form for keyed table {ns}.{name}; "
+                        "use MERGE INTO <t> USING <view> ON row_key "
+                        "WHEN MATCHED THEN UPDATE SET * "
+                        "WHEN NOT MATCHED THEN INSERT *"
+                    )
 
         m = _CREATE_INDEX_RE.match(stmt)
         if m:

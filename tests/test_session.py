@@ -366,3 +366,37 @@ def test_sql_create_index_routes_to_covered_index(spark, tmp_path):
         )
     finally:
         spark.catalog.setCurrentDatabase(prev_db)
+
+
+def test_sql_merge_upsert_and_loud_failure(spark, tmp_path):
+    """MERGE INTO routes to the store's row-key upsert; matched rows are
+    replaced, new keys appended, and an unsupported MERGE form over a
+    keyed table fails loudly instead of falling through to Spark."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.sql(
+        "CREATE TABLE mg.t (row_key string, `c:v` long) USING keyed"
+    )
+    spark.createDataFrame(
+        [(f"{i:04d}", i) for i in range(5)], "row_key string, `c:v` long"
+    ).createOrReplaceTempView("__mg_base")
+    sess.sql("INSERT INTO mg.t SELECT * FROM __mg_base")
+    spark.createDataFrame(
+        [("0002", 222), ("0009", 999)], "row_key string, `c:v` long"
+    ).createOrReplaceTempView("__mg_updates")
+    sess.sql(
+        "MERGE INTO mg.t USING __mg_updates ON row_key "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["row_key"]: r["c:v"] for r in sess.store.read("mg.t").collect()}
+    assert got == {"0000": 0, "0001": 1, "0002": 222, "0003": 3, "0004": 4,
+                   "0009": 999}
+    with pytest.raises(ValueError, match="unsupported MERGE"):
+        sess.sql(
+            "MERGE INTO mg.t USING __mg_updates ON row_key "
+            "WHEN MATCHED THEN UPDATE SET `c:v` = 1"
+        )
