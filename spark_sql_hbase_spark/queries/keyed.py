@@ -501,3 +501,57 @@ def z95_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read("gate.cust_m").select(
         "row_key", F.col("`c:acctbal`").alias("acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# z96 — SQL DELETE + UPDATE over a keyed table (round-5 addition;
+# sources/keyed_parquet.py::delete_where/update_where + sqlfront
+# routing): the remaining DML triangle — DELETE removes low-balance
+# customers, UPDATE doubles balances in one nation, both as single
+# key-sorted rewrites (the HBase Delete-mutation / checked-Put batch
+# analogue).  Oracle replays both mutations as a filtered CASE.
+# ---------------------------------------------------------------------------
+@register(
+    "z96_sql_delete_update",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
+           CASE WHEN c_nationkey = 3 THEN c_acctbal * 2.0
+                ELSE c_acctbal END AS acctbal,
+           c_nationkey AS nationkey
+    FROM customer
+    WHERE c_acctbal >= 0
+    """,
+    description="SQL DELETE + UPDATE over a keyed table: filtered "
+    "key-sorted rewrites (Delete mutation / checked Put analogue)",
+)
+def z96_sql_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    sess = _session(spark)
+    store = sess.store
+    c = table(spark, sf_dir, "customer")
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_d",
+        key_type="string",
+        families={"c": {"acctbal": "double", "nationkey": "long"}},
+    )
+    store.ctas(
+        spec,
+        c.select(
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("c_acctbal").alias("c:acctbal"),
+            F.col("c_nationkey").alias("c:nationkey"),
+        ),
+        mode="overwrite",
+    )
+    sess.sql("DELETE FROM gate.cust_d WHERE `c:acctbal` < 0")
+    sess.sql(
+        "UPDATE gate.cust_d SET `c:acctbal` = `c:acctbal` * 2.0 "
+        "WHERE `c:nationkey` = 3"
+    )
+    return store.read("gate.cust_d").select(
+        "row_key",
+        F.col("`c:acctbal`").alias("acctbal"),
+        F.col("`c:nationkey`").alias("nationkey"),
+    )

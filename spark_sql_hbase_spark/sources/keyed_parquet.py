@@ -508,6 +508,54 @@ class KeyedTableStore:
         out.write.mode("overwrite").parquet(self.table_path(spec))
         self.refresh(qualified_name)
 
+    # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
+    def delete_where(self, qualified_name: str, condition: str) -> int:
+        """DELETE FROM the keyed table: rows matching the SQL
+        ``condition`` are removed by one filtered key-sorted rewrite
+        (the batch analogue of HBase Delete mutations; tombstones +
+        compaction collapse into the single rewrite here).  Returns the
+        number of rows deleted."""
+        spec = self.registry.get(qualified_name)
+        cur = self.read(qualified_name)
+        keep = cur.filter(f"NOT ({condition})").localCheckpoint(eager=True)
+        deleted = cur.count() - keep.count()
+        n = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
+        out = keep.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        out.write.mode("overwrite").parquet(self.table_path(spec))
+        self.refresh(qualified_name)
+        return deleted
+
+    def update_where(
+        self, qualified_name: str, assignments: dict[str, str], condition: str
+    ) -> None:
+        """UPDATE the keyed table: SQL-expression ``assignments``
+        applied to rows matching ``condition``, one key-sorted rewrite.
+        Assignment keys must be existing non-key columns (the row key is
+        immutable — HBase semantics: changing the key is a delete +
+        put, i.e. :meth:`delete_where` + :meth:`insert`)."""
+        spec = self.registry.get(qualified_name)
+        cur = self.read(qualified_name)
+        for col in assignments:
+            if col == ROW_KEY:
+                raise ValueError("row_key is immutable; DELETE + INSERT instead")
+            if col not in cur.columns:
+                raise ValueError(f"unknown column {col!r}")
+        cond = F.expr(condition)
+        updated = cur.select(
+            *[
+                (
+                    F.when(cond, F.expr(assignments[c])).otherwise(F.col(f"`{c}`"))
+                    if c in assignments
+                    else F.col(f"`{c}`")
+                ).alias(c)
+                for c in cur.columns
+            ]
+        ).localCheckpoint(eager=True)
+        n = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
+        out = updated.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        out.write.mode("overwrite").parquet(self.table_path(spec))
+        self.refresh(qualified_name)
+
     # -- compaction (A10 bulk-rewrite analogue) ---------------------------
     def compact(self, qualified_name: str, n_regions: int | None = None) -> None:
         """Rewrite the table into ``n_regions`` key-sorted partitions —

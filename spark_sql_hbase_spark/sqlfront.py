@@ -86,6 +86,16 @@ _DROP_DB_RE = re.compile(
     re.IGNORECASE,
 )
 _PROP_KV_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
+_DELETE_RE = re.compile(
+    rf"^\s*delete\s+from\s+(?P<target>{_QUALIFIED})\s+"
+    r"where\s+(?P<cond>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    rf"^\s*update\s+(?P<target>{_QUALIFIED})\s+set\s+"
+    r"(?P<sets>.+?)\s+where\s+(?P<cond>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _MERGE_RE = re.compile(
     rf"^\s*merge\s+into\s+(?P<target>{_QUALIFIED})\s+using\s+"
     rf"(?P<src>{_QUALIFIED})\s+on\s+(?P<key>`[^`]+`|[\w:]+)\s+"
@@ -294,6 +304,28 @@ class KeyedSqlRouter:
             ddl_clause = rest[: as_m.start()] if as_m else rest
             if _USING_KEYED_RE.search(ddl_clause):
                 return self._create(m)
+
+        m = _DELETE_RE.match(stmt)
+        if m:
+            ns, name = _split_qualified(m.group("target"), self.spark)
+            if self._is_keyed(ns, name):
+                self.store.delete_where(f"{ns}.{name}", m.group("cond"))
+                return self.spark.sql("SELECT 1 WHERE 1=0")
+
+        m = _UPDATE_RE.match(stmt)
+        if m:
+            ns, name = _split_qualified(m.group("target"), self.spark)
+            if self._is_keyed(ns, name):
+                sets: dict[str, str] = {}
+                for part in _split_top_level_commas(m.group("sets")):
+                    k, _, v = part.partition("=")
+                    if not v:
+                        raise ValueError(f"bad SET clause: {part!r}")
+                    sets[_unquote(k)] = v.strip()
+                self.store.update_where(
+                    f"{ns}.{name}", sets, m.group("cond")
+                )
+                return self.spark.sql("SELECT 1 WHERE 1=0")
 
         m = _MERGE_RE.match(stmt)
         if m:

@@ -400,3 +400,30 @@ def test_sql_merge_upsert_and_loud_failure(spark, tmp_path):
             "MERGE INTO mg.t USING __mg_updates ON row_key "
             "WHEN MATCHED THEN UPDATE SET `c:v` = 1"
         )
+
+
+def test_sql_delete_update_route_and_guards(spark, tmp_path):
+    """DELETE/UPDATE route to filtered key-sorted rewrites; the row key
+    is immutable (UPDATE of row_key raises) and unknown columns fail."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.sql("CREATE TABLE du.t (row_key string, `c:v` long) USING keyed")
+    spark.createDataFrame(
+        [(f"{i:04d}", i) for i in range(10)], "row_key string, `c:v` long"
+    ).createOrReplaceTempView("__du_base")
+    sess.sql("INSERT INTO du.t SELECT * FROM __du_base")
+    sess.sql("DELETE FROM du.t WHERE `c:v` >= 8")
+    sess.sql("UPDATE du.t SET `c:v` = `c:v` + 100 WHERE `c:v` < 3")
+    got = {r["row_key"]: r["c:v"] for r in sess.store.read("du.t").collect()}
+    assert got == {
+        "0000": 100, "0001": 101, "0002": 102,
+        "0003": 3, "0004": 4, "0005": 5, "0006": 6, "0007": 7,
+    }
+    with pytest.raises(ValueError, match="immutable"):
+        sess.store.update_where("du.t", {"row_key": "'x'"}, "1=1")
+    with pytest.raises(ValueError, match="unknown column"):
+        sess.store.update_where("du.t", {"c:nope": "1"}, "1=1")
