@@ -1509,3 +1509,50 @@ def z91_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# z97 — RANGE-frame rolling window (round-5 addition): per-user rolling
+# 1-hour event count and decimal-exact value sum, frame bounded by TIME
+# (RANGE BETWEEN 3600s PRECEDING AND CURRENT ROW over epoch seconds) —
+# the value-based frame the ROWS-frame gates (z06/z24) don't exercise.
+# Ties at the same second share a frame edge by definition, so the
+# result is deterministic without an id tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "z97_rolling_range_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) OVER w, 4) AS DOUBLE)
+               AS sum_1h
+    FROM (SELECT event_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY sec
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+    description="RANGE-frame rolling window: per-user trailing-1-hour "
+    "count + decimal-exact sum, time-bounded frame",
+)
+def z97_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.col("value").cast("decimal(38,6)").alias("value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).cast("double").alias("sum_1h"),
+    )
