@@ -2981,9 +2981,17 @@ def z90_hll_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
 
     docs = table(spark, sf_dir, "documents")
-    t = docs.select(
-        "source", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
-    ).distinct()
+    # cached: three consumers (sketch aggregate + both sides of the
+    # exact-intersection join) share one scan+tokenize+distinct — the
+    # z89 cache discipline (callers clearCache between repeated runs)
+    t = (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term"),
+        )
+        .distinct()
+        .cache()
+    )
     sk = t.groupBy("source").agg(
         F.hll_sketch_agg("term").alias("sk"), F.count(F.lit(1)).alias("n")
     )

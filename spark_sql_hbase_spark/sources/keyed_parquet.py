@@ -475,6 +475,22 @@ class KeyedTableStore:
         out.write.mode("overwrite").parquet(self.table_path(spec))
         self.refresh(qualified_name)
 
+    # -- shared full-table rewrite (regions + sorted layout + refresh) ----
+    def _sorted_rewrite(self, spec: TableSpec, df: DataFrame) -> None:
+        """Conform ``df`` to the declared schema (order AND types — a
+        rewrite must never drift stored types away from the TableSpec;
+        e.g. an UPDATE assigning a double into a long column) and write
+        it as the table's new key-sorted range-partitioned layout.  The
+        single implementation behind every DML rewrite path."""
+        schema = spec.schema()
+        out = df.select(
+            *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        n = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
+        out = out.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        out.write.mode("overwrite").parquet(self.table_path(spec))
+        self.refresh(spec.qualified_name)
+
     # -- upsert (MERGE INTO ... UPDATE SET * / INSERT * analogue) ---------
     def upsert(self, qualified_name: str, df: DataFrame) -> None:
         """Row-key upsert: rows in ``df`` REPLACE same-key rows in the
@@ -499,14 +515,26 @@ class KeyedTableStore:
                 f"columns {sorted(cols)}"
             )
         incoming = df.select(*cols).localCheckpoint(eager=True)
+        # standard MERGE law: multiple source rows per key is an error
+        # (HBase would last-wins, but "which last" is undefined for a
+        # batch) — fail loudly before touching the table
+        dups = (
+            incoming.groupBy(ROW_KEY)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .count()
+        )
+        if dups:
+            raise ValueError(
+                "MERGE source contains duplicate row_key values; "
+                "deduplicate the source first"
+            )
         keep = cur.join(
             incoming.select(ROW_KEY), ROW_KEY, "left_anti"
         )
         merged = keep.unionByName(incoming).localCheckpoint(eager=True)
-        n = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
-        out = merged.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
-        out.write.mode("overwrite").parquet(self.table_path(spec))
-        self.refresh(qualified_name)
+        self._sorted_rewrite(spec, merged)
 
     # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
     def delete_where(self, qualified_name: str, condition: str) -> int:
@@ -517,12 +545,15 @@ class KeyedTableStore:
         number of rows deleted."""
         spec = self.registry.get(qualified_name)
         cur = self.read(qualified_name)
-        keep = cur.filter(f"NOT ({condition})").localCheckpoint(eager=True)
-        deleted = cur.count() - keep.count()
-        n = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
-        out = keep.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
-        out.write.mode("overwrite").parquet(self.table_path(spec))
-        self.refresh(qualified_name)
+        # SQL DELETE law: only rows where the predicate is TRUE go; a
+        # NULL predicate must KEEP the row (NOT(NULL) is NULL and would
+        # silently drop it)
+        hit = F.coalesce(F.expr(condition), F.lit(False))
+        deleted = int(
+            cur.agg(F.sum(hit.cast("int")).alias("d")).collect()[0]["d"] or 0
+        )
+        keep = cur.filter(~hit).localCheckpoint(eager=True)
+        self._sorted_rewrite(spec, keep)
         return deleted
 
     def update_where(
@@ -540,7 +571,7 @@ class KeyedTableStore:
                 raise ValueError("row_key is immutable; DELETE + INSERT instead")
             if col not in cur.columns:
                 raise ValueError(f"unknown column {col!r}")
-        cond = F.expr(condition)
+        cond = F.coalesce(F.expr(condition), F.lit(False))
         updated = cur.select(
             *[
                 (
@@ -551,10 +582,7 @@ class KeyedTableStore:
                 for c in cur.columns
             ]
         ).localCheckpoint(eager=True)
-        n = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
-        out = updated.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
-        out.write.mode("overwrite").parquet(self.table_path(spec))
-        self.refresh(qualified_name)
+        self._sorted_rewrite(spec, updated)
 
     # -- compaction (A10 bulk-rewrite analogue) ---------------------------
     def compact(self, qualified_name: str, n_regions: int | None = None) -> None:

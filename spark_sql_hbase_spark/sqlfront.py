@@ -87,13 +87,13 @@ _DROP_DB_RE = re.compile(
 )
 _PROP_KV_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
 _DELETE_RE = re.compile(
-    rf"^\s*delete\s+from\s+(?P<target>{_QUALIFIED})\s+"
-    r"where\s+(?P<cond>.+)$",
+    rf"^\s*delete\s+from\s+(?P<target>{_QUALIFIED})"
+    r"(?:\s+where\s+(?P<cond>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
     rf"^\s*update\s+(?P<target>{_QUALIFIED})\s+set\s+"
-    r"(?P<sets>.+?)\s+where\s+(?P<cond>.+)$",
+    r"(?P<sets>.+?)(?:\s+where\s+(?P<cond>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_RE = re.compile(
@@ -114,6 +114,46 @@ _CREATE_INDEX_RE = re.compile(
 _USING_KEYED_RE = re.compile(r"\busing\s+keyed(?:table)?\b", re.IGNORECASE)
 _OPTIONS_RE = re.compile(r"\boptions\s*\(", re.IGNORECASE)
 _OPTION_KV_RE = re.compile(r"(\w+)\s*=\s*'([^']*)'")
+
+
+def _split_sql_assignments(s: str) -> list[str]:
+    """Split a SET clause on top-level commas, respecting parentheses,
+    single-quoted strings, and backticked identifiers — NOT the
+    type-list splitter (_split_top_level_commas), whose <>-bracket
+    counting corrupts any assignment containing a comparison operator."""
+    out, depth, cur, i = [], 0, [], 0
+    in_str = in_tick = False
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+        elif in_tick:
+            cur.append(ch)
+            if ch == "`":
+                in_tick = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "`":
+            in_tick = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        out.append("".join(cur).strip())
+    return [p for p in out if p]
 
 
 def _unquote(ident: str) -> str:
@@ -309,7 +349,9 @@ class KeyedSqlRouter:
         if m:
             ns, name = _split_qualified(m.group("target"), self.spark)
             if self._is_keyed(ns, name):
-                self.store.delete_where(f"{ns}.{name}", m.group("cond"))
+                self.store.delete_where(
+                    f"{ns}.{name}", m.group("cond") or "true"
+                )
                 return self.spark.sql("SELECT 1 WHERE 1=0")
 
         m = _UPDATE_RE.match(stmt)
@@ -317,13 +359,13 @@ class KeyedSqlRouter:
             ns, name = _split_qualified(m.group("target"), self.spark)
             if self._is_keyed(ns, name):
                 sets: dict[str, str] = {}
-                for part in _split_top_level_commas(m.group("sets")):
+                for part in _split_sql_assignments(m.group("sets")):
                     k, _, v = part.partition("=")
                     if not v:
                         raise ValueError(f"bad SET clause: {part!r}")
                     sets[_unquote(k)] = v.strip()
                 self.store.update_where(
-                    f"{ns}.{name}", sets, m.group("cond")
+                    f"{ns}.{name}", sets, m.group("cond") or "true"
                 )
                 return self.spark.sql("SELECT 1 WHERE 1=0")
 

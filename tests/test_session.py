@@ -427,3 +427,56 @@ def test_sql_delete_update_route_and_guards(spark, tmp_path):
         sess.store.update_where("du.t", {"row_key": "'x'"}, "1=1")
     with pytest.raises(ValueError, match="unknown column"):
         sess.store.update_where("du.t", {"c:nope": "1"}, "1=1")
+
+
+def test_dml_null_predicates_where_optional_and_type_conformance(spark, tmp_path):
+    """The DML review fixes: NULL predicates keep rows on DELETE and
+    skip rows on UPDATE; DELETE/UPDATE without WHERE hit every row;
+    UPDATE assignments with comparison operators parse; a double
+    assignment into a long column is cast back to the declared type;
+    duplicate-key MERGE sources fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.sql(
+        "CREATE TABLE dn.t (row_key string, `c:v` long, `c:s` long) USING keyed"
+    )
+    spark.createDataFrame(
+        [("0001", 5, 1), ("0002", None, 2), ("0003", -1, 3)],
+        "row_key string, `c:v` long, `c:s` long",
+    ).createOrReplaceTempView("__dn_base")
+    sess.sql("INSERT INTO dn.t SELECT * FROM __dn_base")
+    # NULL predicate: row 0002 (v NULL) must SURVIVE the delete
+    sess.sql("DELETE FROM dn.t WHERE `c:v` < 0")
+    keys = {r["row_key"] for r in sess.store.read("dn.t").collect()}
+    assert keys == {"0001", "0002"}
+    # comparison operator inside a CASE assignment + multi-assignment
+    sess.sql(
+        "UPDATE dn.t SET `c:v` = CASE WHEN `c:s` > 1 THEN 100 ELSE 0 END, "
+        "`c:s` = `c:s` + 10 WHERE `c:s` >= 1"
+    )
+    got = {
+        r["row_key"]: (r["c:v"], r["c:s"])
+        for r in sess.store.read("dn.t").collect()
+    }
+    assert got == {"0001": (0, 11), "0002": (100, 12)}
+    # double expression into a long column conforms back to long
+    sess.sql("UPDATE dn.t SET `c:v` = `c:v` * 2.5 WHERE 1=1")
+    sch = dict(sess.store.read("dn.t").dtypes)
+    assert sch["c:v"] == "bigint", sch
+    # DELETE without WHERE empties the table
+    sess.sql("DELETE FROM dn.t")
+    assert sess.store.read("dn.t").count() == 0
+    # duplicate-key MERGE source fails loudly
+    spark.createDataFrame(
+        [("0009", 1, 1), ("0009", 2, 2)],
+        "row_key string, `c:v` long, `c:s` long",
+    ).createOrReplaceTempView("__dn_dupes")
+    with pytest.raises(ValueError, match="duplicate row_key"):
+        sess.sql(
+            "MERGE INTO dn.t USING __dn_dupes ON row_key "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
