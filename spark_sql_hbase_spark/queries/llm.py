@@ -3125,3 +3125,90 @@ _REG92["z92_source_standardized_quality"].oracle = _z92_oracle()
 def z94_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.zipf_slope(docs, "text", top_k=500)
+
+
+# ---------------------------------------------------------------------------
+# z98 — leakage-free split repair (round-5 addition): the FIX for what
+# z76 audits — after hash-splitting, any near-dup component that
+# straddles the train/test boundary is moved WHOLLY to train (the
+# conservative repair: test stays clean, train keeps the data), so no
+# near-dup pair can cross the boundary by construction.  Composition:
+# d02 pairs → connected components → component-level repair; docs in no
+# pair keep their hash split.
+# ---------------------------------------------------------------------------
+@register(
+    "z98_leakage_free_split",
+    oracle=f"""{_SHINGLE_CTES}
+    , __jp AS (
+        SELECT id_a, id_b
+        FROM __pairs
+        JOIN __sizes na ON id_a = na.doc_id
+        JOIN __sizes nb ON id_b = nb.doc_id
+        WHERE ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) >= {JACCARD_T}
+    ), __edges AS (
+        SELECT id_a AS s, id_b AS d FROM __jp
+        UNION
+        SELECT id_b, id_a FROM __jp
+    ), __reach(id, lbl) AS (
+        SELECT s, s FROM __edges
+        UNION
+        SELECT e.d, r.lbl FROM __reach r JOIN __edges e ON e.s = r.id
+    ), __memb AS (
+        SELECT id AS doc_id, min(lbl) AS comp FROM __reach GROUP BY id
+    ), __hs AS (
+        SELECT doc_id, {_split_sql('doc_id')} AS hash_split FROM documents
+    ), __cf AS (
+        SELECT m.comp,
+               MAX(CASE WHEN h.hash_split = 'train' THEN 1 ELSE 0 END)
+                   AS any_train
+        FROM __memb m JOIN __hs h USING (doc_id)
+        GROUP BY m.comp
+    )
+    SELECT h.doc_id,
+           CASE WHEN m.comp IS NULL THEN h.hash_split
+                WHEN cf.any_train = 1 THEN 'train'
+                ELSE h.hash_split END AS split
+    FROM __hs h
+    LEFT JOIN __memb m USING (doc_id)
+    LEFT JOIN __cf cf ON m.comp = cf.comp
+""".replace("WITH __tok", "WITH RECURSIVE __tok", 1),
+    description="leakage-free split repair: near-dup components that "
+    "straddle train/test move wholly to train",
+)
+def z98_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_join(
+        docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
+    )
+    comp = graph.connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), "comp"
+    )
+    h = word_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    hs = docs.select(
+        "doc_id",
+        F.when(h % _SPLIT_MOD == 0, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("hash_split"),
+    )
+    cf = (
+        comp.join(hs, "doc_id")
+        .groupBy("comp")
+        .agg(
+            F.max((F.col("hash_split") == "train").cast("int")).alias(
+                "any_train"
+            )
+        )
+    )
+    return (
+        hs.join(comp, "doc_id", "left_outer")
+        .join(cf, "comp", "left_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("comp").isNull(), F.col("hash_split"))
+            .when(F.col("any_train") == 1, F.lit("train"))
+            .otherwise(F.col("hash_split"))
+            .alias("split"),
+        )
+    )

@@ -1754,3 +1754,30 @@ def test_source_standardized_quality_moments(spark):
     zs = by["a"]
     assert abs(statistics.mean(zs)) < 1e-3
     assert abs(statistics.pvariance(zs) - 1.0) < 1e-2
+
+
+def test_leakage_free_split_has_zero_crossing_pairs(spark, sf_dir):
+    """The repaired split admits NO near-dup pair crossing train/test —
+    the invariant z76 audits becomes a guarantee; and only boundary
+    components moved (every repaired doc was hash-test in a component
+    with a hash-train member)."""
+    from spark_sql_hbase_spark.queries import load_all
+
+    Q = load_all()
+    split = {
+        r["doc_id"]: r["split"]
+        for r in Q["z98_leakage_free_split"].fn(spark, sf_dir).collect()
+    }
+    # leakage audit over the repaired assignment: reuse z76's pair set
+    from spark_sql_hbase_spark.operators.dedup import minhash_lsh_join
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_join(docs, "doc_id", "text", threshold=0.6).collect()
+    crossing = [
+        (p["id_a"], p["id_b"])
+        for p in pairs
+        if split[p["id_a"]] != split[p["id_b"]]
+    ]
+    assert crossing == [], crossing
+    spark.catalog.clearCache()
