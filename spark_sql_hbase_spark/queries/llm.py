@@ -3212,3 +3212,116 @@ def z98_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# z99 — corpus release report (round-5 capstone composition): the
+# operators work TOGETHER — boilerplate stripping (z80) → quality gate
+# on the CLEANED text (t02 law) → exact dedup of cleaned docs (min-id
+# keeper) → per-source release manifest (docs kept, tokens shipped).
+# Every stage reuses a gate-proven operator; the oracle replays the
+# identical pipeline in SQL.
+# ---------------------------------------------------------------------------
+_Z99_QT = 0.35
+
+
+@register(
+    "z99_release_report",
+    oracle=f"""
+    WITH __ln AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split_regex(lower(text), '[.!?]+'),
+                                  x -> trim(x)),
+                   x -> x <> '' AND
+                        len(list_filter(
+                            string_split_regex(x, '[^a-z0-9]+'),
+                            y -> y <> '')) >= {_LINE_MT}) AS ls
+        FROM documents
+    ), __e AS (
+        SELECT doc_id, ls[i + 1] AS x, i AS pos
+        FROM __ln, LATERAL (SELECT unnest(range(0, len(ls))) AS i)
+    ), __cnt AS (
+        SELECT h, COUNT(*) AS c FROM (
+            SELECT DISTINCT doc_id,
+                   (('0x' || substr(md5(x), 1, 14))::BIGINT) AS h
+            FROM __e
+        ) GROUP BY h
+    ), __fl AS (
+        SELECT h FROM __cnt WHERE c > {_STRIP_DF}
+    ), __kept AS (
+        SELECT doc_id, x, pos
+        FROM __e
+        WHERE (('0x' || substr(md5(x), 1, 14))::BIGINT) NOT IN
+              (SELECT h FROM __fl)
+    ), __clean AS (
+        SELECT b.doc_id,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM __ln b LEFT JOIN (
+            SELECT doc_id, string_agg(x, '. ' ORDER BY pos) AS clean_text
+            FROM __kept GROUP BY doc_id
+        ) a USING (doc_id)
+        WHERE len(b.ls) > 0
+    ), __qf AS (
+        SELECT c.doc_id, d.source, c.clean_text,
+               len(t) AS nt,
+               CAST(len(regexp_extract_all(c.clean_text, '[^A-Za-z0-9\\s]'))
+                    AS BIGINT) AS np,
+               {stopword_count_sql('t', 'en')} AS sw,
+               greatest(len(t), 1) AS dn
+        FROM (SELECT doc_id, clean_text,
+                     {tokens_sql('clean_text')} AS t FROM __clean) c
+        JOIN __clean USING (doc_id)
+        JOIN documents d USING (doc_id)
+    ), __q AS (
+        SELECT doc_id, source, clean_text, nt,
+               CAST(2 * dn * least(nt, 100) - 100 * least(np, dn) + 100 * sw
+                    AS DOUBLE) / (200 * dn) AS q
+        FROM __qf
+    ), __g AS (
+        SELECT * FROM __q WHERE q >= {_Z99_QT}
+    ), __dedup AS (
+        SELECT source, nt FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY sha256(clean_text) ORDER BY doc_id
+            ) AS rn FROM __g
+        ) WHERE rn = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens
+    FROM __dedup GROUP BY source
+    """,
+    description="corpus release report: strip boilerplate -> quality "
+    "gate on cleaned text -> exact dedup -> per-source manifest",
+)
+def z99_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
+    from spark_sql_hbase_spark.operators.text import quality_expr
+
+    docs = table(spark, sf_dir, "documents")
+    cleaned = dedup.strip_boilerplate_lines(
+        docs, "doc_id", "text", max_df=_STRIP_DF, min_line_tokens=_LINE_MT
+    ).select(F.col("id").alias("doc_id"), "clean_text")
+    with_src = cleaned.join(docs.select("doc_id", "source"), "doc_id")
+    scored = with_src.select(
+        "doc_id",
+        "source",
+        "clean_text",
+        F.explode(F.array(_tokens(F.col("clean_text")))).alias("__tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "clean_text",
+        F.size("__tok").alias("nt"),
+        quality_expr("clean_text", F.col("__tok")).alias("q"),
+    )
+    gated = scored.filter(F.col("q") >= _Z99_QT)
+    keep = gated.groupBy(
+        F.sha2(F.col("clean_text").cast("binary"), 256).alias("sha")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(keep, "doc_id", "left_semi")
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+    )
