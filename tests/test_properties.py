@@ -1781,3 +1781,41 @@ def test_leakage_free_split_has_zero_crossing_pairs(spark, sf_dir):
     ]
     assert crossing == [], crossing
     spark.catalog.clearCache()
+
+
+def test_resample_ffill_matches_pandas_reference(spark):
+    """resample_ffill agrees cell-for-cell with pandas
+    resample('1h').last().ffill() on an irregular multi-key series,
+    including the deterministic per-bucket last under same-bucket
+    collisions."""
+    import datetime
+
+    import pandas as pd
+
+    from spark_sql_hbase_spark.operators.asof import resample_ffill
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # key 1: irregular with a 3-hour gap and an intra-bucket collision
+    for i, (mins, v) in enumerate(
+        [(5, 1.0), (50, 2.0), (55, 3.0), (245, 4.0), (250, 5.0)]
+    ):
+        rows.append((1, base + datetime.timedelta(minutes=mins), v, i))
+    # key 2: single observation
+    rows.append((2, base + datetime.timedelta(minutes=90), 9.0, 100))
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, v double, oid long"
+    )
+    got = {
+        (r["key"], r["bucket"]): r["value"]
+        for r in resample_ffill(df, "k", "ts", "v", "oid", unit="hour").collect()
+    }
+    spark.catalog.clearCache()
+    exp = {}
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v", "oid"])
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values(["ts", "oid"]).set_index("ts")
+        r = g["v"].resample("1h").last().ffill()
+        for ts, v in r.items():
+            exp[(k, ts.to_pydatetime())] = v
+    assert got == exp, (got, exp)
