@@ -3271,7 +3271,6 @@ _Z99_QT = 0.35
                greatest(len(t), 1) AS dn
         FROM (SELECT doc_id, clean_text,
                      {tokens_sql('clean_text')} AS t FROM __clean) c
-        JOIN __clean USING (doc_id)
         JOIN documents d USING (doc_id)
     ), __q AS (
         SELECT doc_id, source, clean_text, nt,
@@ -3316,10 +3315,13 @@ def z99_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__tok").alias("nt"),
         quality_expr("clean_text", F.col("__tok")).alias("q"),
     )
-    gated = scored.filter(F.col("q") >= _Z99_QT)
-    keep = gated.groupBy(
-        F.sha2(F.col("clean_text").cast("binary"), 256).alias("sha")
-    ).agg(F.min("doc_id").alias("doc_id"))
+    # cached: consumed by BOTH sides of the dedup semi-join — uncached,
+    # the whole strip->join->tokenize->quality lineage would execute
+    # twice (z89/z90 cache discipline; callers clearCache between runs)
+    gated = scored.filter(F.col("q") >= _Z99_QT).cache()
+    keep = dedup.exact_dedup(gated, "doc_id", "clean_text").select(
+        F.col("keep_id").alias("doc_id")
+    )
     deduped = gated.join(keep, "doc_id", "left_semi")
     return deduped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

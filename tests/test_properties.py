@@ -1758,28 +1758,45 @@ def test_source_standardized_quality_moments(spark):
 
 def test_leakage_free_split_has_zero_crossing_pairs(spark, sf_dir):
     """The repaired split admits NO near-dup pair crossing train/test —
-    the invariant z76 audits becomes a guarantee; and only boundary
-    components moved (every repaired doc was hash-test in a component
-    with a hash-train member)."""
-    from spark_sql_hbase_spark.queries import load_all
+    the invariant z76 audits becomes a guarantee — AND only boundary
+    components moved: docs in no pair keep their hash split exactly, so
+    a degenerate everything-to-train regression cannot pass."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+    from spark_sql_hbase_spark.operators.dedup import minhash_lsh_join
+    from spark_sql_hbase_spark.queries import load_all, table
+    from spark_sql_hbase_spark.queries.llm import JACCARD_T, SHINGLE_N
 
     Q = load_all()
     split = {
         r["doc_id"]: r["split"]
         for r in Q["z98_leakage_free_split"].fn(spark, sf_dir).collect()
     }
-    # leakage audit over the repaired assignment: reuse z76's pair set
-    from spark_sql_hbase_spark.operators.dedup import minhash_lsh_join
-    from spark_sql_hbase_spark.queries import table
-
     docs = table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_join(docs, "doc_id", "text", threshold=0.6).collect()
+    # the SAME pair law z98 repairs (not a hardcoded twin that can drift)
+    pairs = minhash_lsh_join(
+        docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
+    ).collect()
     crossing = [
         (p["id_a"], p["id_b"])
         for p in pairs
         if split[p["id_a"]] != split[p["id_b"]]
     ]
     assert crossing == [], crossing
+    # non-component docs keep their hash split verbatim
+    in_pairs = {p["id_a"] for p in pairs} | {p["id_b"] for p in pairs}
+    h = word_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    hash_split = {
+        r["doc_id"]: r["hs"]
+        for r in docs.select(
+            "doc_id",
+            F.when(h % 10 == 0, F.lit("test")).otherwise(F.lit("train")).alias("hs"),
+        ).collect()
+    }
+    untouched = [d for d in split if d not in in_pairs]
+    assert untouched and all(split[d] == hash_split[d] for d in untouched)
+    assert any(split[d] == "test" for d in untouched)  # not everything-train
     spark.catalog.clearCache()
 
 
