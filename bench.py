@@ -147,6 +147,8 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
     # the count-min counter grid (bounded-shuffle aggregate), the
     # Bloom-gated decontamination, and PMI collocations (cached bigram
     # aggregate)
+    # ...and the keyed-store DML write paths (MERGE upsert rewrite,
+    # DELETE+UPDATE rewrites) for write-path regression visibility
     for name in (
         "z61_semantic_dedup",
         "z63_dsir_importance",
@@ -157,6 +159,8 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
         "z70_cms_heavy_hitters",
         "z73_bloom_decontam",
         "z75_pmi_collocations",
+        "z95_sql_merge_upsert",
+        "z96_sql_delete_update",
     ):
         t0 = time.perf_counter()
         n = registry[name].fn(spark, sf_dir).count()
