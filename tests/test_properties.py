@@ -1836,3 +1836,50 @@ def test_resample_ffill_matches_pandas_reference(spark):
         for ts, v in r.items():
             exp[(k, ts.to_pydatetime())] = v
     assert got == exp, (got, exp)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta".split()),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_winnowing_matches_python_reference(spark, token_lists):
+    """winnowing_fingerprints agrees with a plain-Python replica of the
+    Schleimer et al. selection (per-window min of k-gram md5-56 hashes,
+    short-doc single-min floor) on arbitrary token streams."""
+    import hashlib
+
+    from spark_sql_hbase_spark.operators.text import winnowing_fingerprints
+
+    k, w = 3, 4
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, "doc_id", "text", k=k, w=w).collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+
+    def h56(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    exp = {}
+    for i, toks in enumerate(token_lists):
+        grams = [
+            " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+        ]
+        hs = [h56(g) for g in grams]
+        if not hs:
+            continue
+        if len(hs) < w:
+            exp[i] = {min(hs)}
+        else:
+            exp[i] = {
+                min(hs[j : j + w]) for j in range(len(hs) - w + 1)
+            }
+    assert got == exp, (got, exp)
