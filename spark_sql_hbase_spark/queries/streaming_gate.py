@@ -721,3 +721,86 @@ def _z93_oracle() -> str:
 
 
 _REG["z93_stream_vocab_cardinality"].oracle = _z93_oracle()
+
+
+# ---------------------------------------------------------------------------
+# za01 — streaming covered-index dual-write (round-5 addition;
+# streaming/pipelines.py::write_stream_with_index_maintenance): the
+# Phoenix global-index maintenance strategy — each micro-batch appends
+# to the main keyed table AND its covered index in one foreachBatch, so
+# a value-predicate query served index-only stays fresh under streaming
+# ingest.  Query: nation-5 customers straight from the index (z81's
+# read shape); oracle: the plain value predicate.
+# ---------------------------------------------------------------------------
+@register(
+    "za01_stream_index_dualwrite",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           c_name AS name,
+           c_acctbal AS acctbal
+    FROM customer
+    WHERE c_nationkey = 5
+    """,
+    description="streaming covered-index dual-write: value-predicate "
+    "query served index-only stays fresh under ingest",
+)
+def za01_stream_index_dualwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        write_stream_with_index_maintenance,
+    )
+
+    store = KeyedTableStore(spark, tempfile.mkdtemp(prefix="za01_wh_"))
+    store.create_table(
+        TableSpec(
+            namespace="za01", name="cust", key_type="string",
+            families={
+                "c": {"name": "string", "nationkey": "long", "acctbal": "double"}
+            },
+        )
+    )
+    store.create_table(
+        TableSpec(
+            namespace="za01", name="cust_by_nation", key_type="string",
+            families={
+                "i": {"src_key": "string"},
+                "c": {"nationkey": "long", "name": "string", "acctbal": "double"},
+            },
+        )
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("c_name").alias("c:name"),
+        F.col("c_nationkey").alias("c:nationkey"),
+        F.col("c_acctbal").alias("c:acctbal"),
+    )
+    # two-file feed -> two micro-batches, both dual-written
+    src = os.path.join(tempfile.mkdtemp(prefix="za01_feed_"), "in")
+    half = F.col("row_key") < F.lpad(F.lit("750"), 10, "0")
+    c.filter(half).coalesce(1).write.mode("overwrite").parquet(src)
+    c.filter(~half).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(c.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_stream_with_index_maintenance(
+        stream,
+        store,
+        "za01.cust",
+        "za01.cust_by_nation",
+        index_col="c:nationkey",
+        include=["c:name", "c:acctbal"],
+        key_width=5,
+        checkpoint_dir=tempfile.mkdtemp(prefix="za01_ckpt_"),
+    )
+    q.awaitTermination()
+    idx = store.read("za01.cust_by_nation")
+    return idx.filter(
+        (F.col("row_key") >= "00005|") & (F.col("row_key") < "00005}")
+    ).select(
+        F.col("`i:src_key`").cast("long").alias("custkey"),
+        F.col("`c:name`").alias("name"),
+        F.col("`c:acctbal`").alias("acctbal"),
+    )

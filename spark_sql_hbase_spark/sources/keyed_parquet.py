@@ -317,12 +317,37 @@ class KeyedTableStore:
             namespace=ns, name=iname, key_type="string", families=fams
         )
         main = self.read(qualified_name)
+        self._index_width_guard(main, index_col, key_width)
+        proj = self.index_projection(main, index_col, covered, key_width)
+        self.ctas(spec, proj, mode=mode)
+
+    @staticmethod
+    def index_projection(
+        rows: DataFrame, index_col: str, covered: list[str], key_width: int
+    ) -> DataFrame:
+        """The covered-index row derivation shared by the CTAS build and
+        the streaming dual-write maintenance path: index row key =
+        lpad(value)|primary_key, plus the source key and covered
+        columns.  ONE definition so build and maintenance can never
+        drift."""
+        ik = F.concat(
+            F.lpad(F.col(f"`{index_col}`").cast("string"), key_width, "0"),
+            F.lit("|"),
+            F.col(ROW_KEY),
+        )
+        return rows.select(
+            ik.alias(ROW_KEY),
+            F.col(ROW_KEY).alias("i:src_key"),
+            *[F.col(f"`{c}`").alias(c) for c in [index_col] + covered],
+        )
+
+    @staticmethod
+    def _index_width_guard(rows: DataFrame, index_col: str, key_width: int) -> None:
         # lpad TRUNCATES strings longer than the pad width, which would
         # silently collide distinct index values into one key prefix (and
         # a leading '-' breaks lexicographic order outright) — reject
-        # both at build time; this is one bounded aggregate over the
-        # snapshot the CTAS is about to read anyway
-        probe = main.agg(
+        # both up front; one bounded aggregate over the input
+        probe = rows.agg(
             F.max(F.length(F.col(f"`{index_col}`").cast("string"))).alias("w"),
             F.max(
                 F.col(f"`{index_col}`").cast("string").startswith("-").cast("int")
@@ -338,17 +363,6 @@ class KeyedTableStore:
                 "negative index values break lexicographic key order; "
                 "bias the column into a non-negative range first"
             )
-        ik = F.concat(
-            F.lpad(F.col(f"`{index_col}`").cast("string"), key_width, "0"),
-            F.lit("|"),
-            F.col(ROW_KEY),
-        )
-        proj = main.select(
-            ik.alias(ROW_KEY),
-            F.col(ROW_KEY).alias("i:src_key"),
-            *[F.col(f"`{c}`").alias(c) for c in [index_col] + covered],
-        )
-        self.ctas(spec, proj, mode=mode)
 
     # -- versioned reads (HBase timestamp semantics) ----------------------
     def read_versions_asof(

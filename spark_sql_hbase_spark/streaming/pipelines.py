@@ -511,3 +511,45 @@ def quota_admission_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def write_stream_with_index_maintenance(
+    stream_df: DataFrame,
+    store,
+    main_name: str,
+    index_name: str,
+    index_col: str,
+    include: list[str],
+    key_width: int,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming keyed ingest with covered-index DUAL-WRITE — the
+    Phoenix global-index maintenance strategy: each micro-batch appends
+    to the main table AND derives+appends the matching index rows in
+    the same ``foreachBatch`` body, so the covered index stays fresh
+    without the CTAS rebuild (the consistency alternative documented by
+    ``create_covered_index``; both writes share one batch, so a replay
+    re-appends BOTH sides together — the standard at-least-once
+    contract of the keyed sink).
+
+    Index rows ride ``KeyedTableStore.index_projection`` — the single
+    shared derivation, so build-time and maintenance-time indexes can
+    never drift.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pinned = batch_df.localCheckpoint(eager=True)  # one evaluation
+        store.insert(main_name, pinned, generate_row_key=False)
+        store.insert(
+            index_name,
+            type(store).index_projection(pinned, index_col, include, key_width),
+            generate_row_key=False,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
