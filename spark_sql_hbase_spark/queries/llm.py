@@ -3327,3 +3327,90 @@ def z99_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nt").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# za02 — contrastive pair mining (round-5 addition): the embedding-model
+# training-data primitive — per anchor, the nearest SAME-label neighbor
+# (positive) and the nearest DIFFERENT-label neighbor (hard negative),
+# s01's deterministic selection law (raw-cosine order, id ties) applied
+# per label class.
+# ---------------------------------------------------------------------------
+@register(
+    "za02_contrastive_pairs",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS anchor, label AS alabel, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 16
+    ), scored AS (
+        SELECT anchor, alabel, e.vec_id AS nid, e.label AS nlabel,
+               list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS c
+        FROM q JOIN embeddings e ON e.vec_id <> anchor
+    ), pos AS (
+        SELECT anchor, nid AS pos_id, ROUND(c, 4) AS pos_cos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor ORDER BY c DESC, nid
+            ) AS rn FROM scored WHERE nlabel = alabel
+        ) WHERE rn = 1
+    ), neg AS (
+        SELECT anchor, nid AS neg_id, ROUND(c, 4) AS neg_cos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor ORDER BY c DESC, nid
+            ) AS rn FROM scored WHERE nlabel <> alabel
+        ) WHERE rn = 1
+    )
+    SELECT anchor, pos_id, pos_cos, neg_id, neg_cos
+    FROM pos JOIN neg USING (anchor)
+    """,
+    description="contrastive pair mining: nearest same-label positive + "
+    "nearest different-label hard negative per anchor",
+)
+def za02_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from spark_sql_hbase_spark.operators.similarity import _to_double, cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("alabel"),
+        _to_double(F.col("embedding")).alias("qv"),
+    )
+    pool = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        _to_double(F.col("embedding")).alias("nv"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(pool, F.col("nid") != F.col("anchor"))
+        .select(
+            "anchor",
+            "alabel",
+            "nid",
+            "nlabel",
+            cosine(F.col("qv"), F.col("nv")).alias("c"),
+        )
+    )
+    w = W.partitionBy("anchor").orderBy(F.col("c").desc(), F.col("nid"))
+    pos = (
+        scored.filter(F.col("nlabel") == F.col("alabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("nid").alias("pos_id"),
+            F.round("c", 4).alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("nlabel") != F.col("alabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("nid").alias("neg_id"),
+            F.round("c", 4).alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor")
