@@ -555,3 +555,74 @@ def z96_sql_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`c:acctbal`").alias("acctbal"),
         F.col("`c:nationkey`").alias("nationkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# za03 — Z-order (Morton) keyed layout + 2-D box scan (round-5 addition;
+# sources/keyed_parquet.py::morton_key): parts keyed by the interleave
+# of (p_size, price-in-dollars-bucket); a 2-D box query runs as ONE
+# key-range scan (sound superset — the code is monotone per coordinate)
+# + the residual exact predicate.  Oracle: the plain 2-D predicate.
+# ---------------------------------------------------------------------------
+@register(
+    "za03_zorder_box_scan",
+    oracle="""
+    SELECT CAST(p_partkey AS BIGINT) AS partkey,
+           CAST(p_size AS BIGINT) AS size,
+           p_retailprice AS price
+    FROM part
+    WHERE p_size BETWEEN 10 AND 20
+      AND CAST(floor(p_retailprice / 10) AS BIGINT) BETWEEN 90 AND 93
+    """,
+    description="Z-order keyed layout: 2-D box query as one key-range "
+    "scan + residual filter (Morton monotonicity)",
+)
+def za03_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    store = _store(spark)
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey"),
+        F.col("p_size").cast("long").alias("size"),
+        F.floor(F.col("p_retailprice") / 10).cast("long").alias("pb"),
+        F.col("p_retailprice").alias("price"),
+    )
+    mk = KeyedTableStore.morton_key(F.col("size"), F.col("pb"))
+    spec = TableSpec(
+        namespace="gate",
+        name="part_z",
+        key_type="string",
+        families={
+            "p": {"partkey": "long", "size": "long", "pb": "long",
+                  "price": "double"}
+        },
+    )
+    store.ctas(
+        spec,
+        p.select(
+            F.concat(
+                F.lpad(mk.cast("string"), 6, "0"),
+                F.lit("|"),
+                F.lpad(F.col("p_partkey").cast("string"), 10, "0"),
+            ).alias("row_key"),
+            F.col("p_partkey").alias("p:partkey"),
+            F.col("size").alias("p:size"),
+            F.col("pb").alias("p:pb"),
+            F.col("price").alias("p:price"),
+        ),
+        mode="overwrite",
+    )
+    lo = KeyedTableStore.morton_value(10, 90)
+    hi = KeyedTableStore.morton_value(20, 93)
+    scan = store.read("gate.part_z").filter(
+        (F.col("row_key") >= f"{lo:06d}|")
+        & (F.col("row_key") <= f"{hi:06d}|~")
+    )
+    return scan.filter(
+        F.col("`p:size`").between(10, 20) & F.col("`p:pb`").between(90, 93)
+    ).select(
+        F.col("`p:partkey`").alias("partkey"),
+        F.col("`p:size`").alias("size"),
+        F.col("`p:price`").alias("price"),
+    )

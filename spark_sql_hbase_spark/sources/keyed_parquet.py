@@ -403,6 +403,46 @@ class KeyedTableStore:
             & (df[f"`{version_col}`"] == latest["__v"]),
         ).select(df["*"])
 
+    # -- Z-order keys (2-D locality layout, Morton interleave) ------------
+    @staticmethod
+    def morton_key(x: "F.Column", y: "F.Column", bits: int = 8):
+        """Morton (Z-order) interleave of two non-negative integer
+        columns into one sortable code — the 2-D data-skipping layout
+        (Delta/Iceberg ``OPTIMIZE ZORDER BY`` publishes the same trick):
+        points close in (x, y) cluster in key ranges, so a 2-D box
+        query becomes ONE key-range scan + a residual exact filter.
+
+        Because the interleave writes x-bits and y-bits to DISJOINT
+        positions, the code is ``f(x) + g(y)`` with f, g monotone —
+        hence every point of the box [x1,x2]×[y1,y2] has its code in
+        [morton(x1,y1), morton(x2,y2)] and the range scan is a sound
+        superset (the residual filter removes the z-curve's
+        false-positive corners).
+        """
+        m = F.lit(0).cast("long")
+        for i in range(bits):
+            m = (
+                m
+                + F.shiftleft(
+                    F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i
+                )
+                + F.shiftleft(
+                    F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)),
+                    2 * i + 1,
+                )
+            )
+        return m
+
+    @staticmethod
+    def morton_value(x: int, y: int, bits: int = 8) -> int:
+        """Driver-side twin of :meth:`morton_key` for literal range
+        bounds."""
+        m = 0
+        for i in range(bits):
+            m += ((x >> i) & 1) << (2 * i)
+            m += ((y >> i) & 1) << (2 * i + 1)
+        return m
+
     # -- salted keys (HBase hot-spotting fix / Phoenix SALT_BUCKETS) ------
     @staticmethod
     def salted_key(key: "F.Column", buckets: int) -> "F.Column":

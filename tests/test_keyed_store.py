@@ -545,3 +545,28 @@ def test_salted_buckets_capped_at_two_char_prefix(spark, tmp_path):
     st = KeyedTableStore(spark, str(tmp_path / "wh"))
     with pytest.raises(ValueError, match="buckets"):
         st.read_salted_key_range("x.y", 101, "a", "b")
+
+
+def test_morton_key_monotone_box_containment(spark):
+    """The Morton code is f(x)+g(y) with monotone f, g (disjoint bit
+    planes), so every point of a box has its code within the corner
+    codes — the soundness property the za03 range scan relies on —
+    and the column expression agrees with the driver-side twin."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    pts = [(x, y) for x in range(0, 40, 3) for y in range(0, 40, 5)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["m"]
+        for r in df.select(
+            "x", "y", KeyedTableStore.morton_key(F.col("x"), F.col("y")).alias("m")
+        ).collect()
+    }
+    for (x, y), m in got.items():
+        assert m == KeyedTableStore.morton_value(x, y), (x, y)
+    lo, hi = KeyedTableStore.morton_value(6, 10), KeyedTableStore.morton_value(30, 30)
+    for (x, y), m in got.items():
+        if 6 <= x <= 30 and 10 <= y <= 30:
+            assert lo <= m <= hi, (x, y, m)
