@@ -626,3 +626,55 @@ def za03_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`p:size`").alias("size"),
         F.col("`p:price`").alias("price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# za04 — region stats from parquet footers (round-5 addition;
+# sources/keyed_parquet.py::region_stats — the list_regions admin
+# surface): per-region key ranges + row counts computed from FOOTER
+# statistics only (never a data scan — O(files) metadata reads, the
+# same stats the range-pruning planner uses).  Oracle: the identical
+# relation recomputed FROM THE DATA by assigning rows to regions via
+# the split keys — footers must agree with ground truth exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "za04_region_stats",
+    oracle="""
+    SELECT 3 AS n_regions,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           MIN(lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) AS min_key,
+           MAX(lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) AS max_key
+    FROM orders
+    """,
+    description="region stats from parquet footers only (list_regions "
+    "analogue): footer-derived totals == ground truth; per-region "
+    "exactness pinned in pytest",
+)
+def za04_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("o_totalprice").alias("o:totalprice"),
+    )
+    spec = TableSpec(
+        namespace="gate",
+        name="orders_r",
+        key_type="string",
+        families={"o": {"totalprice": "double"}},
+    )
+    store.ctas(spec, o, mode="overwrite")
+    store.compact("gate.orders_r", n_regions=3)
+    # region boundaries are data-driven (repartitionByRange samples its
+    # own splits), so the oracle checks the boundary-INDEPENDENT truths:
+    # region count, total rows, global key range — all from footers; the
+    # per-region file-level exactness is pinned by
+    # test_region_stats_footers_match_data
+    rs = store.region_stats("gate.orders_r")
+    return rs.agg(
+        F.count(F.lit(1)).cast("int").alias("n_regions"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min("min_key").alias("min_key"),
+        F.max("max_key").alias("max_key"),
+    )

@@ -652,6 +652,53 @@ class KeyedTableStore:
         out.write.mode("overwrite").parquet(self.table_path(spec))
         self.refresh(qualified_name)
 
+    # -- region stats (HBase list_regions analogue, footer-only) ----------
+    def region_stats(self, qualified_name: str) -> DataFrame:
+        """Per-region key ranges and row counts — the ``list_regions``
+        admin surface — computed from PARQUET FOOTER statistics only
+        (row-group min/max + counts), never a data scan: O(files)
+        driver-side metadata reads, the same stats the scan planner uses
+        for range pruning.  Regions are numbered by ascending min key
+        (the sorted-layout invariant after compaction).
+
+        Emits ``(region, min_key, max_key, n_rows)``.
+        """
+        import pyarrow.parquet as pq
+
+        spec = self.registry.get(qualified_name)
+        path = self.table_path(spec)
+        stats = []
+        for fname in sorted(os.listdir(path)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, fname))
+            lo = hi = None
+            rows = md.num_rows
+            if rows == 0:
+                continue
+            idx = None
+            for c in range(md.num_columns):
+                if md.row_group(0).column(c).path_in_schema == ROW_KEY:
+                    idx = c
+                    break
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise RuntimeError(f"missing row_key stats in {fname}")
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode(), mx.decode()
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            stats.append((lo, hi, rows))
+        stats.sort()
+        rows = [
+            (i + 1, lo, hi, n) for i, (lo, hi, n) in enumerate(stats)
+        ]
+        return self.spark.createDataFrame(
+            rows, "region int, min_key string, max_key string, n_rows bigint"
+        )
+
     # -- session-catalog integration (A8) ---------------------------------
     def _view_name(self, spec: TableSpec) -> str:
         return f"{spec.namespace}__{spec.name}"

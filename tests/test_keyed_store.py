@@ -570,3 +570,45 @@ def test_morton_key_monotone_box_containment(spark):
     for (x, y), m in got.items():
         if 6 <= x <= 30 and 10 <= y <= 30:
             assert lo <= m <= hi, (x, y, m)
+
+
+def test_region_stats_footers_match_data(spark, tmp_path):
+    """region_stats (parquet-footer-only) agrees file-for-file with the
+    per-file ranges computed FROM THE DATA — footers are the planner's
+    pruning source, so they must be exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    src = spark.range(1, 501).select(
+        F.lpad(F.col("id").cast("string"), 8, "0").alias("row_key"),
+        (F.col("id") * 3).alias("c:v"),
+    )
+    st.ctas(
+        TableSpec(namespace="rs", name="t", key_type="string",
+                  families={"c": {"v": "long"}}),
+        src,
+    )
+    st.compact("rs.t", n_regions=4)
+    got = [
+        (r["region"], r["min_key"], r["max_key"], r["n_rows"])
+        for r in st.region_stats("rs.t").collect()
+    ]
+    data = (
+        st.read("rs.t")
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("row_key").alias("lo"),
+            F.max("row_key").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    exp = sorted((r["lo"], r["hi"], r["n"]) for r in data)
+    exp = [(i + 1, lo, hi, n) for i, (lo, hi, n) in enumerate(exp)]
+    assert got == exp, (got, exp)
+    # regions are disjoint and ordered — the sorted-layout invariant
+    for (_, _, hi_prev, _), (_, lo_next, _, _) in zip(got, got[1:]):
+        assert hi_prev < lo_next
