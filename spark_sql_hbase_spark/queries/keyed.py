@@ -588,6 +588,7 @@ def za03_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("p_retailprice") / 10).cast("long").alias("pb"),
         F.col("p_retailprice").alias("price"),
     )
+    store.morton_domain_guard(p, F.col("size"), F.col("pb"))
     mk = KeyedTableStore.morton_key(F.col("size"), F.col("pb"))
     spec = TableSpec(
         namespace="gate",

@@ -3381,6 +3381,8 @@ def za02_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("nlabel"),
         _to_double(F.col("embedding")).alias("nv"),
     )
+    # cached: both the pos and neg branches consume the O(A×N×dim)
+    # scoring — uncached it would execute twice (z89/z99 discipline)
     scored = (
         F.broadcast(anchors)
         .join(pool, F.col("nid") != F.col("anchor"))
@@ -3391,6 +3393,7 @@ def za02_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nlabel",
             cosine(F.col("qv"), F.col("nv")).alias("c"),
         )
+        .cache()
     )
     w = W.partitionBy("anchor").orderBy(F.col("c").desc(), F.col("nid"))
     pos = (

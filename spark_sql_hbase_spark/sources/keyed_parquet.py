@@ -436,12 +436,43 @@ class KeyedTableStore:
     @staticmethod
     def morton_value(x: int, y: int, bits: int = 8) -> int:
         """Driver-side twin of :meth:`morton_key` for literal range
-        bounds."""
+        bounds.  Rejects out-of-domain coordinates — values >= 2^bits
+        would silently TRUNCATE (keeping only the low bits), which
+        breaks the monotone-containment soundness outright (a box can
+        then MISS rows, not just over-scan)."""
+        for v in (x, y):
+            if not 0 <= v < (1 << bits):
+                raise ValueError(
+                    f"morton coordinate {v} outside [0, {1 << bits}); "
+                    f"raise bits= or rescale the column"
+                )
         m = 0
         for i in range(bits):
             m += ((x >> i) & 1) << (2 * i)
             m += ((y >> i) & 1) << (2 * i + 1)
         return m
+
+    def morton_domain_guard(
+        self, rows: DataFrame, x: "F.Column", y: "F.Column", bits: int = 8
+    ) -> None:
+        """Build-time domain check for :meth:`morton_key` (same class of
+        guard as the covered-index width check): raises if any value of
+        either coordinate falls outside [0, 2^bits)."""
+        probe = rows.agg(
+            F.min(x.cast("long")).alias("xmin"),
+            F.max(x.cast("long")).alias("xmax"),
+            F.min(y.cast("long")).alias("ymin"),
+            F.max(y.cast("long")).alias("ymax"),
+        ).collect()[0]
+        hi = 1 << bits
+        for k in ("xmin", "xmax", "ymin", "ymax"):
+            v = probe[k]
+            if v is not None and not 0 <= v < hi:
+                raise ValueError(
+                    f"morton coordinate range [{probe['xmin']}, "
+                    f"{probe['xmax']}] x [{probe['ymin']}, {probe['ymax']}] "
+                    f"exceeds [0, {hi}); raise bits= or rescale"
+                )
 
     # -- salted keys (HBase hot-spotting fix / Phoenix SALT_BUCKETS) ------
     @staticmethod
@@ -681,6 +712,11 @@ class KeyedTableStore:
                 if md.row_group(0).column(c).path_in_schema == ROW_KEY:
                     idx = c
                     break
+            if idx is None:
+                raise RuntimeError(
+                    f"no {ROW_KEY!r} column in {fname} — foreign file in "
+                    "the table directory or schema drift"
+                )
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
                 if st is None or not st.has_min_max:
@@ -692,11 +728,9 @@ class KeyedTableStore:
                 hi = mx if hi is None or mx > hi else hi
             stats.append((lo, hi, rows))
         stats.sort()
-        rows = [
-            (i + 1, lo, hi, n) for i, (lo, hi, n) in enumerate(stats)
-        ]
+        out = [(i + 1, lo, hi, n) for i, (lo, hi, n) in enumerate(stats)]
         return self.spark.createDataFrame(
-            rows, "region int, min_key string, max_key string, n_rows bigint"
+            out, "region int, min_key string, max_key string, n_rows bigint"
         )
 
     # -- session-catalog integration (A8) ---------------------------------

@@ -612,3 +612,22 @@ def test_region_stats_footers_match_data(spark, tmp_path):
     # regions are disjoint and ordered — the sorted-layout invariant
     for (_, _, hi_prev, _), (_, lo_next, _, _) in zip(got, got[1:]):
         assert hi_prev < lo_next
+
+
+def test_morton_rejects_out_of_domain(spark):
+    """Coordinates outside [0, 2^bits) would silently truncate and break
+    the box-containment soundness — both the literal twin and the
+    build-time guard must reject them."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    with pytest.raises(ValueError, match="outside"):
+        KeyedTableStore.morton_value(256, 0)
+    with pytest.raises(ValueError, match="outside"):
+        KeyedTableStore.morton_value(0, -1)
+    st = KeyedTableStore(spark, "/tmp/__morton_guard_unused")
+    df = spark.createDataFrame([(300, 5)], "x long, y long")
+    with pytest.raises(ValueError, match="exceeds"):
+        st.morton_domain_guard(df, F.col("x"), F.col("y"))
