@@ -22,8 +22,10 @@ Reference → our mapping (SURVEY §1, §2.A):
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +38,13 @@ from spark_sql_hbase_spark.catalog import (
 )
 
 DEFAULT_REGIONS = 4  # default range-partition count when no split keys given
+
+# table-property prefix recording covered indexes on their main table
+_INDEX_PROP = "index."
+# lpad-string index keys are order-correct only for non-negative integers
+_INTEGRAL_INDEX_TYPES = {
+    "byte", "tinyint", "short", "smallint", "int", "integer", "bigint", "long",
+}
 
 
 class TableNotFoundError(KeyError):
@@ -110,6 +119,14 @@ class KeyedTableStore:
         self.spark.sql(f"DROP TABLE IF EXISTS `{spec.namespace}`.`{spec.name}`")
         if hasattr(self, "_catalog_paths"):
             self._catalog_paths.pop(qualified_name, None)
+        # if the dropped table was a covered index, deregister it from its
+        # main table so DML stops trying to maintain a ghost
+        key = f"{_INDEX_PROP}{qualified_name}"
+        for qn in self.registry.tables():
+            mspec = self.registry.get(qn)
+            if key in mspec.properties:
+                del mspec.properties[key]
+                self.registry.register(mspec)
 
     def exists(self, qualified_name: str) -> bool:
         return self.registry.exists(qualified_name)
@@ -297,16 +314,36 @@ class KeyedTableStore:
 
         The reference engine indexes only the row key; HBase deployments
         add value-column access via Phoenix global indexes — this is that
-        extension on the keyed store.  Consistency contract: built via
-        CTAS over a snapshot of the main table; production keeps it fresh
-        by dual-writes or periodic rebuild (Phoenix ASYNC semantics).
+        extension on the keyed store.  Consistency contract: the index is
+        REGISTERED on the main table (a table property), and every batch
+        DML (:meth:`upsert` / :meth:`delete_where` / :meth:`update_where`)
+        rebuilds it in the same call — or marks it STALE under
+        ``async_index=True`` (Phoenix ASYNC) until :meth:`rebuild_indexes`;
+        streaming ingest keeps it fresh by dual-write
+        (``write_stream_with_index_maintenance``).
         Scale: the index build is one range-partitioned key-sorted write
         (same cost class as compaction); the read path replaces a full
         main-table scan + filter with an index range scan bounded by the
         predicate's key range.
+
+        Only integral index columns are accepted: the lpad-string key is
+        order-correct exactly for non-negative integers — a double or
+        decimal ('1.25' vs '1.5', scientific notation) passes a width
+        check yet sorts lexicographically != numerically, silently
+        corrupting range scans.  Fractional types need an
+        order-preserving fixed-point encoding upstream (scale to an
+        integer column first).
         """
         main_spec = self.registry.get(qualified_name)
         cf, qual = index_col.split(COLUMN_QUALIFIER_SPLITTER, 1)
+        declared = main_spec.families[cf][qual].lower()
+        if declared not in _INTEGRAL_INDEX_TYPES:
+            raise ValueError(
+                f"covered index on {index_col!r} ({declared}): only integral "
+                "column types index order-correctly under the lpad key "
+                "encoding; scale fractional values to an integer column "
+                "(order-preserving fixed point) and index that"
+            )
         covered = list(include or [])
         ns, iname = index_qualified_name.split(".", 1)
         fams: dict[str, dict[str, str]] = {"i": {"src_key": "string"}}
@@ -320,6 +357,11 @@ class KeyedTableStore:
         self._index_width_guard(main, index_col, key_width)
         proj = self.index_projection(main, index_col, covered, key_width)
         self.ctas(spec, proj, mode=mode)
+        # register the index on the main table so DML maintains it
+        main_spec.properties[f"{_INDEX_PROP}{index_qualified_name}"] = json.dumps(
+            {"col": index_col, "include": covered, "key_width": key_width}
+        )
+        self.registry.register(main_spec)
 
     @staticmethod
     def index_projection(
@@ -363,6 +405,60 @@ class KeyedTableStore:
                 "negative index values break lexicographic key order; "
                 "bias the column into a non-negative range first"
             )
+
+    def registered_indexes(self, qualified_name: str) -> dict[str, dict]:
+        """Covered indexes registered on ``qualified_name`` (by
+        :meth:`create_covered_index`): index qualified name →
+        ``{"col", "include", "key_width"}``."""
+        spec = self.registry.get(qualified_name)
+        return {
+            k[len(_INDEX_PROP):]: json.loads(v)
+            for k, v in spec.properties.items()
+            if k.startswith(_INDEX_PROP)
+        }
+
+    def index_is_stale(self, index_qualified_name: str) -> bool:
+        """True iff an ``async_index=True`` DML deferred this index's
+        rebuild and :meth:`rebuild_indexes` has not yet run."""
+        return (
+            self.registry.get(index_qualified_name).properties.get("stale")
+            == "true"
+        )
+
+    def rebuild_indexes(self, qualified_name: str) -> None:
+        """Rebuild every covered index registered on the table from its
+        current state (the Phoenix ASYNC catch-up path) and clear their
+        stale markers."""
+        self._maintain_indexes(qualified_name, async_index=False)
+
+    def _maintain_indexes(self, qualified_name: str, async_index: bool) -> None:
+        """Post-DML covered-index maintenance (reference analogue: the
+        insert path refreshing dependent metadata after write,
+        ``InsertIntoHBaseTable.scala:110``; semantics: Phoenix global
+        index maintenance).  Synchronous mode rebuilds each registered
+        index from the table's new state — one index-projection
+        key-sorted rewrite per index, the same cost class as the DML
+        rewrite itself; ``async_index=True`` skips the work but marks
+        the index STALE so nothing reads it as fresh silently."""
+        indexes = self.registered_indexes(qualified_name)
+        if not indexes:
+            return
+        if async_index:
+            for iq in indexes:
+                ispec = self.registry.get(iq)
+                ispec.properties["stale"] = "true"
+                self.registry.register(ispec)
+            return
+        main = self.read(qualified_name)
+        for iq, meta in indexes.items():
+            ispec = self.registry.get(iq)
+            self._index_width_guard(main, meta["col"], meta["key_width"])
+            proj = self.index_projection(
+                main, meta["col"], list(meta["include"]), meta["key_width"]
+            )
+            self._sorted_rewrite(ispec, proj)
+            if ispec.properties.pop("stale", None) is not None:
+                self.registry.register(ispec)
 
     # -- versioned reads (HBase timestamp semantics) ----------------------
     def read_versions_asof(
@@ -552,32 +648,81 @@ class KeyedTableStore:
             latest,
             (snap[ROW_KEY] == latest[ROW_KEY])
             & (snap[f"`{version_col}`"] == latest["__v"]),
-        ).select(snap["*"]).localCheckpoint(eager=True)
-        n = n_regions or (
-            max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
-        )
-        out = kept.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
-        out.write.mode("overwrite").parquet(self.table_path(spec))
-        self.refresh(qualified_name)
+        ).select(snap["*"])
+        self._sorted_rewrite(spec, kept, n_regions=n_regions)
 
     # -- shared full-table rewrite (regions + sorted layout + refresh) ----
-    def _sorted_rewrite(self, spec: TableSpec, df: DataFrame) -> None:
+    def _atomic_swap_write(self, spec: TableSpec, out: DataFrame) -> None:
+        """Write ``out`` to a STAGING sibling of the table directory, then
+        swap directories — the DataSource writer's staged-commit protocol
+        (``keyed_datasource.py`` staged-file atomic commit) applied to
+        full-table rewrites.
+
+        Why not overwrite-in-place: a DML rewrite READS the table it
+        replaces, so writing ``mode("overwrite")`` to the same path needs
+        the plan materialized first — the previous design pinned an entire
+        table copy in executor block-manager storage via
+        ``localCheckpoint(eager=True)``, a hard ceiling at 100 TB.  With
+        staging, the lazy plan streams from the OLD files while writing
+        the NEW directory; no executor-storage copy ever exists, and a
+        crash mid-write leaves the old snapshot untouched (the staging
+        dir is garbage, swept by the next rewrite).  The swap itself is
+        two same-filesystem directory renames — the table is briefly a
+        dangling name between them (microseconds, metadata-only); readers
+        resolve files at action time against the refreshed listing.
+        """
+        path = self.table_path(spec)
+        parent = os.path.dirname(path)
+        # sweep staging/old leftovers from a crashed earlier rewrite
+        base = os.path.basename(path)
+        for d in os.listdir(parent):
+            if d.startswith(f".{base}__"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        txid = uuid.uuid4().hex[:12]
+        staging = os.path.join(parent, f".{base}__staging_{txid}")
+        retired = os.path.join(parent, f".{base}__old_{txid}")
+        out.write.mode("overwrite").parquet(staging)
+        os.rename(path, retired)
+        os.rename(staging, path)
+        shutil.rmtree(retired, ignore_errors=True)
+        self.refresh(spec.qualified_name)
+
+    def _sorted_rewrite(
+        self, spec: TableSpec, df: DataFrame, n_regions: int | None = None
+    ) -> None:
         """Conform ``df`` to the declared schema (order AND types — a
         rewrite must never drift stored types away from the TableSpec;
         e.g. an UPDATE assigning a double into a long column) and write
-        it as the table's new key-sorted range-partitioned layout.  The
-        single implementation behind every DML rewrite path."""
+        it as the table's new key-sorted range-partitioned layout via
+        the staged-directory atomic swap.  The single implementation
+        behind every DML rewrite path."""
         schema = spec.schema()
         out = df.select(
             *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in schema.fields]
         )
-        n = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
+        n = n_regions or (
+            max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
+        )
         out = out.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
-        out.write.mode("overwrite").parquet(self.table_path(spec))
-        self.refresh(spec.qualified_name)
+        self._atomic_swap_write(spec, out)
+
+    @staticmethod
+    def _footer_row_count(path: str) -> int:
+        """Exact table row count from parquet footer metadata — O(files)
+        driver-side reads, zero Spark jobs (the ``region_stats``
+        footer-only discipline applied to counting)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for fname in os.listdir(path):
+            if fname.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(path, fname)).num_rows
+        return total
 
     # -- upsert (MERGE INTO ... UPDATE SET * / INSERT * analogue) ---------
-    def upsert(self, qualified_name: str, df: DataFrame) -> None:
+    def upsert(
+        self, qualified_name: str, df: DataFrame, async_index: bool = False
+    ) -> None:
         """Row-key upsert: rows in ``df`` REPLACE same-key rows in the
         table, new keys append — the ``MERGE INTO ... WHEN MATCHED THEN
         UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` semantics (the one
@@ -586,10 +731,19 @@ class KeyedTableStore:
 
         Implementation: snapshot ⟕ anti-join out the incoming keys,
         union the incoming rows, one range-partitioned key-sorted
-        rewrite — a major compaction fused with the merge (same cost
-        class as :meth:`compact`; at 100 TB the alternative is the
-        versioned-append path + :meth:`read_versions_asof`, which defers
-        the rewrite — see ``z82``/``z85``).
+        rewrite through the staged-directory atomic swap — no
+        table-sized executor-storage copy (at 100 TB the alternative is
+        the versioned-append path + :meth:`read_versions_asof`, which
+        defers the rewrite — see the CDC gates).  The dup-check and the
+        rewrite each evaluate the source once; a nondeterministic source
+        carries the same hazard any retried Spark write has — stamp
+        deterministic keys upstream.
+
+        Covered indexes registered on the table are REBUILT in the same
+        call (Phoenix index-maintenance semantics; reference analogue:
+        post-write refresh, ``InsertIntoHBaseTable.scala:110``) unless
+        ``async_index=True``, which skips the rebuild and marks each
+        index STALE until :meth:`rebuild_indexes` runs (Phoenix ASYNC).
         """
         spec = self.registry.get(qualified_name)
         cur = self.read(qualified_name)
@@ -599,7 +753,7 @@ class KeyedTableStore:
                 f"upsert source columns {sorted(df.columns)} != table "
                 f"columns {sorted(cols)}"
             )
-        incoming = df.select(*cols).localCheckpoint(eager=True)
+        incoming = df.select(*cols)
         # standard MERGE law: multiple source rows per key is an error
         # (HBase would last-wins, but "which last" is undefined for a
         # batch) — fail loudly before touching the table
@@ -618,37 +772,48 @@ class KeyedTableStore:
         keep = cur.join(
             incoming.select(ROW_KEY), ROW_KEY, "left_anti"
         )
-        merged = keep.unionByName(incoming).localCheckpoint(eager=True)
-        self._sorted_rewrite(spec, merged)
+        self._sorted_rewrite(spec, keep.unionByName(incoming))
+        self._maintain_indexes(qualified_name, async_index)
 
     # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
-    def delete_where(self, qualified_name: str, condition: str) -> int:
+    def delete_where(
+        self, qualified_name: str, condition: str, async_index: bool = False
+    ) -> int:
         """DELETE FROM the keyed table: rows matching the SQL
         ``condition`` are removed by one filtered key-sorted rewrite
         (the batch analogue of HBase Delete mutations; tombstones +
         compaction collapse into the single rewrite here).  Returns the
-        number of rows deleted."""
+        number of rows deleted, derived from parquet FOOTER counts
+        before/after the swap — the rewrite is the only data scan.
+        Registered covered indexes are rebuilt (or marked stale under
+        ``async_index=True``) — see :meth:`upsert`."""
         spec = self.registry.get(qualified_name)
         cur = self.read(qualified_name)
         # SQL DELETE law: only rows where the predicate is TRUE go; a
         # NULL predicate must KEEP the row (NOT(NULL) is NULL and would
         # silently drop it)
         hit = F.coalesce(F.expr(condition), F.lit(False))
-        deleted = int(
-            cur.agg(F.sum(hit.cast("int")).alias("d")).collect()[0]["d"] or 0
-        )
-        keep = cur.filter(~hit).localCheckpoint(eager=True)
-        self._sorted_rewrite(spec, keep)
+        path = self.table_path(spec)
+        before = self._footer_row_count(path)
+        self._sorted_rewrite(spec, cur.filter(~hit))
+        deleted = before - self._footer_row_count(path)
+        self._maintain_indexes(qualified_name, async_index)
         return deleted
 
     def update_where(
-        self, qualified_name: str, assignments: dict[str, str], condition: str
+        self,
+        qualified_name: str,
+        assignments: dict[str, str],
+        condition: str,
+        async_index: bool = False,
     ) -> None:
         """UPDATE the keyed table: SQL-expression ``assignments``
         applied to rows matching ``condition``, one key-sorted rewrite.
         Assignment keys must be existing non-key columns (the row key is
         immutable — HBase semantics: changing the key is a delete +
-        put, i.e. :meth:`delete_where` + :meth:`insert`)."""
+        put, i.e. :meth:`delete_where` + :meth:`insert`).  Registered
+        covered indexes are rebuilt (or marked stale under
+        ``async_index=True``) — see :meth:`upsert`."""
         spec = self.registry.get(qualified_name)
         cur = self.read(qualified_name)
         for col in assignments:
@@ -666,31 +831,31 @@ class KeyedTableStore:
                 ).alias(c)
                 for c in cur.columns
             ]
-        ).localCheckpoint(eager=True)
+        )
         self._sorted_rewrite(spec, updated)
+        self._maintain_indexes(qualified_name, async_index)
 
     # -- compaction (A10 bulk-rewrite analogue) ---------------------------
     def compact(self, qualified_name: str, n_regions: int | None = None) -> None:
         """Rewrite the table into ``n_regions`` key-sorted partitions —
         the major-compaction analogue (merge many small "HFiles" into few
-        sorted ones, restoring scan locality after many inserts)."""
+        sorted ones, restoring scan locality after many inserts).  Runs
+        through the staged-directory atomic swap: the old layout serves
+        reads until the new one is fully written."""
         spec = self.registry.get(qualified_name)
-        n = n_regions or (
-            max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
-        )
-        snapshot = self.read(qualified_name).localCheckpoint(eager=True)
-        out = snapshot.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
-        out.write.mode("overwrite").parquet(self.table_path(spec))
-        self.refresh(qualified_name)
+        self._sorted_rewrite(spec, self.read(qualified_name), n_regions=n_regions)
 
     # -- region stats (HBase list_regions analogue, footer-only) ----------
     def region_stats(self, qualified_name: str) -> DataFrame:
         """Per-region key ranges and row counts — the ``list_regions``
-        admin surface — computed from PARQUET FOOTER statistics only
-        (row-group min/max + counts), never a data scan: O(files)
-        driver-side metadata reads, the same stats the scan planner uses
-        for range pruning.  Regions are numbered by ascending min key
-        (the sorted-layout invariant after compaction).
+        admin surface — computed from PARQUET FOOTER statistics
+        (row-group min/max + counts): O(files) driver-side metadata
+        reads, the same stats the scan planner uses for range pruning.
+        Files whose key statistics may be writer-TRUNCATED (long binary
+        keys) fall back to an exact single-column scan of that file, so
+        the reported ranges are always exact.  Regions are numbered by
+        ascending min key (the sorted-layout invariant after
+        compaction).
 
         Emits ``(region, min_key, max_key, n_rows)``.
         """
@@ -717,15 +882,40 @@ class KeyedTableStore:
                     f"no {ROW_KEY!r} column in {fname} — foreign file in "
                     "the table directory or schema drift"
                 )
+            exact = True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
                 if st is None or not st.has_min_max:
                     raise RuntimeError(f"missing row_key stats in {fname}")
+                # parquet writers TRUNCATE long binary statistics
+                # (parquet-mr at 64 bytes; the truncated max then EXCEEDS
+                # the true range).  pyarrow's Statistics does not expose
+                # is_min/max_value_exact in this runtime, so treat any
+                # stat at/over the truncation boundary — or an explicit
+                # exactness=False when a newer pyarrow provides it — as
+                # suspect and fall back to an exact single-column scan of
+                # the file (still file-local; the footer fast path stays
+                # for every normal-width key).
+                if (
+                    getattr(st, "is_min_value_exact", True) is False
+                    or getattr(st, "is_max_value_exact", True) is False
+                ):
+                    exact = False
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes):
                     mn, mx = mn.decode(), mx.decode()
+                if max(len(str(mn)), len(str(mx))) >= 64:
+                    exact = False
                 lo = mn if lo is None or mn < lo else lo
                 hi = mx if hi is None or mx > hi else hi
+            if not exact:
+                keys = pq.read_table(
+                    os.path.join(path, fname), columns=[ROW_KEY]
+                ).column(0)
+                import pyarrow.compute as pc
+
+                lo = pc.min(keys).as_py()
+                hi = pc.max(keys).as_py()
             stats.append((lo, hi, rows))
         stats.sort()
         out = [(i + 1, lo, hi, n) for i, (lo, hi, n) in enumerate(stats)]

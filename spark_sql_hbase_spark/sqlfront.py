@@ -87,13 +87,11 @@ _DROP_DB_RE = re.compile(
 )
 _PROP_KV_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
 _DELETE_RE = re.compile(
-    rf"^\s*delete\s+from\s+(?P<target>{_QUALIFIED})"
-    r"(?:\s+where\s+(?P<cond>.+))?\s*$",
+    rf"^\s*delete\s+from\s+(?P<target>{_QUALIFIED})(?P<rest>\s.*)?$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
-    rf"^\s*update\s+(?P<target>{_QUALIFIED})\s+set\s+"
-    r"(?P<sets>.+?)(?:\s+where\s+(?P<cond>.+))?\s*$",
+    rf"^\s*update\s+(?P<target>{_QUALIFIED})\s+set\s(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_RE = re.compile(
@@ -114,6 +112,37 @@ _CREATE_INDEX_RE = re.compile(
 _USING_KEYED_RE = re.compile(r"\busing\s+keyed(?:table)?\b", re.IGNORECASE)
 _OPTIONS_RE = re.compile(r"\boptions\s*\(", re.IGNORECASE)
 _OPTION_KV_RE = re.compile(r"(\w+)\s*=\s*'([^']*)'")
+
+
+def _split_at_top_level_where(s: str) -> tuple[str, str | None]:
+    """Split ``s`` at its first TOP-LEVEL ``WHERE`` keyword — outside
+    single quotes, backticks, and parentheses — returning
+    ``(head, condition-or-None)``.  A lazy regex split is not
+    quote-aware: ``UPDATE t SET a = 'x where y'`` (no WHERE clause)
+    would hand the string interior to ``F.expr`` as a condition."""
+    in_str = in_tick = False
+    depth = 0
+    for i, ch in enumerate(s):
+        if in_str:
+            in_str = ch != "'"
+        elif in_tick:
+            in_tick = ch != "`"
+        elif ch == "'":
+            in_str = True
+        elif ch == "`":
+            in_tick = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "wW"
+            and re.match(r"where\b", s[i:], re.IGNORECASE)
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_`'"))
+        ):
+            return s[:i].strip(), s[i + 5 :].strip() or None
+    return s.strip(), None
 
 
 def _split_sql_assignments(s: str) -> list[str]:
@@ -349,24 +378,26 @@ class KeyedSqlRouter:
         if m:
             ns, name = _split_qualified(m.group("target"), self.spark)
             if self._is_keyed(ns, name):
-                self.store.delete_where(
-                    f"{ns}.{name}", m.group("cond") or "true"
-                )
+                head, cond = _split_at_top_level_where(m.group("rest") or "")
+                if head:
+                    raise ValueError(
+                        f"unsupported DELETE clause before WHERE: {head!r}"
+                    )
+                self.store.delete_where(f"{ns}.{name}", cond or "true")
                 return self.spark.sql("SELECT 1 WHERE 1=0")
 
         m = _UPDATE_RE.match(stmt)
         if m:
             ns, name = _split_qualified(m.group("target"), self.spark)
             if self._is_keyed(ns, name):
+                sets_clause, cond = _split_at_top_level_where(m.group("rest"))
                 sets: dict[str, str] = {}
-                for part in _split_sql_assignments(m.group("sets")):
+                for part in _split_sql_assignments(sets_clause):
                     k, _, v = part.partition("=")
                     if not v:
                         raise ValueError(f"bad SET clause: {part!r}")
                     sets[_unquote(k)] = v.strip()
-                self.store.update_where(
-                    f"{ns}.{name}", sets, m.group("cond") or "true"
-                )
+                self.store.update_where(f"{ns}.{name}", sets, cond or "true")
                 return self.spark.sql("SELECT 1 WHERE 1=0")
 
         m = _MERGE_RE.match(stmt)

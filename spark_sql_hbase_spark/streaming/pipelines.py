@@ -99,17 +99,23 @@ def write_stream_to_keyed_table(
     ``KeyedTableStore.insert`` — row-key generation, range partitioning
     and key-sorting included — via ``foreachBatch``.
 
-    Exactly-once note: ``foreachBatch`` gives at-least-once on retry; the
-    keyed store appends files, so a failed batch can leave duplicates —
-    production would stage per-batch output under a batch-id path and
-    commit atomically (the standard parquet-sink pattern). Scale: each
-    batch writes its own region files; periodic ``compact()`` restores
-    the global key-sorted layout, exactly like HBase memstore flush +
-    compaction.
+    Exactly-once note: ``foreachBatch`` gives at-least-once on retry —
+    a replayed micro-batch would re-append its rows, duplicating
+    ``(row_key, version)`` cells and breaking the uniqueness contract
+    ``read_versions_asof`` relies on.  The sink therefore records the
+    last committed batch_id in a per-table marker next to the table
+    directory and SKIPS already-applied batches — the standard
+    idempotent-foreachBatch pattern (batch_id is stable across replays
+    by Structured Streaming's contract).  Scale: each batch writes its
+    own region files; periodic ``compact()`` restores the global
+    key-sorted layout, exactly like HBase memstore flush + compaction.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _batch_already_applied(checkpoint_dir, batch_id):
+            return
         store.insert(qualified_name, batch_df)
+        _record_batch_applied(checkpoint_dir, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -117,6 +123,37 @@ def write_stream_to_keyed_table(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _batch_marker_path(checkpoint_dir: str) -> str:
+    # lives INSIDE the query's checkpoint dir because batch_ids are only
+    # stable within one checkpoint lineage — a fresh checkpoint restarts
+    # at 0, and a store-scoped marker would then skip real batches
+    import os
+
+    return os.path.join(checkpoint_dir, "_keyed_sink_last_batch")
+
+
+def _batch_already_applied(checkpoint_dir: str, batch_id: int) -> bool:
+    import os
+
+    p = _batch_marker_path(checkpoint_dir)
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        return batch_id <= int(f.read().strip())
+
+
+def _record_batch_applied(checkpoint_dir: str, batch_id: int) -> None:
+    """Atomically (write-then-rename) record the highest applied
+    batch_id so a foreachBatch replay after failure is a no-op."""
+    import os
+
+    p = _batch_marker_path(checkpoint_dir)
+    tmp = f"{p}.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.rename(tmp, p)
 
 
 SESSION_SCHEMA = T.StructType(
@@ -529,9 +566,18 @@ def write_stream_with_index_maintenance(
     to the main table AND derives+appends the matching index rows in
     the same ``foreachBatch`` body, so the covered index stays fresh
     without the CTAS rebuild (the consistency alternative documented by
-    ``create_covered_index``; both writes share one batch, so a replay
-    re-appends BOTH sides together — the standard at-least-once
-    contract of the keyed sink).
+    ``create_covered_index``).  A replay after failure is a no-op: the
+    last committed batch_id is recorded AFTER both writes land, so an
+    already-applied batch is skipped whole and a half-applied one
+    (main written, crash before index) re-runs BOTH sides — main-table
+    idempotence under that re-run requires keys stamped upstream, the
+    same contract ``write_stream_to_keyed_table`` documents.
+
+    Every micro-batch runs the same width/negativity guard the batch
+    CTAS build enforces (``_index_width_guard`` — one bounded aggregate
+    over the already-pinned batch): without it, an over-width streamed
+    value would be lpad-TRUNCATED into a colliding index key prefix,
+    corrupting index range scans that the batch path rejects.
 
     Index rows ride ``KeyedTableStore.index_projection`` — the single
     shared derivation, so build-time and maintenance-time indexes can
@@ -539,13 +585,17 @@ def write_stream_with_index_maintenance(
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _batch_already_applied(checkpoint_dir, batch_id):
+            return
         pinned = batch_df.localCheckpoint(eager=True)  # one evaluation
+        type(store)._index_width_guard(pinned, index_col, key_width)
         store.insert(main_name, pinned, generate_row_key=False)
         store.insert(
             index_name,
             type(store).index_projection(pinned, index_col, include, key_width),
             generate_row_key=False,
         )
+        _record_batch_applied(checkpoint_dir, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -480,3 +480,64 @@ def test_dml_null_predicates_where_optional_and_type_conformance(spark, tmp_path
             "MERGE INTO dn.t USING __dn_dupes ON row_key "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_sql_update_delete_quoted_where_not_split(spark, tmp_path):
+    """ADVICE r5: the WHERE locator must be quote-aware — an UPDATE whose
+    assignment VALUE contains ' where ' inside a string literal (and no
+    real WHERE clause) must treat the whole literal as the value, and a
+    DELETE whose condition contains a quoted 'where' must not re-split."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.sql("CREATE TABLE qw.t (row_key string, `c:s` string) USING keyed")
+    spark.createDataFrame(
+        [("0001", "a"), ("0002", "b")], "row_key string, `c:s` string"
+    ).createOrReplaceTempView("__qw_base")
+    sess.sql("INSERT INTO qw.t SELECT * FROM __qw_base")
+    # no WHERE clause: the quoted ' where ' is DATA, the update hits all
+    sess.sql("UPDATE qw.t SET `c:s` = 'x where y'")
+    got = {r["row_key"]: r["c:s"] for r in sess.store.read("qw.t").collect()}
+    assert got == {"0001": "x where y", "0002": "x where y"}
+    # quoted 'where' INSIDE a real WHERE condition survives intact
+    sess.sql("UPDATE qw.t SET `c:s` = 'z' WHERE `c:s` = 'x where y' AND row_key = '0001'")
+    got = {r["row_key"]: r["c:s"] for r in sess.store.read("qw.t").collect()}
+    assert got == {"0001": "z", "0002": "x where y"}
+    sess.sql("DELETE FROM qw.t WHERE `c:s` = 'x where y'")
+    assert {r["row_key"] for r in sess.store.read("qw.t").collect()} == {"0001"}
+
+
+def test_sql_merge_delete_maintain_covered_index(spark, tmp_path):
+    """Batch DML through the SQL router keeps a registered covered index
+    fresh (the k14 gate's law, pinned here at unit scale): index-only
+    reads agree with the main table after MERGE and after DELETE."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.sql("CREATE TABLE mi.t (row_key string, `c:g` long, `c:v` double) USING keyed")
+    spark.createDataFrame(
+        [(f"{i:04d}", i % 3, float(i)) for i in range(12)],
+        "row_key string, `c:g` long, `c:v` double",
+    ).createOrReplaceTempView("__mi_base")
+    sess.sql("INSERT INTO mi.t SELECT * FROM __mi_base")
+    sess.sql(
+        "CREATE INDEX mi.by_g ON mi.t (`c:g`) INCLUDE (`c:v`) "
+        "OPTIONS (key_width='4')"
+    )
+    spark.createDataFrame(
+        [("0001", 2, 100.0), ("9999", 2, 200.0)],
+        "row_key string, `c:g` long, `c:v` double",
+    ).createOrReplaceTempView("__mi_updates")
+    sess.sql(
+        "MERGE INTO mi.t USING __mi_updates ON row_key "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    sess.sql("DELETE FROM mi.t WHERE `c:g` = 0")
+
+    def pairs(df, key):
+        return sorted((r[key], r["c:g"], r["c:v"]) for r in df.collect())
+
+    main = sess.store.read("mi.t")
+    idx = sess.store.read("mi.by_g")
+    assert pairs(idx, "i:src_key") == pairs(main, "row_key")
+    assert not sess.store.index_is_stale("mi.by_g")

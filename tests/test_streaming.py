@@ -378,3 +378,94 @@ def test_quota_admission_state_spans_batches(spark, tmp_path):
     for u in (1, 2):
         batches = sorted(per_user[u], reverse=True)  # (8,0) then (2,6)
         assert batches == [(8, 0), (2, 6)], per_user[u]
+
+
+def test_keyed_sink_batch_replay_is_skipped(spark, tmp_path):
+    """ADVICE r5: foreachBatch replay after failure is at-least-once —
+    the keyed sink records the last committed batch_id inside the
+    query's checkpoint dir and skips already-applied batches, so a
+    replayed batch cannot duplicate (row_key, version) cells.
+
+    Simulated replay: pre-record batch 0 as applied (exactly what a
+    crash AFTER commit-marker-write but BEFORE the engine's own commit
+    produces — the engine then re-runs batch 0), start the stream, and
+    assert the skipped batch wrote nothing while later batches landed."""
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        _batch_already_applied,
+        _record_batch_applied,
+        write_stream_to_keyed_table,
+    )
+
+    # marker helpers: monotone threshold semantics
+    ckpt_unit = str(tmp_path / "unit_ckpt")
+    os.makedirs(ckpt_unit)
+    assert not _batch_already_applied(ckpt_unit, 0)
+    _record_batch_applied(ckpt_unit, 3)
+    assert _batch_already_applied(ckpt_unit, 3)
+    assert _batch_already_applied(ckpt_unit, 2)
+    assert not _batch_already_applied(ckpt_unit, 4)
+
+    src = str(tmp_path / "in")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    docs.coalesce(1).write.mode("append").parquet(src)
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    store.create_table(TableSpec(
+        namespace="rp", name="t", key_type="string",
+        families={"d": {"doc_id": "long", "text": "string"}},
+    ))
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    _record_batch_applied(ckpt, 0)  # "crash after apply" of batch 0
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.col("doc_id").alias("d:doc_id"), F.col("text").alias("d:text"))
+    )
+    q = write_stream_to_keyed_table(stream, store, "rp.t", ckpt)
+    q.awaitTermination(120)
+    # batch 0 (first file) skipped as already-applied; batch 1 landed once
+    assert store.read("rp.t").count() == 10
+
+
+def test_stream_index_dualwrite_overwidth_batch_rejected(spark, tmp_path):
+    """ADVICE r5: the streaming dual-write path must enforce the same
+    width guard as the batch index build — an over-width streamed value
+    would lpad-TRUNCATE into a colliding index key prefix.  The batch
+    carrying a 6-char value against key_width=4 must fail the query, and
+    neither side of the dual write may land."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        write_stream_with_index_maintenance,
+    )
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    store.create_table(TableSpec(
+        namespace="ow", name="t", key_type="string",
+        families={"c": {"g": "long"}},
+    ))
+    store.create_table(TableSpec(
+        namespace="ow", name="ix", key_type="string",
+        families={"i": {"src_key": "string"}, "c": {"g": "long"}},
+    ))
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("0001", 123456)], "row_key string, `c:g` long"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("row_key string, `c:g` long").parquet(src)
+    q = write_stream_with_index_maintenance(
+        stream, store, "ow.t", "ow.ix", "c:g", [], 4, str(tmp_path / "ckpt")
+    )
+    with pytest.raises(StreamingQueryException, match="key_width"):
+        q.awaitTermination(120)
+    assert store.read("ow.t").count() == 0
+    assert store.read("ow.ix").count() == 0
