@@ -18,7 +18,18 @@ Round-3 hygiene (VERDICT r2 next-round #7):
   separately) — OUTSIDE "value" so the headline stays comparable.
 
 Each query is executed with a count()-style action (no driver
-materialization of results beyond the aggregate row counts)."""
+materialization of results beyond the aggregate row counts).
+
+Round-6: "calibration" is a fixed-size synthetic sort-agg independent of
+SF and of repo code — divide cross-round numbers by its ratio to cancel
+machine drift; "throughput_rows_per_s" reports input-rows/sec per
+headline query.  Round-6 rename map for r5 comparability: s01_ann_topk
+-> zb08_ann_topk, t03_token_stats -> zb17_token_stats,
+z61 -> d12_semantic_dedup, z63 -> t16_dsir_importance,
+z64 -> s09_ivfadc_rerank, z70 -> t17_cms_heavy_hitters,
+z71 -> d13_containment_neardup, z73 -> d14_bloom_decontam,
+z95 -> k12_sql_merge_upsert, z96 -> k13_sql_delete_update (same code,
+new registry names after the driver-window rotation)."""
 
 from __future__ import annotations
 
@@ -41,11 +52,49 @@ HEADLINE = [
     "q22_asof_join",
     "d02_minhash_lsh_neardup",
     "z01_simhash_fingerprint",
-    "s01_ann_topk",
-    "t03_token_stats",
+    "zb08_ann_topk",
+    "zb17_token_stats",
 ]
 
 N_RUNS = 3
+
+# rows each headline query SCANS at sf=1 (dominant input table), for the
+# rows/s throughput report; scaled linearly by the measured SF
+_SF1_INPUT_ROWS = {
+    "q01_pricing_summary": 6_000_000,        # lineitem
+    "q03_regional_revenue": 6_000_000,       # lineitem (largest input)
+    "z04_brand_revenue": 6_000_000,
+    "z05_forecast_revenue": 6_000_000,
+    "q07_topk_parts_per_supplier": 6_000_000,
+    "q21_sessionization": 1_000_000,         # events
+    "q22_asof_join": 1_000_000,
+    "d02_minhash_lsh_neardup": 5_000,        # documents
+    "z01_simhash_fingerprint": 5_000,
+    "zb08_ann_topk": 10_000,                 # embeddings
+    "zb17_token_stats": 5_000,
+}
+
+
+def _calibration(spark) -> float:
+    """Machine-drift normalizer (VERDICT r5 item 6): a FIXED-SIZE
+    synthetic sort-agg — 5M generated longs, hash-agg into 100k groups,
+    global sort of the group rows — completely independent of SF and of
+    any operator change in the repo.  The r3→r5 headline envelope moved
+    ±70% with no plan changes; dividing any cross-round comparison by
+    this row's ratio cancels the machine conditions."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 5_000_000, 1, 16)
+        .groupBy((F.col("id") % 100_000).alias("g"))
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy("s")
+        .count()
+    )
+    return round(time.perf_counter() - t0, 3)
 
 
 def _production_paths(spark, sf_dir: str) -> dict[str, float]:
@@ -150,17 +199,17 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
     # ...and the keyed-store DML write paths (MERGE upsert rewrite,
     # DELETE+UPDATE rewrites) for write-path regression visibility
     for name in (
-        "z61_semantic_dedup",
-        "z63_dsir_importance",
-        "z64_ivfadc_rerank",
+        "d12_semantic_dedup",
+        "t16_dsir_importance",
+        "s09_ivfadc_rerank",
         "z65_stream_neardup_index",
         "z67_winnowing_fingerprints",
-        "z71_containment_neardup",
-        "z70_cms_heavy_hitters",
-        "z73_bloom_decontam",
+        "d13_containment_neardup",
+        "t17_cms_heavy_hitters",
+        "d14_bloom_decontam",
         "z75_pmi_collocations",
-        "z95_sql_merge_upsert",
-        "z96_sql_delete_update",
+        "k12_sql_merge_upsert",
+        "k13_sql_delete_update",
     ):
         t0 = time.perf_counter()
         n = registry[name].fn(spark, sf_dir).count()
@@ -185,7 +234,7 @@ def main() -> None:
     warm.join(warm.select("r_regionkey"), "r_regionkey").filter(
         "r_name IS NOT NULL"
     ).groupBy("r_name").count().collect()
-    for q in ("d02_minhash_lsh_neardup", "s01_ann_topk"):
+    for q in ("d02_minhash_lsh_neardup", "zb08_ann_topk"):
         if q in registry:
             registry[q].fn(spark, "/root/testdata/sf0.001").count()
 
@@ -219,6 +268,13 @@ def main() -> None:
 
     total = round(sum(med.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    calib = round(statistics.median(_calibration(spark) for _ in range(3)), 3)
+    sf_f = float(sf) if sf else None
+    throughput = {
+        n: round(_SF1_INPUT_ROWS[n] * (sf_f or 0) / med[n])
+        for n in med
+        if n in _SF1_INPUT_ROWS and sf_f and med[n] > 0
+    }
     print(
         json.dumps(
             {
@@ -226,7 +282,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": med,
-                "sf": float(sf) if sf else None,
+                "sf": sf_f,
+                "calibration": calib,
+                "throughput_rows_per_s": throughput,
                 "runs": N_RUNS,
                 "cold_total": totals[0],
                 "warm_total": min(totals[1:]) if len(totals) > 1 else None,

@@ -241,7 +241,7 @@ def k05_sql_alter_add_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z81 — Phoenix-style covered secondary index (round-5 addition;
+# k06 (was z81) — Phoenix-style covered secondary index (round-5 addition;
 # sources/keyed_parquet.py::create_covered_index): value-column access
 # on a keyed table via a second keyed table whose row key is
 # lpad(value)|primary_key carrying the covered columns — the query is an
@@ -249,7 +249,7 @@ def k05_sql_alter_add_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: the plain value predicate over the source relation.
 # ---------------------------------------------------------------------------
 @register(
-    "z81_secondary_index",
+    "k06_secondary_index",
     oracle="""
     SELECT CAST(c_custkey AS BIGINT) AS custkey,
            c_name AS name,
@@ -260,7 +260,7 @@ def k05_sql_alter_add_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="covered secondary index: value-predicate query served "
     "by an index-only key-range scan, main table untouched",
 )
-def z81_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k06_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -300,7 +300,7 @@ def z81_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z82 — versioned cells + as-of read (round-5 addition;
+# k07 (was z82) — versioned cells + as-of read (round-5 addition;
 # sources/keyed_parquet.py::read_versions_asof): the append-only keyed
 # layout gives HBase timestamp semantics for free — two insert batches
 # stamp versions 1 and 2 (batch 2 "updates" every 7th customer's
@@ -308,7 +308,7 @@ def z81_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the cut.  Oracle: the same two-batch construction as plain SQL.
 # ---------------------------------------------------------------------------
 @register(
-    "z82_versioned_asof_read",
+    "k07_versioned_asof_read",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
@@ -320,7 +320,7 @@ def z81_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="versioned keyed cells: append-only inserts stamp "
     "versions, as-of read returns latest-per-key at the cut",
 )
-def z82_versioned_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k07_versioned_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -351,7 +351,7 @@ def z82_versioned_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z83 — salted row keys + fan-out range scan (round-5 addition;
+# k08 (was z83) — salted row keys + fan-out range scan (round-5 addition;
 # sources/keyed_parquet.py::salted_key / read_salted_key_range — the
 # HBase hot-spotting fix, Phoenix SALT_BUCKETS): monotonically
 # increasing order keys are salted into 8 buckets at write time so
@@ -363,7 +363,7 @@ _SALT_B = 8
 
 
 @register(
-    "z83_salted_key_range",
+    "k08_salted_key_range",
     oracle="""
     SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS row_key,
            o_totalprice AS totalprice
@@ -373,7 +373,7 @@ _SALT_B = 8
     description="salted row keys: hash-prefix buckets kill ingest "
     "hot-spotting; range scan fans out to B salted ranges",
 )
-def z83_salted_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k08_salted_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
 
@@ -401,14 +401,14 @@ def z83_salted_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z84 — version-GC compaction (round-5 addition; sources/keyed_parquet.py
+# k09 (was z84) — version-GC compaction (round-5 addition; sources/keyed_parquet.py
 # ::compact_versions): after the z82 two-batch construction, a major
 # compaction with VERSIONS=1 semantics physically drops superseded
 # cells; the PLAIN read then equals what the as-of read computed —
 # compaction is semantically invisible (same oracle as z82 by design).
 # ---------------------------------------------------------------------------
 @register(
-    "z84_version_gc_compaction",
+    "k09_version_gc_compaction",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
@@ -420,7 +420,7 @@ def z83_salted_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="version-GC major compaction: superseded cells physically "
     "dropped, plain read == pre-compaction as-of read",
 )
-def z84_version_gc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k09_version_gc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -452,14 +452,14 @@ def z84_version_gc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z95 — SQL MERGE INTO upsert (round-5 addition; sources/keyed_parquet.py
+# k12 (was z95) — SQL MERGE INTO upsert (round-5 addition; sources/keyed_parquet.py
 # ::upsert + sqlfront MERGE routing): the Put-overwrites-the-cell write
 # primitive as SQL — MERGE INTO keyed table USING a view ON row_key,
 # UPDATE SET * / INSERT *.  Every 5th customer's balance doubled via the
 # merge; the oracle replays the same upsert as a CASE.
 # ---------------------------------------------------------------------------
 @register(
-    "z95_sql_merge_upsert",
+    "k12_sql_merge_upsert",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
@@ -469,7 +469,7 @@ def z84_version_gc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="SQL MERGE INTO over a keyed table: row-key upsert, "
     "matched rows replaced, new rows appended",
 )
-def z95_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k12_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     sess = _session(spark)
@@ -504,7 +504,7 @@ def z95_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z96 — SQL DELETE + UPDATE over a keyed table (round-5 addition;
+# k13 (was z96) — SQL DELETE + UPDATE over a keyed table (round-5 addition;
 # sources/keyed_parquet.py::delete_where/update_where + sqlfront
 # routing): the remaining DML triangle — DELETE removes low-balance
 # customers, UPDATE doubles balances in one nation, both as single
@@ -512,7 +512,7 @@ def z95_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # analogue).  Oracle replays both mutations as a filtered CASE.
 # ---------------------------------------------------------------------------
 @register(
-    "z96_sql_delete_update",
+    "k13_sql_delete_update",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_nationkey = 3 THEN c_acctbal * 2.0
@@ -524,7 +524,7 @@ def z95_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="SQL DELETE + UPDATE over a keyed table: filtered "
     "key-sorted rewrites (Delete mutation / checked Put analogue)",
 )
-def z96_sql_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k13_sql_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     sess = _session(spark)
@@ -558,14 +558,87 @@ def z96_sql_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za03 — Z-order (Morton) keyed layout + 2-D box scan (round-5 addition;
+# k14 — batch-DML covered-index maintenance (round-6 addition;
+# sources/keyed_parquet.py::_maintain_indexes): MERGE and DELETE on a
+# table with a registered covered index rebuild the index in the same
+# call (Phoenix index-maintenance semantics; reference analogue: the
+# insert path refreshing dependent metadata after write,
+# InsertIntoHBaseTable.scala:110).  The gate PROVES freshness by
+# answering the value-predicate query from the INDEX ONLY after both
+# mutations; the oracle replays the mutations over the source relation.
+# ---------------------------------------------------------------------------
+@register(
+    "k14_dml_index_maintenance",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
+                ELSE c_acctbal END AS acctbal
+    FROM customer
+    WHERE c_nationkey = 5 AND c_acctbal >= 0
+    """,
+    description="covered index stays fresh through batch MERGE + DELETE: "
+    "index-only read reflects both mutations",
+)
+def k14_dml_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    sess = _session(spark)
+    store = sess.store
+    c = table(spark, sf_dir, "customer")
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_im",
+        key_type="string",
+        families={
+            "c": {"nationkey": "long", "acctbal": "double"}
+        },
+    )
+    store.ctas(
+        spec,
+        c.select(
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("c_nationkey").alias("c:nationkey"),
+            F.col("c_acctbal").alias("c:acctbal"),
+        ),
+        mode="overwrite",
+    )
+    sess.sql(
+        "CREATE INDEX gate.cust_im_by_nation ON gate.cust_im (`c:nationkey`) "
+        "INCLUDE (`c:acctbal`) OPTIONS (key_width='5')"
+    )
+    # MERGE: every 5th customer's balance doubled (matched update)
+    c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("c_nationkey").alias("c:nationkey"),
+        (F.col("c_acctbal") * 2.0).alias("c:acctbal"),
+    ).createOrReplaceTempView("__k14_updates")
+    sess.sql(
+        "MERGE INTO gate.cust_im USING __k14_updates ON row_key "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    # DELETE: negative balances go
+    sess.sql("DELETE FROM gate.cust_im WHERE `c:acctbal` < 0")
+    # freshness proof: answer from the index alone (key-range scan on
+    # the lpad(value)|key layout), never touching the main table
+    idx = store.read("gate.cust_im_by_nation")
+    return idx.filter(
+        (F.col("row_key") >= "00005|") & (F.col("row_key") < "00005}")
+    ).select(
+        F.col("`i:src_key`").cast("long").alias("custkey"),
+        F.col("`c:acctbal`").alias("acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k10 (was za03) — Z-order (Morton) keyed layout + 2-D box scan (round-5 addition;
 # sources/keyed_parquet.py::morton_key): parts keyed by the interleave
 # of (p_size, price-in-dollars-bucket); a 2-D box query runs as ONE
 # key-range scan (sound superset — the code is monotone per coordinate)
 # + the residual exact predicate.  Oracle: the plain 2-D predicate.
 # ---------------------------------------------------------------------------
 @register(
-    "za03_zorder_box_scan",
+    "k10_zorder_box_scan",
     oracle="""
     SELECT CAST(p_partkey AS BIGINT) AS partkey,
            CAST(p_size AS BIGINT) AS size,
@@ -577,7 +650,7 @@ def z96_sql_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Z-order keyed layout: 2-D box query as one key-range "
     "scan + residual filter (Morton monotonicity)",
 )
-def za03_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k10_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
 
@@ -630,7 +703,7 @@ def za03_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za04 — region stats from parquet footers (round-5 addition;
+# k11 (was za04) — region stats from parquet footers (round-5 addition;
 # sources/keyed_parquet.py::region_stats — the list_regions admin
 # surface): per-region key ranges + row counts computed from FOOTER
 # statistics only (never a data scan — O(files) metadata reads, the
@@ -639,7 +712,7 @@ def za03_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the split keys — footers must agree with ground truth exactly.
 # ---------------------------------------------------------------------------
 @register(
-    "za04_region_stats",
+    "k11_region_stats",
     oracle="""
     SELECT 3 AS n_regions,
            CAST(COUNT(*) AS BIGINT) AS total_rows,
@@ -651,7 +724,7 @@ def za03_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analogue): footer-derived totals == ground truth; per-region "
     "exactness pinned in pytest",
 )
-def za04_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k11_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)

@@ -161,10 +161,10 @@ def z52_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# s01 — brute-force exact ANN top-10 for a small query set.
+# zb08 (was s01) — brute-force exact ANN top-10 for a small query set.
 # ---------------------------------------------------------------------------
 @register(
-    "s01_ann_topk",
+    "zb08_ann_topk",
     oracle="""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -185,16 +185,16 @@ def z52_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="brute-force cosine top-10 per query (broadcast query set)",
 )
-def s01_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb08_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", 10)
 
 
 # ---------------------------------------------------------------------------
-# s02 — IVF-style partition-pruned ANN top-5 (cell = label).
+# zb09 (was s02) — IVF-style partition-pruned ANN top-5 (cell = label).
 # ---------------------------------------------------------------------------
 @register(
-    "s02_ann_partitioned",
+    "zb09_ann_partitioned",
     oracle="""
     WITH q AS (
         SELECT vec_id AS query_id, label AS cell, embedding::DOUBLE[] AS qv
@@ -215,7 +215,7 @@ def s01_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="IVF-style ANN: search pruned to the query's coarse cell",
 )
-def s02_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb09_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.partitioned_ann_topk(
         emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", "label", 5
@@ -223,7 +223,7 @@ def s02_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# t01 — language ID by stopword vote.
+# zb15 (was t01) — language ID by stopword vote.
 # ---------------------------------------------------------------------------
 def _langid_oracle() -> str:
     from spark_sql_hbase_spark.functions.texthash import STOPWORDS
@@ -248,17 +248,17 @@ def _langid_oracle() -> str:
 
 
 @register(
-    "t01_lang_id",
+    "zb15_lang_id",
     oracle=_langid_oracle(),
     description="stopword-vote language ID (deterministic tie-break)",
 )
-def t01_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb15_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.lang_id(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
-# t02 — quality scoring.
+# zb16 (was t02) — quality scoring.
 # ---------------------------------------------------------------------------
 _QUALITY_ORACLE = f"""
     WITH __tok AS (
@@ -289,20 +289,20 @@ _QUALITY_ORACLE = f"""
 
 
 @register(
-    "t02_quality_score",
+    "zb16_quality_score",
     oracle=_QUALITY_ORACLE,
     description="heuristic doc quality features + composite score",
 )
-def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb16_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quality_score(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
-# t03 — token statistics (whitespace + BPE-ish + distinct words).
+# zb17 (was t03) — token statistics (whitespace + BPE-ish + distinct words).
 # ---------------------------------------------------------------------------
 @register(
-    "t03_token_stats",
+    "zb17_token_stats",
     oracle=f"""
     SELECT doc_id,
            CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
@@ -314,7 +314,7 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="whitespace / BPE-ish / distinct-word token counts",
 )
-def t03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb17_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.token_stats(docs, "doc_id", "text")
 
@@ -337,22 +337,22 @@ def z56_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# m01 — multimodal metadata extraction (mapInPandas over binary column).
+# zb06 (was m01) — multimodal metadata extraction (mapInPandas over binary column).
 # ---------------------------------------------------------------------------
 @register(
-    "m01_media_metadata",
+    "zb06_media_metadata",
     oracle=multimodal.media_metadata_oracle_sql("documents"),
     description="binary media column → metadata via Arrow-batched mapInPandas "
     "(decode stubbed deterministically; container has no codecs)",
 )
-def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb06_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return multimodal.extract_media_metadata(with_payload, "doc_id", "payload")
 
 
 # ---------------------------------------------------------------------------
-# u01 — Python UDTF (PythonEvals / tableFunctionRegistry surface, SURVEY
+# zb07 (was u01) — Python UDTF (PythonEvals / tableFunctionRegistry surface, SURVEY
 # §2.B): context-window chunking — split each document's token stream into
 # fixed 32-token chunks, one output row per chunk (lateral join).
 #
@@ -366,7 +366,7 @@ CHUNK = 32
 
 
 @register(
-    "u01_udtf_chunking",
+    "zb07_udtf_chunking",
     oracle=f"""
     WITH __tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
     __n AS (
@@ -384,7 +384,7 @@ CHUNK = 32
     """,
     description="Python UDTF: 32-token context-window chunking via LATERAL join",
 )
-def u01_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb07_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
 
     from pyspark.sql.functions import udtf
@@ -486,7 +486,7 @@ def z60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# s03 — sign-LSH bucketed ANN: coarse cell derived from the vector itself
+# zb10 (was s03) — sign-LSH bucketed ANN: coarse cell derived from the vector itself
 # (random-hyperplane sign bits), probe = the query's bucket.
 # ---------------------------------------------------------------------------
 def _s03_oracle() -> str:
@@ -514,11 +514,11 @@ def _s03_oracle() -> str:
 
 
 @register(
-    "s03_ann_signlsh",
+    "zb10_ann_signlsh",
     oracle=_s03_oracle(),
     description="sign-LSH (6-bit hyperplane) bucketed ANN top-5",
 )
-def s03_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb10_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5, nbits=6, dim=64
@@ -526,7 +526,7 @@ def s03_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# s04 — multi-probe IVF search (operators/similarity.py::multiprobe_ann_topk
+# zb11 (was s04) — multi-probe IVF search (operators/similarity.py::multiprobe_ann_topk
 # + ::assign_cells): each query probes its nprobe=2 nearest quantizer cells
 # instead of one, recovering the recall a single-probe search loses at cell
 # boundaries.  Probe selection explodes the broadcast QUERY side only — the
@@ -539,7 +539,7 @@ _S04_NPROBE = 2
 
 
 @register(
-    "s04_ann_multiprobe",
+    "zb11_ann_multiprobe",
     oracle=f"""
     WITH c AS (
         SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
@@ -586,7 +586,7 @@ _S04_NPROBE = 2
     description="multi-probe IVF ANN (nprobe=2): probe explode on the "
     "broadcast query side only; corpus assigned once via literal centroids",
 )
-def s04_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb11_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         assign_cells,
@@ -664,7 +664,7 @@ def z53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# t05 — deterministic stratified sampling: hash-gated per-stratum rates
+# zb18 (was t05) — deterministic stratified sampling: hash-gated per-stratum rates
 # (en 50%, others 12.5%). Seedable, reproducible across engines and runs,
 # and embarrassingly parallel — the sampling decision is a pure row
 # function of (id, stratum), so no shuffle, no RNG state, and the same
@@ -672,7 +672,7 @@ def z53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a 100 TB corpus with per-language quotas.
 # ---------------------------------------------------------------------------
 @register(
-    "t05_stratified_sample",
+    "zb18_stratified_sample",
     oracle="""
     SELECT doc_id, lang
     FROM documents
@@ -681,7 +681,7 @@ def z53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="hash-gated deterministic stratified sample (per-lang rates)",
 )
-def t05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb18_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     gate = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
     thresh = F.when(F.col("lang") == "en", "80").otherwise("20")
@@ -823,7 +823,7 @@ _DECON_MIN = 3
 _DECON_EVAL = "doc_id % 29 = 0"
 
 @register(
-    "d08_decontamination",
+    "zb13_decontamination",
     oracle=f"""
     WITH __sh AS (
         SELECT doc_id, {shingles_sql(tokens_sql('text'), _DECON_N)} AS s
@@ -868,7 +868,7 @@ def z17_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["stream", "window", "checkpoint"]
 
 @register(
-    "t06_bm25_scoring",
+    "zb19_bm25_scoring",
     oracle="SELECT id AS doc_id, score FROM ({})".format(
         __import__(
             "spark_sql_hbase_spark.operators.ranking", fromlist=["bm25_sql"]
@@ -877,7 +877,7 @@ _BM25_TERMS = ["stream", "window", "checkpoint"]
     description="Okapi BM25 scoring vs a fixed query term set (no UDF, "
     "term-filtered explode)",
 )
-def t06_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb19_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import bm25_scores
 
     docs = table(spark, sf_dir, "documents")
@@ -896,7 +896,7 @@ def t06_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_NEW = "doc_id % 17 = 0"
 
 @register(
-    "d09_incremental_neardup",
+    "zb14_incremental_neardup",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id, {_TOK} AS t FROM documents
@@ -968,7 +968,7 @@ def t09_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 4
 
 @register(
-    "s05_kmeans_step",
+    "zb12_kmeans_step",
     oracle=f"""
     WITH c AS (
         SELECT vec_id AS cluster_id, embedding::DOUBLE[] AS cv
@@ -995,7 +995,7 @@ _KM_K = 4
     description="k-means Lloyd step: literal-centroid assignment (no "
     "shuffle of vectors) + K x dim centroid recompute",
 )
-def s05_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb12_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import _to_double, kmeans_step
 
     emb = table(spark, sf_dir, "embeddings")
@@ -1018,7 +1018,7 @@ _PII_AUG = (
 )
 
 @register(
-    "t07_pii_scan",
+    "zb20_pii_scan",
     oracle=r"""
     WITH __aug AS (
         SELECT doc_id, {aug} AS t FROM documents
@@ -1044,7 +1044,7 @@ _PII_AUG = (
     description="PII detect + redact audit (regexp_count/replace, no UDF) "
     "over deterministically injected markers",
 )
-def t07_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb20_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     aug = docs.select("doc_id", F.expr(_PII_AUG).alias("t"))
     scanned = text.pii_scan(aug, "doc_id", "t")
@@ -1081,7 +1081,7 @@ _Z27_BUCKET = " + ".join(f"CAST(m.quality > b.b{i} AS INTEGER)" for i in range(1
 
 
 @register(
-    "t08_quality_mix_plan",
+    "zb21_quality_mix_plan",
     oracle=f"""
     WITH __m AS (
         SELECT d.source, q.doc_id, q.quality,
@@ -1105,7 +1105,7 @@ _Z27_BUCKET = " + ".join(f"CAST(m.quality > b.b{i} AS INTEGER)" for i in range(1
     description="per-stream quality-decile manifest via broadcast boundary "
     "bucketing (no window) for mixture sampling",
 )
-def t08_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb21_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quality_mix_plan(docs, "source", "doc_id", "text", 10, boundaries="exact")
 
@@ -1682,7 +1682,7 @@ def d11_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z57 — BPE merge-candidate pair counts (round-5 addition; operators/
+# t15 (was z57) — BPE merge-candidate pair counts (round-5 addition; operators/
 # text.py::bpe_pair_counts): adjacent 2-char pairs within words, weighted
 # by word corpus frequency — the counting step of one BPE merge iteration
 # (Sennrich et al. 2016).  The pair explode runs over DISTINCT words only
@@ -1690,7 +1690,7 @@ def d11_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale trick.
 # ---------------------------------------------------------------------------
 @register(
-    "z57_bpe_pair_counts",
+    "t15_bpe_pair_counts",
     oracle=f"""
     WITH __w AS (
         SELECT unnest({_TOK}) AS word FROM documents
@@ -1713,7 +1713,7 @@ def d11_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="BPE merge-candidate pair counts: within-word adjacent "
     "char pairs weighted by word frequency, top-50 (tokenizer training)",
 )
-def z57_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t15_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.bpe_pair_counts(docs, "text", top_k=50)
 
@@ -1804,7 +1804,7 @@ def t14_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z61 — SemDeDup semantic deduplication (round-5 addition; operators/
+# d12 (was z61) — SemDeDup semantic deduplication (round-5 addition; operators/
 # similarity.py::semantic_dedup — Abbas et al. 2023): coarse-quantize the
 # embedding space, drop within-cell pairs at cosine >= t keeping the
 # lowest id.  Gate model follows the SQL-reproducible untrained
@@ -1815,7 +1815,7 @@ _SEMDEDUP_T = 0.35
 
 
 @register(
-    "z61_semantic_dedup",
+    "d12_semantic_dedup",
     oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
@@ -1844,7 +1844,7 @@ _SEMDEDUP_T = 0.35
     description="SemDeDup: coarse-cell semantic dedup, min-id exemplar "
     "per near-dup pair (cell-blocked, never all-pairs)",
 )
-def z61_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         semantic_dedup,
@@ -1906,7 +1906,7 @@ def z62_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z63 — DSIR-style importance weighting (round-5 addition; operators/
+# t16 (was z63) — DSIR-style importance weighting (round-5 addition; operators/
 # ranking.py::dsir_importance — Xie et al. 2023): hashed-unigram log-ratio
 # of a target-domain LM (source = src0) vs the raw-corpus LM, per-doc
 # length-normalized.  The hashed feature space is BOUNDED (n_buckets), so
@@ -1919,14 +1919,14 @@ _DSIR_B = 1024
 
 
 @register(
-    "z63_dsir_importance",
+    "t16_dsir_importance",
     oracle="SELECT q.id AS doc_id, q.n_tokens, q.importance FROM ("
     + _dsql("documents", "doc_id", _TOK, "source = 'src0'", _DSIR_B)
     + ") q",
     description="DSIR importance: per-doc mean hashed-unigram "
     "ln p_target/p_raw (add-1, 1024 buckets, target = src0)",
 )
-def z63_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t16_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import dsir_importance
 
     docs = table(spark, sf_dir, "documents")
@@ -1937,7 +1937,7 @@ def z63_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z64 — IVFADC + exact re-ranking (round-5 addition; operators/
+# s09 (was z64) — IVFADC + exact re-ranking (round-5 addition; operators/
 # similarity.py::ivfadc_rerank_topk — Jegou et al. ICASSP 2011 / the FAISS
 # refine step): ADC short-list of 15 per query, exact squared-L2 re-rank
 # to top-5 reading ONLY the 15 candidate vectors per query.  Same
@@ -1947,7 +1947,7 @@ _RERANK_R = 15
 
 
 @register(
-    "z64_ivfadc_rerank",
+    "s09_ivfadc_rerank",
     oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
@@ -2025,7 +2025,7 @@ _RERANK_R = 15
     description="IVFADC + exact re-rank: ADC short-list of 15, exact "
     "squared-L2 top-5 reading only candidate vectors",
 )
-def z64_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s09_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         assign_cells,
@@ -2296,7 +2296,7 @@ def z69_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z70 — count-min-sketch heavy hitters (round-5 addition;
+# t17 (was z70) — count-min-sketch heavy hitters (round-5 addition;
 # operators/ranking.py::cms_heavy_hitters — Cormode & Muthukrishnan
 # 2005): corpus term frequencies through a bounded 3x512 counter grid,
 # report terms whose MIN-row estimate clears 0.1% of the token stream
@@ -2321,7 +2321,7 @@ def _cms_rows_sql() -> str:
 
 
 @register(
-    "z70_cms_heavy_hitters",
+    "t17_cms_heavy_hitters",
     oracle=f"""
     WITH __t AS (
         SELECT unnest({_TOK}) AS term FROM documents
@@ -2345,7 +2345,7 @@ def _cms_rows_sql() -> str:
     description="count-min-sketch heavy hitters: bounded 3x512 counter "
     "grid, min-row estimate vs exact audit (est >= true always)",
 )
-def z70_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t17_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import cms_heavy_hitters
 
     docs = table(spark, sf_dir, "documents")
@@ -2355,7 +2355,7 @@ def z70_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z71 — containment near-dup join (round-5 addition; operators/dedup.py::
+# d13 (was z71) — containment near-dup join (round-5 addition; operators/dedup.py::
 # containment_join — Broder 1997 containment coefficient): the
 # embedded-copy case plain Jaccard misses.  Candidates ride the
 # winnowing fingerprint index (z67) — selected 8-byte hashes at ~1/3 of
@@ -2367,7 +2367,7 @@ _CONT_T = 0.9
 
 
 @register(
-    "z71_containment_neardup",
+    "d13_containment_neardup",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id, {_TOK} AS t FROM documents
@@ -2413,7 +2413,7 @@ _CONT_T = 0.9
     description="containment near-dup: winnowing-index candidates + exact "
     "|A∩B|/min coefficient — catches short-doc-embedded-in-long",
 )
-def z71_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d13_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.containment_join(
         docs, "doc_id", "text", threshold=_CONT_T, k=_WINNOW_K, w=_WINNOW_W
@@ -2421,7 +2421,7 @@ def z71_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z73 — Bloom-prefiltered decontamination (round-5 addition;
+# d14 (was z73) — Bloom-prefiltered decontamination (round-5 addition;
 # operators/decontam.py::bloom_decontaminate — Bloom 1970): the d08
 # operator with a 32 KiB packed-bitmap pre-gate on the training side.
 # No false negatives + exact verify ⇒ the result is IDENTICAL to d08's,
@@ -2429,7 +2429,7 @@ def z71_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch-accelerated path against ground truth.
 # ---------------------------------------------------------------------------
 @register(
-    "z73_bloom_decontam",
+    "d14_bloom_decontam",
     oracle=f"""
     WITH __sh AS (
         SELECT doc_id, {shingles_sql(tokens_sql('text'), _DECON_N)} AS s
@@ -2454,7 +2454,7 @@ def z71_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Bloom-prefiltered decontamination: 32 KiB bitmap gate on "
     "the train side + exact verify — result identical to d08",
 )
-def z73_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d14_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.decontam import bloom_decontaminate
 
     docs = table(spark, sf_dir, "documents")
@@ -2555,7 +2555,7 @@ def z75_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z76 — train/test split leakage audit (round-5 addition): assign every
+# p03 (was z76) — train/test split leakage audit (round-5 addition): assign every
 # document to a deterministic hash split (10% test), then report every
 # NEAR-DUP pair (d02's banded LSH + exact verify) that CROSSES the
 # boundary — the contamination a random split silently ships when the
@@ -2593,12 +2593,12 @@ def _z76_oracle() -> str:
 
 
 @register(
-    "z76_split_leakage",
+    "p03_split_leakage",
     oracle=None,  # assembled below (needs _split_sql defined first)
     description="split-leakage audit: near-dup pairs crossing a "
     "deterministic 90/10 hash split",
 )
-def z76_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p03_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import word_hash
 
     docs = table(spark, sf_dir, "documents")
@@ -2628,7 +2628,7 @@ def z76_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from spark_sql_hbase_spark.queries import REGISTRY as _REG76  # noqa: E402
 
-_REG76["z76_split_leakage"].oracle = _z76_oracle()
+_REG76["p03_split_leakage"].oracle = _z76_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -2679,7 +2679,7 @@ def z78_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z79 — C4-style line-level dedup stats (round-5 addition;
+# d15 (was z79) — C4-style line-level dedup stats (round-5 addition;
 # operators/dedup.py::line_dedup_stats — Raffel et al. 2020 §2.2):
 # normalized sentences hashed, corpus count >= 2 flags duplicated lines,
 # per-doc duplicated-line mass.  One 8-byte hash per LINE in the shuffle
@@ -2689,7 +2689,7 @@ _LINE_MT = 3  # C4 convention: lines with >= 3 words
 
 
 @register(
-    "z79_line_dedup_stats",
+    "d15_line_dedup_stats",
     oracle=f"""
     WITH __ln AS (
         SELECT doc_id,
@@ -2725,7 +2725,7 @@ _LINE_MT = 3  # C4 convention: lines with >= 3 words
     description="C4-style line-level dedup stats: normalized-sentence "
     "hashes, corpus count >= 2, per-doc duplicated-line mass",
 )
-def z79_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d15_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.line_dedup_stats(
         docs, "doc_id", "text", min_line_tokens=_LINE_MT
@@ -2875,7 +2875,7 @@ def z86_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# z87 — corpus snapshot diff (round-5 addition): the dataset-versioning
+# p04 (was z87) — corpus snapshot diff (round-5 addition): the dataset-versioning
 # audit run between two corpus releases — full outer join on doc id,
 # content compared by sha256, per-source rollup of added / removed /
 # changed / unchanged.  Snapshot v2 is constructed deterministically
@@ -2883,7 +2883,7 @@ def z86_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # amended), so the oracle replays the same construction.
 # ---------------------------------------------------------------------------
 @register(
-    "z87_corpus_snapshot_diff",
+    "p04_corpus_snapshot_diff",
     oracle="""
     WITH v1 AS (
         SELECT doc_id, source, sha256(text) AS sha FROM documents
@@ -2906,7 +2906,7 @@ def z86_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="corpus snapshot diff: full-outer sha compare between "
     "releases, per-source added/removed/changed/unchanged rollup",
 )
-def z87_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p04_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # presence is tracked by explicit flags, NOT by sha nullability — a
     # NULL text would null the sha on a row that IS present and

@@ -597,11 +597,11 @@ def z30_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q18 — TPC-H Q17 shape: per-key average joined back (correlated subquery
+# zb01 (was q18) — TPC-H Q17 shape: per-key average joined back (correlated subquery
 # decorrelated into agg + broadcast join-back).
 # ---------------------------------------------------------------------------
 @register(
-    "q18_below_avg_quantity",
+    "zb01_below_avg_quantity",
     oracle=f"""
     WITH pavg AS (
         SELECT l_partkey AS pk, {davg_sql('l_quantity', 'avg_qty')}
@@ -614,7 +614,7 @@ def z30_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="correlated-subquery shape: per-part avg, join-back, filter",
 )
-def q18_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb01_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(davg("l_quantity", "avg_qty"))
     return (
@@ -920,11 +920,11 @@ def z09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q27 — salted two-phase aggregation (heavy-hitter-safe groupBy): same
+# zb02 (was q27) — salted two-phase aggregation (heavy-hitter-safe groupBy): same
 # result as a plain groupBy, but hot keys spread over 16 reducers first.
 # ---------------------------------------------------------------------------
 @register(
-    "q27_salted_agg",
+    "zb02_salted_agg",
     oracle=f"""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
@@ -934,7 +934,7 @@ def z09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="salted two-phase aggregation (skew-proof heavy-hitter groupBy)",
 )
-def q27_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb02_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.skew import salted_count_sum
 
     li = table(spark, sf_dir, "lineitem")
@@ -942,7 +942,7 @@ def q27_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q28 — skew join with hot-key salting: revenue for a known-hot key set
+# zb03 (was q28) — skew join with hot-key salting: revenue for a known-hot key set
 # joined back to part attributes without broadcasting or AQE reliance.
 #
 # The hot-key set is a PARAMETER, not a computed pre-pass: at 100 TB you
@@ -958,7 +958,7 @@ def q27_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q28_HOT_KEYS = [100, 200, 300]
 
 @register(
-    "q28_salted_join",
+    "zb03_salted_join",
     oracle=f"""
     SELECT p_partkey, p_brand,
            COUNT(*) AS n_items,
@@ -970,7 +970,7 @@ _Q28_HOT_KEYS = [100, 200, 300]
     description="hot-key salted join (replicate-right, parameterized hot set) "
     "+ aggregation",
 )
-def q28_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb03_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.skew import salted_join
 
     li = table(spark, sf_dir, "lineitem").select(
@@ -1330,14 +1330,14 @@ def z15_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# r01 — range (interval) join via bucketed equi-join (operators/rangejoin).
+# zb05 (was r01) — range (interval) join via bucketed equi-join (operators/rangejoin).
 # Intervals = the 20 busiest 5-minute buckets, widened to [bucket-10min,
 # bucket+15min); points = all events. A naive ts-BETWEEN join would plan
 # as a nested-loop; the operator turns it into a shuffle-parallel hash
 # join on the bucket id + residual filter (asserted in test_plans).
 # ---------------------------------------------------------------------------
 @register(
-    "r01_interval_join",
+    "zb05_interval_join",
     oracle=f"""
     WITH b AS (
         SELECT time_bucket(INTERVAL '5 minutes', ts) AS bs, COUNT(*) AS c
@@ -1359,7 +1359,7 @@ def z15_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="interval join (ts in [start,end]) as bucketed equi-join",
 )
-def r01_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb05_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.rangejoin import interval_join
 
     ev = table(spark, sf_dir, "events")

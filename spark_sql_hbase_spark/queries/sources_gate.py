@@ -102,13 +102,13 @@ def _branch(spark: SparkSession, sf_dir: str, fmt: str, with_ts: bool) -> DataFr
 
 
 @register(
-    "q37_multiformat_roundtrip",
+    "zb04_multiformat_roundtrip",
     oracle=_ORACLE,
     description="CSV + JSON + ORC + XML write→read round-trips, tagged "
     "aggregate fidelity union (ORC branch proves typed timestamps; XML is "
     "Spark 4's built-in source)",
 )
-def q37_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zb04_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _branch(spark, sf_dir, "csv", with_ts=False)
         .unionAll(_branch(spark, sf_dir, "json", with_ts=False))

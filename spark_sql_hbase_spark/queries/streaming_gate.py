@@ -552,7 +552,7 @@ _REG["z77_stream_quality_sink"].oracle = _z77_oracle()
 
 
 # ---------------------------------------------------------------------------
-# z85 — streaming CDC upsert materialization (round-5 addition):
+# st06 (was z85) — streaming CDC upsert materialization (round-5 addition):
 # Spark Structured Streaming has no native UPSERT sink; the versioned
 # keyed table provides one — each micro-batch APPENDS (row_key, value,
 # version) cells through the keyed insert path, and `read_versions_asof`
@@ -562,7 +562,7 @@ _REG["z77_stream_quality_sink"].oracle = _z77_oracle()
 # changes" semantics, bounded state (none — state IS the table).
 # ---------------------------------------------------------------------------
 @register(
-    "z85_stream_upsert_view",
+    "st06_stream_upsert_view",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
@@ -574,7 +574,7 @@ _REG["z77_stream_quality_sink"].oracle = _z77_oracle()
     description="streaming CDC upsert: micro-batches append versioned "
     "cells, as-of read materializes the latest-state view",
 )
-def z85_stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st06_stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
     from spark_sql_hbase_spark.streaming.pipelines import (
@@ -724,7 +724,7 @@ _REG["z93_stream_vocab_cardinality"].oracle = _z93_oracle()
 
 
 # ---------------------------------------------------------------------------
-# za01 — streaming covered-index dual-write (round-5 addition;
+# st07 (was za01) — streaming covered-index dual-write (round-5 addition;
 # streaming/pipelines.py::write_stream_with_index_maintenance): the
 # Phoenix global-index maintenance strategy — each micro-batch appends
 # to the main keyed table AND its covered index in one foreachBatch, so
@@ -733,7 +733,7 @@ _REG["z93_stream_vocab_cardinality"].oracle = _z93_oracle()
 # read shape); oracle: the plain value predicate.
 # ---------------------------------------------------------------------------
 @register(
-    "za01_stream_index_dualwrite",
+    "st07_stream_index_dualwrite",
     oracle="""
     SELECT CAST(c_custkey AS BIGINT) AS custkey,
            c_name AS name,
@@ -744,7 +744,7 @@ _REG["z93_stream_vocab_cardinality"].oracle = _z93_oracle()
     description="streaming covered-index dual-write: value-predicate "
     "query served index-only stays fresh under ingest",
 )
-def za01_stream_index_dualwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st07_stream_index_dualwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
     from spark_sql_hbase_spark.streaming.pipelines import (

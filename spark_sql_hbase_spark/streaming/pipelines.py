@@ -513,7 +513,8 @@ def quota_admission_stream(
     key).  Spark 4's ``transformWithStateInPandas`` (StatefulProcessor +
     typed ValueState handles) is the designated successor surface for
     this operator, but its Python driver worker requires the
-    ``google.protobuf`` package, which this runtime does not ship — the
+    ``google.protobuf`` package, which this runtime does not ship
+    (re-verified round 6: ``import google.protobuf`` still fails) — the
     GroupState form is semantically identical here (state = one running
     count; count-based admission is row-order-independent).
 

@@ -144,7 +144,7 @@ def test_p01_pipeline_is_fused_zero_join(spark, registry):
 def test_r01_range_join_is_equi_not_nested_loop(spark, registry):
     """The interval join must plan as a shuffle-parallel equi-join on the
     bucket id — never a nested-loop/cartesian over points × intervals."""
-    plan = formatted_plan(registry["r01_interval_join"].fn(spark, SF))
+    plan = formatted_plan(registry["zb05_interval_join"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
 
@@ -153,7 +153,7 @@ def test_q28_no_hotkey_prepass(spark, registry):
     """Round-2 fix: the hot-key set is a parameter — the query plan must
     contain NO extra aggregation pre-pass, and the In-filter must push
     into the lineitem scan."""
-    df = registry["q28_salted_join"].fn(spark, SF)
+    df = registry["zb03_salted_join"].fn(spark, SF)
     joined = " ".join(pushed_filters(df))
     assert "In(l_partkey" in joined, joined
 
@@ -161,7 +161,7 @@ def test_q28_no_hotkey_prepass(spark, registry):
 def test_q37_multiformat_three_scans_no_join(spark, registry):
     """The merged roundtrip gate is three independent branches unioned —
     no join anywhere, one agg pair per branch."""
-    plan = formatted_plan(registry["q37_multiformat_roundtrip"].fn(spark, SF))
+    plan = formatted_plan(registry["zb04_multiformat_roundtrip"].fn(spark, SF))
     assert "Join" not in plan, plan[:500]
     assert len(re.findall(r"\(\d+\) Union", plan)) >= 1
 
@@ -310,6 +310,7 @@ def test_t11_surprisal_single_corpus_scan(spark, registry):
     collapses every reference onto ONE corpus scan.  (Pinned with AQE off
     — AQE performs the same reuse at runtime via stage reuse, asserted by
     the ReusedExchange count; the static AQE plan prints pre-reuse.)"""
+    spark.catalog.clearCache()  # cached gate intermediates would hide the scan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = registry["t11_unigram_surprisal"].fn(spark, SF)
@@ -337,7 +338,7 @@ def test_s04_multiprobe_never_explodes_corpus(spark, registry):
     one nprobe explode: exactly one Generate in the whole plan, no
     ranking Window, and the corpus reaches the cell equi-join
     unexploded."""
-    plan = formatted_plan(registry["s04_ann_multiprobe"].fn(spark, SF))
+    plan = formatted_plan(registry["zb11_ann_multiprobe"].fn(spark, SF))
     gens = re.findall(r"\(\d+\) Generate", plan)
     assert len(gens) == 1, plan
     # the only Windows allowed are the final per-query top-k (1)
@@ -549,7 +550,7 @@ def test_z57_bpe_pairs_explode_vocabulary_not_corpus(spark, registry):
     word-frequency table (vocabulary cardinality), not raw corpus tokens
     — its Generate sits above the word-count exchange, and top-k is a
     TakeOrdered, never a global sort."""
-    plan = formatted_plan(registry["z57_bpe_pair_counts"].fn(spark, SF))
+    plan = formatted_plan(registry["t15_bpe_pair_counts"].fn(spark, SF))
     gens = [int(m) for m in re.findall(r"\((\d+)\) Generate", plan)]
     assert len(gens) == 2, plan  # tokenize explode + pair explode
     exchanges = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
@@ -635,7 +636,7 @@ def test_z61_semantic_dedup_pair_space_cell_blocked(spark, registry):
     nested-loop joins allowed are the single-row packed-model cross
     joins of assign_cells (one per corpus branch: pair side a, pair side
     b, audit spine)."""
-    plan = formatted_plan(registry["z61_semantic_dedup"].fn(spark, SF))
+    plan = formatted_plan(registry["d12_semantic_dedup"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:800]
     n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
     assert 1 <= n_bnlj <= 3, plan[:800]
@@ -679,7 +680,7 @@ def test_z63_dsir_combine_is_broadcast_no_vocab_shuffle(spark, registry):
     for the target subset."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        df = registry["z63_dsir_importance"].fn(spark, SF)
+        df = registry["t16_dsir_importance"].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("documents.parquet") == 2, plan
         assert "BroadcastHashJoin" in plan, plan
@@ -692,7 +693,7 @@ def test_z64_rerank_shuffles_candidates_only(spark, registry):
     into the vector scan — the vector table never shuffles, and every
     hash exchange is a per-query candidate ranking (keyed on query_id,
     carrying no embedding column)."""
-    plan = formatted_plan(registry["z64_ivfadc_rerank"].fn(spark, SF))
+    plan = formatted_plan(registry["s09_ivfadc_rerank"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:800]
     lines = plan.splitlines()
     matched = 0
@@ -748,7 +749,7 @@ def test_z70_cms_single_corpus_scan(spark, registry):
     reuse at runtime.)"""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        df = registry["z70_cms_heavy_hitters"].fn(spark, SF)
+        df = registry["t17_cms_heavy_hitters"].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("documents.parquet") == 1, plan
         assert plan.count("ReusedExchange") >= 1, plan
@@ -761,7 +762,7 @@ def test_z71_containment_candidate_index_is_hashes_only(spark, registry):
     inverted index: every hash exchange carries ids + the 8-byte
     selected hash (or the bounded shingle arrays on the verify side) —
     never the document text; and nothing degenerates to a cartesian."""
-    plan = formatted_plan(registry["z71_containment_neardup"].fn(spark, SF))
+    plan = formatted_plan(registry["d13_containment_neardup"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:1200]
     lines = plan.splitlines()
     matched = 0
@@ -790,7 +791,7 @@ def test_z73_bloom_bitmap_rides_one_broadcast_row(spark, registry):
     BroadcastNestedLoopJoin over a single row, never a shuffle; and the
     whole query keeps the d08 shape otherwise (no cartesian between
     real relations)."""
-    plan = formatted_plan(registry["z73_bloom_decontam"].fn(spark, SF))
+    plan = formatted_plan(registry["d14_bloom_decontam"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan, plan[:1200]
     assert "CartesianProduct" not in plan, plan[:1200]
 
@@ -838,7 +839,7 @@ def test_z79_line_dedup_shuffles_hashes_only(spark, registry):
     """Line-level dedup exchanges carry (id, 8-byte line hash[, count])
     — never the document text (d10's exchange contract at line
     granularity)."""
-    df = registry["z79_line_dedup_stats"].fn(spark, SF)
+    df = registry["d15_line_dedup_stats"].fn(spark, SF)
     try:
         plan = formatted_plan(df)
         lines = plan.splitlines()
@@ -873,7 +874,7 @@ def test_z81_index_scan_pushes_key_range(spark, registry):
     on the index table, and that range must reach the parquet scan
     (row-group skipping over the key-sorted layout = the A4 fast path
     serving a VALUE predicate)."""
-    df = registry["z81_secondary_index"].fn(spark, SF)
+    df = registry["k06_secondary_index"].fn(spark, SF)
     joined = " ".join(pushed_filters(df))
     assert "GreaterThanOrEqual(row_key,00005|" in joined, joined
     assert "LessThan(row_key,00005}" in joined, joined
@@ -883,7 +884,7 @@ def test_z83_salted_scan_pushes_or_of_ranges(spark, registry):
     """The salted range scan's OR-of-B-ranges predicate must reach the
     parquet scan as an Or filter tree over row_key bounds — that is what
     lets row-group stats skip everything outside all B stripes."""
-    df = registry["z83_salted_key_range"].fn(spark, SF)
+    df = registry["k08_salted_key_range"].fn(spark, SF)
     joined = " ".join(pushed_filters(df))
     assert "Or(" in joined and "row_key,00|0000001000" in joined, joined
     assert "row_key,07|0000002000" in joined, joined
@@ -894,7 +895,7 @@ def test_z82_asof_read_is_window_free(spark, registry):
     equi-join — never a per-key Window (which would funnel every key's
     versions through ordered tasks) and never max_by (partition-order-
     dependent ties)."""
-    plan = formatted_plan(registry["z82_versioned_asof_read"].fn(spark, SF))
+    plan = formatted_plan(registry["k07_versioned_asof_read"].fn(spark, SF))
     assert not re.findall(r"\(\d+\) Window\b", plan), plan[:1200]
     assert "max_by" not in plan, plan[:1200]
 
