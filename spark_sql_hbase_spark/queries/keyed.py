@@ -752,3 +752,163 @@ def k11_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_key").alias("min_key"),
         F.max("max_key").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zc01 — string covered secondary index (round-6 addition;
+# sources/keyed_parquet.py::create_covered_index encoding="str"): a
+# VARCHAR value column indexed order-preservingly via value\x01src_key
+# composite keys (the \x01 separator sorts below every admitted data
+# character, so composite order == (value, src_key) order — including
+# the prefix-of case a left-pad encoding gets wrong).  Point query via
+# index_lookup = ONE key-prefix range scan.  Oracle: the plain string
+# equality over the source relation.
+# ---------------------------------------------------------------------------
+@register(
+    "zc01_string_secondary_index",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           c_name AS name
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+    description="string covered index: \\x01-composite keys, point query "
+    "as one index key-prefix range scan",
+)
+def zc01_string_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    c = table(spark, sf_dir, "customer").select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("c_name").alias("c:name"),
+        F.col("c_mktsegment").alias("c:segment"),
+    )
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_s",
+        key_type="string",
+        families={"c": {"name": "string", "segment": "string"}},
+    )
+    store.ctas(spec, c, mode="overwrite")
+    store.create_covered_index(
+        "gate.cust_s",
+        "gate.cust_by_segment",
+        index_col="c:segment",
+        include=["c:name"],
+        mode="overwrite",
+    )
+    return store.index_lookup("gate.cust_by_segment", "BUILDING").select(
+        F.col("`i:src_key`").cast("long").alias("custkey"),
+        F.col("`c:name`").alias("name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# zc02 — fixed-point fractional covered index (round-6 addition): a
+# DOUBLE value column indexed through the order-preserving fixed-point
+# encoding lpad(round(value*scale)) — round is monotone, so the range
+# scan over the scaled bounds is a SOUND SUPERSET and the exact
+# predicate on the carried value column is the residual (the za03/k10
+# Z-order law applied to a 1-D fractional domain).  Oracle: the plain
+# range predicate.
+# ---------------------------------------------------------------------------
+_ZC02_SCALE = 100
+
+
+@register(
+    "zc02_fixedpoint_index",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           o_totalprice AS totalprice
+    FROM orders
+    WHERE o_totalprice BETWEEN 150000.25 AND 160000.75
+    """,
+    description="fixed-point covered index over a double column: scaled "
+    "key-range scan + exact residual on the carried value",
+)
+def zc02_fixedpoint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("o_totalprice").alias("o:totalprice"),
+    )
+    spec = TableSpec(
+        namespace="gate",
+        name="orders_f",
+        key_type="string",
+        families={"o": {"totalprice": "double"}},
+    )
+    store.ctas(spec, o, mode="overwrite")
+    store.create_covered_index(
+        "gate.orders_f",
+        "gate.orders_by_price",
+        index_col="o:totalprice",
+        key_width=10,
+        fixed_point_scale=_ZC02_SCALE,
+        mode="overwrite",
+    )
+    lo, hi = 150000.25, 160000.75
+    lo_k = f"{round(lo * _ZC02_SCALE):010d}|"
+    hi_k = f"{round(hi * _ZC02_SCALE):010d}~"
+    idx = store.read("gate.orders_by_price")
+    scan = idx.filter((F.col("row_key") >= lo_k) & (F.col("row_key") <= hi_k))
+    return scan.filter(F.col("`o:totalprice`").between(lo, hi)).select(
+        F.col("`i:src_key`").cast("long").alias("orderkey"),
+        F.col("`o:totalprice`").alias("totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# zc03 — snapshot / restore_snapshot (round-6 addition;
+# sources/keyed_parquet.py::snapshot/restore_snapshot — the HBase
+# snapshot admin surface): zero-copy capture (hardlinks to immutable
+# parquet files), destructive DML (MERGE doubling balances + DELETE),
+# then an atomic-swap rollback.  The gate returns the POST-RESTORE
+# table, which must equal the pre-snapshot state — so the oracle is the
+# plain source projection, proving the mutations were fully undone.
+# ---------------------------------------------------------------------------
+@register(
+    "zc03_snapshot_restore",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
+           c_acctbal AS acctbal
+    FROM customer
+    """,
+    description="HBase snapshot/restore parity: zero-copy capture, "
+    "destructive DML, atomic-swap rollback to the snapshot",
+)
+def zc03_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    c = table(spark, sf_dir, "customer")
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_snap",
+        key_type="string",
+        families={"c": {"acctbal": "double"}},
+    )
+    store.ctas(
+        spec,
+        c.select(
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("c_acctbal").alias("c:acctbal"),
+        ),
+        mode="overwrite",
+    )
+    store.snapshot("gate.cust_snap", "pre")
+    store.upsert(
+        "gate.cust_snap",
+        c.filter(F.col("c_custkey") % 5 == 0).select(
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+            (F.col("c_acctbal") * 2.0).alias("c:acctbal"),
+        ),
+    )
+    store.delete_where("gate.cust_snap", "`c:acctbal` < 0")
+    store.restore_snapshot("gate.cust_snap", "pre")
+    return store.read("gate.cust_snap").select(
+        "row_key", F.col("`c:acctbal`").alias("acctbal")
+    )

@@ -303,6 +303,7 @@ class KeyedTableStore:
         include: list[str] | None = None,
         key_width: int = 12,
         mode: str = "error",
+        fixed_point_scale: int | None = None,
     ) -> None:
         """Phoenix-style GLOBAL COVERED secondary index (public Apache
         Phoenix design): a second keyed table whose row key is the
@@ -326,24 +327,33 @@ class KeyedTableStore:
         main-table scan + filter with an index range scan bounded by the
         predicate's key range.
 
-        Only integral index columns are accepted: the lpad-string key is
-        order-correct exactly for non-negative integers — a double or
-        decimal ('1.25' vs '1.5', scientific notation) passes a width
-        check yet sorts lexicographically != numerically, silently
-        corrupting range scans.  Fractional types need an
-        order-preserving fixed-point encoding upstream (scale to an
-        integer column first).
+        Key encodings by declared column type (order-correct by
+        construction, each guarded at build time and per streamed batch):
+
+        - **integral** (byte/short/int/long): ``lpad(value)|src_key`` —
+          lexicographic == numeric for non-negative, in-width values
+          (the width/negativity guard enforces both).
+        - **fractional** (float/double/decimal): REQUIRES
+          ``fixed_point_scale`` — the key is
+          ``lpad(round(value*scale))|src_key``, an order-preserving
+          fixed-point encoding (round is monotone, so a range scan on
+          the scaled bounds is a sound superset; re-apply the exact
+          predicate on the carried value column as the residual, the
+          same law the Z-order scan uses).  Without a scale the build
+          fails loudly: '1.25' vs '1.5' sorts lexicographically !=
+          numerically and would silently corrupt range scans.
+        - **string** (char/varchar): ``value\\x01src_key`` — the \\x01
+          separator sorts below every data character, so the composite
+          order equals the (value, src_key) order; values containing
+          \\x00/\\x01 are rejected by the guard.  Point/prefix lookups
+          become index key-prefix ranges (:meth:`index_lookup`).
         """
         main_spec = self.registry.get(qualified_name)
         cf, qual = index_col.split(COLUMN_QUALIFIER_SPLITTER, 1)
         declared = main_spec.families[cf][qual].lower()
-        if declared not in _INTEGRAL_INDEX_TYPES:
-            raise ValueError(
-                f"covered index on {index_col!r} ({declared}): only integral "
-                "column types index order-correctly under the lpad key "
-                "encoding; scale fractional values to an integer column "
-                "(order-preserving fixed point) and index that"
-            )
+        encoding, scale = self._index_encoding_for(
+            index_col, declared, fixed_point_scale
+        )
         covered = list(include or [])
         ns, iname = index_qualified_name.split(".", 1)
         fams: dict[str, dict[str, str]] = {"i": {"src_key": "string"}}
@@ -353,30 +363,90 @@ class KeyedTableStore:
         spec = TableSpec(
             namespace=ns, name=iname, key_type="string", families=fams
         )
+        meta = {
+            "col": index_col,
+            "include": covered,
+            "key_width": key_width,
+            "encoding": encoding,
+            "scale": scale,
+        }
         main = self.read(qualified_name)
-        self._index_width_guard(main, index_col, key_width)
-        proj = self.index_projection(main, index_col, covered, key_width)
-        self.ctas(spec, proj, mode=mode)
-        # register the index on the main table so DML maintains it
-        main_spec.properties[f"{_INDEX_PROP}{index_qualified_name}"] = json.dumps(
-            {"col": index_col, "include": covered, "key_width": key_width}
+        self._index_width_guard(main, index_col, key_width, encoding, scale)
+        proj = self.index_projection(
+            main, index_col, covered, key_width, encoding, scale
         )
+        self.ctas(spec, proj, mode=mode)
+        # register the index on the main table so DML maintains it, and
+        # on the index itself so lookups are self-describing
+        main_spec.properties[f"{_INDEX_PROP}{index_qualified_name}"] = json.dumps(meta)
         self.registry.register(main_spec)
+        ispec = self.registry.get(index_qualified_name)
+        ispec.properties["index_meta"] = json.dumps(meta)
+        self.registry.register(ispec)
+
+    @staticmethod
+    def _index_encoding_for(
+        index_col: str, declared: str, fixed_point_scale: int | None
+    ) -> tuple[str, int | None]:
+        """Pick the order-preserving key encoding for a declared column
+        type; raise for types with no such encoding here."""
+        if declared in _INTEGRAL_INDEX_TYPES:
+            return "int", None
+        if declared in ("float", "real", "double") or declared.startswith(
+            "decimal"
+        ):
+            if not fixed_point_scale or fixed_point_scale < 1:
+                raise ValueError(
+                    f"covered index on {index_col!r} ({declared}): fractional "
+                    "values sort lexicographically != numerically under the "
+                    "lpad encoding; pass fixed_point_scale=N to index "
+                    "round(value*N) order-preservingly (re-apply the exact "
+                    "predicate on the carried value column as the residual)"
+                )
+            return "int", int(fixed_point_scale)
+        if declared in ("string",) or declared.startswith(("char", "varchar")):
+            return "str", None
+        raise ValueError(
+            f"covered index on {index_col!r}: no order-preserving key "
+            f"encoding for declared type {declared!r} (supported: integral, "
+            "fractional with fixed_point_scale, string)"
+        )
+
+    _STR_SEP = "\x01"  # sorts below every data char the guard admits
+
+    @staticmethod
+    def _index_key_value_expr(
+        index_col: str, encoding: str, scale: int | None
+    ) -> "F.Column":
+        """The (possibly fixed-point-scaled) value the index key encodes."""
+        col = F.col(f"`{index_col}`")
+        if encoding == "int" and scale:
+            return F.round(col * scale).cast("long")
+        return col
 
     @staticmethod
     def index_projection(
-        rows: DataFrame, index_col: str, covered: list[str], key_width: int
+        rows: DataFrame,
+        index_col: str,
+        covered: list[str],
+        key_width: int,
+        encoding: str = "int",
+        scale: int | None = None,
     ) -> DataFrame:
-        """The covered-index row derivation shared by the CTAS build and
-        the streaming dual-write maintenance path: index row key =
-        lpad(value)|primary_key, plus the source key and covered
-        columns.  ONE definition so build and maintenance can never
-        drift."""
-        ik = F.concat(
-            F.lpad(F.col(f"`{index_col}`").cast("string"), key_width, "0"),
-            F.lit("|"),
-            F.col(ROW_KEY),
-        )
+        """The covered-index row derivation shared by the CTAS build,
+        batch-DML maintenance, and the streaming dual-write path: index
+        row key = encoded(value) + separator + primary_key, plus the
+        source key and covered columns.  ONE definition so build and
+        maintenance can never drift."""
+        v = KeyedTableStore._index_key_value_expr(index_col, encoding, scale)
+        if encoding == "str":
+            ik = F.concat(v, F.lit(KeyedTableStore._STR_SEP), F.col(ROW_KEY))
+        else:
+            ik = F.concat(
+                F.lpad(v.cast("string"), key_width, "0"),
+                F.lit("|"),
+                F.col(ROW_KEY),
+            )
         return rows.select(
             ik.alias(ROW_KEY),
             F.col(ROW_KEY).alias("i:src_key"),
@@ -384,16 +454,35 @@ class KeyedTableStore:
         )
 
     @staticmethod
-    def _index_width_guard(rows: DataFrame, index_col: str, key_width: int) -> None:
+    def _index_width_guard(
+        rows: DataFrame,
+        index_col: str,
+        key_width: int,
+        encoding: str = "int",
+        scale: int | None = None,
+    ) -> None:
+        if encoding == "str":
+            # the \x01 separator must sort below every data character —
+            # \x00/\x01 inside values would corrupt the composite order
+            bad = rows.agg(
+                F.max(
+                    F.col(f"`{index_col}`").rlike("[\x00\x01]").cast("int")
+                ).alias("b")
+            ).collect()[0]["b"]
+            if bad:
+                raise ValueError(
+                    "string index values contain \\x00/\\x01 control "
+                    "characters, which collide with the key separator"
+                )
+            return
         # lpad TRUNCATES strings longer than the pad width, which would
         # silently collide distinct index values into one key prefix (and
         # a leading '-' breaks lexicographic order outright) — reject
         # both up front; one bounded aggregate over the input
+        v = KeyedTableStore._index_key_value_expr(index_col, encoding, scale)
         probe = rows.agg(
-            F.max(F.length(F.col(f"`{index_col}`").cast("string"))).alias("w"),
-            F.max(
-                F.col(f"`{index_col}`").cast("string").startswith("-").cast("int")
-            ).alias("neg"),
+            F.max(F.length(v.cast("string"))).alias("w"),
+            F.max(v.cast("string").startswith("-").cast("int")).alias("neg"),
         ).collect()[0]
         if probe["w"] is not None and probe["w"] > key_width:
             raise ValueError(
@@ -405,6 +494,28 @@ class KeyedTableStore:
                 "negative index values break lexicographic key order; "
                 "bias the column into a non-negative range first"
             )
+
+    def index_lookup(self, index_qualified_name: str, value) -> DataFrame:
+        """Point lookup through a covered index: all index rows whose
+        encoded value equals ``value`` — ONE contiguous key-prefix range
+        scan (the A4 fast path; sorted layout + region pruning serve
+        it), never touching the main table.  For a fixed-point index,
+        ``value`` is bucketed by the registered scale, so re-apply the
+        exact predicate on the carried value column when the scale is
+        coarser than the query.
+        """
+        ispec = self.registry.get(index_qualified_name)
+        meta = json.loads(ispec.properties["index_meta"])
+        if meta["encoding"] == "str":
+            prefix = f"{value}{self._STR_SEP}"
+        else:
+            v = round(value * meta["scale"]) if meta["scale"] else int(value)
+            if v < 0:
+                raise ValueError("negative lookup value on a lpad-keyed index")
+            prefix = f"{v:0{meta['key_width']}d}|"
+        upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        df = self.read(index_qualified_name)
+        return df.filter((F.col(ROW_KEY) >= prefix) & (F.col(ROW_KEY) < upper))
 
     def registered_indexes(self, qualified_name: str) -> dict[str, dict]:
         """Covered indexes registered on ``qualified_name`` (by
@@ -452,9 +563,14 @@ class KeyedTableStore:
         main = self.read(qualified_name)
         for iq, meta in indexes.items():
             ispec = self.registry.get(iq)
-            self._index_width_guard(main, meta["col"], meta["key_width"])
+            enc = meta.get("encoding", "int")
+            scale = meta.get("scale")
+            self._index_width_guard(
+                main, meta["col"], meta["key_width"], enc, scale
+            )
             proj = self.index_projection(
-                main, meta["col"], list(meta["include"]), meta["key_width"]
+                main, meta["col"], list(meta["include"]), meta["key_width"],
+                enc, scale,
             )
             self._sorted_rewrite(ispec, proj)
             if ispec.properties.pop("stale", None) is not None:
@@ -922,6 +1038,131 @@ class KeyedTableStore:
         return self.spark.createDataFrame(
             out, "region int, min_key string, max_key string, n_rows bigint"
         )
+
+    # -- snapshots (HBase snapshot/clone_snapshot/restore_snapshot) -------
+    def _snapshot_dir(self, snapshot_name: str) -> str:
+        return os.path.join(self.warehouse_dir, ".snapshots", snapshot_name)
+
+    def snapshot(self, qualified_name: str, snapshot_name: str) -> None:
+        """Take a named snapshot of the table — the HBase ``snapshot``
+        admin operation: a ZERO-COPY capture (hardlinks to the immutable
+        parquet files; falls back to copies across filesystems) plus the
+        declared spec, under ``<warehouse>/.snapshots/<name>/``.
+
+        Zero-copy is sound because the store never mutates a data file
+        in place: every write path either appends NEW files or swaps in
+        a NEW directory (the staged-commit protocol), exactly like HBase
+        snapshots hardlink immutable HFiles.  Cost at 100 TB: O(files)
+        metadata operations, no data movement.
+        """
+        spec = self.registry.get(qualified_name)
+        sdir = self._snapshot_dir(snapshot_name)
+        if os.path.exists(sdir):
+            raise TableAlreadyExistsError(f"snapshot exists: {snapshot_name}")
+        os.makedirs(sdir)
+        src = self.table_path(spec)
+        for fname in os.listdir(src):
+            if not fname.endswith(".parquet"):
+                continue
+            try:
+                os.link(os.path.join(src, fname), os.path.join(sdir, fname))
+            except OSError:
+                shutil.copy2(os.path.join(src, fname), os.path.join(sdir, fname))
+        with open(os.path.join(sdir, "_spec.json"), "w") as f:
+            json.dump(
+                {
+                    "qualified_name": qualified_name,
+                    "key_type": spec.key_type,
+                    "families": spec.families,
+                    "generator": spec.generator,
+                    "split_keys": list(spec.split_keys),
+                },
+                f,
+            )
+
+    def list_snapshots(self) -> list[str]:
+        root = os.path.join(self.warehouse_dir, ".snapshots")
+        return sorted(os.listdir(root)) if os.path.isdir(root) else []
+
+    def delete_snapshot(self, snapshot_name: str) -> None:
+        shutil.rmtree(self._snapshot_dir(snapshot_name), ignore_errors=True)
+
+    def _read_snapshot_spec(self, snapshot_name: str) -> dict:
+        sdir = self._snapshot_dir(snapshot_name)
+        if not os.path.isdir(sdir):
+            raise TableNotFoundError(f"snapshot not found: {snapshot_name}")
+        with open(os.path.join(sdir, "_spec.json")) as f:
+            return json.load(f)
+
+    def restore_snapshot(self, qualified_name: str, snapshot_name: str) -> None:
+        """Roll the table back to a snapshot — HBase
+        ``restore_snapshot``: hardlink the snapshot's files into a
+        staging directory and atomically swap it live (the same
+        commit protocol every DML rewrite uses), so the restore is
+        metadata-only, crash-safe, and readers never observe a partial
+        state.  The snapshot itself is untouched (restores can repeat).
+        Covered indexes registered on the table are rebuilt to match
+        the restored state."""
+        saved = self._read_snapshot_spec(snapshot_name)
+        if saved["qualified_name"] != qualified_name:
+            raise ValueError(
+                f"snapshot {snapshot_name!r} was taken from "
+                f"{saved['qualified_name']!r}, not {qualified_name!r}; "
+                "use clone_snapshot to materialize it elsewhere"
+            )
+        spec = self.registry.get(qualified_name)
+        path = self.table_path(spec)
+        parent, base = os.path.dirname(path), os.path.basename(path)
+        txid = uuid.uuid4().hex[:12]
+        staging = os.path.join(parent, f".{base}__staging_{txid}")
+        retired = os.path.join(parent, f".{base}__old_{txid}")
+        os.makedirs(staging)
+        sdir = self._snapshot_dir(snapshot_name)
+        for fname in os.listdir(sdir):
+            if not fname.endswith(".parquet"):
+                continue
+            try:
+                os.link(os.path.join(sdir, fname), os.path.join(staging, fname))
+            except OSError:
+                shutil.copy2(os.path.join(sdir, fname), os.path.join(staging, fname))
+        os.rename(path, retired)
+        os.rename(staging, path)
+        shutil.rmtree(retired, ignore_errors=True)
+        self.refresh(qualified_name)
+        self._maintain_indexes(qualified_name, async_index=False)
+
+    def clone_snapshot(
+        self, snapshot_name: str, new_qualified_name: str
+    ) -> None:
+        """Materialize a snapshot as a NEW table — HBase
+        ``clone_snapshot``: same zero-copy hardlink trick into a fresh
+        table directory, registered under the snapshot's declared
+        schema.  The clone shares data files with the snapshot until
+        either side rewrites (safe: files are immutable here)."""
+        saved = self._read_snapshot_spec(snapshot_name)
+        ns, name = new_qualified_name.split(".", 1)
+        spec = TableSpec(
+            namespace=ns,
+            name=name,
+            key_type=saved["key_type"],
+            families=saved["families"],
+            generator=saved.get("generator"),
+            split_keys=list(saved.get("split_keys") or []),
+        )
+        self.create_table(spec)
+        path = self.table_path(spec)
+        # drop the empty-footprint files; link in the snapshot's
+        for fname in os.listdir(path):
+            os.remove(os.path.join(path, fname))
+        sdir = self._snapshot_dir(snapshot_name)
+        for fname in os.listdir(sdir):
+            if not fname.endswith(".parquet"):
+                continue
+            try:
+                os.link(os.path.join(sdir, fname), os.path.join(path, fname))
+            except OSError:
+                shutil.copy2(os.path.join(sdir, fname), os.path.join(path, fname))
+        self.refresh(new_qualified_name)
 
     # -- session-catalog integration (A8) ---------------------------------
     def _view_name(self, spec: TableSpec) -> str:

@@ -440,12 +440,14 @@ class KeyedSqlRouter:
                     if c.strip()
                 ]
                 opts = dict(_OPTION_KV_RE.findall(m.group("opts") or ""))
+                fps = opts.get("fixed_point_scale")
                 self.store.create_covered_index(
                     f"{ns}.{name}",
                     f"{ins}.{iname}",
                     index_col=_unquote(m.group("col")),
                     include=include,
                     key_width=int(opts.get("key_width", "12")),
+                    fixed_point_scale=int(fps) if fps else None,
                 )
                 return self.spark.sql("SELECT 1 WHERE 1=0")
 

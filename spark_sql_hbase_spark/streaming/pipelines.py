@@ -561,6 +561,8 @@ def write_stream_with_index_maintenance(
     key_width: int,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    encoding: str = "int",
+    scale: int | None = None,
 ):
     """Streaming keyed ingest with covered-index DUAL-WRITE — the
     Phoenix global-index maintenance strategy: each micro-batch appends
@@ -589,11 +591,15 @@ def write_stream_with_index_maintenance(
         if _batch_already_applied(checkpoint_dir, batch_id):
             return
         pinned = batch_df.localCheckpoint(eager=True)  # one evaluation
-        type(store)._index_width_guard(pinned, index_col, key_width)
+        type(store)._index_width_guard(
+            pinned, index_col, key_width, encoding, scale
+        )
         store.insert(main_name, pinned, generate_row_key=False)
         store.insert(
             index_name,
-            type(store).index_projection(pinned, index_col, include, key_width),
+            type(store).index_projection(
+                pinned, index_col, include, key_width, encoding, scale
+            ),
             generate_row_key=False,
         )
         _record_batch_applied(checkpoint_dir, batch_id)

@@ -779,7 +779,7 @@ def test_covered_index_rejects_fractional_column_type(spark, tmp_path):
     passes the width guard yet sorts lexicographically != numerically,
     so it must be rejected at CREATE INDEX time."""
     st = _mk_plain_table(spark, tmp_path)
-    with pytest.raises(ValueError, match="integral"):
+    with pytest.raises(ValueError, match="fixed_point_scale"):
         st.create_covered_index(
             "r6.t", "r6.by_val", index_col="c:val", key_width=8
         )
@@ -819,3 +819,118 @@ def test_region_stats_exact_for_truncation_length_keys(spark, tmp_path):
     assert sum(r["n_rows"] for r in got) == 20
     assert min(r["min_key"] for r in got) == "k" * 64 + "000000"
     assert max(r["max_key"] for r in got) == "k" * 64 + "000019"
+
+
+# ---------------------------------------------------------------------------
+# round-6: string + fixed-point index encodings, snapshots
+# ---------------------------------------------------------------------------
+def test_string_index_order_and_lookup(spark, tmp_path):
+    """String covered index: value\\x01src_key composite keys sort by
+    (value, src_key) — including the prefix-of case ('ab' < 'b') that a
+    left-pad encoding gets WRONG — and index_lookup answers a point
+    query as one key-prefix range scan."""
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    rows = [("0001", "b"), ("0002", "ab"), ("0003", "abc"), ("0004", "ab")]
+    st.ctas(
+        TableSpec(
+            namespace="si", name="t", key_type="string",
+            families={"c": {"name": "string"}},
+        ),
+        spark.createDataFrame(rows, "row_key string, `c:name` string"),
+    )
+    st.create_covered_index("si.t", "si.by_name", index_col="c:name")
+    idx = st.read("si.by_name").orderBy("row_key").collect()
+    # index key order == (value, src_key) order
+    assert [(r["c:name"], r["i:src_key"]) for r in idx] == [
+        ("ab", "0002"), ("ab", "0004"), ("abc", "0003"), ("b", "0001"),
+    ]
+    got = {r["i:src_key"] for r in st.index_lookup("si.by_name", "ab").collect()}
+    assert got == {"0002", "0004"}
+    # exact match only: 'abc' does not leak into the 'ab' lookup
+    assert {r["i:src_key"] for r in st.index_lookup("si.by_name", "b").collect()} == {"0001"}
+
+
+def test_string_index_rejects_control_chars(spark, tmp_path):
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    st.ctas(
+        TableSpec(namespace="sc", name="t", key_type="string",
+                  families={"c": {"name": "string"}}),
+        spark.createDataFrame(
+            [("0001", "ok"), ("0002", "bad\x01sep")],
+            "row_key string, `c:name` string",
+        ),
+    )
+    with pytest.raises(ValueError, match="control"):
+        st.create_covered_index("sc.t", "sc.by_name", index_col="c:name")
+
+
+def test_fixed_point_index_lookup_and_dml_maintenance(spark, tmp_path):
+    """Fractional index columns ride the order-preserving fixed-point
+    encoding: keys are lpad(round(value*scale)); lookups hit the scaled
+    bucket; DML maintenance re-derives the same encoding."""
+    st = _mk_plain_table(spark, tmp_path)  # c:val = i * 1.5
+    st.create_covered_index(
+        "r6.t", "r6.by_val", index_col="c:val", key_width=8,
+        fixed_point_scale=100,
+    )
+    # val 7.5 (i=5) -> bucket 750
+    got = {r["i:src_key"] for r in st.index_lookup("r6.by_val", 7.5).collect()}
+    assert got == {"00000005"}
+    # order-correctness across the fractional domain: index key order
+    # equals numeric order of the value column
+    idx = st.read("r6.by_val").orderBy("row_key").collect()
+    vals = [r["c:val"] for r in idx]
+    assert vals == sorted(vals)
+    # DML maintenance re-encodes identically
+    st.update_where("r6.t", {"c:val": "`c:val` + 0.25"}, "row_key = '00000005'")
+    got = {r["c:val"] for r in st.index_lookup("r6.by_val", 7.75).collect()}
+    assert got == {7.75}
+
+
+def test_snapshot_restore_and_clone(spark, tmp_path):
+    """HBase snapshot/restore_snapshot/clone_snapshot parity: zero-copy
+    capture (hardlinked immutable files), rollback via the atomic-swap
+    protocol (covered indexes rebuilt to the restored state), and clone
+    into a fresh table."""
+    st = _mk_plain_table(spark, tmp_path)
+    st.create_covered_index(
+        "r6.t", "r6.by_grp", index_col="c:grp", include=["c:val"], key_width=4
+    )
+    before = sorted(
+        (r["row_key"], r["c:grp"], r["c:val"]) for r in st.read("r6.t").collect()
+    )
+    st.snapshot("r6.t", "pre_dml")
+    assert st.list_snapshots() == ["pre_dml"]
+    # zero-copy: snapshot files are hardlinks (nlink > 1), not copies
+    sdir = st._snapshot_dir("pre_dml")
+    pq_files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+    assert pq_files and all(
+        os.stat(os.path.join(sdir, f)).st_nlink > 1 for f in pq_files
+    )
+    # mutate, then roll back
+    st.delete_where("r6.t", "`c:grp` IN (0, 1)")
+    st.upsert("r6.t", spark.createDataFrame(
+        [("99999999", 7, -1.0)], "row_key string, `c:grp` long, `c:val` double"
+    ))
+    assert st.read("r6.t").count() != len(before)
+    st.restore_snapshot("r6.t", "pre_dml")
+    after = sorted(
+        (r["row_key"], r["c:grp"], r["c:val"]) for r in st.read("r6.t").collect()
+    )
+    assert after == before
+    # the covered index was rebuilt to the restored state
+    assert sorted(
+        (r["i:src_key"], r["c:grp"], r["c:val"])
+        for r in st.read("r6.by_grp").collect()
+    ) == before
+    # clone materializes the snapshot as a new table
+    st.clone_snapshot("pre_dml", "r6.t_clone")
+    assert sorted(
+        (r["row_key"], r["c:grp"], r["c:val"])
+        for r in st.read("r6.t_clone").collect()
+    ) == before
+    # restore of a snapshot from another table is refused
+    with pytest.raises(ValueError, match="clone_snapshot"):
+        st.restore_snapshot("r6.t_clone", "pre_dml")
+    st.delete_snapshot("pre_dml")
+    assert st.list_snapshots() == []
