@@ -993,3 +993,64 @@ def zipf_slope(
         F.round(cov / varx, round_to).alias("slope"),
         F.round((cov * cov) / (varx * vary), round_to).alias("r2"),
     )
+
+
+def quality_threshold_sweep(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 20
+) -> DataFrame:
+    """Keep-threshold sweep over the composite quality score: for each
+    candidate threshold t_i = -0.5 + 2·i/B (the score's exact range,
+    B = ``n_buckets``), how many documents survive ``quality >= t_i``,
+    what corpus fraction that is, and their mean quality — the curve a
+    curation run reads to CHOOSE its keep threshold (precision/volume
+    trade-off), computed without ever materializing a per-threshold
+    filter.
+
+    Scale shape (100 TB): ONE corpus scan bucketizes each doc's score
+    into B histogram cells (map-side combine; the shuffle is B rows),
+    then suffix-cumulative window sums over the BOUNDED B-row relation
+    — the unpartitioned window is benign at any corpus size because its
+    input is the histogram, never the corpus.  Empty buckets are kept
+    via a range join so every threshold row exists.
+
+    Determinism: the bucket index is one add + one multiply + floor of
+    the bit-identical score (same IEEE ops in the oracle); kept-quality
+    sums ride the exact-decimal ``dsum`` convention.
+    """
+    from pyspark.sql import Window as W
+
+    from spark_sql_hbase_spark.functions.det import DEC
+
+    q = quality_expr(text_col, tokens(F.col(text_col)))
+    half_b = F.lit(float(n_buckets) / 2.0)
+    bucket = F.least(
+        F.greatest(F.floor((q + F.lit(0.5)) * half_b).cast("long"), F.lit(0)),
+        F.lit(n_buckets - 1),
+    )
+    hist = (
+        df.select(bucket.alias("bucket"), q.alias("q"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("q").cast(DEC)).alias("qs"),
+        )
+    )
+    grid = df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    full = grid.join(hist, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("qs", F.lit(0).cast(DEC)).alias("qs"),
+    )
+    w = W.orderBy(F.desc("bucket")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    total = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    kept_n = F.sum("n").over(w)
+    kept_q = F.round(F.sum("qs").over(w), 2).cast("double")
+    return (
+        full.select(
+            (F.lit(-0.5) + F.col("bucket") / half_b).alias("threshold"),
+            kept_n.alias("kept_docs"),
+            (kept_n.cast("double") / F.sum("n").over(total)).alias("kept_frac"),
+            F.when(kept_n > 0, kept_q / kept_n).alias("mean_quality"),
+        )
+        .orderBy("threshold")
+    )

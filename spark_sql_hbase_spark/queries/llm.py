@@ -3417,3 +3417,53 @@ def za02_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pos.join(neg, "anchor")
+
+
+# ---------------------------------------------------------------------------
+# zc04 — quality keep-threshold sweep (round-6 addition; operators/
+# text.py::quality_threshold_sweep): the curve a curation run reads to
+# choose its keep threshold — per candidate threshold, surviving doc
+# count/fraction and mean quality, from ONE corpus scan + a B-row
+# histogram + suffix-cumulative windows over the bounded histogram
+# (never a per-threshold filter pass).  Oracle: the identical
+# construction over the shared per-doc quality CTE.
+# ---------------------------------------------------------------------------
+@register(
+    "zc04_quality_threshold_sweep",
+    oracle=f"""
+    WITH __q AS ({_QUALITY_ORACLE}),
+    __h AS (
+        SELECT LEAST(GREATEST(CAST(floor((quality + 0.5) * 10.0) AS BIGINT),
+                              0), 19) AS bucket,
+               quality
+        FROM __q
+    ),
+    __hist AS (
+        SELECT bucket, COUNT(*) AS n,
+               SUM(CAST(quality AS DECIMAL(38,6))) AS qs
+        FROM __h GROUP BY bucket
+    ),
+    __f AS (
+        SELECT g.bucket, COALESCE(n, 0) AS n,
+               COALESCE(qs, CAST(0 AS DECIMAL(38,6))) AS qs
+        FROM generate_series(0, 19) g(bucket)
+        LEFT JOIN __hist h ON g.bucket = h.bucket
+    )
+    SELECT -0.5 + bucket / 10.0 AS threshold,
+           CAST(SUM(n) OVER w AS BIGINT) AS kept_docs,
+           CAST(SUM(n) OVER w AS DOUBLE) / SUM(n) OVER () AS kept_frac,
+           CASE WHEN SUM(n) OVER w > 0
+                THEN CAST(ROUND(SUM(qs) OVER w, 2) AS DOUBLE)
+                     / SUM(n) OVER w
+           END AS mean_quality
+    FROM __f
+    WINDOW w AS (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY threshold
+    """,
+    description="keep-threshold sweep: survivors + mean quality per "
+    "candidate threshold from one scan + bounded histogram",
+)
+def zc04_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.quality_threshold_sweep(docs, "doc_id", "text", n_buckets=20)

@@ -1556,3 +1556,33 @@ def z97_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 4).cast("double").alias("sum_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zc05 — LATERAL correlated subquery (round-6 addition): per-customer
+# top-3 orders via a correlated LATERAL (ORDER BY ... LIMIT 3) — the
+# joins-family member the inventory lacked (SQL:1999 LATERAL; Spark
+# decorrelates it into a ranked window join, so no nested-loop
+# re-execution per outer row).  DuckDB runs the identical statement.
+# ---------------------------------------------------------------------------
+_ZC05 = """
+SELECT c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+       o.o_totalprice AS totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+WHERE c.c_custkey <= 200
+"""
+
+
+@register(
+    "zc05_lateral_topk",
+    oracle=_ZC05,
+    description="correlated LATERAL subquery: per-customer top-3 orders, "
+    "decorrelated by Catalyst into a ranked join",
+)
+def zc05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ZC05)

@@ -913,3 +913,37 @@ def test_z89_resample_single_scan_one_window(spark, registry):
         assert plan.count("events.parquet") == 1, plan[:1500]
     finally:
         spark.catalog.clearCache()
+
+
+def test_index_lookup_prefix_range_reaches_scan(spark, tmp_path):
+    """index_lookup must plan as a parquet range scan on the index key
+    (PushedFilters carries the prefix bounds), so the sorted layout's
+    row-group stats and region pruning serve the point query — never a
+    full index scan with a post-filter."""
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    st.ctas(
+        TableSpec(namespace="ip", name="t", key_type="string",
+                  families={"c": {"g": "long"}}),
+        spark.createDataFrame(
+            [(f"{i:06d}", i % 5) for i in range(100)],
+            "row_key string, `c:g` long",
+        ),
+    )
+    st.create_covered_index("ip.t", "ip.by_g", index_col="c:g", key_width=4)
+    plan = formatted_plan(st.index_lookup("ip.by_g", 3))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(row_key,0003|" in plan, plan
+    assert "LessThan(row_key,0003}" in plan, plan
+
+
+def test_zc05_lateral_is_decorrelated_not_nested_loop(spark, registry):
+    """The correlated LATERAL (ORDER BY ... LIMIT) must decorrelate into
+    a ranked window + equi-join — a per-outer-row nested-loop
+    re-execution would be quadratic at scale."""
+    plan = formatted_plan(registry["zc05_lateral_topk"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan, plan
