@@ -1586,3 +1586,158 @@ def zc05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ZC05)
+
+
+# ---------------------------------------------------------------------------
+# zc06 — ordered event funnel (round-6 addition): view -> click ->
+# purchase conversion, where each stage must happen strictly AFTER the
+# user's entry into the previous stage (min-timestamp chaining — the
+# standard product-analytics funnel).  Shape: one groupBy(user) min per
+# stage with a stage-(k-1) timestamp join — every shuffle is keyed by
+# user_id (partial-agg'd map-side), no window over the raw stream, no
+# per-row state.  Output: per-stage user counts + conversion from the
+# previous stage (one IEEE division of exact counts).
+# ---------------------------------------------------------------------------
+@register(
+    "zc06_event_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    n AS (SELECT 1 AS stage_no, 'view' AS stage,
+                 CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users
+          UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+          UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT))
+    SELECT stage_no, stage, users,
+           CASE WHEN lag(users) OVER (ORDER BY stage_no) > 0
+                THEN CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY stage_no)
+                ELSE CAST(1.0 AS DOUBLE) END AS conv_from_prev
+    FROM n ORDER BY stage_no
+    """,
+    description="ordered view->click->purchase funnel: min-timestamp "
+    "stage chaining, user-keyed shuffles only",
+)
+def zc06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(1).alias("stage_no"), F.lit("view").alias("stage"), "users"
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(2).alias("stage_no"), F.lit("click").alias("stage"), "users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(3).alias("stage_no"), F.lit("purchase").alias("stage"), "users"
+            )
+        )
+    )
+    w = W.orderBy("stage_no")
+    prev = F.lag("users").over(w)
+    return stages.select(
+        "stage_no",
+        "stage",
+        "users",
+        F.when(prev > 0, F.col("users").cast("double") / prev)
+        .otherwise(F.lit(1.0))
+        .alias("conv_from_prev"),
+    ).orderBy("stage_no")
+
+
+# ---------------------------------------------------------------------------
+# zc07 — weekly retention cohorts (round-6 addition): users grouped by
+# first-seen week; for each (cohort_week, week_offset), how many came
+# back and what fraction of the cohort that is.  Shape: distinct
+# (user, week) pairs (one shuffle), min-week per user (map-side
+# combined), then a cohort-week aggregate — the cohort-size join rides
+# the offset-0 row, so no second pass over the raw events.  All
+# week/offset arithmetic is exact date math (ISO Monday truncation in
+# both engines); retention is one IEEE division of exact counts.
+# ---------------------------------------------------------------------------
+@register(
+    "zc07_retention_cohorts",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    firstw AS (SELECT user_id, MIN(week) AS cohort_week FROM pairs GROUP BY user_id),
+    act AS (
+        SELECT f.cohort_week, p.week,
+               CAST(datediff('day', f.cohort_week, p.week) / 7 AS BIGINT)
+                   AS week_offset,
+               COUNT(*) AS active_users
+        FROM pairs p JOIN firstw f ON p.user_id = f.user_id
+        GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT cohort_week,
+               MAX(CASE WHEN week_offset = 0 THEN active_users END)
+                   OVER (PARTITION BY cohort_week) AS cohort_size,
+               week_offset, active_users
+        FROM act
+    )
+    SELECT cohort_week, week_offset, CAST(active_users AS BIGINT) AS active_users,
+           CAST(active_users AS DOUBLE) / cohort_size AS retention
+    FROM sized ORDER BY cohort_week, week_offset
+    """,
+    description="weekly retention cohorts: first-seen week x activity "
+    "week matrix with cohort-normalized retention",
+)
+def zc07_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    firstw = pairs.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = (
+        pairs.join(firstw, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            "cohort_week",
+            "week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+            "active_users",
+        )
+    )
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("active_users"))
+    ).over(W.partitionBy("cohort_week"))
+    return act.select(
+        "cohort_week",
+        "week_offset",
+        F.col("active_users").cast("long").alias("active_users"),
+        (F.col("active_users").cast("double") / size).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")
