@@ -912,3 +912,67 @@ def zc03_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read("gate.cust_snap").select(
         "row_key", F.col("`c:acctbal`").alias("acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# zc08 — minor compaction (round-6 addition; sources/keyed_parquet.py::
+# compact_minor — the HBase minor-compaction analogue): after a tail of
+# small ingest batches, merge ONLY the small files into one key-sorted
+# run, carrying large files as zero-copy hardlinks — cleanup I/O is
+# O(small files), never a table rewrite.  The gate proves semantic
+# invisibility: post-compaction content equals the union of all
+# inserts.  (File-selectivity + same-inode zero-copy are pinned in
+# pytest.)  Oracle: the union the inserts built.
+# ---------------------------------------------------------------------------
+@register(
+    "zc08_minor_compaction",
+    oracle="""
+    SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS row_key,
+           o_totalprice AS totalprice
+    FROM orders
+    WHERE o_orderkey <= 3000
+    UNION ALL
+    SELECT 'N' || lpad(CAST(n_nationkey AS VARCHAR), 9, '0'),
+           CAST(n_nationkey AS DOUBLE)
+    FROM nation
+    """,
+    description="minor compaction: small ingest files merged into one "
+    "sorted run, content exactly preserved",
+)
+def zc08_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    spec = TableSpec(
+        namespace="gate",
+        name="orders_mc",
+        key_type="string",
+        families={"o": {"totalprice": "double"}},
+    )
+    store.ctas(
+        spec,
+        o.select(
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("o_totalprice").alias("o:totalprice"),
+        ),
+        mode="overwrite",
+    )
+    # a tail of small ingest batches (one per nation slice)
+    n = table(spark, sf_dir, "nation")
+    for lo, hi in ((0, 8), (8, 16), (16, 25)):
+        store.insert(
+            "gate.orders_mc",
+            n.filter(F.col("n_nationkey").between(lo, hi - 1)).select(
+                F.concat(
+                    F.lit("N"),
+                    F.lpad(F.col("n_nationkey").cast("string"), 9, "0"),
+                ).alias("row_key"),
+                F.col("n_nationkey").cast("double").alias("o:totalprice"),
+            ),
+            generate_row_key=False,
+        )
+    store.compact_minor("gate.orders_mc", small_file_bytes=256 * 1024)
+    return store.read("gate.orders_mc").select(
+        "row_key", F.col("`o:totalprice`").alias("totalprice")
+    )

@@ -1592,11 +1592,15 @@ def zc05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zc06 — ordered event funnel (round-6 addition): view -> click ->
 # purchase conversion, where each stage must happen strictly AFTER the
 # user's entry into the previous stage (min-timestamp chaining — the
-# standard product-analytics funnel).  Shape: one groupBy(user) min per
-# stage with a stage-(k-1) timestamp join — every shuffle is keyed by
-# user_id (partial-agg'd map-side), no window over the raw stream, no
-# per-row state.  Output: per-stage user counts + conversion from the
-# previous stage (one IEEE division of exact counts).
+# standard product-analytics funnel).  Shape: ONE corpus scan, ONE
+# user-keyed shuffle — per user, the view entry is a plain min while
+# the later stages gather that user's click/purchase timestamps into
+# arrays (partial-agg'd map-side; shuffle volume = those timestamps,
+# 8 bytes each) and chain via array_min(filter(arr, > prev)) — then a
+# single 3-row stage relation.  The lag window over 3 rows is the
+# documented bounded-relation case.  Output: per-stage user counts +
+# conversion from the previous stage (one IEEE division of exact
+# counts).
 # ---------------------------------------------------------------------------
 @register(
     "zc06_event_funnel",
@@ -1619,45 +1623,42 @@ def zc05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(1.0 AS DOUBLE) END AS conv_from_prev
     FROM n ORDER BY stage_no
     """,
-    description="ordered view->click->purchase funnel: min-timestamp "
-    "stage chaining, user-keyed shuffles only",
+    description="ordered view->click->purchase funnel: one scan, one "
+    "user-keyed shuffle, stage chaining via per-user time arrays",
 )
 def zc06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchases"),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    t1 = F.array_min(
+        F.filter("clicks", lambda x: F.col("t0").isNotNull() & (x > F.col("t0")))
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    stages = (
-        v.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(1).alias("stage_no"), F.lit("view").alias("stage"), "users"
-        )
-        .unionByName(
-            c.agg(F.count(F.lit(1)).alias("users")).select(
-                F.lit(2).alias("stage_no"), F.lit("click").alias("stage"), "users"
+    chained = per_user.withColumn("t1", t1).withColumn(
+        "t2",
+        F.array_min(
+            F.filter(
+                "purchases", lambda x: F.col("t1").isNotNull() & (x > F.col("t1"))
             )
-        )
-        .unionByName(
-            p.agg(F.count(F.lit(1)).alias("users")).select(
-                F.lit(3).alias("stage_no"), F.lit("purchase").alias("stage"), "users"
-            )
+        ),
+    )
+    counts = chained.agg(
+        F.count("t0").alias("n_view"),
+        F.count("t1").alias("n_click"),
+        F.count("t2").alias("n_purchase"),
+    )
+    stages = counts.select(
+        F.expr(
+            "stack(3, 1, 'view', n_view, 2, 'click', n_click, "
+            "3, 'purchase', n_purchase) AS (stage_no, stage, users)"
         )
     )
     w = W.orderBy("stage_no")
@@ -1675,10 +1676,10 @@ def zc06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # zc07 — weekly retention cohorts (round-6 addition): users grouped by
 # first-seen week; for each (cohort_week, week_offset), how many came
-# back and what fraction of the cohort that is.  Shape: distinct
-# (user, week) pairs (one shuffle), min-week per user (map-side
-# combined), then a cohort-week aggregate — the cohort-size join rides
-# the offset-0 row, so no second pass over the raw events.  All
+# back and what fraction of the cohort that is.  Shape: ONE corpus
+# scan -> distinct (user, week) pairs (one shuffle) -> the cohort week
+# as a per-user window min over the pairs (user-keyed shuffle; NO
+# second scan or self-join) -> one cohort-week aggregate.  All
 # week/offset arithmetic is exact date math (ISO Monday truncation in
 # both engines); retention is one IEEE division of exact counts.
 # ---------------------------------------------------------------------------
@@ -1690,14 +1691,17 @@ def zc06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(date_trunc('week', ts) AS DATE) AS week
         FROM events
     ),
-    firstw AS (SELECT user_id, MIN(week) AS cohort_week FROM pairs GROUP BY user_id),
+    withc AS (
+        SELECT user_id, week,
+               MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        FROM pairs
+    ),
     act AS (
-        SELECT f.cohort_week, p.week,
-               CAST(datediff('day', f.cohort_week, p.week) / 7 AS BIGINT)
+        SELECT cohort_week, week,
+               CAST(datediff('day', cohort_week, week) / 7 AS BIGINT)
                    AS week_offset,
                COUNT(*) AS active_users
-        FROM pairs p JOIN firstw f ON p.user_id = f.user_id
-        GROUP BY 1, 2
+        FROM withc GROUP BY 1, 2
     ),
     sized AS (
         SELECT cohort_week,
@@ -1710,8 +1714,8 @@ def zc06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(active_users AS DOUBLE) / cohort_size AS retention
     FROM sized ORDER BY cohort_week, week_offset
     """,
-    description="weekly retention cohorts: first-seen week x activity "
-    "week matrix with cohort-normalized retention",
+    description="weekly retention cohorts: one scan, cohort via per-user "
+    "window min over distinct pairs, cohort-normalized retention",
 )
 def zc07_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1720,14 +1724,14 @@ def zc07_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
     ).distinct()
-    firstw = pairs.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    withc = pairs.withColumn(
+        "cohort_week", F.min("week").over(W.partitionBy("user_id"))
+    )
     act = (
-        pairs.join(firstw, "user_id")
-        .groupBy("cohort_week", "week")
+        withc.groupBy("cohort_week", "week")
         .agg(F.count(F.lit(1)).alias("active_users"))
         .select(
             "cohort_week",
-            "week",
             (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
             "active_users",
         )

@@ -961,6 +961,68 @@ class KeyedTableStore:
         spec = self.registry.get(qualified_name)
         self._sorted_rewrite(spec, self.read(qualified_name), n_regions=n_regions)
 
+    # -- minor compaction (HBase minor compaction: merge small HFiles) ----
+    def compact_minor(
+        self,
+        qualified_name: str,
+        small_file_bytes: int = 32 * 1024 * 1024,
+        min_files: int = 2,
+    ) -> int:
+        """MINOR compaction — the HBase small-HFile merge: only files
+        under ``small_file_bytes`` are read and merged into one
+        key-sorted run; every large file is carried into the new table
+        directory as a HARDLINK (zero-copy).  This is the 100 TB
+        compaction policy: after streaming/batch ingest leaves a tail
+        of small files, cleanup I/O is O(small files), never a rewrite
+        of the table — :meth:`compact` (major) remains the full
+        re-sort.  Returns the number of files merged (0 = no-op when
+        fewer than ``min_files`` qualify).
+
+        Correctness: the keyed layout is a collection of key-sorted
+        runs with per-file min/max stats; merging a subset of runs into
+        one preserves exactly that invariant, so scans, pushdown, and
+        region pruning are unaffected.  The swap rides the same
+        staged-directory atomic-commit protocol as every DML rewrite.
+        """
+        spec = self.registry.get(qualified_name)
+        path = self.table_path(spec)
+        small, big = [], []
+        for fname in sorted(os.listdir(path)):
+            if not fname.endswith(".parquet"):
+                continue
+            full = os.path.join(path, fname)
+            (small if os.path.getsize(full) < small_file_bytes else big).append(
+                fname
+            )
+        if len(small) < min_files:
+            return 0
+        parent, base = os.path.dirname(path), os.path.basename(path)
+        txid = uuid.uuid4().hex[:12]
+        staging = os.path.join(parent, f".{base}__staging_{txid}")
+        retired = os.path.join(parent, f".{base}__old_{txid}")
+        merged = (
+            self.spark.read.schema(spec.schema())
+            .parquet(*[os.path.join(path, f) for f in small])
+            .repartitionByRange(1, ROW_KEY)
+            .sortWithinPartitions(ROW_KEY)
+        )
+        merged.write.mode("overwrite").parquet(staging)
+        # remove the committer's marker so only data files remain, then
+        # carry the untouched large files over as hardlinks
+        for f in os.listdir(staging):
+            if not f.endswith(".parquet"):
+                os.remove(os.path.join(staging, f))
+        for fname in big:
+            try:
+                os.link(os.path.join(path, fname), os.path.join(staging, fname))
+            except OSError:
+                shutil.copy2(os.path.join(path, fname), os.path.join(staging, fname))
+        os.rename(path, retired)
+        os.rename(staging, path)
+        shutil.rmtree(retired, ignore_errors=True)
+        self.refresh(qualified_name)
+        return len(small)
+
     # -- region stats (HBase list_regions analogue, footer-only) ----------
     def region_stats(self, qualified_name: str) -> DataFrame:
         """Per-region key ranges and row counts — the ``list_regions``

@@ -934,3 +934,52 @@ def test_snapshot_restore_and_clone(spark, tmp_path):
         st.restore_snapshot("r6.t_clone", "pre_dml")
     st.delete_snapshot("pre_dml")
     assert st.list_snapshots() == []
+
+
+def test_minor_compaction_merges_small_keeps_big_zero_copy(spark, tmp_path):
+    """Minor compaction merges ONLY the small files (one key-sorted run
+    out) and carries large files as hardlinks — same inode, zero data
+    movement — leaving content, scans, and stats exact."""
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="mc", name="t", key_type="string",
+        families={"c": {"v": "long"}},
+    )
+    big_rows = [(f"{i:08d}", i) for i in range(2000)]
+    st.ctas(spec, spark.createDataFrame(big_rows, "row_key string, `c:v` long"))
+    st.compact("mc.t", n_regions=1)  # one "big" file
+    path = st.table_path(spec)
+    big_files = {
+        f: os.stat(os.path.join(path, f)).st_ino
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    assert len(big_files) == 1
+    # a tail of small ingest batches
+    for k in range(4):
+        st.insert("mc.t", spark.createDataFrame(
+            [(f"9{k}{i:06d}", i) for i in range(5)],
+            "row_key string, `c:v` long",
+        ), generate_row_key=False)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before > 5
+    before = sorted((r["row_key"], r["c:v"]) for r in st.read("mc.t").collect())
+    # threshold between the small-batch files and the 2000-row file
+    big_size = os.path.getsize(
+        os.path.join(path, next(iter(big_files)))
+    )
+    merged = st.compact_minor("mc.t", small_file_bytes=big_size)
+    assert merged == n_before - 1
+    files_after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    # all small files merged into one run + the untouched big file
+    assert len(files_after) == 2
+    # the big file is the SAME inode (hardlink, not a copy)
+    kept = set(files_after) & set(big_files)
+    assert kept and all(
+        os.stat(os.path.join(path, f)).st_ino == big_files[f] for f in kept
+    )
+    after = sorted((r["row_key"], r["c:v"]) for r in st.read("mc.t").collect())
+    assert after == before
+    # stats/admin surfaces still exact
+    assert st.region_stats("mc.t").agg(F.sum("n_rows")).collect()[0][0] == len(before)
+    # below min_files -> no-op
+    assert st.compact_minor("mc.t", small_file_bytes=10**9, min_files=3) == 0

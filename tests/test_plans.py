@@ -947,3 +947,14 @@ def test_zc05_lateral_is_decorrelated_not_nested_loop(spark, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan, plan
+
+
+def test_zc06_zc07_single_corpus_scan(spark, registry):
+    """The funnel and cohort operators each read events ONCE: the funnel
+    chains stages through per-user time arrays in one aggregation; the
+    cohort matrix derives the cohort week via a window min over the
+    distinct pairs instead of a self-join (which would re-scan)."""
+    spark.catalog.clearCache()
+    for name in ("zc06_event_funnel", "zc07_retention_cohorts"):
+        plan = formatted_plan(registry[name].fn(spark, SF))
+        assert plan.count("events.parquet") == 1, (name, plan)
