@@ -403,6 +403,58 @@ def zb07_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# zc09 — ARROW-optimized Python UDTF (round-6 addition): the same
+# 32-token chunker as zb07, but with ``useArrow=True`` — rows cross the
+# Python boundary as Arrow batches instead of pickled one-at-a-time
+# (the UDTF analogue of the pandas-UDF fast path; this is the form a
+# production UDTF should take when the logic genuinely needs Python).
+# Same oracle as zb07 by construction: the Arrow transport must be
+# semantically invisible.
+# ---------------------------------------------------------------------------
+@register(
+    "zc09_arrow_udtf_chunking",
+    oracle=f"""
+    WITH __tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    __n AS (
+        SELECT doc_id, t, CAST(CEIL(len(t) / {CHUNK}.0) AS INTEGER) AS n_chunks
+        FROM __tok WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_id,
+           list_aggregate(t[unnest(range(0, n_chunks)) * {CHUNK} + 1 :
+                            least((unnest(range(0, n_chunks)) + 1) * {CHUNK}, len(t))],
+                          'string_agg', ' ') AS chunk,
+           CAST(least((unnest(range(0, n_chunks)) + 1) * {CHUNK}, len(t))
+                - unnest(range(0, n_chunks)) * {CHUNK} AS INTEGER) AS n_tokens
+    FROM __n
+    """,
+    description="Arrow-optimized Python UDTF: same chunker as zb07 over "
+    "Arrow batch transport",
+)
+def zc09_arrow_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_id int, chunk string, n_tokens int",
+        useArrow=True,
+    )
+    class ArrowChunker:
+        def eval(self, doc_id, text):
+            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            for i in range(0, len(toks), CHUNK):
+                piece = toks[i : i + CHUNK]
+                yield doc_id, i // CHUNK, " ".join(piece), len(piece)
+
+    spark.udtf.register("arrow_chunker", ArrowChunker)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT c.* FROM documents, LATERAL arrow_chunker(doc_id, text) c"
+    )
+
+
+# ---------------------------------------------------------------------------
 # z40 — multimodal frame sampling (demoted round 4; was m02: m01/u01/st02 keep the Arrow-UDF family in-window): one row per sampled 64-byte "frame"
 # (every 4th), mapInPandas one-to-many (the decode itself is the
 # deterministic stub — no codecs in this container).
