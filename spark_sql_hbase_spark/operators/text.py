@@ -17,6 +17,7 @@ from spark_sql_hbase_spark.functions.texthash import (
     rolling_hash,
     stopword_count,
     tokens,
+    word_hash,
 )
 
 # BPE-ish pre-tokenizer: letter runs, single digits, single punctuation.
@@ -1053,4 +1054,58 @@ def quality_threshold_sweep(
             F.when(kept_n > 0, kept_q / kept_n).alias("mean_quality"),
         )
         .orderBy("threshold")
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 2001,
+    offset: int = 1000,
+) -> DataFrame:
+    """fastText-style hashed linear quality scorer (Joulin et al. 2016,
+    'Bag of Tricks for Efficient Text Classification', public): the
+    document score is the sum of per-token weights looked up by feature
+    HASH — no vocabulary table, no join, one row-local fold over the
+    tokenize.  This is the model-based quality filter of a curation
+    stack reduced to its scale-relevant shape: with real trained
+    weights the lookup is the same hash-indexed read (weights ride a
+    broadcast array); here the weight function is the deterministic
+    stand-in ``(word_hash(tok) % buckets) - offset`` so the gate is
+    oracle-checkable.
+
+    Determinism: weights and the score are exact INTEGERS end to end
+    (the emitted ``score`` divides the integer sum by 1000 — one IEEE
+    division); ``keep`` is the sign decision.  Zero shuffle: one
+    projection, single-reference fold over the token array.
+    """
+    tok = tokens(F.col(text_col))
+    w = lambda x: (word_hash(x) % F.lit(buckets)) - F.lit(offset)  # noqa: E731
+    s = F.aggregate(tok, F.lit(0).cast("long"), lambda acc, x: acc + w(x))
+    return df.select(
+        F.col(id_col),
+        s.alias("score_milli"),
+        (s.cast("double") / 1000.0).alias("score"),
+        (s > 0).alias("keep"),
+    )
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction transform — the cleaned-corpus twin of
+    :func:`pii_scan` (which audits): every email/IP/phone match is
+    replaced by its ``<type>`` tag, in the fixed PII_PATTERNS order,
+    and the total replacement count rides along for the audit trail.
+    One row-local projection (JVM regexp_replace chain) — text never
+    enters a shuffle; at 100 TB this is the zero-exchange scrub pass
+    before tokenization."""
+    red = F.col(text_col)
+    n = F.lit(0)
+    for name, pat in PII_PATTERNS.items():
+        n = n + F.regexp_count(F.col(text_col), F.lit(pat))
+        red = F.regexp_replace(red, pat, f"<{name}>")
+    return df.select(
+        F.col(id_col),
+        red.alias("text_redacted"),
+        n.cast("int").alias("n_redactions"),
     )

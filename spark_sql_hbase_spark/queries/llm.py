@@ -3519,3 +3519,73 @@ def za02_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def zc04_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quality_threshold_sweep(docs, "doc_id", "text", n_buckets=20)
+
+
+# ---------------------------------------------------------------------------
+# zc10 — fastText-style hashed linear quality scorer (round-6 addition;
+# operators/text.py::hashed_linear_score): the model-based quality
+# filter reduced to its scale shape — per-token weights looked up by
+# feature hash (no vocabulary join), one row-local fold, integer-exact
+# score, sign decision.  Stand-in weights derive from the cross-engine
+# word hash so the oracle reproduces them exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "zc10_hashed_linear_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform({_TOK},
+                x -> (('0x' || substr(md5(x), 1, 14))::BIGINT % 2001) - 1000)),
+                0) AS BIGINT) AS score_milli,
+           CAST(CAST(COALESCE(list_sum(list_transform({_TOK},
+                x -> (('0x' || substr(md5(x), 1, 14))::BIGINT % 2001) - 1000)),
+                0) AS DOUBLE) / 1000.0 AS DOUBLE) AS score,
+           COALESCE(list_sum(list_transform({_TOK},
+                x -> (('0x' || substr(md5(x), 1, 14))::BIGINT % 2001) - 1000)),
+                0) > 0 AS keep
+    FROM documents
+    """,
+    description="hashed linear quality scorer: per-token hash-indexed "
+    "weights, row-local fold, integer-exact score",
+)
+def zc10_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.hashed_linear_score(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# zc11 — PII redaction transform (round-6 addition; operators/text.py::
+# pii_redact): the cleaned-corpus twin of the zb20 audit — matches
+# replaced by <type> tags in fixed pattern order, replacement count
+# alongside; one JVM regexp projection, text never shuffled.  Same
+# deterministic PII augmentation as zb20 so hits exist at every SF.
+# ---------------------------------------------------------------------------
+@register(
+    "zc11_pii_redact",
+    oracle=r"""
+    WITH __aug AS (SELECT doc_id, """ + _PII_AUG + r""" AS t FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<ip>', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<phone>', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(t,
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+             + len(regexp_extract_all(t,
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_redactions
+    FROM __aug
+    WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0
+    """,
+    description="PII redaction transform: <type>-tag substitution chain, "
+    "zero-shuffle scrub pass",
+)
+def zc11_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_AUG).alias("t"))
+    red = text.pii_redact(aug, "doc_id", "t")
+    return red.filter(
+        (F.col("doc_id") % 7 == 0)
+        | (F.col("doc_id") % 11 == 0)
+        | (F.col("doc_id") % 13 == 0)
+    )
