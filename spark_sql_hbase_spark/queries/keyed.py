@@ -850,9 +850,12 @@ def zc02_fixedpoint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_point_scale=_ZC02_SCALE,
         mode="overwrite",
     )
+    import math
+
     lo, hi = 150000.25, 160000.75
-    lo_k = f"{round(lo * _ZC02_SCALE):010d}|"
-    hi_k = f"{round(hi * _ZC02_SCALE):010d}~"
+    # HALF_UP (floor(x+0.5)) to match the stored keys' F.round encoding
+    lo_k = f"{int(math.floor(lo * _ZC02_SCALE + 0.5)):010d}|"
+    hi_k = f"{int(math.floor(hi * _ZC02_SCALE + 0.5)):010d}~"
     idx = store.read("gate.orders_by_price")
     scan = idx.filter((F.col("row_key") >= lo_k) & (F.col("row_key") <= hi_k))
     return scan.filter(F.col("`o:totalprice`").between(lo, hi)).select(

@@ -504,12 +504,20 @@ class KeyedTableStore:
         exact predicate on the carried value column when the scale is
         coarser than the query.
         """
+        import math
+
         ispec = self.registry.get(index_qualified_name)
         meta = json.loads(ispec.properties["index_meta"])
         if meta["encoding"] == "str":
             prefix = f"{value}{self._STR_SEP}"
         else:
-            v = round(value * meta["scale"]) if meta["scale"] else int(value)
+            # HALF_UP to match Spark's F.round/DuckDB ROUND — Python's
+            # built-in round() is banker's and would miss .5 boundaries
+            v = (
+                int(math.floor(value * meta["scale"] + 0.5))
+                if meta["scale"]
+                else int(value)
+            )
             if v < 0:
                 raise ValueError("negative lookup value on a lpad-keyed index")
             prefix = f"{v:0{meta['key_width']}d}|"

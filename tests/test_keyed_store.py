@@ -983,3 +983,22 @@ def test_minor_compaction_merges_small_keeps_big_zero_copy(spark, tmp_path):
     assert st.region_stats("mc.t").agg(F.sum("n_rows")).collect()[0][0] == len(before)
     # below min_files -> no-op
     assert st.compact_minor("mc.t", small_file_bytes=10**9, min_files=3) == 0
+
+
+def test_fixed_point_lookup_half_boundary_matches_stored_keys(spark, tmp_path):
+    """7.125 * 100 = 712.5 exactly: Spark's F.round (HALF_UP) stores
+    bucket 713, and index_lookup must round the SAME way — Python's
+    banker's round() would compute 712 and miss the row."""
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    st.ctas(
+        TableSpec(namespace="hb", name="t", key_type="string",
+                  families={"c": {"v": "double"}}),
+        spark.createDataFrame(
+            [("0001", 7.125), ("0002", 1.0)], "row_key string, `c:v` double"
+        ),
+    )
+    st.create_covered_index(
+        "hb.t", "hb.by_v", index_col="c:v", key_width=8, fixed_point_scale=100
+    )
+    got = {r["i:src_key"] for r in st.index_lookup("hb.by_v", 7.125).collect()}
+    assert got == {"0001"}

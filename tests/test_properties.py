@@ -1883,3 +1883,50 @@ def test_winnowing_matches_python_reference(spark, token_lists):
                 min(hs[j : j + w]) for j in range(len(hs) - w + 1)
             }
     assert got == exp, (got, exp)
+
+
+# -- round-6: index key encodings are order-preserving ---------------------
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x02, max_codepoint=0x7E),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_string_index_key_order_matches_value_order(values):
+    """The \\x01-composite string index key must sort exactly as
+    (value, src_key) for arbitrary printable values — including
+    prefix-of pairs and empties."""
+    SEP = "\x01"
+    rows = [(v, f"{i:04d}") for i, v in enumerate(values)]
+    keys = sorted(f"{v}{SEP}{k}" for v, k in rows)
+    expect = [f"{v}{SEP}{k}" for v, k in sorted(rows)]
+    assert keys == expect
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=10**12 - 1), min_size=1, max_size=30))
+def test_lpad_int_index_key_order_matches_numeric_order(values):
+    keys = sorted(f"{v:012d}" for v in values)
+    assert [int(k) for k in keys] == sorted(values)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=10**6, allow_nan=False),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_fixed_point_index_bucket_is_monotone(values):
+    """round(v*scale) must be non-decreasing in v (sound-superset range
+    scans) — the law the fractional index encoding relies on."""
+    scale = 100
+    svals = sorted(values)
+    buckets = [round(v * scale) for v in svals]
+    assert all(b1 <= b2 for b1, b2 in zip(buckets, buckets[1:]))
