@@ -1745,3 +1745,96 @@ def zc07_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("active_users").cast("long").alias("active_users"),
         (F.col("active_users").cast("double") / size).alias("retention"),
     ).orderBy("cohort_week", "week_offset")
+
+
+# ---------------------------------------------------------------------------
+# zc12 — TPC-H Q19-style disjunctive-conjunctive join (round-6
+# addition): revenue over lineitem ⋈ part under an OR of three
+# (brand, size-range, quantity-range) conjunctions — the classic
+# optimizer test for pushing a disjunctive predicate through a join
+# (Catalyst extracts the common l_partkey equi-condition; the
+# brand/size legs prune the part side before the join).  Decimal-exact
+# revenue per the dsum convention.
+# ---------------------------------------------------------------------------
+@register(
+    "zc12_disjunctive_join_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    description="TPC-H Q19-style disjunctive join: OR-of-conjunctions "
+    "through an equi-join, decimal-exact revenue",
+)
+def zc12_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.functions.det import dsum
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (p.p_brand == "Brand#12") & p.p_size.between(1, 15)
+        & li.l_quantity.between(1, 11)
+    ) | (
+        (p.p_brand == "Brand#23") & p.p_size.between(1, 20)
+        & li.l_quantity.between(10, 20)
+    ) | (
+        (p.p_brand == "Brand#34") & p.p_size.between(1, 25)
+        & li.l_quantity.between(20, 30)
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(cond)
+    return j.agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# zc13 — TPC-H Q11-style share-of-group HAVING (round-6 addition):
+# suppliers whose account balance exceeds 5% of their NATION's total —
+# the correlated-aggregate-threshold shape (Q11's partsupp value share,
+# on the supplier relation this dataset ships).  The comparison is
+# EXACT decimal arithmetic (balance·20 > nation total) — no division,
+# no double summation-order dependence; the per-nation total is a
+# broadcast-joined aggregate, not a window over the fact.
+# ---------------------------------------------------------------------------
+@register(
+    "zc13_share_of_nation_having",
+    oracle="""
+    WITH tot AS (
+        SELECT s_nationkey,
+               SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS nation_total
+        FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey
+    )
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal,
+           CAST(s.s_nationkey AS BIGINT) AS nationkey
+    FROM supplier s JOIN tot t ON s.s_nationkey = t.s_nationkey
+    WHERE s.s_acctbal > 0
+      AND CAST(s.s_acctbal AS DECIMAL(38,6)) * 20 > t.nation_total
+    """,
+    description="TPC-H Q11-style share threshold: balance > 5% of "
+    "nation total via exact decimal compare, broadcast agg join",
+)
+def zc13_share_of_nation_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    tot = s.groupBy("s_nationkey").agg(
+        F.sum(F.col("s_acctbal").cast("decimal(38,6)")).alias("nation_total")
+    )
+    return (
+        s.join(F.broadcast(tot), "s_nationkey")
+        .filter(
+            F.col("s_acctbal").cast("decimal(38,6)") * 20 > F.col("nation_total")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.col("s_nationkey").cast("long").alias("nationkey"),
+        )
+    )
