@@ -93,6 +93,7 @@ def write_stream_to_keyed_table(
     qualified_name: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    minor_compact_every: int | None = None,
 ):
     """Streaming INSERT INTO a keyed table (the streaming twin of the
     reference's insert path, A5): each micro-batch is appended through
@@ -107,14 +108,20 @@ def write_stream_to_keyed_table(
     directory and SKIPS already-applied batches — the standard
     idempotent-foreachBatch pattern (batch_id is stable across replays
     by Structured Streaming's contract).  Scale: each batch writes its
-    own region files; periodic ``compact()`` restores the global
-    key-sorted layout, exactly like HBase memstore flush + compaction.
+    own region files; ``minor_compact_every=N`` folds the small-file
+    tail back into one sorted run every N batches via
+    ``compact_minor`` (zero-copy for the large files), bounding file
+    growth under continuous ingest exactly like HBase memstore flush +
+    minor compaction; periodic ``compact()`` remains the major
+    compaction restoring ONE global key-sorted layout.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if _batch_already_applied(checkpoint_dir, batch_id):
             return
         store.insert(qualified_name, batch_df)
+        if minor_compact_every and (batch_id + 1) % minor_compact_every == 0:
+            store.compact_minor(qualified_name)
         _record_batch_applied(checkpoint_dir, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(

@@ -469,3 +469,46 @@ def test_stream_index_dualwrite_overwidth_batch_rejected(spark, tmp_path):
         q.awaitTermination(120)
     assert store.read("ow.t").count() == 0
     assert store.read("ow.ix").count() == 0
+
+
+def test_stream_sink_periodic_minor_compaction(spark, tmp_path):
+    """minor_compact_every=N folds the ingest tail's small files back
+    into one sorted run every N batches — file growth stays bounded
+    under continuous ingest and content is untouched."""
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+    from spark_sql_hbase_spark.streaming.pipelines import write_stream_to_keyed_table
+
+    src = str(tmp_path / "in")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(24)], "doc_id long, text string"
+    )
+    for k in range(4):
+        docs.filter((F.col("doc_id") % 4) == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    store.create_table(TableSpec(
+        namespace="smc", name="t", key_type="string",
+        families={"d": {"doc_id": "long", "text": "string"}},
+    ))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.col("doc_id").alias("d:doc_id"), F.col("text").alias("d:text"))
+    )
+    q = write_stream_to_keyed_table(
+        stream, store, "smc.t", str(tmp_path / "ckpt"),
+        minor_compact_every=2,
+    )
+    q.awaitTermination(120)
+    out = store.read("smc.t")
+    assert out.count() == 24
+    assert out.select("d:doc_id").distinct().count() == 24
+    path = store.table_path(store.registry.get("smc.t"))
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    # 4 batches x 4-region inserts would leave ~16+ small files without
+    # compaction; the every-2-batches minor pass folds them down
+    assert n_files <= 6, n_files
