@@ -997,7 +997,7 @@ def zipf_slope(
 
 
 def quality_threshold_sweep(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 20
+    df: DataFrame, text_col: str, n_buckets: int = 20
 ) -> DataFrame:
     """Keep-threshold sweep over the composite quality score: for each
     candidate threshold t_i = -0.5 + 2·i/B (the score's exact range,
@@ -1098,11 +1098,16 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     and the total replacement count rides along for the audit trail.
     One row-local projection (JVM regexp_replace chain) — text never
     enters a shuffle; at 100 TB this is the zero-exchange scrub pass
-    before tokenization."""
+    before tokenization.
+
+    Each pattern is counted against the text AS IT STANDS before that
+    pattern's replacement (not the original), so ``n_redactions``
+    equals the number of substitutions actually performed — an IP
+    inside an already-redacted email is not double-counted."""
     red = F.col(text_col)
     n = F.lit(0)
     for name, pat in PII_PATTERNS.items():
-        n = n + F.regexp_count(F.col(text_col), F.lit(pat))
+        n = n + F.regexp_count(red, F.lit(pat))
         red = F.regexp_replace(red, pat, f"<{name}>")
     return df.select(
         F.col(id_col),

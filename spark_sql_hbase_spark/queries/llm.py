@@ -3518,7 +3518,7 @@ def za02_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def zc04_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return text.quality_threshold_sweep(docs, "doc_id", "text", n_buckets=20)
+    return text.quality_threshold_sweep(docs, "text", n_buckets=20)
 
 
 # ---------------------------------------------------------------------------
@@ -3562,19 +3562,31 @@ def zc10_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "zc11_pii_redact",
     oracle=r"""
-    WITH __aug AS (SELECT doc_id, """ + _PII_AUG + r""" AS t FROM documents)
+    WITH __aug AS (SELECT doc_id, """ + _PII_AUG + r""" AS t FROM documents),
+    __s1 AS (
+        SELECT doc_id, t,
+               len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+               regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<email>', 'g') AS t1
+        FROM __aug
+    ),
+    __s2 AS (
+        SELECT doc_id, c1,
+               len(regexp_extract_all(t1,
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS c2,
+               regexp_replace(t1,
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                   '<ip>', 'g') AS t2
+        FROM __s1
+    )
     SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(t,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
-               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<ip>', 'g'),
-               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<phone>', 'g') AS text_redacted,
-           CAST(len(regexp_extract_all(t,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-             + len(regexp_extract_all(t,
-               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
-             + len(regexp_extract_all(t,
+           regexp_replace(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<phone>', 'g')
+               AS text_redacted,
+           CAST(c1 + c2 + len(regexp_extract_all(t2,
                '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_redactions
-    FROM __aug
+    FROM __s2
     WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0
     """,
     description="PII redaction transform: <type>-tag substitution chain, "

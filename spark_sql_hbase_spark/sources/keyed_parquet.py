@@ -232,6 +232,8 @@ class KeyedTableStore:
         df: DataFrame,
         overwrite: bool = False,
         generate_row_key: bool | None = None,
+        maintain_indexes: bool = True,
+        async_index: bool = False,
     ) -> None:
         """INSERT INTO with pluggable row-key generation.
 
@@ -247,6 +249,15 @@ class KeyedTableStore:
         no ``row_key`` column OR the table declares a generator (the
         reference's default generator *always* overrides user-supplied
         keys — ``README.md:66``).
+
+        Registered covered indexes stay fresh: an APPEND insert appends
+        the index projection of exactly the inserted batch (O(batch),
+        the same delta-maintenance the streaming dual-write performs),
+        an OVERWRITE insert triggers a full rebuild, and
+        ``async_index=True`` defers with the loud stale marker.
+        ``maintain_indexes=False`` is for callers that manage the index
+        themselves (the dual-write sink, and the index-append recursion
+        itself).
         """
         from spark_sql_hbase_spark.functions.rowkey import resolve
 
@@ -270,11 +281,39 @@ class KeyedTableStore:
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         out = df.select(*cols)
 
+        indexes = self.registered_indexes(qualified_name) if maintain_indexes else {}
+        if indexes and not async_index and not overwrite:
+            # pin the batch: row-key generators are nondeterministic on
+            # re-evaluation, and the SAME rows must feed the table write
+            # and the index append (batch-sized, not table-sized)
+            out = out.localCheckpoint(eager=True)
+
         # "regions": range-partition by key; "HFiles": sort within partition
         n_regions = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
-        out = out.repartitionByRange(n_regions, ROW_KEY).sortWithinPartitions(ROW_KEY)
-        out.write.mode("overwrite" if overwrite else "append").parquet(path)
+        ranged = out.repartitionByRange(n_regions, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        ranged.write.mode("overwrite" if overwrite else "append").parquet(path)
         self.refresh(qualified_name)
+
+        if indexes:
+            if async_index:
+                for iq in indexes:
+                    self._mark_index_stale(iq, True)
+            elif overwrite:
+                self._maintain_indexes(qualified_name, async_index=False)
+            else:
+                for iq, meta in indexes.items():
+                    proj = self.index_projection(
+                        out,
+                        meta["col"],
+                        list(meta["include"]),
+                        meta["key_width"],
+                        meta.get("encoding", "int"),
+                        meta.get("scale"),
+                        guard=True,
+                    )
+                    self.insert(
+                        iq, proj, generate_row_key=False, maintain_indexes=False
+                    )
 
     def ctas(self, spec: TableSpec, query: DataFrame, mode: str = "error") -> None:
         """CREATE TABLE AS SELECT with SaveMode + drop-on-failure semantics
@@ -432,21 +471,49 @@ class KeyedTableStore:
         key_width: int,
         encoding: str = "int",
         scale: int | None = None,
+        guard: bool = False,
     ) -> DataFrame:
         """The covered-index row derivation shared by the CTAS build,
         batch-DML maintenance, and the streaming dual-write path: index
         row key = encoded(value) + separator + primary_key, plus the
         source key and covered columns.  ONE definition so build and
-        maintenance can never drift."""
+        maintenance can never drift.
+
+        ``guard=True`` folds the width/negativity (or control-char)
+        check into the key expression itself — any violating row raises
+        DURING the projection scan instead of requiring a separate
+        guard aggregate over the input (the DML maintenance path uses
+        this so a rebuild costs exactly one scan)."""
         v = KeyedTableStore._index_key_value_expr(index_col, encoding, scale)
         if encoding == "str":
             ik = F.concat(v, F.lit(KeyedTableStore._STR_SEP), F.col(ROW_KEY))
+            if guard:
+                ok = ~v.rlike("[\x00\x01]")
+                ik = F.when(ok | v.isNull(), ik).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("index value contains \\x00/\\x01: "), v
+                        )
+                    )
+                )
         else:
+            vs = v.cast("string")
             ik = F.concat(
-                F.lpad(v.cast("string"), key_width, "0"),
-                F.lit("|"),
-                F.col(ROW_KEY),
+                F.lpad(vs, key_width, "0"), F.lit("|"), F.col(ROW_KEY)
             )
+            if guard:
+                ok = (F.length(vs) <= key_width) & ~vs.startswith("-")
+                ik = F.when(ok | vs.isNull(), ik).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"index value over key_width={key_width} "
+                                "or negative: "
+                            ),
+                            vs,
+                        )
+                    )
+                )
         return rows.select(
             ik.alias(ROW_KEY),
             F.col(ROW_KEY).alias("i:src_key"),
@@ -550,39 +617,50 @@ class KeyedTableStore:
         stale markers."""
         self._maintain_indexes(qualified_name, async_index=False)
 
+    def _mark_index_stale(self, iq: str, stale: bool) -> None:
+        ispec = self.registry.get(iq)
+        if stale:
+            ispec.properties["stale"] = "true"
+            self.registry.register(ispec)
+        elif ispec.properties.pop("stale", None) is not None:
+            self.registry.register(ispec)
+
     def _maintain_indexes(self, qualified_name: str, async_index: bool) -> None:
         """Post-DML covered-index maintenance (reference analogue: the
         insert path refreshing dependent metadata after write,
         ``InsertIntoHBaseTable.scala:110``; semantics: Phoenix global
         index maintenance).  Synchronous mode rebuilds each registered
-        index from the table's new state — one index-projection
-        key-sorted rewrite per index, the same cost class as the DML
-        rewrite itself; ``async_index=True`` skips the work but marks
-        the index STALE so nothing reads it as fresh silently."""
+        index from the table's new state — ONE index-projection
+        key-sorted rewrite per index (the width guard is folded into
+        the projection via ``guard=True``, so there is no separate
+        guard scan), the same cost class as the DML rewrite itself;
+        ``async_index=True`` skips the work but marks the index STALE
+        so nothing reads it as fresh silently.  The stale marker is
+        also set ACROSS a synchronous rebuild: if the rebuild dies
+        mid-flight (e.g. a guard violation), the index stays loudly
+        stale instead of silently stale."""
         indexes = self.registered_indexes(qualified_name)
         if not indexes:
             return
         if async_index:
             for iq in indexes:
-                ispec = self.registry.get(iq)
-                ispec.properties["stale"] = "true"
-                self.registry.register(ispec)
+                self._mark_index_stale(iq, True)
             return
         main = self.read(qualified_name)
         for iq, meta in indexes.items():
             ispec = self.registry.get(iq)
-            enc = meta.get("encoding", "int")
-            scale = meta.get("scale")
-            self._index_width_guard(
-                main, meta["col"], meta["key_width"], enc, scale
-            )
             proj = self.index_projection(
-                main, meta["col"], list(meta["include"]), meta["key_width"],
-                enc, scale,
+                main,
+                meta["col"],
+                list(meta["include"]),
+                meta["key_width"],
+                meta.get("encoding", "int"),
+                meta.get("scale"),
+                guard=True,
             )
+            self._mark_index_stale(iq, True)
             self._sorted_rewrite(ispec, proj)
-            if ispec.properties.pop("stale", None) is not None:
-                self.registry.register(ispec)
+            self._mark_index_stale(iq, False)
 
     # -- versioned reads (HBase timestamp semantics) ----------------------
     def read_versions_asof(
@@ -611,8 +689,15 @@ class KeyedTableStore:
         by :meth:`compact` callers that pre-filter (major compaction
         discarding expired cells).
         """
-        df = self.read(qualified_name).filter(
-            F.col(f"`{version_col}`") <= F.lit(asof)
+        # dropDuplicates on (key, version) makes the read robust to
+        # at-least-once ingest replay (a re-appended micro-batch carries
+        # BIT-IDENTICAL rows, so collapsing them is lossless under the
+        # uniqueness contract) — the read-side half of the keyed sink's
+        # batch-id marker protection
+        df = (
+            self.read(qualified_name)
+            .filter(F.col(f"`{version_col}`") <= F.lit(asof))
+            .dropDuplicates([ROW_KEY, version_col])
         )
         latest = df.groupBy(ROW_KEY).agg(
             F.max(f"`{version_col}`").alias("__v")
@@ -795,17 +880,34 @@ class KeyedTableStore:
         dangling name between them (microseconds, metadata-only); readers
         resolve files at action time against the refreshed listing.
         """
+        self._swap_table_dir(
+            spec, lambda staging: out.write.mode("overwrite").parquet(staging)
+        )
+
+    @staticmethod
+    def _link_or_copy(src: str, dst: str) -> None:
+        """Hardlink (zero-copy) with a cross-filesystem copy fallback."""
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+    def _swap_table_dir(self, spec: TableSpec, build_staging) -> None:
+        """The ONE staged-commit protocol every directory-replacing path
+        rides (DML rewrites, minor compaction, snapshot restore): sweep
+        leftovers of crashed earlier swaps, build the new directory via
+        ``build_staging(staging_path)``, then two same-filesystem
+        renames + refresh.  A crash inside the builder leaves the live
+        table untouched and its garbage is swept by the next swap."""
         path = self.table_path(spec)
-        parent = os.path.dirname(path)
-        # sweep staging/old leftovers from a crashed earlier rewrite
-        base = os.path.basename(path)
+        parent, base = os.path.dirname(path), os.path.basename(path)
         for d in os.listdir(parent):
             if d.startswith(f".{base}__"):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
         txid = uuid.uuid4().hex[:12]
         staging = os.path.join(parent, f".{base}__staging_{txid}")
         retired = os.path.join(parent, f".{base}__old_{txid}")
-        out.write.mode("overwrite").parquet(staging)
+        build_staging(staging)
         os.rename(path, retired)
         os.rename(staging, path)
         shutil.rmtree(retired, ignore_errors=True)
@@ -1004,31 +1106,26 @@ class KeyedTableStore:
             )
         if len(small) < min_files:
             return 0
-        parent, base = os.path.dirname(path), os.path.basename(path)
-        txid = uuid.uuid4().hex[:12]
-        staging = os.path.join(parent, f".{base}__staging_{txid}")
-        retired = os.path.join(parent, f".{base}__old_{txid}")
         merged = (
             self.spark.read.schema(spec.schema())
             .parquet(*[os.path.join(path, f) for f in small])
             .repartitionByRange(1, ROW_KEY)
             .sortWithinPartitions(ROW_KEY)
         )
-        merged.write.mode("overwrite").parquet(staging)
-        # remove the committer's marker so only data files remain, then
-        # carry the untouched large files over as hardlinks
-        for f in os.listdir(staging):
-            if not f.endswith(".parquet"):
-                os.remove(os.path.join(staging, f))
-        for fname in big:
-            try:
-                os.link(os.path.join(path, fname), os.path.join(staging, fname))
-            except OSError:
-                shutil.copy2(os.path.join(path, fname), os.path.join(staging, fname))
-        os.rename(path, retired)
-        os.rename(staging, path)
-        shutil.rmtree(retired, ignore_errors=True)
-        self.refresh(qualified_name)
+
+        def build(staging: str) -> None:
+            merged.write.mode("overwrite").parquet(staging)
+            # drop the committer's marker so only data files remain,
+            # then carry the untouched large files over as hardlinks
+            for f in os.listdir(staging):
+                if not f.endswith(".parquet"):
+                    os.remove(os.path.join(staging, f))
+            for fname in big:
+                self._link_or_copy(
+                    os.path.join(path, fname), os.path.join(staging, fname)
+                )
+
+        self._swap_table_dir(spec, build)
         return len(small)
 
     # -- region stats (HBase list_regions analogue, footer-only) ----------
@@ -1132,12 +1229,10 @@ class KeyedTableStore:
         os.makedirs(sdir)
         src = self.table_path(spec)
         for fname in os.listdir(src):
-            if not fname.endswith(".parquet"):
-                continue
-            try:
-                os.link(os.path.join(src, fname), os.path.join(sdir, fname))
-            except OSError:
-                shutil.copy2(os.path.join(src, fname), os.path.join(sdir, fname))
+            if fname.endswith(".parquet"):
+                self._link_or_copy(
+                    os.path.join(src, fname), os.path.join(sdir, fname)
+                )
         with open(os.path.join(sdir, "_spec.json"), "w") as f:
             json.dump(
                 {
@@ -1181,24 +1276,17 @@ class KeyedTableStore:
                 "use clone_snapshot to materialize it elsewhere"
             )
         spec = self.registry.get(qualified_name)
-        path = self.table_path(spec)
-        parent, base = os.path.dirname(path), os.path.basename(path)
-        txid = uuid.uuid4().hex[:12]
-        staging = os.path.join(parent, f".{base}__staging_{txid}")
-        retired = os.path.join(parent, f".{base}__old_{txid}")
-        os.makedirs(staging)
         sdir = self._snapshot_dir(snapshot_name)
-        for fname in os.listdir(sdir):
-            if not fname.endswith(".parquet"):
-                continue
-            try:
-                os.link(os.path.join(sdir, fname), os.path.join(staging, fname))
-            except OSError:
-                shutil.copy2(os.path.join(sdir, fname), os.path.join(staging, fname))
-        os.rename(path, retired)
-        os.rename(staging, path)
-        shutil.rmtree(retired, ignore_errors=True)
-        self.refresh(qualified_name)
+
+        def build(staging: str) -> None:
+            os.makedirs(staging)
+            for fname in os.listdir(sdir):
+                if fname.endswith(".parquet"):
+                    self._link_or_copy(
+                        os.path.join(sdir, fname), os.path.join(staging, fname)
+                    )
+
+        self._swap_table_dir(spec, build)
         self._maintain_indexes(qualified_name, async_index=False)
 
     def clone_snapshot(
@@ -1226,12 +1314,10 @@ class KeyedTableStore:
             os.remove(os.path.join(path, fname))
         sdir = self._snapshot_dir(snapshot_name)
         for fname in os.listdir(sdir):
-            if not fname.endswith(".parquet"):
-                continue
-            try:
-                os.link(os.path.join(sdir, fname), os.path.join(path, fname))
-            except OSError:
-                shutil.copy2(os.path.join(sdir, fname), os.path.join(path, fname))
+            if fname.endswith(".parquet"):
+                self._link_or_copy(
+                    os.path.join(sdir, fname), os.path.join(path, fname)
+                )
         self.refresh(new_qualified_name)
 
     # -- session-catalog integration (A8) ---------------------------------

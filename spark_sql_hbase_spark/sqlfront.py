@@ -119,7 +119,11 @@ def _split_at_top_level_where(s: str) -> tuple[str, str | None]:
     single quotes, backticks, and parentheses — returning
     ``(head, condition-or-None)``.  A lazy regex split is not
     quote-aware: ``UPDATE t SET a = 'x where y'`` (no WHERE clause)
-    would hand the string interior to ``F.expr`` as a condition."""
+    would hand the string interior to ``F.expr`` as a condition.
+
+    A WHERE with an EMPTY condition raises: treating it as "no WHERE"
+    would silently turn a malformed/truncated statement into a
+    full-table DELETE/UPDATE (condition "true")."""
     in_str = in_tick = False
     depth = 0
     for i, ch in enumerate(s):
@@ -141,7 +145,13 @@ def _split_at_top_level_where(s: str) -> tuple[str, str | None]:
             and re.match(r"where\b", s[i:], re.IGNORECASE)
             and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_`'"))
         ):
-            return s[:i].strip(), s[i + 5 :].strip() or None
+            cond = s[i + 5 :].strip()
+            if not cond:
+                raise ValueError(
+                    "WHERE clause has no condition; omit WHERE entirely "
+                    "to target every row"
+                )
+            return s[:i].strip(), cond
     return s.strip(), None
 
 

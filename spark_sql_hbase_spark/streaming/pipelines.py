@@ -102,12 +102,16 @@ def write_stream_to_keyed_table(
 
     Exactly-once note: ``foreachBatch`` gives at-least-once on retry —
     a replayed micro-batch would re-append its rows, duplicating
-    ``(row_key, version)`` cells and breaking the uniqueness contract
-    ``read_versions_asof`` relies on.  The sink therefore records the
-    last committed batch_id in a per-table marker next to the table
-    directory and SKIPS already-applied batches — the standard
-    idempotent-foreachBatch pattern (batch_id is stable across replays
-    by Structured Streaming's contract).  Scale: each batch writes its
+    ``(row_key, version)`` cells.  The sink records the last committed
+    batch_id in a marker inside the query checkpoint and SKIPS
+    already-applied batches (batch_id is stable across replays by
+    Structured Streaming's contract).  The marker is written AFTER the
+    insert, so it closes the common replay (batch fully applied, crash
+    before the engine's own commit) but a crash IN BETWEEN insert and
+    marker still re-appends that one batch — the residual window of
+    any non-transactional sink.  ``read_versions_asof`` therefore also
+    collapses bit-identical ``(row_key, version)`` duplicates on read,
+    so the CDC view stays correct even through that window.  Scale: each batch writes its
     own region files; ``minor_compact_every=N`` folds the small-file
     tail back into one sorted run every N batches via
     ``compact_minor`` (zero-copy for the large files), bounding file
@@ -601,13 +605,18 @@ def write_stream_with_index_maintenance(
         type(store)._index_width_guard(
             pinned, index_col, key_width, encoding, scale
         )
-        store.insert(main_name, pinned, generate_row_key=False)
+        # this sink manages the index itself — disable the store's own
+        # maintenance so a REGISTERED index is not double-appended
+        store.insert(
+            main_name, pinned, generate_row_key=False, maintain_indexes=False
+        )
         store.insert(
             index_name,
             type(store).index_projection(
                 pinned, index_col, include, key_width, encoding, scale
             ),
             generate_row_key=False,
+            maintain_indexes=False,
         )
         _record_batch_applied(checkpoint_dir, batch_id)
 

@@ -1002,3 +1002,67 @@ def test_fixed_point_lookup_half_boundary_matches_stored_keys(spark, tmp_path):
     )
     got = {r["i:src_key"] for r in st.index_lookup("hb.by_v", 7.125).collect()}
     assert got == {"0001"}
+
+
+def test_insert_maintains_covered_index_incrementally(spark, tmp_path):
+    """Review fix: plain INSERT on an indexed table appends the index
+    projection of exactly the inserted batch — index-only reads see the
+    new rows; async_index defers with the stale marker."""
+    st = _mk_plain_table(spark, tmp_path)
+    st.create_covered_index(
+        "r6.t", "r6.by_grp", index_col="c:grp", include=["c:val"], key_width=4
+    )
+    batch = spark.createDataFrame(
+        [("50000001", 7, 1.0), ("50000002", 7, 2.0)],
+        "row_key string, `c:grp` long, `c:val` double",
+    )
+    st.insert("r6.t", batch, generate_row_key=False)
+    idx = st.read("r6.by_grp")
+    assert idx.count() == 42
+    got = {
+        r["i:src_key"]
+        for r in st.index_lookup("r6.by_grp", 7).collect()
+    }
+    assert got == {"50000001", "50000002"}
+    assert not st.index_is_stale("r6.by_grp")
+    # async insert defers but marks stale
+    st.insert(
+        "r6.t",
+        spark.createDataFrame(
+            [("60000001", 8, 3.0)], "row_key string, `c:grp` long, `c:val` double"
+        ),
+        generate_row_key=False,
+        async_index=True,
+    )
+    assert st.index_is_stale("r6.by_grp")
+    assert st.read("r6.by_grp").count() == 42  # not yet appended
+    st.rebuild_indexes("r6.t")
+    assert st.read("r6.by_grp").count() == 43
+    # overwrite insert triggers a full rebuild
+    st.insert("r6.t", batch, overwrite=True, generate_row_key=False)
+    assert st.read("r6.by_grp").count() == 2
+
+
+def test_asof_read_collapses_replayed_duplicate_cells(spark, tmp_path):
+    """Review fix: bit-identical (row_key, version) duplicates from an
+    at-least-once ingest replay collapse on read — the as-of view is
+    correct through the marker's residual crash window."""
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    st.ctas(
+        TableSpec(namespace="rr", name="t", key_type="string",
+                  families={"c": {"v": "double", "ver": "long"}}),
+        spark.createDataFrame(
+            [("0001", 1.0, 1), ("0002", 2.0, 1)],
+            "row_key string, `c:v` double, `c:ver` long",
+        ),
+    )
+    replay = spark.createDataFrame(
+        [("0001", 5.0, 2)], "row_key string, `c:v` double, `c:ver` long"
+    )
+    st.insert("rr.t", replay, generate_row_key=False)
+    st.insert("rr.t", replay, generate_row_key=False)  # the replayed batch
+    got = sorted(
+        (r["row_key"], r["c:v"], r["c:ver"])
+        for r in st.read_versions_asof("rr.t", "c:ver", 2).collect()
+    )
+    assert got == [("0001", 5.0, 2), ("0002", 2.0, 1)]

@@ -81,3 +81,16 @@ def test_query_matches_oracle_at_driver_scale(spark, name):
         return
     ok, msg = compare(df, qd.oracle, SF_DRIVER)
     assert ok, f"{name}: {msg}"
+
+
+def test_pii_redact_overlap_counts_match_replacements(spark):
+    """Review fix: an IP embedded in an email must not double-count —
+    n_redactions equals the substitutions actually performed."""
+    from spark_sql_hbase_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@10.1.2.3.example.com end")], "id long, t string"
+    )
+    row = pii_redact(df, "id", "t").collect()[0]
+    assert row["text_redacted"] == "mail <email> end"
+    assert row["n_redactions"] == 1

@@ -541,3 +541,23 @@ def test_sql_merge_delete_maintain_covered_index(spark, tmp_path):
     idx = sess.store.read("mi.by_g")
     assert pairs(idx, "i:src_key") == pairs(main, "row_key")
     assert not sess.store.index_is_stale("mi.by_g")
+
+
+def test_sql_dangling_where_raises_not_full_table_dml(spark, tmp_path):
+    """Review fix: 'DELETE FROM t WHERE' (condition lost/truncated) must
+    raise — treating it as no-WHERE would silently delete every row."""
+    import pytest
+
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.sql("CREATE TABLE dw.t (row_key string, `c:v` long) USING keyed")
+    spark.createDataFrame(
+        [("0001", 1), ("0002", 2)], "row_key string, `c:v` long"
+    ).createOrReplaceTempView("__dw_base")
+    sess.sql("INSERT INTO dw.t SELECT * FROM __dw_base")
+    with pytest.raises(ValueError, match="no condition"):
+        sess.sql("DELETE FROM dw.t WHERE")
+    with pytest.raises(ValueError, match="no condition"):
+        sess.sql("UPDATE dw.t SET `c:v` = 0 WHERE")
+    assert sess.store.read("dw.t").count() == 2
