@@ -198,6 +198,8 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
     # aggregate)
     # ...and the keyed-store DML write paths (MERGE upsert rewrite,
     # DELETE+UPDATE rewrites) for write-path regression visibility
+    # ...and the round-6 storage admin paths (snapshot+restore rollback,
+    # minor compaction of an ingest tail)
     for name in (
         "d12_semantic_dedup",
         "t16_dsir_importance",
@@ -210,6 +212,8 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
         "z75_pmi_collocations",
         "k12_sql_merge_upsert",
         "k13_sql_delete_update",
+        "zc03_snapshot_restore",
+        "zc08_minor_compaction",
     ):
         t0 = time.perf_counter()
         n = registry[name].fn(spark, sf_dir).count()
