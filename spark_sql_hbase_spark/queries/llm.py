@@ -3601,3 +3601,65 @@ def zc11_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("doc_id") % 11 == 0)
         | (F.col("doc_id") % 13 == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# zc14 — dedup leverage report (round-6 addition): the "what does dedup
+# BUY us" audit a curation run reads before paying for the rewrite —
+# per source, how many documents/tokens are non-canonical near-dup
+# copies (cluster members that are not the min-id representative) and
+# the token-savings fraction.  Composition of gate-proven stages: LSH
+# pairs → connected components → min-id canonical, joined to one
+# tokenize pass; all counters integer-exact, savings one IEEE division.
+# Oracle: the recursive component closure (z53's construction) as a
+# derived table.
+# ---------------------------------------------------------------------------
+@register(
+    "zc14_dedup_leverage",
+    oracle=f"""
+    WITH __tk AS (
+        SELECT doc_id, source, CAST(len({_TOK}) AS BIGINT) AS n
+        FROM documents
+    ),
+    __dups AS (
+        SELECT doc_id FROM ({_CLUSTER_ORACLE}) c WHERE doc_id <> cluster_id
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS total_docs,
+           CAST(SUM(t.n) AS BIGINT) AS total_tokens,
+           CAST(COUNT(d.doc_id) AS BIGINT) AS dup_docs,
+           CAST(COALESCE(SUM(CASE WHEN d.doc_id IS NOT NULL THEN t.n END), 0)
+                AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(SUM(CASE WHEN d.doc_id IS NOT NULL THEN t.n END), 0)
+                AS DOUBLE) / SUM(t.n) AS savings_frac
+    FROM __tk t LEFT JOIN __dups d ON t.doc_id = d.doc_id
+    GROUP BY t.source
+    """,
+    description="dedup leverage: per-source non-canonical docs/tokens "
+    "and the token-savings fraction dedup would buy",
+)
+def zc14_dedup_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_join(
+        docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
+    )
+    comp = graph.connected_components(pairs.select("id_a", "id_b"))
+    dups = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("__dup")
+    )
+    from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
+
+    tk = docs.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).cast("long").alias("n")
+    )
+    j = tk.join(F.broadcast(dups), "doc_id", "left")
+    dup_tokens = F.coalesce(
+        F.sum(F.when(F.col("__dup").isNotNull(), F.col("n"))), F.lit(0)
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.count("__dup").alias("dup_docs"),
+        dup_tokens.alias("dup_tokens"),
+        (dup_tokens.cast("double") / F.sum("n")).alias("savings_frac"),
+    )

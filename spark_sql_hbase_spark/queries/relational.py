@@ -1838,3 +1838,67 @@ def zc13_share_of_nation_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").cast("long").alias("nationkey"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# zc15 — equi-depth histogram (round-6 addition): the optimizer-
+# statistics primitive (ANALYZE-style column histogram) — decile
+# boundaries from ONE ANSI percentile_disc aggregate (DATA values, so
+# DuckDB's quantile_disc selects the identical element — the z78/t08
+# convention), bucket assignment as a row-local fold against the
+# broadcast 9-value boundary array, one bounded 10-row aggregate.
+# No sort of the data, no window over the fact table.
+# ---------------------------------------------------------------------------
+_ZC15_CUTS = [i / 10 for i in range(1, 10)]
+
+
+@register(
+    "zc15_equidepth_histogram",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT quantile_disc(o_totalprice,
+                             [{", ".join(str(c) for c in _ZC15_CUTS)}]) AS q
+        FROM orders
+    ),
+    b AS (
+        SELECT CAST(len(list_filter(q, c -> o_totalprice > c)) AS INTEGER)
+                   AS bucket,
+               o_totalprice AS v
+        FROM orders, cuts
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    description="equi-depth decile histogram: percentile_disc boundaries "
+    "+ row-local bucket fold + bounded 10-row aggregate",
+)
+def zc15_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.array(
+            *[
+                F.expr(
+                    f"percentile_disc({c}) WITHIN GROUP (ORDER BY o_totalprice)"
+                )
+                for c in _ZC15_CUTS
+            ]
+        ).alias("q")
+    )
+    b = o.crossJoin(F.broadcast(cuts)).select(
+        F.aggregate(
+            "q",
+            F.lit(0),
+            lambda acc, c: acc + (F.col("o_totalprice") > c).cast("int"),
+        ).alias("bucket"),
+        F.col("o_totalprice").alias("v"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
