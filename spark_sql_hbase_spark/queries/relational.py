@@ -1902,3 +1902,66 @@ def zc15_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# zc16 — column profile (round-6 addition): the data-quality /
+# ANALYZE-TABLE summary every ingestion pipeline publishes — per
+# column: nulls, exact distinct count, min/max (rendered as strings so
+# one relation carries mixed types).  ONE scan computes every
+# aggregate (multi-aggregate projection; count(DISTINCT x) per column
+# expands via Spark's single-pass expand operator), then the one
+# result row unpivots via stack into (column, metric) rows.
+# ---------------------------------------------------------------------------
+_ZC16_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+@register(
+    "zc16_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+    description="per-column profile: nulls, exact distinct, min/max — "
+    "one scan, stack-unpivoted summary row",
+)
+def zc16_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _ZC16_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__null`, `{c}__dist`, `{c}__min`, `{c}__max`"
+        for c in _ZC16_COLS
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_ZC16_COLS)}, {stack}) AS "
+            "(col_name, n_null, n_distinct, min_str, max_str)"
+        )
+    )
