@@ -3663,3 +3663,53 @@ def zc14_dedup_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_tokens.alias("dup_tokens"),
         (dup_tokens.cast("double") / F.sum("n")).alias("savings_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zc18 — language-ID confusion matrix (round-6 addition): the
+# classifier-evaluation primitive — the zb15 stopword-vote predictor
+# against the corpus's labeled ``lang`` column, as the (truth,
+# predicted) count matrix plus per-truth-class recall.  One scoring
+# scan + one bounded (|langs|² ≤ 16-row) aggregate; recall is one IEEE
+# division of exact counts.  Oracle: the shared lang-ID CTE joined
+# back to the labels.
+# ---------------------------------------------------------------------------
+@register(
+    "zc18_langid_confusion",
+    oracle=f"""
+    WITH __pred AS ({_langid_oracle()}),
+    __j AS (
+        SELECT d.lang AS true_lang, p.pred_lang
+        FROM documents d JOIN __pred p ON d.doc_id = p.doc_id
+    ),
+    __cls AS (
+        SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS class_total
+        FROM __j GROUP BY true_lang
+    )
+    SELECT j.true_lang, j.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / c.class_total AS frac_of_true
+    FROM __j j JOIN __cls c ON j.true_lang = c.true_lang
+    GROUP BY j.true_lang, j.pred_lang, c.class_total
+    """,
+    description="lang-ID confusion matrix: stopword-vote predictions vs "
+    "labels, bounded matrix + per-class recall fractions",
+)
+def zc18_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    pred = text.lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    j = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        pred, "doc_id"
+    )
+    counts = j.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cls = F.sum("n").over(W.partitionBy("true_lang"))
+    return counts.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        (F.col("n").cast("double") / cls).alias("frac_of_true"),
+    )

@@ -1965,3 +1965,60 @@ def zc16_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_null, n_distinct, min_str, max_str)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# zc17 — TPC-H Q14-style promo revenue share (round-6 addition):
+# conditional revenue share of 'PROMO%' parts in one ship-month — the
+# CASE-inside-aggregate + broadcast-dimension join shape, with both
+# the promo and total revenue as exact decimal sums and the percentage
+# one IEEE division of the two rounded sums.
+# ---------------------------------------------------------------------------
+@register(
+    "zc17_promo_revenue_share",
+    oracle="""
+    SELECT
+      CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(38,6))
+                          ELSE CAST(0 AS DECIMAL(38,6)) END), 2) AS DOUBLE)
+          AS promo_revenue,
+      CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_revenue,
+      CAST(100.0 * CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(38,6))
+                          ELSE CAST(0 AS DECIMAL(38,6)) END), 2) AS DOUBLE)
+           / CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))), 2) AS DOUBLE) AS DOUBLE)
+          AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-09-01'
+      AND l_shipdate < DATE '1995-10-01'
+    """,
+    description="TPC-H Q14-style promo revenue share: conditional "
+    "decimal-exact sums, percentage from the rounded pair",
+)
+def zc17_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (100.0 * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
