@@ -804,3 +804,72 @@ def st07_stream_index_dualwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`c:name`").alias("name"),
         F.col("`c:acctbal`").alias("acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zc19 — streaming UPSERT sink (round-6 addition; streaming/pipelines.py
+# ::write_stream_upsert_to_keyed_table): each micro-batch REPLACES
+# same-key rows via the store's MERGE primitive, so the table IS the
+# latest-state view — no version column, no as-of join on read (the
+# read-optimized alternative to the st06 append+as-of CDC path).
+# Batches apply in file-source order (base, then updates); upsert
+# idempotence + the checkpoint batch-id marker make replays no-ops.
+# Oracle: the same CASE construction as st06, without the version.
+# ---------------------------------------------------------------------------
+@register(
+    "zc19_stream_upsert_sink",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
+                ELSE c_acctbal END AS acctbal
+    FROM customer
+    """,
+    description="streaming upsert sink: per-batch MERGE into the keyed "
+    "store, table is the latest-state view",
+)
+def zc19_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        write_stream_upsert_to_keyed_table,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("c_acctbal").alias("c:acctbal"),
+    )
+    updates = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        (F.col("c_acctbal") * 2.0).alias("c:acctbal"),
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="zc19_feed_"), "in")
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    # distinct mtime millisecond: the file source orders batches by
+    # (timestamp, path) and upsert is order-DEPENDENT (last write wins)
+    time.sleep(0.05)
+    updates.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    wh = tempfile.mkdtemp(prefix="zc19_wh_")
+    store = KeyedTableStore(spark, wh)
+    store.create_table(
+        TableSpec(
+            namespace="zc19",
+            name="state",
+            key_type="string",
+            families={"c": {"acctbal": "double"}},
+        )
+    )
+    q = write_stream_upsert_to_keyed_table(
+        stream, store, "zc19.state", tempfile.mkdtemp(prefix="zc19_ckpt_")
+    )
+    q.awaitTermination()
+    return store.read("zc19.state").select(
+        "row_key", F.col("`c:acctbal`").alias("acctbal")
+    )

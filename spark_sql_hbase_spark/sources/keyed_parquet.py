@@ -128,6 +128,21 @@ class KeyedTableStore:
                 del mspec.properties[key]
                 self.registry.register(mspec)
 
+    def truncate_table(self, qualified_name: str) -> None:
+        """TRUNCATE TABLE (HBase shell ``truncate``): replace the data
+        with an empty footprint of the declared schema through the
+        staged atomic swap — crash-safe like every other rewrite, and
+        registered covered indexes truncate with it (an empty table's
+        index is empty)."""
+        spec = self.registry.get(qualified_name)
+        empty = self.spark.createDataFrame([], spec.schema())
+
+        def build(staging: str) -> None:
+            empty.write.mode("overwrite").parquet(staging)
+
+        self._swap_table_dir(spec, build)
+        self._maintain_indexes(qualified_name, async_index=False)
+
     def exists(self, qualified_name: str) -> bool:
         return self.registry.exists(qualified_name)
 

@@ -61,6 +61,10 @@ _CREATE_RE = re.compile(
     rf"(?P<target>{_QUALIFIED})\s*(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_TRUNCATE_RE = re.compile(
+    rf"^\s*truncate\s+table\s+(?P<target>{_QUALIFIED})\s*$",
+    re.IGNORECASE,
+)
 _DROP_RE = re.compile(
     rf"^\s*drop\s+table\s+(?P<ie>if\s+exists\s+)?(?P<target>{_QUALIFIED})\s*$",
     re.IGNORECASE,
@@ -459,6 +463,13 @@ class KeyedSqlRouter:
                     key_width=int(opts.get("key_width", "12")),
                     fixed_point_scale=int(fps) if fps else None,
                 )
+                return self.spark.sql("SELECT 1 WHERE 1=0")
+
+        m = _TRUNCATE_RE.match(stmt)
+        if m:
+            ns, name = _split_qualified(m.group("target"), self.spark)
+            if self._is_keyed(ns, name):
+                self.store.truncate_table(f"{ns}.{name}")
                 return self.spark.sql("SELECT 1 WHERE 1=0")
 
         m = _DROP_RE.match(stmt)

@@ -136,6 +136,41 @@ def write_stream_to_keyed_table(
     return writer.start()
 
 
+def write_stream_upsert_to_keyed_table(
+    stream_df: DataFrame,
+    store,
+    qualified_name: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming UPSERT sink: each micro-batch REPLACES same-key rows
+    and appends new keys via ``KeyedTableStore.upsert`` — the table IS
+    the latest-state view (HBase Put semantics applied per batch),
+    unlike the append+``read_versions_asof`` CDC path which defers the
+    merge.  Choose this when reads dominate (no as-of join per read)
+    and the append path when writes dominate (no rewrite per batch).
+
+    Replay safety is two-layered like the append sink: the checkpoint
+    batch-id marker skips fully-applied batches, and upsert itself is
+    IDEMPOTENT (re-upserting the same rows is a no-op), so even the
+    marker's residual crash window cannot corrupt state.  Batches must
+    carry unique row keys (upsert's MERGE law enforces loudly).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _batch_already_applied(checkpoint_dir, batch_id):
+            return
+        store.upsert(qualified_name, batch_df)
+        _record_batch_applied(checkpoint_dir, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _batch_marker_path(checkpoint_dir: str) -> str:
     # lives INSIDE the query's checkpoint dir because batch_ids are only
     # stable within one checkpoint lineage — a fresh checkpoint restarts

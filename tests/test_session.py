@@ -561,3 +561,28 @@ def test_sql_dangling_where_raises_not_full_table_dml(spark, tmp_path):
     with pytest.raises(ValueError, match="no condition"):
         sess.sql("UPDATE dw.t SET `c:v` = 0 WHERE")
     assert sess.store.read("dw.t").count() == 2
+
+
+def test_sql_truncate_table_keeps_schema_and_indexes_fresh(spark, tmp_path):
+    """TRUNCATE TABLE over a keyed table empties the data through the
+    atomic swap, keeps the declared schema readable, and truncates
+    registered covered indexes with it."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.sql("CREATE TABLE tr.t (row_key string, `c:g` long) USING keyed")
+    spark.createDataFrame(
+        [(f"{i:04d}", i % 3) for i in range(9)], "row_key string, `c:g` long"
+    ).createOrReplaceTempView("__tr_base")
+    sess.sql("INSERT INTO tr.t SELECT * FROM __tr_base")
+    sess.sql("CREATE INDEX tr.by_g ON tr.t (`c:g`) OPTIONS (key_width='4')")
+    assert sess.store.read("tr.t").count() == 9
+    sess.sql("TRUNCATE TABLE tr.t")
+    assert sess.store.read("tr.t").count() == 0
+    assert sess.store.read("tr.t").columns == ["row_key", "c:g"]
+    assert sess.store.read("tr.by_g").count() == 0
+    assert not sess.store.index_is_stale("tr.by_g")
+    # table still writable after truncate
+    sess.sql("INSERT INTO tr.t SELECT * FROM __tr_base")
+    assert sess.store.read("tr.t").count() == 9
+    assert sess.store.read("tr.by_g").count() == 9
