@@ -56,7 +56,15 @@ class TableAlreadyExistsError(ValueError):
 
 
 class KeyedTableStore:
-    """Namespace/table catalog + storage over a warehouse directory."""
+    """Namespace/table catalog + storage over a warehouse directory.
+
+    Concurrency contract: SINGLE WRITER per table — the HBase analogue
+    is region ownership by one RegionServer.  Reads are safe during any
+    rewrite (the staged-commit protocol swaps whole directories), but
+    two concurrent writers to the same table can interleave swaps and
+    lose one side's mutation; coordinate writers externally exactly as
+    HBase clients route through the owning server.
+    """
 
     def __init__(
         self,
@@ -326,9 +334,14 @@ class KeyedTableStore:
                         meta.get("scale"),
                         guard=True,
                     )
+                    # hold the stale marker across the append: a guard
+                    # violation mid-append leaves the index LOUDLY stale
+                    # (the main table already holds the batch)
+                    self._mark_index_stale(iq, True)
                     self.insert(
                         iq, proj, generate_row_key=False, maintain_indexes=False
                     )
+                    self._mark_index_stale(iq, False)
 
     def ctas(self, spec: TableSpec, query: DataFrame, mode: str = "error") -> None:
         """CREATE TABLE AS SELECT with SaveMode + drop-on-failure semantics

@@ -1066,3 +1066,21 @@ def test_asof_read_collapses_replayed_duplicate_cells(spark, tmp_path):
         for r in st.read_versions_asof("rr.t", "c:ver", 2).collect()
     )
     assert got == [("0001", 5.0, 2), ("0002", 2.0, 1)]
+
+
+def test_insert_guard_violation_leaves_index_loudly_stale(spark, tmp_path):
+    """A batch whose index value violates the width guard fails the
+    index append AFTER the main table took the rows — the index must be
+    marked STALE (never silently missing the batch) and rebuild_indexes
+    must fail the same way until the data is fixed."""
+    st = _mk_plain_table(spark, tmp_path)
+    st.create_covered_index("r6.t", "r6.by_grp", index_col="c:grp", key_width=4)
+    bad = spark.createDataFrame(
+        [("70000001", 123456, 1.0)],  # 6 chars > key_width=4
+        "row_key string, `c:grp` long, `c:val` double",
+    )
+    with pytest.raises(Exception):
+        st.insert("r6.t", bad, generate_row_key=False)
+    # main took the batch; the index is stale and says so
+    assert st.read("r6.t").count() == 41
+    assert st.index_is_stale("r6.by_grp")
