@@ -3713,3 +3713,72 @@ def zc18_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / cls).alias("frac_of_true"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zc20 — sliding context windows (round-6 addition): overlapping
+# fixed-size token chunks (size 32, stride 16) — the RAG/pretraining
+# context-window prep the non-overlapping UDTF chunker (zb07/zc09)
+# does not cover, expressed ENTIRELY in JVM expressions: one tokenize
+# behind a Generate barrier, a posexplode over the per-doc window
+# count, and a slice per window — zero Python in the hot path (the
+# production form; the UDTF twins exist to exercise the UDTF surface).
+# Windows start every `stride` tokens; the last window may be short
+# but never empty; a doc shorter than one stride still yields its
+# single window.
+# ---------------------------------------------------------------------------
+_ZC20_SIZE, _ZC20_STRIDE = 32, 16
+
+
+@register(
+    "zc20_sliding_chunks",
+    oracle=f"""
+    WITH __tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    __n AS (
+        SELECT doc_id, t,
+               CAST(CASE WHEN len(t) <= {_ZC20_SIZE} THEN 1
+                    ELSE CEIL((len(t) - {_ZC20_SIZE}) / {_ZC20_STRIDE}.0) + 1
+                    END AS INTEGER) AS n_win
+        FROM __tok WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n_win)) AS INTEGER) AS win_id,
+           list_aggregate(
+               t[unnest(range(0, n_win)) * {_ZC20_STRIDE} + 1 :
+                 least(unnest(range(0, n_win)) * {_ZC20_STRIDE}
+                       + {_ZC20_SIZE}, len(t))],
+               'string_agg', ' ') AS chunk,
+           CAST(least(unnest(range(0, n_win)) * {_ZC20_STRIDE}
+                      + {_ZC20_SIZE}, len(t))
+                - unnest(range(0, n_win)) * {_ZC20_STRIDE} AS INTEGER)
+               AS n_tokens
+    FROM __n
+    """,
+    description="overlapping sliding context windows (size 32 stride "
+    "16), all-JVM posexplode+slice — zero Python",
+)
+def zc20_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    bound = docs.select(
+        "doc_id", F.explode(F.array(_tokens(F.col("text")))).alias("t")
+    ).filter(F.size("t") > 0)
+    n_win = F.when(F.size("t") <= _ZC20_SIZE, F.lit(1)).otherwise(
+        F.ceil((F.size("t") - _ZC20_SIZE) / float(_ZC20_STRIDE)).cast("int") + 1
+    )
+    wins = bound.select(
+        "doc_id",
+        "t",
+        F.posexplode(F.sequence(F.lit(0), n_win - 1)).alias("win_id", "_w"),
+    )
+    start = F.col("win_id") * _ZC20_STRIDE
+    length = F.least(
+        start + _ZC20_SIZE, F.size("t")
+    ) - start
+    return wins.select(
+        "doc_id",
+        F.col("win_id").cast("int"),
+        F.array_join(F.slice("t", start + 1, length), " ").alias("chunk"),
+        length.cast("int").alias("n_tokens"),
+    )

@@ -958,3 +958,13 @@ def test_zc06_zc07_single_corpus_scan(spark, registry):
     for name in ("zc06_event_funnel", "zc07_retention_cohorts"):
         plan = formatted_plan(registry[name].fn(spark, SF))
         assert plan.count("events.parquet") == 1, (name, plan)
+
+
+def test_zc20_sliding_chunks_no_python_in_plan(spark, registry):
+    """The sliding-window chunker is the PRODUCTION chunking shape: the
+    whole one-to-many expansion must stay in JVM expressions — no
+    Python eval operator anywhere in the plan."""
+    plan = formatted_plan(registry["zc20_sliding_chunks"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Generate" in plan, plan
