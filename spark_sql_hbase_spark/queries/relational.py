@@ -2022,3 +2022,89 @@ def zc17_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# zc21 — trailing-window anomaly detection (round-6 addition): hourly
+# event-volume z-scores per event type against the TRAILING 24-hour
+# window (current hour excluded so a spike can't mask itself) — the
+# ops-monitoring primitive over the events stream.  Determinism: the
+# windowed moments are sums/sum-of-squares of INTEGER counts (exact in
+# any engine); mean and variance are each ONE division of exact
+# integers (var = (n·Σx² − (Σx)²) / n²), the z-score divides two
+# bit-identical doubles, and the emitted z is rounded.  Hours with
+# fewer than 6 trailing observations emit NULL z (insufficient
+# history).  RANGE frame in hour units — the z97 time-bounded-frame
+# surface put to analytic work.
+# ---------------------------------------------------------------------------
+@register(
+    "zc21_event_volume_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, hour, n_events,
+               COUNT(*) OVER tw AS wn,
+               SUM(n_events) OVER tw AS ws,
+               SUM(n_events * n_events) OVER tw AS wss
+        FROM hourly
+        WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, n_events,
+           CASE WHEN wn >= 6
+                     AND CAST(wn * wss - ws * ws AS DOUBLE)
+                         / CAST(wn * wn AS DOUBLE) > 0
+                THEN ROUND(
+                    (n_events - CAST(ws AS DOUBLE) / wn)
+                    / sqrt(CAST(wn * wss - ws * ws AS DOUBLE)
+                           / CAST(wn * wn AS DOUBLE)), 4)
+           END AS z,
+           COALESCE(
+               wn >= 6
+               AND CAST(wn * wss - ws * ws AS DOUBLE)
+                   / CAST(wn * wn AS DOUBLE) > 0
+               AND abs((n_events - CAST(ws AS DOUBLE) / wn)
+                       / sqrt(CAST(wn * wss - ws * ws AS DOUBLE)
+                              / CAST(wn * wn AS DOUBLE))) > 2.0,
+               FALSE) AS is_anomaly
+    FROM w
+    """,
+    description="hourly event-volume anomalies: z-score vs the trailing "
+    "24h window, integer-exact moments, self-excluding frame",
+)
+def zc21_event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tw = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(-24, -1)
+    )
+    wn = F.count(F.lit(1)).over(tw)
+    ws = F.sum("n_events").over(tw)
+    wss = F.sum(F.col("n_events") * F.col("n_events")).over(tw)
+    var = (wn * wss - ws * ws).cast("double") / (wn * wn).cast("double")
+    mean = ws.cast("double") / wn
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    ok = (wn >= 6) & (var > 0)
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.when(ok, F.round(z, 4)).alias("z"),
+        F.coalesce(ok & (F.abs(z) > 2.0), F.lit(False)).alias("is_anomaly"),
+    )
