@@ -241,6 +241,27 @@ class KeyedTableStore:
             .load()
         )
 
+    def scan_prefix(self, qualified_name: str, prefix: str) -> DataFrame:
+        """HBase ``PrefixFilter`` / ``Scan.setRowPrefixFilter`` parity:
+        all rows whose key starts with ``prefix``, as ONE contiguous
+        key range ``[prefix, prefix+1)`` — served by the sorted
+        layout's row-group stats and region pruning (the A4 fast path),
+        never a full scan + startswith residual."""
+        if not prefix:
+            return self.read(qualified_name)
+        upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        return self.read(qualified_name).filter(
+            (F.col(ROW_KEY) >= prefix) & (F.col(ROW_KEY) < upper)
+        )
+
+    def get(self, qualified_name: str, keys: list[str]) -> DataFrame:
+        """HBase multi-``Get`` parity: the rows for an explicit key
+        list, as one ``isin`` predicate — pushed to the parquet scan
+        (the A11 point-lookup path the pushdown matrix pins).  At scale
+        a large key list should ride a broadcast semi-join instead;
+        this is the small-batch point-read convenience."""
+        return self.read(qualified_name).filter(F.col(ROW_KEY).isin(keys))
+
     def refresh(self, qualified_name: str) -> None:
         """Invalidate cached file listings/metadata (reference:
         ``refreshTable`` after insert, ``InsertIntoHBaseTable.scala:110``)."""

@@ -1084,3 +1084,25 @@ def test_insert_guard_violation_leaves_index_loudly_stale(spark, tmp_path):
     # main took the batch; the index is stale and says so
     assert st.read("r6.t").count() == 41
     assert st.index_is_stale("r6.by_grp")
+
+
+def test_scan_prefix_and_multi_get(spark, tmp_path):
+    """HBase PrefixFilter / multi-Get parity: prefix scans are ONE
+    pushed key range (no startswith residual needed for correctness),
+    multi-Get is a pushed isin — both exact."""
+    st = _mk_plain_table(spark, tmp_path, n=30)  # keys 00000001..00000030
+    got = sorted(r["row_key"] for r in st.scan_prefix("r6.t", "0000001").collect())
+    assert got == [f"{i:08d}" for i in range(10, 20)]
+    # empty prefix = full scan
+    assert st.scan_prefix("r6.t", "").count() == 30
+    # pushed range reaches the scan
+    from spark_sql_hbase_spark.plans.pushdown import assert_pushed
+
+    assert_pushed(
+        st.scan_prefix("r6.t", "0000001"), "GreaterThanOrEqual(row_key,0000001"
+    )
+    got = sorted(
+        r["row_key"] for r in st.get("r6.t", ["00000003", "00000017", "missing"]).collect()
+    )
+    assert got == ["00000003", "00000017"]
+    assert_pushed(st.get("r6.t", ["00000003", "00000017"]), "In(row_key")
