@@ -75,3 +75,40 @@ def test_reference_readme_statements_verbatim(spark, tmp_path):
     finally:
         spark.catalog.setCurrentDatabase(prev)
         sess.store.drop_table("pw.test_insert")
+
+
+def test_cli_round6_dml_admin_statement_flow(spark, tmp_path):
+    """The round-6 SQL surface end-to-end through the REPL dispatch
+    (A12): CREATE INDEX with a fixed-point scale, MERGE, DELETE,
+    TRUNCATE — every statement the router grew this round runs as a
+    plain ;-terminated CLI statement."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.sql("CREATE TABLE cw.t (row_key string, `c:v` double) USING keyed")
+    spark.createDataFrame(
+        [(f"{i:04d}", float(i) + 0.25) for i in range(8)],
+        "row_key string, `c:v` double",
+    ).createOrReplaceTempView("__cw_base")
+    spark.createDataFrame(
+        [("0002", 99.5)], "row_key string, `c:v` double"
+    ).createOrReplaceTempView("__cw_updates")
+    for stmt in [
+        "INSERT INTO cw.t SELECT * FROM __cw_base",
+        "CREATE INDEX cw.by_v ON cw.t (`c:v`) "
+        "OPTIONS (key_width='8', fixed_point_scale='100')",
+        "MERGE INTO cw.t USING __cw_updates ON row_key "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "DELETE FROM cw.t WHERE `c:v` < 1.0",
+        "SELECT * FROM cw.t",
+        "TRUNCATE TABLE cw.t",
+    ]:
+        assert cli.process(sess, stmt) is True
+    assert sess.store.read("cw.t").count() == 0
+    assert sess.store.read("cw.by_v").count() == 0
+    # replay the inserts post-truncate: index fresh again via the
+    # insert-path delta maintenance
+    assert cli.process(sess, "INSERT INTO cw.t SELECT * FROM __cw_base") is True
+    assert sess.store.read("cw.by_v").count() == 8
+    got = {r["i:src_key"] for r in sess.store.index_lookup("cw.by_v", 5.25).collect()}
+    assert got == {"0005"}
