@@ -847,10 +847,17 @@ def zc19_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = os.path.join(tempfile.mkdtemp(prefix="zc19_feed_"), "in")
     base.coalesce(1).write.mode("overwrite").parquet(src)
-    # distinct mtime millisecond: the file source orders batches by
-    # (timestamp, path) and upsert is order-DEPENDENT (last write wins)
-    time.sleep(0.05)
+    first = {f for f in os.listdir(src) if f.endswith(".parquet")}
     updates.coalesce(1).write.mode("append").parquet(src)
+    # the file source orders batches by (timestamp, path) and upsert is
+    # order-DEPENDENT (last write wins): stamp the two batches' mtimes
+    # EXPLICITLY rather than sleeping between writes (same-millisecond
+    # mtimes fall back to random temp-name path order — a flake)
+    now = time.time()
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            t = now - 60 if f in first else now
+            os.utime(os.path.join(src, f), (t, t))
     stream = (
         spark.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1)

@@ -78,8 +78,81 @@ class KeyedTableStore:
         os.makedirs(warehouse_dir, exist_ok=True)
 
     # -- paths ------------------------------------------------------------
-    def table_path(self, spec: TableSpec) -> str:
+    #
+    # Generational layout (round-7 swap protocol): a table's ROOT
+    # directory holds data GENERATIONS (``gen-<12-hex>`` subdirectories)
+    # plus a ``_GENERATION`` manifest naming the current one.  Readers
+    # resolve the manifest and always see one COMPLETE generation; a
+    # rewrite builds a new generation and flips the pointer with ONE
+    # atomic rename — there is no instant at which the table name
+    # dangles (the round-6 two-rename directory swap had a microsecond
+    # FileNotFound window, a transient availability fault under
+    # concurrent readers at scale).  Retired generations survive one
+    # further swap (grace for readers whose plans already resolved
+    # them) and are then swept; generations live INSIDE the table root,
+    # so no sweep can ever touch another table's files (the round-6
+    # ``.{base}__*`` sibling prefix also matched a table named
+    # ``{base}__x``).
+
+    _GEN_MANIFEST = "_GENERATION"
+    _FLAT = "."  # manifest token: "previous generation" = flat root files
+
+    def table_root(self, spec: TableSpec) -> str:
+        """The table's stable root directory (holds generations +
+        manifest) — the name DDL and drop operate on."""
         return os.path.join(self.warehouse_dir, spec.namespace, spec.name)
+
+    def table_path(self, spec: TableSpec) -> str:
+        """The CURRENT data directory: the generation named by the
+        manifest, or the root itself for a legacy flat-layout table
+        (one hand-built by writing parquet straight into the root —
+        supported read-path; its first rewrite migrates it)."""
+        root = self.table_root(spec)
+        man = self._read_gen_manifest(root)
+        if man is None or man["current"] == self._FLAT:
+            return root
+        return os.path.join(root, man["current"])
+
+    def _read_gen_manifest(self, root: str) -> dict | None:
+        try:
+            with open(os.path.join(root, self._GEN_MANIFEST)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _write_gen_manifest(
+        self, root: str, current: str, previous: str | None
+    ) -> None:
+        """Flip the generation pointer with ONE atomic same-filesystem
+        rename — the only step that changes what readers resolve."""
+        tmp = os.path.join(root, f".{self._GEN_MANIFEST}.{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as f:
+            json.dump({"current": current, "previous": previous}, f)
+        os.rename(tmp, os.path.join(root, self._GEN_MANIFEST))
+
+    def _sweep_generations(self, root: str, keep: set) -> None:
+        """Remove retired/crashed generations not in ``keep``.  Exact
+        ``gen-<12-hex>`` match only — never another table's data (all
+        candidates live inside this table's root).  Root-level flat
+        data files are removed only once the manifest exists AND the
+        flat layout is not within its reader-grace window (``keep``
+        contains the ``_FLAT`` token while it is)."""
+        import re as _re
+
+        man_exists = os.path.exists(os.path.join(root, self._GEN_MANIFEST))
+        for entry in os.listdir(root):
+            full = os.path.join(root, entry)
+            if entry == self._GEN_MANIFEST:
+                continue
+            if os.path.isdir(full):
+                if _re.fullmatch(r"gen-[0-9a-f]{12}", entry) and entry not in keep:
+                    shutil.rmtree(full, ignore_errors=True)
+            elif man_exists and self._FLAT not in keep:
+                # flat-layout leftovers ≥ one full swap old
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
 
     # -- namespace DDL (reference: HBaseExternalCatalog create/drop db) ---
     def create_namespace(self, ns: str, ignore_if_exists: bool = True) -> None:
@@ -110,18 +183,20 @@ class KeyedTableStore:
                 return
             raise TableAlreadyExistsError(spec.qualified_name)
         self.create_namespace(spec.namespace)
-        path = self.table_path(spec)
-        os.makedirs(path, exist_ok=True)
-        # materialize an empty parquet footprint so reads of a fresh table
-        # return an empty, correctly-typed DataFrame
+        root = self.table_root(spec)
+        os.makedirs(root, exist_ok=True)
+        # materialize an empty parquet footprint (generation 0) so reads
+        # of a fresh table return an empty, correctly-typed DataFrame
+        gen = f"gen-{uuid.uuid4().hex[:12]}"
         empty = self.spark.createDataFrame([], spec.schema())
-        empty.write.mode("overwrite").parquet(path)
+        empty.write.mode("overwrite").parquet(os.path.join(root, gen))
+        self._write_gen_manifest(root, gen, None)
         self.registry.register(spec)
         self._register_view(spec)
 
     def drop_table(self, qualified_name: str) -> None:
         spec = self.registry.get(qualified_name)
-        shutil.rmtree(self.table_path(spec), ignore_errors=True)
+        shutil.rmtree(self.table_root(spec), ignore_errors=True)
         self.registry.drop(qualified_name)
         self.spark.catalog.dropTempView(self._view_name(spec))
         self.spark.sql(f"DROP TABLE IF EXISTS `{spec.namespace}`.`{spec.name}`")
@@ -241,18 +316,48 @@ class KeyedTableStore:
             .load()
         )
 
+    @staticmethod
+    def _prefix_upper_bound(prefix: str) -> str | None:
+        """Smallest string greater than every string starting with
+        ``prefix`` (the exclusive scan upper bound), or ``None`` when no
+        such string exists (every code point is U+10FFFF).
+
+        Correct successor arithmetic, not just ``last_char + 1``: a last
+        code point of U+D7FF must step over the surrogate block (chr
+        would produce an unpaired surrogate — unencodable to UTF-8, the
+        scan would die at execution), and U+10FFFF has no successor at
+        all so the increment CARRIES into the preceding character.
+        Code-point order equals UTF-8 byte order (UTF-8 is
+        order-preserving), so the bound is valid against Spark's binary
+        string comparison.  Property-pinned by
+        ``test_prefix_scan_equals_startswith`` over adversarial keys.
+        """
+        chars = list(prefix)
+        while chars:
+            cp = ord(chars[-1])
+            if cp == 0x10FFFF:  # no successor at this position: carry
+                chars.pop()
+                continue
+            nxt = 0xE000 if cp == 0xD7FF else cp + 1  # skip surrogates
+            chars[-1] = chr(nxt)
+            return "".join(chars)
+        return None
+
     def scan_prefix(self, qualified_name: str, prefix: str) -> DataFrame:
         """HBase ``PrefixFilter`` / ``Scan.setRowPrefixFilter`` parity:
         all rows whose key starts with ``prefix``, as ONE contiguous
-        key range ``[prefix, prefix+1)`` — served by the sorted
+        key range ``[prefix, upper)`` — served by the sorted
         layout's row-group stats and region pruning (the A4 fast path),
-        never a full scan + startswith residual."""
+        never a full scan + startswith residual.  A prefix with no
+        string successor (all U+10FFFF) degenerates to the lower bound
+        alone — any key ≥ such a prefix necessarily starts with it."""
         if not prefix:
             return self.read(qualified_name)
-        upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-        return self.read(qualified_name).filter(
-            (F.col(ROW_KEY) >= prefix) & (F.col(ROW_KEY) < upper)
-        )
+        upper = self._prefix_upper_bound(prefix)
+        cond = F.col(ROW_KEY) >= prefix
+        if upper is not None:
+            cond = cond & (F.col(ROW_KEY) < upper)
+        return self.read(qualified_name).filter(cond)
 
     def get(self, qualified_name: str, keys: list[str]) -> DataFrame:
         """HBase multi-``Get`` parity: the rows for an explicit key
@@ -266,7 +371,9 @@ class KeyedTableStore:
         """Invalidate cached file listings/metadata (reference:
         ``refreshTable`` after insert, ``InsertIntoHBaseTable.scala:110``)."""
         spec = self.registry.get(qualified_name)
-        self.spark.catalog.refreshByPath(self.table_path(spec))
+        # refresh by the ROOT: invalidates cached listings for every
+        # generation under it, including the one a swap just retired
+        self.spark.catalog.refreshByPath(self.table_root(spec))
         self._register_view(spec)
 
     # -- write path (A5/A6/A10) -------------------------------------------
@@ -335,8 +442,17 @@ class KeyedTableStore:
         # "regions": range-partition by key; "HFiles": sort within partition
         n_regions = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
         ranged = out.repartitionByRange(n_regions, ROW_KEY).sortWithinPartitions(ROW_KEY)
-        ranged.write.mode("overwrite" if overwrite else "append").parquet(path)
-        self.refresh(qualified_name)
+        if overwrite:
+            # full-table replacement rides the same staged generation
+            # swap as every other rewrite — a crash mid-write must not
+            # destroy the previous table state
+            self._swap_table_dir(
+                spec,
+                lambda staging: ranged.write.mode("overwrite").parquet(staging),
+            )
+        else:
+            ranged.write.mode("append").parquet(path)
+            self.refresh(qualified_name)
 
         if indexes:
             if async_index:
@@ -637,7 +753,10 @@ class KeyedTableStore:
             if v < 0:
                 raise ValueError("negative lookup value on a lpad-keyed index")
             prefix = f"{v:0{meta['key_width']}d}|"
-        upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        # prefix always ends in an ASCII separator here, but route
+        # through the shared successor arithmetic anyway (surrogate/
+        # U+10FFFF-safe) so there is exactly one bound construction
+        upper = self._prefix_upper_bound(prefix)
         df = self.read(index_qualified_name)
         return df.filter((F.col(ROW_KEY) >= prefix) & (F.col(ROW_KEY) < upper))
 
@@ -910,27 +1029,27 @@ class KeyedTableStore:
         self._sorted_rewrite(spec, kept, n_regions=n_regions)
 
     # -- shared full-table rewrite (regions + sorted layout + refresh) ----
-    def _atomic_swap_write(self, spec: TableSpec, out: DataFrame) -> None:
-        """Write ``out`` to a STAGING sibling of the table directory, then
-        swap directories — the DataSource writer's staged-commit protocol
-        (``keyed_datasource.py`` staged-file atomic commit) applied to
-        full-table rewrites.
+    def _atomic_swap_write(
+        self, spec: TableSpec, out: DataFrame, validate=None
+    ) -> None:
+        """Write ``out`` to a fresh GENERATION directory under the table
+        root, then flip the generation pointer — the staged-commit
+        protocol applied to full-table rewrites.
 
         Why not overwrite-in-place: a DML rewrite READS the table it
         replaces, so writing ``mode("overwrite")`` to the same path needs
         the plan materialized first — the previous design pinned an entire
         table copy in executor block-manager storage via
         ``localCheckpoint(eager=True)``, a hard ceiling at 100 TB.  With
-        staging, the lazy plan streams from the OLD files while writing
-        the NEW directory; no executor-storage copy ever exists, and a
-        crash mid-write leaves the old snapshot untouched (the staging
-        dir is garbage, swept by the next rewrite).  The swap itself is
-        two same-filesystem directory renames — the table is briefly a
-        dangling name between them (microseconds, metadata-only); readers
-        resolve files at action time against the refreshed listing.
+        staging, the lazy plan streams from the OLD generation while
+        writing the NEW one; no executor-storage copy ever exists, and a
+        crash mid-write leaves the old generation live (the unreferenced
+        build is garbage, swept by the next rewrite).
         """
         self._swap_table_dir(
-            spec, lambda staging: out.write.mode("overwrite").parquet(staging)
+            spec,
+            lambda staging: out.write.mode("overwrite").parquet(staging),
+            validate=validate,
         )
 
     @staticmethod
@@ -941,29 +1060,49 @@ class KeyedTableStore:
         except OSError:
             shutil.copy2(src, dst)
 
-    def _swap_table_dir(self, spec: TableSpec, build_staging) -> None:
-        """The ONE staged-commit protocol every directory-replacing path
-        rides (DML rewrites, minor compaction, snapshot restore): sweep
-        leftovers of crashed earlier swaps, build the new directory via
-        ``build_staging(staging_path)``, then two same-filesystem
-        renames + refresh.  A crash inside the builder leaves the live
-        table untouched and its garbage is swept by the next swap."""
-        path = self.table_path(spec)
-        parent, base = os.path.dirname(path), os.path.basename(path)
-        for d in os.listdir(parent):
-            if d.startswith(f".{base}__"):
-                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-        txid = uuid.uuid4().hex[:12]
-        staging = os.path.join(parent, f".{base}__staging_{txid}")
-        retired = os.path.join(parent, f".{base}__old_{txid}")
-        build_staging(staging)
-        os.rename(path, retired)
-        os.rename(staging, path)
-        shutil.rmtree(retired, ignore_errors=True)
+    def _swap_table_dir(self, spec: TableSpec, build_staging, validate=None) -> None:
+        """The ONE staged-commit protocol every table-replacing path
+        rides (DML rewrites, TRUNCATE, compaction, snapshot restore):
+
+        1. sweep generations a crashed earlier swap left unreferenced
+           (never the current or previous one — reader grace);
+        2. build the new generation via ``build_staging(new_gen_path)``;
+        3. run ``validate()`` if given — raising here ABORTS the swap
+           with the live table untouched (used by :meth:`upsert`'s
+           in-plan MERGE-source duplicate check);
+        4. flip the ``_GENERATION`` pointer with ONE atomic rename —
+           readers resolve either the old or the new generation, both
+           complete, at every instant (no dangling-name window);
+        5. sweep generations older than the one just retired.
+
+        A crash at any step leaves the live table resolvable and
+        complete; garbage is swept by the next swap."""
+        root = self.table_root(spec)
+        man = self._read_gen_manifest(root)
+        if man is None:
+            # legacy flat layout: the root's own files are the current
+            # generation; they get the same one-swap reader grace
+            cur: str | None = self._FLAT if any(
+                f.endswith(".parquet") for f in os.listdir(root)
+            ) else None
+            prev: str | None = None
+        else:
+            cur, prev = man["current"], man.get("previous")
+        self._sweep_generations(root, keep={cur, prev})
+        new_gen = f"gen-{uuid.uuid4().hex[:12]}"
+        build_staging(os.path.join(root, new_gen))
+        if validate is not None:
+            validate()
+        self._write_gen_manifest(root, new_gen, cur)
+        self._sweep_generations(root, keep={new_gen, cur})
         self.refresh(spec.qualified_name)
 
     def _sorted_rewrite(
-        self, spec: TableSpec, df: DataFrame, n_regions: int | None = None
+        self,
+        spec: TableSpec,
+        df: DataFrame,
+        n_regions: int | None = None,
+        validate=None,
     ) -> None:
         """Conform ``df`` to the declared schema (order AND types — a
         rewrite must never drift stored types away from the TableSpec;
@@ -979,7 +1118,7 @@ class KeyedTableStore:
             max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
         )
         out = out.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
-        self._atomic_swap_write(spec, out)
+        self._atomic_swap_write(spec, out, validate=validate)
 
     @staticmethod
     def _footer_row_count(path: str) -> int:
@@ -1004,15 +1143,23 @@ class KeyedTableStore:
         write primitive HBase users take for granted: a Put overwrites
         the cell).
 
-        Implementation: snapshot ⟕ anti-join out the incoming keys,
-        union the incoming rows, one range-partitioned key-sorted
-        rewrite through the staged-directory atomic swap — no
-        table-sized executor-storage copy (at 100 TB the alternative is
-        the versioned-append path + :meth:`read_versions_asof`, which
-        defers the rewrite — see the CDC gates).  The dup-check and the
-        rewrite each evaluate the source once; a nondeterministic source
-        carries the same hazard any retried Spark write has — stamp
-        deterministic keys upstream.
+        Implementation (single-pass): tag snapshot rows 0 / source rows
+        1, union, one count-over-key window picks the winners (source
+        row wins its key; snapshot rows with no source twin survive),
+        one range-partitioned key-sorted rewrite through the staged
+        generation swap — the SOURCE IS EVALUATED EXACTLY ONCE in the
+        plan (pinned by ``test_upsert_evaluates_source_once``; the old
+        shape ran a separate dup-check ``count()`` job plus an
+        anti-join that referenced the source a second time).  The MERGE
+        law "multiple source rows per key is an error" (HBase would
+        last-wins, but "which last" is undefined for a batch) is
+        enforced IN the same plan: an ``Observation`` on the per-key
+        source count is checked after the staging write and BEFORE the
+        generation pointer flips, so a duplicate-key source aborts the
+        swap with the table untouched.  No table-sized
+        executor-storage copy (at 100 TB the alternative is the
+        versioned-append path + :meth:`read_versions_asof`, which
+        defers the rewrite — see the CDC gates).
 
         Covered indexes registered on the table are REBUILT in the same
         call (Phoenix index-maintenance semantics; reference analogue:
@@ -1020,6 +1167,8 @@ class KeyedTableStore:
         ``async_index=True``, which skips the rebuild and marks each
         index STALE until :meth:`rebuild_indexes` runs (Phoenix ASYNC).
         """
+        from pyspark.sql import Observation, Window
+
         spec = self.registry.get(qualified_name)
         cur = self.read(qualified_name)
         cols = cur.columns
@@ -1028,26 +1177,26 @@ class KeyedTableStore:
                 f"upsert source columns {sorted(df.columns)} != table "
                 f"columns {sorted(cols)}"
             )
-        incoming = df.select(*cols)
-        # standard MERGE law: multiple source rows per key is an error
-        # (HBase would last-wins, but "which last" is undefined for a
-        # batch) — fail loudly before touching the table
-        dups = (
-            incoming.groupBy(ROW_KEY)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > 1)
-            .limit(1)
-            .count()
+        incoming = df.select(*[F.col(f"`{c}`") for c in cols])
+        tagged = cur.withColumn("__src", F.lit(0)).unionByName(
+            incoming.withColumn("__src", F.lit(1))
         )
-        if dups:
-            raise ValueError(
-                "MERGE source contains duplicate row_key values; "
-                "deduplicate the source first"
-            )
-        keep = cur.join(
-            incoming.select(ROW_KEY), ROW_KEY, "left_anti"
+        w = Window.partitionBy(ROW_KEY)
+        counted = tagged.withColumn("__n_src", F.sum("__src").over(w))
+        merged = counted.filter((F.col("__src") == 1) | (F.col("__n_src") == 0))
+        obs = Observation()
+        merged = merged.observe(obs, F.max("__n_src").alias("max_src_per_key"))
+
+        def no_source_dups() -> None:
+            if (obs.get["max_src_per_key"] or 0) > 1:
+                raise ValueError(
+                    "MERGE source contains duplicate row_key values; "
+                    "deduplicate the source first"
+                )
+
+        self._sorted_rewrite(
+            spec, merged.drop("__src", "__n_src"), validate=no_source_dups
         )
-        self._sorted_rewrite(spec, keep.unionByName(incoming))
         self._maintain_indexes(qualified_name, async_index)
 
     # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
@@ -1068,10 +1217,10 @@ class KeyedTableStore:
         # NULL predicate must KEEP the row (NOT(NULL) is NULL and would
         # silently drop it)
         hit = F.coalesce(F.expr(condition), F.lit(False))
-        path = self.table_path(spec)
-        before = self._footer_row_count(path)
+        before = self._footer_row_count(self.table_path(spec))
         self._sorted_rewrite(spec, cur.filter(~hit))
-        deleted = before - self._footer_row_count(path)
+        # re-resolve: the swap flipped the generation pointer
+        deleted = before - self._footer_row_count(self.table_path(spec))
         self._maintain_indexes(qualified_name, async_index)
         return deleted
 

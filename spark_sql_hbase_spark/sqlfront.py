@@ -127,16 +127,27 @@ def _split_at_top_level_where(s: str) -> tuple[str, str | None]:
 
     A WHERE with an EMPTY condition raises: treating it as "no WHERE"
     would silently turn a malformed/truncated statement into a
-    full-table DELETE/UPDATE (condition "true")."""
-    in_str = in_tick = False
+    full-table DELETE/UPDATE (condition "true").
+
+    String scanning matches Spark's lexer: both ``'...'`` and ``"..."``
+    are string literals, and a backslash escapes the next character
+    inside either — ``'a\\'s where b'`` is ONE literal, not a string
+    ending at the escaped quote (ADVICE r6)."""
+    in_str: str | None = None  # the open quote char, ' or "
+    in_tick = esc = False
     depth = 0
     for i, ch in enumerate(s):
-        if in_str:
-            in_str = ch != "'"
+        if in_str is not None:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == in_str:
+                in_str = None
         elif in_tick:
             in_tick = ch != "`"
-        elif ch == "'":
-            in_str = True
+        elif ch in "'\"":
+            in_str = ch
         elif ch == "`":
             in_tick = True
         elif ch == "(":
@@ -147,7 +158,7 @@ def _split_at_top_level_where(s: str) -> tuple[str, str | None]:
             depth == 0
             and ch in "wW"
             and re.match(r"where\b", s[i:], re.IGNORECASE)
-            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_`'"))
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_`'\""))
         ):
             cond = s[i + 5 :].strip()
             if not cond:
@@ -163,21 +174,28 @@ def _split_sql_assignments(s: str) -> list[str]:
     """Split a SET clause on top-level commas, respecting parentheses,
     single-quoted strings, and backticked identifiers — NOT the
     type-list splitter (_split_top_level_commas), whose <>-bracket
-    counting corrupts any assignment containing a comparison operator."""
+    counting corrupts any assignment containing a comparison operator.
+    Backslash-escaped quotes and double-quoted literals scan the same
+    way as in :func:`_split_at_top_level_where`."""
     out, depth, cur, i = [], 0, [], 0
-    in_str = in_tick = False
+    in_str: str | None = None
+    in_tick = esc = False
     while i < len(s):
         ch = s[i]
-        if in_str:
+        if in_str is not None:
             cur.append(ch)
-            if ch == "'":
-                in_str = False
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == in_str:
+                in_str = None
         elif in_tick:
             cur.append(ch)
             if ch == "`":
                 in_tick = False
-        elif ch == "'":
-            in_str = True
+        elif ch in "'\"":
+            in_str = ch
             cur.append(ch)
         elif ch == "`":
             in_tick = True

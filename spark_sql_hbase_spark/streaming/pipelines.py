@@ -124,9 +124,12 @@ def write_stream_to_keyed_table(
         if _batch_already_applied(checkpoint_dir, batch_id):
             return
         store.insert(qualified_name, batch_df)
+        # marker IMMEDIATELY after the insert — compaction is
+        # content-preserving and safe to skip or redo, so it must not
+        # widen the insert-to-marker replay window (ADVICE r6)
+        _record_batch_applied(checkpoint_dir, batch_id)
         if minor_compact_every and (batch_id + 1) % minor_compact_every == 0:
             store.compact_minor(qualified_name)
-        _record_batch_applied(checkpoint_dir, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

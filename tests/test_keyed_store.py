@@ -35,8 +35,11 @@ def store(spark, tmp_path_factory):
 
 
 def duck(store, qualified, sql):
-    ns, name = qualified.split(".")
-    path = os.path.join(store.warehouse_dir, ns, name, "*.parquet")
+    # resolve the CURRENT generation through the store (the table root
+    # holds generation dirs + the _GENERATION manifest, not bare files)
+    path = os.path.join(
+        store.table_path(store.registry.get(qualified)), "*.parquet"
+    )
     con = duckdb.connect()
     con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}')")
     return con.sql(sql).fetchall()
@@ -670,12 +673,16 @@ def test_dml_failure_mid_rewrite_leaves_old_snapshot(spark, tmp_path):
         (r["row_key"], r["c:grp"], r["c:val"]) for r in st.read("r6.t").collect()
     )
     assert after == before
-    # the table still accepts (and survives) a real rewrite; the crashed
-    # staging dir is swept by it
+    # the table still accepts (and survives) a real rewrite; crashed
+    # unreferenced generations are swept by it (only the current and
+    # the grace-window previous generation remain)
     st.compact("r6.t", n_regions=2)
     assert st.read("r6.t").count() == len(before)
-    parent = os.path.dirname(st.table_path(st.registry.get("r6.t")))
-    assert not [d for d in os.listdir(parent) if "__staging_" in d]
+    spec = st.registry.get("r6.t")
+    root = st.table_root(spec)
+    man = st._read_gen_manifest(root)
+    gens = {d for d in os.listdir(root) if d.startswith("gen-")}
+    assert gens == {man["current"], man["previous"]} - {None}
 
 
 def test_dml_paths_have_no_localcheckpoint(spark):
@@ -969,6 +976,8 @@ def test_minor_compaction_merges_small_keeps_big_zero_copy(spark, tmp_path):
     )
     merged = st.compact_minor("mc.t", small_file_bytes=big_size)
     assert merged == n_before - 1
+    # re-resolve: the swap flipped the table to a new generation dir
+    path = st.table_path(spec)
     files_after = [f for f in os.listdir(path) if f.endswith(".parquet")]
     # all small files merged into one run + the untouched big file
     assert len(files_after) == 2
@@ -1106,3 +1115,138 @@ def test_scan_prefix_and_multi_get(spark, tmp_path):
     )
     assert got == ["00000003", "00000017"]
     assert_pushed(st.get("r6.t", ["00000003", "00000017"]), "In(row_key")
+
+
+# -- round-7 generation-swap protocol -------------------------------------
+def test_concurrent_reader_never_sees_dangling_table(spark, tmp_path):
+    """VERDICT r6 what's-wrong #1: the round-6 two-rename directory swap
+    had a microsecond window where the table name dangled — a reader
+    listing files in it got FileNotFound.  The generation-manifest
+    protocol (one atomic pointer rename; retired generation kept for a
+    grace swap) must never do that: read the table in a tight loop in a
+    thread while MERGE/compact swap repeatedly — zero read errors, and
+    every observed count is a complete generation's."""
+    import threading
+
+    st = _mk_plain_table(spark, tmp_path, n=50)
+    errors, counts, stop = [], [], threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(st.read("r6.t").count())
+            except Exception as e:  # noqa: BLE001 - recording any failure
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(6):
+            if i % 2 == 0:
+                st.upsert(
+                    "r6.t",
+                    spark.createDataFrame(
+                        [(f"{j:08d}", 9, 9.0) for j in range(1, 11)],
+                        "row_key string, `c:grp` long, `c:val` double",
+                    ),
+                )
+            else:
+                st.compact("r6.t", n_regions=2)
+    finally:
+        stop.set()
+        t.join(60)
+    assert not errors, errors
+    assert counts and all(c == 50 for c in counts), set(counts)
+
+
+def test_upsert_evaluates_source_once(spark, tmp_path):
+    """VERDICT r6 item 4: the MERGE source must be evaluated exactly
+    once — the duplicate-key check rides the SAME plan (count-over-key
+    window + Observation) instead of a separate count() job.  Pinned
+    with a per-row accumulator UDF on the source: after upsert the
+    accumulator equals the source row count, not a multiple."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    st = _mk_plain_table(spark, tmp_path, n=20)
+    acc = spark.sparkContext.accumulator(0)
+
+    @udf(LongType())
+    def tick(v):
+        acc.add(1)
+        return v
+
+    src = spark.createDataFrame(
+        [(f"{i:08d}", 7, float(i)) for i in range(1, 6)],
+        "row_key string, `c:grp` long, `c:val` double",
+    ).withColumn("c:val", tick(F.col("`c:val`")).cast("double"))
+    st.upsert("r6.t", src)
+    assert acc.value == 5, f"source evaluated {acc.value / 5:g}x"
+    out = {r["row_key"]: r["c:grp"] for r in st.read("r6.t").collect()}
+    assert len(out) == 20 and all(out[f"{i:08d}"] == 7 for i in range(1, 6))
+
+
+def test_upsert_duplicate_source_aborts_before_swap(spark, tmp_path):
+    """The in-plan duplicate check must abort BEFORE the generation
+    pointer flips: a duplicate-key MERGE source raises and the table
+    is bit-identical to before (old generation still current)."""
+    st = _mk_plain_table(spark, tmp_path, n=10)
+    before = sorted(map(tuple, st.read("r6.t").collect()))
+    dup = spark.createDataFrame(
+        [("00000001", 1, 1.0), ("00000001", 2, 2.0)],
+        "row_key string, `c:grp` long, `c:val` double",
+    )
+    with pytest.raises(ValueError, match="duplicate row_key"):
+        st.upsert("r6.t", dup)
+    assert sorted(map(tuple, st.read("r6.t").collect())) == before
+
+
+def test_insert_overwrite_crash_leaves_old_state(spark, tmp_path):
+    """ADVICE r6: insert(overwrite=True) must ride the staged swap —
+    a crash mid-write may not destroy the previous table state."""
+    st = _mk_plain_table(spark, tmp_path, n=15)
+    before = sorted(map(tuple, st.read("r6.t").collect()))
+    bad = spark.createDataFrame(
+        [("x", 1, 1.0)], "row_key string, `c:grp` long, `c:val` double"
+    ).withColumn("c:val", F.expr("CAST(raise_error('boom') AS DOUBLE)"))
+    with pytest.raises(Exception):
+        st.insert("r6.t", bad, overwrite=True, generate_row_key=False)
+    assert sorted(map(tuple, st.read("r6.t").collect())) == before
+    # and a successful overwrite actually replaces the data
+    st.insert(
+        "r6.t",
+        spark.createDataFrame(
+            [("00000099", 5, 5.0)], "row_key string, `c:grp` long, `c:val` double"
+        ),
+        overwrite=True,
+        generate_row_key=False,
+    )
+    assert st.read("r6.t").count() == 1
+
+
+def test_flat_layout_table_migrates_on_first_rewrite(spark, tmp_path):
+    """A hand-built table (parquet written straight into the root, no
+    manifest) stays readable, and its first rewrite migrates it to the
+    generational layout — with the flat files kept one grace swap for
+    readers mid-plan, then swept."""
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="fl", name="t", key_type="string",
+        families={"c": {"v": "long"}},
+    )
+    root = st.table_root(spec)
+    spark.createDataFrame(
+        [(f"{i:04d}", i) for i in range(8)], "row_key string, `c:v` long"
+    ).write.parquet(root)
+    st.registry.register(spec)
+    assert st.table_path(spec) == root  # flat resolution
+    assert st.read("fl.t").count() == 8
+    st.compact("fl.t", n_regions=1)  # first rewrite migrates
+    assert st.table_path(spec) != root
+    assert st.read("fl.t").count() == 8
+    # grace: flat files still on disk after the migrating swap
+    assert [f for f in os.listdir(root) if f.endswith(".parquet")]
+    st.compact("fl.t", n_regions=1)  # second swap sweeps them
+    assert not [f for f in os.listdir(root) if f.endswith(".parquet")]
+    assert st.read("fl.t").count() == 8

@@ -1930,3 +1930,67 @@ def test_fixed_point_index_bucket_is_monotone(values):
     svals = sorted(values)
     buckets = [round(v * scale) for v in svals]
     assert all(b1 <= b2 for b1, b2 in zip(buckets, buckets[1:]))
+
+
+# -- round-7: prefix-scan key-successor arithmetic ------------------------
+# Valid code points only (no surrogates — unencodable), biased toward the
+# adversarial boundary characters the naive last_char+1 bound mishandled.
+_edge_chars = st.sampled_from(
+    ["\x00", "a", "퟿", "", "￿", "\U0010fffe", "\U0010ffff"]
+)
+_key_char = st.one_of(
+    _edge_chars,
+    st.characters(
+        min_codepoint=0,
+        max_codepoint=0x10FFFF,
+        blacklist_categories=("Cs",),  # surrogates
+    ),
+)
+_key = st.text(alphabet=_key_char, min_size=0, max_size=4)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_key, min_size=1, max_size=12), _key)
+def test_prefix_scan_equals_startswith(spark, keys, prefix):
+    """ADVICE r6: scan_prefix's [prefix, successor) range must equal the
+    plain startswith filter for EVERY prefix — including prefixes ending
+    in U+D7FF (successor must skip the surrogate block) and U+10FFFF
+    (no successor at that position: carry, or lower-bound-only)."""
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    up = KeyedTableStore._prefix_upper_bound(prefix)
+    expected = sorted(k for k in set(keys) if k.startswith(prefix))
+    # pure successor law: every string with the prefix is < up (when up
+    # exists), and up itself does not have the prefix
+    if up is not None:
+        assert not up.startswith(prefix) or up == prefix  # strict bound
+        for k in expected:
+            assert prefix <= k < up
+    got = sorted(
+        k
+        for k in set(keys)
+        if k >= prefix and (up is None or k < up)
+    )
+    assert got == expected
+
+
+def test_prefix_scan_spark_roundtrip_edge_prefixes(spark, tmp_path_factory):
+    """The same law through the actual Spark scan for the two boundary
+    prefixes the round-6 code raised/crashed on."""
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    st_ = KeyedTableStore(spark, str(tmp_path_factory.mktemp("wh_prefix")))
+    keys = ["a", "a퟿", "a퟿z", "a", "\U0010ffff", "\U0010ffffx", "b"]
+    st_.ctas(
+        TableSpec(
+            namespace="px", name="t", key_type="string",
+            families={"c": {"v": "long"}},
+        ),
+        spark.createDataFrame(
+            [(k, i) for i, k in enumerate(keys)], "row_key string, `c:v` long"
+        ),
+    )
+    for prefix in ["a퟿", "\U0010ffff", "a", ""]:
+        got = sorted(r["row_key"] for r in st_.scan_prefix("px.t", prefix).collect())
+        assert got == sorted(k for k in keys if k.startswith(prefix)), prefix

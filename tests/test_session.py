@@ -507,6 +507,31 @@ def test_sql_update_delete_quoted_where_not_split(spark, tmp_path):
     assert {r["row_key"] for r in sess.store.read("qw.t").collect()} == {"0001"}
 
 
+def test_sql_update_escaped_quote_and_double_quoted_literals(spark, tmp_path):
+    """ADVICE r6: the scanner must treat a backslash-escaped quote as
+    string INTERIOR (``'a\\'s where b'`` is one literal — round 6 split
+    at the embedded where), and double-quoted literals as strings."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.sql("CREATE TABLE eq.t (row_key string, `c:s` string) USING keyed")
+    spark.createDataFrame(
+        [("0001", "a"), ("0002", "b")], "row_key string, `c:s` string"
+    ).createOrReplaceTempView("__eq_base")
+    sess.sql("INSERT INTO eq.t SELECT * FROM __eq_base")
+    # escaped quote inside the literal; NO real WHERE clause → hits all
+    sess.sql("UPDATE eq.t SET `c:s` = 'a\\'s where b'")
+    got = {r["row_key"]: r["c:s"] for r in sess.store.read("eq.t").collect()}
+    assert got == {"0001": "a's where b", "0002": "a's where b"}
+    # double-quoted literal containing ' where ' — also data, not a split
+    sess.sql('UPDATE eq.t SET `c:s` = "dq where dq" WHERE row_key = \'0001\'')
+    got = {r["row_key"]: r["c:s"] for r in sess.store.read("eq.t").collect()}
+    assert got == {"0001": "dq where dq", "0002": "a's where b"}
+    # escaped quote inside a real WHERE condition survives intact
+    sess.sql("DELETE FROM eq.t WHERE `c:s` = 'a\\'s where b'")
+    assert {r["row_key"] for r in sess.store.read("eq.t").collect()} == {"0001"}
+
+
 def test_sql_merge_delete_maintain_covered_index(spark, tmp_path):
     """Batch DML through the SQL router keeps a registered covered index
     fresh (the k14 gate's law, pinned here at unit scale): index-only
