@@ -29,7 +29,11 @@ z61 -> d12_semantic_dedup, z63 -> t16_dsir_importance,
 z64 -> s09_ivfadc_rerank, z70 -> t17_cms_heavy_hitters,
 z71 -> d13_containment_neardup, z73 -> d14_bloom_decontam,
 z95 -> k12_sql_merge_upsert, z96 -> k13_sql_delete_update (same code,
-new registry names after the driver-window rotation)."""
+new registry names after the driver-window rotation).
+
+Round-7: the window rotation renamed several bench subjects again; the
+report KEEPS the round-6 output keys (so BENCH_r7 compares key-for-key
+against BENCH_r6) and resolves the registry through _R7_RENAMES."""
 
 from __future__ import annotations
 
@@ -57,6 +61,25 @@ HEADLINE = [
 ]
 
 N_RUNS = 3
+
+# round-7 driver-window rotation: bench output key -> current registry
+# name (same code; stable keys keep BENCH_r{N} cross-round comparable)
+_R7_RENAMES = {
+    "q01_pricing_summary": "zd01_pricing_summary",
+    "q03_regional_revenue": "zd03_regional_revenue",
+    "q07_topk_parts_per_supplier": "zd07_topk_parts_per_supplier",
+    "q21_sessionization": "zd21_sessionization",
+    "q22_asof_join": "zd22_asof_join",
+    "k02_keyed_insert_compact": "zd32_keyed_insert_compact",
+    "s06_ivfadc": "zd46_ivfadc",
+    "zc03_snapshot_restore": "k17_snapshot_restore",
+    "zc08_minor_compaction": "k18_minor_compaction",
+}
+
+
+def _lookup(registry, name):
+    """Resolve a (possibly renamed) bench key in the query registry."""
+    return registry.get(name) or registry.get(_R7_RENAMES.get(name, ""))
 
 # rows each headline query SCANS at sf=1 (dominant input table), for the
 # rows/s throughput report; scaled linearly by the measured SF
@@ -144,7 +167,7 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
 
     registry = load_all()
     t0 = time.perf_counter()
-    n = registry["k02_keyed_insert_compact"].fn(spark, sf_dir).count()
+    n = _lookup(registry, "k02_keyed_insert_compact").fn(spark, sf_dir).count()
     out["k02_keyed_insert_compact"] = round(time.perf_counter() - t0, 3)
     print(f"# k02_keyed_insert_compact: {out['k02_keyed_insert_compact']}s "
           f"rows={n}", file=sys.stderr)
@@ -166,7 +189,7 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
         ("d10_duplicate_spans", "d10_duplicate_spans"),
     ):
         t0 = time.perf_counter()
-        n = registry[name].fn(spark, sf_dir).count()
+        n = _lookup(registry, name).fn(spark, sf_dir).count()
         out[key] = round(time.perf_counter() - t0, 3)
         print(f"# {key}: {out[key]}s rows={n}", file=sys.stderr)
         spark.catalog.clearCache()
@@ -216,7 +239,7 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
         "zc08_minor_compaction",
     ):
         t0 = time.perf_counter()
-        n = registry[name].fn(spark, sf_dir).count()
+        n = _lookup(registry, name).fn(spark, sf_dir).count()
         out[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {out[name]}s rows={n}", file=sys.stderr)
         spark.catalog.clearCache()
@@ -246,7 +269,7 @@ def main() -> None:
     for i in range(N_RUNS):
         times: dict[str, float] = {}
         for name in HEADLINE:
-            qd = registry.get(name)
+            qd = _lookup(registry, name)
             if qd is None:
                 continue
             t0 = time.perf_counter()

@@ -39,7 +39,7 @@ def _session(spark: SparkSession):
 # through the store with a key-range + value predicate (A1/A4/A7).
 # ---------------------------------------------------------------------------
 @register(
-    "k01_keyed_ctas_scan",
+    "zd31_keyed_ctas_scan",
     oracle="""
     SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS row_key,
            o_orderstatus AS "o:status",
@@ -50,7 +50,7 @@ def _session(spark: SparkSession):
     description="CTAS into keyed store (range-partitioned, key-sorted) + "
     "row-key range scan with value pushdown",
 )
-def k01_keyed_ctas_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd31_keyed_ctas_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -79,7 +79,7 @@ def k01_keyed_ctas_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k02 — two inserts + compaction, aggregate readback (A5/A10).
 # ---------------------------------------------------------------------------
 @register(
-    "k02_keyed_insert_compact",
+    "zd32_keyed_insert_compact",
     oracle="""
     SELECT n_nationkey, count(*) AS n_customers,
            CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_bal
@@ -88,7 +88,7 @@ def k01_keyed_ctas_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="keyed-store double insert + major compaction + join-agg readback",
 )
-def k02_keyed_insert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd32_keyed_insert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.functions.det import dsum
 
@@ -130,7 +130,7 @@ def k02_keyed_insert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # InsertIntoHBaseTable strategy (HBaseStrategies.scala:243-260).
 # ---------------------------------------------------------------------------
 @register(
-    "k03_sql_insert_readback",
+    "zd33_sql_insert_readback",
     oracle="""
     SELECT '0001' AS row_key, 'TestSql' AS "cf:name"
     UNION ALL SELECT '0002', 'TestSql'
@@ -143,7 +143,7 @@ def k02_keyed_insert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="SQL INSERT INTO keyed table: VALUES x3 (generator overrides "
     "supplied keys) + INSERT..SELECT, SQL readback",
 )
-def k03_sql_insert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd33_sql_insert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = _session(spark)
     prev_db = spark.catalog.currentDatabase()
     try:
@@ -207,7 +207,7 @@ def k04_namespace_ctas_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # qualifier back as NULL), INSERT into the widened schema, readback.
 # ---------------------------------------------------------------------------
 @register(
-    "k05_sql_alter_add_columns",
+    "zd35_sql_alter_add_columns",
     oracle="""
     SELECT printf('%04d', row_number() OVER (ORDER BY n_name)) AS row_key,
            n_name AS "cf:name",
@@ -224,7 +224,7 @@ def k04_namespace_ctas_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "read the new qualifier as NULL (no data rewrite), post-ALTER INSERT "
     "fills it",
 )
-def k05_sql_alter_add_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd35_sql_alter_add_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = _session(spark)
     table(spark, sf_dir, "nation").createOrReplaceTempView("__k05_nation")
     sess.sql(
@@ -765,7 +765,7 @@ def k11_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equality over the source relation.
 # ---------------------------------------------------------------------------
 @register(
-    "zc01_string_secondary_index",
+    "k15_string_secondary_index",
     oracle="""
     SELECT CAST(c_custkey AS BIGINT) AS custkey,
            c_name AS name
@@ -775,7 +775,7 @@ def k11_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="string covered index: \\x01-composite keys, point query "
     "as one index key-prefix range scan",
 )
-def zc01_string_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k15_string_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -817,7 +817,7 @@ _ZC02_SCALE = 100
 
 
 @register(
-    "zc02_fixedpoint_index",
+    "k16_fixedpoint_index",
     oracle="""
     SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
            o_totalprice AS totalprice
@@ -827,7 +827,7 @@ _ZC02_SCALE = 100
     description="fixed-point covered index over a double column: scaled "
     "key-range scan + exact residual on the carried value",
 )
-def zc02_fixedpoint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k16_fixedpoint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -874,7 +874,7 @@ def zc02_fixedpoint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain source projection, proving the mutations were fully undone.
 # ---------------------------------------------------------------------------
 @register(
-    "zc03_snapshot_restore",
+    "k17_snapshot_restore",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            c_acctbal AS acctbal
@@ -883,7 +883,7 @@ def zc02_fixedpoint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="HBase snapshot/restore parity: zero-copy capture, "
     "destructive DML, atomic-swap rollback to the snapshot",
 )
-def zc03_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k17_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -928,7 +928,7 @@ def zc03_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest.)  Oracle: the union the inserts built.
 # ---------------------------------------------------------------------------
 @register(
-    "zc08_minor_compaction",
+    "k18_minor_compaction",
     oracle="""
     SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS row_key,
            o_totalprice AS totalprice
@@ -942,7 +942,7 @@ def zc03_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="minor compaction: small ingest files merged into one "
     "sorted run, content exactly preserved",
 )
-def zc08_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k18_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)

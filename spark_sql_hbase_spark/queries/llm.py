@@ -778,12 +778,12 @@ _PIPELINE_ORACLE = f"""
 
 
 @register(
-    "p01_curation_pipeline",
+    "zd41_curation_pipeline",
     oracle=_PIPELINE_ORACLE,
     description="composed corpus curation: lang-ID filter -> quality filter "
     "-> exact dedup -> per-source token accounting",
 )
-def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd41_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from spark_sql_hbase_spark.functions.texthash import tokens
@@ -825,7 +825,7 @@ def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 2048
 
 @register(
-    "p02_sequence_packing",
+    "zd42_sequence_packing",
     oracle=f"""
     WITH __tok AS (
         SELECT source, doc_id, {_WS_TOKENS} AS n_tokens FROM documents
@@ -990,7 +990,7 @@ def z20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/text.py::vocabulary).
 # ---------------------------------------------------------------------------
 @register(
-    "t09_vocabulary_topk",
+    "zd49_vocabulary_topk",
     oracle=f"""
     WITH __t AS (
         SELECT unnest({_TOK}) AS term FROM documents
@@ -1005,7 +1005,7 @@ def z20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="corpus vocabulary top-50 with counts (tokenizer prep, "
     "map-side-combined, TakeOrdered)",
 )
-def t09_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd49_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.vocabulary(docs, "text", top_k=50)
 
@@ -1169,7 +1169,7 @@ def zb21_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fraction.  Pure row-local projection — zero shuffle at any scale.
 # ---------------------------------------------------------------------------
 @register(
-    "t10_repetition_stats",
+    "zd50_repetition_stats",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id, {_TOK} AS t FROM documents
@@ -1200,7 +1200,7 @@ def zb21_quality_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Gopher-style repetition filter signals (dup-token/"
     "top-token/dup-2gram fractions) — row-local, shuffle-free",
 )
-def t10_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd50_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.repetition_stats(docs, "doc_id", "text")
 
@@ -1215,13 +1215,13 @@ from spark_sql_hbase_spark.operators.ranking import unigram_surprisal_sql as _us
 
 
 @register(
-    "t11_unigram_surprisal",
+    "zd51_unigram_surprisal",
     oracle="SELECT q.id AS doc_id, q.n_tokens, q.surprisal FROM ("
     + _usql("documents", "doc_id", _TOK)
     + ") q",
     description="per-doc mean unigram surprisal (corpus-trained, ln+round4)",
 )
-def t11_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd51_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import unigram_surprisal
 
     docs = table(spark, sf_dir, "documents")
@@ -1244,7 +1244,7 @@ _PQ_KSUB = 8
 
 
 @register(
-    "s07_pq_ann",
+    "zd47_pq_ann",
     oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
@@ -1286,7 +1286,7 @@ _PQ_KSUB = 8
     description="product-quantization ANN: m=4 subspace codes + "
     "asymmetric-distance top-5 (corpus read as codes, never as vectors)",
 )
-def s07_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd47_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         pq_ann_topk,
@@ -1327,7 +1327,7 @@ _IVF_NPROBE = 2
 
 
 @register(
-    "s06_ivfadc",
+    "zd46_ivfadc",
     oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
@@ -1392,7 +1392,7 @@ _IVF_NPROBE = 2
     description="IVFADC: PQ asymmetric-distance top-5 within each query's "
     "nprobe=2 nearest coarse cells — corpus read as (cell, codes) only",
 )
-def s06_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd46_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         assign_cells,
@@ -1615,7 +1615,7 @@ _BUDGET_TOK = 500
 
 
 @register(
-    "t12_budget_sample",
+    "zd52_budget_sample",
     oracle=f"""
     WITH m AS (
         SELECT source AS stratum, doc_id,
@@ -1642,7 +1642,7 @@ _BUDGET_TOK = 500
     description="per-source token-budget subsample report: deterministic "
     "hash gate at min(1, budget/total) — no sort, no window",
 )
-def t12_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd52_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.budget_sample(docs, "source", "doc_id", "text", _BUDGET_TOK)
 
@@ -3731,7 +3731,7 @@ _ZC20_SIZE, _ZC20_STRIDE = 32, 16
 
 
 @register(
-    "zc20_sliding_chunks",
+    "p05_sliding_chunks",
     oracle=f"""
     WITH __tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
     __n AS (
@@ -3757,7 +3757,7 @@ _ZC20_SIZE, _ZC20_STRIDE = 32, 16
     description="overlapping sliding context windows (size 32 stride "
     "16), all-JVM posexplode+slice — zero Python",
 )
-def zc20_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p05_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
 
     docs = table(spark, sf_dir, "documents")

@@ -28,7 +28,7 @@ from spark_sql_hbase_spark.queries import register, table
 # q01 — TPC-H Q1 pricing summary: filter → hash-agg with partial aggregation.
 # ---------------------------------------------------------------------------
 @register(
-    "q01_pricing_summary",
+    "zd01_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            {dsum_sql('l_quantity', 'sum_qty')},
@@ -45,7 +45,7 @@ from spark_sql_hbase_spark.queries import register, table
     """,
     description="TPC-H Q1: scan+filter+group-by agg (map-side combine, 6 groups)",
 )
-def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -93,7 +93,7 @@ def z02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AQE reorders/broadcasts as stats allow.
 # ---------------------------------------------------------------------------
 @register(
-    "q03_regional_revenue",
+    "zd03_regional_revenue",
     oracle=f"""
     SELECT n_name,
            {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
@@ -108,7 +108,7 @@ def z02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q5: multi-way join with broadcast dims + shuffle joins",
 )
-def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -222,7 +222,7 @@ def z05_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on l_suppkey; at scale this is the canonical "no global sort" top-k.
 # ---------------------------------------------------------------------------
 @register(
-    "q07_topk_parts_per_supplier",
+    "zd07_topk_parts_per_supplier",
     oracle=f"""
     WITH rev AS (
         SELECT l_suppkey, l_partkey,
@@ -238,7 +238,7 @@ def z05_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="window row_number top-3 per group over pre-aggregated revenue",
 )
-def q07_topk_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd07_topk_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plan note: aggregate-then-window = two shuffles of (suppkey,partkey)
     # aggregates. In THIS synthetic data the pairs are ~unique (591k
     # groups from 600k rows at sf0.1), so partial aggregation barely
@@ -522,7 +522,7 @@ def z07_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # surface the reference session exposes (HBaseSessionStateBuilder.scala:101).
 # ---------------------------------------------------------------------------
 @register(
-    "q16_approx_distinct",
+    "zd16_approx_distinct",
     oracle="""
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS exact_parts,
@@ -538,7 +538,7 @@ def z07_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "validated in-query against exact values (error-bound booleans); the "
     "oracle twin computes the exact values and literal TRUEs.",
 )
-def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     g = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
@@ -708,7 +708,7 @@ def z41_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # user_id; lag + conditional cumsum — the canonical scalable pattern.
 # ---------------------------------------------------------------------------
 @register(
-    "q21_sessionization",
+    "zd21_sessionization",
     oracle="""
     WITH marked AS (
         SELECT user_id, ts, event_id,
@@ -732,7 +732,7 @@ def z41_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="sessionization via lag + conditional cumsum (one shuffle)",
 )
-def q21_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd21_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.select(
@@ -762,7 +762,7 @@ def q21_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the engine's scalable union+window implementation (operators/asof.py).
 # ---------------------------------------------------------------------------
 @register(
-    "q22_asof_join",
+    "zd22_asof_join",
     oracle="""
     WITH clicks AS (
         SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
@@ -781,7 +781,7 @@ def q21_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="as-of (backward, inclusive) join via single-shuffle union+window",
 )
-def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zd22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.asof import asof_join
 
     ev = table(spark, sf_dir, "events")
@@ -1218,7 +1218,7 @@ def q35_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-side collect, and the fact side streams against a 1-row build.
 # ---------------------------------------------------------------------------
 @register(
-    "z13_waiting_customers",
+    "q13_waiting_customers",
     oracle=f"""
     WITH cavg AS (
         SELECT {davg_sql('c_acctbal', 'avg_bal')}
@@ -1234,7 +1234,7 @@ def q35_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="scalar subquery (broadcast 1-row agg) + anti join + agg",
 )
-def z13_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     cavg = cu.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal", "avg_bal"))
@@ -1253,7 +1253,7 @@ def z13_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count, then a histogram over the counts. Two shuffles: custkey, c_count.
 # ---------------------------------------------------------------------------
 @register(
-    "z14_order_count_histogram",
+    "q14_order_count_histogram",
     oracle="""
     WITH c_orders AS (
         SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -1267,7 +1267,7 @@ def z13_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="left outer join w/ join-side predicate + count histogram",
 )
-def z14_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     c_orders = (
@@ -1294,7 +1294,7 @@ def z14_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for huge groups the pattern is pre-aggregate or mapInPandas instead).
 # ---------------------------------------------------------------------------
 @register(
-    "z15_grouped_pandas_median",
+    "u01_grouped_pandas_median",
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
@@ -1306,7 +1306,7 @@ def z14_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="grouped applyInPandas: exact per-group median + decile spread",
 )
-def z15_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+def u01_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -1391,7 +1391,7 @@ def zb05_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # independent — the property a custom distributed aggregate must have.
 # ---------------------------------------------------------------------------
 @register(
-    "z25_pandas_udaf_xor",
+    "u02_pandas_udaf_xor",
     oracle="""
     SELECT event_type,
            bit_xor(event_id) AS xor_ids,
@@ -1577,12 +1577,12 @@ WHERE c.c_custkey <= 200
 
 
 @register(
-    "zc05_lateral_topk",
+    "q05_lateral_topk",
     oracle=_ZC05,
     description="correlated LATERAL subquery: per-customer top-3 orders, "
     "decorrelated by Catalyst into a ranked join",
 )
-def zc05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ZC05)
@@ -1603,7 +1603,7 @@ def zc05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts).
 # ---------------------------------------------------------------------------
 @register(
-    "zc06_event_funnel",
+    "q06_event_funnel",
     oracle="""
     WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
                WHERE event_type = 'view' GROUP BY user_id),
@@ -1626,7 +1626,7 @@ def zc05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="ordered view->click->purchase funnel: one scan, one "
     "user-keyed shuffle, stage chaining via per-user time arrays",
 )
-def zc06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
@@ -1684,7 +1684,7 @@ def zc06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines); retention is one IEEE division of exact counts.
 # ---------------------------------------------------------------------------
 @register(
-    "zc07_retention_cohorts",
+    "q08_retention_cohorts",
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT user_id,
@@ -1717,7 +1717,7 @@ def zc06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="weekly retention cohorts: one scan, cohort via per-user "
     "window min over distinct pairs, cohort-normalized retention",
 )
-def zc07_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q08_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events")
@@ -1757,7 +1757,7 @@ def zc07_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # revenue per the dsum convention.
 # ---------------------------------------------------------------------------
 @register(
-    "zc12_disjunctive_join_revenue",
+    "q19_disjunctive_join_revenue",
     oracle="""
     SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
                                AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
@@ -1773,7 +1773,7 @@ def zc07_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q19-style disjunctive join: OR-of-conjunctions "
     "through an equi-join, decimal-exact revenue",
 )
-def zc12_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.det import dsum
 
     li = table(spark, sf_dir, "lineitem")
@@ -1805,7 +1805,7 @@ def zc12_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 # broadcast-joined aggregate, not a window over the fact.
 # ---------------------------------------------------------------------------
 @register(
-    "zc13_share_of_nation_having",
+    "q11_share_of_nation_having",
     oracle="""
     WITH tot AS (
         SELECT s_nationkey,
@@ -1821,7 +1821,7 @@ def zc12_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     description="TPC-H Q11-style share threshold: balance > 5% of "
     "nation total via exact decimal compare, broadcast agg join",
 )
-def zc13_share_of_nation_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_share_of_nation_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
     tot = s.groupBy("s_nationkey").agg(
         F.sum(F.col("s_acctbal").cast("decimal(38,6)")).alias("nation_total")
@@ -1853,7 +1853,7 @@ _ZC15_CUTS = [i / 10 for i in range(1, 10)]
 
 
 @register(
-    "zc15_equidepth_histogram",
+    "q15_equidepth_histogram",
     oracle=f"""
     WITH cuts AS (
         SELECT quantile_disc(o_totalprice,
@@ -1873,7 +1873,7 @@ _ZC15_CUTS = [i / 10 for i in range(1, 10)]
     description="equi-depth decile histogram: percentile_disc boundaries "
     "+ row-local bucket fold + bounded 10-row aggregate",
 )
-def zc15_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     cuts = o.agg(
         F.array(
@@ -1917,7 +1917,7 @@ _ZC16_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
 
 
 @register(
-    "zc16_column_profile",
+    "q17_column_profile",
     oracle="""
     SELECT 'o_orderkey' AS col_name,
            CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
@@ -1944,7 +1944,7 @@ _ZC16_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
     description="per-column profile: nulls, exact distinct, min/max — "
     "one scan, stack-unpivoted summary row",
 )
-def zc16_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     aggs = []
     for c in _ZC16_COLS:
@@ -2038,7 +2038,7 @@ def zc17_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # surface put to analytic work.
 # ---------------------------------------------------------------------------
 @register(
-    "zc21_event_volume_anomaly",
+    "q24_event_volume_anomaly",
     oracle="""
     WITH hourly AS (
         SELECT event_type,
@@ -2077,7 +2077,7 @@ def zc17_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="hourly event-volume anomalies: z-score vs the trailing "
     "24h window, integer-exact moments, self-excluding frame",
 )
-def zc21_event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24_event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events")

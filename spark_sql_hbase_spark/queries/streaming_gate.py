@@ -817,7 +817,7 @@ def st07_stream_index_dualwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: the same CASE construction as st06, without the version.
 # ---------------------------------------------------------------------------
 @register(
-    "zc19_stream_upsert_sink",
+    "st08_stream_upsert_sink",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
@@ -827,7 +827,7 @@ def st07_stream_index_dualwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="streaming upsert sink: per-batch MERGE into the keyed "
     "store, table is the latest-state view",
 )
-def zc19_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st08_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     from spark_sql_hbase_spark.catalog import TableSpec

@@ -223,7 +223,7 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     user (emitted once the watermark passes the gap).
 
     The batch twin (identical gap semantics over a static frame) is
-    ``q21_sessionization``; this is the operator SURVEY §7.1 marks as the
+    ``zd21_sessionization``; this is the operator SURVEY §7.1 marks as the
     "custom stateful streaming" extension — state is per-key in the state
     store, Arrow-batched, and evicted on event-time timeout, so state
     size is bounded by (active users × one (start, end, n) triple).
@@ -563,7 +563,7 @@ def quota_admission_stream(
     typed ValueState handles) is the designated successor surface for
     this operator, but its Python driver worker requires the
     ``google.protobuf`` package, which this runtime does not ship
-    (re-verified round 6: ``import google.protobuf`` still fails) — the
+    (re-verified rounds 6 and 7: ``import google.protobuf`` still fails) — the
     GroupState form is semantically identical here (state = one running
     count; count-based admission is row-order-independent).
 

@@ -47,7 +47,7 @@ def test_q05_broadcasts_dim(spark, registry):
 
 def test_q01_partial_aggregation(spark, registry):
     """Map-side combine: HashAggregate appears in partial+final pairs."""
-    plan = formatted_plan(registry["q01_pricing_summary"].fn(spark, SF))
+    plan = formatted_plan(registry["zd01_pricing_summary"].fn(spark, SF))
     assert len(re.findall(r"HashAggregate", plan)) >= 2
     assert "partial" in plan.lower() or "merge" in plan.lower() or "Final" in plan
 
@@ -61,7 +61,7 @@ def test_q02_topk_no_global_sort(spark, registry):
 def test_whole_stage_codegen_covers_scan_agg(spark, registry):
     """Codegen spans only materialize in the FINAL adaptive plan — execute,
     then inspect the executed plan."""
-    df = registry["q01_pricing_summary"].fn(spark, SF)
+    df = registry["zd01_pricing_summary"].fn(spark, SF)
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     # "*(n)" prefixes mark whole-stage-codegen spans in the executed plan
@@ -126,7 +126,7 @@ def test_q40_scalar_subquery_is_broadcast(spark, registry):
     """The 1-row aggregate joins as a broadcast nested loop (never a
     shuffle); the anti join stays an equi-join (hash/merge, no cartesian
     against the big side)."""
-    plan = formatted_plan(registry["z13_waiting_customers"].fn(spark, SF))
+    plan = formatted_plan(registry["q13_waiting_customers"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
 
@@ -136,7 +136,7 @@ def test_p01_pipeline_is_fused_zero_join(spark, registry):
     exactly two exchanges (dedup window on the digest + per-source
     rollup). Composing the stages by join would shuffle the text corpus
     once per stage."""
-    plan = formatted_plan(registry["p01_curation_pipeline"].fn(spark, SF))
+    plan = formatted_plan(registry["zd41_curation_pipeline"].fn(spark, SF))
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
 
@@ -313,7 +313,7 @@ def test_t11_surprisal_single_corpus_scan(spark, registry):
     spark.catalog.clearCache()  # cached gate intermediates would hide the scan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        df = registry["t11_unigram_surprisal"].fn(spark, SF)
+        df = registry["zd51_unigram_surprisal"].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("documents.parquet") == 1, plan
         assert plan.count("ReusedExchange") >= 2, plan
@@ -327,7 +327,7 @@ def test_t10_repetition_single_tokenize(spark, registry):
     aliases; HOF lambdas get no subexpression elimination).  The round-4
     shape binds the token array behind a Generate barrier — the tokenize
     expression (its regexp split) must appear exactly ONCE in the plan."""
-    plan = formatted_plan(registry["t10_repetition_stats"].fn(spark, SF))
+    plan = formatted_plan(registry["zd50_repetition_stats"].fn(spark, SF))
     assert plan.count("split(") == 1, plan
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
 
@@ -357,7 +357,7 @@ def test_s06_ivfadc_corpus_side_is_codes_only(spark, registry):
     explode), and the query side is SHUFFLE-FREE up to the final top-k
     (probe selection and ADC tables are row-local projections — no
     ranking window, no aggregation exchanges)."""
-    plan = formatted_plan(registry["s06_ivfadc"].fn(spark, SF))
+    plan = formatted_plan(registry["zd46_ivfadc"].fn(spark, SF))
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 5, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
@@ -604,7 +604,7 @@ def test_t12_budget_sample_no_window_no_sort(spark, registry):
     join + row-local gate + rollup — no Window, no range partitioning
     (the cumulative-sum formulation both would appear in funnels each
     stratum through one ordered task)."""
-    plan = formatted_plan(registry["t12_budget_sample"].fn(spark, SF))
+    plan = formatted_plan(registry["zd52_budget_sample"].fn(spark, SF))
     assert "Window" not in plan, plan[:800]
     assert "rangepartitioning" not in plan, plan[:800]
     assert "BroadcastHashJoin" in plan
@@ -943,7 +943,7 @@ def test_zc05_lateral_is_decorrelated_not_nested_loop(spark, registry):
     """The correlated LATERAL (ORDER BY ... LIMIT) must decorrelate into
     a ranked window + equi-join — a per-outer-row nested-loop
     re-execution would be quadratic at scale."""
-    plan = formatted_plan(registry["zc05_lateral_topk"].fn(spark, SF))
+    plan = formatted_plan(registry["q05_lateral_topk"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan, plan
@@ -955,7 +955,7 @@ def test_zc06_zc07_single_corpus_scan(spark, registry):
     cohort matrix derives the cohort week via a window min over the
     distinct pairs instead of a self-join (which would re-scan)."""
     spark.catalog.clearCache()
-    for name in ("zc06_event_funnel", "zc07_retention_cohorts"):
+    for name in ("q06_event_funnel", "q08_retention_cohorts"):
         plan = formatted_plan(registry[name].fn(spark, SF))
         assert plan.count("events.parquet") == 1, (name, plan)
 
@@ -964,7 +964,7 @@ def test_zc20_sliding_chunks_no_python_in_plan(spark, registry):
     """The sliding-window chunker is the PRODUCTION chunking shape: the
     whole one-to-many expansion must stay in JVM expressions — no
     Python eval operator anywhere in the plan."""
-    plan = formatted_plan(registry["zc20_sliding_chunks"].fn(spark, SF))
+    plan = formatted_plan(registry["p05_sliding_chunks"].fn(spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Generate" in plan, plan

@@ -131,7 +131,7 @@ def test_sessionize_stream_emits_closed_sessions(spark, events_stream_dir):
 
     from spark_sql_hbase_spark.queries import load_all
 
-    batch = load_all()["q21_sessionization"].fn(spark, SF)
+    batch = load_all()["zd21_sessionization"].fn(spark, SF)
     batch_sessions = {
         (r["user_id"], r["n_events"], r["dur_ms"])
         for r in batch.select("user_id", "n_events", "dur_ms").collect()
