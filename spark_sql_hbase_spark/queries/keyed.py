@@ -979,3 +979,55 @@ def k18_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read("gate.orders_mc").select(
         "row_key", F.col("`o:totalprice`").alias("totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# ze03 — previous-generation time travel (round-7 addition;
+# sources/keyed_parquet.py::read_generation): the generation-manifest
+# swap protocol retains the replaced generation for one grace swap, so
+# the store can serve "the table as it was before the last rewrite" for
+# free — an HBase-snapshot-like read WITHOUT having taken a snapshot.
+# The gate CTAS-es a customer projection, runs a destructive DELETE
+# (every even key), then reads generation="previous" — which must equal
+# the ORIGINAL full projection (the oracle), proving the retired
+# generation is complete and resolvable while the live table shows the
+# post-DELETE state.
+# ---------------------------------------------------------------------------
+@register(
+    "ze03_previous_generation_read",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
+           c_acctbal AS acctbal
+    FROM customer
+    """,
+    description="generation time travel: read the pre-rewrite table "
+    "state from the retained previous generation after a DELETE",
+)
+def ze03_previous_generation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    c = table(spark, sf_dir, "customer")
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_tt",
+        key_type="string",
+        families={"c": {"acctbal": "double"}},
+    )
+    store.ctas(
+        spec,
+        c.select(
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("c_acctbal").alias("c:acctbal"),
+        ),
+        mode="overwrite",
+    )
+    n_before = store.read("gate.cust_tt").count()
+    deleted = store.delete_where(
+        "gate.cust_tt", "CAST(row_key AS BIGINT) % 2 = 0"
+    )
+    # live table reflects the DELETE; previous generation must not
+    assert store.read("gate.cust_tt").count() == n_before - deleted
+    return store.read_generation("gate.cust_tt", "previous").select(
+        "row_key", F.col("`c:acctbal`").alias("acctbal")
+    )

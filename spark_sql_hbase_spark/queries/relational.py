@@ -2108,3 +2108,104 @@ def q24_event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(z, 4)).alias("z"),
         F.coalesce(ok & (F.abs(z) > 2.0), F.lit(False)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ze01 — TPC-H Q17-style small-quantity revenue (round-7 addition): for
+# one brand's parts, the revenue on lineitems whose quantity is below
+# 20% of that PART's average quantity — the classic correlated scalar
+# subquery (avg per outer part).  Decorrelated Spark-first as ONE
+# lineitem pass: broadcast-semi-reduce to the brand's parts, then a
+# per-partkey WINDOW computes (sum_qty, cnt) alongside the rows — no
+# second lineitem scan, no self-join (the textbook rewrite scans the
+# fact twice).  The 20%-of-average threshold compares EXACT integers:
+# qty * 5 * cnt < sum_qty (decimal) — no division, no float ordering.
+# ---------------------------------------------------------------------------
+@register(
+    "ze01_small_quantity_revenue",
+    oracle="""
+    WITH br AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'
+    ), w AS (
+        SELECT l_partkey, l_quantity, l_extendedprice,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (PARTITION BY l_partkey)
+                   AS sum_qty,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+        FROM br
+    )
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS small_qty_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM w
+    WHERE CAST(l_quantity AS DECIMAL(38,6)) * 5 * cnt < sum_qty
+    """,
+    description="TPC-H Q17-style correlated scalar subquery, decorrelated "
+    "to one fact pass via per-key window; exact integer threshold",
+)
+def ze01_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    br = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    w = W.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast("decimal(38,6)")
+    br = br.withColumn("sum_qty", F.sum(qty).over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w)
+    )
+    small = br.filter(qty * 5 * F.col("cnt") < F.col("sum_qty"))
+    return small.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")), 2)
+        .cast("double")
+        .alias("small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ze02 — TPC-H Q22-style idle rich customers (round-7 addition):
+# customers whose balance exceeds the GLOBAL average positive balance
+# and who have placed no orders — the scalar-subquery (one global
+# aggregate) + anti-join shape Q22 runs per country-code prefix.
+# Spark-first: the global (sum, count) is ONE broadcast row
+# (cross-joined, never a shuffle of the fact), the no-orders test a
+# left-anti join; the above-average compare is exact decimal
+# balance·count > sum — no division.
+# ---------------------------------------------------------------------------
+@register(
+    "ze02_idle_rich_customers",
+    oracle="""
+    WITH g AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS s,
+               COUNT(*) AS n
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer, g
+    WHERE c_acctbal > 0
+      AND CAST(c_acctbal AS DECIMAL(38,6)) * g.n > g.s
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    description="TPC-H Q22-style scalar-subquery threshold + anti-join: "
+    "above-global-average balance, no orders; broadcast one-row agg",
+)
+def ze02_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0)
+    g = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rich = pos.crossJoin(F.broadcast(g)).filter(
+        F.col("c_acctbal").cast("decimal(38,6)") * F.col("n") > F.col("s")
+    )
+    return rich.join(
+        o.select("o_custkey"), rich.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")

@@ -294,6 +294,44 @@ class KeyedTableStore:
         spec = self.registry.get(qualified_name)
         return self.spark.read.schema(spec.schema()).parquet(self.table_path(spec))
 
+    def read_generation(
+        self, qualified_name: str, which: str = "previous"
+    ) -> DataFrame:
+        """Time-travel read: the table as of a retained GENERATION.
+
+        ``which="previous"`` reads the state the last table-replacing
+        operation (MERGE/DELETE/UPDATE/compaction/TRUNCATE/restore)
+        replaced — the generation the swap protocol retains for one
+        grace swap anyway, so this costs nothing extra to serve.  The
+        HBase analogue is reading a pre-mutation snapshot without
+        having taken one; unlike :meth:`snapshot` the previous
+        generation is TRANSIENT (the next rewrite sweeps it) — take a
+        real snapshot for durable rollback points.  Raises
+        :class:`TableNotFoundError` when no rewrite has happened yet
+        (nothing to travel to)."""
+        spec = self.registry.get(qualified_name)
+        if which == "current":
+            return self.read(qualified_name)
+        if which != "previous":
+            raise ValueError(f"which must be 'current' or 'previous', got {which!r}")
+        root = self.table_root(spec)
+        man = self._read_gen_manifest(root)
+        prev = man.get("previous") if man else None
+        if prev is None:
+            raise TableNotFoundError(
+                f"{qualified_name} has no previous generation "
+                "(no table rewrite since creation)"
+            )
+        if prev == self._FLAT:
+            # flat-layout previous: only the root-LEVEL files (the gen
+            # dirs alongside them are other generations, not data here)
+            return self.spark.read.schema(spec.schema()).parquet(
+                os.path.join(root, "*.parquet")
+            )
+        return self.spark.read.schema(spec.schema()).parquet(
+            os.path.join(root, prev)
+        )
+
     def read_via_datasource(self, qualified_name: str) -> DataFrame:
         """Scan through the ``keyedtable`` Python DataSource — region-
         aligned partitions + row-key pruning + pushdown in OUR code rather

@@ -1250,3 +1250,34 @@ def test_flat_layout_table_migrates_on_first_rewrite(spark, tmp_path):
     st.compact("fl.t", n_regions=1)  # second swap sweeps them
     assert not [f for f in os.listdir(root) if f.endswith(".parquet")]
     assert st.read("fl.t").count() == 8
+
+
+def test_read_generation_time_travel(spark, tmp_path):
+    """read_generation('previous') serves the pre-rewrite state from the
+    grace-retained generation; 'current' is the live table; a fresh
+    table (no rewrite yet) has nothing to travel to."""
+    from spark_sql_hbase_spark.sources.keyed_parquet import TableNotFoundError
+
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="tt", name="t", key_type="string",
+        families={"c": {"v": "long"}},
+    )
+    st.create_table(spec)
+    st.insert("tt.t", spark.createDataFrame(
+        [(f"{i:04d}", i) for i in range(10)], "row_key string, `c:v` long"
+    ), generate_row_key=False)
+    # append-only so far: no generation was ever replaced
+    with pytest.raises(TableNotFoundError, match="no previous generation"):
+        st.read_generation("tt.t", "previous")
+    st.delete_where("tt.t", "`c:v` >= 5")
+    assert st.read("tt.t").count() == 5
+    prev = st.read_generation("tt.t", "previous")
+    assert sorted(r["c:v"] for r in prev.collect()) == list(range(10))
+    assert st.read_generation("tt.t", "current").count() == 5
+    with pytest.raises(ValueError, match="current.*previous"):
+        st.read_generation("tt.t", "latest")
+    # the NEXT rewrite retires the old previous: travel target moves
+    st.update_where("tt.t", {"c:v": "`c:v` + 100"}, "true")
+    prev2 = st.read_generation("tt.t", "previous")
+    assert sorted(r["c:v"] for r in prev2.collect()) == list(range(5))

@@ -968,3 +968,26 @@ def test_zc20_sliding_chunks_no_python_in_plan(spark, registry):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Generate" in plan, plan
+
+
+def test_ze01_q17_single_lineitem_scan(spark, registry):
+    """ze01's Q17 decorrelation claim: the per-part average threshold is
+    computed by a WINDOW over the same rows, not the textbook self-join
+    rewrite — the fact table must be scanned exactly once."""
+    plan = (
+        registry["ze01_small_quantity_revenue"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_ze02_scalar_subquery_is_broadcast(spark, registry):
+    """ze02's global-average threshold is ONE broadcast row joined to
+    the customer side — no shuffle of the fact for the scalar, and the
+    no-orders test is a broadcast anti-join at this scale."""
+    plan = formatted_plan(registry["ze02_idle_rich_customers"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
