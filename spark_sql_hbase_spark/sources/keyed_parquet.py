@@ -1135,27 +1135,40 @@ class KeyedTableStore:
         self._sweep_generations(root, keep={new_gen, cur})
         self.refresh(spec.qualified_name)
 
+    @staticmethod
+    def _n_regions(spec: TableSpec) -> int:
+        return max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
+
     def _sorted_rewrite(
         self,
         spec: TableSpec,
         df: DataFrame,
         n_regions: int | None = None,
         validate=None,
+        already_ranged: bool = False,
     ) -> None:
         """Conform ``df`` to the declared schema (order AND types — a
         rewrite must never drift stored types away from the TableSpec;
         e.g. an UPDATE assigning a double into a long column) and write
         it as the table's new key-sorted range-partitioned layout via
         the staged-directory atomic swap.  The single implementation
-        behind every DML rewrite path."""
+        behind every DML rewrite path.
+
+        ``already_ranged=True``: the caller pre-partitioned ``df`` with
+        ``repartitionByRange(_n_regions(spec), row_key)`` so an earlier
+        per-key operator (e.g. :meth:`upsert`'s merge window) could ride
+        the SAME exchange — range partitioning clusters equal keys, so
+        it satisfies the window's distribution requirement and the
+        whole rewrite runs on ONE shuffle instead of two (plan-pinned
+        by ``test_upsert_single_shuffle``)."""
         schema = spec.schema()
         out = df.select(
             *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in schema.fields]
         )
-        n = n_regions or (
-            max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
-        )
-        out = out.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        if not already_ranged:
+            n = n_regions or self._n_regions(spec)
+            out = out.repartitionByRange(n, ROW_KEY)
+        out = out.sortWithinPartitions(ROW_KEY)
         self._atomic_swap_write(spec, out, validate=validate)
 
     @staticmethod
@@ -1216,9 +1229,25 @@ class KeyedTableStore:
                 f"columns {sorted(cols)}"
             )
         incoming = df.select(*[F.col(f"`{c}`") for c in cols])
+        # pin the BATCH-sized source once (eager localCheckpoint): the
+        # range exchange's bounds sampler would otherwise re-evaluate
+        # the source plan a second time; with the pin, sampler,
+        # dup-check, and written rows all read the same materialized
+        # batch, so a nondeterministic source cannot diverge.  This is
+        # NOT the r5 full-table-localCheckpoint weak — the TABLE side
+        # streams lazily from parquet; only the bounded incoming batch
+        # is pinned (the same discipline as insert's index-maintenance
+        # batch pin).
+        incoming = incoming.localCheckpoint(eager=True)
         tagged = cur.withColumn("__src", F.lit(0)).unionByName(
             incoming.withColumn("__src", F.lit(1))
         )
+        # range-partition BEFORE the window: RangePartitioning clusters
+        # equal keys, satisfying the window's distribution requirement,
+        # so the merge window and the key-sorted layout share ONE
+        # exchange (hash-window-then-repartitionByRange would shuffle
+        # the full table twice)
+        tagged = tagged.repartitionByRange(self._n_regions(spec), ROW_KEY)
         w = Window.partitionBy(ROW_KEY)
         counted = tagged.withColumn("__n_src", F.sum("__src").over(w))
         merged = counted.filter((F.col("__src") == 1) | (F.col("__n_src") == 0))
@@ -1233,7 +1262,10 @@ class KeyedTableStore:
                 )
 
         self._sorted_rewrite(
-            spec, merged.drop("__src", "__n_src"), validate=no_source_dups
+            spec,
+            merged.drop("__src", "__n_src"),
+            validate=no_source_dups,
+            already_ranged=True,
         )
         self._maintain_indexes(qualified_name, async_index)
 

@@ -685,20 +685,29 @@ def test_dml_failure_mid_rewrite_leaves_old_snapshot(spark, tmp_path):
     assert gens == {man["current"], man["previous"]} - {None}
 
 
-def test_dml_paths_have_no_localcheckpoint(spark):
-    """VERDICT r5 `weak`: DML rewrites must not pin a full-table copy in
+def test_dml_paths_have_no_table_localcheckpoint(spark):
+    """VERDICT r5 `weak`: DML rewrites must not pin a FULL-TABLE copy in
     executor storage — the staged swap replaced localCheckpoint in every
-    DML path (source-level pin)."""
+    DML path (source-level pin).  The one permitted checkpoint is
+    upsert's BATCH-sized source pin (``incoming`` — bounded by the MERGE
+    batch, never the table): assert the table-side plans (``cur``/the
+    rewrite) carry none."""
     import inspect
 
-    from spark_sql_hbase_spark.sources import keyed_parquet as kp
-
-    for meth in ("upsert", "delete_where", "update_where", "compact",
+    for meth in ("delete_where", "update_where", "compact",
                  "compact_versions", "_sorted_rewrite", "_atomic_swap_write"):
-        src = inspect.getsource(getattr(kp.KeyedTableStore, meth))
+        src = inspect.getsource(getattr(KeyedTableStore, meth))
         assert "localCheckpoint" not in src.replace(
             "``localCheckpoint(eager=True)``", ""
         ), meth
+    # upsert: exactly one checkpoint, applied to `incoming` (the batch),
+    # never to `cur` (the table) or the merged rewrite plan
+    src = inspect.getsource(KeyedTableStore.upsert)
+    calls = [
+        line for line in src.splitlines()
+        if "localCheckpoint(" in line and not line.strip().startswith("#")
+    ]
+    assert calls == ["        incoming = incoming.localCheckpoint(eager=True)"], calls
 
 
 def test_delete_where_single_scan_and_count(spark, tmp_path):
@@ -1281,3 +1290,35 @@ def test_read_generation_time_travel(spark, tmp_path):
     st.update_where("tt.t", {"c:v": "`c:v` + 100"}, "true")
     prev2 = st.read_generation("tt.t", "previous")
     assert sorted(r["c:v"] for r in prev2.collect()) == list(range(5))
+
+
+def test_upsert_single_shuffle(spark, tmp_path, monkeypatch):
+    """The merge window rides the SAME range exchange the key-sorted
+    layout needs (RangePartitioning clusters equal keys): the whole
+    MERGE rewrite plan must contain exactly ONE Exchange — the r6 shape
+    (hash window + repartitionByRange) shuffled the table twice."""
+    st = _mk_plain_table(spark, tmp_path, n=20)
+    captured = {}
+    orig = KeyedTableStore._atomic_swap_write
+
+    def spy(self, spec, out, validate=None):
+        captured["plan"] = out._jdf.queryExecution().executedPlan().toString()
+        return orig(self, spec, out, validate=validate)
+
+    monkeypatch.setattr(KeyedTableStore, "_atomic_swap_write", spy)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        st.upsert(
+            "r6.t",
+            spark.createDataFrame(
+                [("00000001", 7, 7.0), ("00000099", 8, 8.0)],
+                "row_key string, `c:grp` long, `c:val` double",
+            ),
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    plan = captured["plan"]
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan, plan
+    out = {r["row_key"]: r["c:grp"] for r in st.read("r6.t").collect()}
+    assert len(out) == 21 and out["00000001"] == 7 and out["00000099"] == 8
