@@ -1270,29 +1270,98 @@ class KeyedTableStore:
         self._maintain_indexes(qualified_name, async_index)
 
     # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
+    def _locate_affected_files(self, spec: TableSpec, hit) -> dict[str, int]:
+        """ONE predicate-pushdown scan locating which data files contain
+        rows matching ``hit``: emits {file basename: n_matching_rows} —
+        bounded by the file count, so the driver-side collect is O(files)
+        like every footer-admin path.  This is what makes selective DML
+        O(affected files) instead of a full-table rewrite: at 100 TB a
+        DELETE confined to one region's key range rewrites that region's
+        files and HARDLINKS the rest (the minor-compaction discipline
+        applied to mutations).  Conditions must be deterministic (the
+        locating scan and the rewrite each evaluate them — the standard
+        SQL DML expectation)."""
+        import urllib.parse
+
+        cur = self.read(spec.qualified_name)
+        rows = (
+            cur.filter(hit)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {
+            os.path.basename(urllib.parse.urlparse(r["__f"]).path): r["n"]
+            for r in rows
+        }
+
+    def _selective_rewrite(
+        self, spec: TableSpec, affected: dict[str, int], transform
+    ) -> None:
+        """Rewrite ONLY the ``affected`` files (their rows run through
+        ``transform(df)``), carrying every untouched file into the new
+        generation as a hardlink.  Sound for DML because both DELETE
+        (filter) and UPDATE (same-key projection) can only SHRINK or
+        preserve a file's key range: per-file sortedness is kept by the
+        key-sorted rewrite of the affected subset, and the affected
+        files' ranges stay disjoint from the carried files' ranges, so
+        scans, min/max pruning, and region stats see the same invariants
+        a full rewrite would produce."""
+        path = self.table_path(spec)
+        carried = [
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and f not in affected
+        ]
+        sub = self.spark.read.schema(spec.schema()).parquet(
+            *[os.path.join(path, f) for f in affected]
+        )
+        schema = spec.schema()
+        out = transform(sub).select(
+            *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        out = out.repartitionByRange(
+            max(len(affected), 1), ROW_KEY
+        ).sortWithinPartitions(ROW_KEY)
+
+        def build(staging: str) -> None:
+            out.write.mode("overwrite").parquet(staging)
+            for f in os.listdir(staging):
+                if not f.endswith(".parquet"):
+                    os.remove(os.path.join(staging, f))
+            for fname in carried:
+                self._link_or_copy(
+                    os.path.join(path, fname), os.path.join(staging, fname)
+                )
+
+        self._swap_table_dir(spec, build)
+
     def delete_where(
         self, qualified_name: str, condition: str, async_index: bool = False
     ) -> int:
         """DELETE FROM the keyed table: rows matching the SQL
-        ``condition`` are removed by one filtered key-sorted rewrite
-        (the batch analogue of HBase Delete mutations; tombstones +
-        compaction collapse into the single rewrite here).  Returns the
-        number of rows deleted, derived from parquet FOOTER counts
-        before/after the swap — the rewrite is the only data scan.
-        Registered covered indexes are rebuilt (or marked stale under
+        ``condition`` are removed by a SELECTIVE key-sorted rewrite —
+        one pushdown scan locates the files containing matches, only
+        those are rewritten, every other file rides into the new
+        generation as a hardlink (the batch analogue of HBase Delete
+        mutations; tombstones + compaction collapse into the one
+        rewrite, and the rewrite I/O is O(affected files), not
+        O(table)).  A DELETE matching nothing is free: no rewrite, no
+        generation swap.  Returns the number of rows deleted (the
+        locating scan's exact per-file match counts).  Registered
+        covered indexes are rebuilt (or marked stale under
         ``async_index=True``) — see :meth:`upsert`."""
         spec = self.registry.get(qualified_name)
-        cur = self.read(qualified_name)
         # SQL DELETE law: only rows where the predicate is TRUE go; a
         # NULL predicate must KEEP the row (NOT(NULL) is NULL and would
         # silently drop it)
         hit = F.coalesce(F.expr(condition), F.lit(False))
-        before = self._footer_row_count(self.table_path(spec))
-        self._sorted_rewrite(spec, cur.filter(~hit))
-        # re-resolve: the swap flipped the generation pointer
-        deleted = before - self._footer_row_count(self.table_path(spec))
+        affected = self._locate_affected_files(spec, hit)
+        if not affected:
+            return 0
+        self._selective_rewrite(spec, affected, lambda df: df.filter(~hit))
         self._maintain_indexes(qualified_name, async_index)
-        return deleted
+        return sum(affected.values())
 
     def update_where(
         self,
@@ -1300,34 +1369,46 @@ class KeyedTableStore:
         assignments: dict[str, str],
         condition: str,
         async_index: bool = False,
-    ) -> None:
+    ) -> int:
         """UPDATE the keyed table: SQL-expression ``assignments``
-        applied to rows matching ``condition``, one key-sorted rewrite.
-        Assignment keys must be existing non-key columns (the row key is
+        applied to rows matching ``condition`` by the same SELECTIVE
+        rewrite as :meth:`delete_where` — only files containing matches
+        are rewritten (updated rows keep their keys, so file key ranges
+        are preserved exactly), the rest hardlink into the new
+        generation; an UPDATE matching nothing is free.  Assignment
+        keys must be existing non-key columns (the row key is
         immutable — HBase semantics: changing the key is a delete +
-        put, i.e. :meth:`delete_where` + :meth:`insert`).  Registered
-        covered indexes are rebuilt (or marked stale under
-        ``async_index=True``) — see :meth:`upsert`."""
+        put, i.e. :meth:`delete_where` + :meth:`insert`).  Returns the
+        number of rows updated.  Registered covered indexes are rebuilt
+        (or marked stale under ``async_index=True``) — see
+        :meth:`upsert`."""
         spec = self.registry.get(qualified_name)
-        cur = self.read(qualified_name)
+        cols = [f.name for f in spec.schema().fields]
         for col in assignments:
             if col == ROW_KEY:
                 raise ValueError("row_key is immutable; DELETE + INSERT instead")
-            if col not in cur.columns:
+            if col not in cols:
                 raise ValueError(f"unknown column {col!r}")
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        updated = cur.select(
-            *[
-                (
-                    F.when(cond, F.expr(assignments[c])).otherwise(F.col(f"`{c}`"))
-                    if c in assignments
-                    else F.col(f"`{c}`")
-                ).alias(c)
-                for c in cur.columns
-            ]
-        )
-        self._sorted_rewrite(spec, updated)
+        affected = self._locate_affected_files(spec, cond)
+        if not affected:
+            return 0
+
+        def apply_assignments(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    (
+                        F.when(cond, F.expr(assignments[c])).otherwise(F.col(f"`{c}`"))
+                        if c in assignments
+                        else F.col(f"`{c}`")
+                    ).alias(c)
+                    for c in cols
+                ]
+            )
+
+        self._selective_rewrite(spec, affected, apply_assignments)
         self._maintain_indexes(qualified_name, async_index)
+        return sum(affected.values())
 
     # -- compaction (A10 bulk-rewrite analogue) ---------------------------
     def compact(self, qualified_name: str, n_regions: int | None = None) -> None:

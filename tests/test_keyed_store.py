@@ -710,15 +710,17 @@ def test_dml_paths_have_no_table_localcheckpoint(spark):
     assert calls == ["        incoming = incoming.localCheckpoint(eager=True)"], calls
 
 
-def test_delete_where_single_scan_and_count(spark, tmp_path):
-    """DELETE derives its count from parquet footers before/after the
-    swap — the filtered rewrite is the ONLY data pass.  Pinned by
-    asserting NO driver-side collect()/count() action fires inside
-    delete_where (the old shape burned an extra agg().collect() scan
-    just for the return value)."""
-    from pyspark.sql import DataFrame
-
+def test_delete_where_bounded_actions_and_count(spark, tmp_path):
+    """DELETE runs exactly ONE driver-side action beyond the rewrite:
+    the O(files) locate collect (per-file match counts — which also
+    yields the returned count for free).  No table-sized count() action
+    fires (the round-5 shape burned an extra agg().collect() scan just
+    for the return value).  NB: patch the CONCRETE DataFrame class —
+    pyspark 4 sessions hand out classic.DataFrame, a subclass whose own
+    collect/count would bypass a parent-class patch (the round-6
+    version of this pin was vacuous for exactly that reason)."""
     st = _mk_plain_table(spark, tmp_path)
+    DataFrame = type(st.read("r6.t"))
     actions: list[str] = []
     orig_collect, orig_count = DataFrame.collect, DataFrame.count
     DataFrame.collect = lambda self: actions.append("collect") or orig_collect(self)
@@ -728,11 +730,64 @@ def test_delete_where_single_scan_and_count(spark, tmp_path):
     finally:
         DataFrame.collect, DataFrame.count = orig_collect, orig_count
     assert deleted == 10
-    assert actions == [], f"delete_where ran driver actions: {actions}"
+    assert actions == ["collect"], f"delete_where ran driver actions: {actions}"
     assert st.read("r6.t").count() == 30
     # NULL-predicate law still holds after the rework
     assert st.delete_where("r6.t", "NULL") == 0
     assert st.read("r6.t").count() == 30
+
+
+def test_selective_dml_rewrites_only_affected_files(spark, tmp_path):
+    """Round-7 scale path: a DELETE/UPDATE confined to one region's key
+    range rewrites ONLY the files containing matches — every untouched
+    file rides into the new generation as a HARDLINK (same inode, zero
+    data movement), and a no-match DML is free (no generation swap)."""
+    st = _mk_plain_table(spark, tmp_path, n=100)
+    st.compact("r6.t", n_regions=4)
+    spec = st.registry.get("r6.t")
+    path = st.table_path(spec)
+    inodes = {
+        f: os.stat(os.path.join(path, f)).st_ino
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    assert len(inodes) == 4
+    # keys 00000001..00000100 range-split in 4; hit only the lowest keys
+    deleted = st.delete_where("r6.t", "row_key <= '00000005'")
+    assert deleted == 5
+    path2 = st.table_path(spec)
+    assert path2 != path  # swapped generation
+    after = {
+        f: os.stat(os.path.join(path2, f)).st_ino
+        for f in os.listdir(path2) if f.endswith(".parquet")
+    }
+    kept = {f for f in after if f in inodes and after[f] == inodes[f]}
+    assert len(kept) == 3, (inodes, after)  # 3 regions carried by hardlink
+    assert st.read("r6.t").count() == 95
+    # UPDATE confined to the top range: again 3 carried, values correct
+    n_upd = st.update_where(
+        "r6.t", {"c:val": "`c:val` + 1000"}, "row_key >= '00000096'"
+    )
+    assert n_upd == 5
+    path3 = st.table_path(spec)
+    after3 = {
+        f: os.stat(os.path.join(path3, f)).st_ino
+        for f in os.listdir(path3) if f.endswith(".parquet")
+    }
+    assert len({f for f in after3 if f in after and after3[f] == after[f]}) == 3
+    got = {
+        r["row_key"]: r["c:val"] for r in st.read("r6.t").collect()
+    }
+    assert got["00000100"] == 100 * 1.5 + 1000 and got["00000050"] == 50 * 1.5
+    # no-match DML: free — the generation pointer does not move
+    man_before = st._read_gen_manifest(st.table_root(spec))
+    assert st.delete_where("r6.t", "row_key = 'nope'") == 0
+    assert st.update_where("r6.t", {"c:val": "0.0"}, "row_key = 'nope'") == 0
+    assert st._read_gen_manifest(st.table_root(spec)) == man_before
+    # region invariants survive selective rewrites: non-overlapping
+    # per-file key ranges (region_stats sorts by min key)
+    stats = st.region_stats("r6.t").collect()
+    for a, b in zip(stats, stats[1:]):
+        assert a["max_key"] <= b["min_key"]
 
 
 def test_batch_dml_maintains_covered_index(spark, tmp_path):
