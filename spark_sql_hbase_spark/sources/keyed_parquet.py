@@ -1145,30 +1145,21 @@ class KeyedTableStore:
         df: DataFrame,
         n_regions: int | None = None,
         validate=None,
-        already_ranged: bool = False,
     ) -> None:
         """Conform ``df`` to the declared schema (order AND types — a
         rewrite must never drift stored types away from the TableSpec;
         e.g. an UPDATE assigning a double into a long column) and write
         it as the table's new key-sorted range-partitioned layout via
-        the staged-directory atomic swap.  The single implementation
-        behind every DML rewrite path.
-
-        ``already_ranged=True``: the caller pre-partitioned ``df`` with
-        ``repartitionByRange(_n_regions(spec), row_key)`` so an earlier
-        per-key operator (e.g. :meth:`upsert`'s merge window) could ride
-        the SAME exchange — range partitioning clusters equal keys, so
-        it satisfies the window's distribution requirement and the
-        whole rewrite runs on ONE shuffle instead of two (plan-pinned
-        by ``test_upsert_single_shuffle``)."""
+        the staged-directory atomic swap.  The implementation behind
+        every FULL-table rewrite (compaction, truncate, version GC);
+        the DML paths ride the selective variants instead
+        (:meth:`_selective_rewrite`, :meth:`upsert`)."""
         schema = spec.schema()
         out = df.select(
             *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in schema.fields]
         )
-        if not already_ranged:
-            n = n_regions or self._n_regions(spec)
-            out = out.repartitionByRange(n, ROW_KEY)
-        out = out.sortWithinPartitions(ROW_KEY)
+        n = n_regions or self._n_regions(spec)
+        out = out.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
         self._atomic_swap_write(spec, out, validate=validate)
 
     @staticmethod
@@ -1194,23 +1185,27 @@ class KeyedTableStore:
         write primitive HBase users take for granted: a Put overwrites
         the cell).
 
-        Implementation (single-pass): tag snapshot rows 0 / source rows
-        1, union, one count-over-key window picks the winners (source
-        row wins its key; snapshot rows with no source twin survive),
-        one range-partitioned key-sorted rewrite through the staged
-        generation swap — the SOURCE IS EVALUATED EXACTLY ONCE in the
-        plan (pinned by ``test_upsert_evaluates_source_once``; the old
-        shape ran a separate dup-check ``count()`` job plus an
-        anti-join that referenced the source a second time).  The MERGE
-        law "multiple source rows per key is an error" (HBase would
-        last-wins, but "which last" is undefined for a batch) is
-        enforced IN the same plan: an ``Observation`` on the per-key
-        source count is checked after the staging write and BEFORE the
-        generation pointer flips, so a duplicate-key source aborts the
-        swap with the table untouched.  No table-sized
-        executor-storage copy (at 100 TB the alternative is the
-        versioned-append path + :meth:`read_versions_asof`, which
-        defers the rewrite — see the CDC gates).
+        Implementation (single-pass, SELECTIVE): one broadcast-semi
+        locate scan finds the files whose rows MATCH an incoming key;
+        only those files join the merge — tag their rows 0 / source
+        rows 1, union, one count-over-key window picks the winners
+        (source row wins its key; matched-file rows with no source twin
+        survive unchanged), one range-partitioned key-sorted write of
+        that subset — while every untouched file rides into the new
+        generation as a HARDLINK.  At 100 TB a batch MERGE touching a
+        few regions rewrites those regions, not the table (HBase Put
+        semantics ARE region-local); new keys matching no file append
+        as fresh sorted runs in the same atomic swap.  The SOURCE IS
+        EVALUATED EXACTLY ONCE (eager batch-sized ``localCheckpoint``;
+        pinned by ``test_upsert_evaluates_source_once``) and the merge
+        window rides the subset's ONE range exchange (pinned by
+        ``test_upsert_single_shuffle``).  The MERGE law "multiple
+        source rows per key is an error" (HBase would last-wins, but
+        "which last" is undefined for a batch) is enforced IN the same
+        plan: an ``Observation`` on the per-key source count is checked
+        after the staging write and BEFORE the generation pointer
+        flips, so a duplicate-key source aborts the swap with the table
+        untouched.
 
         Covered indexes registered on the table are REBUILT in the same
         call (Phoenix index-maintenance semantics; reference analogue:
@@ -1230,24 +1225,36 @@ class KeyedTableStore:
             )
         incoming = df.select(*[F.col(f"`{c}`") for c in cols])
         # pin the BATCH-sized source once (eager localCheckpoint): the
-        # range exchange's bounds sampler would otherwise re-evaluate
-        # the source plan a second time; with the pin, sampler,
-        # dup-check, and written rows all read the same materialized
-        # batch, so a nondeterministic source cannot diverge.  This is
-        # NOT the r5 full-table-localCheckpoint weak — the TABLE side
-        # streams lazily from parquet; only the bounded incoming batch
-        # is pinned (the same discipline as insert's index-maintenance
-        # batch pin).
+        # locate semi-join, the range exchange's bounds sampler, the
+        # dup-check, and the written rows all read the same
+        # materialized batch, so a nondeterministic source cannot
+        # diverge.  This is NOT the r5 full-table-localCheckpoint weak
+        # — the TABLE side streams lazily from parquet; only the
+        # bounded incoming batch is pinned (the same discipline as
+        # insert's index-maintenance batch pin).
         incoming = incoming.localCheckpoint(eager=True)
-        tagged = cur.withColumn("__src", F.lit(0)).unionByName(
+        keys = incoming.select(ROW_KEY)
+        affected = self._locate_affected_files(
+            spec, lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi")
+        )
+        path = self.table_path(spec)
+        if affected:
+            sub = self.spark.read.schema(spec.schema()).parquet(
+                *[os.path.join(path, f) for f in affected]
+            )
+        else:
+            # all incoming keys are new: the "merge" is a pure append
+            # of one fresh sorted run (still through the atomic swap)
+            sub = self.spark.createDataFrame([], self.read(qualified_name).schema)
+        tagged = sub.withColumn("__src", F.lit(0)).unionByName(
             incoming.withColumn("__src", F.lit(1))
         )
         # range-partition BEFORE the window: RangePartitioning clusters
         # equal keys, satisfying the window's distribution requirement,
         # so the merge window and the key-sorted layout share ONE
-        # exchange (hash-window-then-repartitionByRange would shuffle
-        # the full table twice)
-        tagged = tagged.repartitionByRange(self._n_regions(spec), ROW_KEY)
+        # exchange over the affected subset (hash-window-then-
+        # repartitionByRange would shuffle it twice)
+        tagged = tagged.repartitionByRange(max(len(affected), 1), ROW_KEY)
         w = Window.partitionBy(ROW_KEY)
         counted = tagged.withColumn("__n_src", F.sum("__src").over(w))
         merged = counted.filter((F.col("__src") == 1) | (F.col("__n_src") == 0))
@@ -1261,31 +1268,34 @@ class KeyedTableStore:
                     "deduplicate the source first"
                 )
 
-        self._sorted_rewrite(
-            spec,
-            merged.drop("__src", "__n_src"),
-            validate=no_source_dups,
-            already_ranged=True,
+        schema = spec.schema()
+        out = merged.drop("__src", "__n_src").select(
+            *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in schema.fields]
+        ).sortWithinPartitions(ROW_KEY)
+        self._swap_write_with_carry(
+            spec, out, path, set(affected), validate=no_source_dups
         )
         self._maintain_indexes(qualified_name, async_index)
 
     # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
-    def _locate_affected_files(self, spec: TableSpec, hit) -> dict[str, int]:
+    def _locate_affected_files(self, spec: TableSpec, selector) -> dict[str, int]:
         """ONE predicate-pushdown scan locating which data files contain
-        rows matching ``hit``: emits {file basename: n_matching_rows} —
-        bounded by the file count, so the driver-side collect is O(files)
-        like every footer-admin path.  This is what makes selective DML
-        O(affected files) instead of a full-table rewrite: at 100 TB a
-        DELETE confined to one region's key range rewrites that region's
-        files and HARDLINKS the rest (the minor-compaction discipline
-        applied to mutations).  Conditions must be deterministic (the
-        locating scan and the rewrite each evaluate them — the standard
-        SQL DML expectation)."""
+        rows the DML touches — ``selector(cur)`` reduces the table to
+        its matching rows (a filter for DELETE/UPDATE, a broadcast semi
+        join on the incoming keys for MERGE); emits {file basename:
+        n_matching_rows} — bounded by the file count, so the driver-side
+        collect is O(files) like every footer-admin path.  This is what
+        makes selective DML O(affected files) instead of a full-table
+        rewrite: at 100 TB a DELETE confined to one region's key range
+        rewrites that region's files and HARDLINKS the rest (the
+        minor-compaction discipline applied to mutations).  Conditions
+        must be deterministic (the locating scan and the rewrite each
+        evaluate them — the standard SQL DML expectation)."""
         import urllib.parse
 
         cur = self.read(spec.qualified_name)
         rows = (
-            cur.filter(hit)
+            selector(cur)
             .groupBy(F.input_file_name().alias("__f"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -1308,11 +1318,6 @@ class KeyedTableStore:
         scans, min/max pruning, and region stats see the same invariants
         a full rewrite would produce."""
         path = self.table_path(spec)
-        carried = [
-            f
-            for f in os.listdir(path)
-            if f.endswith(".parquet") and f not in affected
-        ]
         sub = self.spark.read.schema(spec.schema()).parquet(
             *[os.path.join(path, f) for f in affected]
         )
@@ -1323,6 +1328,21 @@ class KeyedTableStore:
         out = out.repartitionByRange(
             max(len(affected), 1), ROW_KEY
         ).sortWithinPartitions(ROW_KEY)
+        self._swap_write_with_carry(spec, out, path, set(affected))
+
+    def _swap_write_with_carry(
+        self, spec: TableSpec, out: DataFrame, src_path: str,
+        rewritten: set, validate=None,
+    ) -> None:
+        """Write ``out`` into a new generation and carry every data file
+        of ``src_path`` NOT in ``rewritten`` over as a hardlink, then
+        flip the generation pointer (``validate`` runs between write and
+        flip).  The shared tail of every selective rewrite."""
+        carried = [
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and f not in rewritten
+        ]
 
         def build(staging: str) -> None:
             out.write.mode("overwrite").parquet(staging)
@@ -1331,10 +1351,10 @@ class KeyedTableStore:
                     os.remove(os.path.join(staging, f))
             for fname in carried:
                 self._link_or_copy(
-                    os.path.join(path, fname), os.path.join(staging, fname)
+                    os.path.join(src_path, fname), os.path.join(staging, fname)
                 )
 
-        self._swap_table_dir(spec, build)
+        self._swap_table_dir(spec, build, validate=validate)
 
     def delete_where(
         self, qualified_name: str, condition: str, async_index: bool = False
@@ -1356,7 +1376,7 @@ class KeyedTableStore:
         # NULL predicate must KEEP the row (NOT(NULL) is NULL and would
         # silently drop it)
         hit = F.coalesce(F.expr(condition), F.lit(False))
-        affected = self._locate_affected_files(spec, hit)
+        affected = self._locate_affected_files(spec, lambda df: df.filter(hit))
         if not affected:
             return 0
         self._selective_rewrite(spec, affected, lambda df: df.filter(~hit))
@@ -1390,7 +1410,7 @@ class KeyedTableStore:
             if col not in cols:
                 raise ValueError(f"unknown column {col!r}")
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        affected = self._locate_affected_files(spec, cond)
+        affected = self._locate_affected_files(spec, lambda df: df.filter(cond))
         if not affected:
             return 0
 

@@ -1354,13 +1354,13 @@ def test_upsert_single_shuffle(spark, tmp_path, monkeypatch):
     (hash window + repartitionByRange) shuffled the table twice."""
     st = _mk_plain_table(spark, tmp_path, n=20)
     captured = {}
-    orig = KeyedTableStore._atomic_swap_write
+    orig = KeyedTableStore._swap_write_with_carry
 
-    def spy(self, spec, out, validate=None):
+    def spy(self, spec, out, src_path, rewritten, validate=None):
         captured["plan"] = out._jdf.queryExecution().executedPlan().toString()
-        return orig(self, spec, out, validate=validate)
+        return orig(self, spec, out, src_path, rewritten, validate=validate)
 
-    monkeypatch.setattr(KeyedTableStore, "_atomic_swap_write", spy)
+    monkeypatch.setattr(KeyedTableStore, "_swap_write_with_carry", spy)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         st.upsert(
@@ -1374,6 +1374,59 @@ def test_upsert_single_shuffle(spark, tmp_path, monkeypatch):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     plan = captured["plan"]
     assert plan.count("Exchange") == 1, plan
-    assert "rangepartitioning" in plan, plan
+    # one affected file plans the range repartition as SinglePartition
+    assert "rangepartitioning" in plan or "SinglePartition" in plan, plan
     out = {r["row_key"]: r["c:grp"] for r in st.read("r6.t").collect()}
     assert len(out) == 21 and out["00000001"] == 7 and out["00000099"] == 8
+
+
+def test_selective_upsert_carries_untouched_regions(spark, tmp_path):
+    """MERGE is region-local like an HBase Put: a batch whose keys fall
+    in one region rewrites that region's file (plus a fresh run for
+    brand-new keys), hardlinking every untouched file into the new
+    generation; an all-new-keys MERGE rewrites nothing at all."""
+    st = _mk_plain_table(spark, tmp_path, n=100)
+    st.compact("r6.t", n_regions=4)
+    spec = st.registry.get("r6.t")
+    path = st.table_path(spec)
+    inodes = {
+        f: os.stat(os.path.join(path, f)).st_ino
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    assert len(inodes) == 4
+    # batch confined to the lowest region + one brand-new key
+    st.upsert(
+        "r6.t",
+        spark.createDataFrame(
+            [("00000001", 7, 7.0), ("00000002", 7, 7.0), ("zz_new", 7, 7.0)],
+            "row_key string, `c:grp` long, `c:val` double",
+        ),
+    )
+    path2 = st.table_path(spec)
+    after = {
+        f: os.stat(os.path.join(path2, f)).st_ino
+        for f in os.listdir(path2) if f.endswith(".parquet")
+    }
+    kept = {f for f in after if f in inodes and after[f] == inodes[f]}
+    assert len(kept) == 3, (inodes, after)  # 3 regions untouched
+    got = {r["row_key"]: r["c:grp"] for r in st.read("r6.t").collect()}
+    assert len(got) == 101
+    assert got["00000001"] == 7 and got["zz_new"] == 7 and got["00000050"] == 2
+    # all-new-keys MERGE: zero files rewritten, all four+ carried
+    before = {
+        f: os.stat(os.path.join(path2, f)).st_ino
+        for f in os.listdir(path2) if f.endswith(".parquet")
+    }
+    st.upsert(
+        "r6.t",
+        spark.createDataFrame(
+            [("zz_new2", 9, 9.0)], "row_key string, `c:grp` long, `c:val` double"
+        ),
+    )
+    path3 = st.table_path(spec)
+    after3 = {
+        f: os.stat(os.path.join(path3, f)).st_ino
+        for f in os.listdir(path3) if f.endswith(".parquet")
+    }
+    assert all(after3.get(f) == ino for f, ino in before.items()), (before, after3)
+    assert st.read("r6.t").count() == 102
