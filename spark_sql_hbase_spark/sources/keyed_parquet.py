@@ -831,20 +831,35 @@ class KeyedTableStore:
         elif ispec.properties.pop("stale", None) is not None:
             self.registry.register(ispec)
 
-    def _maintain_indexes(self, qualified_name: str, async_index: bool) -> None:
+    def _maintain_indexes(
+        self,
+        qualified_name: str,
+        async_index: bool,
+        changed_keys: DataFrame | None = None,
+        n_changed: int | None = None,
+    ) -> None:
         """Post-DML covered-index maintenance (reference analogue: the
         insert path refreshing dependent metadata after write,
         ``InsertIntoHBaseTable.scala:110``; semantics: Phoenix global
-        index maintenance).  Synchronous mode rebuilds each registered
-        index from the table's new state — ONE index-projection
-        key-sorted rewrite per index (the width guard is folded into
-        the projection via ``guard=True``, so there is no separate
-        guard scan), the same cost class as the DML rewrite itself;
+        index maintenance).
+
+        When the caller knows WHICH source keys the DML touched
+        (``changed_keys`` + ``n_changed``) and the change is small
+        relative to the table, maintenance is INCREMENTAL: per index,
+        selectively delete the entries whose ``i:src_key`` is a changed
+        key (the selective-rewrite machinery on the INDEX table —
+        O(affected index files)), then append the fresh projection of
+        the changed rows (O(batch)) — so an indexed table's DML cost
+        stays O(changed), not O(table).  Large changes (or callers
+        without key knowledge) fall back to the full rebuild: ONE
+        index-projection key-sorted rewrite per index (width guard
+        folded into the projection via ``guard=True``).
+
         ``async_index=True`` skips the work but marks the index STALE
         so nothing reads it as fresh silently.  The stale marker is
-        also set ACROSS a synchronous rebuild: if the rebuild dies
-        mid-flight (e.g. a guard violation), the index stays loudly
-        stale instead of silently stale."""
+        also set ACROSS synchronous maintenance: if it dies mid-flight
+        (e.g. a guard violation), the index stays loudly stale instead
+        of silently stale."""
         indexes = self.registered_indexes(qualified_name)
         if not indexes:
             return
@@ -853,6 +868,15 @@ class KeyedTableStore:
                 self._mark_index_stale(iq, True)
             return
         main = self.read(qualified_name)
+        if changed_keys is not None and n_changed is not None:
+            total = self._footer_row_count(self.table_path(
+                self.registry.get(qualified_name)
+            ))
+            # delta beats rebuild while the per-index delete+append work
+            # (~2× the changed volume) is well under one table rewrite
+            if n_changed * 4 < total:
+                self._maintain_indexes_incremental(indexes, main, changed_keys)
+                return
         for iq, meta in indexes.items():
             ispec = self.registry.get(iq)
             proj = self.index_projection(
@@ -866,6 +890,58 @@ class KeyedTableStore:
             )
             self._mark_index_stale(iq, True)
             self._sorted_rewrite(ispec, proj)
+            self._mark_index_stale(iq, False)
+
+    def _maintain_indexes_incremental(
+        self, indexes: dict, main: DataFrame, changed_keys: DataFrame
+    ) -> None:
+        """Delta index maintenance: drop entries for the changed source
+        keys, append projections of those keys' current rows.  Exactly
+        the state a full rebuild would produce — unchanged source rows
+        keep their (already correct) entries, and the (value, src_key)
+        composite index key makes delete-then-append collision-free."""
+        keys = F.broadcast(
+            changed_keys.select(F.col(ROW_KEY).alias("__changed_key"))
+        )
+        # current (post-DML) rows for the changed keys: the appends.
+        # Batch-sized by the incremental threshold; pinned so each
+        # index's projection reads the same materialized rows.
+        changed_rows = main.join(
+            keys, main[ROW_KEY] == F.col("__changed_key"), "left_semi"
+        ).localCheckpoint(eager=True)
+        has_new_rows = bool(changed_rows.take(1))
+        for iq, meta in indexes.items():
+            ispec = self.registry.get(iq)
+            self._mark_index_stale(iq, True)
+            affected = self._locate_affected_files(
+                ispec,
+                lambda d: d.join(
+                    keys, F.col("`i:src_key`") == F.col("__changed_key"), "left_semi"
+                ),
+            )
+            if affected:
+                self._selective_rewrite(
+                    ispec,
+                    affected,
+                    lambda df: df.join(
+                        keys,
+                        F.col("`i:src_key`") == F.col("__changed_key"),
+                        "left_anti",
+                    ),
+                )
+            if has_new_rows:
+                proj = self.index_projection(
+                    changed_rows,
+                    meta["col"],
+                    list(meta["include"]),
+                    meta["key_width"],
+                    meta.get("encoding", "int"),
+                    meta.get("scale"),
+                    guard=True,
+                )
+                self.insert(
+                    iq, proj, generate_row_key=False, maintain_indexes=False
+                )
             self._mark_index_stale(iq, False)
 
     # -- versioned reads (HBase timestamp semantics) ----------------------
@@ -1275,7 +1351,12 @@ class KeyedTableStore:
         self._swap_write_with_carry(
             spec, out, path, set(affected), validate=no_source_dups
         )
-        self._maintain_indexes(qualified_name, async_index)
+        self._maintain_indexes(
+            qualified_name,
+            async_index,
+            changed_keys=keys,
+            n_changed=incoming.count(),
+        )
 
     # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
     def _locate_affected_files(self, spec: TableSpec, selector) -> dict[str, int]:
@@ -1379,9 +1460,15 @@ class KeyedTableStore:
         affected = self._locate_affected_files(spec, lambda df: df.filter(hit))
         if not affected:
             return 0
+        n = sum(affected.values())
+        changed_keys = self._capture_changed_keys(
+            spec, affected, lambda df: df.filter(hit), n, async_index
+        )
         self._selective_rewrite(spec, affected, lambda df: df.filter(~hit))
-        self._maintain_indexes(qualified_name, async_index)
-        return sum(affected.values())
+        self._maintain_indexes(
+            qualified_name, async_index, changed_keys=changed_keys, n_changed=n
+        )
+        return n
 
     def update_where(
         self,
@@ -1413,6 +1500,10 @@ class KeyedTableStore:
         affected = self._locate_affected_files(spec, lambda df: df.filter(cond))
         if not affected:
             return 0
+        n = sum(affected.values())
+        changed_keys = self._capture_changed_keys(
+            spec, affected, lambda df: df.filter(cond), n, async_index
+        )
 
         def apply_assignments(df: DataFrame) -> DataFrame:
             return df.select(
@@ -1427,8 +1518,29 @@ class KeyedTableStore:
             )
 
         self._selective_rewrite(spec, affected, apply_assignments)
-        self._maintain_indexes(qualified_name, async_index)
-        return sum(affected.values())
+        self._maintain_indexes(
+            qualified_name, async_index, changed_keys=changed_keys, n_changed=n
+        )
+        return n
+
+    def _capture_changed_keys(
+        self, spec: TableSpec, affected: dict, selector, n: int,
+        async_index: bool,
+    ) -> DataFrame | None:
+        """Pin the source keys a DELETE/UPDATE touches BEFORE the swap
+        (afterwards the deleted rows are gone) — but only when an index
+        actually needs them, the change is small enough that the
+        incremental path will be chosen, and the maintenance is
+        synchronous.  Keys-only and batch-bounded by that threshold."""
+        if async_index or not self.registered_indexes(spec.qualified_name):
+            return None
+        if n * 4 >= self._footer_row_count(self.table_path(spec)):
+            return None  # the full rebuild will run anyway
+        path = self.table_path(spec)
+        sub = self.spark.read.schema(spec.schema()).parquet(
+            *[os.path.join(path, f) for f in affected]
+        )
+        return selector(sub).select(ROW_KEY).localCheckpoint(eager=True)
 
     # -- compaction (A10 bulk-rewrite analogue) ---------------------------
     def compact(self, qualified_name: str, n_regions: int | None = None) -> None:

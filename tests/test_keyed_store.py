@@ -1430,3 +1430,67 @@ def test_selective_upsert_carries_untouched_regions(spark, tmp_path):
     }
     assert all(after3.get(f) == ino for f, ino in before.items()), (before, after3)
     assert st.read("r6.t").count() == 102
+
+
+def test_incremental_index_maintenance_matches_rebuild(spark, tmp_path):
+    """Small DML on an indexed table maintains the index INCREMENTALLY
+    (delete changed-key entries + append fresh projections — the
+    selective machinery applied to the index table) and the result is
+    bit-identical to a full rebuild; untouched index files carry as
+    hardlinks."""
+    st = _mk_plain_table(spark, tmp_path, n=200)
+    st.create_covered_index("r6.t", "r6.by_grp", "c:grp", include=["c:val"],
+                            key_width=4)
+    st.compact("r6.by_grp", n_regions=4)
+    ispec = st.registry.get("r6.by_grp")
+    ipath = st.table_path(ispec)
+    inodes = {
+        f: os.stat(os.path.join(ipath, f)).st_ino
+        for f in os.listdir(ipath) if f.endswith(".parquet")
+    }
+    assert len(inodes) == 4
+    # prove the incremental branch is taken (spy on the rebuild path)
+    rebuilds = []
+    orig = KeyedTableStore._sorted_rewrite
+    KeyedTableStore._sorted_rewrite = (
+        lambda self, spec, df, **kw: rebuilds.append(spec.qualified_name)
+        or orig(self, spec, df, **kw)
+    )
+    try:
+        # UPDATE 3 rows: index value changes 1 -> 9 for keys ..05/..09/..13
+        st.update_where("r6.t", {"c:grp": "9"}, "row_key IN "
+                        "('00000005','00000009','00000013')")
+        # MERGE 2 rows (one replaced, one new)
+        st.upsert("r6.t", spark.createDataFrame(
+            [("00000002", 8, 8.0), ("00000999", 8, 8.0)],
+            "row_key string, `c:grp` long, `c:val` double",
+        ))
+        # DELETE 2 rows
+        assert st.delete_where(
+            "r6.t", "row_key IN ('00000003','00000007')"
+        ) == 2
+    finally:
+        KeyedTableStore._sorted_rewrite = orig
+    assert "r6.by_grp" not in rebuilds, rebuilds  # no full index rebuild
+    assert not st.index_is_stale("r6.by_grp")
+    # some original index files carried as hardlinks through all 3 DMLs
+    ipath2 = st.table_path(ispec)
+    after = {
+        f: os.stat(os.path.join(ipath2, f)).st_ino
+        for f in os.listdir(ipath2) if f.endswith(".parquet")
+    }
+    assert any(after.get(f) == ino for f, ino in inodes.items()), (inodes, after)
+    # incremental result == full rebuild result
+    got = sorted(map(tuple, st.read("r6.by_grp").collect()))
+    st.rebuild_indexes("r6.t")
+    want = sorted(map(tuple, st.read("r6.by_grp").collect()))
+    assert got == want
+    # and the index agrees with the main table
+    main = sorted(
+        (r["row_key"], r["c:grp"], r["c:val"]) for r in st.read("r6.t").collect()
+    )
+    idx = sorted(
+        (r["i:src_key"], r["c:grp"], r["c:val"])
+        for r in st.read("r6.by_grp").collect()
+    )
+    assert idx == main
