@@ -478,8 +478,9 @@ class KeyedTableStore:
             out = out.localCheckpoint(eager=True)
 
         # "regions": range-partition by key; "HFiles": sort within partition
-        n_regions = max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
-        ranged = out.repartitionByRange(n_regions, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        ranged = out.repartitionByRange(
+            self._n_regions(spec), ROW_KEY
+        ).sortWithinPartitions(ROW_KEY)
         if overwrite:
             # full-table replacement rides the same staged generation
             # swap as every other rewrite — a crash mid-write must not
@@ -836,22 +837,22 @@ class KeyedTableStore:
         qualified_name: str,
         async_index: bool,
         changed_keys: DataFrame | None = None,
-        n_changed: int | None = None,
     ) -> None:
         """Post-DML covered-index maintenance (reference analogue: the
         insert path refreshing dependent metadata after write,
         ``InsertIntoHBaseTable.scala:110``; semantics: Phoenix global
         index maintenance).
 
-        When the caller knows WHICH source keys the DML touched
-        (``changed_keys`` + ``n_changed``) and the change is small
-        relative to the table, maintenance is INCREMENTAL: per index,
-        selectively delete the entries whose ``i:src_key`` is a changed
-        key (the selective-rewrite machinery on the INDEX table —
-        O(affected index files)), then append the fresh projection of
-        the changed rows (O(batch)) — so an indexed table's DML cost
-        stays O(changed), not O(table).  Large changes (or callers
-        without key knowledge) fall back to the full rebuild: ONE
+        When the caller passes the source keys the DML touched
+        (``changed_keys`` — callers apply the pre-swap smallness
+        threshold, ``n·4 < table_rows``, before capturing them),
+        maintenance is INCREMENTAL: per index, selectively delete the
+        entries whose ``i:src_key`` is a changed key (the
+        selective-rewrite machinery on the INDEX table — O(affected
+        index files)), then append the fresh projection of the changed
+        rows (O(batch)) — so an indexed table's DML cost stays
+        O(changed), not O(table).  Large changes (or callers without
+        key knowledge) fall back to the full rebuild: ONE
         index-projection key-sorted rewrite per index (width guard
         folded into the projection via ``guard=True``).
 
@@ -868,15 +869,9 @@ class KeyedTableStore:
                 self._mark_index_stale(iq, True)
             return
         main = self.read(qualified_name)
-        if changed_keys is not None and n_changed is not None:
-            total = self._footer_row_count(self.table_path(
-                self.registry.get(qualified_name)
-            ))
-            # delta beats rebuild while the per-index delete+append work
-            # (~2× the changed volume) is well under one table rewrite
-            if n_changed * 4 < total:
-                self._maintain_indexes_incremental(indexes, main, changed_keys)
-                return
+        if changed_keys is not None:
+            self._maintain_indexes_incremental(indexes, main, changed_keys)
+            return
         for iq, meta in indexes.items():
             ispec = self.registry.get(iq)
             proj = self.index_projection(
@@ -1239,6 +1234,51 @@ class KeyedTableStore:
         self._atomic_swap_write(spec, out, validate=validate)
 
     @staticmethod
+    def _key_span(path: str, files) -> tuple[str, str]:
+        """[min, max] row_key over the given data files, from parquet
+        footer statistics — O(files) driver reads.  A file whose key
+        stats may be writer-truncated (the region_stats exactness rule)
+        falls back to an exact single-column read of that file."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        lo = hi = None
+        for fname in files:
+            full = os.path.join(path, fname)
+            md = pq.read_metadata(full)
+            if md.num_rows == 0:
+                continue
+            idx = next(
+                c for c in range(md.num_columns)
+                if md.row_group(0).column(c).path_in_schema == ROW_KEY
+            )
+            f_lo = f_hi = None
+            exact = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    exact = False
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode(), mx.decode()
+                if (
+                    getattr(st, "is_min_value_exact", True) is False
+                    or getattr(st, "is_max_value_exact", True) is False
+                    or max(len(str(mn)), len(str(mx))) >= 64
+                ):
+                    exact = False
+                    break
+                f_lo = mn if f_lo is None or mn < f_lo else f_lo
+                f_hi = mx if f_hi is None or mx > f_hi else f_hi
+            if not exact:
+                keys = pq.read_table(full, columns=[ROW_KEY]).column(0)
+                f_lo, f_hi = pc.min(keys).as_py(), pc.max(keys).as_py()
+            lo = f_lo if lo is None or f_lo < lo else lo
+            hi = f_hi if hi is None or f_hi > hi else hi
+        return lo, hi
+
+    @staticmethod
     def _footer_row_count(path: str) -> int:
         """Exact table row count from parquet footer metadata — O(files)
         driver-side reads, zero Spark jobs (the ``region_stats``
@@ -1314,48 +1354,108 @@ class KeyedTableStore:
             spec, lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi")
         )
         path = self.table_path(spec)
-        if affected:
-            sub = self.spark.read.schema(spec.schema()).parquet(
-                *[os.path.join(path, f) for f in affected]
+        schema = spec.schema()
+
+        def conform(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+                  for f in schema.fields]
             )
-        else:
-            # all incoming keys are new: the "merge" is a pure append
-            # of one fresh sorted run (still through the atomic swap)
-            sub = self.spark.createDataFrame([], self.read(qualified_name).schema)
-        tagged = sub.withColumn("__src", F.lit(0)).unionByName(
-            incoming.withColumn("__src", F.lit(1))
-        )
-        # range-partition BEFORE the window: RangePartitioning clusters
-        # equal keys, satisfying the window's distribution requirement,
-        # so the merge window and the key-sorted layout share ONE
-        # exchange over the affected subset (hash-window-then-
-        # repartitionByRange would shuffle it twice)
-        tagged = tagged.repartitionByRange(max(len(affected), 1), ROW_KEY)
-        w = Window.partitionBy(ROW_KEY)
-        counted = tagged.withColumn("__n_src", F.sum("__src").over(w))
-        merged = counted.filter((F.col("__src") == 1) | (F.col("__n_src") == 0))
-        obs = Observation()
-        merged = merged.observe(obs, F.max("__n_src").alias("max_src_per_key"))
+
+        observations: list[Observation] = []
 
         def no_source_dups() -> None:
-            if (obs.get["max_src_per_key"] or 0) > 1:
-                raise ValueError(
-                    "MERGE source contains duplicate row_key values; "
-                    "deduplicate the source first"
+            for o in observations:
+                if (o.get["max_src_per_key"] or 0) > 1:
+                    raise ValueError(
+                        "MERGE source contains duplicate row_key values; "
+                        "deduplicate the source first"
+                    )
+
+        # split the batch at the affected files' key span: keys inside
+        # it merge with those files; keys OUTSIDE become their own
+        # fresh sorted run — folding a far-away new key into the
+        # rewritten region file would widen that file's min/max range
+        # across the keyspace, wrecking pruning and re-marking it
+        # "affected" for every later DML.  (A key can only MATCH inside
+        # the span, so the split cannot separate a duplicate pair or
+        # orphan a match; span bounds come from the same footer stats
+        # region pruning trusts.)
+        if affected:
+            lo, hi = self._key_span(path, affected)
+            in_span = F.col(ROW_KEY).between(F.lit(lo), F.lit(hi))
+            sub = self.spark.read.schema(schema).parquet(
+                *[os.path.join(path, f) for f in affected]
+            )
+            tagged = sub.withColumn("__src", F.lit(0)).unionByName(
+                incoming.filter(in_span).withColumn("__src", F.lit(1))
+            )
+            # range-partition BEFORE the window: RangePartitioning
+            # clusters equal keys, satisfying the window's distribution
+            # requirement, so the merge window and the key-sorted layout
+            # share ONE exchange over the affected subset (hash-window-
+            # then-repartitionByRange would shuffle it twice)
+            tagged = tagged.repartitionByRange(len(affected), ROW_KEY)
+            w = Window.partitionBy(ROW_KEY)
+            counted = tagged.withColumn("__n_src", F.sum("__src").over(w))
+            merged = counted.filter(
+                (F.col("__src") == 1) | (F.col("__n_src") == 0)
+            )
+            obs = Observation()
+            observations.append(obs)
+            merged = merged.observe(obs, F.max("__n_src").alias("max_src_per_key"))
+            out_merged = conform(merged.drop("__src", "__n_src")) \
+                .sortWithinPartitions(ROW_KEY)
+            new_run = incoming.filter(~in_span)
+        else:
+            # every incoming key is new: the "merge" is a pure append of
+            # one fresh sorted run (still through the atomic swap)
+            out_merged = None
+            new_run = incoming
+        if bool(new_run.take(1)):
+            w2 = Window.partitionBy(ROW_KEY)
+            obs2 = Observation()
+            observations.append(obs2)
+            new_counted = new_run.withColumn(
+                "__n_src", F.count(F.lit(1)).over(w2)
+            ).observe(obs2, F.max("__n_src").alias("max_src_per_key"))
+            out_new = conform(
+                new_counted.drop("__n_src")
+            ).repartitionByRange(1, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        else:
+            out_new = None
+
+        def build(staging: str) -> None:
+            wrote = False
+            for out in (out_merged, out_new):
+                if out is not None:
+                    out.write.mode("append" if wrote else "overwrite").parquet(
+                        staging
+                    )
+                    wrote = True
+            if not wrote:
+                os.makedirs(staging, exist_ok=True)
+            for f in os.listdir(staging):
+                if not f.endswith(".parquet"):
+                    os.remove(os.path.join(staging, f))
+            for fname in (
+                f for f in os.listdir(path)
+                if f.endswith(".parquet") and f not in affected
+            ):
+                self._link_or_copy(
+                    os.path.join(path, fname), os.path.join(staging, fname)
                 )
 
-        schema = spec.schema()
-        out = merged.drop("__src", "__n_src").select(
-            *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in schema.fields]
-        ).sortWithinPartitions(ROW_KEY)
-        self._swap_write_with_carry(
-            spec, out, path, set(affected), validate=no_source_dups
-        )
+        # incremental-index decision BEFORE the swap (pre-swap footer
+        # total; count() only runs when an index actually needs it —
+        # the checkpointed batch makes it cheap)
+        changed_keys = None
+        if bool(self.registered_indexes(qualified_name)) and not async_index:
+            if incoming.count() * 4 < self._footer_row_count(path):
+                changed_keys = keys
+        self._swap_table_dir(spec, build, validate=no_source_dups)
         self._maintain_indexes(
-            qualified_name,
-            async_index,
-            changed_keys=keys,
-            n_changed=incoming.count(),
+            qualified_name, async_index, changed_keys=changed_keys
         )
 
     # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
@@ -1466,7 +1566,7 @@ class KeyedTableStore:
         )
         self._selective_rewrite(spec, affected, lambda df: df.filter(~hit))
         self._maintain_indexes(
-            qualified_name, async_index, changed_keys=changed_keys, n_changed=n
+            qualified_name, async_index, changed_keys=changed_keys
         )
         return n
 
@@ -1519,7 +1619,7 @@ class KeyedTableStore:
 
         self._selective_rewrite(spec, affected, apply_assignments)
         self._maintain_indexes(
-            qualified_name, async_index, changed_keys=changed_keys, n_changed=n
+            qualified_name, async_index, changed_keys=changed_keys
         )
         return n
 
@@ -1593,20 +1693,9 @@ class KeyedTableStore:
             .repartitionByRange(1, ROW_KEY)
             .sortWithinPartitions(ROW_KEY)
         )
-
-        def build(staging: str) -> None:
-            merged.write.mode("overwrite").parquet(staging)
-            # drop the committer's marker so only data files remain,
-            # then carry the untouched large files over as hardlinks
-            for f in os.listdir(staging):
-                if not f.endswith(".parquet"):
-                    os.remove(os.path.join(staging, f))
-            for fname in big:
-                self._link_or_copy(
-                    os.path.join(path, fname), os.path.join(staging, fname)
-                )
-
-        self._swap_table_dir(spec, build)
+        # the untouched large files carry over as hardlinks — the one
+        # shared staged-write-plus-carry tail every selective path rides
+        self._swap_write_with_carry(spec, merged, path, set(small))
         return len(small)
 
     # -- region stats (HBase list_regions analogue, footer-only) ----------
@@ -1825,12 +1914,28 @@ class KeyedTableStore:
             self._catalog_paths: dict[str, str] = {}
         path = self.table_path(spec)
         qual = f"`{spec.namespace}`.`{spec.name}`"
-        if self._catalog_paths.get(spec.qualified_name) == path:
+        known = self._catalog_paths.get(spec.qualified_name)
+        if known == path:
             # already registered by this store — just invalidate metadata;
             # if someone dropped the catalog entry out from under us,
             # fall through and re-register (self-heal)
             try:
                 self.spark.sql(f"REFRESH TABLE {qual}")
+                return
+            except Exception:
+                self._catalog_paths.pop(spec.qualified_name, None)
+                known = None
+        elif known is not None:
+            # generation swap moved the data dir: repoint the existing
+            # catalog entry with ONE metadata update — DROP + CREATE
+            # would reintroduce the dangling-name window on the SQL
+            # surface (a concurrent `SELECT ... FROM ns.name` between
+            # the two statements gets TABLE_OR_VIEW_NOT_FOUND, exactly
+            # what the generation manifest exists to prevent)
+            try:
+                self.spark.sql(f"ALTER TABLE {qual} SET LOCATION '{path}'")
+                self.spark.sql(f"REFRESH TABLE {qual}")
+                self._catalog_paths[spec.qualified_name] = path
                 return
             except Exception:
                 self._catalog_paths.pop(spec.qualified_name, None)

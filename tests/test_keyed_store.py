@@ -1352,15 +1352,17 @@ def test_upsert_single_shuffle(spark, tmp_path, monkeypatch):
     layout needs (RangePartitioning clusters equal keys): the whole
     MERGE rewrite plan must contain exactly ONE Exchange — the r6 shape
     (hash window + repartitionByRange) shuffled the table twice."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
     st = _mk_plain_table(spark, tmp_path, n=20)
-    captured = {}
-    orig = KeyedTableStore._swap_write_with_carry
+    plans: list[str] = []
+    orig = DataFrameWriter.parquet
 
-    def spy(self, spec, out, src_path, rewritten, validate=None):
-        captured["plan"] = out._jdf.queryExecution().executedPlan().toString()
-        return orig(self, spec, out, src_path, rewritten, validate=validate)
+    def spy(self, path, **kw):
+        plans.append(self._df._jdf.queryExecution().executedPlan().toString())
+        return orig(self, path, **kw)
 
-    monkeypatch.setattr(KeyedTableStore, "_swap_write_with_carry", spy)
+    monkeypatch.setattr(DataFrameWriter, "parquet", spy)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         st.upsert(
@@ -1372,7 +1374,9 @@ def test_upsert_single_shuffle(spark, tmp_path, monkeypatch):
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-    plan = captured["plan"]
+    # write 1 = the merged region subset, write 2 = the new-key run
+    assert len(plans) == 2, len(plans)
+    plan = plans[0]
     assert plan.count("Exchange") == 1, plan
     # one affected file plans the range repartition as SinglePartition
     assert "rangepartitioning" in plan or "SinglePartition" in plan, plan
@@ -1412,6 +1416,12 @@ def test_selective_upsert_carries_untouched_regions(spark, tmp_path):
     got = {r["row_key"]: r["c:grp"] for r in st.read("r6.t").collect()}
     assert len(got) == 101
     assert got["00000001"] == 7 and got["zz_new"] == 7 and got["00000050"] == 2
+    # the far-away new key must land in its OWN sorted run, not widen
+    # the rewritten region file across the keyspace: per-file ranges
+    # stay non-overlapping (min/max pruning + region locality survive)
+    stats = st.region_stats("r6.t").collect()
+    for a, b in zip(stats, stats[1:]):
+        assert a["max_key"] <= b["min_key"], [tuple(r) for r in stats]
     # all-new-keys MERGE: zero files rewritten, all four+ carried
     before = {
         f: os.stat(os.path.join(path2, f)).st_ino
@@ -1494,3 +1504,52 @@ def test_incremental_index_maintenance_matches_rebuild(spark, tmp_path):
         for r in st.read("r6.by_grp").collect()
     )
     assert idx == main
+
+
+def test_concurrent_sql_reader_never_sees_missing_catalog_table(spark, tmp_path):
+    """Review r7 #1: a generation swap must repoint the session-catalog
+    entry with ONE ALTER TABLE SET LOCATION, not DROP+CREATE — a
+    concurrent `spark.sql("SELECT ... FROM ns.name")` loop during
+    repeated DML must never see TABLE_OR_VIEW_NOT_FOUND."""
+    import threading
+
+    st = _mk_plain_table(spark, tmp_path, ns="csq", name="t", n=50)
+    # first catalog registration happened at ctas; every swap after this
+    # point goes down the repoint path — record the store's SQL to pin
+    # the mechanism (ALTER ... SET LOCATION, never DROP TABLE)
+    statements: list[str] = []
+    orig_sql = st.spark.sql
+    st.spark = type(
+        "SqlSpy", (), {
+            "__getattr__": lambda s, name: getattr(spark, name),
+            "sql": lambda s, q, **kw: statements.append(q) or orig_sql(q, **kw),
+        },
+    )()
+    errors, counts, stop = [], [], threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(
+                    spark.sql("SELECT count(*) AS n FROM `csq`.`t`").collect()[0]["n"]
+                )
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(6):
+            if i % 2 == 0:
+                st.update_where("csq.t", {"c:val": "`c:val` + 1.0"}, "true")
+            else:
+                st.compact("csq.t", n_regions=2)
+    finally:
+        stop.set()
+        t.join(60)
+    assert not errors, errors
+    assert counts and all(c == 50 for c in counts), set(counts)
+    assert not [q for q in statements if q.startswith("DROP TABLE")], statements
+    assert [q for q in statements if q.startswith("ALTER TABLE")
+            and "SET LOCATION" in q], statements
