@@ -1994,3 +1994,49 @@ def test_prefix_scan_spark_roundtrip_edge_prefixes(spark, tmp_path_factory):
     for prefix in ["a퟿", "\U0010ffff", "a", ""]:
         got = sorted(r["row_key"] for r in st_.scan_prefix("px.t", prefix).collect())
         assert got == sorted(k for k in keys if k.startswith(prefix)), prefix
+
+
+# -- round-7: selective DML == whole-table semantics ----------------------
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 999), st.integers(0, 5)),
+        min_size=1, max_size=50, unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 5),
+)
+def test_selective_dml_equals_dataframe_semantics(spark, tmp_path_factory, rows, pivot):
+    """The selective locate-and-rewrite path (only files containing
+    matches are rewritten; the rest hardlink-carry) must be
+    semantically IDENTICAL to filtering/projecting the whole table —
+    for arbitrary key layouts, multi-file tables, and predicates that
+    hit any subset of files (including none or all)."""
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    st_ = KeyedTableStore(spark, str(tmp_path_factory.mktemp("wh_seldml")))
+    spec = TableSpec(
+        namespace="sd", name="t", key_type="string",
+        families={"c": {"v": "long"}},
+    )
+    st_.create_table(spec)
+    # several appends -> several files with overlapping ranges
+    third = max(len(rows) // 3, 1)
+    for chunk in (rows[:third], rows[third:2 * third], rows[2 * third:]):
+        if chunk:
+            st_.insert("sd.t", spark.createDataFrame(
+                [(f"{k:04d}", v) for k, v in chunk], "row_key string, `c:v` long"
+            ), generate_row_key=False)
+    expect = {f"{k:04d}": v for k, v in rows}
+
+    deleted = st_.delete_where("sd.t", f"`c:v` = {pivot}")
+    expect = {k: v for k, v in expect.items() if v != pivot}
+    assert deleted == len(rows) - len(expect)
+    got = {r["row_key"]: r["c:v"] for r in st_.read("sd.t").collect()}
+    assert got == expect
+
+    updated = st_.update_where("sd.t", {"c:v": "`c:v` + 100"}, f"`c:v` > {pivot}")
+    assert updated == sum(1 for v in expect.values() if v > pivot)
+    expect = {k: (v + 100 if v > pivot else v) for k, v in expect.items()}
+    got = {r["row_key"]: r["c:v"] for r in st_.read("sd.t").collect()}
+    assert got == expect
