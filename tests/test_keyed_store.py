@@ -1553,3 +1553,68 @@ def test_concurrent_sql_reader_never_sees_missing_catalog_table(spark, tmp_path)
     assert not [q for q in statements if q.startswith("DROP TABLE")], statements
     assert [q for q in statements if q.startswith("ALTER TABLE")
             and "SET LOCATION" in q], statements
+
+
+@pytest.mark.parametrize("crash_at", ["build", "manifest_tmp", "post_flip"])
+def test_swap_protocol_crash_at_every_step(spark, tmp_path, monkeypatch, crash_at):
+    """Fault injection through the generation-swap protocol: kill the
+    writer (a) mid-build, (b) inside the manifest write before its
+    atomic rename, (c) after the flip before the sweep.  At every crash
+    point the table must stay readable and complete — pre-DML state for
+    (a)/(b), post-DML state for (c) — and the next successful rewrite
+    must converge the directory back to exactly {current, previous}."""
+    st = _mk_plain_table(spark, tmp_path, ns="cr", name="t", n=30)
+    spec = st.registry.get("cr.t")
+    before = sorted(map(tuple, st.read("cr.t").collect()))
+
+    boom = RuntimeError("injected crash")
+    if crash_at == "build":
+        orig = KeyedTableStore._swap_write_with_carry
+
+        def f(self, spc, out, src, rewritten, validate=None):
+            def bad_build(staging):
+                os.makedirs(staging, exist_ok=True)  # partial build
+                raise boom
+            self._swap_table_dir(spc, bad_build, validate=validate)
+
+        monkeypatch.setattr(KeyedTableStore, "_swap_write_with_carry", f)
+    elif crash_at == "manifest_tmp":
+        orig = KeyedTableStore._write_gen_manifest
+
+        def f(self, root, current, previous):
+            # crash before the atomic rename: leave only the tmp file
+            tmp = os.path.join(root, f".{self._GEN_MANIFEST}.crashed")
+            with open(tmp, "w") as fh:
+                fh.write("{}")
+            raise boom
+
+        monkeypatch.setattr(KeyedTableStore, "_write_gen_manifest", f)
+    else:  # post_flip: crash inside the post-flip sweep
+        orig = KeyedTableStore._sweep_generations
+        calls = {"n": 0}
+
+        def f(self, root, keep):
+            calls["n"] += 1
+            if calls["n"] == 2:  # 1st call = pre-sweep, 2nd = post-flip
+                raise boom
+            return orig(self, root, keep)
+
+        monkeypatch.setattr(KeyedTableStore, "_sweep_generations", f)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        st.delete_where("cr.t", "`c:grp` = 1")
+    monkeypatch.undo()
+
+    after = sorted(map(tuple, st.read("cr.t").collect()))
+    if crash_at == "post_flip":
+        # the flip happened: the DML is APPLIED (crash only hit cleanup)
+        assert after == [r for r in before if r[1] != 1]
+    else:
+        assert after == before
+    # recovery: the next rewrite succeeds and converges the layout
+    st.compact("cr.t", n_regions=2)
+    assert len(st.read("cr.t").collect()) == len(after)
+    root = st.table_root(spec)
+    man = st._read_gen_manifest(root)
+    gens = {d for d in os.listdir(root) if d.startswith("gen-")}
+    assert gens == {man["current"], man["previous"]} - {None}
