@@ -1618,3 +1618,46 @@ def test_swap_protocol_crash_at_every_step(spark, tmp_path, monkeypatch, crash_a
     man = st._read_gen_manifest(root)
     gens = {d for d in os.listdir(root) if d.startswith("gen-")}
     assert gens == {man["current"], man["previous"]} - {None}
+
+
+def test_selective_dml_after_add_columns(spark, tmp_path):
+    """Schema evolution meets selective rewrite: after ADD COLUMNS the
+    carried (hardlinked) files still lack the new column while rewritten
+    files materialize it — the spec-schema read must see a consistent
+    table, and an UPDATE touching the new column must work."""
+    st = _mk_plain_table(spark, tmp_path, n=40)
+    st.compact("r6.t", n_regions=4)
+    st.alter_table_add_columns("r6.t", [("c:note", "string")])
+    # update only the low range: 3 files carried WITHOUT the new column
+    n = st.update_where(
+        "r6.t", {"c:note": "'low'"}, "row_key <= '00000010'"
+    )
+    assert n == 10
+    got = {r["row_key"]: r["c:note"] for r in st.read("r6.t").collect()}
+    assert sum(v == "low" for v in got.values()) == 10
+    assert all(v is None for k, v in got.items() if k > "00000010")
+    # delete by the evolved column: NULL predicate rows are kept
+    assert st.delete_where("r6.t", "`c:note` = 'low'") == 10
+    assert st.read("r6.t").count() == 30
+
+
+def test_locate_scan_pushes_predicate(spark, tmp_path):
+    """The DML locate pass must reach the parquet scan as a pushed
+    filter — at scale it reads only the row groups whose stats admit a
+    match, which is what makes locate cheap next to a rewrite."""
+    st = _mk_plain_table(spark, tmp_path, n=40)
+    spec = st.registry.get("r6.t")
+    from pyspark.sql import functions as FF
+
+    hit = FF.coalesce(FF.expr("`c:grp` = 2"), FF.lit(False))
+    probe = (
+        st.read("r6.t")
+        .filter(hit)
+        .groupBy(FF.input_file_name().alias("__f"))
+        .agg(FF.count(FF.lit(1)).alias("n"))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "c:grp" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan
+    assert st._locate_affected_files(spec, lambda df: df.filter(hit))
