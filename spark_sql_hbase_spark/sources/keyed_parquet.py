@@ -332,6 +332,34 @@ class KeyedTableStore:
             os.path.join(root, prev)
         )
 
+    def generations(self, qualified_name: str) -> list[dict]:
+        """Admin introspection for the generational layout (the
+        ``list_regions``-style surface applied to table versions): one
+        entry per on-disk generation with its role (``current`` /
+        ``previous`` / ``orphan`` — a crashed build awaiting sweep),
+        file count, and exact footer row count.  O(files) driver-side
+        metadata reads, zero Spark jobs."""
+        spec = self.registry.get(qualified_name)
+        root = self.table_root(spec)
+        man = self._read_gen_manifest(root) or {}
+        roles = {man.get("current"): "current", man.get("previous"): "previous"}
+        out = []
+        for entry in sorted(os.listdir(root)):
+            full = os.path.join(root, entry)
+            if not (os.path.isdir(full) and entry.startswith("gen-")):
+                continue
+            out.append(
+                {
+                    "generation": entry,
+                    "role": roles.get(entry, "orphan"),
+                    "n_files": sum(
+                        1 for f in os.listdir(full) if f.endswith(".parquet")
+                    ),
+                    "n_rows": self._footer_row_count(full),
+                }
+            )
+        return out
+
     def read_via_datasource(self, qualified_name: str) -> DataFrame:
         """Scan through the ``keyedtable`` Python DataSource — region-
         aligned partitions + row-key pruning + pushdown in OUR code rather
@@ -1419,9 +1447,15 @@ class KeyedTableStore:
             new_counted = new_run.withColumn(
                 "__n_src", F.count(F.lit(1)).over(w2)
             ).observe(obs2, F.max("__n_src").alias("max_src_per_key"))
+            # same region-count fan-out every append batch gets from
+            # insert(): a large all-new batch must not serialize through
+            # one partition; empty range partitions write no files, so
+            # small batches still produce a compact run
             out_new = conform(
                 new_counted.drop("__n_src")
-            ).repartitionByRange(1, ROW_KEY).sortWithinPartitions(ROW_KEY)
+            ).repartitionByRange(
+                self._n_regions(spec), ROW_KEY
+            ).sortWithinPartitions(ROW_KEY)
         else:
             out_new = None
 

@@ -1661,3 +1661,22 @@ def test_locate_scan_pushes_predicate(spark, tmp_path):
         "PushedFilters"
     )[1][:200], plan
     assert st._locate_affected_files(spec, lambda df: df.filter(hit))
+
+
+def test_generations_admin_listing(spark, tmp_path):
+    """generations() reports each on-disk generation with its role and
+    exact footer row count — current/previous after a rewrite, plus
+    orphans from crashed builds until the next sweep."""
+    st = _mk_plain_table(spark, tmp_path, ns="gl", name="t", n=20)
+    gens = st.generations("gl.t")
+    assert [g["role"] for g in gens].count("current") == 1
+    assert sum(g["n_rows"] for g in gens if g["role"] == "current") == 20
+    st.delete_where("gl.t", "`c:grp` = 0")
+    gens = {g["role"]: g for g in st.generations("gl.t")}
+    assert gens["current"]["n_rows"] == 15
+    assert gens["previous"]["n_rows"] == 20
+    # orphan: drop a fake crashed build into the root
+    root = st.table_root(st.registry.get("gl.t"))
+    os.makedirs(os.path.join(root, "gen-deadbeefcafe"))
+    roles = [g["role"] for g in st.generations("gl.t")]
+    assert sorted(roles) == ["current", "orphan", "previous"]
