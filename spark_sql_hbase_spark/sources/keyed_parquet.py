@@ -1377,6 +1377,8 @@ class KeyedTableStore:
         # bounded incoming batch is pinned (the same discipline as
         # insert's index-maintenance batch pin).
         incoming = incoming.localCheckpoint(eager=True)
+        if not incoming.take(1):
+            return  # empty MERGE source: nothing to do, no swap
         keys = incoming.select(ROW_KEY)
         affected = self._locate_affected_files(
             spec, lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi")

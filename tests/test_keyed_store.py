@@ -1680,3 +1680,16 @@ def test_generations_admin_listing(spark, tmp_path):
     os.makedirs(os.path.join(root, "gen-deadbeefcafe"))
     roles = [g["role"] for g in st.generations("gl.t")]
     assert sorted(roles) == ["current", "orphan", "previous"]
+
+
+def test_empty_merge_source_is_noop(spark, tmp_path):
+    """An empty MERGE batch must not swap a generation (the streaming
+    upsert sink can legitimately deliver empty micro-batches)."""
+    st = _mk_plain_table(spark, tmp_path, ns="em", name="t", n=10)
+    spec = st.registry.get("em.t")
+    man = st._read_gen_manifest(st.table_root(spec))
+    st.upsert("em.t", spark.createDataFrame(
+        [], "row_key string, `c:grp` long, `c:val` double"
+    ))
+    assert st._read_gen_manifest(st.table_root(spec)) == man
+    assert st.read("em.t").count() == 10
