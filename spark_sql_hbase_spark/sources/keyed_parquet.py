@@ -341,23 +341,47 @@ class KeyedTableStore:
         metadata reads, zero Spark jobs."""
         spec = self.registry.get(qualified_name)
         root = self.table_root(spec)
-        man = self._read_gen_manifest(root) or {}
-        roles = {man.get("current"): "current", man.get("previous"): "previous"}
+        man = self._read_gen_manifest(root)
+        roles: dict[str, str] = {}
+        if man is None:
+            roles[self._FLAT] = "current"  # legacy flat layout
+        else:
+            roles[man["current"]] = "current"
+            if man.get("previous") is not None:
+                roles[man["previous"]] = "previous"
+
+        def entry_for(name: str, data_dir: str, flat: bool) -> dict:
+            files = [
+                f
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+                and (not flat or os.path.isfile(os.path.join(data_dir, f)))
+            ]
+            try:
+                rows = sum(
+                    self._footer_row_count_file(os.path.join(data_dir, f))
+                    for f in files
+                )
+            except Exception:
+                # a crashed build can leave a truncated file in an
+                # orphan generation — report it, don't die on it
+                rows = None
+            return {
+                "generation": name,
+                "role": roles.get(name, "orphan"),
+                "n_files": len(files),
+                "n_rows": rows,
+            }
+
         out = []
+        if self._FLAT in roles:
+            # root-level files are themselves a generation (legacy flat
+            # current, or the grace-retained flat previous)
+            out.append(entry_for(self._FLAT, root, flat=True))
         for entry in sorted(os.listdir(root)):
             full = os.path.join(root, entry)
-            if not (os.path.isdir(full) and entry.startswith("gen-")):
-                continue
-            out.append(
-                {
-                    "generation": entry,
-                    "role": roles.get(entry, "orphan"),
-                    "n_files": sum(
-                        1 for f in os.listdir(full) if f.endswith(".parquet")
-                    ),
-                    "n_rows": self._footer_row_count(full),
-                }
-            )
+            if os.path.isdir(full) and entry.startswith("gen-"):
+                out.append(entry_for(entry, full, flat=False))
         return out
 
     def read_via_datasource(self, qualified_name: str) -> DataFrame:
@@ -1262,62 +1286,99 @@ class KeyedTableStore:
         self._atomic_swap_write(spec, out, validate=validate)
 
     @staticmethod
-    def _key_span(path: str, files) -> tuple[str, str]:
-        """[min, max] row_key over the given data files, from parquet
-        footer statistics — O(files) driver reads.  A file whose key
-        stats may be writer-truncated (the region_stats exactness rule)
-        falls back to an exact single-column read of that file."""
+    def _file_key_range(full: str) -> tuple[str | None, str | None, int]:
+        """Exact ``(min_key, max_key, n_rows)`` for ONE data file — from
+        its footer when trustworthy, else an exact single-column read of
+        that file.  The ONE footer-range implementation behind
+        :meth:`region_stats` and the DML key-span split.
+
+        parquet writers TRUNCATE long binary statistics (parquet-mr at
+        64 BYTES — the truncated max is then rounded up past the true
+        range, and multibyte UTF-8 means the byte limit can trip well
+        under 64 *characters*).  This runtime's pyarrow does not expose
+        ``is_min/max_value_exact``, so any stat that is missing, flagged
+        inexact, or whose UTF-8 encoding reaches the truncation boundary
+        falls back to the exact file-local key read (still O(one file);
+        the footer fast path serves every normal-width key)."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        md = pq.read_metadata(full)
+        rows = md.num_rows
+        if rows == 0:
+            return None, None, 0
+        idx = next(
+            (
+                c
+                for c in range(md.num_columns)
+                if md.row_group(0).column(c).path_in_schema == ROW_KEY
+            ),
+            None,
+        )
+        if idx is None:
+            raise RuntimeError(
+                f"no {ROW_KEY!r} column in {os.path.basename(full)} — "
+                "foreign file in the table directory or schema drift"
+            )
+        lo = hi = None
+        exact = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                exact = False
+                break
+            if (
+                getattr(st, "is_min_value_exact", True) is False
+                or getattr(st, "is_max_value_exact", True) is False
+            ):
+                exact = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn_b, mx_b = mn, mx
+                mn, mx = mn.decode(), mx.decode()
+            else:
+                mn, mx = str(mn), str(mx)
+                mn_b, mx_b = mn.encode(), mx.encode()
+            if max(len(mn_b), len(mx_b)) >= 64:  # BYTES, not characters
+                exact = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if not exact:
+            keys = pq.read_table(full, columns=[ROW_KEY]).column(0)
+            lo, hi = pc.min(keys).as_py(), pc.max(keys).as_py()
+        return lo, hi, rows
+
+    @classmethod
+    def _key_span(cls, path: str, files) -> tuple[str, str]:
+        """[min, max] row_key over the given data files — O(files)
+        driver-side footer reads via :meth:`_file_key_range`."""
         lo = hi = None
         for fname in files:
-            full = os.path.join(path, fname)
-            md = pq.read_metadata(full)
-            if md.num_rows == 0:
+            f_lo, f_hi, rows = cls._file_key_range(os.path.join(path, fname))
+            if rows == 0:
                 continue
-            idx = next(
-                c for c in range(md.num_columns)
-                if md.row_group(0).column(c).path_in_schema == ROW_KEY
-            )
-            f_lo = f_hi = None
-            exact = True
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    exact = False
-                    break
-                mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    mn, mx = mn.decode(), mx.decode()
-                if (
-                    getattr(st, "is_min_value_exact", True) is False
-                    or getattr(st, "is_max_value_exact", True) is False
-                    or max(len(str(mn)), len(str(mx))) >= 64
-                ):
-                    exact = False
-                    break
-                f_lo = mn if f_lo is None or mn < f_lo else f_lo
-                f_hi = mx if f_hi is None or mx > f_hi else f_hi
-            if not exact:
-                keys = pq.read_table(full, columns=[ROW_KEY]).column(0)
-                f_lo, f_hi = pc.min(keys).as_py(), pc.max(keys).as_py()
             lo = f_lo if lo is None or f_lo < lo else lo
             hi = f_hi if hi is None or f_hi > hi else hi
         return lo, hi
 
     @staticmethod
-    def _footer_row_count(path: str) -> int:
+    def _footer_row_count_file(full: str) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(full).num_rows
+
+    @classmethod
+    def _footer_row_count(cls, path: str) -> int:
         """Exact table row count from parquet footer metadata — O(files)
         driver-side reads, zero Spark jobs (the ``region_stats``
         footer-only discipline applied to counting)."""
-        import pyarrow.parquet as pq
-
-        total = 0
-        for fname in os.listdir(path):
-            if fname.endswith(".parquet"):
-                total += pq.read_metadata(os.path.join(path, fname)).num_rows
-        return total
+        return sum(
+            cls._footer_row_count_file(os.path.join(path, fname))
+            for fname in os.listdir(path)
+            if fname.endswith(".parquet")
+        )
 
     # -- upsert (MERGE INTO ... UPDATE SET * / INSERT * analogue) ---------
     def upsert(
@@ -1379,6 +1440,14 @@ class KeyedTableStore:
         incoming = incoming.localCheckpoint(eager=True)
         if not incoming.take(1):
             return  # empty MERGE source: nothing to do, no swap
+        # HBase parity: a Put without a row key is invalid — and a NULL
+        # key would silently fall through BOTH sides of the key-span
+        # split below (NULL `between` filters), vanishing without error
+        if incoming.filter(F.col(ROW_KEY).isNull()).take(1):
+            raise ValueError(
+                "MERGE source contains NULL row_key values; every row "
+                "needs a key"
+            )
         keys = incoming.select(ROW_KEY)
         affected = self._locate_affected_files(
             spec, lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi")
@@ -1461,27 +1530,6 @@ class KeyedTableStore:
         else:
             out_new = None
 
-        def build(staging: str) -> None:
-            wrote = False
-            for out in (out_merged, out_new):
-                if out is not None:
-                    out.write.mode("append" if wrote else "overwrite").parquet(
-                        staging
-                    )
-                    wrote = True
-            if not wrote:
-                os.makedirs(staging, exist_ok=True)
-            for f in os.listdir(staging):
-                if not f.endswith(".parquet"):
-                    os.remove(os.path.join(staging, f))
-            for fname in (
-                f for f in os.listdir(path)
-                if f.endswith(".parquet") and f not in affected
-            ):
-                self._link_or_copy(
-                    os.path.join(path, fname), os.path.join(staging, fname)
-                )
-
         # incremental-index decision BEFORE the swap (pre-swap footer
         # total; count() only runs when an index actually needs it —
         # the checkpointed batch makes it cheap)
@@ -1489,7 +1537,15 @@ class KeyedTableStore:
         if bool(self.registered_indexes(qualified_name)) and not async_index:
             if incoming.count() * 4 < self._footer_row_count(path):
                 changed_keys = keys
-        self._swap_table_dir(spec, build, validate=no_source_dups)
+        # the empty-source early return guarantees at least one frame:
+        # affected non-empty => out_merged; affected empty => out_new
+        self._swap_write_with_carry(
+            spec,
+            [o for o in (out_merged, out_new) if o is not None],
+            path,
+            set(affected),
+            validate=no_source_dups,
+        )
         self._maintain_indexes(
             qualified_name, async_index, changed_keys=changed_keys
         )
@@ -1548,13 +1604,17 @@ class KeyedTableStore:
         self._swap_write_with_carry(spec, out, path, set(affected))
 
     def _swap_write_with_carry(
-        self, spec: TableSpec, out: DataFrame, src_path: str,
+        self, spec: TableSpec, out, src_path: str,
         rewritten: set, validate=None,
     ) -> None:
-        """Write ``out`` into a new generation and carry every data file
-        of ``src_path`` NOT in ``rewritten`` over as a hardlink, then
-        flip the generation pointer (``validate`` runs between write and
-        flip).  The shared tail of every selective rewrite."""
+        """Write ``out`` (one DataFrame, or a list written in order —
+        first overwrite, rest append) into a new generation and carry
+        every data file of ``src_path`` NOT in ``rewritten`` over as a
+        hardlink, then flip the generation pointer (``validate`` runs
+        between write and flip).  The shared tail of every selective
+        rewrite — DELETE/UPDATE (one frame), MERGE (merged subset +
+        new-key run), minor compaction."""
+        outs = [out] if isinstance(out, DataFrame) else list(out)
         carried = [
             f
             for f in os.listdir(src_path)
@@ -1562,7 +1622,8 @@ class KeyedTableStore:
         ]
 
         def build(staging: str) -> None:
-            out.write.mode("overwrite").parquet(staging)
+            for i, frame in enumerate(outs):
+                frame.write.mode("append" if i else "overwrite").parquet(staging)
             for f in os.listdir(staging):
                 if not f.endswith(".parquet"):
                     os.remove(os.path.join(staging, f))
@@ -1748,63 +1809,17 @@ class KeyedTableStore:
 
         Emits ``(region, min_key, max_key, n_rows)``.
         """
-        import pyarrow.parquet as pq
-
         spec = self.registry.get(qualified_name)
         path = self.table_path(spec)
         stats = []
         for fname in sorted(os.listdir(path)):
             if not fname.endswith(".parquet"):
                 continue
-            md = pq.read_metadata(os.path.join(path, fname))
-            lo = hi = None
-            rows = md.num_rows
+            # shared footer-range walk (byte-aware truncation guard +
+            # exact single-file fallback) — see _file_key_range
+            lo, hi, rows = self._file_key_range(os.path.join(path, fname))
             if rows == 0:
                 continue
-            idx = None
-            for c in range(md.num_columns):
-                if md.row_group(0).column(c).path_in_schema == ROW_KEY:
-                    idx = c
-                    break
-            if idx is None:
-                raise RuntimeError(
-                    f"no {ROW_KEY!r} column in {fname} — foreign file in "
-                    "the table directory or schema drift"
-                )
-            exact = True
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    raise RuntimeError(f"missing row_key stats in {fname}")
-                # parquet writers TRUNCATE long binary statistics
-                # (parquet-mr at 64 bytes; the truncated max then EXCEEDS
-                # the true range).  pyarrow's Statistics does not expose
-                # is_min/max_value_exact in this runtime, so treat any
-                # stat at/over the truncation boundary — or an explicit
-                # exactness=False when a newer pyarrow provides it — as
-                # suspect and fall back to an exact single-column scan of
-                # the file (still file-local; the footer fast path stays
-                # for every normal-width key).
-                if (
-                    getattr(st, "is_min_value_exact", True) is False
-                    or getattr(st, "is_max_value_exact", True) is False
-                ):
-                    exact = False
-                mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    mn, mx = mn.decode(), mx.decode()
-                if max(len(str(mn)), len(str(mx))) >= 64:
-                    exact = False
-                lo = mn if lo is None or mn < lo else lo
-                hi = mx if hi is None or mx > hi else hi
-            if not exact:
-                keys = pq.read_table(
-                    os.path.join(path, fname), columns=[ROW_KEY]
-                ).column(0)
-                import pyarrow.compute as pc
-
-                lo = pc.min(keys).as_py()
-                hi = pc.max(keys).as_py()
             stats.append((lo, hi, rows))
         stats.sort()
         out = [(i + 1, lo, hi, n) for i, (lo, hi, n) in enumerate(stats)]

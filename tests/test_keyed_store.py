@@ -1693,3 +1693,52 @@ def test_empty_merge_source_is_noop(spark, tmp_path):
     ))
     assert st._read_gen_manifest(st.table_root(spec)) == man
     assert st.read("em.t").count() == 10
+
+
+def test_merge_null_row_key_raises(spark, tmp_path):
+    """Review r7 pass 2 #1: a NULL row_key in the MERGE source would
+    silently fall through both sides of the key-span split — it must
+    raise loudly instead (HBase parity: a Put needs a key), regardless
+    of whether other batch rows match existing files."""
+    st = _mk_plain_table(spark, tmp_path, ns="nk", name="t", n=10)
+    for batch in (
+        [(None, 1, 1.0), ("00000001", 2, 2.0)],  # with a matching row
+        [(None, 1, 1.0)],                        # all-new path
+    ):
+        with pytest.raises(ValueError, match="NULL row_key"):
+            st.upsert("nk.t", spark.createDataFrame(
+                batch, "row_key string, `c:grp` long, `c:val` double"
+            ))
+    assert st.read("nk.t").count() == 10
+
+
+def test_generations_flat_layout_and_corrupt_orphan(spark, tmp_path):
+    """generations() must report a legacy flat-layout table as its own
+    current generation, and must not die on an orphan holding a
+    truncated file (the crash artifact it exists to surface)."""
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="gf", name="t", key_type="string",
+        families={"c": {"v": "long"}},
+    )
+    root = st.table_root(spec)
+    spark.createDataFrame(
+        [(f"{i:04d}", i) for i in range(6)], "row_key string, `c:v` long"
+    ).write.parquet(root)
+    st.registry.register(spec)
+    gens = st.generations("gf.t")
+    assert [g["role"] for g in gens] == ["current"]
+    assert gens[0]["generation"] == "." and gens[0]["n_rows"] == 6
+    # first rewrite migrates: flat files become the grace "previous"
+    st.compact("gf.t", n_regions=1)
+    roles = {g["generation"]: g["role"] for g in st.generations("gf.t")}
+    assert roles["."] == "previous"
+    assert "current" in roles.values()
+    # corrupt orphan: a truncated parquet in a crashed-build gen
+    bad = os.path.join(root, "gen-00deadbeef00")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-truncated.parquet"), "wb") as f:
+        f.write(b"PAR1\x00\x00broken")
+    listing = {g["generation"]: g for g in st.generations("gf.t")}
+    assert listing["gen-00deadbeef00"]["role"] == "orphan"
+    assert listing["gen-00deadbeef00"]["n_rows"] is None
