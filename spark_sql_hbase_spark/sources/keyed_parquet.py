@@ -1449,11 +1449,29 @@ class KeyedTableStore:
                 "needs a key"
             )
         keys = incoming.select(ROW_KEY)
-        affected = self._locate_affected_files(
-            spec, lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi")
-        )
         path = self.table_path(spec)
         schema = spec.schema()
+        # candidate pruning BEFORE the locate scan: only files whose
+        # footer key range intersects the batch's [min, max] can contain
+        # a matched key — the semi-join locate then reads candidates
+        # only (a broadcast semi-join cannot prune its scan side the way
+        # a pushed predicate can, so at scale a region-local batch would
+        # otherwise pay a full-table locate read)
+        b = incoming.agg(
+            F.min(ROW_KEY).alias("lo"), F.max(ROW_KEY).alias("hi")
+        ).first()
+        candidates = []
+        for fname in sorted(os.listdir(path)):
+            if not fname.endswith(".parquet"):
+                continue
+            f_lo, f_hi, rows = self._file_key_range(os.path.join(path, fname))
+            if rows and not (f_hi < b["lo"] or f_lo > b["hi"]):
+                candidates.append(fname)
+        affected = self._locate_affected_files(
+            spec,
+            lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi"),
+            files=candidates,
+        )
 
         def conform(df: DataFrame) -> DataFrame:
             return df.select(
@@ -1551,13 +1569,19 @@ class KeyedTableStore:
         )
 
     # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
-    def _locate_affected_files(self, spec: TableSpec, selector) -> dict[str, int]:
+    def _locate_affected_files(
+        self, spec: TableSpec, selector, files: list | None = None
+    ) -> dict[str, int]:
         """ONE predicate-pushdown scan locating which data files contain
         rows the DML touches — ``selector(cur)`` reduces the table to
         its matching rows (a filter for DELETE/UPDATE, a broadcast semi
         join on the incoming keys for MERGE); emits {file basename:
         n_matching_rows} — bounded by the file count, so the driver-side
-        collect is O(files) like every footer-admin path.  This is what
+        collect is O(files) like every footer-admin path.  ``files``
+        restricts the scan to pre-pruned candidates (MERGE prunes by
+        footer key-range intersection first, because a broadcast
+        semi-join cannot prune the scan side the way a pushed predicate
+        can).  This is what
         makes selective DML O(affected files) instead of a full-table
         rewrite: at 100 TB a DELETE confined to one region's key range
         rewrites that region's files and HARDLINKS the rest (the
@@ -1566,7 +1590,15 @@ class KeyedTableStore:
         evaluate them — the standard SQL DML expectation)."""
         import urllib.parse
 
-        cur = self.read(spec.qualified_name)
+        if files is not None:
+            if not files:
+                return {}
+            path = self.table_path(spec)
+            cur = self.spark.read.schema(spec.schema()).parquet(
+                *[os.path.join(path, f) for f in files]
+            )
+        else:
+            cur = self.read(spec.qualified_name)
         rows = (
             selector(cur)
             .groupBy(F.input_file_name().alias("__f"))

@@ -1742,3 +1742,32 @@ def test_generations_flat_layout_and_corrupt_orphan(spark, tmp_path):
     listing = {g["generation"]: g for g in st.generations("gf.t")}
     assert listing["gen-00deadbeef00"]["role"] == "orphan"
     assert listing["gen-00deadbeef00"]["n_rows"] is None
+
+
+def test_merge_locate_prunes_candidates_by_footer_range(spark, tmp_path, monkeypatch):
+    """The MERGE locate scan must read only footer-range candidates: a
+    batch confined to one region's key range hands exactly that
+    region's file to the locate pass, never the whole table."""
+    st = _mk_plain_table(spark, tmp_path, n=100)
+    st.compact("r6.t", n_regions=4)
+    seen = {}
+    orig = KeyedTableStore._locate_affected_files
+
+    def spy(self, spec, selector, files=None):
+        seen["files"] = files
+        return orig(self, spec, selector, files=files)
+
+    monkeypatch.setattr(KeyedTableStore, "_locate_affected_files", spy)
+    st.upsert("r6.t", spark.createDataFrame(
+        [("00000002", 7, 7.0), ("00000004", 7, 7.0)],
+        "row_key string, `c:grp` long, `c:val` double",
+    ))
+    assert seen["files"] is not None and len(seen["files"]) == 1, seen
+    got = {r["row_key"]: r["c:grp"] for r in st.read("r6.t").collect()}
+    assert got["00000002"] == 7 and got["00000004"] == 7 and len(got) == 100
+    # a batch entirely outside every range: zero candidates, zero reads
+    st.upsert("r6.t", spark.createDataFrame(
+        [("zz1", 9, 9.0)], "row_key string, `c:grp` long, `c:val` double",
+    ))
+    assert seen["files"] == [], seen
+    assert st.read("r6.t").count() == 101
