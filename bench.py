@@ -33,7 +33,11 @@ new registry names after the driver-window rotation).
 
 Round-7: the window rotation renamed several bench subjects again; the
 report KEEPS the round-6 output keys (so BENCH_r7 compares key-for-key
-against BENCH_r6) and resolves the registry through _R7_RENAMES."""
+against BENCH_r6) and resolves the registry through _R7_RENAMES.
+
+Round-8: same drill — the round-8 rotation demoted d02/k12/k13/s08 to
+zf-tier names and promoted z65/z67 into the window; _R8_RENAMES keeps
+the output keys of every prior round."""
 
 from __future__ import annotations
 
@@ -77,9 +81,31 @@ _R7_RENAMES = {
 }
 
 
+# round-8 rotation: bench output key -> current registry name
+_R8_RENAMES = {
+    "d02_minhash_lsh_neardup": "zf01_minhash_lsh_neardup",
+    "s08_ivfadc_residual": "zf15_ivfadc_residual",
+    "k12_sql_merge_upsert": "zf09_sql_merge_upsert",
+    "k13_sql_delete_update": "zf10_sql_delete_update",
+    "z65_stream_neardup_index": "st10_stream_neardup_index",
+    "z67_winnowing_fingerprints": "d17_winnowing_fingerprints",
+}
+
+
 def _lookup(registry, name):
-    """Resolve a (possibly renamed) bench key in the query registry."""
-    return registry.get(name) or registry.get(_R7_RENAMES.get(name, ""))
+    """Resolve a (possibly renamed) bench key in the query registry.
+
+    Raises KeyError on a key that resolves through NO rename map so a
+    future rotation without a mapping fails loudly instead of surfacing
+    as an AttributeError on None downstream."""
+    qd = (
+        registry.get(name)
+        or registry.get(_R8_RENAMES.get(name, ""))
+        or registry.get(_R7_RENAMES.get(name, ""))
+    )
+    if qd is None:
+        raise KeyError(f"bench key {name!r} not in registry or rename maps")
+    return qd
 
 # rows each headline query SCANS at sf=1 (dominant input table), for the
 # rows/s throughput report; scaled linearly by the measured SF
@@ -262,16 +288,13 @@ def main() -> None:
         "r_name IS NOT NULL"
     ).groupBy("r_name").count().collect()
     for q in ("d02_minhash_lsh_neardup", "zb08_ann_topk"):
-        if q in registry:
-            registry[q].fn(spark, "/root/testdata/sf0.001").count()
+        _lookup(registry, q).fn(spark, "/root/testdata/sf0.001").count()
 
     runs: list[dict[str, float]] = []
     for i in range(N_RUNS):
         times: dict[str, float] = {}
         for name in HEADLINE:
             qd = _lookup(registry, name)
-            if qd is None:
-                continue
             t0 = time.perf_counter()
             n = qd.fn(spark, sf_dir).count()
             times[name] = round(time.perf_counter() - t0, 3)

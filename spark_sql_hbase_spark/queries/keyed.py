@@ -170,7 +170,7 @@ def zd33_sql_insert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CreateHBaseTableAsSelectCommand.scala:18-88.
 # ---------------------------------------------------------------------------
 @register(
-    "k04_namespace_ctas_select",
+    "zf02_namespace_ctas_select",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            c_name AS "A:A_00"
@@ -180,7 +180,7 @@ def zd33_sql_insert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="SQL CTAS into namespace + CACHE TABLE + dot-qualified "
     "SELECT with LIKE over a cf:qualifier column",
 )
-def k04_namespace_ctas_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf02_namespace_ctas_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = _session(spark)
     table(spark, sf_dir, "customer").createOrReplaceTempView("__k04_customer")
     sess.sql(
@@ -249,7 +249,7 @@ def zd35_sql_alter_add_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: the plain value predicate over the source relation.
 # ---------------------------------------------------------------------------
 @register(
-    "k06_secondary_index",
+    "zf03_secondary_index",
     oracle="""
     SELECT CAST(c_custkey AS BIGINT) AS custkey,
            c_name AS name,
@@ -260,7 +260,7 @@ def zd35_sql_alter_add_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="covered secondary index: value-predicate query served "
     "by an index-only key-range scan, main table untouched",
 )
-def k06_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf03_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -308,7 +308,7 @@ def k06_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the cut.  Oracle: the same two-batch construction as plain SQL.
 # ---------------------------------------------------------------------------
 @register(
-    "k07_versioned_asof_read",
+    "zf04_versioned_asof_read",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
@@ -320,7 +320,7 @@ def k06_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="versioned keyed cells: append-only inserts stamp "
     "versions, as-of read returns latest-per-key at the cut",
 )
-def k07_versioned_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf04_versioned_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -363,7 +363,7 @@ _SALT_B = 8
 
 
 @register(
-    "k08_salted_key_range",
+    "zf05_salted_key_range",
     oracle="""
     SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS row_key,
            o_totalprice AS totalprice
@@ -373,7 +373,7 @@ _SALT_B = 8
     description="salted row keys: hash-prefix buckets kill ingest "
     "hot-spotting; range scan fans out to B salted ranges",
 )
-def k08_salted_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf05_salted_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
 
@@ -408,7 +408,7 @@ def k08_salted_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compaction is semantically invisible (same oracle as z82 by design).
 # ---------------------------------------------------------------------------
 @register(
-    "k09_version_gc_compaction",
+    "zf06_version_gc_compaction",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
@@ -420,7 +420,7 @@ def k08_salted_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="version-GC major compaction: superseded cells physically "
     "dropped, plain read == pre-compaction as-of read",
 )
-def k09_version_gc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf06_version_gc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -459,7 +459,7 @@ def k09_version_gc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merge; the oracle replays the same upsert as a CASE.
 # ---------------------------------------------------------------------------
 @register(
-    "k12_sql_merge_upsert",
+    "zf09_sql_merge_upsert",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
@@ -469,7 +469,7 @@ def k09_version_gc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="SQL MERGE INTO over a keyed table: row-key upsert, "
     "matched rows replaced, new rows appended",
 )
-def k12_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf09_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     sess = _session(spark)
@@ -512,7 +512,7 @@ def k12_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # analogue).  Oracle replays both mutations as a filtered CASE.
 # ---------------------------------------------------------------------------
 @register(
-    "k13_sql_delete_update",
+    "zf10_sql_delete_update",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_nationkey = 3 THEN c_acctbal * 2.0
@@ -524,7 +524,7 @@ def k12_sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="SQL DELETE + UPDATE over a keyed table: filtered "
     "key-sorted rewrites (Delete mutation / checked Put analogue)",
 )
-def k13_sql_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf10_sql_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     sess = _session(spark)
@@ -568,7 +568,7 @@ def k13_sql_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mutations; the oracle replays the mutations over the source relation.
 # ---------------------------------------------------------------------------
 @register(
-    "k14_dml_index_maintenance",
+    "zf11_dml_index_maintenance",
     oracle="""
     SELECT CAST(c_custkey AS BIGINT) AS custkey,
            CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
@@ -579,7 +579,7 @@ def k13_sql_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="covered index stays fresh through batch MERGE + DELETE: "
     "index-only read reflects both mutations",
 )
-def k14_dml_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf11_dml_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     sess = _session(spark)
@@ -638,7 +638,7 @@ def k14_dml_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + the residual exact predicate.  Oracle: the plain 2-D predicate.
 # ---------------------------------------------------------------------------
 @register(
-    "k10_zorder_box_scan",
+    "zf07_zorder_box_scan",
     oracle="""
     SELECT CAST(p_partkey AS BIGINT) AS partkey,
            CAST(p_size AS BIGINT) AS size,
@@ -650,7 +650,7 @@ def k14_dml_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Z-order keyed layout: 2-D box query as one key-range "
     "scan + residual filter (Morton monotonicity)",
 )
-def k10_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf07_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
 
@@ -712,7 +712,7 @@ def k10_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the split keys — footers must agree with ground truth exactly.
 # ---------------------------------------------------------------------------
 @register(
-    "k11_region_stats",
+    "zf08_region_stats",
     oracle="""
     SELECT 3 AS n_regions,
            CAST(COUNT(*) AS BIGINT) AS total_rows,
@@ -724,7 +724,7 @@ def k10_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analogue): footer-derived totals == ground truth; per-region "
     "exactness pinned in pytest",
 )
-def k11_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf08_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -994,7 +994,7 @@ def k18_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # post-DELETE state.
 # ---------------------------------------------------------------------------
 @register(
-    "ze03_previous_generation_read",
+    "k19_previous_generation_read",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            c_acctbal AS acctbal
@@ -1003,7 +1003,7 @@ def k18_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="generation time travel: read the pre-rewrite table "
     "state from the retained previous generation after a DELETE",
 )
-def ze03_previous_generation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k19_previous_generation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)

@@ -95,11 +95,11 @@ def z39_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the exact join (recall loss < 1e-8 at t=0.6 with 64 bands × 2 rows).
 # ---------------------------------------------------------------------------
 @register(
-    "d02_minhash_lsh_neardup",
+    "zf01_minhash_lsh_neardup",
     oracle=_JACCARD_ORACLE,
     description="MinHash(128) + LSH(64×2) candidates + exact Jaccard verification",
 )
-def d02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf01_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_join(docs, "doc_id", "text", JACCARD_T, SHINGLE_N)
 
@@ -412,7 +412,7 @@ def zb07_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantically invisible.
 # ---------------------------------------------------------------------------
 @register(
-    "zc09_arrow_udtf_chunking",
+    "u03_arrow_udtf_chunking",
     oracle=f"""
     WITH __tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
     __n AS (
@@ -431,7 +431,7 @@ def zb07_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Arrow-optimized Python UDTF: same chunker as zb07 over "
     "Arrow batch transport",
 )
-def zc09_arrow_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def u03_arrow_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
 
     from pyspark.sql.functions import udtf
@@ -516,12 +516,12 @@ def _z60_oracle() -> str:
 
 
 @register(
-    "z60_media_features",
+    "m02_media_features",
     oracle=_z60_oracle(),
     description="binary media column -> embedding via Arrow mapInPandas "
     "(deterministic fake encoder; scalar signature columns)",
 )
-def z60_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     emb = multimodal.extract_media_features(with_payload, "doc_id", "payload")
@@ -1443,7 +1443,7 @@ def zd46_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # persisted-index round-trip).
 # ---------------------------------------------------------------------------
 @register(
-    "s08_ivfadc_residual",
+    "zf15_ivfadc_residual",
     oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
@@ -1514,7 +1514,7 @@ def zd46_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="residual IVFADC: PQ codes over cell residuals, per-probe "
     "residual ADC tables — the production 100 TB index configuration",
 )
-def s08_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf15_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         ivfadc_ann_topk,
@@ -1659,14 +1659,14 @@ from spark_sql_hbase_spark.operators.ranking import bigram_surprisal_sql as _bsq
 
 
 @register(
-    "t13_bigram_surprisal",
+    "zf19_bigram_surprisal",
     oracle="SELECT q.id AS doc_id, q.n_bigrams, q.bigram_surprisal FROM ("
     + _bsql("documents", "doc_id", _TOK)
     + ") q",
     description="per-doc mean add-1 bigram surprisal (corpus-trained, "
     "ln+round4, one corpus scan)",
 )
-def t13_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf19_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import bigram_surprisal
 
     docs = table(spark, sf_dir, "documents")
@@ -1784,7 +1784,7 @@ _BP_K = 5
 
 
 @register(
-    "z58_boilerplate_ngrams",
+    "t21_boilerplate_ngrams",
     oracle=f"""
     WITH __sh AS (
         SELECT source AS stream, doc_id,
@@ -1806,7 +1806,7 @@ _BP_K = 5
     description="per-source top-5 boilerplate 5-gram shingles by document "
     "frequency (most-common-spans curation analytic)",
 )
-def z58_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t21_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.boilerplate_ngrams(
         docs, "source", "doc_id", "text", n=_BP_N, k=_BP_K
@@ -1824,7 +1824,7 @@ _QUOTA_K = 5
 
 
 @register(
-    "t14_quota_sample",
+    "zf20_quota_sample",
     oracle=f"""
     WITH m AS (
         SELECT source AS stratum, doc_id AS id,
@@ -1850,7 +1850,7 @@ _QUOTA_K = 5
     description="exact-quota sample: k smallest id-hash gates per source, "
     "two-phase (no per-stratum corpus sort)",
 )
-def t14_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf20_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quota_sample(docs, "source", "doc_id", _QUOTA_K)
 
@@ -1925,7 +1925,7 @@ _MIX_BUDGET = 100_000
 
 
 @register(
-    "z62_temperature_mix",
+    "t22_temperature_mix",
     oracle=f"""
     WITH per AS (
         SELECT source AS stream, COUNT(*) AS n_docs,
@@ -1952,7 +1952,7 @@ _MIX_BUDGET = 100_000
     description="temperature-scaled (alpha=0.5) source mixture plan: "
     "p^alpha sampling weights, per-source token targets + rates",
 )
-def z62_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t22_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.temperature_mix(docs, "source", "text", _MIX_BUDGET, alpha=0.5)
 
@@ -2131,7 +2131,7 @@ _JL_SEED = 7
 
 
 @register(
-    "z66_jl_projection",
+    "s10_jl_projection",
     oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
@@ -2167,7 +2167,7 @@ _JL_SEED = 7
     description="JL projection audit: exact vs 16-dim-projected pairwise "
     "squared distances (md5-parity sign matrix, deterministic)",
 )
-def z66_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s10_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         random_projection,
@@ -2207,7 +2207,7 @@ _WINNOW_GRAM = " || ' ' || ".join(f"t[__i + {j + 1}]" for j in range(_WINNOW_K))
 
 
 @register(
-    "z67_winnowing_fingerprints",
+    "d17_winnowing_fingerprints",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id, {_TOK} AS t FROM documents
@@ -2233,7 +2233,7 @@ _WINNOW_GRAM = " || ' ' || ".join(f"t[__i + {j + 1}]" for j in range(_WINNOW_K))
     description="winnowing (MOSS) fingerprints: per-window min of k-gram "
     "hashes, shuffle-free, guaranteed substring coverage",
 )
-def z67_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d17_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.winnowing_fingerprints(
         docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
@@ -2248,7 +2248,7 @@ def z67_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bm25/surprisal (driver-green precedent).
 # ---------------------------------------------------------------------------
 @register(
-    "z68_token_entropy",
+    "t23_token_entropy",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id AS id, {_TOK} AS tok FROM documents
@@ -2265,7 +2265,7 @@ def z67_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="per-doc Shannon token entropy (nats): within-doc "
     "repetitiveness quality feature, no corpus pass",
 )
-def z68_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t23_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.token_entropy(docs, "doc_id", "text")
 
@@ -2645,12 +2645,12 @@ def _z76_oracle() -> str:
 
 
 @register(
-    "p03_split_leakage",
+    "zf12_split_leakage",
     oracle=None,  # assembled below (needs _split_sql defined first)
     description="split-leakage audit: near-dup pairs crossing a "
     "deterministic 90/10 hash split",
 )
-def p03_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf12_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import word_hash
 
     docs = table(spark, sf_dir, "documents")
@@ -2680,7 +2680,7 @@ def p03_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from spark_sql_hbase_spark.queries import REGISTRY as _REG76  # noqa: E402
 
-_REG76["p03_split_leakage"].oracle = _z76_oracle()
+_REG76["zf12_split_leakage"].oracle = _z76_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -2935,7 +2935,7 @@ def z86_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # amended), so the oracle replays the same construction.
 # ---------------------------------------------------------------------------
 @register(
-    "p04_corpus_snapshot_diff",
+    "zf13_corpus_snapshot_diff",
     oracle="""
     WITH v1 AS (
         SELECT doc_id, source, sha256(text) AS sha FROM documents
@@ -2958,7 +2958,7 @@ def z86_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="corpus snapshot diff: full-outer sha compare between "
     "releases, per-source added/removed/changed/unchanged rollup",
 )
-def p04_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf13_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # presence is tracked by explicit flags, NOT by sha nullability — a
     # NULL text would null the sha on a row that IS present and
@@ -3481,7 +3481,7 @@ def za02_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction over the shared per-doc quality CTE.
 # ---------------------------------------------------------------------------
 @register(
-    "zc04_quality_threshold_sweep",
+    "p06_quality_threshold_sweep",
     oracle=f"""
     WITH __q AS ({_QUALITY_ORACLE}),
     __h AS (
@@ -3516,7 +3516,7 @@ def za02_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="keep-threshold sweep: survivors + mean quality per "
     "candidate threshold from one scan + bounded histogram",
 )
-def zc04_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p06_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quality_threshold_sweep(docs, "text", n_buckets=20)
 
@@ -3530,7 +3530,7 @@ def zc04_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word hash so the oracle reproduces them exactly.
 # ---------------------------------------------------------------------------
 @register(
-    "zc10_hashed_linear_score",
+    "t18_hashed_linear_score",
     oracle=f"""
     SELECT doc_id,
            CAST(COALESCE(list_sum(list_transform({_TOK},
@@ -3547,7 +3547,7 @@ def zc04_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="hashed linear quality scorer: per-token hash-indexed "
     "weights, row-local fold, integer-exact score",
 )
-def zc10_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t18_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.hashed_linear_score(docs, "doc_id", "text")
 
@@ -3560,7 +3560,7 @@ def zc10_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic PII augmentation as zb20 so hits exist at every SF.
 # ---------------------------------------------------------------------------
 @register(
-    "zc11_pii_redact",
+    "t19_pii_redact",
     oracle=r"""
     WITH __aug AS (SELECT doc_id, """ + _PII_AUG + r""" AS t FROM documents),
     __s1 AS (
@@ -3592,7 +3592,7 @@ def zc10_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="PII redaction transform: <type>-tag substitution chain, "
     "zero-shuffle scrub pass",
 )
-def zc11_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t19_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     aug = docs.select("doc_id", F.expr(_PII_AUG).alias("t"))
     red = text.pii_redact(aug, "doc_id", "t")
@@ -3615,7 +3615,7 @@ def zc11_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derived table.
 # ---------------------------------------------------------------------------
 @register(
-    "zc14_dedup_leverage",
+    "d16_dedup_leverage",
     oracle=f"""
     WITH __tk AS (
         SELECT doc_id, source, CAST(len({_TOK}) AS BIGINT) AS n
@@ -3638,7 +3638,7 @@ def zc11_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="dedup leverage: per-source non-canonical docs/tokens "
     "and the token-savings fraction dedup would buy",
 )
-def zc14_dedup_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d16_dedup_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_join(
         docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
@@ -3675,7 +3675,7 @@ def zc14_dedup_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # back to the labels.
 # ---------------------------------------------------------------------------
 @register(
-    "zc18_langid_confusion",
+    "t20_langid_confusion",
     oracle=f"""
     WITH __pred AS ({_langid_oracle()}),
     __j AS (
@@ -3695,7 +3695,7 @@ def zc14_dedup_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="lang-ID confusion matrix: stopword-vote predictions vs "
     "labels, bounded matrix + per-class recall fractions",
 )
-def zc18_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t20_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")

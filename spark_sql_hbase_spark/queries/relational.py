@@ -1171,7 +1171,7 @@ def z33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # beats the two-pass window-function formulation when sessions are short.
 # ---------------------------------------------------------------------------
 @register(
-    "q35_session_window_native",
+    "zf14_session_window_native",
     oracle="""
     WITH marked AS (
         SELECT user_id, ts,
@@ -1197,7 +1197,7 @@ def z33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="F.session_window gap-based sessions (native Spark operator)",
 )
-def q35_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf14_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
@@ -1486,7 +1486,7 @@ def z89_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (p_partkey, measure, value) rows; oracle = UNION ALL.
 # ---------------------------------------------------------------------------
 @register(
-    "z91_unpivot_measures",
+    "q29_unpivot_measures",
     oracle="""
     SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
     FROM part WHERE p_partkey <= 500
@@ -1497,7 +1497,7 @@ def z89_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="unpivot/melt: wide part measures to (key, measure, value) "
     "long form — the inverse of the pivot gate",
 )
-def z91_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q29_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
     return p.select(
         "p_partkey",
@@ -1520,7 +1520,7 @@ def z91_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # result is deterministic without an id tiebreak.
 # ---------------------------------------------------------------------------
 @register(
-    "z97_rolling_range_window",
+    "q30_rolling_range_window",
     oracle="""
     SELECT event_id, user_id,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
@@ -1536,7 +1536,7 @@ def z91_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="RANGE-frame rolling window: per-user trailing-1-hour "
     "count + decimal-exact sum, time-bounded frame",
 )
-def z97_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events").select(
@@ -1975,7 +1975,7 @@ def q17_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one IEEE division of the two rounded sums.
 # ---------------------------------------------------------------------------
 @register(
-    "zc17_promo_revenue_share",
+    "q26_promo_revenue_share",
     oracle="""
     SELECT
       CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
@@ -1999,7 +1999,7 @@ def q17_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q14-style promo revenue share: conditional "
     "decimal-exact sums, percentage from the rounded pair",
 )
-def zc17_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-09-01"))
         & (F.col("l_shipdate") < F.lit("1995-10-01"))
@@ -2122,7 +2122,7 @@ def q24_event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # qty * 5 * cnt < sum_qty (decimal) — no division, no float ordering.
 # ---------------------------------------------------------------------------
 @register(
-    "ze01_small_quantity_revenue",
+    "q27_small_quantity_revenue",
     oracle="""
     WITH br AS (
         SELECT l_partkey, l_quantity, l_extendedprice
@@ -2144,7 +2144,7 @@ def q24_event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q17-style correlated scalar subquery, decorrelated "
     "to one fact pass via per-key window; exact integer threshold",
 )
-def ze01_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q27_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = table(spark, sf_dir, "lineitem")
@@ -2179,7 +2179,7 @@ def ze01_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # balance·count > sum — no division.
 # ---------------------------------------------------------------------------
 @register(
-    "ze02_idle_rich_customers",
+    "q28_idle_rich_customers",
     oracle="""
     WITH g AS (
         SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS s,
@@ -2195,7 +2195,7 @@ def ze01_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q22-style scalar-subquery threshold + anti-join: "
     "above-global-average balance, no orders; broadcast one-row agg",
 )
-def ze02_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     pos = c.filter(F.col("c_acctbal") > 0)

@@ -114,7 +114,7 @@ def z43_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "st02_stream_sessionize",
+    "zf16_stream_sessionize",
     oracle=f"""
     WITH marked AS (
         SELECT user_id, ts, event_id,
@@ -150,7 +150,7 @@ def z43_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="streaming stateful sessionization (applyInPandasWithState): "
     "gap-closed sessions + event-time-timeout flushes",
 )
-def st02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf16_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "ts")
     stream = _one_batch_stream(spark, ev)
     out = _run_available_now(sessionize_stream(stream, gap_minutes=_GAP_MIN))
@@ -191,7 +191,7 @@ def z34_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain self-join for the oracle.
 # ---------------------------------------------------------------------------
 @register(
-    "st04_stream_stream_join",
+    "zf17_stream_stream_join",
     oracle="""
     SELECT c.user_id,
            c.event_id AS click_id,
@@ -208,7 +208,7 @@ def z34_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="stream-stream inner join with two watermarks + "
     "time-bounded condition (bounded state), run to completion",
 )
-def st04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf17_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.streaming.pipelines import (
         click_purchase_attribution,
     )
@@ -232,7 +232,7 @@ _SS_W_MIN = 10
 
 
 @register(
-    "st05_stream_stream_outer_join",
+    "zf18_stream_stream_outer_join",
     oracle=f"""
     WITH wm AS (
         SELECT least(
@@ -268,7 +268,7 @@ _SS_W_MIN = 10
     description="stream-stream left-outer join: matched attributions + "
     "watermark-expired unmatched clicks (bounded state, evict-and-emit)",
 )
-def st05_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zf18_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.streaming.pipelines import (
         click_purchase_attribution_outer,
     )
@@ -290,7 +290,7 @@ def st05_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
 # eviction rules.
 # ---------------------------------------------------------------------------
 @register(
-    "z59_stream_stream_full_outer",
+    "st09_stream_stream_full_outer",
     oracle=f"""
     WITH wm AS (
         SELECT least(
@@ -340,7 +340,7 @@ def st05_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     description="stream-stream full-outer join: matched attributions + "
     "expired unmatched clicks + never-attributable purchases",
 )
-def z59_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st09_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.streaming.pipelines import (
         click_purchase_attribution_full,
     )
@@ -363,7 +363,7 @@ from spark_sql_hbase_spark.queries.llm import JACCARD_T, SHINGLE_N
 
 
 @register(
-    "z65_stream_neardup_index",
+    "st10_stream_neardup_index",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id, {tokens_sql("text")} AS t FROM documents
@@ -389,7 +389,7 @@ from spark_sql_hbase_spark.queries.llm import JACCARD_T, SHINGLE_N
     description="streaming delta near-dup vs static bucketed band index "
     "(foreachBatch stream-static join, zero streaming state)",
 )
-def z65_stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st10_stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.dedup import persist_band_index
     from spark_sql_hbase_spark.streaming.pipelines import (
         stream_neardup_against_index,

@@ -117,7 +117,7 @@ def test_q35_native_session_window_operator(spark, registry):
     """F.session_window plans as the dedicated MergingSessions operator
     (partial-aggregated, ONE exchange on the grouping key) — not a window
     function or self-join rewrite."""
-    plan = formatted_plan(registry["q35_session_window_native"].fn(spark, SF))
+    plan = formatted_plan(registry["zf14_session_window_native"].fn(spark, SF))
     assert "MergingSessions" in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
 
@@ -170,7 +170,7 @@ def test_k04_keyed_select_uses_cache_with_contains_filter(spark, registry):
     """Dot-qualified SELECT over a keyed catalog table after CACHE TABLE:
     the readback plans against the InMemoryRelation, with the LIKE
     predicate applied as a Contains filter over the cached batches."""
-    df = registry["k04_namespace_ctas_select"].fn(spark, SF)
+    df = registry["zf02_namespace_ctas_select"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "InMemoryTableScan" in plan or "Scan In-memory" in plan, plan[:800]
     assert "Contains" in plan, plan[:800]
@@ -447,7 +447,7 @@ def test_t13_bigram_surprisal_consumers_hit_cache(spark, registry):
     uncached, Catalyst rewrites each branch's sum-of-count into a direct
     count over raw rows (four distinct subtrees, ReuseExchange never
     matches) and the corpus is scanned 4x."""
-    df = registry["t13_bigram_surprisal"].fn(spark, SF)
+    df = registry["zf19_bigram_surprisal"].fn(spark, SF)
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") >= 4, plan[:2000]
@@ -567,7 +567,7 @@ def test_z58_boilerplate_topk_is_partial_over_aggregated_counts(spark, registry)
     the AGGREGATED (stream, gram) counts — never raw shingle rows — and
     get Spark's WindowGroupLimit pre-shuffle partial top-k, so the
     per-stream ranking is combiner-style at vocabulary cardinality."""
-    plan = formatted_plan(registry["z58_boilerplate_ngrams"].fn(spark, SF))
+    plan = formatted_plan(registry["t21_boilerplate_ngrams"].fn(spark, SF))
     assert "WindowGroupLimit" in plan, plan[:800]
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan[:800]
     # the (stream, gram) count aggregate sits below the window: its
@@ -618,7 +618,7 @@ def test_t14_quota_sample_window_over_candidates_only(spark, registry):
     per-stratum sort of the corpus."""
     import re as re2
 
-    plan = formatted_plan(registry["t14_quota_sample"].fn(spark, SF))
+    plan = formatted_plan(registry["zf20_quota_sample"].fn(spark, SF))
     assert len(re2.findall(r"\(\d+\) Window\b", plan)) == 1, plan[:800]
     assert "WindowGroupLimit" in plan, plan[:800]
     assert "BroadcastHashJoin" in plan
@@ -659,7 +659,7 @@ def test_z62_temperature_mix_single_scan_windows_above_agg(spark, registry):
     stream-cardinality AGGREGATE — the corpus aggregate sits below every
     Window in execution order, so the single-partition exchange carries
     a handful of stream rows, never documents."""
-    df = registry["z62_temperature_mix"].fn(spark, SF)
+    df = registry["t22_temperature_mix"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 1, plan
     fplan = formatted_plan(df)
@@ -712,7 +712,7 @@ def test_z67_winnowing_is_shuffle_free(spark, registry):
     minima, explode — NO hash/range exchange anywhere (the only Exchange
     allowed is _parallelized's RoundRobin test-scale artifact), no
     Window, no Sort.  The 100 TB story: embarrassingly parallel."""
-    plan = formatted_plan(registry["z67_winnowing_fingerprints"].fn(spark, SF))
+    plan = formatted_plan(registry["d17_winnowing_fingerprints"].fn(spark, SF))
     assert "hashpartitioning" not in plan, plan[:1200]
     assert "rangepartitioning" not in plan, plan[:1200]
     assert not re.findall(r"\(\d+\) (Window|Sort)\b", plan), plan[:1200]
@@ -722,7 +722,7 @@ def test_z68_entropy_exchanges_carry_terms_not_text(spark, registry):
     """Entropy's two shuffles are keyed by doc id and carry (id, dl,
     term[, tf]) — never the document text (the Generate barrier projects
     text away before any exchange)."""
-    plan = formatted_plan(registry["z68_token_entropy"].fn(spark, SF))
+    plan = formatted_plan(registry["t23_token_entropy"].fn(spark, SF))
     lines = plan.splitlines()
     matched = 0
     for i, line in enumerate(lines):
@@ -874,7 +874,7 @@ def test_z81_index_scan_pushes_key_range(spark, registry):
     on the index table, and that range must reach the parquet scan
     (row-group skipping over the key-sorted layout = the A4 fast path
     serving a VALUE predicate)."""
-    df = registry["k06_secondary_index"].fn(spark, SF)
+    df = registry["zf03_secondary_index"].fn(spark, SF)
     joined = " ".join(pushed_filters(df))
     assert "GreaterThanOrEqual(row_key,00005|" in joined, joined
     assert "LessThan(row_key,00005}" in joined, joined
@@ -884,7 +884,7 @@ def test_z83_salted_scan_pushes_or_of_ranges(spark, registry):
     """The salted range scan's OR-of-B-ranges predicate must reach the
     parquet scan as an Or filter tree over row_key bounds — that is what
     lets row-group stats skip everything outside all B stripes."""
-    df = registry["k08_salted_key_range"].fn(spark, SF)
+    df = registry["zf05_salted_key_range"].fn(spark, SF)
     joined = " ".join(pushed_filters(df))
     assert "Or(" in joined and "row_key,00|0000001000" in joined, joined
     assert "row_key,07|0000002000" in joined, joined
@@ -895,7 +895,7 @@ def test_z82_asof_read_is_window_free(spark, registry):
     equi-join — never a per-key Window (which would funnel every key's
     versions through ordered tasks) and never max_by (partition-order-
     dependent ties)."""
-    plan = formatted_plan(registry["k07_versioned_asof_read"].fn(spark, SF))
+    plan = formatted_plan(registry["zf04_versioned_asof_read"].fn(spark, SF))
     assert not re.findall(r"\(\d+\) Window\b", plan), plan[:1200]
     assert "max_by" not in plan, plan[:1200]
 
@@ -975,7 +975,7 @@ def test_ze01_q17_single_lineitem_scan(spark, registry):
     computed by a WINDOW over the same rows, not the textbook self-join
     rewrite — the fact table must be scanned exactly once."""
     plan = (
-        registry["ze01_small_quantity_revenue"]
+        registry["q27_small_quantity_revenue"]
         .fn(spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
@@ -989,5 +989,5 @@ def test_ze02_scalar_subquery_is_broadcast(spark, registry):
     """ze02's global-average threshold is ONE broadcast row joined to
     the customer side — no shuffle of the fact for the scalar, and the
     no-orders test is a broadcast anti-join at this scale."""
-    plan = formatted_plan(registry["ze02_idle_rich_customers"].fn(spark, SF))
+    plan = formatted_plan(registry["q28_idle_rich_customers"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

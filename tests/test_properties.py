@@ -1605,7 +1605,7 @@ def test_split_leakage_sides_differ_and_pairs_are_neardups(spark, sf_dir):
     near-dup (jac >= the d02 threshold)."""
     from spark_sql_hbase_spark.queries import load_all
 
-    out = load_all()["p03_split_leakage"].fn(spark, sf_dir).collect()
+    out = load_all()["zf12_split_leakage"].fn(spark, sf_dir).collect()
     assert all(r["side_a"] != r["side_b"] for r in out)
     assert all(r["jac"] >= 0.6 for r in out)
 
