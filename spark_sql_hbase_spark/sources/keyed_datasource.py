@@ -74,6 +74,16 @@ class RegionPartition(InputPartition):
 
 
 def _list_region_files(table_dir: str) -> list[str]:
+    """Region files of one table directory, sorted for deterministic
+    partition order.
+
+    Filesystem boundary (same contract as the store's directory
+    protocol): ``os.listdir``/``os.path.getsize`` assume a LOCAL or
+    POSIX filesystem — the sandbox contract, also served by
+    fuse/NFS-mounted HDFS.  Pointing a DataSource at an object store
+    (S3 et al.) needs a Hadoop-FS/pyarrow.fs listing here AND a
+    manifest service in front of the store's atomic-rename swap;
+    neither is silently emulated."""
     return sorted(
         os.path.join(table_dir, f)
         for f in os.listdir(table_dir)

@@ -25,7 +25,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,15 +57,37 @@ class TableAlreadyExistsError(ValueError):
     pass
 
 
+class ConcurrentWriteConflictError(RuntimeError):
+    """Another writer committed a generation while this rewrite was
+    building against the previous one — the manifest CAS refused the
+    flip, the staged generation was discarded, and the table still
+    holds BOTH committed states' lineage (nothing was lost).  The DML
+    entry points retry automatically (rebuilding against the new
+    current generation); admin rewrites (compact/truncate/restore)
+    surface it loudly for the caller to re-run."""
+
+
 class KeyedTableStore:
     """Namespace/table catalog + storage over a warehouse directory.
 
-    Concurrency contract: SINGLE WRITER per table — the HBase analogue
-    is region ownership by one RegionServer.  Reads are safe during any
-    rewrite (the staged-commit protocol swaps whole directories), but
-    two concurrent writers to the same table can interleave swaps and
-    lose one side's mutation; coordinate writers externally exactly as
-    HBase clients route through the owning server.
+    Concurrency contract: reads are safe during any rewrite (the
+    generation-manifest protocol always resolves one complete
+    generation), and concurrent WRITERS are serialized by a per-table
+    manifest CAS: each rewrite records the generation it built against
+    and the pointer flip is refused — under a per-table lock — when
+    another writer committed first (:class:`ConcurrentWriteConflictError`).
+    DML entry points retry the loser against the new current generation,
+    so two writers in a loop lose no updates; admin rewrites surface the
+    conflict loudly.  In-flight builds are protected from a concurrent
+    writer's garbage sweep by per-generation liveness markers.
+
+    Filesystem boundary: the directory protocol (atomic same-directory
+    ``rename``, ``O_CREAT|O_EXCL`` lock files, hardlink carry,
+    ``os.listdir``) assumes a LOCAL or POSIX-renaming filesystem (the
+    sandbox contract; HDFS offers the same rename atomicity through a
+    Hadoop-FS shim).  Object stores without atomic rename (S3 et al.)
+    need a manifest service in front — do not point the warehouse at
+    one expecting these semantics.
     """
 
     def __init__(
@@ -96,6 +120,7 @@ class KeyedTableStore:
 
     _GEN_MANIFEST = "_GENERATION"
     _FLAT = "."  # manifest token: "previous generation" = flat root files
+    _RESOLVE_AT_ENTRY = object()  # _swap_table_dir expected_base sentinel
 
     def table_root(self, spec: TableSpec) -> str:
         """The table's stable root directory (holds generations +
@@ -133,10 +158,15 @@ class KeyedTableStore:
     def _sweep_generations(self, root: str, keep: set) -> None:
         """Remove retired/crashed generations not in ``keep``.  Exact
         ``gen-<12-hex>`` match only — never another table's data (all
-        candidates live inside this table's root).  Root-level flat
-        data files are removed only once the manifest exists AND the
-        flat layout is not within its reader-grace window (``keep``
-        contains the ``_FLAT`` token while it is)."""
+        candidates live inside this table's root).  A generation a
+        LIVE writer is still building (its ``.building-<gen>`` marker
+        names a running process) is never swept — that is what makes
+        concurrent writers safe against each other's garbage
+        collection; a marker whose process died is garbage and goes
+        with its directory.  Root-level flat data files are removed
+        only once the manifest exists AND the flat layout is not
+        within its reader-grace window (``keep`` contains the
+        ``_FLAT`` token while it is)."""
         import re as _re
 
         man_exists = os.path.exists(os.path.join(root, self._GEN_MANIFEST))
@@ -146,13 +176,133 @@ class KeyedTableStore:
                 continue
             if os.path.isdir(full):
                 if _re.fullmatch(r"gen-[0-9a-f]{12}", entry) and entry not in keep:
+                    if self._building_marker_live(root, entry):
+                        continue  # a concurrent writer's in-flight build
                     shutil.rmtree(full, ignore_errors=True)
+                elif _re.fullmatch(r"\.append-[0-9a-f]{12}", entry):
+                    # a crashed append's staging run (normal appends
+                    # remove theirs in a finally); a LIVE append keeps
+                    # the dir's mtime fresh as part files land, so age
+                    # is a safe liveness proxy here
+                    try:
+                        age = time.time() - os.stat(full).st_mtime
+                    except OSError:
+                        continue
+                    if age > 3600:
+                        shutil.rmtree(full, ignore_errors=True)
+            elif _re.fullmatch(r"\.building-gen-[0-9a-f]{12}", entry):
+                # liveness marker: keep while its writer runs; a dead
+                # writer's marker is swept (its directory too, above)
+                if not self._building_marker_live(
+                    root, entry[len(".building-"):]
+                ):
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
+            elif entry == self._WRITER_LOCK:
+                continue  # the flip mutex cleans itself up
             elif man_exists and self._FLAT not in keep:
                 # flat-layout leftovers ≥ one full swap old
                 try:
                     os.remove(full)
                 except OSError:
                     pass
+
+    _WRITER_LOCK = "._WRITER_LOCK"
+    _LOCK_STALE_S = 60.0  # break a lock this old whose pid is unreadable
+    _LOCK_TIMEOUT_S = 120.0
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        if pid <= 0:
+            return False
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except OSError:
+            return True  # EPERM et al: some live process owns it
+        return True
+
+    def _building_marker_live(self, root: str, gen: str) -> bool:
+        """True iff ``gen`` has a ``.building-<gen>`` marker naming a
+        process that is still running (single-node liveness — the same
+        local-FS boundary as the rest of the directory protocol)."""
+        try:
+            with open(os.path.join(root, f".building-{gen}")) as f:
+                pid = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            return False
+        return self._pid_alive(pid)
+
+    @contextmanager
+    def _table_write_lock(self, root: str):
+        """Per-table writer mutex for the manifest flip: ``O_CREAT |
+        O_EXCL`` lock file (atomic on local/POSIX filesystems — the
+        store's documented boundary).  Held only around the
+        read-verify-rename critical section, never during a build, so
+        contention is sub-second.  A lock left by a crashed writer is
+        broken by pid-liveness (the holder writes its pid), with an
+        age fallback for an unreadable lock."""
+        path = os.path.join(root, self._WRITER_LOCK)
+        deadline = time.monotonic() + self._LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if not self._lock_holder_alive(path):
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() >= deadline:
+                    raise ConcurrentWriteConflictError(
+                        f"timed out waiting for writer lock {path}"
+                    )
+                time.sleep(0.02)
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield
+        finally:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+    def _lock_holder_alive(self, path: str) -> bool:
+        try:
+            with open(path) as f:
+                pid = int(f.read().strip() or "0")
+        except OSError:
+            return False  # vanished: retry the acquire
+        except ValueError:
+            pid = 0
+        if pid > 0:
+            return self._pid_alive(pid)
+        # pid not yet written (the holder is between create and write)
+        # — trust it while young, break it once stale
+        try:
+            return time.time() - os.stat(path).st_mtime < self._LOCK_STALE_S
+        except OSError:
+            return False
+
+    def _retry_write_conflict(self, attempt, attempts: int = 6):
+        """Run ``attempt`` (a complete DML locate+build+swap closure
+        that re-resolves the table's current generation itself),
+        retrying when a concurrent writer wins the manifest CAS — the
+        loser rebuilds against the winner's committed state, so both
+        mutations land."""
+        for i in range(attempts):
+            try:
+                return attempt()
+            except ConcurrentWriteConflictError:
+                if i == attempts - 1:
+                    raise
+                time.sleep(0.05 * (i + 1))
 
     # -- namespace DDL (reference: HBaseExternalCatalog create/drop db) ---
     def create_namespace(self, ns: str, ignore_if_exists: bool = True) -> None:
@@ -542,7 +692,29 @@ class KeyedTableStore:
                 lambda staging: ranged.write.mode("overwrite").parquet(staging),
             )
         else:
-            ranged.write.mode("append").parquet(path)
+            # append = write the new sorted run OUTSIDE any generation,
+            # then hardlink it into the CURRENT generation under the
+            # per-table writer lock.  Generation flips take the same
+            # lock, so an append can never land in a just-retired
+            # directory (where a concurrent rewrite's carry listing
+            # would silently drop it) — the Spark write happens
+            # unlocked; only the instant link-in is serialized.
+            root = self.table_root(spec)
+            tmp = os.path.join(root, f".append-{uuid.uuid4().hex[:12]}")
+            try:
+                ranged.write.mode("overwrite").parquet(tmp)
+                parts = [
+                    f for f in os.listdir(tmp) if f.endswith(".parquet")
+                ]
+                with self._table_write_lock(root):
+                    path_now = self.table_path(spec)
+                    for fname in parts:
+                        self._link_or_copy(
+                            os.path.join(tmp, fname),
+                            os.path.join(path_now, fname),
+                        )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
             self.refresh(qualified_name)
 
         if indexes:
@@ -900,13 +1072,19 @@ class KeyedTableStore:
         threshold, ``n·4 < table_rows``, before capturing them),
         maintenance is INCREMENTAL: per index, selectively delete the
         entries whose ``i:src_key`` is a changed key (the
-        selective-rewrite machinery on the INDEX table — O(affected
-        index files)), then append the fresh projection of the changed
-        rows (O(batch)) — so an indexed table's DML cost stays
-        O(changed), not O(table).  Large changes (or callers without
-        key knowledge) fall back to the full rebuild: ONE
-        index-projection key-sorted rewrite per index (width guard
-        folded into the projection via ``guard=True``).
+        selective-rewrite machinery on the INDEX table), then append
+        the fresh projection of the changed rows (O(batch)).  Cost
+        honestly stated: the locate semi-joins on ``i:src_key`` — a
+        PAYLOAD column, not the index row key — so the locating SCAN is
+        O(index) per index, while the rewrite I/O it gates is
+        O(affected index files); pruning the locate itself would need
+        src-key→index-file metadata the layout doesn't keep (the index
+        is sorted by value, so one source key's entries can land
+        anywhere).  Still far below the full rebuild, whose SHUFFLE
+        and WRITE are O(index).  Large changes (or callers without key
+        knowledge) fall back to that full rebuild: ONE index-projection
+        key-sorted rewrite per index (width guard folded into the
+        projection via ``guard=True``).
 
         ``async_index=True`` skips the work but marks the index STALE
         so nothing reads it as fresh silently.  The stale marker is
@@ -936,7 +1114,14 @@ class KeyedTableStore:
                 guard=True,
             )
             self._mark_index_stale(iq, True)
-            self._sorted_rewrite(ispec, proj)
+            # the rebuild reads only the MAIN table (proj), so a stale
+            # index base cannot lose data — retry covers two DMLs
+            # rebuilding the same index concurrently
+            self._retry_write_conflict(
+                lambda ispec=ispec, proj=proj: self._sorted_rewrite(
+                    ispec, proj
+                )
+            )
             self._mark_index_stale(iq, False)
 
     def _maintain_indexes_incremental(
@@ -960,22 +1145,37 @@ class KeyedTableStore:
         for iq, meta in indexes.items():
             ispec = self.registry.get(iq)
             self._mark_index_stale(iq, True)
-            affected = self._locate_affected_files(
-                ispec,
-                lambda d: d.join(
-                    keys, F.col("`i:src_key`") == F.col("__changed_key"), "left_semi"
-                ),
-            )
-            if affected:
-                self._selective_rewrite(
+
+            def drop_changed_entries(ispec=ispec) -> None:
+                # one index-generation resolution per attempt (same
+                # locate/rewrite/CAS-base discipline as the DML paths);
+                # a lost CAS re-locates against the winner's state
+                ipath = self.table_path(ispec)
+                ifiles = sorted(
+                    f for f in os.listdir(ipath) if f.endswith(".parquet")
+                )
+                affected = self._locate_affected_files(
                     ispec,
-                    affected,
-                    lambda df: df.join(
+                    lambda d: d.join(
                         keys,
                         F.col("`i:src_key`") == F.col("__changed_key"),
-                        "left_anti",
+                        "left_semi",
                     ),
+                    files=ifiles,
                 )
+                if affected:
+                    self._selective_rewrite(
+                        ispec,
+                        affected,
+                        lambda df: df.join(
+                            keys,
+                            F.col("`i:src_key`") == F.col("__changed_key"),
+                            "left_anti",
+                        ),
+                        path=ipath,
+                    )
+
+            self._retry_write_conflict(drop_changed_entries)
             if has_new_rows:
                 proj = self.index_projection(
                     changed_rows,
@@ -1176,6 +1376,8 @@ class KeyedTableStore:
         key-sorted rewrite.
         """
         spec = self.registry.get(qualified_name)
+        # CAS base resolved before the read — same discipline as compact
+        base = self._resolve_cur_prev(self.table_root(spec))[0]
         snap = self.read(qualified_name)
         if min_version is not None:
             snap = snap.filter(F.col(f"`{version_col}`") >= F.lit(min_version))
@@ -1187,11 +1389,15 @@ class KeyedTableStore:
             (snap[ROW_KEY] == latest[ROW_KEY])
             & (snap[f"`{version_col}`"] == latest["__v"]),
         ).select(snap["*"])
-        self._sorted_rewrite(spec, kept, n_regions=n_regions)
+        self._sorted_rewrite(spec, kept, n_regions=n_regions, expected_base=base)
 
     # -- shared full-table rewrite (regions + sorted layout + refresh) ----
     def _atomic_swap_write(
-        self, spec: TableSpec, out: DataFrame, validate=None
+        self,
+        spec: TableSpec,
+        out: DataFrame,
+        validate=None,
+        expected_base=_RESOLVE_AT_ENTRY,
     ) -> None:
         """Write ``out`` to a fresh GENERATION directory under the table
         root, then flip the generation pointer — the staged-commit
@@ -1221,7 +1427,14 @@ class KeyedTableStore:
         except OSError:
             shutil.copy2(src, dst)
 
-    def _swap_table_dir(self, spec: TableSpec, build_staging, validate=None) -> None:
+    def _swap_table_dir(
+        self,
+        spec: TableSpec,
+        build_staging,
+        validate=None,
+        expected_base=_RESOLVE_AT_ENTRY,
+        under_lock_check=None,
+    ) -> None:
         """The ONE staged-commit protocol every table-replacing path
         rides (DML rewrites, TRUNCATE, compaction, snapshot restore):
 
@@ -1237,26 +1450,80 @@ class KeyedTableStore:
         5. sweep generations older than the one just retired.
 
         A crash at any step leaves the live table resolvable and
-        complete; garbage is swept by the next swap."""
+        complete; garbage is swept by the next swap.
+
+        Writer-writer safety (round-8): the flip is a CAS — under a
+        per-table lock the manifest is re-read, and if the current
+        generation is no longer the one this rewrite BUILT AGAINST, the
+        flip is REFUSED (:class:`ConcurrentWriteConflictError`), the
+        staged generation discarded, and the caller retries against the
+        winner's state.  ``expected_base`` names that build-input
+        generation; callers that READ table data to produce the new
+        generation MUST pass the generation they actually read
+        (``_swap_write_with_carry`` derives it from its source path) —
+        the default resolves at entry and is only sound for builds that
+        read no base data (truncate, overwrite-insert, snapshot
+        restore, index rebuild from the main table).  While building, a
+        ``.building-<gen>`` liveness marker shields the staging
+        directory from a concurrent writer's sweep; the marker is
+        removed on every exit path, so a same-process crash leaves
+        ordinary sweepable garbage and only a killed process leaves a
+        marker (dead pid ⇒ swept)."""
         root = self.table_root(spec)
-        man = self._read_gen_manifest(root)
-        if man is None:
-            # legacy flat layout: the root's own files are the current
-            # generation; they get the same one-swap reader grace
-            cur: str | None = self._FLAT if any(
-                f.endswith(".parquet") for f in os.listdir(root)
-            ) else None
-            prev: str | None = None
-        else:
-            cur, prev = man["current"], man.get("previous")
+        cur, prev = self._resolve_cur_prev(root)
+        base = (
+            cur if expected_base is self._RESOLVE_AT_ENTRY else expected_base
+        )
+        # sweep keep-set from the ENTRY resolution (never delete what is
+        # current right now, whatever this writer built against)
         self._sweep_generations(root, keep={cur, prev})
         new_gen = f"gen-{uuid.uuid4().hex[:12]}"
-        build_staging(os.path.join(root, new_gen))
-        if validate is not None:
-            validate()
-        self._write_gen_manifest(root, new_gen, cur)
-        self._sweep_generations(root, keep={new_gen, cur})
+        marker = os.path.join(root, f".building-{new_gen}")
+        with open(marker, "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            build_staging(os.path.join(root, new_gen))
+            if validate is not None:
+                validate()
+            with self._table_write_lock(root):
+                try:
+                    cur_now, _ = self._resolve_cur_prev(root)
+                    if cur_now != base:
+                        raise ConcurrentWriteConflictError(
+                            f"{spec.qualified_name}: generation {cur_now!r}"
+                            f" was committed by a concurrent writer while "
+                            f"this rewrite built against {base!r}"
+                        )
+                    if under_lock_check is not None:
+                        # e.g. the carry swap re-verifies its base file
+                        # listing: an append that landed after the carry
+                        # listing must fail the flip, not vanish
+                        under_lock_check()
+                except ConcurrentWriteConflictError:
+                    shutil.rmtree(
+                        os.path.join(root, new_gen), ignore_errors=True
+                    )
+                    raise
+                self._write_gen_manifest(root, new_gen, base)
+                self._sweep_generations(root, keep={new_gen, base})
+        finally:
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
         self.refresh(spec.qualified_name)
+
+    def _resolve_cur_prev(self, root: str) -> tuple[str | None, str | None]:
+        """(current, previous) generation per the manifest — or the
+        legacy flat layout (root's own files are the current
+        generation, with the same one-swap reader grace)."""
+        man = self._read_gen_manifest(root)
+        if man is None:
+            cur = self._FLAT if any(
+                f.endswith(".parquet") for f in os.listdir(root)
+            ) else None
+            return cur, None
+        return man["current"], man.get("previous")
 
     @staticmethod
     def _n_regions(spec: TableSpec) -> int:
@@ -1268,6 +1535,7 @@ class KeyedTableStore:
         df: DataFrame,
         n_regions: int | None = None,
         validate=None,
+        expected_base=_RESOLVE_AT_ENTRY,
     ) -> None:
         """Conform ``df`` to the declared schema (order AND types — a
         rewrite must never drift stored types away from the TableSpec;
@@ -1283,10 +1551,12 @@ class KeyedTableStore:
         )
         n = n_regions or self._n_regions(spec)
         out = out.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
-        self._atomic_swap_write(spec, out, validate=validate)
+        self._atomic_swap_write(
+            spec, out, validate=validate, expected_base=expected_base
+        )
 
-    @staticmethod
-    def _file_key_range(full: str) -> tuple[str | None, str | None, int]:
+    @classmethod
+    def _file_key_range(cls, full: str) -> tuple[str | None, str | None, int]:
         """Exact ``(min_key, max_key, n_rows)`` for ONE data file — from
         its footer when trustworthy, else an exact single-column read of
         that file.  The ONE footer-range implementation behind
@@ -1303,10 +1573,29 @@ class KeyedTableStore:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        lo, hi, rows, exact = cls._footer_key_stats(full)
+        if not exact:
+            keys = pq.read_table(full, columns=[ROW_KEY]).column(0)
+            lo, hi = pc.min(keys).as_py(), pc.max(keys).as_py()
+        return lo, hi, rows
+
+    @staticmethod
+    def _footer_key_stats(full: str):
+        """``(min_key, max_key, n_rows, exact)`` from the parquet
+        FOOTER alone — never reads data pages.  ``exact=False`` flags
+        untrustworthy stats (missing, inexact, at the 64-byte
+        truncation boundary, or truncated mid-multibyte-sequence so the
+        bytes don't even decode); callers either fall back to an exact
+        single-file read (:meth:`_file_key_range`, for spans that must
+        be right) or conservatively treat the file as a candidate
+        (:meth:`_span_candidates`, where over-inclusion only costs the
+        locate scan one extra file)."""
+        import pyarrow.parquet as pq
+
         md = pq.read_metadata(full)
         rows = md.num_rows
         if rows == 0:
-            return None, None, 0
+            return None, None, 0, True
         idx = next(
             (
                 c
@@ -1336,7 +1625,12 @@ class KeyedTableStore:
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 mn_b, mx_b = mn, mx
-                mn, mx = mn.decode(), mx.decode()
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    # stat truncated mid-multibyte UTF-8 sequence
+                    exact = False
+                    break
             else:
                 mn, mx = str(mn), str(mx)
                 mn_b, mx_b = mn.encode(), mx.encode()
@@ -1345,10 +1639,170 @@ class KeyedTableStore:
                 break
             lo = mn if lo is None or mn < lo else lo
             hi = mx if hi is None or mx > hi else hi
-        if not exact:
-            keys = pq.read_table(full, columns=[ROW_KEY]).column(0)
-            lo, hi = pc.min(keys).as_py(), pc.max(keys).as_py()
-        return lo, hi, rows
+        return lo, hi, rows, exact
+
+    @classmethod
+    def _span_candidates(
+        cls,
+        path: str,
+        lo: str | None,
+        hi: str | None,
+        files: list[str] | None = None,
+    ) -> list[str]:
+        """Data files whose row_key range MAY intersect ``[lo, hi]``
+        (``None`` = unbounded side) — FOOTER STATS ONLY: a file whose
+        stats are untrustworthy is a candidate outright rather than
+        paying an exact driver-side key-column read just to decide
+        candidacy (the locate scan reads candidates anyway, so
+        over-inclusion costs one scanned file, while the exact read
+        here would cost the same file read twice).  The shared pruning
+        pass in front of every selective-DML locate (MERGE batch span,
+        DELETE/UPDATE :meth:`_rowkey_interval`)."""
+        if files is None:
+            files = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+        out = []
+        for fname in files:
+            f_lo, f_hi, rows, exact = cls._footer_key_stats(
+                os.path.join(path, fname)
+            )
+            if rows == 0:
+                continue
+            if not exact:
+                out.append(fname)
+                continue
+            if hi is not None and f_lo is not None and f_lo > hi:
+                continue
+            if lo is not None and f_hi is not None and f_hi < lo:
+                continue
+            out.append(fname)
+        return out
+
+    def _rowkey_interval(
+        self, condition: str
+    ) -> tuple[str | None, str | None] | None:
+        """Conservative row_key interval ``[lo, hi]`` implied by a SQL
+        DML condition, or ``None`` when nothing is provable — the
+        reference's RowFilter fast path (SURVEY §2.A A4) applied to
+        mutations: a region-local DELETE/UPDATE reads one region's
+        footers, not the table.  Sound by construction: a file is only
+        pruned when the interval PROVES no row can match — AND
+        intersects child intervals, OR unions them (either side
+        unbounded ⇒ unbounded), and anything unrecognized (NOT,
+        non-string literals, expressions over the key, other columns)
+        widens to unbounded.  Walks Spark's own parsed expression tree
+        so quoting/precedence match execution exactly; any parse or
+        walk failure degrades to no pruning, never to a wrong prune."""
+        try:
+            jexpr = (
+                self.spark._jsparkSession.sessionState()
+                .sqlParser()
+                .parseExpression(condition)
+            )
+        except Exception:
+            return None
+        UNB = (None, None)
+
+        def is_rowkey(e) -> bool:
+            return (
+                e.getClass().getSimpleName() == "UnresolvedAttribute"
+                and e.name().lower() == ROW_KEY
+            )
+
+        def lit_str(e) -> str | None:
+            if (
+                e.getClass().getSimpleName() == "Literal"
+                and e.dataType().typeName() == "string"
+                and e.value() is not None
+            ):
+                return str(e.value())
+            return None
+
+        def walk(e):
+            try:
+                name = e.getClass().getSimpleName()
+                ch = e.children()
+                kids = [ch.apply(i) for i in range(ch.size())]
+                if name == "And" and len(kids) == 2:
+                    l, r = walk(kids[0]), walk(kids[1])
+                    lo = max(
+                        (x for x in (l[0], r[0]) if x is not None),
+                        default=None,
+                    )
+                    hi = min(
+                        (x for x in (l[1], r[1]) if x is not None),
+                        default=None,
+                    )
+                    return (lo, hi)
+                if name == "Or" and len(kids) == 2:
+                    l, r = walk(kids[0]), walk(kids[1])
+                    lo = (
+                        None
+                        if l[0] is None or r[0] is None
+                        else min(l[0], r[0])
+                    )
+                    hi = (
+                        None
+                        if l[1] is None or r[1] is None
+                        else max(l[1], r[1])
+                    )
+                    return (lo, hi)
+                if name in (
+                    "EqualTo",
+                    "EqualNullSafe",
+                    "GreaterThan",
+                    "GreaterThanOrEqual",
+                    "LessThan",
+                    "LessThanOrEqual",
+                ) and len(kids) == 2:
+                    flipped = False
+                    a, b = kids
+                    if not is_rowkey(a):
+                        a, b, flipped = b, a, True
+                    if not is_rowkey(a):
+                        return UNB
+                    v = lit_str(b)
+                    if v is None:
+                        return UNB
+                    if name in ("EqualTo", "EqualNullSafe"):
+                        return (v, v)
+                    lower = name in ("GreaterThan", "GreaterThanOrEqual")
+                    if flipped:  # lit > key  ≡  key < lit
+                        lower = not lower
+                    return (v, None) if lower else (None, v)
+                if name == "In" and kids and is_rowkey(kids[0]):
+                    vals = [lit_str(k) for k in kids[1:]]
+                    if not vals or any(v is None for v in vals):
+                        return UNB
+                    return (min(vals), max(vals))
+                if name == "Like" and len(kids) == 2 and is_rowkey(kids[0]):
+                    pat = lit_str(kids[1])
+                    if (
+                        pat
+                        and pat.endswith("%")
+                        and not any(c in pat[:-1] for c in "%_\\")
+                        and pat != "%"
+                    ):
+                        prefix = pat[:-1]
+                        return (prefix, self._prefix_upper_bound(prefix))
+                    return UNB
+                if name == "UnresolvedFunction" and len(kids) == 3:
+                    # `key BETWEEN a AND b` parses to between(key, a, b)
+                    fn = e.nameParts().last().lower()
+                    if fn == "between" and is_rowkey(kids[0]):
+                        lo, hi = lit_str(kids[1]), lit_str(kids[2])
+                        if lo is not None and hi is not None:
+                            return (lo, hi)
+                    return UNB
+                return UNB
+            except Exception:
+                return UNB
+
+        lo, hi = walk(jexpr)
+        if lo is None and hi is None:
+            return None
+        return (lo, hi)
 
     @classmethod
     def _key_span(cls, path: str, files) -> tuple[str, str]:
@@ -1418,7 +1872,6 @@ class KeyedTableStore:
         ``async_index=True``, which skips the rebuild and marks each
         index STALE until :meth:`rebuild_indexes` runs (Phoenix ASYNC).
         """
-        from pyspark.sql import Observation, Window
 
         spec = self.registry.get(qualified_name)
         cur = self.read(qualified_name)
@@ -1449,29 +1902,68 @@ class KeyedTableStore:
                 "needs a key"
             )
         keys = incoming.select(ROW_KEY)
-        path = self.table_path(spec)
         schema = spec.schema()
-        # candidate pruning BEFORE the locate scan: only files whose
-        # footer key range intersects the batch's [min, max] can contain
-        # a matched key — the semi-join locate then reads candidates
-        # only (a broadcast semi-join cannot prune its scan side the way
-        # a pushed predicate can, so at scale a region-local batch would
-        # otherwise pay a full-table locate read)
+        # the BATCH-level span is generation-independent; everything
+        # from path resolution down re-runs per CAS-retry attempt so
+        # the loser of a concurrent-writer race rebuilds against the
+        # winner's committed generation
         b = incoming.agg(
             F.min(ROW_KEY).alias("lo"), F.max(ROW_KEY).alias("hi")
         ).first()
-        candidates = []
-        for fname in sorted(os.listdir(path)):
-            if not fname.endswith(".parquet"):
-                continue
-            f_lo, f_hi, rows = self._file_key_range(os.path.join(path, fname))
-            if rows and not (f_hi < b["lo"] or f_lo > b["hi"]):
-                candidates.append(fname)
-        affected = self._locate_affected_files(
-            spec,
-            lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi"),
-            files=candidates,
-        )
+
+        def attempt() -> None:
+            path = self.table_path(spec)
+            # candidate pruning BEFORE the locate scan: only files whose
+            # footer key range intersects the batch's [min, max] can
+            # contain a matched key — the semi-join locate then reads
+            # candidates only (a broadcast semi-join cannot prune its
+            # scan side the way a pushed predicate can, so at scale a
+            # region-local batch would otherwise pay a full-table locate
+            # read)
+            all_files = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            candidates = self._span_candidates(
+                path, b["lo"], b["hi"], files=all_files
+            )
+            affected: dict | list | None = None
+            if (
+                candidates
+                and len(candidates) == len(all_files)
+                and len(all_files) <= self._n_regions(spec)
+            ):
+                # every file intersects the batch span and the table is
+                # no larger than its region fan-out (a toy or freshly-
+                # compacted layout); if the batch is also DENSE (>= 64
+                # keys per file) a locate scan would almost surely mark
+                # every file affected anyway — skip the job and treat
+                # all candidates as affected (the merge window leaves
+                # unmatched rows untouched, so the result is identical).
+                # A small batch still locates, keeping region-confined
+                # MERGE O(affected); at scale files exceed the region
+                # fan-out and this never triggers.
+                if incoming.count() >= 64 * len(all_files):
+                    affected = candidates
+            if affected is None:
+                affected = self._locate_affected_files(
+                    spec,
+                    lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi"),
+                    files=candidates,
+                )
+            self._upsert_rewrite(
+                spec, qualified_name, incoming, keys, affected, path,
+                schema, async_index,
+            )
+
+        return self._retry_write_conflict(attempt)
+
+    def _upsert_rewrite(
+        self, spec, qualified_name, incoming, keys, affected, path,
+        schema, async_index,
+    ) -> None:
+        """The merge-window rewrite behind :meth:`upsert`, one attempt
+        against one resolved generation (``path``/``affected``)."""
+        from pyspark.sql import Observation, Window
 
         def conform(df: DataFrame) -> DataFrame:
             return df.select(
@@ -1611,7 +2103,11 @@ class KeyedTableStore:
         }
 
     def _selective_rewrite(
-        self, spec: TableSpec, affected: dict[str, int], transform
+        self,
+        spec: TableSpec,
+        affected: dict[str, int],
+        transform,
+        path: str | None = None,
     ) -> None:
         """Rewrite ONLY the ``affected`` files (their rows run through
         ``transform(df)``), carrying every untouched file into the new
@@ -1621,8 +2117,11 @@ class KeyedTableStore:
         key-sorted rewrite of the affected subset, and the affected
         files' ranges stay disjoint from the carried files' ranges, so
         scans, min/max pruning, and region stats see the same invariants
-        a full rewrite would produce."""
-        path = self.table_path(spec)
+        a full rewrite would produce.  Callers that located ``affected``
+        themselves pass the generation ``path`` they located against, so
+        locate, rewrite, and the CAS base all name the SAME generation."""
+        if path is None:
+            path = self.table_path(spec)
         sub = self.spark.read.schema(spec.schema()).parquet(
             *[os.path.join(path, f) for f in affected]
         )
@@ -1645,13 +2144,22 @@ class KeyedTableStore:
         hardlink, then flip the generation pointer (``validate`` runs
         between write and flip).  The shared tail of every selective
         rewrite — DELETE/UPDATE (one frame), MERGE (merged subset +
-        new-key run), minor compaction."""
+        new-key run), minor compaction.  ``src_path`` is the generation
+        this rewrite READ, so it is also the CAS base: a concurrent
+        writer committing between the caller's locate and this flip
+        makes the flip fail loudly instead of silently dropping that
+        writer's files from the carry."""
         outs = [out] if isinstance(out, DataFrame) else list(out)
-        carried = [
-            f
-            for f in os.listdir(src_path)
-            if f.endswith(".parquet") and f not in rewritten
-        ]
+        root = self.table_root(spec)
+        base = (
+            self._FLAT
+            if os.path.abspath(src_path) == os.path.abspath(root)
+            else os.path.basename(src_path.rstrip("/"))
+        )
+        listing = sorted(
+            f for f in os.listdir(src_path) if f.endswith(".parquet")
+        )
+        carried = [f for f in listing if f not in rewritten]
 
         def build(staging: str) -> None:
             for i, frame in enumerate(outs):
@@ -1664,7 +2172,27 @@ class KeyedTableStore:
                     os.path.join(src_path, fname), os.path.join(staging, fname)
                 )
 
-        self._swap_table_dir(spec, build, validate=validate)
+        def base_listing_unchanged() -> None:
+            # a concurrent APPEND links files into the live generation
+            # under the flip lock; if one landed after the carry listing
+            # above, flipping would silently drop it — fail instead (the
+            # DML retries and carries it)
+            now = sorted(
+                f for f in os.listdir(src_path) if f.endswith(".parquet")
+            )
+            if now != listing:
+                raise ConcurrentWriteConflictError(
+                    f"{spec.qualified_name}: files appended to generation "
+                    f"{base!r} during the rewrite"
+                )
+
+        self._swap_table_dir(
+            spec,
+            build,
+            validate=validate,
+            expected_base=base,
+            under_lock_check=base_listing_unchanged,
+        )
 
     def delete_where(
         self, qualified_name: str, condition: str, async_index: bool = False
@@ -1686,18 +2214,43 @@ class KeyedTableStore:
         # NULL predicate must KEEP the row (NOT(NULL) is NULL and would
         # silently drop it)
         hit = F.coalesce(F.expr(condition), F.lit(False))
-        affected = self._locate_affected_files(spec, lambda df: df.filter(hit))
-        if not affected:
-            return 0
-        n = sum(affected.values())
-        changed_keys = self._capture_changed_keys(
-            spec, affected, lambda df: df.filter(hit), n, async_index
-        )
-        self._selective_rewrite(spec, affected, lambda df: df.filter(~hit))
-        self._maintain_indexes(
-            qualified_name, async_index, changed_keys=changed_keys
-        )
-        return n
+        span = self._rowkey_interval(condition)
+
+        def attempt() -> int:
+            # ONE generation resolution per attempt: the candidate
+            # pruning, locate scan, rewrite, and CAS base all name the
+            # same generation (a concurrent commit then fails the flip
+            # loudly and this whole closure re-runs)
+            path = self.table_path(spec)
+            # key-constrained DELETE reads only the footers whose range
+            # intersects the condition's provable row_key interval (the
+            # A4 fast path for mutations); an unconstrained condition
+            # locates over the whole generation
+            if span is not None:
+                files = self._span_candidates(path, span[0], span[1])
+            else:
+                files = sorted(
+                    f for f in os.listdir(path) if f.endswith(".parquet")
+                )
+            affected = self._locate_affected_files(
+                spec, lambda df: df.filter(hit), files=files
+            )
+            if not affected:
+                return 0
+            n = sum(affected.values())
+            changed_keys = self._capture_changed_keys(
+                spec, affected, lambda df: df.filter(hit), n, async_index,
+                path=path,
+            )
+            self._selective_rewrite(
+                spec, affected, lambda df: df.filter(~hit), path=path
+            )
+            self._maintain_indexes(
+                qualified_name, async_index, changed_keys=changed_keys
+            )
+            return n
+
+        return self._retry_write_conflict(attempt)
 
     def update_where(
         self,
@@ -1726,13 +2279,7 @@ class KeyedTableStore:
             if col not in cols:
                 raise ValueError(f"unknown column {col!r}")
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        affected = self._locate_affected_files(spec, lambda df: df.filter(cond))
-        if not affected:
-            return 0
-        n = sum(affected.values())
-        changed_keys = self._capture_changed_keys(
-            spec, affected, lambda df: df.filter(cond), n, async_index
-        )
+        span = self._rowkey_interval(condition)
 
         def apply_assignments(df: DataFrame) -> DataFrame:
             return df.select(
@@ -1746,15 +2293,39 @@ class KeyedTableStore:
                 ]
             )
 
-        self._selective_rewrite(spec, affected, apply_assignments)
-        self._maintain_indexes(
-            qualified_name, async_index, changed_keys=changed_keys
-        )
-        return n
+        def attempt() -> int:
+            # same one-generation-per-attempt + footer key-range pruning
+            # discipline as delete_where
+            path = self.table_path(spec)
+            if span is not None:
+                files = self._span_candidates(path, span[0], span[1])
+            else:
+                files = sorted(
+                    f for f in os.listdir(path) if f.endswith(".parquet")
+                )
+            affected = self._locate_affected_files(
+                spec, lambda df: df.filter(cond), files=files
+            )
+            if not affected:
+                return 0
+            n = sum(affected.values())
+            changed_keys = self._capture_changed_keys(
+                spec, affected, lambda df: df.filter(cond), n, async_index,
+                path=path,
+            )
+            self._selective_rewrite(
+                spec, affected, apply_assignments, path=path
+            )
+            self._maintain_indexes(
+                qualified_name, async_index, changed_keys=changed_keys
+            )
+            return n
+
+        return self._retry_write_conflict(attempt)
 
     def _capture_changed_keys(
         self, spec: TableSpec, affected: dict, selector, n: int,
-        async_index: bool,
+        async_index: bool, path: str | None = None,
     ) -> DataFrame | None:
         """Pin the source keys a DELETE/UPDATE touches BEFORE the swap
         (afterwards the deleted rows are gone) — but only when an index
@@ -1763,9 +2334,10 @@ class KeyedTableStore:
         synchronous.  Keys-only and batch-bounded by that threshold."""
         if async_index or not self.registered_indexes(spec.qualified_name):
             return None
-        if n * 4 >= self._footer_row_count(self.table_path(spec)):
+        if path is None:
+            path = self.table_path(spec)
+        if n * 4 >= self._footer_row_count(path):
             return None  # the full rebuild will run anyway
-        path = self.table_path(spec)
         sub = self.spark.read.schema(spec.schema()).parquet(
             *[os.path.join(path, f) for f in affected]
         )
@@ -1779,7 +2351,14 @@ class KeyedTableStore:
         through the staged-directory atomic swap: the old layout serves
         reads until the new one is fully written."""
         spec = self.registry.get(qualified_name)
-        self._sorted_rewrite(spec, self.read(qualified_name), n_regions=n_regions)
+        # resolve the CAS base BEFORE reading: the rewrite streams from
+        # the generation named here, and the flip is refused (loudly) if
+        # a concurrent writer commits meanwhile — re-run the compaction
+        base = self._resolve_cur_prev(self.table_root(spec))[0]
+        self._sorted_rewrite(
+            spec, self.read(qualified_name), n_regions=n_regions,
+            expected_base=base,
+        )
 
     # -- minor compaction (HBase minor compaction: merge small HFiles) ----
     def compact_minor(
