@@ -1907,8 +1907,12 @@ class KeyedTableStore:
         # from path resolution down re-runs per CAS-retry attempt so
         # the loser of a concurrent-writer race rebuilds against the
         # winner's committed generation
+        # batch size rides the same job as the span (the dense-skip
+        # decision below must not cost a second pass over the source)
         b = incoming.agg(
-            F.min(ROW_KEY).alias("lo"), F.max(ROW_KEY).alias("hi")
+            F.min(ROW_KEY).alias("lo"),
+            F.max(ROW_KEY).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).first()
 
         def attempt() -> None:
@@ -1942,7 +1946,7 @@ class KeyedTableStore:
                 # A small batch still locates, keeping region-confined
                 # MERGE O(affected); at scale files exceed the region
                 # fan-out and this never triggers.
-                if incoming.count() >= 64 * len(all_files):
+                if b["n"] >= 64 * len(all_files):
                     affected = candidates
             if affected is None:
                 affected = self._locate_affected_files(
