@@ -1891,29 +1891,31 @@ class KeyedTableStore:
         # bounded incoming batch is pinned (the same discipline as
         # insert's index-maintenance batch pin).
         incoming = incoming.localCheckpoint(eager=True)
-        if not incoming.take(1):
+        # ONE batch-statistics job over the checkpointed batch replaces
+        # three separate jobs (empty take(1), NULL-key take(1), span
+        # agg): row count, NULL-key count, span, and the dense-skip
+        # size all ride the same scan.  The span is generation-
+        # independent; everything from path resolution down re-runs per
+        # CAS-retry attempt so the loser of a concurrent-writer race
+        # rebuilds against the winner's committed generation.
+        b = incoming.agg(
+            F.min(ROW_KEY).alias("lo"),
+            F.max(ROW_KEY).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col(ROW_KEY).isNull(), 1)).alias("n_null"),
+        ).first()
+        if not b["n"]:
             return  # empty MERGE source: nothing to do, no swap
         # HBase parity: a Put without a row key is invalid — and a NULL
         # key would silently fall through BOTH sides of the key-span
         # split below (NULL `between` filters), vanishing without error
-        if incoming.filter(F.col(ROW_KEY).isNull()).take(1):
+        if b["n_null"]:
             raise ValueError(
                 "MERGE source contains NULL row_key values; every row "
                 "needs a key"
             )
         keys = incoming.select(ROW_KEY)
         schema = spec.schema()
-        # the BATCH-level span is generation-independent; everything
-        # from path resolution down re-runs per CAS-retry attempt so
-        # the loser of a concurrent-writer race rebuilds against the
-        # winner's committed generation
-        # batch size rides the same job as the span (the dense-skip
-        # decision below must not cost a second pass over the source)
-        b = incoming.agg(
-            F.min(ROW_KEY).alias("lo"),
-            F.max(ROW_KEY).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
 
         def attempt() -> None:
             path = self.table_path(spec)
@@ -1956,14 +1958,14 @@ class KeyedTableStore:
                 )
             self._upsert_rewrite(
                 spec, qualified_name, incoming, keys, affected, path,
-                schema, async_index,
+                schema, async_index, batch_span=(b["lo"], b["hi"]),
             )
 
         return self._retry_write_conflict(attempt)
 
     def _upsert_rewrite(
         self, spec, qualified_name, incoming, keys, affected, path,
-        schema, async_index,
+        schema, async_index, batch_span=None,
     ) -> None:
         """The merge-window rewrite behind :meth:`upsert`, one attempt
         against one resolved generation (``path``/``affected``)."""
@@ -2020,12 +2022,26 @@ class KeyedTableStore:
             out_merged = conform(merged.drop("__src", "__n_src")) \
                 .sortWithinPartitions(ROW_KEY)
             new_run = incoming.filter(~in_span)
+            # when the batch span sits inside the affected files' span,
+            # ~between(lo, hi) is provably empty — decide driver-side
+            # instead of paying a take(1) job (sound: for str/bytes
+            # Python ordering equals Spark's UTF8String/Binary byte
+            # ordering because UTF-8 preserves code-point order; other
+            # or mixed types fall through to the take(1))
+            if (
+                batch_span is not None
+                and type(batch_span[0]) is type(lo)
+                and isinstance(lo, (str, bytes, int))
+                and lo <= batch_span[0]
+                and batch_span[1] <= hi
+            ):
+                new_run = None
         else:
             # every incoming key is new: the "merge" is a pure append of
             # one fresh sorted run (still through the atomic swap)
             out_merged = None
             new_run = incoming
-        if bool(new_run.take(1)):
+        if new_run is not None and bool(new_run.take(1)):
             w2 = Window.partitionBy(ROW_KEY)
             obs2 = Observation()
             observations.append(obs2)
