@@ -155,140 +155,214 @@ class KeyedTableStore:
             json.dump({"current": current, "previous": previous}, f)
         os.rename(tmp, os.path.join(root, self._GEN_MANIFEST))
 
-    def _sweep_generations(self, root: str, keep: set) -> None:
+    def _sweep_generations(
+        self, root: str, keep: set, locked: bool = False
+    ) -> list[str]:
         """Remove retired/crashed generations not in ``keep``.  Exact
         ``gen-<12-hex>`` match only — never another table's data (all
         candidates live inside this table's root).  A generation a
         LIVE writer is still building (its ``.building-<gen>`` marker
-        names a running process) is never swept — that is what makes
-        concurrent writers safe against each other's garbage
-        collection; a marker whose process died is garbage and goes
-        with its directory.  Root-level flat data files are removed
-        only once the manifest exists AND the flat layout is not
-        within its reader-grace window (``keep`` contains the
-        ``_FLAT`` token while it is)."""
+        holds an flock) is never swept — that is what makes concurrent
+        writers safe against each other's garbage collection; a marker
+        whose owner died is garbage and goes with its directory.
+        Root-level flat data files are removed only once the manifest
+        exists AND the flat layout is not within its reader-grace
+        window (``keep`` contains the ``_FLAT`` token while it is).
+
+        Deletion DECISIONS run under the per-table writer lock with the
+        manifest RE-READ there: a generation a concurrent writer
+        flipped current after this writer resolved its ``keep`` set
+        must survive (the flip takes the same lock, so "not current
+        under the lock" cannot become current before the decision
+        lands).  The decision is an atomic RENAME to a ``.trash-*``
+        name — the lock is held for directory renames only, never a
+        recursive delete; the rmtree runs after release.  ``locked=
+        True`` = the caller already holds the lock; the trash paths are
+        returned for the caller to delete after releasing it."""
         import re as _re
 
-        man_exists = os.path.exists(os.path.join(root, self._GEN_MANIFEST))
-        for entry in os.listdir(root):
-            full = os.path.join(root, entry)
-            if entry == self._GEN_MANIFEST:
-                continue
-            if os.path.isdir(full):
-                if _re.fullmatch(r"gen-[0-9a-f]{12}", entry) and entry not in keep:
-                    if self._building_marker_live(root, entry):
-                        continue  # a concurrent writer's in-flight build
-                    shutil.rmtree(full, ignore_errors=True)
-                elif _re.fullmatch(r"\.append-[0-9a-f]{12}", entry):
-                    # a crashed append's staging run (normal appends
-                    # remove theirs in a finally); a LIVE append keeps
-                    # the dir's mtime fresh as part files land, so age
-                    # is a safe liveness proxy here
-                    try:
-                        age = time.time() - os.stat(full).st_mtime
-                    except OSError:
-                        continue
-                    if age > 3600:
-                        shutil.rmtree(full, ignore_errors=True)
-            elif _re.fullmatch(r"\.building-gen-[0-9a-f]{12}", entry):
-                # liveness marker: keep while its writer runs; a dead
-                # writer's marker is swept (its directory too, above)
-                if not self._building_marker_live(
-                    root, entry[len(".building-"):]
+        trash: list[str] = []
+
+        def decide() -> None:
+            man = self._read_gen_manifest(root)
+            keep_now = set(keep)
+            if man is not None:
+                keep_now |= {man["current"], man.get("previous")}
+            for entry in os.listdir(root):
+                full = os.path.join(root, entry)
+                if entry in (self._GEN_MANIFEST, self._WRITER_LOCK):
+                    continue
+                if os.path.isdir(full):
+                    if (
+                        _re.fullmatch(r"gen-[0-9a-f]{12}", entry)
+                        and entry not in keep_now
+                    ):
+                        if self._flock_live(
+                            os.path.join(root, f".building-{entry}")
+                        ):
+                            continue  # a concurrent writer's live build
+                        dst = os.path.join(
+                            root, f".trash-{uuid.uuid4().hex[:12]}"
+                        )
+                        try:
+                            os.rename(full, dst)
+                        except OSError:
+                            continue  # another sweeper got it first
+                        trash.append(dst)
+                    elif entry.startswith(".trash-"):
+                        # a crashed earlier sweep renamed but never
+                        # deleted — never resolvable, safe to finish
+                        trash.append(full)
+                    elif _re.fullmatch(r"\.append-[0-9a-f]{12}", entry):
+                        # an append's staging run (normal appends remove
+                        # theirs in a finally).  Liveness is the flock on
+                        # the sibling ``.writing`` marker — a SIGKILLed
+                        # append releases it with its fd; the mtime age
+                        # is only the fallback for a staging dir that
+                        # never got its marker
+                        marker = full + ".writing"
+                        if self._flock_live(marker):
+                            continue
+                        if os.path.exists(marker):
+                            trash.append(full)
+                        else:
+                            try:
+                                age = time.time() - os.stat(full).st_mtime
+                            except OSError:
+                                continue
+                            if age > 3600:
+                                trash.append(full)
+                elif _re.fullmatch(r"\.building-gen-[0-9a-f]{12}", entry):
+                    # liveness marker: keep while its flock is held; a
+                    # dead writer's marker is swept (its directory too,
+                    # above)
+                    if not self._flock_live(full):
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            pass
+                elif _re.fullmatch(
+                    r"\.append-[0-9a-f]{12}\.writing", entry
                 ):
+                    if not self._flock_live(full) and not os.path.isdir(
+                        full[: -len(".writing")]
+                    ):
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            pass
+                elif (
+                    man is not None
+                    and self._FLAT not in keep_now
+                    and not entry.startswith(
+                        (".building-", ".append-", ".trash-")
+                    )
+                ):
+                    # flat-layout leftovers ≥ one full swap old (never a
+                    # protocol file — e.g. a marker mid-creation under
+                    # its tmp name)
                     try:
                         os.remove(full)
                     except OSError:
                         pass
-            elif entry == self._WRITER_LOCK:
-                continue  # the flip mutex cleans itself up
-            elif man_exists and self._FLAT not in keep:
-                # flat-layout leftovers ≥ one full swap old
-                try:
-                    os.remove(full)
-                except OSError:
-                    pass
+
+        if locked:
+            decide()
+            return trash
+        try:
+            # opportunistic GC: skip quietly under writer contention
+            # rather than stall the caller's real work
+            with self._table_write_lock(root, timeout=5.0):
+                decide()
+        except ConcurrentWriteConflictError:
+            return []
+        for t in trash:
+            shutil.rmtree(t, ignore_errors=True)
+        return []
 
     _WRITER_LOCK = "._WRITER_LOCK"
-    _LOCK_STALE_S = 60.0  # break a lock this old whose pid is unreadable
     _LOCK_TIMEOUT_S = 120.0
 
-    @staticmethod
-    def _pid_alive(pid: int) -> bool:
-        if pid <= 0:
-            return False
-        try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
-            return False
-        except OSError:
-            return True  # EPERM et al: some live process owns it
-        return True
+    @contextmanager
+    def _table_write_lock(self, root: str, timeout: float | None = None):
+        """Per-table writer mutex: an ``flock``-ed lock file.  The lock
+        is kernel-owned and released automatically when the holder's fd
+        closes — a SIGKILLed writer cannot leave a stale lock, and
+        there is no remove/recreate window for two waiters to race
+        through (the O_EXCL-lockfile protocol this replaces let two
+        waiters both "break" a dead lock, the second deleting the
+        first's FRESH lock).  The file itself is NEVER unlinked: that
+        is what keeps every locker flocking the same inode.  Local/
+        POSIX filesystems only — the store's documented boundary.
+        Held around flip/link critical sections, never during a build,
+        so contention is sub-second."""
+        import fcntl
 
-    def _building_marker_live(self, root: str, gen: str) -> bool:
-        """True iff ``gen`` has a ``.building-<gen>`` marker naming a
-        process that is still running (single-node liveness — the same
-        local-FS boundary as the rest of the directory protocol)."""
+        path = os.path.join(root, self._WRITER_LOCK)
+        deadline = time.monotonic() + (
+            self._LOCK_TIMEOUT_S if timeout is None else timeout
+        )
+        fd = os.open(path, os.O_CREAT | os.O_WRONLY, 0o644)
         try:
-            with open(os.path.join(root, f".building-{gen}")) as f:
-                pid = int(f.read().strip() or "0")
-        except (OSError, ValueError):
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() >= deadline:
+                        raise ConcurrentWriteConflictError(
+                            f"timed out waiting for writer lock {path}"
+                        )
+                    time.sleep(0.02)
+            yield
+        finally:
+            os.close(fd)  # closing the fd releases the flock
+
+    @staticmethod
+    def _flock_live(path: str) -> bool:
+        """True iff some process/thread holds the flock on ``path`` —
+        the liveness probe behind build/append markers.  A crashed
+        owner's flock is released by the kernel with its fd, so
+        "acquirable" == "owner gone" with no pid bookkeeping (and no
+        pid-recycling false positives)."""
+        import fcntl
+
+        try:
+            fd = os.open(path, os.O_RDONLY)
+        except OSError:
             return False
-        return self._pid_alive(pid)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return True
+            return False
+        finally:
+            os.close(fd)
 
     @contextmanager
-    def _table_write_lock(self, root: str):
-        """Per-table writer mutex for the manifest flip: ``O_CREAT |
-        O_EXCL`` lock file (atomic on local/POSIX filesystems — the
-        store's documented boundary).  Held only around the
-        read-verify-rename critical section, never during a build, so
-        contention is sub-second.  A lock left by a crashed writer is
-        broken by pid-liveness (the holder writes its pid), with an
-        age fallback for an unreadable lock."""
-        path = os.path.join(root, self._WRITER_LOCK)
-        deadline = time.monotonic() + self._LOCK_TIMEOUT_S
-        while True:
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                if not self._lock_holder_alive(path):
-                    try:
-                        os.remove(path)
-                    except OSError:
-                        pass
-                    continue
-                if time.monotonic() >= deadline:
-                    raise ConcurrentWriteConflictError(
-                        f"timed out waiting for writer lock {path}"
-                    )
-                time.sleep(0.02)
+    def _marker_guard(self, path: str):
+        """Create ``path`` ALREADY flock-held (create a tmp, lock it,
+        rename into place — the lock follows the inode, so a prober
+        never observes the marker unlocked while its owner lives), hold
+        it for the body, unlink on exit.  The owner pid is written for
+        debuggability only; liveness is the flock."""
+        import fcntl
+
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}"
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         try:
             os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            os.rename(tmp, path)
+            tmp = None
             yield
         finally:
             try:
-                os.remove(path)
+                os.remove(path if tmp is None else tmp)
             except OSError:
                 pass
-
-    def _lock_holder_alive(self, path: str) -> bool:
-        try:
-            with open(path) as f:
-                pid = int(f.read().strip() or "0")
-        except OSError:
-            return False  # vanished: retry the acquire
-        except ValueError:
-            pid = 0
-        if pid > 0:
-            return self._pid_alive(pid)
-        # pid not yet written (the holder is between create and write)
-        # — trust it while young, break it once stale
-        try:
-            return time.time() - os.stat(path).st_mtime < self._LOCK_STALE_S
-        except OSError:
-            return False
+            os.close(fd)
 
     def _retry_write_conflict(self, attempt, attempts: int = 6):
         """Run ``attempt`` (a complete DML locate+build+swap closure
@@ -702,17 +776,23 @@ class KeyedTableStore:
             root = self.table_root(spec)
             tmp = os.path.join(root, f".append-{uuid.uuid4().hex[:12]}")
             try:
-                ranged.write.mode("overwrite").parquet(tmp)
-                parts = [
-                    f for f in os.listdir(tmp) if f.endswith(".parquet")
-                ]
-                with self._table_write_lock(root):
-                    path_now = self.table_path(spec)
-                    for fname in parts:
-                        self._link_or_copy(
-                            os.path.join(tmp, fname),
-                            os.path.join(path_now, fname),
-                        )
+                # the flock-held ``.writing`` marker keeps a concurrent
+                # writer's sweep off the staging for the WHOLE write —
+                # Spark only renames part files into ``tmp`` at task
+                # commit, so the directory's mtime is NOT a liveness
+                # signal while a long write is in flight
+                with self._marker_guard(tmp + ".writing"):
+                    ranged.write.mode("overwrite").parquet(tmp)
+                    parts = [
+                        f for f in os.listdir(tmp) if f.endswith(".parquet")
+                    ]
+                    with self._table_write_lock(root):
+                        path_now = self.table_path(spec)
+                        for fname in parts:
+                            self._link_or_copy(
+                                os.path.join(tmp, fname),
+                                os.path.join(path_now, fname),
+                            )
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
             self.refresh(qualified_name)
@@ -1151,9 +1231,7 @@ class KeyedTableStore:
                 # locate/rewrite/CAS-base discipline as the DML paths);
                 # a lost CAS re-locates against the winner's state
                 ipath = self.table_path(ispec)
-                ifiles = sorted(
-                    f for f in os.listdir(ipath) if f.endswith(".parquet")
-                )
+                ifiles = self._data_files(ipath)
                 affected = self._locate_affected_files(
                     ispec,
                     lambda d: d.join(
@@ -1376,20 +1454,45 @@ class KeyedTableStore:
         key-sorted rewrite.
         """
         spec = self.registry.get(qualified_name)
-        # CAS base resolved before the read — same discipline as compact
-        base = self._resolve_cur_prev(self.table_root(spec))[0]
-        snap = self.read(qualified_name)
-        if min_version is not None:
-            snap = snap.filter(F.col(f"`{version_col}`") >= F.lit(min_version))
-        latest = snap.groupBy(ROW_KEY).agg(
-            F.max(f"`{version_col}`").alias("__v")
-        )
-        kept = snap.join(
-            latest,
-            (snap[ROW_KEY] == latest[ROW_KEY])
-            & (snap[f"`{version_col}`"] == latest["__v"]),
-        ).select(snap["*"])
-        self._sorted_rewrite(spec, kept, n_regions=n_regions, expected_base=base)
+
+        def attempt() -> None:
+            # CAS base + base-listing guard before the read — the same
+            # concurrent-rewrite/append discipline as compact
+            root = self.table_root(spec)
+            base = self._resolve_cur_prev(root)[0]
+            src = (
+                root
+                if base in (None, self._FLAT)
+                else os.path.join(root, base)
+            )
+            listing = self._data_files(src)
+
+            def no_appends() -> None:
+                if self._data_files(src) != listing:
+                    raise ConcurrentWriteConflictError(
+                        f"{spec.qualified_name}: files appended to "
+                        f"generation {base!r} during version GC"
+                    )
+
+            snap = self.read(qualified_name)
+            if min_version is not None:
+                snap = snap.filter(
+                    F.col(f"`{version_col}`") >= F.lit(min_version)
+                )
+            latest = snap.groupBy(ROW_KEY).agg(
+                F.max(f"`{version_col}`").alias("__v")
+            )
+            kept = snap.join(
+                latest,
+                (snap[ROW_KEY] == latest[ROW_KEY])
+                & (snap[f"`{version_col}`"] == latest["__v"]),
+            ).select(snap["*"])
+            self._sorted_rewrite(
+                spec, kept, n_regions=n_regions, expected_base=base,
+                under_lock_check=no_appends,
+            )
+
+        self._retry_write_conflict(attempt)
 
     # -- shared full-table rewrite (regions + sorted layout + refresh) ----
     def _atomic_swap_write(
@@ -1398,10 +1501,17 @@ class KeyedTableStore:
         out: DataFrame,
         validate=None,
         expected_base=_RESOLVE_AT_ENTRY,
+        under_lock_check=None,
     ) -> None:
         """Write ``out`` to a fresh GENERATION directory under the table
         root, then flip the generation pointer — the staged-commit
-        protocol applied to full-table rewrites.
+        protocol applied to full-table rewrites.  ``expected_base`` /
+        ``under_lock_check`` forward to :meth:`_swap_table_dir`:
+        full-table rewrites that READ the table (compaction, version
+        GC) pass the generation they read as the CAS base and a
+        base-listing check so a concurrent APPEND — which adds files
+        WITHOUT flipping the pointer — fails the flip loudly instead of
+        silently vanishing from the rewritten state.
 
         Why not overwrite-in-place: a DML rewrite READS the table it
         replaces, so writing ``mode("overwrite")`` to the same path needs
@@ -1417,6 +1527,8 @@ class KeyedTableStore:
             spec,
             lambda staging: out.write.mode("overwrite").parquet(staging),
             validate=validate,
+            expected_base=expected_base,
+            under_lock_check=under_lock_check,
         )
 
     @staticmethod
@@ -1426,6 +1538,16 @@ class KeyedTableStore:
             os.link(src, dst)
         except OSError:
             shutil.copy2(src, dst)
+
+    @staticmethod
+    def _data_files(path: str) -> list[str]:
+        """Sorted data-file basenames of one generation directory — the
+        ONE listing contract every locate/carry/CAS-guard shares (a
+        listing-rule drift between a carry and its flip guard would
+        read as a phantom conflict or a silent drop)."""
+        return sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
 
     def _swap_table_dir(
         self,
@@ -1464,24 +1586,22 @@ class KeyedTableStore:
         the default resolves at entry and is only sound for builds that
         read no base data (truncate, overwrite-insert, snapshot
         restore, index rebuild from the main table).  While building, a
-        ``.building-<gen>`` liveness marker shields the staging
-        directory from a concurrent writer's sweep; the marker is
-        removed on every exit path, so a same-process crash leaves
-        ordinary sweepable garbage and only a killed process leaves a
-        marker (dead pid ⇒ swept)."""
+        ``.building-<gen>`` liveness marker (flock-held for the build's
+        duration) shields the staging directory from a concurrent
+        writer's sweep; the kernel releases the flock with the owner's
+        fd, so a killed writer leaves ordinary sweepable garbage."""
         root = self.table_root(spec)
         cur, prev = self._resolve_cur_prev(root)
         base = (
             cur if expected_base is self._RESOLVE_AT_ENTRY else expected_base
         )
-        # sweep keep-set from the ENTRY resolution (never delete what is
-        # current right now, whatever this writer built against)
+        # opportunistic GC of retired generations / crashed builds (the
+        # sweep re-reads the manifest under the writer lock, so nothing
+        # a concurrent writer commits mid-sweep can be deleted)
         self._sweep_generations(root, keep={cur, prev})
         new_gen = f"gen-{uuid.uuid4().hex[:12]}"
-        marker = os.path.join(root, f".building-{new_gen}")
-        with open(marker, "w") as f:
-            f.write(str(os.getpid()))
-        try:
+        trash: list[str] = []
+        with self._marker_guard(os.path.join(root, f".building-{new_gen}")):
             build_staging(os.path.join(root, new_gen))
             if validate is not None:
                 validate()
@@ -1505,12 +1625,12 @@ class KeyedTableStore:
                     )
                     raise
                 self._write_gen_manifest(root, new_gen, base)
-                self._sweep_generations(root, keep={new_gen, base})
-        finally:
-            try:
-                os.remove(marker)
-            except OSError:
-                pass
+                # deletion decisions under the lock; rmtree after release
+                trash = self._sweep_generations(
+                    root, keep={new_gen, base}, locked=True
+                )
+        for t in trash:
+            shutil.rmtree(t, ignore_errors=True)
         self.refresh(spec.qualified_name)
 
     def _resolve_cur_prev(self, root: str) -> tuple[str | None, str | None]:
@@ -1536,6 +1656,7 @@ class KeyedTableStore:
         n_regions: int | None = None,
         validate=None,
         expected_base=_RESOLVE_AT_ENTRY,
+        under_lock_check=None,
     ) -> None:
         """Conform ``df`` to the declared schema (order AND types — a
         rewrite must never drift stored types away from the TableSpec;
@@ -1552,15 +1673,17 @@ class KeyedTableStore:
         n = n_regions or self._n_regions(spec)
         out = out.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
         self._atomic_swap_write(
-            spec, out, validate=validate, expected_base=expected_base
+            spec, out, validate=validate, expected_base=expected_base,
+            under_lock_check=under_lock_check,
         )
 
     @classmethod
-    def _file_key_range(cls, full: str) -> tuple[str | None, str | None, int]:
+    def _file_key_range(cls, full: str) -> tuple:
         """Exact ``(min_key, max_key, n_rows)`` for ONE data file — from
         its footer when trustworthy, else an exact single-column read of
-        that file.  The ONE footer-range implementation behind
-        :meth:`region_stats` and the DML key-span split.
+        that file; values keep the key column's NATIVE type.  The ONE
+        footer-range implementation behind :meth:`region_stats` and the
+        DML key-span split.
 
         parquet writers TRUNCATE long binary statistics (parquet-mr at
         64 BYTES — the truncated max is then rounded up past the true
@@ -1631,23 +1754,34 @@ class KeyedTableStore:
                     # stat truncated mid-multibyte UTF-8 sequence
                     exact = False
                     break
-            else:
-                mn, mx = str(mn), str(mx)
-                mn_b, mx_b = mn.encode(), mx.encode()
-            if max(len(mn_b), len(mx_b)) >= 64:  # BYTES, not characters
-                exact = False
+                if max(len(mn_b), len(mx_b)) >= 64:  # BYTES, not chars
+                    exact = False
+                    break
+            elif isinstance(mn, str):
+                if max(len(mn.encode()), len(mx.encode())) >= 64:
+                    exact = False
+                    break
+            # else: numeric/temporal key stats are fixed-width native
+            # values — never truncated, and kept TYPED: stringifying
+            # them would make every downstream comparison lexicographic
+            # over digits ("99" > "100"), silently pruning files that
+            # contain matches on a non-string-keyed table
+            try:
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            except TypeError:
+                exact = False  # mixed stat types across row groups
                 break
-            lo = mn if lo is None or mn < lo else lo
-            hi = mx if hi is None or mx > hi else hi
         return lo, hi, rows, exact
 
     @classmethod
     def _span_candidates(
         cls,
         path: str,
-        lo: str | None,
-        hi: str | None,
+        lo,
+        hi,
         files: list[str] | None = None,
+        stats: dict | None = None,
     ) -> list[str]:
         """Data files whose row_key range MAY intersect ``[lo, hi]``
         (``None`` = unbounded side) — FOOTER STATS ONLY: a file whose
@@ -1657,31 +1791,37 @@ class KeyedTableStore:
         over-inclusion costs one scanned file, while the exact read
         here would cost the same file read twice).  The shared pruning
         pass in front of every selective-DML locate (MERGE batch span,
-        DELETE/UPDATE :meth:`_rowkey_interval`)."""
+        DELETE/UPDATE :meth:`_rowkey_interval`).  A bound/stat TYPE
+        mismatch (e.g. a string condition bound against a numeric-keyed
+        table, or vice versa) never prunes — incomparable types make
+        the file a candidate, so pruning stays sound for every
+        ``key_type``.  ``stats`` (optional dict) collects each probed
+        file's ``(lo, hi, rows, exact)`` so callers can reuse the
+        footer reads instead of re-opening the same footers."""
         if files is None:
-            files = sorted(
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            )
+            files = cls._data_files(path)
         out = []
         for fname in files:
-            f_lo, f_hi, rows, exact = cls._footer_key_stats(
-                os.path.join(path, fname)
-            )
+            rec = cls._footer_key_stats(os.path.join(path, fname))
+            if stats is not None:
+                stats[fname] = rec
+            f_lo, f_hi, rows, exact = rec
             if rows == 0:
                 continue
             if not exact:
                 out.append(fname)
                 continue
-            if hi is not None and f_lo is not None and f_lo > hi:
-                continue
-            if lo is not None and f_hi is not None and f_hi < lo:
-                continue
+            try:
+                if hi is not None and f_lo is not None and f_lo > hi:
+                    continue
+                if lo is not None and f_hi is not None and f_hi < lo:
+                    continue
+            except TypeError:
+                pass  # incomparable bound/stat types: keep as candidate
             out.append(fname)
         return out
 
-    def _rowkey_interval(
-        self, condition: str
-    ) -> tuple[str | None, str | None] | None:
+    def _rowkey_interval(self, condition: str) -> tuple | None:
         """Conservative row_key interval ``[lo, hi]`` implied by a SQL
         DML condition, or ``None`` when nothing is provable — the
         reference's RowFilter fast path (SURVEY §2.A A4) applied to
@@ -1690,10 +1830,13 @@ class KeyedTableStore:
         pruned when the interval PROVES no row can match — AND
         intersects child intervals, OR unions them (either side
         unbounded ⇒ unbounded), and anything unrecognized (NOT,
-        non-string literals, expressions over the key, other columns)
-        widens to unbounded.  Walks Spark's own parsed expression tree
-        so quoting/precedence match execution exactly; any parse or
-        walk failure degrades to no pruning, never to a wrong prune."""
+        non-string/non-integral literals, LIKE with a custom ESCAPE,
+        expressions over the key, other columns) widens to unbounded;
+        bounds stay natively TYPED so they can never compare against a
+        different-typed footer stat (incomparable ⇒ candidate).  Walks
+        Spark's own parsed expression tree so quoting/precedence match
+        execution exactly; any parse or walk failure degrades to no
+        pruning, never to a wrong prune."""
         try:
             jexpr = (
                 self.spark._jsparkSession.sessionState()
@@ -1710,13 +1853,23 @@ class KeyedTableStore:
                 and e.name().lower() == ROW_KEY
             )
 
-        def lit_str(e) -> str | None:
+        def lit_val(e):
+            """Native value of a string or integral literal (None
+            otherwise).  Kept TYPED: an int bound only ever prunes
+            against int footer stats and a str bound against str stats
+            (:meth:`_span_candidates` treats incomparable types as
+            candidates), so each comparison that CAN happen matches
+            Spark's own ordering for that key type — str via UTF-8
+            code-point order, int natively."""
             if (
                 e.getClass().getSimpleName() == "Literal"
-                and e.dataType().typeName() == "string"
                 and e.value() is not None
             ):
-                return str(e.value())
+                t = e.dataType().typeName()
+                if t == "string":
+                    return str(e.value())
+                if t in ("integer", "long", "short", "byte"):
+                    return int(e.value())
             return None
 
         def walk(e):
@@ -1762,7 +1915,7 @@ class KeyedTableStore:
                         a, b, flipped = b, a, True
                     if not is_rowkey(a):
                         return UNB
-                    v = lit_str(b)
+                    v = lit_val(b)
                     if v is None:
                         return UNB
                     if name in ("EqualTo", "EqualNullSafe"):
@@ -1772,14 +1925,21 @@ class KeyedTableStore:
                         lower = not lower
                     return (v, None) if lower else (None, v)
                 if name == "In" and kids and is_rowkey(kids[0]):
-                    vals = [lit_str(k) for k in kids[1:]]
+                    vals = [lit_val(k) for k in kids[1:]]
                     if not vals or any(v is None for v in vals):
                         return UNB
                     return (min(vals), max(vals))
                 if name == "Like" and len(kids) == 2 and is_rowkey(kids[0]):
-                    pat = lit_str(kids[1])
+                    # a custom ESCAPE changes which characters are
+                    # wildcards — `LIKE 'a!!%' ESCAPE '!'` means prefix
+                    # "a!", not "a!!" — so only the default escape is
+                    # prefix-analyzable (escapeChar is a constructor
+                    # arg, NOT a child, hence the explicit accessor)
+                    if str(e.escapeChar()) != "\\":
+                        return UNB
+                    pat = lit_val(kids[1])
                     if (
-                        pat
+                        isinstance(pat, str)
                         and pat.endswith("%")
                         and not any(c in pat[:-1] for c in "%_\\")
                         and pat != "%"
@@ -1791,7 +1951,7 @@ class KeyedTableStore:
                     # `key BETWEEN a AND b` parses to between(key, a, b)
                     fn = e.nameParts().last().lower()
                     if fn == "between" and is_rowkey(kids[0]):
-                        lo, hi = lit_str(kids[1]), lit_str(kids[2])
+                        lo, hi = lit_val(kids[1]), lit_val(kids[2])
                         if lo is not None and hi is not None:
                             return (lo, hi)
                     return UNB
@@ -1805,12 +1965,21 @@ class KeyedTableStore:
         return (lo, hi)
 
     @classmethod
-    def _key_span(cls, path: str, files) -> tuple[str, str]:
+    def _key_span(cls, path: str, files, stats: dict | None = None) -> tuple:
         """[min, max] row_key over the given data files — O(files)
-        driver-side footer reads via :meth:`_file_key_range`."""
+        driver-side footer reads via :meth:`_file_key_range`, except
+        files whose EXACT stats the caller already collected
+        (``stats``, from the same attempt's :meth:`_span_candidates`
+        pass) reuse them instead of re-opening the footer."""
         lo = hi = None
         for fname in files:
-            f_lo, f_hi, rows = cls._file_key_range(os.path.join(path, fname))
+            rec = stats.get(fname) if stats is not None else None
+            if rec is not None and rec[3]:
+                f_lo, f_hi, rows = rec[0], rec[1], rec[2]
+            else:
+                f_lo, f_hi, rows = cls._file_key_range(
+                    os.path.join(path, fname)
+                )
             if rows == 0:
                 continue
             lo = f_lo if lo is None or f_lo < lo else lo
@@ -1917,7 +2086,7 @@ class KeyedTableStore:
         keys = incoming.select(ROW_KEY)
         schema = spec.schema()
 
-        def attempt() -> None:
+        def attempt() -> DataFrame | None:
             path = self.table_path(spec)
             # candidate pruning BEFORE the locate scan: only files whose
             # footer key range intersects the batch's [min, max] can
@@ -1925,12 +2094,13 @@ class KeyedTableStore:
             # candidates only (a broadcast semi-join cannot prune its
             # scan side the way a pushed predicate can, so at scale a
             # region-local batch would otherwise pay a full-table locate
-            # read)
-            all_files = sorted(
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            )
+            # read).  The footer stats collected here feed the span and
+            # row-count consumers downstream, so each attempt opens
+            # every footer ONCE.
+            all_files = self._data_files(path)
+            stats: dict = {}
             candidates = self._span_candidates(
-                path, b["lo"], b["hi"], files=all_files
+                path, b["lo"], b["hi"], files=all_files, stats=stats
             )
             affected: dict | list | None = None
             if (
@@ -1956,19 +2126,32 @@ class KeyedTableStore:
                     lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi"),
                     files=candidates,
                 )
-            self._upsert_rewrite(
+            return self._upsert_rewrite(
                 spec, qualified_name, incoming, keys, affected, path,
                 schema, async_index, batch_span=(b["lo"], b["hi"]),
+                footer_stats=stats, n_incoming=b["n"],
             )
 
-        return self._retry_write_conflict(attempt)
+        # index maintenance runs AFTER the retry wrapper: the main-table
+        # swap is committed at that point, and replaying the whole
+        # attempt because the INDEX hit a conflict would re-apply the
+        # merge on top of its own committed result
+        changed_keys = self._retry_write_conflict(attempt)
+        self._maintain_indexes(
+            qualified_name, async_index, changed_keys=changed_keys
+        )
 
     def _upsert_rewrite(
         self, spec, qualified_name, incoming, keys, affected, path,
-        schema, async_index, batch_span=None,
-    ) -> None:
+        schema, async_index, batch_span=None, footer_stats=None,
+        n_incoming=None,
+    ) -> DataFrame | None:
         """The merge-window rewrite behind :meth:`upsert`, one attempt
-        against one resolved generation (``path``/``affected``)."""
+        against one resolved generation (``path``/``affected``).
+        Returns the ``changed_keys`` frame for the caller's index
+        maintenance (``None`` = full rebuild / no index), which runs
+        OUTSIDE the CAS retry so an index-side conflict can never
+        replay the already-committed main-table swap."""
         from pyspark.sql import Observation, Window
 
         def conform(df: DataFrame) -> DataFrame:
@@ -1997,7 +2180,7 @@ class KeyedTableStore:
         # orphan a match; span bounds come from the same footer stats
         # region pruning trusts.)
         if affected:
-            lo, hi = self._key_span(path, affected)
+            lo, hi = self._key_span(path, affected, stats=footer_stats)
             in_span = F.col(ROW_KEY).between(F.lit(lo), F.lit(hi))
             sub = self.spark.read.schema(schema).parquet(
                 *[os.path.join(path, f) for f in affected]
@@ -2061,11 +2244,20 @@ class KeyedTableStore:
             out_new = None
 
         # incremental-index decision BEFORE the swap (pre-swap footer
-        # total; count() only runs when an index actually needs it —
-        # the checkpointed batch makes it cheap)
+        # total — already in hand from the attempt's candidate-pruning
+        # stats pass, so no footer is re-opened; the batch count rode
+        # the batch-statistics job)
         changed_keys = None
         if bool(self.registered_indexes(qualified_name)) and not async_index:
-            if incoming.count() * 4 < self._footer_row_count(path):
+            n_in = (
+                n_incoming if n_incoming is not None else incoming.count()
+            )
+            total = (
+                sum(rec[2] for rec in footer_stats.values())
+                if footer_stats
+                else self._footer_row_count(path)
+            )
+            if n_in * 4 < total:
                 changed_keys = keys
         # the empty-source early return guarantees at least one frame:
         # affected non-empty => out_merged; affected empty => out_new
@@ -2076,9 +2268,7 @@ class KeyedTableStore:
             set(affected),
             validate=no_source_dups,
         )
-        self._maintain_indexes(
-            qualified_name, async_index, changed_keys=changed_keys
-        )
+        return changed_keys
 
     # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
     def _locate_affected_files(
@@ -2176,9 +2366,7 @@ class KeyedTableStore:
             if os.path.abspath(src_path) == os.path.abspath(root)
             else os.path.basename(src_path.rstrip("/"))
         )
-        listing = sorted(
-            f for f in os.listdir(src_path) if f.endswith(".parquet")
-        )
+        listing = self._data_files(src_path)
         carried = [f for f in listing if f not in rewritten]
 
         def build(staging: str) -> None:
@@ -2197,9 +2385,7 @@ class KeyedTableStore:
             # under the flip lock; if one landed after the carry listing
             # above, flipping would silently drop it — fail instead (the
             # DML retries and carries it)
-            now = sorted(
-                f for f in os.listdir(src_path) if f.endswith(".parquet")
-            )
+            now = self._data_files(src_path)
             if now != listing:
                 raise ConcurrentWriteConflictError(
                     f"{spec.qualified_name}: files appended to generation "
@@ -2249,14 +2435,12 @@ class KeyedTableStore:
             if span is not None:
                 files = self._span_candidates(path, span[0], span[1])
             else:
-                files = sorted(
-                    f for f in os.listdir(path) if f.endswith(".parquet")
-                )
+                files = self._data_files(path)
             affected = self._locate_affected_files(
                 spec, lambda df: df.filter(hit), files=files
             )
             if not affected:
-                return 0
+                return 0, None
             n = sum(affected.values())
             changed_keys = self._capture_changed_keys(
                 spec, affected, lambda df: df.filter(hit), n, async_index,
@@ -2265,12 +2449,18 @@ class KeyedTableStore:
             self._selective_rewrite(
                 spec, affected, lambda df: df.filter(~hit), path=path
             )
+            return n, changed_keys
+
+        # index maintenance OUTSIDE the retry: replaying the attempt
+        # after an index-side conflict would re-run the delete against
+        # its own committed result (and report 0 rows for a delete that
+        # happened)
+        n, changed_keys = self._retry_write_conflict(attempt)
+        if n:
             self._maintain_indexes(
                 qualified_name, async_index, changed_keys=changed_keys
             )
-            return n
-
-        return self._retry_write_conflict(attempt)
+        return n
 
     def update_where(
         self,
@@ -2320,14 +2510,12 @@ class KeyedTableStore:
             if span is not None:
                 files = self._span_candidates(path, span[0], span[1])
             else:
-                files = sorted(
-                    f for f in os.listdir(path) if f.endswith(".parquet")
-                )
+                files = self._data_files(path)
             affected = self._locate_affected_files(
                 spec, lambda df: df.filter(cond), files=files
             )
             if not affected:
-                return 0
+                return 0, None
             n = sum(affected.values())
             changed_keys = self._capture_changed_keys(
                 spec, affected, lambda df: df.filter(cond), n, async_index,
@@ -2336,12 +2524,17 @@ class KeyedTableStore:
             self._selective_rewrite(
                 spec, affected, apply_assignments, path=path
             )
+            return n, changed_keys
+
+        # index maintenance OUTSIDE the retry (see delete_where): an
+        # index-side conflict must never replay a committed UPDATE —
+        # non-idempotent assignments (`c:val` + 1) would double-apply
+        n, changed_keys = self._retry_write_conflict(attempt)
+        if n:
             self._maintain_indexes(
                 qualified_name, async_index, changed_keys=changed_keys
             )
-            return n
-
-        return self._retry_write_conflict(attempt)
+        return n
 
     def _capture_changed_keys(
         self, spec: TableSpec, affected: dict, selector, n: int,
@@ -2371,14 +2564,36 @@ class KeyedTableStore:
         through the staged-directory atomic swap: the old layout serves
         reads until the new one is fully written."""
         spec = self.registry.get(qualified_name)
-        # resolve the CAS base BEFORE reading: the rewrite streams from
-        # the generation named here, and the flip is refused (loudly) if
-        # a concurrent writer commits meanwhile — re-run the compaction
-        base = self._resolve_cur_prev(self.table_root(spec))[0]
-        self._sorted_rewrite(
-            spec, self.read(qualified_name), n_regions=n_regions,
-            expected_base=base,
-        )
+
+        def attempt() -> None:
+            # CAS base + base LISTING resolved before the read: a
+            # concurrent rewrite flips the pointer (CAS catches it); a
+            # concurrent APPEND adds files without flipping, so the
+            # listing check is what keeps its rows out of the void —
+            # either way the flip fails loudly and this re-runs against
+            # the winner's state
+            root = self.table_root(spec)
+            base = self._resolve_cur_prev(root)[0]
+            src = (
+                root
+                if base in (None, self._FLAT)
+                else os.path.join(root, base)
+            )
+            listing = self._data_files(src)
+
+            def no_appends() -> None:
+                if self._data_files(src) != listing:
+                    raise ConcurrentWriteConflictError(
+                        f"{spec.qualified_name}: files appended to "
+                        f"generation {base!r} during the compaction"
+                    )
+
+            self._sorted_rewrite(
+                spec, self.read(qualified_name), n_regions=n_regions,
+                expected_base=base, under_lock_check=no_appends,
+            )
+
+        self._retry_write_conflict(attempt)
 
     # -- minor compaction (HBase minor compaction: merge small HFiles) ----
     def compact_minor(
@@ -2404,27 +2619,32 @@ class KeyedTableStore:
         staged-directory atomic-commit protocol as every DML rewrite.
         """
         spec = self.registry.get(qualified_name)
-        path = self.table_path(spec)
-        small, big = [], []
-        for fname in sorted(os.listdir(path)):
-            if not fname.endswith(".parquet"):
-                continue
-            full = os.path.join(path, fname)
-            (small if os.path.getsize(full) < small_file_bytes else big).append(
-                fname
+
+        def attempt() -> int:
+            # one generation resolution per attempt; the carry swap's
+            # own listing guard catches concurrent appends, and a lost
+            # CAS re-selects the small files against the winner's state
+            path = self.table_path(spec)
+            small = []
+            for fname in self._data_files(path):
+                full = os.path.join(path, fname)
+                if os.path.getsize(full) < small_file_bytes:
+                    small.append(fname)
+            if len(small) < min_files:
+                return 0
+            merged = (
+                self.spark.read.schema(spec.schema())
+                .parquet(*[os.path.join(path, f) for f in small])
+                .repartitionByRange(1, ROW_KEY)
+                .sortWithinPartitions(ROW_KEY)
             )
-        if len(small) < min_files:
-            return 0
-        merged = (
-            self.spark.read.schema(spec.schema())
-            .parquet(*[os.path.join(path, f) for f in small])
-            .repartitionByRange(1, ROW_KEY)
-            .sortWithinPartitions(ROW_KEY)
-        )
-        # the untouched large files carry over as hardlinks — the one
-        # shared staged-write-plus-carry tail every selective path rides
-        self._swap_write_with_carry(spec, merged, path, set(small))
-        return len(small)
+            # untouched large files carry over as hardlinks — the one
+            # shared staged-write-plus-carry tail every selective path
+            # rides
+            self._swap_write_with_carry(spec, merged, path, set(small))
+            return len(small)
+
+        return self._retry_write_conflict(attempt)
 
     # -- region stats (HBase list_regions analogue, footer-only) ----------
     def region_stats(self, qualified_name: str) -> DataFrame:
@@ -2443,16 +2663,18 @@ class KeyedTableStore:
         spec = self.registry.get(qualified_name)
         path = self.table_path(spec)
         stats = []
-        for fname in sorted(os.listdir(path)):
-            if not fname.endswith(".parquet"):
-                continue
+        for fname in self._data_files(path):
             # shared footer-range walk (byte-aware truncation guard +
             # exact single-file fallback) — see _file_key_range
             lo, hi, rows = self._file_key_range(os.path.join(path, fname))
             if rows == 0:
                 continue
             stats.append((lo, hi, rows))
+        # sort on the NATIVE stat values (numeric keys order
+        # numerically), then render as strings for the stable admin
+        # schema
         stats.sort()
+        stats = [(str(lo), str(hi), rows) for lo, hi, rows in stats]
         out = [(i + 1, lo, hi, n) for i, (lo, hi, n) in enumerate(stats)]
         return self.spark.createDataFrame(
             out, "region int, min_key string, max_key string, n_rows bigint"

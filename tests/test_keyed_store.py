@@ -8,6 +8,7 @@ deterministic fixture law (FIXTURES.md) with DuckDB as the oracle.
 
 import glob
 import os
+import time
 
 import duckdb
 import pytest
@@ -1593,11 +1594,11 @@ def test_swap_protocol_crash_at_every_step(spark, tmp_path, monkeypatch, crash_a
         orig = KeyedTableStore._sweep_generations
         calls = {"n": 0}
 
-        def f(self, root, keep):
+        def f(self, root, keep, locked=False):
             calls["n"] += 1
             if calls["n"] == 2:  # 1st call = pre-sweep, 2nd = post-flip
                 raise boom
-            return orig(self, root, keep)
+            return orig(self, root, keep, locked=locked)
 
         monkeypatch.setattr(KeyedTableStore, "_sweep_generations", f)
 
@@ -1827,9 +1828,13 @@ def test_rowkey_interval_is_conservative(spark, tmp_path):
     assert iv("row_key IN ('c', 'a', 'b')") == ("a", "c")
     assert iv("row_key LIKE 'ab%'") == ("ab", "ac")
     assert iv("row_key >= 'a' OR row_key = 'z'") == ("a", None)
+    # integral literals yield NATIVELY TYPED bounds (for numeric key
+    # types); they can only ever prune against same-typed footer stats
+    assert iv("row_key = 5") == (5, 5)
+    assert iv("row_key BETWEEN 10 AND 20") == (10, 20)
     # conservative widenings: every one of these must be None
     assert iv("NOT (row_key > 'x')") is None
-    assert iv("row_key = 5") is None  # non-string literal
+    assert iv("row_key = 5.5") is None  # non-integral numeric literal
     assert iv("`c:grp` = 1") is None
     assert iv("true") is None
     assert iv("row_key LIKE '%x'") is None
@@ -1911,9 +1916,10 @@ def test_swap_cas_refuses_stale_flip_and_marker_shields_build(
     man = st._read_gen_manifest(root)
     gens = {d for d in os.listdir(root) if d.startswith("gen-")}
     assert man["current"] in gens
-    # no marker or lock file leaks
+    # no marker leaks; the lock FILE persists by design (flock protocol
+    # never unlinks it) but nobody holds it
     assert not [f for f in os.listdir(root) if f.startswith(".building-")]
-    assert st._WRITER_LOCK not in os.listdir(root)
+    assert not st._flock_live(os.path.join(root, st._WRITER_LOCK))
 
 
 def test_concurrent_dml_writers_lose_no_updates(spark, tmp_path):
@@ -1966,26 +1972,219 @@ def test_concurrent_dml_writers_lose_no_updates(spark, tmp_path):
 
 
 def test_dead_writer_marker_and_generation_are_swept(spark, tmp_path):
-    """A ``.building-<gen>`` marker whose process died is garbage: the
-    next rewrite sweeps the marker AND its directory; a marker naming a
-    LIVE process protects its generation from both sweeps."""
+    """A ``.building-<gen>`` marker whose flock owner died is garbage:
+    the next rewrite sweeps the marker AND its directory; a marker
+    whose flock is HELD protects its generation from both sweeps (the
+    kernel releases the flock with the owner's fd, so a SIGKILLed
+    writer's marker reads dead with no pid bookkeeping)."""
+    import fcntl
+
     st = _mk_plain_table(spark, tmp_path, n=8)
     spec = st.registry.get("r6.t")
     root = st.table_root(spec)
-    # dead writer: a pid beyond the kernel's pid range never names a
-    # live process (os.kill -> ESRCH), deterministically
+    # dead writer: a marker file nobody flocks (exactly what a killed
+    # process leaves behind — its fd closed, the lock released)
     dead_gen = "gen-00000000dead"
     os.makedirs(os.path.join(root, dead_gen))
     with open(os.path.join(root, f".building-{dead_gen}"), "w") as f:
         f.write("99999999")
-    # live writer: our own pid
+    # live writer: hold the flock for the duration of the sweep
     live_gen = "gen-00000000beef"
     os.makedirs(os.path.join(root, live_gen))
-    with open(os.path.join(root, f".building-{live_gen}"), "w") as f:
-        f.write(str(os.getpid()))
-    st.compact("r6.t", n_regions=2)  # runs both sweeps
-    entries = set(os.listdir(root))
-    assert dead_gen not in entries
-    assert f".building-{dead_gen}" not in entries
-    assert live_gen in entries, "live writer's in-flight build swept"
-    assert f".building-{live_gen}" in entries
+    live_fd = os.open(
+        os.path.join(root, f".building-{live_gen}"),
+        os.O_CREAT | os.O_WRONLY,
+    )
+    try:
+        fcntl.flock(live_fd, fcntl.LOCK_EX)
+        st.compact("r6.t", n_regions=2)  # runs both sweeps
+        entries = set(os.listdir(root))
+        assert dead_gen not in entries
+        assert f".building-{dead_gen}" not in entries
+        assert live_gen in entries, "live writer's in-flight build swept"
+        assert f".building-{live_gen}" in entries
+    finally:
+        os.close(live_fd)
+
+
+def test_numeric_keyed_table_dml_pruning_is_sound(spark, tmp_path):
+    """Footer key stats keep the key column's NATIVE type, so DML
+    pruning on a non-string-keyed table compares numerically — the
+    stringified-stats shape pruned lexicographically ("99" > "100"),
+    silently deleting nothing.  A string bound against numeric stats is
+    incomparable and must degrade to no pruning, never a wrong prune."""
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    st.ctas(
+        TableSpec(
+            namespace="r8", name="nk", key_type="long",
+            families={"c": {"val": "double"}},
+        ),
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(90, 161)],
+            "row_key long, `c:val` double",
+        ),
+    )
+    st.compact("r8.nk", n_regions=4)  # multi-file footer stats
+    # int literal bound vs int footer stats: prunes AND matches
+    assert st.delete_where("r8.nk", "row_key = 100") == 1
+    # string literal bound vs int stats: incomparable -> no prune, the
+    # cast comparison still matches
+    assert st.delete_where("r8.nk", "row_key = '105'") == 1
+    # range delete across the lexicographic trap ("99" > "150")
+    assert st.delete_where(
+        "r8.nk", "row_key >= 99 AND row_key <= 101"
+    ) == 2  # 99 and 101 (100 already gone)
+    # MERGE on a numeric-keyed table: batch span/containment are ints
+    st.upsert("r8.nk", spark.createDataFrame(
+        [(150, 999.0), (200, 42.0)], "row_key long, `c:val` double",
+    ))
+    got = {r["row_key"]: r["c:val"] for r in st.read("r8.nk").collect()}
+    assert got[150] == 999.0 and got[200] == 42.0
+    assert 100 not in got and 105 not in got and 99 not in got
+    assert len(got) == 71 - 4 + 1
+
+
+def test_like_escape_condition_is_not_prefix_pruned(spark, tmp_path):
+    """``LIKE 'a!!%' ESCAPE '!'`` matches prefix "a!", not "a!!" — the
+    interval walk must NOT treat a custom-escape pattern as a plain
+    prefix (the unsound bound ('a!!', 'a!"') pruned the file holding
+    'a!z' and the DELETE silently missed it)."""
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    st.ctas(
+        TableSpec(
+            namespace="r8", name="esc", key_type="string",
+            families={"c": {"val": "double"}},
+        ),
+        spark.createDataFrame(
+            [("a!z", 1.0), ("a!a", 2.0), ("ab", 3.0), ("zz", 4.0)],
+            "row_key string, `c:val` double",
+        ),
+    )
+    st.compact("r8.esc", n_regions=2)
+    n = st.delete_where("r8.esc", "row_key LIKE 'a!!%' ESCAPE '!'")
+    assert n == 2, n  # a!z and a!a both match prefix "a!"
+    left = {r["row_key"] for r in st.read("r8.esc").collect()}
+    assert left == {"ab", "zz"}
+    # default-escape prefix pruning still works
+    assert st.delete_where("r8.esc", "row_key LIKE 'ab%'") == 1
+
+
+def test_index_conflict_does_not_replay_committed_dml(spark, tmp_path):
+    """Index maintenance runs OUTSIDE the DML's CAS retry: an
+    index-side ConcurrentWriteConflictError must surface (with the
+    index loudly stale) — NOT replay the whole attempt, which would
+    re-apply a non-idempotent UPDATE on top of its own committed
+    result."""
+    from spark_sql_hbase_spark.sources.keyed_parquet import (
+        ConcurrentWriteConflictError,
+    )
+
+    st = _mk_plain_table(spark, tmp_path, n=40)
+    st.create_covered_index("r6.t", "r6.by_grp", "c:grp",
+                            include=["c:val"], key_width=4)
+    rewrites = []
+    orig_rw = KeyedTableStore._selective_rewrite
+    orig_mi = KeyedTableStore._maintain_indexes
+
+    def spy_rw(self, *a, **kw):
+        rewrites.append(a[0].qualified_name)
+        return orig_rw(self, *a, **kw)
+
+    def failing_mi(self, *a, **kw):
+        raise ConcurrentWriteConflictError("index contention (injected)")
+
+    KeyedTableStore._selective_rewrite = spy_rw
+    KeyedTableStore._maintain_indexes = failing_mi
+    try:
+        with pytest.raises(ConcurrentWriteConflictError):
+            st.update_where(
+                "r6.t", {"c:val": "`c:val` + 1"}, "row_key = '00000007'"
+            )
+    finally:
+        KeyedTableStore._selective_rewrite = orig_rw
+        KeyedTableStore._maintain_indexes = orig_mi
+    # the main-table rewrite ran EXACTLY once; the increment applied once
+    assert rewrites.count("r6.t") == 1, rewrites
+    got = [r["c:val"] for r in st.read("r6.t")
+           .filter("row_key = '00000007'").collect()]
+    assert got == [7 * 1.5 + 1.0], got
+    # catch-up path restores the index
+    st.rebuild_indexes("r6.t")
+    assert "stale" not in st.registry.get("r6.by_grp").properties
+
+
+def test_compact_carries_concurrent_append(spark, tmp_path):
+    """A row APPENDED while a major compaction is building must survive:
+    appends add files WITHOUT flipping the generation pointer, so the
+    CAS alone cannot see them — the base-listing flip guard fails the
+    stale compaction loudly and the retry folds the appended row in."""
+    st = _mk_plain_table(spark, tmp_path, n=20)
+    st.compact("r6.t", n_regions=2)
+    fired = []
+    orig = KeyedTableStore._sorted_rewrite
+
+    def hooked(self, spec, df, **kw):
+        if not fired:
+            fired.append(True)
+            # lands AFTER compact's listing capture, BEFORE its flip
+            st.insert("r6.t", spark.createDataFrame(
+                [("zz_concurrent", 9, 9.0)],
+                "row_key string, `c:grp` long, `c:val` double",
+            ), generate_row_key=False)
+        return orig(self, spec, df, **kw)
+
+    KeyedTableStore._sorted_rewrite = hooked
+    try:
+        st.compact("r6.t", n_regions=2)
+    finally:
+        KeyedTableStore._sorted_rewrite = orig
+    got = {r["row_key"] for r in st.read("r6.t").collect()}
+    assert "zz_concurrent" in got, "append dropped by concurrent compact"
+    assert len(got) == 21
+
+
+def test_append_staging_sweep_respects_writing_marker(spark, tmp_path):
+    """A crashed append's staging dir is swept, but one whose
+    ``.writing`` marker flock is HELD survives any sweep regardless of
+    mtime — Spark only renames part files in at task commit, so a long
+    in-flight write has a stale directory mtime."""
+    import fcntl
+
+    st = _mk_plain_table(spark, tmp_path, n=8)
+    root = st.table_root(st.registry.get("r6.t"))
+    old = time.time() - 7200
+    dead = os.path.join(root, ".append-00000000dead")
+    os.makedirs(dead)
+    os.utime(dead, (old, old))
+    live = os.path.join(root, ".append-00000000beef")
+    os.makedirs(live)
+    os.utime(live, (old, old))
+    fd = os.open(live + ".writing", os.O_CREAT | os.O_WRONLY)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        st.compact("r6.t", n_regions=2)  # runs both sweeps
+        entries = set(os.listdir(root))
+        assert ".append-00000000dead" not in entries
+        assert ".append-00000000beef" in entries, "live append swept"
+    finally:
+        os.close(fd)
+
+
+def test_writer_lock_excludes_and_survives_kill(spark, tmp_path):
+    """The flock writer mutex: a held lock times out a second acquirer;
+    a lock file whose owner died (no flock held — what a SIGKILL
+    leaves) blocks nobody and needs no stale-breaking."""
+    from spark_sql_hbase_spark.sources.keyed_parquet import (
+        ConcurrentWriteConflictError,
+    )
+
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    root = str(tmp_path / "wh")
+    with st._table_write_lock(root):
+        with pytest.raises(ConcurrentWriteConflictError):
+            with st._table_write_lock(root, timeout=0.3):
+                pass
+    # "crashed holder": the file exists but nobody flocks it
+    assert os.path.exists(os.path.join(root, st._WRITER_LOCK))
+    with st._table_write_lock(root, timeout=0.3):
+        pass
