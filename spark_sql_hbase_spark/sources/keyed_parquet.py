@@ -364,17 +364,38 @@ class KeyedTableStore:
                 pass
             os.close(fd)
 
+    @staticmethod
+    def _is_vanished_generation(e: Exception) -> bool:
+        """True when ``e`` reads as "a file/directory this attempt
+        resolved no longer exists" — which, inside a DML attempt, means
+        TWO concurrent commits retired the attempt's base generation
+        past its reader-grace window mid-locate.  That is a write
+        CONFLICT (the CAS would refuse the flip anyway); the attempt
+        re-resolves and retries.  Spark surfaces the executor-side
+        variant as a wrapped ``FileNotFoundException``."""
+        if isinstance(e, FileNotFoundError):
+            return True
+        s = str(e)
+        return "FileNotFoundException" in s or "PATH_NOT_FOUND" in s
+
     def _retry_write_conflict(self, attempt, attempts: int = 6):
         """Run ``attempt`` (a complete DML locate+build+swap closure
         that re-resolves the table's current generation itself),
         retrying when a concurrent writer wins the manifest CAS — the
         loser rebuilds against the winner's committed state, so both
-        mutations land."""
+        mutations land.  A vanished-generation error mid-attempt (the
+        base retired by two+ concurrent commits before this attempt's
+        own flip could refuse) retries the same way; any other error
+        raises immediately."""
         for i in range(attempts):
             try:
                 return attempt()
             except ConcurrentWriteConflictError:
                 if i == attempts - 1:
+                    raise
+                time.sleep(0.05 * (i + 1))
+            except Exception as e:  # noqa: BLE001 — filtered just below
+                if i == attempts - 1 or not self._is_vanished_generation(e):
                     raise
                 time.sleep(0.05 * (i + 1))
 

@@ -2188,3 +2188,72 @@ def test_writer_lock_excludes_and_survives_kill(spark, tmp_path):
     assert os.path.exists(os.path.join(root, st._WRITER_LOCK))
     with st._table_write_lock(root, timeout=0.3):
         pass
+
+
+def test_three_writer_stress_compact_upsert_delete(spark, tmp_path):
+    """Optimistic-concurrency acceptance for the full protocol: a
+    MERGE loop, a DELETE loop, and a major-compaction loop race on ONE
+    table.  Every DML mutation must land (a compaction racing an
+    append/rewrite either folds it in via retry or fails LOUDLY — the
+    base-listing guard + CAS make silent row loss structurally
+    impossible), the table must stay readable throughout, and the
+    final state must be exactly the serial outcome of the DMLs."""
+    import threading
+
+    from spark_sql_hbase_spark.sources.keyed_parquet import (
+        ConcurrentWriteConflictError,
+    )
+
+    st = _mk_plain_table(spark, tmp_path, n=40)
+    st.compact("r6.t", n_regions=4)
+    errs: list = []
+    compact_conflicts: list = []
+
+    def merger():
+        try:
+            for i in range(4):
+                st.upsert("r6.t", spark.createDataFrame(
+                    [(f"aa_{i:04d}", 7, 7.0)],
+                    "row_key string, `c:grp` long, `c:val` double",
+                ))
+        except Exception as e:  # noqa: BLE001 — recorded for the assert
+            errs.append(e)
+
+    def deleter():
+        try:
+            for i in range(4):
+                st.upsert("r6.t", spark.createDataFrame(
+                    [(f"bb_{i:04d}", 9, 9.0)],
+                    "row_key string, `c:grp` long, `c:val` double",
+                ))
+                assert st.delete_where(
+                    "r6.t", f"row_key = 'bb_{i:04d}'"
+                ) == 1
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def compactor():
+        for _ in range(3):
+            try:
+                st.compact("r6.t", n_regions=4)
+            except ConcurrentWriteConflictError as e:
+                # legitimate under sustained contention: retries
+                # exhausted, loudly — never silent row loss
+                compact_conflicts.append(e)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+    threads = [
+        threading.Thread(target=merger),
+        threading.Thread(target=deleter),
+        threading.Thread(target=compactor),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = {r["row_key"] for r in st.read("r6.t").collect()}
+    assert {f"aa_{i:04d}" for i in range(4)} <= got
+    assert not [k for k in got if k.startswith("bb_")]
+    assert len(got) == 44
