@@ -1199,30 +1199,53 @@ class KeyedTableStore:
             for iq in indexes:
                 self._mark_index_stale(iq, True)
             return
-        main = self.read(qualified_name)
         if changed_keys is not None:
-            self._maintain_indexes_incremental(indexes, main, changed_keys)
+            self._maintain_indexes_incremental(
+                indexes, self.read(qualified_name), changed_keys
+            )
             return
+        main_spec = self.registry.get(qualified_name)
+        main_root = self.table_root(main_spec)
         for iq, meta in indexes.items():
             ispec = self.registry.get(iq)
-            proj = self.index_projection(
-                main,
-                meta["col"],
-                list(meta["include"]),
-                meta["key_width"],
-                meta.get("encoding", "int"),
-                meta.get("scale"),
-                guard=True,
-            )
             self._mark_index_stale(iq, True)
-            # the rebuild reads only the MAIN table (proj), so a stale
-            # index base cannot lose data — retry covers two DMLs
-            # rebuilding the same index concurrently
-            self._retry_write_conflict(
-                lambda ispec=ispec, proj=proj: self._sorted_rewrite(
-                    ispec, proj
+
+            def rebuild(ispec=ispec, meta=meta) -> None:
+                # re-read the MAIN table PER ATTEMPT (the retry
+                # contract: each attempt re-resolves current state) —
+                # a retried rebuild must fold in whatever the
+                # conflicting writer committed, or the index would be
+                # re-swapped from a stale projection and marked fresh
+                # while missing rows.  The flip re-checks the main
+                # generation under the INDEX lock: a main commit that
+                # landed after this read conflicts loudly (its own
+                # index maintenance raced ours), and a main-table
+                # APPEND's index entries landing after our flip are
+                # additive (per-row projection of appended rows), so
+                # order is immaterial there.
+                main_gen = self._resolve_cur_prev(main_root)[0]
+                proj = self.index_projection(
+                    self.read(qualified_name),
+                    meta["col"],
+                    list(meta["include"]),
+                    meta["key_width"],
+                    meta.get("encoding", "int"),
+                    meta.get("scale"),
+                    guard=True,
                 )
-            )
+
+                def main_unchanged() -> None:
+                    if self._resolve_cur_prev(main_root)[0] != main_gen:
+                        raise ConcurrentWriteConflictError(
+                            f"{qualified_name}: main table committed a "
+                            f"generation during the {iq} index rebuild"
+                        )
+
+                self._sorted_rewrite(
+                    ispec, proj, under_lock_check=main_unchanged
+                )
+
+            self._retry_write_conflict(rebuild)
             self._mark_index_stale(iq, False)
 
     def _maintain_indexes_incremental(
@@ -1622,36 +1645,50 @@ class KeyedTableStore:
         self._sweep_generations(root, keep={cur, prev})
         new_gen = f"gen-{uuid.uuid4().hex[:12]}"
         trash: list[str] = []
-        with self._marker_guard(os.path.join(root, f".building-{new_gen}")):
-            build_staging(os.path.join(root, new_gen))
-            if validate is not None:
-                validate()
-            with self._table_write_lock(root):
-                try:
-                    cur_now, _ = self._resolve_cur_prev(root)
-                    if cur_now != base:
-                        raise ConcurrentWriteConflictError(
-                            f"{spec.qualified_name}: generation {cur_now!r}"
-                            f" was committed by a concurrent writer while "
-                            f"this rewrite built against {base!r}"
+        try:
+            with self._marker_guard(
+                os.path.join(root, f".building-{new_gen}")
+            ):
+                build_staging(os.path.join(root, new_gen))
+                if validate is not None:
+                    validate()
+                with self._table_write_lock(root):
+                    try:
+                        cur_now, _ = self._resolve_cur_prev(root)
+                        if cur_now != base:
+                            raise ConcurrentWriteConflictError(
+                                f"{spec.qualified_name}: generation "
+                                f"{cur_now!r} was committed by a concurrent "
+                                f"writer while this rewrite built against "
+                                f"{base!r}"
+                            )
+                        if under_lock_check is not None:
+                            # e.g. the carry swap re-verifies its base
+                            # file listing: an append that landed after
+                            # the carry listing must fail the flip, not
+                            # vanish
+                            under_lock_check()
+                    except ConcurrentWriteConflictError:
+                        # discard the staged generation by RENAME only
+                        # (the lock is never held across a recursive
+                        # delete); the rmtree runs in the finally below
+                        dst = os.path.join(
+                            root, f".trash-{uuid.uuid4().hex[:12]}"
                         )
-                    if under_lock_check is not None:
-                        # e.g. the carry swap re-verifies its base file
-                        # listing: an append that landed after the carry
-                        # listing must fail the flip, not vanish
-                        under_lock_check()
-                except ConcurrentWriteConflictError:
-                    shutil.rmtree(
-                        os.path.join(root, new_gen), ignore_errors=True
+                        try:
+                            os.rename(os.path.join(root, new_gen), dst)
+                            trash.append(dst)
+                        except OSError:
+                            pass
+                        raise
+                    self._write_gen_manifest(root, new_gen, base)
+                    # deletion decisions under the lock; delete after
+                    trash += self._sweep_generations(
+                        root, keep={new_gen, base}, locked=True
                     )
-                    raise
-                self._write_gen_manifest(root, new_gen, base)
-                # deletion decisions under the lock; rmtree after release
-                trash = self._sweep_generations(
-                    root, keep={new_gen, base}, locked=True
-                )
-        for t in trash:
-            shutil.rmtree(t, ignore_errors=True)
+        finally:
+            for t in trash:
+                shutil.rmtree(t, ignore_errors=True)
         self.refresh(spec.qualified_name)
 
     def _resolve_cur_prev(self, root: str) -> tuple[str | None, str | None]:
@@ -1992,15 +2029,22 @@ class KeyedTableStore:
         files whose EXACT stats the caller already collected
         (``stats``, from the same attempt's :meth:`_span_candidates`
         pass) reuse them instead of re-opening the footer."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
         lo = hi = None
         for fname in files:
+            full = os.path.join(path, fname)
             rec = stats.get(fname) if stats is not None else None
-            if rec is not None and rec[3]:
+            if rec is not None:
                 f_lo, f_hi, rows = rec[0], rec[1], rec[2]
+                if rows and not rec[3]:
+                    # stats untrustworthy but already READ — go straight
+                    # to the exact key-column read, no second footer open
+                    keys = pq.read_table(full, columns=[ROW_KEY]).column(0)
+                    f_lo, f_hi = pc.min(keys).as_py(), pc.max(keys).as_py()
             else:
-                f_lo, f_hi, rows = cls._file_key_range(
-                    os.path.join(path, fname)
-                )
+                f_lo, f_hi, rows = cls._file_key_range(full)
             if rows == 0:
                 continue
             lo = f_lo if lo is None or f_lo < lo else lo
@@ -2443,7 +2487,7 @@ class KeyedTableStore:
         hit = F.coalesce(F.expr(condition), F.lit(False))
         span = self._rowkey_interval(condition)
 
-        def attempt() -> int:
+        def attempt() -> tuple:
             # ONE generation resolution per attempt: the candidate
             # pruning, locate scan, rewrite, and CAS base all name the
             # same generation (a concurrent commit then fails the flip
@@ -2524,7 +2568,7 @@ class KeyedTableStore:
                 ]
             )
 
-        def attempt() -> int:
+        def attempt() -> tuple:
             # same one-generation-per-attempt + footer key-range pruning
             # discipline as delete_where
             path = self.table_path(spec)

@@ -2257,3 +2257,39 @@ def test_three_writer_stress_compact_upsert_delete(spark, tmp_path):
     assert {f"aa_{i:04d}" for i in range(4)} <= got
     assert not [k for k in got if k.startswith("bb_")]
     assert len(got) == 44
+
+
+def test_index_rebuild_retry_rereads_main(spark, tmp_path):
+    """A full index rebuild that loses its CAS must RE-READ the main
+    table on retry: re-swapping the first attempt's projection would
+    publish an index missing whatever the conflicting writer committed
+    — marked fresh, silently wrong on every index_lookup."""
+    from spark_sql_hbase_spark.sources.keyed_parquet import (
+        ConcurrentWriteConflictError,
+    )
+
+    st = _mk_plain_table(spark, tmp_path, n=40)
+    st.create_covered_index("r6.t", "r6.by_grp", "c:grp",
+                            include=["c:val"], key_width=4)
+    orig = KeyedTableStore._sorted_rewrite
+    fired = []
+
+    def hooked(self, spec, df, **kw):
+        if spec.qualified_name == "r6.by_grp" and not fired:
+            fired.append(True)
+            # a concurrent writer commits to the MAIN table mid-rebuild
+            st.insert("r6.t", spark.createDataFrame(
+                [("zz_new", 3, 33.0)],
+                "row_key string, `c:grp` long, `c:val` double",
+            ), generate_row_key=False, maintain_indexes=False)
+            raise ConcurrentWriteConflictError("index CAS lost (injected)")
+        return orig(self, spec, df, **kw)
+
+    KeyedTableStore._sorted_rewrite = hooked
+    try:
+        st.rebuild_indexes("r6.t")
+    finally:
+        KeyedTableStore._sorted_rewrite = orig
+    assert "stale" not in st.registry.get("r6.by_grp").properties
+    hits = {r["i:src_key"] for r in st.index_lookup("r6.by_grp", 3).collect()}
+    assert "zz_new" in hits, "retried rebuild republished a stale projection"
