@@ -188,7 +188,21 @@ class KeyedTableStore:
             keep_now = set(keep)
             if man is not None:
                 keep_now |= {man["current"], man.get("previous")}
-            for entry in os.listdir(root):
+            entries = os.listdir(root)
+            # scan leases: a live ``.reading-<gen>.<hex>`` flock pins
+            # its generation against sweeping (the HBase scanner-lease
+            # analogue — see :meth:`scan_lease`); dead lease markers
+            # are cleaned below
+            leased = set()
+            for e in entries:
+                m = _re.fullmatch(
+                    r"\.reading-(gen-[0-9a-f]{12}|flat)\.[0-9a-f]{8}", e
+                )
+                if m and self._flock_live(os.path.join(root, e)):
+                    leased.add(m.group(1))
+            if "flat" in leased:
+                keep_now.add(self._FLAT)
+            for entry in entries:
                 full = os.path.join(root, entry)
                 if entry in (self._GEN_MANIFEST, self._WRITER_LOCK):
                     continue
@@ -196,6 +210,7 @@ class KeyedTableStore:
                     if (
                         _re.fullmatch(r"gen-[0-9a-f]{12}", entry)
                         and entry not in keep_now
+                        and entry not in leased
                     ):
                         if self._flock_live(
                             os.path.join(root, f".building-{entry}")
@@ -251,11 +266,22 @@ class KeyedTableStore:
                             os.remove(full)
                         except OSError:
                             pass
+                elif _re.fullmatch(
+                    r"\.reading-(gen-[0-9a-f]{12}|flat)\.[0-9a-f]{8}",
+                    entry,
+                ):
+                    # a dead reader's lease marker (crashed scan — the
+                    # kernel released its flock) is garbage
+                    if not self._flock_live(full):
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            pass
                 elif (
                     man is not None
                     and self._FLAT not in keep_now
                     and not entry.startswith(
-                        (".building-", ".append-", ".trash-")
+                        (".building-", ".append-", ".trash-", ".reading-")
                     )
                 ):
                     # flat-layout leftovers ≥ one full swap old (never a
@@ -575,6 +601,59 @@ class KeyedTableStore:
             )
         return self.spark.read.schema(spec.schema()).parquet(
             os.path.join(root, prev)
+        )
+
+    @contextmanager
+    def scan_lease(self, qualified_name: str):
+        """HBase scanner-lease analogue (a RegionServer scanner's lease
+        keeps its store files readable for the scanner's lifetime; the
+        reference's scans ride that server-side contract implicitly —
+        ``execution/HBaseTableScanExec.scala:52`` opens a ``Scan`` whose
+        RegionServer scanner holds the lease): pin the generation
+        CURRENT at entry and yield a DataFrame bound to it.
+        While the lease's flock is held, no sweep will delete that
+        generation — a long-running scan (export, training pass,
+        multi-action analysis) survives ANY amount of concurrent
+        DML/compaction churn, not just the default one-swap reader
+        grace.  A crashed leaseholder's flock is released by the kernel
+        with its fd, so an abandoned lease cannot leak retired
+        generations (the marker is swept like every dead marker).
+
+        Acquisition serializes briefly with sweep DECISIONS via the
+        per-table writer lock (never held during the scan itself): a
+        generation can be retired-and-renamed between an unlocked
+        resolve and the marker landing, so the resolve+pin runs under
+        the lock and re-verifies the directory.  Reads outside the
+        lease are unaffected; DML throughput is unaffected (sweeps skip
+        the pinned generation and everything else proceeds)."""
+        from contextlib import ExitStack
+
+        spec = self.registry.get(qualified_name)
+        root = self.table_root(spec)
+        for _ in range(8):
+            with ExitStack() as stack:
+                with self._table_write_lock(root, timeout=30.0):
+                    man = self._read_gen_manifest(root)
+                    cur = None if man is None else man["current"]
+                    if cur in (None, self._FLAT):
+                        token, path, pattern = (
+                            "flat", root, os.path.join(root, "*.parquet")
+                        )
+                    else:
+                        path = os.path.join(root, cur)
+                        token, pattern = cur, path
+                    if not os.path.isdir(path):
+                        continue  # retired under our feet: re-resolve
+                    # pinned BEFORE the lock releases: no sweep decision
+                    # can interleave between resolve and pin
+                    stack.enter_context(self._marker_guard(os.path.join(
+                        root, f".reading-{token}.{uuid.uuid4().hex[:8]}"
+                    )))
+                yield self.spark.read.schema(spec.schema()).parquet(pattern)
+                return
+        raise ConcurrentWriteConflictError(
+            f"{qualified_name}: could not pin a generation for a scan "
+            "lease (8 attempts, sustained concurrent churn)"
         )
 
     def generations(self, qualified_name: str) -> list[dict]:

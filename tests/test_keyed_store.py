@@ -2293,3 +2293,47 @@ def test_index_rebuild_retry_rereads_main(spark, tmp_path):
     assert "stale" not in st.registry.get("r6.by_grp").properties
     hits = {r["i:src_key"] for r in st.index_lookup("r6.by_grp", 3).collect()}
     assert "zz_new" in hits, "retried rebuild republished a stale projection"
+
+
+def test_scan_lease_survives_concurrent_churn(spark, tmp_path):
+    """The HBase scanner-lease analogue: a leased generation survives
+    ANY number of concurrent DML/compaction swaps (not just the
+    one-swap reader grace), the leased DataFrame stays a complete
+    consistent snapshot throughout, and releasing the lease lets the
+    next sweep reclaim it."""
+    st = _mk_plain_table(spark, tmp_path, n=20)
+    st.compact("r6.t", n_regions=2)
+    before = sorted(map(tuple, st.read("r6.t").collect()))
+    with st.scan_lease("r6.t") as leased:
+        # three swaps of churn — far past the one-swap reader grace
+        assert st.delete_where("r6.t", "row_key <= '00000005'") == 5
+        st.compact("r6.t", n_regions=2)
+        st.compact("r6.t", n_regions=1)
+        assert sorted(map(tuple, leased.collect())) == before
+    # lease released: the next swap sweeps the pinned generation
+    st.compact("r6.t", n_regions=2)
+    root = st.table_root(st.registry.get("r6.t"))
+    man = st._read_gen_manifest(root)
+    gens = {d for d in os.listdir(root) if d.startswith("gen-")}
+    assert gens == {man["current"], man["previous"]}
+    assert not [e for e in os.listdir(root) if e.startswith(".reading-")]
+    assert len(st.read("r6.t").collect()) == 15
+
+
+def test_dead_scan_lease_does_not_protect(spark, tmp_path):
+    """A crashed leaseholder's marker (no flock — the kernel released
+    it with the dead process's fd) protects nothing and is swept."""
+    st = _mk_plain_table(spark, tmp_path, n=8)
+    st.compact("r6.t", n_regions=2)
+    root = st.table_root(st.registry.get("r6.t"))
+    cur = st._read_gen_manifest(root)["current"]
+    with open(os.path.join(root, f".reading-{cur}.deadbeef"), "w"):
+        pass
+    st.compact("r6.t", n_regions=2)
+    st.compact("r6.t", n_regions=1)
+    entries = set(os.listdir(root))
+    man2 = st._read_gen_manifest(root)
+    assert cur not in entries, "dead lease protected a retired generation"
+    gens = {d for d in entries if d.startswith("gen-")}
+    assert gens == {man2["current"], man2["previous"]}
+    assert f".reading-{cur}.deadbeef" not in entries
