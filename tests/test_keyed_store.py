@@ -2337,3 +2337,62 @@ def test_dead_scan_lease_does_not_protect(spark, tmp_path):
     gens = {d for d in entries if d.startswith("gen-")}
     assert gens == {man2["current"], man2["previous"]}
     assert f".reading-{cur}.deadbeef" not in entries
+
+
+def test_dml_pruning_soundness_condition_sweep(spark, tmp_path):
+    """Ground-truth sweep for the footer-pruning fast path: for a
+    battery of DML conditions (typed bounds, BETWEEN/IN/LIKE, custom
+    ESCAPE, OR/AND mixes, cross-type literals, non-key predicates) the
+    rows an UPDATE touches must equal Spark's own filter count on the
+    same table — a mis-prune would silently shrink the former.  Runs
+    against BOTH a string-keyed and a long-keyed multi-file table."""
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    st.ctas(
+        TableSpec(namespace="r8", name="ps", key_type="string",
+                  families={"c": {"grp": "long", "val": "double"}}),
+        spark.createDataFrame(
+            [(f"{i:08d}", i % 4, float(i)) for i in range(1, 21)],
+            "row_key string, `c:grp` long, `c:val` double"),
+    )
+    st.compact("r8.ps", n_regions=4)
+    st.ctas(
+        TableSpec(namespace="r8", name="pl", key_type="long",
+                  families={"c": {"grp": "long", "val": "double"}}),
+        spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(90, 161)],
+            "row_key long, `c:grp` long, `c:val` double"),
+    )
+    st.compact("r8.pl", n_regions=4)
+    cases = {
+        "r8.ps": [
+            "row_key = '00000010'",
+            "row_key <= '00000005'",
+            "row_key BETWEEN '00000008' AND '00000012'",
+            "row_key IN ('00000001', '00000019', 'zz')",
+            "row_key LIKE '0000001%'",
+            "row_key LIKE '0000001%' ESCAPE '!'",
+            "row_key > '00000015' OR row_key = '00000002'",
+            "row_key >= '00000004' AND `c:grp` = 1",
+            "row_key BETWEEN 2 AND 7",  # int literals on a string key
+            "`c:val` > 10.0",
+        ],
+        "r8.pl": [
+            "row_key = 100",
+            "row_key >= 99 AND row_key <= 101",
+            "row_key BETWEEN 150 AND 210",
+            "row_key IN (93, 155, 400)",
+            "row_key = '105'",  # string literal on a long key
+            "row_key > 158 OR row_key = 90",
+            "`c:grp` = 2",
+        ],
+    }
+    for table, conds in cases.items():
+        for cond in conds:
+            expected = (
+                st.read(table)
+                .filter(F.coalesce(F.expr(cond), F.lit(False)))
+                .count()
+            )
+            # identity assignment: exact touched-row count, no mutation
+            got = st.update_where(table, {"c:val": "`c:val`"}, cond)
+            assert got == expected, (table, cond, got, expected)
