@@ -2701,12 +2701,31 @@ class KeyedTableStore:
         return selector(sub).select(ROW_KEY).localCheckpoint(eager=True)
 
     # -- compaction (A10 bulk-rewrite analogue) ---------------------------
-    def compact(self, qualified_name: str, n_regions: int | None = None) -> None:
+    def compact(
+        self,
+        qualified_name: str,
+        n_regions: int | None = None,
+        target_region_bytes: int | None = None,
+    ) -> None:
         """Rewrite the table into ``n_regions`` key-sorted partitions —
         the major-compaction analogue (merge many small "HFiles" into few
         sorted ones, restoring scan locality after many inserts).  Runs
         through the staged-directory atomic swap: the old layout serves
-        reads until the new one is fully written."""
+        reads until the new one is fully written.
+
+        ``target_region_bytes`` is the HBase split-policy analogue
+        (``ConstantSizeRegionSplitPolicy`` / ``hbase.hregion.max.
+        filesize``, the contract behind the reference's static per-table
+        "split" keys — ``HBaseClientImpl.scala:262,273``): the region
+        count is derived from the CURRENT data size instead of the
+        table's static fan-out, so a table that grew 100× since
+        creation re-splits to 100× the regions on its next compaction
+        rather than funneling into the original handful.  One O(files)
+        driver-side size stat; mutually exclusive with ``n_regions``."""
+        if n_regions is not None and target_region_bytes is not None:
+            raise ValueError(
+                "pass n_regions or target_region_bytes, not both"
+            )
         spec = self.registry.get(qualified_name)
 
         def attempt() -> None:
@@ -2724,6 +2743,12 @@ class KeyedTableStore:
                 else os.path.join(root, base)
             )
             listing = self._data_files(src)
+            n = n_regions
+            if target_region_bytes is not None:
+                total = sum(
+                    os.path.getsize(os.path.join(src, f)) for f in listing
+                )
+                n = max(1, -(-total // target_region_bytes))  # ceil
 
             def no_appends() -> None:
                 if self._data_files(src) != listing:
@@ -2733,7 +2758,7 @@ class KeyedTableStore:
                     )
 
             self._sorted_rewrite(
-                spec, self.read(qualified_name), n_regions=n_regions,
+                spec, self.read(qualified_name), n_regions=n,
                 expected_base=base, under_lock_check=no_appends,
             )
 

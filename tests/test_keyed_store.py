@@ -2396,3 +2396,32 @@ def test_dml_pruning_soundness_condition_sweep(spark, tmp_path):
             # identity assignment: exact touched-row count, no mutation
             got = st.update_where(table, {"c:val": "`c:val`"}, cond)
             assert got == expected, (table, cond, got, expected)
+
+
+def test_compact_target_region_bytes_resizes_layout(spark, tmp_path):
+    """Size-targeted compaction (the HBase split-policy analogue): the
+    region count follows the CURRENT data size, so a grown table
+    re-splits instead of funneling into its creation-time fan-out — and
+    a tiny table collapses to one region.  Content is invariant."""
+    st = _mk_plain_table(spark, tmp_path, n=200)
+    spec = st.registry.get("r6.t")
+    before = sorted(map(tuple, st.read("r6.t").collect()))
+    st.compact("r6.t", n_regions=2)
+    path = st.table_path(spec)
+    sizes = [
+        os.path.getsize(os.path.join(path, f)) for f in st._data_files(path)
+    ]
+    total = sum(sizes)
+    # target 1/5 of the data per region -> ~5 regions (>= 4 allows for
+    # range-partition skew producing an empty slice)
+    st.compact("r6.t", target_region_bytes=total // 5)
+    path = st.table_path(spec)
+    n_files = len(st._data_files(path))
+    assert n_files >= 4, n_files
+    # a huge target collapses to ONE region
+    st.compact("r6.t", target_region_bytes=total * 100)
+    path = st.table_path(spec)
+    assert len(st._data_files(path)) == 1
+    assert sorted(map(tuple, st.read("r6.t").collect())) == before
+    with pytest.raises(ValueError):
+        st.compact("r6.t", n_regions=2, target_region_bytes=1)
