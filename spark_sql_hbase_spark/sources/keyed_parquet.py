@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -195,9 +196,7 @@ class KeyedTableStore:
             # are cleaned below
             leased = set()
             for e in entries:
-                m = _re.fullmatch(
-                    r"\.reading-(gen-[0-9a-f]{12}|flat)\.[0-9a-f]{8}", e
-                )
+                m = self._LEASE_MARKER_RE.fullmatch(e)
                 if m and self._flock_live(os.path.join(root, e)):
                     leased.add(m.group(1))
             if "flat" in leased:
@@ -266,10 +265,7 @@ class KeyedTableStore:
                             os.remove(full)
                         except OSError:
                             pass
-                elif _re.fullmatch(
-                    r"\.reading-(gen-[0-9a-f]{12}|flat)\.[0-9a-f]{8}",
-                    entry,
-                ):
+                elif self._LEASE_MARKER_RE.fullmatch(entry):
                     # a dead reader's lease marker (crashed scan — the
                     # kernel released its flock) is garbage
                     if not self._flock_live(full):
@@ -308,6 +304,16 @@ class KeyedTableStore:
 
     _WRITER_LOCK = "._WRITER_LOCK"
     _LOCK_TIMEOUT_S = 120.0
+    # ONE wire format for scan-lease markers, shared by the writer
+    # (:meth:`_lease_marker_name`) and the sweep's parser — a drift
+    # between them would silently disable lease protection
+    _LEASE_MARKER_RE = re.compile(
+        r"\.reading-(gen-[0-9a-f]{12}|flat)\.[0-9a-f]{8}"
+    )
+
+    @staticmethod
+    def _lease_marker_name(token: str) -> str:
+        return f".reading-{token}.{uuid.uuid4().hex[:8]}"
 
     @contextmanager
     def _table_write_lock(self, root: str, timeout: float | None = None):
@@ -630,30 +636,52 @@ class KeyedTableStore:
 
         spec = self.registry.get(qualified_name)
         root = self.table_root(spec)
-        for _ in range(8):
+        for i in range(8):
             with ExitStack() as stack:
                 with self._table_write_lock(root, timeout=30.0):
+                    if not os.path.isdir(root):
+                        raise TableNotFoundError(
+                            f"{qualified_name}: table dropped while "
+                            "acquiring a scan lease"
+                        )
                     man = self._read_gen_manifest(root)
                     cur = None if man is None else man["current"]
                     if cur in (None, self._FLAT):
-                        token, path, pattern = (
-                            "flat", root, os.path.join(root, "*.parquet")
-                        )
+                        token, path = "flat", root
                     else:
-                        path = os.path.join(root, cur)
-                        token, pattern = cur, path
+                        token, path = cur, os.path.join(root, cur)
                     if not os.path.isdir(path):
-                        continue  # retired under our feet: re-resolve
-                    # pinned BEFORE the lock releases: no sweep decision
-                    # can interleave between resolve and pin
-                    stack.enter_context(self._marker_guard(os.path.join(
-                        root, f".reading-{token}.{uuid.uuid4().hex[:8]}"
-                    )))
-                yield self.spark.read.schema(spec.schema()).parquet(pattern)
+                        # a manifest naming a missing directory cannot
+                        # come from ordinary churn (sweep decisions take
+                        # this same lock and never touch the current
+                        # generation) — re-resolve a few times in case
+                        # an external actor is mid-rebuild, then fail
+                        time.sleep(0.05 * (i + 1))
+                        continue
+                    # the SNAPSHOT is the explicit file list, pinned
+                    # BEFORE the lock releases: no sweep decision can
+                    # delete a listed file (the lease), and a concurrent
+                    # APPEND hardlinking new files into a still-current
+                    # generation is invisible (they are not in the list)
+                    # — every action on the leased frame reads the same
+                    # complete, consistent state
+                    files = [
+                        os.path.join(path, f) for f in self._data_files(path)
+                    ]
+                    stack.enter_context(self._marker_guard(
+                        os.path.join(root, self._lease_marker_name(token))
+                    ))
+                if files:
+                    leased = self.spark.read.schema(spec.schema()).parquet(
+                        *files
+                    )
+                else:
+                    leased = self.spark.createDataFrame([], spec.schema())
+                yield leased
                 return
         raise ConcurrentWriteConflictError(
-            f"{qualified_name}: could not pin a generation for a scan "
-            "lease (8 attempts, sustained concurrent churn)"
+            f"{qualified_name}: generation manifest kept naming a missing "
+            "directory while acquiring a scan lease (8 attempts)"
         )
 
     def generations(self, qualified_name: str) -> list[dict]:
@@ -2725,6 +2753,11 @@ class KeyedTableStore:
         if n_regions is not None and target_region_bytes is not None:
             raise ValueError(
                 "pass n_regions or target_region_bytes, not both"
+            )
+        if target_region_bytes is not None and target_region_bytes <= 0:
+            raise ValueError(
+                f"target_region_bytes must be positive, got "
+                f"{target_region_bytes}"
             )
         spec = self.registry.get(qualified_name)
 

@@ -2305,6 +2305,13 @@ def test_scan_lease_survives_concurrent_churn(spark, tmp_path):
     st.compact("r6.t", n_regions=2)
     before = sorted(map(tuple, st.read("r6.t").collect()))
     with st.scan_lease("r6.t") as leased:
+        # an APPEND hardlinks new files into the still-current (pinned)
+        # generation — the lease's explicit file-list snapshot must not
+        # see them (true snapshot isolation, not just deletion safety)
+        st.insert("r6.t", spark.createDataFrame(
+            [("zz_after_lease", 1, 1.0)],
+            "row_key string, `c:grp` long, `c:val` double",
+        ), generate_row_key=False)
         # three swaps of churn — far past the one-swap reader grace
         assert st.delete_where("r6.t", "row_key <= '00000005'") == 5
         st.compact("r6.t", n_regions=2)
@@ -2317,7 +2324,7 @@ def test_scan_lease_survives_concurrent_churn(spark, tmp_path):
     gens = {d for d in os.listdir(root) if d.startswith("gen-")}
     assert gens == {man["current"], man["previous"]}
     assert not [e for e in os.listdir(root) if e.startswith(".reading-")]
-    assert len(st.read("r6.t").collect()) == 15
+    assert len(st.read("r6.t").collect()) == 16  # 20 + 1 appended - 5
 
 
 def test_dead_scan_lease_does_not_protect(spark, tmp_path):
