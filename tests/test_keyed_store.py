@@ -2243,10 +2243,26 @@ def test_three_writer_stress_compact_upsert_delete(spark, tmp_path):
             except Exception as e:  # noqa: BLE001
                 errs.append(e)
 
+    def lease_reader():
+        # scan leases acquired DURING the churn: each one must read a
+        # complete consistent snapshot (row count == a full multiple of
+        # nothing torn — every file present), never FileNotFound, and
+        # never deadlock against the writers' flip locks
+        try:
+            for _ in range(4):
+                with st.scan_lease("r6.t") as leased:
+                    n1 = leased.count()
+                    n2 = len(leased.collect())
+                    assert n1 == n2, (n1, n2)
+                    assert n1 >= 40  # never a torn/partial generation
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
     threads = [
         threading.Thread(target=merger),
         threading.Thread(target=deleter),
         threading.Thread(target=compactor),
+        threading.Thread(target=lease_reader),
     ]
     for t in threads:
         t.start()
