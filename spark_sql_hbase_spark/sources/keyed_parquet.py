@@ -22,6 +22,7 @@ Reference → our mapping (SURVEY §1, §2.A):
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import re
@@ -48,6 +49,15 @@ _INDEX_PROP = "index."
 _INTEGRAL_INDEX_TYPES = {
     "byte", "tinyint", "short", "smallint", "int", "integer", "bigint", "long",
 }
+
+
+# per-generation key-span manifest (write-once; appends add sidecars)
+_SPAN_MANIFEST = "_spans.json"
+
+
+class _SpanUnencodable(Exception):
+    """Key-stat value with no JSON span encoding — the file's manifest
+    entry is omitted and readers fall back to a live footer read."""
 
 
 class TableNotFoundError(KeyError):
@@ -914,6 +924,18 @@ class KeyedTableStore:
                     parts = [
                         f for f in os.listdir(tmp) if f.endswith(".parquet")
                     ]
+                    # footer stats of the freshly written parts, read
+                    # OUTSIDE the lock (same inodes the links share) —
+                    # the sidecar keeps the generation's span manifest
+                    # covering appended files too
+                    part_stats = {}
+                    for fname in parts:
+                        try:
+                            part_stats[fname] = self._footer_key_stats(
+                                os.path.join(tmp, fname)
+                            )
+                        except Exception:
+                            continue  # cache construction never fails a write
                     with self._table_write_lock(root):
                         path_now = self.table_path(spec)
                         for fname in parts:
@@ -921,6 +943,12 @@ class KeyedTableStore:
                                 os.path.join(tmp, fname),
                                 os.path.join(path_now, fname),
                             )
+                        # under the SAME lock as the link-in so the
+                        # sidecar lands in the same generation the
+                        # files did (a flip between the two would
+                        # orphan it — sound, but the files would fall
+                        # back to live footer reads)
+                        self._write_span_sidecar(path_now, part_stats)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
             self.refresh(qualified_name)
@@ -1707,6 +1735,7 @@ class KeyedTableStore:
         validate=None,
         expected_base=_RESOLVE_AT_ENTRY,
         under_lock_check=None,
+        span_reuse_path: str | None = None,
     ) -> None:
         """The ONE staged-commit protocol every table-replacing path
         rides (DML rewrites, TRUNCATE, compaction, snapshot restore):
@@ -1759,6 +1788,19 @@ class KeyedTableStore:
                 build_staging(os.path.join(root, new_gen))
                 if validate is not None:
                     validate()
+                # record the new generation's key-span manifest while the
+                # staging is still private — carried hardlinks reuse the
+                # source generation's entries by name (identical content),
+                # fresh files read their own footer once, HERE, so no
+                # reader ever pays the O(files) footer walk again
+                self._write_span_manifest(
+                    os.path.join(root, new_gen),
+                    known=(
+                        self._load_span_stats(span_reuse_path)
+                        if span_reuse_path
+                        else None
+                    ),
+                )
                 with self._table_write_lock(root):
                     try:
                         cur_now, _ = self._resolve_cur_prev(root)
@@ -1939,6 +1981,164 @@ class KeyedTableStore:
                 break
         return lo, hi, rows, exact
 
+    # -- key-span manifest: footer stats persisted once per generation ----
+    #
+    # Every selective-DML locate, span split, row count, and region-stats
+    # call needs (min_key, max_key, n_rows, exact) per data file.  Reading
+    # them from N parquet footers is O(files) driver-side metadata opens
+    # PER OPERATION — fine locally, a real bottleneck at 100 TB table
+    # sizes (tens of thousands of files on an object store at tens of ms
+    # per footer round-trip).  The manifest is the Iceberg/Delta answer
+    # (and HBase's: a RegionServer caches HFile metadata for a store
+    # file's lifetime): the WRITER, which just produced the files, records
+    # their stats in one small ``_spans.json`` inside the generation
+    # directory before the flip, and appends record theirs in write-once
+    # ``_spans-<id>.json`` sidecars — so readers pay one tiny JSON read
+    # instead of N footer opens.  Strictly a CACHE of immutable file
+    # content: generations never rewrite a file in place (carries are
+    # hardlinks of identical content under the same name), any file the
+    # manifest doesn't cover falls back to a live footer read, and a
+    # malformed/unreadable manifest degrades to exactly the pre-manifest
+    # behavior — soundness never depends on the manifest being present.
+    # (Spark ignores ``_``-prefixed files, and ``_data_files`` lists only
+    # ``*.parquet``, so the manifest is invisible to scans and carries.)
+
+    @staticmethod
+    def _encode_span_value(v):
+        """Tagged JSON encoding of a native key-stat value.  Only the
+        orderable key types the pruning comparisons understand are
+        encoded (str / int / bytes); anything else raises
+        :class:`_SpanUnencodable` and the file's entry is omitted."""
+        if v is None:
+            return None
+        if isinstance(v, str):
+            return {"s": v}
+        if isinstance(v, bool):  # bool is an int subclass — never a key
+            raise _SpanUnencodable(repr(v))
+        if isinstance(v, int):
+            return {"i": v}  # Python json round-trips big ints exactly
+        if isinstance(v, bytes):
+            return {"b": base64.b64encode(v).decode("ascii")}
+        raise _SpanUnencodable(type(v).__name__)
+
+    @staticmethod
+    def _decode_span_value(e):
+        if e is None:
+            return None
+        if "s" in e:
+            return e["s"]
+        if "i" in e:
+            return int(e["i"])
+        if "b" in e:
+            return base64.b64decode(e["b"])
+        raise ValueError(f"unknown span value tag: {e!r}")
+
+    @classmethod
+    def _encode_span_entries(cls, stats: dict) -> dict:
+        """{filename: manifest entry} from {filename: (lo, hi, rows,
+        exact)}; files with unencodable lo/hi are omitted (fallback)."""
+        out = {}
+        for fname, (lo, hi, rows, exact) in stats.items():
+            try:
+                out[fname] = {
+                    "lo": cls._encode_span_value(lo),
+                    "hi": cls._encode_span_value(hi),
+                    "rows": int(rows),
+                    "exact": bool(exact),
+                }
+            except _SpanUnencodable:
+                continue
+        return out
+
+    @classmethod
+    def _write_span_manifest(
+        cls, gen_path: str, known: dict | None = None
+    ) -> None:
+        """Write ``_spans.json`` covering every data file of
+        ``gen_path`` — stats reused from ``known`` (e.g. the source
+        generation's manifest, valid for hardlink-carried files because
+        name ⇒ identical content) or read from the file's footer.
+        Atomic (tmp + rename) so a reader never sees a partial
+        manifest.  Runs on a PRIVATE staging directory before the flip,
+        so no lock is needed."""
+        stats = {}
+        for fname in cls._data_files(gen_path):
+            rec = (known or {}).get(fname)
+            if rec is None:
+                try:
+                    rec = cls._footer_key_stats(
+                        os.path.join(gen_path, fname)
+                    )
+                except Exception:
+                    # unreadable footer (e.g. a staging dir a caller
+                    # deliberately poisoned before its validate step
+                    # rejects it): the manifest is a cache — omit the
+                    # entry and let readers fall back, never fail the
+                    # commit path on cache construction
+                    continue
+            stats[fname] = rec
+        tmp = os.path.join(gen_path, f".spans-tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": 1, "files": cls._encode_span_entries(stats)}, fh
+            )
+        os.replace(tmp, os.path.join(gen_path, _SPAN_MANIFEST))
+
+    @classmethod
+    def _write_span_sidecar(cls, gen_path: str, stats: dict) -> None:
+        """Write-once ``_spans-<id>.json`` covering one append's part
+        files (stats computed from the append staging BEFORE the link-in
+        lock).  The uuid name means concurrent appends never collide and
+        nothing is ever updated in place."""
+        entries = cls._encode_span_entries(stats)
+        if not entries:
+            return
+        tmp = os.path.join(gen_path, f".spans-tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"version": 1, "files": entries}, fh)
+        os.replace(
+            tmp,
+            os.path.join(gen_path, f"_spans-{uuid.uuid4().hex[:12]}.json"),
+        )
+
+    @staticmethod
+    def _load_span_stats(path: str) -> dict:
+        """Merged {filename: (lo, hi, rows, exact)} from the generation's
+        manifest + append sidecars.  TOLERANT by contract: a missing,
+        unreadable, or malformed manifest (or entry) simply isn't in the
+        returned dict, and the caller's live-footer fallback runs —
+        the manifest can make pruning cheaper, never wrong.  Entries for
+        files no longer listed are inert (callers look up by current
+        listing)."""
+        out: dict = {}
+        try:
+            names = sorted(
+                f
+                for f in os.listdir(path)
+                if f == _SPAN_MANIFEST
+                or (f.startswith("_spans-") and f.endswith(".json"))
+            )
+        except OSError:
+            return out
+        for name in names:
+            try:
+                with open(os.path.join(path, name)) as fh:
+                    doc = json.load(fh)
+                files = doc["files"] if doc.get("version") == 1 else {}
+            except (OSError, ValueError, KeyError, TypeError):
+                continue
+            for fname, e in files.items():
+                try:
+                    out[fname] = (
+                        KeyedTableStore._decode_span_value(e["lo"]),
+                        KeyedTableStore._decode_span_value(e["hi"]),
+                        int(e["rows"]),
+                        bool(e["exact"]),
+                    )
+                except (ValueError, KeyError, TypeError):
+                    continue
+        return out
+
     @classmethod
     def _span_candidates(
         cls,
@@ -1962,12 +2162,18 @@ class KeyedTableStore:
         the file a candidate, so pruning stays sound for every
         ``key_type``.  ``stats`` (optional dict) collects each probed
         file's ``(lo, hi, rows, exact)`` so callers can reuse the
-        footer reads instead of re-opening the same footers."""
+        footer reads instead of re-opening the same footers.  Stats
+        come from the generation's span manifest when it covers the
+        file (ONE small JSON read instead of O(files) footer opens —
+        the 100 TB fix); uncovered files read their footer live."""
         if files is None:
             files = cls._data_files(path)
+        cached = cls._load_span_stats(path)
         out = []
         for fname in files:
-            rec = cls._footer_key_stats(os.path.join(path, fname))
+            rec = cached.get(fname)
+            if rec is None:
+                rec = cls._footer_key_stats(os.path.join(path, fname))
             if stats is not None:
                 stats[fname] = rec
             f_lo, f_hi, rows, exact = rec
@@ -2131,18 +2337,24 @@ class KeyedTableStore:
 
     @classmethod
     def _key_span(cls, path: str, files, stats: dict | None = None) -> tuple:
-        """[min, max] row_key over the given data files — O(files)
-        driver-side footer reads via :meth:`_file_key_range`, except
-        files whose EXACT stats the caller already collected
-        (``stats``, from the same attempt's :meth:`_span_candidates`
-        pass) reuse them instead of re-opening the footer."""
+        """[min, max] row_key over the given data files — stats from
+        the caller's collected dict (``stats``, from the same attempt's
+        :meth:`_span_candidates` pass), else the generation's span
+        manifest, else a live footer read via :meth:`_file_key_range`;
+        untrustworthy stats fall through to the exact single-file
+        key-column read either way."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        cached = None
         lo = hi = None
         for fname in files:
             full = os.path.join(path, fname)
             rec = stats.get(fname) if stats is not None else None
+            if rec is None:
+                if cached is None:  # load the manifest at most once
+                    cached = cls._load_span_stats(path)
+                rec = cached.get(fname)
             if rec is not None:
                 f_lo, f_hi, rows = rec[0], rec[1], rec[2]
                 if rows and not rec[3]:
@@ -2166,14 +2378,23 @@ class KeyedTableStore:
 
     @classmethod
     def _footer_row_count(cls, path: str) -> int:
-        """Exact table row count from parquet footer metadata — O(files)
-        driver-side reads, zero Spark jobs (the ``region_stats``
-        footer-only discipline applied to counting)."""
-        return sum(
-            cls._footer_row_count_file(os.path.join(path, fname))
-            for fname in os.listdir(path)
-            if fname.endswith(".parquet")
-        )
+        """Exact table row count from parquet footer metadata, zero
+        Spark jobs (the ``region_stats`` footer-only discipline applied
+        to counting).  Served from the span manifest when it covers the
+        file — ``rows`` is ``md.num_rows``, exact regardless of the
+        min/max ``exact`` flag — with live footer reads for the rest."""
+        cached = cls._load_span_stats(path)
+        total = 0
+        for fname in os.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            rec = cached.get(fname)
+            total += (
+                rec[2]
+                if rec is not None
+                else cls._footer_row_count_file(os.path.join(path, fname))
+            )
+        return total
 
     # -- upsert (MERGE INTO ... UPDATE SET * / INSERT * analogue) ---------
     def upsert(
@@ -2570,6 +2791,7 @@ class KeyedTableStore:
             validate=validate,
             expected_base=base,
             under_lock_check=base_listing_unchanged,
+            span_reuse_path=src_path,
         )
 
     def delete_where(
@@ -2864,11 +3086,19 @@ class KeyedTableStore:
         """
         spec = self.registry.get(qualified_name)
         path = self.table_path(spec)
+        cached = self._load_span_stats(path)
         stats = []
         for fname in self._data_files(path):
-            # shared footer-range walk (byte-aware truncation guard +
-            # exact single-file fallback) — see _file_key_range
-            lo, hi, rows = self._file_key_range(os.path.join(path, fname))
+            rec = cached.get(fname)
+            if rec is not None and rec[3]:
+                # manifest entry with trustworthy min/max: no footer open
+                lo, hi, rows = rec[0], rec[1], rec[2]
+            else:
+                # shared footer-range walk (byte-aware truncation guard +
+                # exact single-file fallback) — see _file_key_range
+                lo, hi, rows = self._file_key_range(
+                    os.path.join(path, fname)
+                )
             if rows == 0:
                 continue
             stats.append((lo, hi, rows))

@@ -7,6 +7,7 @@ deterministic fixture law (FIXTURES.md) with DuckDB as the oracle.
 """
 
 import glob
+import json
 import os
 import time
 
@@ -2448,3 +2449,143 @@ def test_compact_target_region_bytes_resizes_layout(spark, tmp_path):
     assert sorted(map(tuple, st.read("r6.t").collect())) == before
     with pytest.raises(ValueError):
         st.compact("r6.t", n_regions=2, target_region_bytes=1)
+
+
+# -- round-8: per-generation key-span manifest (footer stats, cached) ----
+def _no_footer_reads(monkeypatch):
+    """Patch _footer_key_stats to fail loudly — proves a path is served
+    entirely from the span manifest."""
+    def boom(full):
+        raise AssertionError(f"footer read of {full!r} with manifest present")
+    monkeypatch.setattr(KeyedTableStore, "_footer_key_stats", boom)
+
+
+def test_span_manifest_serves_admin_and_pruning_without_footer_opens(
+    spark, tmp_path, monkeypatch
+):
+    """Every generation build writes ``_spans.json``; span pruning,
+    key-span, footer row count, and region_stats are then served from
+    the ONE manifest read — zero per-file footer opens (the 100 TB
+    metadata-bottleneck fix; Iceberg/Delta-manifest discipline)."""
+    st = _mk_plain_table(spark, tmp_path, n=100)
+    st.compact("r6.t", n_regions=4)
+    spec = st.registry.get("r6.t")
+    path = st.table_path(spec)
+    files = st._data_files(path)
+    assert os.path.exists(os.path.join(path, "_spans.json"))
+    cached = st._load_span_stats(path)
+    assert set(files) <= set(cached), (files, sorted(cached))
+    # manifest entries match a live footer walk exactly
+    for f in files:
+        assert cached[f] == KeyedTableStore._footer_key_stats(
+            os.path.join(path, f)
+        )
+    expect_cand = st._span_candidates(path, "00000001", "00000005")
+    expect_span = st._key_span(path, files)
+    expect_rows = st._footer_row_count(path)
+    expect_regions = [tuple(r) for r in st.region_stats("r6.t").collect()]
+    _no_footer_reads(monkeypatch)
+    assert st._span_candidates(path, "00000001", "00000005") == expect_cand
+    assert st._key_span(path, files) == expect_span
+    assert st._footer_row_count(path) == expect_rows == 100
+    assert [
+        tuple(r) for r in st.region_stats("r6.t").collect()
+    ] == expect_regions
+    assert len(expect_cand) == 1  # pruning still prunes
+
+
+def test_append_sidecar_covers_appended_files(spark, tmp_path, monkeypatch):
+    """An APPEND insert records its parts in a write-once sidecar, so
+    the generation stays fully manifest-covered between compactions."""
+    st = _mk_plain_table(spark, tmp_path, n=20)
+    st.compact("r6.t", n_regions=2)
+    st.insert("r6.t", spark.createDataFrame(
+        [("zz000001", 9, 9.0), ("zz000002", 9, 9.0)],
+        "row_key string, `c:grp` long, `c:val` double",
+    ))
+    spec = st.registry.get("r6.t")
+    path = st.table_path(spec)
+    assert glob.glob(os.path.join(path, "_spans-*.json")), os.listdir(path)
+    cached = st._load_span_stats(path)
+    assert set(st._data_files(path)) <= set(cached)
+    _no_footer_reads(monkeypatch)
+    assert st._footer_row_count(path) == 22
+    # appended key range visible to pruning without any footer open
+    assert st._span_candidates(path, "zz000000", None)
+
+
+def test_corrupt_span_manifest_degrades_to_live_footer_reads(
+    spark, tmp_path
+):
+    """The manifest is a pure cache: garbage in any _spans file means
+    the live footer walk serves the same answers (soundness never
+    depends on the manifest)."""
+    st = _mk_plain_table(spark, tmp_path, n=40)
+    st.compact("r6.t", n_regions=4)
+    spec = st.registry.get("r6.t")
+    path = st.table_path(spec)
+    expect_cand = st._span_candidates(path, "00000001", "00000009")
+    expect_rows = st._footer_row_count(path)
+    expect_regions = [tuple(r) for r in st.region_stats("r6.t").collect()]
+    with open(os.path.join(path, "_spans.json"), "w") as fh:
+        fh.write('{"version": 1, "files": {broken')
+    assert st._load_span_stats(path) == {}
+    assert st._span_candidates(path, "00000001", "00000009") == expect_cand
+    assert st._footer_row_count(path) == expect_rows
+    assert [
+        tuple(r) for r in st.region_stats("r6.t").collect()
+    ] == expect_regions
+    # and DML on the corrupt-manifest table still lands correctly
+    assert st.delete_where("r6.t", "row_key <= '00000004'") == 4
+    assert st.read("r6.t").count() == 36
+
+
+def test_carry_swap_reuses_span_entries_for_carried_files(
+    spark, tmp_path, monkeypatch
+):
+    """A selective DML's new generation re-reads footers only for the
+    files it REWROTE: carried hardlinks reuse the source manifest's
+    entries by name (same inode, same content — reuse is sound)."""
+    st = _mk_plain_table(spark, tmp_path, n=100)
+    st.compact("r6.t", n_regions=4)
+    spec = st.registry.get("r6.t")
+    old_path = st.table_path(spec)
+    old_files = set(st._data_files(old_path))
+    seen = []
+    orig = KeyedTableStore._footer_key_stats
+
+    def spy(full):
+        seen.append(full)
+        return orig(full)
+
+    monkeypatch.setattr(KeyedTableStore, "_footer_key_stats", spy)
+    assert st.delete_where("r6.t", "row_key <= '00000005'") == 5
+    new_path = st.table_path(spec)
+    new_files = set(st._data_files(new_path))
+    carried = old_files & new_files
+    assert carried, "expected hardlink-carried files"
+    # every footer open during the DML was a freshly written file of the
+    # new generation — never a carried file, never the old generation
+    for full in seen:
+        assert os.path.dirname(full) == new_path, seen
+        assert os.path.basename(full) not in carried, seen
+    # the new generation is fully covered and trustworthy
+    cached = st._load_span_stats(new_path)
+    assert new_files <= set(cached)
+
+
+def test_span_value_encoding_roundtrip():
+    """Tagged JSON span values round-trip natively TYPED (str / big
+    int / bytes / None); unencodable types omit the entry (fallback),
+    never a stringified wrong-order comparison."""
+    enc, dec = (
+        KeyedTableStore._encode_span_value,
+        KeyedTableStore._decode_span_value,
+    )
+    for v in ["kéy", "", 0, -7, 2**70, b"\x00\xff\x10", None]:
+        got = dec(json.loads(json.dumps(enc(v))))
+        assert got == v and type(got) is type(v) or v is None
+    entries = KeyedTableStore._encode_span_entries(
+        {"a.parquet": (1.5, 2.5, 3, True), "b.parquet": ("x", "y", 2, False)}
+    )
+    assert set(entries) == {"b.parquet"}  # float span omitted, not mangled
