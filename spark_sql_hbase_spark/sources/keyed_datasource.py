@@ -199,12 +199,41 @@ class KeyedTableReader(DataSourceReader):
         return True
 
     def partitions(self) -> list[RegionPartition]:
-        """One partition per region file, pruned by row-key bounds."""
+        """One partition per region file, pruned by row-key bounds.
+
+        Key stats come from the generation's span manifest when it
+        covers the file (``_spans.json`` + append sidecars, written by
+        the store at commit time) — ONE small JSON read for the whole
+        plan instead of O(files) parquet footer opens per query, the
+        metadata cost that dominates planning at 100 TB table sizes.
+        Uncovered files (foreign tables, manifest-less layouts) read
+        their footer live, exactly as before; a covered-but-inexact
+        entry (truncated stats) keeps the file unpruned.  Incomparable
+        bound/stat types (e.g. string predicate on an int-keyed table)
+        never prune — same soundness rule as the store's
+        ``_span_candidates``."""
         import pyarrow.parquet as pq
 
+        files = _list_region_files(self.table_dir)
+        if not self.key_bounds:
+            return [RegionPartition(p) for p in files]
+        try:
+            from spark_sql_hbase_spark.sources.keyed_parquet import (
+                KeyedTableStore,
+            )
+
+            cached = KeyedTableStore._load_span_stats(self.table_dir)
+        except Exception:  # manifest is a cache — never fail planning
+            cached = {}
         out = []
-        for path in _list_region_files(self.table_dir):
-            if self.key_bounds:
+        for path in files:
+            rec = cached.get(os.path.basename(path))
+            if rec is not None:
+                # rows==0 ⇒ nothing to scan; inexact ⇒ no pruning bounds
+                if rec[2] == 0:
+                    continue
+                lo, hi = (rec[0], rec[1]) if rec[3] else (None, None)
+            else:
                 md = pq.ParquetFile(path).metadata
                 names = md.schema.names
                 key_idx = names.index(ROW_KEY) if ROW_KEY in names else None
@@ -217,8 +246,11 @@ class KeyedTableReader(DataSourceReader):
                     if all(s is not None for s in stats):
                         lo = min(s.min for s in stats)
                         hi = max(s.max for s in stats)
+            try:
                 if not self._region_survives(lo, hi):
                     continue
+            except TypeError:
+                pass  # incomparable types: keep the region (sound)
             out.append(RegionPartition(path))
         return out
 

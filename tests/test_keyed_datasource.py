@@ -160,3 +160,38 @@ def test_datasource_reads_pre_alter_files_with_nulls(spark, tmp_path):
         ("0002", "new", 7),
     ]
     sess.store.drop_table("pw.ds_ev")
+
+
+def test_reader_pruning_served_from_span_manifest(store, monkeypatch):
+    """With the generation's ``_spans.json`` present (every store commit
+    writes one), planning-time region pruning opens ZERO parquet footers
+    — the O(files)-metadata-per-query cost the manifest exists to kill.
+    Deleting the manifest degrades to the live footer path with the same
+    partition list."""
+    import os
+    import pyarrow.parquet as pq
+    from spark_sql_hbase_spark.sources import keyed_datasource as kd
+
+    spec = fixtures.pw_test_spec()
+    path = store.table_path(spec)
+    assert os.path.exists(os.path.join(path, "_spans.json"))
+
+    def boom(*a, **kw):
+        raise AssertionError("footer open during manifest-served planning")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    r = _reader(store)
+    list(r.pushFilters([EqualTo(("row_key",), "0300")]))
+    assert len(r.partitions()) == 1
+    monkeypatch.undo()
+
+    # same answer from the live-footer fallback when the manifest is gone
+    import shutil
+    bak = os.path.join(path, "_spans.json.bak")
+    shutil.move(os.path.join(path, "_spans.json"), bak)
+    try:
+        r2 = _reader(store)
+        list(r2.pushFilters([EqualTo(("row_key",), "0300")]))
+        assert len(r2.partitions()) == 1
+    finally:
+        shutil.move(bak, os.path.join(path, "_spans.json"))
