@@ -949,6 +949,7 @@ class KeyedTableStore:
                         # orphan it — sound, but the files would fall
                         # back to live footer reads)
                         self._write_span_sidecar(path_now, part_stats)
+                        self._maybe_merge_span_sidecars(path_now)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
             self.refresh(qualified_name)
@@ -2100,6 +2101,49 @@ class KeyedTableStore:
             tmp,
             os.path.join(gen_path, f"_spans-{uuid.uuid4().hex[:12]}.json"),
         )
+
+    # sidecars folded into the base manifest once this many accumulate —
+    # keeps "one append = one tiny JSON" from regrowing into the very
+    # O(files) metadata walk the manifest exists to kill on tables that
+    # take thousands of appends between compactions
+    _SPAN_SIDECAR_MERGE_AT = 8
+
+    @classmethod
+    def _maybe_merge_span_sidecars(cls, gen_path: str) -> None:
+        """Fold accumulated ``_spans-*.json`` sidecars into
+        ``_spans.json``.  MUST be called under the table writer lock
+        (sidecar creation is, too, so no new sidecar can appear
+        mid-merge).  Lock-free readers stay sound through any
+        interleaving: the merged manifest lands by atomic rename BEFORE
+        the sidecars are unlinked, so a reader sees each entry from the
+        manifest, a sidecar, or both (same values) — and a reader whose
+        stale listing opens a just-deleted sidecar tolerates the miss
+        (``_load_span_stats``), degrading to live footer reads."""
+        try:
+            sidecars = [
+                f
+                for f in os.listdir(gen_path)
+                if f.startswith("_spans-") and f.endswith(".json")
+            ]
+            if len(sidecars) < cls._SPAN_SIDECAR_MERGE_AT:
+                return
+            merged = cls._load_span_stats(gen_path)
+            tmp = os.path.join(
+                gen_path, f".spans-tmp-{uuid.uuid4().hex[:8]}"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"version": 1, "files": cls._encode_span_entries(merged)},
+                    fh,
+                )
+            os.replace(tmp, os.path.join(gen_path, _SPAN_MANIFEST))
+            for f in sidecars:
+                try:
+                    os.unlink(os.path.join(gen_path, f))
+                except OSError:
+                    pass
+        except Exception:
+            return  # cache maintenance never fails a write
 
     @staticmethod
     def _load_span_stats(path: str) -> dict:

@@ -2589,3 +2589,27 @@ def test_span_value_encoding_roundtrip():
         {"a.parquet": (1.5, 2.5, 3, True), "b.parquet": ("x", "y", 2, False)}
     )
     assert set(entries) == {"b.parquet"}  # float span omitted, not mangled
+
+
+def test_span_sidecars_merge_into_manifest(spark, tmp_path, monkeypatch):
+    """Sidecars fold into _spans.json once _SPAN_SIDECAR_MERGE_AT
+    accumulate, so a generation taking thousands of appends keeps O(1)
+    metadata files — with full coverage intact across the merge."""
+    monkeypatch.setattr(KeyedTableStore, "_SPAN_SIDECAR_MERGE_AT", 3)
+    st = _mk_plain_table(spark, tmp_path, n=10)
+    st.compact("r6.t", n_regions=2)
+    spec = st.registry.get("r6.t")
+    for i in range(4):
+        st.insert("r6.t", spark.createDataFrame(
+            [(f"zz{i:06d}", i, float(i))],
+            "row_key string, `c:grp` long, `c:val` double",
+        ))
+    path = st.table_path(spec)
+    # 4 appends with threshold 3: at most threshold-1 sidecars survive
+    side = glob.glob(os.path.join(path, "_spans-*.json"))
+    assert len(side) < 3, side
+    cached = st._load_span_stats(path)
+    assert set(st._data_files(path)) <= set(cached)
+    _no_footer_reads(monkeypatch)
+    assert st._footer_row_count(path) == 14
+    assert st._span_candidates(path, "zz000000", None)
