@@ -3183,6 +3183,10 @@ class KeyedTableStore:
                 self._link_or_copy(
                     os.path.join(src, fname), os.path.join(sdir, fname)
                 )
+        # carry the span manifest too (same files, same stats) so
+        # restore/clone stay zero-footer-read; uncovered files read
+        # their footer once, here, at snapshot time
+        self._write_span_manifest(sdir, known=self._load_span_stats(src))
         with open(os.path.join(sdir, "_spec.json"), "w") as f:
             json.dump(
                 {
@@ -3236,7 +3240,7 @@ class KeyedTableStore:
                         os.path.join(sdir, fname), os.path.join(staging, fname)
                     )
 
-        self._swap_table_dir(spec, build)
+        self._swap_table_dir(spec, build, span_reuse_path=sdir)
         self._maintain_indexes(qualified_name, async_index=False)
 
     def clone_snapshot(
@@ -3268,6 +3272,8 @@ class KeyedTableStore:
                 self._link_or_copy(
                     os.path.join(sdir, fname), os.path.join(path, fname)
                 )
+        # clone inherits the snapshot's span manifest (same files)
+        self._write_span_manifest(path, known=self._load_span_stats(sdir))
         self.refresh(new_qualified_name)
 
     # -- session-catalog integration (A8) ---------------------------------

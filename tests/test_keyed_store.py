@@ -2613,3 +2613,36 @@ def test_span_sidecars_merge_into_manifest(spark, tmp_path, monkeypatch):
     _no_footer_reads(monkeypatch)
     assert st._footer_row_count(path) == 14
     assert st._span_candidates(path, "zz000000", None)
+
+
+def test_snapshot_restore_clone_carry_span_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """snapshot() carries the span manifest; restore and clone reuse it
+    — the restored/cloned generation is fully covered with ZERO footer
+    re-reads (zero-copy stays zero-READ too)."""
+    st = _mk_plain_table(spark, tmp_path, n=30)
+    st.compact("r6.t", n_regions=3)
+    st.snapshot("r6.t", "snap1")
+    sdir = st._snapshot_dir("snap1")
+    assert os.path.exists(os.path.join(sdir, "_spans.json"))
+    st.delete_where("r6.t", "row_key <= '00000010'")
+    seen = []
+    orig = KeyedTableStore._footer_key_stats
+
+    def spy(full):
+        seen.append(full)
+        return orig(full)
+
+    monkeypatch.setattr(KeyedTableStore, "_footer_key_stats", spy)
+    st.restore_snapshot("r6.t", "snap1")
+    assert not seen, f"footer re-reads during restore: {seen}"
+    assert st.read("r6.t").count() == 30
+    spec = st.registry.get("r6.t")
+    path = st.table_path(spec)
+    assert set(st._data_files(path)) <= set(st._load_span_stats(path))
+    st.clone_snapshot("snap1", "r6.t2")
+    assert not seen, f"footer re-reads during clone: {seen}"
+    cpath = st.table_path(st.registry.get("r6.t2"))
+    assert set(st._data_files(cpath)) <= set(st._load_span_stats(cpath))
+    assert st.read("r6.t2").count() == 30
