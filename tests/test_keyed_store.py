@@ -2274,6 +2274,18 @@ def test_three_writer_stress_compact_upsert_delete(spark, tmp_path):
     assert {f"aa_{i:04d}" for i in range(4)} <= got
     assert not [k for k in got if k.startswith("bb_")]
     assert len(got) == 44
+    # after arbitrary interleaving, the surviving generation's span
+    # manifest must still AGREE with the live footers for every file it
+    # covers (coverage may be partial — appends racing flips can orphan
+    # a sidecar, which only costs a fallback — but never wrong)
+    path = st.table_path(st.registry.get("r6.t"))
+    cached = st._load_span_stats(path)
+    live_files = set(st._data_files(path))
+    for fname, rec in cached.items():
+        if fname in live_files:
+            assert rec == KeyedTableStore._footer_key_stats(
+                os.path.join(path, fname)
+            ), fname
 
 
 def test_index_rebuild_retry_rereads_main(spark, tmp_path):

@@ -2040,3 +2040,52 @@ def test_selective_dml_equals_dataframe_semantics(spark, tmp_path_factory, rows,
     expect = {k: (v + 100 if v > pivot else v) for k, v in expect.items()}
     got = {r["row_key"]: r["c:v"] for r in st_.read("sd.t").collect()}
     assert got == expect
+
+
+# -- span-manifest tagged encoding: round-trip + order preservation -------
+span_value = st.one_of(
+    st.none(),
+    st.text(max_size=80),
+    st.integers(min_value=-(2**80), max_value=2**80),
+    st.binary(max_size=80),
+)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(span_value)
+def test_span_value_json_roundtrip_exact(v):
+    """Every encodable key-stat value survives a FULL JSON round-trip
+    with identical value AND type — a span that came back subtly
+    different (str'd int, bytes-as-str) would silently turn range
+    pruning lexicographic and mis-prune."""
+    import json
+
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    wire = json.loads(json.dumps(KeyedTableStore._encode_span_value(v)))
+    got = KeyedTableStore._decode_span_value(wire)
+    assert got == v
+    if v is not None:
+        assert type(got) is type(v)
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.text(max_size=20), min_size=2, max_size=2, unique=True),
+    st.lists(st.binary(max_size=20), min_size=2, max_size=2, unique=True),
+    st.lists(st.integers(min_value=-(2**70), max_value=2**70), min_size=2, max_size=2, unique=True),
+)
+def test_span_value_roundtrip_preserves_order(ss, bs, ii):
+    """Ordering comparisons on decoded spans match the originals for
+    every same-type pair — the property pruning soundness rests on."""
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    import json
+
+    def rt(v):
+        return KeyedTableStore._decode_span_value(
+            json.loads(json.dumps(KeyedTableStore._encode_span_value(v)))
+        )
+
+    for a, b in (ss, bs, ii):
+        assert (rt(a) < rt(b)) == (a < b)
