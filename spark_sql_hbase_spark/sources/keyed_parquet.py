@@ -642,10 +642,27 @@ class KeyedTableStore:
         the lock and re-verifies the directory.  Reads outside the
         lease are unaffected; DML throughput is unaffected (sweeps skip
         the pinned generation and everything else proceeds)."""
+        spec = self.registry.get(qualified_name)
+        with self._generation_lease(qualified_name) as (_path, files):
+            if files:
+                leased = self.spark.read.schema(spec.schema()).parquet(
+                    *files
+                )
+            else:
+                leased = self.spark.createDataFrame([], spec.schema())
+            yield leased
+
+    @contextmanager
+    def _generation_lease(self, qualified_name: str):
+        """The lease primitive under :meth:`scan_lease` (and
+        :meth:`snapshot`): pin the generation current at entry and
+        yield ``(generation_path, pinned_file_list)`` — full paths,
+        point-in-time consistent.  See ``scan_lease`` for the
+        protocol's guarantees and why the resolve+pin runs under the
+        writer lock."""
         from contextlib import ExitStack
 
-        spec = self.registry.get(qualified_name)
-        root = self.table_root(spec)
+        root = self.table_root(self.registry.get(qualified_name))
         for i in range(8):
             with ExitStack() as stack:
                 with self._table_write_lock(root, timeout=30.0):
@@ -681,13 +698,7 @@ class KeyedTableStore:
                     stack.enter_context(self._marker_guard(
                         os.path.join(root, self._lease_marker_name(token))
                     ))
-                if files:
-                    leased = self.spark.read.schema(spec.schema()).parquet(
-                        *files
-                    )
-                else:
-                    leased = self.spark.createDataFrame([], spec.schema())
-                yield leased
+                yield path, files
                 return
         raise ConcurrentWriteConflictError(
             f"{qualified_name}: generation manifest kept naming a missing "
@@ -3171,22 +3182,36 @@ class KeyedTableStore:
         a NEW directory (the staged-commit protocol), exactly like HBase
         snapshots hardlink immutable HFiles.  Cost at 100 TB: O(files)
         metadata operations, no data movement.
+
+        The capture rides a :meth:`_generation_lease` (the scan-lease
+        primitive): the generation and its file list are pinned at
+        entry, so concurrent DML/compaction churn can neither sweep the
+        source mid-link (HBase's snapshot-vs-compaction file-reference
+        protocol) nor leak a half-new half-old file set into the
+        snapshot — the capture is point-in-time consistent by
+        construction.
         """
         spec = self.registry.get(qualified_name)
         sdir = self._snapshot_dir(snapshot_name)
         if os.path.exists(sdir):
             raise TableAlreadyExistsError(f"snapshot exists: {snapshot_name}")
         os.makedirs(sdir)
-        src = self.table_path(spec)
-        for fname in os.listdir(src):
-            if fname.endswith(".parquet"):
-                self._link_or_copy(
-                    os.path.join(src, fname), os.path.join(sdir, fname)
+        try:
+            with self._generation_lease(qualified_name) as (src, files):
+                for full in files:
+                    self._link_or_copy(
+                        full, os.path.join(sdir, os.path.basename(full))
+                    )
+                # carry the span manifest too (same files, same stats)
+                # so restore/clone stay zero-footer-read; uncovered
+                # files read their footer once, here, at snapshot time
+                self._write_span_manifest(
+                    sdir, known=self._load_span_stats(src)
                 )
-        # carry the span manifest too (same files, same stats) so
-        # restore/clone stay zero-footer-read; uncovered files read
-        # their footer once, here, at snapshot time
-        self._write_span_manifest(sdir, known=self._load_span_stats(src))
+        except BaseException:
+            # never leave a half-captured snapshot listed/restorable
+            shutil.rmtree(sdir, ignore_errors=True)
+            raise
         with open(os.path.join(sdir, "_spec.json"), "w") as f:
             json.dump(
                 {

@@ -2658,3 +2658,63 @@ def test_snapshot_restore_clone_carry_span_manifest(
     cpath = st.table_path(st.registry.get("r6.t2"))
     assert set(st._data_files(cpath)) <= set(st._load_span_stats(cpath))
     assert st.read("r6.t2").count() == 30
+
+
+def test_snapshot_under_concurrent_churn_is_consistent(spark, tmp_path):
+    """snapshot() rides the generation lease: snapshots taken while a
+    compaction loop and a DML loop churn the table each capture a
+    complete point-in-time state (>= the base rows, never torn, never
+    FileNotFound) — the HBase snapshot-vs-compaction file-reference
+    protocol."""
+    import threading
+
+    st = _mk_plain_table(spark, tmp_path, n=40)
+    st.compact("r6.t", n_regions=4)
+    errs: list = []
+    stop = threading.Event()
+
+    def churner():
+        try:
+            i = 0
+            while not stop.is_set() and i < 6:
+                st.upsert("r6.t", spark.createDataFrame(
+                    [(f"cc_{i:04d}", 5, 5.0)],
+                    "row_key string, `c:grp` long, `c:val` double",
+                ))
+                st.compact("r6.t", n_regions=4)
+                i += 1
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=churner)
+    t.start()
+    taken = []
+    try:
+        i = 0
+        while not stop.is_set() and i < 8:
+            name = f"churn_snap_{i}"
+            st.snapshot("r6.t", name)
+            taken.append(name)
+            i += 1
+    except Exception as e:  # noqa: BLE001
+        errs.append(e)
+    finally:
+        stop.set()
+        t.join()
+    assert not errs, errs
+    assert taken
+    for name in taken:
+        sdir = st._snapshot_dir(name)
+        frame = spark.read.parquet(
+            *[os.path.join(sdir, f) for f in os.listdir(sdir)
+              if f.endswith(".parquet")]
+        )
+        n = frame.count()
+        assert n >= 40, (name, n)  # base rows always present, never torn
+        # the carried manifest agrees with the captured files
+        cached = st._load_span_stats(sdir)
+        assert sum(rec[2] for rec in cached.values()) == n, name
+    for name in taken:
+        st.delete_snapshot(name)
