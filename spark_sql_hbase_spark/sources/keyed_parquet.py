@@ -724,15 +724,28 @@ class KeyedTableStore:
                 roles[man["previous"]] = "previous"
 
         def entry_for(name: str, data_dir: str, flat: bool) -> dict:
-            files = [
-                f
-                for f in os.listdir(data_dir)
-                if f.endswith(".parquet")
-                and (not flat or os.path.isfile(os.path.join(data_dir, f)))
-            ]
+            try:
+                files = [
+                    f
+                    for f in os.listdir(data_dir)
+                    if f.endswith(".parquet")
+                    and (
+                        not flat
+                        or os.path.isfile(os.path.join(data_dir, f))
+                    )
+                ]
+            except OSError:
+                # swept by a concurrent writer between the root listing
+                # and this walk — it no longer exists to report
+                return None
+            cached = self._load_span_stats(data_dir)
             try:
                 rows = sum(
-                    self._footer_row_count_file(os.path.join(data_dir, f))
+                    cached[f][2]
+                    if f in cached
+                    else self._footer_row_count_file(
+                        os.path.join(data_dir, f)
+                    )
                     for f in files
                 )
             except Exception:
@@ -750,11 +763,15 @@ class KeyedTableStore:
         if self._FLAT in roles:
             # root-level files are themselves a generation (legacy flat
             # current, or the grace-retained flat previous)
-            out.append(entry_for(self._FLAT, root, flat=True))
+            e = entry_for(self._FLAT, root, flat=True)
+            if e is not None:
+                out.append(e)
         for entry in sorted(os.listdir(root)):
             full = os.path.join(root, entry)
             if os.path.isdir(full) and entry.startswith("gen-"):
-                out.append(entry_for(entry, full, flat=False))
+                e = entry_for(entry, full, flat=False)
+                if e is not None:  # swept mid-walk: nothing to report
+                    out.append(e)
         return out
 
     def read_via_datasource(self, qualified_name: str) -> DataFrame:
