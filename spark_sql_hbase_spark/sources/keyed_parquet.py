@@ -3155,25 +3155,27 @@ class KeyedTableStore:
         compaction).
 
         Emits ``(region, min_key, max_key, n_rows)``.
+
+        Runs under a :meth:`_generation_lease` so the footer walk (and
+        any exact-read fallback) cannot race a concurrent writer's
+        sweep — the stats describe one consistent generation.
         """
-        spec = self.registry.get(qualified_name)
-        path = self.table_path(spec)
-        cached = self._load_span_stats(path)
         stats = []
-        for fname in self._data_files(path):
-            rec = cached.get(fname)
-            if rec is not None and rec[3]:
-                # manifest entry with trustworthy min/max: no footer open
-                lo, hi, rows = rec[0], rec[1], rec[2]
-            else:
-                # shared footer-range walk (byte-aware truncation guard +
-                # exact single-file fallback) — see _file_key_range
-                lo, hi, rows = self._file_key_range(
-                    os.path.join(path, fname)
-                )
-            if rows == 0:
-                continue
-            stats.append((lo, hi, rows))
+        with self._generation_lease(qualified_name) as (path, files):
+            cached = self._load_span_stats(path)
+            for full in files:
+                rec = cached.get(os.path.basename(full))
+                if rec is not None and rec[3]:
+                    # manifest entry, trustworthy min/max: no footer open
+                    lo, hi, rows = rec[0], rec[1], rec[2]
+                else:
+                    # shared footer-range walk (byte-aware truncation
+                    # guard + exact single-file fallback) —
+                    # see _file_key_range
+                    lo, hi, rows = self._file_key_range(full)
+                if rows == 0:
+                    continue
+                stats.append((lo, hi, rows))
         # sort on the NATIVE stat values (numeric keys order
         # numerically), then render as strings for the stable admin
         # schema
