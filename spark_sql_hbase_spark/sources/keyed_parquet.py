@@ -1822,14 +1822,17 @@ class KeyedTableStore:
                 # source generation's entries by name (identical content),
                 # fresh files read their own footer once, HERE, so no
                 # reader ever pays the O(files) footer walk again
-                self._write_span_manifest(
-                    os.path.join(root, new_gen),
-                    known=(
-                        self._load_span_stats(span_reuse_path)
-                        if span_reuse_path
-                        else None
-                    ),
-                )
+                try:
+                    self._write_span_manifest(
+                        os.path.join(root, new_gen),
+                        known=(
+                            self._load_span_stats(span_reuse_path)
+                            if span_reuse_path
+                            else None
+                        ),
+                    )
+                except Exception:
+                    pass  # cache only — never fail the commit over it
                 with self._table_write_lock(root):
                     try:
                         cur_now, _ = self._resolve_cur_prev(root)
@@ -3224,9 +3227,12 @@ class KeyedTableStore:
                 # carry the span manifest too (same files, same stats)
                 # so restore/clone stay zero-footer-read; uncovered
                 # files read their footer once, here, at snapshot time
-                self._write_span_manifest(
-                    sdir, known=self._load_span_stats(src)
-                )
+                try:
+                    self._write_span_manifest(
+                        sdir, known=self._load_span_stats(src)
+                    )
+                except Exception:
+                    pass  # cache only — the capture stands without it
         except BaseException:
             # never leave a half-captured snapshot listed/restorable
             shutil.rmtree(sdir, ignore_errors=True)
@@ -3317,7 +3323,12 @@ class KeyedTableStore:
                     os.path.join(sdir, fname), os.path.join(path, fname)
                 )
         # clone inherits the snapshot's span manifest (same files)
-        self._write_span_manifest(path, known=self._load_span_stats(sdir))
+        try:
+            self._write_span_manifest(
+                path, known=self._load_span_stats(sdir)
+            )
+        except Exception:
+            pass  # cache only — the clone stands without it
         self.refresh(new_qualified_name)
 
     # -- session-catalog integration (A8) ---------------------------------
