@@ -217,6 +217,7 @@ class KeyedTableReader(DataSourceReader):
         files = _list_region_files(self.table_dir)
         if not self.key_bounds:
             return [RegionPartition(p) for p in files]
+        point_sets = self._point_sets()
         try:
             from spark_sql_hbase_spark.sources.keyed_parquet import (
                 KeyedTableStore,
@@ -235,6 +236,8 @@ class KeyedTableReader(DataSourceReader):
                 lo, hi = (rec[0], rec[1]) if rec[3] else (None, None)
             else:
                 md = pq.ParquetFile(path).metadata
+                if md.num_rows == 0:
+                    continue  # nothing to scan (matches the manifest path)
                 names = md.schema.names
                 key_idx = names.index(ROW_KEY) if ROW_KEY in names else None
                 lo = hi = None
@@ -251,8 +254,37 @@ class KeyedTableReader(DataSourceReader):
                     continue
             except TypeError:
                 pass  # incomparable types: keep the region (sound)
+            if point_sets and not self._bloom_survives(path, point_sets):
+                continue
             out.append(RegionPartition(path))
         return out
+
+    def _point_sets(self) -> list[list]:
+        """Value lists of the pushed ``EqualTo``/``In`` row-key filters
+        (ANDed across entries, ORed within one) — the probe shape the
+        store's Bloom sidecars answer."""
+        sets = []
+        for f in self.key_bounds:
+            if isinstance(f, EqualTo):
+                sets.append([f.value])
+            elif isinstance(f, In):
+                sets.append(list(f.value))
+        return sets
+
+    def _bloom_survives(self, path: str, point_sets: list[list]) -> bool:
+        """Per-file Bloom probe for point predicates — the planning
+        twin of the store's :meth:`KeyedTableStore.get` fast path
+        (HBase skips HFiles via their bloom block on Get).  Absent or
+        unreadable sidecars keep the region; only a definite
+        all-values-absent verdict prunes."""
+        try:
+            from spark_sql_hbase_spark.sources import bloom as B
+
+            return B.file_survives_point_sets(
+                self.table_dir, os.path.basename(path), point_sets
+            )
+        except Exception:
+            return True  # the sidecar is a cache — never fail planning
 
     # -- A1: the scan itself ----------------------------------------------
     def read(self, partition: RegionPartition):

@@ -40,6 +40,7 @@ from spark_sql_hbase_spark.catalog import (
     SchemaRegistry,
     TableSpec,
 )
+from spark_sql_hbase_spark.sources import bloom as _bloom
 
 DEFAULT_REGIONS = 4  # default range-partition count when no split keys given
 
@@ -844,8 +845,65 @@ class KeyedTableStore:
         list, as one ``isin`` predicate — pushed to the parquet scan
         (the A11 point-lookup path the pushdown matrix pins).  At scale
         a large key list should ride a broadcast semi-join instead;
-        this is the small-batch point-read convenience."""
-        return self.read(qualified_name).filter(F.col(ROW_KEY).isin(keys))
+        this is the small-batch point-read convenience.
+
+        On a table with ``bloomfilter ROW`` sidecars (see
+        :meth:`build_bloom_filters`), the scan is planned over ONLY the
+        files that pass span pruning AND whose per-file row-key Bloom
+        filter may contain one of the keys — the HBase ``Get``-skips-
+        HFiles-via-bloom-block fast path.  A file without a sidecar
+        stays a candidate; any probe failure degrades to the plain
+        full-table ``isin`` scan (the filter is a cache, never a
+        correctness dependency)."""
+        keys = list(keys)
+        cond = F.col(ROW_KEY).isin(keys)
+        spec = self.registry.get(qualified_name)
+        path = self.table_path(spec)
+        if keys and os.path.isdir(os.path.join(path, _bloom.BLOOM_DIR)):
+            try:
+                cands = self._bloom_point_candidates(path, keys)
+            except Exception:
+                cands = None  # probe failure: fall back to the full scan
+            if cands is not None:
+                if not cands:
+                    return self.spark.createDataFrame([], spec.schema())
+                return (
+                    self.spark.read.schema(spec.schema())
+                    .parquet(*[os.path.join(path, f) for f in cands])
+                    .filter(cond)
+                )
+        return self.read(qualified_name).filter(cond)
+
+    def _bloom_point_candidates(self, path: str, keys: list) -> list[str]:
+        """Files of generation ``path`` that may hold any of ``keys``:
+        span pruning first (sorted layout), then each surviving file's
+        Bloom sidecar probed with ONLY the keys inside its span (fewer
+        probes, and a key outside the span can't turn the file into a
+        false positive).  Missing/malformed sidecars and incomparable
+        key types keep the file — over-inclusion is the sound
+        direction."""
+        stats: dict = {}
+        try:
+            lo, hi = min(keys), max(keys)
+        except TypeError:
+            lo = hi = None
+        files = self._span_candidates(path, lo, hi, stats=stats)
+        out = []
+        for fname in files:
+            f_lo, f_hi, _rows, exact = stats.get(
+                fname, (None, None, None, False)
+            )
+            in_span = keys
+            if exact and f_lo is not None and f_hi is not None:
+                try:
+                    in_span = [v for v in keys if f_lo <= v <= f_hi]
+                except TypeError:
+                    in_span = keys
+                if not in_span:
+                    continue
+            if _bloom.file_survives_point_sets(path, fname, [in_span]):
+                out.append(fname)
+        return out
 
     def refresh(self, qualified_name: str) -> None:
         """Invalidate cached file listings/metadata (reference:
@@ -964,6 +1022,21 @@ class KeyedTableStore:
                             )
                         except Exception:
                             continue  # cache construction never fails a write
+                    if self._bloom_enabled(spec):
+                        # Bloom sidecars for the appended parts, built
+                        # OUTSIDE the lock against the staging inodes
+                        # (the link-in below carries them by name)
+                        try:
+                            self._build_bloom_files(
+                                spec,
+                                tmp,
+                                parts,
+                                rows_by_file={
+                                    f: s[2] for f, s in part_stats.items()
+                                },
+                            )
+                        except Exception:
+                            pass  # cache only — never fail the append
                     with self._table_write_lock(root):
                         path_now = self.table_path(spec)
                         for fname in parts:
@@ -978,6 +1051,10 @@ class KeyedTableStore:
                         # back to live footer reads)
                         self._write_span_sidecar(path_now, part_stats)
                         self._maybe_merge_span_sidecars(path_now)
+                        try:
+                            self._carry_bloom_sidecars(tmp, path_now, parts)
+                        except Exception:
+                            pass  # cache only
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
             self.refresh(qualified_name)
@@ -1833,6 +1910,19 @@ class KeyedTableStore:
                     )
                 except Exception:
                     pass  # cache only — never fail the commit over it
+                try:
+                    # Bloom sidecars ride the same staging window:
+                    # carried files hardlink their sidecar from the
+                    # source generation, rewritten/new files build
+                    # theirs in one distributed pass (no-op unless the
+                    # table sets bloomfilter=ROW)
+                    self._write_bloom_filters(
+                        spec,
+                        os.path.join(root, new_gen),
+                        reuse_path=span_reuse_path,
+                    )
+                except Exception:
+                    pass  # cache only — never fail the commit over it
                 with self._table_write_lock(root):
                     try:
                         cur_now, _ = self._resolve_cur_prev(root)
@@ -2266,6 +2356,221 @@ class KeyedTableStore:
                 pass  # incomparable bound/stat types: keep as candidate
             out.append(fname)
         return out
+
+    # -- per-file row-key Bloom filters (HBase BLOOMFILTER => 'ROW') ------
+    #
+    # Span pruning alone degrades on long-lived tables: every appended
+    # sorted run covers the whole key space, so a point get's span
+    # candidates grow with run count — exactly the HFile-count problem
+    # HBase's per-HFile bloom blocks exist for.  With `bloomfilter ROW`
+    # set (a table property, like HBase's CF attribute), every write
+    # path leaves a `_bloom/<file>.bf` sidecar per data file; point
+    # reads prune span survivors through them.  Design + format + the
+    # soundness contract live in sources/bloom.py.
+
+    def _bloom_enabled(self, spec: TableSpec) -> bool:
+        return (
+            spec.properties.get("bloomfilter", "NONE").strip().upper()
+            == "ROW"
+            and _bloom.supports_key_type(spec.key_type)
+        )
+
+    @staticmethod
+    def _bloom_fpp(spec: TableSpec) -> float:
+        try:
+            return float(spec.properties["bloomfilter.fpp"])
+        except (KeyError, TypeError, ValueError):
+            return _bloom.DEFAULT_FPP
+
+    def build_bloom_filters(self, qualified_name: str) -> int:
+        """Backfill Bloom sidecars for the CURRENT generation's files
+        that lack one — the catch-up path after ``ALTER TABLE ... SET
+        TBLPROPERTIES ('bloomfilter'='ROW')`` on a table that already
+        holds data (new writes maintain sidecars themselves).  Runs
+        under a generation lease so concurrent DML churn can neither
+        sweep the generation mid-build nor change the file list under
+        it.  Returns the number of filters built.  Idempotent; a
+        concurrent rewrite simply orphans the retired generation's
+        sidecars with the generation itself."""
+        spec = self.registry.get(qualified_name)
+        if not self._bloom_enabled(spec):
+            raise ValueError(
+                f"{qualified_name}: bloom filters need the table property "
+                "bloomfilter=ROW and a string/integral/binary key type "
+                f"(key_type={spec.key_type!r})"
+            )
+        with self._generation_lease(qualified_name) as (src, files):
+            need = [
+                os.path.basename(full)
+                for full in files
+                if not os.path.exists(
+                    _bloom.sidecar_path(src, os.path.basename(full))
+                )
+            ]
+            if not need:
+                return 0
+            # zero-row files build no filter (nothing to probe; span
+            # pruning drops them outright), so count what was BUILT
+            return len(self._build_bloom_files(spec, src, need))
+
+    def _carry_bloom_sidecars(
+        self, src_path: str, dst_path: str, files: list[str]
+    ) -> None:
+        """Hardlink the Bloom sidecars of ``files`` from ``src_path``
+        into ``dst_path`` (append link-in, snapshot capture) — files
+        without one are simply uncovered (candidates on probe)."""
+        for fname in files:
+            src = _bloom.sidecar_path(src_path, fname)
+            dst = _bloom.sidecar_path(dst_path, fname)
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                self._link_or_copy(src, dst)
+
+    def _write_bloom_filters(
+        self,
+        spec: TableSpec,
+        gen_path: str,
+        reuse_path: str | None = None,
+        rows_by_file: dict | None = None,
+    ) -> None:
+        """Ensure every data file of ``gen_path`` has a Bloom sidecar
+        (no-op unless the table enables them): hardlink-carry sidecars
+        from ``reuse_path`` by name — valid for carried files exactly
+        like span-manifest entries (same name ⇒ identical content) —
+        and build the rest distributively.  Called on PRIVATE staging
+        before the generation flip, so no lock is needed."""
+        if not self._bloom_enabled(spec):
+            return
+        files = self._data_files(gen_path)
+        if not files:
+            return
+        src_dir = (
+            os.path.join(reuse_path, _bloom.BLOOM_DIR) if reuse_path else None
+        )
+        need = []
+        for fname in files:
+            dst = _bloom.sidecar_path(gen_path, fname)
+            if os.path.exists(dst):
+                continue
+            src = os.path.join(src_dir, fname + ".bf") if src_dir else None
+            if src and os.path.exists(src):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                self._link_or_copy(src, dst)
+            else:
+                need.append(fname)
+        if need:
+            self._build_bloom_files(spec, gen_path, need, rows_by_file)
+
+    def _build_bloom_files(
+        self,
+        spec: TableSpec,
+        gen_path: str,
+        files: list[str],
+        rows_by_file: dict | None = None,
+    ) -> list[str]:
+        """Distributed Bloom-sidecar build over exactly ``files``;
+        returns the subset a filter was built for (zero-row and
+        unreadable files are skipped).
+
+        Two stages, neither of which ever moves keys to the driver or
+        shuffles them: ``mapInPandas`` folds each input partition into
+        per-file PARTIAL bitmaps (row-local, Arrow-batched; parquet
+        splits never span files, so a partition contributes to one
+        file's bitmap), then ``groupBy(file)`` ORs the partials and the
+        aggregating TASK writes the sidecar — the shuffle carries
+        bitmaps (input-partitions × m/8 bytes), the driver collects one
+        count row per file.  Bitmap sizing comes from the span
+        manifest's per-file row counts (footer fallback), so the build
+        reads each file's DATA once and its metadata not at all."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+
+        fpp = self._bloom_fpp(spec)
+        rows_known = dict(rows_by_file or {})
+        spans = None
+        params: dict[str, tuple[int, int]] = {}
+        for fname in files:
+            rows = rows_known.get(fname)
+            if rows is None:
+                if spans is None:
+                    spans = self._load_span_stats(gen_path)
+                rec = spans.get(fname)
+                rows = rec[2] if rec is not None else None
+            if rows is None:
+                try:
+                    rows = pq.read_metadata(
+                        os.path.join(gen_path, fname)
+                    ).num_rows
+                except Exception:
+                    continue  # unreadable: no sidecar, file stays a candidate
+            if rows <= 0:
+                continue
+            params[fname] = _bloom.params_for(rows, fpp)
+        if not params:
+            return []
+
+        key_field = next(
+            f for f in spec.schema().fields if f.name == ROW_KEY
+        )
+        src = (
+            self.spark.read.schema(T.StructType([key_field]))
+            .parquet(*[os.path.join(gen_path, f) for f in params])
+            .select(F.input_file_name().alias("_f"), F.col(ROW_KEY).alias("_k"))
+        )
+        B = _bloom
+        target = gen_path
+
+        def _partials(batches):
+            from urllib.parse import unquote
+
+            import pandas as pd
+
+            acc: dict[str, bytearray] = {}
+            for pdf in batches:
+                bases = pdf["_f"].map(
+                    lambda u: unquote(u.rsplit("/", 1)[-1])
+                )
+                for base, grp in pdf.groupby(bases):
+                    mk = params.get(base)
+                    if mk is None:
+                        continue
+                    m, k = mk
+                    arr = acc.get(base)
+                    if arr is None:
+                        arr = acc[base] = bytearray((m + 7) >> 3)
+                    for v in grp["_k"]:
+                        data = B.encode_key(v)
+                        if data is not None:
+                            B.set_key(arr, data, m, k)
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "file": list(acc),
+                        "bits": [bytes(a) for a in acc.values()],
+                    }
+                )
+
+        def _finish(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            base = key[0]
+            m, k = params[base]
+            agg = np.zeros((m + 7) >> 3, dtype=np.uint8)
+            for blob in pdf["bits"]:
+                part = np.frombuffer(blob, dtype=np.uint8)
+                if part.shape == agg.shape:
+                    agg |= part
+            B.write_sidecar(target, base, m, k, agg.tobytes())
+            return pd.DataFrame({"file": [base], "partials": [len(pdf)]})
+
+        (
+            src.mapInPandas(_partials, "file string, bits binary")
+            .groupBy("file")
+            .applyInPandas(_finish, "file string, partials int")
+            .collect()  # one tiny row per file — drives the job
+        )
+        return list(params)
 
     def _rowkey_interval(self, condition: str) -> tuple | None:
         """Conservative row_key interval ``[lo, hi]`` implied by a SQL
@@ -3233,6 +3538,14 @@ class KeyedTableStore:
                     )
                 except Exception:
                     pass  # cache only — the capture stands without it
+                # carry Bloom sidecars too (same immutable files), so a
+                # restore/clone keeps point-get pruning without a rebuild
+                try:
+                    self._carry_bloom_sidecars(
+                        src, sdir, [os.path.basename(f) for f in files]
+                    )
+                except Exception:
+                    pass  # cache only
         except BaseException:
             # never leave a half-captured snapshot listed/restorable
             shutil.rmtree(sdir, ignore_errors=True)
@@ -3245,6 +3558,7 @@ class KeyedTableStore:
                     "families": spec.families,
                     "generator": spec.generator,
                     "split_keys": list(spec.split_keys),
+                    "properties": dict(spec.properties),
                 },
                 f,
             )
@@ -3310,6 +3624,7 @@ class KeyedTableStore:
             families=saved["families"],
             generator=saved.get("generator"),
             split_keys=list(saved.get("split_keys") or []),
+            properties=dict(saved.get("properties") or {}),
         )
         self.create_table(spec)
         path = self.table_path(spec)
@@ -3329,6 +3644,12 @@ class KeyedTableStore:
             )
         except Exception:
             pass  # cache only — the clone stands without it
+        # ... and its Bloom sidecars (carry by name; build any the
+        # snapshot predates, since the clone enables the property)
+        try:
+            self._write_bloom_filters(spec, path, reuse_path=sdir)
+        except Exception:
+            pass  # cache only
         self.refresh(new_qualified_name)
 
     # -- session-catalog integration (A8) ---------------------------------

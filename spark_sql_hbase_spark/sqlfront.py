@@ -308,6 +308,14 @@ def _spec_from_columns(
         families=families,
         generator=options.get("generator"),
         split_keys=split_keys,
+        # every other OPTIONS pair is a table property (e.g. the HBase
+        # CF attribute `bloomfilter 'ROW'`) — same bag TBLPROPERTIES
+        # updates land in
+        properties={
+            k: v
+            for k, v in options.items()
+            if k not in ("generator", "split_keys")
+        },
     )
 
 

@@ -1,0 +1,390 @@
+"""Per-file row-key Bloom filters (HBase ``BLOOMFILTER => 'ROW'``).
+
+The HBase semantics rebuilt here: with the attribute set, every store
+file carries a Bloom filter over its row keys, and a point ``Get``
+skips files whose key span covers the key but whose filter proves it
+absent.  In the keyed store that is a ``_bloom/<file>.bf`` sidecar per
+generation data file, maintained by every write path (swap rewrites,
+appends, snapshots/clones) and probed by :meth:`KeyedTableStore.get`
+and the ``keyedtable`` DataSource's planning.  The contract under
+test:
+
+- no false negatives, ever (every stored key probes positive);
+- pruning actually happens (a span-overlapping file that does not
+  hold the key is NOT scanned — pinned via ``inputFiles``);
+- the sidecars are a cache: deleting them changes plans, never rows;
+- sidecars follow the file through carries (selective DML, append
+  link-in, snapshot → restore/clone) without a rebuild.
+"""
+
+import os
+import shutil
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.catalog import TableSpec
+from spark_sql_hbase_spark.sources import bloom
+from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("bloom_wh"))
+    return KeyedTableStore(spark, wh)
+
+
+def _make_table(store, name, n=200, key_type="string", props=None):
+    spec = TableSpec(
+        namespace="bl",
+        name=name,
+        key_type=key_type,
+        families={"cf": {"v": "int"}},
+        properties=dict(
+            props if props is not None else {"bloomfilter": "ROW"}
+        ),
+    )
+    store.create_table(spec)
+    spark = store.spark
+    if key_type == "string":
+        key = F.format_string("k%04d", F.col("id").cast("int"))
+    else:
+        key = F.col("id").cast(key_type)
+    df = spark.range(n).select(
+        key.alias("row_key"), (F.col("id") * 7).cast("int").alias("cf:v")
+    )
+    store.insert(f"bl.{name}", df, generate_row_key=False)
+    return spec
+
+
+def _sidecars(store, qualified):
+    path = store.table_path(store.registry.get(qualified))
+    bdir = os.path.join(path, bloom.BLOOM_DIR)
+    return sorted(f for f in os.listdir(bdir)) if os.path.isdir(bdir) else []
+
+
+def _expected_sidecars(store, path):
+    """Every NON-EMPTY data file gets a sidecar (zero-row files carry
+    no filter and are span-pruned outright anyway)."""
+    import pyarrow.parquet as pq
+
+    stats = store._load_span_stats(path)
+    out = []
+    for f in store._data_files(path):
+        rec = stats.get(f)
+        rows = (
+            rec[2]
+            if rec is not None
+            else pq.read_metadata(os.path.join(path, f)).num_rows
+        )
+        if rows > 0:
+            out.append(f + ".bf")
+    return sorted(out)
+
+
+# -- pure filter properties ----------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    keys=st.lists(
+        st.one_of(st.text(max_size=24), st.integers(), st.binary(max_size=24)),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_bloom_never_false_negative(keys):
+    m, k = bloom.params_for(len(keys))
+    bits = bytearray((m + 7) >> 3)
+    encoded = [bloom.encode_key(v) for v in keys]
+    for e in encoded:
+        assert e is not None
+        bloom.set_key(bits, e, m, k)
+    for e in encoded:
+        assert bloom.maybe_contains(bytes(bits), m, k, e)
+    # pack/unpack round-trips the exact filter
+    m2, k2, bm2 = bloom.unpack(bloom.pack(m, k, bytes(bits)))
+    assert (m2, k2, bm2) == (m, k, bytes(bits))
+
+
+def test_bloom_fpp_roughly_holds():
+    """~1% false positives at the sized load (generous 5% ceiling —
+    this guards against a broken hash, not the exact constant)."""
+    n = 5000
+    m, k = bloom.params_for(n, 0.01)
+    bits = bytearray((m + 7) >> 3)
+    for i in range(n):
+        bloom.set_key(bits, b"in-%d" % i, m, k)
+    fp = sum(
+        bloom.maybe_contains(bytes(bits), m, k, b"out-%d" % i)
+        for i in range(n)
+    )
+    assert fp / n < 0.05
+
+
+def test_unpack_rejects_malformed():
+    assert bloom.unpack(b"") is None
+    assert bloom.unpack(b"nope" + b"\0" * 16) is None
+    m, k = bloom.params_for(10)
+    blob = bloom.pack(m, k, bytes((m + 7) >> 3))
+    assert bloom.unpack(blob[:-1]) is None  # truncated bitmap
+
+
+# -- store integration ----------------------------------------------------
+
+
+def test_insert_builds_sidecars_and_get_prunes(store):
+    _make_table(store, "t1", n=200)
+    path = store.table_path(store.registry.get("bl.t1"))
+    files = store._data_files(path)
+    assert _sidecars(store, "bl.t1") == _expected_sidecars(store, path)
+    assert _sidecars(store, "bl.t1")
+
+    # every present key is found (no false negative through the stack)
+    got = store.get("bl.t1", ["k0007", "k0123"]).collect()
+    assert sorted(r["row_key"] for r in got) == ["k0007", "k0123"]
+    assert {r["cf:v"] for r in got} == {49, 861}
+
+    # a point get plans a SUBSET of the files (bloom + span pruning);
+    # an absent key inside the global span plans NO files at all
+    df = store.get("bl.t1", ["k0007"])
+    assert 0 < len(df.inputFiles()) < len(files)
+    assert store.get("bl.t1", ["k0123x"]).collect() == []
+
+
+def test_bloom_beats_span_pruning_on_overlapping_runs(store):
+    """The HBase motivation: appended runs overlap the whole key
+    space, so span pruning keeps them all — the bloom filter is what
+    rules the append OUT for keys it does not contain."""
+    _make_table(store, "t2", n=100)
+    spark = store.spark
+    # sparse append interleaving the whole key space: its range-split
+    # part files straddle existing keys (k0050 falls inside one part's
+    # span) without containing them — the HFile-overlap shape
+    extra = spark.createDataFrame(
+        [(f"k{i:04d}x", i) for i in range(5, 100, 10)],
+        "row_key string, `cf:v` int",
+    )
+    store.insert("bl.t2", extra, generate_row_key=False)
+    path = store.table_path(store.registry.get("bl.t2"))
+    assert _sidecars(store, "bl.t2") == _expected_sidecars(store, path)
+
+    # pick an appended multi-key file and probe a key INSIDE its span
+    # that no file contains (first key + "0" sorts between the file's
+    # first and second keys) — span pruning must keep the file, the
+    # bloom must rule it out
+    stats = store._load_span_stats(path)
+    target = next(
+        f
+        for f, (lo, hi, rows, exact) in sorted(stats.items())
+        if rows >= 2 and isinstance(lo, str) and lo.endswith("x")
+    )
+    probe = stats[target][0] + "0"
+    span_only = set(store._span_candidates(path, probe, probe))
+    assert target in span_only
+    df = store.get("bl.t2", [probe])
+    planned = {os.path.basename(p) for p in df.inputFiles()}
+    assert target not in planned
+    assert planned < span_only  # strictly fewer files than span pruning
+    assert df.collect() == []
+    # present keys are still found through the pruned plan
+    assert store.get("bl.t2", ["k0050"]).collect()[0]["cf:v"] == 350
+    assert store.get("bl.t2", ["k0095x"]).collect()[0]["cf:v"] == 95
+
+
+def test_sidecars_are_cache_only(store):
+    _make_table(store, "t3", n=120)
+    expect = sorted(
+        r["row_key"] for r in store.get("bl.t3", ["k0001", "k0077"]).collect()
+    )
+    path = store.table_path(store.registry.get("bl.t3"))
+    shutil.rmtree(os.path.join(path, bloom.BLOOM_DIR))
+    got = sorted(
+        r["row_key"] for r in store.get("bl.t3", ["k0001", "k0077"]).collect()
+    )
+    assert got == expect == ["k0001", "k0077"]
+
+
+def test_selective_dml_carries_sidecars_without_rebuild(store, monkeypatch):
+    """A selective DELETE rewrites one region; every carried file's
+    sidecar must ride the hardlink, and only rewritten files rebuild —
+    pinned by forbidding the builder from touching carried names."""
+    _make_table(store, "t4", n=400)
+    path0 = store.table_path(store.registry.get("bl.t4"))
+    files0 = store._data_files(path0)
+    inode0 = {
+        bf: os.stat(os.path.join(path0, bloom.BLOOM_DIR, bf)).st_ino
+        for bf in _sidecars(store, "bl.t4")
+    }
+    assert inode0
+    n = store.delete_where("bl.t4", "row_key = 'k0001'")
+    assert n == 1
+    path1 = store.table_path(store.registry.get("bl.t4"))
+    files1 = store._data_files(path1)
+    carried = [f for f in files1 if f in files0 and f + ".bf" in inode0]
+    assert carried  # the delete was selective
+    for f in carried:
+        assert (
+            os.stat(
+                os.path.join(path1, bloom.BLOOM_DIR, f + ".bf")
+            ).st_ino
+            == inode0[f + ".bf"]
+        )
+    assert _sidecars(store, "bl.t4") == _expected_sidecars(store, path1)
+    # deleted key now plans zero files; neighbors still found
+    assert store.get("bl.t4", ["k0001"]).collect() == []
+    assert store.get("bl.t4", ["k0002"]).count() == 1
+
+
+def test_backfill_after_alter_tblproperties(store):
+    """Enable blooms on a table that already has data: ALTER sets the
+    property, build_bloom_filters backfills exactly the uncovered
+    files, and get() starts pruning."""
+    _make_table(store, "t5", n=150, props={})
+    assert _sidecars(store, "bl.t5") == []
+    store.alter_table_set_properties("bl.t5", {"bloomfilter": "ROW"})
+    built = store.build_bloom_filters("bl.t5")
+    path = store.table_path(store.registry.get("bl.t5"))
+    files = store._data_files(path)
+    assert built == len(_expected_sidecars(store, path))  # every non-empty file
+    assert store.build_bloom_filters("bl.t5") == 0  # idempotent
+    df = store.get("bl.t5", ["k0010"])
+    assert len(df.inputFiles()) < len(files)
+    assert df.collect()[0]["cf:v"] == 70
+
+
+def test_int_keyed_table_blooms(store):
+    _make_table(store, "t6", n=300, key_type="long")
+    path = store.table_path(store.registry.get("bl.t6"))
+    files = store._data_files(path)
+    assert _sidecars(store, "bl.t6") == _expected_sidecars(store, path)
+    df = store.get("bl.t6", [42])
+    assert 0 < len(df.inputFiles()) < len(files)
+    assert df.collect()[0]["cf:v"] == 294
+    assert store.get("bl.t6", [100000]).collect() == []
+
+
+def test_unsupported_key_type_disables_feature(store):
+    spec = TableSpec(
+        namespace="bl",
+        name="t7",
+        key_type="timestamp",
+        families={"cf": {"v": "int"}},
+        properties={"bloomfilter": "ROW"},
+    )
+    store.create_table(spec)
+    df = store.spark.sql(
+        "SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)"
+        " AS row_key, CAST(id AS int) AS `cf:v` FROM range(10)"
+    )
+    store.insert("bl.t7", df, generate_row_key=False)
+    assert _sidecars(store, "bl.t7") == []  # silently off, never wrong
+    with pytest.raises(ValueError):
+        store.build_bloom_filters("bl.t7")
+
+
+def test_snapshot_restore_and_clone_carry_sidecars(store):
+    _make_table(store, "t8", n=200)
+    path0 = store.table_path(store.registry.get("bl.t8"))
+    bf0 = _expected_sidecars(store, path0)
+    # inode per sidecar, captured BEFORE the source generation is
+    # retired (hardlinks keep the inode alive through snapshot/clone)
+    inode0 = {
+        bf: os.stat(os.path.join(path0, bloom.BLOOM_DIR, bf)).st_ino
+        for bf in bf0
+    }
+    store.snapshot("bl.t8", "t8_snap")
+    store.delete_where("bl.t8", "row_key >= 'k0000'")  # wipe
+    store.restore_snapshot("bl.t8", "t8_snap")
+    assert _sidecars(store, "bl.t8") == bf0
+    assert store.get("bl.t8", ["k0005"]).count() == 1
+
+    store.clone_snapshot("t8_snap", "bl.t8c")
+    clone_path = store.table_path(store.registry.get("bl.t8c"))
+    # clone inherits the property AND the sidecars (hardlinks, no rebuild)
+    assert store.registry.get("bl.t8c").properties["bloomfilter"] == "ROW"
+    for bf in _expected_sidecars(store, clone_path):
+        dst = os.stat(os.path.join(clone_path, bloom.BLOOM_DIR, bf))
+        assert dst.st_ino == inode0[bf]
+    df = store.get("bl.t8c", ["k0111"])
+    assert len(df.inputFiles()) < len(store._data_files(clone_path))
+    assert df.count() == 1
+    store.delete_snapshot("t8_snap")
+
+
+def test_datasource_planning_prunes_by_bloom(store, spark):
+    """The keyedtable DataSource's planning twin: an EqualTo/In on the
+    row key drops regions whose bloom rejects every value."""
+    from spark_sql_hbase_spark.sources.keyed_datasource import (
+        KeyedTableDataSource,
+        KeyedTableReader,
+    )
+
+    spark.dataSource.register(KeyedTableDataSource)
+    _make_table(store, "t9", n=200)
+    spec = store.registry.get("bl.t9")
+    path = store.table_path(spec)
+    files = store._data_files(path)
+
+    # sparse interleaved append: some appended file's span straddles a
+    # probe key it does not contain (same construction as the store
+    # test — deterministic via the span manifest)
+    extra = spark.createDataFrame(
+        [(f"k{i:04d}z", i) for i in range(5, 200, 10)],
+        "row_key string, `cf:v` int",
+    )
+    store.insert("bl.t9", extra, generate_row_key=False)
+    path = store.table_path(spec)
+    files = store._data_files(path)
+    stats = store._load_span_stats(path)
+    target = next(
+        f
+        for f, (lo, hi, rows, exact) in sorted(stats.items())
+        if rows >= 2 and isinstance(lo, str) and lo.endswith("z")
+    )
+    probe = stats[target][0] + "0"
+
+    from pyspark.sql.datasource import EqualTo, In
+
+    reader = KeyedTableReader(spec.schema(), path)
+    residual = list(reader.pushFilters([EqualTo(("row_key",), probe)]))
+    assert residual == []
+    planned = {os.path.basename(p.path) for p in reader.partitions()}
+    span_only = set(store._span_candidates(path, probe, probe))
+    assert target in span_only and target not in planned
+    assert planned < span_only
+
+    # In-filter: values across two runs plan a subset, rows still right
+    reader2 = KeyedTableReader(spec.schema(), path)
+    list(reader2.pushFilters([In(("row_key",), ("k0005z", "k0199"))]))
+    planned2 = {os.path.basename(p.path) for p in reader2.partitions()}
+    assert planned2 <= set(files)
+    got = (
+        spark.read.format("keyedtable")
+        .schema(spec.schema())
+        .option("path", path)
+        .load()
+        .filter(F.col("row_key").isin(["k0005z", "k0199"]))
+        .collect()
+    )
+    assert sorted(r["row_key"] for r in got) == ["k0005z", "k0199"]
+
+
+def test_sql_create_options_enable_blooms(store):
+    """CREATE TABLE ... OPTIONS(bloomfilter 'ROW') lands in the spec's
+    properties and the insert path maintains sidecars."""
+    from spark_sql_hbase_spark.sqlfront import KeyedSqlRouter
+
+    router = KeyedSqlRouter(store)
+    router.sql(
+        "CREATE TABLE bl.t10 (row_key string, `cf:v` int) "
+        "USING keyed OPTIONS(bloomfilter='ROW')"
+    )
+    assert store.registry.get("bl.t10").properties["bloomfilter"] == "ROW"
+    router.sql(
+        "INSERT INTO bl.t10 VALUES ('a', 1), ('b', 2), ('z', 26)"
+    )
+    assert _sidecars(store, "bl.t10")
+    assert store.get("bl.t10", ["b"]).collect()[0]["cf:v"] == 2
