@@ -141,11 +141,15 @@ def pack(m: int, k: int, bitmap: bytes) -> bytes:
 
 
 def unpack(blob: bytes) -> tuple[int, int, bytes] | None:
-    """``(m, k, bitmap)`` or ``None`` for anything malformed."""
+    """``(m, k, bitmap)`` or ``None`` for anything malformed.  The
+    ``k`` bound matters: the builder never writes k>16, and accepting a
+    bit-flipped header's k=2^31 would turn every probe into a
+    2-billion-position loop — a corrupt sidecar must degrade to
+    "candidate", never stall planning."""
     if len(blob) < _HEADER.size:
         return None
     magic, k, m = _HEADER.unpack_from(blob)
-    if magic != _MAGIC or k < 1 or m < 1:
+    if magic != _MAGIC or not (1 <= k <= 64) or m < 1:
         return None
     bitmap = blob[_HEADER.size :]
     if len(bitmap) != (m + 7) >> 3:
@@ -179,14 +183,42 @@ def load_sidecar(gen_path: str, fname: str) -> tuple[int, int, bytes] | None:
         return None
 
 
+def probe_type(key_type: str):
+    """The Python type a probe value must have to be checked against a
+    ``key_type``-keyed table's filters, or ``None`` when the key type
+    is unsupported.  Probe values of any OTHER type are never probed —
+    they count as maybe-present.  This matters for correctness, not
+    just precision: the build side hashes the column's NATIVE values,
+    while the execution-time ``isin``/``EqualTo`` coerces (Spark casts
+    ``"0042"`` against a long key to 42), so probing a mistyped value's
+    bytes would prune a file that the coerced predicate matches —
+    a false negative.  Same rule as the span pruning's
+    incomparable-types-never-prune."""
+    base = key_type.strip().lower().split("(")[0]
+    if base in ("string", "varchar", "char"):
+        return str
+    if base in (
+        "int", "integer", "long", "bigint", "short", "smallint",
+        "byte", "tinyint",
+    ):
+        return int
+    if base == "binary":
+        return (bytes, bytearray)
+    return None
+
+
 def file_survives_point_sets(
-    gen_path: str, fname: str, point_sets: list[list]
+    gen_path: str, fname: str, point_sets: list[list], key_type: str
 ) -> bool:
     """Bloom verdict for one file against ANDed point predicates: each
     ``point_sets`` entry is the value list of one ``EqualTo``/``In`` on
     the row key (ANDed together, values within a set ORed).  The file
     survives unless some predicate's EVERY value is provably absent.
-    No sidecar / unhashable value ⇒ survives (sound)."""
+    No sidecar / unhashable value / probe-vs-key type mismatch (see
+    :func:`probe_type`) ⇒ survives (sound)."""
+    want = probe_type(key_type)
+    if want is None:
+        return True
     rec = load_sidecar(gen_path, fname)
     if rec is None:
         return True
@@ -194,6 +226,9 @@ def file_survives_point_sets(
     for values in point_sets:
         hit = False
         for v in values:
+            if not isinstance(v, want) or isinstance(v, bool):
+                hit = True  # coercible/mistyped value: never prune on it
+                break
             data = encode_key(v)
             if data is None or maybe_contains(bitmap, m, k, data):
                 hit = True

@@ -254,7 +254,9 @@ class KeyedTableReader(DataSourceReader):
                     continue
             except TypeError:
                 pass  # incomparable types: keep the region (sound)
-            if point_sets and not self._bloom_survives(path, point_sets):
+            if point_sets and not self._bloom_survives(
+                path, point_sets, lo, hi
+            ):
                 continue
             out.append(RegionPartition(path))
         return out
@@ -271,17 +273,44 @@ class KeyedTableReader(DataSourceReader):
                 sets.append(list(f.value))
         return sets
 
-    def _bloom_survives(self, path: str, point_sets: list[list]) -> bool:
+    def _bloom_survives(
+        self, path: str, point_sets: list[list], lo, hi
+    ) -> bool:
         """Per-file Bloom probe for point predicates — the planning
         twin of the store's :meth:`KeyedTableStore.get` fast path
-        (HBase skips HFiles via their bloom block on Get).  Absent or
-        unreadable sidecars keep the region; only a definite
-        all-values-absent verdict prunes."""
+        (HBase skips HFiles via their bloom block on Get).  Same rules
+        as the store's ``_bloom_point_candidates``: only the values
+        inside the file's key span are probed (an out-of-span value
+        can't turn the file into a false positive), probe values Spark
+        would coerce to the key type are never probed (they count as
+        maybe-present — pruning on their raw bytes would be a false
+        negative), and absent/unreadable sidecars keep the region."""
         try:
             from spark_sql_hbase_spark.sources import bloom as B
 
+            key_type = next(
+                (
+                    f.dataType.simpleString()
+                    for f in self.schema.fields
+                    if f.name == ROW_KEY
+                ),
+                "",
+            )
+            sets = []
+            for values in point_sets:
+                in_span = values
+                if lo is not None and hi is not None:
+                    try:
+                        in_span = [v for v in values if lo <= v <= hi]
+                    except TypeError:
+                        in_span = values
+                if not in_span:
+                    # no value of this ANDed predicate can be in the
+                    # file at all (already what _region_survives proves)
+                    return False
+                sets.append(in_span)
             return B.file_survives_point_sets(
-                self.table_dir, os.path.basename(path), point_sets
+                self.table_dir, os.path.basename(path), sets, key_type
             )
         except Exception:
             return True  # the sidecar is a cache — never fail planning

@@ -861,7 +861,7 @@ class KeyedTableStore:
         path = self.table_path(spec)
         if keys and os.path.isdir(os.path.join(path, _bloom.BLOOM_DIR)):
             try:
-                cands = self._bloom_point_candidates(path, keys)
+                cands = self._bloom_point_candidates(spec, path, keys)
             except Exception:
                 cands = None  # probe failure: fall back to the full scan
             if cands is not None:
@@ -874,14 +874,17 @@ class KeyedTableStore:
                 )
         return self.read(qualified_name).filter(cond)
 
-    def _bloom_point_candidates(self, path: str, keys: list) -> list[str]:
+    def _bloom_point_candidates(
+        self, spec: TableSpec, path: str, keys: list
+    ) -> list[str]:
         """Files of generation ``path`` that may hold any of ``keys``:
         span pruning first (sorted layout), then each surviving file's
         Bloom sidecar probed with ONLY the keys inside its span (fewer
         probes, and a key outside the span can't turn the file into a
-        false positive).  Missing/malformed sidecars and incomparable
-        key types keep the file — over-inclusion is the sound
-        direction."""
+        false positive).  Missing/malformed sidecars, incomparable
+        key types, and probe values Spark would COERCE to the key type
+        (``bloom.probe_type``) keep the file — over-inclusion is the
+        sound direction."""
         stats: dict = {}
         try:
             lo, hi = min(keys), max(keys)
@@ -901,7 +904,9 @@ class KeyedTableStore:
                     in_span = keys
                 if not in_span:
                     continue
-            if _bloom.file_survives_point_sets(path, fname, [in_span]):
+            if _bloom.file_survives_point_sets(
+                path, fname, [in_span], spec.key_type
+            ):
                 out.append(fname)
         return out
 
@@ -2368,18 +2373,29 @@ class KeyedTableStore:
     # reads prune span survivors through them.  Design + format + the
     # soundness contract live in sources/bloom.py.
 
+    @staticmethod
+    def _table_prop(spec: TableSpec, name: str) -> str | None:
+        """Case-insensitive table-property lookup — HBase attributes
+        are conventionally UPPERCASE (``BLOOMFILTER => 'ROW'``) and a
+        silently ignored ``OPTIONS(BLOOMFILTER='ROW')`` would be a
+        trap."""
+        for k, v in spec.properties.items():
+            if k.lower() == name:
+                return v
+        return None
+
     def _bloom_enabled(self, spec: TableSpec) -> bool:
+        prop = self._table_prop(spec, "bloomfilter") or "NONE"
         return (
-            spec.properties.get("bloomfilter", "NONE").strip().upper()
-            == "ROW"
+            prop.strip().upper() == "ROW"
             and _bloom.supports_key_type(spec.key_type)
         )
 
-    @staticmethod
-    def _bloom_fpp(spec: TableSpec) -> float:
+    @classmethod
+    def _bloom_fpp(cls, spec: TableSpec) -> float:
         try:
-            return float(spec.properties["bloomfilter.fpp"])
-        except (KeyError, TypeError, ValueError):
+            return float(cls._table_prop(spec, "bloomfilter.fpp"))
+        except (TypeError, ValueError):
             return _bloom.DEFAULT_FPP
 
     def build_bloom_filters(self, qualified_name: str) -> int:
@@ -2431,7 +2447,6 @@ class KeyedTableStore:
         spec: TableSpec,
         gen_path: str,
         reuse_path: str | None = None,
-        rows_by_file: dict | None = None,
     ) -> None:
         """Ensure every data file of ``gen_path`` has a Bloom sidecar
         (no-op unless the table enables them): hardlink-carry sidecars
@@ -2444,22 +2459,15 @@ class KeyedTableStore:
         files = self._data_files(gen_path)
         if not files:
             return
-        src_dir = (
-            os.path.join(reuse_path, _bloom.BLOOM_DIR) if reuse_path else None
-        )
-        need = []
-        for fname in files:
-            dst = _bloom.sidecar_path(gen_path, fname)
-            if os.path.exists(dst):
-                continue
-            src = os.path.join(src_dir, fname + ".bf") if src_dir else None
-            if src and os.path.exists(src):
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                self._link_or_copy(src, dst)
-            else:
-                need.append(fname)
+        if reuse_path:
+            self._carry_bloom_sidecars(reuse_path, gen_path, files)
+        need = [
+            f
+            for f in files
+            if not os.path.exists(_bloom.sidecar_path(gen_path, f))
+        ]
         if need:
-            self._build_bloom_files(spec, gen_path, need, rows_by_file)
+            self._build_bloom_files(spec, gen_path, need)
 
     def _build_bloom_files(
         self,

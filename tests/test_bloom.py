@@ -388,3 +388,48 @@ def test_sql_create_options_enable_blooms(store):
     )
     assert _sidecars(store, "bl.t10")
     assert store.get("bl.t10", ["b"]).collect()[0]["cf:v"] == 2
+
+
+# -- review regressions ----------------------------------------------------
+
+
+def test_coerced_probe_key_is_never_pruned(store):
+    """Spark's isin COERCES ("0042" matches long 42); the bloom probe
+    hashes raw bytes, so a mistyped probe value must count as
+    maybe-present rather than prune the file — with sidecars present,
+    get() must return exactly what the coerced fallback scan returns."""
+    _make_table(store, "t11", n=100, key_type="long")
+    with_bloom = store.get("bl.t11", ["0042"]).collect()
+    path = store.table_path(store.registry.get("bl.t11"))
+    shutil.rmtree(os.path.join(path, bloom.BLOOM_DIR))
+    without = store.get("bl.t11", ["0042"]).collect()
+    assert with_bloom == without
+    assert [r["cf:v"] for r in with_bloom] == [294]
+
+
+def test_unpack_rejects_absurd_hash_count(store):
+    """A bit-flipped header claiming k=2^31 must read as malformed
+    (candidate), not loop 2 billion positions per probe."""
+    import struct
+
+    m = 1024
+    blob = struct.pack("<4sIQ", b"KBF1", 1 << 31, m) + bytes(m >> 3)
+    assert bloom.unpack(blob) is None
+    # ... and a corrupted on-disk sidecar degrades to a full candidate
+    _make_table(store, "t12", n=50)
+    path = store.table_path(store.registry.get("bl.t12"))
+    for bf in _sidecars(store, "bl.t12"):
+        with open(os.path.join(path, bloom.BLOOM_DIR, bf), "wb") as fh:
+            fh.write(blob)
+    assert store.get("bl.t12", ["k0011"]).collect()[0]["cf:v"] == 77
+
+
+def test_uppercase_property_key_enables_blooms(store):
+    """HBase spells the attribute BLOOMFILTER; the property lookup is
+    case-insensitive so the conventional spelling works."""
+    _make_table(store, "t13", n=60, props={"BLOOMFILTER": "ROW"})
+    assert _sidecars(store, "bl.t13")
+    df = store.get("bl.t13", ["k0030"])
+    path = store.table_path(store.registry.get("bl.t13"))
+    assert len(df.inputFiles()) < len(store._data_files(path))
+    assert df.collect()[0]["cf:v"] == 210
