@@ -1592,8 +1592,7 @@ class KeyedTableStore:
         # uniqueness contract) — the read-side half of the keyed sink's
         # batch-id marker protection
         df = (
-            self.read(qualified_name)
-            .filter(F.col(f"`{version_col}`") <= F.lit(asof))
+            self._versions_visible(qualified_name, version_col, asof)
             .dropDuplicates([ROW_KEY, version_col])
         )
         latest = df.groupBy(ROW_KEY).agg(
@@ -1604,6 +1603,75 @@ class KeyedTableStore:
             (df[ROW_KEY] == latest[ROW_KEY])
             & (df[f"`{version_col}`"] == latest["__v"]),
         ).select(df["*"])
+
+    def _versions_visible(
+        self, qualified_name: str, version_col: str, asof
+    ) -> DataFrame:
+        """Rows visible to a versioned read at ``asof``: version ≤ asof,
+        MINUS cells the table's declared ``ttl`` property has expired —
+        HBase's TTL attribute hides expired cells from reads IMMEDIATELY
+        (physical removal waits for compaction), and so does this.  TTL
+        is measured in the version column's own units relative to the
+        read point (HBase: seconds relative to now; ``asof`` IS the
+        read's "now"), which also keeps the read deterministic.  A
+        non-numeric asof with a declared TTL is refused loudly rather
+        than silently un-expiring cells."""
+        df = self.read(qualified_name).filter(
+            F.col(f"`{version_col}`") <= F.lit(asof)
+        )
+        spec = self.registry.get(qualified_name)
+        ttl = self._table_prop(spec, "ttl")
+        if ttl is not None:
+            try:
+                # float cut against an integer version column compares
+                # under Spark's numeric promotion — exactness of the
+                # boundary is the property author's contract
+                cut = asof - float(ttl)
+            except TypeError:
+                raise ValueError(
+                    f"{qualified_name}: the ttl table property needs a "
+                    f"numeric version column / asof (got {type(asof).__name__})"
+                )
+            df = df.filter(F.col(f"`{version_col}`") > F.lit(cut))
+        return df
+
+    def read_versions_topn(
+        self,
+        qualified_name: str,
+        version_col: str,
+        asof,
+        n: int | None = None,
+    ) -> DataFrame:
+        """HBase ``Get.readVersions(n)`` / ``VERSIONS => N`` read: the N
+        latest versions per row key with ``version <= asof`` (and inside
+        the declared TTL, if any).  ``n=None`` reads the table's
+        declared ``versions`` property (default: all — the reference's
+        scan calls ``scan.readAllVersions()``,
+        ``execution/HBaseTableScanExec.scala:112``, so all-versions is
+        the parity default).
+
+        Plan shape: ONE shuffle by row_key for the rank window (ordered
+        by version descending — deterministic under the (key, version)
+        uniqueness contract), no join, no global sort."""
+        from pyspark.sql import Window
+
+        spec = self.registry.get(qualified_name)
+        if n is None:
+            prop = self._table_prop(spec, "versions")
+            n = int(prop) if prop is not None else None
+        df = self._versions_visible(
+            qualified_name, version_col, asof
+        ).dropDuplicates([ROW_KEY, version_col])
+        if n is None:
+            return df
+        w = Window.partitionBy(ROW_KEY).orderBy(
+            F.col(f"`{version_col}`").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.lit(int(n)))
+            .drop("__rn")
+        )
 
     # -- Z-order keys (2-D locality layout, Morton interleave) ------------
     @staticmethod
@@ -1728,22 +1796,31 @@ class KeyedTableStore:
         version_col: str,
         min_version=None,
         n_regions: int | None = None,
+        keep_versions: int | None = None,
     ) -> None:
         """Major compaction with version garbage collection: rewrite the
-        table keeping only the LATEST version per row key (HBase
-        ``VERSIONS => 1``), optionally dropping rows below
+        table keeping only the ``keep_versions`` LATEST versions per row
+        key (HBase ``VERSIONS => N``; default 1, or the table's declared
+        ``versions`` property), optionally dropping rows below
         ``min_version`` first (TTL expiry — cells older than the cut are
-        gone even if they are the only version).  Reads before and after
-        are equivalent for any ``read_versions_asof`` at or above the
+        gone even if they are the only version; pass ``asof - ttl`` to
+        enforce a declared ``ttl`` property at compaction time, the
+        HBase major-compaction TTL sweep).  Reads before and after are
+        equivalent for any ``read_versions_asof`` at or above the
         surviving versions — compaction is semantically invisible, it
         only reclaims space and restores scan locality.
 
         Same cost class as :meth:`compact`: one latest-per-key reduction
-        (filter + max aggregate + equi-join, deterministic under the
-        (key, version) uniqueness contract) + one range-partitioned
-        key-sorted rewrite.
+        (filter + max aggregate + equi-join for N=1 — deterministic
+        under the (key, version) uniqueness contract; one rank window
+        for N>1) + one range-partitioned key-sorted rewrite.
         """
         spec = self.registry.get(qualified_name)
+        if keep_versions is None:
+            prop = self._table_prop(spec, "versions")
+            keep_versions = int(prop) if prop is not None else 1
+        if keep_versions < 1:
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
 
         def attempt() -> None:
             # CAS base + base-listing guard before the read — the same
@@ -1769,14 +1846,30 @@ class KeyedTableStore:
                 snap = snap.filter(
                     F.col(f"`{version_col}`") >= F.lit(min_version)
                 )
-            latest = snap.groupBy(ROW_KEY).agg(
-                F.max(f"`{version_col}`").alias("__v")
-            )
-            kept = snap.join(
-                latest,
-                (snap[ROW_KEY] == latest[ROW_KEY])
-                & (snap[f"`{version_col}`"] == latest["__v"]),
-            ).select(snap["*"])
+            if keep_versions == 1:
+                latest = snap.groupBy(ROW_KEY).agg(
+                    F.max(f"`{version_col}`").alias("__v")
+                )
+                kept = snap.join(
+                    latest,
+                    (snap[ROW_KEY] == latest[ROW_KEY])
+                    & (snap[f"`{version_col}`"] == latest["__v"]),
+                ).select(snap["*"])
+            else:
+                from pyspark.sql import Window
+
+                # dense_rank, not row_number: a replayed bit-identical
+                # row (two physical rows, one version) must not consume
+                # two of the N slots — same retention the N=1 max-join
+                # gives duplicates
+                w = Window.partitionBy(ROW_KEY).orderBy(
+                    F.col(f"`{version_col}`").desc()
+                )
+                kept = (
+                    snap.withColumn("__rn", F.dense_rank().over(w))
+                    .filter(F.col("__rn") <= F.lit(keep_versions))
+                    .drop("__rn")
+                )
             self._sorted_rewrite(
                 spec, kept, n_regions=n_regions, expected_base=base,
                 under_lock_check=no_appends,
