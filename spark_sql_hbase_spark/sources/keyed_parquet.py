@@ -2673,6 +2673,33 @@ class KeyedTableStore:
         )
         return list(params)
 
+    def _bloom_prune_point(
+        self, spec: TableSpec, path: str, files: list[str], span
+    ) -> list[str]:
+        """When a DML condition pins the row key to ONE point (the
+        provable interval degenerates to lo == hi — ``row_key = 'x'``
+        and friends), Bloom sidecars prune span-covering files that
+        provably lack the key: a point DELETE/UPDATE locates over ~1
+        file regardless of how many appended runs span the key space
+        (the same HBase bloom-on-Get fast path ``get()`` rides).  Sound
+        for the same reasons: a closed single-value interval means any
+        matching row has EXACTLY that key, mistyped/coercible bounds
+        are never probed, and absent sidecars keep the file."""
+        if span is None or span[0] is None or span[0] != span[1]:
+            return files
+        if not os.path.isdir(os.path.join(path, _bloom.BLOOM_DIR)):
+            return files
+        try:
+            return [
+                f
+                for f in files
+                if _bloom.file_survives_point_sets(
+                    path, f, [[span[0]]], spec.key_type
+                )
+            ]
+        except Exception:
+            return files  # the sidecar is a cache — never fail a locate
+
     def _rowkey_interval(self, condition: str) -> tuple | None:
         """Conservative row_key interval ``[lo, hi]`` implied by a SQL
         DML condition, or ``None`` when nothing is provable — the
@@ -3309,6 +3336,7 @@ class KeyedTableStore:
             # locates over the whole generation
             if span is not None:
                 files = self._span_candidates(path, span[0], span[1])
+                files = self._bloom_prune_point(spec, path, files, span)
             else:
                 files = self._data_files(path)
             affected = self._locate_affected_files(
@@ -3384,6 +3412,7 @@ class KeyedTableStore:
             path = self.table_path(spec)
             if span is not None:
                 files = self._span_candidates(path, span[0], span[1])
+                files = self._bloom_prune_point(spec, path, files, span)
             else:
                 files = self._data_files(path)
             affected = self._locate_affected_files(

@@ -433,3 +433,48 @@ def test_uppercase_property_key_enables_blooms(store):
     path = store.table_path(store.registry.get("bl.t13"))
     assert len(df.inputFiles()) < len(store._data_files(path))
     assert df.collect()[0]["cf:v"] == 210
+
+
+def test_point_dml_locates_through_bloom(store, monkeypatch):
+    """row_key = 'x' DELETE/UPDATE: the locate scan's candidate list is
+    bloom-pruned past span pruning — a point mutation reads ~1 file no
+    matter how many appended runs span the key space."""
+    _make_table(store, "t14", n=100)
+    extra = store.spark.createDataFrame(
+        [(f"k{i:04d}x", i) for i in range(5, 100, 10)],
+        "row_key string, `cf:v` int",
+    )
+    store.insert("bl.t14", extra, generate_row_key=False)
+    path = store.table_path(store.registry.get("bl.t14"))
+    stats = store._load_span_stats(path)
+    target = next(
+        f
+        for f, (lo, hi, rows, exact) in sorted(stats.items())
+        if rows >= 2 and isinstance(lo, str) and lo.endswith("x")
+    )
+    key = stats[target][0]  # an appended key; only `target` holds it
+
+    captured = {}
+    orig = KeyedTableStore._locate_affected_files
+
+    def spy(self, spec, fn, files=None):
+        captured["files"] = files
+        return orig(self, spec, fn, files=files)
+
+    monkeypatch.setattr(KeyedTableStore, "_locate_affected_files", spy)
+    n = store.delete_where("bl.t14", f"row_key = '{key}'")
+    assert n == 1
+    # the locate candidates were exactly the bloom-positive file(s):
+    # `target` and nothing from the base run (whose span also covers key)
+    assert captured["files"] == [target]
+    assert store.get("bl.t14", [key]).collect() == []
+    assert store.read("bl.t14").count() == 100 + 10 - 1
+
+    # point UPDATE rides the same pruning
+    n = store.update_where(
+        "bl.t14", {"cf:v": "999"}, "row_key = 'k0050'"
+    )
+    assert n == 1
+    path_now = store.table_path(store.registry.get("bl.t14"))
+    assert len(captured["files"]) < len(store._data_files(path_now))
+    assert store.get("bl.t14", ["k0050"]).collect()[0]["cf:v"] == 999
