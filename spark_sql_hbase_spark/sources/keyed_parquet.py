@@ -878,19 +878,34 @@ class KeyedTableStore:
         self, spec: TableSpec, path: str, keys: list
     ) -> list[str]:
         """Files of generation ``path`` that may hold any of ``keys``:
-        span pruning first (sorted layout), then each surviving file's
-        Bloom sidecar probed with ONLY the keys inside its span (fewer
-        probes, and a key outside the span can't turn the file into a
-        false positive).  Missing/malformed sidecars, incomparable
-        key types, and probe values Spark would COERCE to the key type
-        (``bloom.probe_type``) keep the file — over-inclusion is the
-        sound direction."""
+        span pruning first (sorted layout), then the Bloom probe
+        (:meth:`_bloom_prune_by_keys`)."""
         stats: dict = {}
         try:
             lo, hi = min(keys), max(keys)
         except TypeError:
             lo = hi = None
         files = self._span_candidates(path, lo, hi, stats=stats)
+        return self._bloom_prune_by_keys(spec, path, files, keys, stats)
+
+    def _bloom_prune_by_keys(
+        self,
+        spec: TableSpec,
+        path: str,
+        files: list[str],
+        keys: list,
+        stats: dict | None = None,
+    ) -> list[str]:
+        """Drop files whose Bloom sidecar proves NONE of ``keys`` is
+        present — each file probed with ONLY the keys inside its exact
+        span (fewer probes, and a key outside the span can't turn the
+        file into a false positive; an empty in-span set proves no
+        match outright).  Missing/malformed sidecars, incomparable key
+        types, and probe values Spark would COERCE to the key type
+        (``bloom.probe_type``) keep the file — over-inclusion is the
+        sound direction.  The shared probe behind point ``get()``,
+        point DELETE/UPDATE, and the small-batch MERGE locate."""
+        stats = stats or {}
         out = []
         for fname in files:
             f_lo, f_hi, _rows, exact = stats.get(
@@ -2690,13 +2705,7 @@ class KeyedTableStore:
         if not os.path.isdir(os.path.join(path, _bloom.BLOOM_DIR)):
             return files
         try:
-            return [
-                f
-                for f in files
-                if _bloom.file_survives_point_sets(
-                    path, f, [[span[0]]], spec.key_type
-                )
-            ]
+            return self._bloom_prune_by_keys(spec, path, files, [span[0]])
         except Exception:
             return files  # the sidecar is a cache — never fail a locate
 
@@ -2904,6 +2913,11 @@ class KeyedTableStore:
             )
         return total
 
+    # a MERGE batch at or under this many rows collects its keys for the
+    # driver-side Bloom probe of locate candidates (~100 KiB of keys);
+    # larger batches rely on span pruning + the distributed locate
+    _BLOOM_MERGE_PROBE_MAX = 4096
+
     # -- upsert (MERGE INTO ... UPDATE SET * / INSERT * analogue) ---------
     def upsert(
         self, qualified_name: str, df: DataFrame, async_index: bool = False
@@ -2986,6 +3000,20 @@ class KeyedTableStore:
             )
         keys = incoming.select(ROW_KEY)
         schema = spec.schema()
+        # small-batch Bloom probe values: with ROW bloom sidecars, a
+        # bounded batch collects its keys ONCE (batch-sized, from the
+        # already-checkpointed source) so each attempt can drop span
+        # candidates whose filter proves no batch key present — the
+        # Put-skips-HFiles-via-bloom path applied to the MERGE locate.
+        # Mistyped sources never mis-prune (bloom.probe_type), and a
+        # large batch skips the collect entirely (probing cost and the
+        # driver-side key list must stay bounded).
+        bloom_keys = None
+        if b["n"] <= self._BLOOM_MERGE_PROBE_MAX:
+            try:
+                bloom_keys = [r[0] for r in keys.collect()]
+            except Exception:
+                bloom_keys = None
 
         def attempt() -> DataFrame | None:
             path = self.table_path(spec)
@@ -3003,6 +3031,15 @@ class KeyedTableStore:
             candidates = self._span_candidates(
                 path, b["lo"], b["hi"], files=all_files, stats=stats
             )
+            if bloom_keys is not None and os.path.isdir(
+                os.path.join(path, _bloom.BLOOM_DIR)
+            ):
+                try:
+                    candidates = self._bloom_prune_by_keys(
+                        spec, path, candidates, bloom_keys, stats
+                    )
+                except Exception:
+                    pass  # cache only — locate over the span candidates
             affected: dict | list | None = None
             if (
                 candidates

@@ -478,3 +478,39 @@ def test_point_dml_locates_through_bloom(store, monkeypatch):
     path_now = store.table_path(store.registry.get("bl.t14"))
     assert len(captured["files"]) < len(store._data_files(path_now))
     assert store.get("bl.t14", ["k0050"]).collect()[0]["cf:v"] == 999
+
+
+def test_small_merge_locates_through_bloom(store, monkeypatch):
+    """A bounded MERGE batch probes locate candidates through the Bloom
+    sidecars: updating one appended key locates over that run's file
+    only, even though the base run's span also covers the key."""
+    _make_table(store, "t15", n=100)
+    extra = store.spark.createDataFrame(
+        [(f"k{i:04d}x", i) for i in range(5, 100, 10)],
+        "row_key string, `cf:v` int",
+    )
+    store.insert("bl.t15", extra, generate_row_key=False)
+    path = store.table_path(store.registry.get("bl.t15"))
+    stats = store._load_span_stats(path)
+    target = next(
+        f
+        for f, (lo, hi, rows, exact) in sorted(stats.items())
+        if rows >= 2 and isinstance(lo, str) and lo.endswith("x")
+    )
+    key = stats[target][0]
+
+    captured = {}
+    orig = KeyedTableStore._locate_affected_files
+
+    def spy(self, spec, fn, files=None):
+        captured["files"] = files
+        return orig(self, spec, fn, files=files)
+
+    monkeypatch.setattr(KeyedTableStore, "_locate_affected_files", spy)
+    batch = store.spark.createDataFrame(
+        [(key, 777)], "row_key string, `cf:v` int"
+    )
+    store.upsert("bl.t15", batch)
+    assert captured["files"] == [target]
+    assert store.get("bl.t15", [key]).collect()[0]["cf:v"] == 777
+    assert store.read("bl.t15").count() == 110  # pure update, no new row
