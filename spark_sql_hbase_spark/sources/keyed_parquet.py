@@ -2584,9 +2584,12 @@ class KeyedTableStore:
         files: list[str],
         rows_by_file: dict | None = None,
     ) -> list[str]:
-        """Distributed Bloom-sidecar build over exactly ``files``;
-        returns the subset a filter was built for (zero-row and
-        unreadable files are skipped).
+        """Bloom-sidecar build over exactly ``files``; returns the
+        subset a filter was built for (zero-row and unreadable files
+        are skipped).  Small builds (≤ ``_BLOOM_DRIVER_BUILD_MAX`` rows
+        total — selective-DML rewrites, small appends) run driver-side
+        from bounded pyarrow key reads; everything larger runs the
+        distributed two-stage job below.
 
         Two stages, neither of which ever moves keys to the driver or
         shuffles them: ``mapInPandas`` folds each input partition into
@@ -2621,9 +2624,34 @@ class KeyedTableStore:
                     continue  # unreadable: no sidecar, file stays a candidate
             if rows <= 0:
                 continue
-            params[fname] = _bloom.params_for(rows, fpp)
+            params[fname] = (rows, _bloom.params_for(rows, fpp))
         if not params:
             return []
+
+        # small subtotal: build DRIVER-side from bounded pyarrow key
+        # reads instead of paying a two-stage Spark job's fixed cost —
+        # the common case for selective DML (the rewritten subset is a
+        # file or two) and exactly where the job overhead would swamp
+        # the locate savings at gate scale.  The cap bounds the driver
+        # read (~a few MB of keys); large builds (fresh loads, major
+        # compactions, backfills) take the distributed path where the
+        # shuffle carries bitmaps, never keys.
+        if sum(r for r, _mk in params.values()) <= self._BLOOM_DRIVER_BUILD_MAX:
+            for fname, (rows, (m, k)) in params.items():
+                try:
+                    col = pq.read_table(
+                        os.path.join(gen_path, fname), columns=[ROW_KEY]
+                    ).column(0)
+                except Exception:
+                    continue  # unreadable: no sidecar, file stays candidate
+                bits = bytearray((m + 7) >> 3)
+                for v in col.to_pylist():
+                    data = _bloom.encode_key(v)
+                    if data is not None:
+                        _bloom.set_key(bits, data, m, k)
+                _bloom.write_sidecar(gen_path, fname, m, k, bits)
+            return list(params)
+        params = {fname: mk for fname, (rows, mk) in params.items()}
 
         key_field = next(
             f for f in spec.schema().fields if f.name == ROW_KEY
@@ -2917,6 +2945,11 @@ class KeyedTableStore:
     # driver-side Bloom probe of locate candidates (~100 KiB of keys);
     # larger batches rely on span pruning + the distributed locate
     _BLOOM_MERGE_PROBE_MAX = 4096
+
+    # a bloom build whose files total at most this many rows runs
+    # driver-side (bounded pyarrow key reads, no Spark job); above it,
+    # the two-stage distributed build runs
+    _BLOOM_DRIVER_BUILD_MAX = 262_144
 
     # -- upsert (MERGE INTO ... UPDATE SET * / INSERT * analogue) ---------
     def upsert(

@@ -514,3 +514,17 @@ def test_small_merge_locates_through_bloom(store, monkeypatch):
     assert captured["files"] == [target]
     assert store.get("bl.t15", [key]).collect()[0]["cf:v"] == 777
     assert store.read("bl.t15").count() == 110  # pure update, no new row
+
+
+def test_distributed_build_path_matches_driver_path(store, monkeypatch):
+    """Force the two-stage distributed builder (the >262k-row path) and
+    pin that it produces working sidecars identical in behavior to the
+    driver-side fast path."""
+    monkeypatch.setattr(KeyedTableStore, "_BLOOM_DRIVER_BUILD_MAX", 0)
+    _make_table(store, "t16", n=150)
+    path = store.table_path(store.registry.get("bl.t16"))
+    assert _sidecars(store, "bl.t16") == _expected_sidecars(store, path)
+    df = store.get("bl.t16", ["k0040"])
+    assert 0 < len(df.inputFiles()) < len(store._data_files(path))
+    assert df.collect()[0]["cf:v"] == 280
+    assert store.get("bl.t16", ["k0040z"]).collect() == []
