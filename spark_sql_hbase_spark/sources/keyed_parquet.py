@@ -3241,6 +3241,201 @@ class KeyedTableStore:
         )
         return changed_keys
 
+    # -- conditional mutations (HBase checkAndPut / checkAndDelete) -------
+    #
+    # HBase's Table API guarantees an atomic read-compare-mutate on one
+    # row (checkAndPut/checkAndDelete: apply the mutation iff the
+    # current value of one cell equals the expected value; null expected
+    # = cell absent).  The generational CAS makes the same guarantee
+    # here WITHOUT row locks: the check reads the generation the attempt
+    # resolved, the rewrite's swap names that generation as its CAS
+    # base, so any concurrent commit between check and flip refuses the
+    # flip and the whole attempt — check included — re-runs against the
+    # winner's state.  Serializable by construction, lock-held time
+    # unchanged (the flip instant only).
+
+    def check_and_put(
+        self,
+        qualified_name: str,
+        check_key,
+        check_col: str,
+        expected,
+        row: dict,
+        async_index: bool = False,
+    ) -> bool:
+        """Atomically apply a single-row Put iff the current value of
+        ``(check_key, check_col)`` equals ``expected`` (``None`` = cell
+        absent: no row, or a NULL qualifier — the flat ``cf:qualifier``
+        model stores "no cell" as NULL).  ``row`` maps columns to the
+        new values; unlisted qualifiers become NULL (a Put writes the
+        whole flat row here), and like HBase the mutation may only
+        target the CHECKED row.  Returns True iff the Put was applied.
+        Value comparison is plain Python equality on the stored native
+        type."""
+        incoming, keys = self._conditional_row(
+            qualified_name, check_key, check_col, row
+        )
+        spec = self.registry.get(qualified_name)
+        schema = spec.schema()
+
+        def attempt():
+            path = self.table_path(spec)
+            stats: dict = {}
+            files = self._point_candidate_files(
+                spec, path, check_key, stats
+            )
+            current, present = self._point_cell(
+                spec, path, files, check_key, check_col
+            )
+            if current != expected:
+                return False, None
+            affected = self._locate_affected_files(
+                spec,
+                lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi"),
+                files=files,
+            )
+            changed = self._upsert_rewrite(
+                spec, qualified_name, incoming, keys, affected, path,
+                schema, async_index,
+                batch_span=(check_key, check_key),
+                footer_stats=stats, n_incoming=1,
+            )
+            return True, changed
+
+        applied, changed_keys = self._retry_write_conflict(attempt)
+        if applied:
+            self._maintain_indexes(
+                qualified_name, async_index, changed_keys=changed_keys
+            )
+        return applied
+
+    def check_and_delete(
+        self,
+        qualified_name: str,
+        check_key,
+        check_col: str,
+        expected,
+        async_index: bool = False,
+    ) -> bool:
+        """Atomically delete the ``check_key`` row iff the current value
+        of ``(check_key, check_col)`` equals ``expected`` — HBase
+        ``checkAndDelete`` (``None`` expected = cell absent).  Returns
+        True iff the check passed (deleting an absent row is a no-op
+        success, exactly like HBase deleting a row that isn't there)."""
+        spec = self.registry.get(qualified_name)
+        self._require_column(spec, check_col)
+        cond = F.col(ROW_KEY) == F.lit(check_key)
+
+        def attempt():
+            path = self.table_path(spec)
+            stats: dict = {}
+            files = self._point_candidate_files(
+                spec, path, check_key, stats
+            )
+            current, present = self._point_cell(
+                spec, path, files, check_key, check_col
+            )
+            if current != expected:
+                return False, False, None
+            if not present:
+                return True, False, None  # nothing to delete; check passed
+            affected = self._locate_affected_files(
+                spec, lambda d: d.filter(cond), files=files
+            )
+            if not affected:
+                return True, False, None
+            n = sum(affected.values())
+            changed = self._capture_changed_keys(
+                spec, affected, lambda d: d.filter(cond), n, async_index,
+                path=path,
+            )
+            self._selective_rewrite(
+                spec, affected, lambda d: d.filter(~cond), path=path
+            )
+            return True, True, changed
+
+        applied, mutated, changed_keys = self._retry_write_conflict(attempt)
+        if mutated:
+            self._maintain_indexes(
+                qualified_name, async_index, changed_keys=changed_keys
+            )
+        return applied
+
+    def _require_column(self, spec: TableSpec, col: str) -> None:
+        names = [f.name for f in spec.schema().fields]
+        if col not in names:
+            raise ValueError(
+                f"{spec.qualified_name}: unknown column {col!r} "
+                f"(have {names})"
+            )
+
+    def _conditional_row(
+        self, qualified_name: str, check_key, check_col: str, row: dict
+    ):
+        """Validate and materialize the single-row Put for
+        :meth:`check_and_put` — one literal-backed DataFrame conformed
+        to the declared schema (no checkpoint needed: literal data is
+        deterministic across the CAS retries)."""
+        spec = self.registry.get(qualified_name)
+        schema = spec.schema()
+        names = [f.name for f in schema.fields]
+        self._require_column(spec, check_col)
+        unknown = set(row) - set(names)
+        if unknown:
+            raise ValueError(
+                f"{qualified_name}: unknown Put columns {sorted(unknown)}"
+            )
+        if ROW_KEY in row and row[ROW_KEY] != check_key:
+            raise ValueError(
+                "checkAndPut may only mutate the checked row "
+                f"(put key {row[ROW_KEY]!r} != checked key {check_key!r})"
+            )
+        full = {**row, ROW_KEY: check_key}
+        incoming = self.spark.createDataFrame(
+            [tuple(full.get(c) for c in names)], schema
+        )
+        return incoming, incoming.select(ROW_KEY)
+
+    def _point_candidate_files(
+        self, spec: TableSpec, path: str, key, stats: dict
+    ) -> list[str]:
+        """Span + Bloom candidate files for one key against one
+        resolved generation — the shared planning in front of both
+        conditional mutations' check reads and locates."""
+        files = self._span_candidates(path, key, key, stats=stats)
+        try:
+            return self._bloom_prune_by_keys(spec, path, files, [key], stats)
+        except Exception:
+            return files  # the sidecar is a cache
+
+    def _point_cell(
+        self, spec: TableSpec, path: str, files: list[str], key, col
+    ) -> tuple:
+        """``(value, row_present)`` of one cell in one resolved
+        generation (``None, False`` when the row is absent; a NULL
+        qualifier on a present row reads as ``None, True`` — both are
+        "no cell" to the check, matching HBase).  More than one
+        physical row for the key is ambiguous for a conditional
+        mutation (versioned tables need an explicit as-of read) and
+        raises rather than guessing."""
+        if not files:
+            return None, False
+        rows = (
+            self.spark.read.schema(spec.schema())
+            .parquet(*[os.path.join(path, f) for f in files])
+            .filter(F.col(ROW_KEY) == F.lit(key))
+            .select(f"`{col}`")
+            .take(2)
+        )
+        if len(rows) > 1:
+            raise ValueError(
+                f"{spec.qualified_name}: {len(rows)}+ rows share key "
+                f"{key!r}; conditional mutations need unique keys "
+                "(versioned tables: compact_versions first or use the "
+                "as-of read surface)"
+            )
+        return (rows[0][0], True) if rows else (None, False)
+
     # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
     def _locate_affected_files(
         self, spec: TableSpec, selector, files: list | None = None

@@ -1,0 +1,161 @@
+"""Conditional mutations: HBase ``checkAndPut`` / ``checkAndDelete``.
+
+HBase guarantees an atomic read-compare-mutate on one row.  The keyed
+store gives the same guarantee through the generational CAS instead of
+row locks: the check reads the generation the attempt resolved, the
+rewrite's swap names that generation as its CAS base, and any
+concurrent commit between check and flip refuses the flip and re-runs
+the whole attempt — check included — against the winner's state.  The
+laws under test:
+
+- apply iff the checked cell equals the expectation (``None`` = cell
+  absent: missing row, or a NULL qualifier in the flat cf:qualifier
+  model — both are "no cell" in HBase terms);
+- a failed check mutates nothing;
+- deleting an absent row is a no-op success (HBase semantics);
+- the mutation may only target the checked row;
+- NO LOST UPDATES under concurrent conditional writers (the
+  compare-and-swap counter law).
+"""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.catalog import TableSpec
+from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("cond_wh"))
+    return KeyedTableStore(spark, wh)
+
+
+def _table(store, name, rows):
+    spec = TableSpec(
+        namespace="cd",
+        name=name,
+        key_type="string",
+        families={"cf": {"n": "long", "note": "string"}},
+        properties={"bloomfilter": "ROW"},
+    )
+    store.create_table(spec)
+    df = store.spark.createDataFrame(
+        rows, "row_key string, `cf:n` long, `cf:note` string"
+    )
+    store.insert(f"cd.{name}", df, generate_row_key=False)
+
+
+def _cell(store, qualified, key, col):
+    rows = store.get(qualified, [key]).select(f"`{col}`").collect()
+    assert len(rows) <= 1
+    return rows[0][0] if rows else None
+
+
+def test_check_and_put_applies_on_match(store):
+    _table(store, "t1", [("a", 1, "x"), ("b", 2, "y")])
+    assert store.check_and_put(
+        "cd.t1", "a", "cf:n", 1, {"cf:n": 10, "cf:note": "updated"}
+    )
+    assert _cell(store, "cd.t1", "a", "cf:n") == 10
+    assert _cell(store, "cd.t1", "a", "cf:note") == "updated"
+    assert _cell(store, "cd.t1", "b", "cf:n") == 2  # untouched
+    assert store.read("cd.t1").count() == 2
+
+
+def test_check_and_put_refuses_on_mismatch(store):
+    _table(store, "t2", [("a", 1, "x")])
+    before = sorted(tuple(r) for r in store.read("cd.t2").collect())
+    assert not store.check_and_put("cd.t2", "a", "cf:n", 99, {"cf:n": 10})
+    assert sorted(tuple(r) for r in store.read("cd.t2").collect()) == before
+
+
+def test_check_and_put_none_means_cell_absent(store):
+    _table(store, "t3", [("a", 1, None)])
+    # absent ROW: expected None passes and the Put inserts it
+    assert store.check_and_put("cd.t3", "new", "cf:n", None, {"cf:n": 5})
+    assert _cell(store, "cd.t3", "new", "cf:n") == 5
+    # present row, NULL qualifier: also "no cell" (flat-model parity)
+    assert store.check_and_put(
+        "cd.t3", "a", "cf:note", None, {"cf:n": 1, "cf:note": "set"}
+    )
+    assert _cell(store, "cd.t3", "a", "cf:note") == "set"
+    # now the cell exists: expected None fails
+    assert not store.check_and_put(
+        "cd.t3", "a", "cf:note", None, {"cf:note": "again"}
+    )
+
+
+def test_put_unlisted_qualifiers_become_null(store):
+    """A Put writes the whole flat row (HBase Put carries exactly the
+    cells it sets; the flat model has one physical row per key, so an
+    unlisted qualifier is NULL after the put)."""
+    _table(store, "t4", [("a", 1, "keepme?")])
+    assert store.check_and_put("cd.t4", "a", "cf:n", 1, {"cf:n": 2})
+    assert _cell(store, "cd.t4", "a", "cf:note") is None
+
+
+def test_mutation_restricted_to_checked_row(store):
+    _table(store, "t5", [("a", 1, None)])
+    with pytest.raises(ValueError):
+        store.check_and_put("cd.t5", "a", "cf:n", 1, {"row_key": "b", "cf:n": 2})
+    with pytest.raises(ValueError):
+        store.check_and_put("cd.t5", "a", "cf:bogus", 1, {"cf:n": 2})
+    with pytest.raises(ValueError):
+        store.check_and_put("cd.t5", "a", "cf:n", 1, {"cf:wrong": 2})
+
+
+def test_check_and_delete_laws(store):
+    _table(store, "t6", [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")])
+    # mismatch: nothing deleted
+    assert not store.check_and_delete("cd.t6", "a", "cf:n", 99)
+    assert store.read("cd.t6").count() == 3
+    # match: exactly that row deleted
+    assert store.check_and_delete("cd.t6", "a", "cf:n", 1)
+    assert store.read("cd.t6").count() == 2
+    assert _cell(store, "cd.t6", "a", "cf:n") is None
+    # absent row + expected None: no-op SUCCESS (HBase semantics)
+    assert store.check_and_delete("cd.t6", "ghost", "cf:n", None)
+    assert store.read("cd.t6").count() == 2
+
+
+def test_duplicate_key_is_refused(store):
+    _table(store, "t7", [("a", 1, None)])
+    dup = store.spark.createDataFrame(
+        [("a", 7, "dup")], "row_key string, `cf:n` long, `cf:note` string"
+    )
+    store.insert("cd.t7", dup, generate_row_key=False)
+    with pytest.raises(ValueError, match="share key"):
+        store.check_and_put("cd.t7", "a", "cf:n", 1, {"cf:n": 2})
+
+
+def test_concurrent_cas_counters_lose_no_update(store):
+    """The compare-and-swap counter law: two writers increment one
+    cell through check_and_put, retrying on a failed check — every
+    increment must land exactly once (serializable, no lost updates)."""
+    _table(store, "t8", [("ctr", 0, None)])
+    per_writer = 6
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(per_writer):
+                while True:
+                    cur = _cell(store, "cd.t8", "ctr", "cf:n")
+                    if store.check_and_put(
+                        "cd.t8", "ctr", "cf:n", cur, {"cf:n": cur + 1}
+                    ):
+                        break
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert _cell(store, "cd.t8", "ctr", "cf:n") == 2 * per_writer
+    assert store.read("cd.t8").count() == 1
