@@ -1642,10 +1642,13 @@ class KeyedTableStore:
                 # under Spark's numeric promotion — exactness of the
                 # boundary is the property author's contract
                 cut = asof - float(ttl)
-            except TypeError:
+            except (TypeError, ValueError):
+                # TypeError: non-numeric asof; ValueError: a non-numeric
+                # declared ttl (e.g. HBase DDL dumps' TTL => 'FOREVER')
                 raise ValueError(
                     f"{qualified_name}: the ttl table property needs a "
-                    f"numeric version column / asof (got {type(asof).__name__})"
+                    f"numeric value and a numeric version column / asof "
+                    f"(ttl={ttl!r}, asof type {type(asof).__name__})"
                 )
             df = df.filter(F.col(f"`{version_col}`") > F.lit(cut))
         return df
@@ -1674,6 +1677,10 @@ class KeyedTableStore:
         if n is None:
             prop = self._table_prop(spec, "versions")
             n = int(prop) if prop is not None else None
+        if n is not None and n < 1:
+            # same law compact_versions enforces; HBase rejects
+            # readVersions(0) — silence here would read as "no data"
+            raise ValueError(f"n must be >= 1, got {n}")
         df = self._versions_visible(
             qualified_name, version_col, asof
         ).dropDuplicates([ROW_KEY, version_col])
@@ -2637,6 +2644,7 @@ class KeyedTableStore:
         # compactions, backfills) take the distributed path where the
         # shuffle carries bitmaps, never keys.
         if sum(r for r, _mk in params.values()) <= self._BLOOM_DRIVER_BUILD_MAX:
+            built = []
             for fname, (rows, (m, k)) in params.items():
                 try:
                     col = pq.read_table(
@@ -2650,7 +2658,8 @@ class KeyedTableStore:
                     if data is not None:
                         _bloom.set_key(bits, data, m, k)
                 _bloom.write_sidecar(gen_path, fname, m, k, bits)
-            return list(params)
+                built.append(fname)
+            return built
         params = {fname: mk for fname, (rows, mk) in params.items()}
 
         key_field = next(
@@ -3042,7 +3051,7 @@ class KeyedTableStore:
         # large batch skips the collect entirely (probing cost and the
         # driver-side key list must stay bounded).
         bloom_keys = None
-        if b["n"] <= self._BLOOM_MERGE_PROBE_MAX:
+        if b["n"] <= self._BLOOM_MERGE_PROBE_MAX and self._bloom_enabled(spec):
             try:
                 bloom_keys = [r[0] for r in keys.collect()]
             except Exception:
@@ -3289,11 +3298,17 @@ class KeyedTableStore:
             )
             if current != expected:
                 return False, None
-            affected = self._locate_affected_files(
-                spec,
-                lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi"),
-                files=files,
-            )
+            if present:
+                affected = self._locate_affected_files(
+                    spec,
+                    lambda d: d.join(F.broadcast(keys), ROW_KEY, "left_semi"),
+                    files=files,
+                )
+            else:
+                # the check read just scanned these files and found no
+                # row: the locate is provably empty — the insert-style
+                # checkAndPut appends a fresh run without the job
+                affected = {}
             changed = self._upsert_rewrite(
                 spec, qualified_name, incoming, keys, affected, path,
                 schema, async_index,
@@ -3324,6 +3339,11 @@ class KeyedTableStore:
         success, exactly like HBase deleting a row that isn't there)."""
         spec = self.registry.get(qualified_name)
         self._require_column(spec, check_col)
+        if check_key is None:
+            raise ValueError(
+                f"{qualified_name}: conditional mutations need a non-NULL "
+                "row key"
+            )
         cond = F.col(ROW_KEY) == F.lit(check_key)
 
         def attempt():
@@ -3349,8 +3369,12 @@ class KeyedTableStore:
                 spec, affected, lambda d: d.filter(cond), n, async_index,
                 path=path,
             )
+            # same NULL-predicate law as delete_where: a NULL-key row
+            # in an affected file evaluates cond to NULL, and ~NULL
+            # would silently DROP it — coalesce keeps it
+            keep = ~F.coalesce(cond, F.lit(False))
             self._selective_rewrite(
-                spec, affected, lambda d: d.filter(~cond), path=path
+                spec, affected, lambda d: d.filter(keep), path=path
             )
             return True, True, changed
 
@@ -3384,6 +3408,14 @@ class KeyedTableStore:
         if unknown:
             raise ValueError(
                 f"{qualified_name}: unknown Put columns {sorted(unknown)}"
+            )
+        if check_key is None:
+            # HBase throws on an empty row key; a NULL key here would
+            # bypass upsert's NULL-key guard and append an unreachable
+            # row (NULL falls through both sides of every key-span split)
+            raise ValueError(
+                f"{qualified_name}: conditional mutations need a non-NULL "
+                "row key"
             )
         if ROW_KEY in row and row[ROW_KEY] != check_key:
             raise ValueError(

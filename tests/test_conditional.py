@@ -159,3 +159,25 @@ def test_concurrent_cas_counters_lose_no_update(store):
     assert errors == []
     assert _cell(store, "cd.t8", "ctr", "cf:n") == 2 * per_writer
     assert store.read("cd.t8").count() == 1
+
+
+def test_null_check_key_is_refused(store):
+    _table(store, "t9", [("a", 1, None)])
+    with pytest.raises(ValueError, match="non-NULL"):
+        store.check_and_put("cd.t9", None, "cf:n", None, {"cf:n": 1})
+    with pytest.raises(ValueError, match="non-NULL"):
+        store.check_and_delete("cd.t9", None, "cf:n", None)
+
+
+def test_insert_style_put_skips_the_locate_job(store, monkeypatch):
+    """expected=None on an absent row: the check read already proved no
+    file holds the key — no locate scan runs."""
+    _table(store, "t10", [("a", 1, None)])
+
+    def boom(self, spec, fn, files=None):  # pragma: no cover - must not run
+        raise AssertionError("locate ran for an absent checked row")
+
+    monkeypatch.setattr(KeyedTableStore, "_locate_affected_files", boom)
+    assert store.check_and_put("cd.t10", "zz", "cf:n", None, {"cf:n": 7})
+    monkeypatch.undo()
+    assert _cell(store, "cd.t10", "zz", "cf:n") == 7
