@@ -3385,6 +3385,80 @@ class KeyedTableStore:
             )
         return applied
 
+    def increment(
+        self,
+        qualified_name: str,
+        key,
+        col: str,
+        delta: int = 1,
+        retries: int = 16,
+    ):
+        """HBase ``Table.increment``: atomically add ``delta`` to one
+        numeric cell and return the new value.  An absent row/cell
+        starts from 0, exactly like HBase's Increment on a missing
+        counter.  Built as an optimistic loop over
+        :meth:`check_and_put` (read → CAS), so concurrent incrementers
+        serialize through the generation CAS and no update is lost —
+        the counter law ``test_concurrent_cas_counters_lose_no_update``
+        pins the underlying guarantee.  NOTE: like HBase Increment, the
+        put writes the whole flat row; other qualifiers of the row are
+        preserved by reading them into the put."""
+        spec = self.registry.get(qualified_name)
+        self._require_column(spec, col)
+        names = [f.name for f in spec.schema().fields]
+        for _ in range(retries):
+            row = self.get(qualified_name, [key]).collect()
+            if len(row) > 1:
+                raise ValueError(
+                    f"{qualified_name}: key {key!r} is not unique; "
+                    "increment needs unique keys"
+                )
+            current = row[0][col] if row else None
+            base = dict(zip(names, row[0])) if row else {}
+            base.pop(ROW_KEY, None)
+            new = (current or 0) + delta
+            base[col] = new
+            if self.check_and_put(qualified_name, key, col, current, base):
+                return new
+        raise ConcurrentWriteConflictError(
+            f"{qualified_name}: increment of {key!r} lost the CAS race "
+            f"{retries} times"
+        )
+
+    def append_cell(
+        self,
+        qualified_name: str,
+        key,
+        col: str,
+        value,
+        retries: int = 16,
+    ):
+        """HBase ``Table.append``: atomically append ``value`` to one
+        string/binary cell and return the new value (absent cell =
+        start from the value itself).  Same optimistic CAS loop as
+        :meth:`increment`."""
+        spec = self.registry.get(qualified_name)
+        self._require_column(spec, col)
+        names = [f.name for f in spec.schema().fields]
+        for _ in range(retries):
+            row = self.get(qualified_name, [key]).collect()
+            if len(row) > 1:
+                raise ValueError(
+                    f"{qualified_name}: key {key!r} is not unique; "
+                    "append needs unique keys"
+                )
+            current = row[0][col] if row else None
+            base = dict(zip(names, row[0])) if row else {}
+            base.pop(ROW_KEY, None)
+            new = value if current is None else current + value
+            base[col] = new
+            if self.check_and_put(qualified_name, key, col, current, base):
+                return new
+        raise ConcurrentWriteConflictError(
+            f"{qualified_name}: append to {key!r} lost the CAS race "
+            f"{retries} times"
+        )
+
     def _require_column(self, spec: TableSpec, col: str) -> None:
         names = [f.name for f in spec.schema().fields]
         if col not in names:

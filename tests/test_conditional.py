@@ -181,3 +181,39 @@ def test_insert_style_put_skips_the_locate_job(store, monkeypatch):
     assert store.check_and_put("cd.t10", "zz", "cf:n", None, {"cf:n": 7})
     monkeypatch.undo()
     assert _cell(store, "cd.t10", "zz", "cf:n") == 7
+
+
+def test_increment_and_append(store):
+    """HBase Table.increment / Table.append semantics atop the CAS."""
+    _table(store, "t11", [("a", 5, "hi")])
+    assert store.increment("cd.t11", "a", "cf:n", 3) == 8
+    assert _cell(store, "cd.t11", "a", "cf:n") == 8
+    assert _cell(store, "cd.t11", "a", "cf:note") == "hi"  # preserved
+    # absent counter starts from zero (HBase Increment on missing cell)
+    assert store.increment("cd.t11", "fresh", "cf:n") == 1
+    assert store.increment("cd.t11", "fresh", "cf:n", -4) == -3
+    # append: absent cell starts from the value itself
+    assert store.append_cell("cd.t11", "a", "cf:note", "!") == "hi!"
+    assert store.append_cell("cd.t11", "fresh", "cf:note", "x") == "x"
+    assert _cell(store, "cd.t11", "fresh", "cf:note") == "x"
+    assert store.read("cd.t11").count() == 2
+
+
+def test_concurrent_increments_lose_no_update(store):
+    _table(store, "t12", [("ctr", 0, None)])
+    per_writer, errors = 5, []
+
+    def worker():
+        try:
+            for _ in range(per_writer):
+                store.increment("cd.t12", "ctr", "cf:n")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert _cell(store, "cd.t12", "ctr", "cf:n") == 2 * per_writer
