@@ -2726,25 +2726,102 @@ class KeyedTableStore:
         return list(params)
 
     def _bloom_prune_point(
-        self, spec: TableSpec, path: str, files: list[str], span
+        self, spec: TableSpec, path: str, files: list[str], condition: str
     ) -> list[str]:
-        """When a DML condition pins the row key to ONE point (the
-        provable interval degenerates to lo == hi — ``row_key = 'x'``
-        and friends), Bloom sidecars prune span-covering files that
-        provably lack the key: a point DELETE/UPDATE locates over ~1
-        file regardless of how many appended runs span the key space
-        (the same HBase bloom-on-Get fast path ``get()`` rides).  Sound
-        for the same reasons: a closed single-value interval means any
-        matching row has EXACTLY that key, mistyped/coercible bounds
-        are never probed, and absent sidecars keep the file."""
-        if span is None or span[0] is None or span[0] != span[1]:
+        """When a DML condition pins the row key to a provable, bounded
+        POINT SET (``row_key = 'x'``, ``row_key IN (...)``, ORs of
+        those — :meth:`_rowkey_points`), Bloom sidecars prune
+        span-covering files that provably lack every point: a point
+        DELETE/UPDATE locates over ~1 file regardless of how many
+        appended runs span the key space, and a multi-point ``IN``
+        DELETE probes its exact keys instead of the [min, max] span
+        that covers everything between them.  Sound for the same
+        reasons as every other probe: any matching row's key is IN the
+        set, mistyped/coercible values are never probed, and absent
+        sidecars keep the file."""
+        points = self._rowkey_points(condition)
+        if not points or len(points) > self._BLOOM_MERGE_PROBE_MAX:
             return files
         if not os.path.isdir(os.path.join(path, _bloom.BLOOM_DIR)):
             return files
         try:
-            return self._bloom_prune_by_keys(spec, path, files, [span[0]])
+            return self._bloom_prune_by_keys(
+                spec, path, files, list(points)
+            )
         except Exception:
             return files  # the sidecar is a cache — never fail a locate
+
+    def _rowkey_points(self, condition: str) -> set | None:
+        """Conservative SET of row_key values a DML condition could
+        match, or ``None`` when the condition is not point-shaped.
+        Sound by construction — the set only ever CONSTRAINS (a
+        returned set S means every matching row's key ∈ S): equality
+        and all-literal ``IN`` yield their values, OR unions two sets
+        (either side unknown ⇒ unknown), AND intersects two sets and
+        passes a single known side through (the other conjunct can
+        only narrow further), and anything unrecognized — including
+        ranges, NOT, non-key predicates at the top — yields unknown.
+        Walks the same Spark-parsed tree as :meth:`_rowkey_interval`."""
+        try:
+            jexpr = (
+                self.spark._jsparkSession.sessionState()
+                .sqlParser()
+                .parseExpression(condition)
+            )
+        except Exception:
+            return None
+
+        def is_rowkey(e) -> bool:
+            return (
+                e.getClass().getSimpleName() == "UnresolvedAttribute"
+                and e.name().lower() == ROW_KEY
+            )
+
+        def lit_val(e):
+            if (
+                e.getClass().getSimpleName() == "Literal"
+                and e.value() is not None
+            ):
+                t = e.dataType().typeName()
+                if t == "string":
+                    return str(e.value())
+                if t in ("integer", "long", "short", "byte"):
+                    return int(e.value())
+            return None
+
+        def walk(e):
+            try:
+                name = e.getClass().getSimpleName()
+                ch = e.children()
+                kids = [ch.apply(i) for i in range(ch.size())]
+                if name == "And" and len(kids) == 2:
+                    l, r = walk(kids[0]), walk(kids[1])
+                    if l is not None and r is not None:
+                        return l & r
+                    return l if l is not None else r
+                if name == "Or" and len(kids) == 2:
+                    l, r = walk(kids[0]), walk(kids[1])
+                    if l is None or r is None:
+                        return None
+                    return l | r
+                if name in ("EqualTo", "EqualNullSafe") and len(kids) == 2:
+                    a, b = kids
+                    if not is_rowkey(a):
+                        a, b = b, a
+                    if not is_rowkey(a):
+                        return None
+                    v = lit_val(b)
+                    return None if v is None else {v}
+                if name == "In" and kids and is_rowkey(kids[0]):
+                    vals = [lit_val(k) for k in kids[1:]]
+                    if not vals or any(v is None for v in vals):
+                        return None
+                    return set(vals)
+                return None
+            except Exception:
+                return None
+
+        return walk(jexpr)
 
     def _rowkey_interval(self, condition: str) -> tuple | None:
         """Conservative row_key interval ``[lo, hi]`` implied by a SQL
@@ -3707,7 +3784,7 @@ class KeyedTableStore:
             # locates over the whole generation
             if span is not None:
                 files = self._span_candidates(path, span[0], span[1])
-                files = self._bloom_prune_point(spec, path, files, span)
+                files = self._bloom_prune_point(spec, path, files, condition)
             else:
                 files = self._data_files(path)
             affected = self._locate_affected_files(
@@ -3783,7 +3860,7 @@ class KeyedTableStore:
             path = self.table_path(spec)
             if span is not None:
                 files = self._span_candidates(path, span[0], span[1])
-                files = self._bloom_prune_point(spec, path, files, span)
+                files = self._bloom_prune_point(spec, path, files, condition)
             else:
                 files = self._data_files(path)
             affected = self._locate_affected_files(

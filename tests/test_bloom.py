@@ -528,3 +528,57 @@ def test_distributed_build_path_matches_driver_path(store, monkeypatch):
     assert 0 < len(df.inputFiles()) < len(store._data_files(path))
     assert df.collect()[0]["cf:v"] == 280
     assert store.get("bl.t16", ["k0040z"]).collect() == []
+
+
+def test_multipoint_in_dml_locates_through_bloom(store, monkeypatch):
+    """row_key IN (...) and OR-of-equalities probe their exact point
+    set instead of the [min, max] span that covers every key between —
+    the locate candidates are exactly the files holding the points."""
+    _make_table(store, "t17", n=100)
+    extra = store.spark.createDataFrame(
+        [(f"k{i:04d}x", i) for i in range(5, 100, 10)],
+        "row_key string, `cf:v` int",
+    )
+    store.insert("bl.t17", extra, generate_row_key=False)
+    path = store.table_path(store.registry.get("bl.t17"))
+    stats = store._load_span_stats(path)
+    # two appended keys from DIFFERENT part files: their span covers
+    # most of the base run, but the point probe touches only 2 files
+    appended = sorted(
+        f for f, (lo, hi, rows, exact) in stats.items()
+        if isinstance(lo, str) and lo.endswith("x")
+    )
+    k1, k2 = stats[appended[0]][0], stats[appended[-1]][1]
+    assert k1 < k2
+
+    captured = {}
+    orig = KeyedTableStore._locate_affected_files
+
+    def spy(self, spec, fn, files=None):
+        captured["files"] = files
+        return orig(self, spec, fn, files=files)
+
+    monkeypatch.setattr(KeyedTableStore, "_locate_affected_files", spy)
+    span_only = set(store._span_candidates(path, k1, k2))
+    n = store.delete_where("bl.t17", f"row_key IN ('{k1}', '{k2}')")
+    assert n == 2
+    # the true holders are candidates; the set is strictly smaller than
+    # the span's (which covers every file between the two points) —
+    # allowing for the ~1%-per-probe bloom false-positive slack
+    assert {appended[0], appended[-1]} <= set(captured["files"])
+    assert set(captured["files"]) < span_only
+    assert store.get("bl.t17", [k1, k2]).collect() == []
+    # OR-of-equalities takes the same path
+    path2 = store.table_path(store.registry.get("bl.t17"))
+    span2 = set(store._span_candidates(path2, "k0007", "k0093"))
+    n = store.update_where(
+        "bl.t17", {"cf:v": "0"},
+        "row_key = 'k0007' OR row_key = 'k0093'",
+    )
+    assert n == 2
+    assert set(captured["files"]) < span2
+    got = store.get("bl.t17", ["k0007", "k0093"]).collect()
+    assert sorted((r["row_key"], r["cf:v"]) for r in got) == [
+        ("k0007", 0),
+        ("k0093", 0),
+    ]
