@@ -859,7 +859,10 @@ class KeyedTableStore:
         cond = F.col(ROW_KEY).isin(keys)
         spec = self.registry.get(qualified_name)
         path = self.table_path(spec)
-        if keys and os.path.isdir(os.path.join(path, _bloom.BLOOM_DIR)):
+        if keys:
+            # per-key span membership prunes even WITHOUT sidecars (a
+            # file whose exact span contains no key can't match); the
+            # Bloom probe then runs only where a sidecar exists
             try:
                 cands = self._bloom_point_candidates(spec, path, keys)
             except Exception:
@@ -2741,8 +2744,6 @@ class KeyedTableStore:
         sidecars keep the file."""
         points = self._rowkey_points(condition)
         if not points or len(points) > self._BLOOM_MERGE_PROBE_MAX:
-            return files
-        if not os.path.isdir(os.path.join(path, _bloom.BLOOM_DIR)):
             return files
         try:
             return self._bloom_prune_by_keys(
