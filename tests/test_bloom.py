@@ -582,3 +582,67 @@ def test_multipoint_in_dml_locates_through_bloom(store, monkeypatch):
         ("k0007", 0),
         ("k0093", 0),
     ]
+
+
+def test_point_prune_soundness_property(store):
+    """Property: for ANY condition built from row-key equalities,
+    IN-lists, OR, and AND, the pruned candidate list still contains
+    every file that holds a matching key — pruning may over-include
+    (bloom FPs, unknown shapes) but never drop a match."""
+    _make_table(store, "t18", n=120)
+    extra = store.spark.createDataFrame(
+        [(f"k{i:04d}q", i) for i in range(3, 120, 8)],
+        "row_key string, `cf:v` int",
+    )
+    store.insert("bl.t18", extra, generate_row_key=False)
+    spec = store.registry.get("bl.t18")
+    path = store.table_path(spec)
+    stats = store._load_span_stats(path)
+
+    import pyarrow.parquet as pq
+
+    keys_by_file = {
+        f: set(
+            pq.read_table(os.path.join(path, f), columns=["row_key"])
+            .column(0)
+            .to_pylist()
+        )
+        for f in store._data_files(path)
+    }
+    universe = sorted(set().union(*keys_by_file.values())) + [
+        "k0000z", "k0050z", "zzz", ""
+    ]
+
+    import random
+
+    rng = random.Random(8)
+    for _ in range(60):
+        # random condition: OR of 1-3 atoms, atoms = equality or IN,
+        # optionally ANDed with a non-key predicate (unknown side)
+        atoms = []
+        points = set()
+        for _a in range(rng.randint(1, 3)):
+            vals = rng.sample(universe, rng.randint(1, 4))
+            points.update(vals)
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            atoms.append(
+                f"row_key = '{vals[0]}'"
+                if len(vals) == 1
+                else f"row_key IN ({quoted})"
+            )
+        cond = " OR ".join(atoms)
+        if rng.random() < 0.3:
+            cond = f"({cond}) AND `cf:v` >= 0"
+        span = store._rowkey_interval(cond)
+        files = (
+            store._span_candidates(path, span[0], span[1])
+            if span is not None
+            else store._data_files(path)
+        )
+        cands = set(store._bloom_prune_point(spec, path, files, cond))
+        must = {
+            f
+            for f, ks in keys_by_file.items()
+            if ks & points
+        }
+        assert must <= cands, (cond, sorted(must - cands))
