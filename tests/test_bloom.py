@@ -646,3 +646,39 @@ def test_point_prune_soundness_property(store):
             if ks & points
         }
         assert must <= cands, (cond, sorted(must - cands))
+
+
+def test_flat_layout_table_backfills_and_prunes(store, spark):
+    """Legacy flat layout (parquet written straight into the table
+    root, no generation manifest): ALTER + backfill builds sidecars in
+    the root and point gets prune — the pre-generational on-ramp works
+    for the new attribute too."""
+    spec = TableSpec(
+        namespace="bl",
+        name="flat1",
+        key_type="string",
+        families={"cf": {"v": "int"}},
+    )
+    root = os.path.join(store.warehouse_dir, "bl", "flat1")
+    os.makedirs(root, exist_ok=True)
+    df = spark.range(80).select(
+        F.format_string("k%04d", F.col("id").cast("int")).alias("row_key"),
+        (F.col("id") * 3).cast("int").alias("cf:v"),
+    )
+    df.repartitionByRange(4, "row_key").sortWithinPartitions(
+        "row_key"
+    ).write.mode("overwrite").parquet(root)
+    for f in os.listdir(root):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(root, f))
+    store.registry.register(spec)
+    store.refresh("bl.flat1")
+
+    store.alter_table_set_properties("bl.flat1", {"bloomfilter": "ROW"})
+    built = store.build_bloom_filters("bl.flat1")
+    assert built > 0
+    assert os.path.isdir(os.path.join(root, bloom.BLOOM_DIR))
+    df = store.get("bl.flat1", ["k0011"])
+    assert 0 < len(df.inputFiles()) < len(store._data_files(root))
+    assert df.collect()[0]["cf:v"] == 33
+    assert store.get("bl.flat1", ["k0011z"]).collect() == []

@@ -217,3 +217,38 @@ def test_concurrent_increments_lose_no_update(store):
         t.join()
     assert errors == []
     assert _cell(store, "cd.t12", "ctr", "cf:n") == 2 * per_writer
+
+
+def test_increment_survives_concurrent_compaction(store):
+    """Cross-op CAS interplay: increments racing a major compaction
+    both retry through the generation CAS; every increment lands and
+    the compaction never resurrects an old value."""
+    _table(store, "t13", [("ctr", 0, None), ("other", 9, "x")])
+    n_inc, errors = 8, []
+
+    def incrementer():
+        try:
+            for _ in range(n_inc):
+                store.increment("cd.t13", "ctr", "cf:n")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def compactor():
+        try:
+            for _ in range(3):
+                store.compact("cd.t13")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=incrementer),
+        threading.Thread(target=compactor),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert _cell(store, "cd.t13", "ctr", "cf:n") == n_inc
+    assert _cell(store, "cd.t13", "other", "cf:n") == 9
+    assert store.read("cd.t13").count() == 2
