@@ -859,10 +859,13 @@ class KeyedTableStore:
         cond = F.col(ROW_KEY).isin(keys)
         spec = self.registry.get(qualified_name)
         path = self.table_path(spec)
-        if keys:
+        if keys and self._point_read_metadata_available(path):
             # per-key span membership prunes even WITHOUT sidecars (a
             # file whose exact span contains no key can't match); the
-            # Bloom probe then runs only where a sidecar exists
+            # Bloom probe then runs only where a sidecar exists.  The
+            # availability gate keeps manifest-less tables (legacy flat
+            # layouts, foreign directories) on the one distributed scan
+            # instead of O(files) serial driver-side footer opens
             try:
                 cands = self._bloom_point_candidates(spec, path, keys)
             except Exception:
@@ -876,6 +879,26 @@ class KeyedTableStore:
                     .filter(cond)
                 )
         return self.read(qualified_name).filter(cond)
+
+    @staticmethod
+    def _point_read_metadata_available(path: str) -> bool:
+        """True when driver-side point planning is CHEAP for this
+        generation: a span manifest (or append sidecars) serves the
+        stats in one JSON read, or Bloom sidecars exist (written by the
+        same machinery that writes the manifest, so stats ride along).
+        Without either, per-file stats would mean O(files) serial
+        parquet footer opens on the driver — worse than the one
+        distributed scan the fallback plans."""
+        if os.path.isdir(os.path.join(path, _bloom.BLOOM_DIR)):
+            return True
+        try:
+            return any(
+                f == _SPAN_MANIFEST
+                or (f.startswith("_spans-") and f.endswith(".json"))
+                for f in os.listdir(path)
+            )
+        except OSError:
+            return False
 
     def _bloom_point_candidates(
         self, spec: TableSpec, path: str, keys: list
@@ -2729,7 +2752,13 @@ class KeyedTableStore:
         return list(params)
 
     def _bloom_prune_point(
-        self, spec: TableSpec, path: str, files: list[str], condition: str
+        self,
+        spec: TableSpec,
+        path: str,
+        files: list[str],
+        points: set | None,
+        span: tuple | None = None,
+        stats: dict | None = None,
     ) -> list[str]:
         """When a DML condition pins the row key to a provable, bounded
         POINT SET (``row_key = 'x'``, ``row_key IN (...)``, ORs of
@@ -2741,16 +2770,69 @@ class KeyedTableStore:
         that covers everything between them.  Sound for the same
         reasons as every other probe: any matching row's key is IN the
         set, mistyped/coercible values are never probed, and absent
-        sidecars keep the file."""
-        points = self._rowkey_points(condition)
+        sidecars keep the file.  ``points`` is the caller's hoisted
+        :meth:`_rowkey_points` result (parsed once per DML, not per CAS
+        retry); when the condition isn't point-shaped but its provable
+        interval DEGENERATES to one value (``row_key >= 'x' AND
+        row_key <= 'x'``, ``BETWEEN 'x' AND 'x'``), that single point
+        still probes.  ``stats`` threads the caller's span-candidate
+        footer stats through so the probe's exact-span restriction
+        (and its stat-only empty-in-span drop) actually has spans to
+        restrict by."""
+        if points is None and span is not None:
+            lo, hi = span
+            if lo is not None and lo == hi:
+                points = {lo}
         if not points or len(points) > self._BLOOM_MERGE_PROBE_MAX:
             return files
         try:
             return self._bloom_prune_by_keys(
-                spec, path, files, list(points)
+                spec, path, files, list(points), stats
             )
         except Exception:
             return files  # the sidecar is a cache — never fail a locate
+
+    def _parse_condition(self, condition: str):
+        """Spark-parsed expression tree of a DML condition (the same
+        parser execution uses, so quoting/precedence match exactly), or
+        ``None`` on any parse failure — callers degrade to no pruning."""
+        try:
+            return (
+                self.spark._jsparkSession.sessionState()
+                .sqlParser()
+                .parseExpression(condition)
+            )
+        except Exception:
+            return None
+
+    @staticmethod
+    def _jexpr_is_rowkey(e) -> bool:
+        return (
+            e.getClass().getSimpleName() == "UnresolvedAttribute"
+            and e.name().lower() == ROW_KEY
+        )
+
+    @staticmethod
+    def _jexpr_lit_val(e):
+        """Native value of a string or integral literal (None
+        otherwise).  Kept TYPED: an int bound only ever prunes against
+        int footer stats and a str bound against str stats
+        (:meth:`_span_candidates` treats incomparable types as
+        candidates), so each comparison that CAN happen matches
+        Spark's own ordering for that key type — str via UTF-8
+        code-point order, int natively.  The ONE literal-typing rule
+        both condition walkers (:meth:`_rowkey_interval`,
+        :meth:`_rowkey_points`) share."""
+        if (
+            e.getClass().getSimpleName() == "Literal"
+            and e.value() is not None
+        ):
+            t = e.dataType().typeName()
+            if t == "string":
+                return str(e.value())
+            if t in ("integer", "long", "short", "byte"):
+                return int(e.value())
+        return None
 
     def _rowkey_points(self, condition: str) -> set | None:
         """Conservative SET of row_key values a DML condition could
@@ -2762,33 +2844,13 @@ class KeyedTableStore:
         passes a single known side through (the other conjunct can
         only narrow further), and anything unrecognized — including
         ranges, NOT, non-key predicates at the top — yields unknown.
-        Walks the same Spark-parsed tree as :meth:`_rowkey_interval`."""
-        try:
-            jexpr = (
-                self.spark._jsparkSession.sessionState()
-                .sqlParser()
-                .parseExpression(condition)
-            )
-        except Exception:
+        Walks the same Spark-parsed tree as :meth:`_rowkey_interval`,
+        through the same shared helpers."""
+        jexpr = self._parse_condition(condition)
+        if jexpr is None:
             return None
-
-        def is_rowkey(e) -> bool:
-            return (
-                e.getClass().getSimpleName() == "UnresolvedAttribute"
-                and e.name().lower() == ROW_KEY
-            )
-
-        def lit_val(e):
-            if (
-                e.getClass().getSimpleName() == "Literal"
-                and e.value() is not None
-            ):
-                t = e.dataType().typeName()
-                if t == "string":
-                    return str(e.value())
-                if t in ("integer", "long", "short", "byte"):
-                    return int(e.value())
-            return None
+        is_rowkey = self._jexpr_is_rowkey
+        lit_val = self._jexpr_lit_val
 
         def walk(e):
             try:
@@ -2840,40 +2902,12 @@ class KeyedTableStore:
         Spark's own parsed expression tree so quoting/precedence match
         execution exactly; any parse or walk failure degrades to no
         pruning, never to a wrong prune."""
-        try:
-            jexpr = (
-                self.spark._jsparkSession.sessionState()
-                .sqlParser()
-                .parseExpression(condition)
-            )
-        except Exception:
+        jexpr = self._parse_condition(condition)
+        if jexpr is None:
             return None
         UNB = (None, None)
-
-        def is_rowkey(e) -> bool:
-            return (
-                e.getClass().getSimpleName() == "UnresolvedAttribute"
-                and e.name().lower() == ROW_KEY
-            )
-
-        def lit_val(e):
-            """Native value of a string or integral literal (None
-            otherwise).  Kept TYPED: an int bound only ever prunes
-            against int footer stats and a str bound against str stats
-            (:meth:`_span_candidates` treats incomparable types as
-            candidates), so each comparison that CAN happen matches
-            Spark's own ordering for that key type — str via UTF-8
-            code-point order, int natively."""
-            if (
-                e.getClass().getSimpleName() == "Literal"
-                and e.value() is not None
-            ):
-                t = e.dataType().typeName()
-                if t == "string":
-                    return str(e.value())
-                if t in ("integer", "long", "short", "byte"):
-                    return int(e.value())
-            return None
+        is_rowkey = self._jexpr_is_rowkey
+        lit_val = self._jexpr_lit_val
 
         def walk(e):
             try:
@@ -3359,22 +3393,57 @@ class KeyedTableStore:
         target the CHECKED row.  Returns True iff the Put was applied.
         Value comparison is plain Python equality on the stored native
         type."""
-        incoming, keys = self._conditional_row(
-            qualified_name, check_key, check_col, row
+        spec = self.registry.get(qualified_name)
+        self._require_column(spec, check_col)
+        idx = [f.name for f in spec.schema().fields].index(check_col)
+
+        def predicate(cur_row, present):
+            return (cur_row[idx] if present else None) == expected
+
+        return self._conditional_put(
+            qualified_name, check_key, row, predicate, async_index
         )
+
+    def _row_cas_put(
+        self, qualified_name: str, key, expected_row, row: dict,
+        async_index: bool = False,
+    ) -> bool:
+        """Apply the single-row Put iff the CURRENT WHOLE row equals
+        ``expected_row`` (a tuple of every schema column, or ``None`` =
+        row absent).  The primitive under :meth:`increment` /
+        :meth:`append_cell`: a cell-level check would let a concurrent
+        write to a SIBLING qualifier slip between the read and the
+        put and be silently overwritten by the stale full-row write —
+        the whole-row comparison makes the read-modify-write atomic
+        over the entire row, matching HBase's single-row atomicity."""
+
+        def predicate(cur_row, present):
+            return (tuple(cur_row) if present else None) == expected_row
+
+        return self._conditional_put(
+            qualified_name, key, row, predicate, async_index
+        )
+
+    def _conditional_put(
+        self, qualified_name: str, key, row: dict, predicate,
+        async_index: bool,
+    ) -> bool:
+        """The shared conditional-Put engine: resolve ONE generation,
+        point-read the key's current row from it (span + Bloom
+        candidate files), ask ``predicate(current_row, present)``, and
+        on pass apply the single-row merge whose swap names that same
+        generation as its CAS base — a concurrent commit between check
+        and flip re-runs the whole attempt, check included."""
+        incoming, keys = self._conditional_row(qualified_name, key, row)
         spec = self.registry.get(qualified_name)
         schema = spec.schema()
 
         def attempt():
             path = self.table_path(spec)
             stats: dict = {}
-            files = self._point_candidate_files(
-                spec, path, check_key, stats
-            )
-            current, present = self._point_cell(
-                spec, path, files, check_key, check_col
-            )
-            if current != expected:
+            files = self._point_candidate_files(spec, path, key, stats)
+            cur_row, present = self._point_row(spec, path, files, key)
+            if not predicate(cur_row, present):
                 return False, None
             if present:
                 affected = self._locate_affected_files(
@@ -3390,7 +3459,7 @@ class KeyedTableStore:
             changed = self._upsert_rewrite(
                 spec, qualified_name, incoming, keys, affected, path,
                 schema, async_index,
-                batch_span=(check_key, check_key),
+                batch_span=(key, key),
                 footer_stats=stats, n_incoming=1,
             )
             return True, changed
@@ -3423,6 +3492,7 @@ class KeyedTableStore:
                 "row key"
             )
         cond = F.col(ROW_KEY) == F.lit(check_key)
+        idx = [f.name for f in spec.schema().fields].index(check_col)
 
         def attempt():
             path = self.table_path(spec)
@@ -3430,9 +3500,10 @@ class KeyedTableStore:
             files = self._point_candidate_files(
                 spec, path, check_key, stats
             )
-            current, present = self._point_cell(
-                spec, path, files, check_key, check_col
+            cur_row, present = self._point_row(
+                spec, path, files, check_key
             )
+            current = cur_row[idx] if present else None
             if current != expected:
                 return False, False, None
             if not present:
@@ -3474,33 +3545,14 @@ class KeyedTableStore:
         """HBase ``Table.increment``: atomically add ``delta`` to one
         numeric cell and return the new value.  An absent row/cell
         starts from 0, exactly like HBase's Increment on a missing
-        counter.  Built as an optimistic loop over
-        :meth:`check_and_put` (read → CAS), so concurrent incrementers
-        serialize through the generation CAS and no update is lost —
-        the counter law ``test_concurrent_cas_counters_lose_no_update``
-        pins the underlying guarantee.  NOTE: like HBase Increment, the
-        put writes the whole flat row; other qualifiers of the row are
-        preserved by reading them into the put."""
-        spec = self.registry.get(qualified_name)
-        self._require_column(spec, col)
-        names = [f.name for f in spec.schema().fields]
-        for _ in range(retries):
-            row = self.get(qualified_name, [key]).collect()
-            if len(row) > 1:
-                raise ValueError(
-                    f"{qualified_name}: key {key!r} is not unique; "
-                    "increment needs unique keys"
-                )
-            current = row[0][col] if row else None
-            base = dict(zip(names, row[0])) if row else {}
-            base.pop(ROW_KEY, None)
-            new = (current or 0) + delta
-            base[col] = new
-            if self.check_and_put(qualified_name, key, col, current, base):
-                return new
-        raise ConcurrentWriteConflictError(
-            f"{qualified_name}: increment of {key!r} lost the CAS race "
-            f"{retries} times"
+        counter.  Rides :meth:`_cas_read_modify_write` — the CAS
+        compares the WHOLE previous row, so a concurrent write to any
+        sibling qualifier retries instead of being overwritten (HBase
+        single-row atomicity), and no concurrent increment is lost
+        (``test_concurrent_cas_counters_lose_no_update``)."""
+        return self._cas_read_modify_write(
+            qualified_name, key, col,
+            lambda cur: (cur or 0) + delta, "increment", retries,
         )
 
     def append_cell(
@@ -3513,27 +3565,44 @@ class KeyedTableStore:
     ):
         """HBase ``Table.append``: atomically append ``value`` to one
         string/binary cell and return the new value (absent cell =
-        start from the value itself).  Same optimistic CAS loop as
+        start from the value itself).  Same whole-row CAS loop as
         :meth:`increment`."""
+        return self._cas_read_modify_write(
+            qualified_name, key, col,
+            lambda cur: value if cur is None else cur + value,
+            "append", retries,
+        )
+
+    def _cas_read_modify_write(
+        self, qualified_name: str, key, col: str, combine, op: str,
+        retries: int,
+    ):
+        """Optimistic single-cell read-modify-write: snapshot the whole
+        row, compute ``combine(current_cell)``, and apply through
+        :meth:`_row_cas_put` — which refuses unless the ENTIRE row is
+        still the snapshot, so concurrent writes to ANY qualifier of
+        the row retry here rather than being clobbered by the stale
+        full-row put."""
         spec = self.registry.get(qualified_name)
         self._require_column(spec, col)
         names = [f.name for f in spec.schema().fields]
         for _ in range(retries):
-            row = self.get(qualified_name, [key]).collect()
-            if len(row) > 1:
+            rows = self.get(qualified_name, [key]).collect()
+            if len(rows) > 1:
                 raise ValueError(
                     f"{qualified_name}: key {key!r} is not unique; "
-                    "append needs unique keys"
+                    f"{op} needs unique keys"
                 )
-            current = row[0][col] if row else None
-            base = dict(zip(names, row[0])) if row else {}
+            snapshot = tuple(rows[0]) if rows else None
+            base = dict(zip(names, rows[0])) if rows else {}
             base.pop(ROW_KEY, None)
-            new = value if current is None else current + value
+            current = base.get(col)
+            new = combine(current)
             base[col] = new
-            if self.check_and_put(qualified_name, key, col, current, base):
+            if self._row_cas_put(qualified_name, key, snapshot, base):
                 return new
         raise ConcurrentWriteConflictError(
-            f"{qualified_name}: append to {key!r} lost the CAS race "
+            f"{qualified_name}: {op} of {key!r} lost the CAS race "
             f"{retries} times"
         )
 
@@ -3546,16 +3615,15 @@ class KeyedTableStore:
             )
 
     def _conditional_row(
-        self, qualified_name: str, check_key, check_col: str, row: dict
+        self, qualified_name: str, check_key, row: dict
     ):
-        """Validate and materialize the single-row Put for
-        :meth:`check_and_put` — one literal-backed DataFrame conformed
+        """Validate and materialize the single-row Put for the
+        conditional mutations — one literal-backed DataFrame conformed
         to the declared schema (no checkpoint needed: literal data is
         deterministic across the CAS retries)."""
         spec = self.registry.get(qualified_name)
         schema = spec.schema()
         names = [f.name for f in schema.fields]
-        self._require_column(spec, check_col)
         unknown = set(row) - set(names)
         if unknown:
             raise ValueError(
@@ -3592,23 +3660,22 @@ class KeyedTableStore:
         except Exception:
             return files  # the sidecar is a cache
 
-    def _point_cell(
-        self, spec: TableSpec, path: str, files: list[str], key, col
+    def _point_row(
+        self, spec: TableSpec, path: str, files: list[str], key
     ) -> tuple:
-        """``(value, row_present)`` of one cell in one resolved
-        generation (``None, False`` when the row is absent; a NULL
-        qualifier on a present row reads as ``None, True`` — both are
-        "no cell" to the check, matching HBase).  More than one
-        physical row for the key is ambiguous for a conditional
-        mutation (versioned tables need an explicit as-of read) and
-        raises rather than guessing."""
+        """``(row, row_present)`` — the key's WHOLE current row in one
+        resolved generation (``None, False`` when absent; a NULL
+        qualifier on a present row reads as None in its slot — "no
+        cell" to a check, matching HBase).  More than one physical row
+        for the key is ambiguous for a conditional mutation (versioned
+        tables need an explicit as-of read) and raises rather than
+        guessing."""
         if not files:
             return None, False
         rows = (
             self.spark.read.schema(spec.schema())
             .parquet(*[os.path.join(path, f) for f in files])
             .filter(F.col(ROW_KEY) == F.lit(key))
-            .select(f"`{col}`")
             .take(2)
         )
         if len(rows) > 1:
@@ -3618,7 +3685,7 @@ class KeyedTableStore:
                 "(versioned tables: compact_versions first or use the "
                 "as-of read surface)"
             )
-        return (rows[0][0], True) if rows else (None, False)
+        return (rows[0], True) if rows else (None, False)
 
     # -- DELETE / UPDATE (HBase Delete mutation / checked Put analogue) ---
     def _locate_affected_files(
@@ -3772,6 +3839,7 @@ class KeyedTableStore:
         # silently drop it)
         hit = F.coalesce(F.expr(condition), F.lit(False))
         span = self._rowkey_interval(condition)
+        points = self._rowkey_points(condition)
 
         def attempt() -> tuple:
             # ONE generation resolution per attempt: the candidate
@@ -3784,8 +3852,13 @@ class KeyedTableStore:
             # A4 fast path for mutations); an unconstrained condition
             # locates over the whole generation
             if span is not None:
-                files = self._span_candidates(path, span[0], span[1])
-                files = self._bloom_prune_point(spec, path, files, condition)
+                span_stats: dict = {}
+                files = self._span_candidates(
+                    path, span[0], span[1], stats=span_stats
+                )
+                files = self._bloom_prune_point(
+                    spec, path, files, points, span, span_stats
+                )
             else:
                 files = self._data_files(path)
             affected = self._locate_affected_files(
@@ -3842,6 +3915,7 @@ class KeyedTableStore:
                 raise ValueError(f"unknown column {col!r}")
         cond = F.coalesce(F.expr(condition), F.lit(False))
         span = self._rowkey_interval(condition)
+        points = self._rowkey_points(condition)
 
         def apply_assignments(df: DataFrame) -> DataFrame:
             return df.select(
@@ -3860,8 +3934,13 @@ class KeyedTableStore:
             # discipline as delete_where
             path = self.table_path(spec)
             if span is not None:
-                files = self._span_candidates(path, span[0], span[1])
-                files = self._bloom_prune_point(spec, path, files, condition)
+                span_stats: dict = {}
+                files = self._span_candidates(
+                    path, span[0], span[1], stats=span_stats
+                )
+                files = self._bloom_prune_point(
+                    spec, path, files, points, span, span_stats
+                )
             else:
                 files = self._data_files(path)
             affected = self._locate_affected_files(

@@ -634,12 +634,16 @@ def test_point_prune_soundness_property(store):
         if rng.random() < 0.3:
             cond = f"({cond}) AND `cf:v` >= 0"
         span = store._rowkey_interval(cond)
+        pts = store._rowkey_points(cond)
+        span_stats = {}
         files = (
-            store._span_candidates(path, span[0], span[1])
+            store._span_candidates(path, span[0], span[1], stats=span_stats)
             if span is not None
             else store._data_files(path)
         )
-        cands = set(store._bloom_prune_point(spec, path, files, cond))
+        cands = set(
+            store._bloom_prune_point(spec, path, files, pts, span, span_stats)
+        )
         must = {
             f
             for f, ks in keys_by_file.items()
@@ -682,3 +686,61 @@ def test_flat_layout_table_backfills_and_prunes(store, spark):
     assert 0 < len(df.inputFiles()) < len(store._data_files(root))
     assert df.collect()[0]["cf:v"] == 33
     assert store.get("bl.flat1", ["k0011z"]).collect() == []
+
+
+def test_degenerate_range_condition_still_point_prunes(store, monkeypatch):
+    """row_key >= 'x' AND row_key <= 'x' isn't point-SHAPED, but its
+    provable interval degenerates to one value — the probe must treat
+    it as the point it is."""
+    _make_table(store, "t19", n=100)
+    extra = store.spark.createDataFrame(
+        [(f"k{i:04d}x", i) for i in range(5, 100, 10)],
+        "row_key string, `cf:v` int",
+    )
+    store.insert("bl.t19", extra, generate_row_key=False)
+    path = store.table_path(store.registry.get("bl.t19"))
+    stats = store._load_span_stats(path)
+    target = next(
+        f
+        for f, (lo, hi, rows, exact) in sorted(stats.items())
+        if rows >= 2 and isinstance(lo, str) and lo.endswith("x")
+    )
+    key = stats[target][0]
+
+    captured = {}
+    orig = KeyedTableStore._locate_affected_files
+
+    def spy(self, spec, fn, files=None):
+        captured["files"] = files
+        return orig(self, spec, fn, files=files)
+
+    monkeypatch.setattr(KeyedTableStore, "_locate_affected_files", spy)
+    n = store.delete_where(
+        "bl.t19", f"row_key >= '{key}' AND row_key <= '{key}'"
+    )
+    assert n == 1
+    assert captured["files"] == [target]
+
+
+def test_multipoint_span_prunes_without_blooms(store, monkeypatch):
+    """Stat-only multi-point pruning: on a table WITHOUT bloom
+    sidecars, an IN over two far-apart keys must still drop the files
+    between them (their exact spans contain neither point)."""
+    _make_table(store, "t20", n=200, props={})
+    path = store.table_path(store.registry.get("bl.t20"))
+    assert _sidecars(store, "bl.t20") == []
+
+    captured = {}
+    orig = KeyedTableStore._locate_affected_files
+
+    def spy(self, spec, fn, files=None):
+        captured["files"] = files
+        return orig(self, spec, fn, files=files)
+
+    monkeypatch.setattr(KeyedTableStore, "_locate_affected_files", spy)
+    span_only = set(store._span_candidates(path, "k0003", "k0190"))
+    n = store.delete_where("bl.t20", "row_key IN ('k0003', 'k0190')")
+    assert n == 2
+    # exactly the two holders — middle files' spans contain neither key
+    assert len(captured["files"]) == 2
+    assert set(captured["files"]) < span_only

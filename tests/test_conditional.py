@@ -252,3 +252,24 @@ def test_increment_survives_concurrent_compaction(store):
     assert _cell(store, "cd.t13", "ctr", "cf:n") == n_inc
     assert _cell(store, "cd.t13", "other", "cf:n") == 9
     assert store.read("cd.t13").count() == 2
+
+
+def test_row_cas_refuses_sibling_qualifier_change(store):
+    """The lost-update shape the whole-row CAS exists for: a concurrent
+    write to a SIBLING qualifier (the incremented cell untouched) must
+    fail a stale read-modify-write — a cell-level check would pass it
+    and clobber the sibling."""
+    _table(store, "t14", [("a", 1, "hi")])
+    snapshot = tuple(store.get("cd.t14", ["a"]).collect()[0])
+    # "concurrent" writer updates cf:note only; cf:n stays 1
+    assert store.check_and_put(
+        "cd.t14", "a", "cf:note", "hi", {"cf:n": 1, "cf:note": "bye"}
+    )
+    # stale whole-row CAS refuses even though cf:n still matches
+    assert not store._row_cas_put(
+        "cd.t14", "a", snapshot, {"cf:n": 2, "cf:note": "hi"}
+    )
+    assert _cell(store, "cd.t14", "a", "cf:note") == "bye"
+    # the public increment re-reads and lands WITHOUT touching the note
+    assert store.increment("cd.t14", "a", "cf:n", 4) == 5
+    assert _cell(store, "cd.t14", "a", "cf:note") == "bye"
