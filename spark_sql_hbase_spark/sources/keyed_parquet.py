@@ -79,6 +79,16 @@ class ConcurrentWriteConflictError(RuntimeError):
     surface it loudly for the caller to re-run."""
 
 
+class LockTimeoutError(ConcurrentWriteConflictError):
+    """Acquiring the per-table writer lock timed out — a stuck or
+    long-held lock, NOT a lost CAS.  Subclasses the conflict error so
+    best-effort callers (opportunistic GC) keep skipping quietly, but
+    :meth:`KeyedTableStore._retry_write_conflict` fails FAST on it:
+    retrying a 120s timeout would busy-wait for attempts × timeout
+    (~12 minutes) before surfacing a misleading "concurrent writer"
+    message, when no retry can succeed until the holder releases."""
+
+
 class KeyedTableStore:
     """Namespace/table catalog + storage over a warehouse directory.
 
@@ -353,7 +363,7 @@ class KeyedTableStore:
                     break
                 except OSError:
                     if time.monotonic() >= deadline:
-                        raise ConcurrentWriteConflictError(
+                        raise LockTimeoutError(
                             f"timed out waiting for writer lock {path}"
                         )
                     time.sleep(0.02)
@@ -433,6 +443,8 @@ class KeyedTableStore:
         for i in range(attempts):
             try:
                 return attempt()
+            except LockTimeoutError:
+                raise  # no retry can succeed until the holder releases
             except ConcurrentWriteConflictError:
                 if i == attempts - 1:
                     raise
@@ -1511,6 +1523,19 @@ class KeyedTableStore:
                 # additive (per-row projection of appended rows), so
                 # order is immaterial there.
                 main_gen = self._resolve_cur_prev(main_root)[0]
+                main_src = (
+                    main_root
+                    if main_gen in (None, self._FLAT)
+                    else os.path.join(main_root, main_gen)
+                )
+                # capture the generation's file LISTING too: a
+                # concurrent insert() appends files (and its own index
+                # projection) WITHOUT flipping the pointer, so a
+                # pointer-only check would let this rebuild replace the
+                # index wholesale from a pre-append read — dropping the
+                # insert's entries while marking the index fresh.  Same
+                # carry-swap discipline as compact/compact_versions.
+                main_listing = self._data_files(main_src)
                 proj = self.index_projection(
                     self.read(qualified_name),
                     meta["col"],
@@ -1522,10 +1547,14 @@ class KeyedTableStore:
                 )
 
                 def main_unchanged() -> None:
-                    if self._resolve_cur_prev(main_root)[0] != main_gen:
+                    if (
+                        self._resolve_cur_prev(main_root)[0] != main_gen
+                        or self._data_files(main_src) != main_listing
+                    ):
                         raise ConcurrentWriteConflictError(
                             f"{qualified_name}: main table committed a "
-                            f"generation during the {iq} index rebuild"
+                            f"generation or appended files during the "
+                            f"{iq} index rebuild"
                         )
 
                 self._sorted_rewrite(
@@ -2564,6 +2593,24 @@ class KeyedTableStore:
                     _bloom.sidecar_path(src, os.path.basename(full))
                 )
             ]
+            # a backfilled generation may predate span manifests
+            # entirely (legacy flat layout); without one, the `_bloom`
+            # directory this build creates makes
+            # _point_read_metadata_available answer True while every
+            # point get still pays the O(files) serial footer walk in
+            # _span_candidates — the exact walk the gate exists to
+            # prevent.  Write the manifest here, under the writer lock
+            # (sidecar creation and merges take it too, so this cannot
+            # race _maybe_merge_span_sidecars into dropping entries).
+            if not self._load_span_stats(src):
+                try:
+                    with self._table_write_lock(
+                        self.table_root(spec), timeout=10.0
+                    ):
+                        if not self._load_span_stats(src):
+                            self._write_span_manifest(src)
+                except ConcurrentWriteConflictError:
+                    pass  # cache backfill: skip quietly under contention
             if not need:
                 return 0
             # zero-row files build no filter (nothing to probe; span
@@ -2691,10 +2738,24 @@ class KeyedTableStore:
         key_field = next(
             f for f in spec.schema().fields if f.name == ROW_KEY
         )
+        # Arrow→pandas promotes an integral key column CONTAINING NULLS
+        # to float64, whose values encode_key refuses (and whose
+        # rounding above 2^53 would silently corrupt the hash input) —
+        # every key in such a batch would be dropped from the sidecar,
+        # a Bloom FALSE NEGATIVE.  Cast non-binary keys to string
+        # JVM-side instead: Spark's decimal rendering of an integral
+        # equals the probe side's ``b"%d"`` encoding byte-for-byte, a
+        # string key casts to itself, and NULLs stay None in an object
+        # column.  Binary keys stay binary (pandas keeps them as bytes
+        # objects — no dtype promotion — and a UTF-8 round-trip through
+        # string would be lossy).
+        key_col = F.col(ROW_KEY)
+        if not isinstance(key_field.dataType, T.BinaryType):
+            key_col = key_col.cast("string")
         src = (
             self.spark.read.schema(T.StructType([key_field]))
             .parquet(*[os.path.join(gen_path, f) for f in params])
-            .select(F.input_file_name().alias("_f"), F.col(ROW_KEY).alias("_k"))
+            .select(F.input_file_name().alias("_f"), key_col.alias("_k"))
         )
         B = _bloom
         target = gen_path

@@ -744,3 +744,104 @@ def test_multipoint_span_prunes_without_blooms(store, monkeypatch):
     # exactly the two holders — middle files' spans contain neither key
     assert len(captured["files"]) == 2
     assert set(captured["files"]) < span_only
+
+
+def test_distributed_build_integral_key_with_nulls(store, monkeypatch):
+    """Regression: the distributed builder must not drop integral keys
+    when the key column contains NULLs.  Arrow→pandas promotes an
+    int64-with-NULLs column to float64, whose values encode_key
+    refuses — before the JVM-side string cast, EVERY key in such a
+    batch was silently omitted from the sidecar, i.e. a Bloom FALSE
+    NEGATIVE on probe.  Pins byte-identical parity with the
+    driver-side build, including a key above 2^53 that float rounding
+    would corrupt."""
+    big = (1 << 60) + 1  # not representable in float64
+    spec = TableSpec(
+        namespace="bl",
+        name="t30",
+        key_type="long",
+        families={"cf": {"v": "int"}},
+        properties={"bloomfilter": "ROW"},
+    )
+    store.create_table(spec)
+    rows = [(i, i * 7) for i in range(200)]
+    rows += [(None, -1), (None, -2), (big, 999)]
+    df = store.spark.createDataFrame(rows, "row_key long, `cf:v` int")
+
+    monkeypatch.setattr(KeyedTableStore, "_BLOOM_DRIVER_BUILD_MAX", 0)
+    store.insert("bl.t30", df, generate_row_key=False)
+    path = store.table_path(store.registry.get("bl.t30"))
+    assert _sidecars(store, "bl.t30") == _expected_sidecars(store, path)
+
+    def read_sidecars():
+        bdir = os.path.join(path, bloom.BLOOM_DIR)
+        out = {}
+        for f in sorted(os.listdir(bdir)):
+            with open(os.path.join(bdir, f), "rb") as fh:
+                out[f] = fh.read()
+        return out
+
+    distributed = read_sidecars()
+
+    # no false negatives through the distributed-built sidecars
+    assert store.get("bl.t30", [40]).collect()[0]["cf:v"] == 280
+    assert store.get("bl.t30", [big]).collect()[0]["cf:v"] == 999
+    assert store.get("bl.t30", [424242]).collect() == []
+
+    # byte-level parity with the driver-side build of the same files
+    shutil.rmtree(os.path.join(path, bloom.BLOOM_DIR))
+    monkeypatch.setattr(
+        KeyedTableStore, "_BLOOM_DRIVER_BUILD_MAX", 262_144
+    )
+    assert store.build_bloom_filters("bl.t30") == len(distributed)
+    assert read_sidecars() == distributed
+
+
+def test_backfill_writes_span_manifest_for_legacy_generation(store, spark):
+    """build_bloom_filters on a manifest-less generation (legacy flat
+    layout) must leave a span manifest behind: the `_bloom` directory
+    alone flips _point_read_metadata_available to True, and without
+    span stats every point get would pay the O(files) serial footer
+    walk that gate exists to prevent."""
+    spec = TableSpec(
+        namespace="bl",
+        name="flat2",
+        key_type="string",
+        families={"cf": {"v": "int"}},
+    )
+    root = os.path.join(store.warehouse_dir, "bl", "flat2")
+    os.makedirs(root, exist_ok=True)
+    df = spark.range(60).select(
+        F.format_string("k%04d", F.col("id").cast("int")).alias("row_key"),
+        (F.col("id") * 3).cast("int").alias("cf:v"),
+    )
+    df.repartitionByRange(3, "row_key").sortWithinPartitions(
+        "row_key"
+    ).write.mode("overwrite").parquet(root)
+    for f in os.listdir(root):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(root, f))
+    store.registry.register(spec)
+    store.refresh("bl.flat2")
+    store.alter_table_set_properties("bl.flat2", {"bloomfilter": "ROW"})
+
+    assert store._load_span_stats(root) == {}
+    store.build_bloom_filters("bl.flat2")
+    stats = store._load_span_stats(root)
+    assert set(stats) == set(store._data_files(root))
+    # with manifest + sidecars in place, the point get prunes and pays
+    # NO live footer reads
+    calls = []
+    orig = KeyedTableStore._footer_key_stats
+
+    def spy(path):
+        calls.append(path)
+        return orig(path)
+
+    KeyedTableStore._footer_key_stats = staticmethod(spy)
+    try:
+        got = store.get("bl.flat2", ["k0011"]).collect()
+    finally:
+        KeyedTableStore._footer_key_stats = staticmethod(orig)
+    assert got[0]["cf:v"] == 33
+    assert calls == [], "point get re-paid live footer reads"

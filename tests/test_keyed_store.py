@@ -2718,3 +2718,74 @@ def test_snapshot_under_concurrent_churn_is_consistent(spark, tmp_path):
         assert sum(rec[2] for rec in cached.values()) == n, name
     for name in taken:
         st.delete_snapshot(name)
+
+
+def test_index_rebuild_detects_concurrent_main_append(spark, tmp_path):
+    """A full index rebuild whose read predates a concurrent main-table
+    APPEND must not pass its flip guard: appends add files (and their
+    own index entries) WITHOUT flipping the main pointer, so a
+    pointer-only check would let the rebuild replace the index from the
+    pre-append projection — dropping the insert's entries while marking
+    the index fresh.  The listing guard conflicts loudly and the retry
+    folds the appended rows in.  No conflict is injected here: the
+    append alone must trip the guard."""
+    st = _mk_plain_table(spark, tmp_path, n=40)
+    st.create_covered_index("r6.t", "r6.by_grp", "c:grp",
+                            include=["c:val"], key_width=4)
+    orig = KeyedTableStore._sorted_rewrite
+    fired = []
+
+    def hooked(self, spec, df, **kw):
+        if spec.qualified_name == "r6.by_grp" and not fired:
+            fired.append(True)
+            # lands AFTER the rebuild read the main table, BEFORE its
+            # index flip — an append, so the main pointer never moves
+            st.insert("r6.t", spark.createDataFrame(
+                [("zz_appended", 3, 33.0)],
+                "row_key string, `c:grp` long, `c:val` double",
+            ), generate_row_key=False)
+        return orig(self, spec, df, **kw)
+
+    KeyedTableStore._sorted_rewrite = hooked
+    try:
+        st.rebuild_indexes("r6.t")
+    finally:
+        KeyedTableStore._sorted_rewrite = orig
+    assert fired, "hook never fired"
+    assert "stale" not in st.registry.get("r6.by_grp").properties
+    hits = {r["i:src_key"] for r in st.index_lookup("r6.by_grp", 3).collect()}
+    assert "zz_appended" in hits, (
+        "rebuild published a pre-append projection over the insert's "
+        "index entries"
+    )
+
+
+def test_lock_timeout_fails_fast_not_retried(spark, tmp_path):
+    """A writer-lock acquisition TIMEOUT is a stuck/long-held lock, not
+    a lost CAS: _retry_write_conflict must surface it immediately
+    instead of multiplying the timeout by the retry count (~12 minutes
+    of busy-wait at the defaults)."""
+    from spark_sql_hbase_spark.sources.keyed_parquet import (
+        ConcurrentWriteConflictError,
+        LockTimeoutError,
+    )
+
+    st = _mk_plain_table(spark, tmp_path, n=8)
+    root = st.table_root(st.registry.get("r6.t"))
+    attempts = []
+
+    def stuck():
+        attempts.append(True)
+        with st._table_write_lock(root, timeout=0.2):
+            pass
+
+    with st._table_write_lock(root):
+        t0 = time.monotonic()
+        with pytest.raises(LockTimeoutError):
+            st._retry_write_conflict(stuck)
+        elapsed = time.monotonic() - t0
+    assert len(attempts) == 1, "lock timeout was retried"
+    assert elapsed < 2.0, f"fail-fast took {elapsed:.1f}s"
+    # still a ConcurrentWriteConflictError subclass, so best-effort
+    # callers (opportunistic GC) keep catching it
+    assert issubclass(LockTimeoutError, ConcurrentWriteConflictError)
