@@ -37,7 +37,14 @@ against BENCH_r6) and resolves the registry through _R7_RENAMES.
 
 Round-8: same drill — the round-8 rotation demoted d02/k12/k13/s08 to
 zf-tier names and promoted z65/z67 into the window; _R8_RENAMES keeps
-the output keys of every prior round."""
+the output keys of every prior round.
+
+Round-9: the debt-to-zero rotation promoted all 17 remaining
+never-driver-checked z-tier names and demoted 17 multi-round-green
+names to zg-tier; _R9_RENAMES covers the four bench subjects affected.
+The report also emits "value_normalized" = value x 0.343/calibration
+(0.343 = the r6/r7 reference calibration) so cross-round comparison
+cancels machine drift without a judge's footnote."""
 
 from __future__ import annotations
 
@@ -92,6 +99,15 @@ _R8_RENAMES = {
 }
 
 
+# round-9 rotation: bench output key -> current registry name
+_R9_RENAMES = {
+    "s09_ivfadc_rerank": "zg16_ivfadc_rerank",
+    "z75_pmi_collocations": "t25_pmi_collocations",
+    "zc03_snapshot_restore": "zg03_snapshot_restore",
+    "zc08_minor_compaction": "zg04_minor_compaction",
+}
+
+
 def _lookup(registry, name):
     """Resolve a (possibly renamed) bench key in the query registry.
 
@@ -100,6 +116,7 @@ def _lookup(registry, name):
     as an AttributeError on None downstream."""
     qd = (
         registry.get(name)
+        or registry.get(_R9_RENAMES.get(name, ""))
         or registry.get(_R8_RENAMES.get(name, ""))
         or registry.get(_R7_RENAMES.get(name, ""))
     )
@@ -330,6 +347,9 @@ def main() -> None:
             {
                 "metric": "headline_total_runtime",
                 "value": total,
+                "value_normalized": (
+                    round(total * 0.343 / calib, 3) if calib else None
+                ),
                 "unit": "sec",
                 "queries": med,
                 "sf": sf_f,

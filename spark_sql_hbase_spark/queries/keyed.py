@@ -765,7 +765,7 @@ def zf08_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equality over the source relation.
 # ---------------------------------------------------------------------------
 @register(
-    "k15_string_secondary_index",
+    "zg01_string_secondary_index",
     oracle="""
     SELECT CAST(c_custkey AS BIGINT) AS custkey,
            c_name AS name
@@ -775,7 +775,7 @@ def zf08_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="string covered index: \\x01-composite keys, point query "
     "as one index key-prefix range scan",
 )
-def k15_string_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg01_string_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -817,7 +817,7 @@ _ZC02_SCALE = 100
 
 
 @register(
-    "k16_fixedpoint_index",
+    "zg02_fixedpoint_index",
     oracle="""
     SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
            o_totalprice AS totalprice
@@ -827,7 +827,7 @@ _ZC02_SCALE = 100
     description="fixed-point covered index over a double column: scaled "
     "key-range scan + exact residual on the carried value",
 )
-def k16_fixedpoint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg02_fixedpoint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -874,7 +874,7 @@ def k16_fixedpoint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain source projection, proving the mutations were fully undone.
 # ---------------------------------------------------------------------------
 @register(
-    "k17_snapshot_restore",
+    "zg03_snapshot_restore",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            c_acctbal AS acctbal
@@ -883,7 +883,7 @@ def k16_fixedpoint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="HBase snapshot/restore parity: zero-copy capture, "
     "destructive DML, atomic-swap rollback to the snapshot",
 )
-def k17_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg03_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -928,7 +928,7 @@ def k17_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest.)  Oracle: the union the inserts built.
 # ---------------------------------------------------------------------------
 @register(
-    "k18_minor_compaction",
+    "zg04_minor_compaction",
     oracle="""
     SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS row_key,
            o_totalprice AS totalprice
@@ -942,7 +942,7 @@ def k17_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="minor compaction: small ingest files merged into one "
     "sorted run, content exactly preserved",
 )
-def k18_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg04_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)

@@ -1999,7 +1999,7 @@ _RERANK_R = 15
 
 
 @register(
-    "s09_ivfadc_rerank",
+    "zg16_ivfadc_rerank",
     oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
@@ -2077,7 +2077,7 @@ _RERANK_R = 15
     description="IVFADC + exact re-rank: ADC short-list of 15, exact "
     "squared-L2 top-5 reading only candidate vectors",
 )
-def s09_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg16_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         assign_cells,
@@ -2329,12 +2329,12 @@ _CANON_ORACLE = f"""{_SHINGLE_CTES}
 
 
 @register(
-    "z69_canonical_selection",
+    "d18_canonical_selection",
     oracle=_CANON_ORACLE,
     description="keep-best dedup: near-dup clusters keep the highest-"
     "quality member (deterministic min-id tie-break)",
 )
-def z69_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d18_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_join(
         docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
@@ -2528,7 +2528,7 @@ _OOV_TOPV = 500
 
 
 @register(
-    "z74_oov_rate",
+    "t24_oov_rate",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id AS id, {_TOK} AS tok FROM documents
@@ -2550,7 +2550,7 @@ _OOV_TOPV = 500
     description="per-doc OOV rate vs the corpus top-500 vocabulary "
     "(broadcast lexicon, map-side marking)",
 )
-def z74_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t24_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     vocab = text.vocabulary(docs, "text", top_k=_OOV_TOPV).select("term")
     return text.oov_rate(docs, vocab, "doc_id", "text")
@@ -2569,7 +2569,7 @@ _PMI_K = 100
 
 
 @register(
-    "z75_pmi_collocations",
+    "t25_pmi_collocations",
     oracle=f"""
     WITH __tok AS (
         SELECT {_TOK} AS t FROM documents
@@ -2597,7 +2597,7 @@ _PMI_K = 100
     description="top-k PMI collocations from the bigram table's own "
     "marginals — one corpus aggregate, deterministic rounded-pmi cutoff",
 )
-def z75_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t25_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import pmi_collocations
 
     docs = table(spark, sf_dir, "documents")
@@ -2691,7 +2691,7 @@ _REG76["zf12_split_leakage"].oracle = _z76_oracle()
 # quantile_disc computes the identical element).
 # ---------------------------------------------------------------------------
 @register(
-    "z78_surprisal_buckets",
+    "t26_surprisal_buckets",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id AS id, {_TOK} AS tok FROM documents
@@ -2723,7 +2723,7 @@ _REG76["zf12_split_leakage"].oracle = _z76_oracle()
     description="CCNet-style head/middle/tail tertiles over corpus-"
     "unigram surprisal (percentile_disc boundaries, no window)",
 )
-def z78_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t26_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import surprisal_buckets
 
     docs = table(spark, sf_dir, "documents")
@@ -2796,7 +2796,7 @@ _STRIP_DF = 5
 
 
 @register(
-    "z80_boilerplate_strip",
+    "t27_boilerplate_strip",
     oracle=f"""
     WITH __ln AS (
         SELECT doc_id,
@@ -2839,7 +2839,7 @@ _STRIP_DF = 5
     description="boilerplate-line stripping: corpus-frequent lines "
     "removed via a broadcast hash map, cleaned corpus emitted shuffle-free",
 )
-def z80_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t27_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.strip_boilerplate_lines(
         docs, "doc_id", "text", max_df=_STRIP_DF, min_line_tokens=_LINE_MT
@@ -2858,7 +2858,7 @@ _KNN_K = 5
 
 
 @register(
-    "z86_knn_label_propagation",
+    "s11_knn_label_propagation",
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -2891,7 +2891,7 @@ _KNN_K = 5
     description="kNN label propagation: majority label of the k nearest "
     "labeled neighbors (deterministic min-label ties)",
 )
-def z86_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s11_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % 23 == 0
     queries, pool = emb.filter(is_q), emb.filter(~is_q)
@@ -3007,7 +3007,7 @@ def zf13_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-specific and never hashed).
 # ---------------------------------------------------------------------------
 @register(
-    "z90_hll_vocab_overlap",
+    "d19_hll_vocab_overlap",
     oracle=f"""
     WITH __t AS (
         SELECT DISTINCT source, unnest({_TOK}) AS term FROM documents
@@ -3029,7 +3029,7 @@ def zf13_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="HLL sketch-union vocabulary overlap per source pair: "
     "exact values + estimate-error-bound boolean (q16 convention)",
 )
-def z90_hll_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d19_hll_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
 
     docs = table(spark, sf_dir, "documents")
@@ -3124,19 +3124,19 @@ def _z92_oracle() -> str:
 
 
 @register(
-    "z92_source_standardized_quality",
+    "t28_source_standardized_quality",
     oracle=None,  # assembled below
     description="per-source quality z-scores: decimal-exact moments, "
     "broadcast standardization (domain-normalized curation cuts)",
 )
-def z92_source_standardized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t28_source_standardized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.source_standardized_quality(docs, "source", "doc_id", "text")
 
 
 from spark_sql_hbase_spark.queries import REGISTRY as _REG92  # noqa: E402
 
-_REG92["z92_source_standardized_quality"].oracle = _z92_oracle()
+_REG92["t28_source_standardized_quality"].oracle = _z92_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -3147,7 +3147,7 @@ _REG92["z92_source_standardized_quality"].oracle = _z92_oracle()
 # vocabulary aggregate; the regression runs over ≤ 500 rows.
 # ---------------------------------------------------------------------------
 @register(
-    "z94_zipf_slope",
+    "t29_zipf_slope",
     oracle=f"""
     WITH __tf AS (
         SELECT unnest({_TOK}) AS term FROM documents
@@ -3174,7 +3174,7 @@ _REG92["z92_source_standardized_quality"].oracle = _z92_oracle()
     description="Zipf-law fit over the top-500 vocabulary: ln-ln "
     "least-squares slope + R2 — the corpus-health audit",
 )
-def z94_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t29_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.zipf_slope(docs, "text", top_k=500)
 
@@ -3189,7 +3189,7 @@ def z94_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair keep their hash split.
 # ---------------------------------------------------------------------------
 @register(
-    "z98_leakage_free_split",
+    "p07_leakage_free_split",
     oracle=f"""{_SHINGLE_CTES}
     , __jp AS (
         SELECT id_a, id_b
@@ -3227,7 +3227,7 @@ def z94_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="leakage-free split repair: near-dup components that "
     "straddle train/test move wholly to train",
 )
-def z98_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p07_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import word_hash
 
     docs = table(spark, sf_dir, "documents")
@@ -3278,7 +3278,7 @@ _Z99_QT = 0.35
 
 
 @register(
-    "z99_release_report",
+    "p08_release_report",
     oracle=f"""
     WITH __ln AS (
         SELECT doc_id,
@@ -3346,7 +3346,7 @@ _Z99_QT = 0.35
     description="corpus release report: strip boilerplate -> quality "
     "gate on cleaned text -> exact dedup -> per-source manifest",
 )
-def z99_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p08_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
     from spark_sql_hbase_spark.operators.text import quality_expr
 
@@ -3389,7 +3389,7 @@ def z99_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per label class.
 # ---------------------------------------------------------------------------
 @register(
-    "za02_contrastive_pairs",
+    "s12_contrastive_pairs",
     oracle="""
     WITH q AS (
         SELECT vec_id AS anchor, label AS alabel, embedding::DOUBLE[] AS qv
@@ -3417,7 +3417,7 @@ def z99_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="contrastive pair mining: nearest same-label positive + "
     "nearest different-label hard negative per anchor",
 )
-def za02_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s12_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from spark_sql_hbase_spark.operators.similarity import _to_double, cosine
@@ -3731,7 +3731,7 @@ _ZC20_SIZE, _ZC20_STRIDE = 32, 16
 
 
 @register(
-    "p05_sliding_chunks",
+    "zg15_sliding_chunks",
     oracle=f"""
     WITH __tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
     __n AS (
@@ -3757,7 +3757,7 @@ _ZC20_SIZE, _ZC20_STRIDE = 32, 16
     description="overlapping sliding context windows (size 32 stride "
     "16), all-JVM posexplode+slice — zero Python",
 )
-def p05_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg15_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
 
     docs = table(spark, sf_dir, "documents")

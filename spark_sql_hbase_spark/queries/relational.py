@@ -1218,7 +1218,7 @@ def zf14_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-side collect, and the fact side streams against a 1-row build.
 # ---------------------------------------------------------------------------
 @register(
-    "q13_waiting_customers",
+    "zg09_waiting_customers",
     oracle=f"""
     WITH cavg AS (
         SELECT {davg_sql('c_acctbal', 'avg_bal')}
@@ -1234,7 +1234,7 @@ def zf14_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="scalar subquery (broadcast 1-row agg) + anti join + agg",
 )
-def q13_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg09_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     cavg = cu.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal", "avg_bal"))
@@ -1253,7 +1253,7 @@ def q13_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count, then a histogram over the counts. Two shuffles: custkey, c_count.
 # ---------------------------------------------------------------------------
 @register(
-    "q14_order_count_histogram",
+    "zg10_order_count_histogram",
     oracle="""
     WITH c_orders AS (
         SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -1267,7 +1267,7 @@ def q13_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="left outer join w/ join-side predicate + count histogram",
 )
-def q14_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg10_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     c_orders = (
@@ -1433,7 +1433,7 @@ def q43_pandas_udaf_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grid via generate_series + IGNORE NULLS window.
 # ---------------------------------------------------------------------------
 @register(
-    "z89_resample_ffill",
+    "q31_resample_ffill",
     oracle="""
     WITH e AS (
         SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
@@ -1467,7 +1467,7 @@ def q43_pandas_udaf_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="hourly resample + forward fill: per-user grid, "
     "deterministic per-bucket last, ffill through empty cells",
 )
-def z89_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q31_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.asof import resample_ffill
 
     ev = table(spark, sf_dir, "events")
@@ -1577,12 +1577,12 @@ WHERE c.c_custkey <= 200
 
 
 @register(
-    "q05_lateral_topk",
+    "zg05_lateral_topk",
     oracle=_ZC05,
     description="correlated LATERAL subquery: per-customer top-3 orders, "
     "decorrelated by Catalyst into a ranked join",
 )
-def q05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ZC05)
@@ -1603,7 +1603,7 @@ def q05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts).
 # ---------------------------------------------------------------------------
 @register(
-    "q06_event_funnel",
+    "zg06_event_funnel",
     oracle="""
     WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
                WHERE event_type = 'view' GROUP BY user_id),
@@ -1626,7 +1626,7 @@ def q05_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="ordered view->click->purchase funnel: one scan, one "
     "user-keyed shuffle, stage chaining via per-user time arrays",
 )
-def q06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
@@ -1684,7 +1684,7 @@ def q06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines); retention is one IEEE division of exact counts.
 # ---------------------------------------------------------------------------
 @register(
-    "q08_retention_cohorts",
+    "zg07_retention_cohorts",
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT user_id,
@@ -1717,7 +1717,7 @@ def q06_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="weekly retention cohorts: one scan, cohort via per-user "
     "window min over distinct pairs, cohort-normalized retention",
 )
-def q08_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg07_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events")
@@ -1757,7 +1757,7 @@ def q08_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # revenue per the dsum convention.
 # ---------------------------------------------------------------------------
 @register(
-    "q19_disjunctive_join_revenue",
+    "zg13_disjunctive_join_revenue",
     oracle="""
     SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
                                AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
@@ -1773,7 +1773,7 @@ def q08_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q19-style disjunctive join: OR-of-conjunctions "
     "through an equi-join, decimal-exact revenue",
 )
-def q19_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg13_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.det import dsum
 
     li = table(spark, sf_dir, "lineitem")
@@ -1805,7 +1805,7 @@ def q19_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast-joined aggregate, not a window over the fact.
 # ---------------------------------------------------------------------------
 @register(
-    "q11_share_of_nation_having",
+    "zg08_share_of_nation_having",
     oracle="""
     WITH tot AS (
         SELECT s_nationkey,
@@ -1821,7 +1821,7 @@ def q19_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q11-style share threshold: balance > 5% of "
     "nation total via exact decimal compare, broadcast agg join",
 )
-def q11_share_of_nation_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg08_share_of_nation_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
     tot = s.groupBy("s_nationkey").agg(
         F.sum(F.col("s_acctbal").cast("decimal(38,6)")).alias("nation_total")
@@ -1853,7 +1853,7 @@ _ZC15_CUTS = [i / 10 for i in range(1, 10)]
 
 
 @register(
-    "q15_equidepth_histogram",
+    "zg11_equidepth_histogram",
     oracle=f"""
     WITH cuts AS (
         SELECT quantile_disc(o_totalprice,
@@ -1873,7 +1873,7 @@ _ZC15_CUTS = [i / 10 for i in range(1, 10)]
     description="equi-depth decile histogram: percentile_disc boundaries "
     "+ row-local bucket fold + bounded 10-row aggregate",
 )
-def q15_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg11_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     cuts = o.agg(
         F.array(
@@ -1917,7 +1917,7 @@ _ZC16_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
 
 
 @register(
-    "q17_column_profile",
+    "zg12_column_profile",
     oracle="""
     SELECT 'o_orderkey' AS col_name,
            CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
@@ -1944,7 +1944,7 @@ _ZC16_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
     description="per-column profile: nulls, exact distinct, min/max — "
     "one scan, stack-unpivoted summary row",
 )
-def q17_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     aggs = []
     for c in _ZC16_COLS:
@@ -2038,7 +2038,7 @@ def q26_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # surface put to analytic work.
 # ---------------------------------------------------------------------------
 @register(
-    "q24_event_volume_anomaly",
+    "zg14_event_volume_anomaly",
     oracle="""
     WITH hourly AS (
         SELECT event_type,
@@ -2077,7 +2077,7 @@ def q26_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="hourly event-volume anomalies: z-score vs the trailing "
     "24h window, integer-exact moments, self-excluding frame",
 )
-def q24_event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg14_event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events")

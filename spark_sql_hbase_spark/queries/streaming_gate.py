@@ -439,12 +439,12 @@ def st10_stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counters are pure mergeable sums.
 # ---------------------------------------------------------------------------
 @register(
-    "z72_stream_cms_sketch",
+    "st11_stream_cms_sketch",
     oracle=None,  # set below — reuses llm._cms_rows_sql after import
     description="streaming count-min sketch: bounded depth*width counter "
     "state over the token stream, complete-mode counters == batch sketch",
 )
-def z72_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st11_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.streaming.pipelines import streaming_cms_sketch
 
     docs = table(spark, sf_dir, "documents").select("text")
@@ -469,7 +469,7 @@ def _z72_oracle() -> str:
 
 from spark_sql_hbase_spark.queries import REGISTRY as _REG  # noqa: E402
 
-_REG["z72_stream_cms_sketch"].oracle = _z72_oracle()
+_REG["st11_stream_cms_sketch"].oracle = _z72_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -486,12 +486,12 @@ _Z77_QT = 0.5  # keep docs with composite quality >= 0.5
 
 
 @register(
-    "z77_stream_quality_sink",
+    "st12_stream_quality_sink",
     oracle=None,  # assembled below (reuses llm's tokenizer SQL)
     description="streaming quality-gated ingest: stream -> row-local "
     "quality gate -> keyed-table sink -> readback",
 )
-def z77_stream_quality_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st12_stream_quality_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.operators.text import quality_expr
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
@@ -548,7 +548,7 @@ def _z77_oracle() -> str:
     """
 
 
-_REG["z77_stream_quality_sink"].oracle = _z77_oracle()
+_REG["st12_stream_quality_sink"].oracle = _z77_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -639,7 +639,7 @@ _Z88_QUOTA = 10
 
 
 @register(
-    "z88_stream_quota_admission",
+    "st13_stream_quota_admission",
     oracle=f"""
     SELECT user_id, LEAST(n, {_Z88_QUOTA}) AS admitted,
            GREATEST(n - {_Z88_QUOTA}, 0) AS rejected
@@ -649,7 +649,7 @@ _Z88_QUOTA = 10
     description="stateful quota admission: GroupState running total per "
     "key, admitted/rejected per batch",
 )
-def z88_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st13_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.streaming.pipelines import quota_admission_stream
 
     ev = table(spark, sf_dir, "events").select("user_id")
@@ -672,12 +672,12 @@ def z88_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hashed.
 # ---------------------------------------------------------------------------
 @register(
-    "z93_stream_vocab_cardinality",
+    "st14_stream_vocab_cardinality",
     oracle=None,  # assembled below (reuses llm's tokenizer SQL)
     description="streaming HLL distinct per source: one bounded sketch "
     "of state per key, complete-mode estimate vs batch-exact bound",
 )
-def z93_stream_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st14_stream_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
 
     docs = table(spark, sf_dir, "documents").select("source", "text")
@@ -720,7 +720,7 @@ def _z93_oracle() -> str:
     """
 
 
-_REG["z93_stream_vocab_cardinality"].oracle = _z93_oracle()
+_REG["st14_stream_vocab_cardinality"].oracle = _z93_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -817,7 +817,7 @@ def st07_stream_index_dualwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: the same CASE construction as st06, without the version.
 # ---------------------------------------------------------------------------
 @register(
-    "st08_stream_upsert_sink",
+    "zg17_stream_upsert_sink",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
@@ -827,7 +827,7 @@ def st07_stream_index_dualwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="streaming upsert sink: per-batch MERGE into the keyed "
     "store, table is the latest-state view",
 )
-def st08_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg17_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     from spark_sql_hbase_spark.catalog import TableSpec

@@ -126,7 +126,7 @@ def test_q40_scalar_subquery_is_broadcast(spark, registry):
     """The 1-row aggregate joins as a broadcast nested loop (never a
     shuffle); the anti join stays an equi-join (hash/merge, no cartesian
     against the big side)."""
-    plan = formatted_plan(registry["q13_waiting_customers"].fn(spark, SF))
+    plan = formatted_plan(registry["zg09_waiting_customers"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
 
@@ -693,7 +693,7 @@ def test_z64_rerank_shuffles_candidates_only(spark, registry):
     into the vector scan — the vector table never shuffles, and every
     hash exchange is a per-query candidate ranking (keyed on query_id,
     carrying no embedding column)."""
-    plan = formatted_plan(registry["s09_ivfadc_rerank"].fn(spark, SF))
+    plan = formatted_plan(registry["zg16_ivfadc_rerank"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:800]
     lines = plan.splitlines()
     matched = 0
@@ -736,7 +736,7 @@ def test_z69_canonical_selection_no_cartesian(spark, registry):
     """Keep-best selection stays equi-join/broadcast everywhere — no
     CartesianProduct and no unpartitioned Window sneaks in via the
     argmax (it is max-then-filter-then-min, not a window rank)."""
-    plan = formatted_plan(registry["z69_canonical_selection"].fn(spark, SF))
+    plan = formatted_plan(registry["d18_canonical_selection"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:1200]
     assert not re.findall(r"\(\d+\) Window\b", plan), plan[:1200]
 
@@ -777,7 +777,7 @@ def test_z74_oov_vocab_is_broadcast(spark, registry):
     """The vocabulary side must broadcast (bounded top-V) and the OOV
     marking join must be a BroadcastHashJoin — the corpus is never
     shuffled to be marked; exchanges never carry text."""
-    plan = formatted_plan(registry["z74_oov_rate"].fn(spark, SF))
+    plan = formatted_plan(registry["t24_oov_rate"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:1200]
     lines = plan.splitlines()
     for i, line in enumerate(lines):
@@ -801,7 +801,7 @@ def test_z75_pmi_consumers_hit_cache(spark, registry):
     its four consumers (min_count filter branch, left marginal, right
     marginal, scalar total) must read it from cache so the corpus is
     tokenized once (t13's cache discipline)."""
-    df = registry["z75_pmi_collocations"].fn(spark, SF)
+    df = registry["t25_pmi_collocations"].fn(spark, SF)
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") >= 4, plan[:2000]
@@ -812,7 +812,7 @@ def test_z75_pmi_consumers_hit_cache(spark, registry):
 def test_z75_pmi_topk_is_take_ordered(spark, registry):
     """The final ranking must be TakeOrderedAndProject (partial top-k per
     partition), never a global sort of the collocation table."""
-    plan = formatted_plan(registry["z75_pmi_collocations"].fn(spark, SF))
+    plan = formatted_plan(registry["t25_pmi_collocations"].fn(spark, SF))
     try:
         assert "TakeOrderedAndProject" in plan, plan[:1200]
     finally:
@@ -823,7 +823,7 @@ def test_z78_surprisal_buckets_no_window_boundaries_broadcast(spark, registry):
     """Tertile bucketing must stay sort/window-free: percentile_disc is
     ONE sketchless exact aggregate over the cached surprisal frame, the
     labels a row-local comparison against the broadcast scalar pair."""
-    df = registry["z78_surprisal_buckets"].fn(spark, SF)
+    df = registry["t26_surprisal_buckets"].fn(spark, SF)
     try:
         plan = formatted_plan(df)
         assert not re.findall(r"\(\d+\) Window\b", plan), plan[:1200]
@@ -858,7 +858,7 @@ def test_z80_strip_text_never_exchanged(spark, registry):
     every exchange: the only hash exchange is the flagged-set aggregate
     (8-byte line hashes), and the flagged map rides a single-row
     BroadcastNestedLoopJoin into the row-local filter."""
-    plan = formatted_plan(registry["z80_boilerplate_strip"].fn(spark, SF))
+    plan = formatted_plan(registry["t27_boilerplate_strip"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan, plan[:1200]
     lines = plan.splitlines()
     matched = 0
@@ -906,7 +906,7 @@ def test_z89_resample_single_scan_one_window(spark, registry):
     pruning makes the two subtrees non-reusable uncached, so this is
     t13's cache discipline) — and uses exactly one Window: the per-key
     forward fill."""
-    df = registry["z89_resample_ffill"].fn(spark, SF)
+    df = registry["q31_resample_ffill"].fn(spark, SF)
     try:
         plan = formatted_plan(df)
         assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan[:1500]
@@ -943,7 +943,7 @@ def test_zc05_lateral_is_decorrelated_not_nested_loop(spark, registry):
     """The correlated LATERAL (ORDER BY ... LIMIT) must decorrelate into
     a ranked window + equi-join — a per-outer-row nested-loop
     re-execution would be quadratic at scale."""
-    plan = formatted_plan(registry["q05_lateral_topk"].fn(spark, SF))
+    plan = formatted_plan(registry["zg05_lateral_topk"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan, plan
@@ -955,7 +955,7 @@ def test_zc06_zc07_single_corpus_scan(spark, registry):
     cohort matrix derives the cohort week via a window min over the
     distinct pairs instead of a self-join (which would re-scan)."""
     spark.catalog.clearCache()
-    for name in ("q06_event_funnel", "q08_retention_cohorts"):
+    for name in ("zg06_event_funnel", "zg07_retention_cohorts"):
         plan = formatted_plan(registry[name].fn(spark, SF))
         assert plan.count("events.parquet") == 1, (name, plan)
 
@@ -964,7 +964,7 @@ def test_zc20_sliding_chunks_no_python_in_plan(spark, registry):
     """The sliding-window chunker is the PRODUCTION chunking shape: the
     whole one-to-many expansion must stay in JVM expressions — no
     Python eval operator anywhere in the plan."""
-    plan = formatted_plan(registry["p05_sliding_chunks"].fn(spark, SF))
+    plan = formatted_plan(registry["zg15_sliding_chunks"].fn(spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Generate" in plan, plan
