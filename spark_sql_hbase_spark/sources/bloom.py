@@ -58,6 +58,12 @@ import struct
 import uuid
 
 BLOOM_DIR = "_bloom"
+# sidecars over the covered-index `i:src_key` PAYLOAD column (always
+# declared string), probed by incremental index maintenance to prune
+# its locate to the files actually holding a changed source key —
+# without them the locate scans O(index) per DML because the index is
+# sorted by VALUE, so one source key's entries can land anywhere
+SRCKEY_DIR = "_bloom-srckey"
 DEFAULT_FPP = 0.01
 _MAGIC = b"KBF1"
 _HEADER = struct.Struct("<4sIQ")
@@ -157,27 +163,32 @@ def unpack(blob: bytes) -> tuple[int, int, bytes] | None:
     return m, k, bitmap
 
 
-def sidecar_path(gen_path: str, fname: str) -> str:
-    return os.path.join(gen_path, BLOOM_DIR, fname + ".bf")
+def sidecar_path(gen_path: str, fname: str, subdir: str = BLOOM_DIR) -> str:
+    return os.path.join(gen_path, subdir, fname + ".bf")
 
 
-def write_sidecar(gen_path: str, fname: str, m: int, k: int, bitmap) -> None:
+def write_sidecar(
+    gen_path: str, fname: str, m: int, k: int, bitmap,
+    subdir: str = BLOOM_DIR,
+) -> None:
     """Atomic (tmp + rename) so a concurrent probe never reads a
     partial sidecar; last-writer-wins is fine (identical content for
     identical input files)."""
-    bdir = os.path.join(gen_path, BLOOM_DIR)
+    bdir = os.path.join(gen_path, subdir)
     os.makedirs(bdir, exist_ok=True)
     tmp = os.path.join(bdir, f".bf-tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "wb") as fh:
         fh.write(pack(m, k, bitmap))
-    os.replace(tmp, sidecar_path(gen_path, fname))
+    os.replace(tmp, sidecar_path(gen_path, fname, subdir))
 
 
-def load_sidecar(gen_path: str, fname: str) -> tuple[int, int, bytes] | None:
+def load_sidecar(
+    gen_path: str, fname: str, subdir: str = BLOOM_DIR
+) -> tuple[int, int, bytes] | None:
     """``(m, k, bitmap)`` or ``None`` (absent/unreadable/malformed —
     the caller treats the file as a candidate)."""
     try:
-        with open(sidecar_path(gen_path, fname), "rb") as fh:
+        with open(sidecar_path(gen_path, fname, subdir), "rb") as fh:
             return unpack(fh.read())
     except OSError:
         return None
@@ -208,7 +219,8 @@ def probe_type(key_type: str):
 
 
 def file_survives_point_sets(
-    gen_path: str, fname: str, point_sets: list[list], key_type: str
+    gen_path: str, fname: str, point_sets: list[list], key_type: str,
+    subdir: str = BLOOM_DIR,
 ) -> bool:
     """Bloom verdict for one file against ANDed point predicates: each
     ``point_sets`` entry is the value list of one ``EqualTo``/``In`` on
@@ -219,7 +231,7 @@ def file_survives_point_sets(
     want = probe_type(key_type)
     if want is None:
         return True
-    rec = load_sidecar(gen_path, fname)
+    rec = load_sidecar(gen_path, fname, subdir)
     if rec is None:
         return True
     m, k, bitmap = rec

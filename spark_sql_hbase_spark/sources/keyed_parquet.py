@@ -1095,6 +1095,22 @@ class KeyedTableStore:
                             )
                         except Exception:
                             pass  # cache only — never fail the append
+                    if self._srckey_bloom_enabled(spec):
+                        # index tables: src-key sidecars for the
+                        # appended entries, same staging discipline
+                        try:
+                            self._build_bloom_files(
+                                spec,
+                                tmp,
+                                parts,
+                                rows_by_file={
+                                    f: s[2] for f, s in part_stats.items()
+                                },
+                                column="i:src_key",
+                                subdir=_bloom.SRCKEY_DIR,
+                            )
+                        except Exception:
+                            pass  # cache only — never fail the append
                     with self._table_write_lock(root):
                         path_now = self.table_path(spec)
                         for fname in parts:
@@ -1473,15 +1489,17 @@ class KeyedTableStore:
         maintenance is INCREMENTAL: per index, selectively delete the
         entries whose ``i:src_key`` is a changed key (the
         selective-rewrite machinery on the INDEX table), then append
-        the fresh projection of the changed rows (O(batch)).  Cost
-        honestly stated: the locate semi-joins on ``i:src_key`` — a
-        PAYLOAD column, not the index row key — so the locating SCAN is
-        O(index) per index, while the rewrite I/O it gates is
-        O(affected index files); pruning the locate itself would need
-        src-key→index-file metadata the layout doesn't keep (the index
-        is sorted by value, so one source key's entries can land
-        anywhere).  Still far below the full rebuild, whose SHUFFLE
-        and WRITE are O(index).  Large changes (or callers without key
+        the fresh projection of the changed rows (O(batch)).  The
+        locate semi-joins on ``i:src_key`` — a PAYLOAD column, not the
+        index row key, and the value-sorted layout scatters one source
+        key's entries across any file — so index files carry src-key
+        Bloom sidecars (``_bloom-srckey/``, built by every index write
+        path) and the locate SCANS only the files whose sidecar admits
+        a changed key: ~O(affected files) for point DML instead of
+        O(index).  Files without a sidecar stay candidates; batches
+        over ``_BLOOM_MERGE_PROBE_MAX`` keys skip pruning (the scan is
+        worth paying there).  Far below the full rebuild, whose
+        SHUFFLE and WRITE are O(index).  Large changes (or callers without key
         knowledge) fall back to that full rebuild: ONE index-projection
         key-sorted rewrite per index (width guard folded into the
         projection via ``guard=True``).
@@ -1582,6 +1600,10 @@ class KeyedTableStore:
             keys, main[ROW_KEY] == F.col("__changed_key"), "left_semi"
         ).localCheckpoint(eager=True)
         has_new_rows = bool(changed_rows.take(1))
+        # src-key Bloom probe values, collected ONCE for all indexes
+        # (bounded: at most _BLOOM_MERGE_PROBE_MAX keys, else None and
+        # the locate scans unpruned)
+        probe_keys = self._collect_probe_keys(changed_keys)
         for iq, meta in indexes.items():
             ispec = self.registry.get(iq)
             self._mark_index_stale(iq, True)
@@ -1592,6 +1614,22 @@ class KeyedTableStore:
                 # a lost CAS re-locates against the winner's state
                 ipath = self.table_path(ispec)
                 ifiles = self._data_files(ipath)
+                if probe_keys is not None:
+                    # the index is sorted by VALUE, so a changed source
+                    # key's entries can land in any file — the src-key
+                    # Bloom sidecars prune the locate to the files that
+                    # may actually hold one (absent sidecars keep the
+                    # file; an empty survivor set proves no entries)
+                    ifiles = [
+                        f
+                        for f in ifiles
+                        if _bloom.file_survives_point_sets(
+                            ipath, f, [probe_keys], "string",
+                            subdir=_bloom.SRCKEY_DIR,
+                        )
+                    ]
+                    if not ifiles:
+                        return
                 affected = self._locate_affected_files(
                     ispec,
                     lambda d: d.join(
@@ -2479,9 +2517,8 @@ class KeyedTableStore:
                     continue
         return out
 
-    @classmethod
     def _span_candidates(
-        cls,
+        self,
         path: str,
         lo,
         hi,
@@ -2507,13 +2544,15 @@ class KeyedTableStore:
         file (ONE small JSON read instead of O(files) footer opens —
         the 100 TB fix); uncovered files read their footer live."""
         if files is None:
-            files = cls._data_files(path)
-        cached = cls._load_span_stats(path)
+            files = self._data_files(path)
+        cached = self._load_span_stats(path)
         out = []
+        misses: dict = {}
         for fname in files:
             rec = cached.get(fname)
             if rec is None:
-                rec = cls._footer_key_stats(os.path.join(path, fname))
+                rec = self._footer_key_stats(os.path.join(path, fname))
+                misses[fname] = rec
             if stats is not None:
                 stats[fname] = rec
             f_lo, f_hi, rows, exact = rec
@@ -2530,7 +2569,36 @@ class KeyedTableStore:
             except TypeError:
                 pass  # incomparable bound/stat types: keep as candidate
             out.append(fname)
+        if misses:
+            # a generation whose manifest misses files (a crash between
+            # append link-in and sidecar write, a foreign writer) would
+            # otherwise re-pay these live footer reads on EVERY
+            # operation — persist them as a span sidecar so the cost is
+            # once per generation
+            self._backfill_span_sidecar(path, misses)
         return out
+
+    def _backfill_span_sidecar(self, path: str, stats: dict) -> None:
+        """Best-effort persistence of live footer reads a span lookup
+        paid for files the generation's manifest misses.  Only for
+        ``gen-*`` directories (flat legacy roots get their manifest via
+        :meth:`build_bloom_filters`, and foreign/snapshot dirs are not
+        ours to annotate), under a short writer-lock timeout (sidecar
+        creation is serialized against
+        :meth:`_maybe_merge_span_sidecars`); contention or failure just
+        leaves the next operation to re-read the footers."""
+        try:
+            if not os.path.basename(path.rstrip(os.sep)).startswith("gen-"):
+                return
+            root = os.path.dirname(path.rstrip(os.sep))
+            with self._table_write_lock(root, timeout=2.0):
+                live = self._load_span_stats(path)
+                fresh = {f: r for f, r in stats.items() if f not in live}
+                if fresh:
+                    self._write_span_sidecar(path, fresh)
+                    self._maybe_merge_span_sidecars(path)
+        except Exception:
+            return  # cache backfill never fails or stalls the read path
 
     # -- per-file row-key Bloom filters (HBase BLOOMFILTER => 'ROW') ------
     #
@@ -2553,6 +2621,40 @@ class KeyedTableStore:
             if k.lower() == name:
                 return v
         return None
+
+    @staticmethod
+    def _srckey_bloom_enabled(spec: TableSpec) -> bool:
+        """Covered-index tables (the ``i:src_key`` payload family
+        :meth:`create_covered_index` declares) ALWAYS carry src-key
+        Bloom sidecars: incremental index maintenance locates changed
+        entries by equality on ``i:src_key`` — a payload column the
+        value-sorted layout scatters across every file — so without
+        them the locate scans O(index) per DML.  No property gate: the
+        build rides writes that are already O(index), and the sidecars
+        are strictly a cache (absent ⇒ candidate)."""
+        return "src_key" in spec.families.get("i", {})
+
+    def _collect_probe_keys(self, changed_keys: DataFrame) -> list | None:
+        """The changed source keys as STRING probe values for src-key
+        Bloom pruning, or ``None`` when pruning must be skipped (more
+        than ``_BLOOM_MERGE_PROBE_MAX`` keys — a batch that large makes
+        the locate scan worth paying anyway).  The Spark ``cast``
+        renders each key exactly as the index write path rendered it
+        into the string-typed ``i:src_key`` column (same cast), so
+        build and probe encodings agree for every main-table key type.
+        NULL source keys are dropped: the locate's equality semi-join
+        can never match them."""
+        try:
+            rows = (
+                changed_keys.select(F.col(ROW_KEY).cast("string"))
+                .limit(self._BLOOM_MERGE_PROBE_MAX + 1)
+                .collect()
+            )
+        except Exception:
+            return None
+        if len(rows) > self._BLOOM_MERGE_PROBE_MAX:
+            return None
+        return [r[0] for r in rows if r[0] is not None]
 
     def _bloom_enabled(self, spec: TableSpec) -> bool:
         prop = self._table_prop(spec, "bloomfilter") or "NONE"
@@ -2622,13 +2724,16 @@ class KeyedTableStore:
     ) -> None:
         """Hardlink the Bloom sidecars of ``files`` from ``src_path``
         into ``dst_path`` (append link-in, snapshot capture) — files
-        without one are simply uncovered (candidates on probe)."""
-        for fname in files:
-            src = _bloom.sidecar_path(src_path, fname)
-            dst = _bloom.sidecar_path(dst_path, fname)
-            if os.path.exists(src) and not os.path.exists(dst):
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                self._link_or_copy(src, dst)
+        without one are simply uncovered (candidates on probe).  Both
+        sidecar families ride the carry: row-key filters (``_bloom``)
+        and, on index tables, src-key filters (``_bloom-srckey``)."""
+        for subdir in (_bloom.BLOOM_DIR, _bloom.SRCKEY_DIR):
+            for fname in files:
+                src = _bloom.sidecar_path(src_path, fname, subdir)
+                dst = _bloom.sidecar_path(dst_path, fname, subdir)
+                if os.path.exists(src) and not os.path.exists(dst):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    self._link_or_copy(src, dst)
 
     def _write_bloom_filters(
         self,
@@ -2642,20 +2747,30 @@ class KeyedTableStore:
         like span-manifest entries (same name ⇒ identical content) —
         and build the rest distributively.  Called on PRIVATE staging
         before the generation flip, so no lock is needed."""
-        if not self._bloom_enabled(spec):
+        jobs = []
+        if self._bloom_enabled(spec):
+            jobs.append((ROW_KEY, _bloom.BLOOM_DIR))
+        if self._srckey_bloom_enabled(spec):
+            jobs.append(("i:src_key", _bloom.SRCKEY_DIR))
+        if not jobs:
             return
         files = self._data_files(gen_path)
         if not files:
             return
         if reuse_path:
             self._carry_bloom_sidecars(reuse_path, gen_path, files)
-        need = [
-            f
-            for f in files
-            if not os.path.exists(_bloom.sidecar_path(gen_path, f))
-        ]
-        if need:
-            self._build_bloom_files(spec, gen_path, need)
+        for column, subdir in jobs:
+            need = [
+                f
+                for f in files
+                if not os.path.exists(
+                    _bloom.sidecar_path(gen_path, f, subdir)
+                )
+            ]
+            if need:
+                self._build_bloom_files(
+                    spec, gen_path, need, column=column, subdir=subdir
+                )
 
     def _build_bloom_files(
         self,
@@ -2663,6 +2778,8 @@ class KeyedTableStore:
         gen_path: str,
         files: list[str],
         rows_by_file: dict | None = None,
+        column: str = ROW_KEY,
+        subdir: str = _bloom.BLOOM_DIR,
     ) -> list[str]:
         """Bloom-sidecar build over exactly ``files``; returns the
         subset a filter was built for (zero-row and unreadable files
@@ -2721,7 +2838,7 @@ class KeyedTableStore:
             for fname, (rows, (m, k)) in params.items():
                 try:
                     col = pq.read_table(
-                        os.path.join(gen_path, fname), columns=[ROW_KEY]
+                        os.path.join(gen_path, fname), columns=[column]
                     ).column(0)
                 except Exception:
                     continue  # unreadable: no sidecar, file stays candidate
@@ -2730,13 +2847,13 @@ class KeyedTableStore:
                     data = _bloom.encode_key(v)
                     if data is not None:
                         _bloom.set_key(bits, data, m, k)
-                _bloom.write_sidecar(gen_path, fname, m, k, bits)
+                _bloom.write_sidecar(gen_path, fname, m, k, bits, subdir)
                 built.append(fname)
             return built
         params = {fname: mk for fname, (rows, mk) in params.items()}
 
         key_field = next(
-            f for f in spec.schema().fields if f.name == ROW_KEY
+            f for f in spec.schema().fields if f.name == column
         )
         # Arrow→pandas promotes an integral key column CONTAINING NULLS
         # to float64, whose values encode_key refuses (and whose
@@ -2749,7 +2866,7 @@ class KeyedTableStore:
         # column.  Binary keys stay binary (pandas keeps them as bytes
         # objects — no dtype promotion — and a UTF-8 round-trip through
         # string would be lossy).
-        key_col = F.col(ROW_KEY)
+        key_col = F.col(f"`{column}`")
         if not isinstance(key_field.dataType, T.BinaryType):
             key_col = key_col.cast("string")
         src = (
@@ -2759,6 +2876,7 @@ class KeyedTableStore:
         )
         B = _bloom
         target = gen_path
+        sub = subdir
 
         def _partials(batches):
             from urllib.parse import unquote
@@ -2801,7 +2919,7 @@ class KeyedTableStore:
                 part = np.frombuffer(blob, dtype=np.uint8)
                 if part.shape == agg.shape:
                     agg |= part
-            B.write_sidecar(target, base, m, k, agg.tobytes())
+            B.write_sidecar(target, base, m, k, agg.tobytes(), sub)
             return pd.DataFrame({"file": [base], "partials": [len(pdf)]})
 
         (

@@ -1942,7 +1942,7 @@ def test_concurrent_dml_writers_lose_no_updates(spark, tmp_path):
                     "row_key string, `c:grp` long, `c:val` double",
                 ))
         except Exception as e:  # noqa: BLE001 — recorded for the assert
-            errs.append(e)
+            record(e)
 
     def deleter():
         try:
@@ -2205,10 +2205,15 @@ def test_three_writer_stress_compact_upsert_delete(spark, tmp_path):
         ConcurrentWriteConflictError,
     )
 
+    import traceback
+
     st = _mk_plain_table(spark, tmp_path, n=40)
     st.compact("r6.t", n_regions=4)
     errs: list = []
     compact_conflicts: list = []
+
+    def record(e):
+        errs.append(traceback.format_exc())
 
     def merger():
         try:
@@ -2231,7 +2236,7 @@ def test_three_writer_stress_compact_upsert_delete(spark, tmp_path):
                     "r6.t", f"row_key = 'bb_{i:04d}'"
                 ) == 1
         except Exception as e:  # noqa: BLE001
-            errs.append(e)
+            record(e)
 
     def compactor():
         for _ in range(3):
@@ -2242,7 +2247,7 @@ def test_three_writer_stress_compact_upsert_delete(spark, tmp_path):
                 # exhausted, loudly — never silent row loss
                 compact_conflicts.append(e)
             except Exception as e:  # noqa: BLE001
-                errs.append(e)
+                record(e)
 
     def lease_reader():
         # scan leases acquired DURING the churn: each one must read a
@@ -2257,7 +2262,7 @@ def test_three_writer_stress_compact_upsert_delete(spark, tmp_path):
                     assert n1 == n2, (n1, n2)
                     assert n1 >= 40  # never a torn/partial generation
         except Exception as e:  # noqa: BLE001
-            errs.append(e)
+            record(e)
 
     threads = [
         threading.Thread(target=merger),
@@ -2789,3 +2794,104 @@ def test_lock_timeout_fails_fast_not_retried(spark, tmp_path):
     # still a ConcurrentWriteConflictError subclass, so best-effort
     # callers (opportunistic GC) keep catching it
     assert issubclass(LockTimeoutError, ConcurrentWriteConflictError)
+
+
+def test_incremental_index_locate_prunes_by_srckey_bloom(spark, tmp_path):
+    """Incremental index maintenance must locate changed entries by
+    probing the src-key Bloom sidecars, not by scanning O(index): a
+    1-key DML's index locate receives exactly the files whose sidecar
+    admits the key (the value-sorted layout scatters src keys, so span
+    stats can't do this)."""
+    from spark_sql_hbase_spark.sources import bloom
+
+    st = _mk_plain_table(spark, tmp_path, n=200)
+    st.create_covered_index("r6.t", "r6.by_grp", "c:grp",
+                            include=["c:val"], key_width=4)
+    st.compact("r6.by_grp", n_regions=4)
+    ipath = st.table_path(st.registry.get("r6.by_grp"))
+    ifiles = st._data_files(ipath)
+    assert len(ifiles) >= 3
+    for f in ifiles:
+        assert os.path.exists(
+            bloom.sidecar_path(ipath, f, bloom.SRCKEY_DIR)
+        ), f"missing src-key sidecar for {f}"
+
+    key = "00000007"
+    expected = [
+        f for f in ifiles
+        if bloom.file_survives_point_sets(
+            ipath, f, [[key]], "string", subdir=bloom.SRCKEY_DIR
+        )
+    ]
+    # the probe is deterministic (fixed key set, fixed sizing): the
+    # holder file must survive, and pruning must actually bite
+    assert 0 < len(expected) < len(ifiles)
+
+    captured = {}
+    orig = KeyedTableStore._locate_affected_files
+
+    def spy(self, spec, fn, files=None):
+        if spec.qualified_name == "r6.by_grp":
+            captured["files"] = files
+        return orig(self, spec, fn, files=files)
+
+    KeyedTableStore._locate_affected_files = spy
+    try:
+        n = st.update_where(
+            "r6.t", {"c:val": "`c:val` + 100"}, f"row_key = '{key}'"
+        )
+    finally:
+        KeyedTableStore._locate_affected_files = orig
+    assert n == 1
+    assert captured["files"] == expected, (
+        "index locate did not prune to the bloom-admitted files"
+    )
+    # the maintained index still answers correctly (entry moved value)
+    got = {
+        (r["i:src_key"], r["c:val"])
+        for r in st.index_lookup("r6.by_grp", 3).collect()
+        if r["i:src_key"] == key
+    }
+    assert got == {(key, 7 * 1.5 + 100)}
+
+
+def test_manifestless_generation_backfills_span_sidecar(spark, tmp_path):
+    """A generation whose span metadata is GONE (crash between append
+    link-in and sidecar write, foreign writer) must pay its live footer
+    reads ONCE: the first span lookup backfills a span sidecar, and the
+    next operation on the same generation reads zero footers."""
+    st = _mk_plain_table(spark, tmp_path, n=40)
+    st.compact("r6.t", n_regions=4)
+    path = st.table_path(st.registry.get("r6.t"))
+    for f in os.listdir(path):
+        if f == "_spans.json" or (
+            f.startswith("_spans-") and f.endswith(".json")
+        ):
+            os.remove(os.path.join(path, f))
+    assert st._load_span_stats(path) == {}
+
+    calls: list = []
+    orig = KeyedTableStore._footer_key_stats
+
+    def spy(full):
+        calls.append(full)
+        return orig(full)
+
+    KeyedTableStore._footer_key_stats = staticmethod(spy)
+    try:
+        # no-match DML: locate prunes everything, no rewrite, SAME
+        # generation — pays the footer reads and backfills
+        assert st.delete_where("r6.t", "row_key = 'zz_absent'") == 0
+        first = [c for c in calls if os.path.dirname(c) == path]
+        assert first, "first locate should have read footers live"
+        assert st._load_span_stats(path), "backfill did not persist"
+        calls.clear()
+        # second op on the SAME generation: served by the sidecar
+        assert st.delete_where("r6.t", "row_key = 'zz_absent2'") == 0
+        second = [c for c in calls if os.path.dirname(c) == path]
+        assert second == [], f"re-paid footer reads: {second}"
+    finally:
+        KeyedTableStore._footer_key_stats = staticmethod(orig)
+    # the backfilled stats agree with the live footers
+    for fname, rec in st._load_span_stats(path).items():
+        assert rec == orig(os.path.join(path, fname)), fname
