@@ -3415,7 +3415,7 @@ class KeyedTableStore:
     def _upsert_rewrite(
         self, spec, qualified_name, incoming, keys, affected, path,
         schema, async_index, batch_span=None, footer_stats=None,
-        n_incoming=None,
+        n_incoming=None, drop_keys=None,
     ) -> DataFrame | None:
         """The merge-window rewrite behind :meth:`upsert`, one attempt
         against one resolved generation (``path``/``affected``).
@@ -3456,6 +3456,13 @@ class KeyedTableStore:
             sub = self.spark.read.schema(schema).parquet(
                 *[os.path.join(path, f) for f in affected]
             )
+            if drop_keys is not None:
+                # batched mutate(): deleted keys leave the affected
+                # files with NO replacement row — the merge window below
+                # only replaces keys that have an incoming row.  NULL
+                # keys never match an anti-join probe, so NULL-key rows
+                # are kept (same law as delete_where)
+                sub = sub.join(F.broadcast(drop_keys), ROW_KEY, "left_anti")
             tagged = sub.withColumn("__src", F.lit(0)).unionByName(
                 incoming.filter(in_span).withColumn("__src", F.lit(1))
             )
@@ -3784,6 +3791,233 @@ class KeyedTableStore:
             f"{qualified_name}: {op} of {key!r} lost the CAS race "
             f"{retries} times"
         )
+
+    _MUTATE_OPS = frozenset(
+        {"put", "check_put", "delete", "check_delete", "increment", "append"}
+    )
+
+    def mutate(
+        self,
+        qualified_name: str,
+        ops: list[dict],
+        async_index: bool = False,
+    ) -> list[dict]:
+        """HBase ``Table.batch()`` parity: fold N INDEPENDENT single-row
+        mutations into ONE locate + rewrite + generation-CAS commit —
+        a caller issuing thousands of increments pays one swap instead
+        of serializing N full commits on the writer lock.  Each op is a
+        dict (results returned in op order as ``{"applied", "value"}``;
+        ``value`` is the post-op cell for increment/append):
+
+        - ``{"op": "put", "key": k, "row": {...}}`` — unconditional Put
+        - ``{"op": "check_put", "key": k, "col": c, "expected": v,
+          "row": {...}}`` — Put iff the cell equals ``expected``
+          (``None`` = absent), per :meth:`check_and_put`
+        - ``{"op": "delete", "key": k}`` — row Delete (absent = no-op
+          success, like HBase)
+        - ``{"op": "check_delete", "key": k, "col": c, "expected": v}``
+        - ``{"op": "increment", "key": k, "col": c, "delta": n}``
+        - ``{"op": "append", "key": k, "col": c, "value": v}``
+
+        Ops must target DISTINCT row keys (HBase ``batch()`` leaves
+        same-row ordering unspecified; this surface refuses the
+        ambiguity — sequence same-key ops across calls).  Atomicity is
+        STRONGER than HBase batch: every check/read-modify-write
+        evaluates against the one generation the attempt resolved, and
+        the swap names it as its CAS base, so a concurrent commit
+        re-runs the whole batch — checks included — against the
+        winner's state; the whole batch becomes visible atomically.
+
+        Cost: one span+Bloom-pruned candidate scan for the batch's
+        current rows, one locate over those candidates, one merge
+        rewrite of the affected files (+ one fresh sorted run for
+        outside-span/new keys), one flip.  Reference analogue: the
+        ``Table.batch``/``checkAndMutate`` client surface the
+        reference's puts ride (``InsertIntoHBaseTable.scala:80-97``)."""
+        spec = self.registry.get(qualified_name)
+        schema = spec.schema()
+        names = [f.name for f in schema.fields]
+        col_idx = {c: i for i, c in enumerate(names)}
+        if not ops:
+            return []
+        seen: set = set()
+        for o in ops:
+            kind = o.get("op")
+            if kind not in self._MUTATE_OPS:
+                raise ValueError(
+                    f"{qualified_name}: unknown mutation op {kind!r} "
+                    f"(have {sorted(self._MUTATE_OPS)})"
+                )
+            key = o.get("key")
+            if key is None:
+                raise ValueError(
+                    f"{qualified_name}: mutations need a non-NULL row key"
+                )
+            if key in seen:
+                raise ValueError(
+                    f"{qualified_name}: duplicate key {key!r} in one "
+                    "mutate() batch — ops must be independent; sequence "
+                    "same-key ops across calls"
+                )
+            seen.add(key)
+            if kind in ("check_put", "check_delete", "increment", "append"):
+                self._require_column(spec, o["col"])
+            if kind in ("put", "check_put"):
+                row = o.get("row") or {}
+                unknown = set(row) - set(names)
+                if unknown:
+                    raise ValueError(
+                        f"{qualified_name}: unknown Put columns "
+                        f"{sorted(unknown)}"
+                    )
+                if ROW_KEY in row and row[ROW_KEY] != key:
+                    raise ValueError(
+                        "a batched Put may only mutate its own row "
+                        f"(put key {row[ROW_KEY]!r} != op key {key!r})"
+                    )
+        from pyspark.sql import types as T
+
+        keys = [o["key"] for o in ops]
+        key_struct = T.StructType(
+            [next(f for f in schema.fields if f.name == ROW_KEY)]
+        )
+
+        def attempt():
+            path = self.table_path(spec)
+            stats: dict = {}
+            files = self._span_candidates(
+                path, min(keys), max(keys), stats=stats
+            )
+            try:
+                files = self._bloom_prune_by_keys(
+                    spec, path, files, keys, stats
+                )
+            except Exception:
+                pass  # the sidecar is a cache
+            current: dict = {}
+            if files:
+                for r in (
+                    self.spark.read.schema(schema)
+                    .parquet(*[os.path.join(path, f) for f in files])
+                    .filter(F.col(ROW_KEY).isin(keys))
+                    .collect()
+                ):
+                    k = r[col_idx[ROW_KEY]]
+                    if k in current:
+                        raise ValueError(
+                            f"{qualified_name}: key {k!r} is not unique; "
+                            "mutate() needs unique keys (versioned "
+                            "tables: compact_versions first)"
+                        )
+                    current[k] = tuple(r)
+
+            results: list = [None] * len(ops)
+            incoming_rows: list = []
+            incoming_keys: list = []
+            delete_keys: list = []
+            touched_existing: list = []
+            for i, o in enumerate(ops):
+                kind, key = o["op"], o["key"]
+                cur = current.get(key)
+                present = key in current
+                if kind in ("put", "check_put"):
+                    if kind == "check_put":
+                        cell = cur[col_idx[o["col"]]] if present else None
+                        if cell != o.get("expected"):
+                            results[i] = {"applied": False, "value": None}
+                            continue
+                    full = {**(o.get("row") or {}), ROW_KEY: key}
+                    incoming_rows.append(
+                        tuple(full.get(c) for c in names)
+                    )
+                    incoming_keys.append(key)
+                    if present:
+                        touched_existing.append(key)
+                    results[i] = {"applied": True, "value": None}
+                elif kind in ("delete", "check_delete"):
+                    if kind == "check_delete":
+                        cell = cur[col_idx[o["col"]]] if present else None
+                        if cell != o.get("expected"):
+                            results[i] = {"applied": False, "value": None}
+                            continue
+                    if present:
+                        delete_keys.append(key)
+                        touched_existing.append(key)
+                    results[i] = {"applied": True, "value": None}
+                else:
+                    # increment/append: read-modify-write of one cell,
+                    # full-row rewrite under the BATCH's generation CAS
+                    # (same whole-row atomicity the single-op loop gets
+                    # from _row_cas_put — a concurrent commit re-runs
+                    # the whole attempt, reads included)
+                    cell = cur[col_idx[o["col"]]] if present else None
+                    if kind == "increment":
+                        new = (cell or 0) + o.get("delta", 1)
+                    else:
+                        v = o["value"]
+                        new = v if cell is None else cell + v
+                    base = dict(zip(names, cur)) if present else {}
+                    base.pop(ROW_KEY, None)
+                    base[o["col"]] = new
+                    full = {**base, ROW_KEY: key}
+                    incoming_rows.append(
+                        tuple(full.get(c) for c in names)
+                    )
+                    incoming_keys.append(key)
+                    if present:
+                        touched_existing.append(key)
+                    results[i] = {"applied": True, "value": new}
+
+            if not incoming_rows and not delete_keys:
+                return results, False, None
+            incoming = (
+                self.spark.createDataFrame(incoming_rows, schema)
+                if incoming_rows
+                else self.spark.createDataFrame([], schema)
+            )
+            keys_df = self.spark.createDataFrame(
+                [(k,) for k in incoming_keys + delete_keys], key_struct
+            )
+            if touched_existing:
+                tk = self.spark.createDataFrame(
+                    [(k,) for k in touched_existing], key_struct
+                )
+                affected = self._locate_affected_files(
+                    spec,
+                    lambda d: d.join(
+                        F.broadcast(tk), ROW_KEY, "left_semi"
+                    ),
+                    files=files,
+                )
+            else:
+                affected = {}
+            drop_df = (
+                self.spark.createDataFrame(
+                    [(k,) for k in delete_keys], key_struct
+                )
+                if delete_keys
+                else None
+            )
+            span = (
+                (min(incoming_keys), max(incoming_keys))
+                if incoming_keys
+                else None
+            )
+            changed = self._upsert_rewrite(
+                spec, qualified_name, incoming, keys_df, affected, path,
+                schema, async_index,
+                batch_span=span, footer_stats=stats,
+                n_incoming=len(incoming_keys) + len(delete_keys),
+                drop_keys=drop_df,
+            )
+            return results, True, changed
+
+        results, mutated, changed_keys = self._retry_write_conflict(attempt)
+        if mutated:
+            self._maintain_indexes(
+                qualified_name, async_index, changed_keys=changed_keys
+            )
+        return results
 
     def _require_column(self, spec: TableSpec, col: str) -> None:
         names = [f.name for f in spec.schema().fields]

@@ -273,3 +273,156 @@ def test_row_cas_refuses_sibling_qualifier_change(store):
     # the public increment re-reads and lands WITHOUT touching the note
     assert store.increment("cd.t14", "a", "cf:n", 4) == 5
     assert _cell(store, "cd.t14", "a", "cf:note") == "bye"
+
+
+# -- batched mutations (HBase Table.batch parity) -------------------------
+
+
+def _gen_pointer(store, qualified):
+    root = store.table_root(store.registry.get(qualified))
+    return store._resolve_cur_prev(root)[0]
+
+
+def test_mutate_mixed_batch_one_commit(store):
+    """A mixed put/check_put/delete/check_delete/increment/append batch
+    lands in ONE generation swap with per-op applied/refused results
+    and exactly the serial outcome."""
+    _table(store, "b1", [
+        ("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z"), ("d", 4, "w"),
+        ("e", 5, "v"),
+    ])
+    gens = []
+    orig = KeyedTableStore._swap_table_dir
+
+    def spy(self, spec, build, **kw):
+        if spec.qualified_name == "cd.b1":
+            gens.append(True)
+        return orig(self, spec, build, **kw)
+
+    KeyedTableStore._swap_table_dir = spy
+    try:
+        results = store.mutate("cd.b1", [
+            {"op": "put", "key": "a", "row": {"cf:n": 10, "cf:note": "A"}},
+            {"op": "check_put", "key": "b", "col": "cf:n", "expected": 2,
+             "row": {"cf:n": 20, "cf:note": "B"}},
+            {"op": "check_put", "key": "c", "col": "cf:n", "expected": 99,
+             "row": {"cf:n": 30}},                       # refused
+            {"op": "delete", "key": "d"},
+            {"op": "check_delete", "key": "e", "col": "cf:note",
+             "expected": "nope"},                        # refused
+            {"op": "increment", "key": "f", "col": "cf:n", "delta": 7},
+            {"op": "append", "key": "a2", "col": "cf:note", "value": "!"},
+        ])
+    finally:
+        KeyedTableStore._swap_table_dir = orig
+    assert len(gens) == 1, f"expected ONE swap, saw {len(gens)}"
+    assert [r["applied"] for r in results] == [
+        True, True, False, True, False, True, True,
+    ]
+    assert results[5]["value"] == 7
+    assert results[6]["value"] == "!"
+    got = {
+        r["row_key"]: (r["cf:n"], r["cf:note"])
+        for r in store.read("cd.b1").collect()
+    }
+    assert got == {
+        "a": (10, "A"),          # put replaced the whole row
+        "b": (20, "B"),
+        "c": (3, "z"),           # refused check_put untouched
+        "e": (5, "v"),           # refused check_delete untouched
+        "f": (7, None),          # increment from absent = delta
+        "a2": (None, "!"),       # append from absent = value
+    }
+    assert "d" not in got
+
+
+def test_mutate_existing_increment_and_sequencing_laws(store):
+    """Increment/append against EXISTING cells use the batch-resolved
+    snapshot; same-key ops in one batch are refused (independence), and
+    an empty batch is a no-op."""
+    _table(store, "b2", [("k1", 10, "s"), ("k2", 2, "t")])
+    assert store.mutate("cd.b2", []) == []
+    r = store.mutate("cd.b2", [
+        {"op": "increment", "key": "k1", "col": "cf:n", "delta": 5},
+        {"op": "append", "key": "k2", "col": "cf:note", "value": "ail"},
+    ])
+    assert [x["value"] for x in r] == [15, "tail"]
+    assert _cell(store, "cd.b2", "k1", "cf:n") == 15
+    assert _cell(store, "cd.b2", "k2", "cf:note") == "tail"
+    with pytest.raises(ValueError, match="duplicate key"):
+        store.mutate("cd.b2", [
+            {"op": "increment", "key": "k1", "col": "cf:n"},
+            {"op": "delete", "key": "k1"},
+        ])
+    with pytest.raises(ValueError, match="non-NULL"):
+        store.mutate("cd.b2", [{"op": "delete", "key": None}])
+    with pytest.raises(ValueError, match="unknown mutation op"):
+        store.mutate("cd.b2", [{"op": "upsert", "key": "k1"}])
+
+
+def test_mutate_refused_only_batch_swaps_nothing(store):
+    """A batch where every op refuses (or deletes an absent row) must
+    not commit a generation."""
+    _table(store, "b3", [("a", 1, "x")])
+    before = _gen_pointer(store, "cd.b3")
+    results = store.mutate("cd.b3", [
+        {"op": "check_put", "key": "a", "col": "cf:n", "expected": 999,
+         "row": {"cf:n": 2}},
+        {"op": "delete", "key": "zz_absent"},
+        {"op": "check_delete", "key": "zz2", "col": "cf:n", "expected": 5},
+    ])
+    assert [r["applied"] for r in results] == [False, True, False]
+    assert _gen_pointer(store, "cd.b3") == before
+    assert _cell(store, "cd.b3", "a", "cf:n") == 1
+
+
+def test_mutate_concurrent_batches_lose_no_update(store):
+    """Two threads each running increment batches on overlapping keys:
+    the generation CAS re-runs a losing batch wholesale, so the final
+    counters equal the serial sum."""
+    _table(store, "b4", [("c1", 0, None), ("c2", 0, None)])
+    errs = []
+
+    def worker():
+        try:
+            for _ in range(3):
+                store.mutate("cd.b4", [
+                    {"op": "increment", "key": "c1", "col": "cf:n"},
+                    {"op": "increment", "key": "c2", "col": "cf:n",
+                     "delta": 2},
+                ])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert _cell(store, "cd.b4", "c1", "cf:n") == 6
+    assert _cell(store, "cd.b4", "c2", "cf:n") == 12
+
+
+def test_mutate_maintains_covered_index(store):
+    """The one batched commit still keeps a registered covered index
+    fresh: replaced values move entries, deletes drop them."""
+    _table(store, "b5", [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")])
+    store.create_covered_index(
+        "cd.b5", "cd.b5_by_n", "cf:n", include=["cf:note"], key_width=4
+    )
+    store.mutate("cd.b5", [
+        {"op": "put", "key": "a", "row": {"cf:n": 7, "cf:note": "moved"}},
+        {"op": "delete", "key": "b"},
+    ])
+    assert "stale" not in store.registry.get("cd.b5_by_n").properties
+    hits7 = {
+        (r["i:src_key"], r["cf:note"])
+        for r in store.index_lookup("cd.b5_by_n", 7).collect()
+    }
+    assert hits7 == {("a", "moved")}
+    assert store.index_lookup("cd.b5_by_n", 1).collect() == []
+    assert store.index_lookup("cd.b5_by_n", 2).collect() == []
+    assert {
+        r["i:src_key"] for r in store.index_lookup("cd.b5_by_n", 3).collect()
+    } == {"c"}
