@@ -101,6 +101,7 @@ _R8_RENAMES = {
 
 # round-9 rotation: bench output key -> current registry name
 _R9_RENAMES = {
+    "d10_duplicate_spans": "zg18_duplicate_spans",
     "s09_ivfadc_rerank": "zg16_ivfadc_rerank",
     "z75_pmi_collocations": "t25_pmi_collocations",
     "zc03_snapshot_restore": "zg03_snapshot_restore",

@@ -1031,3 +1031,203 @@ def k19_previous_generation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read_generation("gate.cust_tt", "previous").select(
         "row_key", F.col("`c:acctbal`").alias("acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# k20 — conditional mutations end-to-end (HBase checkAndPut/checkAndDelete/
+# increment/append + the batched Table.batch() analogue mutate()).  Ops
+# whose checks must PASS read their expected value from the table itself
+# (always-match); ops that must REFUSE expect an impossible value (-1 —
+# n_regionkey is never negative) — so the final state is a deterministic
+# pure function of the nation table that plain SQL reproduces.
+# Reference analogue: the Table.checkAndMutate/batch client surface the
+# reference's puts ride (InsertIntoHBaseTable.scala:80-97).
+# ---------------------------------------------------------------------------
+@register(
+    "k20_conditional_mutations",
+    oracle="""
+    SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS row_key,
+           CASE WHEN n_nationkey = 3 THEN 'CHECKED'
+                WHEN n_nationkey = 9 THEN n_name || '_x'
+                WHEN n_nationkey = 17 THEN 'PUT17'
+                ELSE n_name END AS name,
+           CASE WHEN n_nationkey = 3 THEN 100
+                WHEN n_nationkey = 7 THEN n_regionkey + 10
+                WHEN n_nationkey = 17 THEN 17
+                ELSE n_regionkey END AS cnt
+    FROM nation
+    WHERE n_nationkey NOT IN (11, 13)
+    UNION ALL
+    SELECT '9999' AS row_key, NULL AS name, 10 AS cnt
+    """,
+    description="conditional mutations: checkAndPut/checkAndDelete + "
+    "batched mutate() (put/increment/append/delete) in one CAS commit, "
+    "final state SQL-checked",
+)
+def k20_conditional_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    n = table(spark, sf_dir, "nation")
+    spec = TableSpec(
+        namespace="gate",
+        name="nat_mut",
+        key_type="string",
+        families={"n": {"name": "string", "cnt": "long"}},
+    )
+    store.ctas(
+        spec,
+        n.select(
+            F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("row_key"),
+            F.col("n_name").alias("n:name"),
+            F.col("n_regionkey").cast("long").alias("n:cnt"),
+        ),
+        mode="overwrite",
+    )
+
+    def cur_cnt(key: str):
+        rows = store.get("gate.nat_mut", [key]).select("`n:cnt`").collect()
+        return rows[0][0] if rows else None
+
+    # single-op surfaces: an applying and a refusing checkAndPut
+    assert store.check_and_put(
+        "gate.nat_mut", "0003", "n:cnt", cur_cnt("0003"),
+        {"n:name": "CHECKED", "n:cnt": 100},
+    ) is True
+    assert store.check_and_put(
+        "gate.nat_mut", "0005", "n:cnt", -1, {"n:cnt": 999}
+    ) is False
+
+    # one batched commit: existing + absent increments, append, put,
+    # delete, passing + refusing check_delete
+    results = store.mutate("gate.nat_mut", [
+        {"op": "increment", "key": "0007", "col": "n:cnt", "delta": 10},
+        {"op": "increment", "key": "9999", "col": "n:cnt", "delta": 10},
+        {"op": "append", "key": "0009", "col": "n:name", "value": "_x"},
+        {"op": "put", "key": "0017", "row": {"n:name": "PUT17", "n:cnt": 17}},
+        {"op": "delete", "key": "0011"},
+        {"op": "check_delete", "key": "0013", "col": "n:cnt",
+         "expected": cur_cnt("0013")},
+        {"op": "check_delete", "key": "0015", "col": "n:cnt",
+         "expected": -1},
+    ])
+    assert [r["applied"] for r in results] == [
+        True, True, True, True, True, True, False,
+    ]
+    assert results[1]["value"] == 10  # absent counter starts from 0
+    return store.read("gate.nat_mut").select(
+        "row_key",
+        F.col("`n:name`").alias("name"),
+        F.col("`n:cnt`").alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k21 — declared retention (HBase VERSIONS => N / TTL attributes): a
+# versioned table accumulates 1-3 versions per key; VERSIONS=>2 is
+# physically enforced by compact_versions, and the TTL-filtered as-of
+# read hides expired cells — keys whose ONLY version fell out of the TTL
+# window disappear entirely.  The oracle reproduces the visibility rule
+# (version <= asof AND version > asof - ttl, latest per key) in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "k21_retention_ttl_read",
+    oracle="""
+    SELECT row_key, bal FROM (
+      SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 200
+                  WHEN c_custkey % 2 = 0 THEN c_acctbal + 100
+                  END AS bal
+      FROM customer
+    ) WHERE bal IS NOT NULL
+    """,
+    description="VERSIONS/TTL retention: compact_versions enforces the "
+    "declared keep count, TTL as-of read hides expired versions",
+)
+def k21_retention_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    c = table(spark, sf_dir, "customer")
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_ttl",
+        key_type="string",
+        families={"c": {"bal": "double", "v": "long"}},
+        properties={"VERSIONS": "2", "TTL": "6"},
+    )
+    store.create_table(spec)
+    key = F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key")
+    store.insert("gate.cust_ttl", c.select(
+        key, F.col("c_acctbal").alias("c:bal"), F.lit(1).alias("c:v"),
+    ), generate_row_key=False)
+    store.insert("gate.cust_ttl", c.filter("c_custkey % 2 = 0").select(
+        key, (F.col("c_acctbal") + 100).alias("c:bal"),
+        F.lit(5).alias("c:v"),
+    ), generate_row_key=False)
+    store.insert("gate.cust_ttl", c.filter("c_custkey % 3 = 0").select(
+        key, (F.col("c_acctbal") + 200).alias("c:bal"),
+        F.lit(9).alias("c:v"),
+    ), generate_row_key=False)
+    # physical retention: VERSIONS=>2 keeps at most 2 versions per key
+    # (v=1 removed wherever 3 exist); the visibility result below is
+    # unchanged — v=1 is outside the TTL window either way
+    store.compact_versions("gate.cust_ttl", "c:v")
+    # visibility: asof=9, TTL=6 (declared) => versions in (3, 9]
+    return store.read_versions_asof("gate.cust_ttl", "c:v", 9).select(
+        "row_key", F.col("`c:bal`").alias("bal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k22 — Bloom-probed multi-point get() (HBase Get + BLOOMFILTER => 'ROW'):
+# the point-read plan consults the span manifest AND per-file Bloom
+# sidecars, scanning only files that may hold one of the probed keys; the
+# readback (present + absent keys) is SQL-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "k22_bloom_point_get",
+    oracle="""
+    SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           p_name AS name,
+           p_retailprice AS price
+    FROM part
+    WHERE p_partkey IN (3, 42, 199, 998, 9999999)
+    """,
+    description="Bloom-probed multi-point get(): span + sidecar pruned "
+    "point reads over a bloomfilter=ROW keyed table",
+)
+def k22_bloom_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    p = table(spark, sf_dir, "part")
+    spec = TableSpec(
+        namespace="gate",
+        name="part_get",
+        key_type="string",
+        families={"p": {"name": "string", "price": "double"}},
+        properties={"BLOOMFILTER": "ROW"},
+    )
+    store.ctas(
+        spec,
+        p.select(
+            F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("p_name").alias("p:name"),
+            F.col("p_retailprice").alias("p:price"),
+        ),
+        mode="overwrite",
+    )
+    keys = [f"{k:010d}" for k in (3, 42, 199, 998, 9999999)]
+    df = store.get("gate.part_get", keys)
+    path = store.table_path(store.registry.get("gate.part_get"))
+    files = store._data_files(path)
+    if len(files) > 2:
+        # the probe must actually prune on a multi-file layout (plan
+        # evidence; the soundness law lives in tests/test_bloom.py)
+        assert 0 < len(df.inputFiles()) < len(files)
+    return df.select(
+        "row_key",
+        F.col("`p:name`").alias("name"),
+        F.col("`p:price`").alias("price"),
+    )

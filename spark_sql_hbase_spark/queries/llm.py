@@ -1569,7 +1569,7 @@ def zf15_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_W = 10
 
 @register(
-    "d10_duplicate_spans",
+    "zg18_duplicate_spans",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id, {_TOK} AS t FROM documents
@@ -1598,7 +1598,7 @@ _SPAN_W = 10
     description="duplicate-span mass per doc: rolling 10-token window "
     "hashes with corpus count >= 2 (substring-dedup signal)",
 )
-def d10_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg18_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.duplicate_spans(docs, "doc_id", "text", window=_SPAN_W)
 
@@ -1685,7 +1685,7 @@ def zf19_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale where the matrix is meaningful.
 # ---------------------------------------------------------------------------
 @register(
-    "d11_source_overlap_matrix",
+    "zg19_source_overlap_matrix",
     oracle=f"""
     WITH __jac AS ({_JACCARD_ORACLE}),
     __src AS (
@@ -1706,7 +1706,7 @@ def zf19_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="unordered source-pair near-dup overlap matrix "
     "(minhash pairs x metadata joins, rollup)",
 )
-def d11_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg19_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_join(docs, "doc_id", "text", JACCARD_T, SHINGLE_N)
     src = docs.select("doc_id", "source")
@@ -1742,7 +1742,7 @@ def d11_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale trick.
 # ---------------------------------------------------------------------------
 @register(
-    "t15_bpe_pair_counts",
+    "zg20_bpe_pair_counts",
     oracle=f"""
     WITH __w AS (
         SELECT unnest({_TOK}) AS word FROM documents
@@ -1765,7 +1765,7 @@ def d11_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="BPE merge-candidate pair counts: within-word adjacent "
     "char pairs weighted by word frequency, top-50 (tokenizer training)",
 )
-def t15_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg20_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.bpe_pair_counts(docs, "text", top_k=50)
 

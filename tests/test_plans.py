@@ -550,7 +550,7 @@ def test_z57_bpe_pairs_explode_vocabulary_not_corpus(spark, registry):
     word-frequency table (vocabulary cardinality), not raw corpus tokens
     — its Generate sits above the word-count exchange, and top-k is a
     TakeOrdered, never a global sort."""
-    plan = formatted_plan(registry["t15_bpe_pair_counts"].fn(spark, SF))
+    plan = formatted_plan(registry["zg20_bpe_pair_counts"].fn(spark, SF))
     gens = [int(m) for m in re.findall(r"\((\d+)\) Generate", plan)]
     assert len(gens) == 2, plan  # tokenize explode + pair explode
     exchanges = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
@@ -584,7 +584,7 @@ def test_d10_duplicate_spans_shuffles_hashes_only(spark, registry):
     the RoundRobin repartition from _parallelized (test-scale artifact:
     a single small parquet file scans as one partition; a no-op at
     scale)."""
-    plan = formatted_plan(registry["d10_duplicate_spans"].fn(spark, SF))
+    plan = formatted_plan(registry["zg18_duplicate_spans"].fn(spark, SF))
     lines = plan.splitlines()
     matched = 0
     for i, line in enumerate(lines):
