@@ -41,6 +41,7 @@ from spark_sql_hbase_spark.catalog import (
     TableSpec,
 )
 from spark_sql_hbase_spark.sources import bloom as _bloom
+from spark_sql_hbase_spark.sources import storage_io as _storage_io
 
 DEFAULT_REGIONS = 4  # default range-partition count when no split keys given
 
@@ -117,10 +118,16 @@ class KeyedTableStore:
         spark: SparkSession,
         warehouse_dir: str,
         registry: SchemaRegistry | None = None,
+        io=None,
     ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.registry = registry or SchemaRegistry()
+        # the four commit-protocol filesystem primitives (writer mutex,
+        # liveness probe, atomic rename, link-or-copy) behind one
+        # swappable object — sources/storage_io.py documents the
+        # HDFS/object-store mapping of each
+        self.io = io if io is not None else _storage_io.LocalPosixIO()
         os.makedirs(warehouse_dir, exist_ok=True)
 
     # -- paths ------------------------------------------------------------
@@ -348,74 +355,35 @@ class KeyedTableStore:
         is what keeps every locker flocking the same inode.  Local/
         POSIX filesystems only — the store's documented boundary.
         Held around flip/link critical sections, never during a build,
-        so contention is sub-second."""
-        import fcntl
-
+        so contention is sub-second.  Delegates to the store's IO
+        backend (``sources/storage_io.py`` — POSIX flock here; the
+        HDFS/object-store mappings are documented there)."""
         path = os.path.join(root, self._WRITER_LOCK)
-        deadline = time.monotonic() + (
-            self._LOCK_TIMEOUT_S if timeout is None else timeout
-        )
-        fd = os.open(path, os.O_CREAT | os.O_WRONLY, 0o644)
         try:
-            while True:
-                try:
-                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                    break
-                except OSError:
-                    if time.monotonic() >= deadline:
-                        raise LockTimeoutError(
-                            f"timed out waiting for writer lock {path}"
-                        )
-                    time.sleep(0.02)
-            yield
-        finally:
-            os.close(fd)  # closing the fd releases the flock
+            with self.io.writer_lock(
+                path, self._LOCK_TIMEOUT_S if timeout is None else timeout
+            ):
+                yield
+        except TimeoutError as e:
+            raise LockTimeoutError(str(e)) from None
 
-    @staticmethod
-    def _flock_live(path: str) -> bool:
-        """True iff some process/thread holds the flock on ``path`` —
+    def _flock_live(self, path: str) -> bool:
+        """True iff some process/thread holds the lock on ``path`` —
         the liveness probe behind build/append markers.  A crashed
-        owner's flock is released by the kernel with its fd, so
-        "acquirable" == "owner gone" with no pid bookkeeping (and no
-        pid-recycling false positives)."""
-        import fcntl
-
-        try:
-            fd = os.open(path, os.O_RDONLY)
-        except OSError:
-            return False
-        try:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
-                return True
-            return False
-        finally:
-            os.close(fd)
+        owner's lock is released by the backend with its holder (POSIX:
+        the kernel releases the flock with the fd), so "acquirable" ==
+        "owner gone" with no pid bookkeeping (and no pid-recycling
+        false positives)."""
+        return self.io.lock_is_live(path)
 
     @contextmanager
     def _marker_guard(self, path: str):
-        """Create ``path`` ALREADY flock-held (create a tmp, lock it,
-        rename into place — the lock follows the inode, so a prober
-        never observes the marker unlocked while its owner lives), hold
-        it for the body, unlink on exit.  The owner pid is written for
-        debuggability only; liveness is the flock."""
-        import fcntl
-
-        tmp = f"{path}.{uuid.uuid4().hex[:8]}"
-        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        try:
-            os.write(fd, str(os.getpid()).encode())
-            fcntl.flock(fd, fcntl.LOCK_EX)
-            os.rename(tmp, path)
-            tmp = None
+        """Create ``path`` ALREADY lock-held (the backend guarantees a
+        prober never observes the marker unlocked while its owner
+        lives), hold it for the body, unlink on exit — the writer-side
+        half of :meth:`_flock_live`."""
+        with self.io.held_marker(path):
             yield
-        finally:
-            try:
-                os.remove(path if tmp is None else tmp)
-            except OSError:
-                pass
-            os.close(fd)
 
     @staticmethod
     def _is_vanished_generation(e: Exception) -> bool:
@@ -2029,13 +1997,12 @@ class KeyedTableStore:
             under_lock_check=under_lock_check,
         )
 
-    @staticmethod
-    def _link_or_copy(src: str, dst: str) -> None:
-        """Hardlink (zero-copy) with a cross-filesystem copy fallback."""
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy2(src, dst)
+    def _link_or_copy(self, src: str, dst: str) -> None:
+        """Zero-copy carry of an immutable file between generation
+        directories (POSIX hardlink with copy fallback; see
+        ``storage_io.py`` for the manifests-as-listing mapping this
+        becomes on HDFS/object stores)."""
+        self.io.link_or_copy(src, dst)
 
     @staticmethod
     def _data_files(path: str) -> list[str]:

@@ -563,7 +563,7 @@ def quota_admission_stream(
     typed ValueState handles) is the designated successor surface for
     this operator, but its Python driver worker requires the
     ``google.protobuf`` package, which this runtime does not ship
-    (re-verified rounds 6, 7 and 8: ``import google.protobuf`` still fails) — the
+    (re-verified rounds 6-9: ``import google.protobuf`` still fails) — the
     GroupState form is semantically identical here (state = one running
     count; count-based admission is row-order-independent).
 
