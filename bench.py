@@ -287,6 +287,39 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
         out[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {out[name]}s rows={n}", file=sys.stderr)
         spark.catalog.clearCache()
+
+    # round-9: batched conditional mutations — 500 independent
+    # increments in ONE locate+rewrite+CAS commit (the Table.batch
+    # analogue; a serial loop would pay 500 generation commits)
+    import tempfile
+
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    store = KeyedTableStore(spark, tempfile.mkdtemp(prefix="bench_mut_"))
+    orders = table(spark, sf_dir, "orders").limit(20_000)
+    store.ctas(
+        TableSpec(
+            namespace="bench", name="mut", key_type="string",
+            families={"o": {"price": "double", "hits": "long"}},
+        ),
+        orders.select(
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("o_totalprice").alias("o:price"),
+            F.lit(0).cast("long").alias("o:hits"),
+        ),
+        mode="overwrite",
+    )
+    ops = [
+        {"op": "increment", "key": f"{k:010d}", "col": "o:hits"}
+        for k in range(1, 2000, 4)
+    ]
+    t0 = time.perf_counter()
+    res = store.mutate("bench.mut", ops)
+    out["k20_mutate_batch500"] = round(time.perf_counter() - t0, 3)
+    n_ok = sum(1 for r in res if r["applied"])
+    print(f"# k20_mutate_batch500: {out['k20_mutate_batch500']}s "
+          f"ops={len(ops)} applied={n_ok}", file=sys.stderr)
     return out
 
 

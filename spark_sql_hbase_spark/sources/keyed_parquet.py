@@ -399,7 +399,7 @@ class KeyedTableStore:
         s = str(e)
         return "FileNotFoundException" in s or "PATH_NOT_FOUND" in s
 
-    def _retry_write_conflict(self, attempt, attempts: int = 6):
+    def _retry_write_conflict(self, attempt, attempts: int = 8):
         """Run ``attempt`` (a complete DML locate+build+swap closure
         that re-resolves the table's current generation itself),
         retrying when a concurrent writer wins the manifest CAS — the
@@ -407,7 +407,12 @@ class KeyedTableStore:
         mutations land.  A vanished-generation error mid-attempt (the
         base retired by two+ concurrent commits before this attempt's
         own flip could refuse) retries the same way; any other error
-        raises immediately."""
+        raises immediately.  Backoff is exponential with ±50% jitter
+        (the HBase-client retry discipline): without jitter, writers
+        that collided once re-collide in lockstep under sustained
+        contention — exactly when retries matter most."""
+        import random
+
         for i in range(attempts):
             try:
                 return attempt()
@@ -416,11 +421,11 @@ class KeyedTableStore:
             except ConcurrentWriteConflictError:
                 if i == attempts - 1:
                     raise
-                time.sleep(0.05 * (i + 1))
             except Exception as e:  # noqa: BLE001 — filtered just below
                 if i == attempts - 1 or not self._is_vanished_generation(e):
                     raise
-                time.sleep(0.05 * (i + 1))
+            delay = min(1.0, 0.05 * (2 ** i))
+            time.sleep(delay * (0.5 + random.random()))
 
     # -- namespace DDL (reference: HBaseExternalCatalog create/drop db) ---
     def create_namespace(self, ns: str, ignore_if_exists: bool = True) -> None:
