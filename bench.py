@@ -310,16 +310,21 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
         ),
         mode="overwrite",
     )
-    ops = [
-        {"op": "increment", "key": f"{k:010d}", "col": "o:hits"}
-        for k in range(1, 2000, 4)
-    ]
-    t0 = time.perf_counter()
-    res = store.mutate("bench.mut", ops)
-    out["k20_mutate_batch500"] = round(time.perf_counter() - t0, 3)
-    n_ok = sum(1 for r in res if r["applied"])
-    print(f"# k20_mutate_batch500: {out['k20_mutate_batch500']}s "
-          f"ops={len(ops)} applied={n_ok}", file=sys.stderr)
+    try:
+        ops = [
+            {"op": "increment", "key": f"{k:010d}", "col": "o:hits"}
+            for k in range(1, 2000, 4)
+        ]
+        t0 = time.perf_counter()
+        res = store.mutate("bench.mut", ops)
+        out["k20_mutate_batch500"] = round(time.perf_counter() - t0, 3)
+        n_ok = sum(1 for r in res if r["applied"])
+        print(f"# k20_mutate_batch500: {out['k20_mutate_batch500']}s "
+              f"ops={len(ops)} applied={n_ok}", file=sys.stderr)
+    finally:
+        import shutil
+
+        shutil.rmtree(store.warehouse_dir, ignore_errors=True)
     return out
 
 

@@ -128,6 +128,10 @@ class KeyedTableStore:
         # swappable object — sources/storage_io.py documents the
         # HDFS/object-store mapping of each
         self.io = io if io is not None else _storage_io.LocalPosixIO()
+        # generations whose span-sidecar backfill failed to WRITE (not
+        # mere lock contention) — skip re-attempts for this instance so
+        # reads never re-stall on a backfill that cannot succeed
+        self._span_backfill_failed: set = set()
         os.makedirs(warehouse_dir, exist_ok=True)
 
     # -- paths ------------------------------------------------------------
@@ -357,15 +361,24 @@ class KeyedTableStore:
         Held around flip/link critical sections, never during a build,
         so contention is sub-second.  Delegates to the store's IO
         backend (``sources/storage_io.py`` — POSIX flock here; the
-        HDFS/object-store mappings are documented there)."""
+        HDFS/object-store mappings are documented there).  Only the
+        ACQUISITION's TimeoutError becomes :class:`LockTimeoutError`
+        — a TimeoutError raised by the critical-section body (e.g. an
+        NFS op failing with ETIMEDOUT) must propagate untouched, not
+        be mislabeled a lock problem and swallowed by best-effort
+        conflict handlers."""
+        from contextlib import ExitStack
+
         path = os.path.join(root, self._WRITER_LOCK)
-        try:
-            with self.io.writer_lock(
-                path, self._LOCK_TIMEOUT_S if timeout is None else timeout
-            ):
-                yield
-        except TimeoutError as e:
-            raise LockTimeoutError(str(e)) from None
+        with ExitStack() as stack:
+            try:
+                stack.enter_context(self.io.writer_lock(
+                    path,
+                    self._LOCK_TIMEOUT_S if timeout is None else timeout,
+                ))
+            except TimeoutError as e:
+                raise LockTimeoutError(str(e)) from None
+            yield
 
     def _flock_live(self, path: str) -> bool:
         """True iff some process/thread holds the lock on ``path`` —
@@ -2557,20 +2570,35 @@ class KeyedTableStore:
         :meth:`build_bloom_filters`, and foreign/snapshot dirs are not
         ours to annotate), under a short writer-lock timeout (sidecar
         creation is serialized against
-        :meth:`_maybe_merge_span_sidecars`); contention or failure just
-        leaves the next operation to re-read the footers."""
+        :meth:`_maybe_merge_span_sidecars`).  Lock contention is
+        transient — the next operation retries; a WRITE failure
+        (read-only directory, permissions) is remembered per store
+        instance so the read path doesn't re-stall on the lock wait for
+        a backfill that can never succeed."""
+        if path in self._span_backfill_failed:
+            return
         try:
             if not os.path.basename(path.rstrip(os.sep)).startswith("gen-"):
                 return
             root = os.path.dirname(path.rstrip(os.sep))
-            with self._table_write_lock(root, timeout=2.0):
+            try:
+                lock = self._table_write_lock(root, timeout=0.5)
+                lock.__enter__()
+            except ConcurrentWriteConflictError:
+                return  # busy writer: transient, retry next operation
+            try:
                 live = self._load_span_stats(path)
                 fresh = {f: r for f, r in stats.items() if f not in live}
                 if fresh:
                     self._write_span_sidecar(path, fresh)
                     self._maybe_merge_span_sidecars(path)
+            finally:
+                lock.__exit__(None, None, None)
         except Exception:
-            return  # cache backfill never fails or stalls the read path
+            # the write itself failed: give up on this generation for
+            # this store instance (cache backfill never stalls reads)
+            self._span_backfill_failed.add(path)
+            return
 
     # -- per-file row-key Bloom filters (HBase BLOOMFILTER => 'ROW') ------
     #

@@ -71,11 +71,6 @@ import uuid
 from contextlib import contextmanager
 
 
-class StorageIOError(RuntimeError):
-    """Raised by IO primitives for backend-level failures the commit
-    protocol should surface (never swallowed as cache misses)."""
-
-
 class LocalPosixIO:
     """The local/POSIX implementation — the store's documented sandbox
     contract (single host or a shared POSIX filesystem such as NFS with

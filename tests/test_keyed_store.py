@@ -1934,6 +1934,11 @@ def test_concurrent_dml_writers_lose_no_updates(spark, tmp_path):
     st.compact("r6.t", n_regions=4)
     errs = []
 
+    def record(e):
+        import traceback
+
+        errs.append(traceback.format_exc())
+
     def merger():
         try:
             for i in range(4):
