@@ -1144,6 +1144,47 @@ class KeyedTableStore:
                         iq, proj, generate_row_key=False, maintain_indexes=False
                     )
                     self._mark_index_stale(iq, False)
+        if not overwrite:
+            self._maybe_auto_minor_compact(spec)
+
+    def _maybe_auto_minor_compact(self, spec: TableSpec) -> None:
+        """HBase runs minor compactions AUTOMATICALLY when a store
+        accumulates ``hbase.hstore.compactionThreshold`` files; a store
+        that only compacts on demand silently degrades under sustained
+        append ingest (every appended run is another scan unit and
+        span/Bloom probe).  With the table property
+        ``COMPACTION_THRESHOLD => N`` set, an append that leaves the
+        current generation holding ≥ N data files triggers
+        :meth:`compact_minor` — small runs fold into one, large files
+        hardlink-carry, so the cleanup I/O is O(small tail) per
+        trigger and file counts stay bounded without an operator in
+        the loop.  Applies to index tables too (their per-DML
+        projection appends are exactly the small-file source).  A
+        concurrent writer winning the race is fine — the work it did
+        is the work we wanted.  An unparseable threshold raises
+        loudly: a silently ignored retention/compaction property is a
+        trap (house rule, same as BLOOMFILTER)."""
+        prop = self._table_prop(spec, "compaction.threshold") or \
+            self._table_prop(spec, "compaction_threshold")
+        if prop is None:
+            return
+        try:
+            threshold = int(prop)
+        except ValueError:
+            raise ValueError(
+                f"{spec.qualified_name}: COMPACTION_THRESHOLD must be an "
+                f"integer, got {prop!r}"
+            ) from None
+        if threshold < 2:
+            raise ValueError(
+                f"{spec.qualified_name}: COMPACTION_THRESHOLD must be >= 2, "
+                f"got {threshold}"
+            )
+        try:
+            if len(self._data_files(self.table_path(spec))) >= threshold:
+                self.compact_minor(spec.qualified_name)
+        except ConcurrentWriteConflictError:
+            pass  # a concurrent writer compacted/committed: already done
 
     def ctas(self, spec: TableSpec, query: DataFrame, mode: str = "error") -> None:
         """CREATE TABLE AS SELECT with SaveMode + drop-on-failure semantics

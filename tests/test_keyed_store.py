@@ -2900,3 +2900,58 @@ def test_manifestless_generation_backfills_span_sidecar(spark, tmp_path):
     # the backfilled stats agree with the live footers
     for fname, rec in st._load_span_stats(path).items():
         assert rec == orig(os.path.join(path, fname)), fname
+
+
+def test_auto_minor_compaction_threshold(spark, tmp_path):
+    """COMPACTION_THRESHOLD => N (the hbase.hstore.compactionThreshold
+    analogue): append ingest that leaves >= N files in the current
+    generation triggers an automatic minor compaction, so file counts
+    stay bounded without an operator in the loop — and content is
+    exactly preserved."""
+    st = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="r6", name="auto", key_type="string",
+        families={"c": {"v": "long"}},
+        properties={"COMPACTION_THRESHOLD": "4"},
+    )
+    st.create_table(spec)
+    for batch in range(6):
+        df = spark.createDataFrame(
+            [(f"{batch:02d}_{i:04d}", batch * 100 + i) for i in range(5)],
+            "row_key string, `c:v` long",
+        )
+        st.insert("r6.auto", df, generate_row_key=False)
+    path = st.table_path(st.registry.get("r6.auto"))
+    n_files = len(st._data_files(path))
+    assert n_files < 4, (
+        f"auto minor compaction did not bound the file count ({n_files})"
+    )
+    got = {(r["row_key"], r["c:v"]) for r in st.read("r6.auto").collect()}
+    assert got == {
+        (f"{b:02d}_{i:04d}", b * 100 + i) for b in range(6) for i in range(5)
+    }
+
+    # control: without the property, every append stays its own run
+    spec2 = TableSpec(
+        namespace="r6", name="manual", key_type="string",
+        families={"c": {"v": "long"}},
+    )
+    st.create_table(spec2)
+    for batch in range(4):
+        st.insert("r6.manual", spark.createDataFrame(
+            [(f"{batch:02d}", batch)], "row_key string, `c:v` long",
+        ), generate_row_key=False)
+    path2 = st.table_path(st.registry.get("r6.manual"))
+    assert len(st._data_files(path2)) >= 4  # every append stays a run
+
+    # an unparseable threshold is refused loudly, not silently ignored
+    spec3 = TableSpec(
+        namespace="r6", name="bad", key_type="string",
+        families={"c": {"v": "long"}},
+        properties={"COMPACTION_THRESHOLD": "many"},
+    )
+    st.create_table(spec3)
+    with pytest.raises(ValueError, match="COMPACTION_THRESHOLD"):
+        st.insert("r6.bad", spark.createDataFrame(
+            [("k", 1)], "row_key string, `c:v` long",
+        ), generate_row_key=False)
