@@ -426,3 +426,124 @@ def test_mutate_maintains_covered_index(store):
     assert {
         r["i:src_key"] for r in store.index_lookup("cd.b5_by_n", 3).collect()
     } == {"c"}
+
+
+# -- property: mutate() == the serial single-op semantics -----------------
+
+
+def _mutate_case():
+    from hypothesis import strategies as hst
+
+    keyspace = [f"k{i}" for i in range(8)]
+
+    def one_op(key):
+        return hst.one_of(
+            hst.fixed_dictionaries({
+                "op": hst.just("put"), "key": hst.just(key),
+                "row": hst.fixed_dictionaries({
+                    "cf:n": hst.integers(-50, 50) | hst.none(),
+                    "cf:note": hst.text(
+                        alphabet="abc", max_size=3) | hst.none(),
+                }),
+            }),
+            hst.fixed_dictionaries({
+                "op": hst.just("check_put"), "key": hst.just(key),
+                "col": hst.just("cf:n"),
+                "expected": hst.integers(-2, 4) | hst.none(),
+                "row": hst.fixed_dictionaries({
+                    "cf:n": hst.integers(-50, 50),
+                }),
+            }),
+            hst.fixed_dictionaries({
+                "op": hst.just("delete"), "key": hst.just(key)}),
+            hst.fixed_dictionaries({
+                "op": hst.just("check_delete"), "key": hst.just(key),
+                "col": hst.just("cf:n"),
+                "expected": hst.integers(-2, 4) | hst.none(),
+            }),
+            hst.fixed_dictionaries({
+                "op": hst.just("increment"), "key": hst.just(key),
+                "col": hst.just("cf:n"), "delta": hst.integers(-3, 3),
+            }),
+            hst.fixed_dictionaries({
+                "op": hst.just("append"), "key": hst.just(key),
+                "col": hst.just("cf:note"), "value": hst.text(
+                    alphabet="xy", min_size=1, max_size=2),
+            }),
+        )
+
+    # distinct keys per batch (the API contract) with a random op each
+    return hst.permutations(keyspace).flatmap(
+        lambda ks: hst.integers(1, len(ks)).flatmap(
+            lambda n: hst.tuples(*[one_op(k) for k in ks[:n]])
+        )
+    ), keyspace
+
+
+def test_mutate_matches_serial_model(store):
+    """Property: one mutate() batch produces exactly the state and
+    results a serial model of the single-op semantics produces —
+    random mixed batches over a seeded table."""
+    from hypothesis import HealthCheck, given, settings
+
+    ops_strategy, keyspace = _mutate_case()
+    counter = [0]
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(ops=ops_strategy)
+    def run(ops):
+        counter[0] += 1
+        name = f"prop{counter[0]}"
+        seed = [("k0", 1, "a"), ("k2", 3, "b"), ("k4", None, None)]
+        _table(store, name, seed)
+        qn = f"cd.{name}"
+
+        # pure-Python model of the serial single-op semantics
+        model = {k: {"cf:n": n, "cf:note": t} for k, n, t in seed}
+        expect_res = []
+        for o in ops:
+            k, kind = o["key"], o["op"]
+            cur = model.get(k)
+            if kind in ("put", "check_put"):
+                if kind == "check_put":
+                    cell = cur["cf:n"] if cur else None
+                    if cell != o["expected"]:
+                        expect_res.append((False, None))
+                        continue
+                row = o.get("row") or {}
+                model[k] = {"cf:n": row.get("cf:n"),
+                            "cf:note": row.get("cf:note")}
+                expect_res.append((True, None))
+            elif kind in ("delete", "check_delete"):
+                if kind == "check_delete":
+                    cell = cur["cf:n"] if cur else None
+                    if cell != o["expected"]:
+                        expect_res.append((False, None))
+                        continue
+                model.pop(k, None)
+                expect_res.append((True, None))
+            elif kind == "increment":
+                cell = cur["cf:n"] if cur else None
+                new = (cell or 0) + o["delta"]
+                base = dict(cur) if cur else {"cf:n": None, "cf:note": None}
+                base["cf:n"] = new
+                model[k] = base
+                expect_res.append((True, new))
+            else:
+                cell = cur["cf:note"] if cur else None
+                new = o["value"] if cell is None else cell + o["value"]
+                base = dict(cur) if cur else {"cf:n": None, "cf:note": None}
+                base["cf:note"] = new
+                model[k] = base
+                expect_res.append((True, new))
+
+        got_res = store.mutate(qn, list(ops))
+        assert [(r["applied"], r["value"]) for r in got_res] == expect_res
+        got = {
+            r["row_key"]: {"cf:n": r["cf:n"], "cf:note": r["cf:note"]}
+            for r in store.read(qn).collect()
+        }
+        assert got == model
+
+    run()
