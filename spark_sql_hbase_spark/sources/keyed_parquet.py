@@ -1031,7 +1031,8 @@ class KeyedTableStore:
             # destroy the previous table state
             self._swap_table_dir(
                 spec,
-                lambda staging: ranged.write.mode("overwrite").parquet(staging),
+                lambda staging: self._writer(ranged, spec)
+                .mode("overwrite").parquet(staging),
             )
         else:
             # append = write the new sorted run OUTSIDE any generation,
@@ -1050,7 +1051,7 @@ class KeyedTableStore:
                 # commit, so the directory's mtime is NOT a liveness
                 # signal while a long write is in flight
                 with self._marker_guard(tmp + ".writing"):
-                    ranged.write.mode("overwrite").parquet(tmp)
+                    self._writer(ranged, spec).mode("overwrite").parquet(tmp)
                     parts = [
                         f for f in os.listdir(tmp) if f.endswith(".parquet")
                     ]
@@ -2050,7 +2051,8 @@ class KeyedTableStore:
         """
         self._swap_table_dir(
             spec,
-            lambda staging: out.write.mode("overwrite").parquet(staging),
+            lambda staging: self._writer(out, spec)
+            .mode("overwrite").parquet(staging),
             validate=validate,
             expected_base=expected_base,
             under_lock_check=under_lock_check,
@@ -2696,6 +2698,45 @@ class KeyedTableStore:
         if len(rows) > self._BLOOM_MERGE_PROBE_MAX:
             return None
         return [r[0] for r in rows if r[0] is not None]
+
+    def _writer(self, df: DataFrame, spec: TableSpec):
+        """DataFrameWriter carrying the table's declared PARQUET-NATIVE
+        options.  ``PARQUET_BLOOM_COLUMNS => 'cf:a,cf:b'`` enables
+        parquet's own per-column Bloom filters on the listed PAYLOAD
+        columns (optionally sized by ``PARQUET_BLOOM_NDV => n``): the
+        row-key fast path has its sidecar filters, but an equality
+        predicate on a payload column (``cf:status = 'X'``) prunes at
+        ROW-GROUP granularity through parquet-mr's filter chain —
+        statistics, dictionary, bloom — which Spark's scan applies
+        under the ordinary filter pushdown, no custom probe code.  The
+        Spark-idiomatic half of the Bloom story: engine-owned filters
+        where the engine's reader already consults them, sidecars only
+        where it cannot (driver-side point planning).  An undeclared
+        column in the list raises loudly (house rule: a silently
+        ignored attribute is a trap)."""
+        w = df.write
+        cols = (
+            self._table_prop(spec, "parquet.bloom.columns")
+            or self._table_prop(spec, "parquet_bloom_columns")
+        )
+        if cols:
+            names = {f.name for f in spec.schema().fields}
+            ndv = (
+                self._table_prop(spec, "parquet.bloom.ndv")
+                or self._table_prop(spec, "parquet_bloom_ndv")
+            )
+            for c in [c.strip() for c in cols.split(",") if c.strip()]:
+                if c not in names:
+                    raise ValueError(
+                        f"{spec.qualified_name}: PARQUET_BLOOM_COLUMNS "
+                        f"names unknown column {c!r} (have {sorted(names)})"
+                    )
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+                if ndv:
+                    w = w.option(
+                        f"parquet.bloom.filter.expected.ndv#{c}", ndv
+                    )
+        return w
 
     def _bloom_enabled(self, spec: TableSpec) -> bool:
         prop = self._table_prop(spec, "bloomfilter") or "NONE"
@@ -4242,7 +4283,9 @@ class KeyedTableStore:
 
         def build(staging: str) -> None:
             for i, frame in enumerate(outs):
-                frame.write.mode("append" if i else "overwrite").parquet(staging)
+                self._writer(frame, spec).mode(
+                    "append" if i else "overwrite"
+                ).parquet(staging)
             for f in os.listdir(staging):
                 if not f.endswith(".parquet"):
                     os.remove(os.path.join(staging, f))

@@ -845,3 +845,72 @@ def test_backfill_writes_span_manifest_for_legacy_generation(store, spark):
         KeyedTableStore._footer_key_stats = staticmethod(orig)
     assert got[0]["cf:v"] == 33
     assert calls == [], "point get re-paid live footer reads"
+
+
+def test_parquet_native_payload_bloom_filters(store, spark):
+    """PARQUET_BLOOM_COLUMNS => 'cf:v': every write path emits
+    parquet's OWN per-column Bloom filters for the declared payload
+    columns (sized by PARQUET_BLOOM_NDV), which Spark's scan consults
+    for row-group pruning under ordinary filter pushdown — the
+    engine-owned half of the Bloom story.  Pinned by byte growth of
+    otherwise-identical files (pyarrow here does not expose the
+    bloom offset) and by correct filtered readback; an undeclared
+    column raises loudly."""
+    spec_plain = TableSpec(
+        namespace="bl", name="pq0", key_type="string",
+        families={"cf": {"v": "string"}},
+    )
+    spec_bloom = TableSpec(
+        namespace="bl", name="pq1", key_type="string",
+        families={"cf": {"v": "string"}},
+        properties={
+            "PARQUET_BLOOM_COLUMNS": "cf:v",
+            "PARQUET_BLOOM_NDV": "2000",
+        },
+    )
+    df = store.spark.range(2000).selectExpr(
+        "lpad(CAST(id AS STRING), 8, '0') AS row_key",
+        "concat('val_', CAST(id AS STRING)) AS `cf:v`",
+    )
+    for spec in (spec_plain, spec_bloom):
+        store.create_table(spec)
+        store.insert(spec.qualified_name, df, generate_row_key=False)
+
+    def total_bytes(qualified):
+        path = store.table_path(store.registry.get(qualified))
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in store._data_files(path)
+        )
+
+    # identical data, identical sort, identical codec — the only delta
+    # is the bloom filter payload
+    assert total_bytes("bl.pq1") > total_bytes("bl.pq0")
+
+    got = (
+        store.read("bl.pq1")
+        .filter(F.col("`cf:v`") == "val_777")
+        .collect()
+    )
+    assert [(r["row_key"], r["cf:v"]) for r in got] == [("00000777", "val_777")]
+
+    # appends carry the option too
+    extra = store.spark.createDataFrame(
+        [("zz000001", "val_zz")], "row_key string, `cf:v` string"
+    )
+    before = total_bytes("bl.pq1")
+    store.insert("bl.pq1", extra, generate_row_key=False)
+    assert total_bytes("bl.pq1") > before
+    assert store.read("bl.pq1").filter(
+        F.col("`cf:v`") == "val_zz"
+    ).count() == 1
+
+    # loud on an undeclared column
+    bad = TableSpec(
+        namespace="bl", name="pq2", key_type="string",
+        families={"cf": {"v": "string"}},
+        properties={"PARQUET_BLOOM_COLUMNS": "cf:nope"},
+    )
+    store.create_table(bad)
+    with pytest.raises(ValueError, match="PARQUET_BLOOM_COLUMNS"):
+        store.insert("bl.pq2", df, generate_row_key=False)
