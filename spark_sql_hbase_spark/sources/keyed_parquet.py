@@ -4,9 +4,12 @@ table layer, expressed as key-sorted range-partitioned Parquet.
 Reference → our mapping (SURVEY §1, §2.A):
 
 - HBase table ``ns:name``            → directory ``<warehouse>/<ns>/<name>``
-- region (split keys)                → range partition on ``row_key``
-  (``repartitionByRange``); the "split" table property
-  (``HBaseClientImpl.scala:262,273``) becomes the partition count/bounds
+- region (split keys)                → range partition on ``row_key``;
+  the "split" table property (``HBaseClientImpl.scala:262,273,331-364``)
+  declares EXACT region boundaries (pre-split parity — typed comparison
+  routing, deterministic region→partition map, no file ever straddles a
+  declared boundary); undeclared tables sample boundaries via
+  ``repartitionByRange``
 - HFile (rowkey-sorted cells)        → parquet file sorted by ``row_key``
   (``sortWithinPartitions``) with min/max stats per row group
 - server-side Filter pushdown (A3)   → Catalyst → parquet predicate
@@ -30,6 +33,7 @@ import shutil
 import time
 import uuid
 from contextlib import contextmanager
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +48,51 @@ from spark_sql_hbase_spark.sources import bloom as _bloom
 from spark_sql_hbase_spark.sources import storage_io as _storage_io
 
 DEFAULT_REGIONS = 4  # default range-partition count when no split keys given
+
+
+def _murmur3_int32(v: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of ONE IntegerType value — the public
+    Murmur3 x86_32 single-block path (mixK1/mixH1/fmix with Spark's
+    seed 42), the hash behind ``F.hash`` and ``HashPartitioning``.
+    Pinned byte-for-byte against ``F.hash`` itself by
+    ``test_partition_token_law_matches_spark_hash`` so an engine drift
+    breaks loudly instead of silently mis-routing regions."""
+    k = ((v & 0xFFFFFFFF) * 0xCC9E2D51) & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = (k * 0x1B873593) & 0xFFFFFFFF
+    h = (seed & 0xFFFFFFFF) ^ k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # fmix folds in the byte length (one int = 4)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+@lru_cache(maxsize=None)
+def _hash_partition_tokens(n: int) -> tuple:
+    """For each partition id ``r`` in ``0..n-1``, the smallest
+    non-negative int token with ``pmod(murmur3(token), n) == r``.
+
+    ``repartition(n, token_col)`` places a row at
+    ``pmod(Murmur3Hash(value), n)`` — so mapping region ids through
+    this token table gives an EXACT region→partition bijection using
+    only DataFrame-land hash partitioning (no RDD custom partitioner,
+    no Python in the row path).  Pure-Python search, instant for any
+    realistic fan-out (expected n·H(n) probes)."""
+    found: dict[int, int] = {}
+    t = 0
+    while len(found) < n:
+        p = _murmur3_int32(t) % n
+        if p not in found:
+            found[p] = t
+        t += 1
+        if t > (1 << 22):  # unreachable for sane n; loud, not hung
+            raise RuntimeError(f"no hash token set found for fan-out {n}")
+    return tuple(found[r] for r in range(n))
 
 # table-property prefix recording covered indexes on their main table
 _INDEX_PROP = "index."
@@ -1022,9 +1071,7 @@ class KeyedTableStore:
             out = out.localCheckpoint(eager=True)
 
         # "regions": range-partition by key; "HFiles": sort within partition
-        ranged = out.repartitionByRange(
-            self._n_regions(spec), ROW_KEY
-        ).sortWithinPartitions(ROW_KEY)
+        ranged = self._region_layout(spec, out)
         if overwrite:
             # full-table replacement rides the same staged generation
             # swap as every other rewrite — a crash mid-write must not
@@ -2219,6 +2266,94 @@ class KeyedTableStore:
     def _n_regions(spec: TableSpec) -> int:
         return max(len(spec.split_keys) + 1, 1) if spec.split_keys else DEFAULT_REGIONS
 
+    @staticmethod
+    def _partition_tokens(n: int) -> tuple:
+        return _hash_partition_tokens(n)
+
+    @staticmethod
+    def _declared_split_bounds(spec: TableSpec) -> list:
+        """Typed, validated region boundaries from the table's declared
+        split keys.
+
+        HBase hands split keys to ``createTable`` as raw bytes
+        (``HBaseClientImpl.scala:362-364``); here they live as strings
+        in the catalog (the ``"split"`` property, ``:262,273``) and must
+        compare in the KEY's type — ``"100"`` on a long key is the
+        number 100, not the digit string (lexicographic routing on
+        digits is the same trap the round-8 typed footer-stats fix
+        killed).  Malformed declarations raise loudly: a silently
+        ignored or misordered split list would quietly route rows to
+        the wrong region."""
+        kt = (spec.key_type or "string").lower()
+        raw = [str(s) for s in spec.split_keys]
+        if kt in _INTEGRAL_INDEX_TYPES:
+            try:
+                vals: list = [int(s) for s in raw]
+            except ValueError:
+                raise ValueError(
+                    f"{spec.qualified_name}: split key not parseable as "
+                    f"{kt}: {raw}"
+                ) from None
+        elif kt in ("float", "double"):
+            try:
+                vals = [float(s) for s in raw]
+            except ValueError:
+                raise ValueError(
+                    f"{spec.qualified_name}: split key not parseable as "
+                    f"{kt}: {raw}"
+                ) from None
+        elif kt.startswith(("string", "varchar", "char")):
+            vals = list(raw)
+        else:
+            raise ValueError(
+                f"{spec.qualified_name}: declared split keys are not "
+                f"supported for key type {kt!r}"
+            )
+        if not all(a < b for a, b in zip(vals, vals[1:])):
+            raise ValueError(
+                f"{spec.qualified_name}: split keys must be strictly "
+                f"increasing in the key's type order, got {raw}"
+            )
+        return vals
+
+    def _region_layout(
+        self, spec: TableSpec, df: DataFrame, n_regions: int | None = None
+    ) -> DataFrame:
+        """Partition ``df`` into the table's region layout and key-sort
+        each region — the HFile-write law behind every full write path.
+
+        Declared split keys (HBase pre-split parity,
+        ``HBaseClientImpl.scala:331-364``) are EXACT boundaries: each
+        row's region is a typed comparison against the declared bounds
+        and each region maps to its OWN shuffle partition through the
+        probed hash tokens, so boundaries are deterministic,
+        skew-independent, and identical across every generation — a
+        bulk load cannot be skew-surprised, no file ever straddles a
+        declared boundary, and incremental DML keeps stable file↔range
+        alignment.  Rows with a NULL key route to region 0 (the
+        ``delete_where`` NULL-key law keeps such rows representable).
+        Without a declaration, boundaries come from
+        ``repartitionByRange`` sampling at the default fan-out.  An
+        explicit ``n_regions`` (the size-targeted split-policy path —
+        HBase regions likewise split past their pre-split points)
+        overrides the declaration with sampled bounds."""
+        if n_regions is None and spec.split_keys:
+            bounds = self._declared_split_bounds(spec)
+            n = len(bounds) + 1
+            key_t = spec.schema()[ROW_KEY].dataType
+            region = F.lit(0)
+            for b in bounds:
+                region = region + F.when(
+                    F.col(ROW_KEY) >= F.lit(b).cast(key_t), 1
+                ).otherwise(0)
+            toks = self._partition_tokens(n)
+            token = F.element_at(
+                F.array(*[F.lit(int(t)) for t in toks]), region + F.lit(1)
+            ).cast("int")
+            return df.repartition(n, token).sortWithinPartitions(ROW_KEY)
+        n = n_regions or self._n_regions(spec)
+        return df.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
+
     def _sorted_rewrite(
         self,
         spec: TableSpec,
@@ -2240,8 +2375,7 @@ class KeyedTableStore:
         out = df.select(
             *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in schema.fields]
         )
-        n = n_regions or self._n_regions(spec)
-        out = out.repartitionByRange(n, ROW_KEY).sortWithinPartitions(ROW_KEY)
+        out = self._region_layout(spec, out, n_regions=n_regions)
         self._atomic_swap_write(
             spec, out, validate=validate, expected_base=expected_base,
             under_lock_check=under_lock_check,
@@ -3562,8 +3696,17 @@ class KeyedTableStore:
             obs = Observation()
             observations.append(obs)
             merged = merged.observe(obs, F.max("__n_src").alias("max_src_per_key"))
-            out_merged = conform(merged.drop("__src", "__n_src")) \
-                .sortWithinPartitions(ROW_KEY)
+            out_merged = conform(merged.drop("__src", "__n_src"))
+            if spec.split_keys:
+                # pre-split table: affected files from non-adjacent
+                # regions would fold into boundary-straddling files
+                # under the joint sampled repartition above — reroute
+                # by the declared boundaries.  The extra exchange is
+                # bounded by the affected subset and only paid by
+                # declared-split tables.
+                out_merged = self._region_layout(spec, out_merged)
+            else:
+                out_merged = out_merged.sortWithinPartitions(ROW_KEY)
             new_run = incoming.filter(~in_span)
             # when the batch span sits inside the affected files' span,
             # ~between(lo, hi) is provably empty — decide driver-side
@@ -3595,11 +3738,7 @@ class KeyedTableStore:
             # insert(): a large all-new batch must not serialize through
             # one partition; empty range partitions write no files, so
             # small batches still produce a compact run
-            out_new = conform(
-                new_counted.drop("__n_src")
-            ).repartitionByRange(
-                self._n_regions(spec), ROW_KEY
-            ).sortWithinPartitions(ROW_KEY)
+            out_new = self._region_layout(spec, conform(new_counted.drop("__n_src")))
         else:
             out_new = None
 
@@ -4251,9 +4390,18 @@ class KeyedTableStore:
         out = transform(sub).select(
             *[F.col(f"`{f.name}`").cast(f.dataType).alias(f.name) for f in schema.fields]
         )
-        out = out.repartitionByRange(
-            max(len(affected), 1), ROW_KEY
-        ).sortWithinPartitions(ROW_KEY)
+        if spec.split_keys:
+            # keep every rewritten file inside ONE declared region — a
+            # joint sampled repartition of files from non-adjacent
+            # regions would emit a file whose min/max span covers
+            # untouched regions' keyspace, poisoning span pruning.
+            # Empty regions write no files, so a small rewrite still
+            # produces a compact run.
+            out = self._region_layout(spec, out)
+        else:
+            out = out.repartitionByRange(
+                max(len(affected), 1), ROW_KEY
+            ).sortWithinPartitions(ROW_KEY)
         self._swap_write_with_carry(spec, out, path, set(affected))
 
     def _swap_write_with_carry(
@@ -4591,12 +4739,18 @@ class KeyedTableStore:
                     small.append(fname)
             if len(small) < min_files:
                 return 0
-            merged = (
-                self.spark.read.schema(spec.schema())
-                .parquet(*[os.path.join(path, f) for f in small])
-                .repartitionByRange(1, ROW_KEY)
-                .sortWithinPartitions(ROW_KEY)
+            folded = self.spark.read.schema(spec.schema()).parquet(
+                *[os.path.join(path, f) for f in small]
             )
+            if spec.split_keys:
+                # pre-split table: fold to one file PER DECLARED REGION
+                # (empty regions write nothing) instead of one global
+                # file that would straddle the declared boundaries
+                merged = self._region_layout(spec, folded)
+            else:
+                merged = folded.repartitionByRange(
+                    1, ROW_KEY
+                ).sortWithinPartitions(ROW_KEY)
             # untouched large files carry over as hardlinks — the one
             # shared staged-write-plus-carry tail every selective path
             # rides
