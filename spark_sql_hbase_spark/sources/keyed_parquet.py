@@ -1114,6 +1114,21 @@ class KeyedTableStore:
                             )
                         except Exception:
                             continue  # cache construction never fails a write
+                    # drop zero-row parts before anything links them in:
+                    # the declared-split layout writes one partition per
+                    # region, and Spark emits an empty file for an empty
+                    # region that precedes a populated one — linking
+                    # those would leak one noise file per append (an
+                    # all-empty batch appends nothing: a no-op)
+                    empty = {
+                        f for f, s in part_stats.items() if s[2] == 0
+                    }
+                    if empty:
+                        parts = [f for f in parts if f not in empty]
+                        part_stats = {
+                            f: s for f, s in part_stats.items()
+                            if f not in empty
+                        }
                     if self._bloom_enabled(spec):
                         # Bloom sidecars for the appended parts, built
                         # OUTSIDE the lock against the staging inodes
@@ -2122,6 +2137,43 @@ class KeyedTableStore:
             f for f in os.listdir(path) if f.endswith(".parquet")
         )
 
+    def _scrub_empty_parts(self, staging: str, known: dict | None = None) -> None:
+        """Remove ZERO-ROW part files from a private staging directory.
+
+        Spark's writer emits an empty part file when an empty partition
+        precedes a non-empty one in the same write — with the declared
+        split-key layout (one shuffle partition per region), every write
+        whose batch misses a low-numbered region would otherwise leak
+        one empty file per miss, growing the scan listing and the
+        compaction-threshold count with pure noise.  ``known`` (the
+        carried files' span stats) avoids footer reads for hardlinked
+        carries, so the cost is one footer open per NEW file — which the
+        span-manifest write was about to pay anyway.  A 0-row claim from
+        the cache is re-verified against the live footer before any
+        delete (deleting a non-empty file would lose data; a stale cache
+        must never be trusted that far).  If EVERY part is empty, one is
+        kept as the schema anchor (TRUNCATE's layout contract).
+        """
+        known = known or {}
+        parts = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+        empties = []
+        for fname in parts:
+            rec = known.get(fname)
+            rows = rec[2] if rec is not None else None
+            if rows is None or rows == 0:
+                try:
+                    rows = self._footer_key_stats(
+                        os.path.join(staging, fname)
+                    )[2]
+                except Exception:
+                    continue  # unreadable here: keep; the scrub is cosmetic
+            if rows == 0:
+                empties.append(fname)
+        if len(empties) == len(parts):
+            empties = empties[1:]  # keep one file as the schema anchor
+        for fname in empties:
+            os.remove(os.path.join(staging, fname))
+
     def _swap_table_dir(
         self,
         spec: TableSpec,
@@ -2180,6 +2232,17 @@ class KeyedTableStore:
                 os.path.join(root, f".building-{new_gen}")
             ):
                 build_staging(os.path.join(root, new_gen))
+                try:
+                    self._scrub_empty_parts(
+                        os.path.join(root, new_gen),
+                        known=(
+                            self._load_span_stats(span_reuse_path)
+                            if span_reuse_path
+                            else None
+                        ),
+                    )
+                except Exception:
+                    pass  # cosmetic — never fail the commit over it
                 if validate is not None:
                     validate()
                 # record the new generation's key-span manifest while the
@@ -2271,21 +2334,12 @@ class KeyedTableStore:
         return _hash_partition_tokens(n)
 
     @staticmethod
-    def _declared_split_bounds(spec: TableSpec) -> list:
-        """Typed, validated region boundaries from the table's declared
-        split keys.
-
-        HBase hands split keys to ``createTable`` as raw bytes
-        (``HBaseClientImpl.scala:362-364``); here they live as strings
-        in the catalog (the ``"split"`` property, ``:262,273``) and must
-        compare in the KEY's type — ``"100"`` on a long key is the
-        number 100, not the digit string (lexicographic routing on
-        digits is the same trap the round-8 typed footer-stats fix
-        killed).  Malformed declarations raise loudly: a silently
-        ignored or misordered split list would quietly route rows to
-        the wrong region."""
+    def _parse_split_values(spec: TableSpec, raw: list) -> list:
+        """Parse split-key strings into the KEY's type (no order check —
+        :meth:`_declared_split_bounds` adds it for declarations;
+        :meth:`split_region` parses one candidate point)."""
         kt = (spec.key_type or "string").lower()
-        raw = [str(s) for s in spec.split_keys]
+        raw = [str(s) for s in raw]
         if kt in _INTEGRAL_INDEX_TYPES:
             try:
                 vals: list = [int(s) for s in raw]
@@ -2309,10 +2363,28 @@ class KeyedTableStore:
                 f"{spec.qualified_name}: declared split keys are not "
                 f"supported for key type {kt!r}"
             )
+        return vals
+
+    @classmethod
+    def _declared_split_bounds(cls, spec: TableSpec) -> list:
+        """Typed, validated region boundaries from the table's declared
+        split keys.
+
+        HBase hands split keys to ``createTable`` as raw bytes
+        (``HBaseClientImpl.scala:362-364``); here they live as strings
+        in the catalog (the ``"split"`` property, ``:262,273``) and must
+        compare in the KEY's type — ``"100"`` on a long key is the
+        number 100, not the digit string (lexicographic routing on
+        digits is the same trap the round-8 typed footer-stats fix
+        killed).  Malformed declarations raise loudly: a silently
+        ignored or misordered split list would quietly route rows to
+        the wrong region."""
+        vals = cls._parse_split_values(spec, list(spec.split_keys))
         if not all(a < b for a, b in zip(vals, vals[1:])):
             raise ValueError(
                 f"{spec.qualified_name}: split keys must be strictly "
-                f"increasing in the key's type order, got {raw}"
+                f"increasing in the key's type order, got "
+                f"{[str(s) for s in spec.split_keys]}"
             )
         return vals
 
@@ -4802,6 +4874,122 @@ class KeyedTableStore:
         return self.spark.createDataFrame(
             out, "region int, min_key string, max_key string, n_rows bigint"
         )
+
+    # -- region lifecycle (HBase admin.split / admin.mergeRegions) --------
+    def split_region(self, qualified_name: str, split_key) -> int:
+        """Add ``split_key`` as a declared region boundary — the HBase
+        ``admin.split(table, splitPoint)`` manual-split surface (the
+        runtime continuation of the CREATE-time pre-split the reference
+        declares via the ``"split"`` property,
+        ``HBaseClientImpl.scala:331-364``).
+
+        Cost model is HBase's: a split is a METADATA operation plus a
+        daughter rewrite of only the ONE region that straddles the new
+        boundary.  Because every write keeps files region-confined, the
+        straddling files are found from span-manifest stats (no footer
+        walk on a manifest-ed generation) and only they are rewritten;
+        every other file — the entire rest of the table — carries into
+        the new generation as a hardlink.  At 100 TB, splitting a hot
+        region touches that region's bytes only.
+
+        Declared-split tables only: an undeclared table has sampled
+        (per-batch) boundaries, so "splitting" one is not meaningful —
+        use :meth:`compact` with ``n_regions``/``target_region_bytes``
+        for sampled re-fanout.  Returns the number of files rewritten
+        (0 = pure-metadata split of an empty/cold boundary).
+
+        Concurrency: the new declaration registers first, so every
+        write that PLANS after this call routes by the new bounds; the
+        daughter rewrite then rides the standard locate → selective
+        rewrite → CAS retry loop.  A writer already in flight with the
+        old bounds can commit one straddling run — harmless (scans and
+        pruning use per-file stats, never region assumptions) and
+        re-confined by its next rewrite or compaction, the same eventual
+        story as HBase splitting under load.
+        """
+        spec = self.registry.get(qualified_name)
+        if not spec.split_keys:
+            raise ValueError(
+                f"{qualified_name}: split_region requires declared split "
+                "keys; use compact(n_regions=...) or "
+                "compact(target_region_bytes=...) to re-fan-out a "
+                "sampled-layout table"
+            )
+        bounds = self._declared_split_bounds(spec)
+        newv = self._parse_split_values(spec, [split_key])[0]
+        if newv in bounds:
+            raise ValueError(
+                f"{qualified_name}: {split_key!r} is already a declared "
+                "region boundary"
+            )
+        raw_by_val = dict(zip(bounds, [str(s) for s in spec.split_keys]))
+        raw_by_val[newv] = str(split_key)
+        spec.split_keys = [raw_by_val[v] for v in sorted(raw_by_val)]
+        self.registry.register(spec)
+
+        def attempt() -> int:
+            path = self.table_path(spec)
+            cached = self._load_span_stats(path)
+            straddlers = []
+            for fname in self._data_files(path):
+                rec = cached.get(fname)
+                if rec is not None and rec[3]:
+                    lo, hi, rows = rec[0], rec[1], rec[2]
+                else:
+                    lo, hi, rows = self._file_key_range(
+                        os.path.join(path, fname)
+                    )
+                # a file straddles iff it holds keys on BOTH sides of
+                # the boundary: region law [lo_bound, hi_bound) puts
+                # key == newv in the upper daughter
+                if (
+                    rows and lo is not None and hi is not None
+                    and lo < newv <= hi
+                ):
+                    straddlers.append(fname)
+            if not straddlers:
+                return 0
+            sub = self.spark.read.schema(spec.schema()).parquet(
+                *[os.path.join(path, f) for f in straddlers]
+            )
+            out = self._region_layout(spec, sub)
+            self._swap_write_with_carry(spec, out, path, set(straddlers))
+            return len(straddlers)
+
+        return self._retry_write_conflict(attempt)
+
+    def merge_regions(self, qualified_name: str, boundary) -> None:
+        """Remove the declared region boundary ``boundary`` — the HBase
+        ``admin.mergeRegions(daughterA, daughterB)`` surface, addressed
+        by the boundary the two adjacent regions share.
+
+        ZERO I/O by construction: region-confined files of the two
+        daughters all lie inside the merged region's keyspace, so the
+        merge is purely a catalog update — strictly cheaper than HBase,
+        whose merge rewrites region metadata AND eventually compacts
+        the daughters' HFiles together.  Subsequent writes route by the
+        merged bounds; existing files never move.  Removing the LAST
+        boundary returns the table to the undeclared (sampled
+        ``repartitionByRange``) layout.
+        """
+        spec = self.registry.get(qualified_name)
+        if not spec.split_keys:
+            raise ValueError(
+                f"{qualified_name}: no declared split keys to merge"
+            )
+        bounds = self._declared_split_bounds(spec)
+        v = self._parse_split_values(spec, [boundary])[0]
+        if v not in bounds:
+            raise ValueError(
+                f"{qualified_name}: {boundary!r} is not a declared region "
+                f"boundary (declared: {[str(s) for s in spec.split_keys]})"
+            )
+        spec.split_keys = [
+            raw for raw, val in zip(
+                [str(s) for s in spec.split_keys], bounds
+            ) if val != v
+        ]
+        self.registry.register(spec)
 
     # -- snapshots (HBase snapshot/clone_snapshot/restore_snapshot) -------
     def _snapshot_dir(self, snapshot_name: str) -> str:

@@ -60,7 +60,7 @@ def _region_of(key, bounds):
 
 
 def _assert_region_confined(store, spec, bounds):
-    ranges = _file_ranges(store, spec)
+    ranges = [r for r in _file_ranges(store, spec) if r[2]]  # skip empties
     assert ranges, "table wrote no data files"
     for lo, hi, _n in ranges:
         assert _region_of(lo, bounds) == _region_of(hi, bounds), (
@@ -260,3 +260,211 @@ def test_merge_respects_declared_boundaries(store, spark):
         ).collect()
     }
     assert vals == {"a00010": 111, "c00195": 222, "b99999": 2}
+
+
+# -- region lifecycle: split_region / merge_regions (HBase admin.split /
+# admin.mergeRegions) ---------------------------------------------------
+
+
+def test_split_region_rewrites_only_the_straddling_region(store, spark):
+    spec = TableSpec(
+        namespace="sp",
+        name="lifecycle",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["b", "c"],
+    )
+    store.create_table(spec)
+    store.insert("sp.lifecycle", _skewed_strings(spark, n=600), overwrite=True)
+    path = store.table_path(spec)
+    before_files = set(store._data_files(path))
+    before_rows = {
+        (r["row_key"], r["cf:v"]) for r in store.read("sp.lifecycle").collect()
+    }
+
+    n_rewritten = store.split_region("sp.lifecycle", "a00270")
+
+    # the declaration grew, in order
+    assert list(store.registry.get("sp.lifecycle").split_keys) == [
+        "a00270", "b", "c"
+    ]
+    # only region-0 files (the ones straddling the new boundary) were
+    # rewritten; the b- and c-region files carried over by NAME (hardlink)
+    assert n_rewritten >= 1
+    after_files = set(store._data_files(store.table_path(spec)))
+    carried = before_files & after_files
+    assert carried, "expected untouched regions to carry as hardlinks"
+    # every surviving + new file is confined by the NEW bounds
+    _assert_region_confined(store, spec, ["a00270", "b", "c"])
+    after_rows = {
+        (r["row_key"], r["cf:v"]) for r in store.read("sp.lifecycle").collect()
+    }
+    assert after_rows == before_rows
+
+
+def test_split_region_cold_boundary_is_metadata_only(store, spark):
+    spec = TableSpec(
+        namespace="sp",
+        name="coldsplit",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["b", "c"],
+    )
+    store.create_table(spec)
+    store.insert("sp.coldsplit", _skewed_strings(spark, n=300), overwrite=True)
+    path = store.table_path(spec)
+    before_files = set(store._data_files(path))
+
+    # c-keys top out around c00299 < "c5": no file straddles — pure metadata
+    assert store.split_region("sp.coldsplit", "c5") == 0
+    assert store.table_path(spec) == path  # no generation swap
+    assert set(store._data_files(path)) == before_files
+    assert list(store.registry.get("sp.coldsplit").split_keys) == ["b", "c", "c5"]
+    assert store.read("sp.coldsplit").count() == 300
+
+
+def test_split_region_validations(store, spark):
+    undeclared = TableSpec(
+        namespace="sp",
+        name="nosplits",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+    )
+    store.create_table(undeclared)
+    store.insert("sp.nosplits", _skewed_strings(spark, n=50), overwrite=True)
+    with pytest.raises(ValueError, match="declared split keys"):
+        store.split_region("sp.nosplits", "b")
+
+    spec = TableSpec(
+        namespace="sp",
+        name="dupsplit",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["b"],
+    )
+    store.create_table(spec)
+    store.insert("sp.dupsplit", _skewed_strings(spark, n=50), overwrite=True)
+    with pytest.raises(ValueError, match="already a declared"):
+        store.split_region("sp.dupsplit", "b")
+    with pytest.raises(ValueError, match="not a declared"):
+        store.merge_regions("sp.dupsplit", "zzz")
+    with pytest.raises(ValueError, match="no declared"):
+        store.merge_regions("sp.nosplits", "b")
+
+
+def test_split_region_numeric_point_sorts_in_key_type(store, spark):
+    """Splitting a long-keyed ["100", "200"] table at 99 must order the
+    declaration as [99, 100, 200] — lexicographic raw-string sorting
+    ("100" < "99") would produce a misordered declaration that the next
+    write loudly rejects."""
+    spec = TableSpec(
+        namespace="sp",
+        name="numsplit",
+        key_type="long",
+        families={"cf": {"v": "long"}},
+        split_keys=["100", "200"],
+    )
+    store.create_table(spec)
+    keys = [1, 50, 99, 100, 150, 250]
+    store.insert(
+        "sp.numsplit",
+        spark.createDataFrame([(k, k) for k in keys], "row_key long, `cf:v` long"),
+        overwrite=True,
+    )
+    store.split_region("sp.numsplit", 99)
+    assert list(store.registry.get("sp.numsplit").split_keys) == [
+        "99", "100", "200"
+    ]
+    _assert_region_confined(store, spec, [99, 100, 200])
+    # and further writes route by the new bounds without raising
+    store.insert(
+        "sp.numsplit",
+        spark.createDataFrame([(98, 98)], "row_key long, `cf:v` long"),
+    )
+    assert store.read("sp.numsplit").count() == len(keys) + 1
+
+
+def test_merge_regions_is_metadata_only_and_rebinds_writes(store, spark):
+    spec = TableSpec(
+        namespace="sp",
+        name="mergeable",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["b", "c"],
+    )
+    store.create_table(spec)
+    store.insert("sp.mergeable", _skewed_strings(spark, n=300), overwrite=True)
+    path = store.table_path(spec)
+    before_files = set(store._data_files(path))
+    before_rows = {
+        (r["row_key"], r["cf:v"]) for r in store.read("sp.mergeable").collect()
+    }
+
+    store.merge_regions("sp.mergeable", "c")
+
+    # zero I/O: same generation, same files
+    assert store.table_path(spec) == path
+    assert set(store._data_files(path)) == before_files
+    assert list(store.registry.get("sp.mergeable").split_keys) == ["b"]
+    assert {
+        (r["row_key"], r["cf:v"]) for r in store.read("sp.mergeable").collect()
+    } == before_rows
+
+    # subsequent appends route by the MERGED bounds: a batch spanning the
+    # former b|c boundary lands region-confined wrt ["b"] only
+    store.insert(
+        "sp.mergeable",
+        spark.createDataFrame(
+            [("b90000", 1), ("c90000", 2)], "row_key string, `cf:v` long"
+        ),
+    )
+    _assert_region_confined(store, spec, ["b"])
+    assert store.read("sp.mergeable").count() == 302
+
+
+def test_merge_last_boundary_returns_to_sampled_layout(store, spark):
+    spec = TableSpec(
+        namespace="sp",
+        name="unsplit",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["b"],
+    )
+    store.create_table(spec)
+    store.insert("sp.unsplit", _skewed_strings(spark, n=100), overwrite=True)
+    store.merge_regions("sp.unsplit", "b")
+    assert list(store.registry.get("sp.unsplit").split_keys) == []
+    # the table keeps working in sampled-layout mode
+    store.insert("sp.unsplit", _skewed_strings(spark, n=100))
+    assert store.read("sp.unsplit").count() == 200
+
+
+def test_no_empty_part_files_leak_from_region_misses(store, spark):
+    """Spark emits a 0-row part file when an empty shuffle partition
+    precedes a populated one; with one-partition-per-region declared
+    layouts, every append that misses a low region would leak one.  Both
+    write tails scrub them: the append link-in and the staged swap."""
+    spec = TableSpec(
+        namespace="sp",
+        name="noleak",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["b"],
+    )
+    store.create_table(spec)
+    # overwrite whose batch misses region 0 entirely
+    store.insert(
+        "sp.noleak",
+        spark.createDataFrame([("b1", 1), ("c1", 2)], "row_key string, `cf:v` long"),
+        overwrite=True,
+    )
+    # append that ALSO misses region 0 (the empty partition sorts first)
+    store.insert(
+        "sp.noleak",
+        spark.createDataFrame([("b2", 3), ("c2", 4)], "row_key string, `cf:v` long"),
+    )
+    ranges = _file_ranges(store, spec)
+    assert ranges and all(n > 0 for _lo, _hi, n in ranges), (
+        f"zero-row part files leaked: {ranges}"
+    )
+    assert store.read("sp.noleak").count() == 4
