@@ -1209,6 +1209,88 @@ class KeyedTableStore:
                     self._mark_index_stale(iq, False)
         if not overwrite:
             self._maybe_auto_minor_compact(spec)
+            self._maybe_auto_split(spec)
+
+    def _maybe_auto_split(self, spec: TableSpec) -> None:
+        """HBase splits a region AUTOMATICALLY when it outgrows
+        ``hbase.hregion.max.filesize`` (``ConstantSizeRegionSplitPolicy``
+        — the split point is the storefile index's midkey); a pre-split
+        table whose declared boundaries never move silently funnels a
+        growing keyspace into one hot region.  With the table property
+        ``REGION_MAX_BYTES => n`` set on a DECLARED-SPLIT table, an
+        append that leaves any region's data files totalling > n bytes
+        triggers :meth:`split_region` at that region's MEDIAN key.
+
+        Cost model: the oversized-region check is driver-side metadata
+        only (span stats route each region-confined file to its region,
+        one ``getsize`` per file); the median is one sorted scan of THE
+        ONE oversized region (span/footer pruning keeps other regions'
+        files unread), and the split rewrite touches only that region's
+        bytes.  Regions whose keys are all equal (median == min) cannot
+        split and are skipped.  Setting the property on an undeclared
+        table raises loudly — sampled layouts re-fan-out through
+        ``compact(target_region_bytes=...)`` instead (house rule: a
+        silently ignored attribute is a trap)."""
+        prop = self._table_prop(spec, "region.max.bytes") or \
+            self._table_prop(spec, "region_max_bytes")
+        if prop is None:
+            return
+        try:
+            max_bytes = int(prop)
+        except ValueError:
+            raise ValueError(
+                f"{spec.qualified_name}: REGION_MAX_BYTES must be an "
+                f"integer, got {prop!r}"
+            ) from None
+        if max_bytes <= 0:
+            raise ValueError(
+                f"{spec.qualified_name}: REGION_MAX_BYTES must be > 0, "
+                f"got {max_bytes}"
+            )
+        if not spec.split_keys:
+            raise ValueError(
+                f"{spec.qualified_name}: REGION_MAX_BYTES requires declared "
+                "split keys (pre-split table); use "
+                "compact(target_region_bytes=...) for sampled layouts"
+            )
+        bounds = self._declared_split_bounds(spec)
+        path = self.table_path(spec)
+        cached = self._load_span_stats(path)
+        region_bytes: dict[int, int] = {}
+        region_files: dict[int, list[str]] = {}
+        for fname in self._data_files(path):
+            full = os.path.join(path, fname)
+            rec = cached.get(fname)
+            if rec is not None and rec[3]:
+                lo, rows = rec[0], rec[2]
+            else:
+                lo, _hi, rows = self._file_key_range(full)
+            if not rows or lo is None:
+                continue
+            region = sum(1 for b in bounds if lo >= b)
+            region_bytes[region] = region_bytes.get(region, 0) + \
+                os.path.getsize(full)
+            region_files.setdefault(region, []).append(full)
+        for region, nbytes in sorted(region_bytes.items()):
+            if nbytes <= max_bytes:
+                continue
+            files = region_files[region]
+            sub = self.spark.read.schema(spec.schema()).parquet(*files)
+            cnt = sub.count()
+            if cnt < 2:
+                continue
+            keyed = sub.select(ROW_KEY).orderBy(ROW_KEY)
+            mid_row = keyed.offset(cnt // 2).limit(1).collect()
+            lo_row = keyed.limit(1).collect()
+            if not mid_row or not lo_row:
+                continue
+            mid, lo_key = mid_row[0][0], lo_row[0][0]
+            if mid is None or lo_key is None or not mid > lo_key:
+                continue  # degenerate key distribution: cannot split
+            try:
+                self.split_region(spec.qualified_name, mid)
+            except ConcurrentWriteConflictError:
+                pass  # a concurrent writer restructured the table: done
 
     def _maybe_auto_minor_compact(self, spec: TableSpec) -> None:
         """HBase runs minor compactions AUTOMATICALLY when a store

@@ -468,3 +468,69 @@ def test_no_empty_part_files_leak_from_region_misses(store, spark):
         f"zero-row part files leaked: {ranges}"
     )
     assert store.read("sp.noleak").count() == 4
+
+
+def test_auto_split_policy_splits_oversized_region(store, spark):
+    """REGION_MAX_BYTES — the ConstantSizeRegionSplitPolicy analogue:
+    an append that leaves one declared region oversized auto-splits it
+    at the region's median key; cold regions are untouched."""
+    spec = TableSpec(
+        namespace="sp",
+        name="autosplit",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["m"],
+        properties={"REGION_MAX_BYTES": "4000"},
+    )
+    store.create_table(spec)
+    store.insert(
+        "sp.autosplit",
+        spark.createDataFrame([("a1", 1), ("z1", 2)], "row_key string, `cf:v` long"),
+        overwrite=True,
+    )
+    # hammer the UPPER region until it crosses the byte threshold
+    hot = spark.range(800).select(
+        F.format_string("z%05d", F.col("id").cast("int")).alias("row_key"),
+        F.col("id").alias("cf:v"),
+    )
+    store.insert("sp.autosplit", hot)
+
+    new_keys = list(store.registry.get("sp.autosplit").split_keys)
+    assert len(new_keys) > 1 and "m" in new_keys, new_keys
+    added = [k for k in new_keys if k != "m"]
+    assert all(k.startswith("z") for k in added), (
+        f"split point must bisect the HOT region, got {added}"
+    )
+    # layout is confined by the grown declaration and content is exact
+    bounds = sorted(new_keys)
+    _assert_region_confined(store, spec, bounds)
+    got = store.read("sp.autosplit")
+    assert got.count() == 802
+
+
+def test_auto_split_policy_validations(store, spark):
+    undeclared = TableSpec(
+        namespace="sp",
+        name="autobad",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        properties={"REGION_MAX_BYTES": "4000"},
+    )
+    store.create_table(undeclared)
+    df = spark.createDataFrame([("a", 1)], "row_key string, `cf:v` long")
+    store.insert("sp.autobad", df, overwrite=True)  # overwrite: no hook
+    with pytest.raises(ValueError, match="declared split"):
+        store.insert("sp.autobad", df)
+
+    badval = TableSpec(
+        namespace="sp",
+        name="autobadval",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["m"],
+        properties={"REGION_MAX_BYTES": "lots"},
+    )
+    store.create_table(badval)
+    store.insert("sp.autobadval", df, overwrite=True)
+    with pytest.raises(ValueError, match="REGION_MAX_BYTES"):
+        store.insert("sp.autobadval", df)
