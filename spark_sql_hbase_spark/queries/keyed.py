@@ -1231,3 +1231,92 @@ def k22_bloom_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`p:name`").alias("name"),
         F.col("`p:price`").alias("price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k23 — declared region boundaries + region lifecycle (HBase pre-split
+# "split" property, HBaseClientImpl.scala:331-364, + admin.split /
+# admin.mergeRegions): CTAS into a pre-split table (declared keys are
+# EXACT file boundaries — no file straddles one), split_region rewrites
+# ONLY the straddling region's files, merge_regions is metadata-only
+# (region-confined daughters already lie inside the merged keyspace),
+# and an upsert after both routes by the final bounds.  The final state
+# is a pure function of `part` that plain SQL reproduces; the layout
+# laws (confinement, hardlink carry, typed routing) are pinned in
+# tests/test_split_regions.py.
+# ---------------------------------------------------------------------------
+@register(
+    "k23_region_lifecycle",
+    oracle="""
+    SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           p_name AS name,
+           CASE WHEN p_partkey % 40 = 0 THEN p_retailprice + 1
+                ELSE p_retailprice END AS price
+    FROM part
+    """,
+    description="declared pre-split boundaries + split_region (selective "
+    "daughter rewrite) + merge_regions (metadata-only) + post-op upsert",
+)
+def k23_region_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    p = table(spark, sf_dir, "part")
+    spec = TableSpec(
+        namespace="gate",
+        name="part_rl",
+        key_type="string",
+        families={"p": {"name": "string", "price": "double"}},
+        split_keys=["0000000050", "0000000150"],
+    )
+    store.ctas(
+        spec,
+        p.select(
+            F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("p_name").alias("p:name"),
+            F.col("p_retailprice").alias("p:price"),
+        ),
+        mode="overwrite",
+    )
+
+    def confined(bounds: list[str]) -> None:
+        # layout evidence in-gate: every data file's key range lies
+        # inside ONE declared region
+        path = store.table_path(store.registry.get("gate.part_rl"))
+        for f in store._data_files(path):
+            lo, hi, n = store._file_key_range(os.path.join(path, f))
+            if not n:
+                continue
+            r_lo = sum(1 for b in bounds if lo >= b)
+            r_hi = sum(1 for b in bounds if hi >= b)
+            assert r_lo == r_hi, (lo, hi, bounds)
+
+    confined(["0000000050", "0000000150"])
+    # manual split bisects the upper region; only its files rewrite
+    store.split_region("gate.part_rl", "0000000100")
+    assert list(store.registry.get("gate.part_rl").split_keys) == [
+        "0000000050", "0000000100", "0000000150",
+    ]
+    confined(["0000000050", "0000000100", "0000000150"])
+    # merge is metadata-only: the generation does not move
+    path_before = store.table_path(store.registry.get("gate.part_rl"))
+    store.merge_regions("gate.part_rl", "0000000150")
+    assert store.table_path(store.registry.get("gate.part_rl")) == path_before
+    assert list(store.registry.get("gate.part_rl").split_keys) == [
+        "0000000050", "0000000100",
+    ]
+    # post-lifecycle DML routes by the FINAL bounds
+    store.upsert(
+        "gate.part_rl",
+        p.filter("p_partkey % 40 = 0").select(
+            F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("p_name").alias("p:name"),
+            (F.col("p_retailprice") + 1).alias("p:price"),
+        ),
+    )
+    confined(["0000000050", "0000000100"])
+    return store.read("gate.part_rl").select(
+        "row_key",
+        F.col("`p:name`").alias("name"),
+        F.col("`p:price`").alias("price"),
+    )

@@ -552,7 +552,7 @@ _REG["st12_stream_quality_sink"].oracle = _z77_oracle()
 
 
 # ---------------------------------------------------------------------------
-# st06 (was z85) — streaming CDC upsert materialization (round-5 addition):
+# zg21 (was st06, was z85) — streaming CDC upsert materialization (round-5 addition):
 # Spark Structured Streaming has no native UPSERT sink; the versioned
 # keyed table provides one — each micro-batch APPENDS (row_key, value,
 # version) cells through the keyed insert path, and `read_versions_asof`
@@ -562,7 +562,7 @@ _REG["st12_stream_quality_sink"].oracle = _z77_oracle()
 # changes" semantics, bounded state (none — state IS the table).
 # ---------------------------------------------------------------------------
 @register(
-    "st06_stream_upsert_view",
+    "zg21_stream_upsert_view",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2.0
@@ -574,7 +574,7 @@ _REG["st12_stream_quality_sink"].oracle = _z77_oracle()
     description="streaming CDC upsert: micro-batches append versioned "
     "cells, as-of read materializes the latest-state view",
 )
-def st06_stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg21_stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
     from spark_sql_hbase_spark.streaming.pipelines import (
@@ -811,10 +811,10 @@ def st07_stream_index_dualwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ::write_stream_upsert_to_keyed_table): each micro-batch REPLACES
 # same-key rows via the store's MERGE primitive, so the table IS the
 # latest-state view — no version column, no as-of join on read (the
-# read-optimized alternative to the st06 append+as-of CDC path).
+# read-optimized alternative to the zg21 append+as-of CDC path).
 # Batches apply in file-source order (base, then updates); upsert
 # idempotence + the checkpoint batch-id marker make replays no-ops.
-# Oracle: the same CASE construction as st06, without the version.
+# Oracle: the same CASE construction as zg21, without the version.
 # ---------------------------------------------------------------------------
 @register(
     "zg17_stream_upsert_sink",
