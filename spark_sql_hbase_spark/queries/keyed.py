@@ -1320,3 +1320,60 @@ def k23_region_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`p:name`").alias("name"),
         F.col("`p:price`").alias("price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k24 — CDC changefeed (HBase replication / WAL-shipping analogue, served
+# from the storage layout): one MERGE commits updates + brand-new keys in
+# one generation swap; read_changes("previous") emits exactly the touched
+# rows, classified — rewritten-but-unchanged neighbors stay silent, and
+# the diff reads ONLY the file-listing symmetric difference (hardlink
+# carries are byte-identical by the store's immutability law).  The
+# change set is a pure function of `part` that plain SQL reproduces.
+# ---------------------------------------------------------------------------
+@register(
+    "k24_changefeed",
+    oracle="""
+    SELECT 'update' AS change,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           p_retailprice + 1 AS price
+    FROM part WHERE p_partkey % 50 = 0
+    UNION ALL
+    SELECT 'insert' AS change,
+           lpad(CAST(p_partkey + 1000000 AS VARCHAR), 10, '0') AS row_key,
+           p_retailprice AS price
+    FROM part WHERE p_partkey % 97 = 0
+    """,
+    description="CDC changefeed: generation-diff read_changes() after one "
+    "MERGE — updates + inserts classified, unchanged rewritten rows silent",
+)
+def k24_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    p = table(spark, sf_dir, "part")
+    key = F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key")
+    spec = TableSpec(
+        namespace="gate",
+        name="part_cdc",
+        key_type="string",
+        families={"p": {"price": "double"}},
+    )
+    store.ctas(
+        spec,
+        p.select(key, F.col("p_retailprice").alias("p:price")),
+        mode="overwrite",
+    )
+    batch = p.filter("p_partkey % 50 = 0").select(
+        key, (F.col("p_retailprice") + 1).alias("p:price")
+    ).unionByName(
+        p.filter("p_partkey % 97 = 0").select(
+            F.lpad((F.col("p_partkey") + 1000000).cast("string"), 10, "0")
+            .alias("row_key"),
+            F.col("p_retailprice").alias("p:price"),
+        )
+    )
+    store.upsert("gate.part_cdc", batch)
+    return store.read_changes("gate.part_cdc").select(
+        "change", "row_key", F.col("`p:price`").alias("price")
+    )

@@ -724,7 +724,7 @@ _REG["st14_stream_vocab_cardinality"].oracle = _z93_oracle()
 
 
 # ---------------------------------------------------------------------------
-# st07 (was za01) — streaming covered-index dual-write (round-5 addition;
+# zg22 (was st07, was za01) — streaming covered-index dual-write (round-5 addition;
 # streaming/pipelines.py::write_stream_with_index_maintenance): the
 # Phoenix global-index maintenance strategy — each micro-batch appends
 # to the main keyed table AND its covered index in one foreachBatch, so
@@ -733,7 +733,7 @@ _REG["st14_stream_vocab_cardinality"].oracle = _z93_oracle()
 # read shape); oracle: the plain value predicate.
 # ---------------------------------------------------------------------------
 @register(
-    "st07_stream_index_dualwrite",
+    "zg22_stream_index_dualwrite",
     oracle="""
     SELECT CAST(c_custkey AS BIGINT) AS custkey,
            c_name AS name,
@@ -744,7 +744,7 @@ _REG["st14_stream_vocab_cardinality"].oracle = _z93_oracle()
     description="streaming covered-index dual-write: value-predicate "
     "query served index-only stays fresh under ingest",
 )
-def st07_stream_index_dualwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg22_stream_index_dualwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
     from spark_sql_hbase_spark.streaming.pipelines import (

@@ -667,6 +667,110 @@ class KeyedTableStore:
             os.path.join(root, prev)
         )
 
+    def read_changes(
+        self, qualified_name: str, versus: str = "previous"
+    ) -> DataFrame:
+        """CDC read: the row-level changes between a retained BASE state
+        and the current generation — the HBase replication/WAL-shipping
+        analogue, served from the storage layout itself (no log).
+
+        ``versus="previous"`` diffs against the generation the last
+        table-replacing operation retired (the same state
+        :meth:`read_generation` serves); any other value names a
+        SNAPSHOT (:meth:`snapshot`), giving snapshot-to-now incremental
+        exports (the HBase ExportSnapshot incremental pattern).
+
+        Emits ``(change, <table columns>)`` with ``change`` one of
+        ``insert`` / ``update`` (carrying the NEW row) / ``delete``
+        (carrying the old row).  On a versioned-retention table a new
+        cell is an ``insert`` and an expired/compacted-away cell a
+        ``delete`` — HBase Put/retention semantics: versions are cells,
+        not in-place updates.
+
+        100 TB design — the diff is FILE-level first, row-level second:
+        every write path carries unchanged files across generations
+        (and into snapshots) as HARDLINKS under their original
+        basenames, and data files are immutable once written, so a
+        file listed on both sides is byte-identical by construction
+        and is never read.  Only the symmetric difference of the two
+        listings is scanned; ``exceptAll`` then drops
+        rewritten-but-unchanged rows (selective rewrites rewrite whole
+        files), and the classification joins run over the changed
+        subset only.  Cost: O(changed files) I/O plus shuffles over
+        changed rows — independent of table size.
+        """
+        spec = self.registry.get(qualified_name)
+        root = self.table_root(spec)
+        man = self._read_gen_manifest(root)
+        cur = man.get("current") if man else None
+        cur_dir = (
+            root if cur in (None, self._FLAT) else os.path.join(root, cur)
+        )
+        if versus == "previous":
+            prev = man.get("previous") if man else None
+            if prev is None:
+                raise TableNotFoundError(
+                    f"{qualified_name} has no previous generation "
+                    "(no table rewrite since creation)"
+                )
+            base_dir = root if prev == self._FLAT else os.path.join(root, prev)
+        else:
+            base_dir = self._snapshot_dir(versus)
+            if not os.path.isdir(base_dir):
+                raise TableNotFoundError(f"snapshot not found: {versus}")
+        cur_files = set(self._data_files(cur_dir))
+        base_files = set(self._data_files(base_dir))
+        schema = spec.schema()
+
+        def _rd(dirp: str, names) -> DataFrame:
+            names = sorted(names)
+            if not names:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(dirp, f) for f in names]
+            )
+
+        cur_df = _rd(cur_dir, cur_files - base_files)
+        base_df = _rd(base_dir, base_files - cur_files)
+        added = cur_df.exceptAll(base_df)
+        removed = base_df.exceptAll(cur_df)
+        # classify by key identity, null-safe WITH an explicit hit
+        # marker: delete_where's NULL-key law keeps NULL-keyed rows
+        # representable, and an eqNullSafe match on a NULL key still
+        # joins a NULL __rk — only the marker distinguishes "matched
+        # a NULL key" from "no match"
+        removed_keys = (
+            removed.select(F.col(ROW_KEY).alias("__rk"))
+            .distinct()
+            .withColumn("__hit", F.lit(True))
+        )
+        added_keys = added.select(F.col(ROW_KEY).alias("__rk")).distinct()
+        cols = [f"`{f.name}`" for f in schema.fields]
+        labeled_new = (
+            added.join(
+                removed_keys,
+                F.col(ROW_KEY).eqNullSafe(F.col("__rk")),
+                "left",
+            )
+            .withColumn(
+                "change",
+                F.when(F.col("__hit"), F.lit("update")).otherwise(
+                    F.lit("insert")
+                ),
+            )
+            .drop("__rk", "__hit")
+        )
+        deleted = (
+            removed.join(
+                added_keys,
+                F.col(ROW_KEY).eqNullSafe(F.col("__rk")),
+                "left_anti",
+            )
+            .withColumn("change", F.lit("delete"))
+        )
+        sel = ["change"] + cols
+        return labeled_new.select(*sel).unionByName(deleted.select(*sel))
+
     @contextmanager
     def scan_lease(self, qualified_name: str):
         """HBase scanner-lease analogue (a RegionServer scanner's lease

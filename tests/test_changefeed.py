@@ -1,0 +1,154 @@
+"""CDC changefeed: row-level changes between retained states.
+
+``read_changes`` is the HBase replication/WAL-shipping analogue served
+from the storage layout itself: hardlink-carried files are
+byte-identical across generations (and into snapshots) by the store's
+immutability law, so the diff reads ONLY the symmetric difference of
+the two file listings, then ``exceptAll`` drops rewritten-but-unchanged
+rows.  This suite pins:
+
+- classification: update (new row) / insert / delete across one
+  MERGE and one DELETE generation;
+- rewritten-but-unchanged neighbors of a touched key do NOT appear;
+- the file-level pruning law: carried (shared-name) files are never
+  read — the diff's ``inputFiles`` is a subset of the symmetric
+  difference;
+- snapshot-to-now diffs (``versus=<snapshot>``) including appended
+  rows (appends never flip a generation, so only the snapshot base
+  sees them as changes);
+- NULL-keyed rows classify as update (not delete+insert) when their
+  payload changes across an overwrite;
+- loud errors: no previous generation / unknown snapshot.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.catalog import TableSpec
+from spark_sql_hbase_spark.sources.keyed_parquet import (
+    KeyedTableStore,
+    TableNotFoundError,
+)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("cdc_wh"))
+    return KeyedTableStore(spark, wh)
+
+
+def _mk(store, spark, name, rows, split_keys=None):
+    spec = TableSpec(
+        namespace="cdc",
+        name=name,
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=split_keys or [],
+    )
+    store.create_table(spec)
+    store.insert(
+        f"cdc.{name}",
+        spark.createDataFrame(rows, "row_key string, `cf:v` long"),
+        overwrite=True,
+    )
+    return spec
+
+
+def _changes(df):
+    return {(r["change"], r["row_key"], r["cf:v"]) for r in df.collect()}
+
+
+def test_changes_classify_update_insert_delete(store, spark):
+    _mk(store, spark, "basic", [(f"k{i:03d}", i) for i in range(10)])
+    store.upsert(
+        "cdc.basic",
+        spark.createDataFrame(
+            [("k003", 333), ("k999", 999)], "row_key string, `cf:v` long"
+        ),
+    )
+    got = _changes(store.read_changes("cdc.basic"))
+    # only the touched keys appear — the 9 rewritten-identical rows of
+    # k003's file and every carried file stay silent
+    assert got == {("update", "k003", 333), ("insert", "k999", 999)}
+
+    store.delete_where("cdc.basic", "row_key = 'k005'")
+    got = _changes(store.read_changes("cdc.basic"))
+    assert got == {("delete", "k005", 5)}
+
+
+def test_changes_read_only_the_symmetric_difference(store, spark):
+    spec = _mk(
+        store,
+        spark,
+        "pruned",
+        [(f"{p}{i:03d}", i) for p in "abc" for i in range(50)],
+        split_keys=["b", "c"],
+    )
+    import os
+
+    path_before = store.table_path(spec)
+    files_before = set(store._data_files(path_before))
+    store.upsert(
+        "cdc.pruned",
+        spark.createDataFrame([("a001", 111)], "row_key string, `cf:v` long"),
+    )
+    df = store.read_changes("cdc.pruned")
+    assert _changes(df) == {("update", "a001", 111)}
+    path_after = store.table_path(spec)
+    shared = files_before & set(store._data_files(path_after))
+    assert shared, "expected hardlink-carried files"
+    read_names = {os.path.basename(f) for f in df.inputFiles()}
+    assert not (read_names & shared), (
+        f"diff read carried files: {read_names & shared}"
+    )
+
+
+def test_changes_versus_snapshot_sees_appends(store, spark):
+    _mk(store, spark, "snapdiff", [(f"k{i:03d}", i) for i in range(6)])
+    store.snapshot("cdc.snapdiff", "cdc_s1")
+    # one MERGE (update+insert), one plain APPEND (no generation flip)
+    store.upsert(
+        "cdc.snapdiff",
+        spark.createDataFrame([("k001", 100)], "row_key string, `cf:v` long"),
+    )
+    store.insert(
+        "cdc.snapdiff",
+        spark.createDataFrame([("k100", 7)], "row_key string, `cf:v` long"),
+    )
+    got = _changes(store.read_changes("cdc.snapdiff", versus="cdc_s1"))
+    assert got == {
+        ("update", "k001", 100),
+        ("insert", "k100", 7),
+    }
+
+
+def test_changes_null_key_update_classifies_as_update(store, spark):
+    _mk(store, spark, "nullkey", [(None, 1), ("k1", 2)])
+    store.insert(
+        "cdc.nullkey",
+        spark.createDataFrame([(None, 5), ("k1", 2)], "row_key string, `cf:v` long"),
+        overwrite=True,
+    )
+    got = _changes(store.read_changes("cdc.nullkey"))
+    assert got == {("update", None, 5)}
+
+
+def test_changes_errors_are_loud(store, spark):
+    _mk(store, spark, "fresh", [("k1", 1)])
+    # overwrite-created table has a previous generation only after a
+    # second table-replacing operation on top of the create
+    with pytest.raises(TableNotFoundError, match="snapshot not found"):
+        store.read_changes("cdc.fresh", versus="nope")
+    spec = TableSpec(
+        namespace="cdc",
+        name="virgin",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+    )
+    store.create_table(spec)
+    store.insert(
+        "cdc.virgin",
+        spark.createDataFrame([("k1", 1)], "row_key string, `cf:v` long"),
+    )
+    with pytest.raises(TableNotFoundError, match="previous generation"):
+        store.read_changes("cdc.virgin")
