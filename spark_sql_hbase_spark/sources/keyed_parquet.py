@@ -771,6 +771,41 @@ class KeyedTableStore:
         sel = ["change"] + cols
         return labeled_new.select(*sel).unionByName(deleted.select(*sel))
 
+    def apply_changes(
+        self,
+        qualified_name: str,
+        changes: DataFrame,
+        async_index: bool = False,
+    ) -> int:
+        """Replay a changefeed onto a REPLICA table — the HBase
+        ``ReplicationSink`` analogue (shipped WALEdits replayed as Puts
+        and Deletes): ``insert``/``update`` rows :meth:`upsert`,
+        ``delete`` rows :meth:`delete_keys`.  After
+        ``apply_changes(replica, read_changes(source))`` the replica
+        equals the source state (pinned by ``tests/test_changefeed.py``).
+
+        The feed is pinned once (eager ``localCheckpoint``) before any
+        write: replaying a table's OWN changefeed — or any lazily-read
+        state of the target — must not re-evaluate against the
+        generations the replay itself creates.  One diff's change set
+        keys each key at most once (insert/update and delete are
+        mutually exclusive per key), so the two commits (one MERGE, one
+        keyed DELETE) compose order-independently.  Cost follows the
+        two selective paths: O(changed files) per commit, never a table
+        rewrite.  Returns the number of rows deleted (upserted rows
+        follow MERGE semantics and are not separately counted)."""
+        spec = self.registry.get(qualified_name)
+        cols = [f"`{f.name}`" for f in spec.schema().fields]
+        feed = changes.localCheckpoint(eager=True)
+        puts = feed.filter(
+            F.col("change").isin("insert", "update")
+        ).select(*cols)
+        dels = feed.filter(F.col("change") == "delete").select(
+            F.col(f"`{ROW_KEY}`")
+        )
+        self.upsert(qualified_name, puts, async_index=async_index)
+        return self.delete_keys(qualified_name, dels, async_index=async_index)
+
     @contextmanager
     def scan_lease(self, qualified_name: str):
         """HBase scanner-lease analogue (a RegionServer scanner's lease
@@ -4783,6 +4818,104 @@ class KeyedTableStore:
         # after an index-side conflict would re-run the delete against
         # its own committed result (and report 0 rows for a delete that
         # happened)
+        n, changed_keys = self._retry_write_conflict(attempt)
+        if n:
+            self._maintain_indexes(
+                qualified_name, async_index, changed_keys=changed_keys
+            )
+        return n
+
+    def delete_keys(
+        self, qualified_name: str, keys: DataFrame, async_index: bool = False
+    ) -> int:
+        """DELETE by key batch — the HBase ``table.delete(List<Delete>)``
+        client surface (and the replay path for changefeed deletes,
+        :meth:`apply_changes`).  ``keys`` is a DataFrame carrying a
+        ``row_key`` column (or exactly one column, taken as the key).
+
+        Same selective-rewrite cost law as :meth:`delete_where`: the
+        batch is pinned once (eager ``localCheckpoint`` — the MERGE
+        source discipline) and ONE batch-statistics job yields its
+        span, so the locate prunes candidate files by footer key range
+        and Bloom sidecars (exact-point probes when the batch is small
+        enough to hoist, the :meth:`upsert` gating) before one
+        broadcast-semi locate scan; only files holding matched keys
+        rewrite (broadcast anti join), everything else hardlinks.  A
+        batch matching nothing is free.  NULL keys in the batch delete
+        NULL-keyed rows (null-safe joins; span pruning is skipped for
+        such batches — parquet stats cannot see NULL keys).  The batch
+        rides BROADCAST joins, so it must be batch-sized, not
+        corpus-sized — the same contract as the MERGE source.  Returns
+        the number of rows deleted."""
+        spec = self.registry.get(qualified_name)
+        if ROW_KEY not in keys.columns:
+            if len(keys.columns) != 1:
+                raise ValueError(
+                    f"delete_keys expects a '{ROW_KEY}' column (or a "
+                    f"single-column frame), got {keys.columns}"
+                )
+            keys = keys.select(F.col(f"`{keys.columns[0]}`").alias(ROW_KEY))
+        key_t = spec.schema()[ROW_KEY].dataType
+        kdf = keys.select(
+            F.col(f"`{ROW_KEY}`").cast(key_t).alias("__dk")
+        ).localCheckpoint(eager=True)
+        b = kdf.agg(
+            F.min("__dk").alias("lo"),
+            F.max("__dk").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("__dk").isNull(), 1)).alias("n_null"),
+        ).first()
+        if not b["n"]:
+            return 0
+        span = (
+            (b["lo"], b["hi"])
+            if not b["n_null"] and b["lo"] is not None
+            else None
+        )
+        points = None
+        if span is not None and b["n"] <= self._BLOOM_MERGE_PROBE_MAX:
+            points = {
+                r[0] for r in kdf.distinct().collect() if r[0] is not None
+            }
+            if len(points) > self._BLOOM_MERGE_PROBE_MAX:
+                points = None
+
+        def semi(df: DataFrame) -> DataFrame:
+            return df.join(
+                F.broadcast(kdf),
+                F.col(ROW_KEY).eqNullSafe(F.col("__dk")),
+                "left_semi",
+            )
+
+        def anti(df: DataFrame) -> DataFrame:
+            return df.join(
+                F.broadcast(kdf),
+                F.col(ROW_KEY).eqNullSafe(F.col("__dk")),
+                "left_anti",
+            )
+
+        def attempt() -> tuple:
+            path = self.table_path(spec)
+            if span is not None:
+                span_stats: dict = {}
+                files = self._span_candidates(
+                    path, span[0], span[1], stats=span_stats
+                )
+                files = self._bloom_prune_point(
+                    spec, path, files, points, span, span_stats
+                )
+            else:
+                files = self._data_files(path)
+            affected = self._locate_affected_files(spec, semi, files=files)
+            if not affected:
+                return 0, None
+            n = sum(affected.values())
+            changed_keys = self._capture_changed_keys(
+                spec, affected, semi, n, async_index, path=path
+            )
+            self._selective_rewrite(spec, affected, anti, path=path)
+            return n, changed_keys
+
         n, changed_keys = self._retry_write_conflict(attempt)
         if n:
             self._maintain_indexes(

@@ -152,3 +152,85 @@ def test_changes_errors_are_loud(store, spark):
     )
     with pytest.raises(TableNotFoundError, match="previous generation"):
         store.read_changes("cdc.virgin")
+
+
+# -- delete_keys (HBase table.delete(List<Delete>)) + apply_changes
+# (ReplicationSink replay) ----------------------------------------------
+
+
+def test_delete_keys_selective_and_exact(store, spark):
+    spec = _mk(
+        store,
+        spark,
+        "delkeys",
+        [(f"{p}{i:03d}", i) for p in "abc" for i in range(40)],
+        split_keys=["b", "c"],
+    )
+    import os
+
+    path = store.table_path(spec)
+    files_before = set(store._data_files(path))
+    # two present keys (one region) + one absent key
+    batch = spark.createDataFrame(
+        [("a001",), ("a002",), ("zzz",)], "row_key string"
+    )
+    assert store.delete_keys("cdc.delkeys", batch) == 2
+    left = store.read("cdc.delkeys")
+    assert left.count() == 118
+    assert left.filter(F.col("row_key").isin("a001", "a002")).count() == 0
+    # only the a-region file was rewritten; b/c files carried by name
+    path_after = store.table_path(spec)
+    carried = files_before & set(store._data_files(path_after))
+    assert carried, "untouched regions must hardlink-carry"
+    # a no-match batch is free: no generation swap
+    assert store.delete_keys(
+        "cdc.delkeys", spark.createDataFrame([("nope",)], "row_key string")
+    ) == 0
+    assert store.table_path(spec) == path_after
+
+
+def test_delete_keys_null_and_column_shapes(store, spark):
+    _mk(store, spark, "delnull", [(None, 1), ("k1", 2), ("k2", 3)])
+    # single unnamed column is accepted as the key; NULL deletes the
+    # NULL-keyed row (null-safe join)
+    batch = spark.createDataFrame([(None,), ("k2",)], "anykey string")
+    assert store.delete_keys("cdc.delnull", batch) == 2
+    got = {(r["row_key"], r["cf:v"]) for r in store.read("cdc.delnull").collect()}
+    assert got == {("k1", 2)}
+    with pytest.raises(ValueError, match="row_key"):
+        store.delete_keys(
+            "cdc.delnull",
+            spark.createDataFrame([("a", "b")], "x string, y string"),
+        )
+
+
+def test_apply_changes_replicates_source_state(store, spark):
+    src_rows = [(f"k{i:03d}", i) for i in range(20)]
+    _mk(store, spark, "repl_src", src_rows)
+    _mk(store, spark, "repl_dst", src_rows)
+
+    def assert_in_sync():
+        a = {(r["row_key"], r["cf:v"]) for r in store.read("cdc.repl_src").collect()}
+        b = {(r["row_key"], r["cf:v"]) for r in store.read("cdc.repl_dst").collect()}
+        assert a == b
+
+    # ship one MERGE generation (updates + inserts)
+    store.upsert(
+        "cdc.repl_src",
+        spark.createDataFrame(
+            [("k003", 333), ("k900", 900)], "row_key string, `cf:v` long"
+        ),
+    )
+    n_del = store.apply_changes(
+        "cdc.repl_dst", store.read_changes("cdc.repl_src")
+    )
+    assert n_del == 0
+    assert_in_sync()
+
+    # ship one DELETE generation
+    store.delete_where("cdc.repl_src", "row_key IN ('k005', 'k006')")
+    n_del = store.apply_changes(
+        "cdc.repl_dst", store.read_changes("cdc.repl_src")
+    )
+    assert n_del == 2
+    assert_in_sync()
