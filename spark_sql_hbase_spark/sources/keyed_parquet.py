@@ -676,9 +676,12 @@ class KeyedTableStore:
 
         ``versus="previous"`` diffs against the generation the last
         table-replacing operation retired (the same state
-        :meth:`read_generation` serves); any other value names a
-        SNAPSHOT (:meth:`snapshot`), giving snapshot-to-now incremental
-        exports (the HBase ExportSnapshot incremental pattern).
+        :meth:`read_generation` serves — and with the same TRANSIENCE:
+        the next rewrite sweeps it, so consume the diff promptly or
+        diff against a snapshot); any other value names a SNAPSHOT
+        (:meth:`snapshot`), giving snapshot-to-now incremental exports
+        (the HBase ExportSnapshot incremental pattern) against a
+        durable base.
 
         Emits ``(change, <table columns>)`` with ``change`` one of
         ``insert`` / ``update`` (carrying the NEW row) / ``delete``
