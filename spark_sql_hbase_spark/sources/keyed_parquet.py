@@ -5389,6 +5389,48 @@ class KeyedTableStore:
     def delete_snapshot(self, snapshot_name: str) -> None:
         shutil.rmtree(self._snapshot_dir(snapshot_name), ignore_errors=True)
 
+    def export_snapshot(self, snapshot_name: str, dest_warehouse: str) -> str:
+        """Copy a named snapshot into ANOTHER warehouse — HBase
+        ``ExportSnapshot`` (the cluster-to-cluster snapshot shipping
+        tool): the snapshot's data files, declared spec, span manifest,
+        and Bloom sidecars land under
+        ``<dest_warehouse>/.snapshots/<name>``, where a
+        :class:`KeyedTableStore` over that warehouse can
+        :meth:`clone_snapshot` / :meth:`restore_snapshot` it.
+
+        Zero-copy where the filesystem allows (hardlinks via
+        :meth:`_link_or_copy`; byte copies across filesystems) — the
+        HBase tool likewise ships immutable HFiles.  Bootstrapping a
+        replica is export + clone; from then on ship the CHANGEFEED
+        instead (``read_changes(table, versus=<snapshot>)`` →
+        :meth:`apply_changes` on the replica), which moves O(delta),
+        not O(table).  A failed export never leaves a half-shipped
+        destination behind (cleanup on failure — the :meth:`snapshot`
+        discipline).  Returns the destination snapshot directory."""
+        src = self._snapshot_dir(snapshot_name)
+        if not os.path.isdir(src):
+            raise TableNotFoundError(f"snapshot not found: {snapshot_name}")
+        dst = os.path.join(dest_warehouse, ".snapshots", snapshot_name)
+        if os.path.exists(dst):
+            raise TableAlreadyExistsError(
+                f"snapshot exists at destination: {dst}"
+            )
+        os.makedirs(dst)
+        try:
+            for root_dir, _dirs, files in os.walk(src):
+                rel = os.path.relpath(root_dir, src)
+                tgt = dst if rel == "." else os.path.join(dst, rel)
+                os.makedirs(tgt, exist_ok=True)
+                for fname in files:
+                    self._link_or_copy(
+                        os.path.join(root_dir, fname),
+                        os.path.join(tgt, fname),
+                    )
+        except BaseException:
+            shutil.rmtree(dst, ignore_errors=True)
+            raise
+        return dst
+
     def _read_snapshot_spec(self, snapshot_name: str) -> dict:
         sdir = self._snapshot_dir(snapshot_name)
         if not os.path.isdir(sdir):

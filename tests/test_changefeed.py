@@ -234,3 +234,56 @@ def test_apply_changes_replicates_source_state(store, spark):
     )
     assert n_del == 2
     assert_in_sync()
+
+
+# -- export_snapshot (HBase ExportSnapshot) + bootstrap-then-incremental
+# replication ------------------------------------------------------------
+
+
+def test_export_snapshot_bootstraps_a_remote_replica(store, spark, tmp_path_factory):
+    """The full HBase cross-cluster replication story: snapshot →
+    export → clone at the destination (bootstrap), then ship ONLY the
+    changefeed against that snapshot (incremental)."""
+    _mk(store, spark, "shipme", [(f"k{i:03d}", i) for i in range(15)])
+    store.snapshot("cdc.shipme", "ship_s1")
+
+    remote_wh = str(tmp_path_factory.mktemp("remote_wh"))
+    dst = store.export_snapshot("ship_s1", remote_wh)
+    import os
+
+    assert os.path.isdir(dst)
+    remote = KeyedTableStore(spark, remote_wh)
+    remote.clone_snapshot("ship_s1", "cdc.shipme")
+
+    def rows(st, name):
+        return {(r["row_key"], r["cf:v"]) for r in st.read(name).collect()}
+
+    assert rows(remote, "cdc.shipme") == rows(store, "cdc.shipme")
+
+    # incremental: mutate the source, ship the snapshot-relative diff
+    store.upsert(
+        "cdc.shipme",
+        spark.createDataFrame(
+            [("k002", 222), ("k500", 500)], "row_key string, `cf:v` long"
+        ),
+    )
+    store.delete_where("cdc.shipme", "row_key = 'k009'")
+    remote.apply_changes(
+        "cdc.shipme", store.read_changes("cdc.shipme", versus="ship_s1")
+    )
+    assert rows(remote, "cdc.shipme") == rows(store, "cdc.shipme")
+
+
+def test_export_snapshot_errors_are_loud(store, spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("exp_wh"))
+    with pytest.raises(TableNotFoundError, match="snapshot not found"):
+        store.export_snapshot("no_such_snap", wh)
+    _mk(store, spark, "expdup", [("k1", 1)])
+    store.snapshot("cdc.expdup", "exp_s1")
+    store.export_snapshot("exp_s1", wh)
+    from spark_sql_hbase_spark.sources.keyed_parquet import (
+        TableAlreadyExistsError,
+    )
+
+    with pytest.raises(TableAlreadyExistsError, match="destination"):
+        store.export_snapshot("exp_s1", wh)
