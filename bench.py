@@ -325,6 +325,71 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
         import shutil
 
         shutil.rmtree(store.warehouse_dir, ignore_errors=True)
+
+    # round-9: CDC replication ship — snapshot-bootstrapped replica, then
+    # ONE changefeed read (file-level diff: only the symmetric-difference
+    # files are scanned) replayed as one MERGE + one keyed DELETE.  The
+    # timed figure is the steady-state per-cycle cost of keeping a
+    # replica in sync; bootstrap (export+clone) is timed separately.
+    src_store = KeyedTableStore(spark, tempfile.mkdtemp(prefix="bench_cdc_s_"))
+    dst_wh = tempfile.mkdtemp(prefix="bench_cdc_d_")
+    try:
+        cust = table(spark, sf_dir, "customer")
+        src_store.ctas(
+            TableSpec(
+                namespace="bench", name="repl", key_type="string",
+                families={"c": {"bal": "double"}},
+            ),
+            cust.select(
+                F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+                .alias("row_key"),
+                F.col("c_acctbal").alias("c:bal"),
+            ),
+            mode="overwrite",
+        )
+        src_store.snapshot("bench.repl", "bench_repl_s1")
+        t0 = time.perf_counter()
+        src_store.export_snapshot("bench_repl_s1", dst_wh)
+        dst_store = KeyedTableStore(spark, dst_wh)
+        dst_store.clone_snapshot("bench_repl_s1", "bench.repl")
+        out["k24_replica_bootstrap"] = round(time.perf_counter() - t0, 3)
+        # mutate the source: ~6% updates + 500 inserts + 250 deletes
+        src_store.upsert(
+            "bench.repl",
+            cust.filter("c_custkey % 16 = 0").select(
+                F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+                .alias("row_key"),
+                (F.col("c_acctbal") + 1).alias("c:bal"),
+            ).unionByName(
+                cust.limit(500).select(
+                    F.lpad((F.col("c_custkey") + 90_000_000).cast("string"),
+                           10, "0").alias("row_key"),
+                    F.col("c_acctbal").alias("c:bal"),
+                )
+            ),
+        )
+        src_store.delete_keys(
+            "bench.repl",
+            cust.filter("c_custkey % 61 = 0").select(
+                F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+                .alias("row_key")
+            ),
+        )
+        t0 = time.perf_counter()
+        feed = src_store.read_changes("bench.repl", versus="bench_repl_s1")
+        n_del = dst_store.apply_changes("bench.repl", feed)
+        out["k24_cdc_ship"] = round(time.perf_counter() - t0, 3)
+        n_src = src_store.read("bench.repl").count()
+        n_dst = dst_store.read("bench.repl").count()
+        assert n_src == n_dst, f"replica diverged: {n_src} != {n_dst}"
+        print(f"# k24 replica_bootstrap={out['k24_replica_bootstrap']}s "
+              f"cdc_ship={out['k24_cdc_ship']}s deletes={n_del} "
+              f"rows={n_dst}", file=sys.stderr)
+    finally:
+        import shutil
+
+        shutil.rmtree(src_store.warehouse_dir, ignore_errors=True)
+        shutil.rmtree(dst_wh, ignore_errors=True)
     return out
 
 
