@@ -2632,7 +2632,14 @@ class KeyedTableStore:
         ``repartitionByRange`` sampling at the default fan-out.  An
         explicit ``n_regions`` (the size-targeted split-policy path —
         HBase regions likewise split past their pre-split points)
-        overrides the declaration with sampled bounds."""
+        overrides the declaration with sampled bounds.
+
+        Declared layouts bound WRITE parallelism at the region count
+        (one shuffle partition per region — the same property HBase
+        has: a region is the write unit); the ``REGION_MAX_BYTES``
+        auto-split policy and :meth:`split_region` exist precisely to
+        keep regions — and therefore write tasks — bounded as data
+        grows."""
         if n_regions is None and spec.split_keys:
             bounds = self._declared_split_bounds(spec)
             n = len(bounds) + 1
@@ -4860,14 +4867,30 @@ class KeyedTableStore:
             keys = keys.select(F.col(f"`{keys.columns[0]}`").alias(ROW_KEY))
         key_t = spec.schema()[ROW_KEY].dataType
         kdf = keys.select(
-            F.col(f"`{ROW_KEY}`").cast(key_t).alias("__dk")
+            # try_cast: an uncastable key must reach the loud refusal
+            # below as a detectable NULL, not explode as an ANSI cast
+            # error mid-job (and under non-ANSI sessions a plain cast
+            # would silently NULL — the exact trap the check refuses)
+            F.col(f"`{ROW_KEY}`").try_cast(key_t).alias("__dk"),
+            F.col(f"`{ROW_KEY}`").isNull().alias("__was_null"),
         ).localCheckpoint(eager=True)
         b = kdf.agg(
             F.min("__dk").alias("lo"),
             F.max("__dk").alias("hi"),
             F.count(F.lit(1)).alias("n"),
             F.count(F.when(F.col("__dk").isNull(), 1)).alias("n_null"),
+            F.count(
+                F.when(F.col("__dk").isNull() & ~F.col("__was_null"), 1)
+            ).alias("n_uncastable"),
         ).first()
+        if b["n_uncastable"]:
+            # a key the cast NULLED would silently retarget the delete at
+            # NULL-keyed rows — the stringly-typed trap again; refuse
+            raise ValueError(
+                f"{qualified_name}: {b['n_uncastable']} delete key(s) are "
+                f"not castable to the key type {spec.key_type!r}"
+            )
+        kdf = kdf.select("__dk")
         if not b["n"]:
             return 0
         span = (

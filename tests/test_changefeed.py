@@ -287,3 +287,30 @@ def test_export_snapshot_errors_are_loud(store, spark, tmp_path_factory):
 
     with pytest.raises(TableAlreadyExistsError, match="destination"):
         store.export_snapshot("exp_s1", wh)
+
+
+def test_delete_keys_refuses_uncastable_keys(store, spark):
+    """A delete key the key-type cast NULLs must raise, not silently
+    retarget the delete at NULL-keyed rows (the stringly-typed trap)."""
+    spec = TableSpec(
+        namespace="cdc",
+        name="delcast",
+        key_type="long",
+        families={"cf": {"v": "long"}},
+    )
+    store.create_table(spec)
+    store.insert(
+        "cdc.delcast",
+        spark.createDataFrame([(None, 1), (7, 2)], "row_key long, `cf:v` long"),
+        overwrite=True,
+    )
+    with pytest.raises(ValueError, match="not castable"):
+        store.delete_keys(
+            "cdc.delcast",
+            spark.createDataFrame([("abc",)], "row_key string"),
+        )
+    # the NULL-keyed row survived; castable string keys still work
+    assert store.read("cdc.delcast").count() == 2
+    assert store.delete_keys(
+        "cdc.delcast", spark.createDataFrame([("7",)], "row_key string")
+    ) == 1
