@@ -5177,6 +5177,60 @@ class KeyedTableStore:
         return self._retry_write_conflict(attempt)
 
     # -- region stats (HBase list_regions analogue, footer-only) ----------
+    def list_regions(self, qualified_name: str) -> DataFrame:
+        """DECLARED-region admin view — the HBase shell ``list_regions``
+        output for a pre-split table: one row per declared region with
+        its boundary keys and current physical footprint
+        ``(region, start_key, end_key, n_files, n_rows, bytes)``,
+        including EMPTY regions (start/end from the declaration; HBase
+        lists cold regions too — that is how operators find imbalance).
+
+        Driver-side metadata only: span-manifest stats route each
+        region-confined file to its region (live footer read only for
+        manifest-missed files), one ``getsize`` per file — the same
+        accounting the ``REGION_MAX_BYTES`` auto-split policy uses.
+        Undeclared tables raise (their per-file view is
+        :meth:`region_stats`)."""
+        spec = self.registry.get(qualified_name)
+        if not spec.split_keys:
+            raise ValueError(
+                f"{qualified_name}: list_regions requires declared split "
+                "keys; use region_stats() for sampled layouts"
+            )
+        bounds = self._declared_split_bounds(spec)
+        n_regions = len(bounds) + 1
+        files: dict[int, list] = {r: [] for r in range(n_regions)}
+        with self._generation_lease(qualified_name) as (path, full_paths):
+            cached = self._load_span_stats(path)
+            for full in full_paths:
+                fname = os.path.basename(full)
+                rec = cached.get(fname)
+                if rec is not None and rec[3]:
+                    lo, rows = rec[0], rec[2]
+                else:
+                    lo, _hi, rows = self._file_key_range(full)
+                if not rows or lo is None:
+                    continue
+                region = sum(1 for b in bounds if lo >= b)
+                files[region].append((rows, os.path.getsize(full)))
+        edges = [None] + [str(b) for b in bounds] + [None]
+        out = [
+            (
+                r + 1,
+                edges[r],
+                edges[r + 1],
+                len(files[r]),
+                sum(n for n, _sz in files[r]),
+                sum(sz for _n, sz in files[r]),
+            )
+            for r in range(n_regions)
+        ]
+        return self.spark.createDataFrame(
+            out,
+            "region int, start_key string, end_key string, "
+            "n_files int, n_rows bigint, bytes bigint",
+        )
+
     def region_stats(self, qualified_name: str) -> DataFrame:
         """Per-region key ranges and row counts — the ``list_regions``
         admin surface — computed from PARQUET FOOTER statistics

@@ -534,3 +534,34 @@ def test_auto_split_policy_validations(store, spark):
     store.insert("sp.autobadval", df, overwrite=True)
     with pytest.raises(ValueError, match="REGION_MAX_BYTES"):
         store.insert("sp.autobadval", df)
+
+
+def test_list_regions_reports_declared_footprint(store, spark):
+    spec = TableSpec(
+        namespace="sp",
+        name="listed",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["b", "c", "x"],
+    )
+    store.create_table(spec)
+    store.insert("sp.listed", _skewed_strings(spark, n=200), overwrite=True)
+    rows = {r["region"]: r for r in store.list_regions("sp.listed").collect()}
+    # four declared regions, boundaries from the declaration, region 4
+    # (x..) is EMPTY but still listed (the HBase shell behavior)
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert (rows[1]["start_key"], rows[1]["end_key"]) == (None, "b")
+    assert (rows[4]["start_key"], rows[4]["end_key"]) == ("x", None)
+    assert rows[4]["n_files"] == 0 and rows[4]["n_rows"] == 0
+    assert sum(r["n_rows"] for r in rows.values()) == 200
+    assert rows[1]["n_rows"] > rows[2]["n_rows"]  # the skew is visible
+    assert all(r["bytes"] >= 0 for r in rows.values())
+    plain = TableSpec(
+        namespace="sp",
+        name="listedplain",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+    )
+    store.create_table(plain)
+    with pytest.raises(ValueError, match="declared split"):
+        store.list_regions("sp.listedplain")
