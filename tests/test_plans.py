@@ -991,3 +991,29 @@ def test_ze02_scalar_subquery_is_broadcast(spark, registry):
     no-orders test is a broadcast anti-join at this scale."""
     plan = formatted_plan(registry["q28_idle_rich_customers"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_declared_region_layout_is_one_jvm_exchange(spark, tmp_path):
+    """The declared split-key router must stay DataFrame-land: exactly
+    one hash Exchange (region token), zero Python evaluation, zero
+    extra shuffles — the 100 TB write-path law for pre-split tables."""
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="pl",
+        name="routed",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["b", "c"],
+    )
+    store.create_table(spec)
+    df = spark.range(100).select(
+        F.concat(F.lit("a"), F.col("id").cast("string")).alias("row_key"),
+        F.col("id").alias("cf:v"),
+    )
+    plan = store._region_layout(spec, df)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
