@@ -314,3 +314,54 @@ def test_delete_keys_refuses_uncastable_keys(store, spark):
     assert store.delete_keys(
         "cdc.delcast", spark.createDataFrame([("7",)], "row_key string")
     ) == 1
+
+
+def test_changes_on_versioned_table_are_cell_semantics(store, spark):
+    """HBase Put/retention semantics in the changefeed: a NEW VERSION
+    cell appended for an existing key is an ``insert`` (it removes
+    nothing), and a version cell that version-GC compacts away is a
+    ``delete`` — versions are cells, not in-place updates."""
+    spec = TableSpec(
+        namespace="cdc",
+        name="vers",
+        key_type="string",
+        families={"cf": {"bal": "long", "v": "long"}},
+    )
+    store.create_table(spec)
+    store.insert(
+        "cdc.vers",
+        spark.createDataFrame(
+            [("k1", 10, 1), ("k2", 20, 1)],
+            "row_key string, `cf:bal` long, `cf:v` long",
+        ),
+        overwrite=True,
+    )
+    store.snapshot("cdc.vers", "vers_s1")
+    # new version cell for k1: an APPEND, nothing replaced
+    store.insert(
+        "cdc.vers",
+        spark.createDataFrame(
+            [("k1", 11, 2)], "row_key string, `cf:bal` long, `cf:v` long"
+        ),
+    )
+    got = {
+        (r["change"], r["row_key"], r["cf:bal"], r["cf:v"])
+        for r in store.read_changes("cdc.vers", versus="vers_s1").collect()
+    }
+    assert got == {("insert", "k1", 11, 2)}
+
+    # VERSIONS=>1 GC: k1's v=1 cell compacts away; k1 keeps v=2
+    store.compact_versions("cdc.vers", "cf:v", keep_versions=1)
+    got = {
+        (r["change"], r["row_key"], r["cf:bal"], r["cf:v"])
+        for r in store.read_changes("cdc.vers", versus="vers_s1").collect()
+    }
+    # vs the snapshot: k1's old cell is gone (its key still live ⇒ the
+    # new cell classifies the pair as an update), k2 untouched
+    assert got == {("update", "k1", 11, 2)}
+    got_prev = {
+        (r["change"], r["row_key"], r["cf:bal"], r["cf:v"])
+        for r in store.read_changes("cdc.vers").collect()
+    }
+    # vs the pre-GC generation: the expired cell alone, as a delete
+    assert got_prev == {("delete", "k1", 10, 1)}
