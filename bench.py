@@ -164,6 +164,19 @@ def _calibration(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+# Reference calibration for value_normalized (ADVICE r10: the
+# normalization's provenance must travel WITH the artifact, and the raw
+# "value" stays the primary headline): 0.343 is the calibration
+# BENCH_r06.json recorded (BENCH_r07.json: 0.344) on the machine
+# conditions that produced the r6/r7 headline band (8.17s/7.10s raw)
+# the cross-round trajectory is judged against.
+_CALIBRATION_REF = {
+    "value": 0.343,
+    "recorded_in": "BENCH_r06.json (r07: 0.344)",
+    "headline_raw_at_ref": 8.165,
+}
+
+
 def _production_paths(spark, sf_dir: str) -> dict[str, float]:
     """Time the production dedup shapes at the measured SF: the
     candidates-scoped LSH verify (no corpus-wide shingle fold) and the
@@ -452,12 +465,14 @@ def main() -> None:
                 "metric": "headline_total_runtime",
                 "value": total,
                 "value_normalized": (
-                    round(total * 0.343 / calib, 3) if calib else None
+                    round(total * _CALIBRATION_REF["value"] / calib, 3)
+                    if calib else None
                 ),
                 "unit": "sec",
                 "queries": med,
                 "sf": sf_f,
                 "calibration": calib,
+                "calibration_reference": _CALIBRATION_REF,
                 "throughput_rows_per_s": throughput,
                 "runs": N_RUNS,
                 "cold_total": totals[0],

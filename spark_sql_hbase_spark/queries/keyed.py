@@ -1374,6 +1374,6 @@ def k24_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     store.upsert("gate.part_cdc", batch)
-    return store.read_changes("gate.part_cdc").select(
+    return store.read_changes("gate.part_cdc", versus="previous").select(
         "change", "row_key", F.col("`p:price`").alias("price")
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import base64
 import json
+import logging
 import os
 import re
 import shutil
@@ -48,6 +49,8 @@ from spark_sql_hbase_spark.sources import bloom as _bloom
 from spark_sql_hbase_spark.sources import storage_io as _storage_io
 
 DEFAULT_REGIONS = 4  # default range-partition count when no split keys given
+
+logger = logging.getLogger(__name__)
 
 
 def _murmur3_int32(v: int, seed: int = 42) -> int:
@@ -668,27 +671,41 @@ class KeyedTableStore:
         )
 
     def read_changes(
-        self, qualified_name: str, versus: str = "previous"
+        self, qualified_name: str, versus: str, cells: bool = False
     ) -> DataFrame:
         """CDC read: the row-level changes between a retained BASE state
         and the current generation — the HBase replication/WAL-shipping
         analogue, served from the storage layout itself (no log).
 
-        ``versus="previous"`` diffs against the generation the last
-        table-replacing operation retired (the same state
-        :meth:`read_generation` serves — and with the same TRANSIENCE:
-        the next rewrite sweeps it, so consume the diff promptly or
-        diff against a snapshot); any other value names a SNAPSHOT
-        (:meth:`snapshot`), giving snapshot-to-now incremental exports
-        (the HBase ExportSnapshot incremental pattern) against a
-        durable base.
+        ``versus`` names the base and is REQUIRED — any consumer that
+        can lag should diff against a SNAPSHOT (:meth:`snapshot`),
+        giving snapshot-to-now incremental exports (the HBase
+        ExportSnapshot incremental pattern) against a DURABLE base.
+        The literal ``versus="previous"`` is an explicit opt-in to the
+        TRANSIENT base: the generation the last table-replacing
+        operation retired (the same state :meth:`read_generation`
+        serves).  The next rewrite sweeps that base, so an unconsumed
+        "previous" feed fails loudly at action time (the pinned file
+        paths vanish) — the remediation is a snapshot base, which the
+        replication loop (:meth:`export_snapshot` → :meth:`apply_changes`)
+        already uses.  A snapshot base is validated to belong to THIS
+        table (same recorded ``qualified_name``): diffing against
+        another table's schema-compatible snapshot would silently emit
+        meaningless change rows.
 
-        Emits ``(change, <table columns>)`` with ``change`` one of
-        ``insert`` / ``update`` (carrying the NEW row) / ``delete``
-        (carrying the old row).  On a versioned-retention table a new
-        cell is an ``insert`` and an expired/compacted-away cell a
-        ``delete`` — HBase Put/retention semantics: versions are cells,
-        not in-place updates.
+        Emits ``(change, <table columns>)``.  With ``cells=False``
+        (key granularity, the default for one-row-per-key tables)
+        ``change`` is one of ``insert`` / ``update`` (carrying the NEW
+        row) / ``delete`` (carrying the old row), classified by key
+        identity.  With ``cells=True`` (CELL granularity — the correct
+        feed for versioned-retention tables, where versions are cells,
+        not in-place updates) every added row is an ``insert`` and
+        every removed row a ``delete``; there is no ``update``, no
+        classification join runs, and replaying the feed with
+        ``apply_changes(..., cells=True)`` reconstructs the exact cell
+        state (a key-granularity replay would wipe a key's older
+        version cells — the HBase Put/retention semantics pinned by
+        ``test_changes_on_versioned_table_are_cell_semantics``).
 
         100 TB design — the diff is FILE-level first, row-level second:
         every write path carries unchanged files across generations
@@ -721,6 +738,13 @@ class KeyedTableStore:
             base_dir = self._snapshot_dir(versus)
             if not os.path.isdir(base_dir):
                 raise TableNotFoundError(f"snapshot not found: {versus}")
+            saved = self._read_snapshot_spec(versus)
+            if saved["qualified_name"] != qualified_name:
+                raise ValueError(
+                    f"snapshot {versus!r} was taken from "
+                    f"{saved['qualified_name']!r}, not {qualified_name!r} — "
+                    "a cross-table diff would emit meaningless change rows"
+                )
         cur_files = set(self._data_files(cur_dir))
         base_files = set(self._data_files(base_dir))
         schema = spec.schema()
@@ -737,6 +761,20 @@ class KeyedTableStore:
         base_df = _rd(base_dir, base_files - cur_files)
         added = cur_df.exceptAll(base_df)
         removed = base_df.exceptAll(cur_df)
+        cols = [f"`{f.name}`" for f in schema.fields]
+        if cells:
+            # cell granularity: every added row IS an insert and every
+            # removed row IS a delete — the multisets are disjoint by
+            # exceptAll construction, no classification join runs at
+            # all (strictly cheaper than the key-granularity path)
+            sel = ["change"] + cols
+            return (
+                added.withColumn("change", F.lit("insert"))
+                .select(*sel)
+                .unionByName(
+                    removed.withColumn("change", F.lit("delete")).select(*sel)
+                )
+            )
         # classify by key identity, null-safe WITH an explicit hit
         # marker: delete_where's NULL-key law keeps NULL-keyed rows
         # representable, and an eqNullSafe match on a NULL key still
@@ -748,7 +786,6 @@ class KeyedTableStore:
             .withColumn("__hit", F.lit(True))
         )
         added_keys = added.select(F.col(ROW_KEY).alias("__rk")).distinct()
-        cols = [f"`{f.name}`" for f in schema.fields]
         labeled_new = (
             added.join(
                 removed_keys,
@@ -779,35 +816,79 @@ class KeyedTableStore:
         qualified_name: str,
         changes: DataFrame,
         async_index: bool = False,
+        cells: bool = False,
     ) -> int:
         """Replay a changefeed onto a REPLICA table — the HBase
         ``ReplicationSink`` analogue (shipped WALEdits replayed as Puts
-        and Deletes): ``insert``/``update`` rows :meth:`upsert`,
-        ``delete`` rows :meth:`delete_keys`.  After
-        ``apply_changes(replica, read_changes(source))`` the replica
-        equals the source state (pinned by ``tests/test_changefeed.py``).
+        and Deletes).  ``insert`` rows replay as a pure APPEND
+        (:meth:`insert` — brand-new keys on a key-granularity feed, new
+        version CELLS on a cell-granularity one; either way nothing is
+        replaced, and the append path is strictly cheaper than a
+        MERGE); ``update`` rows replay through :meth:`upsert` (the
+        added rows ARE the key's full new state on a one-row-per-key
+        table); ``delete`` rows replay through :meth:`delete_keys`
+        (``cells=False``) or :meth:`delete_cells` (``cells=True``).
+        After ``apply_changes(replica, read_changes(source, versus=s))``
+        a replica bootstrapped from base ``s`` equals the source state
+        (pinned by ``tests/test_changefeed.py``).
+
+        ``cells`` must match the granularity the feed was READ with
+        (:meth:`read_changes`).  VERSIONED-retention tables require the
+        cell feed and this method refuses a key-granularity replay on
+        them loudly: a key's ``update`` rows carry only its NEW cells
+        (upserting them wipes the replica's older version cells) and a
+        ``delete`` row means one cell expired, not that the key died
+        (``delete_keys`` would drop the key's live cells too).  A cell
+        feed by construction contains no ``update`` rows; one arriving
+        is a granularity mix-up and refuses loudly.
 
         The feed is pinned once (eager ``localCheckpoint``) before any
         write: replaying a table's OWN changefeed — or any lazily-read
         state of the target — must not re-evaluate against the
-        generations the replay itself creates.  One diff's change set
-        keys each key at most once (insert/update and delete are
-        mutually exclusive per key), so the two commits (one MERGE, one
-        keyed DELETE) compose order-independently.  Cost follows the
-        two selective paths: O(changed files) per commit, never a table
-        rewrite.  Returns the number of rows deleted (upserted rows
-        follow MERGE semantics and are not separately counted)."""
+        generations the replay itself creates.  One diff's inserted /
+        updated / deleted row sets are mutually disjoint (exceptAll
+        construction), so the commits compose order-independently.
+        Cost follows the selective paths: O(changed files) per commit,
+        never a table rewrite.  Returns the number of rows deleted
+        (appended/upserted rows are not separately counted)."""
         spec = self.registry.get(qualified_name)
+        if not cells and self._table_prop(spec, "versions") is not None:
+            raise ValueError(
+                f"{qualified_name}: key-granularity changefeed replay on a "
+                "VERSIONED table corrupts version cells (an upsert replaces "
+                "every cell of a matched key; a key delete drops live "
+                "cells). Read the feed with read_changes(..., cells=True) "
+                "and replay with apply_changes(..., cells=True)."
+            )
         cols = [f"`{f.name}`" for f in spec.schema().fields]
         feed = changes.localCheckpoint(eager=True)
-        puts = feed.filter(
-            F.col("change").isin("insert", "update")
-        ).select(*cols)
-        dels = feed.filter(F.col("change") == "delete").select(
-            F.col(f"`{ROW_KEY}`")
+        ins = feed.filter(F.col("change") == "insert").select(*cols)
+        ups = feed.filter(F.col("change") == "update").select(*cols)
+        dels = feed.filter(F.col("change") == "delete")
+        if not ins.isEmpty():
+            # the feed's keys ARE the replicated keys: never re-generate,
+            # even on a table whose spec declares a generator
+            self.insert(
+                qualified_name, ins, generate_row_key=False,
+                async_index=async_index,
+            )
+        if not ups.isEmpty():
+            if cells:
+                raise ValueError(
+                    f"{qualified_name}: a cell-granularity feed cannot "
+                    "contain 'update' rows — this feed was read with "
+                    "cells=False; replay it with apply_changes(cells=False)"
+                )
+            self.upsert(qualified_name, ups, async_index=async_index)
+        if cells:
+            return self.delete_cells(
+                qualified_name, dels.select(*cols), async_index=async_index
+            )
+        return self.delete_keys(
+            qualified_name,
+            dels.select(F.col(f"`{ROW_KEY}`")),
+            async_index=async_index,
         )
-        self.upsert(qualified_name, puts, async_index=async_index)
-        return self.delete_keys(qualified_name, dels, async_index=async_index)
 
     @contextmanager
     def scan_lease(self, qualified_name: str):
@@ -1431,8 +1512,23 @@ class KeyedTableStore:
                 continue  # degenerate key distribution: cannot split
             try:
                 self.split_region(spec.qualified_name, mid)
+            except ValueError:
+                # the boundary is ALREADY declared: a concurrent writer
+                # genuinely restructured the table at the same median —
+                # its split covers ours, nothing to surface
+                pass
             except ConcurrentWriteConflictError:
-                pass  # a concurrent writer restructured the table: done
+                # OUR rewrite lost the CAS race past its retries;
+                # split_region rolled the declaration back, so the
+                # confinement invariant holds — but the region is still
+                # oversized, so surface it (the next append retriggers)
+                logger.warning(
+                    "%s: auto-split at %r abandoned after write-conflict "
+                    "retries (declaration rolled back); region %d remains "
+                    "over REGION_MAX_BYTES and will retry on the next "
+                    "append",
+                    spec.qualified_name, mid, region,
+                )
 
     def _maybe_auto_minor_compact(self, spec: TableSpec) -> None:
         """HBase runs minor compactions AUTOMATICALLY when a store
@@ -4949,6 +5045,125 @@ class KeyedTableStore:
             )
         return n
 
+    def delete_cells(
+        self, qualified_name: str, rows: DataFrame, async_index: bool = False
+    ) -> int:
+        """DELETE exact CELLS — full-row-identity deletes, the HBase
+        ``Delete.addColumn(cf, q, ts)`` (delete ONE version cell)
+        analogue and the replay path for CELL-granularity changefeed
+        deletes (:meth:`apply_changes` with ``cells=True``): on a
+        versioned table a delete row names one expired cell, and the
+        key's OTHER cells must survive — which is exactly what
+        :meth:`delete_keys` cannot express.
+
+        ``rows`` must carry the table's full schema (same column names
+        and types — the frame a changefeed ``delete`` row set already
+        has).  Matching is null-safe on EVERY column, and removal is
+        MULTISET-exact (``exceptAll``): a batch listing a duplicated
+        cell once removes one physical copy, mirroring how
+        :meth:`read_changes` counts multiplicities — so replica
+        convergence holds even for degenerate duplicate cells.
+
+        Same selective-rewrite cost law as :meth:`delete_keys`: the
+        batch is pinned once, its ROW-KEY span prunes candidate files
+        by footer range + Bloom sidecars, one broadcast-semi locate
+        scan finds the files holding matches, only those rewrite,
+        everything else hardlinks.  The batch rides broadcast joins —
+        batch-sized, not corpus-sized (the MERGE-source contract).
+        Returns the locate scan's matched-row count (equal to the rows
+        removed except when a file holds MORE identical copies of a
+        cell than the batch lists — exceptAll then keeps the surplus
+        copies and the count overstates by that surplus)."""
+        from functools import reduce as _reduce
+
+        spec = self.registry.get(qualified_name)
+        schema = spec.schema()
+        names = [f.name for f in schema.fields]
+        got = {f.name: f.dataType for f in rows.schema.fields}
+        want = {f.name: f.dataType for f in schema.fields}
+        if got != want:
+            # exact-identity deletes on a loosely-typed batch would
+            # silently match nothing (or the wrong rows after an
+            # implicit cast) — refuse loudly, the delete_keys trap law
+            raise ValueError(
+                f"{qualified_name}: delete_cells needs the table's exact "
+                f"schema; expected {want}, got {got}"
+            )
+        aligned = rows.select(
+            *[F.col(f"`{n}`") for n in names]
+        ).localCheckpoint(eager=True)
+        b = aligned.agg(
+            F.min(F.col(f"`{ROW_KEY}`")).alias("lo"),
+            F.max(F.col(f"`{ROW_KEY}`")).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.col(f"`{ROW_KEY}`").isNull(), 1)
+            ).alias("n_null"),
+        ).first()
+        if not b["n"]:
+            return 0
+        span = (
+            (b["lo"], b["hi"])
+            if not b["n_null"] and b["lo"] is not None
+            else None
+        )
+        points = None
+        if span is not None and b["n"] <= self._BLOOM_MERGE_PROBE_MAX:
+            points = {
+                r[0]
+                for r in aligned.select(F.col(f"`{ROW_KEY}`"))
+                .distinct()
+                .collect()
+                if r[0] is not None
+            }
+            if len(points) > self._BLOOM_MERGE_PROBE_MAX:
+                points = None
+        probe = aligned.select(
+            *[F.col(f"`{n}`").alias(f"__c{i}") for i, n in enumerate(names)]
+        )
+        cond = _reduce(
+            lambda a, c: a & c,
+            [
+                F.col(f"`{n}`").eqNullSafe(F.col(f"__c{i}"))
+                for i, n in enumerate(names)
+            ],
+        )
+
+        def semi(df: DataFrame) -> DataFrame:
+            return df.join(F.broadcast(probe), cond, "left_semi")
+
+        def drop_cells(df: DataFrame) -> DataFrame:
+            return df.exceptAll(aligned)
+
+        def attempt() -> tuple:
+            path = self.table_path(spec)
+            if span is not None:
+                span_stats: dict = {}
+                files = self._span_candidates(
+                    path, span[0], span[1], stats=span_stats
+                )
+                files = self._bloom_prune_point(
+                    spec, path, files, points, span, span_stats
+                )
+            else:
+                files = self._data_files(path)
+            affected = self._locate_affected_files(spec, semi, files=files)
+            if not affected:
+                return 0, None
+            n = sum(affected.values())
+            changed_keys = self._capture_changed_keys(
+                spec, affected, semi, n, async_index, path=path
+            )
+            self._selective_rewrite(spec, affected, drop_cells, path=path)
+            return n, changed_keys
+
+        n, changed_keys = self._retry_write_conflict(attempt)
+        if n:
+            self._maintain_indexes(
+                qualified_name, async_index, changed_keys=changed_keys
+            )
+        return n
+
     def update_where(
         self,
         qualified_name: str,
@@ -5304,7 +5519,14 @@ class KeyedTableStore:
         old bounds can commit one straddling run — harmless (scans and
         pruning use per-file stats, never region assumptions) and
         re-confined by its next rewrite or compaction, the same eventual
-        story as HBase splitting under load.
+        story as HBase splitting under load.  If the daughter rewrite
+        itself FAILS (retry exhaustion included), the declaration rolls
+        back before the error propagates: the table must never be left
+        silently declaring a boundary its files straddle.  Rollback is
+        always confinement-safe — removing a boundary only COARSENS
+        regions (the :meth:`merge_regions` zero-I/O law), so files a
+        concurrent writer already routed by the new bounds stay
+        confined.
         """
         spec = self.registry.get(qualified_name)
         if not spec.split_keys:
@@ -5355,7 +5577,31 @@ class KeyedTableStore:
             self._swap_write_with_carry(spec, out, path, set(straddlers))
             return len(straddlers)
 
-        return self._retry_write_conflict(attempt)
+        try:
+            return self._retry_write_conflict(attempt)
+        except BaseException:
+            # roll the declaration back (see docstring: a failed
+            # daughter rewrite must not leave a silently-straddled
+            # declared boundary; coarsening is always confinement-safe)
+            try:
+                cur = self.registry.get(qualified_name)
+                vals = self._declared_split_bounds(cur)
+                cur.split_keys = [
+                    raw
+                    for raw, v in zip(
+                        [str(s) for s in cur.split_keys], vals
+                    )
+                    if v != newv
+                ]
+                self.registry.register(cur)
+            except Exception:
+                logger.warning(
+                    "%s: could not roll back boundary %r after a failed "
+                    "split rewrite; the declared boundary may be "
+                    "straddled until the next rewrite",
+                    qualified_name, split_key,
+                )
+            raise
 
     def merge_regions(self, qualified_name: str, boundary) -> None:
         """Remove the declared region boundary ``boundary`` — the HBase
@@ -5415,6 +5661,13 @@ class KeyedTableStore:
         construction.
         """
         spec = self.registry.get(qualified_name)
+        if snapshot_name == "previous":
+            # read_changes(versus="previous") is the transient-base
+            # sentinel — a snapshot under that name would be unreachable
+            raise ValueError(
+                "snapshot name 'previous' is reserved (the read_changes "
+                "transient-base sentinel); pick another name"
+            )
         sdir = self._snapshot_dir(snapshot_name)
         if os.path.exists(sdir):
             raise TableAlreadyExistsError(f"snapshot exists: {snapshot_name}")

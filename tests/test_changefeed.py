@@ -66,13 +66,13 @@ def test_changes_classify_update_insert_delete(store, spark):
             [("k003", 333), ("k999", 999)], "row_key string, `cf:v` long"
         ),
     )
-    got = _changes(store.read_changes("cdc.basic"))
+    got = _changes(store.read_changes("cdc.basic", versus="previous"))
     # only the touched keys appear — the 9 rewritten-identical rows of
     # k003's file and every carried file stay silent
     assert got == {("update", "k003", 333), ("insert", "k999", 999)}
 
     store.delete_where("cdc.basic", "row_key = 'k005'")
-    got = _changes(store.read_changes("cdc.basic"))
+    got = _changes(store.read_changes("cdc.basic", versus="previous"))
     assert got == {("delete", "k005", 5)}
 
 
@@ -92,7 +92,7 @@ def test_changes_read_only_the_symmetric_difference(store, spark):
         "cdc.pruned",
         spark.createDataFrame([("a001", 111)], "row_key string, `cf:v` long"),
     )
-    df = store.read_changes("cdc.pruned")
+    df = store.read_changes("cdc.pruned", versus="previous")
     assert _changes(df) == {("update", "a001", 111)}
     path_after = store.table_path(spec)
     shared = files_before & set(store._data_files(path_after))
@@ -129,7 +129,7 @@ def test_changes_null_key_update_classifies_as_update(store, spark):
         spark.createDataFrame([(None, 5), ("k1", 2)], "row_key string, `cf:v` long"),
         overwrite=True,
     )
-    got = _changes(store.read_changes("cdc.nullkey"))
+    got = _changes(store.read_changes("cdc.nullkey", versus="previous"))
     assert got == {("update", None, 5)}
 
 
@@ -151,7 +151,7 @@ def test_changes_errors_are_loud(store, spark):
         spark.createDataFrame([("k1", 1)], "row_key string, `cf:v` long"),
     )
     with pytest.raises(TableNotFoundError, match="previous generation"):
-        store.read_changes("cdc.virgin")
+        store.read_changes("cdc.virgin", versus="previous")
 
 
 # -- delete_keys (HBase table.delete(List<Delete>)) + apply_changes
@@ -222,7 +222,7 @@ def test_apply_changes_replicates_source_state(store, spark):
         ),
     )
     n_del = store.apply_changes(
-        "cdc.repl_dst", store.read_changes("cdc.repl_src")
+        "cdc.repl_dst", store.read_changes("cdc.repl_src", versus="previous")
     )
     assert n_del == 0
     assert_in_sync()
@@ -230,7 +230,7 @@ def test_apply_changes_replicates_source_state(store, spark):
     # ship one DELETE generation
     store.delete_where("cdc.repl_src", "row_key IN ('k005', 'k006')")
     n_del = store.apply_changes(
-        "cdc.repl_dst", store.read_changes("cdc.repl_src")
+        "cdc.repl_dst", store.read_changes("cdc.repl_src", versus="previous")
     )
     assert n_del == 2
     assert_in_sync()
@@ -361,7 +361,232 @@ def test_changes_on_versioned_table_are_cell_semantics(store, spark):
     assert got == {("update", "k1", 11, 2)}
     got_prev = {
         (r["change"], r["row_key"], r["cf:bal"], r["cf:v"])
-        for r in store.read_changes("cdc.vers").collect()
+        for r in store.read_changes("cdc.vers", versus="previous").collect()
     }
     # vs the pre-GC generation: the expired cell alone, as a delete
     assert got_prev == {("delete", "k1", 10, 1)}
+
+
+def test_cell_feed_emits_no_update_rows(store, spark):
+    """cells=True: every added row is an insert and every removed row a
+    delete — the compact-away + new-cell combination that the key feed
+    collapses into 'update' stays two cell events."""
+    spec = TableSpec(
+        namespace="cdc",
+        name="cellsfeed",
+        key_type="string",
+        families={"cf": {"bal": "long", "v": "long"}},
+    )
+    store.create_table(spec)
+    store.insert(
+        "cdc.cellsfeed",
+        spark.createDataFrame(
+            [("k1", 10, 1), ("k2", 20, 1)],
+            "row_key string, `cf:bal` long, `cf:v` long",
+        ),
+        overwrite=True,
+    )
+    store.snapshot("cdc.cellsfeed", "cells_s1")
+    store.insert(
+        "cdc.cellsfeed",
+        spark.createDataFrame(
+            [("k1", 11, 2)], "row_key string, `cf:bal` long, `cf:v` long"
+        ),
+    )
+    store.compact_versions("cdc.cellsfeed", "cf:v", keep_versions=1)
+    got = {
+        (r["change"], r["row_key"], r["cf:bal"], r["cf:v"])
+        for r in store.read_changes(
+            "cdc.cellsfeed", versus="cells_s1", cells=True
+        ).collect()
+    }
+    assert got == {("insert", "k1", 11, 2), ("delete", "k1", 10, 1)}
+
+
+def test_delete_cells_removes_one_version_cell(store, spark):
+    """delete_cells removes EXACTLY the named cell; the key's other
+    version cells survive (the Delete.addColumn analogue delete_keys
+    cannot express)."""
+    spec = TableSpec(
+        namespace="cdc",
+        name="delcells",
+        key_type="string",
+        families={"cf": {"bal": "long", "v": "long"}},
+    )
+    store.create_table(spec)
+    store.insert(
+        "cdc.delcells",
+        spark.createDataFrame(
+            [("k1", 10, 1), ("k1", 11, 2), ("k2", 20, 1)],
+            "row_key string, `cf:bal` long, `cf:v` long",
+        ),
+        overwrite=True,
+    )
+    batch = spark.createDataFrame(
+        [("k1", 10, 1), ("k9", 99, 1)],
+        "row_key string, `cf:bal` long, `cf:v` long",
+    )
+    assert store.delete_cells("cdc.delcells", batch) == 1
+    got = {
+        (r["row_key"], r["cf:bal"], r["cf:v"])
+        for r in store.read("cdc.delcells").collect()
+    }
+    assert got == {("k1", 11, 2), ("k2", 20, 1)}
+    # a no-match batch is free: no generation swap
+    spec = store.registry.get("cdc.delcells")
+    path = store.table_path(spec)
+    assert store.delete_cells(
+        "cdc.delcells",
+        spark.createDataFrame(
+            [("k1", 999, 9)], "row_key string, `cf:bal` long, `cf:v` long"
+        ),
+    ) == 0
+    assert store.table_path(spec) == path
+    # a loosely-typed batch refuses loudly (exact-identity law)
+    with pytest.raises(ValueError, match="exact"):
+        store.delete_cells(
+            "cdc.delcells",
+            spark.createDataFrame(
+                [("k1", "10", 1)],
+                "row_key string, `cf:bal` string, `cf:v` long",
+            ),
+        )
+
+
+def test_versioned_replication_round_trip_is_cell_exact(
+    store, spark, tmp_path_factory
+):
+    """The ADVICE r10 repro, fixed: bootstrapping a replica of a
+    versioned table and replaying the CELL feed preserves every version
+    cell — a new-version insert APPENDS on the replica (never wipes the
+    older cells), version-GC deletes remove only the expired cells, and
+    the replica converges to the exact source multiset."""
+    spec = TableSpec(
+        namespace="cdc",
+        name="vrepl",
+        key_type="string",
+        families={"cf": {"bal": "long", "v": "long"}},
+        properties={"versions": "2"},
+    )
+    store.create_table(spec)
+    store.insert(
+        "cdc.vrepl",
+        spark.createDataFrame(
+            [("k1", 10, 1), ("k2", 20, 1)],
+            "row_key string, `cf:bal` long, `cf:v` long",
+        ),
+        overwrite=True,
+    )
+    store.snapshot("cdc.vrepl", "vrepl_s1")
+    remote_wh = str(tmp_path_factory.mktemp("vrepl_wh"))
+    store.export_snapshot("vrepl_s1", remote_wh)
+    remote = KeyedTableStore(spark, remote_wh)
+    remote.clone_snapshot("vrepl_s1", "cdc.vrepl")
+
+    def rows(st):
+        return sorted(
+            (r["row_key"], r["cf:bal"], r["cf:v"])
+            for r in st.read("cdc.vrepl").collect()
+        )
+
+    # the exact ADVICE scenario: one new version cell for a live key
+    store.insert(
+        "cdc.vrepl",
+        spark.createDataFrame(
+            [("k1", 11, 2), ("k1", 12, 3), ("k2", 21, 2)],
+            "row_key string, `cf:bal` long, `cf:v` long",
+        ),
+    )
+    remote.apply_changes(
+        "cdc.vrepl",
+        store.read_changes("cdc.vrepl", versus="vrepl_s1", cells=True),
+        cells=True,
+    )
+    assert rows(remote) == rows(store)
+    assert ("k1", 10, 1) in rows(remote), "older version cell must survive"
+
+    # retention GC on the source ships as cell deletes
+    store.snapshot("cdc.vrepl", "vrepl_s2")
+    store.compact_versions("cdc.vrepl", "cf:v", keep_versions=2)
+    remote.apply_changes(
+        "cdc.vrepl",
+        store.read_changes("cdc.vrepl", versus="vrepl_s2", cells=True),
+        cells=True,
+    )
+    assert rows(remote) == rows(store)
+
+
+def test_apply_changes_refuses_key_granularity_on_versioned(store, spark):
+    """A key-granularity replay on a VERSIONS table corrupts cells —
+    refused loudly with the cell-feed remediation named."""
+    spec = TableSpec(
+        namespace="cdc",
+        name="vrefuse",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        properties={"versions": "3"},
+    )
+    store.create_table(spec)
+    store.insert(
+        "cdc.vrefuse",
+        spark.createDataFrame([("k1", 1)], "row_key string, `cf:v` long"),
+        overwrite=True,
+    )
+    feed = spark.createDataFrame(
+        [("insert", "k1", 2)], "change string, row_key string, `cf:v` long"
+    )
+    with pytest.raises(ValueError, match="cells=True"):
+        store.apply_changes("cdc.vrefuse", feed)
+    # the cell replay path works
+    store.apply_changes("cdc.vrefuse", feed, cells=True)
+    assert store.read("cdc.vrefuse").count() == 2
+
+
+def test_apply_changes_cell_mode_refuses_update_rows(store, spark):
+    _mk(store, spark, "mixfeed", [("k1", 1)])
+    feed = spark.createDataFrame(
+        [("update", "k1", 2)], "change string, row_key string, `cf:v` long"
+    )
+    with pytest.raises(ValueError, match="cannot contain 'update'"):
+        store.apply_changes("cdc.mixfeed", feed, cells=True)
+
+
+def test_snapshot_name_previous_is_reserved(store, spark):
+    _mk(store, spark, "resv", [("k1", 1)])
+    with pytest.raises(ValueError, match="reserved"):
+        store.snapshot("cdc.resv", "previous")
+
+
+def test_cross_table_snapshot_diff_is_refused(store, spark):
+    """Diffing a table against ANOTHER table's schema-compatible
+    snapshot would silently emit meaningless change rows — refused by
+    the recorded snapshot spec."""
+    _mk(store, spark, "xta", [("k1", 1)])
+    _mk(store, spark, "xtb", [("k1", 2)])
+    store.snapshot("cdc.xta", "xta_s1")
+    with pytest.raises(ValueError, match="was taken from"):
+        store.read_changes("cdc.xtb", versus="xta_s1")
+
+
+def test_unconsumed_previous_feed_fails_loudly_after_rewrite(store, spark):
+    """The transient-base contract: a 'previous' feed left unconsumed
+    across the NEXT rewrite must FAIL at action time (its pinned file
+    paths are swept), never silently return a different diff — the
+    remediation is a snapshot base (read_changes(versus=<snapshot>))."""
+    _mk(store, spark, "trans", [(f"k{i:02d}", i) for i in range(8)])
+    store.upsert(
+        "cdc.trans",
+        spark.createDataFrame([("k01", 100)], "row_key string, `cf:v` long"),
+    )
+    feed = store.read_changes("cdc.trans", versus="previous")
+    # a second rewrite retires the feed's base generation
+    store.upsert(
+        "cdc.trans",
+        spark.createDataFrame([("k02", 200)], "row_key string, `cf:v` long"),
+    )
+    store.upsert(
+        "cdc.trans",
+        spark.createDataFrame([("k03", 300)], "row_key string, `cf:v` long"),
+    )
+    with pytest.raises(Exception):
+        feed.collect()

@@ -565,3 +565,42 @@ def test_list_regions_reports_declared_footprint(store, spark):
     store.create_table(plain)
     with pytest.raises(ValueError, match="declared split"):
         store.list_regions("sp.listedplain")
+
+
+def test_failed_split_rewrite_rolls_back_the_declaration(store, spark):
+    """A split whose daughter rewrite FAILS must not leave the table
+    declaring a boundary its files straddle: the declaration rolls back
+    before the error propagates (coarsening is always confinement-safe,
+    the merge_regions law)."""
+    spec = TableSpec(
+        namespace="sp",
+        name="rollback",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["m"],
+    )
+    store.create_table(spec)
+    store.insert(
+        "sp.rollback",
+        spark.createDataFrame(
+            [(f"a{i:02d}", i) for i in range(20)],
+            "row_key string, `cf:v` long",
+        ),
+        overwrite=True,
+    )
+    orig = store._swap_write_with_carry
+
+    def boom(*a, **k):
+        raise RuntimeError("injected rewrite failure")
+
+    store._swap_write_with_carry = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            store.split_region("sp.rollback", "a10")
+    finally:
+        store._swap_write_with_carry = orig
+    # the boundary was rolled back — no silently-straddled declaration
+    assert list(store.registry.get("sp.rollback").split_keys) == ["m"]
+    # and the split succeeds once the rewrite path is healthy again
+    store.split_region("sp.rollback", "a10")
+    assert list(store.registry.get("sp.rollback").split_keys) == ["a10", "m"]
