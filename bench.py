@@ -99,6 +99,12 @@ _R8_RENAMES = {
 }
 
 
+# round-10 rotation: bench output key -> current registry name
+_R10_RENAMES = {
+    "d12_semantic_dedup": "zg24_semantic_dedup",
+}
+
+
 # round-9 rotation: bench output key -> current registry name
 _R9_RENAMES = {
     "d10_duplicate_spans": "zg18_duplicate_spans",
@@ -117,6 +123,7 @@ def _lookup(registry, name):
     as an AttributeError on None downstream."""
     qd = (
         registry.get(name)
+        or registry.get(_R10_RENAMES.get(name, ""))
         or registry.get(_R9_RENAMES.get(name, ""))
         or registry.get(_R8_RENAMES.get(name, ""))
         or registry.get(_R7_RENAMES.get(name, ""))

@@ -1867,7 +1867,7 @@ _SEMDEDUP_T = 0.35
 
 
 @register(
-    "d12_semantic_dedup",
+    "zg24_semantic_dedup",
     oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
@@ -1896,7 +1896,7 @@ _SEMDEDUP_T = 0.35
     description="SemDeDup: coarse-cell semantic dedup, min-id exemplar "
     "per near-dup pair (cell-blocked, never all-pairs)",
 )
-def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg24_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         semantic_dedup,

@@ -1975,7 +1975,7 @@ def zg12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one IEEE division of the two rounded sums.
 # ---------------------------------------------------------------------------
 @register(
-    "q26_promo_revenue_share",
+    "zg23_promo_revenue_share",
     oracle="""
     SELECT
       CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
@@ -1999,7 +1999,7 @@ def zg12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q14-style promo revenue share: conditional "
     "decimal-exact sums, percentage from the rounded pair",
 )
-def q26_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg23_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-09-01"))
         & (F.col("l_shipdate") < F.lit("1995-10-01"))

@@ -636,7 +636,7 @@ def test_z61_semantic_dedup_pair_space_cell_blocked(spark, registry):
     nested-loop joins allowed are the single-row packed-model cross
     joins of assign_cells (one per corpus branch: pair side a, pair side
     b, audit spine)."""
-    plan = formatted_plan(registry["d12_semantic_dedup"].fn(spark, SF))
+    plan = formatted_plan(registry["zg24_semantic_dedup"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:800]
     n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
     assert 1 <= n_bnlj <= 3, plan[:800]
