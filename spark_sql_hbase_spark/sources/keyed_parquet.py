@@ -171,6 +171,7 @@ class KeyedTableStore:
         warehouse_dir: str,
         registry: SchemaRegistry | None = None,
         io=None,
+        manifest_authority: bool = False,
     ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
@@ -180,6 +181,21 @@ class KeyedTableStore:
         # swappable object — sources/storage_io.py documents the
         # HDFS/object-store mapping of each
         self.io = io if io is not None else _storage_io.LocalPosixIO()
+        # manifests-as-listing mode (the Iceberg/Delta membership model,
+        # and the ONE structural change the storage_io HDFS/object-store
+        # mapping needs — ``storage_io.py`` item 4): generation
+        # MEMBERSHIP is read from the span manifest's ``listing`` (stray
+        # files in a generation directory are ignored), and the DML
+        # carry records a manifest REFERENCE to the file's original
+        # generation instead of hardlinking it — ``link_or_copy``
+        # degrades to a no-op on the hot carry path, which is exactly
+        # what backends without hardlinks (HDFS, S3) require.  Physical
+        # reclamation becomes reference-aware: a generation directory
+        # survives sweeps while any live generation still references
+        # files inside it (directory-granularity GC, the
+        # expire-snapshots model).  Default off: the POSIX hardlink
+        # layout remains the sandbox contract.
+        self.manifest_authority = bool(manifest_authority)
         # generations whose span-sidecar backfill failed to WRITE (not
         # mere lock contention) — skip re-attempts for this instance so
         # reads never re-stall on a backfill that cannot succeed
@@ -285,6 +301,19 @@ class KeyedTableStore:
                     leased.add(m.group(1))
             if "flat" in leased:
                 keep_now.add(self._FLAT)
+            if self.manifest_authority:
+                # reference-aware GC: a kept/leased generation's
+                # manifest may carry members by REFERENCE into older
+                # sibling directories — those directories still own
+                # live bytes and must survive (directory-granularity
+                # reclamation, the expire-snapshots model; refs are
+                # flattened at carry time so ONE hop covers the chain)
+                for g in list(keep_now | leased):
+                    if not g or g == self._FLAT or g == "flat":
+                        continue
+                    gp = os.path.join(root, g)
+                    if os.path.isdir(gp):
+                        keep_now |= set(self._span_refs(gp).values())
             for entry in entries:
                 full = os.path.join(root, entry)
                 if entry in (self._GEN_MANIFEST, self._WRITER_LOCK):
@@ -630,6 +659,14 @@ class KeyedTableStore:
     # -- read path (A1/A9: scan with pruning + pushdown via Catalyst) -----
     def read(self, qualified_name: str) -> DataFrame:
         spec = self.registry.get(qualified_name)
+        if self.manifest_authority:
+            # membership is what the manifest says: pass the explicit
+            # resolved scan list (a directory read would include stray
+            # files and miss reference-carried members)
+            files = self._gen_file_paths(self.table_path(spec))
+            if not files:
+                return self.spark.createDataFrame([], spec.schema())
+            return self.spark.read.schema(spec.schema()).parquet(*files)
         return self.spark.read.schema(spec.schema()).parquet(self.table_path(spec))
 
     def read_generation(
@@ -666,6 +703,11 @@ class KeyedTableStore:
             return self.spark.read.schema(spec.schema()).parquet(
                 os.path.join(root, "*.parquet")
             )
+        if self.manifest_authority:
+            files = self._gen_file_paths(os.path.join(root, prev))
+            if not files:
+                return self.spark.createDataFrame([], spec.schema())
+            return self.spark.read.schema(spec.schema()).parquet(*files)
         return self.spark.read.schema(spec.schema()).parquet(
             os.path.join(root, prev)
         )
@@ -753,8 +795,9 @@ class KeyedTableStore:
             names = sorted(names)
             if not names:
                 return self.spark.createDataFrame([], schema)
+            refs = self._span_refs(dirp)
             return self.spark.read.schema(schema).parquet(
-                *[os.path.join(dirp, f) for f in names]
+                *[self._file_abs(dirp, f, refs) for f in names]
             )
 
         cur_df = _rd(cur_dir, cur_files - base_files)
@@ -963,8 +1006,10 @@ class KeyedTableStore:
                     # generation is invisible (they are not in the list)
                     # — every action on the leased frame reads the same
                     # complete, consistent state
+                    refs = self._span_refs(path)
                     files = [
-                        os.path.join(path, f) for f in self._data_files(path)
+                        self._file_abs(path, f, refs)
+                        for f in self._data_files(path)
                     ]
                     stack.enter_context(self._marker_guard(
                         os.path.join(root, self._lease_marker_name(token))
@@ -1143,9 +1188,10 @@ class KeyedTableStore:
             if cands is not None:
                 if not cands:
                     return self.spark.createDataFrame([], spec.schema())
+                refs = self._span_refs(path)
                 return (
                     self.spark.read.schema(spec.schema())
-                    .parquet(*[os.path.join(path, f) for f in cands])
+                    .parquet(*[self._file_abs(path, f, refs) for f in cands])
                     .filter(cond)
                 )
         return self.read(qualified_name).filter(cond)
@@ -1395,7 +1441,9 @@ class KeyedTableStore:
                         # files did (a flip between the two would
                         # orphan it — sound, but the files would fall
                         # back to live footer reads)
-                        self._write_span_sidecar(path_now, part_stats)
+                        self._write_span_sidecar(
+                            path_now, part_stats, listing=parts
+                        )
                         self._maybe_merge_span_sidecars(path_now)
                         try:
                             self._carry_bloom_sidecars(tmp, path_now, parts)
@@ -1481,8 +1529,9 @@ class KeyedTableStore:
         cached = self._load_span_stats(path)
         region_bytes: dict[int, int] = {}
         region_files: dict[int, list[str]] = {}
+        auto_refs = self._span_refs(path)
         for fname in self._data_files(path):
-            full = os.path.join(path, fname)
+            full = self._file_abs(path, fname, auto_refs)
             rec = cached.get(fname)
             if rec is not None and rec[3]:
                 lo, rows = rec[0], rec[2]
@@ -2448,14 +2497,64 @@ class KeyedTableStore:
         self.io.link_or_copy(src, dst)
 
     @staticmethod
-    def _data_files(path: str) -> list[str]:
-        """Sorted data-file basenames of one generation directory — the
-        ONE listing contract every locate/carry/CAS-guard shares (a
-        listing-rule drift between a carry and its flip guard would
-        read as a phantom conflict or a silent drop)."""
+    def _list_parquet(path: str) -> list[str]:
+        """PHYSICAL sorted data-file basenames of one directory — the
+        raw listing.  Creation-time callers (staging a manifest for
+        files just written/linked) use this directly; everything else
+        goes through :meth:`_data_files`, the membership contract."""
         return sorted(
             f for f in os.listdir(path) if f.endswith(".parquet")
         )
+
+    def _data_files(self, path: str) -> list[str]:
+        """Sorted data-file basenames of one generation — the ONE
+        listing contract every locate/carry/CAS-guard shares (a
+        listing-rule drift between a carry and its flip guard would
+        read as a phantom conflict or a silent drop).  POSIX mode:
+        the directory listing.  Manifest-authority mode: the span
+        manifest's (+ append sidecars') ``listing`` union — membership
+        is what the manifests SAY, stray files are ignored; a
+        generation with no authority-aware manifest (legacy, or a
+        staging directory before its manifest lands) falls back to the
+        physical listing."""
+        if self.manifest_authority:
+            m = self._load_span_membership(path)
+            if m is not None:
+                return sorted(m[0])
+        return self._list_parquet(path)
+
+    def _span_refs(self, path: str) -> dict:
+        """{filename: source generation dir} for members of ``path``
+        carried by REFERENCE (manifest-authority mode only; always
+        empty in POSIX mode, where every member is physical)."""
+        if not self.manifest_authority:
+            return {}
+        m = self._load_span_membership(path)
+        return dict(m[1]) if m is not None else {}
+
+    def _file_abs(self, path: str, fname: str, refs: dict | None = None) -> str:
+        """The PHYSICAL path of member ``fname`` of generation
+        ``path`` — ``path/fname`` unless the manifest carries it by
+        reference into a sibling generation directory.  Loop callers
+        prefetch ``refs`` (:meth:`_span_refs`) once."""
+        if self.manifest_authority:
+            if refs is None:
+                refs = self._span_refs(path)
+            ref = refs.get(fname)
+            if ref:
+                return os.path.join(
+                    os.path.dirname(path.rstrip("/")), ref, fname
+                )
+        return os.path.join(path, fname)
+
+    def _gen_file_paths(self, path: str) -> list[str]:
+        """Physical paths of every member of generation ``path`` —
+        the explicit scan list manifest-authority reads pass to Spark
+        (a directory read would include strays and miss references)."""
+        refs = self._span_refs(path)
+        return [
+            self._file_abs(path, f, refs) for f in self._data_files(path)
+        ]
 
     def _scrub_empty_parts(self, staging: str, known: dict | None = None) -> None:
         """Remove ZERO-ROW part files from a private staging directory.
@@ -2502,6 +2601,7 @@ class KeyedTableStore:
         expected_base=_RESOLVE_AT_ENTRY,
         under_lock_check=None,
         span_reuse_path: str | None = None,
+        carried: dict | None = None,
     ) -> None:
         """The ONE staged-commit protocol every table-replacing path
         rides (DML rewrites, TRUNCATE, compaction, snapshot restore):
@@ -2570,17 +2670,28 @@ class KeyedTableStore:
                 # source generation's entries by name (identical content),
                 # fresh files read their own footer once, HERE, so no
                 # reader ever pays the O(files) footer walk again
-                try:
+                if carried is not None:
+                    # manifest-authority carry: the references ARE the
+                    # membership — this write must succeed (a lost ref
+                    # would drop the carried files from the table)
                     self._write_span_manifest(
                         os.path.join(root, new_gen),
-                        known=(
-                            self._load_span_stats(span_reuse_path)
-                            if span_reuse_path
-                            else None
-                        ),
+                        known=self._load_span_stats(span_reuse_path)
+                        if span_reuse_path else None,
+                        carried=carried,
                     )
-                except Exception:
-                    pass  # cache only — never fail the commit over it
+                else:
+                    try:
+                        self._write_span_manifest(
+                            os.path.join(root, new_gen),
+                            known=(
+                                self._load_span_stats(span_reuse_path)
+                                if span_reuse_path
+                                else None
+                            ),
+                        )
+                    except Exception:
+                        pass  # cache only — never fail the commit over it
                 try:
                     # Bloom sidecars ride the same staging window:
                     # carried files hardlink their sidecar from the
@@ -2946,52 +3057,91 @@ class KeyedTableStore:
                 continue
         return out
 
-    @classmethod
     def _write_span_manifest(
-        cls, gen_path: str, known: dict | None = None
+        self, gen_path: str, known: dict | None = None,
+        carried: dict | None = None,
     ) -> None:
         """Write ``_spans.json`` covering every data file of
         ``gen_path`` — stats reused from ``known`` (e.g. the source
-        generation's manifest, valid for hardlink-carried files because
+        generation's manifest, valid for carried files because
         name ⇒ identical content) or read from the file's footer.
-        Atomic (tmp + rename) so a reader never sees a partial
-        manifest.  Runs on a PRIVATE staging directory before the flip,
-        so no lock is needed."""
+        ``carried`` ({filename: source generation dir}, manifest-
+        authority mode) adds members carried by REFERENCE instead of
+        physically present — they join the ``listing`` and the
+        ``refs`` map, with stats from ``known`` or the referenced
+        file's own footer.  The ``listing`` records EVERY member even
+        when its stats are unencodable (membership must never depend
+        on stats encodability).  Atomic (tmp + rename) so a reader
+        never sees a partial manifest.  Runs on a PRIVATE staging
+        directory before the flip, so no lock is needed."""
+        carried = carried or {}
         stats = {}
-        for fname in cls._data_files(gen_path):
+        physical = self._list_parquet(gen_path)
+        for fname in physical:
             rec = (known or {}).get(fname)
             if rec is None:
                 try:
-                    rec = cls._footer_key_stats(
+                    rec = self._footer_key_stats(
                         os.path.join(gen_path, fname)
                     )
                 except Exception:
                     # unreadable footer (e.g. a staging dir a caller
                     # deliberately poisoned before its validate step
-                    # rejects it): the manifest is a cache — omit the
+                    # rejects it): the stats are a cache — omit the
                     # entry and let readers fall back, never fail the
                     # commit path on cache construction
+                    continue
+            stats[fname] = rec
+        root = os.path.dirname(gen_path.rstrip("/"))
+        for fname, refdir in carried.items():
+            rec = (known or {}).get(fname)
+            if rec is None:
+                try:
+                    rec = self._footer_key_stats(
+                        os.path.join(root, refdir, fname)
+                    )
+                except Exception:
                     continue
             stats[fname] = rec
         tmp = os.path.join(gen_path, f".spans-tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(
-                {"version": 1, "files": cls._encode_span_entries(stats)}, fh
+                {
+                    "version": 1,
+                    "files": self._encode_span_entries(stats),
+                    "listing": sorted(set(physical) | set(carried)),
+                    "refs": dict(carried),
+                },
+                fh,
             )
         os.replace(tmp, os.path.join(gen_path, _SPAN_MANIFEST))
 
     @classmethod
-    def _write_span_sidecar(cls, gen_path: str, stats: dict) -> None:
+    def _write_span_sidecar(
+        cls, gen_path: str, stats: dict, listing: list | None = None
+    ) -> None:
         """Write-once ``_spans-<id>.json`` covering one append's part
         files (stats computed from the append staging BEFORE the link-in
         lock).  The uuid name means concurrent appends never collide and
-        nothing is ever updated in place."""
+        nothing is ever updated in place.  The sidecar's ``listing``
+        names EVERY appended file — in manifest-authority mode it IS the
+        append's membership record, so it must cover files whose stats
+        are unencodable (or whose footer read failed) too; callers with
+        a fuller file list than ``stats`` pass it explicitly."""
         entries = cls._encode_span_entries(stats)
-        if not entries:
+        names = sorted(set(stats) | set(listing or []))
+        if not names:
             return
         tmp = os.path.join(gen_path, f".spans-tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
-            json.dump({"version": 1, "files": entries}, fh)
+            json.dump(
+                {
+                    "version": 1,
+                    "files": entries,
+                    "listing": names,
+                },
+                fh,
+            )
         os.replace(
             tmp,
             os.path.join(gen_path, f"_spans-{uuid.uuid4().hex[:12]}.json"),
@@ -3003,8 +3153,7 @@ class KeyedTableStore:
     # take thousands of appends between compactions
     _SPAN_SIDECAR_MERGE_AT = 8
 
-    @classmethod
-    def _maybe_merge_span_sidecars(cls, gen_path: str) -> None:
+    def _maybe_merge_span_sidecars(self, gen_path: str) -> None:
         """Fold accumulated ``_spans-*.json`` sidecars into
         ``_spans.json``.  MUST be called under the table writer lock
         (sidecar creation is, too, so no new sidecar can appear
@@ -3013,24 +3162,29 @@ class KeyedTableStore:
         the sidecars are unlinked, so a reader sees each entry from the
         manifest, a sidecar, or both (same values) — and a reader whose
         stale listing opens a just-deleted sidecar tolerates the miss
-        (``_load_span_stats``), degrading to live footer reads."""
+        (``_load_span_stats``), degrading to live footer reads.  The
+        merged document preserves the union ``listing`` + ``refs`` when
+        every source document carries one (the membership authority
+        must survive the fold); legacy documents merge stats-only."""
         try:
             sidecars = [
                 f
                 for f in os.listdir(gen_path)
                 if f.startswith("_spans-") and f.endswith(".json")
             ]
-            if len(sidecars) < cls._SPAN_SIDECAR_MERGE_AT:
+            if len(sidecars) < self._SPAN_SIDECAR_MERGE_AT:
                 return
-            merged = cls._load_span_stats(gen_path)
+            merged = self._load_span_stats(gen_path)
+            membership = self._load_span_membership(gen_path)
+            doc = {"version": 1, "files": self._encode_span_entries(merged)}
+            if membership is not None:
+                doc["listing"] = sorted(membership[0])
+                doc["refs"] = dict(membership[1])
             tmp = os.path.join(
                 gen_path, f".spans-tmp-{uuid.uuid4().hex[:8]}"
             )
             with open(tmp, "w") as fh:
-                json.dump(
-                    {"version": 1, "files": cls._encode_span_entries(merged)},
-                    fh,
-                )
+                json.dump(doc, fh)
             os.replace(tmp, os.path.join(gen_path, _SPAN_MANIFEST))
             for f in sidecars:
                 try:
@@ -3039,6 +3193,46 @@ class KeyedTableStore:
                     pass
         except Exception:
             return  # cache maintenance never fails a write
+
+    @staticmethod
+    def _load_span_membership(path: str) -> tuple[set, dict] | None:
+        """(member filenames, {filename: ref generation dir}) from the
+        generation's manifest + append sidecars — the membership
+        AUTHORITY manifest mode reads.  Returns ``None`` (caller falls
+        back to the physical listing) unless EVERY span document
+        present carries a ``listing`` — a single legacy document means
+        membership is not fully recorded and the physical listing is
+        the only safe answer (authority must never LOSE files)."""
+        try:
+            names = sorted(
+                f
+                for f in os.listdir(path)
+                if f == _SPAN_MANIFEST
+                or (f.startswith("_spans-") and f.endswith(".json"))
+            )
+        except OSError:
+            return None
+        if not names:
+            return None
+        listing: set = set()
+        refs: dict = {}
+        read_any = False
+        for name in names:
+            try:
+                with open(os.path.join(path, name)) as fh:
+                    doc = json.load(fh)
+            except (OSError, ValueError):
+                # a sidecar deleted mid-merge: its entries are in the
+                # merged manifest (rename-before-unlink), skip it
+                continue
+            if "listing" not in doc:
+                return None
+            read_any = True
+            listing |= set(doc["listing"])
+            refs.update(doc.get("refs") or {})
+        # an authority-aware EMPTY listing is valid membership (a
+        # truncated table); only zero readable documents fall back
+        return (listing, refs) if read_any else None
 
     @staticmethod
     def _load_span_stats(path: str) -> dict:
@@ -3107,12 +3301,15 @@ class KeyedTableStore:
         if files is None:
             files = self._data_files(path)
         cached = self._load_span_stats(path)
+        span_refs = self._span_refs(path)
         out = []
         misses: dict = {}
         for fname in files:
             rec = cached.get(fname)
             if rec is None:
-                rec = self._footer_key_stats(os.path.join(path, fname))
+                rec = self._footer_key_stats(
+                    self._file_abs(path, fname, span_refs)
+                )
                 misses[fname] = rec
             if stats is not None:
                 stats[fname] = rec
@@ -3418,6 +3615,7 @@ class KeyedTableStore:
 
         fpp = self._bloom_fpp(spec)
         rows_known = dict(rows_by_file or {})
+        bloom_refs = self._span_refs(gen_path)
         spans = None
         params: dict[str, tuple[int, int]] = {}
         for fname in files:
@@ -3430,7 +3628,7 @@ class KeyedTableStore:
             if rows is None:
                 try:
                     rows = pq.read_metadata(
-                        os.path.join(gen_path, fname)
+                        self._file_abs(gen_path, fname, bloom_refs)
                     ).num_rows
                 except Exception:
                     continue  # unreadable: no sidecar, file stays a candidate
@@ -3453,7 +3651,8 @@ class KeyedTableStore:
             for fname, (rows, (m, k)) in params.items():
                 try:
                     col = pq.read_table(
-                        os.path.join(gen_path, fname), columns=[column]
+                        self._file_abs(gen_path, fname, bloom_refs),
+                        columns=[column],
                     ).column(0)
                 except Exception:
                     continue  # unreadable: no sidecar, file stays candidate
@@ -3486,7 +3685,9 @@ class KeyedTableStore:
             key_col = key_col.cast("string")
         src = (
             self.spark.read.schema(T.StructType([key_field]))
-            .parquet(*[os.path.join(gen_path, f) for f in params])
+            .parquet(
+                *[self._file_abs(gen_path, f, bloom_refs) for f in params]
+            )
             .select(F.input_file_name().alias("_f"), key_col.alias("_k"))
         )
         B = _bloom
@@ -3795,8 +3996,7 @@ class KeyedTableStore:
             return None
         return (lo, hi)
 
-    @classmethod
-    def _key_span(cls, path: str, files, stats: dict | None = None) -> tuple:
+    def _key_span(self, path: str, files, stats: dict | None = None) -> tuple:
         """[min, max] row_key over the given data files — stats from
         the caller's collected dict (``stats``, from the same attempt's
         :meth:`_span_candidates` pass), else the generation's span
@@ -3807,13 +4007,14 @@ class KeyedTableStore:
         import pyarrow.parquet as pq
 
         cached = None
+        refs = self._span_refs(path)
         lo = hi = None
         for fname in files:
-            full = os.path.join(path, fname)
+            full = self._file_abs(path, fname, refs)
             rec = stats.get(fname) if stats is not None else None
             if rec is None:
                 if cached is None:  # load the manifest at most once
-                    cached = cls._load_span_stats(path)
+                    cached = self._load_span_stats(path)
                 rec = cached.get(fname)
             if rec is not None:
                 f_lo, f_hi, rows = rec[0], rec[1], rec[2]
@@ -3823,7 +4024,7 @@ class KeyedTableStore:
                     keys = pq.read_table(full, columns=[ROW_KEY]).column(0)
                     f_lo, f_hi = pc.min(keys).as_py(), pc.max(keys).as_py()
             else:
-                f_lo, f_hi, rows = cls._file_key_range(full)
+                f_lo, f_hi, rows = self._file_key_range(full)
             if rows == 0:
                 continue
             lo = f_lo if lo is None or f_lo < lo else lo
@@ -3836,23 +4037,23 @@ class KeyedTableStore:
 
         return pq.read_metadata(full).num_rows
 
-    @classmethod
-    def _footer_row_count(cls, path: str) -> int:
+    def _footer_row_count(self, path: str) -> int:
         """Exact table row count from parquet footer metadata, zero
         Spark jobs (the ``region_stats`` footer-only discipline applied
         to counting).  Served from the span manifest when it covers the
         file — ``rows`` is ``md.num_rows``, exact regardless of the
         min/max ``exact`` flag — with live footer reads for the rest."""
-        cached = cls._load_span_stats(path)
+        cached = self._load_span_stats(path)
+        refs = self._span_refs(path)
         total = 0
-        for fname in os.listdir(path):
-            if not fname.endswith(".parquet"):
-                continue
+        for fname in self._data_files(path):
             rec = cached.get(fname)
             total += (
                 rec[2]
                 if rec is not None
-                else cls._footer_row_count_file(os.path.join(path, fname))
+                else self._footer_row_count_file(
+                    self._file_abs(path, fname, refs)
+                )
             )
         return total
 
@@ -4068,8 +4269,9 @@ class KeyedTableStore:
         if affected:
             lo, hi = self._key_span(path, affected, stats=footer_stats)
             in_span = F.col(ROW_KEY).between(F.lit(lo), F.lit(hi))
+            mrefs = self._span_refs(path)
             sub = self.spark.read.schema(schema).parquet(
-                *[os.path.join(path, f) for f in affected]
+                *[self._file_abs(path, f, mrefs) for f in affected]
             )
             if drop_keys is not None:
                 # batched mutate(): deleted keys leave the affected
@@ -4516,9 +4718,10 @@ class KeyedTableStore:
                 pass  # the sidecar is a cache
             current: dict = {}
             if files:
+                crefs = self._span_refs(path)
                 for r in (
                     self.spark.read.schema(schema)
-                    .parquet(*[os.path.join(path, f) for f in files])
+                    .parquet(*[self._file_abs(path, f, crefs) for f in files])
                     .filter(F.col(ROW_KEY).isin(keys))
                     .collect()
                 ):
@@ -4705,9 +4908,10 @@ class KeyedTableStore:
         guessing."""
         if not files:
             return None, False
+        refs = self._span_refs(path)
         rows = (
             self.spark.read.schema(spec.schema())
-            .parquet(*[os.path.join(path, f) for f in files])
+            .parquet(*[self._file_abs(path, f, refs) for f in files])
             .filter(F.col(ROW_KEY) == F.lit(key))
             .take(2)
         )
@@ -4746,8 +4950,9 @@ class KeyedTableStore:
             if not files:
                 return {}
             path = self.table_path(spec)
+            refs = self._span_refs(path)
             cur = self.spark.read.schema(spec.schema()).parquet(
-                *[os.path.join(path, f) for f in files]
+                *[self._file_abs(path, f, refs) for f in files]
             )
         else:
             cur = self.read(spec.qualified_name)
@@ -4782,8 +4987,9 @@ class KeyedTableStore:
         locate, rewrite, and the CAS base all name the SAME generation."""
         if path is None:
             path = self.table_path(spec)
+        refs = self._span_refs(path)
         sub = self.spark.read.schema(spec.schema()).parquet(
-            *[os.path.join(path, f) for f in affected]
+            *[self._file_abs(path, f, refs) for f in affected]
         )
         schema = spec.schema()
         out = transform(sub).select(
@@ -4827,6 +5033,16 @@ class KeyedTableStore:
         )
         listing = self._data_files(src_path)
         carried = [f for f in listing if f not in rewritten]
+        # manifests-as-listing: the carry becomes a manifest REFERENCE
+        # to the file's ORIGINAL generation (chains flatten here, so a
+        # ref never points at another ref) and link_or_copy is not
+        # called at all — the hot O(files)-per-DML carry is the one
+        # that must not exist on hardlink-less backends.  A legacy
+        # FLAT source still links physically (one-time migration).
+        carry_refs = None
+        if self.manifest_authority and base != self._FLAT:
+            src_refs = self._span_refs(src_path)
+            carry_refs = {f: src_refs.get(f, base) for f in carried}
 
         def build(staging: str) -> None:
             for i, frame in enumerate(outs):
@@ -4836,10 +5052,12 @@ class KeyedTableStore:
             for f in os.listdir(staging):
                 if not f.endswith(".parquet"):
                     os.remove(os.path.join(staging, f))
-            for fname in carried:
-                self._link_or_copy(
-                    os.path.join(src_path, fname), os.path.join(staging, fname)
-                )
+            if carry_refs is None:
+                for fname in carried:
+                    self._link_or_copy(
+                        os.path.join(src_path, fname),
+                        os.path.join(staging, fname),
+                    )
 
         def base_listing_unchanged() -> None:
             # a concurrent APPEND links files into the live generation
@@ -4860,6 +5078,7 @@ class KeyedTableStore:
             expected_base=base,
             under_lock_check=base_listing_unchanged,
             span_reuse_path=src_path,
+            carried=carry_refs,
         )
 
     def delete_where(
@@ -5260,8 +5479,9 @@ class KeyedTableStore:
             path = self.table_path(spec)
         if n * 4 >= self._footer_row_count(path):
             return None  # the full rebuild will run anyway
+        refs = self._span_refs(path)
         sub = self.spark.read.schema(spec.schema()).parquet(
-            *[os.path.join(path, f) for f in affected]
+            *[self._file_abs(path, f, refs) for f in affected]
         )
         return selector(sub).select(ROW_KEY).localCheckpoint(eager=True)
 
@@ -5315,8 +5535,10 @@ class KeyedTableStore:
             listing = self._data_files(src)
             n = n_regions
             if target_region_bytes is not None:
+                crefs = self._span_refs(src)
                 total = sum(
-                    os.path.getsize(os.path.join(src, f)) for f in listing
+                    os.path.getsize(self._file_abs(src, f, crefs))
+                    for f in listing
                 )
                 n = max(1, -(-total // target_region_bytes))  # ceil
 
@@ -5365,14 +5587,15 @@ class KeyedTableStore:
             # CAS re-selects the small files against the winner's state
             path = self.table_path(spec)
             small = []
+            mrefs = self._span_refs(path)
             for fname in self._data_files(path):
-                full = os.path.join(path, fname)
+                full = self._file_abs(path, fname, mrefs)
                 if os.path.getsize(full) < small_file_bytes:
                     small.append(fname)
             if len(small) < min_files:
                 return 0
             folded = self.spark.read.schema(spec.schema()).parquet(
-                *[os.path.join(path, f) for f in small]
+                *[self._file_abs(path, f, mrefs) for f in small]
             )
             if spec.split_keys:
                 # pre-split table: fold to one file PER DECLARED REGION
@@ -5551,6 +5774,7 @@ class KeyedTableStore:
         def attempt() -> int:
             path = self.table_path(spec)
             cached = self._load_span_stats(path)
+            srefs = self._span_refs(path)
             straddlers = []
             for fname in self._data_files(path):
                 rec = cached.get(fname)
@@ -5558,7 +5782,7 @@ class KeyedTableStore:
                     lo, hi, rows = rec[0], rec[1], rec[2]
                 else:
                     lo, hi, rows = self._file_key_range(
-                        os.path.join(path, fname)
+                        self._file_abs(path, fname, srefs)
                     )
                 # a file straddles iff it holds keys on BOTH sides of
                 # the boundary: region law [lo_bound, hi_bound) puts
@@ -5571,7 +5795,7 @@ class KeyedTableStore:
             if not straddlers:
                 return 0
             sub = self.spark.read.schema(spec.schema()).parquet(
-                *[os.path.join(path, f) for f in straddlers]
+                *[self._file_abs(path, f, srefs) for f in straddlers]
             )
             out = self._region_layout(spec, sub)
             self._swap_write_with_carry(spec, out, path, set(straddlers))
@@ -5863,6 +6087,14 @@ class KeyedTableStore:
         self._register_catalog_table(spec)
 
     def _register_catalog_table(self, spec: TableSpec) -> None:
+        if self.manifest_authority:
+            # a session-catalog EXTERNAL table scans its directory —
+            # it would include strays and miss reference-carried
+            # members.  The temp view above reads through the
+            # membership-aware path; dot-qualified catalog SQL over
+            # manifest-authority stores is deliberately not registered
+            # (a silently-wrong listing is a trap).
+            return
         if not hasattr(self, "_catalog_paths"):
             self._catalog_paths: dict[str, str] = {}
         path = self.table_path(spec)

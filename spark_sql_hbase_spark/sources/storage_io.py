@@ -50,12 +50,21 @@ porting exercise, not a rewrite:
    data files between generation directories.
    - POSIX: ``os.link`` (hardlink) with a cross-device copy fallback.
    - HDFS: no hardlinks — either copy (correct, costs IO) or keep
-     generation directories VIRTUAL by listing absolute file paths in
+     generation directories VIRTUAL by listing file references in
      the manifest instead of directory membership (the Iceberg/Delta
-     answer; the span manifest already carries per-file entries, so
-     the migration is to make the manifest the listing authority).
+     answer).
    - Object store: same as HDFS — manifests-as-listing; "copy" via
      server-side COPY where genuinely needed.
+   - **Executable today**: ``KeyedTableStore(..., manifest_authority=
+     True)`` runs exactly this mode — generation membership is the
+     span manifest's ``listing`` (stray directory entries are
+     ignored), the hot DML carry records a manifest REFERENCE to the
+     file's original generation (``link_or_copy`` is not called at
+     all on that path), and generation GC is reference-aware
+     (directory-granularity reclamation once no live generation
+     references it).  The POSIX hardlink layout remains the default;
+     the mode is the porting contract's proof that the protocol needs
+     no hardlinks.
 
 ``KeyedTableStore`` consumes these through its ``io`` attribute
 (default :class:`LocalPosixIO`), so a deployment backend swaps one

@@ -31,10 +31,15 @@ from spark_sql_hbase_spark.sources.keyed_parquet import (
 )
 
 
-@pytest.fixture(scope="module")
-def store(spark, tmp_path_factory):
+@pytest.fixture(scope="module", params=["posix", "manifest"])
+def store(spark, tmp_path_factory, request):
+    # both storage layouts: POSIX hardlink carry (default) and
+    # manifests-as-listing (manifest_authority=True) — the whole suite
+    # must hold in either mode
     wh = str(tmp_path_factory.mktemp("cdc_wh"))
-    return KeyedTableStore(spark, wh)
+    return KeyedTableStore(
+        spark, wh, manifest_authority=(request.param == "manifest")
+    )
 
 
 def _mk(store, spark, name, rows, split_keys=None):
@@ -568,18 +573,24 @@ def test_cross_table_snapshot_diff_is_refused(store, spark):
         store.read_changes("cdc.xtb", versus="xta_s1")
 
 
-def test_unconsumed_previous_feed_fails_loudly_after_rewrite(store, spark):
+def test_unconsumed_previous_feed_never_silently_drifts(store, spark):
     """The transient-base contract: a 'previous' feed left unconsumed
-    across the NEXT rewrite must FAIL at action time (its pinned file
-    paths are swept), never silently return a different diff — the
-    remediation is a snapshot base (read_changes(versus=<snapshot>))."""
+    across further rewrites must never SILENTLY return a different
+    diff.  POSIX layout: the base generation is swept, so the read
+    FAILS loudly at action time — the remediation is a snapshot base
+    (read_changes(versus=<snapshot>)).  Manifest-authority layout:
+    reference-aware GC keeps the pinned files' directories alive while
+    live generations reference them, so the feed keeps returning the
+    ORIGINAL pinned diff (immutability), which is the other acceptable
+    outcome — stale-but-exact, never drifted."""
     _mk(store, spark, "trans", [(f"k{i:02d}", i) for i in range(8)])
     store.upsert(
         "cdc.trans",
         spark.createDataFrame([("k01", 100)], "row_key string, `cf:v` long"),
     )
     feed = store.read_changes("cdc.trans", versus="previous")
-    # a second rewrite retires the feed's base generation
+    pinned = {("update", "k01", 100)}
+    # further rewrites retire the feed's base generation
     store.upsert(
         "cdc.trans",
         spark.createDataFrame([("k02", 200)], "row_key string, `cf:v` long"),
@@ -588,5 +599,8 @@ def test_unconsumed_previous_feed_fails_loudly_after_rewrite(store, spark):
         "cdc.trans",
         spark.createDataFrame([("k03", 300)], "row_key string, `cf:v` long"),
     )
-    with pytest.raises(Exception):
-        feed.collect()
+    if store.manifest_authority:
+        assert _changes(feed) == pinned
+    else:
+        with pytest.raises(Exception):
+            feed.collect()

@@ -27,10 +27,15 @@ from spark_sql_hbase_spark.catalog import TableSpec
 from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
 
 
-@pytest.fixture(scope="module")
-def store(spark, tmp_path_factory):
+@pytest.fixture(scope="module", params=["posix", "manifest"])
+def store(spark, tmp_path_factory, request):
+    # both storage layouts: POSIX hardlink carry (default) and
+    # manifests-as-listing (manifest_authority=True) — the whole suite
+    # must hold in either mode
     wh = str(tmp_path_factory.mktemp("cond_wh"))
-    return KeyedTableStore(spark, wh)
+    return KeyedTableStore(
+        spark, wh, manifest_authority=(request.param == "manifest")
+    )
 
 
 def _table(store, name, rows):

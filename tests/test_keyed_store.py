@@ -2479,7 +2479,7 @@ def _no_footer_reads(monkeypatch):
     entirely from the span manifest."""
     def boom(full):
         raise AssertionError(f"footer read of {full!r} with manifest present")
-    monkeypatch.setattr(KeyedTableStore, "_footer_key_stats", boom)
+    monkeypatch.setattr(KeyedTableStore, "_footer_key_stats", staticmethod(boom))
 
 
 def test_span_manifest_serves_admin_and_pruning_without_footer_opens(
@@ -2580,7 +2580,7 @@ def test_carry_swap_reuses_span_entries_for_carried_files(
         seen.append(full)
         return orig(full)
 
-    monkeypatch.setattr(KeyedTableStore, "_footer_key_stats", spy)
+    monkeypatch.setattr(KeyedTableStore, "_footer_key_stats", staticmethod(spy))
     assert st.delete_where("r6.t", "row_key <= '00000005'") == 5
     new_path = st.table_path(spec)
     new_files = set(st._data_files(new_path))
@@ -2656,7 +2656,7 @@ def test_snapshot_restore_clone_carry_span_manifest(
         seen.append(full)
         return orig(full)
 
-    monkeypatch.setattr(KeyedTableStore, "_footer_key_stats", spy)
+    monkeypatch.setattr(KeyedTableStore, "_footer_key_stats", staticmethod(spy))
     st.restore_snapshot("r6.t", "snap1")
     assert not seen, f"footer re-reads during restore: {seen}"
     assert st.read("r6.t").count() == 30

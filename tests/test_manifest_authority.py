@@ -1,0 +1,279 @@
+"""Manifests-as-listing mode (``manifest_authority=True``): generation
+membership comes from the span manifest's ``listing``, the DML carry is
+a manifest REFERENCE instead of a hardlink, and generation GC is
+reference-aware — the executable form of the HDFS/object-store mapping
+``storage_io.py`` item 4 documents (no-hardlink backends keep
+generation directories virtual, the Iceberg/Delta membership model).
+
+Pins:
+
+- membership authority: a stray parquet file dropped into the live
+  generation directory is IGNORED by reads, counts, and DML locates;
+- reference carry: after a selective DML, carried members are NOT
+  physically present in the new generation directory (link_or_copy was
+  never called for them) yet every read resolves them through the
+  manifest's refs — and refs FLATTEN (a ref never points at a ref);
+- reference-aware GC: the generation directory that physically owns
+  referenced files survives sweeps for as long as any live generation
+  references it, across multiple DML swaps;
+- the store battery's core behaviors (CTAS/scan, upsert, delete,
+  point get, retention GC, split, changefeed round trip, snapshot
+  bootstrap) under the mode — the feature suites re-run in BOTH modes
+  via their parametrized fixtures, this file pins the mode-specific
+  mechanics.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sql_hbase_spark.catalog import TableSpec
+from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("ma_wh"))
+    return KeyedTableStore(spark, wh, manifest_authority=True)
+
+
+def _mk(store, spark, name, rows, split_keys=None):
+    spec = TableSpec(
+        namespace="ma",
+        name=name,
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=split_keys or [],
+    )
+    store.create_table(spec)
+    store.insert(
+        f"ma.{name}",
+        spark.createDataFrame(rows, "row_key string, `cf:v` long"),
+        overwrite=True,
+    )
+    return spec
+
+
+def _rows(store, name):
+    return {(r["row_key"], r["cf:v"]) for r in store.read(name).collect()}
+
+
+def test_stray_file_in_generation_dir_is_ignored(store, spark):
+    spec = _mk(store, spark, "stray", [(f"k{i:02d}", i) for i in range(10)])
+    path = store.table_path(spec)
+    # an operator (or a crashed foreign writer) drops a parquet file
+    # into the live generation directory — WITHOUT a manifest entry
+    spark.createDataFrame(
+        [("zzz", 999)], "row_key string, `cf:v` long"
+    ).coalesce(1).write.mode("overwrite").parquet(path + ".stray")
+    stray = next(
+        f for f in os.listdir(path + ".stray") if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(path + ".stray", stray),
+        os.path.join(path, "part-stray-deadbeef.parquet"),
+    )
+    assert "part-stray-deadbeef.parquet" in store._list_parquet(path)
+    # membership says no: reads, listings and counts all ignore it
+    assert "part-stray-deadbeef.parquet" not in store._data_files(path)
+    assert _rows(store, "ma.stray") == {(f"k{i:02d}", i) for i in range(10)}
+    assert store._footer_row_count(path) == 10
+    # ... and a DML locate does not resurrect it
+    store.delete_where("ma.stray", "row_key = 'k00'")
+    assert ("zzz", 999) not in _rows(store, "ma.stray")
+
+
+def test_dml_carry_is_reference_not_hardlink(store, spark):
+    spec = _mk(
+        store,
+        spark,
+        "refs",
+        [(f"{p}{i:03d}", i) for p in "abc" for i in range(40)],
+        split_keys=["b", "c"],
+    )
+    path0 = store.table_path(spec)
+    gen0 = os.path.basename(path0)
+    members0 = set(store._data_files(path0))
+    # selective DML: only the a-region rewrites; b/c files carry
+    store.upsert(
+        "ma.refs",
+        spark.createDataFrame(
+            [("a001", 111)], "row_key string, `cf:v` long"
+        ),
+    )
+    path1 = store.table_path(spec)
+    carried = members0 & set(store._data_files(path1))
+    assert carried, "untouched regions must carry by name"
+    refs1 = store._span_refs(path1)
+    for f in carried:
+        # carried members are NOT physically present in the new
+        # generation: the manifest references their original directory
+        assert not os.path.exists(os.path.join(path1, f))
+        assert refs1[f] == gen0
+        assert os.path.isfile(store._file_abs(path1, f, refs1))
+    # the read resolves through the refs and the content is exact
+    got = _rows(store, "ma.refs")
+    assert ("a001", 111) in got and len(got) == 120
+
+    # second DML: refs FLATTEN — still pointing at gen0, never at gen1
+    store.upsert(
+        "ma.refs",
+        spark.createDataFrame(
+            [("a002", 222)], "row_key string, `cf:v` long"
+        ),
+    )
+    path2 = store.table_path(spec)
+    refs2 = store._span_refs(path2)
+    for f in set(store._data_files(path2)) & carried:
+        assert refs2[f] == gen0, "a ref must never point at a ref"
+    got = _rows(store, "ma.refs")
+    assert ("a002", 222) in got and len(got) == 120
+
+
+def test_referenced_generation_survives_sweeps(store, spark):
+    spec = _mk(
+        store,
+        spark,
+        "gcref",
+        [(f"{p}{i:03d}", i) for p in "ab" for i in range(30)],
+        split_keys=["b"],
+    )
+    root = store.table_root(spec)
+    gen0 = os.path.basename(store.table_path(spec))
+    # several DML swaps later, gen0 is neither current nor previous,
+    # but still physically owns the carried b-region files
+    for i in range(4):
+        store.upsert(
+            "ma.gcref",
+            spark.createDataFrame(
+                [(f"a{i:03d}", 1000 + i)], "row_key string, `cf:v` long"
+            ),
+        )
+    assert os.path.isdir(os.path.join(root, gen0)), (
+        "referenced generation directory must survive reference-aware GC"
+    )
+    cur = store.table_path(spec)
+    assert gen0 in set(store._span_refs(cur).values())
+    # content stays exact through every swap
+    got = _rows(store, "ma.gcref")
+    assert len(got) == 60
+    assert ("b000", 0) in got
+    # a MAJOR compaction rewrites everything physically: gen0 loses its
+    # last reference and the next swap's sweep reclaims it
+    store.compact("ma.gcref")
+    store.upsert(
+        "ma.gcref",
+        spark.createDataFrame([("a000", 1)], "row_key string, `cf:v` long"),
+    )
+    store.upsert(
+        "ma.gcref",
+        spark.createDataFrame([("a000", 2)], "row_key string, `cf:v` long"),
+    )
+    assert not os.path.isdir(os.path.join(root, gen0)), (
+        "unreferenced directory must eventually be reclaimed"
+    )
+    assert len(_rows(store, "ma.gcref")) == 60
+
+
+def test_append_then_swap_membership_is_exact(store, spark):
+    spec = _mk(store, spark, "appsw", [(f"k{i:02d}", i) for i in range(10)])
+    # append rides a span SIDECAR (its membership record)
+    store.insert(
+        "ma.appsw",
+        spark.createDataFrame([("x1", 101), ("x2", 102)],
+                              "row_key string, `cf:v` long"),
+    )
+    assert len(_rows(store, "ma.appsw")) == 12
+    # a swap after the append carries manifest+sidecar members alike
+    store.delete_where("ma.appsw", "row_key = 'k03'")
+    got = _rows(store, "ma.appsw")
+    assert len(got) == 11 and ("x1", 101) in got and ("k03", 3) not in got
+
+
+def test_point_get_and_bloom_under_manifest_mode(store, spark):
+    spec = TableSpec(
+        namespace="ma",
+        name="pget",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["m"],
+        properties={"BLOOMFILTER": "ROW"},
+    )
+    store.create_table(spec)
+    store.insert(
+        "ma.pget",
+        spark.createDataFrame(
+            [(f"{p}{i:03d}", i) for p in "az" for i in range(50)],
+            "row_key string, `cf:v` long",
+        ),
+        overwrite=True,
+    )
+    store.upsert(
+        "ma.pget",
+        spark.createDataFrame([("a001", 11)], "row_key string, `cf:v` long"),
+    )
+    got = {
+        (r["row_key"], r["cf:v"])
+        for r in store.get("ma.pget", ["a001", "z049", "nope"]).collect()
+    }
+    assert got == {("a001", 11), ("z049", 49)}
+
+
+def test_retention_gc_under_manifest_mode(store, spark):
+    spec = TableSpec(
+        namespace="ma",
+        name="vers",
+        key_type="string",
+        families={"cf": {"bal": "long", "v": "long"}},
+    )
+    store.create_table(spec)
+    store.insert(
+        "ma.vers",
+        spark.createDataFrame(
+            [("k1", 10, 1), ("k2", 20, 1)],
+            "row_key string, `cf:bal` long, `cf:v` long",
+        ),
+        overwrite=True,
+    )
+    store.insert(
+        "ma.vers",
+        spark.createDataFrame(
+            [("k1", 11, 2)], "row_key string, `cf:bal` long, `cf:v` long"
+        ),
+    )
+    store.compact_versions("ma.vers", "cf:v", keep_versions=1)
+    got = {
+        (r["row_key"], r["cf:bal"], r["cf:v"])
+        for r in store.read("ma.vers").collect()
+    }
+    assert got == {("k1", 11, 2), ("k2", 20, 1)}
+
+
+def test_snapshot_bootstrap_round_trip_under_manifest_mode(
+    store, spark, tmp_path_factory
+):
+    """Snapshot capture resolves references to PHYSICAL files (the
+    snapshot is self-contained), and the replication loop converges."""
+    _mk(store, spark, "ship", [(f"k{i:02d}", i) for i in range(15)])
+    # a DML first, so the snapshot captures a generation WITH refs
+    store.upsert(
+        "ma.ship",
+        spark.createDataFrame([("k01", 101)], "row_key string, `cf:v` long"),
+    )
+    store.snapshot("ma.ship", "ma_s1")
+    remote_wh = str(tmp_path_factory.mktemp("ma_remote"))
+    store.export_snapshot("ma_s1", remote_wh)
+    remote = KeyedTableStore(spark, remote_wh, manifest_authority=True)
+    remote.clone_snapshot("ma_s1", "ma.ship")
+    assert _rows(remote, "ma.ship") == _rows(store, "ma.ship")
+    store.upsert(
+        "ma.ship",
+        spark.createDataFrame([("k02", 202), ("x9", 900)],
+                              "row_key string, `cf:v` long"),
+    )
+    store.delete_where("ma.ship", "row_key = 'k05'")
+    remote.apply_changes(
+        "ma.ship", store.read_changes("ma.ship", versus="ma_s1")
+    )
+    assert _rows(remote, "ma.ship") == _rows(store, "ma.ship")
