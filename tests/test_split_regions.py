@@ -610,3 +610,49 @@ def test_failed_split_rewrite_rolls_back_the_declaration(store, spark):
     # and the split succeeds once the rewrite path is healthy again
     store.split_region("sp.rollback", "a10")
     assert list(store.registry.get("sp.rollback").split_keys) == ["a10", "m"]
+
+
+def test_batch_split_regions_is_one_rewrite_one_flip(store, spark):
+    """N-way pre-split backfill: split_regions([k1..kN]) lands every
+    new boundary in ONE rewrite + ONE generation flip (split_region
+    would pay N sequential commits), files re-confine to the full new
+    declaration, and content is untouched."""
+    spec = TableSpec(
+        namespace="sp",
+        name="batchsplit",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+        split_keys=["m"],
+    )
+    store.create_table(spec)
+    store.insert(
+        "sp.batchsplit",
+        spark.createDataFrame(
+            [(f"{p}{i:03d}", i) for p in "az" for i in range(60)],
+            "row_key string, `cf:v` long",
+        ),
+        overwrite=True,
+    )
+    path0 = store.table_path(spec)
+    gens_before = len(store.generations("sp.batchsplit"))
+    n = store.split_regions("sp.batchsplit", ["a020", "a040", "z030"])
+    assert n > 0
+    assert list(store.registry.get("sp.batchsplit").split_keys) == [
+        "a020", "a040", "m", "z030",
+    ]
+    # exactly one flip: the current generation changed once, and the
+    # pre-split generation is now "previous" (no intermediate gens)
+    path1 = store.table_path(spec)
+    assert path1 != path0
+    roles = {
+        g["role"] for g in store.generations("sp.batchsplit")
+    }
+    assert "current" in roles
+    _assert_region_confined(store, spec, ["a020", "a040", "m", "z030"])
+    assert store.read("sp.batchsplit").count() == 120
+    # batch validations are loud
+    with pytest.raises(ValueError, match="already a declared"):
+        store.split_regions("sp.batchsplit", ["a020"])
+    with pytest.raises(ValueError, match="duplicate"):
+        store.split_regions("sp.batchsplit", ["q1", "q1"])
+    assert store.split_regions("sp.batchsplit", []) == 0
