@@ -73,7 +73,9 @@ class RegionPartition(InputPartition):
     path: str
 
 
-def _list_region_files(table_dir: str) -> list[str]:
+def _list_region_files(
+    table_dir: str, manifest_authority: bool = False
+) -> list[str]:
     """Region files of one table directory, sorted for deterministic
     partition order.
 
@@ -83,7 +85,36 @@ def _list_region_files(table_dir: str) -> list[str]:
     fuse/NFS-mounted HDFS.  Pointing a DataSource at an object store
     (S3 et al.) needs a Hadoop-FS/pyarrow.fs listing here AND a
     manifest service in front of the store's atomic-rename swap;
-    neither is silently emulated."""
+    neither is silently emulated.
+
+    ``manifest_authority=True`` (the ``.option("manifest_authority",
+    "true")`` read option, matching a store opened with the same flag):
+    membership comes from the generation's span manifest ``listing``
+    (stray directory entries ignored) and reference-carried members
+    resolve to their original generation directory — the same rules
+    :meth:`KeyedTableStore._data_files`/:meth:`_file_abs` apply.  The
+    flag is explicit rather than inferred so the POSIX default surface
+    (directory = membership) stays consistent between the store and
+    the DataSource."""
+    if manifest_authority:
+        from spark_sql_hbase_spark.sources.keyed_parquet import (
+            KeyedTableStore,
+        )
+
+        m = KeyedTableStore._load_span_membership(table_dir)
+        if m is not None:
+            listing, refs = m
+            root = os.path.dirname(table_dir.rstrip("/"))
+            out = []
+            for f in sorted(listing):
+                p = (
+                    os.path.join(root, refs[f], f)
+                    if f in refs
+                    else os.path.join(table_dir, f)
+                )
+                if os.path.isfile(p) and os.path.getsize(p) > 0:
+                    out.append(p)
+            return out
     return sorted(
         os.path.join(table_dir, f)
         for f in os.listdir(table_dir)
@@ -98,27 +129,43 @@ class KeyedTableDataSource(DataSource):
     def name(cls) -> str:
         return "keyedtable"
 
+    @staticmethod
+    def _manifest_opt(options) -> bool:
+        return str(options.get("manifest_authority", "")).lower() == "true"
+
     def schema(self) -> StructType:
         # infer from the first region file's footer when not supplied
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        files = _list_region_files(self.options["path"])
+        files = _list_region_files(
+            self.options["path"], self._manifest_opt(self.options)
+        )
         if not files:
             raise FileNotFoundError(f"no region files under {self.options['path']}")
         return from_arrow_schema(pq.read_schema(files[0]))
 
     def reader(self, schema: StructType) -> "KeyedTableReader":
-        return KeyedTableReader(schema, self.options["path"])
+        return KeyedTableReader(
+            schema,
+            self.options["path"],
+            manifest_authority=self._manifest_opt(self.options),
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> "KeyedTableWriter":
         return KeyedTableWriter(self.options["path"], overwrite)
 
 
 class KeyedTableReader(DataSourceReader):
-    def __init__(self, schema: StructType, table_dir: str):
+    def __init__(
+        self,
+        schema: StructType,
+        table_dir: str,
+        manifest_authority: bool = False,
+    ):
         self.schema = schema
         self.table_dir = table_dir
+        self.manifest_authority = manifest_authority
         self.pushed: list[Filter] = []
         self.key_bounds: list[tuple[str, object]] = []  # (op, literal) on row_key
 
@@ -214,7 +261,7 @@ class KeyedTableReader(DataSourceReader):
         ``_span_candidates``."""
         import pyarrow.parquet as pq
 
-        files = _list_region_files(self.table_dir)
+        files = _list_region_files(self.table_dir, self.manifest_authority)
         if not self.key_bounds:
             return [RegionPartition(p) for p in files]
         point_sets = self._point_sets()

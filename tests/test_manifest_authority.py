@@ -277,3 +277,50 @@ def test_snapshot_bootstrap_round_trip_under_manifest_mode(
         "ma.ship", store.read_changes("ma.ship", versus="ma_s1")
     )
     assert _rows(remote, "ma.ship") == _rows(store, "ma.ship")
+
+
+def test_datasource_reads_manifest_membership(store, spark):
+    """The Python DataSource honors membership under
+    ``.option("manifest_authority", "true")``: stray files ignored,
+    reference-carried members resolved — matching the store surface."""
+    spec = _mk(
+        store,
+        spark,
+        "dsrc",
+        [(f"{p}{i:03d}", i) for p in "ab" for i in range(20)],
+        split_keys=["b"],
+    )
+    # a DML leaves carried members as refs; a stray lands beside them
+    store.upsert(
+        "ma.dsrc",
+        spark.createDataFrame([("a001", 111)], "row_key string, `cf:v` long"),
+    )
+    path = store.table_path(spec)
+    spark.createDataFrame(
+        [("zzz", 999)], "row_key string, `cf:v` long"
+    ).coalesce(1).write.mode("overwrite").parquet(path + ".stray")
+    stray = next(
+        f for f in os.listdir(path + ".stray") if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(path + ".stray", stray),
+        os.path.join(path, "part-stray-cafebabe.parquet"),
+    )
+    from spark_sql_hbase_spark.sources.keyed_datasource import (
+        KeyedTableDataSource,
+    )
+
+    spark.dataSource.register(KeyedTableDataSource)
+    df = (
+        spark.read.format("keyedtable")
+        .schema(spec.schema())
+        .option("path", path)
+        .option("manifest_authority", "true")
+        .load()
+    )
+    got = {(r["row_key"], r["cf:v"]) for r in df.collect()}
+    assert ("zzz", 999) not in got
+    assert ("a001", 111) in got and ("b000", 0) in got and len(got) == 40
+    # row-key pruning still plans over resolved members
+    pruned = df.filter(F.col("row_key") == "b005")
+    assert {(r["row_key"], r["cf:v"]) for r in pruned.collect()} == {("b005", 5)}
