@@ -102,6 +102,7 @@ _R8_RENAMES = {
 # round-10 rotation: bench output key -> current registry name
 _R10_RENAMES = {
     "d12_semantic_dedup": "zg24_semantic_dedup",
+    "d13_containment_neardup": "zg25_containment_neardup",
 }
 
 

@@ -1537,3 +1537,106 @@ def k26_replication_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # convergence: the replica equals the source exactly (multiset)
     assert dst.exceptAll(src).isEmpty() and src.exceptAll(dst).isEmpty()
     return dst.select("row_key", F.col("`p:price`").alias("price"))
+
+
+# ---------------------------------------------------------------------------
+# k27 — VERSIONED cell replication (the round-10 semantics fix, driver-
+# gated): on a VERSIONS table, replication must move CELLS — a new
+# version is an append (the replica's older cells survive), a
+# version-GC'd cell is an exact-cell delete (the key's live cells
+# survive).  The key-granularity replay is refused loudly on versioned
+# tables; this gate drives the cell feed end to end:
+# snapshot-bootstrap a replica, append v2/v3 cells, run VERSIONS=2
+# retention GC on the source, ship read_changes(versus=<snapshot>,
+# cells=True) through apply_changes(cells=True) (insert() appends +
+# delete_cells exact-row deletes), and assert exact multiset
+# convergence.  The final cell state is a pure function of `part`.
+# ---------------------------------------------------------------------------
+@register(
+    "k27_versioned_cell_replication",
+    oracle="""
+    SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           p_retailprice AS price, CAST(1 AS BIGINT) AS v
+    FROM part WHERE p_partkey % 20 <> 0
+    UNION ALL
+    SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           p_retailprice * 2 AS price, CAST(2 AS BIGINT) AS v
+    FROM part WHERE p_partkey % 10 = 0
+    UNION ALL
+    SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           p_retailprice * 3 AS price, CAST(3 AS BIGINT) AS v
+    FROM part WHERE p_partkey % 20 = 0
+    """,
+    description="versioned-table replication at CELL granularity: "
+    "cells=True changefeed (appends + exact-cell deletes from VERSIONS=2 "
+    "GC) converges a snapshot-bootstrapped replica exactly",
+)
+def k27_versioned_cell_replication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    replica = _store(spark)
+    p = table(spark, sf_dir, "part")
+    key = F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key")
+    spec = TableSpec(
+        namespace="gate",
+        name="part_vrepl",
+        key_type="string",
+        families={"p": {"price": "double", "v": "long"}},
+        properties={"VERSIONS": "2"},
+    )
+    store.ctas(
+        spec,
+        p.select(
+            key,
+            F.col("p_retailprice").alias("p:price"),
+            F.lit(1).cast("long").alias("p:v"),
+        ),
+        mode="overwrite",
+    )
+    store.snapshot("gate.part_vrepl", "k27_s1")
+    store.export_snapshot("k27_s1", replica.warehouse_dir)
+    replica.clone_snapshot("k27_s1", "gate.part_vrepl")
+    # new version CELLS are appends — nothing replaced on the source
+    store.insert(
+        "gate.part_vrepl",
+        p.filter("p_partkey % 10 = 0").select(
+            key,
+            (F.col("p_retailprice") * 2).alias("p:price"),
+            F.lit(2).cast("long").alias("p:v"),
+        ),
+    )
+    store.insert(
+        "gate.part_vrepl",
+        p.filter("p_partkey % 20 = 0").select(
+            key,
+            (F.col("p_retailprice") * 3).alias("p:price"),
+            F.lit(3).cast("long").alias("p:v"),
+        ),
+    )
+    # VERSIONS=2 retention: three-version keys drop their v=1 cell
+    store.compact_versions("gate.part_vrepl", "p:v", keep_versions=2)
+    # a key-granularity replay on this table is refused loudly
+    try:
+        replica.apply_changes(
+            "gate.part_vrepl",
+            store.read_changes("gate.part_vrepl", versus="k27_s1"),
+        )
+        raise AssertionError("key-granularity replay must refuse")
+    except ValueError:
+        pass
+    replica.apply_changes(
+        "gate.part_vrepl",
+        store.read_changes("gate.part_vrepl", versus="k27_s1", cells=True),
+        cells=True,
+    )
+    src = store.read("gate.part_vrepl")
+    dst = replica.read("gate.part_vrepl")
+    assert dst.exceptAll(src).isEmpty() and src.exceptAll(dst).isEmpty()
+    return dst.select(
+        "row_key",
+        F.col("`p:price`").alias("price"),
+        F.col("`p:v`").alias("v"),
+    )

@@ -2419,7 +2419,7 @@ _CONT_T = 0.9
 
 
 @register(
-    "d13_containment_neardup",
+    "zg25_containment_neardup",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id, {_TOK} AS t FROM documents
@@ -2465,7 +2465,7 @@ _CONT_T = 0.9
     description="containment near-dup: winnowing-index candidates + exact "
     "|A∩B|/min coefficient — catches short-doc-embedded-in-long",
 )
-def d13_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg25_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.containment_join(
         docs, "doc_id", "text", threshold=_CONT_T, k=_WINNOW_K, w=_WINNOW_W

@@ -762,7 +762,7 @@ def test_z71_containment_candidate_index_is_hashes_only(spark, registry):
     inverted index: every hash exchange carries ids + the 8-byte
     selected hash (or the bounded shingle arrays on the verify side) —
     never the document text; and nothing degenerates to a cartesian."""
-    plan = formatted_plan(registry["d13_containment_neardup"].fn(spark, SF))
+    plan = formatted_plan(registry["zg25_containment_neardup"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:1200]
     lines = plan.splitlines()
     matched = 0
