@@ -2506,6 +2506,39 @@ class KeyedTableStore:
             f for f in os.listdir(path) if f.endswith(".parquet")
         )
 
+    def _membership(self, path: str):
+        """Signature-cached :meth:`_load_span_membership` (manifest
+        mode): one DML touches membership several times (listing, refs
+        prefetch, carry, CAS guard), and at 10^5 files/generation the
+        manifest JSON is MBs — parse it once per distinct on-disk
+        state, not once per touch.  The signature is the (name,
+        mtime_ns, size) tuple of every span document in the directory
+        (one listdir + stats, far cheaper than the parse), so any
+        concurrent append's sidecar, merge, or manifest rewrite — all
+        of which land by rename — invalidates by construction."""
+        try:
+            sig = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(path)
+                    if e.name == _SPAN_MANIFEST
+                    or (e.name.startswith("_spans-") and e.name.endswith(".json"))
+                )
+            )
+        except OSError:
+            return self._load_span_membership(path)
+        cache = getattr(self, "_membership_cache", None)
+        if cache is None:
+            cache = self._membership_cache = {}
+        hit = cache.get(path)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+        m = self._load_span_membership(path)
+        if len(cache) > 64:  # a handful of live generations per store
+            cache.clear()
+        cache[path] = (sig, m)
+        return m
+
     def _data_files(self, path: str) -> list[str]:
         """Sorted data-file basenames of one generation — the ONE
         listing contract every locate/carry/CAS-guard shares (a
@@ -2518,7 +2551,7 @@ class KeyedTableStore:
         staging directory before its manifest lands) falls back to the
         physical listing."""
         if self.manifest_authority:
-            m = self._load_span_membership(path)
+            m = self._membership(path)
             if m is not None:
                 return sorted(m[0])
         return self._list_parquet(path)
@@ -2529,7 +2562,7 @@ class KeyedTableStore:
         empty in POSIX mode, where every member is physical)."""
         if not self.manifest_authority:
             return {}
-        m = self._load_span_membership(path)
+        m = self._membership(path)
         return dict(m[1]) if m is not None else {}
 
     def _file_abs(self, path: str, fname: str, refs: dict | None = None) -> str:

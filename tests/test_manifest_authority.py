@@ -324,3 +324,68 @@ def test_datasource_reads_manifest_membership(store, spark):
     # row-key pruning still plans over resolved members
     pruned = df.filter(F.col("row_key") == "b005")
     assert {(r["row_key"], r["cf:v"]) for r in pruned.collect()} == {("b005", 5)}
+
+
+def test_concurrent_writers_under_manifest_mode(store, spark):
+    """Manifest-mode concurrency: the membership cache must never serve
+    a stale listing across another writer's commit (the signature is
+    the span documents' stat tuple), and the CAS/carry protocol holds
+    when the carry is a manifest reference.  Three writers interleave
+    appends, upserts, and deletes; the final content must be exact."""
+    import threading
+
+    _mk(
+        store, spark, "conc",
+        [(f"k{i:03d}", i) for i in range(30)],
+        split_keys=["k015"],
+    )
+    errs = []
+
+    def appender():
+        try:
+            for i in range(3):
+                store.insert(
+                    "ma.conc",
+                    spark.createDataFrame(
+                        [(f"x{i}", 100 + i)], "row_key string, `cf:v` long"
+                    ),
+                )
+        except Exception:
+            import traceback
+            errs.append(traceback.format_exc())
+
+    def upserter():
+        try:
+            for i in range(3):
+                store.upsert(
+                    "ma.conc",
+                    spark.createDataFrame(
+                        [(f"k{i:03d}", 1000 + i)],
+                        "row_key string, `cf:v` long",
+                    ),
+                )
+        except Exception:
+            import traceback
+            errs.append(traceback.format_exc())
+
+    def deleter():
+        try:
+            for i in range(20, 23):
+                store.delete_where("ma.conc", f"row_key = 'k{i:03d}'")
+        except Exception:
+            import traceback
+            errs.append(traceback.format_exc())
+
+    threads = [
+        threading.Thread(target=f) for f in (appender, upserter, deleter)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs[0]
+    got = _rows(store, "ma.conc")
+    want = {(f"k{i:03d}", i) for i in range(30) if i not in (0, 1, 2, 20, 21, 22)}
+    want |= {(f"k{i:03d}", 1000 + i) for i in range(3)}
+    want |= {(f"x{i}", 100 + i) for i in range(3)}
+    assert got == want
