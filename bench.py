@@ -103,6 +103,7 @@ _R8_RENAMES = {
 _R10_RENAMES = {
     "d12_semantic_dedup": "zg24_semantic_dedup",
     "d13_containment_neardup": "zg25_containment_neardup",
+    "d14_bloom_decontam": "zg26_bloom_decontam",
 }
 
 

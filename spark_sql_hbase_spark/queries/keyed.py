@@ -28,6 +28,15 @@ def _store(spark: SparkSession):
     return KeyedTableStore(spark, tempfile.mkdtemp(prefix="keyed_wh_"))
 
 
+def _store_ma(spark: SparkSession):
+    """Manifest-authority store (manifests-as-listing layout)."""
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    return KeyedTableStore(
+        spark, tempfile.mkdtemp(prefix="keyed_ma_"), manifest_authority=True
+    )
+
+
 def _session(spark: SparkSession):
     from spark_sql_hbase_spark.session import EngineSession
 
@@ -1639,4 +1648,84 @@ def k27_versioned_cell_replication(
         "row_key",
         F.col("`p:price`").alias("price"),
         F.col("`p:v`").alias("v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k28 — manifests-as-listing mode end to end under the driver oracle
+# (the round-10 structural mode; storage_io.py item 4 made executable):
+# a manifest_authority store CTASes `part` into declared regions, runs
+# one selective MERGE and one selective DELETE confined to region 0 —
+# so regions 1-3 carry as manifest REFERENCES, asserted in-gate as NOT
+# physically present in the new generation — and a STRAY parquet file
+# is dropped into the live generation directory before the final read:
+# the oracle comparison itself proves membership authority (a
+# directory-listing read would return the stray's row and hash-fail).
+# ---------------------------------------------------------------------------
+@register(
+    "k28_manifest_mode_dml",
+    oracle="""
+    SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           CASE WHEN p_partkey % 8 = 0 AND p_partkey < 50
+                THEN p_retailprice + 1 ELSE p_retailprice END AS price
+    FROM part
+    WHERE NOT (p_partkey % 33 = 0 AND p_partkey < 50)
+    """,
+    description="manifests-as-listing mode: selective MERGE + DELETE with "
+    "reference carry (no hardlinks), stray file ignored by membership — "
+    "content proven by the oracle",
+)
+def k28_manifest_mode_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store_ma(spark)
+    p = table(spark, sf_dir, "part")
+    key = F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key")
+    spec = TableSpec(
+        namespace="gate",
+        name="part_ma",
+        key_type="string",
+        families={"p": {"price": "double"}},
+        split_keys=["0000000050", "0000000100", "0000000150"],
+    )
+    store.ctas(
+        spec, p.select(key, F.col("p_retailprice").alias("p:price")),
+        mode="overwrite",
+    )
+    path0 = store.table_path(spec)
+    members0 = set(store._data_files(path0))
+    # region-0-confined DMLs: regions 1-3 carry as references
+    store.upsert(
+        "gate.part_ma",
+        p.filter("p_partkey % 8 = 0 AND p_partkey < 50").select(
+            key, (F.col("p_retailprice") + 1).alias("p:price")
+        ),
+    )
+    store.delete_where(
+        "gate.part_ma",
+        "CAST(row_key AS BIGINT) % 33 = 0 AND CAST(row_key AS BIGINT) < 50",
+    )
+    path = store.table_path(spec)
+    refs = store._span_refs(path)
+    carried = members0 & set(store._data_files(path))
+    assert carried and refs, "expected reference-carried members"
+    assert any(
+        f in refs and not os.path.exists(os.path.join(path, f))
+        for f in carried
+    ), "carry must be a manifest reference, not a physical file"
+    # stray injection: membership authority must keep it invisible —
+    # the ORACLE comparison fails if a directory-listing read leaks it
+    stray_src = os.path.join(store.warehouse_dir, "_stray_src")
+    spark.createDataFrame(
+        [("9999999999", -1.0)], "row_key string, `p:price` double"
+    ).coalesce(1).write.mode("overwrite").parquet(stray_src)
+    stray = next(
+        f for f in os.listdir(stray_src) if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(stray_src, stray),
+        os.path.join(path, "part-stray-00000000.parquet"),
+    )
+    return store.read("gate.part_ma").select(
+        "row_key", F.col("`p:price`").alias("price")
     )

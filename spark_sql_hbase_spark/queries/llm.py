@@ -2481,7 +2481,7 @@ def zg25_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch-accelerated path against ground truth.
 # ---------------------------------------------------------------------------
 @register(
-    "d14_bloom_decontam",
+    "zg26_bloom_decontam",
     oracle=f"""
     WITH __sh AS (
         SELECT doc_id, {shingles_sql(tokens_sql('text'), _DECON_N)} AS s
@@ -2506,7 +2506,7 @@ def zg25_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Bloom-prefiltered decontamination: 32 KiB bitmap gate on "
     "the train side + exact verify — result identical to d08",
 )
-def d14_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg26_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.decontam import bloom_decontaminate
 
     docs = table(spark, sf_dir, "documents")

@@ -905,6 +905,19 @@ class KeyedTableStore:
             )
         cols = [f"`{f.name}`" for f in spec.schema().fields]
         feed = changes.localCheckpoint(eager=True)
+        unknown = [
+            r[0]
+            for r in feed.select("change").distinct().collect()
+            if r[0] not in ("insert", "update", "delete")
+        ]
+        if unknown:
+            # a row with a mistyped/NULL change tag would otherwise be
+            # dropped SILENTLY — a replica that quietly misses changes
+            # is the worst failure mode a replication sink can have
+            raise ValueError(
+                f"{qualified_name}: changefeed rows with unknown change "
+                f"tag(s) {unknown!r} (expected insert/update/delete)"
+            )
         ins = feed.filter(F.col("change") == "insert").select(*cols)
         ups = feed.filter(F.col("change") == "update").select(*cols)
         dels = feed.filter(F.col("change") == "delete")

@@ -604,3 +604,19 @@ def test_unconsumed_previous_feed_never_silently_drifts(store, spark):
     else:
         with pytest.raises(Exception):
             feed.collect()
+
+
+def test_apply_changes_refuses_unknown_change_tags(store, spark):
+    """A mistyped/NULL change tag must refuse loudly — a replica that
+    silently drops feed rows is the worst replication failure mode."""
+    _mk(store, spark, "badtag", [("k1", 1)])
+    feed = spark.createDataFrame(
+        [("upsert", "k2", 2)], "change string, row_key string, `cf:v` long"
+    )
+    with pytest.raises(ValueError, match="unknown change"):
+        store.apply_changes("cdc.badtag", feed)
+    feed_null = spark.createDataFrame(
+        [(None, "k2", 2)], "change string, row_key string, `cf:v` long"
+    )
+    with pytest.raises(ValueError, match="unknown change"):
+        store.apply_changes("cdc.badtag", feed_null)

@@ -791,7 +791,7 @@ def test_z73_bloom_bitmap_rides_one_broadcast_row(spark, registry):
     BroadcastNestedLoopJoin over a single row, never a shuffle; and the
     whole query keeps the d08 shape otherwise (no cartesian between
     real relations)."""
-    plan = formatted_plan(registry["d14_bloom_decontam"].fn(spark, SF))
+    plan = formatted_plan(registry["zg26_bloom_decontam"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan, plan[:1200]
     assert "CartesianProduct" not in plan, plan[:1200]
 
