@@ -104,6 +104,7 @@ class EngineSession:
         spark: SparkSession | None = None,
         registry_path: str | None = None,
         warehouse_dir: str | None = None,
+        manifest_authority: bool = False,
     ):
         self.spark = spark or build_spark()
         # imported lazily to avoid a cycle at package import time
@@ -116,7 +117,14 @@ class EngineSession:
             from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
             from spark_sql_hbase_spark.sqlfront import KeyedSqlRouter
 
-            self.store = KeyedTableStore(self.spark, warehouse_dir, self.registry)
+            # manifest_authority: the manifests-as-listing storage layout
+            # (see KeyedTableStore) — SQL still routes through the store
+            # and the membership-aware temp views; dot-qualified
+            # session-catalog names are not registered in this mode
+            self.store = KeyedTableStore(
+                self.spark, warehouse_dir, self.registry,
+                manifest_authority=manifest_authority,
+            )
             self.store.bootstrap_views()
             self._router = KeyedSqlRouter(self.store)
 

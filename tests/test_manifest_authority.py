@@ -389,3 +389,77 @@ def test_concurrent_writers_under_manifest_mode(store, spark):
     want |= {(f"k{i:03d}", 1000 + i) for i in range(3)}
     want |= {(f"x{i}", 100 + i) for i in range(3)}
     assert got == want
+
+
+def test_covered_index_under_manifest_mode(store, spark):
+    """Covered-index dual maintenance holds in manifest mode: the index
+    table is itself a manifest-authority keyed table, answers
+    index-only, and stays consistent through a selective DML whose
+    carry is by reference."""
+    rows = [(i, f"name{i}", i % 4, float(i) * 1.5) for i in range(1, 41)]
+    src = spark.createDataFrame(
+        rows, "k long, name string, grp long, val double"
+    )
+    store.ctas(
+        TableSpec(
+            namespace="ma",
+            name="ixmain",
+            key_type="string",
+            families={"c": {"name": "string", "grp": "long", "val": "double"}},
+        ),
+        src.select(
+            F.lpad(F.col("k").cast("string"), 8, "0").alias("row_key"),
+            F.col("name").alias("c:name"),
+            F.col("grp").alias("c:grp"),
+            F.col("val").alias("c:val"),
+        ),
+    )
+    store.create_covered_index(
+        "ma.ixmain", "ma.by_grp", index_col="c:grp",
+        include=["c:name", "c:val"], key_width=4,
+    )
+    # selective DML on the main table: the index must follow
+    store.upsert(
+        "ma.ixmain",
+        spark.createDataFrame(
+            [("00000006", "name6", 2, 99.0)],
+            "row_key string, `c:name` string, `c:grp` long, `c:val` double",
+        ),
+    )
+    idx = store.read("ma.by_grp").filter(
+        (F.col("row_key") >= "0002|") & (F.col("row_key") < "0002}")
+    )
+    got = {
+        (r["i:src_key"], r["c:name"], r["c:val"]) for r in idx.collect()
+    }
+    exp = {
+        (f"{i:08d}", f"name{i}", i * 1.5)
+        for i in range(1, 41)
+        if i % 4 == 2 and i != 6
+    } | {("00000006", "name6", 99.0)}
+    assert got == exp
+    files = idx.inputFiles()
+    assert files and all("by_grp" in f for f in files), files
+
+
+def test_engine_session_sql_under_manifest_mode(spark, tmp_path_factory):
+    """EngineSession(manifest_authority=True): SQL DDL/DML routes
+    through a manifests-as-listing store, and the temp-view read path
+    serves membership-correct results."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(
+        spark=spark,
+        warehouse_dir=str(tmp_path_factory.mktemp("ma_sess")),
+        manifest_authority=True,
+    )
+    assert sess.store.manifest_authority
+    sess.sql(
+        "CREATE TABLE ma.sqlt (row_key STRING, `cf:v` BIGINT) USING keyed"
+    )
+    sess.sql("INSERT INTO ma.sqlt VALUES ('k1', 1), ('k2', 2)")
+    got = {
+        (r["row_key"], r["cf:v"])
+        for r in sess.sql("SELECT * FROM ma__sqlt").collect()
+    }
+    assert got == {("k1", 1), ("k2", 2)}
