@@ -254,7 +254,10 @@ class KeyedTableStore:
         tmp = os.path.join(root, f".{self._GEN_MANIFEST}.{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as f:
             json.dump({"current": current, "previous": previous}, f)
-        os.rename(tmp, os.path.join(root, self._GEN_MANIFEST))
+        # THE flip — routed through the storage-io primitive (POSIX:
+        # os.replace; object store: the conditional-PUT CAS this call
+        # shape was kept rename-of-one-metadata-file for)
+        self.io.atomic_rename(tmp, os.path.join(root, self._GEN_MANIFEST))
 
     def _sweep_generations(
         self, root: str, keep: set, locked: bool = False
@@ -332,6 +335,11 @@ class KeyedTableStore:
                             root, f".trash-{uuid.uuid4().hex[:12]}"
                         )
                         try:
+                            # DIRECTORY trash-rename: POSIX-layout GC
+                            # mechanics, deliberately NOT an io
+                            # primitive (object stores have no
+                            # directories; their GC deletes objects by
+                            # manifest difference)
                             os.rename(full, dst)
                         except OSError:
                             continue  # another sweeper got it first
@@ -3160,11 +3168,10 @@ class KeyedTableStore:
                 },
                 fh,
             )
-        os.replace(tmp, os.path.join(gen_path, _SPAN_MANIFEST))
+        self.io.atomic_rename(tmp, os.path.join(gen_path, _SPAN_MANIFEST))
 
-    @classmethod
     def _write_span_sidecar(
-        cls, gen_path: str, stats: dict, listing: list | None = None
+        self, gen_path: str, stats: dict, listing: list | None = None
     ) -> None:
         """Write-once ``_spans-<id>.json`` covering one append's part
         files (stats computed from the append staging BEFORE the link-in
@@ -3174,7 +3181,7 @@ class KeyedTableStore:
         append's membership record, so it must cover files whose stats
         are unencodable (or whose footer read failed) too; callers with
         a fuller file list than ``stats`` pass it explicitly."""
-        entries = cls._encode_span_entries(stats)
+        entries = self._encode_span_entries(stats)
         names = sorted(set(stats) | set(listing or []))
         if not names:
             return
@@ -3188,7 +3195,7 @@ class KeyedTableStore:
                 },
                 fh,
             )
-        os.replace(
+        self.io.atomic_rename(
             tmp,
             os.path.join(gen_path, f"_spans-{uuid.uuid4().hex[:12]}.json"),
         )
@@ -3231,7 +3238,9 @@ class KeyedTableStore:
             )
             with open(tmp, "w") as fh:
                 json.dump(doc, fh)
-            os.replace(tmp, os.path.join(gen_path, _SPAN_MANIFEST))
+            self.io.atomic_rename(
+                tmp, os.path.join(gen_path, _SPAN_MANIFEST)
+            )
             for f in sidecars:
                 try:
                     os.unlink(os.path.join(gen_path, f))
