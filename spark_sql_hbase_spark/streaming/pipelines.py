@@ -174,6 +174,57 @@ def write_stream_upsert_to_keyed_table(
     return writer.start()
 
 
+def stream_apply_changes(
+    feed_stream: DataFrame,
+    store,
+    qualified_name: str,
+    checkpoint_dir: str,
+    cells: bool = False,
+    trigger_available_now: bool = True,
+):
+    """Streaming ReplicationSink (HBase replication's continuous form):
+    each micro-batch of changefeed rows — the ``read_changes`` shape,
+    ``change`` + the table's columns — replays onto the replica through
+    :meth:`KeyedTableStore.apply_changes` via ``foreachBatch``.  With
+    ``cells=True`` the feed is CELL-granularity (required for
+    versioned-retention tables: inserts append, deletes remove exact
+    cells) and must have been produced by ``read_changes(...,
+    cells=True)``.
+
+    Replay safety is the keyed-sink two-layer discipline: the
+    checkpoint batch-id marker skips fully-applied batches, and the
+    key-granularity replay is additionally IDEMPOTENT per batch
+    (upsert re-applies to the same state; delete_keys of absent keys is
+    a no-op), so even the marker's residual crash window cannot corrupt
+    an unversioned replica.  A CELL feed's inserts are pure appends —
+    NOT idempotent — so the residual window can duplicate one batch's
+    cells, the same bounded caveat as the append sink
+    (``write_stream_to_keyed_table``); ``read_versions_asof`` collapses
+    bit-identical duplicate cells on read.
+
+    Ordering: changefeed batches are STATE DELTAS — they compose only
+    in production order.  Ship them through a source that preserves it
+    (one feed file per sync cycle, applied in cycle order), exactly as
+    HBase ships WAL edits in sequence-id order.
+
+    100 TB design: each batch's replay cost is the two selective paths
+    (O(changed files) MERGE/append + keyed/cell DELETE), so steady-state
+    replication moves O(delta) per cycle regardless of replica size."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _batch_already_applied(checkpoint_dir, batch_id):
+            return
+        store.apply_changes(qualified_name, batch_df, cells=cells)
+        _record_batch_applied(checkpoint_dir, batch_id)
+
+    writer = feed_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _batch_marker_path(checkpoint_dir: str) -> str:
     # lives INSIDE the query's checkpoint dir because batch_ids are only
     # stable within one checkpoint lineage — a fresh checkpoint restarts

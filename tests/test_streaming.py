@@ -512,3 +512,82 @@ def test_stream_sink_periodic_minor_compaction(spark, tmp_path):
     # 4 batches x 4-region inserts would leave ~16+ small files without
     # compaction; the every-2-batches minor pass folds them down
     assert n_files <= 6, n_files
+
+
+def test_stream_apply_changes_replicates_continuously(spark, tmp_path):
+    """Streaming ReplicationSink: changefeed batches shipped through a
+    file stream replay onto the replica in cycle order; the checkpoint
+    batch-id marker makes a re-run a no-op (restart safety)."""
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        stream_apply_changes,
+    )
+
+    src = KeyedTableStore(spark, str(tmp_path / "src_wh"))
+    dst = KeyedTableStore(spark, str(tmp_path / "dst_wh"))
+    spec_kw = dict(
+        key_type="string", families={"cf": {"v": "long"}}
+    )
+    src.create_table(TableSpec(namespace="st", name="repl", **spec_kw))
+    dst.create_table(TableSpec(namespace="st", name="repl", **spec_kw))
+    base = [(f"k{i:02d}", i) for i in range(12)]
+    for st in (src, dst):
+        st.insert(
+            "st.repl",
+            spark.createDataFrame(base, "row_key string, `cf:v` long"),
+            overwrite=True,
+        )
+
+    feed_dir = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed_dir)
+
+    def ship_cycle(n: int) -> None:
+        feed = src.read_changes("st.repl", versus=f"st_s{n}")
+        feed.coalesce(1).write.mode("append").parquet(feed_dir)
+        q = stream_apply_changes(
+            spark.readStream.schema(
+                "change string, row_key string, `cf:v` long"
+            ).parquet(feed_dir),
+            dst,
+            "st.repl",
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    def rows(st):
+        return {
+            (r["row_key"], r["cf:v"]) for r in st.read("st.repl").collect()
+        }
+
+    # cycle 1: one MERGE (update + insert)
+    src.snapshot("st.repl", "st_s1")
+    src.upsert(
+        "st.repl",
+        spark.createDataFrame(
+            [("k03", 333), ("x1", 101)], "row_key string, `cf:v` long"
+        ),
+    )
+    ship_cycle(1)
+    assert rows(dst) == rows(src)
+
+    # cycle 2: a DELETE ships as its own delta vs a fresh snapshot
+    src.snapshot("st.repl", "st_s2")
+    src.delete_where("st.repl", "row_key = 'k05'")
+    ship_cycle(2)
+    assert rows(dst) == rows(src)
+
+    # restart safety: re-running over the SAME feed directory with the
+    # same checkpoint replays nothing (batch-id marker)
+    before = rows(dst)
+    q = stream_apply_changes(
+        spark.readStream.schema(
+            "change string, row_key string, `cf:v` long"
+        ).parquet(feed_dir),
+        dst,
+        "st.repl",
+        ckpt,
+    )
+    q.awaitTermination(120)
+    assert rows(dst) == before == rows(src)
