@@ -2741,7 +2741,7 @@ _LINE_MT = 3  # C4 convention: lines with >= 3 words
 
 
 @register(
-    "d15_line_dedup_stats",
+    "zg27_line_dedup_stats",
     oracle=f"""
     WITH __ln AS (
         SELECT doc_id,
@@ -2777,7 +2777,7 @@ _LINE_MT = 3  # C4 convention: lines with >= 3 words
     description="C4-style line-level dedup stats: normalized-sentence "
     "hashes, corpus count >= 2, per-doc duplicated-line mass",
 )
-def d15_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg27_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.line_dedup_stats(
         docs, "doc_id", "text", min_line_tokens=_LINE_MT

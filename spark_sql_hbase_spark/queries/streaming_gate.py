@@ -880,3 +880,101 @@ def zg17_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read("zc19.state").select(
         "row_key", F.col("`c:acctbal`").alias("acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# st15 — streaming CDC replication (the HBase continuous-replication
+# form of k26): changefeed deltas ship through a FILE STREAM and replay
+# onto the replica via stream_apply_changes (foreachBatch apply_changes
+# with the keyed sink's batch-id replay marker).  Two sync cycles — one
+# MERGE delta (updates + brand-new keys), one DELETE delta — each read
+# against a fresh durable snapshot base and applied under the SAME
+# checkpoint (ordering = production order, the WAL sequence-id
+# analogue).  The replica's final content is a pure function of `part`
+# (the oracle); exact multiset convergence is asserted in-gate.
+# ---------------------------------------------------------------------------
+@register(
+    "st15_stream_cdc_apply",
+    oracle="""
+    WITH final_state AS (
+        SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+               CASE WHEN p_partkey % 45 = 0 THEN p_retailprice + 1
+                    ELSE p_retailprice END AS price,
+               p_partkey AS pk
+        FROM part
+        UNION ALL
+        SELECT lpad(CAST(p_partkey + 1000000 AS VARCHAR), 10, '0') AS row_key,
+               p_retailprice AS price,
+               p_partkey + 1000000 AS pk
+        FROM part WHERE p_partkey % 89 = 0
+    )
+    SELECT row_key, price FROM final_state WHERE pk % 37 <> 0
+    """,
+    description="streaming CDC replication: changefeed deltas shipped "
+    "through a file stream, replayed per-batch onto the replica, "
+    "convergence asserted",
+)
+def st15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        stream_apply_changes,
+    )
+
+    src = KeyedTableStore(spark, tempfile.mkdtemp(prefix="st15_src_"))
+    dst = KeyedTableStore(spark, tempfile.mkdtemp(prefix="st15_dst_"))
+    p = table(spark, sf_dir, "part")
+    key = F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key")
+    base = p.select(key, F.col("p_retailprice").alias("p:price"))
+    for st in (src, dst):
+        st.ctas(
+            TableSpec(
+                namespace="gate", name="part_scdc", key_type="string",
+                families={"p": {"price": "double"}},
+            ),
+            base,
+            mode="overwrite",
+        )
+    feed_dir = tempfile.mkdtemp(prefix="st15_feed_")
+    ckpt = tempfile.mkdtemp(prefix="st15_ckpt_")
+
+    def ship(snapshot: str) -> None:
+        src.read_changes("gate.part_scdc", versus=snapshot).coalesce(
+            1
+        ).write.mode("append").parquet(feed_dir)
+        q = stream_apply_changes(
+            spark.readStream.schema(
+                "change string, row_key string, `p:price` double"
+            ).parquet(feed_dir),
+            dst,
+            "gate.part_scdc",
+            ckpt,
+        )
+        q.awaitTermination()
+
+    # cycle 1: one MERGE delta (updates + brand-new keys)
+    src.snapshot("gate.part_scdc", "st15_s1")
+    src.upsert(
+        "gate.part_scdc",
+        p.filter("p_partkey % 45 = 0").select(
+            key, (F.col("p_retailprice") + 1).alias("p:price")
+        ).unionByName(
+            p.filter("p_partkey % 89 = 0").select(
+                F.lpad((F.col("p_partkey") + 1000000).cast("string"), 10, "0")
+                .alias("row_key"),
+                F.col("p_retailprice").alias("p:price"),
+            )
+        ),
+    )
+    ship("st15_s1")
+    # cycle 2: a DELETE delta against a fresh durable base
+    src.snapshot("gate.part_scdc", "st15_s2")
+    src.delete_where(
+        "gate.part_scdc", "CAST(row_key AS BIGINT) % 37 = 0"
+    )
+    ship("st15_s2")
+    src_df = src.read("gate.part_scdc")
+    dst_df = dst.read("gate.part_scdc")
+    assert dst_df.exceptAll(src_df).isEmpty() and \
+        src_df.exceptAll(dst_df).isEmpty()
+    return dst_df.select("row_key", F.col("`p:price`").alias("price"))

@@ -839,7 +839,7 @@ def test_z79_line_dedup_shuffles_hashes_only(spark, registry):
     """Line-level dedup exchanges carry (id, 8-byte line hash[, count])
     — never the document text (d10's exchange contract at line
     granularity)."""
-    df = registry["d15_line_dedup_stats"].fn(spark, SF)
+    df = registry["zg27_line_dedup_stats"].fn(spark, SF)
     try:
         plan = formatted_plan(df)
         lines = plan.splitlines()
