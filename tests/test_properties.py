@@ -2089,3 +2089,167 @@ def test_span_value_roundtrip_preserves_order(ss, bs, ii):
 
     for a, b in (ss, bs, ii):
         assert (rt(a) < rt(b)) == (a < b)
+
+
+# -- changefeed replication convergence (round 10) -------------------------
+# The replication law apply_changes pins by example, checked against a
+# MODEL over arbitrary mutation programs: after bootstrap-at-snapshot +
+# one snapshot-based feed replay, the replica equals the source equals
+# the model — for key-granularity programs on one-row-per-key tables
+# and CELL-granularity programs on versioned tables (appends + retention
+# GC), the exact semantics ADVICE r10 found broken.
+
+_repl_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.dictionaries(
+                st.sampled_from([f"k{i}" for i in range(6)]),
+                st.integers(min_value=0, max_value=99),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.sets(
+                st.sampled_from([f"k{i}" for i in range(6)]),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_repl_ops)
+def test_replication_converges_for_any_mutation_program(spark, tmp_path_factory, ops):
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    src = KeyedTableStore(spark, str(tmp_path_factory.mktemp("prop_src")))
+    dst = KeyedTableStore(spark, str(tmp_path_factory.mktemp("prop_dst")))
+    init = {f"k{i}": i for i in range(4)}
+    for stx in (src, dst):
+        stx.create_table(
+            TableSpec(
+                namespace="pr", name="t", key_type="string",
+                families={"cf": {"v": "long"}},
+            )
+        )
+        stx.insert(
+            "pr.t",
+            spark.createDataFrame(
+                sorted(init.items()), "row_key string, `cf:v` long"
+            ),
+            overwrite=True,
+        )
+    src.snapshot("pr.t", "pr_s1")
+    model = dict(init)
+    for kind, arg in ops:
+        if kind == "upsert":
+            src.upsert(
+                "pr.t",
+                spark.createDataFrame(
+                    sorted(arg.items()), "row_key string, `cf:v` long"
+                ),
+            )
+            model.update(arg)
+        else:
+            src.delete_keys(
+                "pr.t",
+                spark.createDataFrame(
+                    [(k,) for k in sorted(arg)], "row_key string"
+                ),
+            )
+            for k in arg:
+                model.pop(k, None)
+    dst.apply_changes("pr.t", src.read_changes("pr.t", versus="pr_s1"))
+    got = {
+        (r["row_key"], r["cf:v"]) for r in dst.read("pr.t").collect()
+    }
+    assert got == set(model.items())
+    src.delete_snapshot("pr_s1")
+
+
+_cell_ops = st.lists(
+    st.one_of(
+        # append one new version cell: (key, value); version = next per key
+        st.tuples(
+            st.just("append"),
+            st.tuples(
+                st.sampled_from([f"k{i}" for i in range(4)]),
+                st.integers(min_value=0, max_value=99),
+            ),
+        ),
+        st.tuples(st.just("gc"), st.just(None)),  # VERSIONS=2 retention
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_cell_ops)
+def test_versioned_cell_replication_converges(spark, tmp_path_factory, ops):
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    src = KeyedTableStore(spark, str(tmp_path_factory.mktemp("prop_vsrc")))
+    dst = KeyedTableStore(spark, str(tmp_path_factory.mktemp("prop_vdst")))
+    init = [(f"k{i}", 10 + i, 1) for i in range(3)]
+    for stx in (src, dst):
+        stx.create_table(
+            TableSpec(
+                namespace="pr", name="v", key_type="string",
+                families={"cf": {"val": "long", "ver": "long"}},
+                properties={"versions": "2"},
+            )
+        )
+        stx.insert(
+            "pr.v",
+            spark.createDataFrame(
+                init, "row_key string, `cf:val` long, `cf:ver` long"
+            ),
+            overwrite=True,
+        )
+    src.snapshot("pr.v", "prv_s1")
+    # model: cells as a set of (key, val, ver); next version per key
+    model = {(k, v, ver) for k, v, ver in init}
+    next_ver = {f"k{i}": 2 for i in range(3)} | {"k3": 1}
+    for kind, arg in ops:
+        if kind == "append":
+            k, val = arg
+            ver = next_ver.get(k, 1)
+            next_ver[k] = ver + 1
+            src.insert(
+                "pr.v",
+                spark.createDataFrame(
+                    [(k, val, ver)],
+                    "row_key string, `cf:val` long, `cf:ver` long",
+                ),
+            )
+            model.add((k, val, ver))
+        else:
+            src.compact_versions("pr.v", "cf:ver", keep_versions=2)
+            keep = set()
+            for k in {c[0] for c in model}:
+                vers = sorted(
+                    {c[2] for c in model if c[0] == k}, reverse=True
+                )[:2]
+                keep |= {c for c in model if c[0] == k and c[2] in vers}
+            model = keep
+    dst.apply_changes(
+        "pr.v",
+        src.read_changes("pr.v", versus="prv_s1", cells=True),
+        cells=True,
+    )
+    got = {
+        (r["row_key"], r["cf:val"], r["cf:ver"])
+        for r in dst.read("pr.v").collect()
+    }
+    assert got == model
+    src.delete_snapshot("prv_s1")
