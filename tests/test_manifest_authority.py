@@ -463,3 +463,27 @@ def test_engine_session_sql_under_manifest_mode(spark, tmp_path_factory):
         for r in sess.sql("SELECT * FROM ma__sqlt").collect()
     }
     assert got == {("k1", 1), ("k2", 2)}
+
+
+def test_failed_swap_leaves_membership_and_content_intact(store, spark):
+    """Crash-safety in manifest mode: a swap that fails AFTER staging
+    (flip never lands) leaves the live generation's membership and
+    content untouched, and the next healthy DML commits normally."""
+    _mk(store, spark, "crash", [(f"k{i:02d}", i) for i in range(10)])
+    before = _rows(store, "ma.crash")
+    orig = store._write_gen_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("injected flip failure")
+
+    store._write_gen_manifest = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            store.delete_where("ma.crash", "row_key = 'k03'")
+    finally:
+        store._write_gen_manifest = orig
+    assert _rows(store, "ma.crash") == before
+    # healthy retry commits
+    store.delete_where("ma.crash", "row_key = 'k03'")
+    got = _rows(store, "ma.crash")
+    assert len(got) == 9 and ("k03", 3) not in got
