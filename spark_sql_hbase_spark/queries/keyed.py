@@ -1729,3 +1729,73 @@ def k28_manifest_mode_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read("gate.part_ma").select(
         "row_key", F.col("`p:price`").alias("price")
     )
+
+
+# ---------------------------------------------------------------------------
+# zg28 — batch pre-split backfill (the k29 candidate, registered z-tier
+# this round for sf001-lane evidence ahead of its r11 promotion):
+# split_regions([k1..kN]) declares N boundaries and re-confines every
+# straddling file in ONE rewrite + ONE generation flip.  Content is a
+# pure function of `part` (the oracle); the in-gate asserts pin the
+# full declaration growth, file/boundary confinement, and the
+# one-flip property (exactly one new generation).
+# ---------------------------------------------------------------------------
+@register(
+    "zg28_batch_presplit",
+    oracle="""
+    SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           p_name AS name,
+           p_retailprice AS price
+    FROM part
+    """,
+    description="batch pre-split backfill: split_regions([k1..kN]) lands N "
+    "boundaries in one rewrite + one flip; content invariant, layout "
+    "confined",
+)
+def zg28_batch_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    p = table(spark, sf_dir, "part")
+    key = F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key")
+    spec = TableSpec(
+        namespace="gate",
+        name="part_bps",
+        key_type="string",
+        families={"p": {"name": "string", "price": "double"}},
+        split_keys=["0000000100"],
+    )
+    store.ctas(
+        spec,
+        p.select(
+            key, F.col("p_name").alias("p:name"),
+            F.col("p_retailprice").alias("p:price"),
+        ),
+        mode="overwrite",
+    )
+    path0 = store.table_path(spec)
+    n_gens0 = len(store.generations("gate.part_bps"))
+    new_bounds = ["0000000025", "0000000050", "0000000150"]
+    store.split_regions("gate.part_bps", new_bounds)
+    after = store.registry.get("gate.part_bps")
+    assert list(after.split_keys) == [
+        "0000000025", "0000000050", "0000000100", "0000000150",
+    ]
+    # one flip: exactly one new generation appeared, current changed once
+    path1 = store.table_path(after)
+    assert path1 != path0
+    assert len(store.generations("gate.part_bps")) <= n_gens0 + 1
+    # confinement against the FULL new declaration
+    bounds = sorted(after.split_keys)
+    for f in store._data_files(path1):
+        lo, hi, n = store._file_key_range(os.path.join(path1, f))
+        if not n:
+            continue
+        r_lo = sum(1 for b in bounds if lo >= b)
+        r_hi = sum(1 for b in bounds if hi >= b)
+        assert r_lo == r_hi, (lo, hi, bounds)
+    return store.read("gate.part_bps").select(
+        "row_key",
+        F.col("`p:name`").alias("name"),
+        F.col("`p:price`").alias("price"),
+    )
