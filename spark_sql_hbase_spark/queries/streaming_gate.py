@@ -978,3 +978,107 @@ def st15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert dst_df.exceptAll(src_df).isEmpty() and \
         src_df.exceptAll(dst_df).isEmpty()
     return dst_df.select("row_key", F.col("`p:price`").alias("price"))
+
+
+# ---------------------------------------------------------------------------
+# zg29 — streaming VERSIONED cell replication (st15 composed with k27's
+# cell semantics; z-tier this round for sf001-lane evidence ahead of a
+# window promotion): cell-granularity changefeed deltas — new-version
+# appends, then VERSIONS=2 retention GC shipped as exact-cell deletes —
+# stream through stream_apply_changes(cells=True) onto a versioned
+# replica.  Final cell state is a pure function of `part`; exact
+# multiset convergence asserted in-gate.
+# ---------------------------------------------------------------------------
+@register(
+    "zg29_stream_cdc_cells",
+    oracle="""
+    SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           p_retailprice AS price, CAST(1 AS BIGINT) AS v
+    FROM part WHERE p_partkey % 60 <> 0
+    UNION ALL
+    SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           p_retailprice * 2 AS price, CAST(2 AS BIGINT) AS v
+    FROM part WHERE p_partkey % 30 = 0
+    UNION ALL
+    SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           p_retailprice * 3 AS price, CAST(3 AS BIGINT) AS v
+    FROM part WHERE p_partkey % 60 = 0
+    """,
+    description="streaming versioned CELL replication: cell feed deltas "
+    "(appends + retention-GC deletes) streamed onto a versioned replica, "
+    "convergence asserted",
+)
+def zg29_stream_cdc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        stream_apply_changes,
+    )
+
+    src = KeyedTableStore(spark, tempfile.mkdtemp(prefix="zg29_src_"))
+    dst = KeyedTableStore(spark, tempfile.mkdtemp(prefix="zg29_dst_"))
+    p = table(spark, sf_dir, "part")
+    key = F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key")
+    base = p.select(
+        key,
+        F.col("p_retailprice").alias("p:price"),
+        F.lit(1).cast("long").alias("p:v"),
+    )
+    for st in (src, dst):
+        st.ctas(
+            TableSpec(
+                namespace="gate", name="part_sc", key_type="string",
+                families={"p": {"price": "double", "v": "long"}},
+                properties={"VERSIONS": "2"},
+            ),
+            base,
+            mode="overwrite",
+        )
+    feed_dir = tempfile.mkdtemp(prefix="zg29_feed_")
+    ckpt = tempfile.mkdtemp(prefix="zg29_ckpt_")
+
+    def ship(snapshot: str) -> None:
+        src.read_changes(
+            "gate.part_sc", versus=snapshot, cells=True
+        ).coalesce(1).write.mode("append").parquet(feed_dir)
+        q = stream_apply_changes(
+            spark.readStream.schema(
+                "change string, row_key string, `p:price` double, `p:v` long"
+            ).parquet(feed_dir),
+            dst,
+            "gate.part_sc",
+            ckpt,
+            cells=True,
+        )
+        q.awaitTermination()
+
+    # cycle 1: new version CELLS (appends — nothing replaced)
+    src.snapshot("gate.part_sc", "zg29_s1")
+    src.insert(
+        "gate.part_sc",
+        p.filter("p_partkey % 30 = 0").select(
+            key, (F.col("p_retailprice") * 2).alias("p:price"),
+            F.lit(2).cast("long").alias("p:v"),
+        ),
+    )
+    src.insert(
+        "gate.part_sc",
+        p.filter("p_partkey % 60 = 0").select(
+            key, (F.col("p_retailprice") * 3).alias("p:price"),
+            F.lit(3).cast("long").alias("p:v"),
+        ),
+    )
+    ship("zg29_s1")
+    # cycle 2: retention GC ships as exact-cell deletes
+    src.snapshot("gate.part_sc", "zg29_s2")
+    src.compact_versions("gate.part_sc", "p:v", keep_versions=2)
+    ship("zg29_s2")
+    src_df = src.read("gate.part_sc")
+    dst_df = dst.read("gate.part_sc")
+    assert dst_df.exceptAll(src_df).isEmpty() and \
+        src_df.exceptAll(dst_df).isEmpty()
+    return dst_df.select(
+        "row_key",
+        F.col("`p:price`").alias("price"),
+        F.col("`p:v`").alias("v"),
+    )
