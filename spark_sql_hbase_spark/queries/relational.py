@@ -17,6 +17,10 @@ partial aggregation everywhere).
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf type-hint inference
+# resolves stringified annotations (future-annotations) against the
+# UDF function's __globals__, so `pd.Series` hints need `pd` here
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -882,14 +886,15 @@ def z08_richest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
 def z32_pandas_udf_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # no type hints: module-level `from __future__ import annotations` makes
-    # them strings, which the pandas_udf hint-inference can't resolve
-    def _sha(s):
+    # modern type-hint form (PandasUDFType is deprecated upstream);
+    # stringified future-annotations resolve via get_type_hints against
+    # the module globals, where `pd` is imported
+    def _sha(s: pd.Series) -> pd.Series:
         return s.map(lambda x: hashlib.sha256(x.encode("utf-8")).hexdigest())
 
-    sha_udf = pandas_udf(_sha, "string", PandasUDFType.SCALAR)
+    sha_udf = pandas_udf(_sha, "string")
 
     cu = table(spark, sf_dir, "customer")
     return cu.select("c_custkey", sha_udf("c_name").alias("name_sha"))
@@ -1403,18 +1408,18 @@ def zb05_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43_pandas_udaf_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit functionType: `from __future__ import annotations` stringifies
-    # type hints, which the hint-based pandas_udf inference can't read
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def xor_agg(ids):
+    # modern type-hint form: Series -> scalar hints infer GROUPED_AGG
+    # (PandasUDFType is deprecated upstream)
+    @pandas_udf("long")
+    def xor_agg(ids: pd.Series) -> int:
         return int(np.bitwise_xor.reduce(ids.to_numpy(dtype=np.int64)))
 
     # Spark disallows mixing pandas and JVM aggregates in one agg
     # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas agg too
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def count_agg(ids):
+    @pandas_udf("long")
+    def count_agg(ids: pd.Series) -> int:
         return len(ids)
 
     ev = table(spark, sf_dir, "events")

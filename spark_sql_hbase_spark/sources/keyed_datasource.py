@@ -112,8 +112,18 @@ def _list_region_files(
                     if f in refs
                     else os.path.join(table_dir, f)
                 )
-                if os.path.isfile(p) and os.path.getsize(p) > 0:
-                    out.append(p)
+                if not (os.path.isfile(p) and os.path.getsize(p) > 0):
+                    # the manifest is the AUTHORITY: a listed member
+                    # with no readable bytes (e.g. a prematurely
+                    # reclaimed source generation behind a carried
+                    # ref) must fail the scan loudly, exactly like the
+                    # store-side read path — silently dropping it
+                    # would shrink query results
+                    raise FileNotFoundError(
+                        f"manifest-listed member {f!r} of {table_dir} "
+                        f"resolves to missing/empty file {p}"
+                    )
+                out.append(p)
             return out
     return sorted(
         os.path.join(table_dir, f)

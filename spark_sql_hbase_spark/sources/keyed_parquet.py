@@ -871,14 +871,21 @@ class KeyedTableStore:
     ) -> int:
         """Replay a changefeed onto a REPLICA table — the HBase
         ``ReplicationSink`` analogue (shipped WALEdits replayed as Puts
-        and Deletes).  ``insert`` rows replay as a pure APPEND
-        (:meth:`insert` — brand-new keys on a key-granularity feed, new
-        version CELLS on a cell-granularity one; either way nothing is
-        replaced, and the append path is strictly cheaper than a
-        MERGE); ``update`` rows replay through :meth:`upsert` (the
-        added rows ARE the key's full new state on a one-row-per-key
-        table); ``delete`` rows replay through :meth:`delete_keys`
-        (``cells=False``) or :meth:`delete_cells` (``cells=True``).
+        and Deletes).  On a key-granularity feed BOTH ``insert`` and
+        ``update`` rows replay through :meth:`upsert` (the rows ARE the
+        key's full new state on a one-row-per-key table, so an upsert
+        of a brand-new key is identical to an append the first time —
+        and, unlike an append, IDEMPOTENT when a crash between the
+        replay and the sink's batch marker re-applies the batch; see
+        ``streaming/pipelines.py`` ``stream_apply_changes``).  On a
+        cell-granularity feed (``cells=True``) ``insert`` rows are new
+        version CELLS and replay as a pure APPEND (:meth:`insert` —
+        nothing is replaced; a marker-crash-window replay can duplicate
+        one batch's cells, the bounded caveat documented on
+        ``stream_apply_changes`` — ``read_versions_asof`` collapses
+        bit-identical duplicate cells on read); ``delete`` rows
+        replay through :meth:`delete_keys` (``cells=False``) or
+        :meth:`delete_cells` (``cells=True``).
         After ``apply_changes(replica, read_changes(source, versus=s))``
         a replica bootstrapped from base ``s`` equals the source state
         (pinned by ``tests/test_changefeed.py``).
@@ -929,25 +936,35 @@ class KeyedTableStore:
         ins = feed.filter(F.col("change") == "insert").select(*cols)
         ups = feed.filter(F.col("change") == "update").select(*cols)
         dels = feed.filter(F.col("change") == "delete")
-        if not ins.isEmpty():
-            # the feed's keys ARE the replicated keys: never re-generate,
-            # even on a table whose spec declares a generator
-            self.insert(
-                qualified_name, ins, generate_row_key=False,
-                async_index=async_index,
+        # granularity validation runs BEFORE any write (like the
+        # unknown-tag check above): a refused feed must apply NOTHING —
+        # appending its inserts first and raising after would leave the
+        # replica partially mutated by a feed we claim to refuse loudly
+        if cells and not ups.isEmpty():
+            raise ValueError(
+                f"{qualified_name}: a cell-granularity feed cannot "
+                "contain 'update' rows — this feed was read with "
+                "cells=False; replay it with apply_changes(cells=False)"
             )
-        if not ups.isEmpty():
-            if cells:
-                raise ValueError(
-                    f"{qualified_name}: a cell-granularity feed cannot "
-                    "contain 'update' rows — this feed was read with "
-                    "cells=False; replay it with apply_changes(cells=False)"
-                )
-            self.upsert(qualified_name, ups, async_index=async_index)
         if cells:
+            if not ins.isEmpty():
+                # new version CELLS: pure append (nothing replaced)
+                self.insert(
+                    qualified_name, ins, generate_row_key=False,
+                    async_index=async_index,
+                )
             return self.delete_cells(
                 qualified_name, dels.select(*cols), async_index=async_index
             )
+        # key granularity: inserts (brand-new keys) and updates carry
+        # DISJOINT key sets (exceptAll diff construction), so one
+        # combined upsert commit replays both — outcome-identical to
+        # append+upsert on first apply, IDEMPOTENT on a
+        # marker-crash-window replay (the feed's keys ARE the
+        # replicated keys; upsert never re-generates them)
+        puts = ins.unionByName(ups)
+        if not puts.isEmpty():
+            self.upsert(qualified_name, puts, async_index=async_index)
         return self.delete_keys(
             qualified_name,
             dels.select(F.col(f"`{ROW_KEY}`")),
@@ -3277,7 +3294,14 @@ class KeyedTableStore:
                 with open(os.path.join(path, name)) as fh:
                     doc = json.load(fh)
             except (OSError, ValueError):
-                # a sidecar deleted mid-merge: its entries are in the
+                if name == _SPAN_MANIFEST:
+                    # the MAIN manifest exists but cannot be read: its
+                    # base members are unrecoverable from sidecars, so
+                    # trusting whatever sidecars parse would silently
+                    # LOSE files — fatal to membership, fall back to
+                    # the physical listing
+                    return None
+                # a SIDECAR deleted mid-merge: its entries are in the
                 # merged manifest (rename-before-unlink), skip it
                 continue
             if "listing" not in doc:

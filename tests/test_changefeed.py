@@ -620,3 +620,47 @@ def test_apply_changes_refuses_unknown_change_tags(store, spark):
     )
     with pytest.raises(ValueError, match="unknown change"):
         store.apply_changes("cdc.badtag", feed_null)
+
+
+def test_apply_changes_key_replay_is_idempotent(store, spark):
+    """The marker-crash-window contract ``stream_apply_changes``
+    documents: re-applying the SAME key-granularity batch leaves the
+    replica unchanged.  Insert rows route through upsert (identical
+    outcome for brand-new keys on first apply), so a crash between
+    ``apply_changes`` and the sink's batch marker cannot duplicate
+    rows on restart — previously inserts were a pure append and the
+    replay silently corrupted an unversioned one-row-per-key replica."""
+    _mk(store, spark, "idem", [("k1", 1), ("k2", 2)])
+    feed = spark.createDataFrame(
+        [("insert", "k9", 9), ("update", "k1", 11), ("delete", "k2", 2)],
+        "change string, row_key string, `cf:v` long",
+    )
+    store.apply_changes("cdc.idem", feed)
+    want = {("k1", 11), ("k9", 9)}
+    assert {
+        (r["row_key"], r["cf:v"])
+        for r in store.read("cdc.idem").collect()
+    } == want
+    # the crash-window replay: same batch, applied again
+    store.apply_changes("cdc.idem", feed)
+    got = [(r["row_key"], r["cf:v"]) for r in store.read("cdc.idem").collect()]
+    assert sorted(got) == sorted(want)  # multiset-exact: no duplicates
+
+
+def test_cell_mode_mixed_feed_applies_nothing(store, spark):
+    """A refused wrong-granularity feed must leave the replica
+    UNTOUCHED: the cells-vs-update validation runs BEFORE any write,
+    like the unknown-tag check — previously the feed's insert rows were
+    appended first and the refusal raised after, leaving the replica
+    partially mutated by a feed the method claims to refuse loudly."""
+    _mk(store, spark, "mixnone", [("k1", 1)])
+    feed = spark.createDataFrame(
+        [("insert", "k2", 2), ("update", "k1", 5)],
+        "change string, row_key string, `cf:v` long",
+    )
+    with pytest.raises(ValueError, match="cannot contain 'update'"):
+        store.apply_changes("cdc.mixnone", feed, cells=True)
+    assert {
+        (r["row_key"], r["cf:v"])
+        for r in store.read("cdc.mixnone").collect()
+    } == {("k1", 1)}

@@ -487,3 +487,58 @@ def test_failed_swap_leaves_membership_and_content_intact(store, spark):
     store.delete_where("ma.crash", "row_key = 'k03'")
     got = _rows(store, "ma.crash")
     assert len(got) == 9 and ("k03", 3) not in got
+
+
+def test_corrupt_main_manifest_is_fatal_to_membership(tmp_path):
+    """Authority must never LOSE files: if the MAIN ``_spans.json``
+    exists but cannot be parsed, its base members are unrecoverable
+    from append sidecars, so ``_load_span_membership`` returns ``None``
+    (physical-listing fallback) instead of silently shrinking
+    membership to whatever sidecars parse.  The tolerant skip remains
+    for SIDECARS only (deleted mid-merge: rename-before-unlink means
+    their entries live in the merged manifest)."""
+    import json
+
+    gen = tmp_path / "gen"
+    gen.mkdir()
+    main = gen / "_spans.json"
+    main.write_text(
+        json.dumps(
+            {"version": 1, "files": {}, "listing": ["a.parquet", "b.parquet"]}
+        )
+    )
+    side = gen / "_spans-01.json"
+    side.write_text(
+        json.dumps({"version": 1, "files": {}, "listing": ["c.parquet"]})
+    )
+    m = KeyedTableStore._load_span_membership(str(gen))
+    assert m is not None
+    assert m[0] == {"a.parquet", "b.parquet", "c.parquet"}
+    # an unreadable SIDECAR is skipped (mid-merge deletion tolerance)
+    side.write_text("{corrupt")
+    m = KeyedTableStore._load_span_membership(str(gen))
+    assert m is not None and m[0] == {"a.parquet", "b.parquet"}
+    # an unreadable MAIN manifest is fatal: None, never sidecar-only
+    side.write_text(
+        json.dumps({"version": 1, "files": {}, "listing": ["c.parquet"]})
+    )
+    main.write_text("{corrupt")
+    assert KeyedTableStore._load_span_membership(str(gen)) is None
+
+
+def test_datasource_missing_manifest_member_fails_loudly(store, spark):
+    """A manifest-listed member whose physical file is missing must
+    FAIL the DataSource scan (matching the store-side read path), not
+    silently shrink query results — e.g. a prematurely reclaimed
+    source generation behind a carried reference."""
+    spec = _mk(store, spark, "dsmiss", [(f"k{i:02d}", i) for i in range(6)])
+    path = store.table_path(spec)
+    from spark_sql_hbase_spark.sources.keyed_datasource import (
+        _list_region_files,
+    )
+
+    files = _list_region_files(path, True)
+    assert files
+    os.unlink(files[0])
+    with pytest.raises(FileNotFoundError, match="manifest-listed member"):
+        _list_region_files(path, True)
