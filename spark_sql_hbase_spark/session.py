@@ -118,9 +118,11 @@ class EngineSession:
             from spark_sql_hbase_spark.sqlfront import KeyedSqlRouter
 
             # manifest_authority: the manifests-as-listing storage layout
-            # (see KeyedTableStore) — SQL still routes through the store
-            # and the membership-aware temp views; dot-qualified
-            # session-catalog names are not registered in this mode
+            # (see KeyedTableStore) — SQL routes through the store, and
+            # the router resolves dot-qualified ``ns.name`` references
+            # to the membership-aware temp views at dispatch time
+            # (no session-catalog TABLE entry can serve a manifest
+            # listing; see sqlfront.resolve_keyed_dotted_names)
             self.store = KeyedTableStore(
                 self.spark, warehouse_dir, self.registry,
                 manifest_authority=manifest_authority,

@@ -6194,10 +6194,21 @@ class KeyedTableStore:
         if self.manifest_authority:
             # a session-catalog EXTERNAL table scans its directory —
             # it would include strays and miss reference-carried
-            # members.  The temp view above reads through the
-            # membership-aware path; dot-qualified catalog SQL over
-            # manifest-authority stores is deliberately not registered
-            # (a silently-wrong listing is a trap).
+            # members, and pyspark's catalog path hands a Python
+            # DataSource an empty options map (sqlfront module
+            # docstring), so no catalog TABLE entry can be correct
+            # here.  Dot-qualified SQL still works: the session router
+            # resolves registered ``ns.name`` references to the
+            # membership-aware temp view at dispatch time
+            # (sqlfront.resolve_keyed_dotted_names — the
+            # HBaseSessionCatalog.lookupRelation seam).  Register only
+            # the namespace database so SHOW DATABASES lists it.
+            try:
+                self.spark.sql(
+                    f"CREATE DATABASE IF NOT EXISTS `{spec.namespace}`"
+                )
+            except Exception:
+                pass  # listing convenience only — reads don't need it
             return
         if not hasattr(self, "_catalog_paths"):
             self._catalog_paths: dict[str, str] = {}

@@ -21,7 +21,13 @@ Read-path note: routed writes are visible to plain ``spark.sql`` because the
 store registers every keyed table in the session catalog as an external
 parquet table inside its namespace database (``pw.test`` resolves
 dot-qualified; ``SHOW DATABASES`` / ``SHOW TABLES`` list namespaces —
-reference ``HBaseSessionCatalog.scala:63-102``).
+reference ``HBaseSessionCatalog.scala:63-102``).  In manifest-authority
+mode no catalog TABLE can be correct (a directory scan is not the
+membership), so the router itself resolves registered ``ns.name`` — and,
+under ``USE ns``, bare table-position — references to the membership-aware
+temp views at dispatch time (:func:`resolve_keyed_dotted_names`): the same
+seam the reference's ``HBaseSessionCatalog.lookupRelation`` occupies, where
+the session's OWN catalog resolves the name before stock Spark sees it.
 
 Why not ``CREATE TABLE ... USING keyedtable`` (the Python DataSource) in
 the session catalog instead?  Tried: DDL works, but on ``INSERT INTO`` a
@@ -116,6 +122,134 @@ _CREATE_INDEX_RE = re.compile(
 _USING_KEYED_RE = re.compile(r"\busing\s+keyed(?:table)?\b", re.IGNORECASE)
 _OPTIONS_RE = re.compile(r"\boptions\s*\(", re.IGNORECASE)
 _OPTION_KV_RE = re.compile(r"(\w+)\s*=\s*'([^']*)'")
+
+# dotted reference — optionally session-catalog-qualified
+# (`spark_catalog.ns.name`, mirroring _split_qualified), not part of a
+# longer dotted chain (a three-part `othercat.ns.name` must not resolve
+# its `ns.name` tail) and not a qualified function call (`ns.fn(...)`)
+_DOTTED_REF_RE = re.compile(
+    rf"(?<![\w.`$])(?:`?spark_catalog`?\s*\.\s*)?"
+    rf"(?P<ns>{_IDENT})\s*\.\s*(?P<name>{_IDENT})(?![\w.`$(])"
+)
+_SHOW_TABLES_RE = re.compile(
+    rf"^\s*show\s+tables(?:\s+(?:in|from)\s+(?P<ns>{_IDENT}))?\s*$",
+    re.IGNORECASE,
+)
+# bare identifier in table position (directly after FROM/JOIN/TABLE) —
+# resolved against the current database (the `USE ns` flow)
+_BARE_REF_RE = re.compile(
+    rf"\b(?:from|join|table)\s+(?P<name>{_IDENT})(?![\w.`$(])(?!\s*\.)",
+    re.IGNORECASE,
+)
+
+
+def _nonsql_spans(s: str) -> list[tuple[int, int]]:
+    """Half-open spans of string literals and comments — text a name
+    resolver must never rewrite.  Handles ''-doubling and backslash
+    escapes inside quotes, ``--`` line comments and ``/* */`` blocks.
+    Backtick identifiers are NOT masked (they are names)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == c:
+                    if j + 1 < n and s[j + 1] == c:  # doubled-quote escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = min(j + 1, n)
+        elif s.startswith("--", i):
+            j = s.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+        elif s.startswith("/*", i):
+            j = s.find("*/", i)
+            j = n if j < 0 else j + 2
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def resolve_keyed_dotted_names(
+    stmt: str, is_keyed, view_of, current_db: str | None = None
+) -> str:
+    """Session-boundary name resolution — the PySpark seam where the
+    reference's ``HBaseSessionCatalog.lookupRelation``
+    (``HBaseSessionCatalog.scala:63-102``) resolves ``ns.table``
+    through ITS catalog rather than stock Spark's: rewrite every
+    dot-qualified reference to a REGISTERED keyed table into its
+    membership-aware temp-view name.  With ``current_db``, a BARE
+    identifier in table position (directly after FROM/JOIN/TABLE)
+    resolves against it too — the ``USE ns`` + bare-name flow
+    (reference ``README.md:55``).  Only registry hits rewrite, so a
+    table alias that happens to shadow a namespace cannot misfire
+    unless it names an actual registered ``ns.name`` pair; string
+    literals and comments never rewrite.  Known narrow limit of the
+    bare pass: ``extract(... FROM col)``-style column positions rewrite
+    iff ``current_db.col`` is itself a registered keyed table —
+    dot-qualify the column's table or the keyed reference to
+    disambiguate.
+
+    Used by the router in manifest-authority mode, where a session-
+    catalog EXTERNAL table cannot exist (a directory scan would include
+    strays and miss reference-carried members, and pyspark's catalog
+    path hands a Python DataSource an empty options map — see the
+    module docstring).  The temp views read through the store's
+    membership-aware path and are re-registered on every DML, so each
+    statement resolves the CURRENT generation's manifest listing.
+    Driver-side O(statement length), zero storage ops."""
+    def one_pass(s: str, regex, ns_of) -> str:
+        spans = _nonsql_spans(s)
+
+        def masked(pos: int) -> bool:
+            return any(a <= pos < b for a, b in spans)
+
+        out: list[str] = []
+        last = 0
+        for m in regex.finditer(s):
+            if masked(m.start()):
+                continue
+            ns = ns_of(m)
+            name = _unquote(m.group("name"))
+            if ns is None or not is_keyed(ns, name):
+                continue
+            out.append(s[last : m.start()])
+            out.append(f"`{view_of(ns, name)}`")
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
+
+    stmt = one_pass(stmt, _DOTTED_REF_RE, lambda m: _unquote(m.group("ns")))
+    if current_db:
+        # keep the FROM/JOIN/TABLE keyword; rewrite the name only
+        def bare_sub(s: str) -> str:
+            spans = _nonsql_spans(s)
+            out, last = [], 0
+            for m in _BARE_REF_RE.finditer(s):
+                if any(a <= m.start() < b for a, b in spans):
+                    continue
+                name = _unquote(m.group("name"))
+                if not is_keyed(current_db, name):
+                    continue
+                out.append(s[last : m.start("name")])
+                out.append(f"`{view_of(current_db, name)}`")
+                last = m.end("name")
+            out.append(s[last:])
+            return "".join(out)
+
+        stmt = bare_sub(stmt)
+    return stmt
 
 
 def _split_at_top_level_where(s: str) -> tuple[str, str | None]:
@@ -330,11 +464,33 @@ class KeyedSqlRouter:
     def _is_keyed(self, ns: str, name: str) -> bool:
         return self.store.registry.exists(f"{ns}.{name}")
 
+    def _resolve(self, statement: str) -> str:
+        """Manifest-authority mode: resolve registered ``ns.name``
+        references to their membership-aware temp views before stock
+        Spark parses the statement (see
+        :func:`resolve_keyed_dotted_names`).  POSIX mode passes through
+        untouched — the session catalog's external tables resolve
+        dot-qualified names natively there."""
+        if not getattr(self.store, "manifest_authority", False):
+            return statement
+        try:
+            current_db = self.spark.catalog.currentDatabase()
+        except Exception:
+            current_db = None
+        return resolve_keyed_dotted_names(
+            statement,
+            self._is_keyed,
+            lambda ns, name: self.store._view_name(
+                self.store.registry.get(f"{ns}.{name}")
+            ),
+            current_db=current_db,
+        )
+
     def _source_df(self, source_sql: str) -> DataFrame:
         src = source_sql.strip().rstrip(";").strip()
         if re.match(r"^\(?\s*values\b", src, re.IGNORECASE):
             return self.spark.sql(f"SELECT * FROM {src}")
-        return self.spark.sql(src)
+        return self.spark.sql(self._resolve(src))
 
     def _conform(
         self, df: DataFrame, spec: TableSpec, cols: str | None = None
@@ -448,7 +604,7 @@ class KeyedSqlRouter:
                     raise ValueError(
                         "MERGE over keyed tables supports ON row_key only"
                     )
-                src_df = self.spark.table(m.group("src"))
+                src_df = self.spark.table(self._resolve(m.group("src")))
                 self.store.upsert(f"{ns}.{name}", src_df)
                 return self.spark.sql("SELECT 1 WHERE 1=0")
         elif re.match(r"^\s*merge\b", stmt, re.IGNORECASE):
@@ -531,7 +687,36 @@ class KeyedSqlRouter:
                 self.store.drop_namespace(ns, cascade=cascade)
                 return self.spark.sql("SELECT 1 WHERE 1=0")
 
-        return self.spark.sql(statement)
+        if getattr(self.store, "manifest_authority", False):
+            m = _SHOW_TABLES_RE.match(stmt)
+            if m:
+                # manifest mode has no catalog TABLE entries, so SHOW
+                # TABLES lists only temp views — add the registry's
+                # tables for the namespace (the listing the reference's
+                # external catalog serves, HBaseSessionCatalog.scala)
+                try:
+                    ns = (
+                        _unquote(m.group("ns"))
+                        if m.group("ns")
+                        else self.spark.catalog.currentDatabase()
+                    )
+                except Exception:
+                    ns = None
+                base = self.spark.sql(stmt)
+                if ns is None:
+                    return base
+                names = [
+                    q.split(".", 1)[1]
+                    for q in self.store.registry.tables(ns)
+                ]
+                if not names:
+                    return base
+                extra = self.spark.createDataFrame(
+                    [(ns, n, False) for n in names], base.schema
+                )
+                return base.unionByName(extra)
+
+        return self.spark.sql(self._resolve(statement))
 
     def _alter_table(self, ns: str, name: str, rest: str) -> DataFrame:
         """ALTER TABLE over a keyed table (reference ``alterTable`` /

@@ -542,3 +542,111 @@ def test_datasource_missing_manifest_member_fails_loudly(store, spark):
     os.unlink(files[0])
     with pytest.raises(FileNotFoundError, match="manifest-listed member"):
         _list_region_files(path, True)
+
+
+def test_dot_qualified_sql_select_insert_readback(spark, tmp_path_factory):
+    """The reference's headline flow (`SELECT/INSERT ... ns.name`,
+    HBaseSessionCatalog.scala:63-102, README.md:47) must work in the
+    100 TB layout: the session router resolves registered dot-qualified
+    names to the membership-aware read at dispatch time
+    (sqlfront.resolve_keyed_dotted_names), so SELECT sees manifest
+    membership — strays ignored, reference-carried members resolved —
+    and INSERT routes through the store."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(
+        spark=spark,
+        warehouse_dir=str(tmp_path_factory.mktemp("ma_dotsql")),
+        manifest_authority=True,
+    )
+    sess.sql(
+        "CREATE TABLE ma.dq (row_key STRING, `cf:v` BIGINT) USING keyed"
+    )
+    sess.sql("INSERT INTO ma.dq VALUES ('k1', 1), ('k2', 2)")
+    # dot-qualified SELECT readback
+    got = {
+        (r["row_key"], r["cf:v"])
+        for r in sess.sql("SELECT * FROM ma.dq ORDER BY row_key").collect()
+    }
+    assert got == {("k1", 1), ("k2", 2)}
+    # a DML leaves carried members as manifest REFS; a stray parquet
+    # lands in the live generation dir — the dot-qualified read must
+    # still serve exact membership
+    sess.store.upsert(
+        "ma.dq",
+        spark.createDataFrame([("k1", 11)], "row_key string, `cf:v` long"),
+    )
+    spec = sess.store.registry.get("ma.dq")
+    path = sess.store.table_path(spec)
+    spark.createDataFrame(
+        [("zzz", 999)], "row_key string, `cf:v` long"
+    ).coalesce(1).write.mode("overwrite").parquet(path + ".stray")
+    stray = next(
+        f for f in os.listdir(path + ".stray") if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(path + ".stray", stray),
+        os.path.join(path, "part-stray-deadbeef.parquet"),
+    )
+    got = {
+        (r["row_key"], r["cf:v"])
+        for r in sess.sql(
+            "SELECT row_key, `cf:v` FROM ma.dq WHERE `cf:v` > 0"
+        ).collect()
+    }
+    assert got == {("k1", 11), ("k2", 2)}  # stray invisible, ref resolved
+    # joins + aggregates through the resolved name
+    n = sess.sql(
+        "SELECT COUNT(*) AS n FROM ma.dq a JOIN ma.dq b USING (row_key)"
+    ).collect()[0]["n"]
+    assert n == 2
+    # three-part session-catalog form resolves identically
+    got3 = {
+        r["row_key"]
+        for r in sess.sql("SELECT row_key FROM spark_catalog.ma.dq").collect()
+    }
+    assert got3 == {"k1", "k2"}
+
+
+def test_name_resolution_never_rewrites_literals_or_comments(spark, tmp_path_factory):
+    """'ma.dq' inside a string literal (or comment) must pass through
+    the resolver untouched — only identifier positions resolve."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(
+        spark=spark,
+        warehouse_dir=str(tmp_path_factory.mktemp("ma_lit")),
+        manifest_authority=True,
+    )
+    sess.sql("CREATE TABLE ma.lit (row_key STRING, `cf:v` BIGINT) USING keyed")
+    sess.sql("INSERT INTO ma.lit VALUES ('ma.lit', 1)")
+    rows = sess.sql(
+        "SELECT row_key, 'ma.lit' AS tag /* ma.lit */ FROM ma.lit "
+        "WHERE row_key = 'ma.lit' -- ma.lit\n"
+    ).collect()
+    assert [(r["row_key"], r["tag"]) for r in rows] == [("ma.lit", "ma.lit")]
+
+
+def test_use_namespace_bare_name_resolution(spark, tmp_path_factory):
+    """`USE ns` + bare table names (reference README.md:55) resolve in
+    manifest mode through the router's current-database bare pass."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(
+        spark=spark,
+        warehouse_dir=str(tmp_path_factory.mktemp("ma_use")),
+        manifest_authority=True,
+    )
+    prev = spark.catalog.currentDatabase()
+    try:
+        sess.sql("CREATE TABLE ma.bare (row_key STRING, `cf:v` BIGINT) USING keyed")
+        sess.sql("USE ma")
+        sess.sql("INSERT INTO bare VALUES ('k1', 5)")
+        assert [
+            r["cf:v"] for r in sess.sql("SELECT `cf:v` FROM bare").collect()
+        ] == [5]
+        assert "bare" in [
+            r.tableName for r in sess.sql("SHOW TABLES IN ma").collect()
+        ]
+    finally:
+        spark.catalog.setCurrentDatabase(prev)

@@ -72,9 +72,17 @@ def test_refresh_after_external_write(session):
 # ---------------------------------------------------------------------------
 
 
-@pytest.fixture()
-def sql_session(spark, tmp_path):
-    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+@pytest.fixture(params=["posix", "manifest"])
+def sql_session(spark, tmp_path, request):
+    # the SQL surface must be mode-complete: POSIX resolves dot-qualified
+    # names through the session catalog's external tables; manifest-
+    # authority mode through the router's name resolution (VERDICT r10
+    # item 1) — every statement shape below must hold in BOTH
+    sess = EngineSession(
+        spark=spark,
+        warehouse_dir=str(tmp_path / "wh"),
+        manifest_authority=(request.param == "manifest"),
+    )
     prev = spark.catalog.currentDatabase()
     yield sess
     spark.catalog.setCurrentDatabase(prev)
@@ -177,8 +185,15 @@ def test_sql_unparseable_insert_on_keyed_table_fails_loudly(sql_session):
 def test_analyze_and_describe_keyed_catalog_table(sql_session):
     """Keyed tables are real session-catalog entries: ANALYZE TABLE
     computes CBO stats and DESCRIBE EXTENDED surfaces them (the stats
-    feed Catalyst's join-size estimates at planning time)."""
+    feed Catalyst's join-size estimates at planning time).
+
+    POSIX-layout surface only: catalog CBO stats live on catalog TABLE
+    entries, which manifest-authority mode deliberately has none of
+    (membership is the manifest, not a directory the catalog could
+    scan) — there, AQE's runtime-exact stats serve the same role."""
     sess = sql_session
+    if sess.store.manifest_authority:
+        pytest.skip("catalog CBO stats are a catalog-table (POSIX) surface")
     sess.sql("CREATE TABLE pw.stats_t (row_key string, `cf:v` long) USING keyed")
     sess.sql(
         "insert into pw.stats_t select format_string('%04d', id), id * 3 "
