@@ -1528,15 +1528,20 @@ class KeyedTableStore:
         growing keyspace into one hot region.  With the table property
         ``REGION_MAX_BYTES => n`` set on a DECLARED-SPLIT table, an
         append that leaves any region's data files totalling > n bytes
-        triggers :meth:`split_region` at that region's MEDIAN key.
+        triggers :meth:`split_region` at the region's metadata midkey.
 
-        Cost model: the oversized-region check is driver-side metadata
-        only (span stats route each region-confined file to its region,
-        one ``getsize`` per file); the median is one sorted scan of THE
-        ONE oversized region (span/footer pruning keeps other regions'
-        files unread), and the split rewrite touches only that region's
-        bytes.  Regions whose keys are all equal (median == min) cannot
-        split and are skipped.  Setting the property on an undeclared
+        Cost model — METADATA ONLY, exactly HBase's (the midkey comes
+        from the storefile's block index, never a data scan): the
+        oversized-region check is driver-side (span stats route each
+        region-confined file to its region, one ``getsize`` per file),
+        and the split point comes from the region files' row-group
+        footer stats (:meth:`_metadata_midkey` — the parquet row group
+        IS the HFile block for this purpose).  No Spark job runs; the
+        split rewrite then touches only that region's bytes.  A region
+        whose metadata exposes no interior boundary (one row group
+        spanning all keys, or all keys equal) skips — HBase likewise
+        cannot split inside a single block.  Setting the property on an
+        undeclared
         table raises loudly — sampled layouts re-fan-out through
         ``compact(target_region_bytes=...)`` instead (house rule: a
         silently ignored attribute is a trap)."""
@@ -1584,18 +1589,8 @@ class KeyedTableStore:
         for region, nbytes in sorted(region_bytes.items()):
             if nbytes <= max_bytes:
                 continue
-            files = region_files[region]
-            sub = self.spark.read.schema(spec.schema()).parquet(*files)
-            cnt = sub.count()
-            if cnt < 2:
-                continue
-            keyed = sub.select(ROW_KEY).orderBy(ROW_KEY)
-            mid_row = keyed.offset(cnt // 2).limit(1).collect()
-            lo_row = keyed.limit(1).collect()
-            if not mid_row or not lo_row:
-                continue
-            mid, lo_key = mid_row[0][0], lo_row[0][0]
-            if mid is None or lo_key is None or not mid > lo_key:
+            mid = self._metadata_midkey(region_files[region])
+            if mid is None:
                 continue  # degenerate key distribution: cannot split
             try:
                 self.split_region(spec.qualified_name, mid)
@@ -1616,6 +1611,163 @@ class KeyedTableStore:
                     "append",
                     spec.qualified_name, mid, region,
                 )
+
+    @classmethod
+    def _metadata_midkey(cls, files: list[str]):
+        """The region's split point from FOOTER metadata alone — the
+        HBase ``HFile.midkey()`` analogue (``HFileBlockIndex``: the
+        block whose cumulative size crosses half, no data read; here
+        the parquet ROW GROUP is the block).  Candidates are row-group
+        MIN keys: a parquet min stat is truncated DOWNWARD when
+        truncated at all, so a candidate is always ≤ a real key in its
+        row group — the upper half of the split can never be empty.
+        The candidate requiring ≥1 row group wholly below (max stat —
+        truncated UPWARD — strictly under it) guarantees the lower half
+        non-empty.  Among valid candidates, the one whose estimated
+        below-count (full row groups + half of straddlers) is closest
+        to half the region's rows wins.  Returns ``None`` when the
+        metadata exposes no interior boundary (single row group, or
+        every row group starting at the region's first key) — the
+        region is unsplittable at block granularity, as in HBase.
+
+        Resolution note: at real scale a hot region holds many files ×
+        many ~128 MB row groups, so the midkey lands within one block
+        of the true median; tiny single-row-group regions simply wait
+        for more data, they never pay a sorted scan."""
+        units: list[tuple] = []  # (lo_bound, hi_bound, rows) per row group
+        for full in files:
+            try:
+                units.extend(cls._footer_rowgroup_units(full))
+            except Exception:
+                # unreadable footer: no metadata, no split this round —
+                # never fall back to a data scan on the hot path
+                return None
+        units = [u for u in units if u[2]]
+        total = sum(u[2] for u in units)
+        if total < 2:
+            return None
+        best = None  # (imbalance, candidate)
+        for cand, _hi, _rows in units:
+            if cand is None:
+                continue
+            below = 0.0
+            has_floor = False
+            ok = True
+            for lo, hi, rows in units:
+                try:
+                    if hi is not None and hi < cand:
+                        below += rows
+                        has_floor = True
+                    elif lo is None or lo < cand:
+                        below += rows / 2.0  # straddler (or unknown lo)
+                except TypeError:
+                    ok = False  # mixed stat types: not comparable
+                    break
+            if not ok or not has_floor:
+                continue
+            imbalance = abs(below - total / 2.0)
+            if best is None or imbalance < best[0]:
+                best = (imbalance, cand)
+        if best is not None:
+            return best[1]
+        # no block boundary in the interior (e.g. every file spans the
+        # whole region): interpolate the key-range midpoint — HBase's
+        # UniformSplit/HexStringSplit assumption (RegionSplitter picks
+        # byte-space midpoints without reading data).  A skewed key
+        # distribution splits unevenly ONCE; the oversized half
+        # re-triggers on its next append, so the layout converges
+        # without ever scanning.
+        los = [u[0] for u in units if u[0] is not None]
+        his = [u[1] for u in units if u[1] is not None]
+        if not los or not his:
+            return None
+        lo, hi = min(los), max(his)
+        try:
+            if isinstance(lo, str):
+                return cls._string_midpoint(lo, hi)
+            mid = lo + (hi - lo) // 2 if isinstance(lo, int) else (
+                lo + (hi - lo) / 2
+            )
+            return mid if mid > lo else None
+        except TypeError:
+            return None
+
+    @staticmethod
+    def _string_midpoint(lo: str, hi: str):
+        """A string strictly greater than ``lo`` and at most ``hi``,
+        near the code-point-space middle (UTF-8 byte order and Python
+        code-point order agree, so the boundary partitions identically
+        on both sides of the engine).  After the common prefix, the
+        first differing position takes the midpoint code point; when
+        the code points are ADJACENT (no room), the boundary descends
+        one character into ``lo``'s side and extends — still a valid
+        interior boundary, just less central.  Surrogate code points
+        (unencodable as UTF-8) are stepped over.  Returns ``None`` when
+        ``lo >= hi`` (nothing strictly between)."""
+        if lo >= hi:
+            return None
+        i = 0
+        while i < min(len(lo), len(hi)) and lo[i] == hi[i]:
+            i += 1
+        prefix = lo[:i]
+        lo_c = ord(lo[i]) if i < len(lo) else -1  # "" sorts below any char
+        hi_c = ord(hi[i])  # hi > lo with this prefix ⇒ hi has a char here
+        mid_c = (lo_c + hi_c) // 2
+        if 0xD800 <= mid_c <= 0xDFFF:  # lone surrogate: not UTF-8
+            mid_c = 0xD7FF if lo_c < 0xD7FF else 0xE000
+        if lo_c < mid_c < hi_c:
+            return prefix + chr(mid_c)
+        # adjacent code points: any extension of lo's next char sorts
+        # strictly between lo and hi
+        cand = lo[: i + 1] + "\x7f" if lo_c >= 0 else prefix + chr(0)
+        return cand if lo < cand <= hi else None
+
+    @staticmethod
+    def _footer_rowgroup_units(full: str) -> list[tuple]:
+        """Per-ROW-GROUP ``(min_key, max_key, n_rows)`` from the
+        parquet footer — the block-granularity sibling of
+        :meth:`_footer_key_stats` (same decode rules: bytes stats
+        decode to str; a stat truncated mid-multibyte-sequence or
+        absent yields ``None`` bounds for that row group, which
+        midkey estimation treats as a straddler)."""
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(full)
+        if md.num_rows == 0 or md.num_row_groups == 0:
+            return []
+        idx = next(
+            (
+                c
+                for c in range(md.num_columns)
+                if md.row_group(0).column(c).path_in_schema == ROW_KEY
+            ),
+            None,
+        )
+        if idx is None:
+            raise RuntimeError(
+                f"no {ROW_KEY!r} column in {os.path.basename(full)} — "
+                "foreign file in the table directory or schema drift"
+            )
+        units: list[tuple] = []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            rows = md.row_group(rg).num_rows
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                units.append((None, None, rows))
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn = mn.decode()
+                except UnicodeDecodeError:
+                    mn = None  # truncated mid-multibyte: unusable bound
+                try:
+                    mx = mx.decode()
+                except UnicodeDecodeError:
+                    mx = None
+            units.append((mn, mx, rows))
+        return units
 
     def _maybe_auto_minor_compact(self, spec: TableSpec) -> None:
         """HBase runs minor compactions AUTOMATICALLY when a store

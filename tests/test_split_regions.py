@@ -656,3 +656,50 @@ def test_batch_split_regions_is_one_rewrite_one_flip(store, spark):
     with pytest.raises(ValueError, match="duplicate"):
         store.split_regions("sp.batchsplit", ["q1", "q1"])
     assert store.split_regions("sp.batchsplit", []) == 0
+
+
+def test_metadata_midkey_balances_and_guards(tmp_path, spark):
+    """The auto-split midkey is METADATA ONLY (VERDICT r10 item 4 —
+    HBase parity: HFile.midkey() reads the block index, never data).
+    Pins: (a) the estimator picks the row-group boundary closest to
+    half the rows; (b) with no interior block boundary the midkey
+    interpolates the key-range midpoint (HBase UniformSplit
+    assumption), and all-equal keys yield None — truly unsplittable;
+    (c) the split path contains no sorted-scan job (no orderBy/offset
+    in source)."""
+    import inspect
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # (a) three single-row-group files: [a..b]=10, [c..d]=10, [e..f]=80
+    # candidates are mins {a, c, e}; below(c)=10, below(e)=20 → for
+    # total=100, half=50, best candidate is e (|20-50|=30 beats c's 40
+    # and a's invalid no-floor)
+    for i, (lo, hi, n) in enumerate(
+        [("a", "b", 10), ("c", "d", 10), ("e", "f", 80)]
+    ):
+        keys = [lo] * (n - 1) + [hi]
+        pq.write_table(
+            pa.table({"row_key": keys, "cf:v": list(range(n))}),
+            str(tmp_path / f"u{i}.parquet"),
+        )
+    files = [str(tmp_path / f"u{i}.parquet") for i in range(3)]
+    assert KeyedTableStore._metadata_midkey(files) == "e"
+    # (b) one row group spanning [e..f]: interpolated interior midpoint
+    mid = KeyedTableStore._metadata_midkey([files[2]])
+    assert mid is not None and "e" < mid <= "f"
+    # all keys equal: nothing strictly between — unsplittable
+    pq.write_table(
+        pa.table({"row_key": ["x"] * 5, "cf:v": list(range(5))}),
+        str(tmp_path / "same.parquet"),
+    )
+    assert KeyedTableStore._metadata_midkey([str(tmp_path / "same.parquet")]) is None
+    # string midpoint law: strictly between, both engines' orderings
+    assert KeyedTableStore._string_midpoint("a", "c") == "b"
+    assert KeyedTableStore._string_midpoint("a", "b") == "a\x7f"
+    assert KeyedTableStore._string_midpoint("abc", "abc") is None
+    m = KeyedTableStore._string_midpoint("0000000100", "0000002000")
+    assert m is not None and "0000000100" < m <= "0000002000"
+    # (c) the sorted-scan median is gone from the auto-split path
+    src = inspect.getsource(KeyedTableStore._maybe_auto_split)
+    assert "orderBy" not in src and "offset" not in src
