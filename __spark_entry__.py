@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
     joins, and hash aggregation in one plan)."""
     from spark_sql_hbase_spark.queries import load_all
 
-    return load_all()["zd03_regional_revenue"].fn(spark, "/root/testdata/sf0.001")
+    return load_all()["a01_regional_revenue"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -99,6 +99,15 @@ _R8_RENAMES = {
 }
 
 
+# round-11 rotation: bench output key -> current registry name.
+# a01_regional_revenue is the PERMANENT core-relational sentinel (it
+# sorts first, so it can never rotate out of the driver's 50-name
+# window); the historical bench key q03 keeps BENCH_r{N} comparable.
+_R11_RENAMES = {
+    "q03_regional_revenue": "a01_regional_revenue",
+}
+
+
 # round-10 rotation: bench output key -> current registry name
 _R10_RENAMES = {
     "d12_semantic_dedup": "zg24_semantic_dedup",
@@ -125,6 +134,7 @@ def _lookup(registry, name):
     as an AttributeError on None downstream."""
     qd = (
         registry.get(name)
+        or registry.get(_R11_RENAMES.get(name, ""))
         or registry.get(_R10_RENAMES.get(name, ""))
         or registry.get(_R9_RENAMES.get(name, ""))
         or registry.get(_R8_RENAMES.get(name, ""))

@@ -1741,7 +1741,7 @@ def k28_manifest_mode_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one-flip property (exactly one new generation).
 # ---------------------------------------------------------------------------
 @register(
-    "zg28_batch_presplit",
+    "k29_batch_presplit",
     oracle="""
     SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
            p_name AS name,
@@ -1752,7 +1752,7 @@ def k28_manifest_mode_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundaries in one rewrite + one flip; content invariant, layout "
     "confined",
 )
-def zg28_batch_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k29_batch_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)

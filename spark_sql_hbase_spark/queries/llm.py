@@ -3624,7 +3624,7 @@ def t19_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derived table.
 # ---------------------------------------------------------------------------
 @register(
-    "d16_dedup_leverage",
+    "zg32_dedup_leverage",
     oracle=f"""
     WITH __tk AS (
         SELECT doc_id, source, CAST(len({_TOK}) AS BIGINT) AS n
@@ -3647,7 +3647,7 @@ def t19_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="dedup leverage: per-source non-canonical docs/tokens "
     "and the token-savings fraction dedup would buy",
 )
-def d16_dedup_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg32_dedup_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_join(
         docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N

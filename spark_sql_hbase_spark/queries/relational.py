@@ -97,7 +97,7 @@ def z02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AQE reorders/broadcasts as stats allow.
 # ---------------------------------------------------------------------------
 @register(
-    "zd03_regional_revenue",
+    "a01_regional_revenue",
     oracle=f"""
     SELECT n_name,
            {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
@@ -112,7 +112,7 @@ def z02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q5: multi-way join with broadcast dims + shuffle joins",
 )
-def zd03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a01_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -2127,7 +2127,7 @@ def zg14_event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # qty * 5 * cnt < sum_qty (decimal) — no division, no float ordering.
 # ---------------------------------------------------------------------------
 @register(
-    "q27_small_quantity_revenue",
+    "zg30_small_quantity_revenue",
     oracle="""
     WITH br AS (
         SELECT l_partkey, l_quantity, l_extendedprice
@@ -2149,7 +2149,7 @@ def zg14_event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q17-style correlated scalar subquery, decorrelated "
     "to one fact pass via per-key window; exact integer threshold",
 )
-def q27_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg30_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = table(spark, sf_dir, "lineitem")
@@ -2184,7 +2184,7 @@ def q27_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # balance·count > sum — no division.
 # ---------------------------------------------------------------------------
 @register(
-    "q28_idle_rich_customers",
+    "zg31_idle_rich_customers",
     oracle="""
     WITH g AS (
         SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS s,
@@ -2200,7 +2200,7 @@ def q27_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q22-style scalar-subquery threshold + anti-join: "
     "above-global-average balance, no orders; broadcast one-row agg",
 )
-def q28_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg31_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     pos = c.filter(F.col("c_acctbal") > 0)

@@ -990,7 +990,7 @@ def st15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multiset convergence asserted in-gate.
 # ---------------------------------------------------------------------------
 @register(
-    "zg29_stream_cdc_cells",
+    "st16_stream_cdc_cells",
     oracle="""
     SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
            p_retailprice AS price, CAST(1 AS BIGINT) AS v
@@ -1008,7 +1008,7 @@ def st15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(appends + retention-GC deletes) streamed onto a versioned replica, "
     "convergence asserted",
 )
-def zg29_stream_cdc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st16_stream_cdc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
     from spark_sql_hbase_spark.streaming.pipelines import (

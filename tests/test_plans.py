@@ -975,7 +975,7 @@ def test_ze01_q17_single_lineitem_scan(spark, registry):
     computed by a WINDOW over the same rows, not the textbook self-join
     rewrite — the fact table must be scanned exactly once."""
     plan = (
-        registry["q27_small_quantity_revenue"]
+        registry["zg30_small_quantity_revenue"]
         .fn(spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
@@ -989,7 +989,7 @@ def test_ze02_scalar_subquery_is_broadcast(spark, registry):
     """ze02's global-average threshold is ONE broadcast row joined to
     the customer side — no shuffle of the fact for the scalar, and the
     no-orders test is a broadcast anti-join at this scale."""
-    plan = formatted_plan(registry["q28_idle_rich_customers"].fn(spark, SF))
+    plan = formatted_plan(registry["zg31_idle_rich_customers"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
