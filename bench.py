@@ -262,6 +262,11 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
     for name, key in (
         ("s06_ivfadc", "s06_ivfadc"),
         ("s08_ivfadc_residual", "s08_ivfadc_residual"),
+        # round-11: the multi-probe IVF variant (nprobe>1) — the recall
+        # knob a production ANN deployment actually turns; its cost law
+        # (probes multiply the QUERY side only, nprobe/|cells| of the
+        # corpus scanned per batch) needs round-over-round visibility
+        ("zb11_ann_multiprobe", "s04_ann_multiprobe"),
         ("d10_duplicate_spans", "d10_duplicate_spans"),
     ):
         t0 = time.perf_counter()
@@ -462,6 +467,29 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
         assert n == n_cust, f"manifest-mode MERGE diverged: {n} != {n_cust}"
         print(f"# ma_merge_upsert: {out['ma_merge_upsert']}s rows={n} "
               f"(manifest-authority layout)", file=sys.stderr)
+        # round-11: manifest-authority READ figures (VERDICT r10 item 7)
+        # — membership resolution costs one span-manifest JSON read per
+        # generation per op, and the post-MERGE table here carries refs
+        # across two generations, so these timers keep that overhead
+        # visible round over round as file counts grow.  ma_scan = full
+        # membership-aware scan + aggregate; ma_point_get = the bloom/
+        # span-pruned multi-Get fast path.
+        t0 = time.perf_counter()
+        agg = ma_store.read("bench.ma").agg(
+            F.count("*").alias("n"), F.sum("`c:bal`").alias("s")
+        ).collect()
+        out["ma_scan"] = round(time.perf_counter() - t0, 3)
+        assert agg[0]["n"] == n_cust
+        point_keys = [
+            f"{k:010d}" for k in (16, 160, 1600)
+        ]
+        t0 = time.perf_counter()
+        got = ma_store.get("bench.ma", point_keys).count()
+        out["ma_point_get"] = round(time.perf_counter() - t0, 3)
+        assert got >= 1, "manifest-mode point get returned nothing"
+        print(f"# ma_scan: {out['ma_scan']}s  ma_point_get: "
+              f"{out['ma_point_get']}s (manifest-authority layout)",
+              file=sys.stderr)
     finally:
         import shutil
 

@@ -43,6 +43,18 @@ def _session(spark: SparkSession):
     return EngineSession(spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="keyed_wh_"))
 
 
+def _session_ma(spark: SparkSession):
+    """Engine session over a manifests-as-listing warehouse — the
+    100 TB-layout SQL surface (router-resolved dot-qualified names)."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    return EngineSession(
+        spark=spark,
+        warehouse_dir=tempfile.mkdtemp(prefix="keyed_ma_wh_"),
+        manifest_authority=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # k01 — CTAS a driver table into a key-sorted keyed table, read it back
 # through the store with a key-range + value predicate (A1/A4/A7).
@@ -1799,3 +1811,75 @@ def k29_batch_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`p:name`").alias("name"),
         F.col("`p:price`").alias("price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zg33 — dot-qualified SQL over a manifest-authority store (round-11
+# surface, registered z-tier for sf001-lane evidence ahead of an r12
+# promotion): the reference's headline `ns.table` SQL flow
+# (HBaseSessionCatalog.scala:63-102, README.md:47) running against the
+# manifests-as-listing layout.  The router resolves `gate.ma_sql`
+# references to the membership-aware read at dispatch time
+# (sqlfront.resolve_keyed_dotted_names), so the SELECT readback proves
+# membership through the SQL surface itself: a stray parquet dropped
+# into the live generation directory makes the ORACLE comparison fail
+# if any resolution path leaks a directory listing.  Content is a pure
+# function of `part`.
+# ---------------------------------------------------------------------------
+@register(
+    "zg33_manifest_dotted_sql",
+    oracle="""
+    SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+           CASE WHEN p_partkey % 7 = 0 AND p_partkey < 60
+                THEN p_retailprice * 2 ELSE p_retailprice END AS price
+    FROM part
+    WHERE NOT (p_partkey % 25 = 0 AND p_partkey < 60)
+    """,
+    description="dot-qualified SQL (CREATE/INSERT/UPDATE/DELETE/SELECT "
+    "ns.name) over a manifests-as-listing store — router name resolution, "
+    "stray invisible, content proven by the oracle",
+)
+def zg33_manifest_dotted_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = _session_ma(spark)
+    p = table(spark, sf_dir, "part")
+    p.select(
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("p_retailprice").alias("p:price"),
+    ).createOrReplaceTempView("__zg33_src")
+    sess.sql(
+        "CREATE TABLE gate.ma_sql (row_key STRING, `p:price` DOUBLE) "
+        "USING keyed"
+    )
+    # dot-qualified INSERT ... SELECT routes through the store
+    sess.sql("INSERT INTO gate.ma_sql SELECT * FROM __zg33_src")
+    # dot-qualified UPDATE and DELETE (selective rewrites)
+    sess.sql(
+        "UPDATE gate.ma_sql SET `p:price` = `p:price` * 2 "
+        "WHERE CAST(row_key AS BIGINT) % 7 = 0 AND CAST(row_key AS BIGINT) < 60"
+    )
+    sess.sql(
+        "DELETE FROM gate.ma_sql WHERE CAST(row_key AS BIGINT) % 25 = 0 "
+        "AND CAST(row_key AS BIGINT) < 60"
+    )
+    # stray injection: the dot-qualified SELECT below must not see it
+    spec = sess.store.registry.get("gate.ma_sql")
+    path = sess.store.table_path(spec)
+    stray_src = os.path.join(sess.store.warehouse_dir, "_stray_src")
+    spark.createDataFrame(
+        [("9999999999", -1.0)], "row_key string, `p:price` double"
+    ).coalesce(1).write.mode("overwrite").parquet(stray_src)
+    stray = next(f for f in os.listdir(stray_src) if f.endswith(".parquet"))
+    os.rename(
+        os.path.join(stray_src, stray),
+        os.path.join(path, "part-stray-00000000.parquet"),
+    )
+    # the reference's headline flow: dot-qualified SELECT (with an
+    # aggregate guard proving the same resolution serves subqueries)
+    n = sess.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT row_key FROM gate.ma_sql)"
+    ).collect()[0]["n"]
+    out = sess.sql(
+        "SELECT row_key, `p:price` AS price FROM gate.ma_sql"
+    )
+    assert n == out.count(), "subquery resolution diverged from readback"
+    return out
