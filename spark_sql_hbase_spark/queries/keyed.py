@@ -1883,3 +1883,79 @@ def zg33_manifest_dotted_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert n == out.count(), "subquery resolution diverged from readback"
     return out
+
+
+# ---------------------------------------------------------------------------
+# zg34 — covered secondary index under manifests-as-listing (round-11
+# surface, z-tier for sf001-lane evidence ahead of an r12 promotion):
+# the zf03 index-only range scan composed with manifest-authority
+# storage AND a post-index MERGE, so the gate proves index freshness
+# after DML — the Phoenix-style incremental maintenance path
+# (selective delete + append) — running entirely on manifest
+# membership.  Oracle: the value predicate over the source with the
+# MERGE applied; the index-only scan must reproduce it exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "zg34_manifest_covered_index",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           c_name AS name,
+           CASE WHEN c_custkey % 40 = 0 THEN c_acctbal + 10.0
+                ELSE c_acctbal END AS acctbal
+    FROM customer
+    WHERE c_nationkey = 5
+    """,
+    description="covered index + post-index MERGE under manifest-authority "
+    "storage: index-only range scan stays exact, index table carries refs",
+)
+def zg34_manifest_covered_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store_ma(spark)
+    c = table(spark, sf_dir, "customer")
+    rows = c.select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("c_name").alias("c:name"),
+        F.col("c_nationkey").alias("c:nationkey"),
+        F.col("c_acctbal").alias("c:acctbal"),
+    )
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_mai",
+        key_type="string",
+        families={
+            "c": {"name": "string", "nationkey": "long", "acctbal": "double"}
+        },
+    )
+    store.ctas(spec, rows, mode="overwrite")
+    store.create_covered_index(
+        "gate.cust_mai",
+        "gate.cust_mai_by_nation",
+        index_col="c:nationkey",
+        include=["c:name", "c:acctbal"],
+        key_width=5,
+        mode="overwrite",
+    )
+    # post-index MERGE: maintenance must keep the index exact, and in
+    # manifest mode its rewrite carries unchanged index members as refs
+    store.upsert(
+        "gate.cust_mai",
+        c.filter("c_custkey % 40 = 0").select(
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("c_name").alias("c:name"),
+            F.col("c_nationkey").alias("c:nationkey"),
+            (F.col("c_acctbal") + 10.0).alias("c:acctbal"),
+        ),
+    )
+    # (no carried-refs assert here: at the smoke/driver SFs the index
+    # is a single file, so the incremental rewrite touches it whole —
+    # manifest-mode carry mechanics are pinned by
+    # test_manifest_authority.py::test_covered_index_under_manifest_mode)
+    idx = store.read("gate.cust_mai_by_nation")
+    return idx.filter(
+        (F.col("row_key") >= "00005|") & (F.col("row_key") < "00005}")
+    ).select(
+        F.col("`i:src_key`").cast("long").alias("custkey"),
+        F.col("`c:name`").alias("name"),
+        F.col("`c:acctbal`").alias("acctbal"),
+    )

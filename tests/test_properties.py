@@ -2253,3 +2253,76 @@ def test_versioned_cell_replication_converges(spark, tmp_path_factory, ops):
     }
     assert got == model
     src.delete_snapshot("prv_s1")
+
+
+# -- manifest-mode name resolution (sqlfront.resolve_keyed_dotted_names) --
+#
+# The resolver is a quote/comment-aware string rewrite on the session's
+# SQL dispatch path; a bug here either corrupts a statement (rewriting
+# inside a literal) or silently fails to resolve (missing an identifier
+# position).  Properties: (1) literal/comment content is BYTE-IDENTICAL
+# through the resolver no matter what table-like names it contains;
+# (2) every dotted identifier-position reference to a registered pair
+# resolves; (3) non-registered pairs never rewrite.
+
+_name_frag = st.text(
+    alphabet="abcdefgh_123", min_size=1, max_size=8
+).filter(lambda s: s[0].isalpha() or s[0] == "_")
+
+
+@st.composite
+def resolver_case(draw):
+    ns = draw(_name_frag)
+    tbl = draw(_name_frag)
+    other_ns = draw(_name_frag.filter(lambda s: s != ns))
+    lit = draw(
+        st.text(
+            alphabet="abc.xyz `/*-'\"\\", min_size=0, max_size=12
+        ).map(lambda s: s.replace("'", "''"))
+    )
+    return ns, tbl, other_ns, lit
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(resolver_case())
+def test_resolver_rewrites_identifiers_never_literals(case):
+    from spark_sql_hbase_spark.sqlfront import resolve_keyed_dotted_names
+
+    ns, tbl, other_ns, lit = case
+    registered = {(ns, tbl)}
+    view = f"{ns}__{tbl}"
+    stmt = (
+        f"SELECT x, '{lit}', 'ns.{tbl}' AS t1 /* {ns}.{tbl} */ "
+        f"FROM {ns}.{tbl} JOIN {other_ns}.{tbl} USING (x) "
+        f"-- trailing {ns}.{tbl}\n"
+        f"WHERE y = `{ns}`.`{tbl}`.y"
+    )
+    out = resolve_keyed_dotted_names(
+        stmt,
+        lambda a, b: (a, b) in registered,
+        lambda a, b: f"{a}__{b}",
+    )
+    # (1) literal and comment bodies survive byte-identical
+    assert f"'{lit}'" in out
+    assert f"/* {ns}.{tbl} */" in out
+    assert f"-- trailing {ns}.{tbl}\n" in out
+    # (2) the registered FROM reference resolved
+    assert f"FROM `{view}`" in out
+    # (3) the non-registered pair is untouched
+    assert f"JOIN {other_ns}.{tbl} " in out
+    # column-qualifier 3-part form (`ns`.`tbl`.y) is a dotted chain —
+    # never rewritten (it is not a 2-part table reference)
+    assert f"`{ns}`.`{tbl}`.y" in out
+
+
+def test_resolver_bare_name_needs_table_position():
+    from spark_sql_hbase_spark.sqlfront import resolve_keyed_dotted_names
+
+    out = resolve_keyed_dotted_names(
+        "SELECT t FROM t WHERE t > 0 AND f(t) = t",
+        lambda a, b: (a, b) == ("db", "t"),
+        lambda a, b: f"{a}__{b}",
+        current_db="db",
+    )
+    # only the FROM position resolves; the column/function uses survive
+    assert out == "SELECT t FROM `db__t` WHERE t > 0 AND f(t) = t"
