@@ -767,7 +767,9 @@ class KeyedSqlRouter:
         # "options (generator='x')") must not inject into the TableSpec
         options = _extract_options(rest[: as_m.start()] if as_m else rest)
         if as_m:  # CTAS — CreateHBaseTableAsSelectCommand.scala:18-88
-            query = self.spark.sql(as_m.group("query").strip())
+            # the CTAS source may itself reference keyed tables
+            # dot-qualified — resolve (manifest mode) before Spark parses
+            query = self.spark.sql(self._resolve(as_m.group("query").strip()))
             cols = [(f.name, f.dataType.simpleString()) for f in query.schema.fields]
             spec = _spec_from_columns(ns, name, cols, options)
             # conform bare names to the spec's cf-qualified layout (by name,

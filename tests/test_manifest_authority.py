@@ -650,3 +650,27 @@ def test_use_namespace_bare_name_resolution(spark, tmp_path_factory):
         ]
     finally:
         spark.catalog.setCurrentDatabase(prev)
+
+
+def test_ctas_from_dotted_source_resolves(spark, tmp_path_factory):
+    """CTAS whose source query reads a keyed table dot-qualified must
+    resolve through the router in manifest mode (the source is parsed
+    by stock Spark, which has no catalog entry to serve it)."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(
+        spark=spark,
+        warehouse_dir=str(tmp_path_factory.mktemp("ma_ctas")),
+        manifest_authority=True,
+    )
+    sess.sql("CREATE TABLE ma.src (row_key STRING, `cf:v` BIGINT) USING keyed")
+    sess.sql("INSERT INTO ma.src VALUES ('k1', 1), ('k2', 2), ('k3', 3)")
+    sess.sql(
+        "CREATE TABLE ma.dst USING keyed AS "
+        "SELECT row_key, `cf:v` FROM ma.src WHERE `cf:v` > 1"
+    )
+    got = {
+        (r["row_key"], r["cf:v"])
+        for r in sess.sql("SELECT * FROM ma.dst").collect()
+    }
+    assert got == {("k2", 2), ("k3", 3)}
