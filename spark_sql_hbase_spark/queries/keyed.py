@@ -1873,6 +1873,13 @@ def zg33_manifest_dotted_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(stray_src, stray),
         os.path.join(path, "part-stray-00000000.parquet"),
     )
+    # force a re-resolution AFTER the stray lands: the router serves
+    # reads from the membership-aware view, which refresh re-registers
+    # from CURRENT membership — a directory-listing regression would
+    # pick the stray up here and fail the oracle comparison (without
+    # this, the view's file list pinned at the DELETE would hide the
+    # stray no matter how membership is computed)
+    sess.store.refresh("gate.ma_sql")
     # the reference's headline flow: dot-qualified SELECT (with an
     # aggregate guard proving the same resolution serves subqueries)
     n = sess.sql(

@@ -122,6 +122,19 @@ class TableAlreadyExistsError(ValueError):
     pass
 
 
+class CorruptSpanManifestError(RuntimeError):
+    """The generation's MAIN span manifest exists but cannot be parsed
+    — membership is unrecoverable (append sidecars never carry the
+    base members), so manifest-authority reads/DML must fail LOUDLY
+    rather than fall back to the physical directory listing: that
+    fallback would silently drop every reference-carried member and
+    admit strays.  Distinct from the ``None`` return (no authority
+    information recorded — a legacy/flat directory — where the
+    physical listing IS the truth).  Remediation: restore the
+    manifest from the previous generation / a snapshot, or rebuild it
+    from footer stats via ``compact()`` on a known-good base."""
+
+
 class ConcurrentWriteConflictError(RuntimeError):
     """Another writer committed a generation while this rewrite was
     building against the previous one — the manifest CAS refused the
@@ -1681,8 +1694,11 @@ class KeyedTableStore:
         his = [u[1] for u in units if u[1] is not None]
         if not los or not his:
             return None
-        lo, hi = min(los), max(his)
         try:
+            # min/max inside the guard too: mixed stat types across
+            # files (schema drift) must mean "no split this round",
+            # never a failed append
+            lo, hi = min(los), max(his)
             if isinstance(lo, str):
                 return cls._string_midpoint(lo, hi)
             mid = lo + (hi - lo) // 2 if isinstance(lo, int) else (
@@ -3426,7 +3442,11 @@ class KeyedTableStore:
         back to the physical listing) unless EVERY span document
         present carries a ``listing`` — a single legacy document means
         membership is not fully recorded and the physical listing is
-        the only safe answer (authority must never LOSE files)."""
+        the only safe answer (authority must never LOSE files).  A
+        MAIN manifest that exists but cannot be parsed raises
+        :class:`CorruptSpanManifestError` instead: for a table that
+        carries refs, the physical fallback would silently drop
+        members, which is worse than failing."""
         try:
             names = sorted(
                 f
@@ -3445,14 +3465,19 @@ class KeyedTableStore:
             try:
                 with open(os.path.join(path, name)) as fh:
                     doc = json.load(fh)
-            except (OSError, ValueError):
+            except (OSError, ValueError) as e:
                 if name == _SPAN_MANIFEST:
                     # the MAIN manifest exists but cannot be read: its
-                    # base members are unrecoverable from sidecars, so
-                    # trusting whatever sidecars parse would silently
-                    # LOSE files — fatal to membership, fall back to
-                    # the physical listing
-                    return None
+                    # base members are unrecoverable from sidecars
+                    # (trusting whatever sidecars parse would silently
+                    # LOSE files), and the physical listing is no
+                    # better in authority mode (it drops carried refs
+                    # and admits strays) — refuse loudly
+                    raise CorruptSpanManifestError(
+                        f"{os.path.join(path, name)}: unreadable main "
+                        f"span manifest ({e}); membership is "
+                        "unrecoverable — restore it before reading"
+                    ) from e
                 # a SIDECAR deleted mid-merge: its entries are in the
                 # merged manifest (rename-before-unlink), skip it
                 continue

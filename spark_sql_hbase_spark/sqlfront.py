@@ -127,19 +127,39 @@ _OPTION_KV_RE = re.compile(r"(\w+)\s*=\s*'([^']*)'")
 # (`spark_catalog.ns.name`, mirroring _split_qualified), not part of a
 # longer dotted chain (a three-part `othercat.ns.name` must not resolve
 # its `ns.name` tail) and not a qualified function call (`ns.fn(...)`)
-_DOTTED_REF_RE = re.compile(
-    rf"(?<![\w.`$])(?:`?spark_catalog`?\s*\.\s*)?"
-    rf"(?P<ns>{_IDENT})\s*\.\s*(?P<name>{_IDENT})(?![\w.`$(])"
-)
 _SHOW_TABLES_RE = re.compile(
     rf"^\s*show\s+tables(?:\s+(?:in|from)\s+(?P<ns>{_IDENT}))?\s*$",
     re.IGNORECASE,
 )
-# bare identifier in table position (directly after FROM/JOIN/TABLE) —
-# resolved against the current database (the `USE ns` flow)
-_BARE_REF_RE = re.compile(
-    rf"\b(?:from|join|table)\s+(?P<name>{_IDENT})(?![\w.`$(])(?!\s*\.)",
-    re.IGNORECASE,
+
+# resolver tokenization: backtick identifier | bare identifier | any
+# other single character (string literals/comments are span-masked
+# before tokens are consumed)
+_TOKEN_RE = re.compile(r"`[^`]+`|[A-Za-z_][\w]*|\S", re.DOTALL)
+
+# keywords that put the scanner in TABLE POSITION (the next identifier
+# chain is a table reference): FROM additionally opens a FROM list at
+# the current paren depth, so commas re-enter table position
+_TABLE_POS_KW = frozenset(
+    {"from", "join", "into", "table", "using", "describe", "desc"}
+)
+# clause keywords that END the FROM list at the current depth (a comma
+# after these is a select/group/order list separator, not a table ref)
+_FROM_END_KW = frozenset(
+    {
+        "where", "group", "having", "order", "limit", "window", "union",
+        "except", "intersect", "select", "qualify", "values", "set",
+        "when", "lateral",
+    }
+)
+# bare words after a table reference that mean NO explicit alias was
+# written (so the rewrite must append one to keep `name.col` resolving)
+_NOT_AN_ALIAS_KW = _TABLE_POS_KW | _FROM_END_KW | frozenset(
+    {
+        "on", "left", "right", "inner", "outer", "full", "cross",
+        "natural", "semi", "anti", "tablesample", "pivot", "unpivot",
+        "for",
+    }
 )
 
 
@@ -187,19 +207,23 @@ def resolve_keyed_dotted_names(
     """Session-boundary name resolution — the PySpark seam where the
     reference's ``HBaseSessionCatalog.lookupRelation``
     (``HBaseSessionCatalog.scala:63-102``) resolves ``ns.table``
-    through ITS catalog rather than stock Spark's: rewrite every
-    dot-qualified reference to a REGISTERED keyed table into its
-    membership-aware temp-view name.  With ``current_db``, a BARE
-    identifier in table position (directly after FROM/JOIN/TABLE)
-    resolves against it too — the ``USE ns`` + bare-name flow
-    (reference ``README.md:55``).  Only registry hits rewrite, so a
-    table alias that happens to shadow a namespace cannot misfire
-    unless it names an actual registered ``ns.name`` pair; string
-    literals and comments never rewrite.  Known narrow limit of the
-    bare pass: ``extract(... FROM col)``-style column positions rewrite
-    iff ``current_db.col`` is itself a registered keyed table —
-    dot-qualify the column's table or the keyed reference to
-    disambiguate.
+    through ITS catalog rather than stock Spark's: rewrite identifier
+    chains in TABLE POSITION (after FROM/JOIN/INTO/TABLE/USING/
+    DESCRIBE, and after commas inside an open FROM list) that name a
+    REGISTERED keyed table into the membership-aware temp-view name.
+    Recognized chains: ``ns.name``, ``spark_catalog.ns.name``, and —
+    with ``current_db`` — a bare ``name`` (the ``USE ns`` flow,
+    reference ``README.md:55``).  When the reference carries no
+    explicit alias, the rewrite appends ``AS `name``` so qualified
+    column references (``name.col``) keep resolving exactly as they
+    would against the catalog.  Table position is tracked by a
+    paren-depth-aware token scan, so a SELECT-list or ON-clause
+    expression like ``alias.col`` is never rewritten even when it
+    textually collides with a registered pair, and string literals /
+    comments never rewrite.  Known limits: a 3-part column qualifier
+    ``ns.name.col`` is not re-qualified (use the table alias), and
+    ``extract(x FROM col)``-style positions rewrite iff
+    ``current_db.col`` is itself a registered table.
 
     Used by the router in manifest-authority mode, where a session-
     catalog EXTERNAL table cannot exist (a directory scan would include
@@ -209,47 +233,141 @@ def resolve_keyed_dotted_names(
     membership-aware path and are re-registered on every DML, so each
     statement resolves the CURRENT generation's manifest listing.
     Driver-side O(statement length), zero storage ops."""
-    def one_pass(s: str, regex, ns_of) -> str:
-        spans = _nonsql_spans(s)
+    spans = _nonsql_spans(stmt)
 
-        def masked(pos: int) -> bool:
-            return any(a <= pos < b for a, b in spans)
+    # tokenize each UNMASKED segment independently — running the token
+    # regex over the whole string would let a backtick inside a string
+    # literal pair with a later real backtick and swallow everything
+    # between them as one bogus identifier token
+    class _Tok:
+        __slots__ = ("text", "a", "b")
 
-        out: list[str] = []
-        last = 0
-        for m in regex.finditer(s):
-            if masked(m.start()):
+        def __init__(self, text, a, b):
+            self.text, self.a, self.b = text, a, b
+
+        def group(self, _=0):
+            return self.text
+
+        def start(self):
+            return self.a
+
+        def end(self):
+            return self.b
+
+    toks: list[_Tok] = []
+    seg_start = 0
+    for a, b in sorted(spans) + [(len(stmt), len(stmt))]:
+        for m in _TOKEN_RE.finditer(stmt, seg_start, a):
+            toks.append(_Tok(m.group(0), m.start(), m.end()))
+        seg_start = max(seg_start, b)
+
+    def kind(m) -> str:
+        t = m.group(0)
+        if t.startswith("`"):
+            return "tick"
+        if t[0].isalpha() or t[0] == "_":
+            return "word"
+        return t  # single punctuation char
+
+    edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
+    from_open = [False]  # per paren depth: inside an open FROM list?
+    expect_table = False
+    # aliasing the rewrite (`view` AS `name`) is only valid grammar in
+    # RELATION positions (FROM/JOIN/USING/comma), not after INTO/TABLE/
+    # DESCRIBE — there the bare view name stands alone
+    alias_pos = False
+    i = 0
+    while i < len(toks):
+        m = toks[i]
+        k = kind(m)
+        if k == "(":
+            from_open.append(False)
+            expect_table = False
+        elif k == ")":
+            if len(from_open) > 1:
+                from_open.pop()
+        elif k == ",":
+            expect_table = from_open[-1]
+            alias_pos = True
+        elif k == "word" and m.group(0).lower() in _TABLE_POS_KW:
+            kw = m.group(0).lower()
+            if kw == "from":
+                from_open[-1] = True
+            expect_table = True
+            alias_pos = kw in ("from", "join", "using")
+        elif k == "word" and m.group(0).lower() in _FROM_END_KW:
+            from_open[-1] = False
+            expect_table = False
+        elif expect_table and k in ("word", "tick"):
+            # modifier words between the keyword and the table ref
+            # (DESCRIBE EXTENDED t, INSERT INTO TABLE IF NOT EXISTS …)
+            # keep table position open — unless the word IS a resolvable
+            # bare table or starts a dotted chain
+            if (
+                k == "word"
+                and m.group(0).lower()
+                in ("extended", "formatted", "if", "not", "exists")
+                and not (
+                    i + 1 < len(toks) and kind(toks[i + 1]) == "."
+                )
+                and not (current_db and is_keyed(current_db, m.group(0)))
+            ):
+                i += 1
                 continue
-            ns = ns_of(m)
-            name = _unquote(m.group("name"))
-            if ns is None or not is_keyed(ns, name):
+            # consume the dotted identifier chain
+            parts = [m]
+            j = i + 1
+            while (
+                j + 1 < len(toks)
+                and kind(toks[j]) == "."
+                and kind(toks[j + 1]) in ("word", "tick")
+            ):
+                parts.append(toks[j + 1])
+                j += 2
+            nxt = toks[j] if j < len(toks) else None
+            expect_table = False
+            if nxt is not None and kind(nxt) == "(":
+                i = j  # table-valued function call, not a table ref
                 continue
-            out.append(s[last : m.start()])
-            out.append(f"`{view_of(ns, name)}`")
-            last = m.end()
-        out.append(s[last:])
-        return "".join(out)
+            names = [_unquote(p.group(0)) for p in parts]
+            pair = None
+            if len(names) == 1 and current_db:
+                pair = (current_db, names[0])
+            elif len(names) == 2:
+                pair = (names[0], names[1])
+            elif len(names) == 3 and names[0].lower() == "spark_catalog":
+                pair = (names[1], names[2])
+            if pair is not None and is_keyed(*pair):
+                rep = f"`{view_of(*pair)}`"
+                # no explicit alias written → append one so `name.col`
+                # qualifiers keep resolving against the rewrite
+                has_alias = nxt is not None and (
+                    kind(nxt) == "tick"
+                    or (
+                        kind(nxt) == "word"
+                        and (
+                            nxt.group(0).lower() == "as"
+                            or nxt.group(0).lower() not in _NOT_AN_ALIAS_KW
+                        )
+                    )
+                )
+                if alias_pos and not has_alias:
+                    rep += f" AS `{pair[1]}`"
+                edits.append((parts[0].start(), parts[-1].end(), rep))
+            i = j
+            continue
+        i += 1
 
-    stmt = one_pass(stmt, _DOTTED_REF_RE, lambda m: _unquote(m.group("ns")))
-    if current_db:
-        # keep the FROM/JOIN/TABLE keyword; rewrite the name only
-        def bare_sub(s: str) -> str:
-            spans = _nonsql_spans(s)
-            out, last = [], 0
-            for m in _BARE_REF_RE.finditer(s):
-                if any(a <= m.start() < b for a, b in spans):
-                    continue
-                name = _unquote(m.group("name"))
-                if not is_keyed(current_db, name):
-                    continue
-                out.append(s[last : m.start("name")])
-                out.append(f"`{view_of(current_db, name)}`")
-                last = m.end("name")
-            out.append(s[last:])
-            return "".join(out)
-
-        stmt = bare_sub(stmt)
-    return stmt
+    if not edits:
+        return stmt
+    out: list[str] = []
+    last = 0
+    for a, b, rep in edits:
+        out.append(stmt[last:a])
+        out.append(rep)
+        last = b
+    out.append(stmt[last:])
+    return "".join(out)
 
 
 def _split_at_top_level_where(s: str) -> tuple[str, str | None]:

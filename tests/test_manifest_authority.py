@@ -492,12 +492,17 @@ def test_failed_swap_leaves_membership_and_content_intact(store, spark):
 def test_corrupt_main_manifest_is_fatal_to_membership(tmp_path):
     """Authority must never LOSE files: if the MAIN ``_spans.json``
     exists but cannot be parsed, its base members are unrecoverable
-    from append sidecars, so ``_load_span_membership`` returns ``None``
-    (physical-listing fallback) instead of silently shrinking
-    membership to whatever sidecars parse.  The tolerant skip remains
-    for SIDECARS only (deleted mid-merge: rename-before-unlink means
-    their entries live in the merged manifest)."""
+    from append sidecars AND the physical listing would drop carried
+    refs / admit strays — so ``_load_span_membership`` raises
+    ``CorruptSpanManifestError`` (loud, with remediation) rather than
+    silently shrinking membership either way.  The tolerant skip
+    remains for SIDECARS only (deleted mid-merge: rename-before-unlink
+    means their entries live in the merged manifest)."""
     import json
+
+    from spark_sql_hbase_spark.sources.keyed_parquet import (
+        CorruptSpanManifestError,
+    )
 
     gen = tmp_path / "gen"
     gen.mkdir()
@@ -518,12 +523,14 @@ def test_corrupt_main_manifest_is_fatal_to_membership(tmp_path):
     side.write_text("{corrupt")
     m = KeyedTableStore._load_span_membership(str(gen))
     assert m is not None and m[0] == {"a.parquet", "b.parquet"}
-    # an unreadable MAIN manifest is fatal: None, never sidecar-only
+    # an unreadable MAIN manifest refuses loudly: never sidecar-only
+    # membership, never a silent physical-listing fallback
     side.write_text(
         json.dumps({"version": 1, "files": {}, "listing": ["c.parquet"]})
     )
     main.write_text("{corrupt")
-    assert KeyedTableStore._load_span_membership(str(gen)) is None
+    with pytest.raises(CorruptSpanManifestError, match="unreadable main"):
+        KeyedTableStore._load_span_membership(str(gen))
 
 
 def test_datasource_missing_manifest_member_fails_loudly(store, spark):
@@ -588,6 +595,10 @@ def test_dot_qualified_sql_select_insert_readback(spark, tmp_path_factory):
         os.path.join(path + ".stray", stray),
         os.path.join(path, "part-stray-deadbeef.parquet"),
     )
+    # re-register the view AFTER the stray lands — a directory-listing
+    # membership regression would now show it (the view's pinned file
+    # list from the upsert-time refresh could never see it otherwise)
+    sess.store.refresh("ma.dq")
     got = {
         (r["row_key"], r["cf:v"])
         for r in sess.sql(
@@ -674,3 +685,38 @@ def test_ctas_from_dotted_source_resolves(spark, tmp_path_factory):
         for r in sess.sql("SELECT * FROM ma.dst").collect()
     }
     assert got == {("k2", 2), ("k3", 3)}
+
+
+def test_dotted_resolution_keeps_qualified_column_refs(spark, tmp_path_factory):
+    """Review r11: rewriting `FROM ns.t` must keep `t.col` (and alias)
+    qualifiers resolving — the rewrite aliases the view back to the
+    table name, so statements valid in POSIX mode stay valid here."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(
+        spark=spark,
+        warehouse_dir=str(tmp_path_factory.mktemp("ma_qual")),
+        manifest_authority=True,
+    )
+    sess.sql("CREATE TABLE ma.q (row_key STRING, `cf:v` BIGINT) USING keyed")
+    sess.sql("INSERT INTO ma.q VALUES ('k1', 1), ('k2', 2)")
+    # bare-table-name qualifier on the columns
+    rows = sess.sql(
+        "SELECT q.row_key, q.`cf:v` FROM ma.q WHERE q.`cf:v` > 1"
+    ).collect()
+    assert [(r["row_key"], r["cf:v"]) for r in rows] == [("k2", 2)]
+    # self-join with explicit aliases; comma-FROM list under USE ns
+    n = sess.sql(
+        "SELECT COUNT(*) AS n FROM ma.q a JOIN ma.q b "
+        "ON a.row_key = b.row_key WHERE a.`cf:v` = b.`cf:v`"
+    ).collect()[0]["n"]
+    assert n == 2
+    prev = spark.catalog.currentDatabase()
+    try:
+        sess.sql("USE ma")
+        m = sess.sql(
+            "SELECT COUNT(*) AS n FROM q x, q y WHERE x.row_key = y.row_key"
+        ).collect()[0]["n"]
+        assert m == 2
+    finally:
+        spark.catalog.setCurrentDatabase(prev)

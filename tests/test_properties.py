@@ -2275,9 +2275,11 @@ def resolver_case(draw):
     ns = draw(_name_frag)
     tbl = draw(_name_frag)
     other_ns = draw(_name_frag.filter(lambda s: s != ns))
+    # no backslash: Spark's lexer treats it as an escape, so a literal
+    # ending in a lone backslash is UNTERMINATED — not a resolver input
     lit = draw(
         st.text(
-            alphabet="abc.xyz `/*-'\"\\", min_size=0, max_size=12
+            alphabet="abc.xyz `/*-'\"", min_size=0, max_size=12
         ).map(lambda s: s.replace("'", "''"))
     )
     return ns, tbl, other_ns, lit
@@ -2306,13 +2308,65 @@ def test_resolver_rewrites_identifiers_never_literals(case):
     assert f"'{lit}'" in out
     assert f"/* {ns}.{tbl} */" in out
     assert f"-- trailing {ns}.{tbl}\n" in out
-    # (2) the registered FROM reference resolved
-    assert f"FROM `{view}`" in out
+    # (2) the registered FROM reference resolved, aliased back to the
+    # table name so qualified column refs keep working
+    assert f"FROM `{view}` AS `{tbl}`" in out
     # (3) the non-registered pair is untouched
     assert f"JOIN {other_ns}.{tbl} " in out
-    # column-qualifier 3-part form (`ns`.`tbl`.y) is a dotted chain —
-    # never rewritten (it is not a 2-part table reference)
+    # a qualified column reference is NOT a table position — untouched
+    # even though it names the registered pair
     assert f"`{ns}`.`{tbl}`.y" in out
+
+
+def test_resolver_table_position_only():
+    from spark_sql_hbase_spark.sqlfront import resolve_keyed_dotted_names
+
+    is_keyed = lambda a, b: (a, b) in {("ma", "dq"), ("ma", "t2")}
+    view = lambda a, b: f"{a}__{b}"
+    # review finding: qualified column refs must keep resolving — the
+    # rewrite aliases the view back to the bare table name
+    out = resolve_keyed_dotted_names(
+        "SELECT dq.row_key FROM ma.dq WHERE dq.v > 0", is_keyed, view
+    )
+    assert out == (
+        "SELECT dq.row_key FROM `ma__dq` AS `dq` WHERE dq.v > 0"
+    )
+    # review finding: an alias colliding with a registered pair in a
+    # non-table position must NOT rewrite
+    out = resolve_keyed_dotted_names("SELECT ma.dq FROM other ma", is_keyed, view)
+    assert out == "SELECT ma.dq FROM other ma"
+    # review finding: comma-separated FROM lists resolve every member
+    out = resolve_keyed_dotted_names(
+        "SELECT * FROM dq, t2 WHERE dq.x = t2.x",
+        is_keyed, view, current_db="ma",
+    )
+    assert out == (
+        "SELECT * FROM `ma__dq` AS `dq`, `ma__t2` AS `t2` "
+        "WHERE dq.x = t2.x"
+    )
+    # explicit aliases are preserved, no AS appended
+    out = resolve_keyed_dotted_names(
+        "SELECT a.x FROM ma.dq a JOIN ma.t2 AS b USING (x)", is_keyed, view
+    )
+    assert out == "SELECT a.x FROM `ma__dq` a JOIN `ma__t2` AS b USING (x)"
+    # spark_catalog 3-part form resolves; 3-part with another catalog not
+    out = resolve_keyed_dotted_names(
+        "SELECT * FROM spark_catalog.ma.dq", is_keyed, view
+    )
+    assert out == "SELECT * FROM `ma__dq` AS `dq`"
+    out = resolve_keyed_dotted_names("SELECT * FROM othercat.ma.dq", is_keyed, view)
+    assert out == "SELECT * FROM othercat.ma.dq"
+    # TVFs after FROM are not table refs
+    out = resolve_keyed_dotted_names(
+        "SELECT * FROM range(10)", is_keyed, view, current_db="ma"
+    )
+    assert out == "SELECT * FROM range(10)"
+    # DESCRIBE modifiers keep table position open; command positions
+    # (DESCRIBE/TABLE/INTO) never take the alias — it would be invalid
+    out = resolve_keyed_dotted_names("DESCRIBE EXTENDED ma.dq", is_keyed, view)
+    assert out == "DESCRIBE EXTENDED `ma__dq`"
+    out = resolve_keyed_dotted_names("CACHE TABLE ma.dq", is_keyed, view)
+    assert out == "CACHE TABLE `ma__dq`"
 
 
 def test_resolver_bare_name_needs_table_position():
@@ -2325,4 +2379,4 @@ def test_resolver_bare_name_needs_table_position():
         current_db="db",
     )
     # only the FROM position resolves; the column/function uses survive
-    assert out == "SELECT t FROM `db__t` WHERE t > 0 AND f(t) = t"
+    assert out == "SELECT t FROM `db__t` AS `t` WHERE t > 0 AND f(t) = t"
