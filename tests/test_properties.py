@@ -2367,6 +2367,20 @@ def test_resolver_table_position_only():
     assert out == "DESCRIBE EXTENDED `ma__dq`"
     out = resolve_keyed_dotted_names("CACHE TABLE ma.dq", is_keyed, view)
     assert out == "CACHE TABLE `ma__dq`"
+    # a comma AFTER a join's ON expression re-enters the FROM list
+    out = resolve_keyed_dotted_names(
+        "SELECT * FROM ma.dq t1 LEFT JOIN ma.t2 ON t1.k = t2.k, ma.t2 z",
+        is_keyed, view,
+    )
+    assert out == (
+        "SELECT * FROM `ma__dq` t1 LEFT JOIN `ma__t2` AS `t2` "
+        "ON t1.k = t2.k, `ma__t2` z"
+    )
+    # subqueries resolve at their own depth; outer refs unaffected
+    out = resolve_keyed_dotted_names(
+        "WITH c AS (SELECT * FROM ma.dq) SELECT * FROM c", is_keyed, view
+    )
+    assert out == "WITH c AS (SELECT * FROM `ma__dq` AS `dq`) SELECT * FROM c"
 
 
 def test_resolver_bare_name_needs_table_position():
