@@ -149,16 +149,19 @@ _FROM_END_KW = frozenset(
     {
         "where", "group", "having", "order", "limit", "window", "union",
         "except", "intersect", "select", "qualify", "values", "set",
-        "when", "lateral",
+        "when", "lateral", "sort", "distribute", "cluster",
     }
 )
 # bare words after a table reference that mean NO explicit alias was
-# written (so the rewrite must append one to keep `name.col` resolving)
+# written (so the rewrite must append one to keep `name.col` resolving).
+# TABLESAMPLE and FOR (temporal clause) are deliberately NOT here:
+# Spark's grammar puts them BEFORE the alias, so appending `AS x` ahead
+# of them would be a parse error — the rewrite leaves those references
+# un-aliased instead (qualify columns via an explicit alias if needed)
 _NOT_AN_ALIAS_KW = _TABLE_POS_KW | _FROM_END_KW | frozenset(
     {
         "on", "left", "right", "inner", "outer", "full", "cross",
-        "natural", "semi", "anti", "tablesample", "pivot", "unpivot",
-        "for",
+        "natural", "semi", "anti", "pivot", "unpivot",
     }
 )
 
@@ -276,10 +279,13 @@ def resolve_keyed_dotted_names(
     # RELATION positions (FROM/JOIN/USING/comma), not after INTO/TABLE/
     # DESCRIBE — there the bare view name stands alone
     alias_pos = False
+    saw_merge = False
     i = 0
     while i < len(toks):
         m = toks[i]
         k = kind(m)
+        if k == "word" and m.group(0).lower() == "merge":
+            saw_merge = True
         if k == "(":
             from_open.append(False)
             expect_table = False
@@ -291,10 +297,17 @@ def resolve_keyed_dotted_names(
             alias_pos = True
         elif k == "word" and m.group(0).lower() in _TABLE_POS_KW:
             kw = m.group(0).lower()
-            if kw == "from":
-                from_open[-1] = True
-            expect_table = True
-            alias_pos = kw in ("from", "join", "using")
+            if kw == "using" and not saw_merge:
+                # USING names a table only in MERGE (JOIN's USING is
+                # followed by '(' and clears position anyway); in a
+                # fall-through CREATE ... USING <format> the next word
+                # is a datasource format, never a table reference
+                expect_table = False
+            else:
+                if kw == "from":
+                    from_open[-1] = True
+                expect_table = True
+                alias_pos = kw in ("from", "join", "using")
         elif k == "word" and m.group(0).lower() in _FROM_END_KW:
             from_open[-1] = False
             expect_table = False
@@ -337,6 +350,16 @@ def resolve_keyed_dotted_names(
                 pair = (names[0], names[1])
             elif len(names) == 3 and names[0].lower() == "spark_catalog":
                 pair = (names[1], names[2])
+            chain_straddles_mask = any(
+                parts[0].start() < a < parts[-1].end() for a, b in spans
+            )
+            if chain_straddles_mask:
+                # a comment interposed INSIDE the dotted chain
+                # (`ns /* hint */ .name`): rewriting would delete the
+                # comment bytes, violating the never-rewrite property —
+                # leave the pathological chain untouched
+                i = j
+                continue
             if pair is not None and is_keyed(*pair):
                 rep = f"`{view_of(*pair)}`"
                 # no explicit alias written → append one so `name.col`
@@ -722,7 +745,19 @@ class KeyedSqlRouter:
                     raise ValueError(
                         "MERGE over keyed tables supports ON row_key only"
                     )
-                src_df = self.spark.table(self._resolve(m.group("src")))
+                # the source is a bare table fragment, not a statement —
+                # resolve it directly (the position-based resolver needs
+                # a FROM/USING context a fragment doesn't carry)
+                src = m.group("src")
+                if getattr(self.store, "manifest_authority", False):
+                    sns, sname = _split_qualified(src, self.spark)
+                    if self._is_keyed(sns, sname):
+                        src = "`{}`".format(
+                            self.store._view_name(
+                                self.store.registry.get(f"{sns}.{sname}")
+                            )
+                        )
+                src_df = self.spark.table(src)
                 self.store.upsert(f"{ns}.{name}", src_df)
                 return self.spark.sql("SELECT 1 WHERE 1=0")
         elif re.match(r"^\s*merge\b", stmt, re.IGNORECASE):

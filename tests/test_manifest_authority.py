@@ -720,3 +720,31 @@ def test_dotted_resolution_keeps_qualified_column_refs(spark, tmp_path_factory):
         assert m == 2
     finally:
         spark.catalog.setCurrentDatabase(prev)
+
+
+def test_merge_with_dotted_source_resolves(spark, tmp_path_factory):
+    """Review r11 round 2: MERGE INTO ... USING ns.src — the source is
+    a bare fragment the position-based resolver can't see, so the MERGE
+    handler resolves it directly; both target and source are keyed
+    manifest-mode tables here."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(
+        spark=spark,
+        warehouse_dir=str(tmp_path_factory.mktemp("ma_merge")),
+        manifest_authority=True,
+    )
+    sess.sql("CREATE TABLE ma.mt (row_key STRING, `cf:v` BIGINT) USING keyed")
+    sess.sql("INSERT INTO ma.mt VALUES ('k1', 1), ('k2', 2)")
+    sess.sql("CREATE TABLE ma.ms (row_key STRING, `cf:v` BIGINT) USING keyed")
+    sess.sql("INSERT INTO ma.ms VALUES ('k2', 22), ('k3', 33)")
+    sess.sql(
+        "MERGE INTO ma.mt USING ma.ms ON row_key "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {
+        (r["row_key"], r["cf:v"])
+        for r in sess.sql("SELECT * FROM ma.mt").collect()
+    }
+    assert got == {("k1", 1), ("k2", 22), ("k3", 33)}

@@ -2381,6 +2381,35 @@ def test_resolver_table_position_only():
         "WITH c AS (SELECT * FROM ma.dq) SELECT * FROM c", is_keyed, view
     )
     assert out == "WITH c AS (SELECT * FROM `ma__dq` AS `dq`) SELECT * FROM c"
+    # review r11 round 2: TABLESAMPLE/FOR precede the alias slot in the
+    # grammar — the rewrite must NOT inject AS ahead of them
+    out = resolve_keyed_dotted_names(
+        "SELECT * FROM ma.dq TABLESAMPLE (10 PERCENT)", is_keyed, view
+    )
+    assert out == "SELECT * FROM `ma__dq` TABLESAMPLE (10 PERCENT)"
+    # SORT/DISTRIBUTE/CLUSTER BY end the FROM list: their commas are
+    # expression separators, never table refs
+    out = resolve_keyed_dotted_names(
+        "SELECT * FROM dq SORT BY a, t2",
+        is_keyed, view, current_db="ma",
+    )
+    assert out == "SELECT * FROM `ma__dq` AS `dq` SORT BY a, t2"
+    # a comment interposed inside a dotted chain is never deleted
+    stmt = "SELECT * FROM ma /* keep me */ .dq"
+    assert resolve_keyed_dotted_names(stmt, is_keyed, view) == stmt
+    # CREATE ... USING <format> on the fall-through path: the format
+    # word is not a table reference even if a table shares its name
+    out = resolve_keyed_dotted_names(
+        "CREATE TABLE t2x (x INT) USING dq",
+        is_keyed, view, current_db="ma",
+    )
+    assert out == "CREATE TABLE t2x (x INT) USING dq"
+    # ...but MERGE's USING source still resolves
+    out = resolve_keyed_dotted_names(
+        "MERGE INTO other USING ma.dq ON k WHEN MATCHED THEN UPDATE SET *",
+        is_keyed, view,
+    )
+    assert "USING `ma__dq`" in out
 
 
 def test_resolver_bare_name_needs_table_position():
