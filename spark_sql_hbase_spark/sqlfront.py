@@ -223,8 +223,10 @@ def resolve_keyed_dotted_names(
     paren-depth-aware token scan, so a SELECT-list or ON-clause
     expression like ``alias.col`` is never rewritten even when it
     textually collides with a registered pair, and string literals /
-    comments never rewrite.  Known limits: a 3-part column qualifier
-    ``ns.name.col`` is not re-qualified (use the table alias), and
+    comments never rewrite.  A second pass re-qualifies db-qualified
+    COLUMN references (``ns.name.col``, ``ns.name.*``) of relations the
+    first pass rewrote to the relation's alias, so every POSIX-valid
+    qualifier shape keeps resolving.  Known limit:
     ``extract(x FROM col)``-style positions rewrite iff
     ``current_db.col`` is itself a registered table.
 
@@ -280,6 +282,7 @@ def resolve_keyed_dotted_names(
     # DESCRIBE — there the bare view name stands alone
     alias_pos = False
     saw_merge = False
+    pairs_rewritten: set = set()
     i = 0
     while i < len(toks):
         m = toks[i]
@@ -377,15 +380,60 @@ def resolve_keyed_dotted_names(
                 if alias_pos and not has_alias:
                     rep += f" AS `{pair[1]}`"
                 edits.append((parts[0].start(), parts[-1].end(), rep))
+                pairs_rewritten.add(pair)
             i = j
             continue
         i += 1
 
     if not edits:
         return stmt
+
+    # second pass: db-qualified COLUMN references (`ns.name.col`,
+    # `spark_catalog.ns.name.col`, `ns.name.*`) of relations the first
+    # pass rewrote re-qualify to the relation's alias (`name`.col) —
+    # valid POSIX statements stay valid here.  Only pairs actually
+    # rewritten as relations in THIS statement participate, so an
+    # unrelated alias.column chain can never misfire.
+    def q_edit(i0: int, n_parts: int, pair: tuple) -> None:
+        a = toks[i0].start()
+        b = toks[i0 + 2 * (n_parts - 1)].end()
+        if any(not (y <= a or b <= x) for x, y, _ in edits):
+            return  # already inside a relation rewrite
+        edits.append((a, b, f"`{pair[1]}`"))
+
+    for i0 in range(len(toks)):
+        if kind(toks[i0]) not in ("word", "tick"):
+            continue
+        if i0 > 0 and kind(toks[i0 - 1]) == ".":
+            continue  # middle of a longer chain
+        # ns . name . <col-or-*>
+        if (
+            i0 + 3 < len(toks)
+            and kind(toks[i0 + 1]) == "."
+            and kind(toks[i0 + 2]) in ("word", "tick")
+            and kind(toks[i0 + 3]) == "."
+        ):
+            pair = (
+                _unquote(toks[i0].group(0)),
+                _unquote(toks[i0 + 2].group(0)),
+            )
+            if pair in pairs_rewritten:
+                q_edit(i0, 2, pair)
+                continue
+            # spark_catalog . ns . name . <col>
+            if (
+                pair[0].lower() == "spark_catalog"
+                and i0 + 5 < len(toks)
+                and kind(toks[i0 + 4]) in ("word", "tick")
+                and kind(toks[i0 + 5]) == "."
+            ):
+                pair3 = (pair[1], _unquote(toks[i0 + 4].group(0)))
+                if pair3 in pairs_rewritten:
+                    q_edit(i0, 3, pair3)
+
     out: list[str] = []
     last = 0
-    for a, b, rep in edits:
+    for a, b, rep in sorted(edits):
         out.append(stmt[last:a])
         out.append(rep)
         last = b

@@ -748,3 +748,23 @@ def test_merge_with_dotted_source_resolves(spark, tmp_path_factory):
         for r in sess.sql("SELECT * FROM ma.mt").collect()
     }
     assert got == {("k1", 1), ("k2", 22), ("k3", 33)}
+
+
+def test_db_qualified_column_refs_resolve(spark, tmp_path_factory):
+    """Review r11 follow-through: `ns.name.col` column qualifiers —
+    valid POSIX SQL — re-qualify to the relation alias in manifest
+    mode, end to end."""
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(
+        spark=spark,
+        warehouse_dir=str(tmp_path_factory.mktemp("ma_dbq")),
+        manifest_authority=True,
+    )
+    sess.sql("CREATE TABLE ma.dbq (row_key STRING, `cf:v` BIGINT) USING keyed")
+    sess.sql("INSERT INTO ma.dbq VALUES ('k1', 1), ('k2', 2)")
+    rows = sess.sql(
+        "SELECT ma.dbq.row_key, ma.dbq.`cf:v` FROM ma.dbq "
+        "WHERE ma.dbq.`cf:v` > 1"
+    ).collect()
+    assert [(r["row_key"], r["cf:v"]) for r in rows] == [("k2", 2)]

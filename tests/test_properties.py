@@ -2313,9 +2313,10 @@ def test_resolver_rewrites_identifiers_never_literals(case):
     assert f"FROM `{view}` AS `{tbl}`" in out
     # (3) the non-registered pair is untouched
     assert f"JOIN {other_ns}.{tbl} " in out
-    # a qualified column reference is NOT a table position — untouched
-    # even though it names the registered pair
-    assert f"`{ns}`.`{tbl}`.y" in out
+    # a db-qualified column reference of the rewritten relation
+    # re-qualifies to the relation alias (never to the view's columns
+    # of some unrelated chain)
+    assert f"WHERE y = `{tbl}`.y" in out
 
 
 def test_resolver_table_position_only():
@@ -2410,6 +2411,20 @@ def test_resolver_table_position_only():
         is_keyed, view,
     )
     assert "USING `ma__dq`" in out
+    # db-qualified COLUMN refs of a rewritten relation re-qualify to
+    # the alias — every POSIX-valid qualifier shape keeps resolving
+    out = resolve_keyed_dotted_names(
+        "SELECT ma.dq.*, ma.dq.v FROM ma.dq WHERE ma.dq.v > 1",
+        is_keyed, view,
+    )
+    assert out == (
+        "SELECT `dq`.*, `dq`.v FROM `ma__dq` AS `dq` WHERE `dq`.v > 1"
+    )
+    # ...only for pairs rewritten as relations IN THIS statement
+    out = resolve_keyed_dotted_names(
+        "SELECT ma.t2.v FROM ma.dq", is_keyed, view
+    )
+    assert out == "SELECT ma.t2.v FROM `ma__dq` AS `dq`"
 
 
 def test_resolver_bare_name_needs_table_position():
