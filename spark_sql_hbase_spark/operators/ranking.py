@@ -678,3 +678,123 @@ def surprisal_buckets(
     return s.crossJoin(F.broadcast(b)).select(
         "id", "n_tokens", "surprisal", bucket.alias("bucket")
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    min_df: int = 2,
+    max_df: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity above ``threshold`` via an
+    inverted-index self-join — the lexical-vector near-dup tier between
+    shingle Jaccard (surface overlap) and embedding cosine (semantic):
+    two docs score high when they share RARE vocabulary, not boilerplate.
+
+    Weighting is the smoothed-idf convention
+    ``w(t,d) = tf(t,d) · (ln((1+N)/(1+df(t))) + 1)`` with per-doc L2
+    normalization over the kept terms, so the pair score is a true
+    cosine in [0, 1].
+
+    Emits ``(id_a, id_b, cos_sim, n_shared)`` with id_a < id_b.
+
+    Plan shape (scales to 100 TB): ONE corpus scan builds the (doc,
+    term, tf) aggregate (cached — four consumers: N, df, weights,
+    norms); everything else operates on vocabulary-bounded relations.
+    The pair join is the posting-list self-join — per-term cost is
+    df(t)², so the ``max_df`` cap is the scale lever: it drops
+    stopword-grade terms whose posting lists would go quadratic (they
+    carry ~zero idf weight anyway), exactly the band-size cap
+    discipline of the LSH joins.  ``min_df=2`` is free pruning: a
+    term in one doc cannot produce a pair.  Determinism: ln + final
+    ROUND (the bm25 driver-green precedent)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("tok"),
+    )
+    tf = (
+        toks.select("id", F.explode("tok").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    n_docs = tf.agg(F.countDistinct("id").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf")
+            * (F.log((1.0 + F.col("n_docs")) / (1 + F.col("df"))) + 1.0),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wn = w.join(norms, "id").select(
+        "id", "term", (F.col("w") / F.col("nrm")).alias("wn")
+    )
+    a = wn.select(
+        F.col("id").alias("id_a"), F.col("term").alias("term"), F.col("wn").alias("wa")
+    )
+    b = wn.select(
+        F.col("id").alias("id_b"), F.col("term").alias("term"), F.col("wn").alias("wb")
+    )
+    return (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.round(F.sum(F.col("wa") * F.col("wb")), round_to).alias("cos_sim"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def tfidf_cosine_sql(
+    table: str,
+    id_expr: str,
+    tokens_expr: str,
+    threshold: float = 0.3,
+    min_df: int = 2,
+    max_df: int | None = None,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`tfidf_cosine_pairs` (oracle generator)."""
+    cap = f"AND COUNT(DISTINCT id) <= {max_df}" if max_df is not None else ""
+    return f"""
+    WITH __tok AS (
+        SELECT {id_expr} AS id, {tokens_expr} AS tok FROM {table}
+    ), __tf AS (
+        SELECT id, term, COUNT(*) AS tf
+        FROM (SELECT id, unnest(tok) AS term FROM __tok)
+        GROUP BY 1, 2
+    ), __n AS (
+        SELECT COUNT(DISTINCT id) AS n_docs FROM __tf
+    ), __df AS (
+        SELECT term, COUNT(DISTINCT id) AS df FROM __tf
+        GROUP BY 1
+        HAVING COUNT(DISTINCT id) >= {min_df} {cap}
+    ), __w AS (
+        SELECT id, term,
+               tf * (ln((1.0 + n_docs) / (1 + df)) + 1.0) AS w
+        FROM __tf JOIN __df USING (term), __n
+    ), __nrm AS (
+        SELECT id, sqrt(SUM(w * w)) AS nrm FROM __w GROUP BY 1
+    ), __wn AS (
+        SELECT id, term, w / nrm AS wn FROM __w JOIN __nrm USING (id)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(SUM(a.wn * b.wn), {round_to}) AS cos_sim,
+           COUNT(*) AS n_shared
+    FROM __wn a JOIN __wn b ON a.term = b.term AND a.id < b.id
+    GROUP BY 1, 2
+    HAVING ROUND(SUM(a.wn * b.wn), {round_to}) >= {threshold}
+    """

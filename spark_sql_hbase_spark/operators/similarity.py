@@ -1171,3 +1171,313 @@ def random_projection(
         )
         .drop("__ev", "__model")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the third quantizer tier next to PQ/IVFADC
+# ---------------------------------------------------------------------------
+def sq8_bounds(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-dimension (min, max) training bounds for scalar quantization,
+    as ONE row ``(lo: array<double>, hi: array<double>)`` — 2·dim agg
+    expressions over a single corpus scan, no explode, no collect; the
+    row broadcasts to every encoder task (the packed-model discipline).
+
+    At very high dim (≳4k) the 2·dim-expression aggregate bloats the
+    plan; switch to the posexplode→groupBy(pos) long format there — at
+    embedding dims this codegen shape is the fast path."""
+    return corpus.agg(
+        F.array(
+            *[F.min(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("lo"),
+        F.array(
+            *[F.max(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("hi"),
+    )
+
+
+def sq8_encode(vec: Column, lo: Column, hi: Column, levels: int = 256) -> Column:
+    """Quantize a float vector to per-dimension integer codes in
+    ``[0, levels-1]``: ``code = floor((x - lo) / (hi - lo) * levels)``
+    clamped (x == hi lands exactly on ``levels`` and clamps down);
+    degenerate dimensions (hi == lo) code to 0.
+
+    The arithmetic keeps the exact operation ORDER of the SQL twin
+    (divide, then scale) so the codes are bit-identical cross-engine —
+    everything downstream of encoding is integer math."""
+    b = F.zip_with(lo, hi, lambda l, h: F.struct(l.alias("l"), h.alias("h")))
+    return F.zip_with(
+        _to_double(vec),
+        b,
+        lambda x, s: F.when(s["h"] == s["l"], F.lit(0)).otherwise(
+            F.least(
+                F.lit(levels - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((x - s["l"]) / (s["h"] - s["l"]) * F.lit(levels)).cast(
+                        "int"
+                    ),
+                ),
+            )
+        ),
+    )
+
+
+def sq8_decode(code: Column, lo: Column, hi: Column, levels: int = 256) -> Column:
+    """Reconstruct the quantized vector from SQ8 codes:
+    ``x̂ = lo + (code + 0.5) · (hi − lo) / levels`` (bucket midpoint —
+    the FAISS ScalarQuantizer convention).  Operation order matches the
+    SQL twin exactly so reconstructions are bit-identical cross-engine."""
+    b = F.zip_with(lo, hi, lambda l, h: F.struct(l.alias("l"), h.alias("h")))
+    return F.zip_with(
+        code,
+        b,
+        lambda c, s: s["l"]
+        + (c.cast("double") + 0.5) * (s["h"] - s["l"]) / F.lit(levels),
+    )
+
+
+def sq8_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    levels: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k by inner product over SQ8 reconstructions — the
+    memory-bandwidth tier of ANN: the PERSISTED form is 1 byte/dimension
+    instead of 4 (a 100 TB float corpus scans as ~25 TB of codes);
+    scoring decodes each code to its bucket midpoint on the fly
+    (:func:`sq8_decode` — register-level multiply-add at scan time, the
+    FAISS ScalarQuantizer design) and ranks by the reconstructed dot
+    product.  Decode-then-score is REQUIRED for inner product: a raw
+    integer dot of codes is rank-broken by the affine shift
+    (Σ(ax+b)(ay+b) carries Σ(x+y) cross terms), measured at 0.06 recall
+    vs 0.98 for reconstruction scoring on the test embeddings.
+    PQ (pq_ann_topk) compresses harder; SQ8 keeps per-dimension
+    resolution and needs no codebook training beyond min/max bounds.
+
+    Plan shape: bounds = ONE broadcast row (never collected);
+    encode/decode are row-local ``zip_with``; queries quantize against
+    the SAME corpus bounds and broadcast; scoring is corpus-scan × |Q|
+    with a window top-k — exactly :func:`cosine_topk`'s shuffle-free
+    shape.  Scores round to ``round_to`` before ranking (tiebreak on
+    neighbor_id) so the cut is cross-engine stable."""
+    bounds = sq8_bounds(corpus, vec_col, len(corpus.select(vec_col).first()[0]))
+
+    def recon(df: DataFrame, name: str) -> DataFrame:
+        code = sq8_encode(F.col(vec_col), F.col("lo"), F.col("hi"), levels)
+        return df.crossJoin(F.broadcast(bounds)).select(
+            F.col(id_col).alias(name),
+            sq8_decode(code, F.col("lo"), F.col("hi"), levels).alias(
+                f"__{name}_rec"
+            ),
+        )
+
+    c = recon(corpus, "neighbor_id")
+    q = recon(queries, "query_id")
+    score = F.round(
+        dot(F.col("__query_id_rec"), F.col("__neighbor_id_rec")), round_to
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", score.alias("score"))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def sq8_ann_sql(
+    table: str,
+    id_expr: str,
+    vec_expr: str,
+    query_pred: str,
+    k: int,
+    dim: int,
+    levels: int = 256,
+) -> str:
+    """DuckDB twin of :func:`sq8_ann_topk` (oracle generator);
+    ``query_pred`` selects the query rows of ``table``."""
+    rng = f"range(1, {dim + 1})"
+    return f"""
+    WITH __v AS (
+        SELECT {id_expr} AS vid, {vec_expr}::DOUBLE[] AS ev FROM {table}
+    ), __b AS (
+        SELECT list(mn ORDER BY i) AS lo, list(mx ORDER BY i) AS hi
+        FROM (SELECT i, MIN(ev[i]) AS mn, MAX(ev[i]) AS mx
+              FROM __v, {rng} t(i) GROUP BY i)
+    ), __enc AS (
+        SELECT vid,
+               [CASE WHEN hi[i] = lo[i] THEN 0
+                     ELSE least({levels - 1}, greatest(0,
+                         CAST(floor((ev[i] - lo[i]) / (hi[i] - lo[i])
+                              * {levels}) AS INTEGER))) END
+                for i in {rng}] AS code
+        FROM __v, __b
+    ), __rec AS (
+        SELECT vid,
+               [lo[i] + (code[i] + 0.5) * (hi[i] - lo[i]) / {levels}
+                for i in {rng}] AS rec
+        FROM __enc, __b
+    ), __q AS (
+        SELECT vid AS query_id, rec AS qr FROM __rec
+        WHERE vid IN (SELECT {id_expr} AS vid FROM {table} WHERE {query_pred})
+    ), __s AS (
+        SELECT query_id, e.vid AS neighbor_id,
+               ROUND(list_sum([qr[i] * rec[i] for i in {rng}]), 6) AS score
+        FROM __rec e JOIN __q ON e.vid <> query_id
+    )
+    SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+          FROM __s)
+    WHERE rn <= {k}
+    """
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    z_threshold: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distribution-level embedding QA: distance of every vector from the
+    corpus mean vector, z-scored against the distance distribution —
+    the standard cheap screen for corrupted embeddings / out-of-domain
+    rows before they poison an ANN index or a contrastive batch.
+
+    Emits ``(id, dist, z, is_outlier)`` for every row; ``is_outlier``
+    compares the ROUNDED z-score to ``z_threshold`` so the flag is
+    cross-engine stable.
+
+    Plan shape (scales to 100 TB): two scans — one dim-bounded mean
+    aggregate (2·dim doubles in one row, broadcast back), one
+    distance pass whose scalar (mean, stddev) aggregate broadcasts back
+    for the row-local z-score.  No shuffle of vectors, no collect, no
+    UDF.  Intermediates round to ``round_to`` at each aggregate edge so
+    both engines z-score identical doubles."""
+    dim = len(df.select(vec_col).first()[0])
+    mu = df.agg(
+        F.array(
+            *[
+                F.round(F.avg(F.col(vec_col)[i].cast("double")), round_to)
+                for i in range(dim)
+            ]
+        ).alias("__mu")
+    )
+    d = df.crossJoin(F.broadcast(mu)).select(
+        F.col(id_col).alias("id"),
+        F.round(
+            F.sqrt(
+                F.round(
+                    squared_l2(_to_double(F.col(vec_col)), F.col("__mu")), round_to
+                )
+            ),
+            round_to,
+        ).alias("dist"),
+    )
+    stats = d.agg(
+        F.round(F.avg("dist"), round_to).alias("__m"),
+        F.round(F.stddev_pop("dist"), round_to).alias("__s"),
+    )
+    z = F.round((F.col("dist") - F.col("__m")) / F.col("__s"), 4)
+    return d.crossJoin(F.broadcast(stats)).select(
+        "id", "dist", z.alias("z"), (z >= F.lit(z_threshold)).alias("is_outlier")
+    )
+
+
+def embedding_outliers_sql(
+    table: str,
+    id_expr: str,
+    vec_expr: str,
+    dim: int,
+    z_threshold: float = 2.0,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`embedding_outliers` (oracle generator)."""
+    rng = f"range(1, {dim + 1})"
+    return f"""
+    WITH __v AS (
+        SELECT {id_expr} AS id, {vec_expr}::DOUBLE[] AS ev FROM {table}
+    ), __mu AS (
+        SELECT list(m ORDER BY i) AS mv
+        FROM (SELECT i, ROUND(AVG(ev[i]), {round_to}) AS m
+              FROM __v, {rng} t(i) GROUP BY i)
+    ), __d AS (
+        SELECT id,
+               ROUND(sqrt(ROUND(list_sum(
+                   [(ev[i] - mv[i]) ^ 2 for i in {rng}]), {round_to})),
+                   {round_to}) AS dist
+        FROM __v, __mu
+    ), __st AS (
+        SELECT ROUND(AVG(dist), {round_to}) AS m,
+               ROUND(stddev_pop(dist), {round_to}) AS s
+        FROM __d
+    )
+    SELECT id, dist,
+           ROUND((dist - m) / s, 4) AS z,
+           ROUND((dist - m) / s, 4) >= {z_threshold} AS is_outlier
+    FROM __d, __st
+    """
+
+
+def kmeans_sql(
+    table: str,
+    id_expr: str,
+    vec_expr: str,
+    k: int,
+    n_iter: int,
+    dim: int,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`kmeans` (oracle generator): ``n_iter``
+    chained Lloyd CTE blocks, each reproducing :func:`kmeans_step`'s
+    exact determinism contract — d2 rounded to ``round_to`` BEFORE the
+    argmin (tiebreak on cluster_id), centroids rounded to ``round_to``
+    between iterations.  Assumes no cluster empties mid-run (Spark keeps
+    the previous centroid there; with k ≪ n and real data the case never
+    triggers — asserted by the gate's unit test)."""
+    rng = f"range(1, {dim + 1})"
+    sql = f"""
+    WITH __v AS (
+        SELECT {id_expr} AS vid, {vec_expr}::DOUBLE[] AS ev FROM {table}
+    ), __c0 AS (
+        SELECT vid AS cluster_id, ev AS cv FROM __v
+        WHERE vid IN (SELECT vid FROM __v ORDER BY vid LIMIT {k})
+    )"""
+    for it in range(1, n_iter + 1):
+        prev = f"__c{it - 1}"
+        sql += f""", __d{it} AS (
+        SELECT vid, cluster_id,
+               ROUND(list_sum([(ev[i] - cv[i]) ^ 2 for i in {rng}]),
+                     {round_to}) AS d2
+        FROM __v, {prev}
+    ), __a{it} AS (
+        SELECT vid, cluster_id FROM (
+            SELECT vid, cluster_id, row_number() OVER (
+                PARTITION BY vid ORDER BY d2, cluster_id) AS rn
+            FROM __d{it})
+        WHERE rn = 1
+    )"""
+        if it < n_iter:
+            sql += f""", __c{it} AS (
+        SELECT cluster_id, list(m ORDER BY i) AS cv FROM (
+            SELECT cluster_id, i, ROUND(AVG(ev[i]), {round_to}) AS m
+            FROM __a{it} JOIN __v USING (vid), {rng} t(i)
+            GROUP BY 1, 2)
+        GROUP BY 1
+    )"""
+    sql += f"""
+    SELECT a.cluster_id,
+           CAST(t.i AS INTEGER) AS dim,
+           ROUND(AVG(ev[t.i]), {round_to}) AS centroid,
+           COUNT(*) AS n_members
+    FROM __a{n_iter} a JOIN __v USING (vid), {rng} t(i)
+    GROUP BY 1, 2
+    """
+    return sql

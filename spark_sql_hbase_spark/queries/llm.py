@@ -3791,3 +3791,116 @@ def zg15_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("t", start + 1, length), " ").alias("chunk"),
         length.cast("int").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zg35 — scalar-quantized (SQ8) ANN: the memory-bandwidth quantizer tier
+# next to PQ (zd47) / IVFADC (zd46) — 1 byte/dim codes from per-dimension
+# min/max bounds, integer-dot top-k (exact-integer scores, so ranking is
+# fully deterministic).  operators/similarity.py::sq8_ann_topk.
+# ---------------------------------------------------------------------------
+_SQ8_K = 10
+_SQ8_DIM = 64
+
+@register(
+    "zg35_sq8_ann",
+    oracle=None,  # bound below (generator needs the similarity import)
+    description="SQ8 scalar-quantized ANN: per-dim min/max bounds (one "
+    "broadcast row), 1-byte persisted codes, decode-and-score top-k "
+    "(FAISS ScalarQuantizer design), 4x scan-bandwidth reduction",
+)
+def zg35_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.sq8_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=_SQ8_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# zg36 — embedding distribution QA: centroid-distance z-score outlier
+# flags — the standard screen for corrupted / out-of-domain vectors
+# before they poison an index or a contrastive batch.
+# operators/similarity.py::embedding_outliers.
+# ---------------------------------------------------------------------------
+@register(
+    "zg36_embedding_outliers",
+    oracle=None,  # bound below
+    description="embedding outlier QA: distance-from-mean z-score, "
+    "rounded-flag determinism; two dim-bounded aggregates, no vector "
+    "shuffle",
+)
+def zg36_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.embedding_outliers(emb, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# zg37 — TF-IDF cosine near-dup pairs: the lexical-vector tier between
+# shingle Jaccard (zf01 surface overlap) and embedding cosine (z52
+# semantic) — pairs sharing RARE vocabulary score high, boilerplate
+# doesn't.  The max_df cap is the posting-list scale lever (stopword
+# terms would make the self-join quadratic).
+# operators/ranking.py::tfidf_cosine_pairs.
+# ---------------------------------------------------------------------------
+_TFIDF_T = 0.3
+_TFIDF_MAXDF = 100
+
+@register(
+    "zg37_tfidf_cosine",
+    oracle=None,  # bound below
+    description="TF-IDF cosine pairs via inverted-index self-join, "
+    "smoothed idf + L2 norm, df-capped posting lists",
+)
+def zg37_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.ranking import tfidf_cosine_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=_TFIDF_T, max_df=_TFIDF_MAXDF
+    )
+
+
+# ---------------------------------------------------------------------------
+# zg38 — iterated Lloyd k-means (3 full updates): the gate for the
+# multi-iteration trainer behind every IVF coarse quantizer (zd46/zg16
+# consume its centroids; zb12 gates ONE step — this gates the loop,
+# collected-state reseeding included).  operators/similarity.py::kmeans,
+# oracle from ::kmeans_sql (chained Lloyd CTE blocks, identical
+# round-before-argmin contract).
+# ---------------------------------------------------------------------------
+_KML_K = 8
+_KML_ITER = 3
+
+@register(
+    "zg38_kmeans_lloyd",
+    oracle=None,  # bound below
+    description="3-iteration Lloyd k-means: broadcast-assign + K·dim "
+    "aggregate per step, driver carries model state only",
+)
+def zg38_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.kmeans(emb, k=_KML_K, n_iter=_KML_ITER)
+
+
+def _bind_round11_oracles() -> None:
+    """The four round-11 oracle strings come from the operators' own SQL
+    generators (single source of truth for the determinism contract);
+    bind them after registration to keep the decorator blocks literal."""
+    from spark_sql_hbase_spark.operators.ranking import tfidf_cosine_sql
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zg35_sq8_ann"].oracle = similarity.sq8_ann_sql(
+        "embeddings", "vec_id", "embedding", "vec_id < 5", k=_SQ8_K, dim=_SQ8_DIM
+    )
+    REGISTRY["zg36_embedding_outliers"].oracle = similarity.embedding_outliers_sql(
+        "embeddings", "vec_id", "embedding", dim=_SQ8_DIM
+    )
+    REGISTRY["zg37_tfidf_cosine"].oracle = tfidf_cosine_sql(
+        "documents", "doc_id", _TOK, threshold=_TFIDF_T, max_df=_TFIDF_MAXDF
+    )
+    REGISTRY["zg38_kmeans_lloyd"].oracle = similarity.kmeans_sql(
+        "embeddings", "vec_id", "embedding", k=_KML_K, n_iter=_KML_ITER, dim=_SQ8_DIM
+    )
+
+
+_bind_round11_oracles()

@@ -2438,3 +2438,140 @@ def test_resolver_bare_name_needs_table_position():
     )
     # only the FROM position resolves; the column/function uses survive
     assert out == "SELECT t FROM `db__t` AS `t` WHERE t > 0 AND f(t) = t"
+
+
+# ---------------------------------------------------------------------------
+# Round 11: SQ8 quantizer / embedding outliers / TF-IDF cosine / Lloyd loop
+# ---------------------------------------------------------------------------
+def test_sq8_codes_bounded_and_degenerate_dim_zero(spark):
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import sq8_bounds, sq8_encode
+
+    rows = [
+        (1, [0.0, 5.0, -2.0]),
+        (2, [10.0, 5.0, 2.0]),
+        (3, [5.0, 5.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    enc = (
+        df.crossJoin(F.broadcast(sq8_bounds(df, "embedding", 3)))
+        .select(
+            "vec_id",
+            sq8_encode(F.col("embedding"), F.col("lo"), F.col("hi")).alias("code"),
+        )
+        .collect()
+    )
+    by_id = {r["vec_id"]: r["code"] for r in enc}
+    # dim 2 is constant (degenerate) -> code 0 everywhere
+    assert all(c[1] == 0 for c in by_id.values())
+    # extremes land on 0 / 255; everything in range
+    assert by_id[1][0] == 0 and by_id[2][0] == 255
+    assert by_id[1][2] == 0 and by_id[2][2] == 255
+    for c in by_id.values():
+        assert all(0 <= x <= 255 for x in c)
+
+
+def test_sq8_ann_recall_vs_exact_dot(spark, sf_dir):
+    """SQ8 is an 8-bit approximation of the exact dot-product ranking —
+    on real embeddings its top-10 must overlap the exact top-10 heavily
+    (the quantization error budget), not just be in-range."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        dot,
+        sq8_ann_topk,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = sq8_ann_topk(emb, queries, "vec_id", "embedding", k=10)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _to_double("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _to_double("embedding").alias("cv")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("s").desc(), "neighbor_id")
+    exact = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("s"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"SQ8 top-10 recall vs exact dot = {recall}"
+
+
+def test_embedding_outliers_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import embedding_outliers
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = embedding_outliers(emb, "vec_id", "embedding").collect()
+    assert len(out) == emb.count()  # every row emitted, flag not filter
+    zs = [r["z"] for r in out]
+    assert abs(sum(zs) / len(zs)) < 0.05  # z-scores center on 0
+    for r in out:
+        assert r["is_outlier"] == (r["z"] >= 2.0)
+    frac = sum(1 for r in out if r["is_outlier"]) / len(out)
+    assert frac < 0.15, f"outlier fraction {frac} implausibly high"
+
+
+def test_tfidf_identical_docs_score_one(spark):
+    from spark_sql_hbase_spark.operators.ranking import tfidf_cosine_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different text about spark query engines"),
+        (4, "completely different text about spark query engines"),
+        (5, "unrelated filler words appear here nowhere shared twice"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert pairs[(1, 2)] == 1.0 and pairs[(3, 4)] == 1.0
+    assert set(pairs) == {(1, 2), (3, 4)}  # nothing else clears 0.9
+
+
+def test_tfidf_max_df_caps_posting_lists(spark):
+    """Terms above the df cap must not contribute: two docs sharing ONLY
+    a ubiquitous term lose their pair when the cap drops it."""
+    from spark_sql_hbase_spark.operators.ranking import tfidf_cosine_pairs
+
+    rows = [
+        (1, "common alpha"),
+        (2, "common beta"),
+        (3, "common gamma"),
+        (4, "common delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.01)
+    assert uncapped.count() == 6  # every pair shares 'common'
+    capped = tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.01, max_df=3)
+    assert capped.count() == 0
+
+
+def test_kmeans_gate_params_populate_all_clusters(spark, sf_dir):
+    """The zg38 oracle (kmeans_sql) has no empty-cluster carry — valid
+    only while every cluster keeps members at the gate's (k, n_iter).
+    Pin that assumption on the gate's own data."""
+    from spark_sql_hbase_spark.operators.similarity import kmeans
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = kmeans(emb, k=8, n_iter=3)
+    got = {r["cluster_id"] for r in cent.select("cluster_id").distinct().collect()}
+    assert got == set(range(8))
+    n_rows = cent.count()
+    assert n_rows == 8 * 64  # K x dim long-format rows
