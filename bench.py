@@ -267,6 +267,13 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
         # (probes multiply the QUERY side only, nprobe/|cells| of the
         # corpus scanned per batch) needs round-over-round visibility
         ("zb11_ann_multiprobe", "s04_ann_multiprobe"),
+        # round-11 late additions: the SQ8 decode-and-score scan (the
+        # 1-byte-code bandwidth tier — its cost law is a pure corpus
+        # scan, so drift here means the broadcast/zip_with shape broke)
+        # and the TF-IDF posting-list self-join (df-capped; drift here
+        # means a hot term slipped past the cap)
+        ("zg35_sq8_ann", "s05_sq8_ann"),
+        ("zg37_tfidf_cosine", "t30_tfidf_cosine"),
         ("d10_duplicate_spans", "d10_duplicate_spans"),
     ):
         t0 = time.perf_counter()

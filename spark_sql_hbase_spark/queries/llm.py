@@ -3795,9 +3795,10 @@ def zg15_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # zg35 — scalar-quantized (SQ8) ANN: the memory-bandwidth quantizer tier
-# next to PQ (zd47) / IVFADC (zd46) — 1 byte/dim codes from per-dimension
-# min/max bounds, integer-dot top-k (exact-integer scores, so ranking is
-# fully deterministic).  operators/similarity.py::sq8_ann_topk.
+# next to PQ (zd47) / IVFADC (zd46) — 1 byte/dim persisted codes from
+# per-dimension min/max bounds, decode-and-score top-k (bucket-midpoint
+# reconstruction; see sq8_ann_topk's recall note on why a raw code dot
+# is rank-broken).  operators/similarity.py::sq8_ann_topk.
 # ---------------------------------------------------------------------------
 _SQ8_K = 10
 _SQ8_DIM = 64

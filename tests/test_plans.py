@@ -1017,3 +1017,36 @@ def test_declared_region_layout_is_one_jvm_exchange(spark, tmp_path):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Exchange rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r11_sq8_ann_is_broadcast_only(spark, registry):
+    """zg35: SQ8 scoring must be a corpus scan x broadcast queries
+    (cosine_topk's shape) — no shuffle joins anywhere; the only joins
+    are broadcast nested loops (the one-row bounds join and the
+    query-set theta join)."""
+    plan = formatted_plan(registry["zg35_sq8_ann"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    for shuffled in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert shuffled not in plan, shuffled
+
+
+def test_r11_outliers_is_broadcast_only(spark, registry):
+    """zg36: both stat joins ride one-row broadcasts; vectors never
+    shuffle."""
+    plan = formatted_plan(registry["zg36_embedding_outliers"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    for shuffled in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert shuffled not in plan, shuffled
+
+
+def test_r11_tfidf_pair_join_is_equi_not_nested_loop(spark, registry):
+    """zg37: the posting-list self-join must be an EQUI join on term —
+    a nested-loop/cartesian pair join would be the all-pairs quadratic
+    plan the inverted index exists to avoid.  (The one-row n_docs
+    broadcast is the only legitimate nested loop.)"""
+    plan = formatted_plan(registry["zg37_tfidf_cosine"].fn(spark, SF))
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert "CartesianProduct" not in plan
+    # the cached (doc, term, tf) aggregate feeds all consumers: the scan
+    # side shows the InMemoryRelation, not four re-tokenizing scans
+    assert "InMemoryTableScan" in plan
