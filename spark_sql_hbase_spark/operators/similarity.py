@@ -1291,6 +1291,19 @@ def sq8_ann_topk(
     )
 
 
+def _sq8_code_case_sql(levels: int) -> str:
+    """The one SQL encoding expression shared by every SQ8 oracle
+    (names ``ev``/``lo``/``hi`` indexed by ``i`` must be in scope) —
+    single source of truth for the clamp/degenerate semantics of
+    :func:`sq8_encode`."""
+    return (
+        f"CASE WHEN hi[i] = lo[i] THEN 0 "
+        f"ELSE least({levels - 1}, greatest(0, "
+        f"CAST(floor((ev[i] - lo[i]) / (hi[i] - lo[i]) * {levels}) "
+        f"AS INTEGER))) END"
+    )
+
+
 def sq8_ann_sql(
     table: str,
     id_expr: str,
@@ -1312,11 +1325,7 @@ def sq8_ann_sql(
               FROM __v, {rng} t(i) GROUP BY i)
     ), __enc AS (
         SELECT vid,
-               [CASE WHEN hi[i] = lo[i] THEN 0
-                     ELSE least({levels - 1}, greatest(0,
-                         CAST(floor((ev[i] - lo[i]) / (hi[i] - lo[i])
-                              * {levels}) AS INTEGER))) END
-                for i in {rng}] AS code
+               [{_sq8_code_case_sql(levels)} for i in {rng}] AS code
         FROM __v, __b
     ), __rec AS (
         SELECT vid,
@@ -1336,6 +1345,36 @@ def sq8_ann_sql(
               PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
           FROM __s)
     WHERE rn <= {k}
+    """
+
+
+def sq8_codes_long_sql(
+    table: str,
+    id_expr: str,
+    vec_expr: str,
+    bounds_pred: str,
+    dim: int,
+    levels: int = 256,
+) -> str:
+    """Long-format ``(id, dim, code)`` SQ8 encoding of EVERY row of
+    ``table``, with bounds trained on the ``bounds_pred`` subset only
+    (the frozen-quantizer convention: a live index encodes arrivals
+    against the bounds of the corpus it was trained on; out-of-range
+    values clamp).  Oracle generator for the streaming ingest gate."""
+    rng = f"range(1, {dim + 1})"
+    return f"""
+    WITH __all AS (
+        SELECT {id_expr} AS id, {vec_expr}::DOUBLE[] AS ev FROM {table}
+    ), __b AS (
+        SELECT list(mn ORDER BY i) AS lo, list(mx ORDER BY i) AS hi
+        FROM (SELECT i, MIN(ev[i]) AS mn, MAX(ev[i]) AS mx
+              FROM (SELECT {vec_expr}::DOUBLE[] AS ev FROM {table}
+                    WHERE {bounds_pred}), {rng} t(i)
+              GROUP BY i)
+    )
+    SELECT id, CAST(i AS INTEGER) AS dim,
+           {_sq8_code_case_sql(levels)} AS code
+    FROM __all, __b, {rng} t(i)
     """
 
 
@@ -1481,3 +1520,24 @@ def kmeans_sql(
     GROUP BY 1, 2
     """
     return sql
+
+
+def sq8_codes_long(
+    df: DataFrame,
+    bounds: DataFrame,
+    id_col: str,
+    vec_col: str,
+    levels: int = 256,
+) -> DataFrame:
+    """Long-format ``(id, dim, code)`` SQ8 encoding of ``df`` against a
+    GIVEN one-row ``(lo, hi)`` bounds frame (frozen quantizer — train on
+    the corpus with :func:`sq8_bounds`, encode arrivals against it;
+    out-of-range values clamp).  Scalar columns, so the result is
+    hashable/oracle-comparable and appendable to a persisted codes
+    index.  Row-local encode, one posexplode — no shuffle."""
+    code = sq8_encode(F.col(vec_col), F.col("lo"), F.col("hi"), levels)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(F.col(id_col).alias("id"), F.posexplode(code).alias("pos", "code"))
+        .select("id", (F.col("pos") + 1).cast("int").alias("dim"), "code")
+    )

@@ -1082,3 +1082,59 @@ def st16_stream_cdc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`p:price`").alias("price"),
         F.col("`p:v`").alias("v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zg39 — streaming SQ8 index maintenance (round-11 second batch;
+# streaming/pipelines.py::stream_sq8_ingest): the corpus codes table is
+# built batch-side against corpus-trained bounds, then arriving
+# embeddings (vec_id % 7 = 0) stream through foreachBatch encoding
+# against the SAME frozen bounds and append.  Oracle: long-format SQ8
+# codes of EVERY vector under corpus-only bounds (out-of-range arrivals
+# clamp — the frozen-quantizer convention;
+# operators/similarity.py::sq8_codes_long_sql).
+# ---------------------------------------------------------------------------
+@register(
+    "zg39_stream_sq8_ingest",
+    oracle=None,  # bound below (generator import)
+    description="streaming SQ8 quantization ingest: frozen corpus "
+    "bounds, foreachBatch encode+append to the persisted codes index, "
+    "zero streaming state",
+)
+def zg39_stream_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        sq8_bounds,
+        sq8_codes_long,
+    )
+    from spark_sql_hbase_spark.streaming.pipelines import stream_sq8_ingest
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = (F.col("vec_id") % 7) == 0
+    new, corpus = emb.filter(is_new), emb.filter(~is_new)
+    sink = "__zg39_sq8_codes"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
+    bounds = sq8_bounds(corpus, "embedding", 64)
+    # batch side: the trained index over the corpus
+    sq8_codes_long(corpus, bounds, "vec_id", "embedding").write.saveAsTable(sink)
+    # streaming side: arrivals encode against the frozen bounds
+    stream = _one_batch_stream(spark, new)
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_zg39_")
+    q = stream_sq8_ingest(stream, bounds, "vec_id", "embedding", ckpt, sink)
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def _bind_zg39_oracle() -> None:
+    from spark_sql_hbase_spark.operators.similarity import sq8_codes_long_sql
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zg39_stream_sq8_ingest"].oracle = sq8_codes_long_sql(
+        "embeddings", "vec_id", "embedding", "vec_id % 7 <> 0", dim=64
+    )
+
+
+_bind_zg39_oracle()

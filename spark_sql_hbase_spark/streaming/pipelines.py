@@ -715,3 +715,44 @@ def write_stream_with_index_maintenance(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sq8_ingest(
+    stream_vecs: DataFrame,
+    bounds: DataFrame,
+    id_col: str,
+    vec_col: str,
+    checkpoint_dir: str,
+    sink_table: str,
+    levels: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Streaming SQ8 index maintenance: every arriving embedding
+    micro-batch is quantized against the FROZEN corpus bounds (the
+    deployed quantizer's model — retraining bounds is a rebuild event,
+    detected upstream by the drift/outlier monitors, e.g.
+    ``operators/similarity.py::embedding_outliers``) and appended to the
+    persisted long-format codes table that
+    ``operators/similarity.py::sq8_ann_topk`` scans.
+
+    Why ``foreachBatch``: encoding is stateless and row-local — the only
+    reason to leave the always-incremental plan is the batch writer's
+    ``saveAsTable`` append (same contract note as
+    :func:`stream_neardup_against_index`: at-least-once on retry;
+    production stages per-``batch_id`` paths for idempotent commit).
+
+    Scale/state: ZERO streaming state; the bounds row broadcasts once
+    per batch; out-of-range arrivals CLAMP to the edge codes by design
+    (the FAISS convention) rather than failing the pipeline."""
+    from spark_sql_hbase_spark.operators.similarity import sq8_codes_long
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = sq8_codes_long(batch_df, bounds, id_col, vec_col, levels)
+        out.write.mode("append").saveAsTable(sink_table)
+
+    writer = stream_vecs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2575,3 +2575,28 @@ def test_kmeans_gate_params_populate_all_clusters(spark, sf_dir):
     assert got == set(range(8))
     n_rows = cent.count()
     assert n_rows == 8 * 64  # K x dim long-format rows
+
+
+def test_sq8_codes_long_clamps_out_of_range_arrivals(spark):
+    """The streaming ingest encodes arrivals against FROZEN corpus
+    bounds — a vector outside the trained range must clamp to the edge
+    codes (the FAISS convention), never error or wrap."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        sq8_bounds,
+        sq8_codes_long,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    bounds = sq8_bounds(corpus, "embedding", 2)
+    arrival = spark.createDataFrame(
+        [(99, [-5.0, 10.0])], "vec_id int, embedding array<double>"
+    )
+    got = {
+        r["dim"]: r["code"]
+        for r in sq8_codes_long(arrival, bounds, "vec_id", "embedding").collect()
+    }
+    assert got == {1: 0, 2: 255}
