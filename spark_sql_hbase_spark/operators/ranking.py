@@ -711,12 +711,13 @@ def tfidf_cosine_pairs(
     discipline of the LSH joins.  ``min_df=2`` is free pruning: a
     term in one doc cannot produce a pair.  Determinism: ln + final
     ROUND (the bm25 driver-green precedent)."""
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(tokens(F.col(text_col)))).alias("tok"),
-    )
+    # single consumer of the token array → plain explode, no generate
+    # barrier needed (unlike bm25, where dl and the explode both
+    # reference it)
     tf = (
-        toks.select("id", F.explode("tok").alias("term"))
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+        )
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .cache()

@@ -1203,21 +1203,22 @@ def sq8_encode(vec: Column, lo: Column, hi: Column, levels: int = 256) -> Column
 
     The arithmetic keeps the exact operation ORDER of the SQL twin
     (divide, then scale) so the codes are bit-identical cross-engine —
-    everything downstream of encoding is integer math."""
+    everything downstream of encoding is integer math.  The clamp runs
+    BEFORE the int cast: a far-out-of-range value (corrupted arrival —
+    the scaled double can exceed 2^31) must saturate at the edge code,
+    never wrap through the narrowing cast."""
     b = F.zip_with(lo, hi, lambda l, h: F.struct(l.alias("l"), h.alias("h")))
     return F.zip_with(
         _to_double(vec),
         b,
         lambda x, s: F.when(s["h"] == s["l"], F.lit(0)).otherwise(
             F.least(
-                F.lit(levels - 1),
+                F.lit(levels - 1).cast("bigint"),
                 F.greatest(
-                    F.lit(0),
-                    F.floor((x - s["l"]) / (s["h"] - s["l"]) * F.lit(levels)).cast(
-                        "int"
-                    ),
+                    F.lit(0).cast("bigint"),
+                    F.floor((x - s["l"]) / (s["h"] - s["l"]) * F.lit(levels)),
                 ),
-            )
+            ).cast("int")
         ),
     )
 
@@ -1295,12 +1296,14 @@ def _sq8_code_case_sql(levels: int) -> str:
     """The one SQL encoding expression shared by every SQ8 oracle
     (names ``ev``/``lo``/``hi`` indexed by ``i`` must be in scope) —
     single source of truth for the clamp/degenerate semantics of
-    :func:`sq8_encode`."""
+    :func:`sq8_encode`.  Clamp-before-cast, like the Spark twin: the
+    cast must see a value already inside [0, levels-1] or a corrupted
+    arrival raises a conversion error / wraps."""
     return (
         f"CASE WHEN hi[i] = lo[i] THEN 0 "
-        f"ELSE least({levels - 1}, greatest(0, "
-        f"CAST(floor((ev[i] - lo[i]) / (hi[i] - lo[i]) * {levels}) "
-        f"AS INTEGER))) END"
+        f"ELSE CAST(least({levels - 1}, greatest(0, "
+        f"floor((ev[i] - lo[i]) / (hi[i] - lo[i]) * {levels}))) "
+        f"AS INTEGER) END"
     )
 
 
@@ -1312,6 +1315,7 @@ def sq8_ann_sql(
     k: int,
     dim: int,
     levels: int = 256,
+    round_to: int = 6,
 ) -> str:
     """DuckDB twin of :func:`sq8_ann_topk` (oracle generator);
     ``query_pred`` selects the query rows of ``table``."""
@@ -1337,7 +1341,8 @@ def sq8_ann_sql(
         WHERE vid IN (SELECT {id_expr} AS vid FROM {table} WHERE {query_pred})
     ), __s AS (
         SELECT query_id, e.vid AS neighbor_id,
-               ROUND(list_sum([qr[i] * rec[i] for i in {rng}]), 6) AS score
+               ROUND(list_sum([qr[i] * rec[i] for i in {rng}]), {round_to})
+                   AS score
         FROM __rec e JOIN __q ON e.vid <> query_id
     )
     SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
@@ -1399,7 +1404,11 @@ def embedding_outliers(
     distance pass whose scalar (mean, stddev) aggregate broadcasts back
     for the row-local z-score.  No shuffle of vectors, no collect, no
     UDF.  Intermediates round to ``round_to`` at each aggregate edge so
-    both engines z-score identical doubles."""
+    both engines z-score identical doubles.  The distance relation is
+    CACHED (two consumers: the stats aggregate and the returned join —
+    uncached, the corpus distance pass would run twice); callers
+    invoking repeatedly should ``clearCache()`` between runs, the
+    repo's standard multi-consumer cache contract."""
     dim = len(df.select(vec_col).first()[0])
     mu = df.agg(
         F.array(
@@ -1419,7 +1428,7 @@ def embedding_outliers(
             ),
             round_to,
         ).alias("dist"),
-    )
+    ).cache()
     stats = d.agg(
         F.round(F.avg("dist"), round_to).alias("__m"),
         F.round(F.stddev_pop("dist"), round_to).alias("__s"),

@@ -1050,3 +1050,12 @@ def test_r11_tfidf_pair_join_is_equi_not_nested_loop(spark, registry):
     # the cached (doc, term, tf) aggregate feeds all consumers: the scan
     # side shows the InMemoryRelation, not four re-tokenizing scans
     assert "InMemoryTableScan" in plan
+
+
+def test_r11_kmeans_final_step_is_broadcast_only(spark, registry):
+    """zg38: the returned Lloyd step must keep kmeans_step's shape —
+    packed-model broadcast assignment, no shuffle join of vectors."""
+    plan = formatted_plan(registry["zg38_kmeans_lloyd"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    for shuffled in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert shuffled not in plan, shuffled

@@ -2592,11 +2592,14 @@ def test_sq8_codes_long_clamps_out_of_range_arrivals(spark):
         [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id int, embedding array<double>"
     )
     bounds = sq8_bounds(corpus, "embedding", 2)
+    # 1e30 scales past 2^63: the clamp must run BEFORE the int cast or
+    # the narrowing wraps the far-out value to a garbage mid-range code
     arrival = spark.createDataFrame(
-        [(99, [-5.0, 10.0])], "vec_id int, embedding array<double>"
+        [(99, [-5.0, 10.0]), (100, [-1e30, 1e30])],
+        "vec_id int, embedding array<double>",
     )
     got = {
-        r["dim"]: r["code"]
+        (r["id"], r["dim"]): r["code"]
         for r in sq8_codes_long(arrival, bounds, "vec_id", "embedding").collect()
     }
-    assert got == {1: 0, 2: 255}
+    assert got == {(99, 1): 0, (99, 2): 255, (100, 1): 0, (100, 2): 255}
