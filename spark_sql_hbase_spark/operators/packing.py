@@ -80,3 +80,68 @@ def pack_summary(
         F.max(order_col).alias("last_doc"),
         F.sum("n_tokens").cast("long").alias("docs_tokens"),
     )
+
+
+def shard_plan(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Balanced training-shard assignment: every document lands in one of
+    ``n_shards`` output shards with near-equal TOKEN totals — the
+    planning half of "write the curated corpus as N training files"
+    (shard skew = stragglers in every downstream training epoch).
+
+    Assignment is longest-processing-time-style round robin: documents
+    ranked by token count descending (ties by id), shard =
+    ``(rank-1) mod n_shards``.  Deterministic, integer-only, and
+    single-pass — the classic greedy bin-balancer without its
+    sequential state.  Per-shard token totals are then bounded within
+    ``max_doc_tokens`` of each other per round-robin cycle.
+
+    Emits one row per shard: ``(shard_id, n_docs, tok_total)``.
+
+    Plan shape (scales to 100 TB): the corpus scan reduces to a
+    METADATA relation (id, n_tokens) before anything global happens;
+    the rank is one global sort of that metadata — bytes-per-row ~16,
+    so even a 100 B-document corpus sorts ~1.6 TB of metadata, not the
+    text.  The final aggregate is n_shards rows.  The doc→shard map
+    (the intermediate before the summary aggregate) is what a writer
+    would join back on ``id`` to route the actual bytes."""
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
+    meta = docs.select(
+        F.col(id_col).alias("id"), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+    rn = F.row_number().over(
+        W.orderBy(F.col("n_tokens").desc(), F.col("id"))
+    )
+    assigned = meta.select(
+        "id", "n_tokens", ((rn - 1) % n_shards).cast("int").alias("shard_id")
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tok_total"),
+    )
+
+
+def shard_plan_sql(
+    table: str, id_expr: str, tokens_expr: str, n_shards: int
+) -> str:
+    """DuckDB twin of :func:`shard_plan` (oracle generator)."""
+    return f"""
+    WITH __meta AS (
+        SELECT {id_expr} AS id, len({tokens_expr}) AS n_tokens FROM {table}
+    ), __a AS (
+        SELECT id, n_tokens,
+               CAST((row_number() OVER (ORDER BY n_tokens DESC, id) - 1)
+                    % {n_shards} AS INTEGER) AS shard_id
+        FROM __meta
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+    FROM __a
+    GROUP BY 1
+    """

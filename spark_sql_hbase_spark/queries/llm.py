@@ -3905,3 +3905,37 @@ def _bind_round11_oracles() -> None:
 
 
 _bind_round11_oracles()
+
+
+# ---------------------------------------------------------------------------
+# zg40 — balanced training-shard planning (operators/packing.py::
+# shard_plan): LPT-style round robin over token-ranked docs — the
+# "write the curated corpus as N near-equal training files" planner
+# (shard skew = training stragglers).  Integer-only → exact oracle.
+# ---------------------------------------------------------------------------
+_SHARDS_N = 8
+
+@register(
+    "zg40_shard_plan",
+    oracle=None,  # bound below
+    description="balanced shard assignment: token-ranked round robin "
+    "over the metadata relation only; one metadata sort, n_shards rows "
+    "out",
+)
+def zg40_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.packing import shard_plan
+
+    docs = table(spark, sf_dir, "documents")
+    return shard_plan(docs, "doc_id", "text", _SHARDS_N)
+
+
+def _bind_zg40_oracle() -> None:
+    from spark_sql_hbase_spark.operators.packing import shard_plan_sql
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zg40_shard_plan"].oracle = shard_plan_sql(
+        "documents", "doc_id", _TOK, _SHARDS_N
+    )
+
+
+_bind_zg40_oracle()

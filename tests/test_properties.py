@@ -2603,3 +2603,58 @@ def test_sq8_codes_long_clamps_out_of_range_arrivals(spark):
         for r in sq8_codes_long(arrival, bounds, "vec_id", "embedding").collect()
     }
     assert got == {(99, 1): 0, (99, 2): 255, (100, 1): 0, (100, 2): 255}
+
+
+def test_shard_plan_balance_bound(spark, sf_dir):
+    """LPT round robin: per-shard token totals differ by at most the
+    max document size times the number of round-robin cycles' slack —
+    in practice the spread must be far below one shard's total; and
+    every doc is assigned exactly once."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.functions.texthash import tokens
+    from spark_sql_hbase_spark.operators.packing import shard_plan
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = shard_plan(docs, "doc_id", "text", 8).collect()
+    assert {r["shard_id"] for r in out} == set(range(8))
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    totals = [r["tok_total"] for r in out]
+    max_doc = docs.select(F.max(F.size(tokens(F.col("text"))))).first()[0]
+    assert max(totals) - min(totals) <= max_doc, (totals, max_doc)
+
+
+def test_sq8_roundtrip_error_bound(spark, sf_dir):
+    """Quantize→decode must land within half a bucket of the original
+    for every in-range value: |x - decode(encode(x))| <= (hi-lo)/512."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        sq8_bounds,
+        sq8_decode,
+        sq8_encode,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    bounds = sq8_bounds(emb, "embedding", 64)
+    code = sq8_encode(F.col("embedding"), F.col("lo"), F.col("hi"))
+    err = F.zip_with(
+        F.zip_with(
+            _to_double(F.col("embedding")),
+            sq8_decode(code, F.col("lo"), F.col("hi")),
+            lambda x, r: F.abs(x - r),
+        ),
+        F.zip_with(F.col("lo"), F.col("hi"), lambda l, h: (h - l) / 512.0),
+        # strict half-bucket bound with a float-arithmetic epsilon
+        lambda e, b: (e <= b + F.lit(1e-12)).cast("int"),
+    )
+    bad = (
+        emb.crossJoin(F.broadcast(bounds))
+        .select(F.aggregate(err, F.lit(0), lambda a, x: a + x).alias("ok_dims"))
+        .filter(F.col("ok_dims") < 64)
+        .count()
+    )
+    assert bad == 0
