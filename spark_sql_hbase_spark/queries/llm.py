@@ -3939,3 +3939,75 @@ def _bind_zg40_oracle() -> None:
 
 
 _bind_zg40_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zg41 — recursive CTE surface (Spark 4 WITH RECURSIVE, §2.B inherited
+# SQL): duplicate-lineage chains over the verified near-dup pairs.
+# Each doc's parent = its smallest-id larger near-dup (out-degree <= 1,
+# id-ascending => ACYCLIC with a unique path per doc) — the recursion is
+# UNION ALL-safe by construction, which matters because Spark rejects
+# UNION-distinct recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so
+# the general cyclic-closure form (z53's oracle shape) cannot run
+# Spark-side; connected components stay on the iterative operator
+# (operators/graph.py), and this gate covers the recursive SQL surface
+# on the functional-parent chain instead.
+# ---------------------------------------------------------------------------
+_CHAIN_RECURSION = """
+WITH RECURSIVE __parent AS (
+    SELECT id_a AS id, MIN(id_b) AS p FROM {pairs} GROUP BY id_a
+), __ids AS (
+    SELECT DISTINCT id
+    FROM (SELECT id_a AS id FROM {pairs} UNION ALL SELECT id_b FROM {pairs})
+), __chain(id, anc, depth) AS (
+    SELECT id, id, CAST(0 AS INT) FROM __ids
+    UNION ALL
+    SELECT c.id, pr.p, c.depth + 1
+    FROM __chain c JOIN __parent pr ON pr.id = c.anc
+)
+SELECT id AS doc_id,
+       MAX_BY(anc, depth) AS root_id,
+       CAST(MAX(depth) AS INT) AS chain_depth
+FROM __chain GROUP BY id
+"""
+
+_CHAIN_ORACLE = (
+    f"""{_SHINGLE_CTES}, __jp AS (
+        SELECT id_a, id_b
+        FROM __pairs
+        JOIN __sizes na ON id_a = na.doc_id
+        JOIN __sizes nb ON id_b = nb.doc_id
+        WHERE ROUND(inter * 1.0 / (na.n + nb.n - inter), 4) >= {JACCARD_T}
+    ), __parent AS (
+        SELECT id_a AS id, MIN(id_b) AS p FROM __jp GROUP BY id_a
+    ), __ids AS (
+        SELECT DISTINCT id
+        FROM (SELECT id_a AS id FROM __jp UNION ALL SELECT id_b FROM __jp)
+    ), __chain(id, anc, depth) AS (
+        SELECT id, id, CAST(0 AS INTEGER) FROM __ids
+        UNION ALL
+        SELECT c.id, pr.p, c.depth + 1
+        FROM __chain c JOIN __parent pr ON pr.id = c.anc
+    )
+    SELECT id AS doc_id,
+           max_by(anc, depth) AS root_id,
+           CAST(MAX(depth) AS INTEGER) AS chain_depth
+    FROM __chain GROUP BY id
+""".replace("WITH __tok", "WITH RECURSIVE __tok", 1)
+)
+
+
+@register(
+    "zg41_dup_chain_recursion",
+    oracle=_CHAIN_ORACLE,
+    description="WITH RECURSIVE duplicate-lineage chains: functional "
+    "parent (smallest larger near-dup), unique-path recursion, "
+    "root + depth per doc",
+)
+def zg41_dup_chain_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_join(
+        docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
+    )
+    pairs.select("id_a", "id_b").createOrReplaceTempView("__zg41_pairs")
+    return spark.sql(_CHAIN_RECURSION.format(pairs="__zg41_pairs"))

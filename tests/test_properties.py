@@ -2658,3 +2658,32 @@ def test_sq8_roundtrip_error_bound(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_dup_chain_roots_stay_in_their_component(spark, sf_dir):
+    """zg41 cross-check vs the iterative operator: a doc's recursive
+    chain root must live in the SAME connected component as the doc —
+    the functional-parent chain is a spanning substructure of the
+    near-dup graph, never an edge out of it."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators import dedup, graph
+    from spark_sql_hbase_spark.queries import load_all, table
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_join(docs, "doc_id", "text", threshold=0.6, n=3)
+    comp = graph.connected_components(pairs.select("id_a", "id_b"))
+    chains = load_all()["zg41_dup_chain_recursion"].fn(
+        spark, sf_dir
+    )
+    mismatched = (
+        chains.join(comp.withColumnRenamed("comp", "c_doc"), chains.doc_id == comp.id)
+        .drop("id")
+        .join(
+            comp.withColumnRenamed("comp", "c_root").withColumnRenamed("id", "rid"),
+            F.col("root_id") == F.col("rid"),
+        )
+        .filter(F.col("c_doc") != F.col("c_root"))
+        .count()
+    )
+    assert mismatched == 0
