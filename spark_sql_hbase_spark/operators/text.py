@@ -1114,3 +1114,89 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         red.alias("text_redacted"),
         n.cast("int").alias("n_redactions"),
     )
+
+
+def quality_psi(
+    df: DataFrame,
+    stream_col: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Population Stability Index of each stream's quality distribution
+    against the whole corpus — the standard one-number drift monitor
+    (PSI = Σ (p_i − q_i)·ln(p_i/q_i) over buckets; rule of thumb:
+    < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).  Run per ingest
+    round, it answers "which source changed character since the
+    reference snapshot" before the change poisons a mixture plan.
+
+    Buckets are CORPUS-decile boundaries (percentile_disc — actual data
+    values, the z27 cross-engine convention; right-closed, a doc at a
+    boundary falls low).  Bucket shares are add-½ smoothed over a DENSE
+    stream × bucket grid (Laplace: (c + 0.5)/(n + n_buckets/2) — an
+    empty bucket must contribute a finite penalty, not a log of zero).
+
+    Emits one row per stream: ``(stream, psi)``.
+
+    Plan shape (scales to 100 TB): one boundary aggregate (n_buckets−1
+    doubles, broadcast), one row-local bucket projection, one
+    (stream × bucket)-bounded count aggregate; the dense grid, corpus
+    marginals and the PSI fold all operate on that bounded relation.
+    No window, no sort, no UDF.  Determinism: ln + ROUND(round_to),
+    the bm25 precedent."""
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
+    scored = df.select(
+        F.col(stream_col).alias("stream"),
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+    ).select(
+        "stream",
+        F.col(id_col),
+        quality_expr(text_col, F.col("__tok")).alias("quality"),
+    )
+    aggs = [
+        F.expr(
+            f"percentile_disc({i / n_buckets}) WITHIN GROUP (ORDER BY quality)"
+        ).alias(f"_b{i}")
+        for i in range(1, n_buckets)
+    ]
+    bounds = scored.agg(*aggs).select(
+        F.array(*[F.col(f"_b{i}") for i in range(1, n_buckets)]).alias("_bs")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + (F.col("quality") > F.col("_bs")[i]).cast("int")
+    counts = (
+        scored.crossJoin(F.broadcast(bounds))
+        .select("stream", bucket.cast("int").alias("bucket"))
+        .groupBy("stream", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spark = df.sparkSession
+    grid = counts.select("stream").distinct().crossJoin(
+        spark.range(1, n_buckets + 1).select(F.col("id").cast("int").alias("bucket"))
+    )
+    dense = grid.join(counts, ["stream", "bucket"], "left").select(
+        "stream", "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    from pyspark.sql import Window as W
+
+    w_all = W.partitionBy()
+    w_stream = W.partitionBy("stream")
+    w_bucket = W.partitionBy("bucket")
+    half = n_buckets / 2.0
+    dense = (
+        dense.withColumn("n_s", F.sum("c").over(w_stream))
+        .withColumn("c_all", F.sum("c").over(w_bucket))
+        .withColumn("n_all", F.sum("c").over(w_all))
+    )
+    p = (F.col("c") + 0.5) / (F.col("n_s") + half)
+    q = (F.col("c_all") + 0.5) / (F.col("n_all") + half)
+    return (
+        dense.select("stream", "bucket", ((p - q) * F.log(p / q)).alias("term"))
+        .groupBy("stream")
+        .agg(F.round(F.sum("term"), round_to).alias("psi"))
+    )

@@ -4011,3 +4011,60 @@ def zg41_dup_chain_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs.select("id_a", "id_b").createOrReplaceTempView("__zg41_pairs")
     return spark.sql(_CHAIN_RECURSION.format(pairs="__zg41_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# zg42 — quality-distribution drift monitor (operators/text.py::
+# quality_psi): Population Stability Index of every source against the
+# corpus over corpus-decile quality buckets — the per-ingest-round
+# "which source changed character" number that gates a mixture-plan
+# refresh (zb21) or a quantizer retrain (zg39's frozen-bounds note).
+# ---------------------------------------------------------------------------
+_PSI_BOUNDS = ",\n               ".join(
+    f"quantile_disc(quality, {i / 10}) AS b{i}" for i in range(1, 10)
+)
+_PSI_BUCKET = " + ".join(f"CAST(q.quality > b.b{i} AS INTEGER)" for i in range(1, 10))
+
+
+@register(
+    "zg42_quality_psi",
+    oracle=f"""
+    WITH __q AS (
+        SELECT d.source AS stream, q.doc_id, q.quality
+        FROM ({_QUALITY_ORACLE}) q JOIN documents d USING (doc_id)
+    ), __b AS (
+        SELECT {_PSI_BOUNDS}
+        FROM __q
+    ), __c AS (
+        SELECT stream, CAST(1 + {_PSI_BUCKET} AS INTEGER) AS bucket,
+               COUNT(*) AS c
+        FROM __q q, __b b
+        GROUP BY 1, 2
+    ), __grid AS (
+        SELECT stream, CAST(t.i AS INTEGER) AS bucket
+        FROM (SELECT DISTINCT stream FROM __c), range(1, 11) t(i)
+    ), __d AS (
+        SELECT g.stream, g.bucket, COALESCE(c, 0) AS c
+        FROM __grid g LEFT JOIN __c USING (stream, bucket)
+    ), __tot AS (
+        SELECT stream, SUM(c) AS n_s FROM __d GROUP BY 1
+    ), __mar AS (
+        SELECT bucket, SUM(c) AS c_all FROM __d GROUP BY 1
+    ), __n AS (
+        SELECT SUM(c) AS n_all FROM __d
+    )
+    SELECT stream,
+           ROUND(SUM(
+               ((c + 0.5) / (n_s + 5.0) - (c_all + 0.5) / (n_all + 5.0))
+               * ln(((c + 0.5) / (n_s + 5.0))
+                    / ((c_all + 0.5) / (n_all + 5.0)))
+           ), 4) AS psi
+    FROM __d JOIN __tot USING (stream) JOIN __mar USING (bucket), __n
+    GROUP BY stream
+    """,
+    description="per-source PSI drift vs the corpus over quality "
+    "deciles: Laplace-smoothed dense grid, bounded aggregates only",
+)
+def zg42_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.quality_psi(docs, "source", "doc_id", "text")

@@ -2687,3 +2687,31 @@ def test_dup_chain_roots_stay_in_their_component(spark, sf_dir):
         .count()
     )
     assert mismatched == 0
+
+
+def test_quality_psi_invariants(spark, sf_dir):
+    """PSI is an f-divergence: every term (p-q)·ln(p/q) has matching
+    signs, so per-stream PSI must be >= 0; and a deliberately skewed
+    stream (only the corpus's shortest docs) must drift beyond every
+    natural source."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.text import quality_psi
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = quality_psi(docs, "source", "doc_id", "text").collect()
+    assert len(out) == docs.select("source").distinct().count()
+    assert all(r["psi"] >= 0 for r in out), out
+    nat_max = max(r["psi"] for r in out)
+
+    cut = docs.approxQuantile("n_chars", [0.1], 0.0)[0]
+    skewed = docs.withColumn(
+        "source",
+        F.when(F.col("n_chars") <= cut, F.lit("___skew")).otherwise(
+            F.col("source")
+        ),
+    )
+    out2 = {r["stream"]: r["psi"] for r in
+            quality_psi(skewed, "source", "doc_id", "text").collect()}
+    assert out2["___skew"] > nat_max, (out2["___skew"], nat_max)
