@@ -1200,3 +1200,77 @@ def quality_psi(
         .groupBy("stream")
         .agg(F.round(F.sum("term"), round_to).alias("psi"))
     )
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode-script character profile per document: Latin / Han /
+    Cyrillic / decimal-digit counts, total letters, Latin share,
+    dominant script, mixed-script flag — the standard confusable/spam
+    screen (mixed-script text is the classic obfuscation signal) and
+    the char-level cross-check for the n-gram language IDer (zb15).
+
+    Dominant-script tiebreak is fixed (latin ≥ han ≥ cyrillic, 'none'
+    when no letters of the three).  All counts are integer regexp_count
+    scans — row-local, zero shuffle at any scale; the one ratio is a
+    single IEEE division (the quality_score determinism convention).
+
+    Java regex spells scripts ``\\p{IsHan}``; RE2 (DuckDB) spells them
+    ``\\p{Han}`` — :func:`script_profile_sql` mirrors with the RE2
+    spelling, same character sets (both implement UTS#24)."""
+    n_latin = F.regexp_count(F.col(text_col), F.lit(r"\p{IsLatin}"))
+    n_han = F.regexp_count(F.col(text_col), F.lit(r"\p{IsHan}"))
+    n_cyr = F.regexp_count(F.col(text_col), F.lit(r"\p{IsCyrillic}"))
+    n_digit = F.regexp_count(F.col(text_col), F.lit(r"\p{Nd}"))
+    n_letters = F.regexp_count(F.col(text_col), F.lit(r"\p{L}"))
+    dominant = (
+        F.when((n_latin == 0) & (n_han == 0) & (n_cyr == 0), F.lit("none"))
+        .when((n_latin >= n_han) & (n_latin >= n_cyr), F.lit("latin"))
+        .when(n_han >= n_cyr, F.lit("han"))
+        .otherwise(F.lit("cyrillic"))
+    )
+    is_mixed = (
+        (n_latin > 0).cast("int") + (n_han > 0).cast("int") + (n_cyr > 0).cast("int")
+    ) >= 2
+    return df.select(
+        F.col(id_col),
+        n_letters.cast("long").alias("n_letters"),
+        n_latin.cast("long").alias("n_latin"),
+        n_han.cast("long").alias("n_han"),
+        n_cyr.cast("long").alias("n_cyrillic"),
+        n_digit.cast("long").alias("n_digit"),
+        (n_latin.cast("double") / F.greatest(n_letters, F.lit(1))).alias(
+            "latin_ratio"
+        ),
+        dominant.alias("dominant"),
+        is_mixed.alias("is_mixed"),
+    )
+
+
+def script_profile_sql(table: str, id_expr: str, text_expr: str) -> str:
+    """DuckDB twin of :func:`script_profile` (oracle generator; RE2
+    script spelling)."""
+    return f"""
+    WITH __c AS (
+        SELECT {id_expr} AS id,
+               CAST(len(regexp_extract_all(t, '\\p{{L}}')) AS BIGINT)
+                   AS n_letters,
+               CAST(len(regexp_extract_all(t, '\\p{{Latin}}')) AS BIGINT)
+                   AS n_latin,
+               CAST(len(regexp_extract_all(t, '\\p{{Han}}')) AS BIGINT)
+                   AS n_han,
+               CAST(len(regexp_extract_all(t, '\\p{{Cyrillic}}')) AS BIGINT)
+                   AS n_cyrillic,
+               CAST(len(regexp_extract_all(t, '\\p{{Nd}}')) AS BIGINT)
+                   AS n_digit
+        FROM (SELECT {id_expr}, {text_expr} AS t FROM {table})
+    )
+    SELECT id AS {id_expr}, n_letters, n_latin, n_han, n_cyrillic, n_digit,
+           CAST(n_latin AS DOUBLE) / greatest(n_letters, 1) AS latin_ratio,
+           CASE WHEN n_latin = 0 AND n_han = 0 AND n_cyrillic = 0 THEN 'none'
+                WHEN n_latin >= n_han AND n_latin >= n_cyrillic THEN 'latin'
+                WHEN n_han >= n_cyrillic THEN 'han'
+                ELSE 'cyrillic' END AS dominant,
+           (CAST(n_latin > 0 AS INTEGER) + CAST(n_han > 0 AS INTEGER)
+            + CAST(n_cyrillic > 0 AS INTEGER)) >= 2 AS is_mixed
+    FROM __c
+    """

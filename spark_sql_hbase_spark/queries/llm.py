@@ -4068,3 +4068,41 @@ _PSI_BUCKET = " + ".join(f"CAST(q.quality > b.b{i} AS INTEGER)" for i in range(1
 def zg42_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quality_psi(docs, "source", "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# zg43 — Unicode-script profile (operators/text.py::script_profile):
+# per-doc Latin/Han/Cyrillic/digit counts, dominant script, mixed-script
+# flag — the confusable/spam screen and the char-level cross-check for
+# the n-gram language IDer.  The synthetic corpus is all-Latin, so the
+# gate injects deterministic Han/Cyrillic markers (the zb20 pii_scan
+# convention: same expression in both engines — the profiling plumbing
+# is what's under test).
+# ---------------------------------------------------------------------------
+_SCRIPT_AUG = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN ' 中文数据流' ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN ' Привет мир' ELSE '' END"
+)
+
+
+@register(
+    "zg43_script_profile",
+    oracle=None,  # bound below
+    description="Unicode-script char profile: script counts, dominant "
+    "script, mixed-script flag — row-local regexp scans, zero shuffle",
+)
+def zg43_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_SCRIPT_AUG).alias("t"))
+    return text.script_profile(aug, "doc_id", "t")
+
+
+def _bind_zg43_oracle() -> None:
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zg43_script_profile"].oracle = text.script_profile_sql(
+        "documents", "doc_id", _SCRIPT_AUG
+    )
+
+
+_bind_zg43_oracle()

@@ -2715,3 +2715,27 @@ def test_quality_psi_invariants(spark, sf_dir):
     out2 = {r["stream"]: r["psi"] for r in
             quality_psi(skewed, "source", "doc_id", "text").collect()}
     assert out2["___skew"] > nat_max, (out2["___skew"], nat_max)
+
+
+def test_script_profile_semantics(spark):
+    """Dominant-script precedence, mixed flag, and the none case on
+    hand-built rows."""
+    from spark_sql_hbase_spark.operators.text import script_profile
+
+    rows = [
+        (1, "hello world"),            # pure latin
+        (2, "中文数据"),                 # pure han
+        (3, "Привет мир"),             # pure cyrillic
+        (4, "hello 中文"),              # mixed, latin >= han -> latin
+        (5, "中文 Мир"),                # han > cyrillic? equal counts -> han
+        (6, "12345 !!!"),              # no letters of the three -> none
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, t string")
+    got = {r["doc_id"]: r for r in script_profile(df, "doc_id", "t").collect()}
+    assert got[1]["dominant"] == "latin" and not got[1]["is_mixed"]
+    assert got[2]["dominant"] == "han" and got[2]["n_han"] == 4
+    assert got[3]["dominant"] == "cyrillic" and got[3]["n_cyrillic"] == 9
+    assert got[4]["dominant"] == "latin" and got[4]["is_mixed"]
+    assert got[5]["is_mixed"]
+    assert got[6]["dominant"] == "none" and got[6]["n_digit"] == 5
+    assert got[6]["latin_ratio"] == 0.0
