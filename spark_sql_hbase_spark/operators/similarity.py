@@ -1550,3 +1550,131 @@ def sq8_codes_long(
         .select(F.col(id_col).alias("id"), F.posexplode(code).alias("pos", "code"))
         .select("id", (F.col("pos") + 1).cast("int").alias("dim"), "code")
     )
+
+
+def ivfsq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    levels: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF–SQ composite ANN (the FAISS ``IVF,SQ8`` index): coarse cells
+    prune the candidate set (only each query's ``nprobe`` nearest cells
+    are scanned), SQ8 codes shrink what the scan READS to 1 byte/dim,
+    and scoring is ASYMMETRIC — the query stays exact, each candidate
+    is reconstructed from its codes on the fly (:func:`sq8_decode`) —
+    the ADC convention (query-side precision is free; only the corpus
+    pays the quantization error).
+
+    Completes the quantizer matrix next to IVF-flat
+    (:func:`multiprobe_ann_topk`) and IVFADC (:func:`ivfadc_ann_topk`):
+    SQ8 trades PQ's 16× compression for per-dimension resolution and
+    bound-only training.
+
+    Plan shape: centroid model and SQ8 bounds each ride ONE broadcast
+    row; cell assignment and encode/decode are row-local; the probed
+    (query, cell) pairs multiply only the query side nprobe× — scan
+    cost is nprobe/|cells| of the CODES, never the float corpus."""
+    spark = queries.sparkSession
+    cent = _centroid_relation(spark, centroids)
+    bounds = sq8_bounds(corpus, vec_col, len(corpus.select(vec_col).first()[0]))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qv")
+    )
+    probes = _probe_cells(q, cent, nprobe).select(
+        "query_id", F.col("__qv").alias("qv"), "cell"
+    )
+    with_cells = assign_cells(corpus, cent, id_col, vec_col, "cell", round_to)
+    code = sq8_encode(F.col(vec_col), F.col("lo"), F.col("hi"), levels)
+    c = with_cells.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell"),
+        sq8_decode(code, F.col("lo"), F.col("hi"), levels).alias("__rec"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("__rec")), round_to).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivfsq_ann_sql(
+    table: str,
+    id_expr: str,
+    vec_expr: str,
+    centroid_pred: str,
+    query_pred: str,
+    k: int,
+    nprobe: int,
+    dim: int,
+    levels: int = 256,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ivfsq_ann_topk` (oracle generator);
+    ``centroid_pred`` selects the untrained coarse-centroid rows, the
+    zd46 SQL-reproducible model convention."""
+    rng = f"range(1, {dim + 1})"
+    return f"""
+    WITH __v AS (
+        SELECT {id_expr} AS vid, {vec_expr}::DOUBLE[] AS ev FROM {table}
+    ), __cc AS (
+        SELECT vid AS cell, ev AS ccv FROM __v WHERE {centroid_pred}
+    ), __b AS (
+        SELECT list(mn ORDER BY i) AS lo, list(mx ORDER BY i) AS hi
+        FROM (SELECT i, MIN(ev[i]) AS mn, MAX(ev[i]) AS mx
+              FROM __v, {rng} t(i) GROUP BY i)
+    ), __cells AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell, row_number() OVER (
+                PARTITION BY vid ORDER BY ROUND(list_sum(
+                    [(ev[i] - ccv[i]) ^ 2 for i in {rng}]), {round_to}), cell
+            ) AS rn
+            FROM __v, __cc)
+        WHERE rn = 1
+    ), __rec AS (
+        SELECT vid,
+               [lo[i] + ({_sq8_code_case_sql(levels)} + 0.5)
+                * (hi[i] - lo[i]) / {levels} for i in {rng}] AS rec
+        FROM __v, __b
+    ), __q AS (
+        SELECT vid AS query_id, ev AS qv FROM __v WHERE {query_pred}
+    ), __probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, cc.cell, row_number() OVER (
+                PARTITION BY q.query_id ORDER BY ROUND(list_sum(
+                    [(q.qv[i] - cc.ccv[i]) ^ 2 for i in {rng}]),
+                    {round_to}), cc.cell
+            ) AS rn
+            FROM __q q, __cc cc)
+        WHERE rn <= {nprobe}
+    ), __s AS (
+        SELECT p.query_id, cl.vid AS neighbor_id,
+               ROUND(list_sum([q.qv[i] * r.rec[i] for i in {rng}]),
+                     {round_to}) AS score
+        FROM __probes p
+        JOIN __cells cl USING (cell)
+        JOIN __rec r ON r.vid = cl.vid
+        JOIN __q q ON q.query_id = p.query_id
+        WHERE cl.vid <> p.query_id
+    )
+    SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+          FROM __s)
+    WHERE rn <= {k}
+    """

@@ -4106,3 +4106,44 @@ def _bind_zg43_oracle() -> None:
 
 
 _bind_zg43_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zg44 — IVF–SQ composite ANN (operators/similarity.py::ivfsq_ann_topk):
+# coarse-cell pruning (zd46's untrained SQL-reproducible model
+# convention: centroids = embeddings of vec_id < 4) over SQ8 codes with
+# asymmetric decode-and-score — completes the quantizer matrix
+# (IVF × {flat zb11, PQ zd46, SQ8 here}).  The trained composition is
+# covered by the recall pytest like the other ANN tiers.
+# ---------------------------------------------------------------------------
+@register(
+    "zg44_ivfsq_ann",
+    oracle=None,  # bound below
+    description="IVF-SQ8 ANN: nprobe cell pruning + 1-byte codes + "
+    "asymmetric reconstruction scoring (exact query vs decoded corpus)",
+)
+def zg44_ivfsq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.similarity import _to_double, ivfsq_ann_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("cell"), _to_double(F.col("embedding")).alias("cv")
+    )
+    return ivfsq_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 8), cent, "vec_id", "embedding",
+        k=5, nprobe=_IVF_NPROBE,
+    )
+
+
+def _bind_zg44_oracle() -> None:
+    from spark_sql_hbase_spark.operators.similarity import ivfsq_ann_sql
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zg44_ivfsq_ann"].oracle = ivfsq_ann_sql(
+        "embeddings", "vec_id", "embedding",
+        centroid_pred=f"vid < {_IVF_C}", query_pred="vid < 8",
+        k=5, nprobe=_IVF_NPROBE, dim=64,
+    )
+
+
+_bind_zg44_oracle()

@@ -2739,3 +2739,58 @@ def test_script_profile_semantics(spark):
     assert got[5]["is_mixed"]
     assert got[6]["dominant"] == "none" and got[6]["n_digit"] == 5
     assert got[6]["latin_ratio"] == 0.0
+
+
+def test_ivfsq_recall_tracks_ivf_flat(spark, sf_dir):
+    """At equal cells/nprobe, IVF-SQ8's only extra loss vs IVF-flat is
+    8-bit corpus quantization — its top-5 must overlap the flat-scoring
+    variant heavily (the asymmetric-scoring error budget)."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        assign_cells,
+        ivfsq_ann_topk,
+        kmeans_centroids,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=4, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 8)
+    sq = ivfsq_ann_topk(emb, queries, cent, k=5, nprobe=2)
+    # flat scoring restricted to the SAME probed cells: exact dot over
+    # the float vectors (reuse the operator with levels high enough that
+    # quantization is near-lossless is NOT the same contract — compute
+    # the flat reference directly)
+    from pyspark.sql import Window as W
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _centroid_relation,
+        _probe_cells,
+        dot,
+    )
+
+    cent_rel = _centroid_relation(spark, cent)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _to_double("embedding").alias("__qv")
+    )
+    probes = _probe_cells(q, cent_rel, 2).select(
+        "query_id", F.col("__qv").alias("qv"), "cell"
+    )
+    c = assign_cells(emb, cent, "vec_id", "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), "cell",
+        _to_double("embedding").alias("cv"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("s").desc(), "neighbor_id")
+    flat = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("s"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in sq.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in flat.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"IVF-SQ8 top-5 recall vs IVF-flat = {recall}"
