@@ -1274,3 +1274,58 @@ def script_profile_sql(table: str, id_expr: str, text_expr: str) -> str:
             + CAST(n_cyrillic > 0 AS INTEGER)) >= 2 AS is_mixed
     FROM __c
     """
+
+
+def quality_bucket_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Frozen reference model for the streaming PSI monitor
+    (:func:`~spark_sql_hbase_spark.streaming.pipelines.
+    stream_psi_monitor`): corpus decile boundaries as one row
+    ``(_bs: array<double>)`` plus Laplace-smoothed per-bucket reference
+    shares ``(bucket, q)`` — the same boundary/smoothing conventions as
+    :func:`quality_psi`, factored out so the batch and streaming drift
+    monitors cannot diverge."""
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
+    scored = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+    ).select(quality_expr(text_col, F.col("__tok")).alias("quality"))
+    aggs = [
+        F.expr(
+            f"percentile_disc({i / n_buckets}) WITHIN GROUP (ORDER BY quality)"
+        ).alias(f"_b{i}")
+        for i in range(1, n_buckets)
+    ]
+    bounds = scored.agg(*aggs).select(
+        F.array(*[F.col(f"_b{i}") for i in range(1, n_buckets)]).alias("_bs")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + (F.col("quality") > F.col("_bs")[i]).cast("int")
+    counts = (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = df.sparkSession.range(1, n_buckets + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    from pyspark.sql import Window as W
+
+    half = n_buckets / 2.0
+    dense = (
+        grid.join(counts, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .withColumn("n", F.sum("c").over(W.partitionBy()))
+    )
+    shares = dense.select(
+        "bucket", ((F.col("c") + 0.5) / (F.col("n") + half)).alias("q")
+    )
+    return bounds, shares

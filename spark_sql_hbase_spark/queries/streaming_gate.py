@@ -1138,3 +1138,91 @@ def _bind_zg39_oracle() -> None:
 
 
 _bind_zg39_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zg45 — streaming quality-drift monitor (streaming/pipelines.py::
+# stream_psi_monitor): arriving docs (doc_id % 13 = 0) bucket against
+# FROZEN corpus decile boundaries (corpus = the rest) and append their
+# per-bucket PSI terms vs the frozen reference shares — the live twin
+# of zg42 with the drift DECOMPOSITION per quality band.  Oracle: the
+# same smoothed terms computed batch-side in SQL.
+# ---------------------------------------------------------------------------
+_PSI_ST_BOUNDS = ",\n               ".join(
+    f"quantile_disc(quality, {i / 10}) AS b{i}" for i in range(1, 10)
+)
+_PSI_ST_BUCKET = " + ".join(f"CAST(q.quality > b.b{i} AS INTEGER)" for i in range(1, 10))
+
+
+@register(
+    "zg45_stream_psi_monitor",
+    oracle=None,  # bound below (needs llm._QUALITY_ORACLE import)
+    description="streaming PSI drift monitor: frozen decile boundaries "
+    "+ reference shares, per-batch n_buckets-row fold, zero streaming "
+    "state",
+)
+def zg45_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from spark_sql_hbase_spark.operators.text import quality_bucket_model
+    from spark_sql_hbase_spark.streaming.pipelines import stream_psi_monitor
+
+    docs = table(spark, sf_dir, "documents")
+    is_delta = (F.col("doc_id") % 13) == 0
+    delta, corpus = docs.filter(is_delta), docs.filter(~is_delta)
+    sink = "__zg45_psi_terms"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
+    bounds, shares = quality_bucket_model(corpus, "doc_id", "text")
+    # freeze the model (bounded: one row + n_buckets rows) so the
+    # per-batch joins don't recompute the corpus aggregates
+    bounds = bounds.cache()
+    shares = shares.cache()
+    stream = _one_batch_stream(spark, delta)
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_zg45_")
+    q = stream_psi_monitor(
+        stream, bounds, shares, "doc_id", "text", ckpt, sink
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def _bind_zg45_oracle() -> None:
+    from spark_sql_hbase_spark.queries import REGISTRY
+    from spark_sql_hbase_spark.queries.llm import _QUALITY_ORACLE
+
+    REGISTRY["zg45_stream_psi_monitor"].oracle = f"""
+    WITH __qq AS (
+        SELECT q.doc_id, q.quality, q.doc_id % 13 = 0 AS is_delta
+        FROM ({_QUALITY_ORACLE}) q
+    ), __b AS (
+        SELECT {_PSI_ST_BOUNDS}
+        FROM __qq WHERE NOT is_delta
+    ), __bk AS (
+        SELECT is_delta, CAST(1 + {_PSI_ST_BUCKET} AS INTEGER) AS bucket
+        FROM __qq q, __b b
+    ), __grid AS (
+        SELECT CAST(t.i AS INTEGER) AS bucket FROM range(1, 11) t(i)
+    ), __d AS (
+        SELECT g.bucket, COALESCE(cd.c, 0) AS c
+        FROM __grid g LEFT JOIN (
+            SELECT bucket, COUNT(*) AS c FROM __bk WHERE is_delta GROUP BY 1
+        ) cd USING (bucket)
+    ), __r AS (
+        SELECT g.bucket, COALESCE(cr.c, 0) AS c
+        FROM __grid g LEFT JOIN (
+            SELECT bucket, COUNT(*) AS c FROM __bk WHERE NOT is_delta
+            GROUP BY 1
+        ) cr USING (bucket)
+    ), __nd AS (SELECT SUM(c) AS n FROM __d),
+    __nr AS (SELECT SUM(c) AS n FROM __r)
+    SELECT d.bucket, CAST(d.c AS BIGINT) AS c,
+           ROUND(((d.c + 0.5) / (nd.n + 5.0) - (r.c + 0.5) / (nr.n + 5.0))
+                 * ln(((d.c + 0.5) / (nd.n + 5.0))
+                      / ((r.c + 0.5) / (nr.n + 5.0))), 4) AS psi_term
+    FROM __d d JOIN __r r USING (bucket), __nd nd, __nr nr
+    """
+
+
+_bind_zg45_oracle()

@@ -756,3 +756,78 @@ def stream_sq8_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_psi_monitor(
+    stream_docs: DataFrame,
+    bounds: DataFrame,
+    ref_shares: DataFrame,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    sink_table: str,
+    n_buckets: int = 10,
+    round_to: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Streaming quality-drift monitor: every arriving micro-batch is
+    bucketed against FROZEN corpus decile boundaries and its per-bucket
+    PSI terms against the frozen reference shares are appended — the
+    live twin of ``operators/text.py::quality_psi`` (same Laplace
+    smoothing, same right-closed buckets), emitting the drift
+    DECOMPOSITION (which quality band moved), not just the sum.
+
+    ``bounds``: one row ``(_bs: array<double>)`` of n_buckets−1
+    boundaries; ``ref_shares``: ``(bucket, q)`` smoothed corpus shares —
+    both computed batch-side from the reference snapshot and frozen, the
+    zg39 frozen-model convention (a drifted reference is a re-baseline
+    event, not something the stream mutates).
+
+    Scale/state: ZERO streaming state — each batch folds to n_buckets
+    rows before anything joins; both model rows broadcast."""
+    from spark_sql_hbase_spark.functions.texthash import tokens
+    from spark_sql_hbase_spark.operators.text import quality_expr
+
+    spark = stream_docs.sparkSession
+    half = n_buckets / 2.0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        scored = batch_df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+        ).select(quality_expr(text_col, F.col("__tok")).alias("quality"))
+        bucket = F.lit(1)
+        for i in range(n_buckets - 1):
+            bucket = bucket + (F.col("quality") > F.col("_bs")[i]).cast("int")
+        counts = (
+            scored.crossJoin(F.broadcast(bounds))
+            .select(bucket.cast("int").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        grid = spark.range(1, n_buckets + 1).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+        dense = grid.join(counts, "bucket", "left").select(
+            "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+        from pyspark.sql import Window as W
+
+        dense = dense.withColumn("n", F.sum("c").over(W.partitionBy()))
+        p = (F.col("c") + 0.5) / (F.col("n") + half)
+        out = dense.join(F.broadcast(ref_shares), "bucket").select(
+            "bucket",
+            F.col("c").cast("long").alias("c"),
+            F.round((p - F.col("q")) * F.log(p / F.col("q")), round_to).alias(
+                "psi_term"
+            ),
+        )
+        out.write.mode("append").saveAsTable(sink_table)
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
