@@ -487,7 +487,11 @@ def _n_subspaces(codebooks, books: DataFrame) -> int:
 
 
 def _probe_cells(
-    queries_qv: DataFrame, cent: DataFrame, nprobe: int, carry_cv: bool = False
+    queries_qv: DataFrame,
+    cent: DataFrame,
+    nprobe: int,
+    carry_cv: bool = False,
+    round_to: int = 6,
 ) -> DataFrame:
     """nprobe nearest coarse cells per query: rounded-d2 ``array_sort``
     over the packed centroid model (struct comparison falls through
@@ -500,7 +504,7 @@ def _probe_cells(
     cand = F.transform(
         F.col("__model"),
         lambda c: F.struct(
-            F.round(squared_l2(F.col("__qv"), c["cv"]), 6).alias("d2"),
+            F.round(squared_l2(F.col("__qv"), c["cv"]), round_to).alias("d2"),
             c["cell"].alias("cell"),
             *([c["cv"].alias("cv")] if carry_cv else []),
         ),
@@ -1586,7 +1590,7 @@ def ivfsq_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qv")
     )
-    probes = _probe_cells(q, cent, nprobe).select(
+    probes = _probe_cells(q, cent, nprobe, round_to=round_to).select(
         "query_id", F.col("__qv").alias("qv"), "cell"
     )
     with_cells = assign_cells(corpus, cent, id_col, vec_col, "cell", round_to)

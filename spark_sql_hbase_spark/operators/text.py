@@ -1116,6 +1116,48 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _quality_scored(
+    df: DataFrame, id_col: str, text_col: str, *extra_cols: str
+) -> DataFrame:
+    """(extra_cols..., quality) per document — the shared scoring scan
+    behind the drift monitors (Generate barrier per quality_mix_plan)."""
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
+    return df.select(
+        *[F.col(c) for c in extra_cols],
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+    ).select(
+        *extra_cols, quality_expr(text_col, F.col("__tok")).alias("quality")
+    )
+
+
+def _decile_bounds(scored: DataFrame, n_buckets: int) -> DataFrame:
+    """One row ``(_bs: array<double>)`` of percentile_disc boundaries
+    over ``scored.quality`` — actual data values (z27 convention)."""
+    aggs = [
+        F.expr(
+            f"percentile_disc({i / n_buckets}) WITHIN GROUP (ORDER BY quality)"
+        ).alias(f"_b{i}")
+        for i in range(1, n_buckets)
+    ]
+    return scored.agg(*aggs).select(
+        F.array(*[F.col(f"_b{i}") for i in range(1, n_buckets)]).alias("_bs")
+    )
+
+
+def bucket_expr(n_buckets: int) -> Column:
+    """Right-closed bucket index 1..n_buckets from ``quality`` against a
+    broadcast ``_bs`` boundary array — THE one bucketing rule shared by
+    the batch and streaming drift monitors and the frozen reference
+    model (divergence here silently desynchronizes zg42/zg45)."""
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + (F.col("quality") > F.col("_bs")[i]).cast("int")
+    return bucket.cast("int")
+
+
 def quality_psi(
     df: DataFrame,
     stream_col: str,
@@ -1144,34 +1186,18 @@ def quality_psi(
     (stream × bucket)-bounded count aggregate; the dense grid, corpus
     marginals and the PSI fold all operate on that bounded relation.
     No window, no sort, no UDF.  Determinism: ln + ROUND(round_to),
-    the bm25 precedent."""
-    from spark_sql_hbase_spark.functions.texthash import tokens
-
-    scored = df.select(
-        F.col(stream_col).alias("stream"),
-        F.col(id_col),
-        F.col(text_col),
-        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
-    ).select(
-        "stream",
-        F.col(id_col),
-        quality_expr(text_col, F.col("__tok")).alias("quality"),
-    )
-    aggs = [
-        F.expr(
-            f"percentile_disc({i / n_buckets}) WITHIN GROUP (ORDER BY quality)"
-        ).alias(f"_b{i}")
-        for i in range(1, n_buckets)
-    ]
-    bounds = scored.agg(*aggs).select(
-        F.array(*[F.col(f"_b{i}") for i in range(1, n_buckets)]).alias("_bs")
-    )
-    bucket = F.lit(1)
-    for i in range(n_buckets - 1):
-        bucket = bucket + (F.col("quality") > F.col("_bs")[i]).cast("int")
+    the bm25 precedent.  The scored relation is CACHED (two consumers:
+    boundary aggregate + bucket counts — uncached, the corpus
+    tokenize+score pass would run twice); callers invoking repeatedly
+    should ``clearCache()`` between runs, the standard multi-consumer
+    cache contract."""
+    scored = _quality_scored(
+        df.withColumn("stream", F.col(stream_col)), id_col, text_col, "stream"
+    ).cache()
+    bounds = _decile_bounds(scored, n_buckets)
     counts = (
         scored.crossJoin(F.broadcast(bounds))
-        .select("stream", bucket.cast("int").alias("bucket"))
+        .select("stream", bucket_expr(n_buckets).alias("bucket"))
         .groupBy("stream", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1286,31 +1312,16 @@ def quality_bucket_model(
     (:func:`~spark_sql_hbase_spark.streaming.pipelines.
     stream_psi_monitor`): corpus decile boundaries as one row
     ``(_bs: array<double>)`` plus Laplace-smoothed per-bucket reference
-    shares ``(bucket, q)`` — the same boundary/smoothing conventions as
-    :func:`quality_psi`, factored out so the batch and streaming drift
-    monitors cannot diverge."""
-    from spark_sql_hbase_spark.functions.texthash import tokens
-
-    scored = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
-    ).select(quality_expr(text_col, F.col("__tok")).alias("quality"))
-    aggs = [
-        F.expr(
-            f"percentile_disc({i / n_buckets}) WITHIN GROUP (ORDER BY quality)"
-        ).alias(f"_b{i}")
-        for i in range(1, n_buckets)
-    ]
-    bounds = scored.agg(*aggs).select(
-        F.array(*[F.col(f"_b{i}") for i in range(1, n_buckets)]).alias("_bs")
-    )
-    bucket = F.lit(1)
-    for i in range(n_buckets - 1):
-        bucket = bucket + (F.col("quality") > F.col("_bs")[i]).cast("int")
+    shares ``(bucket, q)`` — built from the SAME helpers
+    (:func:`_quality_scored` / :func:`_decile_bounds` /
+    :func:`bucket_expr`) as :func:`quality_psi`, so the batch and
+    streaming drift monitors cannot diverge.  The scored relation is
+    cached across its two consumers (the quality_psi contract)."""
+    scored = _quality_scored(df, id_col, text_col).cache()
+    bounds = _decile_bounds(scored, n_buckets)
     counts = (
         scored.crossJoin(F.broadcast(bounds))
-        .select(bucket.cast("int").alias("bucket"))
+        .select(bucket_expr(n_buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )

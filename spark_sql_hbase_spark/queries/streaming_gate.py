@@ -1148,12 +1148,6 @@ _bind_zg39_oracle()
 # of zg42 with the drift DECOMPOSITION per quality band.  Oracle: the
 # same smoothed terms computed batch-side in SQL.
 # ---------------------------------------------------------------------------
-_PSI_ST_BOUNDS = ",\n               ".join(
-    f"quantile_disc(quality, {i / 10}) AS b{i}" for i in range(1, 10)
-)
-_PSI_ST_BUCKET = " + ".join(f"CAST(q.quality > b.b{i} AS INTEGER)" for i in range(1, 10))
-
-
 @register(
     "zg45_stream_psi_monitor",
     oracle=None,  # bound below (needs llm._QUALITY_ORACLE import)
@@ -1190,17 +1184,21 @@ def zg45_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bind_zg45_oracle() -> None:
     from spark_sql_hbase_spark.queries import REGISTRY
-    from spark_sql_hbase_spark.queries.llm import _QUALITY_ORACLE
+    from spark_sql_hbase_spark.queries.llm import (
+        _PSI_BOUNDS,
+        _PSI_BUCKET,
+        _QUALITY_ORACLE,
+    )
 
     REGISTRY["zg45_stream_psi_monitor"].oracle = f"""
     WITH __qq AS (
         SELECT q.doc_id, q.quality, q.doc_id % 13 = 0 AS is_delta
         FROM ({_QUALITY_ORACLE}) q
     ), __b AS (
-        SELECT {_PSI_ST_BOUNDS}
+        SELECT {_PSI_BOUNDS}
         FROM __qq WHERE NOT is_delta
     ), __bk AS (
-        SELECT is_delta, CAST(1 + {_PSI_ST_BUCKET} AS INTEGER) AS bucket
+        SELECT is_delta, CAST(1 + {_PSI_BUCKET} AS INTEGER) AS bucket
         FROM __qq q, __b b
     ), __grid AS (
         SELECT CAST(t.i AS INTEGER) AS bucket FROM range(1, 11) t(i)

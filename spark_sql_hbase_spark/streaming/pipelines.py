@@ -785,24 +785,16 @@ def stream_psi_monitor(
 
     Scale/state: ZERO streaming state — each batch folds to n_buckets
     rows before anything joins; both model rows broadcast."""
-    from spark_sql_hbase_spark.functions.texthash import tokens
-    from spark_sql_hbase_spark.operators.text import quality_expr
+    from spark_sql_hbase_spark.operators.text import _quality_scored, bucket_expr
 
     spark = stream_docs.sparkSession
     half = n_buckets / 2.0
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        scored = batch_df.select(
-            F.col(id_col),
-            F.col(text_col),
-            F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
-        ).select(quality_expr(text_col, F.col("__tok")).alias("quality"))
-        bucket = F.lit(1)
-        for i in range(n_buckets - 1):
-            bucket = bucket + (F.col("quality") > F.col("_bs")[i]).cast("int")
+        scored = _quality_scored(batch_df, id_col, text_col)
         counts = (
             scored.crossJoin(F.broadcast(bounds))
-            .select(bucket.cast("int").alias("bucket"))
+            .select(bucket_expr(n_buckets).alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("c"))
         )

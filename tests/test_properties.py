@@ -2727,8 +2727,9 @@ def test_script_profile_semantics(spark):
         (2, "中文数据"),                 # pure han
         (3, "Привет мир"),             # pure cyrillic
         (4, "hello 中文"),              # mixed, latin >= han -> latin
-        (5, "中文 Мир"),                # han > cyrillic? equal counts -> han
+        (5, "中文 Мир"),                # 2 han < 3 cyrillic -> cyrillic
         (6, "12345 !!!"),              # no letters of the three -> none
+        (7, "中文 Ми"),                 # 2 han == 2 cyrillic -> han tiebreak
     ]
     df = spark.createDataFrame(rows, "doc_id int, t string")
     got = {r["doc_id"]: r for r in script_profile(df, "doc_id", "t").collect()}
@@ -2736,8 +2737,9 @@ def test_script_profile_semantics(spark):
     assert got[2]["dominant"] == "han" and got[2]["n_han"] == 4
     assert got[3]["dominant"] == "cyrillic" and got[3]["n_cyrillic"] == 9
     assert got[4]["dominant"] == "latin" and got[4]["is_mixed"]
-    assert got[5]["is_mixed"]
+    assert got[5]["dominant"] == "cyrillic" and got[5]["is_mixed"]
     assert got[6]["dominant"] == "none" and got[6]["n_digit"] == 5
+    assert got[7]["dominant"] == "han"  # the >= tiebreak arm
     assert got[6]["latin_ratio"] == 0.0
 
 
