@@ -1966,3 +1966,102 @@ def zg34_manifest_covered_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`c:name`").alias("name"),
         F.col("`c:acctbal`").alias("acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zg46 — replica covered index maintained THROUGH CDC replay (round-11
+# second batch): k26's bootstrap+ship composed with zf03's covered
+# index, created on the REPLICA — apply_changes routes through
+# upsert/delete_keys, whose index-maintenance hooks must keep the
+# replica's index exact without any replica-side coordination (the
+# HBase "indexes are regional, replication replays WALEdits" story).
+# Oracle: the index-only range scan must equal the post-mutation source
+# predicate — if CDC replay bypassed index maintenance, the scan would
+# serve pre-mutation rows.
+# ---------------------------------------------------------------------------
+@register(
+    "zg46_replica_index_cdc",
+    oracle="""
+    WITH final AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 40 = 0 THEN c_acctbal + 10.0
+                    ELSE c_acctbal END AS acctbal
+        FROM customer
+        WHERE c_custkey % 23 <> 0
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           c_name AS name,
+           acctbal
+    FROM final
+    WHERE c_nationkey = 5
+    """,
+    description="replica covered index kept exact by CDC replay: "
+    "bootstrap, ship MERGE+DELETE, index-only scan equals post-mutation "
+    "source state",
+)
+def zg46_replica_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    replica = _store(spark)
+    c = table(spark, sf_dir, "customer")
+    key = F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key")
+    spec = TableSpec(
+        namespace="gate",
+        name="cust_ridx",
+        key_type="string",
+        families={
+            "c": {"name": "string", "nationkey": "long", "acctbal": "double"}
+        },
+    )
+    store.ctas(
+        spec,
+        c.select(
+            key,
+            F.col("c_name").alias("c:name"),
+            F.col("c_nationkey").alias("c:nationkey"),
+            F.col("c_acctbal").alias("c:acctbal"),
+        ),
+        mode="overwrite",
+    )
+    store.snapshot("gate.cust_ridx", "zg46_s1")
+    store.export_snapshot("zg46_s1", replica.warehouse_dir)
+    replica.clone_snapshot("zg46_s1", "gate.cust_ridx")
+    # the REPLICA owns the index (a read-side structure — the source
+    # never hears about it; replay alone must keep it fresh)
+    replica.create_covered_index(
+        "gate.cust_ridx",
+        "gate.cust_ridx_by_nation",
+        index_col="c:nationkey",
+        include=["c:name", "c:acctbal"],
+        key_width=5,
+        mode="overwrite",
+    )
+    # source mutations: one MERGE, one keyed DELETE
+    store.upsert(
+        "gate.cust_ridx",
+        c.filter("c_custkey % 40 = 0").select(
+            key,
+            F.col("c_name").alias("c:name"),
+            F.col("c_nationkey").alias("c:nationkey"),
+            (F.col("c_acctbal") + 10.0).alias("c:acctbal"),
+        ),
+    )
+    store.delete_where("gate.cust_ridx", "CAST(row_key AS BIGINT) % 23 = 0")
+    replica.apply_changes(
+        "gate.cust_ridx",
+        store.read_changes("gate.cust_ridx", versus="zg46_s1"),
+    )
+    # convergence of the BASE table (k26's assert), then serve from the
+    # INDEX ONLY — freshness of the index is the thing under test
+    src = store.read("gate.cust_ridx")
+    dst = replica.read("gate.cust_ridx")
+    assert dst.exceptAll(src).isEmpty() and src.exceptAll(dst).isEmpty()
+    idx = replica.read("gate.cust_ridx_by_nation")
+    return idx.filter(
+        (F.col("row_key") >= "00005|") & (F.col("row_key") < "00005}")
+    ).select(
+        F.col("`i:src_key`").cast("long").alias("custkey"),
+        F.col("`c:name`").alias("name"),
+        F.col("`c:acctbal`").alias("acctbal"),
+    )
