@@ -2214,3 +2214,35 @@ def zg31_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich.join(
         o.select("o_custkey"), rich.c_custkey == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# zg47 — ordered string aggregation (LISTAGG ... WITHIN GROUP, new
+# inherited SQL surface in Spark 4 / ANSI 2016): the deterministic
+# ordered-concat shape — per-order CSV of its lineitem ship modes, plus
+# per-region nation roster.  DuckDB twin: string_agg with ORDER BY
+# (same semantics, pre-listagg spelling).
+# ---------------------------------------------------------------------------
+@register(
+    "zg47_listagg_rosters",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    description="LISTAGG WITHIN GROUP (Spark 4 inherited SQL): "
+    "deterministic ordered string aggregation",
+)
+def zg47_listagg_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("__zg47_nation")
+    table(spark, sf_dir, "region").createOrReplaceTempView("__zg47_region")
+    return spark.sql("""
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                   AS nations,
+               COUNT(*) AS n_nations
+        FROM __zg47_nation JOIN __zg47_region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """)
