@@ -2246,3 +2246,44 @@ def zg47_listagg_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __zg47_nation JOIN __zg47_region ON n_regionkey = r_regionkey
         GROUP BY r_name
     """)
+
+
+# ---------------------------------------------------------------------------
+# zg48 — VARIANT semi-structured extraction (new Spark 4 type, the
+# open-variant-ish binary JSON): nested JSON built deterministically
+# from event columns (the zb20 injection convention — identical string
+# expression in both engines), parsed once to VARIANT, then TYPED
+# variant_get extraction — the metadata-blob access path a training
+# pipeline uses for per-record provenance.  DuckDB twin: json_extract
+# with casts (same paths, same types).
+# ---------------------------------------------------------------------------
+_ZG48_JSON = (
+    "'{\"evt\": {\"type\": \"' || event_type || '\", \"user\": ' || user_id"
+    " || '}, \"payload\": ' || props || '}'"
+)
+
+
+@register(
+    "zg48_variant_extract",
+    oracle=f"""
+    SELECT event_id,
+           CAST(json_extract_string(j, '$.evt.type') AS VARCHAR) AS etype,
+           CAST(json_extract(j, '$.evt.user') AS BIGINT) AS euser,
+           CAST(json_extract(j, '$.payload.k') AS INTEGER) AS payload_k
+    FROM (SELECT event_id, {_ZG48_JSON} AS j FROM events)
+    WHERE event_id % 11 = 0
+    """,
+    description="VARIANT typed extraction (Spark 4 parse_json + "
+    "variant_get): nested provenance-blob access, single parse per row",
+)
+def zg48_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("__zg48_events")
+    return spark.sql(f"""
+        SELECT event_id,
+               variant_get(v, '$.evt.type', 'string') AS etype,
+               variant_get(v, '$.evt.user', 'bigint') AS euser,
+               variant_get(v, '$.payload.k', 'int') AS payload_k
+        FROM (SELECT event_id, parse_json({_ZG48_JSON}) AS v
+              FROM __zg48_events)
+        WHERE event_id % 11 = 0
+    """)
