@@ -2287,3 +2287,43 @@ def zg48_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM __zg48_events)
         WHERE event_id % 11 = 0
     """)
+
+
+# ---------------------------------------------------------------------------
+# zg49 — SQL-defined scalar UDF + session variable (both new inherited
+# surfaces in Spark 4 / SQL:2016 PSM-lite): revenue function declared
+# IN SQL (no Python, no JVM jar — the portable form of the reference's
+# scalar function registry) applied under a session-variable threshold.
+# Oracle: the function body and variable value inlined; decimal-exact
+# sum (functions/det.py convention).
+# ---------------------------------------------------------------------------
+@register(
+    "zg49_sql_udf_vars",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_sql("l_extendedprice * (1 - l_discount)", "net_revenue")},
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_discount > 0.06
+    GROUP BY l_returnflag
+    """,
+    description="SQL-defined scalar UDF + session variable (Spark 4 "
+    "inherited SQL): declarative function registry, no Python/JVM code",
+)
+def zg49_sql_udf_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__zg49_li")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __zg49_net(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE __zg49_cut DOUBLE DEFAULT 0.05")
+    spark.sql("SET VARIABLE __zg49_cut = 0.06")
+    return spark.sql(f"""
+        SELECT l_returnflag,
+               CAST(ROUND(SUM(CAST(__zg49_net(l_extendedprice, l_discount)
+                   AS DECIMAL(38,6))), 2) AS DOUBLE) AS net_revenue,
+               COUNT(*) AS n_items
+        FROM __zg49_li
+        WHERE l_discount > __zg49_cut
+        GROUP BY l_returnflag
+    """)
