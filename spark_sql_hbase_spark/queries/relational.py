@@ -2327,3 +2327,71 @@ def zg49_sql_udf_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_discount > __zg49_cut
         GROUP BY l_returnflag
     """)
+
+
+# ---------------------------------------------------------------------------
+# zg50 — TRUE correlated scalar subqueries through the SQL surface
+# (Catalyst decorrelation under test — zb01 covers the same semantics
+# via an explicit broadcast-join rewrite; this gate hands the analyzer
+# the correlated form itself): orders priced > 1.5x their customer's
+# average, with the predicate in exact sum x count DECIMAL form so
+# membership is engine-independent (double AVG is order-sensitive in
+# the last ulp; a decimal sum is not).
+# ---------------------------------------------------------------------------
+_ZG50 = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM {orders} o
+    WHERE CAST(o.o_totalprice AS DECIMAL(38,6))
+          * (SELECT COUNT(*) FROM {orders} o2
+             WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT 1.5 * SUM(CAST(o3.o_totalprice AS DECIMAL(38,6)))
+             FROM {orders} o3 WHERE o3.o_custkey = o.o_custkey)
+"""
+
+
+@register(
+    "zg50_correlated_above_avg",
+    oracle=_ZG50.format(orders="orders"),
+    description="correlated scalar subqueries (decorrelation surface): "
+    "orders above 1.5x their customer's average, decimal-exact predicate",
+)
+def zg50_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__zg50_orders")
+    return spark.sql(_ZG50.format(orders="__zg50_orders"))
+
+
+# ---------------------------------------------------------------------------
+# zg51 — TPC-H Q18 clone (large-volume customers): IN over a grouped
+# HAVING subquery + a three-way join re-aggregation — the classic
+# "semi join against an aggregate" plan.  Quantity sums ride the
+# decimal-exact convention at both the HAVING gate and the output.
+# ---------------------------------------------------------------------------
+_ZG51 = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_qty
+    FROM {customer} c
+    JOIN {orders} o ON c.c_custkey = o.o_custkey
+    JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM {lineitem}
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+"""
+
+
+@register(
+    "zg51_large_volume_customers",
+    oracle=_ZG51.format(customer="customer", orders="orders", lineitem="lineitem"),
+    description="TPC-H Q18 shape: IN over grouped HAVING + 3-way join "
+    "re-aggregation, decimal-exact quantity sums",
+)
+def zg51_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__zg51_c")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__zg51_o")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__zg51_l")
+    return spark.sql(
+        _ZG51.format(customer="__zg51_c", orders="__zg51_o", lineitem="__zg51_l")
+    )

@@ -1059,3 +1059,14 @@ def test_r11_kmeans_final_step_is_broadcast_only(spark, registry):
     assert "BroadcastNestedLoopJoin" in plan
     for shuffled in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert shuffled not in plan, shuffled
+
+
+def test_r11_correlated_subqueries_decorrelate(spark, registry):
+    """zg50 hands Catalyst the correlated form — the physical plan must
+    be decorrelated into aggregate+join, never a per-row subquery
+    (no nested-loop/cartesian, and the correlated aggregates appear as
+    plan-level HashAggregates)."""
+    plan = formatted_plan(registry["zg50_correlated_above_avg"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
