@@ -2395,3 +2395,29 @@ def zg51_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _ZG51.format(customer="__zg51_c", orders="__zg51_o", lineitem="__zg51_l")
     )
+
+
+# ---------------------------------------------------------------------------
+# zg52 — LIMIT/OFFSET pagination (OFFSET is inherited SQL new in
+# Spark 3.4+): page 3 of the fully-ordered order book.  Deterministic
+# because the ORDER BY is a total order (price desc, then key); the
+# plan remains a TakeOrdered-class top-(limit+offset), never a global
+# sort of the table.
+# ---------------------------------------------------------------------------
+_ZG52 = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM {orders}
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+"""
+
+
+@register(
+    "zg52_offset_pagination",
+    oracle=_ZG52.format(orders="orders"),
+    description="LIMIT/OFFSET pagination over a total order (Spark 3.4+ "
+    "OFFSET): top-(limit+offset) plan, no global sort",
+)
+def zg52_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__zg52_orders")
+    return spark.sql(_ZG52.format(orders="__zg52_orders"))
