@@ -2334,17 +2334,20 @@ def zg49_sql_udf_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Catalyst decorrelation under test — zb01 covers the same semantics
 # via an explicit broadcast-join rewrite; this gate hands the analyzer
 # the correlated form itself): orders priced > 1.5x their customer's
-# average, with the predicate in exact sum x count DECIMAL form so
-# membership is engine-independent (double AVG is order-sensitive in
-# the last ulp; a decimal sum is not).
+# average, with the predicate in INTEGER-MULTIPLIER decimal form
+# (2·price·count > 3·sum) so membership is engine-independent — a
+# literal 1.5 multiplier is rounded to scale 6 by Spark's
+# precision-loss rule while DuckDB keeps the exact scale-7 product, a
+# latent half-microunit tie divergence; double AVG would be
+# order-sensitive in the last ulp.  Both factors stay exact decimals.
 # ---------------------------------------------------------------------------
 _ZG50 = """
     SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
     FROM {orders} o
-    WHERE CAST(o.o_totalprice AS DECIMAL(38,6))
+    WHERE 2 * CAST(o.o_totalprice AS DECIMAL(38,6))
           * (SELECT COUNT(*) FROM {orders} o2
              WHERE o2.o_custkey = o.o_custkey)
-          > (SELECT 1.5 * SUM(CAST(o3.o_totalprice AS DECIMAL(38,6)))
+          > (SELECT 3 * SUM(CAST(o3.o_totalprice AS DECIMAL(38,6)))
              FROM {orders} o3 WHERE o3.o_custkey = o.o_custkey)
 """
 

@@ -1070,3 +1070,12 @@ def test_r11_correlated_subqueries_decorrelate(spark, registry):
     assert "CartesianProduct" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_r11_offset_pagination_no_global_sort(spark, registry):
+    """zg52: ORDER BY + LIMIT/OFFSET must stay a top-(limit+offset)
+    TakeOrdered plan — a global table sort would break the documented
+    scale property silently."""
+    plan = formatted_plan(registry["zg52_offset_pagination"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
