@@ -1079,3 +1079,28 @@ def test_r11_offset_pagination_no_global_sort(spark, registry):
     plan = formatted_plan(registry["zg52_offset_pagination"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_r11_shard_plan_sorts_metadata_only(spark, registry):
+    """zg40's scale claim: the global sort ranks the (id, n_tokens)
+    METADATA relation — the text column must be projected away before
+    the exchange (a sort carrying document bytes would be the
+    scale-killer the operator exists to avoid)."""
+    plan = formatted_plan(registry["zg40_shard_plan"].fn(spark, SF))
+    import re as _re
+
+    # formatted mode: the Exchange node's detail block lists its input
+    # attributes — the two metadata columns only, never the text
+    m = _re.search(r"\(\d+\) Exchange\nInput \[(\d+)\]: \[([^\]]*)\]", plan)
+    assert m is not None, plan[:1500]
+    assert int(m.group(1)) == 2, m.group(0)
+    assert "text" not in m.group(2), m.group(0)
+
+
+def test_r11_quality_psi_no_corpus_sort_or_udf(spark, registry):
+    """zg42: boundaries via ONE percentile aggregate, buckets row-local
+    — no global sort of the corpus, no Python in the plan."""
+    plan = formatted_plan(registry["zg42_quality_psi"].fn(spark, SF))
+    assert "Exchange rangepartitioning" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert py not in plan, py
