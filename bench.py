@@ -274,6 +274,11 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
         # means a hot term slipped past the cap)
         ("zg35_sq8_ann", "s05_sq8_ann"),
         ("zg37_tfidf_cosine", "t30_tfidf_cosine"),
+        # replica covered index maintained through CDC replay — the
+        # figure tracks the index-maintenance overhead apply_changes
+        # pays on top of the bare ship (k24_cdc_ship is the no-index
+        # baseline)
+        ("zg46_replica_index_cdc", "k26_replica_index_cdc"),
         ("d10_duplicate_spans", "d10_duplicate_spans"),
     ):
         t0 = time.perf_counter()
