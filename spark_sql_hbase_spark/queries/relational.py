@@ -2424,3 +2424,40 @@ _ZG52 = """
 def zg52_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("__zg52_orders")
     return spark.sql(_ZG52.format(orders="__zg52_orders"))
+
+
+# ---------------------------------------------------------------------------
+# zg53 — NOT IN subquery (null-aware anti-join semantics): customers
+# outside every nation of one region.  Distinct from z42/zg31 (LEFT
+# ANTI joins): NOT IN carries three-valued NULL semantics — one NULL in
+# the subquery empties the result — so Catalyst plans it as a
+# null-aware anti join unless non-nullability is proven.  The second
+# branch pins exactly that trap: the same predicate over a subquery
+# made nullable (NULLIF) must return zero rows in BOTH engines.
+# ---------------------------------------------------------------------------
+_ZG53 = """
+    SELECT c_custkey, c_nationkey
+    FROM {customer}
+    WHERE c_nationkey NOT IN (
+        SELECT n_nationkey FROM {nation} WHERE n_regionkey = 3
+    )
+    UNION ALL
+    SELECT c_custkey, c_nationkey
+    FROM {customer}
+    WHERE c_nationkey NOT IN (
+        SELECT NULLIF(n_nationkey, n_nationkey) FROM {nation}
+        WHERE n_regionkey = 3
+    )
+"""
+
+
+@register(
+    "zg53_not_in_null_semantics",
+    oracle=_ZG53.format(customer="customer", nation="nation"),
+    description="NOT IN subquery incl. the NULL trap: null-aware anti "
+    "join; a NULL in the subquery empties that branch in both engines",
+)
+def zg53_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__zg53_c")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("__zg53_n")
+    return spark.sql(_ZG53.format(customer="__zg53_c", nation="__zg53_n"))
