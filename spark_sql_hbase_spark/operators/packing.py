@@ -82,48 +82,111 @@ def pack_summary(
     )
 
 
+def shard_assignments(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+    n_rank_partitions: int | None = None,
+) -> DataFrame:
+    """Per-document shard assignment ``(id, n_tokens, shard_id)`` via a
+    DISTRIBUTED global rank — the doc→shard map a writer joins back on
+    ``id`` to route the actual bytes.
+
+    Assignment is longest-processing-time-style round robin: documents
+    ranked by token count descending (ties by id), shard =
+    ``(rank-1) mod n_shards``.  Deterministic and integer-only.
+
+    Rank shape (scales to 100 TB): the corpus scan reduces to a
+    METADATA relation (id, n_tokens) before anything global happens,
+    and the rank is the standard two-pass zipWithIndex recipe —
+    ``repartitionByRange`` on the sort key spreads the metadata over
+    ``n_rank_partitions`` tasks, each task ranks locally, and the
+    per-partition row counts (one bounded number per partition,
+    collected driver-side like any other model parameter) become
+    broadcast offsets.  No single-task global window anywhere: even a
+    100 B-document corpus ranks ~1.6 TB of metadata across the cluster,
+    ~1.6 GB per task at 1000 partitions.
+
+    The range-partitioned relation is ``persist()``-ed: range-boundary
+    sampling is seeded per execution, so the counts pass and the
+    ranking pass MUST read the SAME shuffle output or the offsets are
+    silently wrong — the cache (2 columns + pid, ~20 B/row, spills to
+    disk) is that coordination point.  The persisted handle is exposed
+    as ``result._shard_meta_cache`` so a long-lived caller can
+    ``unpersist()`` it once the plan/assignments are materialized.
+    """
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
+    spark = docs.sparkSession
+    n_parts = int(
+        n_rank_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    meta = docs.select(
+        F.col(id_col).alias("id"), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+    # Range partitions preserve the global order across partition ids:
+    # every row in pid i sorts before every row in pid j>i.
+    part = (
+        meta.repartitionByRange(
+            n_parts, F.col("n_tokens").desc(), F.col("id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    # Pass 1: per-partition row counts — at most n_rank_partitions rows,
+    # a bounded model parameter; prefix-summed on the driver.
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    # Pass 2: local rank within each range partition + broadcast offset.
+    lrn = F.row_number().over(
+        W.partitionBy("pid").orderBy(F.col("n_tokens").desc(), F.col("id"))
+    )
+    ranked = part.select("id", "n_tokens", "pid", lrn.alias("lrn")).join(
+        F.broadcast(off_df), "pid"
+    )
+    out = ranked.select(
+        "id",
+        "n_tokens",
+        ((F.col("off") + F.col("lrn") - 1) % n_shards).cast("int").alias("shard_id"),
+    )
+    out._shard_meta_cache = part
+    return out
+
+
 def shard_plan(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     n_shards: int,
+    n_rank_partitions: int | None = None,
 ) -> DataFrame:
     """Balanced training-shard assignment: every document lands in one of
     ``n_shards`` output shards with near-equal TOKEN totals — the
     planning half of "write the curated corpus as N training files"
     (shard skew = stragglers in every downstream training epoch).
 
-    Assignment is longest-processing-time-style round robin: documents
-    ranked by token count descending (ties by id), shard =
-    ``(rank-1) mod n_shards``.  Deterministic, integer-only, and
-    single-pass — the classic greedy bin-balancer without its
-    sequential state.  Per-shard token totals are then bounded within
-    ``max_doc_tokens`` of each other per round-robin cycle.
-
     Emits one row per shard: ``(shard_id, n_docs, tok_total)``.
-
-    Plan shape (scales to 100 TB): the corpus scan reduces to a
-    METADATA relation (id, n_tokens) before anything global happens;
-    the rank is one global sort of that metadata — bytes-per-row ~16,
-    so even a 100 B-document corpus sorts ~1.6 TB of metadata, not the
-    text.  The final aggregate is n_shards rows.  The doc→shard map
-    (the intermediate before the summary aggregate) is what a writer
-    would join back on ``id`` to route the actual bytes."""
-    from spark_sql_hbase_spark.functions.texthash import tokens
-
-    meta = docs.select(
-        F.col(id_col).alias("id"), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    Per-shard token totals are bounded within ``max_doc_tokens`` of
+    each other per round-robin cycle.  See :func:`shard_assignments`
+    for the distributed-rank plan shape (the 100 TB story)."""
+    assigned = shard_assignments(
+        docs, id_col, text_col, n_shards, n_rank_partitions
     )
-    rn = F.row_number().over(
-        W.orderBy(F.col("n_tokens").desc(), F.col("id"))
-    )
-    assigned = meta.select(
-        "id", "n_tokens", ((rn - 1) % n_shards).cast("int").alias("shard_id")
-    )
-    return assigned.groupBy("shard_id").agg(
+    out = assigned.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("tok_total"),
     )
+    out._shard_meta_cache = assigned._shard_meta_cache
+    return out
 
 
 def shard_plan_sql(

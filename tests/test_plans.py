@@ -1082,19 +1082,34 @@ def test_r11_offset_pagination_no_global_sort(spark, registry):
 
 
 def test_r11_shard_plan_sorts_metadata_only(spark, registry):
-    """zg40's scale claim: the global sort ranks the (id, n_tokens)
-    METADATA relation — the text column must be projected away before
-    the exchange (a sort carrying document bytes would be the
-    scale-killer the operator exists to avoid)."""
+    """zg40's scale claims, r12 distributed-rank edition:
+    (a) the rank is DISTRIBUTED — an `Exchange rangepartitioning` on the
+        sort key spreads the metadata, and NO SinglePartition exchange
+        appears anywhere (the r11 single-task global window is gone);
+    (b) the ranked relation is the (id, n_tokens) METADATA — the text
+        column is projected away before the range exchange (a sort
+        carrying document bytes would be the scale-killer the operator
+        exists to avoid);
+    (c) the per-partition offsets join is a broadcast."""
     plan = formatted_plan(registry["zg40_shard_plan"].fn(spark, SF))
     import re as _re
 
-    # formatted mode: the Exchange node's detail block lists its input
-    # attributes — the two metadata columns only, never the text
-    m = _re.search(r"\(\d+\) Exchange\nInput \[(\d+)\]: \[([^\]]*)\]", plan)
-    assert m is not None, plan[:1500]
-    assert int(m.group(1)) == 2, m.group(0)
-    assert "text" not in m.group(2), m.group(0)
+    assert "SinglePartition" not in plan, plan[:2000]
+    # the range exchange (inside the persisted metadata relation's
+    # cached plan) must carry exactly the two metadata columns
+    ms = _re.findall(
+        r"\(\d+\) Exchange\nInput \[(\d+)\]: \[([^\]]*)\]"
+        r"\nArguments: rangepartitioning\(n_tokens",
+        plan,
+    )
+    assert ms, plan[:2000]
+    for n_cols, cols in ms:
+        assert int(n_cols) == 2, (n_cols, cols)
+        assert "text" not in cols, cols
+    assert "BroadcastHashJoin" in plan
+    # local rank runs per range partition: the window is partitioned
+    # (hash on pid), never a global single-partition sort
+    assert _re.search(r"hashpartitioning\(pid", plan), plan[:2000]
 
 
 def test_r11_quality_psi_no_corpus_sort_or_udf(spark, registry):
