@@ -562,26 +562,31 @@ def main() -> None:
         for n in med
         if n in _SF1_INPUT_ROWS and sf_f and med[n] > 0
     }
+    # Key order matters: the driver archives only the LAST 2000 chars of
+    # output (BENCH_r11.json lost the r11 headline to a grown
+    # production_paths map) — emit the bulky diagnostic maps FIRST and
+    # the headline figures (calibration/queries/value) LAST so they
+    # always survive the truncation.
     print(
         json.dumps(
             {
                 "metric": "headline_total_runtime",
-                "value": total,
+                "unit": "sec",
+                "sf": sf_f,
+                "runs": N_RUNS,
+                "calibration_reference": _CALIBRATION_REF,
+                "throughput_rows_per_s": throughput,
+                "spread": spread,
+                "production_paths": production,
+                "cold_total": totals[0],
+                "warm_total": min(totals[1:]) if len(totals) > 1 else None,
+                "calibration": calib,
                 "value_normalized": (
                     round(total * _CALIBRATION_REF["value"] / calib, 3)
                     if calib else None
                 ),
-                "unit": "sec",
                 "queries": med,
-                "sf": sf_f,
-                "calibration": calib,
-                "calibration_reference": _CALIBRATION_REF,
-                "throughput_rows_per_s": throughput,
-                "runs": N_RUNS,
-                "cold_total": totals[0],
-                "warm_total": min(totals[1:]) if len(totals) > 1 else None,
-                "spread": spread,
-                "production_paths": production,
+                "value": total,
             }
         )
     )
