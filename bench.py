@@ -108,6 +108,21 @@ _R11_RENAMES = {
 }
 
 
+# round-12 rotation: bench output key -> current registry name.
+# Promotions (zg35/zg37/zg46 gained non-z window names) and demotions
+# (t16/t17 rotated to z-tier) — same code, stable bench keys.
+_R12_RENAMES = {
+    "zg35_sq8_ann": "s13_sq8_ann",
+    "zg37_tfidf_cosine": "d20_tfidf_cosine",
+    "zg46_replica_index_cdc": "k30_replica_index_cdc",
+    "t16_dsir_importance": "zg60_dsir_importance",
+    "t17_cms_heavy_hitters": "zg61_cms_heavy_hitters",
+    # was z67 -> d17 in _R8_RENAMES; rename maps don't chain, so the
+    # r12 demotion of d17 needs the direct entry here
+    "z67_winnowing_fingerprints": "zg54_winnowing_fingerprints",
+}
+
+
 # round-10 rotation: bench output key -> current registry name
 _R10_RENAMES = {
     "d12_semantic_dedup": "zg24_semantic_dedup",
@@ -134,6 +149,7 @@ def _lookup(registry, name):
     as an AttributeError on None downstream."""
     qd = (
         registry.get(name)
+        or registry.get(_R12_RENAMES.get(name, ""))
         or registry.get(_R11_RENAMES.get(name, ""))
         or registry.get(_R10_RENAMES.get(name, ""))
         or registry.get(_R9_RENAMES.get(name, ""))

@@ -1980,7 +1980,7 @@ def zg34_manifest_covered_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # serve pre-mutation rows.
 # ---------------------------------------------------------------------------
 @register(
-    "zg46_replica_index_cdc",
+    "k30_replica_index_cdc",
     oracle="""
     WITH final AS (
         SELECT c_custkey, c_name, c_nationkey,
@@ -1999,7 +1999,7 @@ def zg34_manifest_covered_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bootstrap, ship MERGE+DELETE, index-only scan equals post-mutation "
     "source state",
 )
-def zg46_replica_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k30_replica_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)

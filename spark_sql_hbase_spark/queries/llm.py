@@ -1784,7 +1784,7 @@ _BP_K = 5
 
 
 @register(
-    "t21_boilerplate_ngrams",
+    "zg63_boilerplate_ngrams",
     oracle=f"""
     WITH __sh AS (
         SELECT source AS stream, doc_id,
@@ -1806,7 +1806,7 @@ _BP_K = 5
     description="per-source top-5 boilerplate 5-gram shingles by document "
     "frequency (most-common-spans curation analytic)",
 )
-def t21_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg63_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.boilerplate_ngrams(
         docs, "source", "doc_id", "text", n=_BP_N, k=_BP_K
@@ -1971,14 +1971,14 @@ _DSIR_B = 1024
 
 
 @register(
-    "t16_dsir_importance",
+    "zg60_dsir_importance",
     oracle="SELECT q.id AS doc_id, q.n_tokens, q.importance FROM ("
     + _dsql("documents", "doc_id", _TOK, "source = 'src0'", _DSIR_B)
     + ") q",
     description="DSIR importance: per-doc mean hashed-unigram "
     "ln p_target/p_raw (add-1, 1024 buckets, target = src0)",
 )
-def t16_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg60_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import dsir_importance
 
     docs = table(spark, sf_dir, "documents")
@@ -2131,7 +2131,7 @@ _JL_SEED = 7
 
 
 @register(
-    "s10_jl_projection",
+    "zg66_jl_projection",
     oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
@@ -2167,7 +2167,7 @@ _JL_SEED = 7
     description="JL projection audit: exact vs 16-dim-projected pairwise "
     "squared distances (md5-parity sign matrix, deterministic)",
 )
-def s10_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg66_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         random_projection,
@@ -2207,7 +2207,7 @@ _WINNOW_GRAM = " || ' ' || ".join(f"t[__i + {j + 1}]" for j in range(_WINNOW_K))
 
 
 @register(
-    "d17_winnowing_fingerprints",
+    "zg54_winnowing_fingerprints",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id, {_TOK} AS t FROM documents
@@ -2233,7 +2233,7 @@ _WINNOW_GRAM = " || ' ' || ".join(f"t[__i + {j + 1}]" for j in range(_WINNOW_K))
     description="winnowing (MOSS) fingerprints: per-window min of k-gram "
     "hashes, shuffle-free, guaranteed substring coverage",
 )
-def d17_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg54_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.winnowing_fingerprints(
         docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
@@ -2248,7 +2248,7 @@ def d17_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bm25/surprisal (driver-green precedent).
 # ---------------------------------------------------------------------------
 @register(
-    "t23_token_entropy",
+    "zg64_token_entropy",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id AS id, {_TOK} AS tok FROM documents
@@ -2265,7 +2265,7 @@ def d17_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="per-doc Shannon token entropy (nats): within-doc "
     "repetitiveness quality feature, no corpus pass",
 )
-def t23_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg64_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.token_entropy(docs, "doc_id", "text")
 
@@ -2329,12 +2329,12 @@ _CANON_ORACLE = f"""{_SHINGLE_CTES}
 
 
 @register(
-    "d18_canonical_selection",
+    "zg55_canonical_selection",
     oracle=_CANON_ORACLE,
     description="keep-best dedup: near-dup clusters keep the highest-"
     "quality member (deterministic min-id tie-break)",
 )
-def d18_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg55_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_join(
         docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
@@ -2373,7 +2373,7 @@ def _cms_rows_sql() -> str:
 
 
 @register(
-    "t17_cms_heavy_hitters",
+    "zg61_cms_heavy_hitters",
     oracle=f"""
     WITH __t AS (
         SELECT unnest({_TOK}) AS term FROM documents
@@ -2397,7 +2397,7 @@ def _cms_rows_sql() -> str:
     description="count-min-sketch heavy hitters: bounded 3x512 counter "
     "grid, min-row estimate vs exact audit (est >= true always)",
 )
-def t17_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg61_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import cms_heavy_hitters
 
     docs = table(spark, sf_dir, "documents")
@@ -2528,7 +2528,7 @@ _OOV_TOPV = 500
 
 
 @register(
-    "t24_oov_rate",
+    "zg65_oov_rate",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id AS id, {_TOK} AS tok FROM documents
@@ -2550,7 +2550,7 @@ _OOV_TOPV = 500
     description="per-doc OOV rate vs the corpus top-500 vocabulary "
     "(broadcast lexicon, map-side marking)",
 )
-def t24_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg65_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     vocab = text.vocabulary(docs, "text", top_k=_OOV_TOPV).select("term")
     return text.oov_rate(docs, vocab, "doc_id", "text")
@@ -2858,7 +2858,7 @@ _KNN_K = 5
 
 
 @register(
-    "s11_knn_label_propagation",
+    "zg67_knn_label_propagation",
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -2891,7 +2891,7 @@ _KNN_K = 5
     description="kNN label propagation: majority label of the k nearest "
     "labeled neighbors (deterministic min-label ties)",
 )
-def s11_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg67_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % 23 == 0
     queries, pool = emb.filter(is_q), emb.filter(~is_q)
@@ -3007,7 +3007,7 @@ def zf13_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-specific and never hashed).
 # ---------------------------------------------------------------------------
 @register(
-    "d19_hll_vocab_overlap",
+    "zg56_hll_vocab_overlap",
     oracle=f"""
     WITH __t AS (
         SELECT DISTINCT source, unnest({_TOK}) AS term FROM documents
@@ -3029,7 +3029,7 @@ def zf13_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="HLL sketch-union vocabulary overlap per source pair: "
     "exact values + estimate-error-bound boolean (q16 convention)",
 )
-def d19_hll_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg56_hll_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
 
     docs = table(spark, sf_dir, "documents")
@@ -3389,7 +3389,7 @@ def p08_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per label class.
 # ---------------------------------------------------------------------------
 @register(
-    "s12_contrastive_pairs",
+    "zg68_contrastive_pairs",
     oracle="""
     WITH q AS (
         SELECT vec_id AS anchor, label AS alabel, embedding::DOUBLE[] AS qv
@@ -3417,7 +3417,7 @@ def p08_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="contrastive pair mining: nearest same-label positive + "
     "nearest different-label hard negative per anchor",
 )
-def s12_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg68_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-cardinality contract (VERDICT r9 note 3): the scored
     relation below is O(anchors × corpus) and is ``.cache()``d for its
     two consumers (positive and negative branches) — both the broadcast
@@ -3490,7 +3490,7 @@ def s12_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction over the shared per-doc quality CTE.
 # ---------------------------------------------------------------------------
 @register(
-    "p06_quality_threshold_sweep",
+    "zg70_quality_threshold_sweep",
     oracle=f"""
     WITH __q AS ({_QUALITY_ORACLE}),
     __h AS (
@@ -3525,7 +3525,7 @@ def s12_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="keep-threshold sweep: survivors + mean quality per "
     "candidate threshold from one scan + bounded histogram",
 )
-def p06_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg70_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quality_threshold_sweep(docs, "text", n_buckets=20)
 
@@ -3539,7 +3539,7 @@ def p06_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word hash so the oracle reproduces them exactly.
 # ---------------------------------------------------------------------------
 @register(
-    "t18_hashed_linear_score",
+    "zg62_hashed_linear_score",
     oracle=f"""
     SELECT doc_id,
            CAST(COALESCE(list_sum(list_transform({_TOK},
@@ -3556,7 +3556,7 @@ def p06_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="hashed linear quality scorer: per-token hash-indexed "
     "weights, row-local fold, integer-exact score",
 )
-def t18_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg62_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.hashed_linear_score(docs, "doc_id", "text")
 
@@ -3804,13 +3804,13 @@ _SQ8_K = 10
 _SQ8_DIM = 64
 
 @register(
-    "zg35_sq8_ann",
+    "s13_sq8_ann",
     oracle=None,  # bound below (generator needs the similarity import)
     description="SQ8 scalar-quantized ANN: per-dim min/max bounds (one "
     "broadcast row), 1-byte persisted codes, decode-and-score top-k "
     "(FAISS ScalarQuantizer design), 4x scan-bandwidth reduction",
 )
-def zg35_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s13_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.sq8_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=_SQ8_K
@@ -3847,12 +3847,12 @@ _TFIDF_T = 0.3
 _TFIDF_MAXDF = 100
 
 @register(
-    "zg37_tfidf_cosine",
+    "d20_tfidf_cosine",
     oracle=None,  # bound below
     description="TF-IDF cosine pairs via inverted-index self-join, "
     "smoothed idf + L2 norm, df-capped posting lists",
 )
-def zg37_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d20_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import tfidf_cosine_pairs
 
     docs = table(spark, sf_dir, "documents")
@@ -3873,12 +3873,12 @@ _KML_K = 8
 _KML_ITER = 3
 
 @register(
-    "zg38_kmeans_lloyd",
+    "s15_kmeans_lloyd",
     oracle=None,  # bound below
     description="3-iteration Lloyd k-means: broadcast-assign + K·dim "
     "aggregate per step, driver carries model state only",
 )
-def zg38_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s15_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.kmeans(emb, k=_KML_K, n_iter=_KML_ITER)
 
@@ -3890,16 +3890,16 @@ def _bind_round11_oracles() -> None:
     from spark_sql_hbase_spark.operators.ranking import tfidf_cosine_sql
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zg35_sq8_ann"].oracle = similarity.sq8_ann_sql(
+    REGISTRY["s13_sq8_ann"].oracle = similarity.sq8_ann_sql(
         "embeddings", "vec_id", "embedding", "vec_id < 5", k=_SQ8_K, dim=_SQ8_DIM
     )
     REGISTRY["zg36_embedding_outliers"].oracle = similarity.embedding_outliers_sql(
         "embeddings", "vec_id", "embedding", dim=_SQ8_DIM
     )
-    REGISTRY["zg37_tfidf_cosine"].oracle = tfidf_cosine_sql(
+    REGISTRY["d20_tfidf_cosine"].oracle = tfidf_cosine_sql(
         "documents", "doc_id", _TOK, threshold=_TFIDF_T, max_df=_TFIDF_MAXDF
     )
-    REGISTRY["zg38_kmeans_lloyd"].oracle = similarity.kmeans_sql(
+    REGISTRY["s15_kmeans_lloyd"].oracle = similarity.kmeans_sql(
         "embeddings", "vec_id", "embedding", k=_KML_K, n_iter=_KML_ITER, dim=_SQ8_DIM
     )
 
@@ -3916,13 +3916,13 @@ _bind_round11_oracles()
 _SHARDS_N = 8
 
 @register(
-    "zg40_shard_plan",
+    "p09_shard_plan",
     oracle=None,  # bound below
     description="balanced shard assignment: token-ranked round robin "
     "over the metadata relation only; one metadata sort, n_shards rows "
     "out",
 )
-def zg40_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p09_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.packing import shard_plan
 
     docs = table(spark, sf_dir, "documents")
@@ -3933,7 +3933,7 @@ def _bind_zg40_oracle() -> None:
     from spark_sql_hbase_spark.operators.packing import shard_plan_sql
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zg40_shard_plan"].oracle = shard_plan_sql(
+    REGISTRY["p09_shard_plan"].oracle = shard_plan_sql(
         "documents", "doc_id", _TOK, _SHARDS_N
     )
 
@@ -3998,13 +3998,13 @@ _CHAIN_ORACLE = (
 
 
 @register(
-    "zg41_dup_chain_recursion",
+    "q32_dup_chain_recursion",
     oracle=_CHAIN_ORACLE,
     description="WITH RECURSIVE duplicate-lineage chains: functional "
     "parent (smallest larger near-dup), unique-path recursion, "
     "root + depth per doc",
 )
-def zg41_dup_chain_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q32_dup_chain_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_join(
         docs, "doc_id", "text", threshold=JACCARD_T, n=SHINGLE_N
@@ -4027,7 +4027,7 @@ _PSI_BUCKET = " + ".join(f"CAST(q.quality > b.b{i} AS INTEGER)" for i in range(1
 
 
 @register(
-    "zg42_quality_psi",
+    "t31_quality_psi",
     oracle=f"""
     WITH __q AS (
         SELECT d.source AS stream, q.doc_id, q.quality
@@ -4065,7 +4065,7 @@ _PSI_BUCKET = " + ".join(f"CAST(q.quality > b.b{i} AS INTEGER)" for i in range(1
     description="per-source PSI drift vs the corpus over quality "
     "deciles: Laplace-smoothed dense grid, bounded aggregates only",
 )
-def zg42_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t31_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.quality_psi(docs, "source", "doc_id", "text")
 
@@ -4086,12 +4086,12 @@ _SCRIPT_AUG = (
 
 
 @register(
-    "zg43_script_profile",
+    "t32_script_profile",
     oracle=None,  # bound below
     description="Unicode-script char profile: script counts, dominant "
     "script, mixed-script flag — row-local regexp scans, zero shuffle",
 )
-def zg43_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t32_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     aug = docs.select("doc_id", F.expr(_SCRIPT_AUG).alias("t"))
     return text.script_profile(aug, "doc_id", "t")
@@ -4100,7 +4100,7 @@ def zg43_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bind_zg43_oracle() -> None:
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zg43_script_profile"].oracle = text.script_profile_sql(
+    REGISTRY["t32_script_profile"].oracle = text.script_profile_sql(
         "documents", "doc_id", _SCRIPT_AUG
     )
 
@@ -4117,12 +4117,12 @@ _bind_zg43_oracle()
 # covered by the recall pytest like the other ANN tiers.
 # ---------------------------------------------------------------------------
 @register(
-    "zg44_ivfsq_ann",
+    "s16_ivfsq_ann",
     oracle=None,  # bound below
     description="IVF-SQ8 ANN: nprobe cell pruning + 1-byte codes + "
     "asymmetric reconstruction scoring (exact query vs decoded corpus)",
 )
-def zg44_ivfsq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s16_ivfsq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import _to_double, ivfsq_ann_topk
 
     emb = table(spark, sf_dir, "embeddings")
@@ -4139,7 +4139,7 @@ def _bind_zg44_oracle() -> None:
     from spark_sql_hbase_spark.operators.similarity import ivfsq_ann_sql
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zg44_ivfsq_ann"].oracle = ivfsq_ann_sql(
+    REGISTRY["s16_ivfsq_ann"].oracle = ivfsq_ann_sql(
         "embeddings", "vec_id", "embedding",
         centroid_pred=f"vid < {_IVF_C}", query_pred="vid < 8",
         k=5, nprobe=_IVF_NPROBE, dim=64,

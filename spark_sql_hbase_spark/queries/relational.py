@@ -1299,7 +1299,7 @@ def zg10_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for huge groups the pattern is pre-aggregate or mapInPandas instead).
 # ---------------------------------------------------------------------------
 @register(
-    "u01_grouped_pandas_median",
+    "zg69_grouped_pandas_median",
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
@@ -1311,7 +1311,7 @@ def zg10_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="grouped applyInPandas: exact per-group median + decile spread",
 )
-def u01_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg69_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -1438,7 +1438,7 @@ def q43_pandas_udaf_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grid via generate_series + IGNORE NULLS window.
 # ---------------------------------------------------------------------------
 @register(
-    "q31_resample_ffill",
+    "zg59_resample_ffill",
     oracle="""
     WITH e AS (
         SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
@@ -1472,7 +1472,7 @@ def q43_pandas_udaf_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="hourly resample + forward fill: per-user grid, "
     "deterministic per-bucket last, ffill through empty cells",
 )
-def q31_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg59_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.asof import resample_ffill
 
     ev = table(spark, sf_dir, "events")
@@ -1491,7 +1491,7 @@ def q31_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (p_partkey, measure, value) rows; oracle = UNION ALL.
 # ---------------------------------------------------------------------------
 @register(
-    "q29_unpivot_measures",
+    "zg57_unpivot_measures",
     oracle="""
     SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
     FROM part WHERE p_partkey <= 500
@@ -1502,7 +1502,7 @@ def q31_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="unpivot/melt: wide part measures to (key, measure, value) "
     "long form — the inverse of the pivot gate",
 )
-def q29_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg57_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
     return p.select(
         "p_partkey",
@@ -1525,7 +1525,7 @@ def q29_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # result is deterministic without an id tiebreak.
 # ---------------------------------------------------------------------------
 @register(
-    "q30_rolling_range_window",
+    "zg58_rolling_range_window",
     oracle="""
     SELECT event_id, user_id,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
@@ -1541,7 +1541,7 @@ def q29_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="RANGE-frame rolling window: per-user trailing-1-hour "
     "count + decimal-exact sum, time-bounded frame",
 )
-def q30_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg58_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events").select(
@@ -2224,7 +2224,7 @@ def zg31_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (same semantics, pre-listagg spelling).
 # ---------------------------------------------------------------------------
 @register(
-    "zg47_listagg_rosters",
+    "q33_listagg_rosters",
     oracle="""
     SELECT r_name,
            string_agg(n_name, ',' ORDER BY n_name) AS nations,
@@ -2235,7 +2235,7 @@ def zg31_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="LISTAGG WITHIN GROUP (Spark 4 inherited SQL): "
     "deterministic ordered string aggregation",
 )
-def zg47_listagg_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_listagg_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "nation").createOrReplaceTempView("__zg47_nation")
     table(spark, sf_dir, "region").createOrReplaceTempView("__zg47_region")
     return spark.sql("""
@@ -2264,7 +2264,7 @@ _ZG48_JSON = (
 
 
 @register(
-    "zg48_variant_extract",
+    "q34_variant_extract",
     oracle=f"""
     SELECT event_id,
            CAST(json_extract_string(j, '$.evt.type') AS VARCHAR) AS etype,
@@ -2276,7 +2276,7 @@ _ZG48_JSON = (
     description="VARIANT typed extraction (Spark 4 parse_json + "
     "variant_get): nested provenance-blob access, single parse per row",
 )
-def zg48_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "events").createOrReplaceTempView("__zg48_events")
     return spark.sql(f"""
         SELECT event_id,
@@ -2298,7 +2298,7 @@ def zg48_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum (functions/det.py convention).
 # ---------------------------------------------------------------------------
 @register(
-    "zg49_sql_udf_vars",
+    "q35_sql_udf_vars",
     oracle=f"""
     SELECT l_returnflag,
            {dsum_sql("l_extendedprice * (1 - l_discount)", "net_revenue")},
@@ -2310,7 +2310,7 @@ def zg48_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="SQL-defined scalar UDF + session variable (Spark 4 "
     "inherited SQL): declarative function registry, no Python/JVM code",
 )
-def zg49_sql_udf_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q35_sql_udf_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("__zg49_li")
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION __zg49_net(p DOUBLE, d DOUBLE) "
@@ -2353,12 +2353,12 @@ _ZG50 = """
 
 
 @register(
-    "zg50_correlated_above_avg",
+    "q36_correlated_above_avg",
     oracle=_ZG50.format(orders="orders"),
     description="correlated scalar subqueries (decorrelation surface): "
     "orders above 1.5x their customer's average, decimal-exact predicate",
 )
-def zg50_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("__zg50_orders")
     return spark.sql(_ZG50.format(orders="__zg50_orders"))
 
@@ -2386,12 +2386,12 @@ _ZG51 = """
 
 
 @register(
-    "zg51_large_volume_customers",
+    "q37_large_volume_customers",
     oracle=_ZG51.format(customer="customer", orders="orders", lineitem="lineitem"),
     description="TPC-H Q18 shape: IN over grouped HAVING + 3-way join "
     "re-aggregation, decimal-exact quantity sums",
 )
-def zg51_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("__zg51_c")
     table(spark, sf_dir, "orders").createOrReplaceTempView("__zg51_o")
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("__zg51_l")
@@ -2416,12 +2416,12 @@ _ZG52 = """
 
 
 @register(
-    "zg52_offset_pagination",
+    "q38_offset_pagination",
     oracle=_ZG52.format(orders="orders"),
     description="LIMIT/OFFSET pagination over a total order (Spark 3.4+ "
     "OFFSET): top-(limit+offset) plan, no global sort",
 )
-def zg52_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("__zg52_orders")
     return spark.sql(_ZG52.format(orders="__zg52_orders"))
 
@@ -2452,12 +2452,12 @@ _ZG53 = """
 
 
 @register(
-    "zg53_not_in_null_semantics",
+    "q39_not_in_null_semantics",
     oracle=_ZG53.format(customer="customer", nation="nation"),
     description="NOT IN subquery incl. the NULL trap: null-aware anti "
     "join; a NULL in the subquery empties that branch in both engines",
 )
-def zg53_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("__zg53_c")
     table(spark, sf_dir, "nation").createOrReplaceTempView("__zg53_n")
     return spark.sql(_ZG53.format(customer="__zg53_c", nation="__zg53_n"))

@@ -1149,13 +1149,13 @@ _bind_zg39_oracle()
 # same smoothed terms computed batch-side in SQL.
 # ---------------------------------------------------------------------------
 @register(
-    "zg45_stream_psi_monitor",
+    "st18_stream_psi_monitor",
     oracle=None,  # bound below (needs llm._QUALITY_ORACLE import)
     description="streaming PSI drift monitor: frozen decile boundaries "
     "+ reference shares, per-batch n_buckets-row fold, zero streaming "
     "state",
 )
-def zg45_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st18_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from spark_sql_hbase_spark.operators.text import quality_bucket_model
@@ -1190,7 +1190,7 @@ def _bind_zg45_oracle() -> None:
         _QUALITY_ORACLE,
     )
 
-    REGISTRY["zg45_stream_psi_monitor"].oracle = f"""
+    REGISTRY["st18_stream_psi_monitor"].oracle = f"""
     WITH __qq AS (
         SELECT q.doc_id, q.quality, q.doc_id % 13 = 0 AS is_delta
         FROM ({_QUALITY_ORACLE}) q

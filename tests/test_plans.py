@@ -567,7 +567,7 @@ def test_z58_boilerplate_topk_is_partial_over_aggregated_counts(spark, registry)
     the AGGREGATED (stream, gram) counts — never raw shingle rows — and
     get Spark's WindowGroupLimit pre-shuffle partial top-k, so the
     per-stream ranking is combiner-style at vocabulary cardinality."""
-    plan = formatted_plan(registry["t21_boilerplate_ngrams"].fn(spark, SF))
+    plan = formatted_plan(registry["zg63_boilerplate_ngrams"].fn(spark, SF))
     assert "WindowGroupLimit" in plan, plan[:800]
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan[:800]
     # the (stream, gram) count aggregate sits below the window: its
@@ -680,7 +680,7 @@ def test_z63_dsir_combine_is_broadcast_no_vocab_shuffle(spark, registry):
     for the target subset."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        df = registry["t16_dsir_importance"].fn(spark, SF)
+        df = registry["zg60_dsir_importance"].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("documents.parquet") == 2, plan
         assert "BroadcastHashJoin" in plan, plan
@@ -712,7 +712,7 @@ def test_z67_winnowing_is_shuffle_free(spark, registry):
     minima, explode — NO hash/range exchange anywhere (the only Exchange
     allowed is _parallelized's RoundRobin test-scale artifact), no
     Window, no Sort.  The 100 TB story: embarrassingly parallel."""
-    plan = formatted_plan(registry["d17_winnowing_fingerprints"].fn(spark, SF))
+    plan = formatted_plan(registry["zg54_winnowing_fingerprints"].fn(spark, SF))
     assert "hashpartitioning" not in plan, plan[:1200]
     assert "rangepartitioning" not in plan, plan[:1200]
     assert not re.findall(r"\(\d+\) (Window|Sort)\b", plan), plan[:1200]
@@ -722,7 +722,7 @@ def test_z68_entropy_exchanges_carry_terms_not_text(spark, registry):
     """Entropy's two shuffles are keyed by doc id and carry (id, dl,
     term[, tf]) — never the document text (the Generate barrier projects
     text away before any exchange)."""
-    plan = formatted_plan(registry["t23_token_entropy"].fn(spark, SF))
+    plan = formatted_plan(registry["zg64_token_entropy"].fn(spark, SF))
     lines = plan.splitlines()
     matched = 0
     for i, line in enumerate(lines):
@@ -736,7 +736,7 @@ def test_z69_canonical_selection_no_cartesian(spark, registry):
     """Keep-best selection stays equi-join/broadcast everywhere — no
     CartesianProduct and no unpartitioned Window sneaks in via the
     argmax (it is max-then-filter-then-min, not a window rank)."""
-    plan = formatted_plan(registry["d18_canonical_selection"].fn(spark, SF))
+    plan = formatted_plan(registry["zg55_canonical_selection"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan[:1200]
     assert not re.findall(r"\(\d+\) Window\b", plan), plan[:1200]
 
@@ -749,7 +749,7 @@ def test_z70_cms_single_corpus_scan(spark, registry):
     reuse at runtime.)"""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        df = registry["t17_cms_heavy_hitters"].fn(spark, SF)
+        df = registry["zg61_cms_heavy_hitters"].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("documents.parquet") == 1, plan
         assert plan.count("ReusedExchange") >= 1, plan
@@ -777,7 +777,7 @@ def test_z74_oov_vocab_is_broadcast(spark, registry):
     """The vocabulary side must broadcast (bounded top-V) and the OOV
     marking join must be a BroadcastHashJoin — the corpus is never
     shuffled to be marked; exchanges never carry text."""
-    plan = formatted_plan(registry["t24_oov_rate"].fn(spark, SF))
+    plan = formatted_plan(registry["zg65_oov_rate"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:1200]
     lines = plan.splitlines()
     for i, line in enumerate(lines):
@@ -906,7 +906,7 @@ def test_z89_resample_single_scan_one_window(spark, registry):
     pruning makes the two subtrees non-reusable uncached, so this is
     t13's cache discipline) — and uses exactly one Window: the per-key
     forward fill."""
-    df = registry["q31_resample_ffill"].fn(spark, SF)
+    df = registry["zg59_resample_ffill"].fn(spark, SF)
     try:
         plan = formatted_plan(df)
         assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan[:1500]
@@ -1024,7 +1024,7 @@ def test_r11_sq8_ann_is_broadcast_only(spark, registry):
     (cosine_topk's shape) — no shuffle joins anywhere; the only joins
     are broadcast nested loops (the one-row bounds join and the
     query-set theta join)."""
-    plan = formatted_plan(registry["zg35_sq8_ann"].fn(spark, SF))
+    plan = formatted_plan(registry["s13_sq8_ann"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     for shuffled in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert shuffled not in plan, shuffled
@@ -1044,7 +1044,7 @@ def test_r11_tfidf_pair_join_is_equi_not_nested_loop(spark, registry):
     a nested-loop/cartesian pair join would be the all-pairs quadratic
     plan the inverted index exists to avoid.  (The one-row n_docs
     broadcast is the only legitimate nested loop.)"""
-    plan = formatted_plan(registry["zg37_tfidf_cosine"].fn(spark, SF))
+    plan = formatted_plan(registry["d20_tfidf_cosine"].fn(spark, SF))
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert "CartesianProduct" not in plan
     # the cached (doc, term, tf) aggregate feeds all consumers: the scan
@@ -1055,7 +1055,7 @@ def test_r11_tfidf_pair_join_is_equi_not_nested_loop(spark, registry):
 def test_r11_kmeans_final_step_is_broadcast_only(spark, registry):
     """zg38: the returned Lloyd step must keep kmeans_step's shape —
     packed-model broadcast assignment, no shuffle join of vectors."""
-    plan = formatted_plan(registry["zg38_kmeans_lloyd"].fn(spark, SF))
+    plan = formatted_plan(registry["s15_kmeans_lloyd"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     for shuffled in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert shuffled not in plan, shuffled
@@ -1066,7 +1066,7 @@ def test_r11_correlated_subqueries_decorrelate(spark, registry):
     be decorrelated into aggregate+join, never a per-row subquery
     (no nested-loop/cartesian, and the correlated aggregates appear as
     plan-level HashAggregates)."""
-    plan = formatted_plan(registry["zg50_correlated_above_avg"].fn(spark, SF))
+    plan = formatted_plan(registry["q36_correlated_above_avg"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert len(re.findall(r"HashAggregate", plan)) >= 2
@@ -1076,7 +1076,7 @@ def test_r11_offset_pagination_no_global_sort(spark, registry):
     """zg52: ORDER BY + LIMIT/OFFSET must stay a top-(limit+offset)
     TakeOrdered plan — a global table sort would break the documented
     scale property silently."""
-    plan = formatted_plan(registry["zg52_offset_pagination"].fn(spark, SF))
+    plan = formatted_plan(registry["q38_offset_pagination"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
 
@@ -1091,7 +1091,7 @@ def test_r11_shard_plan_sorts_metadata_only(spark, registry):
         carrying document bytes would be the scale-killer the operator
         exists to avoid);
     (c) the per-partition offsets join is a broadcast."""
-    plan = formatted_plan(registry["zg40_shard_plan"].fn(spark, SF))
+    plan = formatted_plan(registry["p09_shard_plan"].fn(spark, SF))
     import re as _re
 
     assert "SinglePartition" not in plan, plan[:2000]
@@ -1115,7 +1115,7 @@ def test_r11_shard_plan_sorts_metadata_only(spark, registry):
 def test_r11_quality_psi_no_corpus_sort_or_udf(spark, registry):
     """zg42: boundaries via ONE percentile aggregate, buckets row-local
     — no global sort of the corpus, no Python in the plan."""
-    plan = formatted_plan(registry["zg42_quality_psi"].fn(spark, SF))
+    plan = formatted_plan(registry["t31_quality_psi"].fn(spark, SF))
     assert "Exchange rangepartitioning" not in plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert py not in plan, py

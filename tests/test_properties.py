@@ -2673,7 +2673,7 @@ def test_dup_chain_roots_stay_in_their_component(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_join(docs, "doc_id", "text", threshold=0.6, n=3)
     comp = graph.connected_components(pairs.select("id_a", "id_b"))
-    chains = load_all()["zg41_dup_chain_recursion"].fn(
+    chains = load_all()["q32_dup_chain_recursion"].fn(
         spark, sf_dir
     )
     mismatched = (
