@@ -714,13 +714,15 @@ def tfidf_cosine_pairs(
     # single consumer of the token array → plain explode, no generate
     # barrier needed (unlike bm25, where dl and the explode both
     # reference it)
-    tf = (
+    from spark_sql_hbase_spark.operators.caching import managed_cache
+
+    tf = managed_cache(
         docs.select(
             F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
         )
         .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .cache()
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "tfidf_cosine_pairs.tf",
     )
     n_docs = tf.agg(F.countDistinct("id").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df")).filter(

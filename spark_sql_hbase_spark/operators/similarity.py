@@ -1199,6 +1199,28 @@ def sq8_bounds(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
     )
 
 
+def _sq8_bounds_literals(
+    corpus: DataFrame, vec_col: str, dim: int | None = None
+) -> tuple[Column, Column]:
+    """Train the SQ8 bounds with ONE corpus scan and re-light the single
+    result row as literal array columns.
+
+    The bounds are 2·dim doubles — a bounded model parameter, so the
+    driver-side collect is the same discipline as centroid/codebook
+    seeds.  Re-lighting (instead of cross-joining the lazy one-row
+    aggregate into every consumer) means the aggregate is evaluated
+    exactly once however many branches reference the bounds — the lazy
+    form was evaluated once per recon branch.  Doubles round-trip the
+    collect bit-exactly.  ``dim`` avoids an extra corpus scan for
+    dimension inference when the caller knows it."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    row = sq8_bounds(corpus, vec_col, dim).first()
+    lo = F.array(*[F.lit(float(v)) for v in row["lo"]])
+    hi = F.array(*[F.lit(float(v)) for v in row["hi"]])
+    return lo, hi
+
+
 def sq8_encode(vec: Column, lo: Column, hi: Column, levels: int = 256) -> Column:
     """Quantize a float vector to per-dimension integer codes in
     ``[0, levels-1]``: ``code = floor((x - lo) / (hi - lo) * levels)``
@@ -1249,6 +1271,7 @@ def sq8_ann_topk(
     k: int,
     levels: int = 256,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by inner product over SQ8 reconstructions — the
     memory-bandwidth tier of ANN: the PERSISTED form is 1 byte/dimension
@@ -1263,21 +1286,21 @@ def sq8_ann_topk(
     PQ (pq_ann_topk) compresses harder; SQ8 keeps per-dimension
     resolution and needs no codebook training beyond min/max bounds.
 
-    Plan shape: bounds = ONE broadcast row (never collected);
-    encode/decode are row-local ``zip_with``; queries quantize against
-    the SAME corpus bounds and broadcast; scoring is corpus-scan × |Q|
-    with a window top-k — exactly :func:`cosine_topk`'s shuffle-free
-    shape.  Scores round to ``round_to`` before ranking (tiebreak on
-    neighbor_id) so the cut is cross-engine stable."""
-    bounds = sq8_bounds(corpus, vec_col, len(corpus.select(vec_col).first()[0]))
+    Plan shape: bounds train in ONE corpus scan and re-light as literal
+    arrays (:func:`_sq8_bounds_literals` — 2·dim doubles, the bounded
+    model-parameter discipline); encode/decode are row-local
+    ``zip_with``; queries quantize against the SAME corpus bounds and
+    broadcast; scoring is corpus-scan × |Q| with a window top-k —
+    exactly :func:`cosine_topk`'s shuffle-free shape.  Scores round to
+    ``round_to`` before ranking (tiebreak on neighbor_id) so the cut is
+    cross-engine stable."""
+    lo, hi = _sq8_bounds_literals(corpus, vec_col, dim)
 
     def recon(df: DataFrame, name: str) -> DataFrame:
-        code = sq8_encode(F.col(vec_col), F.col("lo"), F.col("hi"), levels)
-        return df.crossJoin(F.broadcast(bounds)).select(
+        code = sq8_encode(F.col(vec_col), lo, hi, levels)
+        return df.select(
             F.col(id_col).alias(name),
-            sq8_decode(code, F.col("lo"), F.col("hi"), levels).alias(
-                f"__{name}_rec"
-            ),
+            sq8_decode(code, lo, hi, levels).alias(f"__{name}_rec"),
         )
 
     c = recon(corpus, "neighbor_id")
@@ -1393,6 +1416,7 @@ def embedding_outliers(
     vec_col: str,
     z_threshold: float = 2.0,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Distribution-level embedding QA: distance of every vector from the
     corpus mean vector, z-scored against the distance distribution —
@@ -1408,12 +1432,16 @@ def embedding_outliers(
     distance pass whose scalar (mean, stddev) aggregate broadcasts back
     for the row-local z-score.  No shuffle of vectors, no collect, no
     UDF.  Intermediates round to ``round_to`` at each aggregate edge so
-    both engines z-score identical doubles.  The distance relation is
-    CACHED (two consumers: the stats aggregate and the returned join —
-    uncached, the corpus distance pass would run twice); callers
-    invoking repeatedly should ``clearCache()`` between runs, the
-    repo's standard multi-consumer cache contract."""
-    dim = len(df.select(vec_col).first()[0])
+    both engines z-score identical doubles.  The distance relation is a
+    MANAGED cache (two consumers: the stats aggregate and the returned
+    join — uncached, the corpus distance pass would run twice);
+    re-invocation unpersists the previous entry
+    (:mod:`spark_sql_hbase_spark.operators.caching`).  ``dim`` avoids
+    an extra corpus scan for dimension inference when known."""
+    from spark_sql_hbase_spark.operators.caching import managed_cache
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     mu = df.agg(
         F.array(
             *[
@@ -1422,22 +1450,30 @@ def embedding_outliers(
             ]
         ).alias("__mu")
     )
-    d = df.crossJoin(F.broadcast(mu)).select(
-        F.col(id_col).alias("id"),
-        F.round(
-            F.sqrt(
-                F.round(
-                    squared_l2(_to_double(F.col(vec_col)), F.col("__mu")), round_to
-                )
-            ),
-            round_to,
-        ).alias("dist"),
-    ).cache()
+    d = managed_cache(
+        df.crossJoin(F.broadcast(mu)).select(
+            F.col(id_col).alias("id"),
+            F.round(
+                F.sqrt(
+                    F.round(
+                        squared_l2(_to_double(F.col(vec_col)), F.col("__mu")),
+                        round_to,
+                    )
+                ),
+                round_to,
+            ).alias("dist"),
+        ),
+        "embedding_outliers.dist",
+    )
     stats = d.agg(
         F.round(F.avg("dist"), round_to).alias("__m"),
         F.round(F.stddev_pop("dist"), round_to).alias("__s"),
     )
-    z = F.round((F.col("dist") - F.col("__m")) / F.col("__s"), 4)
+    # degenerate corpus (all vectors identical → stddev 0): a defined
+    # no-outlier result (z=0) instead of NULL/Inf division artifacts
+    z = F.when(F.col("__s") == 0, F.lit(0.0)).otherwise(
+        F.round((F.col("dist") - F.col("__m")) / F.col("__s"), 4)
+    )
     return d.crossJoin(F.broadcast(stats)).select(
         "id", "dist", z.alias("z"), (z >= F.lit(z_threshold)).alias("is_outlier")
     )
@@ -1472,8 +1508,11 @@ def embedding_outliers_sql(
         FROM __d
     )
     SELECT id, dist,
-           ROUND((dist - m) / s, 4) AS z,
-           ROUND((dist - m) / s, 4) >= {z_threshold} AS is_outlier
+           CASE WHEN s = 0 THEN 0.0
+                ELSE ROUND((dist - m) / s, 4) END AS z,
+           CASE WHEN s = 0 THEN 0.0
+                ELSE ROUND((dist - m) / s, 4) END >= {z_threshold}
+               AS is_outlier
     FROM __d, __st
     """
 
@@ -1566,6 +1605,7 @@ def ivfsq_ann_topk(
     nprobe: int = 2,
     levels: int = 256,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF–SQ composite ANN (the FAISS ``IVF,SQ8`` index): coarse cells
     prune the candidate set (only each query's ``nprobe`` nearest cells
@@ -1580,13 +1620,15 @@ def ivfsq_ann_topk(
     SQ8 trades PQ's 16× compression for per-dimension resolution and
     bound-only training.
 
-    Plan shape: centroid model and SQ8 bounds each ride ONE broadcast
-    row; cell assignment and encode/decode are row-local; the probed
-    (query, cell) pairs multiply only the query side nprobe× — scan
-    cost is nprobe/|cells| of the CODES, never the float corpus."""
+    Plan shape: the centroid model rides ONE broadcast row; the SQ8
+    bounds train in one corpus scan and re-light as literal arrays
+    (:func:`_sq8_bounds_literals`); cell assignment and encode/decode
+    are row-local; the probed (query, cell) pairs multiply only the
+    query side nprobe× — scan cost is nprobe/|cells| of the CODES,
+    never the float corpus."""
     spark = queries.sparkSession
     cent = _centroid_relation(spark, centroids)
-    bounds = sq8_bounds(corpus, vec_col, len(corpus.select(vec_col).first()[0]))
+    lo, hi = _sq8_bounds_literals(corpus, vec_col, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qv")
     )
@@ -1594,11 +1636,11 @@ def ivfsq_ann_topk(
         "query_id", F.col("__qv").alias("qv"), "cell"
     )
     with_cells = assign_cells(corpus, cent, id_col, vec_col, "cell", round_to)
-    code = sq8_encode(F.col(vec_col), F.col("lo"), F.col("hi"), levels)
-    c = with_cells.crossJoin(F.broadcast(bounds)).select(
+    code = sq8_encode(F.col(vec_col), lo, hi, levels)
+    c = with_cells.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("cell"),
-        sq8_decode(code, F.col("lo"), F.col("hi"), levels).alias("__rec"),
+        sq8_decode(code, lo, hi, levels).alias("__rec"),
     )
     scored = (
         c.join(F.broadcast(probes), "cell")

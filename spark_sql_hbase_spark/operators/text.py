@@ -1186,14 +1186,19 @@ def quality_psi(
     (stream × bucket)-bounded count aggregate; the dense grid, corpus
     marginals and the PSI fold all operate on that bounded relation.
     No window, no sort, no UDF.  Determinism: ln + ROUND(round_to),
-    the bm25 precedent.  The scored relation is CACHED (two consumers:
-    boundary aggregate + bucket counts — uncached, the corpus
-    tokenize+score pass would run twice); callers invoking repeatedly
-    should ``clearCache()`` between runs, the standard multi-consumer
-    cache contract."""
-    scored = _quality_scored(
-        df.withColumn("stream", F.col(stream_col)), id_col, text_col, "stream"
-    ).cache()
+    the bm25 precedent.  The scored relation is a MANAGED cache (two
+    consumers: boundary aggregate + bucket counts — uncached, the
+    corpus tokenize+score pass would run twice); re-invocation
+    unpersists the previous entry, bounding accumulation to one live
+    relation (:mod:`spark_sql_hbase_spark.operators.caching`)."""
+    from spark_sql_hbase_spark.operators.caching import managed_cache
+
+    scored = managed_cache(
+        _quality_scored(
+            df.withColumn("stream", F.col(stream_col)), id_col, text_col, "stream"
+        ),
+        "quality_psi.scored",
+    )
     bounds = _decile_bounds(scored, n_buckets)
     counts = (
         scored.crossJoin(F.broadcast(bounds))
@@ -1315,9 +1320,13 @@ def quality_bucket_model(
     shares ``(bucket, q)`` — built from the SAME helpers
     (:func:`_quality_scored` / :func:`_decile_bounds` /
     :func:`bucket_expr`) as :func:`quality_psi`, so the batch and
-    streaming drift monitors cannot diverge.  The scored relation is
-    cached across its two consumers (the quality_psi contract)."""
-    scored = _quality_scored(df, id_col, text_col).cache()
+    streaming drift monitors cannot diverge.  The scored relation is a
+    managed cache across its two consumers (the quality_psi contract)."""
+    from spark_sql_hbase_spark.operators.caching import managed_cache
+
+    scored = managed_cache(
+        _quality_scored(df, id_col, text_col), "quality_bucket_model.scored"
+    )
     bounds = _decile_bounds(scored, n_buckets)
     counts = (
         scored.crossJoin(F.broadcast(bounds))

@@ -3813,7 +3813,8 @@ _SQ8_DIM = 64
 def s13_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.sq8_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=_SQ8_K
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=_SQ8_K, dim=_SQ8_DIM,
     )
 
 
@@ -3832,7 +3833,7 @@ def s13_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def zg36_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.embedding_outliers(emb, "vec_id", "embedding")
+    return similarity.embedding_outliers(emb, "vec_id", "embedding", dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -4131,7 +4132,7 @@ def s16_ivfsq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivfsq_ann_topk(
         emb, emb.filter(F.col("vec_id") < 8), cent, "vec_id", "embedding",
-        k=5, nprobe=_IVF_NPROBE,
+        k=5, nprobe=_IVF_NPROBE, dim=64,
     )
 
 

@@ -2605,6 +2605,37 @@ def test_sq8_codes_long_clamps_out_of_range_arrivals(spark):
     assert got == {(99, 1): 0, (99, 2): 255, (100, 1): 0, (100, 2): 255}
 
 
+def test_embedding_outliers_degenerate_corpus(spark):
+    """r11 VERDICT item 5: a constant corpus (all vectors identical →
+    distance stddev 0) must yield a DEFINED no-outlier result (z=0,
+    is_outlier=false) in BOTH engines — never NULL/Inf z-scores."""
+    import duckdb
+    import pandas as pd
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        embedding_outliers,
+        embedding_outliers_sql,
+    )
+
+    vec = [1.5, -2.0, 0.25]
+    rows = [(i, vec) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = embedding_outliers(df, "vec_id", "embedding").collect()
+    assert len(got) == 5
+    for r in got:
+        assert r["z"] == 0.0 and r["is_outlier"] is False, r
+
+    con = duckdb.connect()
+    con.register(
+        "const_emb",
+        pd.DataFrame({"vec_id": range(5), "embedding": [vec] * 5}),
+    )
+    sql = embedding_outliers_sql("const_emb", "vec_id", "embedding", len(vec))
+    for vid, dist, z, flag in con.execute(sql).fetchall():
+        assert z == 0.0 and bool(flag) is False, (vid, dist, z, flag)
+    spark.catalog.clearCache()
+
+
 def test_shard_plan_balance_bound(spark, sf_dir):
     """LPT round robin: per-shard token totals differ by at most the
     max document size times the number of round-robin cycles' slack —
