@@ -976,6 +976,44 @@ class KeyedTableStore:
         # marker-crash-window replay (the feed's keys ARE the
         # replicated keys; upsert never re-generates them)
         puts = ins.unionByName(ups)
+        indexes = self.registered_indexes(qualified_name)
+        feed_maintenance = bool(indexes) and not async_index
+        if feed_maintenance:
+            # the feed IS the index delta: its rows are the changed
+            # keys' full post-replay state (one-row-per-key table), so
+            # ONE combined incremental pass per index (drop entries for
+            # every feed key, append projections of the put rows)
+            # replaces the upsert's and the delete's SEPARATE generic
+            # maintenance passes — and skips their main-table semi-join
+            # re-read of rows this method already holds.  Same
+            # smallness threshold as the DML capture path; a feed
+            # rewriting most of the table falls back to the generic
+            # full-rebuild route.
+            try:
+                table_rows = self._footer_row_count(
+                    self.table_path(self.registry.get(qualified_name))
+                )
+            except Exception:
+                table_rows = 0
+            feed_maintenance = feed.count() * 4 < table_rows
+        if feed_maintenance:
+            # async_index=True marks every index LOUDLY stale across
+            # the replays; the combined pass below clears it
+            if not puts.isEmpty():
+                self.upsert(qualified_name, puts, async_index=True)
+            n = self.delete_keys(
+                qualified_name,
+                dels.select(F.col(f"`{ROW_KEY}`")),
+                async_index=True,
+            )
+            # puts reads the eager feed checkpoint — already pinned
+            self._maintain_indexes_incremental(
+                indexes,
+                None,
+                feed.select(F.col(f"`{ROW_KEY}`")),
+                changed_rows=puts,
+            )
+            return n
         if not puts.isEmpty():
             self.upsert(qualified_name, puts, async_index=async_index)
         return self.delete_keys(
@@ -2248,22 +2286,33 @@ class KeyedTableStore:
             self._mark_index_stale(iq, False)
 
     def _maintain_indexes_incremental(
-        self, indexes: dict, main: DataFrame, changed_keys: DataFrame
+        self,
+        indexes: dict,
+        main: DataFrame | None,
+        changed_keys: DataFrame,
+        changed_rows: DataFrame | None = None,
     ) -> None:
         """Delta index maintenance: drop entries for the changed source
         keys, append projections of those keys' current rows.  Exactly
         the state a full rebuild would produce — unchanged source rows
         keep their (already correct) entries, and the (value, src_key)
-        composite index key makes delete-then-append collision-free."""
+        composite index key makes delete-then-append collision-free.
+
+        A caller that already HOLDS the changed keys' post-DML rows
+        (:meth:`apply_changes` — a key-granularity feed's insert/update
+        rows ARE the keys' full new state) passes them as
+        ``changed_rows`` and skips the main-table semi-join re-read
+        entirely; ``main`` is unused then."""
         keys = F.broadcast(
             changed_keys.select(F.col(ROW_KEY).alias("__changed_key"))
         )
-        # current (post-DML) rows for the changed keys: the appends.
-        # Batch-sized by the incremental threshold; pinned so each
-        # index's projection reads the same materialized rows.
-        changed_rows = main.join(
-            keys, main[ROW_KEY] == F.col("__changed_key"), "left_semi"
-        ).localCheckpoint(eager=True)
+        if changed_rows is None:
+            # current (post-DML) rows for the changed keys: the appends.
+            # Batch-sized by the incremental threshold; pinned so each
+            # index's projection reads the same materialized rows.
+            changed_rows = main.join(
+                keys, main[ROW_KEY] == F.col("__changed_key"), "left_semi"
+            ).localCheckpoint(eager=True)
         has_new_rows = bool(changed_rows.take(1))
         # src-key Bloom probe values, collected ONCE for all indexes
         # (bounded: at most _BLOOM_MERGE_PROBE_MAX keys, else None and
