@@ -4148,3 +4148,52 @@ def _bind_zg44_oracle() -> None:
 
 
 _bind_zg44_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zg71 — SIMILARITY JOIN SQL syntax (SURVEY §7.2 P6's optional extension,
+# r11 VERDICT stretch item): the statement-level rewrite at the router
+# seam (sqlfront.KeyedSqlRouter._similarity_join) dispatching to the ANN
+# operator family — here the exact-cosine tier, so the oracle is pure
+# SQL.  The syntax also reaches the SQ8 tier (METHOD SQ8 DIM n), pinned
+# equivalent to the direct operator call in tests/test_session.py.
+# ---------------------------------------------------------------------------
+@register(
+    "zg71_similarity_join_sql",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 6
+    ), scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos_raw
+        FROM q, embeddings
+        WHERE vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cos,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+    description="SIMILARITY JOIN SQL syntax: router-level rewrite to the "
+    "ANN operators (exact-cosine tier; broadcast queries, shuffle-free "
+    "top-k window)",
+)
+def zg71_similarity_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spark_sql_hbase_spark.session import EngineSession
+
+    emb = table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("__zg71_emb")
+    sess = EngineSession(
+        spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="simjoin_wh_")
+    )
+    return sess.sql(
+        "SIMILARITY JOIN __zg71_emb "
+        "WITH (SELECT * FROM __zg71_emb WHERE vec_id < 6) "
+        "ON embedding BY vec_id TOP 5"
+    )

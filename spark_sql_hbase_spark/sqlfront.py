@@ -119,6 +119,15 @@ _CREATE_INDEX_RE = re.compile(
     rf"(?:options\s*\((?P<opts>[^)]*)\)\s*)?$",
     re.IGNORECASE | re.DOTALL,
 )
+_SIMJOIN_RE = re.compile(
+    rf"^\s*similarity\s+join\s+(?P<corpus>{_QUALIFIED})\s+"
+    rf"with\s+(?P<queries>\(.*\)|{_QUALIFIED})\s+"
+    rf"on\s+(?P<vec>`[^`]+`|[\w:]+)\s+by\s+(?P<id>`[^`]+`|[\w:]+)\s+"
+    rf"top\s+(?P<k>\d+)"
+    rf"(?:\s+method\s+(?P<method>[A-Za-z0-9_]+))?"
+    rf"(?:\s+dim\s+(?P<dim>\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _USING_KEYED_RE = re.compile(r"\busing\s+keyed(?:table)?\b", re.IGNORECASE)
 _OPTIONS_RE = re.compile(r"\boptions\s*\(", re.IGNORECASE)
 _OPTION_KV_RE = re.compile(r"(\w+)\s*=\s*'([^']*)'")
@@ -715,6 +724,58 @@ class KeyedSqlRouter:
             f"{len(df.columns)} values for columns {names}"
         )
 
+    def _similarity_join(self, m) -> DataFrame:
+        """``SIMILARITY JOIN`` — SURVEY §7.2 P6's optional SQL syntax,
+        implemented at the router seam (the same dispatch level as the
+        reference's plan rewrites, ``HBaseStrategies.scala:243-260``)
+        instead of a Catalyst parser extension: the statement rewrites
+        to the DataFrame ANN operator family.
+
+            SIMILARITY JOIN <corpus> WITH <queries | (subquery)>
+                ON <vec_col> BY <id_col> TOP <k>
+                [METHOD BRUTE|SQ8] [DIM <n>]
+
+        METHOD BRUTE (default) is :func:`~spark_sql_hbase_spark.
+        operators.similarity.cosine_topk` — exact cosine, returns
+        ``(query_id, neighbor_id, cos, rank)``.  METHOD SQ8 is
+        :func:`~...similarity.sq8_ann_topk` — the 1-byte-code
+        bandwidth tier, returns ``(query_id, neighbor_id, score,
+        rank)``; DIM skips its dimension-inference scan.  Methods that
+        require a trained model relation (IVF centroids, PQ codebooks)
+        stay DataFrame-API-only: a model is not expressible as a SQL
+        literal clause without inventing model DDL.
+
+        Both table references resolve through :meth:`_resolve`, so
+        keyed tables work in BOTH storage modes; plain temp views and
+        catalog tables pass straight through.  The plan is whatever
+        the operator builds — broadcast query side, corpus-scan cost
+        law, shuffle-free top-k window (the pinned ANN shapes)."""
+        from spark_sql_hbase_spark.operators import similarity
+
+        def rel(ref: str) -> DataFrame:
+            ref = ref.strip()
+            if ref.startswith("("):
+                return self.spark.sql(self._resolve(ref[1:-1]))
+            return self.spark.sql(self._resolve(f"SELECT * FROM {ref}"))
+
+        corpus = rel(m.group("corpus"))
+        queries = rel(m.group("queries"))
+        id_col = _unquote(m.group("id"))
+        vec_col = _unquote(m.group("vec"))
+        k = int(m.group("k"))
+        method = (m.group("method") or "brute").lower()
+        dim = int(m.group("dim")) if m.group("dim") else None
+        if method == "brute":
+            return similarity.cosine_topk(corpus, queries, id_col, vec_col, k)
+        if method == "sq8":
+            return similarity.sq8_ann_topk(
+                corpus, queries, id_col, vec_col, k, dim=dim
+            )
+        raise ValueError(
+            f"unknown SIMILARITY JOIN method {method!r}; supported: "
+            "BRUTE (exact cosine), SQ8 (scalar-quantized)"
+        )
+
     # -- dispatch ---------------------------------------------------------
     def sql(self, statement: str) -> DataFrame:
         stmt = statement.strip().rstrip(";").strip()
@@ -823,6 +884,16 @@ class KeyedSqlRouter:
                         "WHEN MATCHED THEN UPDATE SET * "
                         "WHEN NOT MATCHED THEN INSERT *"
                     )
+
+        m = _SIMJOIN_RE.match(stmt)
+        if m:
+            return self._similarity_join(m)
+        if re.match(r"^\s*similarity\b", stmt, re.IGNORECASE):
+            raise ValueError(
+                "unsupported SIMILARITY JOIN form; use SIMILARITY JOIN "
+                "<corpus> WITH <queries|(subquery)> ON <vec_col> BY "
+                "<id_col> TOP <k> [METHOD BRUTE|SQ8] [DIM <n>]"
+            )
 
         m = _CREATE_INDEX_RE.match(stmt)
         if m:

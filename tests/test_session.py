@@ -626,3 +626,50 @@ def test_sql_truncate_table_keeps_schema_and_indexes_fresh(spark, tmp_path):
     sess.sql("INSERT INTO tr.t SELECT * FROM __tr_base")
     assert sess.store.read("tr.t").count() == 9
     assert sess.store.read("tr.by_g").count() == 9
+
+
+def test_similarity_join_sql_sq8_method_matches_operator(spark, tmp_path):
+    """SIMILARITY JOIN ... METHOD SQ8 DIM n must be exactly the
+    sq8_ann_topk operator (the router rewrite adds no semantics of its
+    own); the BRUTE tier is oracle-gated (zg71)."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import sq8_ann_topk
+    from spark_sql_hbase_spark.queries import table
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    emb.createOrReplaceTempView("__sj_emb")
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    got = sess.sql(
+        "SIMILARITY JOIN __sj_emb "
+        "WITH (SELECT * FROM __sj_emb WHERE vec_id < 4) "
+        "ON embedding BY vec_id TOP 3 METHOD SQ8 DIM 64"
+    )
+    want = sq8_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 4), "vec_id", "embedding",
+        k=3, dim=64,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_similarity_join_sql_refuses_bad_forms(spark, tmp_path):
+    """Malformed SIMILARITY statements and unknown methods fail loudly
+    with the supported grammar — never fall through to Spark's parser."""
+    import pytest as _pytest
+
+    from spark_sql_hbase_spark.queries import table
+    from spark_sql_hbase_spark.session import EngineSession
+
+    table(spark, "/root/testdata/sf0.001", "embeddings").createOrReplaceTempView(
+        "__sj_emb2"
+    )
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    with _pytest.raises(ValueError, match="unsupported SIMILARITY JOIN form"):
+        sess.sql("SIMILARITY JOIN __sj_emb2 ON embedding TOP 5")
+    with _pytest.raises(ValueError, match="unknown SIMILARITY JOIN method"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_emb2 WITH __sj_emb2 "
+            "ON embedding BY vec_id TOP 5 METHOD IVF"
+        )
