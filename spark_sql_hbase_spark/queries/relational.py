@@ -2461,3 +2461,96 @@ def q39_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("__zg53_c")
     table(spark, sf_dir, "nation").createOrReplaceTempView("__zg53_n")
     return spark.sql(_ZG53.format(customer="__zg53_c", nation="__zg53_n"))
+
+
+# ---------------------------------------------------------------------------
+# zg72 — TPC-H Q21 structure ("suppliers who kept orders waiting"):
+# EXISTS + NOT EXISTS over the SAME table, both correlated to the outer
+# block — the NOT EXISTS additionally references a SECOND outer table's
+# column (o.o_orderdate), the deepest same-table correlation pair in
+# TPC-H.  Adapted to this schema (no l_commitdate/l_receiptdate):
+# "late" = shipped more than 60 days after the order date.  LIMIT rides
+# a total order (numwait desc, s_name unique).  Catalyst decorrelates
+# both predicates into anti/semi joins — no per-row re-execution.
+# ---------------------------------------------------------------------------
+_ZG72 = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM {supplier} s
+    JOIN {lineitem} l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM {lineitem} l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM {lineitem} l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 50
+"""
+
+
+@register(
+    "zg72_waiting_suppliers",
+    oracle=_ZG72.format(supplier="supplier", lineitem="lineitem", orders="orders"),
+    description="TPC-H Q21 structure: correlated EXISTS + NOT EXISTS over "
+    "the same table (sole-late-supplier detection), two-outer-table "
+    "correlation in the NOT EXISTS",
+)
+def zg72_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("__zg72_s")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__zg72_l")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__zg72_o")
+    return spark.sql(
+        _ZG72.format(supplier="__zg72_s", lineitem="__zg72_l", orders="__zg72_o")
+    )
+
+
+# ---------------------------------------------------------------------------
+# zg73 — TPC-H Q20 structure ("potential part promotion"): nested IN
+# subqueries whose inner block carries TWO correlated scalar aggregates
+# in the HAVING clause — supplier s ships a "dominant" share of some
+# widget part (share > 2x the part's average supplier share, i.e.
+# sum(q)·n_suppliers > 2·total, INTEGER-exact math: quantities are
+# integer-valued so the double sums and products are exact).  The
+# deepest subquery nesting in TPC-H; Catalyst decorrelates the scalar
+# aggregates into one grouped join, never a per-group re-scan.
+# ---------------------------------------------------------------------------
+_ZG73 = """
+    SELECT s.s_suppkey, s.s_name
+    FROM {supplier} s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM {lineitem} l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM {part} WHERE p_name LIKE '%widget%'
+        )
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) * (
+            SELECT COUNT(DISTINCT l2.l_suppkey) FROM {lineitem} l2
+            WHERE l2.l_partkey = l.l_partkey
+        ) > (
+            SELECT 2 * SUM(l2.l_quantity) FROM {lineitem} l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+    )
+    ORDER BY s.s_suppkey
+"""
+
+
+@register(
+    "zg73_dominant_part_suppliers",
+    oracle=_ZG73.format(supplier="supplier", lineitem="lineitem", part="part"),
+    description="TPC-H Q20 structure: nested IN + two correlated scalar "
+    "aggregates in HAVING (dominant supplier share per part), "
+    "integer-exact threshold",
+)
+def zg73_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("__zg73_s")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__zg73_l")
+    table(spark, sf_dir, "part").createOrReplaceTempView("__zg73_p")
+    return spark.sql(
+        _ZG73.format(supplier="__zg73_s", lineitem="__zg73_l", part="__zg73_p")
+    )

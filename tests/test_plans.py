@@ -1119,3 +1119,23 @@ def test_r11_quality_psi_no_corpus_sort_or_udf(spark, registry):
     assert "Exchange rangepartitioning" not in plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert py not in plan, py
+
+
+def test_r12_q21_structure_decorrelates_to_joins(spark, registry):
+    """zg72: the correlated EXISTS / NOT EXISTS pair must decorrelate to
+    semi/anti hash joins — a per-row subquery re-execution (cartesian or
+    nested-loop against lineitem) would be quadratic in the fact table."""
+    plan = formatted_plan(registry["zg72_waiting_suppliers"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Join LeftSemi|LeftSemi", plan), plan[:1500]
+    assert re.search(r"LeftAnti", plan), plan[:1500]
+
+
+def test_r12_q20_structure_decorrelates_scalar_aggs(spark, registry):
+    """zg73: the two correlated scalar aggregates in HAVING must
+    decorrelate into grouped joins on l_partkey — never a per-group
+    re-scan (no cartesian, no nested-loop against lineitem)."""
+    plan = formatted_plan(registry["zg73_dominant_part_suppliers"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
