@@ -208,3 +208,66 @@ def shard_plan_sql(
     FROM __a
     GROUP BY 1
     """
+
+
+def epoch_shuffle_plan(
+    docs: DataFrame,
+    id_col: str,
+    n_shards: int,
+    epoch: int,
+) -> DataFrame:
+    """Deterministic per-epoch training order: every document gets a
+    pseudo-random (but seed-reproducible) position in one of
+    ``n_shards`` ordered shards — the "shuffled shards" dataloader
+    layout (shard by hash, read shards round-robin, sort within shard
+    by hash).  Changing ``epoch`` reshuffles everything; the same epoch
+    always replays the same order — the reproducibility contract a
+    training run needs for checkpoint resume.
+
+    Emits ``(id, shard_id, pos)`` — the manifest a shard writer joins
+    back on ``id`` to lay the bytes down in read order.
+
+    Plan shape (scales to 100 TB): the order key is a row-local
+    cross-engine hash (md5-derived, the repo's word_hash convention —
+    never a engine-private hash, so the oracle can reproduce it);
+    ``shard_id`` is a row-local mod; ``pos`` is a window partitioned BY
+    SHARD — n_shards parallel sorts of ~N/n_shards metadata rows each,
+    never a global single-task rank (the shard_plan r11 lesson applied
+    from the start)."""
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+
+    sid = F.col(id_col).cast("string")
+    hkey = F.md5(F.concat(sid, F.lit(f":{int(epoch)}")))
+    shard = (word_hash(F.concat(sid, F.lit(f":{int(epoch)}"))) % n_shards).cast(
+        "int"
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        hkey.alias("__hkey"),
+        shard.alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy(F.col("__hkey"), F.col("id"))
+    return base.select(
+        "id", "shard_id", F.row_number().over(w).alias("pos")
+    )
+
+
+def epoch_shuffle_sql(
+    table: str, id_expr: str, n_shards: int, epoch: int
+) -> str:
+    """DuckDB twin of :func:`epoch_shuffle_plan` (oracle generator)."""
+    from spark_sql_hbase_spark.functions.texthash import word_hash_sql
+
+    key = f"CAST({id_expr} AS VARCHAR) || ':{int(epoch)}'"
+    return f"""
+    WITH __b AS (
+        SELECT {id_expr} AS id,
+               md5({key}) AS hkey,
+               CAST({word_hash_sql(key)} % {n_shards} AS INTEGER) AS shard_id
+        FROM {table}
+    )
+    SELECT id, shard_id,
+           CAST(row_number() OVER (
+               PARTITION BY shard_id ORDER BY hkey, id) AS INTEGER) AS pos
+    FROM __b
+    """

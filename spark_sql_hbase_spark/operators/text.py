@@ -1349,3 +1349,141 @@ def quality_bucket_model(
         "bucket", ((F.col("c") + 0.5) / (F.col("n") + half)).alias("q")
     )
     return bounds, shares
+
+
+def vocab_kl(
+    df: DataFrame,
+    stream_col: str,
+    text_col: str,
+    top_v: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-stream vocabulary KL divergence from the corpus unigram
+    distribution — the CONTENT-drift twin of :func:`quality_psi` (which
+    watches the quality-score distribution): a source whose wording
+    shifted (new domain, template change, spam injection) moves its
+    unigram distribution long before its length/punctuation profile
+    does.  D_KL(P_stream ‖ Q_corpus) over the corpus TOP-``top_v``
+    vocabulary plus one OOV bucket, add-½ Laplace smoothed (an unseen
+    bucket must contribute a finite penalty, not log 0).
+
+    Emits one row per stream: ``(stream, kl)``.
+
+    Plan shape (scales to 100 TB): the corpus term count is one
+    map-side-combined aggregate (the :func:`vocabulary` shape); the
+    top-V cut is a TakeOrdered over (count desc, term) — V rows,
+    broadcast.  Every token maps to its bucket via that broadcast
+    BEFORE the stream aggregate, so the (stream × bucket) shuffle is
+    bounded by S·(V+1) rows — the corpus vocabulary never rides a
+    per-stream shuffle.  Determinism: integer counts, ln + final
+    ROUND(``round_to``) (the bm25 precedent)."""
+    from spark_sql_hbase_spark.functions.texthash import tokens
+    from spark_sql_hbase_spark.operators.caching import managed_cache
+
+    toks = managed_cache(
+        df.select(
+            F.col(stream_col).alias("stream"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        ),
+        "vocab_kl.toks",
+    )
+    half = (top_v + 1) / 2.0
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cq"))
+        .orderBy(F.col("cq").desc(), F.col("term"))
+        .limit(top_v)
+        .select("term")
+    )
+    vmark = F.broadcast(vocab.select(F.col("term").alias("__vterm")))
+    bucketed = toks.join(
+        vmark, F.col("term") == F.col("__vterm"), "left"
+    ).select(
+        "stream",
+        F.coalesce(F.col("__vterm"), F.lit("__oov__")).alias("bucket"),
+    )
+    # corpus bucket distribution q (V+1 rows)
+    qrel = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
+    q_tot = qrel.agg(F.sum("cq").alias("nq"))
+    q = (
+        qrel.crossJoin(F.broadcast(q_tot))
+        .select(
+            "bucket",
+            ((F.col("cq") + 0.5) / (F.col("nq") + half)).alias("q"),
+        )
+    )
+    # per-stream bucket counts over the DENSE stream x bucket grid
+    counts = bucketed.groupBy("stream", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    buckets = vocab.select(F.col("term").alias("bucket")).unionByName(
+        df.sparkSession.range(1).select(F.lit("__oov__").alias("bucket"))
+    )
+    grid = counts.select("stream").distinct().crossJoin(F.broadcast(buckets))
+    dense = grid.join(counts, ["stream", "bucket"], "left").select(
+        "stream", "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    totals = counts.groupBy("stream").agg(F.sum("c").alias("n"))
+    p = dense.join(totals, "stream").select(
+        "stream",
+        "bucket",
+        ((F.col("c") + 0.5) / (F.col("n") + half)).alias("p"),
+    )
+    terms = p.join(F.broadcast(q), "bucket").select(
+        "stream", (F.col("p") * F.log(F.col("p") / F.col("q"))).alias("t")
+    )
+    return terms.groupBy("stream").agg(
+        F.round(F.sum("t"), round_to).alias("kl")
+    )
+
+
+def vocab_kl_sql(
+    table: str,
+    stream_expr: str,
+    text_expr: str,
+    top_v: int = 100,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`vocab_kl` (oracle generator)."""
+    from spark_sql_hbase_spark.functions.texthash import tokens_sql
+
+    half = (top_v + 1) / 2.0
+    return f"""
+    WITH __toks AS (
+        SELECT {stream_expr} AS stream, unnest({tokens_sql(text_expr)}) AS term
+        FROM {table}
+    ), __vocab AS (
+        SELECT term FROM (
+            SELECT term, COUNT(*) AS cq FROM __toks GROUP BY term
+            ORDER BY cq DESC, term LIMIT {top_v})
+    ), __bucketed AS (
+        SELECT t.stream,
+               CASE WHEN v.term IS NULL THEN '__oov__' ELSE t.term END AS bucket
+        FROM __toks t LEFT JOIN __vocab v ON t.term = v.term
+    ), __q AS (
+        SELECT bucket,
+               (COUNT(*) + 0.5)
+                   / ((SELECT COUNT(*) FROM __bucketed) + {half}) AS q
+        FROM __bucketed GROUP BY bucket
+    ), __counts AS (
+        SELECT stream, bucket, COUNT(*) AS c
+        FROM __bucketed GROUP BY stream, bucket
+    ), __allb AS (
+        SELECT term AS bucket FROM __vocab
+        UNION ALL SELECT '__oov__'
+    ), __grid AS (
+        SELECT s.stream, b.bucket
+        FROM (SELECT DISTINCT stream FROM __bucketed) s, __allb b
+    ), __tot AS (
+        SELECT stream, SUM(c) AS n FROM __counts GROUP BY stream
+    ), __p AS (
+        SELECT g.stream, g.bucket,
+               (COALESCE(c.c, 0) + 0.5) / (t.n + {half}) AS p
+        FROM __grid g
+        LEFT JOIN __counts c ON g.stream = c.stream AND g.bucket = c.bucket
+        JOIN __tot t ON g.stream = t.stream
+    )
+    SELECT p.stream, ROUND(SUM(p.p * ln(p.p / q.q)), {round_to}) AS kl
+    FROM __p p JOIN __q q ON p.bucket = q.bucket
+    GROUP BY p.stream
+    """

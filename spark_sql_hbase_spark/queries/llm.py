@@ -4197,3 +4197,66 @@ def zg71_similarity_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH (SELECT * FROM __zg71_emb WHERE vec_id < 6) "
         "ON embedding BY vec_id TOP 5"
     )
+
+
+# ---------------------------------------------------------------------------
+# zg74 — per-stream vocabulary KL divergence from the corpus unigram
+# distribution: the CONTENT-drift monitor next to the quality-score PSI
+# (t31/st18) — operators/text.py::vocab_kl.  Top-V + OOV bucketing keeps
+# the per-stream shuffle bounded by S·(V+1); ln + ROUND(4) determinism.
+# ---------------------------------------------------------------------------
+@register(
+    "zg74_vocab_kl_drift",
+    oracle=None,  # bound below (generator needs the operator import)
+    description="per-source unigram-KL content drift vs the corpus "
+    "(top-V + OOV buckets, Laplace-smoothed): bounded bucket shuffle, "
+    "broadcast vocabulary",
+)
+def zg74_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.text import vocab_kl
+
+    docs = table(spark, sf_dir, "documents")
+    return vocab_kl(docs, "source", "text", top_v=100)
+
+
+def _bind_zg74_oracle() -> None:
+    from spark_sql_hbase_spark.operators.text import vocab_kl_sql
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zg74_vocab_kl_drift"].oracle = vocab_kl_sql(
+        "documents", "source", "text", top_v=100
+    )
+
+
+_bind_zg74_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zg75 — deterministic per-epoch training order ("shuffled shards"):
+# operators/packing.py::epoch_shuffle_plan.  Row-local md5 order key and
+# shard mod (cross-engine word_hash convention), pos windowed PER SHARD
+# — n_shards parallel sorts, no global rank.
+# ---------------------------------------------------------------------------
+@register(
+    "zg75_epoch_shuffle_plan",
+    oracle=None,  # bound below
+    description="seed-reproducible epoch shuffle: hash-bucketed shards, "
+    "within-shard hash order — per-shard windows, never a global rank",
+)
+def zg75_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.packing import epoch_shuffle_plan
+
+    docs = table(spark, sf_dir, "documents")
+    return epoch_shuffle_plan(docs, "doc_id", n_shards=8, epoch=2)
+
+
+def _bind_zg75_oracle() -> None:
+    from spark_sql_hbase_spark.operators.packing import epoch_shuffle_sql
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zg75_epoch_shuffle_plan"].oracle = epoch_shuffle_sql(
+        "documents", "doc_id", n_shards=8, epoch=2
+    )
+
+
+_bind_zg75_oracle()

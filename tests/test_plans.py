@@ -1139,3 +1139,25 @@ def test_r12_q20_structure_decorrelates_scalar_aggs(spark, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_r12_vocab_kl_bounded_shuffle_no_udf(spark, registry):
+    """zg74: the vocabulary rides a broadcast (bucket mapping before the
+    stream aggregate — the corpus vocabulary never rides a per-stream
+    shuffle); no corpus sort, no Python in the plan."""
+    plan = formatted_plan(registry["zg74_vocab_kl_drift"].fn(spark, SF))
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert py not in plan, py
+
+
+def test_r12_epoch_shuffle_is_per_shard_windows(spark, registry):
+    """zg75: pos is windowed PER SHARD — the plan must exchange by
+    hash(shard_id) and never contain a single-partition or range
+    exchange (a global rank would be the shard_plan r11 weakness
+    reintroduced)."""
+    plan = formatted_plan(registry["zg75_epoch_shuffle_plan"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert re.search(r"hashpartitioning\(shard_id", plan), plan[:1500]

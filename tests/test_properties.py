@@ -2827,3 +2827,45 @@ def test_ivfsq_recall_tracks_ivf_flat(spark, sf_dir):
     e = {(r["query_id"], r["neighbor_id"]) for r in flat.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.9, f"IVF-SQ8 top-5 recall vs IVF-flat = {recall}"
+
+
+def test_epoch_shuffle_reproducible_and_complete(spark, sf_dir):
+    """Epoch shuffle contract: same epoch replays the same order
+    bit-for-bit; a different epoch produces a different order; every
+    document appears exactly once with dense per-shard positions."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.packing import epoch_shuffle_plan
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, epoch_shuffle_plan(docs, "doc_id", 8, 2).collect()))
+    b = sorted(map(tuple, epoch_shuffle_plan(docs, "doc_id", 8, 2).collect()))
+    assert a == b
+    c = sorted(map(tuple, epoch_shuffle_plan(docs, "doc_id", 8, 3).collect()))
+    assert a != c
+    n = docs.count()
+    assert len(a) == n and len({r[0] for r in a}) == n
+    per_shard = {}
+    for _, shard, pos in a:
+        per_shard.setdefault(shard, []).append(pos)
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_vocab_kl_nonnegative_and_drift_sensitive(spark):
+    """KL is an f-divergence: every per-stream value must be >= 0 (up
+    to the 4dp rounding); a stream with disjoint vocabulary must score
+    strictly higher than a stream sampled from the corpus wording."""
+    from spark_sql_hbase_spark.operators.text import vocab_kl
+
+    base = [(f"like_{i}", "alpha beta gamma delta epsilon", "like")
+            for i in range(20)]
+    drift = [(f"drift_{i}", "zzq qqz zqz qzz zzz", "drift") for i in range(20)]
+    df = spark.createDataFrame(
+        base + drift, "doc_id string, text string, source string"
+    )
+    got = {r["stream"]: r["kl"] for r in vocab_kl(df, "source", "text", 4).collect()}
+    assert all(v >= -1e-4 for v in got.values()), got
+    assert got["drift"] > got["like"], got
+    spark.catalog.clearCache()
