@@ -2065,3 +2065,62 @@ def k30_replica_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`c:name`").alias("name"),
         F.col("`c:acctbal`").alias("acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zg76 — HBase scanner paging (Scan.setLimit + resumable withStartRow):
+# KeyedTableStore.scan_page — pagination by KEY, not OFFSET, so a deep
+# cursor costs the same as page one (the bound pushes into the scan and
+# the sort+limit stays a TakeOrdered top-k; pinned in test_plans).  The
+# gate walks pages 2-3 by resuming from each page's last key.
+# ---------------------------------------------------------------------------
+@register(
+    "zg76_scan_pagination",
+    oracle="""
+    SELECT row_key, name, price FROM (
+        SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+               p_name AS name, p_retailprice AS price
+        FROM part
+        ORDER BY row_key
+        LIMIT 80 OFFSET 40
+    )
+    """,
+    description="keyed-store scanner paging: resumable key-cursor pages "
+    "(row_key > last-key pushdown + TakeOrdered, never an OFFSET re-scan)",
+)
+def zg76_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    p = table(spark, sf_dir, "part")
+    spec = TableSpec(
+        namespace="gate",
+        name="part_pages",
+        key_type="string",
+        families={"p": {"name": "string", "price": "double"}},
+    )
+    store.ctas(
+        spec,
+        p.select(
+            F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("p_name").alias("p:name"),
+            F.col("p_retailprice").alias("p:price"),
+        ),
+        mode="overwrite",
+    )
+    page_size = 40
+    # page 1 consumed for its cursor only; the gate returns pages 2-3
+    cursor = store.scan_page("gate.part_pages", page_size).agg(
+        F.max("row_key")
+    ).first()[0]
+    pages = []
+    for _ in range(2):
+        page = store.scan_page("gate.part_pages", page_size, after_key=cursor)
+        cursor = page.agg(F.max("row_key")).first()[0]
+        pages.append(page)
+    out = pages[0].unionByName(pages[1])
+    return out.select(
+        "row_key",
+        F.col("`p:name`").alias("name"),
+        F.col("`p:price`").alias("price"),
+    )

@@ -1244,6 +1244,33 @@ class KeyedTableStore:
             cond = cond & (F.col(ROW_KEY) < upper)
         return self.read(qualified_name).filter(cond)
 
+    def scan_page(
+        self,
+        qualified_name: str,
+        page_size: int,
+        after_key: str | None = None,
+    ) -> DataFrame:
+        """HBase scanner-paging parity (``Scan.setLimit`` + resumable
+        ``withStartRow(lastKey, inclusive=false)`` — the
+        scanner-caching/paging contract every HBase client loop uses):
+        the next ``page_size`` rows in KEY ORDER strictly after
+        ``after_key`` (``None`` = from the table start).  The caller
+        resumes with the last key of the returned page — pagination by
+        KEY, not OFFSET, so every page costs the same regardless of how
+        deep the cursor is (an OFFSET pager re-scans and re-sorts the
+        prefix every page).
+
+        Plan shape: the ``row_key > after_key`` bound pushes into the
+        parquet scan (footer stats skip every earlier region/file — the
+        A4 fast path) and the sort+limit plans as a TakeOrdered top-k,
+        never a global table sort (pinned in ``tests/test_plans.py``)."""
+        if page_size <= 0:
+            raise ValueError(f"page_size must be positive, got {page_size}")
+        df = self.read(qualified_name)
+        if after_key is not None:
+            df = df.filter(F.col(ROW_KEY) > after_key)
+        return df.orderBy(ROW_KEY).limit(int(page_size))
+
     def get(self, qualified_name: str, keys: list[str]) -> DataFrame:
         """HBase multi-``Get`` parity: the rows for an explicit key
         list, as one ``isin`` predicate — pushed to the parquet scan

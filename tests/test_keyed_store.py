@@ -2955,3 +2955,31 @@ def test_auto_minor_compaction_threshold(spark, tmp_path):
         st.insert("r6.bad", spark.createDataFrame(
             [("k", 1)], "row_key string, `c:v` long",
         ), generate_row_key=False)
+
+
+def test_scan_page_walks_the_whole_table_exactly_once(spark, tmp_path):
+    """Paging to exhaustion reconstructs the full table in key order
+    with no duplicate and no gap; an empty page ends the walk; a
+    non-positive page size refuses loudly."""
+    import pytest as _pytest
+
+    from spark_sql_hbase_spark.sources import fixtures
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    store.create_table(fixtures.pw_test_spec())
+    store.insert("pw.test", fixtures.pw_test_df(spark), overwrite=True,
+                 generate_row_key=False)
+    expect = sorted(r["row_key"] for r in store.read("pw.test").collect())
+    walked, cursor = [], None
+    while True:
+        rows = store.scan_page("pw.test", 7, after_key=cursor).collect()
+        if not rows:
+            break
+        keys = [r["row_key"] for r in rows]
+        assert keys == sorted(keys)
+        walked.extend(keys)
+        cursor = keys[-1]
+    assert walked == expect
+    with _pytest.raises(ValueError, match="page_size"):
+        store.scan_page("pw.test", 0)

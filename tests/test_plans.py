@@ -1161,3 +1161,22 @@ def test_r12_epoch_shuffle_is_per_shard_windows(spark, registry):
     assert "SinglePartition" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert re.search(r"hashpartitioning\(shard_id", plan), plan[:1500]
+
+
+def test_r12_scan_page_pushes_cursor_and_takeordered(spark, tmp_path):
+    """scan_page (zg76): the key cursor must push into the parquet scan
+    (GreaterThan on row_key) and the sort+limit must plan as a
+    TakeOrdered top-k — never a global table sort; deep pages cost the
+    same as page one."""
+    from spark_sql_hbase_spark.sources import fixtures
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    store.create_table(fixtures.pw_test_spec())
+    store.insert("pw.test", fixtures.pw_test_df(spark), overwrite=True,
+                 generate_row_key=False)
+    df = store.scan_page("pw.test", 5, after_key="0042")
+    assert "GreaterThan(row_key,0042)" in " ".join(pushed_filters(df))
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
