@@ -33,6 +33,46 @@ from pyspark.sql import functions as F
 from spark_sql_hbase_spark.operators.dedup import _shingle_sets
 
 
+def eval_shingle_index(
+    eval_df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """The eval side as an inverted n-gram index ``(eval_id, s)`` —
+    bounded (benchmarks are), built ONCE and frozen/broadcast by every
+    consumer: the batch decontamination join and the streaming monitor
+    (the frozen-model convention — a changed eval set is a re-baseline
+    event, not something a stream mutates)."""
+    return _shingle_sets(eval_df, id_col, text_col, n).select(
+        F.col("id").alias("eval_id"), F.explode("sh").alias("s")
+    )
+
+
+def decontaminate_against_index(
+    train: DataFrame,
+    ev_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """:func:`decontaminate` against a prebuilt
+    :func:`eval_shingle_index` — the shape batch and streaming callers
+    share, so the two cannot diverge."""
+    tr = _shingle_sets(train, id_col, text_col, n).select(
+        F.col("id").alias("train_id"), F.explode("sh").alias("s")
+    )
+    pairs = (
+        tr.join(F.broadcast(ev_index), "s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    return pairs.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_docs"),
+        F.sum("n_shared").cast("long").alias("total_shared"),
+        F.max("n_shared").cast("long").alias("max_shared"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -44,22 +84,9 @@ def decontaminate(
     """Per contaminated training doc: (train_id, n_eval_docs,
     total_shared, max_shared) over eval docs sharing ≥ ``min_overlap``
     distinct ``n``-grams."""
-    tr = _shingle_sets(train, id_col, text_col, n).select(
-        F.col("id").alias("train_id"), F.explode("sh").alias("s")
-    )
-    ev = _shingle_sets(eval_df, id_col, text_col, n).select(
-        F.col("id").alias("eval_id"), F.explode("sh").alias("s")
-    )
-    pairs = (
-        tr.join(F.broadcast(ev), "s")
-        .groupBy("train_id", "eval_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_overlap)
-    )
-    return pairs.groupBy("train_id").agg(
-        F.count(F.lit(1)).alias("n_eval_docs"),
-        F.sum("n_shared").cast("long").alias("total_shared"),
-        F.max("n_shared").cast("long").alias("max_shared"),
+    ev = eval_shingle_index(eval_df, id_col, text_col, n)
+    return decontaminate_against_index(
+        train, ev, id_col, text_col, n, min_overlap
     )
 
 

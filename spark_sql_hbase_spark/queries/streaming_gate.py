@@ -1224,3 +1224,86 @@ def _bind_zg45_oracle() -> None:
 
 
 _bind_zg45_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zg77 (natural promotion: st19) — streaming decontamination: arrivals screened against the FROZEN
+# eval n-gram index BEFORE they reach the training corpus — the live
+# twin of zb13 through the shared decontaminate_against_index body
+# (streaming/pipelines.py::stream_decontaminate).  Zero streaming state:
+# contamination is a per-document fact, so per-batch output equals the
+# batch twin over all arrivals.
+# ---------------------------------------------------------------------------
+def _zg77_oracle() -> str:
+    from spark_sql_hbase_spark.queries.llm import (
+        _DECON_EVAL,
+        _DECON_MIN,
+        _DECON_N,
+    )
+
+    arrivals = f"doc_id % 7 = 0 AND NOT ({_DECON_EVAL})"
+    return f"""
+    WITH __sh AS (
+        SELECT doc_id, {shingles_sql(tokens_sql('text'), _DECON_N)} AS s
+        FROM documents
+    ), __inv AS (
+        SELECT doc_id, unnest(s) AS g FROM __sh
+    ), __pairs AS (
+        SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+               COUNT(*) AS n_shared
+        FROM (SELECT * FROM __inv WHERE {arrivals}) tr
+        JOIN (SELECT * FROM __inv WHERE {_DECON_EVAL}) ev USING (g)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_DECON_MIN}
+    )
+    SELECT train_id,
+           COUNT(*) AS n_eval_docs,
+           CAST(SUM(n_shared) AS BIGINT) AS total_shared,
+           CAST(MAX(n_shared) AS BIGINT) AS max_shared
+    FROM __pairs
+    GROUP BY train_id
+    """
+
+
+@register(
+    "zg77_stream_decontam",
+    oracle=None,  # bound below (needs llm constants)
+    description="streaming decontamination: arrivals vs frozen eval "
+    "n-gram index (shared batch/stream body, zero streaming state)",
+)
+def zg77_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from spark_sql_hbase_spark.operators.decontam import eval_shingle_index
+    from spark_sql_hbase_spark.queries.llm import _DECON_MIN, _DECON_N
+    from spark_sql_hbase_spark.streaming.pipelines import stream_decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 29) == 0
+    arrivals = docs.filter(((F.col("doc_id") % 7) == 0) & ~is_eval)
+    sink = "__zg77_contaminated"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
+    # freeze the eval index (bounded: benchmarks are small) — the
+    # zg39/zg45 frozen-model convention
+    ev = eval_shingle_index(
+        docs.filter(is_eval), "doc_id", "text", _DECON_N
+    ).cache()
+    stream = _one_batch_stream(spark, arrivals)
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_zg77_")
+    q = stream_decontaminate(
+        stream, ev, "doc_id", "text", ckpt, sink,
+        n=_DECON_N, min_overlap=_DECON_MIN,
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def _bind_zg77_oracle() -> None:
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zg77_stream_decontam"].oracle = _zg77_oracle()
+
+
+_bind_zg77_oracle()

@@ -823,3 +823,46 @@ def stream_psi_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_decontaminate(
+    stream_docs: DataFrame,
+    ev_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    sink_table: str,
+    n: int = 5,
+    min_overlap: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming train/test decontamination: every arriving micro-batch
+    is screened against the FROZEN eval n-gram index and its
+    contaminated docs (with evidence counts) are appended — the live
+    twin of ``operators/decontam.py::decontaminate`` through the SAME
+    ``decontaminate_against_index`` body, so batch and stream cannot
+    diverge.  The hygiene gate a live ingest runs BEFORE a document
+    reaches the training corpus, instead of auditing after the fact.
+
+    Scale/state: ZERO streaming state — contamination is a per-document
+    fact (each doc's shingles vs the static eval index), so per-batch
+    aggregation equals global aggregation; the eval index is bounded
+    (benchmarks are) and broadcast inside each batch join.  A changed
+    eval set is a re-baseline event (new index, new checkpoint), the
+    frozen-model convention."""
+    from spark_sql_hbase_spark.operators.decontam import (
+        decontaminate_against_index,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = decontaminate_against_index(
+            batch_df, ev_index, id_col, text_col, n, min_overlap
+        )
+        out.write.mode("append").saveAsTable(sink_table)
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
