@@ -2554,3 +2554,39 @@ def zg73_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _ZG73.format(supplier="__zg73_s", lineitem="__zg73_l", part="__zg73_p")
     )
+
+
+# ---------------------------------------------------------------------------
+# zg78 — modern inherited SQL sugar (Spark 3.4+/4 surfaces, all probed
+# working on this runtime; QUALIFY is NOT in OSS Spark 4.1 and stays
+# uncovered): GROUP BY ALL (group by every non-aggregate select item),
+# ORDER BY ALL (total order over the full select list), and star
+# projection pruning `* EXCEPT (...)` (DuckDB spells it EXCLUDE — the
+# twin differs in keyword only).  Decimal-exact revenue per the det
+# convention.
+# ---------------------------------------------------------------------------
+_ZG78_SPARK = """
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM (SELECT * EXCEPT (o_orderdate, o_orderpriority) FROM {orders}) o
+    JOIN {customer} c ON o.o_custkey = c.c_custkey
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "zg78_modern_sql_sugar",
+    oracle=_ZG78_SPARK.replace("EXCEPT (", "EXCLUDE (").format(
+        orders="orders", customer="customer"
+    ),
+    description="GROUP BY ALL + ORDER BY ALL + star-EXCEPT projection "
+    "(modern inherited SQL surfaces), decimal-exact revenue",
+)
+def zg78_modern_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__zg78_o")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__zg78_c")
+    return spark.sql(
+        _ZG78_SPARK.format(orders="__zg78_o", customer="__zg78_c")
+    )
