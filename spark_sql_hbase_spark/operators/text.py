@@ -1351,6 +1351,71 @@ def quality_bucket_model(
     return bounds, shares
 
 
+def vocab_bucketed(toks: DataFrame, vocab: DataFrame) -> DataFrame:
+    """THE one term→bucket mapping rule shared by the batch KL operator
+    and the streaming monitor (divergence here would silently
+    desynchronize them — the ``bucket_expr`` precedent): every token
+    maps to its vocabulary term, everything else to ``'__oov__'``, via
+    a broadcast join against the bounded vocabulary."""
+    vmark = F.broadcast(vocab.select(F.col("term").alias("__vterm")))
+    return toks.join(
+        vmark, F.col("term") == F.col("__vterm"), "left"
+    ).withColumn("bucket", F.coalesce(F.col("__vterm"), F.lit("__oov__")))
+
+
+def _all_buckets(spark, vocab: DataFrame) -> DataFrame:
+    """The dense bucket domain: vocabulary terms plus the OOV bucket."""
+    return vocab.select(F.col("term").alias("bucket")).unionByName(
+        spark.range(1).select(F.lit("__oov__").alias("bucket"))
+    )
+
+
+def _dense_q(bucket_rows: DataFrame, buckets: DataFrame, half: float) -> DataFrame:
+    """Laplace-smoothed reference shares over the DENSE bucket domain —
+    a bucket with zero corpus mass still gets 0.5/(N+half)."""
+    qrel = bucket_rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
+    dense = buckets.join(qrel, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("cq"), F.lit(0)).alias("cq")
+    )
+    q_tot = dense.agg(F.sum("cq").alias("nq"))
+    return dense.crossJoin(F.broadcast(q_tot)).select(
+        "bucket", ((F.col("cq") + 0.5) / (F.col("nq") + half)).alias("q")
+    )
+
+
+def vocab_model(
+    df: DataFrame, text_col: str, top_v: int = 100
+) -> tuple[DataFrame, DataFrame]:
+    """Frozen reference model for the streaming vocabulary-KL monitor
+    (:func:`~spark_sql_hbase_spark.streaming.pipelines.stream_vocab_kl`):
+    the corpus top-``top_v`` vocabulary ``(term)`` plus dense
+    Laplace-smoothed reference shares ``(bucket, q)`` — built from the
+    SAME helpers (:func:`vocab_bucketed` / :func:`_dense_q`) as
+    :func:`vocab_kl`, so the batch and streaming monitors cannot
+    diverge (the quality_bucket_model convention).  Both relations are
+    bounded (V and V+1 rows); callers freeze them with ``cache()``."""
+    from spark_sql_hbase_spark.functions.texthash import tokens
+    from spark_sql_hbase_spark.operators.caching import managed_cache
+
+    toks = managed_cache(
+        df.select(F.explode(tokens(F.col(text_col))).alias("term")),
+        "vocab_model.toks",
+    )
+    half = (top_v + 1) / 2.0
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cq"))
+        .orderBy(F.col("cq").desc(), F.col("term"))
+        .limit(top_v)
+        .select("term")
+    )
+    buckets = _all_buckets(df.sparkSession, vocab)
+    q = _dense_q(
+        vocab_bucketed(toks, vocab).select("bucket"), buckets, half
+    )
+    return vocab, q
+
+
 def vocab_kl(
     df: DataFrame,
     stream_col: str,
@@ -1395,29 +1460,15 @@ def vocab_kl(
         .limit(top_v)
         .select("term")
     )
-    vmark = F.broadcast(vocab.select(F.col("term").alias("__vterm")))
-    bucketed = toks.join(
-        vmark, F.col("term") == F.col("__vterm"), "left"
-    ).select(
-        "stream",
-        F.coalesce(F.col("__vterm"), F.lit("__oov__")).alias("bucket"),
-    )
-    # corpus bucket distribution q (V+1 rows)
-    qrel = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
-    q_tot = qrel.agg(F.sum("cq").alias("nq"))
-    q = (
-        qrel.crossJoin(F.broadcast(q_tot))
-        .select(
-            "bucket",
-            ((F.col("cq") + 0.5) / (F.col("nq") + half)).alias("q"),
-        )
-    )
+    bucketed = vocab_bucketed(toks, vocab).select("stream", "bucket")
+    # corpus bucket distribution q: DENSE over vocab ∪ OOV (a bucket the
+    # corpus never produced still gets its Laplace mass — the streaming
+    # twin depends on this when arrivals carry out-of-corpus terms)
+    buckets = _all_buckets(df.sparkSession, vocab)
+    q = _dense_q(bucketed.select("bucket"), buckets, half)
     # per-stream bucket counts over the DENSE stream x bucket grid
     counts = bucketed.groupBy("stream", "bucket").agg(
         F.count(F.lit(1)).alias("c")
-    )
-    buckets = vocab.select(F.col("term").alias("bucket")).unionByName(
-        df.sparkSession.range(1).select(F.lit("__oov__").alias("bucket"))
     )
     grid = counts.select("stream").distinct().crossJoin(F.broadcast(buckets))
     dense = grid.join(counts, ["stream", "bucket"], "left").select(
@@ -1460,17 +1511,21 @@ def vocab_kl_sql(
         SELECT t.stream,
                CASE WHEN v.term IS NULL THEN '__oov__' ELSE t.term END AS bucket
         FROM __toks t LEFT JOIN __vocab v ON t.term = v.term
-    ), __q AS (
-        SELECT bucket,
-               (COUNT(*) + 0.5)
-                   / ((SELECT COUNT(*) FROM __bucketed) + {half}) AS q
-        FROM __bucketed GROUP BY bucket
-    ), __counts AS (
-        SELECT stream, bucket, COUNT(*) AS c
-        FROM __bucketed GROUP BY stream, bucket
     ), __allb AS (
         SELECT term AS bucket FROM __vocab
         UNION ALL SELECT '__oov__'
+    ), __qc AS (
+        SELECT bucket, COUNT(*) AS cq FROM __bucketed GROUP BY bucket
+    ), __q AS (
+        -- DENSE over vocab ∪ OOV: a bucket the corpus never produced
+        -- still gets its Laplace mass (matches the Spark _dense_q)
+        SELECT b.bucket,
+               (COALESCE(qc.cq, 0) + 0.5)
+                   / ((SELECT COUNT(*) FROM __bucketed) + {half}) AS q
+        FROM __allb b LEFT JOIN __qc qc USING (bucket)
+    ), __counts AS (
+        SELECT stream, bucket, COUNT(*) AS c
+        FROM __bucketed GROUP BY stream, bucket
     ), __grid AS (
         SELECT s.stream, b.bucket
         FROM (SELECT DISTINCT stream FROM __bucketed) s, __allb b
@@ -1486,4 +1541,62 @@ def vocab_kl_sql(
     SELECT p.stream, ROUND(SUM(p.p * ln(p.p / q.q)), {round_to}) AS kl
     FROM __p p JOIN __q q ON p.bucket = q.bucket
     GROUP BY p.stream
+    """
+
+
+def vocab_kl_terms_sql(
+    table: str,
+    corpus_pred: str,
+    arrivals_pred: str,
+    text_expr: str,
+    top_v: int = 100,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of the streaming vocabulary-KL monitor
+    (:func:`~spark_sql_hbase_spark.streaming.pipelines.stream_vocab_kl`
+    over ONE batch): per-bucket KL terms of the ``arrivals_pred`` rows
+    against the frozen model trained on the ``corpus_pred`` rows."""
+    from spark_sql_hbase_spark.functions.texthash import tokens_sql
+
+    half = (top_v + 1) / 2.0
+    return f"""
+    WITH __ct AS (
+        SELECT unnest({tokens_sql(text_expr)}) AS term
+        FROM {table} WHERE {corpus_pred}
+    ), __vocab AS (
+        SELECT term FROM (
+            SELECT term, COUNT(*) AS cq FROM __ct GROUP BY term
+            ORDER BY cq DESC, term LIMIT {top_v})
+    ), __allb AS (
+        SELECT term AS bucket FROM __vocab
+        UNION ALL SELECT '__oov__'
+    ), __qc AS (
+        SELECT CASE WHEN v.term IS NULL THEN '__oov__' ELSE t.term END
+                   AS bucket,
+               COUNT(*) AS cq
+        FROM __ct t LEFT JOIN __vocab v ON t.term = v.term
+        GROUP BY 1
+    ), __q AS (
+        SELECT b.bucket,
+               (COALESCE(qc.cq, 0) + 0.5)
+                   / ((SELECT COUNT(*) FROM __ct) + {half}) AS q
+        FROM __allb b LEFT JOIN __qc qc USING (bucket)
+    ), __at AS (
+        SELECT unnest({tokens_sql(text_expr)}) AS term
+        FROM {table} WHERE {arrivals_pred}
+    ), __ac AS (
+        SELECT CASE WHEN v.term IS NULL THEN '__oov__' ELSE t.term END
+                   AS bucket,
+               COUNT(*) AS c
+        FROM __at t LEFT JOIN __vocab v ON t.term = v.term
+        GROUP BY 1
+    ), __dense AS (
+        SELECT b.bucket, COALESCE(a.c, 0) AS c
+        FROM __allb b LEFT JOIN __ac a USING (bucket)
+    )
+    SELECT d.bucket, CAST(d.c AS BIGINT) AS c,
+           ROUND(((d.c + 0.5) / ((SELECT SUM(c) FROM __dense) + {half}))
+                 * ln(((d.c + 0.5) / ((SELECT SUM(c) FROM __dense) + {half}))
+                      / q.q), {round_to}) AS kl_term
+    FROM __dense d JOIN __q q USING (bucket)
     """

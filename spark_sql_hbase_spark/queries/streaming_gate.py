@@ -1307,3 +1307,59 @@ def _bind_zg77_oracle() -> None:
 
 
 _bind_zg77_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zg79 (natural promotion: st20) — streaming vocabulary-KL monitor: the
+# CONTENT-drift live twin next to the quality-PSI pair (t31/st18) —
+# arrivals bucket against the FROZEN corpus vocabulary and append
+# per-bucket KL terms vs the frozen reference shares
+# (streaming/pipelines.py::stream_vocab_kl; model from
+# operators/text.py::vocab_model — one bucketing rule with the batch
+# operator).  Zero streaming state; ≤ V+1 rows per batch.
+# ---------------------------------------------------------------------------
+@register(
+    "zg79_stream_vocab_kl",
+    oracle=None,  # bound below (generator import)
+    description="streaming vocabulary-KL drift monitor: frozen top-V "
+    "vocabulary + dense reference shares, per-batch KL-term fold, zero "
+    "streaming state",
+)
+def zg79_stream_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from spark_sql_hbase_spark.operators.text import vocab_model
+    from spark_sql_hbase_spark.streaming.pipelines import stream_vocab_kl
+
+    docs = table(spark, sf_dir, "documents")
+    is_delta = (F.col("doc_id") % 11) == 0
+    delta, corpus = docs.filter(is_delta), docs.filter(~is_delta)
+    sink = "__zg79_kl_terms"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
+    vocab, q = vocab_model(corpus, "text", top_v=100)
+    # freeze the model (bounded: V + V+1 rows) — the zg45 convention
+    vocab = vocab.cache()
+    q = q.cache()
+    stream = _one_batch_stream(spark, delta)
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_zg79_")
+    query = stream_vocab_kl(stream, vocab, q, "text", ckpt, sink, top_v=100)
+    query.awaitTermination()
+    return spark.table(sink)
+
+
+def _bind_zg79_oracle() -> None:
+    from spark_sql_hbase_spark.operators.text import vocab_kl_terms_sql
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zg79_stream_vocab_kl"].oracle = vocab_kl_terms_sql(
+        "documents",
+        corpus_pred="doc_id % 11 <> 0",
+        arrivals_pred="doc_id % 11 = 0",
+        text_expr="text",
+        top_v=100,
+    )
+
+
+_bind_zg79_oracle()

@@ -866,3 +866,68 @@ def stream_decontaminate(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_vocab_kl(
+    stream_docs: DataFrame,
+    vocab: DataFrame,
+    ref_q: DataFrame,
+    text_col: str,
+    checkpoint_dir: str,
+    sink_table: str,
+    top_v: int = 100,
+    round_to: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Streaming vocabulary-KL drift monitor: every arriving micro-batch
+    is bucketed against the FROZEN corpus vocabulary and its per-bucket
+    KL terms against the frozen reference shares are appended — the
+    CONTENT-drift live twin next to ``stream_psi_monitor`` (which
+    watches the quality-score distribution), through the same
+    ``vocab_bucketed``/``_dense_q`` helpers as the batch
+    ``operators/text.py::vocab_kl`` (one bucketing rule, the
+    quality_bucket_model convention).
+
+    ``vocab``: the corpus top-V terms; ``ref_q``: dense smoothed
+    reference shares ``(bucket, q)`` over vocab ∪ OOV — both from
+    ``operators/text.py::vocab_model``, frozen (a drifted reference is
+    a re-baseline event).
+
+    Scale/state: ZERO streaming state — each batch folds to ≤ V+1 rows
+    before anything joins; vocabulary and shares broadcast."""
+    from spark_sql_hbase_spark.functions.texthash import tokens
+    from spark_sql_hbase_spark.operators.text import _all_buckets, vocab_bucketed
+
+    spark = stream_docs.sparkSession
+    half = (top_v + 1) / 2.0
+    buckets = _all_buckets(spark, vocab)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        counts = (
+            vocab_bucketed(toks, vocab)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        dense = buckets.join(counts, "bucket", "left").select(
+            "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+        from pyspark.sql import Window as W
+
+        dense = dense.withColumn("n", F.sum("c").over(W.partitionBy()))
+        p = (F.col("c") + 0.5) / (F.col("n") + half)
+        out = dense.join(F.broadcast(ref_q), "bucket").select(
+            "bucket",
+            F.col("c").cast("long").alias("c"),
+            F.round(p * F.log(p / F.col("q")), round_to).alias("kl_term"),
+        )
+        out.write.mode("append").saveAsTable(sink_table)
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
