@@ -2124,3 +2124,46 @@ def zg76_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`p:name`").alias("name"),
         F.col("`p:price`").alias("price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zg80 — metadata-only exact count (KeyedTableStore.fast_count): the
+# RowCounter-without-the-scan — O(files) driver-side footer sum over the
+# current generation's membership, zero Spark jobs.  The gate mutates
+# the table first (insert + delete) so the count reflects live DML
+# state, then hashes the number against the SQL COUNT.
+# ---------------------------------------------------------------------------
+@register(
+    "zg80_fast_count",
+    oracle="""
+    SELECT CAST(COUNT(*) - COUNT(*) FILTER (
+               WHERE o_orderkey % 10 = 0) AS BIGINT) AS n
+    FROM orders
+    """,
+    description="metadata-only exact row count from parquet footers "
+    "(zero Spark jobs, O(files) driver-side) after live DML",
+)
+def zg80_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    o = table(spark, sf_dir, "orders")
+    spec = TableSpec(
+        namespace="gate",
+        name="orders_cnt",
+        key_type="string",
+        families={"o": {"price": "double"}},
+    )
+    store.ctas(
+        spec,
+        o.select(
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("o_totalprice").alias("o:price"),
+        ),
+        mode="overwrite",
+    )
+    store.delete_where(
+        "gate.orders_cnt", "CAST(row_key AS BIGINT) % 10 = 0"
+    )
+    n = store.fast_count("gate.orders_cnt")
+    return spark.createDataFrame([(n,)], "n bigint")

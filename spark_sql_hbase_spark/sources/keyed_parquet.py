@@ -4363,6 +4363,19 @@ class KeyedTableStore:
             hi = f_hi if hi is None or f_hi > hi else hi
         return lo, hi
 
+    def fast_count(self, qualified_name: str) -> int:
+        """Exact row count with ZERO Spark jobs — parquet footer
+        metadata (served from the span manifest where it covers a
+        file), the HBase ``RowCounter``-without-the-scan a 100 TB table
+        wants: ``SELECT COUNT(*)`` scans (or at best
+        metadata-aggregates) every file through the cluster; this is an
+        O(files) driver-side sum of exact footer row counts over the
+        CURRENT generation's membership.  Counts physical rows — on a
+        VERSIONED table that is cells, not live keys (same contract as
+        ``read().count()`` there)."""
+        spec = self.registry.get(qualified_name)
+        return self._footer_row_count(self.table_path(spec))
+
     @staticmethod
     def _footer_row_count_file(full: str) -> int:
         import pyarrow.parquet as pq

@@ -2983,3 +2983,23 @@ def test_scan_page_walks_the_whole_table_exactly_once(spark, tmp_path):
     assert walked == expect
     with _pytest.raises(ValueError, match="page_size"):
         store.scan_page("pw.test", 0)
+
+
+def test_fast_count_tracks_dml_and_compaction(spark, tmp_path):
+    """fast_count == read().count() through insert, upsert, delete and
+    compaction — the footer sum must follow the current generation's
+    membership, never a stale listing."""
+    from spark_sql_hbase_spark.sources import fixtures
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    store.create_table(fixtures.pw_test_spec())
+    store.insert("pw.test", fixtures.pw_test_df(spark), overwrite=True,
+                 generate_row_key=False)
+    assert store.fast_count("pw.test") == store.read("pw.test").count()
+    store.delete_keys(
+        "pw.test", spark.createDataFrame([("0042",)], "row_key string")
+    )
+    assert store.fast_count("pw.test") == store.read("pw.test").count()
+    store.compact("pw.test", n_regions=2)
+    assert store.fast_count("pw.test") == store.read("pw.test").count()
