@@ -82,6 +82,9 @@ def pack_summary(
     )
 
 
+_LAST_SHARD_META: DataFrame | None = None
+
+
 def shard_assignments(
     docs: DataFrame,
     id_col: str,
@@ -112,11 +115,24 @@ def shard_assignments(
     sampling is seeded per execution, so the counts pass and the
     ranking pass MUST read the SAME shuffle output or the offsets are
     silently wrong — the cache (2 columns + pid, ~20 B/row, spills to
-    disk) is that coordination point.  The persisted handle is exposed
-    as ``result._shard_meta_cache`` so a long-lived caller can
-    ``unpersist()`` it once the plan/assignments are materialized.
+    disk) is that coordination point.  It is NOT a managed_cache (a
+    recompute after unpersist would re-sample boundaries and silently
+    mismatch the collected offsets), but accumulation is bounded to ONE
+    live relation: re-entering this function unpersists the previous
+    invocation's cache, so AT MOST ONE shard_assignments/shard_plan
+    result may be consumed at a time (pipeline-sequential usage — the
+    norm; the handle also rides ``result._shard_meta_cache`` for
+    explicit release).
     """
     from spark_sql_hbase_spark.functions.texthash import tokens
+
+    global _LAST_SHARD_META
+    if _LAST_SHARD_META is not None:
+        try:
+            _LAST_SHARD_META.unpersist(False)
+        except Exception:
+            pass  # stopped session — nothing to release
+        _LAST_SHARD_META = None
 
     spark = docs.sparkSession
     n_parts = int(
@@ -159,6 +175,7 @@ def shard_assignments(
         ((F.col("off") + F.col("lrn") - 1) % n_shards).cast("int").alias("shard_id"),
     )
     out._shard_meta_cache = part
+    _LAST_SHARD_META = part
     return out
 
 

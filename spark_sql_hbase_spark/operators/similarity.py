@@ -1214,8 +1214,22 @@ def _sq8_bounds_literals(
     collect bit-exactly.  ``dim`` avoids an extra corpus scan for
     dimension inference when the caller knows it."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        probe = corpus.select(vec_col).first()
+        if probe is None:
+            raise ValueError(
+                "SQ8 bounds: empty corpus and no dim given — pass dim "
+                "explicitly to train against an (initially) empty corpus"
+            )
+        dim = len(probe[0])
     row = sq8_bounds(corpus, vec_col, dim).first()
+    if row is None or row["lo"] is None or any(v is None for v in row["lo"]):
+        # empty corpus (the min/max aggregate is all-NULL): degenerate
+        # zero bounds — every dimension codes/decodes to 0, and the
+        # downstream scoring join is empty anyway (no corpus rows).
+        # Matches the pre-relit behavior, which propagated the NULL
+        # bounds into an empty result instead of crashing.
+        zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+        return zero, zero
     lo = F.array(*[F.lit(float(v)) for v in row["lo"]])
     hi = F.array(*[F.lit(float(v)) for v in row["hi"]])
     return lo, hi

@@ -1401,7 +1401,6 @@ def vocab_model(
         df.select(F.explode(tokens(F.col(text_col))).alias("term")),
         "vocab_model.toks",
     )
-    half = (top_v + 1) / 2.0
     vocab = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("cq"))
@@ -1409,6 +1408,8 @@ def vocab_model(
         .limit(top_v)
         .select("term")
     )
+    # actual-bucket-count Laplace denominator (see vocab_kl)
+    half = (vocab.count() + 1) / 2.0
     buckets = _all_buckets(df.sparkSession, vocab)
     q = _dense_q(
         vocab_bucketed(toks, vocab).select("bucket"), buckets, half
@@ -1452,7 +1453,6 @@ def vocab_kl(
         ),
         "vocab_kl.toks",
     )
-    half = (top_v + 1) / 2.0
     vocab = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("cq"))
@@ -1460,6 +1460,12 @@ def vocab_kl(
         .limit(top_v)
         .select("term")
     )
+    # Laplace denominator over the ACTUAL bucket count |vocab|+1 — a
+    # corpus with fewer than top_v distinct terms must still yield
+    # proper distributions (sum(p)=sum(q)=1), or "KL" goes negative on
+    # undrifted streams.  vocab.count() is a bounded (<= top_v) eager
+    # model parameter, the centroid-seed discipline.
+    half = (vocab.count() + 1) / 2.0
     bucketed = vocab_bucketed(toks, vocab).select("stream", "bucket")
     # corpus bucket distribution q: DENSE over vocab ∪ OOV (a bucket the
     # corpus never produced still gets its Laplace mass — the streaming
@@ -1498,7 +1504,8 @@ def vocab_kl_sql(
     """DuckDB twin of :func:`vocab_kl` (oracle generator)."""
     from spark_sql_hbase_spark.functions.texthash import tokens_sql
 
-    half = (top_v + 1) / 2.0
+    # actual-bucket-count Laplace denominator, matching the Spark side
+    half = "((SELECT COUNT(*) + 1 FROM __vocab) / 2.0)"
     return f"""
     WITH __toks AS (
         SELECT {stream_expr} AS stream, unnest({tokens_sql(text_expr)}) AS term
@@ -1558,7 +1565,8 @@ def vocab_kl_terms_sql(
     against the frozen model trained on the ``corpus_pred`` rows."""
     from spark_sql_hbase_spark.functions.texthash import tokens_sql
 
-    half = (top_v + 1) / 2.0
+    # actual-bucket-count Laplace denominator, matching the Spark side
+    half = "((SELECT COUNT(*) + 1 FROM __vocab) / 2.0)"
     return f"""
     WITH __ct AS (
         SELECT unnest({tokens_sql(text_expr)}) AS term

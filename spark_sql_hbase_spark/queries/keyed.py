@@ -2109,20 +2109,22 @@ def zg76_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="overwrite",
     )
     page_size = 40
-    # page 1 consumed for its cursor only; the gate returns pages 2-3
-    cursor = store.scan_page("gate.part_pages", page_size).agg(
-        F.max("row_key")
-    ).first()[0]
-    pages = []
+    # each page executes EXACTLY once: collect it, take the cursor from
+    # the collected rows (pages are key-sorted), accumulate — page 1 is
+    # consumed for its cursor only; the gate returns pages 2-3
+    cursor = store.scan_page("gate.part_pages", page_size).collect()[-1][
+        "row_key"
+    ]
+    rows = []
     for _ in range(2):
-        page = store.scan_page("gate.part_pages", page_size, after_key=cursor)
-        cursor = page.agg(F.max("row_key")).first()[0]
-        pages.append(page)
-    out = pages[0].unionByName(pages[1])
-    return out.select(
-        "row_key",
-        F.col("`p:name`").alias("name"),
-        F.col("`p:price`").alias("price"),
+        page = store.scan_page(
+            "gate.part_pages", page_size, after_key=cursor
+        ).collect()
+        cursor = page[-1]["row_key"]
+        rows.extend(page)
+    return spark.createDataFrame(
+        [(r["row_key"], r["p:name"], r["p:price"]) for r in rows],
+        "row_key string, name string, price double",
     )
 
 

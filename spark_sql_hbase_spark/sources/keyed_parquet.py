@@ -995,7 +995,10 @@ class KeyedTableStore:
                 )
             except Exception:
                 table_rows = 0
-            feed_maintenance = feed.count() * 4 < table_rows
+            n_changed = feed.count()
+            # an EMPTY feed must be a true no-op (no stale window, no
+            # locate jobs), and 0*4 < table_rows is vacuously true
+            feed_maintenance = 0 < n_changed * 4 < table_rows
         if feed_maintenance:
             # async_index=True marks every index LOUDLY stale across
             # the replays; the combined pass below clears it
@@ -1006,12 +1009,21 @@ class KeyedTableStore:
                 dels.select(F.col(f"`{ROW_KEY}`")),
                 async_index=True,
             )
-            # puts reads the eager feed checkpoint — already pinned
+            # puts reads the eager feed checkpoint — already pinned.
+            # One diff's put/delete key sets are disjoint by exceptAll
+            # construction, but apply_changes accepts ARBITRARY feeds
+            # (e.g. two concatenated diffs): a key that is both put and
+            # deleted here ends DELETED (upsert replays first), so its
+            # index projection must NOT be appended — anti-join the
+            # puts against the delete keys before projecting.
+            puts_alive = puts.join(
+                dels.select(F.col(f"`{ROW_KEY}`")), ROW_KEY, "left_anti"
+            )
             self._maintain_indexes_incremental(
                 indexes,
                 None,
                 feed.select(F.col(f"`{ROW_KEY}`")),
-                changed_rows=puts,
+                changed_rows=puts_alive,
             )
             return n
         if not puts.isEmpty():
@@ -1263,9 +1275,26 @@ class KeyedTableStore:
         Plan shape: the ``row_key > after_key`` bound pushes into the
         parquet scan (footer stats skip every earlier region/file — the
         A4 fast path) and the sort+limit plans as a TakeOrdered top-k,
-        never a global table sort (pinned in ``tests/test_plans.py``)."""
+        never a global table sort (pinned in ``tests/test_plans.py``).
+
+        The cursor is the ROW KEY, so the walk is only exhaustive when
+        keys are unique — the one-live-row-per-key contract of an
+        unversioned keyed table.  VERSIONED tables refuse loudly: a
+        page boundary splitting one key's version cells would silently
+        drop the cells past the boundary (``row_key > cursor`` skips
+        them), and which cells land before the boundary is tie-order
+        nondeterministic."""
         if page_size <= 0:
             raise ValueError(f"page_size must be positive, got {page_size}")
+        spec = self.registry.get(qualified_name)
+        if self._table_prop(spec, "versions") is not None:
+            raise ValueError(
+                f"{qualified_name}: scan_page cursors on row_key and a "
+                "VERSIONED table has many cells per key — a page "
+                "boundary inside one key would silently drop its "
+                "remaining version cells. Read versions with "
+                "read_versions_asof / scan ranges instead."
+            )
         df = self.read(qualified_name)
         if after_key is not None:
             df = df.filter(F.col(ROW_KEY) > after_key)

@@ -899,7 +899,9 @@ def stream_vocab_kl(
     from spark_sql_hbase_spark.operators.text import _all_buckets, vocab_bucketed
 
     spark = stream_docs.sparkSession
-    half = (top_v + 1) / 2.0
+    # actual-bucket-count Laplace denominator, frozen with the model
+    # (see operators/text.py::vocab_kl) — top_v is only the cut's cap
+    half = (vocab.count() + 1) / 2.0
     buckets = _all_buckets(spark, vocab)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -664,3 +664,72 @@ def test_cell_mode_mixed_feed_applies_nothing(store, spark):
         (r["row_key"], r["cf:v"])
         for r in store.read("cdc.mixnone").collect()
     } == {("k1", 1)}
+
+
+def test_apply_changes_overlapping_put_delete_keeps_index_exact(store, spark):
+    """r12 review fix: apply_changes accepts ARBITRARY feeds (e.g. two
+    concatenated diffs), so a key appearing as BOTH update and delete
+    ends deleted — and its covered-index entry must NOT be resurrected
+    by the feed-driven index maintenance (ghost index entries are the
+    silent-replica-corruption failure mode)."""
+    _mk(store, spark, "ghost_src", [(f"g{i:03d}", i) for i in range(40)])
+    spec = TableSpec(
+        namespace="cdc",
+        name="ghost_rep",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+    )
+    store.create_table(spec)
+    store.insert(
+        "cdc.ghost_rep",
+        store.read("cdc.ghost_src"),
+        overwrite=True,
+        generate_row_key=False,
+    )
+    store.create_covered_index(
+        "cdc.ghost_rep", "cdc.ghost_rep_by_v", "cf:v", key_width=6
+    )
+    # malformed-but-accepted feed: g005 updated AND deleted (two diffs
+    # concatenated); g007 plain update; g999 plain insert
+    feed = spark.createDataFrame(
+        [
+            ("update", "g005", 555),
+            ("delete", "g005", 5),
+            ("update", "g007", 777),
+            ("insert", "g999", 999),
+        ],
+        "change string, row_key string, `cf:v` long",
+    ).select("row_key", "`cf:v`", "change")
+    store.apply_changes("cdc.ghost_rep", feed)
+    base = {
+        (r["row_key"], r["cf:v"]) for r in store.read("cdc.ghost_rep").collect()
+    }
+    assert ("g005", 5) not in base and ("g005", 555) not in base
+    assert ("g007", 777) in base and ("g999", 999) in base
+    idx = {
+        (r["i:src_key"], r["cf:v"])
+        for r in store.read("cdc.ghost_rep_by_v").collect()
+    }
+    assert not store.index_is_stale("cdc.ghost_rep_by_v")
+    # index == projection of the post-replay base: no ghost g005 entry
+    assert {k for k, _ in idx} == {k for k, _ in base}
+    assert ("g005", 555) not in idx and ("g005", 5) not in idx
+
+
+def test_apply_changes_empty_feed_is_true_noop_on_indexed_table(store, spark):
+    """r12 review fix: an empty feed on an indexed replica must apply
+    nothing, mark nothing stale, and leave the index byte-identical."""
+    _mk(store, spark, "noop_src", [(f"n{i:03d}", i) for i in range(20)])
+    store.create_covered_index(
+        "cdc.noop_src", "cdc.noop_src_by_v", "cf:v", key_width=6
+    )
+    before = sorted(
+        map(tuple, store.read("cdc.noop_src_by_v").collect())
+    )
+    empty = spark.createDataFrame(
+        [], "row_key string, `cf:v` long, change string"
+    )
+    n = store.apply_changes("cdc.noop_src", empty)
+    assert n == 0
+    assert not store.index_is_stale("cdc.noop_src_by_v")
+    assert sorted(map(tuple, store.read("cdc.noop_src_by_v").collect())) == before

@@ -3003,3 +3003,33 @@ def test_fast_count_tracks_dml_and_compaction(spark, tmp_path):
     assert store.fast_count("pw.test") == store.read("pw.test").count()
     store.compact("pw.test", n_regions=2)
     assert store.fast_count("pw.test") == store.read("pw.test").count()
+
+
+def test_scan_page_refuses_versioned_tables(spark, tmp_path):
+    """r12 review fix: the key cursor cannot page a VERSIONED table —
+    a page boundary inside one key's version cells would silently drop
+    the rest; refuse loudly."""
+    import pytest as _pytest
+
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="pg",
+        name="ver",
+        key_type="string",
+        families={"cf": {"v": "long", "ts": "long"}},
+        properties={"versions": "3", "version_column": "cf:ts"},
+    )
+    store.create_table(spec)
+    store.insert(
+        "pg.ver",
+        spark.createDataFrame(
+            [("k1", 1, 10), ("k1", 2, 20)],
+            "row_key string, `cf:v` long, `cf:ts` long",
+        ),
+        generate_row_key=False,
+    )
+    with _pytest.raises(ValueError, match="VERSIONED"):
+        store.scan_page("pg.ver", 1)

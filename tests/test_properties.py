@@ -2869,3 +2869,35 @@ def test_vocab_kl_nonnegative_and_drift_sensitive(spark):
     assert all(v >= -1e-4 for v in got.values()), got
     assert got["drift"] > got["like"], got
     spark.catalog.clearCache()
+
+
+def test_vocab_kl_narrow_corpus_stays_nonnegative(spark):
+    """r12 review fix: a corpus with FEWER distinct terms than top_v
+    must still yield proper distributions (Laplace denominator over the
+    ACTUAL bucket count) — the old top_v-based denominator drove "KL"
+    strongly negative for undrifted streams on narrow vocabularies."""
+    from spark_sql_hbase_spark.operators.text import vocab_kl
+
+    rows = [(f"a_{i}", "alpha beta gamma", "small") for i in range(3)]
+    rows += [(f"b_{i}", "alpha beta gamma " * 40, "big") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    got = {r["stream"]: r["kl"] for r in vocab_kl(df, "source", "text", 100).collect()}
+    assert all(v >= -1e-4 for v in got.values()), got
+    spark.catalog.clearCache()
+
+
+def test_sq8_ann_empty_corpus_returns_empty(spark):
+    """r12 review fix: SQ8 ANN over an empty corpus (with dim given)
+    must return an empty result, not crash re-lighting NULL bounds; an
+    empty corpus WITHOUT dim refuses with a clear message."""
+    import pytest as _pytest
+
+    from spark_sql_hbase_spark.operators.similarity import sq8_ann_topk
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id int, embedding array<double>"
+    )
+    assert sq8_ann_topk(empty, q, "vec_id", "embedding", k=3, dim=2).count() == 0
+    with _pytest.raises(ValueError, match="empty corpus and no dim"):
+        sq8_ann_topk(empty, q, "vec_id", "embedding", k=3)
