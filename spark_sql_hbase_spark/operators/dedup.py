@@ -1071,3 +1071,50 @@ def strip_boilerplate_lines(
             F.concat_ws(". ", F.col("__kept")).alias("clean_text"),
         )
     )
+
+
+def lsh_collision_prob(s: float, bands: int, rows: int) -> float:
+    """S-curve collision probability: chance two documents with Jaccard
+    similarity ``s`` share at least one LSH band bucket under a
+    (bands × rows) MinHash signature — ``1 − (1 − s^r)^b`` (the
+    standard banding analysis, MMDS ch. 3)."""
+    return 1.0 - (1.0 - s ** rows) ** bands
+
+
+def lsh_plan(n_perm: int, threshold: float) -> dict:
+    """Pick the (bands, rows) split of an ``n_perm``-hash MinHash
+    signature whose S-curve midpoint best matches the target Jaccard
+    ``threshold`` — the knob every LSH deployment turns before anything
+    runs: more rows per band → the curve's rise moves right (fewer
+    false candidates, more misses), more bands → left.
+
+    Driver-side pure math over the divisors of ``n_perm`` (the
+    signature is fixed storage; only its factorization is free).
+    Returns ``{bands, rows, threshold_at_plan, p_at_threshold}`` where
+    ``threshold_at_plan`` is the midpoint approximation
+    ``(1/b)^(1/r)`` and ``p_at_threshold`` the exact S-curve value at
+    the target.  Candidate-verification downstream stays exact
+    (``minhash_lsh_join`` verifies candidates), so the plan trades
+    COST, never correctness."""
+    if n_perm <= 0:
+        raise ValueError(f"n_perm must be positive, got {n_perm}")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best = None
+    for rows in range(1, n_perm + 1):
+        if n_perm % rows:
+            continue
+        bands = n_perm // rows
+        mid = (1.0 / bands) ** (1.0 / rows)
+        # deterministic tiebreak: prefer the smaller rows (cheaper
+        # signatures to compare) at equal midpoint distance
+        key = (abs(mid - threshold), rows)
+        if best is None or key < best[0]:
+            best = (key, bands, rows, mid)
+    _, bands, rows, mid = best
+    return {
+        "bands": bands,
+        "rows": rows,
+        "threshold_at_plan": round(mid, 6),
+        "p_at_threshold": round(lsh_collision_prob(threshold, bands, rows), 6),
+    }

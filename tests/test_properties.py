@@ -2901,3 +2901,30 @@ def test_sq8_ann_empty_corpus_returns_empty(spark):
     assert sq8_ann_topk(empty, q, "vec_id", "embedding", k=3, dim=2).count() == 0
     with _pytest.raises(ValueError, match="empty corpus and no dim"):
         sq8_ann_topk(empty, q, "vec_id", "embedding", k=3)
+
+
+def test_lsh_plan_s_curve_laws():
+    """lsh_plan: the split exhausts the signature (b·r = n_perm); the
+    midpoint moves RIGHT as the target threshold rises (more rows per
+    band); the S-curve is increasing in s; degenerate inputs refuse."""
+    import pytest as _pytest
+
+    from spark_sql_hbase_spark.operators.dedup import (
+        lsh_collision_prob,
+        lsh_plan,
+    )
+
+    prev_rows = 0
+    for t in (0.2, 0.4, 0.6, 0.8, 0.95):
+        plan = lsh_plan(128, t)
+        assert plan["bands"] * plan["rows"] == 128
+        assert plan["rows"] >= prev_rows
+        prev_rows = plan["rows"]
+        # the curve must separate below/above the target
+        below = lsh_collision_prob(max(t - 0.15, 0.01), plan["bands"], plan["rows"])
+        above = lsh_collision_prob(min(t + 0.15, 0.99), plan["bands"], plan["rows"])
+        assert above > below
+    with _pytest.raises(ValueError):
+        lsh_plan(0, 0.5)
+    with _pytest.raises(ValueError):
+        lsh_plan(128, 1.0)
