@@ -1333,6 +1333,66 @@ def sq8_ann_topk(
     )
 
 
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    rerank: int = 20,
+    levels: int = 256,
+    round_to: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """SQ8 with exact re-ranking — the refine step
+    (:func:`ivfadc_rerank_topk`'s pattern) applied to the scalar
+    quantizer: :func:`sq8_ann_topk` produces a ``rerank``-sized
+    decode-and-score short-list per query, whose EXACT inner products
+    are then computed from the raw float vectors and re-ranked to the
+    final ``k``.  Buys back the half-bucket quantization error at the
+    cost of reading ``rerank`` full vectors per query instead of zero —
+    completing the rerank symmetry across the quantizer matrix
+    (IVFADC has it; SQ8 now does too).
+
+    Emits ``(query_id, neighbor_id, dot, rank)`` — ``dot`` is the
+    exact rounded inner product, directly comparable to a flat exact
+    search over the same metric.
+
+    The 100 TB shape: the SQ8 stage reads 1-byte codes only; the
+    refinement joins the Q·rerank candidate list — BROADCAST, each
+    candidate carrying its query vector — into the float-vector scan,
+    so the corpus never shuffles and only candidate rows survive (an
+    id-sorted vector layout prunes non-candidate row groups via
+    parquet stats, the keyed-store contract).  The final window ranks
+    Q·rerank rows, never the corpus."""
+    cand = sq8_ann_topk(
+        corpus, queries, id_col, vec_col, k=rerank, levels=levels,
+        round_to=round_to, dim=dim,
+    ).select("query_id", "neighbor_id")
+    qt = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qv")
+    )
+    v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("__nv"),
+    )
+    exact = v.join(
+        F.broadcast(cand.join(F.broadcast(qt), "query_id")), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot(F.col("__qv"), F.col("__nv")), round_to).alias("dot"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
 def _sq8_code_case_sql(levels: int) -> str:
     """The one SQL encoding expression shared by every SQ8 oracle
     (names ``ev``/``lo``/``hi`` indexed by ``i`` must be in scope) —
@@ -1390,6 +1450,44 @@ def sq8_ann_sql(
     FROM (SELECT *, row_number() OVER (
               PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
           FROM __s)
+    WHERE rn <= {k}
+    """
+
+
+def sq8_rerank_sql(
+    table: str,
+    id_expr: str,
+    vec_expr: str,
+    query_pred: str,
+    k: int,
+    rerank: int,
+    dim: int,
+    levels: int = 256,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`sq8_rerank_topk` (oracle generator):
+    the :func:`sq8_ann_sql` candidate list at ``rerank``, refined by
+    exact inner products over the raw vectors."""
+    inner = sq8_ann_sql(
+        table, id_expr, vec_expr, query_pred, rerank, dim, levels, round_to
+    )
+    rng = f"range(1, {dim + 1})"
+    return f"""
+    WITH __cand AS ({inner}),
+    __vv AS (
+        SELECT {id_expr} AS vid, {vec_expr}::DOUBLE[] AS ev FROM {table}
+    ), __ex AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND(list_sum([q.ev[i] * n.ev[i] for i in {rng}]),
+                     {round_to}) AS dot
+        FROM __cand c
+        JOIN __vv q ON q.vid = c.query_id
+        JOIN __vv n ON n.vid = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dot, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn
+          FROM __ex)
     WHERE rn <= {k}
     """
 

@@ -4260,3 +4260,38 @@ def _bind_zg75_oracle() -> None:
 
 
 _bind_zg75_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zg81 — SQ8 with exact re-ranking (operators/similarity.py::
+# sq8_rerank_topk): the refine step completing the rerank symmetry
+# across the quantizer matrix (IVFADC has zg16; SQ8 now too) — 1-byte
+# scan for candidates, Q·rerank exact vector reads for the final cut.
+# ---------------------------------------------------------------------------
+@register(
+    "zg81_sq8_rerank",
+    oracle=None,  # bound below
+    description="SQ8 decode-and-score shortlist refined by exact inner "
+    "products (Q*rerank vector reads, corpus never shuffles)",
+)
+def zg81_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.operators.similarity import sq8_rerank_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return sq8_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=_SQ8_K, rerank=15, dim=_SQ8_DIM,
+    )
+
+
+def _bind_zg81_oracle() -> None:
+    from spark_sql_hbase_spark.operators.similarity import sq8_rerank_sql
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zg81_sq8_rerank"].oracle = sq8_rerank_sql(
+        "embeddings", "vec_id", "embedding", "vec_id < 5",
+        k=_SQ8_K, rerank=15, dim=_SQ8_DIM,
+    )
+
+
+_bind_zg81_oracle()

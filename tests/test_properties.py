@@ -2928,3 +2928,49 @@ def test_lsh_plan_s_curve_laws():
         lsh_plan(0, 0.5)
     with _pytest.raises(ValueError):
         lsh_plan(128, 1.0)
+
+
+def test_sq8_rerank_recall_dominates_plain_sq8(spark, sf_dir):
+    """SQ8 exact re-ranking must buy back quantization recall: top-5 of
+    a 15-candidate shortlist against the exact inner-product ground
+    truth is at least as good as plain SQ8 top-5, and the re-ranked
+    dot values ARE the exact inner products (numpy spot check)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        sq8_ann_topk,
+        sq8_rerank_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(r["vec_id"]): np.array(r["embedding"], np.float64)
+        for r in emb.collect()
+    }
+    queries = emb.filter(F.col("vec_id") < 6)
+    plain = sq8_ann_topk(emb, queries, "vec_id", "embedding", k=5, dim=64)
+    rr = sq8_rerank_topk(
+        emb, queries, "vec_id", "embedding", k=5, rerank=15, dim=64
+    )
+
+    def topk_sets(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = {}
+    for q in range(6):
+        dots = sorted(
+            ((float(vecs[q] @ v), n) for n, v in vecs.items() if n != q),
+            key=lambda t: (-round(t[0], 6), t[1]),
+        )
+        exact[q] = {n for _, n in dots[:5]}
+    plain_sets, rr_sets = topk_sets(plain), topk_sets(rr)
+    plain_recall = sum(len(plain_sets[q] & exact[q]) for q in exact) / 30
+    rr_recall = sum(len(rr_sets[q] & exact[q]) for q in exact) / 30
+    assert rr_recall >= plain_recall, (rr_recall, plain_recall)
+    for r in rr.collect():
+        want = float(vecs[r["query_id"]] @ vecs[r["neighbor_id"]])
+        assert abs(r["dot"] - want) < 1e-4, (r, want)
