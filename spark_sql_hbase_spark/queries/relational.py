@@ -2590,3 +2590,44 @@ def zg78_modern_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _ZG78_SPARK.format(orders="__zg78_o", customer="__zg78_c")
     )
+
+
+# ---------------------------------------------------------------------------
+# zg82 — TPC-H Q2 structure ("minimum-cost supplier"): a correlated
+# scalar MIN subquery used as an EQUALITY predicate that joins back to
+# the minimizing rows — the select-the-argmin-by-subquery idiom (distinct
+# from zg50's threshold comparison: equality keeps ALL tied minima).
+# Unit price = extendedprice/quantity; IEEE division is identical across
+# engines for identical inputs, so the equality match set is
+# engine-independent.  Catalyst decorrelates the MIN into a grouped
+# join on l_partkey (plan-pinned: no per-row re-scan).
+# ---------------------------------------------------------------------------
+_ZG82 = """
+    SELECT s.s_name, p.p_partkey, p.p_name,
+           l.l_extendedprice / l.l_quantity AS unit_price
+    FROM {lineitem} l
+    JOIN {part} p ON p.p_partkey = l.l_partkey
+    JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 10
+      AND l.l_extendedprice / l.l_quantity = (
+          SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+          FROM {lineitem} l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    ORDER BY p.p_partkey, s.s_name
+"""
+
+
+@register(
+    "zg82_cheapest_supplier",
+    oracle=_ZG82.format(lineitem="lineitem", part="part", supplier="supplier"),
+    description="TPC-H Q2 structure: correlated scalar MIN as an "
+    "equality join-back (argmin selection, ties kept)",
+)
+def zg82_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__zg82_l")
+    table(spark, sf_dir, "part").createOrReplaceTempView("__zg82_p")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("__zg82_s")
+    return spark.sql(
+        _ZG82.format(lineitem="__zg82_l", part="__zg82_p", supplier="__zg82_s")
+    )

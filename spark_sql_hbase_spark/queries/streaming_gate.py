@@ -1363,3 +1363,49 @@ def _bind_zg79_oracle() -> None:
 
 
 _bind_zg79_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zg83 (natural promotion: st21) — streaming multimodal metadata ingest:
+# arriving binary payloads run the Arrow-batched extraction per
+# micro-batch (streaming/pipelines.py::stream_media_metadata); zero
+# streaming state, per-batch output equals the batch twin (zb06).
+# ---------------------------------------------------------------------------
+@register(
+    "zg83_stream_media_metadata",
+    oracle=None,  # bound below (generator import)
+    description="streaming multimodal ingest: per-batch Arrow metadata "
+    "extraction over binary payloads, zero streaming state",
+)
+def zg83_stream_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from spark_sql_hbase_spark.streaming.pipelines import stream_media_metadata
+
+    docs = table(spark, sf_dir, "documents")
+    arrivals = docs.filter((F.col("doc_id") % 9) == 0).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    sink = "__zg83_media_meta"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
+    stream = _one_batch_stream(spark, arrivals)
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_zg83_")
+    q = stream_media_metadata(stream, "doc_id", "payload", ckpt, sink)
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def _bind_zg83_oracle() -> None:
+    from spark_sql_hbase_spark.operators.multimodal import (
+        media_metadata_oracle_sql,
+    )
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zg83_stream_media_metadata"].oracle = media_metadata_oracle_sql(
+        "(SELECT * FROM documents WHERE doc_id % 9 = 0)"
+    )
+
+
+_bind_zg83_oracle()

@@ -933,3 +933,38 @@ def stream_vocab_kl(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_media_metadata(
+    stream_docs: DataFrame,
+    id_col: str,
+    binary_col: str,
+    checkpoint_dir: str,
+    sink_table: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming multimodal ingest: every arriving micro-batch's binary
+    payloads run the Arrow-batched metadata extraction
+    (``operators/multimodal.py::extract_media_metadata`` — decode
+    stubbed deterministically, the container ships no codecs) and the
+    typed metadata rows are appended — the live twin of the batch
+    multimodal path, the shape a media-ingest pipeline runs BEFORE
+    routing payloads to storage.
+
+    Scale/state: ZERO streaming state — metadata is a per-payload fact,
+    so per-batch output equals the batch twin; the mapInPandas stage
+    processes Arrow batches executor-side, no shuffle."""
+    from spark_sql_hbase_spark.operators.multimodal import (
+        extract_media_metadata,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_media_metadata(batch_df, id_col, binary_col)
+        out.write.mode("append").saveAsTable(sink_table)
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1180,3 +1180,14 @@ def test_r12_scan_page_pushes_cursor_and_takeordered(spark, tmp_path):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_r12_q2_structure_decorrelates_min_to_grouped_join(spark, registry):
+    """zg82: the correlated scalar MIN must decorrelate into a grouped
+    aggregate joined on l_partkey — never a per-row re-scan of lineitem
+    (no cartesian, no nested loop against the fact table)."""
+    plan = formatted_plan(registry["zg82_cheapest_supplier"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert re.search(r"HashAggregate.*min|min.*HashAggregate", plan, re.DOTALL)
