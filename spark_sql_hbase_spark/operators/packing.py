@@ -27,6 +27,8 @@ pretraining data pipelines).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -82,7 +84,13 @@ def pack_summary(
     )
 
 
-_LAST_SHARD_META: DataFrame | None = None
+def _release_cache(cached: DataFrame) -> None:
+    """weakref.finalize target: best-effort unpersist (the session may
+    already be stopped at interpreter teardown)."""
+    try:
+        cached.unpersist(False)
+    except Exception:
+        pass
 
 
 def shard_assignments(
@@ -115,24 +123,18 @@ def shard_assignments(
     sampling is seeded per execution, so the counts pass and the
     ranking pass MUST read the SAME shuffle output or the offsets are
     silently wrong — the cache (2 columns + pid, ~20 B/row, spills to
-    disk) is that coordination point.  It is NOT a managed_cache (a
-    recompute after unpersist would re-sample boundaries and silently
-    mismatch the collected offsets), but accumulation is bounded to ONE
-    live relation: re-entering this function unpersists the previous
-    invocation's cache, so AT MOST ONE shard_assignments/shard_plan
-    result may be consumed at a time (pipeline-sequential usage — the
-    norm; the handle also rides ``result._shard_meta_cache`` for
-    explicit release).
+    disk) is that coordination point.  It is NOT a managed_cache and is
+    NEVER unpersisted while its result may still be consumed (a
+    recompute would re-sample boundaries and silently mismatch the
+    baked-in offsets); instead a ``weakref.finalize`` on the returned
+    DataFrame releases the cache when the result is garbage-collected,
+    so accumulation is bounded by LIVE results, not total invocations.
+    Caveat: a caller that derives a new DataFrame from the result and
+    drops the result itself must keep a reference to the original (or
+    to ``result._shard_meta_cache``) until the derived plan is
+    materialized.
     """
     from spark_sql_hbase_spark.functions.texthash import tokens
-
-    global _LAST_SHARD_META
-    if _LAST_SHARD_META is not None:
-        try:
-            _LAST_SHARD_META.unpersist(False)
-        except Exception:
-            pass  # stopped session — nothing to release
-        _LAST_SHARD_META = None
 
     spark = docs.sparkSession
     n_parts = int(
@@ -175,7 +177,7 @@ def shard_assignments(
         ((F.col("off") + F.col("lrn") - 1) % n_shards).cast("int").alias("shard_id"),
     )
     out._shard_meta_cache = part
-    _LAST_SHARD_META = part
+    weakref.finalize(out, _release_cache, part)
     return out
 
 
@@ -203,6 +205,9 @@ def shard_plan(
         F.sum("n_tokens").cast("bigint").alias("tok_total"),
     )
     out._shard_meta_cache = assigned._shard_meta_cache
+    # keep the inner result alive as long as the aggregate: its GC
+    # finalizer releases the coordination cache this plan still reads
+    out._shard_assignments = assigned
     return out
 
 
@@ -253,6 +258,11 @@ def epoch_shuffle_plan(
     from the start)."""
     from spark_sql_hbase_spark.functions.texthash import word_hash
 
+    if n_shards <= 0:
+        # % 0 is NULL under non-ANSI Spark (a "valid-looking" manifest
+        # with one giant NULL shard) while the SQL twin errors — refuse
+        # loudly instead of diverging
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     sid = F.col(id_col).cast("string")
     hkey = F.md5(F.concat(sid, F.lit(f":{int(epoch)}")))
     shard = (word_hash(F.concat(sid, F.lit(f":{int(epoch)}"))) % n_shards).cast(

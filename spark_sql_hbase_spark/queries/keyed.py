@@ -2131,9 +2131,10 @@ def zg76_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # zg80 — metadata-only exact count (KeyedTableStore.fast_count): the
 # RowCounter-without-the-scan — O(files) driver-side footer sum over the
-# current generation's membership, zero Spark jobs.  The gate mutates
-# the table first (insert + delete) so the count reflects live DML
-# state, then hashes the number against the SQL COUNT.
+# current generation's membership, zero Spark jobs.  The gate runs a
+# CTAS then a selective DELETE so the count reflects post-DML
+# membership, then hashes the number against the SQL COUNT (the
+# insert/compaction paths are covered by the unit test).
 # ---------------------------------------------------------------------------
 @register(
     "zg80_fast_count",

@@ -2974,3 +2974,34 @@ def test_sq8_rerank_recall_dominates_plain_sq8(spark, sf_dir):
     for r in rr.collect():
         want = float(vecs[r["query_id"]] @ vecs[r["neighbor_id"]])
         assert abs(r["dot"] - want) < 1e-4, (r, want)
+
+
+def test_epoch_shuffle_refuses_nonpositive_shards(spark):
+    """r12 review fix: n_shards=0 would produce a valid-looking manifest
+    with one giant NULL shard under non-ANSI % 0 — refuse loudly."""
+    import pytest as _pytest
+
+    from spark_sql_hbase_spark.operators.packing import epoch_shuffle_plan
+
+    df = spark.createDataFrame([(1,)], "doc_id int")
+    with _pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle_plan(df, "doc_id", 0, 1)
+
+
+def test_shard_assignments_cache_survives_interleaved_invocations(spark, sf_dir):
+    """r12 review fix: a still-held earlier result must stay CORRECT
+    after a second invocation (the cache is released on GC of the
+    result, never on re-entry — a recompute would re-sample range
+    boundaries against baked-in offsets)."""
+    from spark_sql_hbase_spark.operators.packing import shard_assignments
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = shard_assignments(docs, "doc_id", "text", 8)
+    expect = sorted(map(tuple, a.collect()))
+    b = shard_assignments(docs.limit(40), "doc_id", "text", 4)
+    b.collect()
+    # a's plan re-executes against its still-persisted coordination
+    # cache: identical assignments, every rank consistent
+    assert sorted(map(tuple, a.collect())) == expect
+    spark.catalog.clearCache()
