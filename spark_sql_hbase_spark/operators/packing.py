@@ -27,8 +27,6 @@ pretraining data pipelines).
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -84,13 +82,24 @@ def pack_summary(
     )
 
 
-def _release_cache(cached: DataFrame) -> None:
-    """weakref.finalize target: best-effort unpersist (the session may
-    already be stopped at interpreter teardown)."""
-    try:
-        cached.unpersist(False)
-    except Exception:
-        pass
+def _rank_partitioned_meta(
+    docs: DataFrame, id_col: str, text_col: str, n_parts: int
+) -> DataFrame:
+    """The UNCHECKPOINTED range-partitioned metadata relation behind
+    :func:`shard_assignments` — exposed so the plan pin can verify the
+    scale shape (2-column metadata-only range exchange, no document
+    bytes) that :meth:`localCheckpoint` hides from the result's
+    explain."""
+    from spark_sql_hbase_spark.functions.texthash import tokens
+
+    meta = docs.select(
+        F.col(id_col).alias("id"), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+    # Range partitions preserve the global order across partition ids:
+    # every row in pid i sorts before every row in pid j>i.
+    return meta.repartitionByRange(
+        n_parts, F.col("n_tokens").desc(), F.col("id")
+    ).withColumn("pid", F.spark_partition_id())
 
 
 def shard_assignments(
@@ -119,39 +128,26 @@ def shard_assignments(
     100 B-document corpus ranks ~1.6 TB of metadata across the cluster,
     ~1.6 GB per task at 1000 partitions.
 
-    The range-partitioned relation is ``persist()``-ed: range-boundary
-    sampling is seeded per execution, so the counts pass and the
-    ranking pass MUST read the SAME shuffle output or the offsets are
-    silently wrong — the cache (2 columns + pid, ~20 B/row, spills to
-    disk) is that coordination point.  It is NOT a managed_cache and is
-    NEVER unpersisted while its result may still be consumed (a
-    recompute would re-sample boundaries and silently mismatch the
-    baked-in offsets); instead a ``weakref.finalize`` on the returned
-    DataFrame releases the cache when the result is garbage-collected,
-    so accumulation is bounded by LIVE results, not total invocations.
-    Caveat: a caller that derives a new DataFrame from the result and
-    drops the result itself must keep a reference to the original (or
-    to ``result._shard_meta_cache``) until the derived plan is
-    materialized.
+    The range-partitioned relation is pinned with an EAGER
+    ``localCheckpoint``: range-boundary sampling is seeded per
+    execution, so the counts pass and the ranking pass MUST read the
+    SAME shuffle output or the offsets are silently wrong.  Lineage
+    truncation makes boundary re-sampling IMPOSSIBLE — any derived
+    plan, held or re-derived in a fluent chain, reads the materialized
+    blocks (2 columns + pid, ~20 B/row), and a lost block fails loudly
+    instead of recomputing wrong (the repo's standard pinning
+    discipline, e.g. ``apply_changes``).  The blocks are released by
+    Spark's ContextCleaner when the checkpointed RDD is garbage-
+    collected with its consumers — no re-entry unpersist, no GC-timing
+    caveat for callers.
     """
-    from spark_sql_hbase_spark.functions.texthash import tokens
-
     spark = docs.sparkSession
     n_parts = int(
         n_rank_partitions
         or spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    meta = docs.select(
-        F.col(id_col).alias("id"), F.size(tokens(F.col(text_col))).alias("n_tokens")
-    )
-    # Range partitions preserve the global order across partition ids:
-    # every row in pid i sorts before every row in pid j>i.
-    part = (
-        meta.repartitionByRange(
-            n_parts, F.col("n_tokens").desc(), F.col("id")
-        )
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+    part = _rank_partitioned_meta(docs, id_col, text_col, n_parts).localCheckpoint(
+        eager=True
     )
     # Pass 1: per-partition row counts — at most n_rank_partitions rows,
     # a bounded model parameter; prefix-summed on the driver.
@@ -171,14 +167,11 @@ def shard_assignments(
     ranked = part.select("id", "n_tokens", "pid", lrn.alias("lrn")).join(
         F.broadcast(off_df), "pid"
     )
-    out = ranked.select(
+    return ranked.select(
         "id",
         "n_tokens",
         ((F.col("off") + F.col("lrn") - 1) % n_shards).cast("int").alias("shard_id"),
     )
-    out._shard_meta_cache = part
-    weakref.finalize(out, _release_cache, part)
-    return out
 
 
 def shard_plan(
@@ -200,15 +193,10 @@ def shard_plan(
     assigned = shard_assignments(
         docs, id_col, text_col, n_shards, n_rank_partitions
     )
-    out = assigned.groupBy("shard_id").agg(
+    return assigned.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("tok_total"),
     )
-    out._shard_meta_cache = assigned._shard_meta_cache
-    # keep the inner result alive as long as the aggregate: its GC
-    # finalizer releases the coordination cache this plan still reads
-    out._shard_assignments = assigned
-    return out
 
 
 def shard_plan_sql(

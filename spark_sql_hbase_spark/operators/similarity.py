@@ -1214,11 +1214,17 @@ def _sq8_bounds_literals(
     collect bit-exactly.  ``dim`` avoids an extra corpus scan for
     dimension inference when the caller knows it."""
     if dim is None:
-        probe = corpus.select(vec_col).first()
+        # NULL vectors must not decide the probe: len(None) would raise
+        # an opaque TypeError where the empty-corpus path raises a
+        # descriptive ValueError (ADVICE r12)
+        probe = (
+            corpus.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        )
         if probe is None:
             raise ValueError(
-                "SQ8 bounds: empty corpus and no dim given — pass dim "
-                "explicitly to train against an (initially) empty corpus"
+                "SQ8 bounds: no non-NULL vectors and no dim given — pass "
+                "dim explicitly to train against an (initially) empty "
+                "corpus"
             )
         dim = len(probe[0])
     row = sq8_bounds(corpus, vec_col, dim).first()

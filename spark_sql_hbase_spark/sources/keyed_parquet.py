@@ -1009,16 +1009,19 @@ class KeyedTableStore:
                 dels.select(F.col(f"`{ROW_KEY}`")),
                 async_index=True,
             )
-            # puts reads the eager feed checkpoint — already pinned.
             # One diff's put/delete key sets are disjoint by exceptAll
             # construction, but apply_changes accepts ARBITRARY feeds
             # (e.g. two concatenated diffs): a key that is both put and
             # deleted here ends DELETED (upsert replays first), so its
             # index projection must NOT be appended — anti-join the
-            # puts against the delete keys before projecting.
+            # puts against the delete keys before projecting.  Pinned
+            # eagerly like the generic path's changed_rows: without it
+            # the take(1) probe and every index's projection each
+            # re-evaluate this union+anti-join against the checkpointed
+            # feed — N+1 re-evaluations for N indexes (ADVICE r12).
             puts_alive = puts.join(
                 dels.select(F.col(f"`{ROW_KEY}`")), ROW_KEY, "left_anti"
-            )
+            ).localCheckpoint(eager=True)
             self._maintain_indexes_incremental(
                 indexes,
                 None,

@@ -1090,22 +1090,34 @@ def test_r11_shard_plan_sorts_metadata_only(spark, registry):
         column is projected away before the range exchange (a sort
         carrying document bytes would be the scale-killer the operator
         exists to avoid);
-    (c) the per-partition offsets join is a broadcast."""
-    plan = formatted_plan(registry["p09_shard_plan"].fn(spark, SF))
+    (c) the per-partition offsets join is a broadcast.
+
+    r13: the metadata relation is pinned by an eager localCheckpoint
+    (lineage truncation — boundary re-sampling impossible), which hides
+    the range exchange from the RESULT's explain; the exchange shape is
+    pinned on the exposed pre-checkpoint relation instead."""
     import re as _re
 
-    assert "SinglePartition" not in plan, plan[:2000]
-    # the range exchange (inside the persisted metadata relation's
-    # cached plan) must carry exactly the two metadata columns
+    from spark_sql_hbase_spark.operators.packing import _rank_partitioned_meta
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, SF, "documents")
+    pre = formatted_plan(_rank_partitioned_meta(docs, "doc_id", "text", 32))
+    # the range exchange must carry exactly the two metadata columns —
+    # a sort carrying document bytes would be the scale-killer
     ms = _re.findall(
         r"\(\d+\) Exchange\nInput \[(\d+)\]: \[([^\]]*)\]"
         r"\nArguments: rangepartitioning\(n_tokens",
-        plan,
+        pre,
     )
-    assert ms, plan[:2000]
+    assert ms, pre[:2000]
     for n_cols, cols in ms:
         assert int(n_cols) == 2, (n_cols, cols)
         assert "text" not in cols, cols
+    assert "SinglePartition" not in pre, pre[:2000]
+
+    plan = formatted_plan(registry["p09_shard_plan"].fn(spark, SF))
+    assert "SinglePartition" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan
     # local rank runs per range partition: the window is partitioned
     # (hash on pid), never a global single-partition sort

@@ -2899,8 +2899,15 @@ def test_sq8_ann_empty_corpus_returns_empty(spark):
         [(0, [1.0, 2.0])], "vec_id int, embedding array<double>"
     )
     assert sq8_ann_topk(empty, q, "vec_id", "embedding", k=3, dim=2).count() == 0
-    with _pytest.raises(ValueError, match="empty corpus and no dim"):
+    with _pytest.raises(ValueError, match="no non-NULL vectors and no dim"):
         sq8_ann_topk(empty, q, "vec_id", "embedding", k=3)
+    # ADVICE r12: a NULL vector in the probed row must raise the same
+    # descriptive message, not TypeError('NoneType has no len')
+    nullvec = spark.createDataFrame(
+        [(1, None)], "vec_id int, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="no non-NULL vectors and no dim"):
+        sq8_ann_topk(nullvec, q, "vec_id", "embedding", k=3)
 
 
 def test_lsh_plan_s_curve_laws():
@@ -2988,11 +2995,74 @@ def test_epoch_shuffle_refuses_nonpositive_shards(spark):
         epoch_shuffle_plan(df, "doc_id", 0, 1)
 
 
+def test_managed_cache_keys_by_session(spark):
+    """r12 VERDICT watch item 2: managed_cache keys by (applicationId,
+    operator), so a second SparkSession cannot unpersist a live relation
+    out from under the first, and a stopped session's entries are swept
+    instead of pinned alive.  A single JVM hosts one SparkContext, so
+    the foreign sessions are stubs carrying the two behaviors that
+    matter: a stable foreign applicationId, and a dead (raising)
+    session."""
+    from spark_sql_hbase_spark.operators import caching
+    from spark_sql_hbase_spark.operators.caching import managed_cache
+
+    from types import SimpleNamespace
+
+    class _ForeignDF:
+        """Stands in for another LIVE session's cached relation."""
+
+        sparkSession = SimpleNamespace(
+            sparkContext=SimpleNamespace(applicationId="app-foreign-live")
+        )
+        unpersisted = False
+
+        def unpersist(self, blocking=False):
+            self.unpersisted = True
+
+    class _DeadDF:
+        """Stands in for a STOPPED session's leftover entry."""
+
+        unpersisted = False
+
+        @property
+        def sparkSession(self):
+            raise RuntimeError("SparkContext stopped")
+
+        def unpersist(self, blocking=False):
+            self.unpersisted = True
+
+    foreign, dead = _ForeignDF(), _DeadDF()
+    try:
+        caching._MANAGED[("app-foreign-live", "op")] = foreign
+        caching._MANAGED[("app-gone", "other_op")] = dead
+        df = spark.range(5)
+        out = managed_cache(df, "op")
+        app = spark.sparkContext.applicationId
+        # the live foreign entry under the SAME operator key survives —
+        # per-session keying, no cross-session eviction
+        assert caching._MANAGED[("app-foreign-live", "op")] is foreign
+        assert not foreign.unpersisted
+        # this session's entry landed under its own applicationId
+        assert caching._MANAGED[(app, "op")] is out
+        # the dead session's entry was swept and released
+        assert ("app-gone", "other_op") not in caching._MANAGED
+        assert dead.unpersisted
+        # same-session re-entry still evicts its own previous holder
+        out2 = managed_cache(spark.range(6), "op")
+        assert caching._MANAGED[(app, "op")] is out2
+        assert not out.is_cached
+    finally:
+        caching._MANAGED.pop(("app-foreign-live", "op"), None)
+        from spark_sql_hbase_spark.operators.caching import clear_managed_caches
+
+        clear_managed_caches()
+
+
 def test_shard_assignments_cache_survives_interleaved_invocations(spark, sf_dir):
-    """r12 review fix: a still-held earlier result must stay CORRECT
-    after a second invocation (the cache is released on GC of the
-    result, never on re-entry — a recompute would re-sample range
-    boundaries against baked-in offsets)."""
+    """r12 review fix (r13: persist+weakref → eager localCheckpoint): a
+    still-held earlier result must stay CORRECT after a second
+    invocation — lineage truncation makes range-boundary re-sampling
+    against the baked-in offsets impossible."""
     from spark_sql_hbase_spark.operators.packing import shard_assignments
     from spark_sql_hbase_spark.queries import table
 
@@ -3005,3 +3075,36 @@ def test_shard_assignments_cache_survives_interleaved_invocations(spark, sf_dir)
     # cache: identical assignments, every rank consistent
     assert sorted(map(tuple, a.collect())) == expect
     spark.catalog.clearCache()
+
+
+def test_shard_assignments_fluent_chain_survives_gc(spark, sf_dir):
+    """ADVICE r13 (medium): the docstring's primary use case — a writer
+    joining the map back on id in a fluent chain that DROPS the
+    assignment result — must stay correct even after the intermediate
+    is garbage-collected mid-chain.  Under the old persist()+weakref
+    release, GC of the intermediate unpersisted the coordination cache
+    and the derived plan recomputed repartitionByRange with freshly
+    sampled boundaries against the baked-in offsets (silently wrong
+    ranks); the eager localCheckpoint makes re-sampling impossible."""
+    import gc
+
+    from spark_sql_hbase_spark.operators.packing import shard_assignments
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    n_docs = docs.count()
+    # fluent chain: the shard_assignments result is never bound to a name
+    chained = shard_assignments(docs, "doc_id", "text", 8).join(
+        docs.selectExpr("doc_id AS id", "source"), "id"
+    )
+    gc.collect()  # collect the dropped intermediate before materializing
+    rows = chained.collect()
+    assert len(rows) == n_docs
+    # round-robin on a correct dense rank ⇒ per-shard doc counts differ
+    # by at most one; duplicated/missing ranks (the corruption mode)
+    # break this immediately
+    per_shard = {}
+    for r in rows:
+        per_shard[r["shard_id"]] = per_shard.get(r["shard_id"], 0) + 1
+    assert max(per_shard.values()) - min(per_shard.values()) <= 1, per_shard
+    assert sorted(per_shard) == list(range(8)), per_shard
