@@ -99,6 +99,15 @@ _R8_RENAMES = {
 }
 
 
+# round-13 rotation: bench output key -> current registry name.
+# The only bench subject affected: z75 (pmi collocations) resolved via
+# _R9_RENAMES to t25, which the r13 rotation demoted to zg95 — rename
+# maps don't chain, so the direct entry lives here.
+_R13_RENAMES = {
+    "z75_pmi_collocations": "zg95_pmi_collocations",
+}
+
+
 # round-11 rotation: bench output key -> current registry name.
 # a01_regional_revenue is the PERMANENT core-relational sentinel (it
 # sorts first, so it can never rotate out of the driver's 50-name
@@ -149,6 +158,7 @@ def _lookup(registry, name):
     as an AttributeError on None downstream."""
     qd = (
         registry.get(name)
+        or registry.get(_R13_RENAMES.get(name, ""))
         or registry.get(_R12_RENAMES.get(name, ""))
         or registry.get(_R11_RENAMES.get(name, ""))
         or registry.get(_R10_RENAMES.get(name, ""))

@@ -1015,7 +1015,7 @@ def zg04_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # post-DELETE state.
 # ---------------------------------------------------------------------------
 @register(
-    "k19_previous_generation_read",
+    "zg84_previous_generation_read",
     oracle="""
     SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
            c_acctbal AS acctbal
@@ -1024,7 +1024,7 @@ def zg04_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="generation time travel: read the pre-rewrite table "
     "state from the retained previous generation after a DELETE",
 )
-def k19_previous_generation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg84_previous_generation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -1055,7 +1055,7 @@ def k19_previous_generation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k20 — conditional mutations end-to-end (HBase checkAndPut/checkAndDelete/
+# zg85 — conditional mutations end-to-end (HBase checkAndPut/checkAndDelete/
 # increment/append + the batched Table.batch() analogue mutate()).  Ops
 # whose checks must PASS read their expected value from the table itself
 # (always-match); ops that must REFUSE expect an impossible value (-1 —
@@ -1065,7 +1065,7 @@ def k19_previous_generation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference's puts ride (InsertIntoHBaseTable.scala:80-97).
 # ---------------------------------------------------------------------------
 @register(
-    "k20_conditional_mutations",
+    "zg85_conditional_mutations",
     oracle="""
     SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS row_key,
            CASE WHEN n_nationkey = 3 THEN 'CHECKED'
@@ -1085,7 +1085,7 @@ def k19_previous_generation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batched mutate() (put/increment/append/delete) in one CAS commit, "
     "final state SQL-checked",
 )
-def k20_conditional_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg85_conditional_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -1144,7 +1144,7 @@ def k20_conditional_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k21 — declared retention (HBase VERSIONS => N / TTL attributes): a
+# zg86 — declared retention (HBase VERSIONS => N / TTL attributes): a
 # versioned table accumulates 1-3 versions per key; VERSIONS=>2 is
 # physically enforced by compact_versions, and the TTL-filtered as-of
 # read hides expired cells — keys whose ONLY version fell out of the TTL
@@ -1152,7 +1152,7 @@ def k20_conditional_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (version <= asof AND version > asof - ttl, latest per key) in SQL.
 # ---------------------------------------------------------------------------
 @register(
-    "k21_retention_ttl_read",
+    "zg86_retention_ttl_read",
     oracle="""
     SELECT row_key, bal FROM (
       SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS row_key,
@@ -1165,7 +1165,7 @@ def k20_conditional_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="VERSIONS/TTL retention: compact_versions enforces the "
     "declared keep count, TTL as-of read hides expired versions",
 )
-def k21_retention_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg86_retention_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -1255,7 +1255,7 @@ def k22_bloom_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k23 — declared region boundaries + region lifecycle (HBase pre-split
+# zg87 — declared region boundaries + region lifecycle (HBase pre-split
 # "split" property, HBaseClientImpl.scala:331-364, + admin.split /
 # admin.mergeRegions): CTAS into a pre-split table (declared keys are
 # EXACT file boundaries — no file straddles one), split_region rewrites
@@ -1267,7 +1267,7 @@ def k22_bloom_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_split_regions.py.
 # ---------------------------------------------------------------------------
 @register(
-    "k23_region_lifecycle",
+    "zg87_region_lifecycle",
     oracle="""
     SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
            p_name AS name,
@@ -1278,7 +1278,7 @@ def k22_bloom_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="declared pre-split boundaries + split_region (selective "
     "daughter rewrite) + merge_regions (metadata-only) + post-op upsert",
 )
-def k23_region_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg87_region_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -1344,7 +1344,7 @@ def k23_region_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k24 — CDC changefeed (HBase replication / WAL-shipping analogue, served
+# zg88 — CDC changefeed (HBase replication / WAL-shipping analogue, served
 # from the storage layout): one MERGE commits updates + brand-new keys in
 # one generation swap; read_changes("previous") emits exactly the touched
 # rows, classified — rewritten-but-unchanged neighbors stay silent, and
@@ -1353,7 +1353,7 @@ def k23_region_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change set is a pure function of `part` that plain SQL reproduces.
 # ---------------------------------------------------------------------------
 @register(
-    "k24_changefeed",
+    "zg88_changefeed",
     oracle="""
     SELECT 'update' AS change,
            lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
@@ -1368,7 +1368,7 @@ def k23_region_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="CDC changefeed: generation-diff read_changes() after one "
     "MERGE — updates + inserts classified, unchanged rewritten rows silent",
 )
-def k24_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg88_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -1401,7 +1401,7 @@ def k24_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k25 — REGION_MAX_BYTES auto-split policy (HBase
+# zg89 — REGION_MAX_BYTES auto-split policy (HBase
 # ConstantSizeRegionSplitPolicy: a region outgrowing
 # hbase.hregion.max.filesize splits at its midkey).  An append that
 # leaves a declared region over the byte threshold triggers
@@ -1411,7 +1411,7 @@ def k24_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every file stays confined to one declared region.
 # ---------------------------------------------------------------------------
 @register(
-    "k25_auto_split",
+    "zg89_auto_split",
     oracle="""
     SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
            p_name AS name,
@@ -1422,7 +1422,7 @@ def k24_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "declared boundaries at the region median; content invariant, layout "
     "confined",
 )
-def k25_auto_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg89_auto_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -1480,7 +1480,7 @@ def k25_auto_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k26 — replication round trip (HBase ExportSnapshot bootstrap +
+# zg90 — replication round trip (HBase ExportSnapshot bootstrap +
 # ReplicationSink incremental): snapshot → export to a SECOND warehouse
 # → clone (zero-copy bootstrap), then mutate the source (one MERGE of
 # updates + brand-new keys, one keyed DELETE) and ship ONLY the
@@ -1491,7 +1491,7 @@ def k25_auto_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asserts exact convergence with the source before returning.
 # ---------------------------------------------------------------------------
 @register(
-    "k26_replication_round_trip",
+    "zg90_replication_round_trip",
     oracle="""
     WITH final_state AS (
         SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
@@ -1511,7 +1511,7 @@ def k25_auto_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snapshot-based changefeed ship (MERGE + keyed DELETE), convergence "
     "asserted",
 )
-def k26_replication_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg90_replication_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -1529,9 +1529,9 @@ def k26_replication_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="overwrite",
     )
     # bootstrap: snapshot → export to the replica's warehouse → clone
-    store.snapshot("gate.part_repl", "k26_s1")
-    store.export_snapshot("k26_s1", replica.warehouse_dir)
-    replica.clone_snapshot("k26_s1", "gate.part_repl")
+    store.snapshot("gate.part_repl", "zg90_s1")
+    store.export_snapshot("zg90_s1", replica.warehouse_dir)
+    replica.clone_snapshot("zg90_s1", "gate.part_repl")
     # source mutations: one MERGE (updates + brand-new keys), one DELETE
     store.upsert(
         "gate.part_repl",
@@ -1551,7 +1551,7 @@ def k26_replication_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental ship against the DURABLE snapshot base
     replica.apply_changes(
         "gate.part_repl",
-        store.read_changes("gate.part_repl", versus="k26_s1"),
+        store.read_changes("gate.part_repl", versus="zg90_s1"),
     )
     src = store.read("gate.part_repl")
     dst = replica.read("gate.part_repl")
@@ -1970,7 +1970,7 @@ def zg34_manifest_covered_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # zg46 — replica covered index maintained THROUGH CDC replay (round-11
-# second batch): k26's bootstrap+ship composed with zf03's covered
+# second batch): zg90's bootstrap+ship composed with zf03's covered
 # index, created on the REPLICA — apply_changes routes through
 # upsert/delete_keys, whose index-maintenance hooks must keep the
 # replica's index exact without any replica-side coordination (the
@@ -2052,7 +2052,7 @@ def k30_replica_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gate.cust_ridx",
         store.read_changes("gate.cust_ridx", versus="zg46_s1"),
     )
-    # convergence of the BASE table (k26's assert), then serve from the
+    # convergence of the BASE table (zg90's assert), then serve from the
     # INDEX ONLY — freshness of the index is the thing under test
     src = store.read("gate.cust_ridx")
     dst = replica.read("gate.cust_ridx")
@@ -2068,14 +2068,14 @@ def k30_replica_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# zg76 — HBase scanner paging (Scan.setLimit + resumable withStartRow):
+# k31 — HBase scanner paging (Scan.setLimit + resumable withStartRow):
 # KeyedTableStore.scan_page — pagination by KEY, not OFFSET, so a deep
 # cursor costs the same as page one (the bound pushes into the scan and
 # the sort+limit stays a TakeOrdered top-k; pinned in test_plans).  The
 # gate walks pages 2-3 by resuming from each page's last key.
 # ---------------------------------------------------------------------------
 @register(
-    "zg76_scan_pagination",
+    "k31_scan_pagination",
     oracle="""
     SELECT row_key, name, price FROM (
         SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
@@ -2088,7 +2088,7 @@ def k30_replica_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="keyed-store scanner paging: resumable key-cursor pages "
     "(row_key > last-key pushdown + TakeOrdered, never an OFFSET re-scan)",
 )
-def zg76_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k31_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -2129,7 +2129,7 @@ def zg76_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# zg80 — metadata-only exact count (KeyedTableStore.fast_count): the
+# k32 — metadata-only exact count (KeyedTableStore.fast_count): the
 # RowCounter-without-the-scan — O(files) driver-side footer sum over the
 # current generation's membership, zero Spark jobs.  The gate runs a
 # CTAS then a selective DELETE so the count reflects post-DML
@@ -2137,7 +2137,7 @@ def zg76_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insert/compaction paths are covered by the unit test).
 # ---------------------------------------------------------------------------
 @register(
-    "zg80_fast_count",
+    "k32_fast_count",
     oracle="""
     SELECT CAST(COUNT(*) - COUNT(*) FILTER (
                WHERE o_orderkey % 10 = 0) AS BIGINT) AS n
@@ -2146,7 +2146,7 @@ def zg76_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="metadata-only exact row count from parquet footers "
     "(zero Spark jobs, O(files) driver-side) after live DML",
 )
-def zg80_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k32_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)

@@ -1925,7 +1925,7 @@ _MIX_BUDGET = 100_000
 
 
 @register(
-    "t22_temperature_mix",
+    "zg94_temperature_mix",
     oracle=f"""
     WITH per AS (
         SELECT source AS stream, COUNT(*) AS n_docs,
@@ -1952,7 +1952,7 @@ _MIX_BUDGET = 100_000
     description="temperature-scaled (alpha=0.5) source mixture plan: "
     "p^alpha sampling weights, per-source token targets + rates",
 )
-def t22_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg94_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.temperature_mix(docs, "source", "text", _MIX_BUDGET, alpha=0.5)
 
@@ -2569,7 +2569,7 @@ _PMI_K = 100
 
 
 @register(
-    "t25_pmi_collocations",
+    "zg95_pmi_collocations",
     oracle=f"""
     WITH __tok AS (
         SELECT {_TOK} AS t FROM documents
@@ -2597,7 +2597,7 @@ _PMI_K = 100
     description="top-k PMI collocations from the bigram table's own "
     "marginals — one corpus aggregate, deterministic rounded-pmi cutoff",
 )
-def t25_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg95_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import pmi_collocations
 
     docs = table(spark, sf_dir, "documents")
@@ -3147,7 +3147,7 @@ _REG92["t28_source_standardized_quality"].oracle = _z92_oracle()
 # vocabulary aggregate; the regression runs over ≤ 500 rows.
 # ---------------------------------------------------------------------------
 @register(
-    "t29_zipf_slope",
+    "zg96_zipf_slope",
     oracle=f"""
     WITH __tf AS (
         SELECT unnest({_TOK}) AS term FROM documents
@@ -3174,7 +3174,7 @@ _REG92["t28_source_standardized_quality"].oracle = _z92_oracle()
     description="Zipf-law fit over the top-500 vocabulary: ln-ln "
     "least-squares slope + R2 — the corpus-health audit",
 )
-def t29_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg96_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.zipf_slope(docs, "text", top_k=500)
 
@@ -3189,7 +3189,7 @@ def t29_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair keep their hash split.
 # ---------------------------------------------------------------------------
 @register(
-    "p07_leakage_free_split",
+    "zg97_leakage_free_split",
     oracle=f"""{_SHINGLE_CTES}
     , __jp AS (
         SELECT id_a, id_b
@@ -3227,7 +3227,7 @@ def t29_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="leakage-free split repair: near-dup components that "
     "straddle train/test move wholly to train",
 )
-def p07_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg97_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import word_hash
 
     docs = table(spark, sf_dir, "documents")
@@ -3684,7 +3684,7 @@ def zg32_dedup_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # back to the labels.
 # ---------------------------------------------------------------------------
 @register(
-    "t20_langid_confusion",
+    "zg93_langid_confusion",
     oracle=f"""
     WITH __pred AS ({_langid_oracle()}),
     __j AS (
@@ -3704,7 +3704,7 @@ def zg32_dedup_leverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="lang-ID confusion matrix: stopword-vote predictions vs "
     "labels, bounded matrix + per-class recall fractions",
 )
-def t20_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg93_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")
@@ -3819,19 +3819,19 @@ def s13_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# zg36 — embedding distribution QA: centroid-distance z-score outlier
+# s14 — embedding distribution QA: centroid-distance z-score outlier
 # flags — the standard screen for corrupted / out-of-domain vectors
 # before they poison an index or a contrastive batch.
 # operators/similarity.py::embedding_outliers.
 # ---------------------------------------------------------------------------
 @register(
-    "zg36_embedding_outliers",
+    "s14_embedding_outliers",
     oracle=None,  # bound below
     description="embedding outlier QA: distance-from-mean z-score, "
     "rounded-flag determinism; two dim-bounded aggregates, no vector "
     "shuffle",
 )
-def zg36_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s14_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.embedding_outliers(emb, "vec_id", "embedding", dim=64)
 
@@ -3894,7 +3894,7 @@ def _bind_round11_oracles() -> None:
     REGISTRY["s13_sq8_ann"].oracle = similarity.sq8_ann_sql(
         "embeddings", "vec_id", "embedding", "vec_id < 5", k=_SQ8_K, dim=_SQ8_DIM
     )
-    REGISTRY["zg36_embedding_outliers"].oracle = similarity.embedding_outliers_sql(
+    REGISTRY["s14_embedding_outliers"].oracle = similarity.embedding_outliers_sql(
         "embeddings", "vec_id", "embedding", dim=_SQ8_DIM
     )
     REGISTRY["d20_tfidf_cosine"].oracle = tfidf_cosine_sql(
@@ -4019,7 +4019,7 @@ def q32_dup_chain_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality_psi): Population Stability Index of every source against the
 # corpus over corpus-decile quality buckets — the per-ingest-round
 # "which source changed character" number that gates a mixture-plan
-# refresh (zb21) or a quantizer retrain (zg39's frozen-bounds note).
+# refresh (zb21) or a quantizer retrain (st17's frozen-bounds note).
 # ---------------------------------------------------------------------------
 _PSI_BOUNDS = ",\n               ".join(
     f"quantile_disc(quality, {i / 10}) AS b{i}" for i in range(1, 10)
@@ -4151,7 +4151,7 @@ _bind_zg44_oracle()
 
 
 # ---------------------------------------------------------------------------
-# zg71 — SIMILARITY JOIN SQL syntax (SURVEY §7.2 P6's optional extension,
+# s18 — SIMILARITY JOIN SQL syntax (SURVEY §7.2 P6's optional extension,
 # r11 VERDICT stretch item): the statement-level rewrite at the router
 # seam (sqlfront.KeyedSqlRouter._similarity_join) dispatching to the ANN
 # operator family — here the exact-cosine tier, so the oracle is pure
@@ -4159,7 +4159,7 @@ _bind_zg44_oracle()
 # equivalent to the direct operator call in tests/test_session.py.
 # ---------------------------------------------------------------------------
 @register(
-    "zg71_similarity_join_sql",
+    "s18_similarity_join_sql",
     oracle="""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -4182,99 +4182,99 @@ _bind_zg44_oracle()
     "ANN operators (exact-cosine tier; broadcast queries, shuffle-free "
     "top-k window)",
 )
-def zg71_similarity_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s18_similarity_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from spark_sql_hbase_spark.session import EngineSession
 
     emb = table(spark, sf_dir, "embeddings")
-    emb.createOrReplaceTempView("__zg71_emb")
+    emb.createOrReplaceTempView("__s18_emb")
     sess = EngineSession(
         spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="simjoin_wh_")
     )
     return sess.sql(
-        "SIMILARITY JOIN __zg71_emb "
-        "WITH (SELECT * FROM __zg71_emb WHERE vec_id < 6) "
+        "SIMILARITY JOIN __s18_emb "
+        "WITH (SELECT * FROM __s18_emb WHERE vec_id < 6) "
         "ON embedding BY vec_id TOP 5"
     )
 
 
 # ---------------------------------------------------------------------------
-# zg74 — per-stream vocabulary KL divergence from the corpus unigram
+# t33 — per-stream vocabulary KL divergence from the corpus unigram
 # distribution: the CONTENT-drift monitor next to the quality-score PSI
 # (t31/st18) — operators/text.py::vocab_kl.  Top-V + OOV bucketing keeps
 # the per-stream shuffle bounded by S·(V+1); ln + ROUND(4) determinism.
 # ---------------------------------------------------------------------------
 @register(
-    "zg74_vocab_kl_drift",
+    "t33_vocab_kl_drift",
     oracle=None,  # bound below (generator needs the operator import)
     description="per-source unigram-KL content drift vs the corpus "
     "(top-V + OOV buckets, Laplace-smoothed): bounded bucket shuffle, "
     "broadcast vocabulary",
 )
-def zg74_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t33_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.text import vocab_kl
 
     docs = table(spark, sf_dir, "documents")
     return vocab_kl(docs, "source", "text", top_v=100)
 
 
-def _bind_zg74_oracle() -> None:
+def _bind_t33_oracle() -> None:
     from spark_sql_hbase_spark.operators.text import vocab_kl_sql
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zg74_vocab_kl_drift"].oracle = vocab_kl_sql(
+    REGISTRY["t33_vocab_kl_drift"].oracle = vocab_kl_sql(
         "documents", "source", "text", top_v=100
     )
 
 
-_bind_zg74_oracle()
+_bind_t33_oracle()
 
 
 # ---------------------------------------------------------------------------
-# zg75 — deterministic per-epoch training order ("shuffled shards"):
+# p10 — deterministic per-epoch training order ("shuffled shards"):
 # operators/packing.py::epoch_shuffle_plan.  Row-local md5 order key and
 # shard mod (cross-engine word_hash convention), pos windowed PER SHARD
 # — n_shards parallel sorts, no global rank.
 # ---------------------------------------------------------------------------
 @register(
-    "zg75_epoch_shuffle_plan",
+    "p10_epoch_shuffle_plan",
     oracle=None,  # bound below
     description="seed-reproducible epoch shuffle: hash-bucketed shards, "
     "within-shard hash order — per-shard windows, never a global rank",
 )
-def zg75_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p10_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.packing import epoch_shuffle_plan
 
     docs = table(spark, sf_dir, "documents")
     return epoch_shuffle_plan(docs, "doc_id", n_shards=8, epoch=2)
 
 
-def _bind_zg75_oracle() -> None:
+def _bind_p10_oracle() -> None:
     from spark_sql_hbase_spark.operators.packing import epoch_shuffle_sql
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zg75_epoch_shuffle_plan"].oracle = epoch_shuffle_sql(
+    REGISTRY["p10_epoch_shuffle_plan"].oracle = epoch_shuffle_sql(
         "documents", "doc_id", n_shards=8, epoch=2
     )
 
 
-_bind_zg75_oracle()
+_bind_p10_oracle()
 
 
 # ---------------------------------------------------------------------------
-# zg81 — SQ8 with exact re-ranking (operators/similarity.py::
+# s17 — SQ8 with exact re-ranking (operators/similarity.py::
 # sq8_rerank_topk): the refine step completing the rerank symmetry
 # across the quantizer matrix (IVFADC has zg16; SQ8 now too) — 1-byte
 # scan for candidates, Q·rerank exact vector reads for the final cut.
 # ---------------------------------------------------------------------------
 @register(
-    "zg81_sq8_rerank",
+    "s17_sq8_rerank",
     oracle=None,  # bound below
     description="SQ8 decode-and-score shortlist refined by exact inner "
     "products (Q*rerank vector reads, corpus never shuffles)",
 )
-def zg81_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s17_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import sq8_rerank_topk
 
     emb = table(spark, sf_dir, "embeddings")
@@ -4284,14 +4284,14 @@ def zg81_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bind_zg81_oracle() -> None:
+def _bind_s17_oracle() -> None:
     from spark_sql_hbase_spark.operators.similarity import sq8_rerank_sql
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zg81_sq8_rerank"].oracle = sq8_rerank_sql(
+    REGISTRY["s17_sq8_rerank"].oracle = sq8_rerank_sql(
         "embeddings", "vec_id", "embedding", "vec_id < 5",
         k=_SQ8_K, rerank=15, dim=_SQ8_DIM,
     )
 
 
-_bind_zg81_oracle()
+_bind_s17_oracle()

@@ -1396,7 +1396,7 @@ def zb05_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # independent — the property a custom distributed aggregate must have.
 # ---------------------------------------------------------------------------
 @register(
-    "u02_pandas_udaf_xor",
+    "zg98_pandas_udaf_xor",
     oracle="""
     SELECT event_type,
            bit_xor(event_id) AS xor_ids,
@@ -2464,7 +2464,7 @@ def q39_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# zg72 — TPC-H Q21 structure ("suppliers who kept orders waiting"):
+# q40 — TPC-H Q21 structure ("suppliers who kept orders waiting"):
 # EXISTS + NOT EXISTS over the SAME table, both correlated to the outer
 # block — the NOT EXISTS additionally references a SECOND outer table's
 # column (o.o_orderdate), the deepest same-table correlation pair in
@@ -2473,7 +2473,7 @@ def q39_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a total order (numwait desc, s_name unique).  Catalyst decorrelates
 # both predicates into anti/semi joins — no per-row re-execution.
 # ---------------------------------------------------------------------------
-_ZG72 = """
+_Q40 = """
     SELECT s.s_name, COUNT(*) AS numwait
     FROM {supplier} s
     JOIN {lineitem} l1 ON l1.l_suppkey = s.s_suppkey
@@ -2494,23 +2494,23 @@ _ZG72 = """
 
 
 @register(
-    "zg72_waiting_suppliers",
-    oracle=_ZG72.format(supplier="supplier", lineitem="lineitem", orders="orders"),
+    "q40_waiting_suppliers",
+    oracle=_Q40.format(supplier="supplier", lineitem="lineitem", orders="orders"),
     description="TPC-H Q21 structure: correlated EXISTS + NOT EXISTS over "
     "the same table (sole-late-supplier detection), two-outer-table "
     "correlation in the NOT EXISTS",
 )
-def zg72_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table(spark, sf_dir, "supplier").createOrReplaceTempView("__zg72_s")
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__zg72_l")
-    table(spark, sf_dir, "orders").createOrReplaceTempView("__zg72_o")
+def q40_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("__q40_s")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__q40_l")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__q40_o")
     return spark.sql(
-        _ZG72.format(supplier="__zg72_s", lineitem="__zg72_l", orders="__zg72_o")
+        _Q40.format(supplier="__q40_s", lineitem="__q40_l", orders="__q40_o")
     )
 
 
 # ---------------------------------------------------------------------------
-# zg73 — TPC-H Q20 structure ("potential part promotion"): nested IN
+# q41 — TPC-H Q20 structure ("potential part promotion"): nested IN
 # subqueries whose inner block carries TWO correlated scalar aggregates
 # in the HAVING clause — supplier s ships a "dominant" share of some
 # widget part (share > 2x the part's average supplier share, i.e.
@@ -2519,7 +2519,7 @@ def zg72_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deepest subquery nesting in TPC-H; Catalyst decorrelates the scalar
 # aggregates into one grouped join, never a per-group re-scan.
 # ---------------------------------------------------------------------------
-_ZG73 = """
+_Q41 = """
     SELECT s.s_suppkey, s.s_name
     FROM {supplier} s
     WHERE s.s_suppkey IN (
@@ -2541,23 +2541,23 @@ _ZG73 = """
 
 
 @register(
-    "zg73_dominant_part_suppliers",
-    oracle=_ZG73.format(supplier="supplier", lineitem="lineitem", part="part"),
+    "q41_dominant_part_suppliers",
+    oracle=_Q41.format(supplier="supplier", lineitem="lineitem", part="part"),
     description="TPC-H Q20 structure: nested IN + two correlated scalar "
     "aggregates in HAVING (dominant supplier share per part), "
     "integer-exact threshold",
 )
-def zg73_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table(spark, sf_dir, "supplier").createOrReplaceTempView("__zg73_s")
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__zg73_l")
-    table(spark, sf_dir, "part").createOrReplaceTempView("__zg73_p")
+def q41_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("__q41_s")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__q41_l")
+    table(spark, sf_dir, "part").createOrReplaceTempView("__q41_p")
     return spark.sql(
-        _ZG73.format(supplier="__zg73_s", lineitem="__zg73_l", part="__zg73_p")
+        _Q41.format(supplier="__q41_s", lineitem="__q41_l", part="__q41_p")
     )
 
 
 # ---------------------------------------------------------------------------
-# zg78 — modern inherited SQL sugar (Spark 3.4+/4 surfaces, all probed
+# q42 — modern inherited SQL sugar (Spark 3.4+/4 surfaces, all probed
 # working on this runtime; QUALIFY is NOT in OSS Spark 4.1 and stays
 # uncovered): GROUP BY ALL (group by every non-aggregate select item),
 # ORDER BY ALL (total order over the full select list), and star
@@ -2565,7 +2565,7 @@ def zg73_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twin differs in keyword only).  Decimal-exact revenue per the det
 # convention.
 # ---------------------------------------------------------------------------
-_ZG78_SPARK = """
+_Q42_SPARK = """
     SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
                 AS DOUBLE) AS revenue
@@ -2577,23 +2577,23 @@ _ZG78_SPARK = """
 
 
 @register(
-    "zg78_modern_sql_sugar",
-    oracle=_ZG78_SPARK.replace("EXCEPT (", "EXCLUDE (").format(
+    "q42_modern_sql_sugar",
+    oracle=_Q42_SPARK.replace("EXCEPT (", "EXCLUDE (").format(
         orders="orders", customer="customer"
     ),
     description="GROUP BY ALL + ORDER BY ALL + star-EXCEPT projection "
     "(modern inherited SQL surfaces), decimal-exact revenue",
 )
-def zg78_modern_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table(spark, sf_dir, "orders").createOrReplaceTempView("__zg78_o")
-    table(spark, sf_dir, "customer").createOrReplaceTempView("__zg78_c")
+def q42_modern_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__q42_o")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__q42_c")
     return spark.sql(
-        _ZG78_SPARK.format(orders="__zg78_o", customer="__zg78_c")
+        _Q42_SPARK.format(orders="__q42_o", customer="__q42_c")
     )
 
 
 # ---------------------------------------------------------------------------
-# zg82 — TPC-H Q2 structure ("minimum-cost supplier"): a correlated
+# q43 — TPC-H Q2 structure ("minimum-cost supplier"): a correlated
 # scalar MIN subquery used as an EQUALITY predicate that joins back to
 # the minimizing rows — the select-the-argmin-by-subquery idiom (distinct
 # from zg50's threshold comparison: equality keeps ALL tied minima).
@@ -2602,7 +2602,7 @@ def zg78_modern_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-independent.  Catalyst decorrelates the MIN into a grouped
 # join on l_partkey (plan-pinned: no per-row re-scan).
 # ---------------------------------------------------------------------------
-_ZG82 = """
+_Q43 = """
     SELECT s.s_name, p.p_partkey, p.p_name,
            l.l_extendedprice / l.l_quantity AS unit_price
     FROM {lineitem} l
@@ -2619,15 +2619,15 @@ _ZG82 = """
 
 
 @register(
-    "zg82_cheapest_supplier",
-    oracle=_ZG82.format(lineitem="lineitem", part="part", supplier="supplier"),
+    "q43_cheapest_supplier",
+    oracle=_Q43.format(lineitem="lineitem", part="part", supplier="supplier"),
     description="TPC-H Q2 structure: correlated scalar MIN as an "
     "equality join-back (argmin selection, ties kept)",
 )
-def zg82_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__zg82_l")
-    table(spark, sf_dir, "part").createOrReplaceTempView("__zg82_p")
-    table(spark, sf_dir, "supplier").createOrReplaceTempView("__zg82_s")
+def q43_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__q43_l")
+    table(spark, sf_dir, "part").createOrReplaceTempView("__q43_p")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("__q43_s")
     return spark.sql(
-        _ZG82.format(lineitem="__zg82_l", part="__zg82_p", supplier="__zg82_s")
+        _Q43.format(lineitem="__q43_l", part="__q43_p", supplier="__q43_s")
     )

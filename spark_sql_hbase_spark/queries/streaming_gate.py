@@ -486,12 +486,12 @@ _Z77_QT = 0.5  # keep docs with composite quality >= 0.5
 
 
 @register(
-    "st12_stream_quality_sink",
+    "zg91_stream_quality_sink",
     oracle=None,  # assembled below (reuses llm's tokenizer SQL)
     description="streaming quality-gated ingest: stream -> row-local "
     "quality gate -> keyed-table sink -> readback",
 )
-def st12_stream_quality_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg91_stream_quality_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.operators.text import quality_expr
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
@@ -548,7 +548,7 @@ def _z77_oracle() -> str:
     """
 
 
-_REG["st12_stream_quality_sink"].oracle = _z77_oracle()
+_REG["zg91_stream_quality_sink"].oracle = _z77_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -883,8 +883,8 @@ def zg17_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# st15 — streaming CDC replication (the HBase continuous-replication
-# form of k26): changefeed deltas ship through a FILE STREAM and replay
+# zg92 — streaming CDC replication (the HBase continuous-replication
+# form of zg90): changefeed deltas ship through a FILE STREAM and replay
 # onto the replica via stream_apply_changes (foreachBatch apply_changes
 # with the keyed sink's batch-id replay marker).  Two sync cycles — one
 # MERGE delta (updates + brand-new keys), one DELETE delta — each read
@@ -894,7 +894,7 @@ def zg17_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the oracle); exact multiset convergence is asserted in-gate.
 # ---------------------------------------------------------------------------
 @register(
-    "st15_stream_cdc_apply",
+    "zg92_stream_cdc_apply",
     oracle="""
     WITH final_state AS (
         SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
@@ -914,15 +914,15 @@ def zg17_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "through a file stream, replayed per-batch onto the replica, "
     "convergence asserted",
 )
-def st15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zg92_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
     from spark_sql_hbase_spark.streaming.pipelines import (
         stream_apply_changes,
     )
 
-    src = KeyedTableStore(spark, tempfile.mkdtemp(prefix="st15_src_"))
-    dst = KeyedTableStore(spark, tempfile.mkdtemp(prefix="st15_dst_"))
+    src = KeyedTableStore(spark, tempfile.mkdtemp(prefix="zg92_src_"))
+    dst = KeyedTableStore(spark, tempfile.mkdtemp(prefix="zg92_dst_"))
     p = table(spark, sf_dir, "part")
     key = F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key")
     base = p.select(key, F.col("p_retailprice").alias("p:price"))
@@ -935,8 +935,8 @@ def st15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             base,
             mode="overwrite",
         )
-    feed_dir = tempfile.mkdtemp(prefix="st15_feed_")
-    ckpt = tempfile.mkdtemp(prefix="st15_ckpt_")
+    feed_dir = tempfile.mkdtemp(prefix="zg92_feed_")
+    ckpt = tempfile.mkdtemp(prefix="zg92_ckpt_")
 
     def ship(snapshot: str) -> None:
         src.read_changes("gate.part_scdc", versus=snapshot).coalesce(
@@ -953,7 +953,7 @@ def st15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     # cycle 1: one MERGE delta (updates + brand-new keys)
-    src.snapshot("gate.part_scdc", "st15_s1")
+    src.snapshot("gate.part_scdc", "zg92_s1")
     src.upsert(
         "gate.part_scdc",
         p.filter("p_partkey % 45 = 0").select(
@@ -966,13 +966,13 @@ def st15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    ship("st15_s1")
+    ship("zg92_s1")
     # cycle 2: a DELETE delta against a fresh durable base
-    src.snapshot("gate.part_scdc", "st15_s2")
+    src.snapshot("gate.part_scdc", "zg92_s2")
     src.delete_where(
         "gate.part_scdc", "CAST(row_key AS BIGINT) % 37 = 0"
     )
-    ship("st15_s2")
+    ship("zg92_s2")
     src_df = src.read("gate.part_scdc")
     dst_df = dst.read("gate.part_scdc")
     assert dst_df.exceptAll(src_df).isEmpty() and \
@@ -981,7 +981,7 @@ def st15_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# zg29 — streaming VERSIONED cell replication (st15 composed with k27's
+# zg29 — streaming VERSIONED cell replication (zg92 composed with k27's
 # cell semantics; z-tier this round for sf001-lane evidence ahead of a
 # window promotion): cell-granularity changefeed deltas — new-version
 # appends, then VERSIONS=2 retention GC shipped as exact-cell deletes —
@@ -1085,7 +1085,7 @@ def st16_stream_cdc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# zg39 — streaming SQ8 index maintenance (round-11 second batch;
+# st17 — streaming SQ8 index maintenance (round-11 second batch;
 # streaming/pipelines.py::stream_sq8_ingest): the corpus codes table is
 # built batch-side against corpus-trained bounds, then arriving
 # embeddings (vec_id % 7 = 0) stream through foreachBatch encoding
@@ -1095,13 +1095,13 @@ def st16_stream_cdc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/similarity.py::sq8_codes_long_sql).
 # ---------------------------------------------------------------------------
 @register(
-    "zg39_stream_sq8_ingest",
+    "st17_stream_sq8_ingest",
     oracle=None,  # bound below (generator import)
     description="streaming SQ8 quantization ingest: frozen corpus "
     "bounds, foreachBatch encode+append to the persisted codes index, "
     "zero streaming state",
 )
-def zg39_stream_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st17_stream_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from spark_sql_hbase_spark.operators.similarity import (
@@ -1113,7 +1113,7 @@ def zg39_stream_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     is_new = (F.col("vec_id") % 7) == 0
     new, corpus = emb.filter(is_new), emb.filter(~is_new)
-    sink = "__zg39_sq8_codes"
+    sink = "__st17_sq8_codes"
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql(f"DROP TABLE IF EXISTS {sink}")
     shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
@@ -1122,22 +1122,22 @@ def zg39_stream_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq8_codes_long(corpus, bounds, "vec_id", "embedding").write.saveAsTable(sink)
     # streaming side: arrivals encode against the frozen bounds
     stream = _one_batch_stream(spark, new)
-    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_zg39_")
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_st17_")
     q = stream_sq8_ingest(stream, bounds, "vec_id", "embedding", ckpt, sink)
     q.awaitTermination()
     return spark.table(sink)
 
 
-def _bind_zg39_oracle() -> None:
+def _bind_st17_oracle() -> None:
     from spark_sql_hbase_spark.operators.similarity import sq8_codes_long_sql
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zg39_stream_sq8_ingest"].oracle = sq8_codes_long_sql(
+    REGISTRY["st17_stream_sq8_ingest"].oracle = sq8_codes_long_sql(
         "embeddings", "vec_id", "embedding", "vec_id % 7 <> 0", dim=64
     )
 
 
-_bind_zg39_oracle()
+_bind_st17_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1227,14 +1227,14 @@ _bind_zg45_oracle()
 
 
 # ---------------------------------------------------------------------------
-# zg77 (natural promotion: st19) — streaming decontamination: arrivals screened against the FROZEN
+# st19 (natural promotion: st19) — streaming decontamination: arrivals screened against the FROZEN
 # eval n-gram index BEFORE they reach the training corpus — the live
 # twin of zb13 through the shared decontaminate_against_index body
 # (streaming/pipelines.py::stream_decontaminate).  Zero streaming state:
 # contamination is a per-document fact, so per-batch output equals the
 # batch twin over all arrivals.
 # ---------------------------------------------------------------------------
-def _zg77_oracle() -> str:
+def _st19_oracle() -> str:
     from spark_sql_hbase_spark.queries.llm import (
         _DECON_EVAL,
         _DECON_MIN,
@@ -1266,12 +1266,12 @@ def _zg77_oracle() -> str:
 
 
 @register(
-    "zg77_stream_decontam",
+    "st19_stream_decontam",
     oracle=None,  # bound below (needs llm constants)
     description="streaming decontamination: arrivals vs frozen eval "
     "n-gram index (shared batch/stream body, zero streaming state)",
 )
-def zg77_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st19_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from spark_sql_hbase_spark.operators.decontam import eval_shingle_index
@@ -1281,17 +1281,17 @@ def zg77_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     is_eval = (F.col("doc_id") % 29) == 0
     arrivals = docs.filter(((F.col("doc_id") % 7) == 0) & ~is_eval)
-    sink = "__zg77_contaminated"
+    sink = "__st19_contaminated"
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql(f"DROP TABLE IF EXISTS {sink}")
     shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
     # freeze the eval index (bounded: benchmarks are small) — the
-    # zg39/zg45 frozen-model convention
+    # st17/zg45 frozen-model convention
     ev = eval_shingle_index(
         docs.filter(is_eval), "doc_id", "text", _DECON_N
     ).cache()
     stream = _one_batch_stream(spark, arrivals)
-    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_zg77_")
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_st19_")
     q = stream_decontaminate(
         stream, ev, "doc_id", "text", ckpt, sink,
         n=_DECON_N, min_overlap=_DECON_MIN,
@@ -1300,17 +1300,17 @@ def zg77_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-def _bind_zg77_oracle() -> None:
+def _bind_st19_oracle() -> None:
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zg77_stream_decontam"].oracle = _zg77_oracle()
+    REGISTRY["st19_stream_decontam"].oracle = _st19_oracle()
 
 
-_bind_zg77_oracle()
+_bind_st19_oracle()
 
 
 # ---------------------------------------------------------------------------
-# zg79 (natural promotion: st20) — streaming vocabulary-KL monitor: the
+# st20 (natural promotion: st20) — streaming vocabulary-KL monitor: the
 # CONTENT-drift live twin next to the quality-PSI pair (t31/st18) —
 # arrivals bucket against the FROZEN corpus vocabulary and append
 # per-bucket KL terms vs the frozen reference shares
@@ -1319,13 +1319,13 @@ _bind_zg77_oracle()
 # operator).  Zero streaming state; ≤ V+1 rows per batch.
 # ---------------------------------------------------------------------------
 @register(
-    "zg79_stream_vocab_kl",
+    "st20_stream_vocab_kl",
     oracle=None,  # bound below (generator import)
     description="streaming vocabulary-KL drift monitor: frozen top-V "
     "vocabulary + dense reference shares, per-batch KL-term fold, zero "
     "streaming state",
 )
-def zg79_stream_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st20_stream_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from spark_sql_hbase_spark.operators.text import vocab_model
@@ -1334,7 +1334,7 @@ def zg79_stream_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     is_delta = (F.col("doc_id") % 11) == 0
     delta, corpus = docs.filter(is_delta), docs.filter(~is_delta)
-    sink = "__zg79_kl_terms"
+    sink = "__st20_kl_terms"
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql(f"DROP TABLE IF EXISTS {sink}")
     shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
@@ -1343,17 +1343,17 @@ def zg79_stream_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = vocab.cache()
     q = q.cache()
     stream = _one_batch_stream(spark, delta)
-    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_zg79_")
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_st20_")
     query = stream_vocab_kl(stream, vocab, q, "text", ckpt, sink, top_v=100)
     query.awaitTermination()
     return spark.table(sink)
 
 
-def _bind_zg79_oracle() -> None:
+def _bind_st20_oracle() -> None:
     from spark_sql_hbase_spark.operators.text import vocab_kl_terms_sql
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zg79_stream_vocab_kl"].oracle = vocab_kl_terms_sql(
+    REGISTRY["st20_stream_vocab_kl"].oracle = vocab_kl_terms_sql(
         "documents",
         corpus_pred="doc_id % 11 <> 0",
         arrivals_pred="doc_id % 11 = 0",
@@ -1362,22 +1362,22 @@ def _bind_zg79_oracle() -> None:
     )
 
 
-_bind_zg79_oracle()
+_bind_st20_oracle()
 
 
 # ---------------------------------------------------------------------------
-# zg83 (natural promotion: st21) — streaming multimodal metadata ingest:
+# st21 (natural promotion: st21) — streaming multimodal metadata ingest:
 # arriving binary payloads run the Arrow-batched extraction per
 # micro-batch (streaming/pipelines.py::stream_media_metadata); zero
 # streaming state, per-batch output equals the batch twin (zb06).
 # ---------------------------------------------------------------------------
 @register(
-    "zg83_stream_media_metadata",
+    "st21_stream_media_metadata",
     oracle=None,  # bound below (generator import)
     description="streaming multimodal ingest: per-batch Arrow metadata "
     "extraction over binary payloads, zero streaming state",
 )
-def zg83_stream_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st21_stream_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from spark_sql_hbase_spark.streaming.pipelines import stream_media_metadata
@@ -1386,26 +1386,26 @@ def zg83_stream_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrivals = docs.filter((F.col("doc_id") % 9) == 0).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    sink = "__zg83_media_meta"
+    sink = "__st21_media_meta"
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql(f"DROP TABLE IF EXISTS {sink}")
     shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
     stream = _one_batch_stream(spark, arrivals)
-    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_zg83_")
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_st21_")
     q = stream_media_metadata(stream, "doc_id", "payload", ckpt, sink)
     q.awaitTermination()
     return spark.table(sink)
 
 
-def _bind_zg83_oracle() -> None:
+def _bind_st21_oracle() -> None:
     from spark_sql_hbase_spark.operators.multimodal import (
         media_metadata_oracle_sql,
     )
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zg83_stream_media_metadata"].oracle = media_metadata_oracle_sql(
+    REGISTRY["st21_stream_media_metadata"].oracle = media_metadata_oracle_sql(
         "(SELECT * FROM documents WHERE doc_id % 9 = 0)"
     )
 
 
-_bind_zg83_oracle()
+_bind_st21_oracle()

@@ -780,7 +780,7 @@ def stream_psi_monitor(
     ``bounds``: one row ``(_bs: array<double>)`` of n_buckets−1
     boundaries; ``ref_shares``: ``(bucket, q)`` smoothed corpus shares —
     both computed batch-side from the reference snapshot and frozen, the
-    zg39 frozen-model convention (a drifted reference is a re-baseline
+    st17 frozen-model convention (a drifted reference is a re-baseline
     event, not something the stream mutates).
 
     Scale/state: ZERO streaming state — each batch folds to n_buckets

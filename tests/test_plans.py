@@ -659,7 +659,7 @@ def test_z62_temperature_mix_single_scan_windows_above_agg(spark, registry):
     stream-cardinality AGGREGATE — the corpus aggregate sits below every
     Window in execution order, so the single-partition exchange carries
     a handful of stream rows, never documents."""
-    df = registry["t22_temperature_mix"].fn(spark, SF)
+    df = registry["zg94_temperature_mix"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") == 1, plan
     fplan = formatted_plan(df)
@@ -801,7 +801,7 @@ def test_z75_pmi_consumers_hit_cache(spark, registry):
     its four consumers (min_count filter branch, left marginal, right
     marginal, scalar total) must read it from cache so the corpus is
     tokenized once (t13's cache discipline)."""
-    df = registry["t25_pmi_collocations"].fn(spark, SF)
+    df = registry["zg95_pmi_collocations"].fn(spark, SF)
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") >= 4, plan[:2000]
@@ -812,7 +812,7 @@ def test_z75_pmi_consumers_hit_cache(spark, registry):
 def test_z75_pmi_topk_is_take_ordered(spark, registry):
     """The final ranking must be TakeOrderedAndProject (partial top-k per
     partition), never a global sort of the collocation table."""
-    plan = formatted_plan(registry["t25_pmi_collocations"].fn(spark, SF))
+    plan = formatted_plan(registry["zg95_pmi_collocations"].fn(spark, SF))
     try:
         assert "TakeOrderedAndProject" in plan, plan[:1200]
     finally:
@@ -1031,9 +1031,9 @@ def test_r11_sq8_ann_is_broadcast_only(spark, registry):
 
 
 def test_r11_outliers_is_broadcast_only(spark, registry):
-    """zg36: both stat joins ride one-row broadcasts; vectors never
+    """s14: both stat joins ride one-row broadcasts; vectors never
     shuffle."""
-    plan = formatted_plan(registry["zg36_embedding_outliers"].fn(spark, SF))
+    plan = formatted_plan(registry["s14_embedding_outliers"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     for shuffled in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert shuffled not in plan, shuffled
@@ -1134,30 +1134,30 @@ def test_r11_quality_psi_no_corpus_sort_or_udf(spark, registry):
 
 
 def test_r12_q21_structure_decorrelates_to_joins(spark, registry):
-    """zg72: the correlated EXISTS / NOT EXISTS pair must decorrelate to
+    """q40: the correlated EXISTS / NOT EXISTS pair must decorrelate to
     semi/anti hash joins — a per-row subquery re-execution (cartesian or
     nested-loop against lineitem) would be quadratic in the fact table."""
-    plan = formatted_plan(registry["zg72_waiting_suppliers"].fn(spark, SF))
+    plan = formatted_plan(registry["q40_waiting_suppliers"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert re.search(r"Join LeftSemi|LeftSemi", plan), plan[:1500]
     assert re.search(r"LeftAnti", plan), plan[:1500]
 
 
 def test_r12_q20_structure_decorrelates_scalar_aggs(spark, registry):
-    """zg73: the two correlated scalar aggregates in HAVING must
+    """q41: the two correlated scalar aggregates in HAVING must
     decorrelate into grouped joins on l_partkey — never a per-group
     re-scan (no cartesian, no nested-loop against lineitem)."""
-    plan = formatted_plan(registry["zg73_dominant_part_suppliers"].fn(spark, SF))
+    plan = formatted_plan(registry["q41_dominant_part_suppliers"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
 
 
 def test_r12_vocab_kl_bounded_shuffle_no_udf(spark, registry):
-    """zg74: the vocabulary rides a broadcast (bucket mapping before the
+    """t33: the vocabulary rides a broadcast (bucket mapping before the
     stream aggregate — the corpus vocabulary never rides a per-stream
     shuffle); no corpus sort, no Python in the plan."""
-    plan = formatted_plan(registry["zg74_vocab_kl_drift"].fn(spark, SF))
+    plan = formatted_plan(registry["t33_vocab_kl_drift"].fn(spark, SF))
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
@@ -1165,18 +1165,18 @@ def test_r12_vocab_kl_bounded_shuffle_no_udf(spark, registry):
 
 
 def test_r12_epoch_shuffle_is_per_shard_windows(spark, registry):
-    """zg75: pos is windowed PER SHARD — the plan must exchange by
+    """p10: pos is windowed PER SHARD — the plan must exchange by
     hash(shard_id) and never contain a single-partition or range
     exchange (a global rank would be the shard_plan r11 weakness
     reintroduced)."""
-    plan = formatted_plan(registry["zg75_epoch_shuffle_plan"].fn(spark, SF))
+    plan = formatted_plan(registry["p10_epoch_shuffle_plan"].fn(spark, SF))
     assert "SinglePartition" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert re.search(r"hashpartitioning\(shard_id", plan), plan[:1500]
 
 
 def test_r12_scan_page_pushes_cursor_and_takeordered(spark, tmp_path):
-    """scan_page (zg76): the key cursor must push into the parquet scan
+    """scan_page (k31): the key cursor must push into the parquet scan
     (GreaterThan on row_key) and the sort+limit must plan as a
     TakeOrdered top-k — never a global table sort; deep pages cost the
     same as page one."""
@@ -1195,10 +1195,10 @@ def test_r12_scan_page_pushes_cursor_and_takeordered(spark, tmp_path):
 
 
 def test_r12_q2_structure_decorrelates_min_to_grouped_join(spark, registry):
-    """zg82: the correlated scalar MIN must decorrelate into a grouped
+    """q43: the correlated scalar MIN must decorrelate into a grouped
     aggregate joined on l_partkey — never a per-row re-scan of lineitem
     (no cartesian, no nested loop against the fact table)."""
-    plan = formatted_plan(registry["zg82_cheapest_supplier"].fn(spark, SF))
+    plan = formatted_plan(registry["q43_cheapest_supplier"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)

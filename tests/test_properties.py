@@ -1771,7 +1771,7 @@ def test_leakage_free_split_has_zero_crossing_pairs(spark, sf_dir):
     Q = load_all()
     split = {
         r["doc_id"]: r["split"]
-        for r in Q["p07_leakage_free_split"].fn(spark, sf_dir).collect()
+        for r in Q["zg97_leakage_free_split"].fn(spark, sf_dir).collect()
     }
     docs = table(spark, sf_dir, "documents")
     # the SAME pair law z98 repairs (not a hardcoded twin that can drift)

@@ -631,7 +631,7 @@ def test_sql_truncate_table_keeps_schema_and_indexes_fresh(spark, tmp_path):
 def test_similarity_join_sql_sq8_method_matches_operator(spark, tmp_path):
     """SIMILARITY JOIN ... METHOD SQ8 DIM n must be exactly the
     sq8_ann_topk operator (the router rewrite adds no semantics of its
-    own); the BRUTE tier is oracle-gated (zg71)."""
+    own); the BRUTE tier is oracle-gated (s18)."""
     from pyspark.sql import functions as F
 
     from spark_sql_hbase_spark.operators.similarity import sq8_ann_topk
