@@ -589,10 +589,10 @@ def zb10_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S04_K = 4
 _S04_NPROBE = 2
 
-
-@register(
-    "zb11_ann_multiprobe",
-    oracle=f"""
+# shared by zb11 (the operator gate) and zg99 (the SIMILARITY JOIN
+# METHOD IVF MODEL router gate): the router rewrite must add no
+# semantics of its own, so both hash against the SAME oracle
+_S04_ORACLE = f"""
     WITH c AS (
         SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
         FROM embeddings WHERE vec_id < {_S04_K}
@@ -634,7 +634,12 @@ _S04_NPROBE = 2
             PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
         ) AS rn FROM scored
     ) WHERE rn <= 5
-    """,
+    """
+
+
+@register(
+    "zb11_ann_multiprobe",
+    oracle=_S04_ORACLE,
     description="multi-probe IVF ANN (nprobe=2): probe explode on the "
     "broadcast query side only; corpus assigned once via literal centroids",
 )
@@ -4295,3 +4300,44 @@ def _bind_s17_oracle() -> None:
 
 
 _bind_s17_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zg99 — SIMILARITY JOIN METHOD IVF MODEL (r12 VERDICT item 4): the
+# router resolves a REGISTERED centroid relation (cell, cv) through the
+# same _resolve seam as the corpus and rewrites to assign_cells +
+# multiprobe_ann_topk — no model DDL invented.  The model here is the
+# SAME literal-centroid quantizer zb11 uses (embeddings vec_id < 4), so
+# the gate hashes against zb11's exact oracle: the SQL surface must add
+# no semantics of its own.  Malformed forms (IVF without MODEL, MODEL
+# on BRUTE/SQ8, a model lacking (cell, cv)) refuse with the grammar —
+# pinned in tests/test_session.py.
+# ---------------------------------------------------------------------------
+@register(
+    "zg99_similarity_join_ivf",
+    oracle=_S04_ORACLE,
+    description="SIMILARITY JOIN METHOD IVF MODEL <table> PROBES 2: "
+    "model-backed cell-pruned ANN through the SQL router (same oracle "
+    "as the zb11 operator gate)",
+)
+def zg99_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spark_sql_hbase_spark.operators.similarity import _to_double
+    from spark_sql_hbase_spark.session import EngineSession
+
+    emb = table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("__zg99_emb")
+    emb.filter(F.col("vec_id") < _S04_K).select(
+        F.col("vec_id").alias("cell"),
+        _to_double(F.col("embedding")).alias("cv"),
+    ).createOrReplaceTempView("__zg99_model")
+    sess = EngineSession(
+        spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="simjoin_ivf_wh_")
+    )
+    return sess.sql(
+        "SIMILARITY JOIN __zg99_emb "
+        "WITH (SELECT * FROM __zg99_emb WHERE vec_id < 8) "
+        "ON embedding BY vec_id TOP 5 "
+        f"METHOD IVF MODEL __zg99_model PROBES {_S04_NPROBE}"
+    )

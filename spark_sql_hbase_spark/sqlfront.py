@@ -125,6 +125,8 @@ _SIMJOIN_RE = re.compile(
     rf"on\s+(?P<vec>`[^`]+`|[\w:]+)\s+by\s+(?P<id>`[^`]+`|[\w:]+)\s+"
     rf"top\s+(?P<k>\d+)"
     rf"(?:\s+method\s+(?P<method>[A-Za-z0-9_]+))?"
+    rf"(?:\s+model\s+(?P<model>\(.*\)|{_QUALIFIED}))?"
+    rf"(?:\s+probes\s+(?P<probes>\d+))?"
     rf"(?:\s+dim\s+(?P<dim>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -733,23 +735,32 @@ class KeyedSqlRouter:
 
             SIMILARITY JOIN <corpus> WITH <queries | (subquery)>
                 ON <vec_col> BY <id_col> TOP <k>
-                [METHOD BRUTE|SQ8] [DIM <n>]
+                [METHOD BRUTE|SQ8|IVF] [MODEL <table | (subquery)>]
+                [PROBES <n>] [DIM <n>]
 
         METHOD BRUTE (default) is :func:`~spark_sql_hbase_spark.
         operators.similarity.cosine_topk` — exact cosine, returns
         ``(query_id, neighbor_id, cos, rank)``.  METHOD SQ8 is
         :func:`~...similarity.sq8_ann_topk` — the 1-byte-code
         bandwidth tier, returns ``(query_id, neighbor_id, score,
-        rank)``; DIM skips its dimension-inference scan.  Methods that
-        require a trained model relation (IVF centroids, PQ codebooks)
-        stay DataFrame-API-only: a model is not expressible as a SQL
-        literal clause without inventing model DDL.
+        rank)``; DIM skips its dimension-inference scan.  METHOD IVF
+        (r12 VERDICT item 4) is cell-pruned multi-probe search
+        (:func:`~...similarity.assign_cells` +
+        :func:`~...similarity.multiprobe_ann_topk`): MODEL names a
+        REGISTERED centroid relation — a table/view with columns
+        ``(cell, cv)``, e.g. one persisted by
+        :func:`~...similarity.persist_ivfpq_model` — resolved through
+        the same :meth:`_resolve` seam as the corpus (no model DDL
+        invented); PROBES sets nprobe (default 2).  The model rides a
+        broadcast; cell assignment is row-local; the probed pairs
+        multiply only the query side — the pinned IVF cost law.
 
-        Both table references resolve through :meth:`_resolve`, so
-        keyed tables work in BOTH storage modes; plain temp views and
-        catalog tables pass straight through.  The plan is whatever
-        the operator builds — broadcast query side, corpus-scan cost
-        law, shuffle-free top-k window (the pinned ANN shapes)."""
+        All three table references resolve through :meth:`_resolve`,
+        so keyed tables work in BOTH storage modes; plain temp views
+        and catalog tables pass straight through.  The plan is
+        whatever the operator builds — broadcast query side,
+        corpus-scan cost law, shuffle-free top-k window (the pinned
+        ANN shapes)."""
         from spark_sql_hbase_spark.operators import similarity
 
         def rel(ref: str) -> DataFrame:
@@ -765,15 +776,54 @@ class KeyedSqlRouter:
         k = int(m.group("k"))
         method = (m.group("method") or "brute").lower()
         dim = int(m.group("dim")) if m.group("dim") else None
+        model_ref = m.group("model")
+        probes = m.group("probes")
+        if method != "ivf":
+            if model_ref or probes:
+                raise ValueError(
+                    f"SIMILARITY JOIN method {method.upper()} takes no "
+                    "MODEL/PROBES clause — those belong to METHOD IVF "
+                    "MODEL <centroids> [PROBES <n>]"
+                )
         if method == "brute":
             return similarity.cosine_topk(corpus, queries, id_col, vec_col, k)
         if method == "sq8":
             return similarity.sq8_ann_topk(
                 corpus, queries, id_col, vec_col, k, dim=dim
             )
+        if method == "ivf":
+            if not model_ref:
+                raise ValueError(
+                    "SIMILARITY JOIN METHOD IVF needs MODEL "
+                    "<centroid table | (subquery)> — a relation with "
+                    "columns (cell, cv)"
+                )
+            model = rel(model_ref)
+            missing = {"cell", "cv"} - set(model.columns)
+            if missing:
+                raise ValueError(
+                    f"SIMILARITY JOIN IVF model {model_ref.strip()!r} lacks "
+                    f"column(s) {sorted(missing)}: a centroid relation "
+                    "exposes (cell, cv)"
+                )
+            cent = model.select("cell", "cv")
+            with_cells = similarity.assign_cells(
+                corpus, cent, id_col, vec_col, "cell"
+            )
+            return similarity.multiprobe_ann_topk(
+                with_cells,
+                queries,
+                cent,
+                id_col,
+                vec_col,
+                "cell",
+                k=k,
+                nprobe=int(probes) if probes else 2,
+            )
         raise ValueError(
             f"unknown SIMILARITY JOIN method {method!r}; supported: "
-            "BRUTE (exact cosine), SQ8 (scalar-quantized)"
+            "BRUTE (exact cosine), SQ8 (scalar-quantized), "
+            "IVF (cell-pruned; MODEL <centroids> [PROBES <n>])"
         )
 
     # -- dispatch ---------------------------------------------------------
@@ -892,7 +942,8 @@ class KeyedSqlRouter:
             raise ValueError(
                 "unsupported SIMILARITY JOIN form; use SIMILARITY JOIN "
                 "<corpus> WITH <queries|(subquery)> ON <vec_col> BY "
-                "<id_col> TOP <k> [METHOD BRUTE|SQ8] [DIM <n>]"
+                "<id_col> TOP <k> [METHOD BRUTE|SQ8|IVF] "
+                "[MODEL <table|(subquery)>] [PROBES <n>] [DIM <n>]"
             )
 
         m = _CREATE_INDEX_RE.match(stmt)

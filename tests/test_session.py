@@ -671,5 +671,82 @@ def test_similarity_join_sql_refuses_bad_forms(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown SIMILARITY JOIN method"):
         sess.sql(
             "SIMILARITY JOIN __sj_emb2 WITH __sj_emb2 "
+            "ON embedding BY vec_id TOP 5 METHOD FLANN"
+        )
+    # r13: IVF is now a known method, but each malformed form refuses
+    # with its own clause of the grammar
+    with _pytest.raises(ValueError, match="METHOD IVF needs MODEL"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_emb2 WITH __sj_emb2 "
             "ON embedding BY vec_id TOP 5 METHOD IVF"
         )
+    with _pytest.raises(ValueError, match="takes no MODEL/PROBES"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_emb2 WITH __sj_emb2 "
+            "ON embedding BY vec_id TOP 5 METHOD BRUTE MODEL __sj_emb2"
+        )
+    with _pytest.raises(ValueError, match="takes no MODEL/PROBES"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_emb2 WITH __sj_emb2 "
+            "ON embedding BY vec_id TOP 5 METHOD SQ8 PROBES 2 DIM 64"
+        )
+    # a model relation without (cell, cv) columns refuses by name
+    with _pytest.raises(ValueError, match=r"lacks column\(s\) \['cell', 'cv'\]"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_emb2 WITH __sj_emb2 "
+            "ON embedding BY vec_id TOP 5 METHOD IVF MODEL __sj_emb2"
+        )
+
+
+def test_similarity_join_sql_ivf_model_matches_operator(spark, tmp_path):
+    """r12 VERDICT item 4: SIMILARITY JOIN ... METHOD IVF MODEL <view>
+    PROBES n must be exactly assign_cells + multiprobe_ann_topk given
+    the same centroid relation (the router adds no semantics of its
+    own); the end-to-end result is also oracle-gated (zg99, same oracle
+    as the zb11 operator gate).  A (subquery) MODEL resolves too."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        assign_cells,
+        multiprobe_ann_topk,
+    )
+    from spark_sql_hbase_spark.queries import table
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    emb.createOrReplaceTempView("__sj_ivf_emb")
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"),
+        _to_double(F.col("embedding")).alias("cv"),
+    )
+    cent.createOrReplaceTempView("__sj_ivf_model")
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    got = sess.sql(
+        "SIMILARITY JOIN __sj_ivf_emb "
+        "WITH (SELECT * FROM __sj_ivf_emb WHERE vec_id < 6) "
+        "ON embedding BY vec_id TOP 4 METHOD IVF MODEL __sj_ivf_model "
+        "PROBES 2"
+    )
+    want = multiprobe_ann_topk(
+        assign_cells(emb, cent, "vec_id", "embedding", "cell"),
+        emb.filter(F.col("vec_id") < 6),
+        cent,
+        "vec_id",
+        "embedding",
+        "cell",
+        k=4,
+        nprobe=2,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # MODEL as an inline subquery resolves through the same seam
+    got_sub = sess.sql(
+        "SIMILARITY JOIN __sj_ivf_emb "
+        "WITH (SELECT * FROM __sj_ivf_emb WHERE vec_id < 6) "
+        "ON embedding BY vec_id TOP 4 "
+        "METHOD IVF MODEL (SELECT * FROM __sj_ivf_model) PROBES 2"
+    )
+    assert sorted(map(tuple, got_sub.collect())) == sorted(
+        map(tuple, want.collect())
+    )
