@@ -2170,3 +2170,62 @@ def k32_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = store.fast_count("gate.orders_cnt")
     return spark.createDataFrame([(n,)], "n bigint")
+
+
+# ---------------------------------------------------------------------------
+# zh00 — cell-safe scanner paging over a VERSIONED table (r12 VERDICT
+# item 5, flipping the r12 refusal): pages are the next page_size KEYS
+# with ALL their version cells (pages close at key boundaries — HBase's
+# setAllowPartialResults(false) row-integrity default), found via one
+# bounded TakeOrdered over the distinct keys past the cursor; both key
+# bounds push into the parquet scan, so a page costs O(page) not
+# O(table).  The gate walks a versioned orders-by-customer table (~10
+# cells per key) to exhaustion; the oracle is the full cell set — an
+# exhaustive walk with no duplicate and no dropped cell.
+# ---------------------------------------------------------------------------
+@register(
+    "zh00_versioned_scan_paging",
+    oracle="""
+    SELECT lpad(CAST(o_custkey AS VARCHAR), 10, '0') AS row_key,
+           CAST(o_orderkey AS BIGINT) AS ver,
+           o_totalprice AS price
+    FROM orders
+    """,
+    description="cell-safe key-cursor paging over a VERSIONED keyed "
+    "table: page_size KEYS per page with all their cells, exhaustive "
+    "walk reconstructs every version cell exactly once",
+)
+def zh00_versioned_scan_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    store = _store(spark)
+    o = table(spark, sf_dir, "orders")
+    spec = TableSpec(
+        namespace="gate",
+        name="ord_vpages",
+        key_type="string",
+        families={"o": {"ver": "long", "price": "double"}},
+        properties={"VERSIONS": "1000000", "version_column": "o:ver"},
+    )
+    store.create_table(spec)
+    store.insert(
+        "gate.ord_vpages",
+        o.select(
+            F.lpad(F.col("o_custkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("o_orderkey").cast("long").alias("o:ver"),
+            F.col("o_totalprice").alias("o:price"),
+        ),
+        generate_row_key=False,
+    )
+    rows, cursor = [], None
+    while True:
+        page = store.scan_page(
+            "gate.ord_vpages", 256, after_key=cursor
+        ).collect()
+        if not page:
+            break
+        cursor = max(r["row_key"] for r in page)
+        rows.extend((r["row_key"], r["o:ver"], r["o:price"]) for r in page)
+    return spark.createDataFrame(
+        rows, "row_key string, ver long, price double"
+    )

@@ -1280,28 +1280,43 @@ class KeyedTableStore:
         A4 fast path) and the sort+limit plans as a TakeOrdered top-k,
         never a global table sort (pinned in ``tests/test_plans.py``).
 
-        The cursor is the ROW KEY, so the walk is only exhaustive when
-        keys are unique — the one-live-row-per-key contract of an
-        unversioned keyed table.  VERSIONED tables refuse loudly: a
-        page boundary splitting one key's version cells would silently
-        drop the cells past the boundary (``row_key > cursor`` skips
-        them), and which cells land before the boundary is tie-order
-        nondeterministic."""
+        The cursor is the ROW KEY.  On an unversioned table (one live
+        row per key) a page is the next ``page_size`` ROWS.  On a
+        VERSIONED table a page is the next ``page_size`` KEYS with ALL
+        their version cells — pages close at KEY boundaries (r12
+        VERDICT item 5), because a row-count boundary inside one key
+        would silently drop its remaining cells (``row_key > cursor``
+        skips them) and which cells land before the boundary is
+        tie-order nondeterministic.  HBase parity: a scanner's
+        ``setAllowPartialResults(false)`` default — rows are never
+        split across RPC results.
+
+        Versioned plan shape: one bounded TakeOrdered over the DISTINCT
+        keys past the cursor finds the page's closing key (a single
+        driver-side boundary value — the same driver-paced discipline
+        as the cursor itself), then the page reads with BOTH key bounds
+        pushed into the parquet scan; cost per page is O(page), never
+        O(table)."""
         if page_size <= 0:
             raise ValueError(f"page_size must be positive, got {page_size}")
         spec = self.registry.get(qualified_name)
-        if self._table_prop(spec, "versions") is not None:
-            raise ValueError(
-                f"{qualified_name}: scan_page cursors on row_key and a "
-                "VERSIONED table has many cells per key — a page "
-                "boundary inside one key would silently drop its "
-                "remaining version cells. Read versions with "
-                "read_versions_asof / scan ranges instead."
-            )
         df = self.read(qualified_name)
         if after_key is not None:
             df = df.filter(F.col(ROW_KEY) > after_key)
-        return df.orderBy(ROW_KEY).limit(int(page_size))
+        if self._table_prop(spec, "versions") is None:
+            return df.orderBy(ROW_KEY).limit(int(page_size))
+        # versioned: close the page at the page_size-th distinct key
+        boundary = (
+            df.select(ROW_KEY)
+            .distinct()
+            .orderBy(ROW_KEY)
+            .limit(int(page_size))
+            .agg(F.max(ROW_KEY).alias("b"))
+            .first()["b"]
+        )
+        if boundary is None:  # walk exhausted — empty page ends it
+            return df.filter(F.lit(False))
+        return df.filter(F.col(ROW_KEY) <= boundary).orderBy(ROW_KEY)
 
     def get(self, qualified_name: str, keys: list[str]) -> DataFrame:
         """HBase multi-``Get`` parity: the rows for an explicit key

@@ -1194,6 +1194,35 @@ def test_r12_scan_page_pushes_cursor_and_takeordered(spark, tmp_path):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_r13_versioned_scan_page_pushes_both_bounds(spark, tmp_path):
+    """Versioned scan_page (zh00): the returned page reads with BOTH
+    key bounds pushed into the parquet scan (cursor exclusive, page
+    boundary inclusive) — a deep page scans only its key range, never
+    the table."""
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="pg", name="verp", key_type="string",
+        families={"cf": {"v": "long", "ts": "long"}},
+        properties={"versions": "9", "version_column": "cf:ts"},
+    )
+    store.create_table(spec)
+    store.insert(
+        "pg.verp",
+        spark.createDataFrame(
+            [(f"k{i:03d}", i, v) for i in range(10) for v in (1, 2)],
+            "row_key string, `cf:v` long, `cf:ts` long",
+        ),
+        generate_row_key=False,
+    )
+    df = store.scan_page("pg.verp", 3, after_key="k002")
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThan(row_key,k002)" in pushed, pushed
+    assert "LessThanOrEqual(row_key,k005)" in pushed, pushed
+
+
 def test_r12_q2_structure_decorrelates_min_to_grouped_join(spark, registry):
     """q43: the correlated scalar MIN must decorrelate into a grouped
     aggregate joined on l_partkey — never a per-row re-scan of lineitem
