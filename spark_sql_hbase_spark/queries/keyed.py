@@ -2229,3 +2229,46 @@ def zh00_versioned_scan_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "row_key string, ver long, price double"
     )
+
+
+# ---------------------------------------------------------------------------
+# zh01 — bare COUNT(*) through the SQL surface (r12 VERDICT stretch):
+# KeyedSqlRouter routes SELECT COUNT(*) [AS a] FROM <keyed> with no
+# WHERE/GROUP/extra columns to KeyedTableStore.fast_count — the
+# stats-from-metadata discipline of the reference's getTableStats
+# (client/HBaseClientImpl.scala:298, stats without a scan).  The result
+# plans as ONE LocalTableScan (zero scan jobs — pinned in
+# tests/test_session.py); any filtered/projected form falls through to
+# the ordinary resolved scan.  Oracle: the post-DML live-row count.
+# ---------------------------------------------------------------------------
+@register(
+    "zh01_sql_fast_count",
+    oracle="""
+    SELECT CAST(COUNT(*) - COUNT(*) FILTER (
+               WHERE o_orderkey % 7 = 0) AS BIGINT) AS n
+    FROM orders
+    """,
+    description="SELECT COUNT(*) on a keyed table served from parquet "
+    "footers via the SQL router (zero scan jobs) after live DML",
+)
+def zh01_sql_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    sess = _session(spark)
+    o = table(spark, sf_dir, "orders")
+    spec = TableSpec(
+        namespace="gate",
+        name="orders_sqlcnt",
+        key_type="string",
+        families={"o": {"price": "double"}},
+    )
+    sess.store.ctas(
+        spec,
+        o.select(
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("o_totalprice").alias("o:price"),
+        ),
+        mode="overwrite",
+    )
+    sess.sql("DELETE FROM gate.orders_sqlcnt WHERE CAST(row_key AS BIGINT) % 7 = 0")
+    return sess.sql("SELECT COUNT(*) AS n FROM gate.orders_sqlcnt")

@@ -130,6 +130,15 @@ _SIMJOIN_RE = re.compile(
     rf"(?:\s+dim\s+(?P<dim>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# bare unfiltered count — the ONE select shape served from metadata
+# (any WHERE/GROUP BY/second column/subquery falls through to Spark):
+# SELECT COUNT(*|1) [AS alias] FROM <table>
+_BARE_COUNT_RE = re.compile(
+    rf"^\s*select\s+count\s*\(\s*(?:\*|1)\s*\)\s*"
+    rf"(?:as\s+(?P<alias>`[^`]+`|\w+)\s*)?"
+    rf"from\s+(?P<target>{_QUALIFIED})\s*$",
+    re.IGNORECASE,
+)
 _USING_KEYED_RE = re.compile(r"\busing\s+keyed(?:table)?\b", re.IGNORECASE)
 _OPTIONS_RE = re.compile(r"\boptions\s*\(", re.IGNORECASE)
 _OPTION_KV_RE = re.compile(r"(\w+)\s*=\s*'([^']*)'")
@@ -934,6 +943,29 @@ class KeyedSqlRouter:
                         "WHEN MATCHED THEN UPDATE SET * "
                         "WHEN NOT MATCHED THEN INSERT *"
                     )
+
+        m = _BARE_COUNT_RE.match(stmt)
+        if m:
+            ns, name = _split_qualified(m.group("target"), self.spark)
+            if self._is_keyed(ns, name):
+                # stats-from-metadata discipline (reference
+                # HBaseClientImpl.scala:298 serves table stats without a
+                # scan): the exact row count comes from parquet footers /
+                # span manifests via fast_count — zero Spark jobs, O(files)
+                # driver-side, always current-generation (post-DML) exact.
+                # Any filter, projection, or grouping fails this regex and
+                # falls through to the ordinary resolved scan.
+                n = self.store.fast_count(f"{ns}.{name}")
+                alias = m.group("alias")
+                col = _unquote(alias) if alias else "count(1)"
+                # VALUES resolves to a LocalRelation, so the result is
+                # ONE LocalTableScan — executeCollect returns it without
+                # submitting any Spark job (createDataFrame would plan an
+                # RDD scan, SELECT <literal> a OneRowRelation projection;
+                # both pay a job on collect)
+                return self.spark.sql(
+                    f"VALUES (CAST({int(n)} AS BIGINT))"
+                ).toDF(col)
 
         m = _SIMJOIN_RE.match(stmt)
         if m:

@@ -698,6 +698,58 @@ def test_similarity_join_sql_refuses_bad_forms(spark, tmp_path):
         )
 
 
+def test_sql_bare_count_routes_to_fast_count(spark, tmp_path):
+    """r12 VERDICT stretch: SELECT COUNT(*) on a keyed table with no
+    WHERE routes to the footer count — the result plans as ONE
+    LocalTableScan (no table scan in the plan, zero scan jobs), stays
+    exact across DML, and every filtered/projected/grouped form falls
+    through to the ordinary resolved scan."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.plans.pushdown import formatted_plan
+    from spark_sql_hbase_spark.session import EngineSession
+    from spark_sql_hbase_spark.sources.fixtures import pw_test_df, pw_test_spec
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.store.create_table(pw_test_spec())
+    sess.store.insert(
+        "pw.test", pw_test_df(spark), overwrite=True, generate_row_key=False
+    )
+    expect = sess.store.read("pw.test").count()
+
+    df = sess.sql("SELECT COUNT(*) FROM pw.test")
+    plan = formatted_plan(df)
+    assert "LocalTableScan" in plan, plan
+    assert "Scan parquet" not in plan and "HashAggregate" not in plan, plan
+    assert df.columns == ["count(1)"]  # Spark's own COUNT(*) column name
+    assert df.collect()[0][0] == expect
+
+    # stays exact after DML, alias + COUNT(1) forms route too
+    sess.sql("DELETE FROM pw.test WHERE row_key = '0042'")
+    got = sess.sql("SELECT COUNT(1) AS n FROM pw.test")
+    assert got.columns == ["n"]
+    assert "LocalTableScan" in formatted_plan(got)
+    assert got.collect()[0][0] == expect - 1
+
+    # any filter/projection/grouping falls through to the real scan
+    filtered = sess.sql(
+        "SELECT COUNT(*) FROM pw.test WHERE row_key > '0042'"
+    )
+    assert "LocalTableScan" not in formatted_plan(filtered)
+    assert filtered.collect()[0][0] == sess.store.read("pw.test").filter(
+        F.col("row_key") > "0042"
+    ).count()
+    two_cols = sess.sql("SELECT COUNT(*), 1 FROM pw.test")
+    assert "LocalTableScan" not in formatted_plan(two_cols) or len(
+        two_cols.columns
+    ) == 2  # not the fast path's single-column shape
+    # a non-keyed view is untouched by the router
+    pw_test_df(spark).createOrReplaceTempView("__plain_cnt")
+    plain = sess.sql("SELECT COUNT(*) FROM __plain_cnt")
+    assert "LocalTableScan" not in formatted_plan(plain)
+    assert plain.collect()[0][0] == expect
+
+
 def test_similarity_join_sql_ivf_model_matches_operator(spark, tmp_path):
     """r12 VERDICT item 4: SIMILARITY JOIN ... METHOD IVF MODEL <view>
     PROBES n must be exactly assign_cells + multiprobe_ann_topk given
