@@ -15,9 +15,18 @@ per (session, operator key): re-entering the operator in the SAME
 SparkSession unpersists the previous invocation's cache before
 registering the new one, while a second concurrent SparkSession keys
 separately and cannot unpersist a relation out from under the first
-(r12 VERDICT watch item).  Entries whose SparkContext has stopped are
-swept on every call, so a replaced session's DataFrames are dropped
-rather than pinned alive indefinitely.
+(r12 VERDICT watch item).  The unpersist MUST happen before the
+``.cache()`` call: CacheManager matches by plan equivalence, so on the
+normal re-entry (same operator over the same inputs) caching first
+would make ``cache()`` a no-op against the old entry and the
+unpersist-after would drop the SHARED entry — leaving the new result
+silently uncached and every consumer re-running the corpus pass.
+
+Entries whose SparkContext has stopped are swept when a call first
+observes a NEW applicationId (one JVM hosts one context at a time, so
+that is exactly when previous-session entries become dead), so a
+replaced session's DataFrames are dropped rather than pinned alive
+indefinitely — without paying a per-call py4j probe per entry.
 
 Safe because every relation cached this way is DETERMINISTIC (no
 sampling, no ``spark_partition_id``) — a not-yet-consumed DataFrame
@@ -44,6 +53,7 @@ from pyspark.sql import DataFrame
 
 _MANAGED: dict[tuple[str, str], DataFrame] = {}
 _LOCK = threading.Lock()
+_LAST_APP: str | None = None
 
 
 def _app_id(df: DataFrame) -> str:
@@ -63,20 +73,25 @@ def _unpersist_quietly(df: DataFrame) -> None:
 
 def managed_cache(df: DataFrame, key: str) -> DataFrame:
     """Cache ``df`` under (its session, ``key``), unpersisting the same
-    session's previous holder and sweeping dead-session entries."""
+    session's previous holder FIRST (plan-equivalent re-entries must
+    re-register, see module docstring) and sweeping dead-session
+    entries when the session changes."""
+    global _LAST_APP
     app = _app_id(df)
     with _LOCK:
         prev = _MANAGED.pop((app, key), None)
-        # sweep entries whose SparkContext has stopped: their caches are
-        # gone with the context, keeping them only pins driver memory
-        dead = [k for k in _MANAGED if _app_id(_MANAGED[k]) != k[0]]
-        stale = [_MANAGED.pop(k) for k in dead]
+        if prev is not None:
+            _unpersist_quietly(prev)
+        if app != _LAST_APP:
+            # first call under a new session: sweep entries whose own
+            # context has stopped (their caches died with it; keeping
+            # them only pins driver memory)
+            dead = [k for k in _MANAGED if _app_id(_MANAGED[k]) != k[0]]
+            for k in dead:
+                _unpersist_quietly(_MANAGED.pop(k))
+            _LAST_APP = app
         out = df.cache()
         _MANAGED[(app, key)] = out
-    if prev is not None:
-        _unpersist_quietly(prev)
-    for s in stale:
-        _unpersist_quietly(s)
     return out
 
 

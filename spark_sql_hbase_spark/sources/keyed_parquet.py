@@ -1291,12 +1291,16 @@ class KeyedTableStore:
         ``setAllowPartialResults(false)`` default — rows are never
         split across RPC results.
 
-        Versioned plan shape: one bounded TakeOrdered over the DISTINCT
-        keys past the cursor finds the page's closing key (a single
-        driver-side boundary value — the same driver-paced discipline
-        as the cursor itself), then the page reads with BOTH key bounds
-        pushed into the parquet scan; cost per page is O(page), never
-        O(table)."""
+        Versioned plan shape: the page-closing key comes from a
+        METADATA-PRUNED distinct (see :meth:`_versioned_page_boundary`:
+        span manifests pick the minimal lo-ordered file prefix holding
+        the next ``page_size`` keys, so the boundary scan reads O(page)
+        rows however deep the cursor is — never a table-wide distinct);
+        the page itself reads with BOTH key bounds pushed into the
+        parquet scan.  A page may close EARLY (fewer than ``page_size``
+        keys) at a file-span boundary — pages are never empty before
+        the walk ends and never split a key, so the exhaustive-walk
+        contract is unchanged."""
         if page_size <= 0:
             raise ValueError(f"page_size must be positive, got {page_size}")
         spec = self.registry.get(qualified_name)
@@ -1305,18 +1309,96 @@ class KeyedTableStore:
             df = df.filter(F.col(ROW_KEY) > after_key)
         if self._table_prop(spec, "versions") is None:
             return df.orderBy(ROW_KEY).limit(int(page_size))
-        # versioned: close the page at the page_size-th distinct key
-        boundary = (
-            df.select(ROW_KEY)
-            .distinct()
-            .orderBy(ROW_KEY)
-            .limit(int(page_size))
-            .agg(F.max(ROW_KEY).alias("b"))
-            .first()["b"]
+        boundary = self._versioned_page_boundary(
+            spec, df, int(page_size), after_key
         )
         if boundary is None:  # walk exhausted — empty page ends it
             return df.filter(F.lit(False))
         return df.filter(F.col(ROW_KEY) <= boundary).orderBy(ROW_KEY)
+
+    def _versioned_page_boundary(
+        self, spec: TableSpec, remaining: DataFrame, page_size: int, after_key
+    ):
+        """The versioned page's closing key: the ``page_size``-th
+        distinct row key strictly after ``after_key`` (or the last
+        remaining key; ``None`` when the walk is exhausted).
+
+        Metadata-pruned (r13 review fix — a per-page table-wide
+        distinct would make an exhaustive walk O(pages × remaining)):
+        with exact span stats, files sorted by span ``lo`` past the
+        cursor form a key-ordered sequence — every file straddling the
+        cursor plus the minimal lo-prefix whose cumulative row count
+        reaches ``page_size``, read with keys capped STRICTLY below the
+        first excluded file's ``lo``, holds a COMPLETE prefix of the
+        remaining distinct keys (later files start at or above the cap;
+        earlier files hold nothing past the cursor).  The distinct runs
+        over only those O(page) rows.  The cap may close the page short
+        of ``page_size`` keys — sound, documented in
+        :meth:`scan_page`.  Any candidate without exact span stats, a
+        missing metadata layout, or a cap-emptied window falls back to
+        the full-scan boundary: pruning can be skipped, never wrong."""
+        path = self.table_path(spec)
+        prefix, cap = None, None
+        if self._point_read_metadata_available(path):
+            try:
+                stats: dict = {}
+                cands = self._span_candidates(
+                    path, after_key, None, stats=stats
+                )
+                if all(
+                    stats.get(f) is not None and stats[f][3] for f in cands
+                ):
+                    ordered = sorted(cands, key=lambda f: stats[f][0])
+                    straddlers = [
+                        f
+                        for f in ordered
+                        if after_key is not None
+                        and stats[f][0] <= after_key
+                    ]
+                    rest = [f for f in ordered if f not in straddlers]
+                    prefix, cum = list(straddlers), 0
+                    for i, f in enumerate(rest):
+                        prefix.append(f)
+                        cum += stats[f][2]
+                        if cum >= page_size:
+                            if i + 1 < len(rest):
+                                cap = stats[rest[i + 1]][0]
+                            break
+            except Exception:
+                prefix = None  # metadata trouble — full-scan fallback
+        if prefix is not None:
+            if not prefix:
+                return None  # no file may hold a key past the cursor
+            refs = self._span_refs(path)
+            cond = F.lit(True)
+            if after_key is not None:
+                cond = F.col(ROW_KEY) > after_key
+            if cap is not None:
+                cond = cond & (F.col(ROW_KEY) < F.lit(cap))
+            b = (
+                self.spark.read.schema(spec.schema())
+                .parquet(*[self._file_abs(path, f, refs) for f in prefix])
+                .select(ROW_KEY)
+                .filter(cond)
+                .distinct()
+                .orderBy(ROW_KEY)
+                .limit(page_size)
+                .agg(F.max(ROW_KEY).alias("b"))
+                .first()["b"]
+            )
+            if b is not None:
+                return b
+            if cap is None:
+                return None  # nothing past the cursor anywhere
+            # cap emptied the window (duplicate-lo edge) — fall through
+        return (
+            remaining.select(ROW_KEY)
+            .distinct()
+            .orderBy(ROW_KEY)
+            .limit(page_size)
+            .agg(F.max(ROW_KEY).alias("b"))
+            .first()["b"]
+        )
 
     def get(self, qualified_name: str, keys: list[str]) -> DataFrame:
         """HBase multi-``Get`` parity: the rows for an explicit key

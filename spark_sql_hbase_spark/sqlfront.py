@@ -735,6 +735,24 @@ class KeyedSqlRouter:
             f"{len(df.columns)} values for columns {names}"
         )
 
+    def _temp_view_shadows(self, target: str) -> bool:
+        """True when a TEMP VIEW shadows the bare table name under
+        Spark's resolution precedence (r13 review fix): the bare-count
+        fast path is the one plain SELECT the router serves itself, so
+        it must defer to the view a plain ``SELECT *`` would read.
+        Qualified ``ns.name`` references cannot be shadowed (temp views
+        are unqualified; ``global_temp.x`` is not a registered keyed
+        namespace and never reaches this check)."""
+        bare = _unquote(target)
+        if "." in bare:
+            return False
+        try:
+            return (
+                self.spark.catalog.getTable(bare).tableType == "TEMPORARY"
+            )
+        except Exception:
+            return False
+
     def _similarity_join(self, m) -> DataFrame:
         """``SIMILARITY JOIN`` — SURVEY §7.2 P6's optional SQL syntax,
         implemented at the router seam (the same dispatch level as the
@@ -947,7 +965,9 @@ class KeyedSqlRouter:
         m = _BARE_COUNT_RE.match(stmt)
         if m:
             ns, name = _split_qualified(m.group("target"), self.spark)
-            if self._is_keyed(ns, name):
+            if self._is_keyed(ns, name) and not self._temp_view_shadows(
+                m.group("target")
+            ):
                 # stats-from-metadata discipline (reference
                 # HBaseClientImpl.scala:298 serves table stats without a
                 # scan): the exact row count comes from parquet footers /

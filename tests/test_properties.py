@@ -3035,6 +3035,7 @@ def test_managed_cache_keys_by_session(spark):
     try:
         caching._MANAGED[("app-foreign-live", "op")] = foreign
         caching._MANAGED[("app-gone", "other_op")] = dead
+        caching._LAST_APP = None  # force the new-session sweep
         df = spark.range(5)
         out = managed_cache(df, "op")
         app = spark.sparkContext.applicationId
@@ -3055,6 +3056,30 @@ def test_managed_cache_keys_by_session(spark):
         caching._MANAGED.pop(("app-foreign-live", "op"), None)
         from spark_sql_hbase_spark.operators.caching import clear_managed_caches
 
+        clear_managed_caches()
+
+
+def test_managed_cache_reentry_with_equivalent_plan_stays_cached(spark):
+    """r13 review fix: CacheManager matches by PLAN EQUIVALENCE, so on
+    the normal re-entry (same operator over the same inputs) the new
+    df.cache() is a no-op against the previous entry — the previous
+    holder must be unpersisted BEFORE caching, or the unpersist-after
+    drops the shared entry and the returned relation is silently
+    uncached (every consumer re-runs the corpus pass)."""
+    from spark_sql_hbase_spark.operators.caching import (
+        clear_managed_caches,
+        managed_cache,
+    )
+
+    try:
+        for i in range(3):
+            # identical plan every time — the equivalence case
+            out = managed_cache(
+                spark.range(100).selectExpr("id", "id * 2 AS d"), "op_eq"
+            )
+            out.count()
+            assert out.is_cached, f"re-entry {i}: managed relation not cached"
+    finally:
         clear_managed_caches()
 
 

@@ -740,14 +740,50 @@ def test_sql_bare_count_routes_to_fast_count(spark, tmp_path):
         F.col("row_key") > "0042"
     ).count()
     two_cols = sess.sql("SELECT COUNT(*), 1 FROM pw.test")
-    assert "LocalTableScan" not in formatted_plan(two_cols) or len(
-        two_cols.columns
-    ) == 2  # not the fast path's single-column shape
+    assert "LocalTableScan" not in formatted_plan(two_cols), "fast path " \
+        "must not serve a multi-column select"
+    assert [r[0] for r in two_cols.collect()] == [expect - 1]
     # a non-keyed view is untouched by the router
     pw_test_df(spark).createOrReplaceTempView("__plain_cnt")
     plain = sess.sql("SELECT COUNT(*) FROM __plain_cnt")
     assert "LocalTableScan" not in formatted_plan(plain)
     assert plain.collect()[0][0] == expect
+
+
+def test_sql_bare_count_defers_to_shadowing_temp_view(spark, tmp_path):
+    """r13 review fix: a temp view shadowing a keyed table's bare name
+    wins under Spark's resolution precedence — the bare-count fast path
+    must count the VIEW, exactly like SELECT * over the same name; the
+    dot-qualified reference still takes the footer count."""
+    from spark_sql_hbase_spark.plans.pushdown import formatted_plan
+    from spark_sql_hbase_spark.session import EngineSession
+    from spark_sql_hbase_spark.sources.fixtures import pw_test_df, pw_test_spec
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.store.create_table(pw_test_spec())
+    sess.store.insert(
+        "pw.test", pw_test_df(spark), overwrite=True, generate_row_key=False
+    )
+    keyed_n = sess.store.read("pw.test").count()
+    view_n = 7
+    prev_db = spark.catalog.currentDatabase()
+    try:
+        spark.catalog.setCurrentDatabase("pw")
+        pw_test_df(spark).limit(view_n).createOrReplaceTempView("test")
+        shadowed = sess.sql("SELECT COUNT(*) FROM test")
+        assert "LocalTableScan" not in formatted_plan(shadowed)
+        assert shadowed.collect()[0][0] == view_n
+        qualified = sess.sql("SELECT COUNT(*) FROM pw.test")
+        assert "LocalTableScan" in formatted_plan(qualified)
+        assert qualified.collect()[0][0] == keyed_n
+        # view dropped -> the bare name takes the fast path again
+        spark.catalog.dropTempView("test")
+        bare = sess.sql("SELECT COUNT(*) FROM test")
+        assert "LocalTableScan" in formatted_plan(bare)
+        assert bare.collect()[0][0] == keyed_n
+    finally:
+        spark.catalog.dropTempView("test")
+        spark.catalog.setCurrentDatabase(prev_db)
 
 
 def test_similarity_join_sql_ivf_model_matches_operator(spark, tmp_path):
