@@ -801,3 +801,98 @@ def tfidf_cosine_sql(
     GROUP BY 1, 2
     HAVING ROUND(SUM(a.wn * b.wn), {round_to}) >= {threshold}
     """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal rank fusion of N ranked retrieval lists (Cormack,
+    Clarke & Buettcher, SIGIR 2009 — public): the standard hybrid-search
+    combiner for lexical (BM25) + semantic (ANN) candidate lists, which
+    needs only RANKS (scores from different retrievers aren't
+    comparable; RRF dodges score normalization entirely).
+
+        rrf(q, d) = Σ_lists 1 / (k + rank_list(q, d))
+
+    Each input carries ``(query_col, id_col, rank_col)``; a document
+    missing from a list simply contributes nothing (no outer-join NULL
+    handling — absence IS the zero term).  Emits ``(query_id, doc_id,
+    n_lists, rrf, rank)``; ``topk`` keeps the fused head per query.
+
+    Determinism: the fused score is ROUNDED before ranking and ties
+    break on ``id_col``, so Spark and the SQL twin rank identically.
+
+    Plan shape (scales to 100 TB): UNION ALL of the (already small,
+    per-query top-k) candidate lists + ONE map-side-combinable
+    aggregate on (query, doc) + a per-query ranking window — one
+    shuffle of candidate-list rows, no join, the corpus is never
+    touched (fusion consumes retriever OUTPUT, which is k rows per
+    query per list)."""
+    from pyspark.sql import Window as W
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    if k <= 0:
+        # k=0 with a rank-1 hit would divide by zero mid-plan; the
+        # published constant is 60 and any positive value is valid
+        raise ValueError(f"rrf k must be positive, got {k}")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("long").alias("__r"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__r"))), round_to
+        ).alias("rrf"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("rank") <= topk)
+    return out
+
+
+def rrf_fuse_sql(
+    list_sqls: list[str],
+    k: int = 60,
+    topk: int | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse` (oracle generator): each entry of
+    ``list_sqls`` must select ``(query_id, doc_id, rank)``."""
+    union = "\n        UNION ALL\n".join(
+        f"SELECT query_id, doc_id, rank FROM ({s})" for s in list_sqls
+    )
+    head = f"WHERE rank <= {int(topk)}" if topk is not None else ""
+    return f"""
+    WITH __u AS (
+        {union}
+    ), __f AS (
+        SELECT query_id, doc_id,
+               CAST(COUNT(*) AS INTEGER) AS n_lists,
+               ROUND(SUM(1.0 / ({int(k)} + rank)), {int(round_to)}) AS rrf
+        FROM __u GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_lists, rrf, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, doc_id
+        ) AS INTEGER) AS rank
+        FROM __f
+    ) {head}
+    """

@@ -4341,3 +4341,90 @@ def zg99_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ON embedding BY vec_id TOP 5 "
         f"METHOD IVF MODEL __zg99_model PROBES {_S04_NPROBE}"
     )
+
+
+# ---------------------------------------------------------------------------
+# zh02 — hybrid retrieval via reciprocal rank fusion (operators/
+# ranking.py::rrf_fuse, Cormack–Clarke–Buettcher RRF): the BM25 lexical
+# top-20 for the fixed query-term set fused with the exact-cosine
+# semantic top-20 for a query embedding (documents.doc_id ≡
+# embeddings.vec_id in the testdata) — the standard hybrid-search
+# combiner, rank-only so lexical and vector scores never need
+# normalizing.  Fusion consumes retriever OUTPUT only (k rows per list):
+# one bounded UNION + aggregate + per-query window — no corpus re-scan,
+# no join.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_TOPK = 10
+_RRF_CANDS = 20
+
+
+@register(
+    "zh02_hybrid_rrf",
+    oracle=None,  # bound below (generator needs the operator imports)
+    description="hybrid BM25+cosine retrieval fused by reciprocal rank "
+    "fusion (rank-only combiner, bounded union+aggregate, no corpus "
+    "re-scan)",
+)
+def zh02_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from spark_sql_hbase_spark.operators.ranking import bm25_scores, rrf_fuse
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex_top = (
+        bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(_RRF_CANDS)
+        .select(
+            F.lit(0).alias("query_id"), F.col("id").alias("doc_id"), "score"
+        )
+    )
+    wl = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    lex = lex_top.select(
+        "query_id", "doc_id", F.row_number().over(wl).alias("rank")
+    )
+    sem = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=_RRF_CANDS,
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([lex, sem], k=_RRF_K, topk=_RRF_TOPK)
+
+
+def _bind_zh02_oracle() -> None:
+    from spark_sql_hbase_spark.operators.ranking import bm25_sql, rrf_fuse_sql
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    lex = f"""
+    SELECT 0 AS query_id, id AS doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER)
+               AS rank
+    FROM (SELECT id, score FROM ({bm25_sql("documents", "doc_id", _TOK, _BM25_TERMS)})
+          ORDER BY score DESC, id LIMIT {_RRF_CANDS})
+    """
+    sem = f"""
+    SELECT 0 AS query_id, neighbor_id AS doc_id, rank FROM (
+        SELECT e.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   ORDER BY list_cosine_similarity(q.qv, e.ev) DESC,
+                            e.vec_id
+               ) AS INTEGER) AS rank
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings) e,
+             (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+    ) WHERE rank <= {_RRF_CANDS}
+    """
+    REGISTRY["zh02_hybrid_rrf"].oracle = rrf_fuse_sql(
+        [lex, sem], k=_RRF_K, topk=_RRF_TOPK
+    )
+
+
+_bind_zh02_oracle()

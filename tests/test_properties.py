@@ -3133,3 +3133,50 @@ def test_shard_assignments_fluent_chain_survives_gc(spark, sf_dir):
         per_shard[r["shard_id"]] = per_shard.get(r["shard_id"], 0) + 1
     assert max(per_shard.values()) - min(per_shard.values()) <= 1, per_shard
     assert sorted(per_shard) == list(range(8)), per_shard
+
+
+def test_rrf_fuse_laws(spark):
+    """rrf_fuse: score is exactly the rounded sum of reciprocal-rank
+    terms over the lists holding the doc; absence contributes nothing
+    (n_lists counts presence); ranks are dense per query with the
+    documented tie-break; non-positive k refuses."""
+    import pytest as _pytest
+
+    from spark_sql_hbase_spark.operators.ranking import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)],
+        "query_id int, doc_id int, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (1, 20, 2)],
+        "query_id int, doc_id int, rank int",
+    )
+    out = {
+        (r["query_id"], r["doc_id"]): r
+        for r in rrf_fuse([lex, sem], k=60).collect()
+    }
+    # both-lists doc: two terms, n_lists=2
+    assert out[(0, 11)]["n_lists"] == 2
+    assert out[(0, 11)]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    # single-list docs: one term each
+    assert out[(0, 10)]["n_lists"] == 1
+    assert out[(0, 10)]["rrf"] == round(1 / 61, 6)
+    assert out[(0, 13)]["rrf"] == round(1 / 62, 6)
+    assert out[(1, 20)]["rrf"] == round(1 / 61 + 1 / 62, 6)
+    # the both-lists doc wins query 0; ranks are dense 1..N per query
+    q0 = sorted(
+        (r["rank"], r["doc_id"]) for r in out.values() if r["query_id"] == 0
+    )
+    assert q0[0] == (1, 11)
+    assert [r for r, _ in q0] == [1, 2, 3, 4]
+    # topk keeps the fused head
+    top1 = rrf_fuse([lex, sem], k=60, topk=1).collect()
+    assert sorted((r["query_id"], r["doc_id"]) for r in top1) == [
+        (0, 11),
+        (1, 20),
+    ]
+    with _pytest.raises(ValueError, match="k must be positive"):
+        rrf_fuse([lex], k=0)
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
