@@ -1409,3 +1409,103 @@ def _bind_st21_oracle() -> None:
 
 
 _bind_st21_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zh03 — streaming ANN serving (streaming/pipelines.py::
+# stream_ann_serving): arriving QUERY vectors (vec_id % 9 = 0, one
+# micro-batch) are answered against the frozen deployed index — the
+# cell-assigned corpus + the zb11 literal-centroid model — via the
+# exact batch operator per batch (foreachBatch; the top-k window cannot
+# run on an unbounded stream), zero streaming state.  Oracle: the batch
+# multiprobe SQL restricted to the arrival set — serving must be
+# batch-identical.
+# ---------------------------------------------------------------------------
+_ZH03_K = 4  # centroids: embeddings vec_id < 4 (the zb11 quantizer)
+
+
+@register(
+    "zh03_stream_ann_serving",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {_ZH03_K}
+    ), v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), a AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell, row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY ROUND(list_sum(
+                    [ (ev[i] - cv[i]) ^ 2 for i in range(1, 65) ]), 6), c.cell
+            ) AS rn
+            FROM v, c
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id % 9 = 0
+    ), p AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell, row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY ROUND(list_sum(
+                    [ (qv[i] - cv[i]) ^ 2 for i in range(1, 65) ]), 6), c.cell
+            ) AS rn
+            FROM q, c
+        ) WHERE rn <= 2
+    ), scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, v.ev) AS cos_raw
+        FROM p
+        JOIN a USING (cell)
+        JOIN v ON v.vec_id = a.vec_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cos,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+    description="streaming ANN serving: arriving query vectors answered "
+    "per micro-batch against the frozen cell-assigned corpus + broadcast "
+    "centroid model (foreachBatch, zero streaming state, batch-identical "
+    "results)",
+)
+def zh03_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        assign_cells,
+    )
+    from spark_sql_hbase_spark.streaming.pipelines import stream_ann_serving
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = [
+        (r["cluster_id"], list(r["cv"]))
+        for r in emb.filter(F.col("vec_id") < _ZH03_K)
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            _to_double(F.col("embedding")).alias("cv"),
+        )
+        .collect()
+    ]
+    corpus = assign_cells(emb, cents, "vec_id", "embedding", "cell")
+    queries = emb.filter((F.col("vec_id") % 9) == 0)
+    sink = "__zh03_ann_results"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    shutil.rmtree(
+        warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True
+    )
+    stream = _one_batch_stream(spark, queries)
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_zh03_")
+    q = stream_ann_serving(
+        stream, corpus, cents, "vec_id", "embedding", ckpt, sink,
+        k=5, nprobe=2,
+    )
+    q.awaitTermination()
+    return spark.table(sink)

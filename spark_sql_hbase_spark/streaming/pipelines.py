@@ -968,3 +968,61 @@ def stream_media_metadata(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ann_serving(
+    query_stream: DataFrame,
+    corpus_with_cells: DataFrame,
+    centroids,
+    id_col: str,
+    vec_col: str,
+    checkpoint_dir: str,
+    sink_table: str,
+    cell_col: str = "cell",
+    k: int = 5,
+    nprobe: int = 2,
+    trigger_available_now: bool = True,
+):
+    """Streaming ANN serving: every arriving micro-batch of QUERY
+    vectors is answered against the FROZEN deployed index — static
+    cell-assigned corpus + broadcast centroid model — via the exact
+    batch operator (:func:`operators.similarity.multiprobe_ann_topk`),
+    and the per-query top-k lands in the results table.  The serving
+    half of the index lifecycle, next to the ingest halves
+    (:func:`stream_sq8_ingest` maintains codes,
+    :func:`stream_neardup_against_index` maintains bands); a model
+    retrain is a REBUILD event detected upstream by the drift monitors,
+    never something the stream mutates (the frozen-model convention).
+
+    Why ``foreachBatch``: the top-k ranking window cannot run on an
+    unbounded stream, but per BATCH it is exactly the batch operator —
+    results are batch-identical by construction, which is what the
+    oracle checks.  Same append contract note as the other foreachBatch
+    twins: at-least-once on retry; production stages per-``batch_id``
+    paths for idempotent commit.
+
+    Scale/state: ZERO streaming state; the centroid model broadcasts
+    once per batch, the probed pairs multiply only the arriving QUERY
+    side (nprobe/|cells| of the corpus scanned per batch — the pinned
+    IVF cost law)."""
+    from spark_sql_hbase_spark.operators.similarity import multiprobe_ann_topk
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = multiprobe_ann_topk(
+            corpus_with_cells,
+            batch_df,
+            centroids,
+            id_col,
+            vec_col,
+            cell_col,
+            k=k,
+            nprobe=nprobe,
+        )
+        out.write.mode("append").saveAsTable(sink_table)
+
+    writer = query_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
