@@ -1608,3 +1608,153 @@ def vocab_kl_terms_sql(
                       / q.q), {round_to}) AS kl_term
     FROM __dense d JOIN __q q USING (bucket)
     """
+
+
+def doc_repetition(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_tokens: int = 3,
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    repetition quality rules, Rae et al. 2021 appendix A — public): the
+    filters a pretraining curation pass thresholds on, computed INSIDE
+    each document — the complement of the cross-corpus twins
+    (:func:`~spark_sql_hbase_spark.operators.dedup.line_dedup_stats`
+    counts lines across documents; this counts them within one):
+
+    - ``dup_line_frac``: beyond-first occurrences of a normalized line
+      over the doc's qualifying lines (same line law as the C4-style
+      corpus dedup — shared ``_norm_lines_sql``, the laws cannot
+      drift);
+    - ``dup_line_char_frac``: characters of those repeated instances
+      over the doc's qualifying line characters;
+    - ``top_bigram_char_frac``: character mass of the heaviest word
+      bigram over the doc's total bigram character mass — defined as
+      ``max(cnt·len)/Σ(cnt·len)`` (a pure max, so no argmax tie-break
+      is ever needed).
+
+    Emits ``(id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram_char_frac)`` for docs with ≥ 1 qualifying line; a doc
+    with < 2 tokens has no bigram and reports 0.0.  Every fraction is
+    ONE IEEE division of exact integer sums — bit-identical across
+    engines, no rounding anywhere.
+
+    Plan shape (scales to 100 TB): line normalization and bigram
+    construction are row-local; both branches aggregate keyed BY
+    DOCUMENT — an (id, unit) partial aggregate then a per-id rollup, so
+    the shuffle carries one row per distinct unit per doc and NOTHING
+    corpus-global exists (no vocabulary, no df relation, no broadcast,
+    no window)."""
+    from spark_sql_hbase_spark.operators.dedup import _norm_lines_sql
+
+    norm = _norm_lines_sql(text_col, min_line_tokens)
+    lc = (
+        docs.select(F.col(id_col).alias("id"), F.expr(norm).alias("ls"))
+        .filter(F.size("ls") > 0)
+        .select("id", F.explode("ls").alias("ln"))
+        .groupBy("id", "ln")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    line_stats = lc.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        (
+            F.sum(F.col("cnt") - 1).cast("double") / F.sum("cnt")
+        ).alias("dup_line_frac"),
+        (
+            F.sum((F.col("cnt") - 1) * F.length("ln")).cast("double")
+            / F.sum(F.col("cnt") * F.length("ln"))
+        ).alias("dup_line_char_frac"),
+    )
+    # bigrams: the ranking.bigram_surprisal construction (tokenize bound
+    # once behind a Generate barrier, lambda-free arrays_zip)
+    bound = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+    )
+    m2 = F.size("__tok") - 1
+    pairs = F.when(
+        F.size("__tok") >= 2,
+        F.arrays_zip(F.slice("__tok", 1, m2), F.slice("__tok", 2, m2)),
+    ).otherwise(
+        F.expr("CAST(array() AS array<struct<`0`:string,`1`:string>>)")
+    )
+    tf2 = (
+        bound.select("id", F.explode(pairs).alias("pr"))
+        .select("id", F.concat("pr.0", F.lit(" "), "pr.1").alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    big = tf2.groupBy("id").agg(
+        (
+            F.max(F.col("tf") * F.length("bg")).cast("double")
+            / F.sum(F.col("tf") * F.length("bg"))
+        ).alias("top_bigram_char_frac")
+    )
+    return line_stats.join(big, "id", "left_outer").select(
+        "id",
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce("top_bigram_char_frac", F.lit(0.0)).alias(
+            "top_bigram_char_frac"
+        ),
+    )
+
+
+def doc_repetition_sql(
+    table: str,
+    id_expr: str,
+    text_col: str,
+    tokens_expr: str,
+    min_line_tokens: int = 3,
+) -> str:
+    """DuckDB twin of :func:`doc_repetition` (oracle generator) — the
+    line law mirrors ``dedup._norm_lines_sql`` exactly (the zg27
+    precedent), the bigram law mirrors ``ranking.bigram_surprisal_sql``."""
+    mt = int(min_line_tokens)
+    return f"""
+    WITH __ln AS (
+        SELECT {id_expr} AS id,
+               list_filter(
+                   list_transform(string_split_regex(lower({text_col}), '[.!?]+'),
+                                  x -> trim(x)),
+                   x -> x <> '' AND
+                        len(list_filter(
+                            string_split_regex(x, '[^a-z0-9]+'),
+                            y -> y <> '')) >= {mt}) AS ls
+        FROM {table}
+    ), __le AS (
+        SELECT id, unnest(ls) AS ln FROM __ln WHERE len(ls) > 0
+    ), __lc AS (
+        SELECT id, ln, COUNT(*) AS cnt FROM __le GROUP BY 1, 2
+    ), __lstats AS (
+        SELECT id,
+               CAST(SUM(cnt) AS BIGINT) AS n_lines,
+               CAST(SUM(cnt - 1) AS DOUBLE) / SUM(cnt) AS dup_line_frac,
+               CAST(SUM((cnt - 1) * len(ln)) AS DOUBLE)
+                   / SUM(cnt * len(ln)) AS dup_line_char_frac
+        FROM __lc GROUP BY 1
+    ), __tok AS (
+        SELECT {id_expr} AS id, {tokens_expr} AS t FROM {table}
+    ), __g AS (
+        SELECT id,
+               CASE WHEN len(t) >= 2 THEN
+                   [t[__i + 1] || ' ' || t[__i + 2]
+                    for __i in range(0, len(t) - 1)]
+               ELSE [] END AS g2
+        FROM __tok
+    ), __tf2 AS (
+        SELECT id, bg, COUNT(*) AS tf FROM (
+            SELECT id, unnest(g2) AS bg FROM __g
+        ) GROUP BY 1, 2
+    ), __big AS (
+        SELECT id,
+               CAST(MAX(tf * len(bg)) AS DOUBLE)
+                   / SUM(tf * len(bg)) AS top_bigram_char_frac
+        FROM __tf2 GROUP BY 1
+    )
+    SELECT l.id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+           COALESCE(b.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
+    FROM __lstats l LEFT JOIN __big b USING (id)
+    """

@@ -4428,3 +4428,36 @@ def _bind_zh02_oracle() -> None:
 
 
 _bind_zh02_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zh04 — within-document repetition signals (operators/text.py::
+# doc_repetition; the Gopher/MassiveText repetition quality rules):
+# duplicate-line fraction, duplicate-line CHARACTER fraction, and the
+# top-bigram character-mass fraction, all inside one document — the
+# complement of the cross-corpus twins (zg27 line dedup counts lines
+# ACROSS docs).  Pure integer-ratio IEEE divisions, per-document keyed
+# aggregates only, nothing corpus-global.
+# ---------------------------------------------------------------------------
+@register(
+    "zh04_doc_repetition",
+    oracle=None,  # bound below (generator import)
+    description="Gopher-style within-doc repetition: duplicate-line "
+    "fraction + char mass, top-bigram char mass (per-doc keyed "
+    "aggregates, no corpus-global state)",
+)
+def zh04_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.doc_repetition(docs, "doc_id", "text", min_line_tokens=_LINE_MT)
+
+
+def _bind_zh04_oracle() -> None:
+    from spark_sql_hbase_spark.operators.text import doc_repetition_sql
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    REGISTRY["zh04_doc_repetition"].oracle = doc_repetition_sql(
+        "documents", "doc_id", "text", _TOK, min_line_tokens=_LINE_MT
+    )
+
+
+_bind_zh04_oracle()

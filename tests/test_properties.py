@@ -3180,3 +3180,28 @@ def test_rrf_fuse_laws(spark):
         rrf_fuse([lex], k=0)
     with _pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_doc_repetition_fractions_exact(spark):
+    """doc_repetition: hand-computed Gopher fractions on a constructed
+    doc — dup_line_frac counts beyond-first line occurrences, the char
+    fraction weights them by length, top-bigram is max(cnt*len) over
+    total bigram mass; a doc with no qualifying line is excluded."""
+    from spark_sql_hbase_spark.operators.text import doc_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c. a b c. x y z w."),
+            (2, "hi."),  # no line with >= 3 words -> excluded
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["id"]: r for r in doc_repetition(docs, "doc_id", "text").collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    # lines: ["a b c", "a b c", "x y z w"] -> 1 of 3 is a repeat
+    assert r["n_lines"] == 3
+    assert r["dup_line_frac"] == 1 / 3
+    assert r["dup_line_char_frac"] == 5 / 17  # 5 repeated chars of 17
+    # bigrams (9 x 3 chars): "a b" and "b c" twice -> max mass 6 of 27
+    assert r["top_bigram_char_frac"] == 6 / 27
