@@ -306,6 +306,14 @@ def _production_paths(spark, sf_dir: str) -> dict[str, float]:
         # baseline)
         ("zg46_replica_index_cdc", "k26_replica_index_cdc"),
         ("d10_duplicate_spans", "d10_duplicate_spans"),
+        # round-13: hybrid RRF fusion (bounded union+aggregate over the
+        # two retriever top-20s — drift here means a retriever stage,
+        # not the fusion, regressed) and the within-doc Gopher
+        # repetition rules (pure per-doc keyed aggregates — the
+        # cheapest corpus-scan quality pass; drift means the line/bigram
+        # explode shape broke)
+        ("zh02_hybrid_rrf", "zh02_hybrid_rrf"),
+        ("zh04_doc_repetition", "zh04_doc_repetition"),
     ):
         t0 = time.perf_counter()
         n = _lookup(registry, name).fn(spark, sf_dir).count()

@@ -1238,3 +1238,35 @@ def test_r12_q2_structure_decorrelates_min_to_grouped_join(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert re.search(r"HashAggregate.*min|min.*HashAggregate", plan, re.DOTALL)
+
+
+def test_r13_rrf_fuse_no_join_no_corpus_rescan(spark, registry):
+    """zh02: fusion consumes retriever OUTPUT — the fused relation is a
+    UNION + one aggregate + a per-query window; a join-based fusion (or
+    a cartesian) would re-associate candidate lists the expensive way
+    and break the bounded-union cost law.  The ranking window must be
+    partitioned (per query), never a global single-partition sort."""
+    from spark_sql_hbase_spark.operators.ranking import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id int, doc_id int, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(0, 2, 1), (0, 3, 2)], "query_id int, doc_id int, rank int"
+    )
+    plan = formatted_plan(rrf_fuse([lex, sem], k=60, topk=2))
+    assert "Join" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert re.search(r"hashpartitioning\(query_id", plan), plan[:1500]
+
+
+def test_r13_doc_repetition_no_corpus_global_state(spark, registry):
+    """zh04: both repetition branches aggregate keyed BY DOCUMENT — no
+    corpus-global relation exists (no broadcast of a vocabulary, no
+    window, no global sort); the only join is the per-doc stats merge
+    on id."""
+    plan = formatted_plan(registry["zh04_doc_repetition"].fn(spark, SF))
+    assert "Window" not in plan, plan[:1500]
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
