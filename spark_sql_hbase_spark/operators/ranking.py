@@ -203,6 +203,59 @@ def bm25_sql(
     """
 
 
+def doc_bigram_tf(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document word-bigram frequencies ``(id, n2, bg, tf)`` —
+    THE bigram construction law (tokenize bound once behind a Generate
+    barrier, lambda-free ``arrays_zip``, one map-side-combined
+    aggregate), shared by :func:`bigram_surprisal` and
+    :func:`~spark_sql_hbase_spark.operators.text.doc_repetition` so
+    the two can never drift (the ``dedup._norm_lines_sql`` precedent
+    for lines; r13 review).  Returned UNCACHED — multi-consumer
+    callers cache it themselves."""
+    bound = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
+    )
+    m2 = F.size("__tok") - 1
+    pairs = F.when(
+        F.size("__tok") >= 2,
+        F.arrays_zip(F.slice("__tok", 1, m2), F.slice("__tok", 2, m2)),
+    ).otherwise(
+        F.expr("CAST(array() AS array<struct<`0`:string,`1`:string>>)")
+    )
+    return (
+        bound.select(
+            "id",
+            F.size(pairs).cast("long").alias("n2"),
+            F.explode(pairs).alias("pr"),
+        )
+        .select("id", "n2", F.concat("pr.0", F.lit(" "), "pr.1").alias("bg"))
+        .groupBy("id", "n2", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_bigram_tf_sql(table: str, id_expr: str, tokens_expr: str) -> str:
+    """DuckDB twin of :func:`doc_bigram_tf` — the shared SQL fragment
+    behind :func:`bigram_surprisal_sql` and ``text.doc_repetition_sql``
+    (selects ``(id, n2, bg, tf)``)."""
+    return f"""
+        SELECT id, n2, bg, COUNT(*) AS tf FROM (
+            SELECT id, len(g2) AS n2, unnest(g2) AS bg FROM (
+                SELECT id,
+                       CASE WHEN len(t) >= 2 THEN
+                           [t[__i + 1] || ' ' || t[__i + 2]
+                            for __i in range(0, len(t) - 1)]
+                       ELSE [] END AS g2
+                FROM (SELECT {id_expr} AS id, {tokens_expr} AS t
+                      FROM {table})
+            )
+        ) GROUP BY 1, 2, 3
+    """
+
+
 def bigram_surprisal(
     docs: DataFrame,
     id_col: str,
@@ -244,26 +297,7 @@ def bigram_surprisal(
     """
     from pyspark.sql import functions as F2
 
-    bound = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
-    )
-    m2 = F.size("__tok") - 1
-    pairs = F.when(
-        F.size("__tok") >= 2,
-        F.arrays_zip(F.slice("__tok", 1, m2), F.slice("__tok", 2, m2)),
-    ).otherwise(F.expr("CAST(array() AS array<struct<`0`:string,`1`:string>>)"))
-    tf2 = (
-        bound.select(
-            "id",
-            F.size(pairs).cast("long").alias("n2"),
-            F.explode(pairs).alias("pr"),
-        )
-        .select("id", "n2", F.concat("pr.0", F.lit(" "), "pr.1").alias("bg"))
-        .groupBy("id", "n2", "bg")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .cache()
-    )
+    tf2 = doc_bigram_tf(docs, id_col, text_col).cache()
     c2 = tf2.groupBy("bg").agg(F.sum("tf").alias("ct2"))
     c2s = c2.select(
         "bg",
@@ -290,21 +324,11 @@ def bigram_surprisal(
 def bigram_surprisal_sql(
     table: str, id_expr: str, tokens_expr: str, k: float = 1.0, round_to: int = 4
 ) -> str:
-    """DuckDB twin of :func:`bigram_surprisal` (oracle generator)."""
+    """DuckDB twin of :func:`bigram_surprisal` (oracle generator) —
+    composes the shared bigram law :func:`doc_bigram_tf_sql`."""
     return f"""
-    WITH __tok AS (
-        SELECT {id_expr} AS id, {tokens_expr} AS t FROM {table}
-    ), __g AS (
-        SELECT id,
-               CASE WHEN len(t) >= 2 THEN
-                   [t[__i + 1] || ' ' || t[__i + 2]
-                    for __i in range(0, len(t) - 1)]
-               ELSE [] END AS g2
-        FROM __tok
-    ), __tf AS (
-        SELECT id, len(g2) AS n2, unnest(g2) AS bg FROM __g
-    ), __tf2 AS (
-        SELECT id, n2, bg, COUNT(*) AS tf FROM __tf GROUP BY 1, 2, 3
+    WITH __tf2 AS (
+        {doc_bigram_tf_sql(table, id_expr, tokens_expr)}
     ), __c2 AS (
         SELECT bg, SUM(tf) AS ct2 FROM __tf2 GROUP BY 1
     ), __c2s AS (
@@ -822,8 +846,13 @@ def rrf_fuse(
 
     Each input carries ``(query_col, id_col, rank_col)``; a document
     missing from a list simply contributes nothing (no outer-join NULL
-    handling — absence IS the zero term).  Emits ``(query_id, doc_id,
-    n_lists, rrf, rank)``; ``topk`` keeps the fused head per query.
+    handling — absence IS the zero term).  A document appearing MORE
+    THAN ONCE within one list (e.g. a list concatenated from per-shard
+    top-k results) collapses to its BEST rank in that list first —
+    otherwise the duplicate would both inflate ``rrf`` and miscount
+    ``n_lists`` as extra-list presence (r13 review fix).  Emits
+    ``(query_id, doc_id, n_lists, rrf, rank)``; ``topk`` keeps the
+    fused head per query.
 
     Determinism: the fused score is ROUNDED before ranking and ties
     break on ``id_col``, so Spark and the SQL twin rank identically.
@@ -848,6 +877,8 @@ def rrf_fuse(
             F.col(id_col).alias("doc_id"),
             F.col(rank_col).cast("long").alias("__r"),
         )
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("__r").alias("__r"))
         for r in rankings
     ]
     u = parts[0]
@@ -877,7 +908,11 @@ def rrf_fuse_sql(
     """DuckDB twin of :func:`rrf_fuse` (oracle generator): each entry of
     ``list_sqls`` must select ``(query_id, doc_id, rank)``."""
     union = "\n        UNION ALL\n".join(
-        f"SELECT query_id, doc_id, rank FROM ({s})" for s in list_sqls
+        # within-list duplicates collapse to their best rank, mirroring
+        # the operator (r13 review fix)
+        f"SELECT query_id, doc_id, MIN(rank) AS rank FROM ({s}) "
+        "GROUP BY 1, 2"
+        for s in list_sqls
     )
     head = f"WHERE rank <= {int(topk)}" if topk is not None else ""
     return f"""

@@ -1666,25 +1666,11 @@ def doc_repetition(
             / F.sum(F.col("cnt") * F.length("ln"))
         ).alias("dup_line_char_frac"),
     )
-    # bigrams: the ranking.bigram_surprisal construction (tokenize bound
-    # once behind a Generate barrier, lambda-free arrays_zip)
-    bound = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
-    )
-    m2 = F.size("__tok") - 1
-    pairs = F.when(
-        F.size("__tok") >= 2,
-        F.arrays_zip(F.slice("__tok", 1, m2), F.slice("__tok", 2, m2)),
-    ).otherwise(
-        F.expr("CAST(array() AS array<struct<`0`:string,`1`:string>>)")
-    )
-    tf2 = (
-        bound.select("id", F.explode(pairs).alias("pr"))
-        .select("id", F.concat("pr.0", F.lit(" "), "pr.1").alias("bg"))
-        .groupBy("id", "bg")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    # bigrams: THE shared construction law (ranking.doc_bigram_tf —
+    # also behind bigram_surprisal, so the two cannot drift; r13 review)
+    from spark_sql_hbase_spark.operators.ranking import doc_bigram_tf
+
+    tf2 = doc_bigram_tf(docs, id_col, text_col)
     big = tf2.groupBy("id").agg(
         (
             F.max(F.col("tf") * F.length("bg")).cast("double")
@@ -1711,7 +1697,11 @@ def doc_repetition_sql(
 ) -> str:
     """DuckDB twin of :func:`doc_repetition` (oracle generator) — the
     line law mirrors ``dedup._norm_lines_sql`` exactly (the zg27
-    precedent), the bigram law mirrors ``ranking.bigram_surprisal_sql``."""
+    precedent), the bigram law IS the shared fragment
+    ``ranking.doc_bigram_tf_sql`` (also behind ``bigram_surprisal_sql``;
+    r13 review — one law, two consumers)."""
+    from spark_sql_hbase_spark.operators.ranking import doc_bigram_tf_sql
+
     mt = int(min_line_tokens)
     return f"""
     WITH __ln AS (
@@ -1735,19 +1725,8 @@ def doc_repetition_sql(
                CAST(SUM((cnt - 1) * len(ln)) AS DOUBLE)
                    / SUM(cnt * len(ln)) AS dup_line_char_frac
         FROM __lc GROUP BY 1
-    ), __tok AS (
-        SELECT {id_expr} AS id, {tokens_expr} AS t FROM {table}
-    ), __g AS (
-        SELECT id,
-               CASE WHEN len(t) >= 2 THEN
-                   [t[__i + 1] || ' ' || t[__i + 2]
-                    for __i in range(0, len(t) - 1)]
-               ELSE [] END AS g2
-        FROM __tok
     ), __tf2 AS (
-        SELECT id, bg, COUNT(*) AS tf FROM (
-            SELECT id, unnest(g2) AS bg FROM __g
-        ) GROUP BY 1, 2
+        {doc_bigram_tf_sql(table, id_expr, tokens_expr)}
     ), __big AS (
         SELECT id,
                CAST(MAX(tf * len(bg)) AS DOUBLE)

@@ -1349,13 +1349,14 @@ class KeyedTableStore:
                     stats.get(f) is not None and stats[f][3] for f in cands
                 ):
                     ordered = sorted(cands, key=lambda f: stats[f][0])
-                    straddlers = [
-                        f
-                        for f in ordered
-                        if after_key is not None
-                        and stats[f][0] <= after_key
-                    ]
-                    rest = [f for f in ordered if f not in straddlers]
+                    # one-pass split on the sorted lo (r13 review: a
+                    # list-membership partition was O(files^2) per page)
+                    straddlers, rest = [], []
+                    for f in ordered:
+                        if after_key is not None and stats[f][0] <= after_key:
+                            straddlers.append(f)
+                        else:
+                            rest.append(f)
                     prefix, cum = list(straddlers), 0
                     for i, f in enumerate(rest):
                         prefix.append(f)

@@ -3059,3 +3059,60 @@ def test_scan_page_versioned_walks_cells_key_safe(spark, tmp_path):
     assert sorted(walked) == sorted(cells)  # every cell exactly once
     with _pytest.raises(ValueError, match="page_size"):
         store.scan_page("pg.ver", 0)
+
+
+def test_scan_page_versioned_walk_overlapping_spans(spark, tmp_path):
+    """r13: the metadata-pruned page boundary must stay exhaustive when
+    APPENDED runs overlap the base files' key ranges (the straddler +
+    lo-prefix completeness argument) — three interleaved inserts, pages
+    of every size from 1 to 7 all reconstruct the exact cell multiset,
+    in key order, with no key's cells ever split across pages."""
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
+
+    store = KeyedTableStore(spark, str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="pg",
+        name="vover",
+        key_type="string",
+        families={"cf": {"v": "long", "ts": "long"}},
+        properties={"versions": "99", "version_column": "cf:ts"},
+    )
+    store.create_table(spec)
+    # batch 1: even keys; batch 2: odd keys (fully interleaved spans);
+    # batch 3: a second version for every 3rd key (more overlap)
+    b1 = [(f"k{i:03d}", i, 1) for i in range(0, 20, 2)]
+    b2 = [(f"k{i:03d}", i, 1) for i in range(1, 20, 2)]
+    b3 = [(f"k{i:03d}", i, 2) for i in range(0, 20, 3)]
+    for batch in (b1, b2, b3):
+        store.insert(
+            "pg.vover",
+            spark.createDataFrame(
+                batch, "row_key string, `cf:v` long, `cf:ts` long"
+            ),
+            generate_row_key=False,
+        )
+    cells = sorted(b1 + b2 + b3)
+    for page_size in range(1, 8):
+        walked, cursor = [], None
+        while True:
+            page = store.scan_page(
+                "pg.vover", page_size, after_key=cursor
+            ).collect()
+            if not page:
+                break
+            keys = sorted({r["row_key"] for r in page})
+            assert len(keys) <= page_size, (page_size, keys)
+            if cursor is not None:
+                assert keys[0] > cursor  # no re-read, no skip backwards
+            for k in keys:  # cell-safety per key
+                want = sorted(c[2] for c in cells if c[0] == k)
+                got = sorted(
+                    r["cf:ts"] for r in page if r["row_key"] == k
+                )
+                assert got == want, (page_size, k, got, want)
+            walked.extend(
+                (r["row_key"], r["cf:v"], r["cf:ts"]) for r in page
+            )
+            cursor = keys[-1]
+        assert sorted(walked) == cells, page_size

@@ -3205,3 +3205,27 @@ def test_doc_repetition_fractions_exact(spark):
     assert r["dup_line_char_frac"] == 5 / 17  # 5 repeated chars of 17
     # bigrams (9 x 3 chars): "a b" and "b c" twice -> max mass 6 of 27
     assert r["top_bigram_char_frac"] == 6 / 27
+
+
+def test_rrf_fuse_collapses_within_list_duplicates(spark):
+    """r13 review fix: a document appearing twice within ONE list (a
+    list concatenated from per-shard top-k results) collapses to its
+    best rank in that list — one term, n_lists=1 — instead of double
+    counting."""
+    from spark_sql_hbase_spark.operators.ranking import rrf_fuse
+
+    shard_concat = spark.createDataFrame(
+        [(0, 7, 3), (0, 7, 15), (0, 8, 1)],
+        "query_id int, doc_id int, rank int",
+    )
+    other = spark.createDataFrame(
+        [(0, 9, 1), (0, 9, 2)], "query_id int, doc_id int, rank int"
+    )
+    out = {
+        (r["query_id"], r["doc_id"]): r
+        for r in rrf_fuse([shard_concat, other], k=60).collect()
+    }
+    assert out[(0, 7)]["n_lists"] == 1
+    assert out[(0, 7)]["rrf"] == round(1 / 63, 6)  # best rank only
+    assert out[(0, 9)]["n_lists"] == 1
+    assert out[(0, 9)]["rrf"] == round(1 / 61, 6)
