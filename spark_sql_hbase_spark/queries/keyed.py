@@ -2110,18 +2110,21 @@ def k31_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     page_size = 40
     # each page executes EXACTLY once: collect it, take the cursor from
-    # the collected rows (pages are key-sorted), accumulate — page 1 is
-    # consumed for its cursor only; the gate returns pages 2-3
-    cursor = store.scan_page("gate.part_pages", page_size).collect()[-1][
-        "row_key"
-    ]
-    rows = []
-    for _ in range(2):
+    # the collected rows (pages are key-sorted), accumulate.  Pages may
+    # close SHORT at a file-span boundary (r13: the metadata-pruned
+    # page boundary), so the gate walks until it holds the first 120
+    # rows and slices rows 41-120 — split-agnostic, same oracle
+    # (LIMIT 80 OFFSET 40) under ANY page layout.
+    rows, cursor = [], None
+    while len(rows) < 120:
         page = store.scan_page(
             "gate.part_pages", page_size, after_key=cursor
         ).collect()
+        if not page:
+            break
         cursor = page[-1]["row_key"]
         rows.extend(page)
+    rows = rows[40:120]
     return spark.createDataFrame(
         [(r["row_key"], r["p:name"], r["p:price"]) for r in rows],
         "row_key string, name string, price double",

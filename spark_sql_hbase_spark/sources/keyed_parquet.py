@@ -1291,37 +1291,45 @@ class KeyedTableStore:
         ``setAllowPartialResults(false)`` default — rows are never
         split across RPC results.
 
-        Versioned plan shape: the page-closing key comes from a
-        METADATA-PRUNED distinct (see :meth:`_versioned_page_boundary`:
-        span manifests pick the minimal lo-ordered file prefix holding
-        the next ``page_size`` keys, so the boundary scan reads O(page)
-        rows however deep the cursor is — never a table-wide distinct);
-        the page itself reads with BOTH key bounds pushed into the
-        parquet scan.  A page may close EARLY (fewer than ``page_size``
-        keys) at a file-span boundary — pages are never empty before
-        the walk ends and never split a key, so the exhaustive-walk
-        contract is unchanged."""
+        Plan shape (both modes): the page-closing key comes from a
+        METADATA-PRUNED distinct (see :meth:`_page_boundary`: span
+        manifests pick the minimal lo-ordered file prefix holding the
+        next ``page_size`` keys, so the boundary scan reads O(page)
+        rows however deep the cursor is — never a table-wide distinct
+        or a TakeOrdered over every remaining file); the page itself
+        reads with BOTH key bounds pushed into the parquet scan.  A
+        page may close EARLY (fewer than ``page_size`` keys) at a
+        file-span boundary — pages are never empty before the walk
+        ends and never split a key, so the exhaustive-walk contract is
+        unchanged."""
         if page_size <= 0:
             raise ValueError(f"page_size must be positive, got {page_size}")
         spec = self.registry.get(qualified_name)
         df = self.read(qualified_name)
         if after_key is not None:
             df = df.filter(F.col(ROW_KEY) > after_key)
-        if self._table_prop(spec, "versions") is None:
-            return df.orderBy(ROW_KEY).limit(int(page_size))
-        boundary = self._versioned_page_boundary(
-            spec, df, int(page_size), after_key
-        )
+        boundary = self._page_boundary(spec, df, int(page_size), after_key)
         if boundary is None:  # walk exhausted — empty page ends it
             return df.filter(F.lit(False))
-        return df.filter(F.col(ROW_KEY) <= boundary).orderBy(ROW_KEY)
+        page = df.filter(F.col(ROW_KEY) <= boundary)
+        if self._table_prop(spec, "versions") is None:
+            # unversioned keys are unique, so the boundary already caps
+            # the page at page_size rows; the limit keeps the pinned
+            # TakeOrdered shape (and the exact row budget when a span
+            # cap closed the boundary long)
+            return page.orderBy(ROW_KEY).limit(int(page_size))
+        return page.orderBy(ROW_KEY)
 
-    def _versioned_page_boundary(
+    def _page_boundary(
         self, spec: TableSpec, remaining: DataFrame, page_size: int, after_key
     ):
-        """The versioned page's closing key: the ``page_size``-th
-        distinct row key strictly after ``after_key`` (or the last
-        remaining key; ``None`` when the walk is exhausted).
+        """The page's closing key: the ``page_size``-th distinct row
+        key strictly after ``after_key`` (or the last remaining key;
+        ``None`` when the walk is exhausted).  Shared by BOTH paging
+        modes — for unversioned tables keys are unique, so the key
+        boundary IS the row boundary (r13: without it, every page's
+        TakeOrdered re-scanned all remaining files' key column, the
+        same O(pages × remaining) walk cost the versioned path fixed).
 
         Metadata-pruned (r13 review fix — a per-page table-wide
         distinct would make an exhaustive walk O(pages × remaining)):
