@@ -99,6 +99,18 @@ _R8_RENAMES = {
 }
 
 
+# round-14 rotation: bench output key -> current registry name.
+# Promotions t34/t35 (the r13 production figures keep their zh02/zh04
+# output keys) and one demotion: s13_sq8_ann rotated to zh05 — the
+# bench key zg35_sq8_ann resolved to s13 via _R12_RENAMES, and rename
+# maps don't chain, so the demotion needs the direct entry here.
+_R14_RENAMES = {
+    "zg35_sq8_ann": "zh05_sq8_ann",
+    "zh02_hybrid_rrf": "t34_hybrid_rrf",
+    "zh04_doc_repetition": "t35_doc_repetition",
+}
+
+
 # round-13 rotation: bench output key -> current registry name.
 # The only bench subject affected: z75 (pmi collocations) resolved via
 # _R9_RENAMES to t25, which the r13 rotation demoted to zg95 — rename
@@ -158,6 +170,7 @@ def _lookup(registry, name):
     as an AttributeError on None downstream."""
     qd = (
         registry.get(name)
+        or registry.get(_R14_RENAMES.get(name, ""))
         or registry.get(_R13_RENAMES.get(name, ""))
         or registry.get(_R12_RENAMES.get(name, ""))
         or registry.get(_R11_RENAMES.get(name, ""))

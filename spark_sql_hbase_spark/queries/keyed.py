@@ -1201,13 +1201,13 @@ def zg86_retention_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k22 — Bloom-probed multi-point get() (HBase Get + BLOOMFILTER => 'ROW'):
+# zh06 — Bloom-probed multi-point get() (HBase Get + BLOOMFILTER => 'ROW'):
 # the point-read plan consults the span manifest AND per-file Bloom
 # sidecars, scanning only files that may hold one of the probed keys; the
 # readback (present + absent keys) is SQL-checked.
 # ---------------------------------------------------------------------------
 @register(
-    "k22_bloom_point_get",
+    "zh06_bloom_point_get",
     oracle="""
     SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
            p_name AS name,
@@ -1218,7 +1218,7 @@ def zg86_retention_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Bloom-probed multi-point get(): span + sidecar pruned "
     "point reads over a bloomfilter=ROW keyed table",
 )
-def k22_bloom_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zh06_bloom_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -1561,7 +1561,7 @@ def zg90_replication_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k27 — VERSIONED cell replication (the round-10 semantics fix, driver-
+# zh07 — VERSIONED cell replication (the round-10 semantics fix, driver-
 # gated): on a VERSIONS table, replication must move CELLS — a new
 # version is an append (the replica's older cells survive), a
 # version-GC'd cell is an exact-cell delete (the key's live cells
@@ -1574,7 +1574,7 @@ def zg90_replication_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # convergence.  The final cell state is a pure function of `part`.
 # ---------------------------------------------------------------------------
 @register(
-    "k27_versioned_cell_replication",
+    "zh07_versioned_cell_replication",
     oracle="""
     SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
            p_retailprice AS price, CAST(1 AS BIGINT) AS v
@@ -1592,7 +1592,7 @@ def zg90_replication_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cells=True changefeed (appends + exact-cell deletes from VERSIONS=2 "
     "GC) converges a snapshot-bootstrapped replica exactly",
 )
-def k27_versioned_cell_replication(
+def zh07_versioned_cell_replication(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
@@ -2176,7 +2176,7 @@ def k32_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# zh00 — cell-safe scanner paging over a VERSIONED table (r12 VERDICT
+# k33 — cell-safe scanner paging over a VERSIONED table (r12 VERDICT
 # item 5, flipping the r12 refusal): pages are the next page_size KEYS
 # with ALL their version cells (pages close at key boundaries — HBase's
 # setAllowPartialResults(false) row-integrity default), found via one
@@ -2187,7 +2187,7 @@ def k32_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exhaustive walk with no duplicate and no dropped cell.
 # ---------------------------------------------------------------------------
 @register(
-    "zh00_versioned_scan_paging",
+    "k33_versioned_scan_paging",
     oracle="""
     SELECT lpad(CAST(o_custkey AS VARCHAR), 10, '0') AS row_key,
            CAST(o_orderkey AS BIGINT) AS ver,
@@ -2198,7 +2198,7 @@ def k32_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table: page_size KEYS per page with all their cells, exhaustive "
     "walk reconstructs every version cell exactly once",
 )
-def zh00_versioned_scan_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k33_versioned_scan_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     store = _store(spark)
@@ -2235,7 +2235,7 @@ def zh00_versioned_scan_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# zh01 — bare COUNT(*) through the SQL surface (r12 VERDICT stretch):
+# k34 — bare COUNT(*) through the SQL surface (r12 VERDICT stretch):
 # KeyedSqlRouter routes SELECT COUNT(*) [AS a] FROM <keyed> with no
 # WHERE/GROUP/extra columns to KeyedTableStore.fast_count — the
 # stats-from-metadata discipline of the reference's getTableStats
@@ -2245,7 +2245,7 @@ def zh00_versioned_scan_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the ordinary resolved scan.  Oracle: the post-DML live-row count.
 # ---------------------------------------------------------------------------
 @register(
-    "zh01_sql_fast_count",
+    "k34_sql_fast_count",
     oracle="""
     SELECT CAST(COUNT(*) - COUNT(*) FILTER (
                WHERE o_orderkey % 7 = 0) AS BIGINT) AS n
@@ -2254,7 +2254,7 @@ def zh00_versioned_scan_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="SELECT COUNT(*) on a keyed table served from parquet "
     "footers via the SQL router (zero scan jobs) after live DML",
 )
-def zh01_sql_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k34_sql_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
 
     sess = _session(spark)

@@ -589,7 +589,7 @@ def zb10_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S04_K = 4
 _S04_NPROBE = 2
 
-# shared by zb11 (the operator gate) and zg99 (the SIMILARITY JOIN
+# shared by zb11 (the operator gate) and s19 (the SIMILARITY JOIN
 # METHOD IVF MODEL router gate): the router rewrite must add no
 # semantics of its own, so both hash against the SAME oracle
 _S04_ORACLE = f"""
@@ -2696,7 +2696,7 @@ _REG76["zf12_split_leakage"].oracle = _z76_oracle()
 # quantile_disc computes the identical element).
 # ---------------------------------------------------------------------------
 @register(
-    "t26_surprisal_buckets",
+    "zh08_surprisal_buckets",
     oracle=f"""
     WITH __tok AS (
         SELECT doc_id AS id, {_TOK} AS tok FROM documents
@@ -2728,7 +2728,7 @@ _REG76["zf12_split_leakage"].oracle = _z76_oracle()
     description="CCNet-style head/middle/tail tertiles over corpus-"
     "unigram surprisal (percentile_disc boundaries, no window)",
 )
-def t26_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zh08_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.ranking import surprisal_buckets
 
     docs = table(spark, sf_dir, "documents")
@@ -2801,7 +2801,7 @@ _STRIP_DF = 5
 
 
 @register(
-    "t27_boilerplate_strip",
+    "zh10_boilerplate_strip",
     oracle=f"""
     WITH __ln AS (
         SELECT doc_id,
@@ -2844,7 +2844,7 @@ _STRIP_DF = 5
     description="boilerplate-line stripping: corpus-frequent lines "
     "removed via a broadcast hash map, cleaned corpus emitted shuffle-free",
 )
-def t27_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zh10_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.strip_boilerplate_lines(
         docs, "doc_id", "text", max_df=_STRIP_DF, min_line_tokens=_LINE_MT
@@ -3809,13 +3809,13 @@ _SQ8_K = 10
 _SQ8_DIM = 64
 
 @register(
-    "s13_sq8_ann",
+    "zh05_sq8_ann",
     oracle=None,  # bound below (generator needs the similarity import)
     description="SQ8 scalar-quantized ANN: per-dim min/max bounds (one "
     "broadcast row), 1-byte persisted codes, decode-and-score top-k "
     "(FAISS ScalarQuantizer design), 4x scan-bandwidth reduction",
 )
-def s13_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zh05_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.sq8_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
@@ -3896,7 +3896,7 @@ def _bind_round11_oracles() -> None:
     from spark_sql_hbase_spark.operators.ranking import tfidf_cosine_sql
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["s13_sq8_ann"].oracle = similarity.sq8_ann_sql(
+    REGISTRY["zh05_sq8_ann"].oracle = similarity.sq8_ann_sql(
         "embeddings", "vec_id", "embedding", "vec_id < 5", k=_SQ8_K, dim=_SQ8_DIM
     )
     REGISTRY["s14_embedding_outliers"].oracle = similarity.embedding_outliers_sql(
@@ -4303,7 +4303,7 @@ _bind_s17_oracle()
 
 
 # ---------------------------------------------------------------------------
-# zg99 — SIMILARITY JOIN METHOD IVF MODEL (r12 VERDICT item 4): the
+# s19 — SIMILARITY JOIN METHOD IVF MODEL (r12 VERDICT item 4): the
 # router resolves a REGISTERED centroid relation (cell, cv) through the
 # same _resolve seam as the corpus and rewrites to assign_cells +
 # multiprobe_ann_topk — no model DDL invented.  The model here is the
@@ -4314,13 +4314,13 @@ _bind_s17_oracle()
 # pinned in tests/test_session.py.
 # ---------------------------------------------------------------------------
 @register(
-    "zg99_similarity_join_ivf",
+    "s19_similarity_join_ivf",
     oracle=_S04_ORACLE,
     description="SIMILARITY JOIN METHOD IVF MODEL <table> PROBES 2: "
     "model-backed cell-pruned ANN through the SQL router (same oracle "
     "as the zb11 operator gate)",
 )
-def zg99_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s19_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from spark_sql_hbase_spark.operators.similarity import _to_double
@@ -4344,7 +4344,7 @@ def zg99_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# zh02 — hybrid retrieval via reciprocal rank fusion (operators/
+# t34 — hybrid retrieval via reciprocal rank fusion (operators/
 # ranking.py::rrf_fuse, Cormack–Clarke–Buettcher RRF): the BM25 lexical
 # top-20 for the fixed query-term set fused with the exact-cosine
 # semantic top-20 for a query embedding (documents.doc_id ≡
@@ -4360,13 +4360,13 @@ _RRF_CANDS = 20
 
 
 @register(
-    "zh02_hybrid_rrf",
+    "t34_hybrid_rrf",
     oracle=None,  # bound below (generator needs the operator imports)
     description="hybrid BM25+cosine retrieval fused by reciprocal rank "
     "fusion (rank-only combiner, bounded union+aggregate, no corpus "
     "re-scan)",
 )
-def zh02_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t34_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from spark_sql_hbase_spark.operators.ranking import bm25_scores, rrf_fuse
@@ -4422,7 +4422,7 @@ def _bind_zh02_oracle() -> None:
         WHERE e.vec_id <> 0
     ) WHERE rank <= {_RRF_CANDS}
     """
-    REGISTRY["zh02_hybrid_rrf"].oracle = rrf_fuse_sql(
+    REGISTRY["t34_hybrid_rrf"].oracle = rrf_fuse_sql(
         [lex, sem], k=_RRF_K, topk=_RRF_TOPK
     )
 
@@ -4431,7 +4431,7 @@ _bind_zh02_oracle()
 
 
 # ---------------------------------------------------------------------------
-# zh04 — within-document repetition signals (operators/text.py::
+# t35 — within-document repetition signals (operators/text.py::
 # doc_repetition; the Gopher/MassiveText repetition quality rules):
 # duplicate-line fraction, duplicate-line CHARACTER fraction, and the
 # top-bigram character-mass fraction, all inside one document — the
@@ -4440,13 +4440,13 @@ _bind_zh02_oracle()
 # aggregates only, nothing corpus-global.
 # ---------------------------------------------------------------------------
 @register(
-    "zh04_doc_repetition",
+    "t35_doc_repetition",
     oracle=None,  # bound below (generator import)
     description="Gopher-style within-doc repetition: duplicate-line "
     "fraction + char mass, top-bigram char mass (per-doc keyed "
     "aggregates, no corpus-global state)",
 )
-def zh04_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t35_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return text.doc_repetition(docs, "doc_id", "text", min_line_tokens=_LINE_MT)
 
@@ -4455,7 +4455,7 @@ def _bind_zh04_oracle() -> None:
     from spark_sql_hbase_spark.operators.text import doc_repetition_sql
     from spark_sql_hbase_spark.queries import REGISTRY
 
-    REGISTRY["zh04_doc_repetition"].oracle = doc_repetition_sql(
+    REGISTRY["t35_doc_repetition"].oracle = doc_repetition_sql(
         "documents", "doc_id", "text", _TOK, min_line_tokens=_LINE_MT
     )
 

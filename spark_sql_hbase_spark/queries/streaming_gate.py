@@ -439,12 +439,12 @@ def st10_stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counters are pure mergeable sums.
 # ---------------------------------------------------------------------------
 @register(
-    "st11_stream_cms_sketch",
+    "zh09_stream_cms_sketch",
     oracle=None,  # set below — reuses llm._cms_rows_sql after import
     description="streaming count-min sketch: bounded depth*width counter "
     "state over the token stream, complete-mode counters == batch sketch",
 )
-def st11_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zh09_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.streaming.pipelines import streaming_cms_sketch
 
     docs = table(spark, sf_dir, "documents").select("text")
@@ -469,7 +469,7 @@ def _z72_oracle() -> str:
 
 from spark_sql_hbase_spark.queries import REGISTRY as _REG  # noqa: E402
 
-_REG["st11_stream_cms_sketch"].oracle = _z72_oracle()
+_REG["zh09_stream_cms_sketch"].oracle = _z72_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -981,7 +981,7 @@ def zg92_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# zg29 — streaming VERSIONED cell replication (zg92 composed with k27's
+# zg29 — streaming VERSIONED cell replication (zg92 composed with zh07's
 # cell semantics; z-tier this round for sf001-lane evidence ahead of a
 # window promotion): cell-granularity changefeed deltas — new-version
 # appends, then VERSIONS=2 retention GC shipped as exact-cell deletes —
@@ -1412,7 +1412,7 @@ _bind_st21_oracle()
 
 
 # ---------------------------------------------------------------------------
-# zh03 — streaming ANN serving (streaming/pipelines.py::
+# st22 — streaming ANN serving (streaming/pipelines.py::
 # stream_ann_serving): arriving QUERY vectors (vec_id % 9 = 0, one
 # micro-batch) are answered against the frozen deployed index — the
 # cell-assigned corpus + the zb11 literal-centroid model — via the
@@ -1425,7 +1425,7 @@ _ZH03_K = 4  # centroids: embeddings vec_id < 4 (the zb11 quantizer)
 
 
 @register(
-    "zh03_stream_ann_serving",
+    "st22_stream_ann_serving",
     oracle=f"""
     WITH c AS (
         SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
@@ -1474,7 +1474,7 @@ _ZH03_K = 4  # centroids: embeddings vec_id < 4 (the zb11 quantizer)
     "centroid model (foreachBatch, zero streaming state, batch-identical "
     "results)",
 )
-def zh03_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st22_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from spark_sql_hbase_spark.operators.similarity import (

@@ -823,7 +823,7 @@ def test_z78_surprisal_buckets_no_window_boundaries_broadcast(spark, registry):
     """Tertile bucketing must stay sort/window-free: percentile_disc is
     ONE sketchless exact aggregate over the cached surprisal frame, the
     labels a row-local comparison against the broadcast scalar pair."""
-    df = registry["t26_surprisal_buckets"].fn(spark, SF)
+    df = registry["zh08_surprisal_buckets"].fn(spark, SF)
     try:
         plan = formatted_plan(df)
         assert not re.findall(r"\(\d+\) Window\b", plan), plan[:1200]
@@ -858,7 +858,7 @@ def test_z80_strip_text_never_exchanged(spark, registry):
     every exchange: the only hash exchange is the flagged-set aggregate
     (8-byte line hashes), and the flagged map rides a single-row
     BroadcastNestedLoopJoin into the row-local filter."""
-    plan = formatted_plan(registry["t27_boilerplate_strip"].fn(spark, SF))
+    plan = formatted_plan(registry["zh10_boilerplate_strip"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan, plan[:1200]
     lines = plan.splitlines()
     matched = 0
@@ -1024,7 +1024,7 @@ def test_r11_sq8_ann_is_broadcast_only(spark, registry):
     (cosine_topk's shape) — no shuffle joins anywhere; the only joins
     are broadcast nested loops (the one-row bounds join and the
     query-set theta join)."""
-    plan = formatted_plan(registry["s13_sq8_ann"].fn(spark, SF))
+    plan = formatted_plan(registry["zh05_sq8_ann"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     for shuffled in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert shuffled not in plan, shuffled
@@ -1195,7 +1195,7 @@ def test_r12_scan_page_pushes_cursor_and_takeordered(spark, tmp_path):
 
 
 def test_r13_versioned_scan_page_pushes_both_bounds(spark, tmp_path):
-    """Versioned scan_page (zh00): the returned page reads with BOTH
+    """Versioned scan_page (k33): the returned page reads with BOTH
     key bounds pushed into the parquet scan (cursor exclusive, page
     boundary inclusive) — a deep page scans only its key range, never
     the table."""
@@ -1241,7 +1241,7 @@ def test_r12_q2_structure_decorrelates_min_to_grouped_join(spark, registry):
 
 
 def test_r13_rrf_fuse_no_join_no_corpus_rescan(spark, registry):
-    """zh02: fusion consumes retriever OUTPUT — the fused relation is a
+    """t34: fusion consumes retriever OUTPUT — the fused relation is a
     UNION + one aggregate + a per-query window; a join-based fusion (or
     a cartesian) would re-associate candidate lists the expensive way
     and break the bounded-union cost law.  The ranking window must be
@@ -1262,11 +1262,11 @@ def test_r13_rrf_fuse_no_join_no_corpus_rescan(spark, registry):
 
 
 def test_r13_doc_repetition_no_corpus_global_state(spark, registry):
-    """zh04: both repetition branches aggregate keyed BY DOCUMENT — no
+    """t35: both repetition branches aggregate keyed BY DOCUMENT — no
     corpus-global relation exists (no broadcast of a vocabulary, no
     window, no global sort); the only join is the per-doc stats merge
     on id."""
-    plan = formatted_plan(registry["zh04_doc_repetition"].fn(spark, SF))
+    plan = formatted_plan(registry["t35_doc_repetition"].fn(spark, SF))
     assert "Window" not in plan, plan[:1500]
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan

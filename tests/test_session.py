@@ -790,7 +790,7 @@ def test_similarity_join_sql_ivf_model_matches_operator(spark, tmp_path):
     """r12 VERDICT item 4: SIMILARITY JOIN ... METHOD IVF MODEL <view>
     PROBES n must be exactly assign_cells + multiprobe_ann_topk given
     the same centroid relation (the router adds no semantics of its
-    own); the end-to-end result is also oracle-gated (zg99, same oracle
+    own); the end-to-end result is also oracle-gated (s19, same oracle
     as the zb11 operator gate).  A (subquery) MODEL resolves too."""
     from pyspark.sql import functions as F
 
