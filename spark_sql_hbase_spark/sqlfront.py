@@ -225,7 +225,11 @@ def _nonsql_spans(s: str) -> list[tuple[int, int]]:
 
 
 def resolve_keyed_dotted_names(
-    stmt: str, is_keyed, view_of, current_db: str | None = None
+    stmt: str,
+    is_keyed,
+    view_of,
+    current_db: str | None = None,
+    bare_shadowed=None,
 ) -> str:
     """Session-boundary name resolution — the PySpark seam where the
     reference's ``HBaseSessionCatalog.lookupRelation``
@@ -384,6 +388,23 @@ def resolve_keyed_dotted_names(
                 i = j
                 continue
             if pair is not None and is_keyed(*pair):
+                # Spark resolution precedence for BARE names: a
+                # same-name relation the caller's catalog already binds
+                # (temp view, or — manifest mode — any user-created
+                # catalog table) wins over the keyed rewrite, exactly
+                # as it would under stock Spark.  Dot-qualified chains
+                # stay router-resolved: the registry IS the authority
+                # for ``ns.name`` (the reference's lookupRelation
+                # seam).  Probed only for keyed-resolvable bare names,
+                # so the catalog round trip is never paid for ordinary
+                # identifiers.
+                if (
+                    len(names) == 1
+                    and bare_shadowed is not None
+                    and bare_shadowed(names[0])
+                ):
+                    i = j
+                    continue
                 rep = f"`{view_of(*pair)}`"
                 # no explicit alias written → append one so `name.col`
                 # qualifiers keep resolving against the rewrite
@@ -693,6 +714,7 @@ class KeyedSqlRouter:
                 self.store.registry.get(f"{ns}.{name}")
             ),
             current_db=current_db,
+            bare_shadowed=self._catalog_shadows,
         )
 
     def _source_df(self, source_sql: str) -> DataFrame:
@@ -735,23 +757,31 @@ class KeyedSqlRouter:
             f"{len(df.columns)} values for columns {names}"
         )
 
-    def _temp_view_shadows(self, target: str) -> bool:
-        """True when a TEMP VIEW shadows the bare table name under
-        Spark's resolution precedence (r13 review fix): the bare-count
-        fast path is the one plain SELECT the router serves itself, so
-        it must defer to the view a plain ``SELECT *`` would read.
-        Qualified ``ns.name`` references cannot be shadowed (temp views
-        are unqualified; ``global_temp.x`` is not a registered keyed
-        namespace and never reaches this check)."""
+    def _catalog_shadows(self, target: str) -> bool:
+        """True when a catalog relation the router did NOT create
+        shadows the bare table name under Spark's resolution precedence
+        (r13 review fix, widened per r13 VERDICT item 2): the bare-name
+        fast paths serve the relation a plain ``SELECT *`` would read,
+        so they must defer to ANY same-bare-name binding the user made
+        themselves — a temp view (both storage modes), or, in
+        manifest-authority mode, a permanent catalog table or view (the
+        store owns NO session-catalog entries there, so every catalog
+        hit is user-created).  In POSIX mode a non-temporary hit is the
+        keyed table's OWN external registration (db == namespace), so
+        it is not a shadow.  Qualified ``ns.name`` references stay
+        registry-resolved — the reference's ``lookupRelation`` seam —
+        and ``global_temp.x`` never resolves bare in Spark, so neither
+        reaches this check."""
         bare = _unquote(target)
         if "." in bare:
             return False
         try:
-            return (
-                self.spark.catalog.getTable(bare).tableType == "TEMPORARY"
-            )
+            t = self.spark.catalog.getTable(bare)
         except Exception:
             return False
+        if t.tableType == "TEMPORARY":
+            return True
+        return bool(getattr(self.store, "manifest_authority", False))
 
     def _similarity_join(self, m) -> DataFrame:
         """``SIMILARITY JOIN`` — SURVEY §7.2 P6's optional SQL syntax,
@@ -965,7 +995,7 @@ class KeyedSqlRouter:
         m = _BARE_COUNT_RE.match(stmt)
         if m:
             ns, name = _split_qualified(m.group("target"), self.spark)
-            if self._is_keyed(ns, name) and not self._temp_view_shadows(
+            if self._is_keyed(ns, name) and not self._catalog_shadows(
                 m.group("target")
             ):
                 # stats-from-metadata discipline (reference

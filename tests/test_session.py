@@ -786,6 +786,58 @@ def test_sql_bare_count_defers_to_shadowing_temp_view(spark, tmp_path):
         spark.catalog.setCurrentDatabase(prev_db)
 
 
+def test_sql_bare_name_defers_to_permanent_catalog_table(spark, tmp_path):
+    """r13 VERDICT item 2: in manifest-authority mode the router owns NO
+    session-catalog entries, so a PERMANENT catalog table sharing a keyed
+    table's bare name is user-created and wins bare-name resolution —
+    for the bare-count fast path AND the resolver's plain-SELECT rewrite
+    alike (the two must read the same relation).  The dot-qualified
+    keyed form stays registry-resolved and keeps the footer count."""
+    from spark_sql_hbase_spark.plans.pushdown import formatted_plan
+    from spark_sql_hbase_spark.session import EngineSession
+    from spark_sql_hbase_spark.sources.fixtures import pw_test_df, pw_test_spec
+
+    sess = EngineSession(
+        spark=spark,
+        warehouse_dir=str(tmp_path / "wh"),
+        manifest_authority=True,
+    )
+    sess.store.create_table(pw_test_spec())
+    sess.store.insert(
+        "pw.test", pw_test_df(spark), overwrite=True, generate_row_key=False
+    )
+    keyed_n = sess.store.read("pw.test").count()
+    cat_n = 3
+    prev_db = spark.catalog.currentDatabase()
+    spark.sql("CREATE DATABASE IF NOT EXISTS pw")
+    try:
+        spark.catalog.setCurrentDatabase("pw")
+        pw_test_df(spark).limit(cat_n).write.mode("overwrite").saveAsTable(
+            "pw.test"
+        )
+        assert spark.catalog.getTable("test").tableType != "TEMPORARY"
+        shadowed = sess.sql("SELECT COUNT(*) FROM test")
+        assert "LocalTableScan" not in formatted_plan(shadowed)
+        assert shadowed.collect()[0][0] == cat_n
+        # the plain-SELECT seam reads the SAME relation as the count
+        assert sess.sql("SELECT * FROM test").count() == cat_n
+        # dot-qualified keeps the registry authority + footer count
+        qualified = sess.sql("SELECT COUNT(*) FROM pw.test")
+        assert "LocalTableScan" in formatted_plan(qualified)
+        assert qualified.collect()[0][0] == keyed_n
+        assert sess.sql("SELECT * FROM pw.test").count() == keyed_n
+        # catalog table dropped -> the bare name is keyed again
+        spark.sql("DROP TABLE pw.test")
+        bare = sess.sql("SELECT COUNT(*) FROM test")
+        assert "LocalTableScan" in formatted_plan(bare)
+        assert bare.collect()[0][0] == keyed_n
+        assert sess.sql("SELECT * FROM test").count() == keyed_n
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pw.test")
+        spark.catalog.setCurrentDatabase(prev_db)
+        spark.sql("DROP DATABASE IF EXISTS pw")
+
+
 def test_similarity_join_sql_ivf_model_matches_operator(spark, tmp_path):
     """r12 VERDICT item 4: SIMILARITY JOIN ... METHOD IVF MODEL <view>
     PROBES n must be exactly assign_cells + multiprobe_ann_topk given
