@@ -1248,9 +1248,7 @@ _PQ_SUB = 16
 _PQ_KSUB = 8
 
 
-@register(
-    "zd47_pq_ann",
-    oracle=f"""
+_PQ_GATE_ORACLE = f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
     ), cb AS (
@@ -1287,7 +1285,12 @@ _PQ_KSUB = 8
             PARTITION BY query_id ORDER BY adc, neighbor_id
         ) AS rn FROM dist
     ) WHERE rn <= 5
-    """,
+    """
+
+
+@register(
+    "zd47_pq_ann",
+    oracle=_PQ_GATE_ORACLE,
     description="product-quantization ANN: m=4 subspace codes + "
     "asymmetric-distance top-5 (corpus read as codes, never as vectors)",
 )
@@ -4461,3 +4464,57 @@ def _bind_zh04_oracle() -> None:
 
 
 _bind_zh04_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zh11 — SIMILARITY JOIN METHOD PQ MODEL (r13 VERDICT item 3): the router
+# resolves a REGISTERED codebook relation (s, code, cv) — the shape
+# persist_ivfpq_model writes — through the same _resolve seam as the
+# corpus and rewrites to pq_encode + pq_ann_topk, completing the SQL
+# surface over the quantizer matrix (BRUTE/SQ8/IVF shipped in r11-r13).
+# The model here is the SAME SQL-reproducible untrained codebook zd47
+# uses (subvectors of vec_id < 8), so the gate hashes against zd47's
+# exact oracle: the SQL surface must add no semantics of its own.
+# Malformed forms (PQ without MODEL, PROBES on PQ, a model lacking
+# (s, code, cv)) refuse with the grammar — pinned in tests/
+# test_session.py.
+# ---------------------------------------------------------------------------
+@register(
+    "zh11_similarity_join_pq",
+    oracle=_PQ_GATE_ORACLE,
+    description="SIMILARITY JOIN METHOD PQ MODEL <books>: codebook-"
+    "backed asymmetric-distance ANN through the SQL router (same "
+    "oracle as the zd47 operator gate)",
+)
+def zh11_similarity_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _codebook_relation,
+        _to_double,
+    )
+    from spark_sql_hbase_spark.session import EngineSession
+
+    emb = table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("__zh11_emb")
+    seeds = (
+        emb.filter(F.col("vec_id") < _PQ_KSUB)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect()
+    )
+    books = [
+        [
+            (int(r["vec_id"]), list(r["ev"])[s * _PQ_SUB : (s + 1) * _PQ_SUB])
+            for r in sorted(seeds, key=lambda r: r["vec_id"])
+        ]
+        for s in range(_PQ_M)
+    ]
+    _codebook_relation(spark, books).createOrReplaceTempView("__zh11_books")
+    sess = EngineSession(
+        spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="simjoin_pq_wh_")
+    )
+    return sess.sql(
+        "SIMILARITY JOIN __zh11_emb "
+        "WITH (SELECT * FROM __zh11_emb WHERE vec_id < 8) "
+        "ON embedding BY vec_id TOP 5 METHOD PQ MODEL __zh11_books"
+    )

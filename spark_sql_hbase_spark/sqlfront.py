@@ -792,7 +792,7 @@ class KeyedSqlRouter:
 
             SIMILARITY JOIN <corpus> WITH <queries | (subquery)>
                 ON <vec_col> BY <id_col> TOP <k>
-                [METHOD BRUTE|SQ8|IVF] [MODEL <table | (subquery)>]
+                [METHOD BRUTE|SQ8|IVF|PQ] [MODEL <table | (subquery)>]
                 [PROBES <n>] [DIM <n>]
 
         METHOD BRUTE (default) is :func:`~spark_sql_hbase_spark.
@@ -835,13 +835,21 @@ class KeyedSqlRouter:
         dim = int(m.group("dim")) if m.group("dim") else None
         model_ref = m.group("model")
         probes = m.group("probes")
-        if method != "ivf":
+        if method not in ("ivf", "pq"):
             if model_ref or probes:
                 raise ValueError(
                     f"SIMILARITY JOIN method {method.upper()} takes no "
                     "MODEL/PROBES clause — those belong to METHOD IVF "
-                    "MODEL <centroids> [PROBES <n>]"
+                    "MODEL <centroids> [PROBES <n>] and METHOD PQ "
+                    "MODEL <codebooks>"
                 )
+        if method == "pq" and probes:
+            raise ValueError(
+                "SIMILARITY JOIN METHOD PQ takes no PROBES clause — PQ "
+                "has no coarse cells to probe (that is METHOD IVF); it "
+                "scores every corpus code against the per-query ADC "
+                "tables"
+            )
         if method == "brute":
             return similarity.cosine_topk(corpus, queries, id_col, vec_col, k)
         if method == "sq8":
@@ -877,10 +885,32 @@ class KeyedSqlRouter:
                 k=k,
                 nprobe=int(probes) if probes else 2,
             )
+        if method == "pq":
+            if not model_ref:
+                raise ValueError(
+                    "SIMILARITY JOIN METHOD PQ needs MODEL "
+                    "<codebook table | (subquery)> — a relation with "
+                    "columns (s, code, cv), e.g. the books table "
+                    "persist_ivfpq_model writes"
+                )
+            books = rel(model_ref)
+            missing = {"s", "code", "cv"} - set(books.columns)
+            if missing:
+                raise ValueError(
+                    f"SIMILARITY JOIN PQ model {model_ref.strip()!r} lacks "
+                    f"column(s) {sorted(missing)}: a codebook relation "
+                    "exposes (s, code, cv)"
+                )
+            books = books.select("s", "code", "cv")
+            codes = similarity.pq_encode(corpus, books, id_col, vec_col)
+            return similarity.pq_ann_topk(
+                codes, queries, books, id_col, vec_col, k=k
+            )
         raise ValueError(
             f"unknown SIMILARITY JOIN method {method!r}; supported: "
             "BRUTE (exact cosine), SQ8 (scalar-quantized), "
-            "IVF (cell-pruned; MODEL <centroids> [PROBES <n>])"
+            "IVF (cell-pruned; MODEL <centroids> [PROBES <n>]), "
+            "PQ (asymmetric-distance codes; MODEL <codebooks>)"
         )
 
     # -- dispatch ---------------------------------------------------------
@@ -1024,7 +1054,7 @@ class KeyedSqlRouter:
             raise ValueError(
                 "unsupported SIMILARITY JOIN form; use SIMILARITY JOIN "
                 "<corpus> WITH <queries|(subquery)> ON <vec_col> BY "
-                "<id_col> TOP <k> [METHOD BRUTE|SQ8|IVF] "
+                "<id_col> TOP <k> [METHOD BRUTE|SQ8|IVF|PQ] "
                 "[MODEL <table|(subquery)>] [PROBES <n>] [DIM <n>]"
             )
 

@@ -890,3 +890,87 @@ def test_similarity_join_sql_ivf_model_matches_operator(spark, tmp_path):
     assert sorted(map(tuple, got_sub.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_similarity_join_sql_pq_model_matches_operator(spark, tmp_path):
+    """r13 VERDICT item 3: SIMILARITY JOIN ... METHOD PQ MODEL <books>
+    must be exactly pq_encode + pq_ann_topk given the same codebook
+    relation (the router adds no semantics of its own); the end-to-end
+    result is also oracle-gated (zh11, same oracle as the zd47 operator
+    gate).  A (subquery) MODEL resolves too, and the malformed forms
+    refuse with the grammar."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _codebook_relation,
+        _to_double,
+        pq_ann_topk,
+        pq_encode,
+    )
+    from spark_sql_hbase_spark.queries import table
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    emb.createOrReplaceTempView("__sj_pq_emb")
+    m, sub = 4, 16
+    seeds = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect()
+    )
+    books = [
+        [
+            (int(r["vec_id"]), list(r["ev"])[s * sub : (s + 1) * sub])
+            for r in sorted(seeds, key=lambda r: r["vec_id"])
+        ]
+        for s in range(m)
+    ]
+    rel = _codebook_relation(spark, books)
+    rel.createOrReplaceTempView("__sj_pq_books")
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    got = sess.sql(
+        "SIMILARITY JOIN __sj_pq_emb "
+        "WITH (SELECT * FROM __sj_pq_emb WHERE vec_id < 6) "
+        "ON embedding BY vec_id TOP 4 METHOD PQ MODEL __sj_pq_books"
+    )
+    codes = pq_encode(emb, books, "vec_id", "embedding")
+    want = pq_ann_topk(
+        codes,
+        emb.filter(F.col("vec_id") < 6),
+        books,
+        "vec_id",
+        "embedding",
+        k=4,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # MODEL as an inline subquery resolves through the same seam
+    got_sub = sess.sql(
+        "SIMILARITY JOIN __sj_pq_emb "
+        "WITH (SELECT * FROM __sj_pq_emb WHERE vec_id < 6) "
+        "ON embedding BY vec_id TOP 4 "
+        "METHOD PQ MODEL (SELECT * FROM __sj_pq_books)"
+    )
+    assert sorted(map(tuple, got_sub.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # malformed PQ forms refuse with their clause of the grammar
+    with _pytest.raises(ValueError, match="METHOD PQ needs MODEL"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_pq_emb WITH __sj_pq_emb "
+            "ON embedding BY vec_id TOP 4 METHOD PQ"
+        )
+    with _pytest.raises(ValueError, match="METHOD PQ takes no PROBES"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_pq_emb WITH __sj_pq_emb "
+            "ON embedding BY vec_id TOP 4 "
+            "METHOD PQ MODEL __sj_pq_books PROBES 2"
+        )
+    with _pytest.raises(
+        ValueError, match=r"lacks column\(s\) \['code', 'cv', 's'\]"
+    ):
+        sess.sql(
+            "SIMILARITY JOIN __sj_pq_emb WITH __sj_pq_emb "
+            "ON embedding BY vec_id TOP 4 METHOD PQ MODEL __sj_pq_emb"
+        )
