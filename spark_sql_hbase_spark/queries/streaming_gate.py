@@ -1378,18 +1378,16 @@ _bind_st20_oracle()
     "extraction over binary payloads, zero streaming state",
 )
 def st21_stream_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from spark_sql_hbase_spark.streaming.pipelines import stream_media_metadata
 
     docs = table(spark, sf_dir, "documents")
     arrivals = docs.filter((F.col("doc_id") % 9) == 0).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
+    # the sink is a temp view over the committed-batch directory inside
+    # the fresh checkpoint (idempotent_batch_commit, r13 VERDICT item 4)
+    # — createOrReplaceTempView supersedes any earlier run's view
     sink = "__st21_media_meta"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    spark.sql(f"DROP TABLE IF EXISTS {sink}")
-    shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
     stream = _one_batch_stream(spark, arrivals)
     ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_st21_")
     q = stream_media_metadata(stream, "doc_id", "payload", ckpt, sink)
@@ -1475,8 +1473,6 @@ _ZH03_K = 4  # centroids: embeddings vec_id < 4 (the zb11 quantizer)
     "results)",
 )
 def st22_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
         assign_cells,
@@ -1495,12 +1491,9 @@ def st22_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     corpus = assign_cells(emb, cents, "vec_id", "embedding", "cell")
     queries = emb.filter((F.col("vec_id") % 9) == 0)
+    # committed-batch temp-view sink (idempotent_batch_commit; the
+    # checkpoint-colocated default keeps batch_id and sink lineage tied)
     sink = "__zh03_ann_results"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    spark.sql(f"DROP TABLE IF EXISTS {sink}")
-    shutil.rmtree(
-        warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True
-    )
     stream = _one_batch_stream(spark, queries)
     ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_zh03_")
     q = stream_ann_serving(
