@@ -907,17 +907,36 @@ def containment_join(
     )
 
 
-def _norm_lines_sql(text_col: str, min_line_tokens: int) -> str:
-    """SQL expression: normalized qualifying sentences of ``text_col`` —
-    split on terminal punctuation, trimmed, lowercased, >= N words.
-    Shared by the detection (:func:`line_dedup_stats`) and
-    transformation (:func:`strip_boilerplate_lines`) twins so their
-    line law can never drift apart."""
+def _norm_units_sql(text_col: str, min_tokens: int, split_re: str) -> str:
+    """SQL expression: normalized qualifying text units of ``text_col``
+    — split on ``split_re``, trimmed, lowercased, >= N words.  ONE
+    normalization law parameterized by the unit boundary (r13 VERDICT
+    item 6): sentences split on terminal punctuation
+    (:func:`_norm_lines_sql`), paragraphs on blank-line/newline runs
+    (:func:`_norm_paras_sql`)."""
     return (
-        "filter(transform(split(lower({t}), '[.!?]+'), "
+        "filter(transform(split(lower({t}), '{re}'), "
         "x -> trim(x)), x -> x <> '' AND "
         "size(array_remove(split(x, '[^a-z0-9]+'), '')) >= {mt})"
-    ).format(t=text_col, mt=min_line_tokens)
+    ).format(t=text_col, re=split_re, mt=min_tokens)
+
+
+def _norm_lines_sql(text_col: str, min_line_tokens: int) -> str:
+    """SQL expression: normalized qualifying sentences of ``text_col``
+    — the ``[.!?]+`` unit law.  Shared by the detection
+    (:func:`line_dedup_stats`) and transformation
+    (:func:`strip_boilerplate_lines`) twins and the within-document
+    repetition rules (``text.doc_repetition``) so the line law can
+    never drift apart."""
+    return _norm_units_sql(text_col, min_line_tokens, "[.!?]+")
+
+
+def _norm_paras_sql(text_col: str, min_para_tokens: int) -> str:
+    """SQL expression: normalized qualifying PARAGRAPHS of ``text_col``
+    — the newline-run unit law (the published Gopher rules split
+    paragraphs on line breaks; Rae et al. 2021 appendix A).  Same
+    normalization as the sentence law, only the boundary differs."""
+    return _norm_units_sql(text_col, min_para_tokens, "[\\\\r\\\\n]+")
 
 
 #: SQL template: 56-bit md5 hash of a line expression (same law as

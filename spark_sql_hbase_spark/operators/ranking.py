@@ -203,56 +203,96 @@ def bm25_sql(
     """
 
 
-def doc_bigram_tf(
-    docs: DataFrame, id_col: str, text_col: str
+def doc_ngram_tf(
+    docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Per-document word-bigram frequencies ``(id, n2, bg, tf)`` —
-    THE bigram construction law (tokenize bound once behind a Generate
-    barrier, lambda-free ``arrays_zip``, one map-side-combined
-    aggregate), shared by :func:`bigram_surprisal` and
-    :func:`~spark_sql_hbase_spark.operators.text.doc_repetition` so
-    the two can never drift (the ``dedup._norm_lines_sql`` precedent
-    for lines; r13 review).  Returned UNCACHED — multi-consumer
-    callers cache it themselves."""
+    """Per-document word-``n``-gram frequencies ``(id, nn, ng, tf)`` —
+    THE n-gram construction law (tokenize bound once behind a Generate
+    barrier, lambda-free ``arrays_zip`` over ``n`` shifted slices, one
+    map-side-combined aggregate), generalizing the r13 bigram law so
+    every gram order shares ONE construction (r13 VERDICT item 6):
+    :func:`doc_bigram_tf` is the ``n=2`` specialization, and the
+    Gopher top-n-gram rules consume ``n=3,4`` directly.  ``nn`` is the
+    doc's total gram count (``max(len(tokens) - n + 1, 0)``).  Returned
+    UNCACHED — multi-consumer callers cache it themselves.
+
+    Scale: row-local construction, one shuffle keyed (id, gram) with
+    map-side combine — identical cost law at every ``n``."""
+    if n < 2:
+        raise ValueError(f"n-gram order must be >= 2, got {n}")
     bound = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
     )
-    m2 = F.size("__tok") - 1
-    pairs = F.when(
-        F.size("__tok") >= 2,
-        F.arrays_zip(F.slice("__tok", 1, m2), F.slice("__tok", 2, m2)),
-    ).otherwise(
-        F.expr("CAST(array() AS array<struct<`0`:string,`1`:string>>)")
-    )
+    m = F.size("__tok") - (n - 1)
+    fields = ",".join(f"`{i}`:string" for i in range(n))
+    grams = F.when(
+        F.size("__tok") >= n,
+        F.arrays_zip(*[F.slice("__tok", i + 1, m) for i in range(n)]),
+    ).otherwise(F.expr(f"CAST(array() AS array<struct<{fields}>>)"))
     return (
         bound.select(
             "id",
-            F.size(pairs).cast("long").alias("n2"),
-            F.explode(pairs).alias("pr"),
+            F.size(grams).cast("long").alias("nn"),
+            F.explode(grams).alias("pr"),
         )
-        .select("id", "n2", F.concat("pr.0", F.lit(" "), "pr.1").alias("bg"))
-        .groupBy("id", "n2", "bg")
+        .select(
+            "id",
+            "nn",
+            F.concat_ws(" ", *[f"pr.{i}" for i in range(n)]).alias("ng"),
+        )
+        .groupBy("id", "nn", "ng")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
-def doc_bigram_tf_sql(table: str, id_expr: str, tokens_expr: str) -> str:
-    """DuckDB twin of :func:`doc_bigram_tf` — the shared SQL fragment
-    behind :func:`bigram_surprisal_sql` and ``text.doc_repetition_sql``
-    (selects ``(id, n2, bg, tf)``)."""
+def doc_ngram_tf_sql(
+    table: str, id_expr: str, tokens_expr: str, n: int
+) -> str:
+    """DuckDB twin of :func:`doc_ngram_tf` (selects
+    ``(id, nn, ng, tf)``) — one generalized fragment behind
+    :func:`doc_bigram_tf_sql` and the Gopher n-gram oracles."""
+    if n < 2:
+        raise ValueError(f"n-gram order must be >= 2, got {n}")
+    gram = " || ' ' || ".join(f"t[__i + {i + 1}]" for i in range(n))
     return f"""
-        SELECT id, n2, bg, COUNT(*) AS tf FROM (
-            SELECT id, len(g2) AS n2, unnest(g2) AS bg FROM (
+        SELECT id, nn, ng, COUNT(*) AS tf FROM (
+            SELECT id, len(g) AS nn, unnest(g) AS ng FROM (
                 SELECT id,
-                       CASE WHEN len(t) >= 2 THEN
-                           [t[__i + 1] || ' ' || t[__i + 2]
-                            for __i in range(0, len(t) - 1)]
-                       ELSE [] END AS g2
+                       CASE WHEN len(t) >= {n} THEN
+                           [{gram}
+                            for __i in range(0, len(t) - {n - 1})]
+                       ELSE [] END AS g
                 FROM (SELECT {id_expr} AS id, {tokens_expr} AS t
                       FROM {table})
             )
         ) GROUP BY 1, 2, 3
+    """
+
+
+def doc_bigram_tf(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document word-bigram frequencies ``(id, n2, bg, tf)`` — the
+    ``n=2`` specialization of :func:`doc_ngram_tf` (ONE construction
+    law — r13 review precedent, generalized in r14), kept under its
+    historical column names for the existing consumers
+    (:func:`bigram_surprisal`,
+    :func:`~spark_sql_hbase_spark.operators.text.doc_repetition`)."""
+    return (
+        doc_ngram_tf(docs, id_col, text_col, 2)
+        .withColumnRenamed("nn", "n2")
+        .withColumnRenamed("ng", "bg")
+    )
+
+
+def doc_bigram_tf_sql(table: str, id_expr: str, tokens_expr: str) -> str:
+    """DuckDB twin of :func:`doc_bigram_tf` — the ``n=2``
+    specialization of :func:`doc_ngram_tf_sql` under the historical
+    column names (selects ``(id, n2, bg, tf)``)."""
+    inner = doc_ngram_tf_sql(table, id_expr, tokens_expr, 2)
+    return f"""
+        SELECT id, nn AS n2, ng AS bg, tf FROM ({inner})
     """
 
 

@@ -4518,3 +4518,56 @@ def zh11_similarity_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH (SELECT * FROM __zh11_emb WHERE vec_id < 8) "
         "ON embedding BY vec_id TOP 5 METHOD PQ MODEL __zh11_books"
     )
+
+
+# ---------------------------------------------------------------------------
+# zh12 — the REST of the Gopher/MassiveText repetition rule set (r13
+# VERDICT item 6; operators/text.py::doc_repetition_gopher): duplicate-
+# PARAGRAPH fraction + character mass (newline-run unit law — the same
+# normalization as t35's line law, only the boundary differs) and the
+# top 3-gram / 4-gram character-mass fractions (ONE generalized n-gram
+# law, ranking.doc_ngram_tf — the bigram column of t35 is its n=2
+# specialization).  The corpus carries no newlines, so the gate
+# synthesizes paragraph structure deterministically — a newline after
+# every second word, the same regexp_replace law in both engines —
+# which leaves the token sequence (and so the gram branches) untouched
+# (tokens split on [^a-z0-9]+ either way).  Per-document keyed
+# aggregates only, nothing corpus-global (plan-pinned).
+# ---------------------------------------------------------------------------
+@register(
+    "zh12_doc_repetition_gopher",
+    oracle=None,  # bound below (generator import)
+    description="Gopher repetition completion: duplicate-paragraph "
+    "fraction + char mass, top 3/4-gram char mass (per-doc keyed "
+    "aggregates, shared unit/gram laws)",
+)
+def zh12_doc_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d2 = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"(\S+ \S+) ", "$1\n").alias("text2"),
+    )
+    return text.doc_repetition_gopher(
+        d2, "doc_id", "text2", min_para_tokens=1, ns=(3, 4)
+    )
+
+
+def _bind_zh12_oracle() -> None:
+    from spark_sql_hbase_spark.functions.texthash import tokens_sql
+    from spark_sql_hbase_spark.operators.text import doc_repetition_gopher_sql
+    from spark_sql_hbase_spark.queries import REGISTRY
+
+    inner = doc_repetition_gopher_sql(
+        "__g_src", "doc_id", "text2", tokens_sql("text2"), 1, (3, 4)
+    )
+    src = (
+        "WITH __g_src AS (SELECT doc_id, "
+        "regexp_replace(text, '(\\S+ \\S+) ', '\\1' || chr(10), 'g') "
+        "AS text2 FROM documents), __pn"
+    )
+    REGISTRY["zh12_doc_repetition_gopher"].oracle = inner.replace(
+        "WITH __pn", src, 1
+    )
+
+
+_bind_zh12_oracle()

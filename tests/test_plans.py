@@ -1270,3 +1270,14 @@ def test_r13_doc_repetition_no_corpus_global_state(spark, registry):
     assert "Window" not in plan, plan[:1500]
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_r14_doc_repetition_gopher_no_corpus_global_state(spark, registry):
+    """zh12: the paragraph branch and both gram branches aggregate
+    keyed BY DOCUMENT — no corpus-global relation exists (no broadcast
+    vocabulary, no window, no global sort); the only joins are the
+    per-doc stats merges on id."""
+    plan = formatted_plan(registry["zh12_doc_repetition_gopher"].fn(spark, SF))
+    assert "Window" not in plan, plan[:1500]
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

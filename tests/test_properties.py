@@ -3245,3 +3245,60 @@ def test_rrf_fuse_collapses_within_list_duplicates(spark):
     assert out[(0, 7)]["rrf"] == round(1 / 63, 6)  # best rank only
     assert out[(0, 9)]["n_lists"] == 1
     assert out[(0, 9)]["rrf"] == round(1 / 61, 6)
+
+
+def test_doc_ngram_tf_bigram_specialization(spark):
+    """r13 VERDICT item 6: doc_bigram_tf IS doc_ngram_tf(n=2) under the
+    historical column names — one construction law, no drift."""
+    from spark_sql_hbase_spark.operators.ranking import (
+        doc_bigram_tf,
+        doc_ngram_tf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "x"), (3, ""), (4, "p q")],
+        "id int, text string",
+    )
+    via_big = sorted(map(tuple, doc_bigram_tf(docs, "id", "text").collect()))
+    via_gen = sorted(
+        map(tuple, doc_ngram_tf(docs, "id", "text", 2).collect())
+    )
+    assert via_big == via_gen
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n-gram order"):
+        doc_ngram_tf(docs, "id", "text", 1)
+
+
+def test_doc_repetition_gopher_laws(spark):
+    """Paragraph and n-gram repetition invariants on a hand-computable
+    doc: fractions are exact integer ratios in [0, 1]; a doc with
+    fewer than n tokens reports 0.0 for the n-gram column; newline
+    RUNS delimit one boundary (no empty paragraphs)."""
+    from spark_sql_hbase_spark.operators.text import doc_repetition_gopher
+
+    docs = spark.createDataFrame(
+        [
+            # 3 paragraphs, one duplicated: 'a b' x2 (3 chars each), 'c d'
+            (1, "a b\nc d\n\na b"),
+            # 2 tokens only: no 3-gram, no 4-gram
+            (2, "hi there"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r
+        for r in doc_repetition_gopher(
+            docs, "id", "text", min_para_tokens=1, ns=(3, 4)
+        ).collect()
+    }
+    r1 = got[1]
+    assert r1["n_paras"] == 3
+    assert r1["dup_para_frac"] == 1.0 / 3.0
+    assert r1["dup_para_char_frac"] == 3.0 / 9.0
+    # 'a b\nc d\n\na b' tokens: a b c d a b -> 3-grams each unique (4)
+    assert 0.0 <= r1["top_3gram_char_frac"] <= 1.0
+    r2 = got[2]
+    assert r2["n_paras"] == 1 and r2["dup_para_frac"] == 0.0
+    assert r2["top_3gram_char_frac"] == 0.0
+    assert r2["top_4gram_char_frac"] == 0.0
