@@ -2275,3 +2275,67 @@ def k34_sql_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess.sql("DELETE FROM gate.orders_sqlcnt WHERE CAST(row_key AS BIGINT) % 7 = 0")
     return sess.sql("SELECT COUNT(*) AS n FROM gate.orders_sqlcnt")
+
+
+# ---------------------------------------------------------------------------
+# zh13 — scanner paging through the SQL surface (r13 VERDICT stretch):
+# SCAN <table> PAGE <n> [AFTER '<key>'] routes to
+# KeyedTableStore.scan_page at the same router seam as SIMILARITY JOIN
+# — the reference's Scan.setLimit + withStartRow pairing
+# (HBaseSQLReader paging loop) reachable without the Python API.  The
+# gate walks the cursor in SQL exactly as k31 walks it in Python and
+# hashes against the same LIMIT/OFFSET oracle, split-agnostically
+# (pages may close SHORT at a file-span boundary — accumulate, slice).
+# Malformed SCAN forms and non-keyed targets refuse with the grammar
+# (pinned in tests/test_session.py).
+# ---------------------------------------------------------------------------
+@register(
+    "zh13_sql_scan_pagination",
+    oracle="""
+    SELECT row_key, name, price FROM (
+        SELECT lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS row_key,
+               p_name AS name, p_retailprice AS price
+        FROM part
+        ORDER BY row_key
+        LIMIT 80 OFFSET 40
+    )
+    """,
+    description="SCAN <table> PAGE <n> [AFTER '<key>'] through the SQL "
+    "router: resumable key-cursor pages (row_key pushdown + "
+    "TakeOrdered, never an OFFSET re-scan)",
+)
+def zh13_sql_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_sql_hbase_spark.catalog import TableSpec
+
+    sess = _session(spark)
+    p = table(spark, sf_dir, "part")
+    spec = TableSpec(
+        namespace="gate",
+        name="part_sqlpages",
+        key_type="string",
+        families={"p": {"name": "string", "price": "double"}},
+    )
+    sess.store.ctas(
+        spec,
+        p.select(
+            F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("row_key"),
+            F.col("p_name").alias("p:name"),
+            F.col("p_retailprice").alias("p:price"),
+        ),
+        mode="overwrite",
+    )
+    rows, cursor = [], None
+    while len(rows) < 120:
+        stmt = "SCAN gate.part_sqlpages PAGE 40"
+        if cursor is not None:
+            stmt += f" AFTER '{cursor}'"
+        page = sess.sql(stmt).collect()
+        if not page:
+            break
+        cursor = page[-1]["row_key"]
+        rows.extend(page)
+    rows = rows[40:120]
+    return spark.createDataFrame(
+        [(r["row_key"], r["p:name"], r["p:price"]) for r in rows],
+        "row_key string, name string, price double",
+    )

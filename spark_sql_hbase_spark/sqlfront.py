@@ -130,6 +130,15 @@ _SIMJOIN_RE = re.compile(
     rf"(?:\s+dim\s+(?P<dim>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# scanner paging through the SQL surface (r13 VERDICT stretch): the
+# reference's Scan.setLimit + withStartRow pairing at the same router
+# seam as SIMILARITY JOIN — SCAN <table> PAGE <n> [AFTER '<key>']
+_SCAN_PAGE_RE = re.compile(
+    rf"^\s*scan\s+(?P<target>{_QUALIFIED})\s+page\s+(?P<n>\d+)"
+    rf"(?:\s+after\s+'(?P<after>[^']*)')?\s*$",
+    re.IGNORECASE,
+)
+
 # bare unfiltered count — the ONE select shape served from metadata
 # (any WHERE/GROUP BY/second column/subquery falls through to Spark):
 # SELECT COUNT(*|1) [AS alias] FROM <table>
@@ -1046,6 +1055,31 @@ class KeyedSqlRouter:
                 return self.spark.sql(
                     f"VALUES (CAST({int(n)} AS BIGINT))"
                 ).toDF(col)
+
+        m = _SCAN_PAGE_RE.match(stmt)
+        if m:
+            ns, name = _split_qualified(m.group("target"), self.spark)
+            if not self._is_keyed(ns, name):
+                raise ValueError(
+                    f"SCAN targets a registered keyed table; {ns}.{name} "
+                    "is not one (plain relations page with ordinary "
+                    "SELECT ... ORDER BY ... LIMIT)"
+                )
+            # the reference's scanner-paging pairing (Scan.setLimit +
+            # withStartRow(lastKey, exclusive)) surfaced in SQL: the
+            # next page of rows in key order strictly after the cursor
+            # — key-bounded, so every page costs the same at any depth
+            # (an OFFSET pager re-scans the prefix).  Pages may close
+            # SHORT at a file-span boundary; resume from the returned
+            # page's last row_key.
+            return self.store.scan_page(
+                f"{ns}.{name}", int(m.group("n")), m.group("after")
+            )
+        if re.match(r"^\s*scan\b", stmt, re.IGNORECASE):
+            raise ValueError(
+                "unsupported SCAN form; use SCAN <table> PAGE <n> "
+                "[AFTER '<last row_key>']"
+            )
 
         m = _SIMJOIN_RE.match(stmt)
         if m:
