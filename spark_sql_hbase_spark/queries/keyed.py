@@ -2328,7 +2328,8 @@ def zh13_sql_scan_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     while len(rows) < 120:
         stmt = "SCAN gate.part_sqlpages PAGE 40"
         if cursor is not None:
-            stmt += f" AFTER '{cursor}'"
+            # SQL-standard escape: a cursor key containing ' doubles it
+            stmt += " AFTER '{}'".format(cursor.replace("'", "''"))
         page = sess.sql(stmt).collect()
         if not page:
             break

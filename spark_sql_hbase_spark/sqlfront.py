@@ -132,10 +132,13 @@ _SIMJOIN_RE = re.compile(
 )
 # scanner paging through the SQL surface (r13 VERDICT stretch): the
 # reference's Scan.setLimit + withStartRow pairing at the same router
-# seam as SIMILARITY JOIN — SCAN <table> PAGE <n> [AFTER '<key>']
+# seam as SIMILARITY JOIN — SCAN <table> PAGE <n> [AFTER '<key>'].
+# The cursor literal follows the SQL-standard doubled-quote escape
+# (review fix: a row key CONTAINING a quote must be expressible, or a
+# SQL walk over such a table dies mid-walk with no way to resume)
 _SCAN_PAGE_RE = re.compile(
     rf"^\s*scan\s+(?P<target>{_QUALIFIED})\s+page\s+(?P<n>\d+)"
-    rf"(?:\s+after\s+'(?P<after>[^']*)')?\s*$",
+    rf"(?:\s+after\s+'(?P<after>(?:[^']|'')*)')?\s*$",
     re.IGNORECASE,
 )
 
@@ -911,6 +914,43 @@ class KeyedSqlRouter:
                     "exposes (s, code, cv)"
                 )
             books = books.select("s", "code", "cv")
+            # Dense-code invariant (review fix): the ADC lookup indexes
+            # the code-ORDERED distance table positionally
+            # (element_at(tabs[s], code + 1)), so subspace ids must be
+            # dense 0..m-1 and each book's codes dense 0..ksub-1 — the
+            # list form asserts this (similarity.pq_encode); a
+            # non-conforming user relation through the SQL seam must
+            # refuse loudly, not return NULL-adc garbage top-k.  The
+            # probe collects only (s, code, len(cv)) of the model-sized
+            # broadcast relation — driver cost O(m·ksub), never corpus.
+            shape = sorted(
+                (int(r["s"]), int(r["code"]), int(r["d"]))
+                for r in books.select(
+                    "s", "code", F.size("cv").alias("d")
+                ).collect()
+            )
+            by_s: dict = {}
+            dims = set()
+            for s_id, code, d in shape:
+                by_s.setdefault(s_id, []).append(code)
+                dims.add(d)
+            if len(dims) > 1:
+                raise ValueError(
+                    f"SIMILARITY JOIN PQ model {model_ref.strip()!r} mixes "
+                    f"subvector lengths {sorted(dims)}: every codebook "
+                    "entry must quantize the same subspace width"
+                )
+            ksubs = {tuple(v) for v in by_s.values()}
+            if sorted(by_s) != list(range(len(by_s))) or len(ksubs) != 1 or (
+                next(iter(ksubs)) != tuple(range(len(next(iter(ksubs)))))
+            ):
+                raise ValueError(
+                    f"SIMILARITY JOIN PQ model {model_ref.strip()!r} is not "
+                    "a dense codebook: subspace ids must be 0..m-1 and "
+                    "every subspace's codes 0..ksub-1 (what "
+                    "persist_ivfpq_model writes) — the ADC tables are "
+                    "code-indexed positionally"
+                )
             codes = similarity.pq_encode(corpus, books, id_col, vec_col)
             return similarity.pq_ann_topk(
                 codes, queries, books, id_col, vec_col, k=k
@@ -1071,9 +1111,12 @@ class KeyedSqlRouter:
             # — key-bounded, so every page costs the same at any depth
             # (an OFFSET pager re-scans the prefix).  Pages may close
             # SHORT at a file-span boundary; resume from the returned
-            # page's last row_key.
+            # page's last row_key (quote it SQL-style: '' for ').
+            after = m.group("after")
             return self.store.scan_page(
-                f"{ns}.{name}", int(m.group("n")), m.group("after")
+                f"{ns}.{name}",
+                int(m.group("n")),
+                after.replace("''", "'") if after is not None else None,
             )
         if re.match(r"^\s*scan\b", stmt, re.IGNORECASE):
             raise ValueError(

@@ -254,28 +254,51 @@ def idempotent_batch_commit(
     checkpoint.  The payload schema must not itself carry a
     ``batch_id`` column (it becomes the partition discriminator).
 
-    Scale: one staged write + one driver-side rename per batch —
-    O(batch) I/O, O(1) commit, no sink-wide listing or rewrite."""
-    import os
-    import shutil
+    All filesystem steps go through the Hadoop ``FileSystem`` API of
+    the path's own scheme (review fix: driver-local ``os`` calls would
+    silently diverge from wherever ``batch_df.write`` actually lands
+    whenever the default FS is not the driver's local disk — the
+    replay guard must probe the SAME filesystem the data commits to).
 
-    final = os.path.join(sink_dir, f"batch_id={int(batch_id)}")
-    if os.path.isdir(final):
+    Scale: one staged write + one filesystem rename per batch —
+    O(batch) I/O, O(1) commit, no sink-wide listing or rewrite."""
+    sc = batch_df.sparkSession.sparkContext
+    HPath = sc._jvm.org.apache.hadoop.fs.Path
+    final = HPath(sink_dir, f"batch_id={int(batch_id)}")
+    fs = final.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(final):
         return False  # replayed batch: already committed, sink unchanged
-    staging = os.path.join(sink_dir, "_staging", str(int(batch_id)))
-    shutil.rmtree(staging, ignore_errors=True)  # half-written prior try
-    batch_df.write.mode("overwrite").parquet(staging)
-    os.rename(staging, final)
+    staging = HPath(HPath(sink_dir, "_staging"), str(int(batch_id)))
+    fs.delete(staging, True)  # half-written prior try
+    batch_df.write.mode("overwrite").parquet(staging.toString())
+    fs.mkdirs(final.getParent())
+    if not fs.rename(staging, final):
+        # a False return (dst appeared concurrently, FS refusal) must
+        # fail LOUDLY — a silently uncommitted batch is data loss
+        raise IOError(
+            f"batch commit rename failed: {staging} -> {final}"
+        )
     return True
 
 
-def committed_batches(spark, sink_dir: str) -> DataFrame:
+def committed_batches(spark, sink_dir: str, schema=None) -> DataFrame:
     """The COMMITTED content of an :func:`idempotent_batch_commit` sink:
     Spark's partition discovery lists the ``batch_id=N`` directories
     (``_staging`` is underscore-prefixed and never listed), and the
     discriminator column is dropped so the relation reads exactly like
-    the plain append sink it replaces."""
-    return spark.read.parquet(sink_dir).drop("batch_id")
+    the plain append sink it replaces.
+
+    ``schema``: the sink's payload schema, used ONLY when no committed
+    batch has produced a parquet footer yet (an empty micro-batch
+    writes no part files — review fix: the replaced ``saveAsTable``
+    sink kept its schema in the catalog, so all-empty-so-far must not
+    raise 'unable to infer schema')."""
+    try:
+        return spark.read.parquet(sink_dir).drop("batch_id")
+    except Exception:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def _batch_marker_path(checkpoint_dir: str) -> str:
@@ -1033,7 +1056,9 @@ def stream_media_metadata(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_media_metadata(batch_df, id_col, binary_col)
         idempotent_batch_commit(out, sink, batch_id)
-        committed_batches(main, sink).createOrReplaceTempView(sink_table)
+        committed_batches(main, sink, schema=out.schema).createOrReplaceTempView(
+            sink_table
+        )
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -1101,7 +1126,9 @@ def stream_ann_serving(
             nprobe=nprobe,
         )
         idempotent_batch_commit(out, sink, batch_id)
-        committed_batches(main, sink).createOrReplaceTempView(sink_table)
+        committed_batches(main, sink, schema=out.schema).createOrReplaceTempView(
+            sink_table
+        )
 
     writer = query_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -1015,3 +1015,78 @@ def test_sql_scan_page_routes_and_refuses(spark, tmp_path):
         sess.sql("SCAN pw.test PAGE 4 AFTER unquoted")
     with _pytest.raises(ValueError, match="page_size must be positive"):
         sess.sql("SCAN pw.test PAGE 0")
+
+
+def test_sql_scan_page_cursor_with_quote(spark, tmp_path):
+    """Review fix: a row key CONTAINING a single quote round-trips
+    through the SCAN grammar's SQL-standard doubled-quote escape — the
+    walk over such a table resumes instead of dying mid-walk."""
+    from spark_sql_hbase_spark.catalog import TableSpec
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    spec = TableSpec(
+        namespace="pw",
+        name="quoted",
+        key_type="string",
+        families={"cf": {"v": "long"}},
+    )
+    sess.store.create_table(spec)
+    rows = spark.createDataFrame(
+        [("a'1", 1), ("b'2", 2), ("c3", 3), ("d4", 4)],
+        "row_key string, `cf:v` long",
+    )
+    sess.store.insert("pw.quoted", rows, overwrite=True, generate_row_key=False)
+    p1 = sess.sql("SCAN pw.quoted PAGE 2").collect()
+    assert [r["row_key"] for r in p1] == ["a'1", "b'2"]
+    cur = p1[-1]["row_key"].replace("'", "''")
+    p2 = sess.sql(f"SCAN pw.quoted PAGE 2 AFTER '{cur}'").collect()
+    assert [r["row_key"] for r in p2] == ["c3", "d4"]
+    # the same walk through the Python API agrees
+    py = sess.store.scan_page("pw.quoted", 2, after_key="b'2").collect()
+    assert py == p2
+
+
+def test_similarity_join_sql_pq_refuses_non_dense_codebooks(spark, tmp_path):
+    """Review fix: the ADC lookup indexes the code-ordered distance
+    table POSITIONALLY, so a user codebook with 1-based codes or gappy
+    subspace ids must refuse loudly — not return NULL-adc garbage
+    top-k (the list form asserts the same invariant in pq_encode)."""
+    import pytest as _pytest
+
+    from spark_sql_hbase_spark.queries import table
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sf = "/root/testdata/sf0.001"
+    table(spark, sf, "embeddings").createOrReplaceTempView("__pqv_emb")
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    # 1-based codes
+    spark.createDataFrame(
+        [(s, c, [0.0] * 32) for s in range(2) for c in (1, 2)],
+        "s int, code int, cv array<double>",
+    ).createOrReplaceTempView("__pqv_one_based")
+    with _pytest.raises(ValueError, match="not a dense codebook"):
+        sess.sql(
+            "SIMILARITY JOIN __pqv_emb WITH __pqv_emb "
+            "ON embedding BY vec_id TOP 3 METHOD PQ MODEL __pqv_one_based"
+        )
+    # gappy subspace ids
+    spark.createDataFrame(
+        [(s, c, [0.0] * 32) for s in (0, 2) for c in (0, 1)],
+        "s int, code int, cv array<double>",
+    ).createOrReplaceTempView("__pqv_gappy")
+    with _pytest.raises(ValueError, match="not a dense codebook"):
+        sess.sql(
+            "SIMILARITY JOIN __pqv_emb WITH __pqv_emb "
+            "ON embedding BY vec_id TOP 3 METHOD PQ MODEL __pqv_gappy"
+        )
+    # mixed subvector widths
+    spark.createDataFrame(
+        [(0, 0, [0.0] * 32), (0, 1, [0.0] * 16)],
+        "s int, code int, cv array<double>",
+    ).createOrReplaceTempView("__pqv_widths")
+    with _pytest.raises(ValueError, match="mixes subvector lengths"):
+        sess.sql(
+            "SIMILARITY JOIN __pqv_emb WITH __pqv_emb "
+            "ON embedding BY vec_id TOP 3 METHOD PQ MODEL __pqv_widths"
+        )

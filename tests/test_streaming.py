@@ -697,3 +697,27 @@ def test_stream_ann_serving_sink_is_replay_safe(spark, tmp_path):
     )
     assert idempotent_batch_commit(fake, sink_dir, 0) is False
     assert sorted(map(tuple, spark.table("__replay_ann_sink").collect())) == before
+
+
+def test_committed_batches_tolerates_all_empty_batches(spark, tmp_path):
+    """Review fix: an empty micro-batch writes no parquet footer, so a
+    sink whose every batch so far was empty must still read (the
+    replaced saveAsTable sink kept its schema in the catalog) — the
+    schema parameter covers the footerless case, and the empty commit
+    still arms the replay guard."""
+    import os
+
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        committed_batches,
+        idempotent_batch_commit,
+    )
+
+    sink = str(tmp_path / "sink")
+    empty = spark.range(1).filter("id < 0").selectExpr("id", "id * 2 AS v")
+    assert idempotent_batch_commit(empty, sink, 0) is True
+    assert os.path.isdir(os.path.join(sink, "batch_id=0"))
+    got = committed_batches(spark, sink, schema=empty.schema)
+    assert got.count() == 0
+    assert got.columns == ["id", "v"]
+    # the empty commit still skips its replay
+    assert idempotent_batch_commit(empty, sink, 0) is False
