@@ -1334,9 +1334,7 @@ _IVF_C = 4
 _IVF_NPROBE = 2
 
 
-@register(
-    "zd46_ivfadc",
-    oracle=f"""
+_IVFADC_GATE_ORACLE = f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
     ), cc AS (
@@ -1396,7 +1394,12 @@ _IVF_NPROBE = 2
             PARTITION BY query_id ORDER BY adc, neighbor_id
         ) AS rn FROM dist
     ) WHERE rn <= 5
-    """,
+    """
+
+
+@register(
+    "zd46_ivfadc",
+    oracle=_IVFADC_GATE_ORACLE,
     description="IVFADC: PQ asymmetric-distance top-5 within each query's "
     "nprobe=2 nearest coarse cells — corpus read as (cell, codes) only",
 )
@@ -1450,9 +1453,7 @@ def zd46_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # residual path (ivfpq_train) stays pytest-covered (reconstruction +
 # persisted-index round-trip).
 # ---------------------------------------------------------------------------
-@register(
-    "zf15_ivfadc_residual",
-    oracle=f"""
+_IVFADC_RESID_ORACLE = f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
     ), cc AS (
@@ -1518,7 +1519,12 @@ def zd46_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY query_id ORDER BY adc, neighbor_id
         ) AS rn FROM dist
     ) WHERE rn <= 5
-    """,
+    """
+
+
+@register(
+    "zf15_ivfadc_residual",
+    oracle=_IVFADC_RESID_ORACLE,
     description="residual IVFADC: PQ codes over cell residuals, per-probe "
     "residual ADC tables — the production 100 TB index configuration",
 )
@@ -4571,3 +4577,98 @@ def _bind_zh12_oracle() -> None:
 
 
 _bind_zh12_oracle()
+
+
+# ---------------------------------------------------------------------------
+# zh14/zh15 — SIMILARITY JOIN METHOD IVFADC MODEL <cent> BOOKS <books>
+# [PROBES n] [RESIDUAL] (r14: completes the quantizer matrix through the
+# SQL router — BRUTE/SQ8/IVF/PQ shipped r11-r14, IVFADC was the last
+# DataFrame-only tier).  Both relations resolve through the same
+# _resolve seam; the router rewrites to assign_cells|residualize +
+# pq_encode + ivfadc_ann_topk and adds no semantics of its own: zh14
+# hashes against zd46's exact oracle (raw-vector codes), zh15 — the
+# RESIDUAL flag, IVFADC proper — against zf15's.  Model conventions are
+# the SQL-reproducible untrained ones those gates pin (coarse = vec_id
+# < 4, books = subvectors of vec_id < 8, residual books from the cell
+# residuals).  Malformed forms refuse with the grammar (IVFADC without
+# MODEL/BOOKS, BOOKS/RESIDUAL on other methods, non-dense books) —
+# pinned in tests/test_session.py.
+# ---------------------------------------------------------------------------
+def _ivfadc_sql_gate(spark: SparkSession, sf_dir: str, residual: bool):
+    import tempfile
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _centroid_relation,
+        _codebook_relation,
+        _to_double,
+        residualize,
+    )
+    from spark_sql_hbase_spark.session import EngineSession
+
+    emb = table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("__zh14_emb")
+    cseeds = sorted(
+        emb.filter(F.col("vec_id") < _IVF_C)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), list(r["ev"])) for r in cseeds]
+    _centroid_relation(spark, cents).createOrReplaceTempView("__zh14_cents")
+    if residual:
+        seed_src = residualize(emb, cents, "vec_id", "embedding")
+        seeds = sorted(
+            seed_src.filter(F.col("vec_id") < _PQ_KSUB)
+            .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+            .collect(),
+            key=lambda r: r["vec_id"],
+        )
+    else:
+        seeds = sorted(
+            emb.filter(F.col("vec_id") < _PQ_KSUB)
+            .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+            .collect(),
+            key=lambda r: r["vec_id"],
+        )
+    books = [
+        [
+            (int(r["vec_id"]), list(r["ev"])[s * _PQ_SUB : (s + 1) * _PQ_SUB])
+            for r in seeds
+        ]
+        for s in range(_PQ_M)
+    ]
+    _codebook_relation(spark, books).createOrReplaceTempView("__zh14_books")
+    sess = EngineSession(
+        spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="simjoin_adc_wh_")
+    )
+    return sess.sql(
+        "SIMILARITY JOIN __zh14_emb "
+        "WITH (SELECT * FROM __zh14_emb WHERE vec_id < 8) "
+        "ON embedding BY vec_id TOP 5 METHOD IVFADC "
+        f"MODEL __zh14_cents BOOKS __zh14_books PROBES {_IVF_NPROBE}"
+        + (" RESIDUAL" if residual else "")
+    )
+
+
+@register(
+    "zh14_similarity_join_ivfadc",
+    oracle=_IVFADC_GATE_ORACLE,
+    description="SIMILARITY JOIN METHOD IVFADC MODEL <cents> BOOKS "
+    "<books> PROBES 2: cell-pruned ADC through the SQL router (same "
+    "oracle as the zd46 operator gate)",
+)
+def zh14_similarity_join_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfadc_sql_gate(spark, sf_dir, residual=False)
+
+
+@register(
+    "zh15_similarity_join_ivfadc_residual",
+    oracle=_IVFADC_RESID_ORACLE,
+    description="SIMILARITY JOIN METHOD IVFADC ... RESIDUAL: residual-"
+    "quantized ADC through the SQL router (same oracle as the zf15 "
+    "operator gate)",
+)
+def zh15_similarity_join_ivfadc_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _ivfadc_sql_gate(spark, sf_dir, residual=True)

@@ -126,10 +126,45 @@ _SIMJOIN_RE = re.compile(
     rf"top\s+(?P<k>\d+)"
     rf"(?:\s+method\s+(?P<method>[A-Za-z0-9_]+))?"
     rf"(?:\s+model\s+(?P<model>\(.*\)|{_QUALIFIED}))?"
+    rf"(?:\s+books\s+(?P<books>\(.*\)|{_QUALIFIED}))?"
     rf"(?:\s+probes\s+(?P<probes>\d+))?"
-    rf"(?:\s+dim\s+(?P<dim>\d+))?\s*$",
+    rf"(?:\s+dim\s+(?P<dim>\d+))?"
+    rf"(?:\s+(?P<residual>residual))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_top_level_books(blob: str) -> tuple[str, str | None]:
+    """Recover a ``MODEL (subquery) BOOKS <ref>`` pair the regex's
+    greedy subquery capture swallowed into one blob: split at the
+    first depth-0 ``books`` keyword outside string literals.  A blob
+    with no top-level ``books`` returns ``(blob, None)`` — the word
+    inside a subquery (a column named books) never splits."""
+    depth, i, n = 0, 0, len(blob)
+    low = blob.lower()
+    while i < n:
+        c = blob[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "'":
+            j = blob.find("'", i + 1)
+            i = n if j == -1 else j
+        elif (
+            depth == 0
+            and low.startswith("books", i)
+            and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+            and (
+                i + 5 >= n
+                or not (low[i + 5].isalnum() or low[i + 5] == "_")
+            )
+        ):
+            return blob[:i].rstrip(), blob[i + 5 :].strip()
+        i += 1
+    return blob, None
+
+
 # scanner paging through the SQL surface (r13 VERDICT stretch): the
 # reference's Scan.setLimit + withStartRow pairing at the same router
 # seam as SIMILARITY JOIN — SCAN <table> PAGE <n> [AFTER '<key>'].
@@ -804,8 +839,10 @@ class KeyedSqlRouter:
 
             SIMILARITY JOIN <corpus> WITH <queries | (subquery)>
                 ON <vec_col> BY <id_col> TOP <k>
-                [METHOD BRUTE|SQ8|IVF|PQ] [MODEL <table | (subquery)>]
-                [PROBES <n>] [DIM <n>]
+                [METHOD BRUTE|SQ8|IVF|PQ|IVFADC]
+                [MODEL <table | (subquery)>]
+                [BOOKS <table | (subquery)>]
+                [PROBES <n>] [DIM <n>] [RESIDUAL]
 
         METHOD BRUTE (default) is :func:`~spark_sql_hbase_spark.
         operators.similarity.cosine_topk` — exact cosine, returns
@@ -846,14 +883,34 @@ class KeyedSqlRouter:
         method = (m.group("method") or "brute").lower()
         dim = int(m.group("dim")) if m.group("dim") else None
         model_ref = m.group("model")
+        books_ref = m.group("books")
         probes = m.group("probes")
-        if method not in ("ivf", "pq"):
+        residual = m.group("residual") is not None
+        if model_ref and not books_ref:
+            # MODEL (subquery) BOOKS <ref>: the greedy subquery capture
+            # swallows the BOOKS clause — recover it at depth 0
+            model_ref, books_ref = _split_top_level_books(model_ref)
+        if method not in ("ivf", "pq", "ivfadc"):
             if model_ref or probes:
                 raise ValueError(
                     f"SIMILARITY JOIN method {method.upper()} takes no "
                     "MODEL/PROBES clause — those belong to METHOD IVF "
-                    "MODEL <centroids> [PROBES <n>] and METHOD PQ "
-                    "MODEL <codebooks>"
+                    "MODEL <centroids> [PROBES <n>], METHOD PQ "
+                    "MODEL <codebooks>, and METHOD IVFADC "
+                    "MODEL <centroids> BOOKS <codebooks> [PROBES <n>]"
+                )
+        if method != "ivfadc":
+            if books_ref:
+                raise ValueError(
+                    f"SIMILARITY JOIN method {method.upper()} takes no "
+                    "BOOKS clause — that belongs to METHOD IVFADC "
+                    "MODEL <centroids> BOOKS <codebooks>"
+                )
+            if residual:
+                raise ValueError(
+                    f"SIMILARITY JOIN method {method.upper()} takes no "
+                    "RESIDUAL flag — residual quantization belongs to "
+                    "METHOD IVFADC (codes over cell residuals)"
                 )
         if method == "pq" and probes:
             raise ValueError(
@@ -862,54 +919,24 @@ class KeyedSqlRouter:
                 "scores every corpus code against the per-query ADC "
                 "tables"
             )
-        if method == "brute":
-            return similarity.cosine_topk(corpus, queries, id_col, vec_col, k)
-        if method == "sq8":
-            return similarity.sq8_ann_topk(
-                corpus, queries, id_col, vec_col, k, dim=dim
-            )
-        if method == "ivf":
-            if not model_ref:
-                raise ValueError(
-                    "SIMILARITY JOIN METHOD IVF needs MODEL "
-                    "<centroid table | (subquery)> — a relation with "
-                    "columns (cell, cv)"
-                )
-            model = rel(model_ref)
+
+        def centroid_rel(ref: str, label: str) -> DataFrame:
+            model = rel(ref)
             missing = {"cell", "cv"} - set(model.columns)
             if missing:
                 raise ValueError(
-                    f"SIMILARITY JOIN IVF model {model_ref.strip()!r} lacks "
+                    f"SIMILARITY JOIN {label} model {ref.strip()!r} lacks "
                     f"column(s) {sorted(missing)}: a centroid relation "
                     "exposes (cell, cv)"
                 )
-            cent = model.select("cell", "cv")
-            with_cells = similarity.assign_cells(
-                corpus, cent, id_col, vec_col, "cell"
-            )
-            return similarity.multiprobe_ann_topk(
-                with_cells,
-                queries,
-                cent,
-                id_col,
-                vec_col,
-                "cell",
-                k=k,
-                nprobe=int(probes) if probes else 2,
-            )
-        if method == "pq":
-            if not model_ref:
-                raise ValueError(
-                    "SIMILARITY JOIN METHOD PQ needs MODEL "
-                    "<codebook table | (subquery)> — a relation with "
-                    "columns (s, code, cv), e.g. the books table "
-                    "persist_ivfpq_model writes"
-                )
-            books = rel(model_ref)
+            return model.select("cell", "cv")
+
+        def books_rel(ref: str, label: str) -> DataFrame:
+            books = rel(ref)
             missing = {"s", "code", "cv"} - set(books.columns)
             if missing:
                 raise ValueError(
-                    f"SIMILARITY JOIN PQ model {model_ref.strip()!r} lacks "
+                    f"SIMILARITY JOIN {label} model {ref.strip()!r} lacks "
                     f"column(s) {sorted(missing)}: a codebook relation "
                     "exposes (s, code, cv)"
                 )
@@ -936,7 +963,7 @@ class KeyedSqlRouter:
                 dims.add(d)
             if len(dims) > 1:
                 raise ValueError(
-                    f"SIMILARITY JOIN PQ model {model_ref.strip()!r} mixes "
+                    f"SIMILARITY JOIN {label} model {ref.strip()!r} mixes "
                     f"subvector lengths {sorted(dims)}: every codebook "
                     "entry must quantize the same subspace width"
                 )
@@ -945,12 +972,85 @@ class KeyedSqlRouter:
                 next(iter(ksubs)) != tuple(range(len(next(iter(ksubs)))))
             ):
                 raise ValueError(
-                    f"SIMILARITY JOIN PQ model {model_ref.strip()!r} is not "
+                    f"SIMILARITY JOIN {label} model {ref.strip()!r} is not "
                     "a dense codebook: subspace ids must be 0..m-1 and "
                     "every subspace's codes 0..ksub-1 (what "
                     "persist_ivfpq_model writes) — the ADC tables are "
                     "code-indexed positionally"
                 )
+            return books
+        if method == "brute":
+            return similarity.cosine_topk(corpus, queries, id_col, vec_col, k)
+        if method == "sq8":
+            return similarity.sq8_ann_topk(
+                corpus, queries, id_col, vec_col, k, dim=dim
+            )
+        if method == "ivf":
+            if not model_ref:
+                raise ValueError(
+                    "SIMILARITY JOIN METHOD IVF needs MODEL "
+                    "<centroid table | (subquery)> — a relation with "
+                    "columns (cell, cv)"
+                )
+            cent = centroid_rel(model_ref, "IVF")
+            with_cells = similarity.assign_cells(
+                corpus, cent, id_col, vec_col, "cell"
+            )
+            return similarity.multiprobe_ann_topk(
+                with_cells,
+                queries,
+                cent,
+                id_col,
+                vec_col,
+                "cell",
+                k=k,
+                nprobe=int(probes) if probes else 2,
+            )
+        if method == "ivfadc":
+            if not model_ref or not books_ref:
+                raise ValueError(
+                    "SIMILARITY JOIN METHOD IVFADC needs MODEL "
+                    "<centroids> BOOKS <codebooks> — the (cell, cv) "
+                    "coarse quantizer and the (s, code, cv) PQ books "
+                    "persist_ivfpq_model writes"
+                )
+            cent = centroid_rel(model_ref, "IVFADC")
+            books = books_rel(books_ref, "IVFADC")
+            # RESIDUAL is IVFADC proper (Jegou et al. 2011 §IV.B):
+            # codes quantize the cell residuals, and the per-probe ADC
+            # tables are computed from the query's residual against
+            # each probed cell — both handled by the operator pair
+            enc_in = (
+                similarity.residualize(corpus, cent, id_col, vec_col)
+                if residual
+                else similarity.assign_cells(
+                    corpus, cent, id_col, vec_col, "cell"
+                )
+            )
+            codes = similarity.pq_encode(
+                enc_in, books, id_col, vec_col, extra_cols=("cell",)
+            )
+            return similarity.ivfadc_ann_topk(
+                codes,
+                queries,
+                cent,
+                books,
+                id_col,
+                vec_col,
+                "cell",
+                k=k,
+                nprobe=int(probes) if probes else 2,
+                residual=residual,
+            )
+        if method == "pq":
+            if not model_ref:
+                raise ValueError(
+                    "SIMILARITY JOIN METHOD PQ needs MODEL "
+                    "<codebook table | (subquery)> — a relation with "
+                    "columns (s, code, cv), e.g. the books table "
+                    "persist_ivfpq_model writes"
+                )
+            books = books_rel(model_ref, "PQ")
             codes = similarity.pq_encode(corpus, books, id_col, vec_col)
             return similarity.pq_ann_topk(
                 codes, queries, books, id_col, vec_col, k=k
@@ -959,7 +1059,9 @@ class KeyedSqlRouter:
             f"unknown SIMILARITY JOIN method {method!r}; supported: "
             "BRUTE (exact cosine), SQ8 (scalar-quantized), "
             "IVF (cell-pruned; MODEL <centroids> [PROBES <n>]), "
-            "PQ (asymmetric-distance codes; MODEL <codebooks>)"
+            "PQ (asymmetric-distance codes; MODEL <codebooks>), "
+            "IVFADC (cell-pruned ADC; MODEL <centroids> BOOKS "
+            "<codebooks> [PROBES <n>] [RESIDUAL])"
         )
 
     # -- dispatch ---------------------------------------------------------
@@ -1131,8 +1233,9 @@ class KeyedSqlRouter:
             raise ValueError(
                 "unsupported SIMILARITY JOIN form; use SIMILARITY JOIN "
                 "<corpus> WITH <queries|(subquery)> ON <vec_col> BY "
-                "<id_col> TOP <k> [METHOD BRUTE|SQ8|IVF|PQ] "
-                "[MODEL <table|(subquery)>] [PROBES <n>] [DIM <n>]"
+                "<id_col> TOP <k> [METHOD BRUTE|SQ8|IVF|PQ|IVFADC] "
+                "[MODEL <table|(subquery)>] [BOOKS <table|(subquery)>] "
+                "[PROBES <n>] [DIM <n>] [RESIDUAL]"
             )
 
         m = _CREATE_INDEX_RE.match(stmt)

@@ -1096,3 +1096,107 @@ def test_similarity_join_sql_pq_refuses_non_dense_codebooks(spark, tmp_path):
             "SIMILARITY JOIN __pqv_emb WITH __pqv_emb "
             "ON embedding BY vec_id TOP 3 METHOD PQ MODEL __pqv_widths"
         )
+
+
+def test_similarity_join_sql_ivfadc_matches_operator_and_refuses(spark, tmp_path):
+    """r14: SIMILARITY JOIN ... METHOD IVFADC MODEL <cents> BOOKS
+    <books> must be exactly assign_cells|residualize + pq_encode +
+    ivfadc_ann_topk given the same model relations (the router adds no
+    semantics; end-to-end also oracle-gated as zh14/zh15 against the
+    zd46/zf15 operator oracles).  Subquery MODEL with a BOOKS clause
+    exercises the greedy-capture split; malformed forms refuse."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _centroid_relation,
+        _codebook_relation,
+        _to_double,
+        assign_cells,
+        ivfadc_ann_topk,
+        pq_encode,
+    )
+    from spark_sql_hbase_spark.queries import table
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    emb.createOrReplaceTempView("__sj_adc_emb")
+    cseeds = sorted(
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), list(r["ev"])) for r in cseeds]
+    _centroid_relation(spark, cents).createOrReplaceTempView("__sj_adc_cents")
+    m, sub = 4, 16
+    seeds = sorted(
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    books = [
+        [
+            (int(r["vec_id"]), list(r["ev"])[s * sub : (s + 1) * sub])
+            for r in seeds
+        ]
+        for s in range(m)
+    ]
+    _codebook_relation(spark, books).createOrReplaceTempView("__sj_adc_books")
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    got = sess.sql(
+        "SIMILARITY JOIN __sj_adc_emb "
+        "WITH (SELECT * FROM __sj_adc_emb WHERE vec_id < 6) "
+        "ON embedding BY vec_id TOP 4 METHOD IVFADC "
+        "MODEL __sj_adc_cents BOOKS __sj_adc_books PROBES 2"
+    )
+    cells = assign_cells(emb, cents, "vec_id", "embedding")
+    codes = pq_encode(cells, books, "vec_id", "embedding", extra_cols=("cell",))
+    want = ivfadc_ann_topk(
+        codes, emb.filter(F.col("vec_id") < 6), cents, books,
+        "vec_id", "embedding", k=4, nprobe=2,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # subquery MODEL followed by BOOKS: the greedy capture split
+    got_sub = sess.sql(
+        "SIMILARITY JOIN __sj_adc_emb "
+        "WITH (SELECT * FROM __sj_adc_emb WHERE vec_id < 6) "
+        "ON embedding BY vec_id TOP 4 METHOD IVFADC "
+        "MODEL (SELECT * FROM __sj_adc_cents) "
+        "BOOKS (SELECT * FROM __sj_adc_books) PROBES 2"
+    )
+    assert sorted(map(tuple, got_sub.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # refusals
+    with _pytest.raises(ValueError, match="METHOD IVFADC needs MODEL"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_adc_emb WITH __sj_adc_emb "
+            "ON embedding BY vec_id TOP 4 METHOD IVFADC"
+        )
+    with _pytest.raises(ValueError, match="METHOD IVFADC needs MODEL"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_adc_emb WITH __sj_adc_emb "
+            "ON embedding BY vec_id TOP 4 METHOD IVFADC "
+            "MODEL __sj_adc_cents"
+        )
+    with _pytest.raises(ValueError, match="takes no BOOKS clause"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_adc_emb WITH __sj_adc_emb "
+            "ON embedding BY vec_id TOP 4 METHOD IVF "
+            "MODEL __sj_adc_cents BOOKS __sj_adc_books"
+        )
+    with _pytest.raises(ValueError, match="takes no RESIDUAL flag"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_adc_emb WITH __sj_adc_emb "
+            "ON embedding BY vec_id TOP 4 METHOD PQ "
+            "MODEL __sj_adc_books RESIDUAL"
+        )
+    with _pytest.raises(ValueError, match=r"lacks column\(s\)"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_adc_emb WITH __sj_adc_emb "
+            "ON embedding BY vec_id TOP 4 METHOD IVFADC "
+            "MODEL __sj_adc_books BOOKS __sj_adc_books"
+        )
