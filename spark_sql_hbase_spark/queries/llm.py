@@ -4615,21 +4615,15 @@ def _ivfadc_sql_gate(spark: SparkSession, sf_dir: str, residual: bool):
     )
     cents = [(int(r["vec_id"]), list(r["ev"])) for r in cseeds]
     _centroid_relation(spark, cents).createOrReplaceTempView("__zh14_cents")
-    if residual:
-        seed_src = residualize(emb, cents, "vec_id", "embedding")
-        seeds = sorted(
-            seed_src.filter(F.col("vec_id") < _PQ_KSUB)
-            .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
-            .collect(),
-            key=lambda r: r["vec_id"],
-        )
-    else:
-        seeds = sorted(
-            emb.filter(F.col("vec_id") < _PQ_KSUB)
-            .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
-            .collect(),
-            key=lambda r: r["vec_id"],
-        )
+    seed_src = (
+        residualize(emb, cents, "vec_id", "embedding") if residual else emb
+    )
+    seeds = sorted(
+        seed_src.filter(F.col("vec_id") < _PQ_KSUB)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
     books = [
         [
             (int(r["vec_id"]), list(r["ev"])[s * _PQ_SUB : (s + 1) * _PQ_SUB])

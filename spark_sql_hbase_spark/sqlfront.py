@@ -886,9 +886,12 @@ class KeyedSqlRouter:
         books_ref = m.group("books")
         probes = m.group("probes")
         residual = m.group("residual") is not None
-        if model_ref and not books_ref:
-            # MODEL (subquery) BOOKS <ref>: the greedy subquery capture
-            # swallows the BOOKS clause — recover it at depth 0
+        if model_ref and not books_ref and model_ref.lstrip().startswith("("):
+            # MODEL (subquery) BOOKS <ref>: only a parenthesized
+            # subquery's greedy capture can swallow the BOOKS clause —
+            # recover it at depth 0.  A bare identifier MODEL must not
+            # be split (review fix: a table legitimately named `books`
+            # would be mangled to an empty ref)
             model_ref, books_ref = _split_top_level_books(model_ref)
         if method not in ("ivf", "pq", "ivfadc"):
             if model_ref or probes:
@@ -912,6 +915,13 @@ class KeyedSqlRouter:
                     "RESIDUAL flag — residual quantization belongs to "
                     "METHOD IVFADC (codes over cell residuals)"
                 )
+        if method != "sq8" and dim is not None:
+            raise ValueError(
+                f"SIMILARITY JOIN method {method.upper()} takes no DIM "
+                "clause — DIM skips the dimension-inference scan of "
+                "METHOD SQ8 only (review fix: a silently ignored "
+                "clause is worse than a refusal)"
+            )
         if method == "pq" and probes:
             raise ValueError(
                 "SIMILARITY JOIN METHOD PQ takes no PROBES clause — PQ "

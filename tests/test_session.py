@@ -1200,3 +1200,62 @@ def test_similarity_join_sql_ivfadc_matches_operator_and_refuses(spark, tmp_path
             "ON embedding BY vec_id TOP 4 METHOD IVFADC "
             "MODEL __sj_adc_books BOOKS __sj_adc_books"
         )
+
+
+def test_similarity_join_sql_model_named_books_and_dim_refusals(spark, tmp_path):
+    """Second-review fixes: (a) a bare MODEL identifier legitimately
+    named `books` must resolve, not be mangled by the subquery-capture
+    split; (b) DIM refuses on every method but SQ8 (a silently ignored
+    clause is worse than a refusal)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _to_double,
+        assign_cells,
+        multiprobe_ann_topk,
+    )
+    from spark_sql_hbase_spark.queries import table
+    from spark_sql_hbase_spark.session import EngineSession
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    emb.createOrReplaceTempView("__sj_nb_emb")
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"),
+        _to_double(F.col("embedding")).alias("cv"),
+    )
+    cent.createOrReplaceTempView("books")
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    try:
+        got = sess.sql(
+            "SIMILARITY JOIN __sj_nb_emb "
+            "WITH (SELECT * FROM __sj_nb_emb WHERE vec_id < 5) "
+            "ON embedding BY vec_id TOP 3 METHOD IVF MODEL books PROBES 2"
+        )
+        want = multiprobe_ann_topk(
+            assign_cells(emb, cent, "vec_id", "embedding", "cell"),
+            emb.filter(F.col("vec_id") < 5),
+            cent,
+            "vec_id",
+            "embedding",
+            "cell",
+            k=3,
+            nprobe=2,
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        spark.catalog.dropTempView("books")
+    with _pytest.raises(ValueError, match="takes no DIM clause"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_nb_emb WITH __sj_nb_emb "
+            "ON embedding BY vec_id TOP 3 DIM 64"
+        )
+    with _pytest.raises(ValueError, match="takes no DIM clause"):
+        sess.sql(
+            "SIMILARITY JOIN __sj_nb_emb WITH __sj_nb_emb "
+            "ON embedding BY vec_id TOP 3 METHOD IVFADC "
+            "MODEL __sj_nb_emb BOOKS __sj_nb_emb DIM 64"
+        )
