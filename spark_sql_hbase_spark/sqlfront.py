@@ -1074,9 +1074,54 @@ class KeyedSqlRouter:
             "<codebooks> [PROBES <n>] [RESIDUAL])"
         )
 
+    def _explain_routed(self, stmt: str) -> DataFrame | None:
+        """``EXPLAIN [mode] <router-served statement>`` — the reference
+        inherits EXPLAIN on every statement for free because its
+        strategies live INSIDE Catalyst; the router-level forms here
+        (SIMILARITY JOIN, SCAN paging, the keyed bare-count fast path)
+        never reach Spark's parser, so EXPLAIN must be served at the
+        same seam: build the statement's ACTUAL DataFrame (the plan the
+        router would execute — for the bare count that is the
+        LocalTableScan fast path, not the catalog scan a passthrough
+        EXPLAIN would misleadingly show) and return its plan string in
+        Spark's one-column EXPLAIN shape.  Every other EXPLAIN passes
+        through untouched.  Returns None when the tail is not a
+        router-served form."""
+        em = re.match(
+            r"^\s*explain\s+(?:(?P<mode>formatted|extended|codegen|cost|"
+            r"analyzed|simple)\s+)?(?P<rest>.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not em:
+            return None
+        rest = em.group("rest").strip()
+        routed = bool(
+            _SIMJOIN_RE.match(rest)
+            or _SCAN_PAGE_RE.match(rest)
+        )
+        if not routed:
+            cm = _BARE_COUNT_RE.match(rest)
+            routed = bool(cm) and self._is_keyed(
+                *_split_qualified(cm.group("target"), self.spark)
+            )
+        if not routed:
+            return None
+        df = self.sql(rest)
+        mode = (em.group("mode") or "simple").lower()
+        plan = self.spark._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+        return self.spark.createDataFrame([(plan,)], "plan string")
+
     # -- dispatch ---------------------------------------------------------
     def sql(self, statement: str) -> DataFrame:
         stmt = statement.strip().rstrip(";").strip()
+
+        if re.match(r"^\s*explain\b", stmt, re.IGNORECASE):
+            explained = self._explain_routed(stmt)
+            if explained is not None:
+                return explained
 
         m = _INSERT_RE.match(stmt)
         if m:

@@ -1259,3 +1259,41 @@ def test_similarity_join_sql_model_named_books_and_dim_refusals(spark, tmp_path)
             "ON embedding BY vec_id TOP 3 METHOD IVFADC "
             "MODEL __sj_nb_emb BOOKS __sj_nb_emb DIM 64"
         )
+
+
+def test_explain_over_routed_statements(spark, tmp_path):
+    """EXPLAIN over router-served forms (SIMILARITY JOIN, SCAN, keyed
+    bare count) returns the plan the router would ACTUALLY execute in
+    Spark's one-column EXPLAIN shape — a passthrough would parse-error
+    (SIMILARITY/SCAN) or misleadingly show the catalog scan instead of
+    the LocalTableScan fast path (bare count).  Ordinary EXPLAIN still
+    passes through to Spark."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.queries import table
+    from spark_sql_hbase_spark.session import EngineSession
+    from spark_sql_hbase_spark.sources.fixtures import pw_test_df, pw_test_spec
+
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    sess.store.create_table(pw_test_spec())
+    sess.store.insert(
+        "pw.test", pw_test_df(spark), overwrite=True, generate_row_key=False
+    )
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    emb.createOrReplaceTempView("__xp_emb")
+    plan = sess.sql(
+        "EXPLAIN FORMATTED SIMILARITY JOIN __xp_emb "
+        "WITH (SELECT * FROM __xp_emb WHERE vec_id < 4) "
+        "ON embedding BY vec_id TOP 3"
+    ).collect()
+    assert len(plan) == 1 and "Physical Plan" in plan[0]["plan"]
+    scan_plan = sess.sql("EXPLAIN SCAN pw.test PAGE 4").collect()[0]["plan"]
+    assert "TakeOrdered" in scan_plan
+    cnt_plan = sess.sql(
+        "EXPLAIN SELECT COUNT(*) FROM pw.test"
+    ).collect()[0]["plan"]
+    assert "LocalTableScan" in cnt_plan
+    # a non-routed EXPLAIN passes through to Spark's own EXPLAIN
+    passthrough = sess.sql("EXPLAIN SELECT 1 + 1").collect()
+    assert passthrough and "plan" in passthrough[0].asDict()
