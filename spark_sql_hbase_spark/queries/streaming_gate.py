@@ -399,17 +399,19 @@ def st10_stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = (F.col("doc_id") % 17) == 0
     new, corpus = docs.filter(is_new), docs.filter(~is_new)
     idx_name = "__z65_band_idx"
+    # the sink is a temp view over the committed-batch directory inside
+    # the fresh checkpoint (idempotent_batch_commit) — only the band
+    # INDEX remains a catalog table needing pre-run cleanup
     sink = "__z65_sink"
     import shutil
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    for t in (idx_name, sink):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        # a managed-table location left by a PREVIOUS session (in-memory
-        # catalog: DROP in this session cannot see it) blocks creation
-        shutil.rmtree(
-            warehouse.replace("file:", "") + f"/{t}", ignore_errors=True
-        )
+    spark.sql(f"DROP TABLE IF EXISTS {idx_name}")
+    # a managed-table location left by a PREVIOUS session (in-memory
+    # catalog: DROP in this session cannot see it) blocks creation
+    shutil.rmtree(
+        warehouse.replace("file:", "") + f"/{idx_name}", ignore_errors=True
+    )
     persist_band_index(corpus, "doc_id", "text", idx_name)
     stream = _one_batch_stream(spark, new)
     ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_z65_")

@@ -609,14 +609,21 @@ def stream_neardup_against_index(
     Scale/state: ZERO streaming state — the index is static and bucketed
     (its side of the band join never reshuffles, only the delta's
     (id, band_key) pairs exchange), and each batch's candidates die with
-    the batch.  Exactly-once note: ``foreachBatch`` is at-least-once on
-    retry and the sink appends — production stages per-``batch_id``
-    output paths for idempotent commit (same contract as
-    :func:`write_stream_to_keyed_table`).
+    the batch.  Sink contract (r14, completing the r13 item-4
+    adoption): batches commit through :func:`idempotent_batch_commit`
+    — staged, renamed, replay-skipped — so the pair sink is
+    exactly-once observable; ``sink_dir`` defaults to
+    ``<checkpoint_dir>/_sink`` and ``sink_table`` is a temp view over
+    the committed batches on the defining session.
     """
+    import os
+
     from spark_sql_hbase_spark.operators.dedup import (
         minhash_lsh_join_against_index,
     )
+
+    sink = os.path.join(checkpoint_dir, "_sink")
+    main = stream_docs.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = minhash_lsh_join_against_index(
@@ -630,7 +637,10 @@ def stream_neardup_against_index(
             num_hashes,
             rows_per_band,
         )
-        out.write.mode("append").saveAsTable(sink_table)
+        idempotent_batch_commit(out, sink, batch_id)
+        committed_batches(main, sink, schema=out.schema).createOrReplaceTempView(
+            sink_table
+        )
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
