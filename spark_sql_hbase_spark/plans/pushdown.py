@@ -16,9 +16,13 @@ import re
 from pyspark.sql import DataFrame
 
 
-def formatted_plan(df: DataFrame) -> str:
+def formatted_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """Spark's explain string for ``df`` — ``mode`` is any of Spark's
+    explain modes (simple/extended/codegen/cost/formatted); the ONE
+    seam over the private PythonSQLUtils surface (the router's EXPLAIN
+    service reuses it)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "formatted"
+        df._jdf.queryExecution(), mode
     )
 
 

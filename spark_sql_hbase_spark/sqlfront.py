@@ -1089,7 +1089,7 @@ class KeyedSqlRouter:
         router-served form."""
         em = re.match(
             r"^\s*explain\s+(?:(?P<mode>formatted|extended|codegen|cost|"
-            r"analyzed|simple)\s+)?(?P<rest>.*)$",
+            r"simple)\s+)?(?P<rest>.*)$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
@@ -1106,12 +1106,16 @@ class KeyedSqlRouter:
                 *_split_qualified(cm.group("target"), self.spark)
             )
         if not routed:
+            if re.match(r"^\s*(?:scan|similarity)\b", rest, re.IGNORECASE):
+                # a malformed router-owned form under EXPLAIN must get
+                # the same GUIDED grammar error plain dispatch gives,
+                # not Spark's bare ParseException (review fix)
+                self.sql(rest)
             return None
         df = self.sql(rest)
-        mode = (em.group("mode") or "simple").lower()
-        plan = self.spark._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), mode
-        )
+        from spark_sql_hbase_spark.plans.pushdown import formatted_plan
+
+        plan = formatted_plan(df, (em.group("mode") or "simple").lower())
         return self.spark.createDataFrame([(plan,)], "plan string")
 
     # -- dispatch ---------------------------------------------------------
