@@ -1104,30 +1104,42 @@ def st16_stream_cdc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zero streaming state",
 )
 def st17_stream_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    import os
 
     from spark_sql_hbase_spark.operators.similarity import (
         sq8_bounds,
         sq8_codes_long,
     )
-    from spark_sql_hbase_spark.streaming.pipelines import stream_sq8_ingest
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        bootstrap_base_snapshot,
+        fold_streamed_tail,
+        serving_scan,
+        stream_sq8_ingest,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
     is_new = (F.col("vec_id") % 7) == 0
     new, corpus = emb.filter(is_new), emb.filter(~is_new)
-    sink = "__st17_sq8_codes"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    spark.sql(f"DROP TABLE IF EXISTS {sink}")
-    shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="st17_sq8_index_")
+    base_dir, tail_dir = os.path.join(root, "base"), os.path.join(root, "tail")
     bounds = sq8_bounds(corpus, "embedding", 64)
-    # batch side: the trained index over the corpus
-    sq8_codes_long(corpus, bounds, "vec_id", "embedding").write.saveAsTable(sink)
-    # streaming side: arrivals encode against the frozen bounds
+    # batch side: the bulk-built index over the corpus is generation 0
+    bootstrap_base_snapshot(
+        sq8_codes_long(corpus, bounds, "vec_id", "embedding"), base_dir
+    )
+    # streaming side: arrivals encode against the frozen bounds into
+    # the staged-commit tail (r14: serving reads snapshot UNION tail)
     stream = _one_batch_stream(spark, new)
     ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_st17_")
-    q = stream_sq8_ingest(stream, bounds, "vec_id", "embedding", ckpt, sink)
+    q = stream_sq8_ingest(
+        stream, bounds, "vec_id", "embedding", ckpt,
+        "__st17_sq8_stream", sink_dir=tail_dir,
+    )
     q.awaitTermination()
-    return spark.table(sink)
+    # compaction (the memstore-flush analogy): fold the streamed tail
+    # into generation 1 — invisible to readers, so the oracle holds
+    assert fold_streamed_tail(spark, base_dir, tail_dir) is True
+    return serving_scan(spark, base_dir, tail_dir)
 
 
 def _bind_st17_oracle() -> None:
@@ -1158,18 +1170,15 @@ _bind_st17_oracle()
     "state",
 )
 def st18_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from spark_sql_hbase_spark.operators.text import quality_bucket_model
     from spark_sql_hbase_spark.streaming.pipelines import stream_psi_monitor
 
     docs = table(spark, sf_dir, "documents")
     is_delta = (F.col("doc_id") % 13) == 0
     delta, corpus = docs.filter(is_delta), docs.filter(~is_delta)
+    # staged-commit sink: a temp view over the fresh checkpoint's
+    # committed batches — createOrReplaceTempView supersedes prior runs
     sink = "__zg45_psi_terms"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    spark.sql(f"DROP TABLE IF EXISTS {sink}")
-    shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
     bounds, shares = quality_bucket_model(corpus, "doc_id", "text")
     # freeze the model (bounded: one row + n_buckets rows) so the
     # per-batch joins don't recompute the corpus aggregates
@@ -1274,8 +1283,6 @@ def _st19_oracle() -> str:
     "n-gram index (shared batch/stream body, zero streaming state)",
 )
 def st19_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from spark_sql_hbase_spark.operators.decontam import eval_shingle_index
     from spark_sql_hbase_spark.queries.llm import _DECON_MIN, _DECON_N
     from spark_sql_hbase_spark.streaming.pipelines import stream_decontaminate
@@ -1283,10 +1290,9 @@ def st19_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     is_eval = (F.col("doc_id") % 29) == 0
     arrivals = docs.filter(((F.col("doc_id") % 7) == 0) & ~is_eval)
+    # staged-commit sink: a temp view over the fresh checkpoint's
+    # committed batches — createOrReplaceTempView supersedes prior runs
     sink = "__st19_contaminated"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    spark.sql(f"DROP TABLE IF EXISTS {sink}")
-    shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
     # freeze the eval index (bounded: benchmarks are small) — the
     # st17/zg45 frozen-model convention
     ev = eval_shingle_index(
@@ -1328,18 +1334,15 @@ _bind_st19_oracle()
     "streaming state",
 )
 def st20_stream_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from spark_sql_hbase_spark.operators.text import vocab_model
     from spark_sql_hbase_spark.streaming.pipelines import stream_vocab_kl
 
     docs = table(spark, sf_dir, "documents")
     is_delta = (F.col("doc_id") % 11) == 0
     delta, corpus = docs.filter(is_delta), docs.filter(~is_delta)
+    # staged-commit sink: a temp view over the fresh checkpoint's
+    # committed batches — createOrReplaceTempView supersedes prior runs
     sink = "__st20_kl_terms"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    spark.sql(f"DROP TABLE IF EXISTS {sink}")
-    shutil.rmtree(warehouse.replace("file:", "") + f"/{sink}", ignore_errors=True)
     vocab, q = vocab_model(corpus, "text", top_v=100)
     # freeze the model (bounded: V + V+1 rows) — the zg45 convention
     vocab = vocab.cache()

@@ -22,6 +22,7 @@ Scale notes (the 100 TB / always-on ingest view):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from typing import Any
 
@@ -299,6 +300,223 @@ def committed_batches(spark, sink_dir: str, schema=None) -> DataFrame:
         if schema is not None:
             return spark.createDataFrame([], schema)
         raise
+
+
+_GEN_RE = re.compile(r"^gen-(\d+)-through-(-?\d+)$")
+
+
+def _snapshot_gens(spark, base_dir: str):
+    """Committed generation snapshots under ``base_dir``: a sorted list
+    of ``(gen, folded_through, path_str)``.  Both numbers are encoded
+    in the DIRECTORY NAME (``gen-<G>-through-<M>``) so the rename that
+    commits a snapshot also commits its fold watermark atomically — no
+    separate marker file to crash between."""
+    sc = spark.sparkContext
+    HPath = sc._jvm.org.apache.hadoop.fs.Path
+    base = HPath(base_dir)
+    fs = base.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        return []
+    out = []
+    for st in fs.listStatus(base):
+        m = _GEN_RE.match(st.getPath().getName())
+        if st.isDirectory() and m:
+            out.append((int(m.group(1)), int(m.group(2)), st.getPath().toString()))
+    return sorted(out)
+
+
+def _commit_snapshot(df: DataFrame, base_dir: str, gen: int, through: int) -> None:
+    # same stage-then-rename shape as idempotent_batch_commit: readers
+    # only ever see fully-written snapshots
+    sc = df.sparkSession.sparkContext
+    HPath = sc._jvm.org.apache.hadoop.fs.Path
+    final = HPath(base_dir, f"gen-{gen}-through-{through}")
+    fs = final.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(final):
+        raise IOError(f"snapshot already committed: {final}")
+    staging = HPath(HPath(base_dir, "_staging"), str(gen))
+    fs.delete(staging, True)
+    df.write.mode("overwrite").parquet(staging.toString())
+    fs.mkdirs(final.getParent())
+    if not fs.rename(staging, final):
+        raise IOError(f"snapshot commit rename failed: {staging} -> {final}")
+
+
+def bootstrap_base_snapshot(df: DataFrame, base_dir: str) -> None:
+    """Commit ``df`` as generation 0 of a snapshot base (fold watermark
+    -1: no streamed batch folded yet) — the bulk-built index an
+    :func:`idempotent_batch_commit` tail streams against.  Stage-then-
+    rename, so a crash mid-build leaves no visible generation."""
+    _commit_snapshot(df, base_dir, 0, -1)
+
+
+def serving_scan(spark, base_dir: str, sink_dir: str, schema=None) -> DataFrame:
+    """The CURRENT content of a base-plus-streamed-tail index: the
+    newest committed generation snapshot UNION the committed tail
+    batches its fold watermark has not yet absorbed (``batch_id >
+    through``).  This is the read every serving operator should make —
+    never point a reader at ``base_dir`` itself (older generations
+    linger until GC and would double-count).
+
+    ``schema``: payload schema, needed only before any parquet footer
+    exists on either side (empty bootstrap / all-empty tail).
+
+    Scale: two parquet scans and a union — no shuffle, no driver
+    materialization; the tail filter prunes on the ``batch_id``
+    partition column, so an aggressively-folded index reads O(new)
+    tail data regardless of stream lifetime."""
+    gens = _snapshot_gens(spark, base_dir)
+    if not gens:
+        raise ValueError(
+            f"no committed generation under {base_dir}; run "
+            "bootstrap_base_snapshot first"
+        )
+    _, through, path = gens[-1]
+    return _base_tail_union(spark, path, sink_dir, through, None, schema)
+
+
+def _base_tail_union(
+    spark, snapshot_path: str, sink_dir: str, through: int, upper, schema
+) -> DataFrame:
+    """Snapshot UNION the tail batches in ``(through, upper]`` (``upper``
+    None = unbounded).  Either side may be footerless (empty bootstrap,
+    all-empty batches): schema comes from whichever side has one, or
+    from ``schema`` when neither does."""
+    try:
+        base = spark.read.parquet(snapshot_path)
+    except Exception:
+        base = None  # footerless snapshot (empty bootstrap / empty fold)
+    try:
+        cond = F.col("batch_id") > F.lit(through)
+        if upper is not None:
+            cond = cond & (F.col("batch_id") <= F.lit(upper))
+        tail = spark.read.parquet(sink_dir).filter(cond).drop("batch_id")
+    except Exception:
+        tail = None  # footerless tail (no batch, or all-empty batches)
+    if base is None and tail is None:
+        if schema is None:
+            raise ValueError(
+                f"no parquet footer under {snapshot_path} or {sink_dir}; "
+                "pass schema to serve the typed empty relation"
+            )
+        return spark.createDataFrame([], schema)
+    if base is None:
+        base = spark.createDataFrame([], tail.schema)
+    if tail is None:
+        tail = spark.createDataFrame([], base.schema)
+    return base.unionByName(tail)
+
+
+def fold_streamed_tail(
+    spark, base_dir: str, sink_dir: str, schema=None, gc: bool = True
+) -> bool:
+    """Compaction for a streamed index — the memstore-flush analogy the
+    :func:`stream_sq8_ingest` contract promises (HBase flushes the
+    memstore into a new HFile and compactions rewrite the store's file
+    list atomically; reference `regionserver flush/compact semantics`
+    observed via `HBaseClientImpl.scala:199-405` table maintenance):
+    fold every committed tail batch past the current fold watermark
+    into a NEW generation snapshot (``gen-<G+1>-through-<M>``), commit
+    it by one rename, and (``gc=True``) delete the superseded
+    generation and the folded ``batch_id`` directories.
+
+    Returns True when a new generation committed, False when there was
+    nothing to fold (no tail batch past the watermark) — so periodic
+    invocation is idempotent.
+
+    Crash-safety: the snapshot directory NAME carries the watermark,
+    so the rename commits data and watermark as one atomic step; a
+    crash before the rename leaves only ``_staging`` garbage the next
+    fold sweeps, a crash after the rename but before GC leaves
+    harmless superseded directories (re-GC'd next fold because
+    ``serving_scan``/this function always resolve the MAX generation).
+
+    Call it only after the writing stream's checkpoint has advanced
+    past the folded batches (terminated, or ``lastProgress.batchId >
+    M``): GC of a folded ``batch_id=N`` directory disarms the replay
+    guard for that id, which is safe once the checkpoint can no longer
+    redeliver it.  Production with concurrent readers defers the
+    deletes by an archive window instead (``gc=False`` plus an external
+    sweeper), exactly as HBase archives rather than unlinks HFiles.
+
+    Scale: one O(base + new-tail) columnar rewrite per fold — the
+    classic LSM write-amplification trade, paid to keep the serving
+    read at one snapshot scan; partition layout of the snapshot is the
+    input's (repartition upstream if the folded index needs a specific
+    bucketing)."""
+    sc = spark.sparkContext
+    HPath = sc._jvm.org.apache.hadoop.fs.Path
+    sink = HPath(sink_dir)
+    fs = sink.getFileSystem(sc._jsc.hadoopConfiguration())
+    gens = _snapshot_gens(spark, base_dir)
+    if not gens:
+        raise ValueError(
+            f"no committed generation under {base_dir}; run "
+            "bootstrap_base_snapshot first"
+        )
+    gen, through, _ = gens[-1]
+    tail_ids = []
+    if fs.exists(sink):
+        for st in fs.listStatus(sink):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch_id="):
+                tail_ids.append(int(name.split("=", 1)[1]))
+    new_ids = [i for i in tail_ids if i > through]
+    if not new_ids:
+        return False
+    mark = max(new_ids)
+    # bounded at <= mark: a batch committing AFTER the listing above
+    # must stay in the tail (it is past the new watermark), not be
+    # folded unrecorded — serving_scan's unbounded read would have
+    # double-counted it
+    gens_path = gens[-1][2]
+    merged = _base_tail_union(spark, gens_path, sink_dir, through, mark, schema)
+    _commit_snapshot(merged, base_dir, gen + 1, mark)
+    if gc:
+        for g, _t, path in gens:  # every superseded generation
+            fs.delete(HPath(path), True)
+        for i in new_ids:
+            fs.delete(HPath(sink, f"batch_id={i}"), True)
+    return True
+
+
+def _commit_and_publish(
+    out: DataFrame,
+    sink_dir: str,
+    sink_table: str,
+    batch_id: int,
+    main,
+    state: dict,
+) -> None:
+    """Commit one micro-batch through :func:`idempotent_batch_commit`
+    and ensure ``sink_table`` reads the committed content — the shared
+    sink tail of every non-keyed foreachBatch pipeline.
+
+    The durable registration is a SQL-TEXT temp view over the sink
+    path: a SQL-text view re-resolves (and re-lists) per READER query,
+    so batches committed after registration stay visible with ZERO
+    per-batch work — the previous per-batch DataFrame re-registration
+    re-listed every committed directory on every batch, O(batches²)
+    driver I/O over a stream's life (review fix).  Until the first
+    batch with a parquet footer lands (empty batches write none), a
+    typed empty view stands in and the next batch retries the upgrade.
+
+    ``main`` is the DEFINING session — foreachBatch hands ``process``
+    a micro-batch session clone whose temp-view registrations the
+    caller would never see."""
+    idempotent_batch_commit(out, sink_dir, batch_id)
+    if state.get("view_ready"):
+        return
+    try:
+        main.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW `{sink_table}` AS "
+            f"SELECT * EXCEPT (batch_id) FROM parquet.`{sink_dir}`"
+        )
+        state["view_ready"] = True
+    except Exception:
+        # no footer yet (all-empty sink): serve the typed empty relation
+        committed_batches(main, sink_dir, schema=out.schema)\
+            .createOrReplaceTempView(sink_table)
 
 
 def _batch_marker_path(checkpoint_dir: str) -> str:
@@ -590,6 +808,7 @@ def stream_neardup_against_index(
     num_hashes: int = 128,
     rows_per_band: int = 4,
     trigger_available_now: bool = True,
+    sink_dir: str | None = None,
 ):
     """Streaming incremental near-dup: every arriving delta micro-batch is
     LSH-joined against the PREBUILT static band index
@@ -613,7 +832,7 @@ def stream_neardup_against_index(
     adoption): batches commit through :func:`idempotent_batch_commit`
     — staged, renamed, replay-skipped — so the pair sink is
     exactly-once observable; ``sink_dir`` defaults to
-    ``<checkpoint_dir>/_sink`` and ``sink_table`` is a temp view over
+    ``<checkpoint_dir>/sink`` and ``sink_table`` is a temp view over
     the committed batches on the defining session.
     """
     import os
@@ -622,8 +841,9 @@ def stream_neardup_against_index(
         minhash_lsh_join_against_index,
     )
 
-    sink = os.path.join(checkpoint_dir, "_sink")
+    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
     main = stream_docs.sparkSession
+    state: dict = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = minhash_lsh_join_against_index(
@@ -637,10 +857,7 @@ def stream_neardup_against_index(
             num_hashes,
             rows_per_band,
         )
-        idempotent_batch_commit(out, sink, batch_id)
-        committed_batches(main, sink, schema=out.schema).createOrReplaceTempView(
-            sink_table
-        )
+        _commit_and_publish(out, sink, sink_table, batch_id, main, state)
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -812,29 +1029,42 @@ def stream_sq8_ingest(
     sink_table: str,
     levels: int = 256,
     trigger_available_now: bool = True,
+    sink_dir: str | None = None,
 ):
     """Streaming SQ8 index maintenance: every arriving embedding
     micro-batch is quantized against the FROZEN corpus bounds (the
     deployed quantizer's model — retraining bounds is a rebuild event,
     detected upstream by the drift/outlier monitors, e.g.
-    ``operators/similarity.py::embedding_outliers``) and appended to the
-    persisted long-format codes table that
-    ``operators/similarity.py::sq8_ann_topk`` scans.
+    ``operators/similarity.py::embedding_outliers``) and committed to
+    the streamed-codes sink; the serving scan of
+    ``operators/similarity.py::sq8_ann_topk`` reads the bulk-built
+    snapshot UNION this sink (:func:`serving_scan` over a
+    :func:`bootstrap_base_snapshot` base), and
+    :func:`fold_streamed_tail` periodically compacts the tail into a
+    new snapshot generation — the memstore-flush analogy.
 
-    Why ``foreachBatch``: encoding is stateless and row-local — the only
-    reason to leave the always-incremental plan is the batch writer's
-    ``saveAsTable`` append (same contract note as
-    :func:`stream_neardup_against_index`: at-least-once on retry;
-    production stages per-``batch_id`` paths for idempotent commit).
+    Why ``foreachBatch``: encoding is stateless and row-local — the
+    only reason to leave the always-incremental plan is the batch sink.
+    Sink contract: batches commit through
+    :func:`idempotent_batch_commit` (staged, renamed, replay-skipped —
+    exactly-once observable; shared tail :func:`_commit_and_publish`);
+    ``sink_dir`` defaults to ``<checkpoint_dir>/sink``, ``sink_table``
+    is a SQL-text temp view over the committed batches.
 
     Scale/state: ZERO streaming state; the bounds row broadcasts once
     per batch; out-of-range arrivals CLAMP to the edge codes by design
     (the FAISS convention) rather than failing the pipeline."""
     from spark_sql_hbase_spark.operators.similarity import sq8_codes_long
 
+    import os
+
+    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
+    main = stream_vecs.sparkSession
+    state: dict = {}
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = sq8_codes_long(batch_df, bounds, id_col, vec_col, levels)
-        out.write.mode("append").saveAsTable(sink_table)
+        _commit_and_publish(out, sink, sink_table, batch_id, main, state)
 
     writer = stream_vecs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -855,6 +1085,7 @@ def stream_psi_monitor(
     n_buckets: int = 10,
     round_to: int = 4,
     trigger_available_now: bool = True,
+    sink_dir: str | None = None,
 ):
     """Streaming quality-drift monitor: every arriving micro-batch is
     bucketed against FROZEN corpus decile boundaries and its per-bucket
@@ -875,6 +1106,12 @@ def stream_psi_monitor(
 
     spark = stream_docs.sparkSession
     half = n_buckets / 2.0
+
+    import os
+
+    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
+    main = stream_docs.sparkSession
+    state: dict = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         scored = _quality_scored(batch_df, id_col, text_col)
@@ -901,7 +1138,7 @@ def stream_psi_monitor(
                 "psi_term"
             ),
         )
-        out.write.mode("append").saveAsTable(sink_table)
+        _commit_and_publish(out, sink, sink_table, batch_id, main, state)
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -921,6 +1158,7 @@ def stream_decontaminate(
     n: int = 5,
     min_overlap: int = 3,
     trigger_available_now: bool = True,
+    sink_dir: str | None = None,
 ):
     """Streaming train/test decontamination: every arriving micro-batch
     is screened against the FROZEN eval n-gram index and its
@@ -940,11 +1178,17 @@ def stream_decontaminate(
         decontaminate_against_index,
     )
 
+    import os
+
+    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
+    main = stream_docs.sparkSession
+    state: dict = {}
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = decontaminate_against_index(
             batch_df, ev_index, id_col, text_col, n, min_overlap
         )
-        out.write.mode("append").saveAsTable(sink_table)
+        _commit_and_publish(out, sink, sink_table, batch_id, main, state)
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -964,6 +1208,7 @@ def stream_vocab_kl(
     top_v: int = 100,
     round_to: int = 4,
     trigger_available_now: bool = True,
+    sink_dir: str | None = None,
 ):
     """Streaming vocabulary-KL drift monitor: every arriving micro-batch
     is bucketed against the FROZEN corpus vocabulary and its per-bucket
@@ -990,6 +1235,12 @@ def stream_vocab_kl(
     half = (vocab.count() + 1) / 2.0
     buckets = _all_buckets(spark, vocab)
 
+    import os
+
+    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
+    main = stream_docs.sparkSession
+    state: dict = {}
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         toks = batch_df.select(
             F.explode(tokens(F.col(text_col))).alias("term")
@@ -1011,7 +1262,7 @@ def stream_vocab_kl(
             F.col("c").cast("long").alias("c"),
             F.round(p * F.log(p / F.col("q")), round_to).alias("kl_term"),
         )
-        out.write.mode("append").saveAsTable(sink_table)
+        _commit_and_publish(out, sink, sink_table, batch_id, main, state)
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -1041,7 +1292,7 @@ def stream_media_metadata(
     Sink contract (r13 VERDICT item 4): batches commit through
     :func:`idempotent_batch_commit` — staged, renamed, replay-skipped,
     so the observable sink is exactly-once.  ``sink_dir`` defaults to
-    ``<checkpoint_dir>/_sink`` (batch_ids are only stable within one
+    ``<checkpoint_dir>/sink`` (batch_ids are only stable within one
     checkpoint lineage, so colocating ties their resets together; pass
     an external directory for a durable sink and reset both as one).
     ``sink_table`` is registered on the DEFINING session as a temp view
@@ -1057,18 +1308,13 @@ def stream_media_metadata(
         extract_media_metadata,
     )
 
-    sink = sink_dir or os.path.join(checkpoint_dir, "_sink")
-    # the DEFINING session: foreachBatch hands process() a micro-batch
-    # session CLONE whose temp-view registrations would be invisible to
-    # the caller
+    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
     main = stream_docs.sparkSession
+    state: dict = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_media_metadata(batch_df, id_col, binary_col)
-        idempotent_batch_commit(out, sink, batch_id)
-        committed_batches(main, sink, schema=out.schema).createOrReplaceTempView(
-            sink_table
-        )
+        _commit_and_publish(out, sink, sink_table, batch_id, main, state)
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -1109,7 +1355,7 @@ def stream_ann_serving(
     oracle checks.  Sink contract (r13 VERDICT item 4): batches commit
     through :func:`idempotent_batch_commit` — staged, renamed,
     replay-skipped, so the observable sink is exactly-once;
-    ``sink_dir`` defaults to ``<checkpoint_dir>/_sink`` (batch_ids are
+    ``sink_dir`` defaults to ``<checkpoint_dir>/sink`` (batch_ids are
     only stable within one checkpoint lineage) and ``sink_table`` is a
     temp view over the committed batches on the defining session.
 
@@ -1121,8 +1367,9 @@ def stream_ann_serving(
 
     from spark_sql_hbase_spark.operators.similarity import multiprobe_ann_topk
 
-    sink = sink_dir or os.path.join(checkpoint_dir, "_sink")
+    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
     main = query_stream.sparkSession
+    state: dict = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = multiprobe_ann_topk(
@@ -1135,10 +1382,7 @@ def stream_ann_serving(
             k=k,
             nprobe=nprobe,
         )
-        idempotent_batch_commit(out, sink, batch_id)
-        committed_batches(main, sink, schema=out.schema).createOrReplaceTempView(
-            sink_table
-        )
+        _commit_and_publish(out, sink, sink_table, batch_id, main, state)
 
     writer = query_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

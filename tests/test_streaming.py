@@ -721,3 +721,89 @@ def test_committed_batches_tolerates_all_empty_batches(spark, tmp_path):
     assert got.columns == ["id", "v"]
     # the empty commit still skips its replay
     assert idempotent_batch_commit(empty, sink, 0) is False
+
+
+def test_fold_streamed_tail_compacts_preserving_serving_content(spark, tmp_path):
+    """The compaction the stream_sq8_ingest contract promises: folding
+    the committed tail into a new generation snapshot preserves the
+    serving relation exactly, advances the fold watermark atomically
+    (it lives in the snapshot directory's NAME), GCs the superseded
+    generation and the folded batch directories, and is idempotent —
+    a fold with nothing new past the watermark is a no-op."""
+    import os
+
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        bootstrap_base_snapshot,
+        fold_streamed_tail,
+        idempotent_batch_commit,
+        serving_scan,
+    )
+
+    base = str(tmp_path / "base")
+    tail = str(tmp_path / "tail")
+    bootstrap_base_snapshot(
+        spark.range(5).selectExpr("id", "id * 10 AS v"), base
+    )
+    assert idempotent_batch_commit(
+        spark.range(100, 103).selectExpr("id", "id AS v"), tail, 0
+    )
+    assert idempotent_batch_commit(
+        spark.range(200, 202).selectExpr("id", "id AS v"), tail, 1
+    )
+
+    def serve():
+        return sorted(map(tuple, serving_scan(spark, base, tail).collect()))
+
+    before = serve()
+    assert len(before) == 10
+
+    assert fold_streamed_tail(spark, base, tail) is True
+    assert serve() == before  # fold is invisible to readers
+    assert os.path.isdir(os.path.join(base, "gen-1-through-1"))
+    assert not os.path.isdir(os.path.join(base, "gen-0-through--1"))  # GC'd
+    assert not os.path.isdir(os.path.join(tail, "batch_id=0"))  # folded+GC'd
+    assert not os.path.isdir(os.path.join(tail, "batch_id=1"))
+
+    # nothing past the watermark: no-op, no new generation
+    assert fold_streamed_tail(spark, base, tail) is False
+    assert serve() == before
+
+    # new arrivals past the watermark fold into generation 2
+    assert idempotent_batch_commit(
+        spark.range(300, 304).selectExpr("id", "id AS v"), tail, 2
+    )
+    assert serve() == sorted(before + [(i, i) for i in range(300, 304)])
+    assert fold_streamed_tail(spark, base, tail) is True
+    assert os.path.isdir(os.path.join(base, "gen-2-through-2"))
+    assert serve() == sorted(before + [(i, i) for i in range(300, 304)])
+
+
+def test_fold_streamed_tail_handles_footerless_edges(spark, tmp_path):
+    """Empty micro-batches commit no parquet footer: a fold over an
+    all-empty tail still advances the watermark (so GC reclaims the
+    empty batch directories), and serving an empty-bootstrapped base
+    falls back to the caller's schema instead of failing inference."""
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        bootstrap_base_snapshot,
+        fold_streamed_tail,
+        idempotent_batch_commit,
+        serving_scan,
+    )
+
+    base = str(tmp_path / "base")
+    tail = str(tmp_path / "tail")
+    empty = spark.range(1).filter("id < 0").selectExpr("id", "id * 2 AS v")
+    bootstrap_base_snapshot(empty, base)
+    assert idempotent_batch_commit(empty, tail, 0)
+    got = serving_scan(spark, base, tail, schema=empty.schema)
+    assert got.count() == 0 and got.columns == ["id", "v"]
+    assert fold_streamed_tail(spark, base, tail, schema=empty.schema) is True
+    got = serving_scan(spark, base, tail, schema=empty.schema)
+    assert got.count() == 0 and got.columns == ["id", "v"]
+    # rows landing after the empty epoch serve and fold normally
+    assert idempotent_batch_commit(
+        spark.range(3).selectExpr("id", "id * 2 AS v"), tail, 1
+    )
+    assert serving_scan(spark, base, tail).count() == 3
+    assert fold_streamed_tail(spark, base, tail) is True
+    assert serving_scan(spark, base, tail).count() == 3
