@@ -1137,8 +1137,12 @@ def st17_stream_sq8_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     # compaction (the memstore-flush analogy): fold the streamed tail
-    # into generation 1 — invisible to readers, so the oracle holds
+    # into generation 1 — invisible to readers, so the oracle holds.
+    # The tail view the sink published is superseded by serving_scan
+    # once compaction drains the tail; drop it rather than leave a
+    # view that no longer resolves.
     assert fold_streamed_tail(spark, base_dir, tail_dir) is True
+    spark.catalog.dropTempView("__st17_sq8_stream")
     return serving_scan(spark, base_dir, tail_dir)
 
 

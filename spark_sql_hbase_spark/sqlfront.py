@@ -1105,17 +1105,23 @@ class KeyedSqlRouter:
             routed = bool(cm) and self._is_keyed(
                 *_split_qualified(cm.group("target"), self.spark)
             )
-        if not routed:
-            if re.match(r"^\s*(?:scan|similarity)\b", rest, re.IGNORECASE):
-                # a malformed router-owned form under EXPLAIN must get
-                # the same GUIDED grammar error plain dispatch gives,
-                # not Spark's bare ParseException (review fix)
-                self.sql(rest)
-            return None
-        df = self.sql(rest)
         from spark_sql_hbase_spark.plans.pushdown import formatted_plan
 
-        plan = formatted_plan(df, (em.group("mode") or "simple").lower())
+        mode = (em.group("mode") or "simple").lower()
+        if not routed:
+            if re.match(r"^\s*(?:scan|similarity)\b", rest, re.IGNORECASE):
+                # a router-owned form this method's check didn't match:
+                # dispatch it — a malformed form raises the same GUIDED
+                # grammar error plain dispatch gives (review fix: not
+                # Spark's bare ParseException), and a form sql() DOES
+                # accept is routable after all, so explain it rather
+                # than execute-and-discard (review fix: the two checks
+                # must never diverge into silent execution)
+                return self.spark.createDataFrame(
+                    [(formatted_plan(self.sql(rest), mode),)], "plan string"
+                )
+            return None
+        plan = formatted_plan(self.sql(rest), mode)
         return self.spark.createDataFrame([(plan,)], "plan string")
 
     # -- dispatch ---------------------------------------------------------

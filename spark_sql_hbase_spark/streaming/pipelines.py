@@ -22,6 +22,7 @@ Scale notes (the 100 TB / always-on ingest view):
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Iterator
 from typing import Any
@@ -375,24 +376,55 @@ def serving_scan(spark, base_dir: str, sink_dir: str, schema=None) -> DataFrame:
     return _base_tail_union(spark, path, sink_dir, through, None, schema)
 
 
+def _has_visible_file(spark, dir_str: str) -> bool:
+    """True when any non-hidden FILE exists under ``dir_str``
+    (recursively, skipping ``_``/``.``-prefixed entries — the same
+    visibility rule Spark's file listing applies).  The probe that
+    distinguishes "genuinely footerless" (empty bootstrap, all-empty
+    batches, nothing committed) from "data present but unreadable":
+    treating a real read error as an empty side would let a fold
+    commit a data-LOSING generation and then GC the only copy."""
+    sc = spark.sparkContext
+    HPath = sc._jvm.org.apache.hadoop.fs.Path
+    root = HPath(dir_str)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return False
+
+    def walk(p) -> bool:
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if st.isFile() or (st.isDirectory() and walk(st.getPath())):
+                return True
+        return False
+
+    return walk(root)
+
+
 def _base_tail_union(
     spark, snapshot_path: str, sink_dir: str, through: int, upper, schema
 ) -> DataFrame:
     """Snapshot UNION the tail batches in ``(through, upper]`` (``upper``
     None = unbounded).  Either side may be footerless (empty bootstrap,
     all-empty batches): schema comes from whichever side has one, or
-    from ``schema`` when neither does."""
-    try:
-        base = spark.read.parquet(snapshot_path)
-    except Exception:
-        base = None  # footerless snapshot (empty bootstrap / empty fold)
-    try:
+    from ``schema`` when neither does.  Footerless is detected by the
+    FILE LISTING, not by catching read errors — a corrupt or
+    transiently unreadable side must RAISE, never silently read as
+    empty (review fix: the catch-all would have folded data loss into
+    a committed generation)."""
+    base = (
+        spark.read.parquet(snapshot_path)
+        if _has_visible_file(spark, snapshot_path)
+        else None
+    )
+    tail = None
+    if _has_visible_file(spark, sink_dir):
         cond = F.col("batch_id") > F.lit(through)
         if upper is not None:
             cond = cond & (F.col("batch_id") <= F.lit(upper))
         tail = spark.read.parquet(sink_dir).filter(cond).drop("batch_id")
-    except Exception:
-        tail = None  # footerless tail (no batch, or all-empty batches)
     if base is None and tail is None:
         if schema is None:
             raise ValueError(
@@ -439,6 +471,12 @@ def fold_streamed_tail(
     deletes by an archive window instead (``gc=False`` plus an external
     sweeper), exactly as HBase archives rather than unlinks HFiles.
 
+    A drained tail also empties any ``sink_table`` view
+    :func:`_commit_and_publish` published over it (the SQL-text view
+    re-resolves per query and fails once no parquet footer remains) —
+    a compacted index is read through :func:`serving_scan`; drop the
+    tail view once compaction takes over.
+
     Scale: one O(base + new-tail) columnar rewrite per fold — the
     classic LSM write-amplification trade, paid to keep the serving
     read at one snapshot scan; partition layout of the snapshot is the
@@ -480,6 +518,19 @@ def fold_streamed_tail(
     return True
 
 
+def _sink_state(stream_df: DataFrame, checkpoint_dir: str, sink_dir):
+    """The shared preamble of every :func:`_commit_and_publish`
+    pipeline: the sink path (defaulting to ``<checkpoint_dir>/sink`` —
+    batch_ids are only stable within one checkpoint lineage, so
+    colocating ties their resets together), the DEFINING session, and
+    the publisher's one-shot memo."""
+    return (
+        sink_dir or os.path.join(checkpoint_dir, "sink"),
+        stream_df.sparkSession,
+        {},
+    )
+
+
 def _commit_and_publish(
     out: DataFrame,
     sink_dir: str,
@@ -503,17 +554,26 @@ def _commit_and_publish(
 
     ``main`` is the DEFINING session — foreachBatch hands ``process``
     a micro-batch session clone whose temp-view registrations the
-    caller would never see."""
+    caller would never see.
+
+    The view covers the committed TAIL only: a
+    :func:`fold_streamed_tail` that drains the tail (``gc=True``)
+    empties it — consumers of a compacted index read
+    :func:`serving_scan`, not this view."""
     idempotent_batch_commit(out, sink_dir, batch_id)
     if state.get("view_ready"):
         return
-    try:
+    if _has_visible_file(main, sink_dir):
+        # a footer exists, so view creation must succeed — an error here
+        # is real (never swallow it into the per-batch fallback: that
+        # would silently re-list every committed directory every batch,
+        # the O(batches²) path this function exists to avoid)
         main.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW `{sink_table}` AS "
             f"SELECT * EXCEPT (batch_id) FROM parquet.`{sink_dir}`"
         )
         state["view_ready"] = True
-    except Exception:
+    else:
         # no footer yet (all-empty sink): serve the typed empty relation
         committed_batches(main, sink_dir, schema=out.schema)\
             .createOrReplaceTempView(sink_table)
@@ -523,14 +583,10 @@ def _batch_marker_path(checkpoint_dir: str) -> str:
     # lives INSIDE the query's checkpoint dir because batch_ids are only
     # stable within one checkpoint lineage — a fresh checkpoint restarts
     # at 0, and a store-scoped marker would then skip real batches
-    import os
-
     return os.path.join(checkpoint_dir, "_keyed_sink_last_batch")
 
 
 def _batch_already_applied(checkpoint_dir: str, batch_id: int) -> bool:
-    import os
-
     p = _batch_marker_path(checkpoint_dir)
     if not os.path.exists(p):
         return False
@@ -541,8 +597,6 @@ def _batch_already_applied(checkpoint_dir: str, batch_id: int) -> bool:
 def _record_batch_applied(checkpoint_dir: str, batch_id: int) -> None:
     """Atomically (write-then-rename) record the highest applied
     batch_id so a foreachBatch replay after failure is a no-op."""
-    import os
-
     p = _batch_marker_path(checkpoint_dir)
     tmp = f"{p}.tmp"
     with open(tmp, "w") as f:
@@ -835,15 +889,11 @@ def stream_neardup_against_index(
     ``<checkpoint_dir>/sink`` and ``sink_table`` is a temp view over
     the committed batches on the defining session.
     """
-    import os
-
     from spark_sql_hbase_spark.operators.dedup import (
         minhash_lsh_join_against_index,
     )
 
-    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
-    main = stream_docs.sparkSession
-    state: dict = {}
+    sink, main, state = _sink_state(stream_docs, checkpoint_dir, sink_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = minhash_lsh_join_against_index(
@@ -1056,11 +1106,7 @@ def stream_sq8_ingest(
     (the FAISS convention) rather than failing the pipeline."""
     from spark_sql_hbase_spark.operators.similarity import sq8_codes_long
 
-    import os
-
-    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
-    main = stream_vecs.sparkSession
-    state: dict = {}
+    sink, main, state = _sink_state(stream_vecs, checkpoint_dir, sink_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = sq8_codes_long(batch_df, bounds, id_col, vec_col, levels)
@@ -1107,11 +1153,7 @@ def stream_psi_monitor(
     spark = stream_docs.sparkSession
     half = n_buckets / 2.0
 
-    import os
-
-    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
-    main = stream_docs.sparkSession
-    state: dict = {}
+    sink, main, state = _sink_state(stream_docs, checkpoint_dir, sink_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         scored = _quality_scored(batch_df, id_col, text_col)
@@ -1178,11 +1220,7 @@ def stream_decontaminate(
         decontaminate_against_index,
     )
 
-    import os
-
-    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
-    main = stream_docs.sparkSession
-    state: dict = {}
+    sink, main, state = _sink_state(stream_docs, checkpoint_dir, sink_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = decontaminate_against_index(
@@ -1235,11 +1273,7 @@ def stream_vocab_kl(
     half = (vocab.count() + 1) / 2.0
     buckets = _all_buckets(spark, vocab)
 
-    import os
-
-    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
-    main = stream_docs.sparkSession
-    state: dict = {}
+    sink, main, state = _sink_state(stream_docs, checkpoint_dir, sink_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         toks = batch_df.select(
@@ -1302,15 +1336,11 @@ def stream_media_metadata(
     Scale/state: ZERO streaming state — metadata is a per-payload fact,
     so per-batch output equals the batch twin; the mapInPandas stage
     processes Arrow batches executor-side, no shuffle."""
-    import os
-
     from spark_sql_hbase_spark.operators.multimodal import (
         extract_media_metadata,
     )
 
-    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
-    main = stream_docs.sparkSession
-    state: dict = {}
+    sink, main, state = _sink_state(stream_docs, checkpoint_dir, sink_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_media_metadata(batch_df, id_col, binary_col)
@@ -1363,13 +1393,9 @@ def stream_ann_serving(
     once per batch, the probed pairs multiply only the arriving QUERY
     side (nprobe/|cells| of the corpus scanned per batch — the pinned
     IVF cost law)."""
-    import os
-
     from spark_sql_hbase_spark.operators.similarity import multiprobe_ann_topk
 
-    sink = sink_dir or os.path.join(checkpoint_dir, "sink")
-    main = query_stream.sparkSession
-    state: dict = {}
+    sink, main, state = _sink_state(query_stream, checkpoint_dir, sink_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = multiprobe_ann_topk(

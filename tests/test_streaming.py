@@ -807,3 +807,41 @@ def test_fold_streamed_tail_handles_footerless_edges(spark, tmp_path):
     assert serving_scan(spark, base, tail).count() == 3
     assert fold_streamed_tail(spark, base, tail) is True
     assert serving_scan(spark, base, tail).count() == 3
+
+
+def test_fold_refuses_unreadable_snapshot(spark, tmp_path):
+    """Review fix (data-loss class): footerless is detected by the file
+    LISTING, not by swallowing read errors — a snapshot whose data file
+    exists but cannot be read must fail the fold loudly, never commit a
+    generation missing the base rows and then GC the only copy."""
+    import glob
+    import os
+
+    import pytest
+
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        bootstrap_base_snapshot,
+        fold_streamed_tail,
+        idempotent_batch_commit,
+    )
+
+    base = str(tmp_path / "base")
+    tail = str(tmp_path / "tail")
+    bootstrap_base_snapshot(
+        spark.range(5).selectExpr("id", "id * 10 AS v"), base
+    )
+    assert idempotent_batch_commit(
+        spark.range(100, 103).selectExpr("id", "id AS v"), tail, 0
+    )
+    snap = os.path.join(base, "gen-0-through--1")
+    parts = glob.glob(os.path.join(snap, "part-*.parquet"))
+    assert parts
+    for p in parts:  # corrupt every data file: footer gone, file visible
+        with open(p, "wb") as f:
+            f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        fold_streamed_tail(spark, base, tail)
+    # nothing committed, nothing GC'd: the sole copies survive the failure
+    assert not os.path.isdir(os.path.join(base, "gen-1-through-0"))
+    assert os.path.isdir(snap)
+    assert os.path.isdir(os.path.join(tail, "batch_id=0"))
