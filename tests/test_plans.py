@@ -1281,3 +1281,38 @@ def test_r14_doc_repetition_gopher_no_corpus_global_state(spark, registry):
     assert "Window" not in plan, plan[:1500]
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_r14_serving_scan_prunes_tail_partitions_no_exchange(spark, tmp_path):
+    """The compacted-index serving read stays O(new tail) at any stream
+    lifetime: two parquet scans + union, NO exchange, and the tail
+    filter reaches the scan as a PartitionFilter on the batch_id
+    discovery column (planning-time directory pruning past the fold
+    watermark)."""
+    import os
+
+    from spark_sql_hbase_spark.streaming.pipelines import (
+        bootstrap_base_snapshot,
+        fold_streamed_tail,
+        idempotent_batch_commit,
+        serving_scan,
+    )
+
+    base = str(tmp_path / "base")
+    tail = str(tmp_path / "tail")
+    bootstrap_base_snapshot(
+        spark.range(5).selectExpr("id", "id * 2 AS v"), base
+    )
+    idempotent_batch_commit(
+        spark.range(3).selectExpr("id", "id AS v"), tail, 0
+    )
+    assert fold_streamed_tail(spark, base, tail) is True
+    idempotent_batch_commit(
+        spark.range(2).selectExpr("id", "id AS v"), tail, 1
+    )
+    plan = formatted_plan(serving_scan(spark, base, tail))
+    assert "Exchange" not in plan, plan[:1500]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:1500]
+    assert re.search(r"PartitionFilters:.*batch_id.* > 0", plan), plan[:1500]
+    # the base side reads ONLY the newest generation's directory
+    assert "gen-1-through-0" in plan and "gen-0-through--1" not in plan
