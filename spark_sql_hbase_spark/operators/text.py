@@ -1868,3 +1868,101 @@ def doc_repetition_sql(
            COALESCE(b.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
     FROM __lstats l LEFT JOIN __big b USING (id)
     """
+
+
+# C4 line-rule cleaning (Raffel et al. 2020 §2.2, "Colossal Clean
+# Crawled Corpus"): keep only lines that end in a terminal punctuation
+# mark, have at least `min_words` words, and contain neither
+# "javascript" nor "lorem ipsum" nor a curly brace; keep only
+# documents retaining at least `min_kept_lines` lines.  The
+# per-document twin of the CORPUS-level `boilerplate_ngrams` heuristic.
+_C4_TERM_RE = '[.!?"]$'
+_C4_WS_RE = "[ \t]+"
+
+
+def c4_line_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 heuristic line cleaning — entirely row-local JVM expressions
+    (split / transform / filter / array_join): no shuffle, no UDF, no
+    corpus-global state, so the operator scales as a pure projection
+    over the corpus scan at any size (plan-pinned exchange-free).
+
+    The kept-lines array is referenced three times at TOP level (count,
+    join, keep flag) — a linear per-row cost, unlike the per-ELEMENT
+    re-reference blowups the single-reference discipline guards
+    against (`functions/texthash.py`).
+
+    Returns ``id, n_lines, n_kept, kept, text_clean`` (counts BIGINT to
+    match the DuckDB twin's ``len()``)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(x: Column) -> Column:
+        words = F.filter(
+            F.split(x, _C4_WS_RE), lambda y: y != F.lit("")
+        )
+        return (
+            (x != F.lit(""))
+            & x.rlike(_C4_TERM_RE)
+            & (F.size(words) >= F.lit(int(min_words)))
+            & ~F.lower(x).contains("javascript")
+            & ~F.lower(x).contains("lorem ipsum")
+            & ~x.contains("{")
+        )
+
+    # explicit lambda: F.trim itself has an optional second parameter,
+    # which transform() would fill with the element INDEX (as trim chars)
+    kept_arr = F.filter(F.transform(lines, lambda x: F.trim(x)), _keep)
+    n_kept = F.size(kept_arr).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        (n_kept >= F.lit(int(min_kept_lines))).alias("kept"),
+        F.array_join(kept_arr, "\n").alias("text_clean"),
+    )
+
+
+def c4_line_clean_sql(
+    table: str,
+    id_expr: str,
+    text_col: str,
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+) -> str:
+    """DuckDB twin of :func:`c4_line_clean` (oracle generator).  The
+    word split deliberately uses the explicit class ``[ \\t]+`` in BOTH
+    engines (Java regex ``\\s`` includes U+000B, RE2's does not — the
+    cross-engine determinism convention), and both sides drop empty
+    split tokens (a tab-leading line survives ``trim``, which strips
+    spaces only, and would otherwise split to a leading empty)."""
+    mw, mk = int(min_words), int(min_kept_lines)
+    return f"""
+    WITH __l AS (
+        SELECT {id_expr} AS id, string_split({text_col}, chr(10)) AS ls
+        FROM {table}
+    ), __k AS (
+        SELECT id, ls,
+               list_filter(
+                   list_transform(ls, x -> trim(x)),
+                   x -> x <> ''
+                        AND regexp_matches(x, '{_C4_TERM_RE}')
+                        AND len(list_filter(
+                                regexp_split_to_array(x, '[ \t]+'),
+                                y -> y <> '')) >= {mw}
+                        AND NOT contains(lower(x), 'javascript')
+                        AND NOT contains(lower(x), 'lorem ipsum')
+                        AND NOT contains(x, '{{')) AS ks
+        FROM __l
+    )
+    SELECT id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ks) AS BIGINT) AS n_kept,
+           len(ks) >= {mk} AS kept,
+           COALESCE(array_to_string(ks, chr(10)), '') AS text_clean
+    FROM __k
+    """

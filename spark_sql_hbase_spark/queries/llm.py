@@ -4666,3 +4666,40 @@ def zh15_similarity_join_ivfadc_residual(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _ivfadc_sql_gate(spark, sf_dir, residual=True)
+
+
+# ---------------------------------------------------------------------------
+# zh16 — C4 heuristic line cleaning (operators/text.py::c4_line_clean;
+# Raffel et al. 2020 §2.2): keep lines ending in terminal punctuation
+# with >= 3 words and no javascript / lorem ipsum / curly brace; keep
+# documents retaining >= 3 lines.  The per-document line-rule
+# complement of the corpus-level t23 boilerplate shingle heuristic —
+# entirely row-local codegen expressions, no shuffle (plan-pinned).
+# ---------------------------------------------------------------------------
+# The synthetic corpus is single-line and punctuation-free, so the gate
+# first shapes it deterministically — ' agg ' becomes '.\n' (a
+# terminal-punctuated line break) and ' line ' a bare line break — with
+# the SAME literal replace() in both engines (left-to-right
+# non-overlapping in each).  At sf0.001 this yields 1-13 lines/doc,
+# 0-7 kept, 111/500 docs kept: every line rule exercises both ways.
+_C4_SHAPED = (
+    "(SELECT doc_id, replace(replace(text, ' agg ', '.' || chr(10)), "
+    "' line ', chr(10)) AS text FROM documents) __src"
+)
+
+
+@register(
+    "zh16_c4_line_clean",
+    oracle=text.c4_line_clean_sql(_C4_SHAPED, "doc_id", "text"),
+    description="C4 line-rule cleaning: terminal-punct + min-words + "
+    "blocklist line filter, min-kept-lines doc filter (row-local "
+    "expressions only, no shuffle)",
+)
+def zh16_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "replace(replace(text, ' agg ', '.\n'), ' line ', '\n')"
+        ).alias("text"),
+    )
+    return text.c4_line_clean(docs, "doc_id", "text")

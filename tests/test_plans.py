@@ -1316,3 +1316,12 @@ def test_r14_serving_scan_prunes_tail_partitions_no_exchange(spark, tmp_path):
     assert re.search(r"PartitionFilters:.*batch_id.* > 0", plan), plan[:1500]
     # the base side reads ONLY the newest generation's directory
     assert "gen-1-through-0" in plan and "gen-0-through--1" not in plan
+
+
+def test_r14_c4_line_clean_is_shuffle_free(spark, registry):
+    """zh16: C4 line cleaning is a pure row-local projection — no
+    exchange, no aggregate, no join anywhere in the plan; the corpus
+    scan is the only node that touches data."""
+    plan = formatted_plan(registry["zh16_c4_line_clean"].fn(spark, SF))
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Join" not in plan and "Aggregate" not in plan

@@ -94,3 +94,38 @@ def test_pii_redact_overlap_counts_match_replacements(spark):
     row = pii_redact(df, "id", "t").collect()[0]
     assert row["text_redacted"] == "mail <email> end"
     assert row["n_redactions"] == 1
+
+
+def test_c4_line_clean_rules(spark):
+    """Every C4 line rule fires: terminal punctuation, min words,
+    javascript / lorem ipsum / curly-brace blocklists, and the
+    min-kept-lines document filter — on a crafted document where each
+    rule is the only reason its line drops."""
+    from spark_sql_hbase_spark.operators.text import c4_line_clean
+
+    text = "\n".join(
+        [
+            "this line is kept because it ends well.",
+            "no terminal punctuation here",
+            "Too short.",
+            "this one mentions JavaScript so it drops.",
+            "sadly lorem ipsum filler text drops too.",
+            "a brace { disqualifies this line.",
+            "  whitespace is trimmed and this stays!  ",
+            'quoted endings count as terminal."',
+        ]
+    )
+    df = spark.createDataFrame([(1, text), (2, "word soup only")], "id long, t string")
+    rows = {r["id"]: r for r in c4_line_clean(df, "id", "t").collect()}
+    assert rows[1]["n_lines"] == 8
+    assert rows[1]["n_kept"] == 3
+    assert rows[1]["kept"] is True
+    assert rows[1]["text_clean"] == "\n".join(
+        [
+            "this line is kept because it ends well.",
+            "whitespace is trimmed and this stays!",
+            'quoted endings count as terminal."',
+        ]
+    )
+    assert rows[2]["n_lines"] == 1 and rows[2]["n_kept"] == 0
+    assert rows[2]["kept"] is False and rows[2]["text_clean"] == ""
