@@ -4703,3 +4703,32 @@ def zh16_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.c4_line_clean(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# zh17 — NEAR DUPLICATES through the SQL router (sqlfront.py::
+# _near_duplicates): the dedup family's SQL surface at the SIMILARITY
+# JOIN seam — the statement rewrites to dedup.minhash_lsh_join and the
+# gate hashes against the SAME oracle as the zf01 operator gate, so
+# the router provably adds no semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "zh17_near_duplicates_sql",
+    oracle=_JACCARD_ORACLE,
+    description="NEAR DUPLICATES IN <t> ON text BY doc_id THRESHOLD t "
+    "SHINGLE n through the SQL router (same oracle as the zf01 "
+    "operator gate)",
+)
+def zh17_near_duplicates_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spark_sql_hbase_spark.session import EngineSession
+
+    table(spark, sf_dir, "documents").createOrReplaceTempView("__zh17_docs")
+    sess = EngineSession(
+        spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="neardup_wh_")
+    )
+    return sess.sql(
+        f"NEAR DUPLICATES IN __zh17_docs ON text BY doc_id "
+        f"THRESHOLD {JACCARD_T} SHINGLE {SHINGLE_N}"
+    )

@@ -132,6 +132,14 @@ _SIMJOIN_RE = re.compile(
     rf"(?:\s+(?P<residual>residual))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_NEARDUP_RE = re.compile(
+    rf"^\s*near\s+duplicates\s+in\s+(?P<src>\(.*\)|{_QUALIFIED})\s+"
+    rf"on\s+(?P<text>`[^`]+`|[\w:]+)\s+by\s+(?P<id>`[^`]+`|[\w:]+)"
+    rf"(?:\s+threshold\s+(?P<t>\d*\.\d+|\d+))?"
+    rf"(?:\s+shingle\s+(?P<n>\d+))?"
+    rf"(?:\s+method\s+(?P<method>[A-Za-z0-9_]+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_top_level_books(blob: str) -> tuple[str, str | None]:
@@ -830,6 +838,51 @@ class KeyedSqlRouter:
             return True
         return bool(getattr(self.store, "manifest_authority", False))
 
+    def _near_duplicates(self, m) -> DataFrame:
+        """``NEAR DUPLICATES`` — the dedup family's SQL surface at the
+        same router seam (and with the same provably-no-semantics
+        contract) as ``SIMILARITY JOIN``: the statement rewrites to the
+        DataFrame near-dup operators and the gate hashes against the
+        operator gate's own oracle.
+
+            NEAR DUPLICATES IN <table | (subquery)>
+                ON <text_col> BY <id_col>
+                [THRESHOLD <t>] [SHINGLE <n>] [METHOD MINHASH|EXACT]
+
+        METHOD MINHASH (default) is
+        :func:`~spark_sql_hbase_spark.operators.dedup.minhash_lsh_join`
+        — LSH band candidates + exact Jaccard verification of
+        candidates only (the 100 TB path: candidate volume, not corpus
+        square).  METHOD EXACT is
+        :func:`~...dedup.ngram_jaccard_join` — the inverted-index
+        exact join, for when the corpus is small enough to verify
+        everything.  Both return ``(id_a, id_b, jac)`` with jac
+        rounded to 4 (the shared determinism law), thresholded at
+        THRESHOLD (default 0.6) over SHINGLE-gram shingles (default
+        3).  The source resolves through :meth:`_resolve`, so keyed
+        tables work in both storage modes."""
+        from spark_sql_hbase_spark.operators import dedup
+
+        ref = m.group("src").strip()
+        if ref.startswith("("):
+            src = self.spark.sql(self._resolve(ref[1:-1]))
+        else:
+            src = self.spark.sql(self._resolve(f"SELECT * FROM {ref}"))
+        id_col = _unquote(m.group("id"))
+        text_col = _unquote(m.group("text"))
+        threshold = float(m.group("t")) if m.group("t") else 0.6
+        n = int(m.group("n")) if m.group("n") else 3
+        method = (m.group("method") or "minhash").lower()
+        if method == "minhash":
+            return dedup.minhash_lsh_join(src, id_col, text_col, threshold, n)
+        if method == "exact":
+            return dedup.ngram_jaccard_join(src, id_col, text_col, threshold, n)
+        raise ValueError(
+            f"unknown NEAR DUPLICATES method {method.upper()}; "
+            "supported: MINHASH (LSH candidates + exact verify), "
+            "EXACT (inverted-index Jaccard join)"
+        )
+
     def _similarity_join(self, m) -> DataFrame:
         """``SIMILARITY JOIN`` — SURVEY §7.2 P6's optional SQL syntax,
         implemented at the router seam (the same dispatch level as the
@@ -1099,6 +1152,7 @@ class KeyedSqlRouter:
         routed = bool(
             _SIMJOIN_RE.match(rest)
             or _SCAN_PAGE_RE.match(rest)
+            or _NEARDUP_RE.match(rest)
         )
         if not routed:
             cm = _BARE_COUNT_RE.match(rest)
@@ -1109,7 +1163,7 @@ class KeyedSqlRouter:
 
         mode = (em.group("mode") or "simple").lower()
         if not routed:
-            if re.match(r"^\s*(?:scan|similarity)\b", rest, re.IGNORECASE):
+            if re.match(r"^\s*(?:scan|similarity|near)\b", rest, re.IGNORECASE):
                 # a router-owned form this method's check didn't match:
                 # dispatch it — a malformed form raises the same GUIDED
                 # grammar error plain dispatch gives (review fix: not
@@ -1289,6 +1343,16 @@ class KeyedSqlRouter:
             raise ValueError(
                 "unsupported SCAN form; use SCAN <table> PAGE <n> "
                 "[AFTER '<last row_key>']"
+            )
+
+        m = _NEARDUP_RE.match(stmt)
+        if m:
+            return self._near_duplicates(m)
+        if re.match(r"^\s*near\b", stmt, re.IGNORECASE):
+            raise ValueError(
+                "unsupported NEAR DUPLICATES form; use NEAR DUPLICATES "
+                "IN <table|(subquery)> ON <text_col> BY <id_col> "
+                "[THRESHOLD <t>] [SHINGLE <n>] [METHOD MINHASH|EXACT]"
             )
 
         m = _SIMJOIN_RE.match(stmt)

@@ -1297,3 +1297,40 @@ def test_explain_over_routed_statements(spark, tmp_path):
     # a non-routed EXPLAIN passes through to Spark's own EXPLAIN
     passthrough = sess.sql("EXPLAIN SELECT 1 + 1").collect()
     assert passthrough and "plan" in passthrough[0].asDict()
+
+
+def test_near_duplicates_sql_methods_and_refusals(spark, tmp_path):
+    """NEAR DUPLICATES through the router: MINHASH (default) and EXACT
+    agree on the verified-pairs contract at gate scale, malformed forms
+    and unknown methods refuse with the grammar, and EXPLAIN serves the
+    routed form's actual plan."""
+    import pytest as _pytest
+
+    from spark_sql_hbase_spark.queries import table
+    from spark_sql_hbase_spark.session import EngineSession
+
+    table(spark, "/root/testdata/sf0.001", "documents").createOrReplaceTempView(
+        "__nd_docs"
+    )
+    sess = EngineSession(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    base = "NEAR DUPLICATES IN __nd_docs ON text BY doc_id THRESHOLD 0.6 SHINGLE 3"
+    got = sorted(map(tuple, sess.sql(base).collect()))
+    assert got, "no near-dup pairs at gate scale"
+    # EXACT verifies everything the inverted index touches — same
+    # verified-pairs contract, so the two methods agree exactly
+    exact = sorted(map(tuple, sess.sql(base + " METHOD EXACT").collect()))
+    assert got == exact
+    # a subquery source resolves through the same seam
+    sub = sess.sql(
+        "NEAR DUPLICATES IN (SELECT doc_id, text FROM __nd_docs) "
+        "ON text BY doc_id THRESHOLD 0.6 SHINGLE 3"
+    )
+    assert sorted(map(tuple, sub.collect())) == got
+    with _pytest.raises(ValueError, match="unsupported NEAR DUPLICATES form"):
+        sess.sql("NEAR DUPLICATES __nd_docs ON text")
+    with _pytest.raises(ValueError, match="unknown NEAR DUPLICATES method"):
+        sess.sql(base + " METHOD SIMHASH")
+    plan = sess.sql("EXPLAIN " + base).collect()[0]["plan"]
+    assert "Exchange" in plan or "Physical Plan" in plan
+    with _pytest.raises(ValueError, match="unsupported NEAR DUPLICATES form"):
+        sess.sql("EXPLAIN NEAR DUPLICATES __nd_docs ON text")
