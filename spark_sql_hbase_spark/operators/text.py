@@ -1876,7 +1876,10 @@ def doc_repetition_sql(
 # "javascript" nor "lorem ipsum" nor a curly brace; keep only
 # documents retaining at least `min_kept_lines` lines.  The
 # per-document twin of the CORPUS-level `boilerplate_ngrams` heuristic.
-_C4_TERM_RE = '[.!?"]$'
+# \z (end of INPUT), not $: Java's default $ also matches before a
+# final \r, RE2's does not — $ would silently diverge the twin on any
+# CRLF corpus (review fix).  Both engines support \z identically.
+_C4_TERM_RE = '[.!?"]\\z'
 _C4_WS_RE = "[ \t]+"
 
 
@@ -1899,7 +1902,9 @@ def c4_line_clean(
 
     Returns ``id, n_lines, n_kept, kept, text_clean`` (counts BIGINT to
     match the DuckDB twin's ``len()``)."""
-    lines = F.split(F.col(text_col), "\n")
+    # \r?\n: CRLF corpora must not leave a trailing \r on every line
+    # (trim strips spaces only) — same regex split in the DuckDB twin
+    lines = F.split(F.col(text_col), "\\r?\\n")
 
     def _keep(x: Column) -> Column:
         words = F.filter(
@@ -1943,7 +1948,8 @@ def c4_line_clean_sql(
     mw, mk = int(min_words), int(min_kept_lines)
     return f"""
     WITH __l AS (
-        SELECT {id_expr} AS id, string_split({text_col}, chr(10)) AS ls
+        SELECT {id_expr} AS id,
+               string_split_regex({text_col}, '\\r?\\n') AS ls
         FROM {table}
     ), __k AS (
         SELECT id, ls,
@@ -1963,6 +1969,8 @@ def c4_line_clean_sql(
            CAST(len(ls) AS BIGINT) AS n_lines,
            CAST(len(ks) AS BIGINT) AS n_kept,
            len(ks) >= {mk} AS kept,
-           COALESCE(array_to_string(ks, chr(10)), '') AS text_clean
+           CASE WHEN ls IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(ks, chr(10)), '')
+           END AS text_clean
     FROM __k
     """

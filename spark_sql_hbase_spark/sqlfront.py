@@ -838,6 +838,18 @@ class KeyedSqlRouter:
             return True
         return bool(getattr(self.store, "manifest_authority", False))
 
+    def _rel(self, ref: str) -> DataFrame:
+        """Resolve a router-form table reference — ``(subquery)`` or a
+        (possibly dot-qualified) name — through :meth:`_resolve`, so
+        keyed tables work in both storage modes and plain views/tables
+        pass straight through.  The ONE source-resolution seam shared
+        by every rewriting router form (SIMILARITY JOIN, NEAR
+        DUPLICATES) — review fix: inlined copies drift."""
+        ref = ref.strip()
+        if ref.startswith("("):
+            return self.spark.sql(self._resolve(ref[1:-1]))
+        return self.spark.sql(self._resolve(f"SELECT * FROM {ref}"))
+
     def _near_duplicates(self, m) -> DataFrame:
         """``NEAR DUPLICATES`` — the dedup family's SQL surface at the
         same router seam (and with the same provably-no-semantics
@@ -863,11 +875,7 @@ class KeyedSqlRouter:
         tables work in both storage modes."""
         from spark_sql_hbase_spark.operators import dedup
 
-        ref = m.group("src").strip()
-        if ref.startswith("("):
-            src = self.spark.sql(self._resolve(ref[1:-1]))
-        else:
-            src = self.spark.sql(self._resolve(f"SELECT * FROM {ref}"))
+        src = self._rel(m.group("src"))
         id_col = _unquote(m.group("id"))
         text_col = _unquote(m.group("text"))
         threshold = float(m.group("t")) if m.group("t") else 0.6
@@ -922,12 +930,7 @@ class KeyedSqlRouter:
         ANN shapes)."""
         from spark_sql_hbase_spark.operators import similarity
 
-        def rel(ref: str) -> DataFrame:
-            ref = ref.strip()
-            if ref.startswith("("):
-                return self.spark.sql(self._resolve(ref[1:-1]))
-            return self.spark.sql(self._resolve(f"SELECT * FROM {ref}"))
-
+        rel = self._rel
         corpus = rel(m.group("corpus"))
         queries = rel(m.group("queries"))
         id_col = _unquote(m.group("id"))

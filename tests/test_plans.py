@@ -1289,8 +1289,6 @@ def test_r14_serving_scan_prunes_tail_partitions_no_exchange(spark, tmp_path):
     filter reaches the scan as a PartitionFilter on the batch_id
     discovery column (planning-time directory pruning past the fold
     watermark)."""
-    import os
-
     from spark_sql_hbase_spark.streaming.pipelines import (
         bootstrap_base_snapshot,
         fold_streamed_tail,

@@ -129,3 +129,47 @@ def test_c4_line_clean_rules(spark):
     )
     assert rows[2]["n_lines"] == 1 and rows[2]["n_kept"] == 0
     assert rows[2]["kept"] is False and rows[2]["text_clean"] == ""
+
+
+def test_c4_line_clean_crlf_and_null_match_duckdb(spark):
+    """Review fix (cross-engine determinism): CRLF corpora split clean
+    in BOTH engines (\\r?\\n split; Java's $ would have matched before a
+    final \\r where RE2's does not — the anchor is \\z), and NULL text
+    stays NULL everywhere (the empty-list COALESCE must not fire on the
+    NULL-input path).  Asserted against DuckDB directly."""
+    import duckdb
+
+    from spark_sql_hbase_spark.operators.text import (
+        c4_line_clean,
+        c4_line_clean_sql,
+    )
+
+    rows = [
+        (1, "crlf lines end well here.\r\nand this one also does.\r\nno punct"),
+        (2, None),
+        (3, "unix line that ends well stays.\nshort.\n"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: (r["n_lines"], r["n_kept"], r["kept"], r["text_clean"])
+        for r in c4_line_clean(df, "id", "t").collect()
+    }
+    assert got[1] == (3, 2, False,
+                      "crlf lines end well here.\nand this one also does.")
+    assert got[2] == (None, None, None, None)
+    assert got[3] == (3, 1, False, "unix line that ends well stays.")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "(1, 'crlf lines end well here.' || chr(13) || chr(10) || "
+        "'and this one also does.' || chr(13) || chr(10) || 'no punct'), "
+        "(2, NULL), "
+        "(3, 'unix line that ends well stays.' || chr(10) || 'short.' "
+        "|| chr(10))) v(id, t)"
+    )
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(c4_line_clean_sql("t", "id", "t")).fetchall()
+    }
+    assert oracle == got
