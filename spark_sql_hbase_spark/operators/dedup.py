@@ -310,10 +310,12 @@ def minhash_band_keys_arrow(
     return sets.mapInPandas(gen, f"id {id_type}, band_key bigint")
 
 
-def _oph_band_keys_numpy(ids_arr, shingle_lists, num_hashes, rows_per_band):
-    """Shared numpy core of the densified-OPH band-key computation (see
-    ``minhash_band_keys_arrow`` docstring). Returns a pandas DataFrame of
-    (id, band_key) or None for an empty batch."""
+def _oph_band_matrix(shingle_lists, num_hashes, rows_per_band):
+    """Numpy core of the densified-OPH band-key computation (see
+    ``minhash_band_keys_arrow`` docstring). Returns ``(keep, acc)`` where
+    ``keep`` is the bool mask of non-empty documents and ``acc`` the
+    (kept_docs × n_bands) uint64 band-key matrix, or ``None`` for a batch
+    with no non-empty documents."""
     import numpy as np
     import pandas as pd
 
@@ -327,9 +329,8 @@ def _oph_band_keys_numpy(ids_arr, shingle_lists, num_hashes, rows_per_band):
         (len(s) for s in shingle_lists), dtype=np.int64, count=len(shingle_lists)
     )
     keep = lens > 0
-    ids = ids_arr[keep]
     lens = lens[keep]
-    ndocs = len(ids)
+    ndocs = len(lens)
     if ndocs == 0:
         return None
     flat = list(
@@ -358,6 +359,21 @@ def _oph_band_keys_numpy(ids_arr, shingle_lists, num_hashes, rows_per_band):
     for r in range(rows_per_band):
         acc = (acc ^ v[:, :, r]) * mix_mult
         acc ^= acc >> np.uint64(31)
+    return keep, acc
+
+
+def _oph_band_keys_numpy(ids_arr, shingle_lists, num_hashes, rows_per_band):
+    """Exploded (id, band_key) form of :func:`_oph_band_matrix` as a pandas
+    DataFrame, or None for an empty batch."""
+    import numpy as np
+    import pandas as pd
+
+    res = _oph_band_matrix(shingle_lists, num_hashes, rows_per_band)
+    if res is None:
+        return None
+    keep, acc = res
+    ids = ids_arr[keep]
+    n_bands = num_hashes // rows_per_band
     return pd.DataFrame(
         {
             "id": np.repeat(ids, n_bands),
@@ -413,6 +429,57 @@ def minhash_band_keys_arrow_text(
 
     return docs.select(id_col, text_col).mapInPandas(
         gen, f"id {id_type}, band_key bigint"
+    )
+
+
+def shingle_sets_and_bands_arrow(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, sh, band_keys) in ONE Arrow pass: tokenize + shingle + OPH.
+
+    Fusion of ``_shingle_sets`` (the verify-side shingle arrays) and
+    ``minhash_band_keys_arrow`` (the banding keys) for callers that need
+    BOTH — one corpus scan, one Python crossing, instead of an
+    interpreted JVM shingle fold (O(len·n) HOF work per row) followed by
+    a second Arrow transfer of the shingle arrays into the OPH pass.
+    ``_py_shingles`` is byte-identical to the JVM ``shingles(tokens(..))``
+    fold (pinned by ``test_python_shingles_match_jvm``), so consumers see
+    the exact same shingle sets and the exact same band keys as the
+    unfused path. Documents with no shingles are dropped, matching the
+    fused callers' ``filter(size(sh) > 0)``.
+
+    ``band_keys`` is a dense ``num_hashes/rows_per_band``-element array —
+    explode it JVM-side for the bucket join; keeping it dense in the
+    cached relation costs ~0.5 KB/doc and avoids caching the exploded
+    (id, band_key) relation separately.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            shingle_lists = [_py_shingles(t, n) for t in pdf[text_col]]
+            res = _oph_band_matrix(shingle_lists, num_hashes, rows_per_band)
+            if res is None:
+                continue
+            keep, acc = res
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy()[keep],
+                    "sh": [s for s in shingle_lists if len(s) > 0],
+                    "band_keys": list(acc.view(np.int64)),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"id {id_type}, sh array<string>, band_keys array<bigint>"
     )
 
 
@@ -484,21 +551,28 @@ def minhash_lsh_join(
             _parallelized(df), id_col, text_col, n, num_hashes, rows_per_band
         ).cache()
         sets_all = None
+    elif vectorized:
+        # corpus scope: ONE fused Arrow pass yields the shingle arrays
+        # (verify sides) AND the band keys — replaces the interpreted JVM
+        # shingle fold + second Arrow transfer of the arrays into OPH
+        # (~2× on this operator; same shingles, same band keys, pinned)
+        fused = shingle_sets_and_bands_arrow(
+            _parallelized(df), id_col, text_col, n, num_hashes, rows_per_band
+        ).cache()
+        sets_all = fused.select("id", "sh")
+        bands = fused.select("id", F.explode("band_keys").alias("band_key"))
     else:
         sets_all = _shingle_sets(df, id_col, text_col, n).filter(F.size("sh") > 0).cache()
-        if vectorized:
-            bands = minhash_band_keys_arrow(sets_all, num_hashes, rows_per_band).cache()
-        else:
-            # one linear per-row expression: shingles → signature → band
-            # keys; each stage referenced once, no shuffle until the join
-            bands = sets_all.select(
-                "id",
-                F.explode(
-                    band_keys_col(
-                        minhash_signature_col(F.col("sh"), num_hashes), rows_per_band
-                    )
-                ).alias("band_key"),
-            ).cache()  # both self-join sides read this; don't run the fold twice
+        # one linear per-row expression: shingles → signature → band
+        # keys; each stage referenced once, no shuffle until the join
+        bands = sets_all.select(
+            "id",
+            F.explode(
+                band_keys_col(
+                    minhash_signature_col(F.col("sh"), num_hashes), rows_per_band
+                )
+            ).alias("band_key"),
+        ).cache()  # both self-join sides read this; don't run the fold twice
     ba = bands.select(F.col("id").alias("id_a"), "band_key")
     bb = bands.select(F.col("id").alias("id_b"), "band_key")
     candidates = (
@@ -530,13 +604,84 @@ def minhash_lsh_join(
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) 60-bit fingerprint per document.
 
-    Shuffle-free: per-bit set-counts are accumulated in ONE ``aggregate``
-    pass over the token-hash array (``zip_with`` against the bit mask of
-    each hash), then combined against the per-doc token count — bit i is
-    set iff set-count·2 ≥ n, identical to the sum-of-±1-votes ≥ 0 rule.
-    The explode + 60-column group-by formulation shuffles every token;
-    this touches each row once where it already lives. Docs with zero
-    tokens are dropped (parity with the grouped formulation).
+    Shuffle-free, one Arrow pass: tokenization stays JVM-side (codegen'd
+    ``split`` + ``array_remove`` — byte-identical tokens by construction),
+    then the per-token md5 word hash and the 60-bit majority vote run
+    vectorized in numpy. The md5 is computed once per DISTINCT token per
+    batch (vocabulary is Zipfian, so this is a small fraction of the
+    token stream) and votes are per-bit segment sums — identical to the
+    JVM ``aggregate``/``zip_with`` vote fold this replaces
+    (``simhash_fingerprints_jvm``, parity-pinned by
+    ``test_simhash_arrow_matches_jvm``), which interpreted O(tokens × 60)
+    lambda steps per document and dominated the operator's runtime.
+    Docs with zero tokens are dropped (parity with the JVM/grouped
+    formulations)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    toks = _parallelized(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    )
+
+    def gen(batches):
+        import hashlib
+
+        bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        for pdf in batches:
+            tok_lists = list(pdf["t"])
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            keep = lens > 0
+            ids = pdf["id"].to_numpy()[keep]
+            lens = lens[keep]
+            if len(ids) == 0:
+                continue
+            flat = np.asarray(
+                list(itertools.chain.from_iterable(t for t in tok_lists if len(t))),
+                dtype=object,
+            )
+            # md5 once per distinct token: word_hash = first 14 hex digits
+            uniq, inv = np.unique(flat, return_inverse=True)
+            uh = np.fromiter(
+                (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:14], 16)
+                    for w in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            hv = uh[inv]
+            # per-bit set-counts per document: (tokens × 60) bit matrix,
+            # segment-summed at document boundaries
+            bits = ((hv[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            counts = np.add.reduceat(bits, starts, axis=0)
+            # majority rule: bit i set iff set-count·2 >= n
+            simhash = (
+                ((counts * 2 >= lens[:, None]).astype(np.uint64) << bit_idx)
+                .sum(axis=1)
+                .view(np.int64)
+            )
+            yield pd.DataFrame({"id": ids, "simhash": simhash})
+
+    return toks.mapInPandas(gen, f"id {id_type}, simhash bigint")
+
+
+def simhash_fingerprints_jvm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pure-JVM expression twin of :func:`simhash_fingerprints` (no Python
+    workers in the plan): per-bit set-counts are accumulated in ONE
+    ``aggregate`` pass over the token-hash array (``zip_with`` against the
+    bit mask of each hash), then combined against the per-doc token count
+    — bit i is set iff set-count·2 ≥ n, identical to the
+    sum-of-±1-votes ≥ 0 rule. The explode + 60-column group-by
+    formulation shuffles every token; this touches each row once where it
+    already lives. Docs with zero tokens are dropped (parity with the
+    grouped formulation). HOF lambdas are interpreted, so this costs
+    O(tokens × 60) interpreter steps per document — kept as the
+    no-Python fallback and the parity anchor for the Arrow path.
 
     The token array is bound behind a Generate barrier (round 4): ``n``
     is captured inside the vote lambda and the filter re-references the

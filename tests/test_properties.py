@@ -310,6 +310,59 @@ def test_python_shingles_match_jvm(spark, sf_dir):
         assert set(_py_shingles(r["text"], 3)) == jvm[r["doc_id"]], r["doc_id"]
 
 
+def test_simhash_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow/numpy simhash (md5-per-distinct-token + segment-sum
+    votes) must reproduce the JVM expression fold EXACTLY — same word
+    hash, same majority rule, same zero-token drops — on the real
+    documents table."""
+    from spark_sql_hbase_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_fingerprints_jvm,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    arrow = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs, "doc_id", "text").collect()}
+    jvm = {r["id"]: r["simhash"] for r in simhash_fingerprints_jvm(docs, "doc_id", "text").collect()}
+    assert arrow == jvm and len(arrow) > 0
+
+
+def test_fused_shingle_bands_match_unfused(spark, sf_dir):
+    """The fused Arrow pass (shingles + OPH band keys in one crossing)
+    must produce the same shingle arrays as the JVM fold and the same
+    band keys as the unfused Arrow OPH over those arrays."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_band_keys_arrow,
+        shingle_sets_and_bands_arrow,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    fused = shingle_sets_and_bands_arrow(docs, "doc_id", "text", 3, 128, 4)
+    got_sets = {r["id"]: list(r["sh"]) for r in fused.collect()}
+    want_sets = {
+        r["id"]: list(r["sh"])
+        for r in _shingle_sets(docs, "doc_id", "text", 3)
+        .filter(F.size("sh") > 0)
+        .collect()
+    }
+    assert got_sets == want_sets and len(got_sets) > 0
+    got_bands = {
+        (r["id"], r["band_key"])
+        for r in fused.select("id", F.explode("band_keys").alias("band_key")).collect()
+    }
+    want_bands = {
+        (r["id"], r["band_key"])
+        for r in minhash_band_keys_arrow(
+            _shingle_sets(docs, "doc_id", "text", 3).filter(F.size("sh") > 0), 128, 4
+        ).collect()
+    }
+    assert got_bands == want_bands
+
+
 def test_lsh_verify_scopes_agree(spark, sf_dir):
     """corpus- and candidates-scoped verification produce the identical
     exact result (and, because the Python shingle twin matches the JVM
