@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_sql_hbase_spark.operators.dedup import _shingle_sets
+from spark_sql_hbase_spark.operators.dedup import shingle_sets_arrow
 
 
 def eval_shingle_index(
@@ -41,7 +41,7 @@ def eval_shingle_index(
     consumer: the batch decontamination join and the streaming monitor
     (the frozen-model convention — a changed eval set is a re-baseline
     event, not something a stream mutates)."""
-    return _shingle_sets(eval_df, id_col, text_col, n).select(
+    return shingle_sets_arrow(eval_df, id_col, text_col, n).select(
         F.col("id").alias("eval_id"), F.explode("sh").alias("s")
     )
 
@@ -57,7 +57,7 @@ def decontaminate_against_index(
     """:func:`decontaminate` against a prebuilt
     :func:`eval_shingle_index` — the shape batch and streaming callers
     share, so the two cannot diverge."""
-    tr = _shingle_sets(train, id_col, text_col, n).select(
+    tr = shingle_sets_arrow(train, id_col, text_col, n).select(
         F.col("id").alias("train_id"), F.explode("sh").alias("s")
     )
     pairs = (
@@ -124,13 +124,18 @@ def bloom_decontaminate(
     - the exact pair join then runs over the small survivor set, exactly
       the plain operator's shape.
     """
-    from spark_sql_hbase_spark.functions.texthash import word_hash
-
+    # Probe hash: xxhash64 (native codegen'd expression), seeded per
+    # probe by the literal probe index.  The probe hash never touches the
+    # operator's OUTPUT — it only gates candidates, both bitmap build and
+    # membership test use the same function, Bloom filters have no false
+    # negatives, and the exact verify join removes every false positive —
+    # so the md5-based word_hash (two md5s of a concat per shingle per
+    # side) was pure overhead here, not a cross-engine determinism need.
     def probe_pos(i: int, s) -> "F.Column":
-        return word_hash(F.concat(F.lit(f"bl{i}:"), s)) % m_bits
+        return F.pmod(F.xxhash64(s, F.lit(i)), F.lit(m_bits))
 
     ev_sh = (
-        _shingle_sets(eval_df, id_col, text_col, n)
+        shingle_sets_arrow(eval_df, id_col, text_col, n)
         .select(F.col("id").alias("eval_id"), F.explode("sh").alias("s"))
     )
     pos = ev_sh.select(
@@ -151,7 +156,7 @@ def bloom_decontaminate(
             ).alias("__bm")
         )
     )
-    tr = _shingle_sets(train, id_col, text_col, n).select(
+    tr = shingle_sets_arrow(train, id_col, text_col, n).select(
         F.col("id").alias("train_id"), F.explode("sh").alias("s")
     )
     gated = tr.join(F.broadcast(bitmap)).select(  # 1-row broadcast cross join

@@ -164,7 +164,7 @@ def ngram_jaccard_join(
     (boilerplate): drop shingles with df above a cap before the join; kept
     exact here because this operator doubles as the oracle target.
     """
-    sets = _shingle_sets(df, id_col, text_col, n).cache()
+    sets = shingle_sets_arrow(df, id_col, text_col, n).cache()
     tok = sets.select("id", F.explode("sh").alias("s"))
     ta = tok.select(F.col("id").alias("id_a"), "s")
     tb = tok.select(F.col("id").alias("id_b"), "s")
@@ -432,6 +432,34 @@ def minhash_band_keys_arrow_text(
     )
 
 
+def shingle_sets_arrow(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Drop-in Arrow twin of :func:`_shingle_sets`: (id, sh) with the
+    byte-identical shingle arrays (``_py_shingles`` parity, pinned by
+    ``test_python_shingles_match_jvm``), including empty arrays for docs
+    with fewer than ``n`` tokens — ONE Python crossing per row instead of
+    the interpreted JVM HOF fold (O(len·n) lambda steps per row)."""
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "sh": [_py_shingles(t, n) for t in pdf[text_col]],
+                }
+            )
+
+    return (
+        _parallelized(docs)
+        .select(id_col, text_col)
+        .mapInPandas(gen, f"id {id_type}, sh array<string>")
+    )
+
+
 def shingle_sets_and_bands_arrow(
     docs: DataFrame,
     id_col: str,
@@ -596,7 +624,7 @@ def minhash_lsh_join(
         # cached: _verify_jaccard consumes this frame on BOTH join sides —
         # without it the interpreted shingle fold over candidate docs runs
         # twice (the incremental variants already did this)
-        sets = _shingle_sets(cand_docs, id_col, text_col, n).cache()
+        sets = shingle_sets_arrow(cand_docs, id_col, text_col, n).cache()
     return _verify_jaccard(candidates, sets, threshold)
 
 
@@ -813,8 +841,8 @@ def minhash_lsh_join_incremental(
     )
     # side-separated: each sets frame feeds exactly one join side, so an id
     # value shared by new and corpus can never cross-match (ADVICE r2)
-    sets_a = _shingle_sets(docs_a, id_col, text_col, n)
-    sets_b = _shingle_sets(docs_b, id_col, text_col, n)
+    sets_a = shingle_sets_arrow(docs_a, id_col, text_col, n)
+    sets_b = shingle_sets_arrow(docs_b, id_col, text_col, n)
     return _verify_jaccard_two_sided(candidates, sets_a, sets_b, threshold)
 
 
@@ -882,8 +910,8 @@ def minhash_lsh_join_against_index(
     )
     # side-separated: each sets frame feeds exactly one join side, so an id
     # value shared by new and corpus can never cross-match (ADVICE r2)
-    sets_a = _shingle_sets(docs_a, id_col, text_col, n)
-    sets_b = _shingle_sets(docs_b, id_col, text_col, n)
+    sets_a = shingle_sets_arrow(docs_a, id_col, text_col, n)
+    sets_b = shingle_sets_arrow(docs_b, id_col, text_col, n)
     return _verify_jaccard_two_sided(candidates, sets_a, sets_b, threshold)
 
 
@@ -1035,7 +1063,7 @@ def containment_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = _shingle_sets(df, id_col, text_col, k)
+    sets = shingle_sets_arrow(df, id_col, text_col, k)
     sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -42,6 +42,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _seq_dot_np(mat, vec):
+    """Sequential-order dot products of every row of ``mat`` with ``vec``,
+    bit-identical to the JVM ``aggregate`` fold in :func:`dot`:
+    ``((0.0 + p0) + p1) + ...``.  ``np.cumsum`` accumulates strictly left
+    to right (and IEEE ``0.0 + p0 == p0``), so taking the last prefix sum
+    reproduces the fold's rounding exactly — unlike ``np.dot``/``np.sum``,
+    whose pairwise/SIMD summation associates differently."""
+    import numpy as np
+
+    return np.cumsum(mat * vec, axis=1)[:, -1]
+
+
+def _seq_sq_norm_np(mat):
+    """Row-wise sequential sum of squares (see :func:`_seq_dot_np`)."""
+    import numpy as np
+
+    return np.cumsum(mat * mat, axis=1)[:, -1]
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,7 +71,94 @@ def cosine_topk(
     """Exact top-k neighbors per query vector (broadcast queries).
 
     Returns (query_id, neighbor_id, cos, rank). Self-matches excluded.
+
+    Scoring runs vectorized in ONE Arrow pass over the corpus: the
+    (bounded, by contract broadcastable) query set is collected and
+    closed over, each corpus partition scores all queries with numpy, and
+    only the (query_id, neighbor_id, cos_raw) triples come back — the
+    corpus vectors cross into Python once, never into a join. Cosines are
+    BIT-IDENTICAL to the JVM ``zip_with``/``aggregate`` fold
+    (:func:`cosine_topk_jvm`, pinned by
+    ``test_cosine_topk_arrow_matches_jvm``): sequential-order prefix-sum
+    dots, double widening, same divide — the fold interpreted
+    O(|corpus|·|queries|·dim) lambda steps and dominated this operator.
     """
+    import pandas as pd
+
+    # bounded by the operator contract (broadcast query set); the
+    # not-null filters mirror the join condition's null semantics
+    # (``neighbor_id != query_id`` is NULL — row excluded — when either
+    # id is NULL)
+    q_rows = (
+        queries.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv"))
+        .collect()
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import numpy as np
+
+        qids = [r["query_id"] for r in q_rows]
+        qvs = [
+            np.asarray(r["qv"], dtype=np.float64) if r["qv"] is not None else None
+            for r in q_rows
+        ]
+        qns = [
+            np.sqrt(np.cumsum(v * v)[-1]) if v is not None and len(v) else None
+            for v in qvs
+        ]
+        for pdf in batches:
+            nids = pdf["neighbor_id"].to_numpy()
+            vec_list = list(pdf["cv"])
+            ok = np.array([v is not None for v in vec_list], dtype=bool)
+            if ok.any():
+                C = np.asarray(
+                    [v for v, o in zip(vec_list, ok) if o], dtype=np.float64
+                )
+                cn = np.sqrt(_seq_sq_norm_np(C))
+            out_id, out_nid, out_cos = [], [], []
+            for qid, qv, qn in zip(qids, qvs, qns):
+                keep = nids != qid  # self-match excluded, as in the join
+                if qv is None or qn is None:
+                    cos = np.full(len(nids), None, dtype=object)
+                else:
+                    cos = np.full(len(nids), None, dtype=object)
+                    if ok.any():
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            c_ok = _seq_dot_np(C, qv) / (qn * cn)
+                        cos[ok] = c_ok
+                out_id.extend([qid] * int(keep.sum()))
+                out_nid.extend(nids[keep])
+                out_cos.extend(cos[keep])
+            yield pd.DataFrame(
+                {"query_id": out_id, "neighbor_id": out_nid, "cos_raw": out_cos}
+            )
+
+    scored = (
+        corpus.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv"))
+        .mapInPandas(gen, f"query_id {qid_type}, neighbor_id {id_type}, cos_raw double")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos"), "rank")
+    )
+
+
+def cosine_topk_jvm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Pure-JVM expression twin of :func:`cosine_topk` (no Python workers
+    in the plan; interpreted HOF dot products) — kept as the no-Python
+    fallback and the parity anchor for the Arrow scoring path."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
     )
@@ -237,6 +343,51 @@ def squared_l2(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _spark_round_half_up(values, round_to: int):
+    """Bit-exact replica of Spark's ``round(double, n)`` for a 1-D float64
+    array: Spark evaluates ``BigDecimal.valueOf(x).setScale(n, HALF_UP)``,
+    i.e. HALF_UP decimal rounding of the SHORTEST decimal string that
+    round-trips to ``x`` (``Double.toString``) — which is exactly what
+    ``Decimal(repr(x))`` parses in Python, so the two agree digit for
+    digit (pinned by the assign/encode parity tests on real data)."""
+    import decimal
+
+    import numpy as np
+
+    q = decimal.Decimal(1).scaleb(-round_to)
+    return np.fromiter(
+        (
+            float(decimal.Decimal(repr(v)).quantize(q, rounding=decimal.ROUND_HALF_UP))
+            for v in values.tolist()
+        ),
+        dtype=np.float64,
+        count=len(values),
+    )
+
+
+def _argmin_rounded_np(E, model_vecs, round_to: int):
+    """Per-row argmin over rounded sequential-order squared-L2 distances
+    against the (key-sorted) model — the numpy twin of
+    :func:`_nearest`'s ``array_min`` over ``struct(round(d2), key)``.
+
+    ``E``: (N × dim) float64 rows; ``model_vecs``: list of C float64
+    vectors in ASCENDING key order.  Distances accumulate strictly left
+    to right (``np.cumsum`` — the same FP association as the JVM
+    ``aggregate`` fold), are rounded with Spark's HALF_UP rule, and ties
+    resolve to the FIRST (lowest-key) column, matching the struct
+    comparison.  NaN distances (degenerate inputs) sort last, as NaN
+    does in Spark's double ordering."""
+    import numpy as np
+
+    n = len(E)
+    R = np.empty((n, len(model_vecs)), dtype=np.float64)
+    for j, cv in enumerate(model_vecs):
+        d = E - cv
+        R[:, j] = _spark_round_half_up(np.cumsum(d * d, axis=1)[:, -1], round_to)
+    R = np.where(np.isnan(R), np.inf, R)  # NaN orders last (Spark semantics)
+    return np.argmin(R, axis=1)
 
 
 def _packed_model(model: DataFrame, key: str, vec: str = "cv") -> DataFrame:
@@ -428,7 +579,43 @@ def assign_cells(
     instead of plan literals, so index BUILD stays compilable at
     production C·dim (the search side got the same treatment; a literal
     model made both sides uncompilable at C=4096).  Still no shuffle and
-    no corpus explosion: the cross join is against a single row."""
+    no corpus explosion: the cross join is against a single row.
+
+    When the quantizer arrives as a DRIVER-SIDE LIST (already
+    materialized model state), assignment instead runs vectorized in one
+    Arrow pass — numpy distances in the JVM fold's exact FP order,
+    Spark's exact HALF_UP rounding, first-column (= lowest-key) argmin —
+    assignments identical to the expression path (pinned by
+    ``test_assign_cells_arrow_matches_jvm``), without the O(C·dim)
+    interpreted lambda steps per row.  DataFrame models keep the
+    broadcast-relation path: the model is plan data and is never
+    collected to the driver."""
+    if not isinstance(centroids, DataFrame):
+        import pandas as pd
+        import numpy as np
+
+        from pyspark.sql import types as T
+
+        ordered = sorted(centroids, key=lambda t: t[0])
+        keys = [cid for cid, _ in ordered]
+        vecs = [np.asarray(cv, dtype=np.float64) for _, cv in ordered]
+        cell_type = T.StringType() if isinstance(keys[0], str) else T.LongType()
+        out_schema = T.StructType(
+            list(vectors.schema.fields) + [T.StructField(cell_col, cell_type)]
+        )
+
+        def gen(batches):
+            karr = np.asarray(keys, dtype=object)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                E = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                idx = _argmin_rounded_np(E, vecs, round_to)
+                yield pdf.assign(**{cell_col: karr[idx]})
+
+        return vectors.mapInPandas(gen, out_schema)
     cent = _centroid_relation(vectors.sparkSession, centroids)
     packed = _packed_model(cent, "cell")
     v = vectors.withColumn("__ev", _to_double(F.col(vec_col)))
@@ -620,6 +807,47 @@ def pq_encode(
             assert [c for c, _ in book] == list(range(len(book))), (
                 "codebook codes must be dense 0..ksub-1"
             )
+        # Driver-side books: encode vectorized in one Arrow pass (same
+        # rounded-argmin law as the packed-expression path — sequential
+        # FP order, HALF_UP rounding, lowest-code ties; pinned by
+        # ``test_pq_encode_arrow_matches_jvm``).  DataFrame books keep
+        # the broadcast-relation path (model never driver-collected).
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        book_vecs = [
+            [np.asarray(cv, dtype=np.float64) for _, cv in book]
+            for book in codebooks
+        ]
+        id_field = vectors.schema[id_col]
+        extra_fields = [vectors.schema[c] for c in extra_cols]
+        out_schema = T.StructType(
+            [T.StructField("id", id_field.dataType)]
+            + list(extra_fields)
+            + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+        )
+        cols = [id_col, *extra_cols, vec_col]
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                E = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                code_mat = np.empty((len(E), m), dtype=np.int32)
+                for s in range(m):
+                    code_mat[:, s] = _argmin_rounded_np(
+                        E[:, s * sub : (s + 1) * sub], book_vecs[s], round_to
+                    )
+                out = {"id": pdf[id_col].to_numpy()}
+                for c in extra_cols:
+                    out[c] = pdf[c].to_numpy()
+                out["codes"] = list(code_mat)
+                yield pd.DataFrame(out)
+
+        return vectors.select(*cols).mapInPandas(gen, out_schema)
     packed = books.agg(
         F.array_sort(F.collect_list(F.struct("s", "code", "cv"))).alias("__books")
     )

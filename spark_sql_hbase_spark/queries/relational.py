@@ -113,19 +113,35 @@ def z02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q5: multi-way join with broadcast dims + shuffle joins",
 )
 def a01_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Join order pushes the ASIA selection to the LEAVES (inner joins
+    # commute, so the result set is identical to the textbook order the
+    # oracle states): region⋈nation (constant-size, broadcast) restricts
+    # supplier and customer FIRST, so the fact-side shuffles carry only
+    # the ~1/R of rows that can ever survive — the filter-last order
+    # shuffled every lineitem through two exchanges and dropped 4/5 of
+    # them at the top (guide §2.3: shuffle fewer bytes; §3: reduce the
+    # big side before shuffling it).
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    return (
-        cu.join(o, cu.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (cu.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    n_asia = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    s_asia = s.join(F.broadcast(n_asia), s.s_nationkey == n_asia.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    cu_asia = cu.join(
+        F.broadcast(n_asia), cu.c_nationkey == n_asia.n_nationkey, "left_semi"
+    ).select("c_custkey", "c_nationkey")
+    return (
+        cu_asia.join(o, cu_asia.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s_asia, (li.l_suppkey == s_asia.s_suppkey) & (cu_asia.c_nationkey == s_asia.s_nationkey))
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )

@@ -363,6 +363,79 @@ def test_fused_shingle_bands_match_unfused(spark, sf_dir):
     assert got_bands == want_bands
 
 
+def test_cosine_topk_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow brute-force scorer must reproduce the JVM
+    zip_with/aggregate fold BIT-exactly (sequential prefix-sum dots, same
+    widening, same divide) — compared UNROUNDED would be ideal, but the
+    operator's contract output (cos rounded to 4, rank, ids) is what the
+    oracle hashes, so pin the full output on the real embeddings table."""
+    from spark_sql_hbase_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_jvm,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 8")
+    got = sorted(map(tuple, cosine_topk(emb, queries, "vec_id", "embedding", 10).collect()))
+    want = sorted(map(tuple, cosine_topk_jvm(emb, queries, "vec_id", "embedding", 10).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_assign_cells_arrow_matches_jvm(spark, sf_dir):
+    """assign_cells with a driver-side model (Arrow argmin) must produce
+    the identical cell per vector as the broadcast-relation expression
+    path (same rounded-d2 law, same lowest-key ties)."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import _to_double, assign_cells
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect()
+    )
+    cents = [(int(r["vec_id"]), list(r["ev"])) for r in sorted(seeds, key=lambda r: r["vec_id"])]
+    cent_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cell bigint, cv array<double>"
+    )
+    got = {r["vec_id"]: r["cell"] for r in assign_cells(emb, cents, "vec_id", "embedding").collect()}
+    want = {r["vec_id"]: r["cell"] for r in assign_cells(emb, cent_df, "vec_id", "embedding").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_pq_encode_arrow_matches_jvm(spark, sf_dir):
+    """pq_encode with driver-side books (Arrow argmin) must produce the
+    identical code arrays as the broadcast-relation expression path."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _codebook_relation,
+        _to_double,
+        pq_encode,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: r["vec_id"])
+    sub, m = 16, 4
+    books = [
+        [(int(r["vec_id"]), list(r["ev"])[s * sub : (s + 1) * sub]) for r in seeds]
+        for s in range(m)
+    ]
+    books_df = _codebook_relation(spark, books)
+    got = {r["id"]: list(r["codes"]) for r in pq_encode(emb, books, "vec_id", "embedding").collect()}
+    want = {r["id"]: list(r["codes"]) for r in pq_encode(emb, books_df, "vec_id", "embedding").collect()}
+    assert got == want and len(got) > 0
+
+
 def test_lsh_verify_scopes_agree(spark, sf_dir):
     """corpus- and candidates-scoped verification produce the identical
     exact result (and, because the Python shingle twin matches the JVM
