@@ -944,7 +944,10 @@ def duplicate_spans(
       otherwise re-tokenize per position), then one rolling-window hash
       array per doc: ``transform(sequence(...), i -> word_hash(concat_ws
       (' ', slice(tok, i+1, w))))`` — row-local, O(len·w) character work,
-      same cost class as shingling;
+      same cost class as shingling (an Arrow/hashlib twin was measured
+      ~1.6× SLOWER here — the token-array transfer outweighs the
+      interpreted transform, unlike the shingle folds — so the JVM
+      expression stays);
     - explode to (id, window_hash) — one row per token position, the
       inherent cost of substring-level dedup (a suffix array pays the
       same); the shuffle carries 8-byte hashes + ids, never text;

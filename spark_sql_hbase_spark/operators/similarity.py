@@ -1427,20 +1427,11 @@ def sq8_bounds(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
     )
 
 
-def _sq8_bounds_literals(
+def _sq8_bounds_values(
     corpus: DataFrame, vec_col: str, dim: int | None = None
-) -> tuple[Column, Column]:
-    """Train the SQ8 bounds with ONE corpus scan and re-light the single
-    result row as literal array columns.
-
-    The bounds are 2·dim doubles — a bounded model parameter, so the
-    driver-side collect is the same discipline as centroid/codebook
-    seeds.  Re-lighting (instead of cross-joining the lazy one-row
-    aggregate into every consumer) means the aggregate is evaluated
-    exactly once however many branches reference the bounds — the lazy
-    form was evaluated once per recon branch.  Doubles round-trip the
-    collect bit-exactly.  ``dim`` avoids an extra corpus scan for
-    dimension inference when the caller knows it."""
+) -> tuple[list, list]:
+    """Driver-side SQ8 bound VALUES (lo list, hi list) — one corpus scan;
+    the value-level core of :func:`_sq8_bounds_literals`."""
     if dim is None:
         # NULL vectors must not decide the probe: len(None) would raise
         # an opaque TypeError where the empty-corpus path raises a
@@ -1462,10 +1453,27 @@ def _sq8_bounds_literals(
         # downstream scoring join is empty anyway (no corpus rows).
         # Matches the pre-relit behavior, which propagated the NULL
         # bounds into an empty result instead of crashing.
-        zero = F.array(*[F.lit(0.0) for _ in range(dim)])
-        return zero, zero
-    lo = F.array(*[F.lit(float(v)) for v in row["lo"]])
-    hi = F.array(*[F.lit(float(v)) for v in row["hi"]])
+        return [0.0] * dim, [0.0] * dim
+    return [float(v) for v in row["lo"]], [float(v) for v in row["hi"]]
+
+
+def _sq8_bounds_literals(
+    corpus: DataFrame, vec_col: str, dim: int | None = None
+) -> tuple[Column, Column]:
+    """Train the SQ8 bounds with ONE corpus scan and re-light the single
+    result row as literal array columns.
+
+    The bounds are 2·dim doubles — a bounded model parameter, so the
+    driver-side collect is the same discipline as centroid/codebook
+    seeds.  Re-lighting (instead of cross-joining the lazy one-row
+    aggregate into every consumer) means the aggregate is evaluated
+    exactly once however many branches reference the bounds — the lazy
+    form was evaluated once per recon branch.  Doubles round-trip the
+    collect bit-exactly.  ``dim`` avoids an extra corpus scan for
+    dimension inference when the caller knows it."""
+    lo_v, hi_v = _sq8_bounds_values(corpus, vec_col, dim)
+    lo = F.array(*[F.lit(v) for v in lo_v])
+    hi = F.array(*[F.lit(v) for v in hi_v])
     return lo, hi
 
 
@@ -1541,7 +1549,104 @@ def sq8_ann_topk(
     broadcast; scoring is corpus-scan × |Q| with a window top-k —
     exactly :func:`cosine_topk`'s shuffle-free shape.  Scores round to
     ``round_to`` before ranking (tiebreak on neighbor_id) so the cut is
-    cross-engine stable."""
+    cross-engine stable.
+
+    Scoring runs vectorized in ONE Arrow pass over the corpus (the
+    :func:`cosine_topk` treatment): bounds are already driver-side
+    values, the (bounded, broadcast-contract) query set is collected,
+    and encode → decode → dot → round replay the JVM expression
+    semantics bit-for-bit — identical IEEE op order for the affine
+    encode/decode, ``np.cumsum`` for the fold's sequential dot, and
+    Spark's HALF_UP decimal rounding (:func:`_spark_round_half_up`).
+    Pinned by ``test_sq8_ann_arrow_matches_jvm``; the expression twin
+    stays as :func:`sq8_ann_topk_jvm`."""
+    import numpy as np
+    import pandas as pd
+
+    lo_v, hi_v = _sq8_bounds_values(corpus, vec_col, dim)
+    lo_a = np.asarray(lo_v, dtype=np.float64)
+    hi_a = np.asarray(hi_v, dtype=np.float64)
+
+    def _recon_np(V):
+        """encode+decode a (N × dim) float64 matrix, bit-identical to
+        sq8_encode→sq8_decode: floor((x-lo)/(hi-lo)*levels) clamped to
+        [0, levels-1] (degenerate dims code 0), then
+        lo + (code+0.5)*(hi-lo)/levels."""
+        span = hi_a - lo_a
+        degenerate = hi_a == lo_a
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scaled = np.floor((V - lo_a) / span * float(levels))
+        code = np.clip(scaled, 0.0, float(levels - 1))
+        code = np.where(degenerate, 0.0, code)
+        return lo_a + (code + 0.5) * span / float(levels)
+
+    q_rows = (
+        queries.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        qids = [r["query_id"] for r in q_rows]
+        qrecs = [
+            _recon_np(np.asarray(r["qv"], dtype=np.float64)[None, :])[0]
+            if r["qv"] is not None
+            else None
+            for r in q_rows
+        ]
+        for pdf in batches:
+            nids = pdf["neighbor_id"].to_numpy()
+            vec_list = list(pdf["cv"])
+            ok = np.array([v is not None for v in vec_list], dtype=bool)
+            if ok.any():
+                C = _recon_np(
+                    np.asarray(
+                        [v for v, o in zip(vec_list, ok) if o], dtype=np.float64
+                    )
+                )
+            out_id, out_nid, out_score = [], [], []
+            for qid, qrec in zip(qids, qrecs):
+                keep = nids != qid
+                score = np.full(len(nids), None, dtype=object)
+                if qrec is not None and ok.any():
+                    score[ok] = _spark_round_half_up(
+                        _seq_dot_np(C, qrec), round_to
+                    )
+                out_id.extend([qid] * int(keep.sum()))
+                out_nid.extend(nids[keep])
+                out_score.extend(score[keep])
+            yield pd.DataFrame(
+                {"query_id": out_id, "neighbor_id": out_nid, "score": out_score}
+            )
+
+    scored = (
+        corpus.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .mapInPandas(gen, f"query_id {qid_type}, neighbor_id {id_type}, score double")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def sq8_ann_topk_jvm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    levels: int = 256,
+    round_to: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Pure-JVM expression twin of :func:`sq8_ann_topk` (no Python in the
+    plan) — the no-Python fallback and parity anchor for the Arrow
+    scoring path."""
     lo, hi = _sq8_bounds_literals(corpus, vec_col, dim)
 
     def recon(df: DataFrame, name: str) -> DataFrame:
@@ -1981,7 +2086,9 @@ def ivfsq_ann_topk(
     probes = _probe_cells(q, cent, nprobe, round_to=round_to).select(
         "query_id", F.col("__qv").alias("qv"), "cell"
     )
-    with_cells = assign_cells(corpus, cent, id_col, vec_col, "cell", round_to)
+    # pass the RAW model: a driver-side list takes assign_cells' Arrow
+    # argmin fast path; a DataFrame keeps the broadcast-relation path
+    with_cells = assign_cells(corpus, centroids, id_col, vec_col, "cell", round_to)
     code = sq8_encode(F.col(vec_col), lo, hi, levels)
     c = with_cells.select(
         F.col(id_col).alias("neighbor_id"),

@@ -436,6 +436,72 @@ def test_pq_encode_arrow_matches_jvm(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_sq8_ann_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow SQ8 scorer (numpy encode/decode/dot in the JVM
+    expressions' exact FP order + Spark's HALF_UP rounding) must produce
+    the identical full output as the expression twin."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        sq8_ann_topk,
+        sq8_ann_topk_jvm,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    got = sorted(map(tuple, sq8_ann_topk(emb, queries, "vec_id", "embedding", 10).collect()))
+    want = sorted(map(tuple, sq8_ann_topk_jvm(emb, queries, "vec_id", "embedding", 10).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_duplicate_span_hashes_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow rolling-window md5 hashes must equal the OLD JVM
+    ``conv(substring(md5(concat_ws(' ', slice(...)))), 16, 10)``
+    expression digit for digit on the real corpus, including stride
+    starts and the short-doc empty branch — hashlib md5 and the JVM md5
+    must agree byte for byte on every window string."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.functions.texthash import tokens
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    for window, stride in ((10, 1), (10, 4)):
+        wh = (
+            f"CASE WHEN size(__tok) >= {window} THEN "
+            f"transform(sequence(0, size(__tok) - {window}, {stride}), "
+            f"i -> cast(conv(substring(md5(concat_ws(' ', slice(__tok, i + 1, "
+            f"{window}))), 1, 14), 16, 10) AS BIGINT)) "
+            f"ELSE cast(array() AS array<bigint>) END"
+        )
+        rows = (
+            docs.select(
+                F.col("doc_id").alias("id"), tokens(F.col("text")).alias("__tok")
+            )
+            .select("id", "__tok", F.expr(wh).alias("whs"))
+            .collect()
+        )
+        assert len(rows) > 0
+        for r in rows:
+            toks = list(r["__tok"])
+            if len(toks) < window:
+                got = []
+            else:
+                got = [
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[i : i + window]).encode("utf-8")
+                        ).hexdigest()[:14],
+                        16,
+                    )
+                    for i in range(0, len(toks) - window + 1, stride)
+                ]
+            assert got == list(r["whs"]), r["id"]
+
+
 def test_lsh_verify_scopes_agree(spark, sf_dir):
     """corpus- and candidates-scoped verification produce the identical
     exact result (and, because the Python shingle twin matches the JVM
