@@ -419,7 +419,7 @@ def _nearest(ev: Column, key: str, round_to: int = 6) -> Column:
 
 def kmeans_step(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
@@ -429,10 +429,13 @@ def kmeans_step(
     centroids. This is the index-construction primitive behind a real IVF
     quantizer — iterate to convergence by feeding the output back in.
 
-    ``centroids``: (cluster_id, cv: array<double>) — small, broadcast.
-    Returns long-format (cluster_id, dim, centroid, n_members): one row
-    per centroid dimension — scalar columns, so the result is
-    hashable/oracle-comparable (no array cells).
+    ``centroids``: (cluster_id, cv: array<double>) — small, broadcast —
+    or the driver-side ``[(cluster_id, cv)]`` list (already-collected
+    model state, what :func:`kmeans`/:func:`kmeans_centroids` hold
+    between iterations).  Returns long-format (cluster_id, dim,
+    centroid, n_members): one row per centroid dimension — scalar
+    columns, so the result is hashable/oracle-comparable (no array
+    cells).
 
     Scale shape: assignment is a broadcast nested-loop over K centroids —
     O(n·K·dim) compute, NO shuffle of vectors; the only exchange is the
@@ -442,17 +445,27 @@ def kmeans_step(
     Round 5: the centroids ride as ONE packed broadcast row (see
     :func:`_packed_model`) instead of plan literals, so the plan stays
     compilable at production K·dim and the model is never collected to
-    the driver here.
+    the driver here.  Round 14: a LIST model routes assignment through
+    :func:`assign_cells`' vectorized Arrow argmin (same rounded-distance
+    / lowest-key law, pinned by ``test_kmeans_step_list_matches_df``)
+    instead of the O(K·dim) interpreted fold per row; the averaging
+    aggregate is unchanged in both forms.
     """
-    packed = _packed_model(
-        centroids.select(F.col("cluster_id"), F.col("cv")), "cluster_id"
-    )
     v = vectors.select(
         F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("ev")
     )
-    assigned = v.crossJoin(F.broadcast(packed)).select(
-        _nearest(F.col("ev"), "cluster_id", round_to).alias("cluster_id"), "ev"
-    )
+    if not isinstance(centroids, DataFrame):
+        assigned = assign_cells(
+            v, centroids, "vid", "ev", "cluster_id", round_to
+        ).select("cluster_id", "ev")
+    else:
+        packed = _packed_model(
+            centroids.select(F.col("cluster_id"), F.col("cv")), "cluster_id"
+        )
+        assigned = v.crossJoin(F.broadcast(packed)).select(
+            _nearest(F.col("ev"), "cluster_id", round_to).alias("cluster_id"),
+            "ev",
+        )
     dims = assigned.select(
         "cluster_id", F.posexplode("ev").alias("pos", "val")
     )
@@ -501,9 +514,13 @@ def kmeans(
             F.col(id_col).alias("cluster_id"), _to_double(F.col(vec_col)).alias("cv")
         )
     )
+    # Driver-side model state rides back into every step as a LIST, so
+    # assignment takes the Arrow argmin fast path (round 14) instead of
+    # re-materializing a LocalRelation + interpreted packed-model fold
+    # per iteration.
     prev = {r["cluster_id"]: list(r["cv"]) for r in cent.collect()}
     for _ in range(n_iter - 1):
-        step = kmeans_step(vectors, cent, id_col, vec_col)
+        step = kmeans_step(vectors, sorted(prev.items()), id_col, vec_col)
         rows = step.collect()
         new = dict(prev)
         by_cluster: dict = {}
@@ -512,12 +529,7 @@ def kmeans(
         for cid, dims in by_cluster.items():
             new[cid] = [v for _, v in sorted(dims)]
         prev = new
-        id_type = vectors.schema[id_col].dataType.simpleString()
-        cent = vectors.sparkSession.createDataFrame(
-            [(cid, cv) for cid, cv in sorted(prev.items())],
-            f"cluster_id {id_type}, cv array<double>",
-        )
-    return kmeans_step(vectors, cent, id_col, vec_col)
+    return kmeans_step(vectors, sorted(prev.items()), id_col, vec_col)
 
 
 def kmeans_centroids(
@@ -547,14 +559,13 @@ def kmeans_centroids(
         )
     )
     prev = {r["cluster_id"]: list(r["cv"]) for r in seeds.collect()}
-    id_type = vectors.schema[id_col].dataType.simpleString()
     for _ in range(n_iter):
-        cent = vectors.sparkSession.createDataFrame(
-            [(cid, cv) for cid, cv in sorted(prev.items())],
-            f"cluster_id {id_type}, cv array<double>",
-        )
+        # list-form state → Arrow argmin assignment (round 14), same
+        # step output as the relation form (parity-pinned)
         by_cluster: dict = {}
-        for r in kmeans_step(vectors, cent, id_col, vec_col).collect():
+        for r in kmeans_step(
+            vectors, sorted(prev.items()), id_col, vec_col
+        ).collect():
             by_cluster.setdefault(r["cluster_id"], []).append((r["dim"], r["centroid"]))
         for cid, dims in by_cluster.items():
             prev[cid] = [v for _, v in sorted(dims)]
@@ -902,10 +913,24 @@ def _distance_tables(
     )
 
 
-def _adc(tabs: Column, codes: Column) -> Column:
+def _adc(tabs: Column, codes: Column, m: int | None = None) -> Column:
     """ADC lookup-sum: Σ_s tabs[s][codes[s]] — a left fold in subspace
     order (the same fixed summation order as the literal-table form, so
-    results are bit-identical)."""
+    results are bit-identical).
+
+    Round 14: when the caller knows the subspace count ``m`` (every ADC
+    search entry point computes it from the model), the fold UNROLLS to
+    a chain of codegen'd ``element_at`` lookups with the identical
+    ``((0.0 + x_0) + x_1) + …`` association — same doubles, no
+    interpreted higher-order-function evaluation per scored corpus row
+    (guide §4.1: built-in codegen over interpreted HOF)."""
+    if m is not None:
+        acc: Column = F.lit(0.0)
+        for s in range(m):
+            acc = acc + F.element_at(
+                F.element_at(tabs, s + 1), F.element_at(codes, s + 1) + 1
+            )
+        return acc
     return F.aggregate(
         F.zip_with(tabs, codes, lambda t, c: F.element_at(t, c + 1)),
         F.lit(0.0),
@@ -948,7 +973,7 @@ def pq_ann_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(_adc(F.col("__tabs"), F.col("codes")), round_to).alias("adc"),
+            F.round(_adc(F.col("__tabs"), F.col("codes"), m), round_to).alias("adc"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
@@ -976,7 +1001,50 @@ def residualize(
     Round 5: the centroid lookup is a broadcast equi-join on the cell id
     (the literal create_map form grew O(C·dim) plan nodes) — corpus side
     never shuffles, the join build side is the C-row model relation.
+    Round 14: a driver-side LIST model fuses assignment and subtraction
+    into ONE Arrow pass (guide §4.1) — the same `_argmin_rounded_np`
+    assignment law as :func:`assign_cells` plus an IEEE-identical
+    float64 subtraction, so output equals the join form bit-for-bit
+    (pinned by ``test_residualize_list_matches_df``); the join, its
+    broadcast build, and the interpreted per-row ``zip_with`` disappear.
+    DataFrame models keep the broadcast-join path (model never
+    driver-collected).
     """
+    if not isinstance(centroids, DataFrame):
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        ordered = sorted(centroids, key=lambda t: t[0])
+        keys = np.asarray([cid for cid, _ in ordered], dtype=object)
+        vecs = [np.asarray(cv, dtype=np.float64) for _, cv in ordered]
+        cmat = np.asarray(vecs)
+        cell_type = T.StringType() if isinstance(keys[0], str) else T.LongType()
+        # same output shape as the join form: cell first, then the input
+        # columns with vec_col replaced by the (double) residual
+        out_schema = T.StructType(
+            [T.StructField(cell_col, cell_type)]
+            + [
+                T.StructField(f.name, T.ArrayType(T.DoubleType()))
+                if f.name == vec_col
+                else f
+                for f in vectors.schema.fields
+            ]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                E = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                idx = _argmin_rounded_np(E, vecs, 6)
+                R = E - cmat[idx]
+                yield pdf.assign(**{vec_col: list(R), cell_col: keys[idx]})
+
+        return vectors.mapInPandas(gen, out_schema)
     cent = _centroid_relation(vectors.sparkSession, centroids)
     assigned = assign_cells(vectors, centroids, id_col, vec_col, cell_col)
     resid = F.zip_with(
@@ -991,6 +1059,99 @@ def residualize(
         .withColumn(vec_col, resid)
         .drop("__ccv")
     )
+
+
+def ivfpq_index_codes(
+    vectors: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    residual: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """The IVF-PQ index build — coarse-cell assignment, optional
+    residualization, PQ encode — emitting ``(id, cell, codes)``, the
+    exact relation :func:`ivfadc_ann_topk` consumes.
+
+    Semantically identical to the composition
+    ``pq_encode((residualize | assign_cells)(vectors, centroids),
+    codebooks, extra_cols=(cell_col,))`` — and that composition IS the
+    execution path whenever either model arrives as a DataFrame (the
+    production convention: model read from parquet, never collected).
+    When BOTH models are driver-side lists, the three steps fuse into
+    ONE Arrow pass over the corpus (guide §4.1): a single JVM→Python
+    crossing and a single corpus scan instead of two chained
+    ``mapInPandas`` stages (plus, for the residual form, a broadcast
+    join and an interpreted per-row subtraction between them).  Each
+    step replays the identical law of its unfused twin
+    (`_argmin_rounded_np` assignment/encode, IEEE float64 residual), so
+    output is bit-identical — pinned by
+    ``test_ivfpq_index_codes_matches_composition``."""
+    if isinstance(centroids, DataFrame) or isinstance(codebooks, DataFrame):
+        enc_in = (
+            residualize(vectors, centroids, id_col, vec_col, cell_col)
+            if residual
+            else assign_cells(vectors, centroids, id_col, vec_col, cell_col,
+                              round_to)
+        )
+        return pq_encode(
+            enc_in, codebooks, id_col, vec_col, round_to,
+            extra_cols=(cell_col,),
+        )
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    for book in codebooks:
+        assert [c for c, _ in book] == list(range(len(book))), (
+            "codebook codes must be dense 0..ksub-1"
+        )
+    ordered = sorted(centroids, key=lambda t: t[0])
+    ckeys = np.asarray([cid for cid, _ in ordered], dtype=object)
+    cvecs = [np.asarray(cv, dtype=np.float64) for _, cv in ordered]
+    cmat = np.asarray(cvecs)
+    book_vecs = [
+        [np.asarray(cv, dtype=np.float64) for _, cv in book]
+        for book in codebooks
+    ]
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    cell_type = T.StringType() if isinstance(ckeys[0], str) else T.LongType()
+    out_schema = T.StructType(
+        [
+            T.StructField("id", vectors.schema[id_col].dataType),
+            T.StructField(cell_col, cell_type),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            idx = _argmin_rounded_np(E, cvecs, round_to)
+            if residual:
+                E = E - cmat[idx]
+            code_mat = np.empty((len(E), m), dtype=np.int32)
+            for s in range(m):
+                code_mat[:, s] = _argmin_rounded_np(
+                    E[:, s * sub : (s + 1) * sub], book_vecs[s], round_to
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    cell_col: ckeys[idx],
+                    "codes": list(code_mat),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
 def ivfpq_train(
@@ -1092,7 +1253,7 @@ def ivfadc_ann_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(_adc(F.col("__tabs"), F.col("codes")), round_to).alias("adc"),
+            F.round(_adc(F.col("__tabs"), F.col("codes"), m), round_to).alias("adc"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
@@ -1192,12 +1353,9 @@ def persist_ivfpq_index(
     files with zero manual pruning logic.  Build cost is one encode pass
     over the vectors; the index never reshuffles across queries.
     """
-    enc_in = (
-        residualize(vectors, centroids, id_col, vec_col)
-        if residual
-        else assign_cells(vectors, centroids, id_col, vec_col)
+    codes = ivfpq_index_codes(
+        vectors, centroids, codebooks, id_col, vec_col, residual=residual
     )
-    codes = pq_encode(enc_in, codebooks, id_col, vec_col, extra_cols=("cell",))
     codes.write.mode("overwrite").partitionBy("cell").saveAsTable(table_name)
 
 

@@ -1406,9 +1406,8 @@ _IVFADC_GATE_ORACLE = f"""
 def zd46_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.operators.similarity import (
         _to_double,
-        assign_cells,
         ivfadc_ann_topk,
-        pq_encode,
+        ivfpq_index_codes,
     )
 
     emb = table(spark, sf_dir, "embeddings")
@@ -1426,8 +1425,9 @@ def zd46_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for s in range(_PQ_M)
     ]
-    cells = assign_cells(emb, cents, "vec_id", "embedding")
-    codes = pq_encode(cells, books, "vec_id", "embedding", extra_cols=("cell",))
+    # round 14: assignment + encode fused into one Arrow corpus pass
+    # (bit-identical to the assign_cells → pq_encode composition)
+    codes = ivfpq_index_codes(emb, cents, books, "vec_id", "embedding")
     return ivfadc_ann_topk(
         codes,
         emb.filter(F.col("vec_id") < 8),

@@ -455,6 +455,116 @@ def test_sq8_ann_arrow_matches_jvm(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_kmeans_step_list_matches_df(spark, sf_dir):
+    """kmeans_step with a driver-side [(cluster_id, cv)] list (Arrow
+    argmin assignment, round 14) must produce the identical long-format
+    step output as the broadcast-relation expression path — same
+    rounded-distance / lowest-key assignment law, same averaging."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import _to_double, kmeans_step
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect()
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["ev"]))
+        for r in sorted(seeds, key=lambda r: r["vec_id"])
+    ]
+    cent_df = spark.createDataFrame(cents, "cluster_id bigint, cv array<double>")
+    got = sorted(map(tuple, kmeans_step(emb, cents).collect()))
+    want = sorted(map(tuple, kmeans_step(emb, cent_df).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_residualize_list_matches_df(spark, sf_dir):
+    """residualize with a driver-side model (fused Arrow assign+subtract,
+    round 14) must produce bit-identical residuals and cells to the
+    broadcast-join + zip_with expression path."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _centroid_relation,
+        _to_double,
+        residualize,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect()
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["ev"]))
+        for r in sorted(seeds, key=lambda r: r["vec_id"])
+    ]
+    cent_df = _centroid_relation(spark, cents)
+    got = {
+        r["vec_id"]: (r["cell"], tuple(r["embedding"]))
+        for r in residualize(emb, cents, "vec_id", "embedding").collect()
+    }
+    want = {
+        r["vec_id"]: (r["cell"], tuple(r["embedding"]))
+        for r in residualize(emb, cent_df, "vec_id", "embedding").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_index_codes_matches_composition(spark, sf_dir):
+    """The fused one-pass IVF-PQ index build (both models as driver-side
+    lists) must emit the identical (id, cell, codes) relation as the
+    unfused assign_cells|residualize → pq_encode composition (models as
+    DataFrames), for both the raw and the residual form."""
+    from pyspark.sql import functions as F
+
+    from spark_sql_hbase_spark.operators.similarity import (
+        _centroid_relation,
+        _codebook_relation,
+        _to_double,
+        ivfpq_index_codes,
+    )
+    from spark_sql_hbase_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", _to_double(F.col("embedding")).alias("ev"))
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: r["vec_id"])
+    cents = [(int(r["vec_id"]), list(r["ev"])) for r in seeds if r["vec_id"] < 4]
+    sub, m = 16, 4
+    books = [
+        [
+            (int(r["vec_id"]), list(r["ev"])[s * sub : (s + 1) * sub])
+            for r in seeds
+        ]
+        for s in range(m)
+    ]
+    cent_df = _centroid_relation(spark, cents)
+    books_df = _codebook_relation(spark, books)
+    for residual in (False, True):
+        got = {
+            r["id"]: (r["cell"], tuple(r["codes"]))
+            for r in ivfpq_index_codes(
+                emb, cents, books, "vec_id", "embedding", residual=residual
+            ).collect()
+        }
+        want = {
+            r["id"]: (r["cell"], tuple(r["codes"]))
+            for r in ivfpq_index_codes(
+                emb, cent_df, books_df, "vec_id", "embedding", residual=residual
+            ).collect()
+        }
+        assert got == want and len(got) > 0, f"residual={residual}"
+
+
 def test_duplicate_span_hashes_arrow_matches_jvm(spark, sf_dir):
     """The Arrow rolling-window md5 hashes must equal the OLD JVM
     ``conv(substring(md5(concat_ws(' ', slice(...)))), 16, 10)``
