@@ -348,18 +348,19 @@ def test_s04_multiprobe_never_explodes_corpus(spark, registry):
 
 def test_s06_ivfadc_corpus_side_is_codes_only(spark, registry):
     """IVFADC: the corpus join input must be the (cell, codes) index —
-    scored via per-query ADC tables on the broadcast side.  Since round 5
-    the model rides as packed broadcast relations instead of plan
-    literals on BOTH sides: exactly five BroadcastExchanges (packed
-    centroids × 2 — corpus assignment and probe selection, packed
-    codebooks × 2 — corpus encode and distance tables, probe tables →
-    the cell equi-join), exactly one Generate (the query-side nprobe
-    explode), and the query side is SHUFFLE-FREE up to the final top-k
-    (probe selection and ADC tables are row-local projections — no
-    ranking window, no aggregation exchanges)."""
+    scored via per-query ADC tables on the broadcast side.  Round 14:
+    the corpus side (assignment + encode) is ONE fused Arrow
+    ``MapInPandas`` pass, so its two packed-model BroadcastExchanges are
+    gone; exactly three remain (packed centroids → probe selection,
+    packed codebooks → distance tables, probe tables → the cell
+    equi-join), plus exactly one Generate (the query-side nprobe
+    explode), and the query side stays SHUFFLE-FREE up to the final
+    top-k (probe selection and ADC tables are row-local projections —
+    no ranking window, no aggregation exchanges)."""
     plan = formatted_plan(registry["zd46_ivfadc"].fn(spark, SF))
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
-    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 5, plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 3, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
 
 
