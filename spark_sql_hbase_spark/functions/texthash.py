@@ -141,7 +141,72 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def stopword_count(tok: Column, lang: str) -> Column:
+def token_count(text: Column | str) -> Column:
+    """``size(tokens(text))`` as ONE codegen'd regex pass over the text:
+    tokens are the maximal ``[a-z0-9]`` runs of the lowered text, so
+    counting the runs counts the tokens — no array is materialized and
+    no ``tokens(...)`` reference exists to be re-inlined per consumer
+    (round 14, guide §4.1; parity pinned by
+    ``test_token_count_regex_matches_tokens``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit("[a-z0-9]+"))
+
+
+def token_chars(text: Column | str) -> Column:
+    """Total characters across tokens (Σ length) as one regex pass —
+    equals the interpreted ``aggregate(tok, 0, acc + length(x))`` fold
+    it replaces (round 14; same parity pin as :func:`token_count`)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit("[a-z0-9]"))
+
+
+def term_token_count(text: Column | str, terms: list[str]) -> Column:
+    """Number of tokens equal to ANY of ``terms``, counted with
+    multiplicity, as ONE boundary-anchored alternation regex over the
+    lowered text — replaces the interpreted per-token
+    ``filter(tok, x -> array_contains(...))`` lambda (round 14).
+
+    Exactness: a token is a maximal ``[a-z0-9]`` run, so a match of a
+    term bounded by ``(?<![a-z0-9]) … (?![a-z0-9])`` is precisely a
+    whole-token occurrence; with the boundary lookarounds at most one
+    alternative can succeed at a position, so alternation order is
+    irrelevant.  A term that is not itself a pure ``[a-z0-9]+`` string
+    can never equal a token (tokens are lowercase alphanumeric by
+    construction) and contributes 0 — exactly the old filter's
+    behavior.  Parity pinned by
+    ``test_stopword_count_regex_matches_hof``."""
+    import re as _re
+
+    c = F.col(text) if isinstance(text, str) else text
+    valid = [t for t in dict.fromkeys(terms) if _re.fullmatch("[a-z0-9]+", t)]
+    if not valid:
+        return F.lit(0)
+    alt = "|".join(valid)
+    return F.regexp_count(F.lower(c), F.lit(f"(?<![a-z0-9])({alt})(?![a-z0-9])"))
+
+
+def stopword_count(text: Column | str, lang: str) -> Column:
+    """Stopword occurrences for ``lang`` — one alternation regex pass
+    over the TEXT column (round 14: previously an interpreted HOF filter
+    over the token array; same integer count, see
+    :func:`term_token_count`).
+
+    Context matters (both measured, round 14): this regex form wins in
+    PROJECT shapes where codegen subexpression elimination shares the
+    passes (lang_id gate −34%); the token-array twin
+    (:func:`stopword_count_tokens`) wins in fused FILTER shapes where a
+    bound token array feeds several counts through one tokenize
+    (curation pipeline: HOF 0.99 vs regex 1.74 median).  Pick per
+    context; the two are equality-pinned."""
+    return term_token_count(text, STOPWORDS[lang])
+
+
+def stopword_count_tokens(tok: Column, lang: str) -> Column:
+    """The token-array twin of :func:`stopword_count` — the interpreted
+    HOF filter over an (ideally bound-once) token array.  Kept as a
+    first-class form because it measures FASTER in fused filter shapes
+    (see :func:`stopword_count`); equality with the regex form is pinned
+    by ``test_stopword_count_regex_matches_hof``."""
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(tok, lambda x: F.array_contains(words, x)))
 

@@ -10,11 +10,13 @@ Okapi BM25 (public formula; Robertson & Zaragoza 2009):
 
 Plan shape (scales to 100 TB):
 
-- tokenize once per doc (single-reference JVM expression), explode to
-  (doc, term) pairs *restricted to query terms first* — the explode is
-  filtered by ``array_intersect`` with the (tiny, broadcast-literal)
-  query term array, so the shuffle carries only matching terms, not the
-  corpus vocabulary.
+- per-term tf and the doc length come from codegen'd boundary-anchored
+  ``regexp_count`` passes over the text (round 14 — previously an
+  interpreted HOF ``filter`` over the token array + an explode +
+  per-(doc, term) count aggregate with its exchange); the (doc, term,
+  tf) relation is emitted ROW-LOCALLY by a posexplode over the per-doc
+  count array, so the only exchanges left are the tiny df/stats
+  aggregates and the final per-doc score sum.
 - df(t) and N/avgdl are two map-side-combined aggregates; df joins back
   over the query-term rows only (bounded by |Q| · docs-with-term).
 - No UDF anywhere; every expression is JVM-side.
@@ -25,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_sql_hbase_spark.functions.texthash import tokens
+from spark_sql_hbase_spark.functions.texthash import (
+    term_token_count,
+    token_count,
+    tokens,
+)
 
 
 def bm25_scores(
@@ -37,26 +43,39 @@ def bm25_scores(
     b: float = 0.75,
     round_to: int = 4,
 ) -> DataFrame:
-    """(id, score) for every document matching ≥1 query term."""
-    q = F.array(*[F.lit(t) for t in query_terms])
-    toks = docs.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tok")
-    )
-    # per-doc length + the query-term multiset restricted to this doc,
-    # for EVERY doc — cached so the corpus stats aggregate and the tf
-    # branch share ONE scan+tokenize (round 4: the un-cached shape
-    # re-tokenized the corpus for the two-number stats pass; the cached
-    # frame holds only a long + the query-term hits per doc, negligible
-    # next to the text).
-    per_doc_all = toks.select(
-        "id",
-        F.size("tok").alias("dl"),
-        F.filter("tok", lambda t: F.array_contains(q, t)).alias("qtok"),
+    """(id, score) for every document matching ≥1 query term.
+
+    Round 14: tf per query term is a codegen'd boundary-anchored
+    ``regexp_count`` (``term_token_count``) and dl is the native token
+    count — identical integers to the old interpreted
+    ``filter``-the-token-array + explode + count form (duplicate query
+    terms collapse, exactly as HOF filtering collapsed them), pinned by
+    ``test_bm25_regex_matches_hof``.  The (id, term, tf) relation comes
+    from a row-local posexplode over the per-doc count array, so the
+    per-(doc, term) count aggregate and its exchange are gone."""
+    terms = [t for t in dict.fromkeys(query_terms)]
+    # per-doc length + per-query-term counts for EVERY doc — cached so
+    # the corpus stats aggregate and the tf branch share ONE scan
+    # (round 4); the cached frame holds |Q|+1 ints per doc.
+    per_doc_all = docs.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("dl"),
+        F.array(*[term_token_count(F.col(text_col), [t]) for t in terms])
+        .alias("qcnt")
+        if terms
+        else F.array().cast("array<int>").alias("qcnt"),
     ).cache()
-    per_doc = per_doc_all.filter(F.size("qtok") > 0)
-    tf = per_doc.select(
-        "id", "dl", F.explode("qtok").alias("term")
-    ).groupBy("id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tlit = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        per_doc_all.select("id", "dl", F.posexplode("qcnt").alias("pos", "tf"))
+        .filter(F.col("tf") > 0)
+        .select(
+            "id",
+            "dl",
+            F.element_at(tlit, F.col("pos") + 1).alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+        )
+    )
 
     stats = per_doc_all.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")

@@ -16,6 +16,8 @@ from spark_sql_hbase_spark.functions.texthash import (
     STOPWORDS,
     rolling_hash,
     stopword_count,
+    token_chars,
+    token_count,
     tokens,
     word_hash,
 )
@@ -24,9 +26,12 @@ from spark_sql_hbase_spark.functions.texthash import (
 BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
 
-def lang_scores(tok: Column) -> dict[str, Column]:
-    """Per-language stopword-hit counts over a token array column."""
-    return {lang: stopword_count(tok, lang) for lang in STOPWORDS}
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over a TEXT column — one
+    alternation-regex pass per language (round 14: previously an
+    interpreted HOF filter per language over a token array each
+    reference of which re-ran the tokenizer)."""
+    return {lang: stopword_count(text, lang) for lang in STOPWORDS}
 
 
 def lang_pred(score_cols: dict[str, Column]) -> Column:
@@ -46,8 +51,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     prediction = argmax with deterministic alphabetical tie-break, 'und'
     when no stopword hits at all.
     """
-    tok = tokens(F.col(text_col))
-    scores = lang_scores(tok)
+    scores = lang_scores(F.col(text_col))
     out = df.select(
         F.col(id_col),
         *[scores[lang].alias(f"s_{lang}") for lang in sorted(STOPWORDS)],
@@ -57,14 +61,21 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                       lang_pred(named).alias("pred_lang"))
 
 
-def quality_expr(text_col: str, tok: Column) -> Column:
+def quality_expr(text_col: str) -> Column:
     """The composite quality score as a single row-local expression:
     min(1, n_tok/100) - 0.5*min(1, n_punct/d) + 0.5*sw/d over
     d = max(n_tok, 1), as ONE integer-ratio IEEE division (bit-identical
-    across engines — decimal rounding of doubles is tie-unstable)."""
-    n_tok = F.size(tok)
+    across engines — decimal rounding of doubles is tie-unstable).
+
+    Round 14: every term is a codegen'd ``regexp_count`` over the text —
+    the token array (and the Generate barrier callers used to erect so
+    its multiple references wouldn't re-tokenize) is gone from the
+    PROJECT-shaped consumers.  FILTER-shaped consumers use
+    :func:`quality_expr_tokens`, which measures faster there; the twins
+    are bit-equality-pinned."""
+    n_tok = token_count(text_col)
     n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"))
-    sw = stopword_count(tok, "en")
+    sw = stopword_count(F.col(text_col), "en")
     d = F.greatest(n_tok, F.lit(1))
     num = (
         F.lit(2) * d * F.least(n_tok, F.lit(100))
@@ -72,6 +83,37 @@ def quality_expr(text_col: str, tok: Column) -> Column:
         + F.lit(100) * sw
     )
     return num.cast("double") / (F.lit(200) * d)
+
+
+def quality_expr_tokens(text_col: str, tok: Column) -> Column:
+    """The token-array twin of :func:`quality_expr`: same integers, same
+    single IEEE division, computed from a token array the CALLER binds
+    (one tokenize feeding n_tok and the stopword filter).  Measurably
+    faster than the regex form in fused FILTER shapes (round 14: the
+    curation pipeline's language+quality gate ran 0.99 vs 1.74 median
+    with the regex form); the regex form wins in project shapes.
+    Bit-equality between the twins is pinned by
+    ``test_quality_expr_regex_matches_token_form``."""
+    from spark_sql_hbase_spark.functions.texthash import stopword_count_tokens
+
+    n_tok = F.size(tok)
+    n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"))
+    sw = stopword_count_tokens(tok, "en")
+    d = F.greatest(n_tok, F.lit(1))
+    num = (
+        F.lit(2) * d * F.least(n_tok, F.lit(100))
+        - F.lit(100) * F.least(n_punct, d)
+        + F.lit(100) * sw
+    )
+    return num.cast("double") / (F.lit(200) * d)
+
+
+def lang_scores_tokens(tok: Column) -> dict[str, Column]:
+    """Token-array twin of :func:`lang_scores` (see
+    :func:`quality_expr_tokens` for when to prefer it)."""
+    from spark_sql_hbase_spark.functions.texthash import stopword_count_tokens
+
+    return {lang: stopword_count_tokens(tok, lang) for lang in STOPWORDS}
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -82,17 +124,19 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     point is the deterministic, partition-parallel plumbing, not the
     specific weights.
     """
-    tok = tokens(F.col(text_col))
-    n_tok = F.size(tok)
-    tok_chars = F.aggregate(tok, F.lit(0), lambda acc, x: acc + F.length(x))
+    # round 14: all features are codegen'd regexp_count passes over the
+    # text — no token array, no interpreted fold/filter, and no risk of
+    # CollapseProject re-running a tokenizer per reference
+    n_tok = token_count(text_col)
+    tok_chars = token_chars(text_col)
     n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"))
-    sw = stopword_count(tok, "en")
+    sw = stopword_count(F.col(text_col), "en")
     # Every ratio is ONE IEEE division of exact integers — no decimal
     # rounding anywhere, so any engine computes the bit-identical double
     # (decimal rounding of doubles is tie-unstable across engines).
     mean_tok_len = F.when(n_tok > 0, tok_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
     sw_ratio = F.when(n_tok > 0, sw.cast("double") / n_tok).otherwise(F.lit(0.0))
-    score = quality_expr(text_col, tok)
+    score = quality_expr(text_col)
     return df.select(
         F.col(id_col),
         F.length(text_col).cast("long").alias("n_chars_actual"),
@@ -105,7 +149,15 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ws_token_count(text_col: str) -> Column:
-    """Whitespace token count as a row-local expression."""
+    """Whitespace token count as a row-local expression.
+
+    Round 14 negative result (measured, kept as-is): the "cleaner"
+    ``regexp_count(text, '\\S+')`` single-pass form — provably equal
+    (``test_ws_token_count_regex_matches_filter`` pins the law) — was
+    ~14% SLOWER than this split+filter form in interleaved A/B on the
+    real corpus (0.498 vs 0.435 median): the JVM's ``split`` + a trivial
+    per-piece interpreted ``!= ''`` beats full regex match iteration
+    here.  The parity pin stays so the regex twin remains available."""
     return F.size(
         F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
     ).cast("long")
@@ -413,19 +465,12 @@ def quality_mix_plan(
     The source is scanned twice (boundary pass + bucket pass) — cache
     the scored frame upstream if the quality expression is hot.
     """
-    from spark_sql_hbase_spark.functions.texthash import tokens
-
-    # Generate barrier: quality_expr references the token array more than
-    # once — a plain alias re-tokenizes per reference (round 4)
+    # round 14: quality_expr is all regexp_count now — the Generate
+    # barrier that guarded the token array's multiple references is gone
     scored = df.select(
         F.col(stream_col),
         F.col(id_col),
-        F.col(text_col),
-        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
-    ).select(
-        F.col(stream_col),
-        F.col(id_col),
-        quality_expr(text_col, F.col("__tok")).alias("quality"),
+        quality_expr(text_col).alias("quality"),
         ws_token_count(text_col).alias("n_tokens"),
     )
     if boundaries == "approx":
@@ -919,13 +964,11 @@ def source_standardized_quality(
     source is scanned twice (cache the scored frame upstream if the
     quality expression is hot; t08's documented trade).
     """
-    q = quality_expr(text_col, F.col("__tok"))
     scored = docs.select(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
-        F.col(text_col),
-        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
-    ).select("id", "source", q.alias("q"))
+        quality_expr(text_col).alias("q"),
+    )
     m = scored.groupBy("source").agg(
         F.sum(F.col("q").cast("decimal(38,6)")).cast("double").alias("s1"),
         F.sum((F.col("q") * F.col("q")).cast("decimal(38,12)"))
@@ -1022,7 +1065,7 @@ def quality_threshold_sweep(
 
     from spark_sql_hbase_spark.functions.det import DEC
 
-    q = quality_expr(text_col, tokens(F.col(text_col)))
+    q = quality_expr(text_col)
     half_b = F.lit(float(n_buckets) / 2.0)
     bucket = F.least(
         F.greatest(F.floor((q + F.lit(0.5)) * half_b).cast("long"), F.lit(0)),
@@ -1120,16 +1163,11 @@ def _quality_scored(
     df: DataFrame, id_col: str, text_col: str, *extra_cols: str
 ) -> DataFrame:
     """(extra_cols..., quality) per document — the shared scoring scan
-    behind the drift monitors (Generate barrier per quality_mix_plan)."""
-    from spark_sql_hbase_spark.functions.texthash import tokens
-
+    behind the drift monitors (round 14: quality is all regexp_count, no
+    token array and no Generate barrier)."""
     return df.select(
         *[F.col(c) for c in extra_cols],
-        F.col(id_col),
-        F.col(text_col),
-        F.explode(F.array(tokens(F.col(text_col)))).alias("__tok"),
-    ).select(
-        *extra_cols, quality_expr(text_col, F.col("__tok")).alias("quality")
+        quality_expr(text_col).alias("quality"),
     )
 
 

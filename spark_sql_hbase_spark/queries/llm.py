@@ -800,13 +800,18 @@ def zd41_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full text corpus once per stage. The only wide stages left are
     # the dedup window (one shuffle of surviving rows on the digest) and
     # the per-source rollup (map-side-combined, bytes of traffic).
+    # round 14 (measured): the fused filter shape keeps the TOKEN-ARRAY
+    # twins — one tokenize feeds all five counts here, and in this
+    # filter context the HOF form beat the regex twins 0.99 vs 1.74
+    # median (interleaved A/B; the regex twins win in project-shaped
+    # gates like zb15/zb16)
     tok = tokens(F.col("text"))
     feats = docs.select(
         "doc_id",
         "source",
         "text",
-        text.lang_pred(text.lang_scores(tok)).alias("pred_lang"),
-        text.quality_expr("text", tok).alias("quality"),
+        text.lang_pred(text.lang_scores_tokens(tok)).alias("pred_lang"),
+        text.quality_expr_tokens("text", tok).alias("quality"),
     )
     keep = feats.filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.55))
     w = W.partitionBy(F.sha2(F.col("text").cast("binary"), 256)).orderBy("doc_id")
@@ -3362,13 +3367,16 @@ _Z99_QT = 0.35
 )
 def p08_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
-    from spark_sql_hbase_spark.operators.text import quality_expr
+    from spark_sql_hbase_spark.operators.text import quality_expr_tokens
 
     docs = table(spark, sf_dir, "documents")
     cleaned = dedup.strip_boilerplate_lines(
         docs, "doc_id", "text", max_df=_STRIP_DF, min_line_tokens=_LINE_MT
     ).select(F.col("id").alias("doc_id"), "clean_text")
     with_src = cleaned.join(docs.select("doc_id", "source"), "doc_id")
+    # token-array twin behind the Generate barrier: the quality gate is
+    # a FILTER shape, where the bound-once token form measures faster
+    # than the regex twin (round 14, see quality_expr_tokens)
     scored = with_src.select(
         "doc_id",
         "source",
@@ -3379,7 +3387,7 @@ def p08_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "clean_text",
         F.size("__tok").alias("nt"),
-        quality_expr("clean_text", F.col("__tok")).alias("q"),
+        quality_expr_tokens("clean_text", F.col("__tok")).alias("q"),
     )
     # cached: consumed by BOTH sides of the dedup semi-join — uncached,
     # the whole strip->join->tokenize->quality lineage would execute

@@ -495,7 +495,7 @@ _Z77_QT = 0.5  # keep docs with composite quality >= 0.5
 )
 def zg91_stream_quality_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.catalog import TableSpec
-    from spark_sql_hbase_spark.operators.text import quality_expr
+    from spark_sql_hbase_spark.operators.text import quality_expr_tokens
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
     from spark_sql_hbase_spark.streaming.pipelines import (
         write_stream_to_keyed_table,
@@ -504,9 +504,10 @@ def zg91_stream_quality_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     stream = _one_batch_stream(spark, docs)
+    # filter shape → token-array twin (round 14, see quality_expr_tokens)
     gated = stream.select(
         F.col("doc_id").alias("d:doc_id"),
-        quality_expr("text", tokens(F.col("text"))).alias("d:quality"),
+        quality_expr_tokens("text", tokens(F.col("text"))).alias("d:quality"),
     ).filter(F.col("`d:quality`") >= _Z77_QT)
     wh = tempfile.mkdtemp(prefix="z77_keyed_wh_")
     store = KeyedTableStore(spark, wh)

@@ -3604,3 +3604,220 @@ def test_doc_repetition_gopher_laws(spark):
     assert r2["n_paras"] == 1 and r2["dup_para_frac"] == 0.0
     assert r2["top_3gram_char_frac"] == 0.0
     assert r2["top_4gram_char_frac"] == 0.0
+
+
+# -- round-14 regex-native text parity pins ---------------------------------
+_EDGE_TEXTS = [
+    "",
+    " ",
+    "\t\n  \r ",
+    "plain words here",
+    "  leading and trailing  ",
+    "\ttab\tseparated\ttokens\n",
+    "punct,marks;every-where!",
+    "UPPER lower MiXeD 123 a1b2",
+    "the the the and of to in is that it for",
+    "les the der el y est---que.que,que",
+    "unicode café naïve 北京 text",
+    "a",
+    "7",
+    "...!!!...",
+]
+
+
+def test_ws_token_count_regex_matches_filter(spark, sf_dir):
+    """The regexp_count('\\S+') single-pass form must equal
+    ws_token_count's split+filter form on the real corpus AND on edge
+    strings (empty, whitespace-only, tab/newline separators,
+    leading/trailing whitespace).  The split+filter form stays the
+    production one — it measured ~14% faster (round-14 negative result,
+    see the operator docstring) — but the law is pinned so the regex
+    twin stays available."""
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.operators.text import ws_token_count
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    def regex_form(c):
+        return F2.regexp_count(F2.col(c), F2.lit("\\S+")).cast("long")
+
+    docs = qtable(spark, sf_dir, "documents").select("text")
+    edge = spark.createDataFrame([(t,) for t in _EDGE_TEXTS], "text string")
+    for frame in (docs, edge):
+        rows = frame.select(
+            regex_form("text").alias("new"), ws_token_count("text").alias("old")
+        ).collect()
+        assert rows and all(r["new"] == r["old"] for r in rows), [
+            (r["new"], r["old"]) for r in rows if r["new"] != r["old"]
+        ][:5]
+
+
+def test_token_count_regex_matches_tokens(spark, sf_dir):
+    """token_count / token_chars (one regexp_count pass) must equal
+    size(tokens(text)) / the interpreted per-token length fold on the
+    real corpus and edge strings."""
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.functions.texthash import (
+        token_chars,
+        token_count,
+        tokens,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    docs = qtable(spark, sf_dir, "documents").select("text")
+    edge = spark.createDataFrame([(t,) for t in _EDGE_TEXTS], "text string")
+    for frame in (docs, edge):
+        rows = frame.select(
+            token_count("text").alias("nc"),
+            F2.size(tokens(F2.col("text"))).alias("nt"),
+            token_chars("text").alias("cc"),
+            F2.aggregate(
+                tokens(F2.col("text")), F2.lit(0), lambda a, x: a + F2.length(x)
+            ).alias("ct"),
+        ).collect()
+        assert rows and all(
+            r["nc"] == r["nt"] and r["cc"] == r["ct"] for r in rows
+        ), [tuple(r) for r in rows if r["nc"] != r["nt"] or r["cc"] != r["ct"]][:5]
+
+
+def test_stopword_count_regex_matches_hof(spark, sf_dir):
+    """stopword_count's boundary-anchored alternation regex must equal
+    the old interpreted filter-over-tokens form for EVERY language on
+    the real corpus and edge strings (incl. overlapping-prefix stopwords
+    like fr 'le'/'les')."""
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.functions.texthash import (
+        STOPWORDS,
+        stopword_count,
+        tokens,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    def old_form(c, lang):
+        words = F2.array(*[F2.lit(w) for w in STOPWORDS[lang]])
+        return F2.size(
+            F2.filter(tokens(F2.col(c)), lambda x: F2.array_contains(words, x))
+        )
+
+    docs = qtable(spark, sf_dir, "documents").select("text")
+    edge = spark.createDataFrame([(t,) for t in _EDGE_TEXTS], "text string")
+    for frame in (docs, edge):
+        rows = frame.select(
+            *[stopword_count(F2.col("text"), lang).alias(f"n_{lang}")
+              for lang in STOPWORDS],
+            *[old_form("text", lang).alias(f"o_{lang}") for lang in STOPWORDS],
+        ).collect()
+        for lang in STOPWORDS:
+            assert rows and all(r[f"n_{lang}"] == r[f"o_{lang}"] for r in rows), lang
+
+
+def test_quality_expr_regex_matches_token_form(spark, sf_dir):
+    """quality_expr (all-regexp_count, round 14) must produce the
+    BIT-IDENTICAL double as the old token-array formulation — same exact
+    integers into the same single IEEE division."""
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.functions.texthash import STOPWORDS, tokens
+    from spark_sql_hbase_spark.operators.text import quality_expr
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    def old_form(text_col):
+        tok = F2.col("__tok")
+        n_tok = F2.size(tok)
+        n_punct = F2.regexp_count(F2.col(text_col), F2.lit("[^A-Za-z0-9\\s]"))
+        words = F2.array(*[F2.lit(w) for w in STOPWORDS["en"]])
+        sw = F2.size(F2.filter(tok, lambda x: F2.array_contains(words, x)))
+        d = F2.greatest(n_tok, F2.lit(1))
+        num = (
+            F2.lit(2) * d * F2.least(n_tok, F2.lit(100))
+            - F2.lit(100) * F2.least(n_punct, d)
+            + F2.lit(100) * sw
+        )
+        return num.cast("double") / (F2.lit(200) * d)
+
+    docs = qtable(spark, sf_dir, "documents").select("text")
+    edge = spark.createDataFrame([(t,) for t in _EDGE_TEXTS], "text string")
+    for frame in (docs, edge):
+        rows = (
+            frame.select(
+                "text", F2.explode(F2.array(tokens(F2.col("text")))).alias("__tok")
+            )
+            .select(
+                quality_expr("text").alias("new"), old_form("text").alias("old")
+            )
+            .collect()
+        )
+        assert rows and all(r["new"] == r["old"] for r in rows), [
+            (r["new"], r["old"]) for r in rows if r["new"] != r["old"]
+        ][:5]
+
+
+def test_bm25_regex_matches_hof(spark, sf_dir):
+    """bm25_scores (regex tf counting + row-local posexplode, round 14)
+    must produce the identical (id, score) map as the old interpreted
+    filter + explode + count-aggregate formulation, including duplicate
+    query terms (both collapse) and terms absent from the corpus."""
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.functions.texthash import tokens
+    from spark_sql_hbase_spark.operators.ranking import bm25_scores
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    def old_bm25(docs, id_col, text_col, query_terms, k1=1.2, b=0.75, round_to=4):
+        q = F2.array(*[F2.lit(t) for t in query_terms])
+        toks = docs.select(
+            F2.col(id_col).alias("id"), tokens(F2.col(text_col)).alias("tok")
+        )
+        per_doc_all = toks.select(
+            "id",
+            F2.size("tok").alias("dl"),
+            F2.filter("tok", lambda t: F2.array_contains(q, t)).alias("qtok"),
+        ).cache()
+        per_doc = per_doc_all.filter(F2.size("qtok") > 0)
+        tf = per_doc.select(
+            "id", "dl", F2.explode("qtok").alias("term")
+        ).groupBy("id", "dl", "term").agg(F2.count(F2.lit(1)).alias("tf"))
+        stats = per_doc_all.agg(
+            F2.count(F2.lit(1)).alias("n_docs"), F2.sum("dl").alias("total_len")
+        )
+        df_t = tf.groupBy("term").agg(F2.countDistinct("id").alias("df"))
+        scored = (
+            tf.join(F2.broadcast(df_t), "term")
+            .crossJoin(F2.broadcast(stats))
+            .withColumn("avgdl", F2.col("total_len") / F2.col("n_docs"))
+            .withColumn(
+                "idf",
+                F2.log(
+                    (F2.col("n_docs") - F2.col("df") + 0.5) / (F2.col("df") + 0.5)
+                    + 1.0
+                ),
+            )
+            .withColumn(
+                "part",
+                F2.col("idf")
+                * (F2.col("tf") * (k1 + 1))
+                / (F2.col("tf") + k1 * (1 - b + b * F2.col("dl") / F2.col("avgdl"))),
+            )
+        )
+        out = scored.groupBy("id").agg(
+            F2.round(F2.sum("part"), round_to).alias("score")
+        )
+        per_doc_all.unpersist()
+        return out
+
+    docs = qtable(spark, sf_dir, "documents")
+    for terms in (
+        ["stream", "window", "checkpoint"],
+        ["stream", "stream", "the", "nosuchtermxyz"],
+    ):
+        got = {
+            r["id"]: r["score"]
+            for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+        }
+        want = {
+            r["id"]: r["score"]
+            for r in old_bm25(docs, "doc_id", "text", terms).collect()
+        }
+        assert got == want and len(got) > 0, (len(got), len(want))
