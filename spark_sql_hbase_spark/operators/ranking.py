@@ -412,6 +412,107 @@ def bigram_surprisal_sql(
     """
 
 
+def doc_feat_tf_jvm(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, dl, feat, tf) hashed-unigram counts per document — the
+    pre-round-14 explode formulation (md5 per TOKEN, then a
+    corpus-cardinality groupBy exchange).  Kept as the no-Python
+    fallback and the parity anchor for :func:`doc_feat_tf`."""
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        # Generate barrier: dl and the explode both reference the array
+        F.explode(F.array(tokens(F.col(text_col)))).alias("tok"),
+    )
+    return (
+        toks.select("id", F.size("tok").alias("dl"), F.explode("tok").alias("term"))
+        .select("id", "dl", (word_hash(F.col("term")) % n_buckets).alias("feat"))
+        .groupBy("id", "dl", "feat")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # always true (md5 of a non-null term) — but the inner combine
+        # join infers it on its branch only, which de-canonicalizes the
+        # two tf subtrees and defeats ReuseExchange; stating it on tf
+        # itself keeps the corpus at ONE scan
+        .filter(F.col("feat").isNotNull())
+    )
+
+
+def doc_feat_tf(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, dl, feat, tf) hashed-unigram counts per document in ONE
+    Arrow pass (round 14).
+
+    Tokenization stays JVM (codegen ``split``+``array_remove`` — token
+    parity by construction, the simhash precedent); the 56-bit md5 word
+    hash is computed once per DISTINCT token per batch (``np.unique`` —
+    Zipf vocabulary makes this a small fraction of the stream) and the
+    per-(doc, feat) counts come from a numpy group-by, so the explode,
+    the per-token md5, and the (id, feat)-cardinality partial/final
+    aggregate exchange all disappear — each document sits wholly inside
+    one Arrow row, so its counts are complete without any shuffle.
+    Identical integers to :func:`doc_feat_tf_jvm`
+    (``test_doc_feat_tf_arrow_matches_jvm``); docs with zero tokens are
+    dropped in both forms."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from spark_sql_hbase_spark.operators.dedup import _parallelized
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    toks = _parallelized(docs).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            tok_lists = list(pdf["t"])
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            keep = lens > 0
+            ids = pdf["id"].to_numpy()[keep]
+            lens = lens[keep]
+            if len(ids) == 0:
+                continue
+            flat = np.asarray(
+                list(itertools.chain.from_iterable(t for t in tok_lists if len(t))),
+                dtype=object,
+            )
+            uniq, inv = np.unique(flat, return_inverse=True)
+            uh = np.fromiter(
+                (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:14], 16)
+                    for w in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            feat = uh % n_buckets  # word_hash is 56-bit positive: % == pmod
+            doc_idx = np.repeat(np.arange(len(ids)), lens)
+            # group (doc, feat) pairs: count multiplicities
+            pairs = doc_idx.astype(np.int64) * n_buckets + feat[inv]
+            upairs, counts = np.unique(pairs, return_counts=True)
+            out_doc = upairs // n_buckets
+            yield pd.DataFrame(
+                {
+                    "id": ids[out_doc],
+                    "dl": lens[out_doc].astype(np.int32),
+                    "feat": (upairs % n_buckets),
+                    "tf": counts,
+                }
+            )
+
+    return toks.mapInPandas(
+        gen, f"id {id_type}, dl int, feat bigint, tf bigint"
+    )
+
+
 def dsir_importance(
     docs: DataFrame,
     target: DataFrame,
@@ -445,25 +546,16 @@ def dsir_importance(
     smaller) target set.  Determinism: ln + ROUND(round_to), the
     bm25/surprisal driver-green precedent.
     """
-    from spark_sql_hbase_spark.functions.texthash import word_hash
-
-    feat = lambda c: (word_hash(c) % n_buckets).alias("feat")  # noqa: E731
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        # Generate barrier: dl and the explode both reference the array
-        F.explode(F.array(tokens(F.col(text_col)))).alias("tok"),
-    )
-    tf = (
-        toks.select("id", F.size("tok").alias("dl"), F.explode("tok").alias("term"))
-        .select("id", "dl", feat(F.col("term")))
-        .groupBy("id", "dl", "feat")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        # always true (md5 of a non-null term) — but the inner combine
-        # join infers it on its branch only, which de-canonicalizes the
-        # two tf subtrees and defeats ReuseExchange; stating it on tf
-        # itself keeps the corpus at ONE scan
-        .filter(F.col("feat").isNotNull())
-    )
+    # Round 14 negative result (measured, kept as-is): the Arrow twin
+    # (:func:`doc_feat_tf` — md5 per distinct token, counts in numpy, no
+    # (id, feat) exchange) measured FLAT against this explode form
+    # (1.017 vs 1.041 median interleaved) while costing an explicit
+    # .cache() of the tf relation — this shape gets the two-consumer
+    # sharing for free via ReuseExchange and keeps Python out of the
+    # plan.  The twin stays parity-pinned
+    # (``test_doc_feat_tf_arrow_matches_jvm``) for scales where the
+    # exchange dominates.
+    tf = doc_feat_tf_jvm(docs, id_col, text_col, n_buckets)
     from pyspark.sql import Window
 
     # totals via unpartitioned windows over the BOUNDED count relations
@@ -475,9 +567,11 @@ def dsir_importance(
         .agg(F.sum("tf").alias("cq"))
         .withColumn("nq", F.sum("cq").over(w_all))
     )
+    from spark_sql_hbase_spark.functions.texthash import word_hash
+
     tgt_ct = (
         target.select(F.explode(tokens(F.col(text_col))).alias("term"))
-        .select(feat(F.col("term")))
+        .select((word_hash(F.col("term")) % n_buckets).alias("feat"))
         .groupBy("feat")
         .agg(F.count(F.lit(1)).alias("cp"))
         .withColumn("np", F.sum("cp").over(w_all))
@@ -574,6 +668,66 @@ def cms_placed(docs: DataFrame, text_col: str, depth: int, width: int) -> DataFr
     )
 
 
+def cms_cand_partials(
+    docs: DataFrame, text_col: str, depth: int, width: int
+) -> DataFrame:
+    """Per-batch partial (term, row, bucket, tc) counts of the token
+    stream under the :func:`cms_placed` hash law, in ONE Arrow pass
+    (round 14): term counts via ``np.unique`` over the batch's token
+    stream, then ``depth`` md5 placements per DISTINCT term (the JVM
+    explode form pays depth md5s per TOKEN).  A downstream
+    ``groupBy(term, row, bucket).sum`` over these partials equals the
+    explode form's exact counts — the hash law is replayed
+    byte-identically (``f"cms{r}:" + term`` md5, first 14 hex digits,
+    ``% width`` on the positive 56-bit value), pinned by
+    ``test_cms_cand_arrow_matches_jvm``."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from spark_sql_hbase_spark.operators.dedup import _parallelized
+
+    toks = _parallelized(docs).select(tokens(F.col(text_col)).alias("t"))
+
+    def gen(batches):
+        for pdf in batches:
+            tok_lists = [t for t in pdf["t"] if len(t)]
+            if not tok_lists:
+                continue
+            flat = np.asarray(
+                list(itertools.chain.from_iterable(tok_lists)), dtype=object
+            )
+            uniq, counts = np.unique(flat, return_counts=True)
+            n = len(uniq)
+            buckets = np.empty((depth, n), dtype=np.int64)
+            for r in range(depth):
+                pre = f"cms{r}:".encode("utf-8")
+                buckets[r] = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(pre + w.encode("utf-8")).hexdigest()[:14],
+                            16,
+                        )
+                        % width
+                        for w in uniq
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+            yield pd.DataFrame(
+                {
+                    "term": np.tile(uniq, depth),
+                    "row": np.repeat(np.arange(depth, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1).astype(np.int32),
+                    "tc": np.tile(counts, depth),
+                }
+            )
+
+    return toks.mapInPandas(gen, "term string, row int, bucket int, tc bigint")
+
+
 def cms_heavy_hitters(
     docs: DataFrame,
     text_col: str,
@@ -606,16 +760,20 @@ def cms_heavy_hitters(
     exists for the audit column only — a pure production run drops it and
     with it the vocabulary-cardinality aggregate (t09's accepted class).
     """
-    placed = cms_placed(docs, text_col, depth, width)
-    # ONE corpus-scanning aggregate: per-(term,row,bucket) counts.  The
+    # ONE corpus-scanning aggregate: per-(term,row,bucket) counts.
+    # Round 14: the corpus pass is the Arrow partial counter
+    # (cms_cand_partials — depth md5s per DISTINCT term per batch
+    # instead of per token, no depth-way explode); the groupBy combines
+    # the per-batch partials into the identical exact counts.  The
     # counter grid is a rollup of cand (Σ tc per (row,bucket) — vocab-
     # cardinality input, NOT a second corpus pass), and the always-true
     # filter keeps the two cand references canonicalization-identical so
     # ReuseExchange collapses them onto one scan+shuffle (z63 precedent:
     # the join-side isnotnull inference otherwise defeats the reuse).
     cand = (
-        placed.groupBy("term", "row", "bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
+        cms_cand_partials(docs, text_col, depth, width)
+        .groupBy("term", "row", "bucket")
+        .agg(F.sum("tc").alias("tc"))
         .filter(F.col("row").isNotNull() & F.col("bucket").isNotNull())
     )
     if (threshold is None) == (threshold_ppm is None):

@@ -3821,3 +3821,58 @@ def test_bm25_regex_matches_hof(spark, sf_dir):
             for r in old_bm25(docs, "doc_id", "text", terms).collect()
         }
         assert got == want and len(got) > 0, (len(got), len(want))
+
+
+def test_doc_feat_tf_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow hashed-unigram counter (md5 once per distinct token,
+    numpy group-by, no exchange) must produce the identical
+    (id, dl, feat, tf) relation as the explode + md5-per-token +
+    groupBy formulation on the real corpus."""
+    from spark_sql_hbase_spark.operators.ranking import (
+        doc_feat_tf,
+        doc_feat_tf_jvm,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    docs = qtable(spark, sf_dir, "documents")
+    got = sorted(
+        map(tuple, doc_feat_tf(docs, "doc_id", "text", 1024).collect())
+    )
+    want = sorted(
+        map(tuple, doc_feat_tf_jvm(docs, "doc_id", "text", 1024).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cms_cand_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow CMS partial counter must combine to the identical exact
+    per-(term, row, bucket) counts as the explode form of cms_placed —
+    the shared hash law the streaming sketch also depends on."""
+    from pyspark.sql import functions as F2
+
+    from spark_sql_hbase_spark.operators.ranking import (
+        cms_cand_partials,
+        cms_placed,
+    )
+    from spark_sql_hbase_spark.queries import table as qtable
+
+    docs = qtable(spark, sf_dir, "documents")
+    got = sorted(
+        map(
+            tuple,
+            cms_cand_partials(docs, "text", 3, 512)
+            .groupBy("term", "row", "bucket")
+            .agg(F2.sum("tc").alias("tc"))
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            cms_placed(docs, "text", 3, 512)
+            .groupBy("term", "row", "bucket")
+            .agg(F2.count(F2.lit(1)).alias("tc"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
