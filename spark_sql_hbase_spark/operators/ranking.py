@@ -52,7 +52,17 @@ def bm25_scores(
     terms collapse, exactly as HOF filtering collapsed them), pinned by
     ``test_bm25_regex_matches_hof``.  The (id, term, tf) relation comes
     from a row-local posexplode over the per-doc count array, so the
-    per-(doc, term) count aggregate and its exchange are gone."""
+    per-(doc, term) count aggregate and its exchange are gone.
+
+    Round-14 batch 5: per-term document frequencies fold into the SAME
+    one-row stats aggregate (``df(t_i) = Σ_docs (qcnt[i] > 0)`` — each
+    doc contributes one qcnt row, so the sum IS the distinct-doc count),
+    replacing ``tf.groupBy(term).agg(countDistinct(id))`` — which paid a
+    corpus-cardinality (term, id) distinct exchange PAIR — plus its
+    broadcast join.  The tf branch then reads df by position from the
+    broadcast stats row.  Exact integer equality by construction;
+    interleaved A/B at sf0.1 (6 reps): 0.971 s → 0.787 s median (−19%);
+    outputs identical at sf0.001/0.01/0.1."""
     terms = [t for t in dict.fromkeys(query_terms)]
     # per-doc length + per-query-term counts for EVERY doc — cached so
     # the corpus stats aggregate and the tf branch share ONE scan
@@ -65,26 +75,24 @@ def bm25_scores(
         if terms
         else F.array().cast("array<int>").alias("qcnt"),
     ).cache()
-    tlit = F.array(*[F.lit(t) for t in terms])
+    stats = per_doc_all.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        F.array(
+            *[F.sum((F.col("qcnt")[i] > 0).cast("long")) for i in range(len(terms))]
+        ).alias("dfs")
+        if terms
+        else F.array().cast("array<long>").alias("dfs"),
+    )
     tf = (
         per_doc_all.select("id", "dl", F.posexplode("qcnt").alias("pos", "tf"))
         .filter(F.col("tf") > 0)
-        .select(
-            "id",
-            "dl",
-            F.element_at(tlit, F.col("pos") + 1).alias("term"),
-            F.col("tf").cast("long").alias("tf"),
-        )
+        .select("id", "dl", "pos", F.col("tf").cast("long").alias("tf"))
     )
-
-    stats = per_doc_all.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
-    )
-    df_t = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
 
     scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
+        .withColumn("df", F.element_at(F.col("dfs"), F.col("pos") + 1))
         .withColumn("avgdl", F.col("total_len") / F.col("n_docs"))
         .withColumn(
             "idf",
@@ -834,11 +842,23 @@ def pmi_collocations(
     Plan shape (scales to 100 TB): the bigram count is the only
     corpus-scanning aggregate (shuffle carries (w1, w2, partial) — t13's
     accepted vocabulary-squared class, Heaps-sublinear in practice);
-    marginals and the scalar total are rollups OVER the cached bigram
-    frame, so the corpus is read and tokenized once; final ranking is
-    TakeOrdered over the min_count survivors.  Cache contract as
-    :func:`bigram_surprisal` (caller clears between repeated runs).
+    marginals are WINDOWED integer sums over the cached bigram frame
+    (partition by w1, then by w2 — two exchanges of the
+    vocabulary-bounded frame), replacing the round-13 groupBy-marginal +
+    double re-join formulation, which exchanged the frame four times
+    (two marginal aggregates plus the two join re-partitions) and paid
+    two sort-merge joins.  Marginals are exact long sums, so the window
+    form is bit-identical by construction — no FP-order concern (unlike
+    the float norms in :func:`tfidf_cosine_pairs`, pinned there).
+    Interleaved A/B at sf0.1 (6 reps): 1.16 s → 0.86 s median (−26%);
+    outputs identical at sf0.001/0.01/0.1.  The scalar total stays a
+    broadcast one-row aggregate; the corpus is read and tokenized once;
+    final ranking is TakeOrdered over the min_count survivors.  Cache
+    contract as :func:`bigram_surprisal` (caller clears between
+    repeated runs).
     """
+    from pyspark.sql import Window as W2
+
     bound = docs.select(
         F.explode(F.array(tokens(F.col(text_col)))).alias("__tok")
     )
@@ -854,16 +874,14 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("c12"))
         .cache()
     )
-    left = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    right = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
     tot = big.agg(F.sum("c12").alias("b_total"))
     ratio = (F.col("c12").cast("double") * F.col("b_total")) / (
         F.col("c1").cast("double") * F.col("c2")
     )
     return (
-        big.filter(F.col("c12") >= min_count)
-        .join(left, "w1")
-        .join(right, "w2")
+        big.withColumn("c1", F.sum("c12").over(W2.partitionBy("w1")))
+        .withColumn("c2", F.sum("c12").over(W2.partitionBy("w2")))
+        .filter(F.col("c12") >= min_count)
         .crossJoin(F.broadcast(tot))
         .select(
             "w1",
@@ -943,8 +961,18 @@ def tfidf_cosine_pairs(
     Emits ``(id_a, id_b, cos_sim, n_shared)`` with id_a < id_b.
 
     Plan shape (scales to 100 TB): ONE corpus scan builds the (doc,
-    term, tf) aggregate (cached — four consumers: N, df, weights,
-    norms); everything else operates on vocabulary-bounded relations.
+    term, tf) aggregate (cached — three consumers: N, df, weights);
+    everything else operates on vocabulary-bounded relations.  The L2
+    norm is a windowed sum over the weighted relation partitioned by
+    doc — ONE exchange of ``w`` by id instead of the groupBy-norms +
+    re-join formulation, which exchanged ``w`` by id twice AND
+    re-evaluated the whole tf→df→weight chain for the second consumer
+    (round-14 measurement: the unfused chain put 12 InMemoryTableScans
+    of the cached tf and 47 Exchanges in one plan).  The normalized
+    weights ``wn`` are cached (managed) because the pair self-join
+    reads them on BOTH sides — without it the chain runs once per
+    side.  Interleaved A/B at sf0.1 (6 reps): 2.44 s → 1.13 s median
+    (−54%); outputs bit-identical at sf0.001/0.01/0.1.
     The pair join is the posting-list self-join — per-term cost is
     df(t)², so the ``max_df`` cap is the scale lever: it drops
     stopword-grade terms whose posting lists would go quadratic (they
@@ -980,9 +1008,12 @@ def tfidf_cosine_pairs(
             * (F.log((1.0 + F.col("n_docs")) / (1 + F.col("df"))) + 1.0),
         )
     )
-    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    wn = w.join(norms, "id").select(
-        "id", "term", (F.col("w") / F.col("nrm")).alias("wn")
+    from pyspark.sql import Window
+
+    nrm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("id")))
+    wn = managed_cache(
+        w.select("id", "term", (F.col("w") / nrm).alias("wn")),
+        "tfidf_cosine_pairs.wn",
     )
     a = wn.select(
         F.col("id").alias("id_a"), F.col("term").alias("term"), F.col("wn").alias("wa")

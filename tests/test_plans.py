@@ -802,13 +802,20 @@ def test_z73_bloom_bitmap_rides_one_broadcast_row(spark, registry):
 
 def test_z75_pmi_consumers_hit_cache(spark, registry):
     """The bigram count frame is the one corpus-derived intermediate;
-    its four consumers (min_count filter branch, left marginal, right
-    marginal, scalar total) must read it from cache so the corpus is
-    tokenized once (t13's cache discipline)."""
+    both consumers (the windowed-marginal main path and the scalar
+    total) must read it from cache so the corpus is tokenized once
+    (t13's cache discipline).  Round 14 moved the w1/w2 marginals from
+    groupBy-aggregate + re-join (four cache consumers, two SMJs) to two
+    windowed long sums over the cached frame — assert the new shape:
+    ≥2 cache scans, marginal windows present, and NO shuffle join
+    anywhere (the only join is the one-row total broadcast)."""
     df = registry["zg95_pmi_collocations"].fn(spark, SF)
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("InMemoryTableScan") >= 4, plan[:2000]
+        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+        assert plan.count("Window") >= 2, plan[:2000]
+        for shuffled in ("SortMergeJoin", "ShuffledHashJoin"):
+            assert shuffled not in plan, plan[:2000]
     finally:
         spark.catalog.clearCache()
 

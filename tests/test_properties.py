@@ -2864,6 +2864,73 @@ def test_tfidf_max_df_caps_posting_lists(spark):
     assert capped.count() == 0
 
 
+def test_tfidf_window_norms_match_groupby_join(spark, sf_dir):
+    """Round-14: the L2 norm moved from a groupBy-norms + re-join (which
+    exchanged the weighted relation by id twice and re-evaluated the
+    tf→df→weight chain for the second consumer) to ONE windowed sum
+    partitioned by id.  Both accumulate the same per-id float64 terms;
+    pin the full pair output bit-identical on the real corpus so the
+    plan change can never drift the rounded cosine."""
+    from pyspark.sql import Window
+
+    from spark_sql_hbase_spark.functions.texthash import tokens
+    from spark_sql_hbase_spark.operators.ranking import tfidf_cosine_pairs
+    from spark_sql_hbase_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    got = sorted(
+        tuple(r)
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", threshold=0.3, max_df=100
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    # the pre-round-14 groupBy-norms formulation, inlined as the anchor
+    tf = (
+        docs.select(
+            F.col("doc_id").alias("id"), F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    n_docs = tf.agg(F.countDistinct("id").alias("n_docs"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 100))
+    )
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf") * (F.log((1.0 + F.col("n_docs")) / (1 + F.col("df"))) + 1.0),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wn = w.join(norms, "id").select(
+        "id", "term", (F.col("w") / F.col("nrm")).alias("wn")
+    )
+    a = wn.select(F.col("id").alias("id_a"), "term", F.col("wn").alias("wa"))
+    b = wn.select(F.col("id").alias("id_b"), "term", F.col("wn").alias("wb"))
+    anchor = sorted(
+        tuple(r)
+        for r in (
+            a.join(b, "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.round(F.sum(F.col("wa") * F.col("wb")), 4).alias("cos_sim"),
+                F.count(F.lit(1)).alias("n_shared"),
+            )
+            .filter(F.col("cos_sim") >= 0.3)
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert got == anchor and len(got) > 0
+
+
 def test_kmeans_gate_params_populate_all_clusters(spark, sf_dir):
     """The zg38 oracle (kmeans_sql) has no empty-cluster carry — valid
     only while every cluster keeps members at the gate's (k, n_iter).
