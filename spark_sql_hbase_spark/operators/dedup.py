@@ -868,8 +868,21 @@ def persist_band_index(
     bands = minhash_band_keys_arrow_text(
         _parallelized(corpus), id_col, text_col, n, num_hashes, rows_per_band
     )
+    # Pre-partition by the bucket key before the bucketed write:
+    # ``repartition(n, col)`` and ``bucketBy(n, col)`` use the SAME
+    # placement function (pmod(murmur3, n)), so each write task holds
+    # exactly one bucket and writes exactly one file.  Without it every
+    # map task writes a file per bucket it touches — M·buckets files at
+    # scale (3.2M files for a 100k-task corpus scan), which the
+    # delta-join's bucketed scan then pays for in listing and per-file
+    # opens.  The exchange this adds carries only (id, band_key) proxy
+    # rows, never text.  Measured (r14, interleaved 6-rep A/B at sf0.1):
+    # build 2.18 → 1.88 median (−14%, parallel single-bucket writers vs
+    # one task writing all 32 bucket files), delta join flat, identical
+    # join output.
     (
-        bands.write.mode("overwrite")
+        bands.repartition(buckets, "band_key")
+        .write.mode("overwrite")
         .bucketBy(buckets, "band_key")
         .sortBy("band_key")
         .saveAsTable(table_name)
