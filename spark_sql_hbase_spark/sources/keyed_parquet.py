@@ -931,51 +931,132 @@ class KeyedTableStore:
                 "cells). Read the feed with read_changes(..., cells=True) "
                 "and replay with apply_changes(..., cells=True)."
             )
-        cols = [f"`{f.name}`" for f in spec.schema().fields]
+        schema = spec.schema()
+        cols = [f"`{f.name}`" for f in schema.fields]
         feed = changes.localCheckpoint(eager=True)
-        unknown = [
-            r[0]
-            for r in feed.select("change").distinct().collect()
-            if r[0] not in ("insert", "update", "delete")
-        ]
-        if unknown:
+        # ONE feed-statistics job replaces the five separate probe jobs
+        # this method used to pay (tag distinct, two isEmpty takes, a
+        # count, and delete_keys' span agg): a per-key rollup of the
+        # change tags feeds a one-row global aggregate carrying every
+        # driver-side decision — tag validation, per-tag emptiness, the
+        # put/delete key-set overlap, NULL-key laws, the key span for
+        # candidate pruning, and the feed row count for the incremental
+        # index threshold.
+        ch = F.col("change")
+        rk = F.col(f"`{ROW_KEY}`")
+        tagged = feed.groupBy(rk.alias("__ck")).agg(
+            F.max(ch.isin("insert", "update")).alias("__put"),
+            F.max(ch == "delete").alias("__del"),
+            F.max(
+                ch.isNull() | ~ch.isin("insert", "update", "delete")
+            ).alias("__unk"),
+            F.sum(F.when(ch == "insert", 1).otherwise(0)).alias("__n_ins"),
+            F.sum(F.when(ch == "update", 1).otherwise(0)).alias("__n_upd"),
+            F.sum(F.when(ch == "delete", 1).otherwise(0)).alias("__n_del"),
+        )
+        s = tagged.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count(F.when(F.col("__put"), 1)).alias("n_put"),
+            F.count(F.when(F.col("__del"), 1)).alias("n_del"),
+            F.count(F.when(F.col("__put") & F.col("__del"), 1)).alias(
+                "n_both"
+            ),
+            F.count(F.when(F.col("__unk"), 1)).alias("n_unk"),
+            F.sum(F.col("__n_ins") + F.col("__n_upd") + F.col("__n_del"))
+            .alias("n_rows"),
+            F.sum("__n_ins").alias("n_ins_rows"),
+            F.sum("__n_upd").alias("n_upd_rows"),
+            F.sum("__n_del").alias("n_del_rows"),
+            F.min("__ck").alias("lo"),
+            F.max("__ck").alias("hi"),
+            F.min(F.when(F.col("__put"), F.col("__ck"))).alias("put_lo"),
+            F.max(F.when(F.col("__put"), F.col("__ck"))).alias("put_hi"),
+            F.count(
+                F.when(F.col("__ck").isNull() & F.col("__del"), 1)
+            ).alias("n_del_null"),
+            F.count(
+                F.when(F.col("__ck").isNull() & F.col("__put"), 1)
+            ).alias("n_put_null"),
+        ).first()
+        if s["n_unk"]:
             # a row with a mistyped/NULL change tag would otherwise be
             # dropped SILENTLY — a replica that quietly misses changes
             # is the worst failure mode a replication sink can have
+            # (the extra job to name the offending tags runs on the
+            # error path only)
+            unknown = [
+                r[0]
+                for r in feed.select("change").distinct().collect()
+                if r[0] not in ("insert", "update", "delete")
+            ]
             raise ValueError(
                 f"{qualified_name}: changefeed rows with unknown change "
                 f"tag(s) {unknown!r} (expected insert/update/delete)"
             )
         ins = feed.filter(F.col("change") == "insert").select(*cols)
-        ups = feed.filter(F.col("change") == "update").select(*cols)
         dels = feed.filter(F.col("change") == "delete")
         # granularity validation runs BEFORE any write (like the
         # unknown-tag check above): a refused feed must apply NOTHING —
         # appending its inserts first and raising after would leave the
         # replica partially mutated by a feed we claim to refuse loudly
-        if cells and not ups.isEmpty():
+        if cells and s["n_upd_rows"]:
             raise ValueError(
                 f"{qualified_name}: a cell-granularity feed cannot "
                 "contain 'update' rows — this feed was read with "
                 "cells=False; replay it with apply_changes(cells=False)"
             )
         if cells:
-            if not ins.isEmpty():
+            if s["n_ins_rows"]:
                 # new version CELLS: pure append (nothing replaced)
                 self.insert(
                     qualified_name, ins, generate_row_key=False,
                     async_index=async_index,
                 )
+            if not s["n_del_rows"]:
+                return 0
             return self.delete_cells(
                 qualified_name, dels.select(*cols), async_index=async_index
             )
-        # key granularity: inserts (brand-new keys) and updates carry
-        # DISJOINT key sets (exceptAll diff construction), so one
-        # combined upsert commit replays both — outcome-identical to
-        # append+upsert on first apply, IDEMPOTENT on a
-        # marker-crash-window replay (the feed's keys ARE the
-        # replicated keys; upsert never re-generates them)
-        puts = ins.unionByName(ups)
+        # key granularity: ONE fused locate + merge rewrite + swap
+        # commits the puts AND the deletes together (the mutate()
+        # drop_keys rewrite applied to a DataFrame feed) instead of an
+        # upsert commit followed by a delete_keys commit — half the
+        # generation cycles, span manifests, Bloom passes and CAS
+        # flips per replay.  Inserts and updates both replay as puts
+        # (the rows ARE the key's full new state on a one-row-per-key
+        # table); a key that is both put and deleted in one feed ends
+        # DELETED (the sequential replay's upsert-then-delete order),
+        # so its put row is excluded from the merge and the key still
+        # counts as deleted.  Outcome-identical to the sequential
+        # replay and IDEMPOTENT on a marker-crash-window re-apply (the
+        # feed's keys ARE the replicated keys) — and, as ONE atomic
+        # swap, a replica can no longer be observed between the put
+        # and delete halves of a replay.
+        if s["n_put_null"]:
+            # HBase parity (the upsert law): a Put without a row key is
+            # invalid — and a NULL put key would silently fall through
+            # both sides of the rewrite's key-span split
+            raise ValueError(
+                "MERGE source contains NULL row_key values; every row "
+                "needs a key"
+            )
+        n_alive = s["n_put"] - s["n_both"]
+        puts = feed.filter(
+            F.col("change").isin("insert", "update")
+        ).select(*cols)
+        del_keys = dels.select(rk)
+        if s["n_del_null"]:
+            # NULL delete keys carry delete_where's NULL-key law
+            # (null-safe match) which the span/locate fast path below
+            # cannot see — replay sequentially through the generic
+            # paths exactly as before
+            if s["n_put"]:
+                self.upsert(qualified_name, puts, async_index=async_index)
+            return self.delete_keys(
+                qualified_name, del_keys, async_index=async_index
+            )
+        if not s["n_keys"]:
+            return 0  # empty feed: a true no-op, no stale window
         indexes = self.registered_indexes(qualified_name)
         feed_maintenance = bool(indexes) and not async_index
         if feed_maintenance:
@@ -983,9 +1064,7 @@ class KeyedTableStore:
             # keys' full post-replay state (one-row-per-key table), so
             # ONE combined incremental pass per index (drop entries for
             # every feed key, append projections of the put rows)
-            # replaces the upsert's and the delete's SEPARATE generic
-            # maintenance passes — and skips their main-table semi-join
-            # re-read of rows this method already holds.  Same
+            # replaces the generic per-DML maintenance passes.  Same
             # smallness threshold as the DML capture path; a feed
             # rewriting most of the table falls back to the generic
             # full-rebuild route.
@@ -995,47 +1074,124 @@ class KeyedTableStore:
                 )
             except Exception:
                 table_rows = 0
-            n_changed = feed.count()
-            # an EMPTY feed must be a true no-op (no stale window, no
-            # locate jobs), and 0*4 < table_rows is vacuously true
-            feed_maintenance = 0 < n_changed * 4 < table_rows
-        if feed_maintenance:
-            # async_index=True marks every index LOUDLY stale across
-            # the replays; the combined pass below clears it
-            if not puts.isEmpty():
-                self.upsert(qualified_name, puts, async_index=True)
-            n = self.delete_keys(
-                qualified_name,
-                dels.select(F.col(f"`{ROW_KEY}`")),
-                async_index=True,
-            )
-            # One diff's put/delete key sets are disjoint by exceptAll
-            # construction, but apply_changes accepts ARBITRARY feeds
-            # (e.g. two concatenated diffs): a key that is both put and
-            # deleted here ends DELETED (upsert replays first), so its
-            # index projection must NOT be appended — anti-join the
-            # puts against the delete keys before projecting.  Pinned
-            # eagerly like the generic path's changed_rows: without it
-            # the take(1) probe and every index's projection each
-            # re-evaluate this union+anti-join against the checkpointed
-            # feed — N+1 re-evaluations for N indexes (ADVICE r12).
+            feed_maintenance = 0 < s["n_rows"] * 4 < table_rows
+        # One diff's put/delete key sets are disjoint by exceptAll
+        # construction (n_both == 0) and the puts ride the checkpointed
+        # feed through a plain filter — no pin needed.  An ARBITRARY
+        # feed (e.g. two concatenated diffs) can overlap; those keys
+        # end DELETED, so the overlap is anti-joined out and pinned
+        # once for the rewrite and every index projection (ADVICE r12).
+        if s["n_both"]:
             puts_alive = puts.join(
-                dels.select(F.col(f"`{ROW_KEY}`")), ROW_KEY, "left_anti"
+                F.broadcast(del_keys), ROW_KEY, "left_anti"
             ).localCheckpoint(eager=True)
+        else:
+            puts_alive = puts
+        # small-feed Bloom probe values — ONE bounded collect serves
+        # both the main-table row-key pruning (native-typed) and every
+        # index's src-key pruning (string-rendered, the index write
+        # path's cast), so the per-index _collect_probe_keys job never
+        # runs on this path
+        probe_keys = src_probe_keys = None
+        small = s["n_keys"] <= self._BLOOM_MERGE_PROBE_MAX
+        need_main = small and self._bloom_enabled(spec)
+        need_src = small and feed_maintenance
+        if need_main or need_src:
+            try:
+                krows = tagged.select(
+                    "__ck", F.col("__ck").cast("string").alias("__cs")
+                ).collect()
+                if need_main:
+                    probe_keys = [r["__ck"] for r in krows]
+                if need_src:
+                    src_probe_keys = [
+                        r["__cs"] for r in krows if r["__cs"] is not None
+                    ]
+            except Exception:
+                probe_keys = src_probe_keys = None
+
+        def attempt() -> int:
+            path = self.table_path(spec)
+            stats: dict = {}
+            candidates = self._span_candidates(
+                path, s["lo"], s["hi"], stats=stats
+            )
+            if probe_keys is not None and candidates and os.path.isdir(
+                os.path.join(path, _bloom.BLOOM_DIR)
+            ):
+                try:
+                    candidates = self._bloom_prune_by_keys(
+                        spec, path, candidates, probe_keys, stats
+                    )
+                except Exception:
+                    pass  # cache only — locate over the span candidates
+            affected: dict = {}
+            n_del_only = 0
+            if candidates:
+                # ONE locate scan serves both halves: an inner join
+                # against the per-key tag rollup (one row per key)
+                # marks the affected files and counts the delete-only
+                # matches in the same job
+                import urllib.parse
+
+                refs = self._span_refs(path)
+                cur = self.spark.read.schema(schema).parquet(
+                    *[self._file_abs(path, f, refs) for f in candidates]
+                )
+                rows = (
+                    cur.join(
+                        F.broadcast(tagged.select("__ck", "__put", "__del")),
+                        F.col(ROW_KEY) == F.col("__ck"),
+                        "inner",
+                    )
+                    .groupBy(F.input_file_name().alias("__f"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count(
+                            F.when(F.col("__del") & ~F.col("__put"), 1)
+                        ).alias("nd"),
+                    )
+                    .collect()
+                )
+                affected = {
+                    os.path.basename(urllib.parse.urlparse(r["__f"]).path):
+                    r["n"]
+                    for r in rows
+                }
+                n_del_only = sum(r["nd"] for r in rows)
+            # deleted = existing delete-only rows + every overlap key
+            # (its put row is suppressed, so the key ends deleted
+            # whether or not it existed — the sequential replay's count)
+            n_deleted = n_del_only + s["n_both"]
+            if not affected and not n_alive:
+                return n_deleted  # nothing to rewrite or append
+            self._upsert_rewrite(
+                spec, qualified_name, puts_alive, None, affected, path,
+                schema, True,  # index maintenance handled below
+                batch_span=(
+                    (s["put_lo"], s["put_hi"]) if n_alive else None
+                ),
+                footer_stats=stats, n_incoming=n_alive,
+                drop_keys=del_keys if s["n_del"] else None,
+                new_run_known_empty=not n_alive,
+            )
+            return n_deleted
+
+        n = self._retry_write_conflict(attempt)
+        if feed_maintenance:
             self._maintain_indexes_incremental(
                 indexes,
                 None,
-                feed.select(F.col(f"`{ROW_KEY}`")),
+                feed.select(rk),
                 changed_rows=puts_alive,
+                has_new_rows=bool(n_alive),
+                probe_keys=src_probe_keys if small else None,
             )
-            return n
-        if not puts.isEmpty():
-            self.upsert(qualified_name, puts, async_index=async_index)
-        return self.delete_keys(
-            qualified_name,
-            dels.select(F.col(f"`{ROW_KEY}`")),
-            async_index=async_index,
-        )
+        elif indexes:
+            # large feed (or async): the generic route — full rebuild,
+            # or the loud stale marker
+            self._maintain_indexes(qualified_name, async_index)
+        return n
 
     @contextmanager
     def scan_lease(self, qualified_name: str):
@@ -2494,6 +2650,8 @@ class KeyedTableStore:
         main: DataFrame | None,
         changed_keys: DataFrame,
         changed_rows: DataFrame | None = None,
+        has_new_rows: bool | None = None,
+        probe_keys: list | None | str = "__compute__",
     ) -> None:
         """Delta index maintenance: drop entries for the changed source
         keys, append projections of those keys' current rows.  Exactly
@@ -2516,19 +2674,41 @@ class KeyedTableStore:
             changed_rows = main.join(
                 keys, main[ROW_KEY] == F.col("__changed_key"), "left_semi"
             ).localCheckpoint(eager=True)
-        has_new_rows = bool(changed_rows.take(1))
+        if has_new_rows is None:
+            has_new_rows = bool(changed_rows.take(1))
         # src-key Bloom probe values, collected ONCE for all indexes
         # (bounded: at most _BLOOM_MERGE_PROBE_MAX keys, else None and
-        # the locate scans unpruned)
-        probe_keys = self._collect_probe_keys(changed_keys)
+        # the locate scans unpruned).  A caller that already holds the
+        # bounded key list (apply_changes' one feed-stats collect)
+        # passes it and skips the job.
+        if probe_keys == "__compute__":
+            probe_keys = self._collect_probe_keys(changed_keys)
         for iq, meta in indexes.items():
             ispec = self.registry.get(iq)
             self._mark_index_stale(iq, True)
+            proj = (
+                self.index_projection(
+                    changed_rows,
+                    meta["col"],
+                    list(meta["include"]),
+                    meta["key_width"],
+                    meta.get("encoding", "int"),
+                    meta.get("scale"),
+                    guard=True,
+                )
+                if has_new_rows
+                else None
+            )
 
-            def drop_changed_entries(ispec=ispec) -> None:
+            def drop_and_append(ispec=ispec, proj=proj) -> bool:
                 # one index-generation resolution per attempt (same
                 # locate/rewrite/CAS-base discipline as the DML paths);
-                # a lost CAS re-locates against the winner's state
+                # a lost CAS re-locates against the winner's state.
+                # Returns whether the fresh projection rode the swap —
+                # when entries must be dropped, the appended run shares
+                # the drop's ONE staged commit (one generation, one
+                # span manifest, one Bloom pass) instead of a swap
+                # followed by a separate append.
                 ipath = self.table_path(ispec)
                 ifiles = self._data_files(ipath)
                 if probe_keys is not None:
@@ -2546,7 +2726,7 @@ class KeyedTableStore:
                         )
                     ]
                     if not ifiles:
-                        return
+                        return False
                 affected = self._locate_affected_files(
                     ispec,
                     lambda d: d.join(
@@ -2566,19 +2746,13 @@ class KeyedTableStore:
                             "left_anti",
                         ),
                         path=ipath,
+                        append=proj,
                     )
+                    return proj is not None
+                return False
 
-            self._retry_write_conflict(drop_changed_entries)
-            if has_new_rows:
-                proj = self.index_projection(
-                    changed_rows,
-                    meta["col"],
-                    list(meta["include"]),
-                    meta["key_width"],
-                    meta.get("encoding", "int"),
-                    meta.get("scale"),
-                    guard=True,
-                )
+            appended = self._retry_write_conflict(drop_and_append)
+            if proj is not None and not appended:
                 self.insert(
                     iq, proj, generate_row_key=False, maintain_indexes=False
                 )
@@ -4752,7 +4926,7 @@ class KeyedTableStore:
     def _upsert_rewrite(
         self, spec, qualified_name, incoming, keys, affected, path,
         schema, async_index, batch_span=None, footer_stats=None,
-        n_incoming=None, drop_keys=None,
+        n_incoming=None, drop_keys=None, new_run_known_empty=False,
     ) -> DataFrame | None:
         """The merge-window rewrite behind :meth:`upsert`, one attempt
         against one resolved generation (``path``/``affected``).
@@ -4849,6 +5023,11 @@ class KeyedTableStore:
             # one fresh sorted run (still through the atomic swap)
             out_merged = None
             new_run = incoming
+        if new_run_known_empty:
+            # caller proved the incoming batch is empty (a fused replay
+            # whose puts were all cancelled by deletes) — skip the
+            # take(1) probe job
+            new_run = None
         if new_run is not None and bool(new_run.take(1)):
             w2 = Window.partitionBy(ROW_KEY)
             obs2 = Observation()
@@ -4880,14 +5059,15 @@ class KeyedTableStore:
             )
             if n_in * 4 < total:
                 changed_keys = keys
-        # the empty-source early return guarantees at least one frame:
-        # affected non-empty => out_merged; affected empty => out_new
+        outs = [o for o in (out_merged, out_new) if o is not None]
+        if not outs:
+            # nothing to rewrite and nothing to append (e.g. a fused
+            # replay whose deletes matched no file and whose puts were
+            # all cancelled): a true no-op, like a DELETE matching
+            # nothing — no new generation
+            return changed_keys
         self._swap_write_with_carry(
-            spec,
-            [o for o in (out_merged, out_new) if o is not None],
-            path,
-            set(affected),
-            validate=no_source_dups,
+            spec, outs, path, set(affected), validate=no_source_dups,
         )
         return changed_keys
 
@@ -5494,6 +5674,7 @@ class KeyedTableStore:
         affected: dict[str, int],
         transform,
         path: str | None = None,
+        append=None,
     ) -> None:
         """Rewrite ONLY the ``affected`` files (their rows run through
         ``transform(df)``), carrying every untouched file into the new
@@ -5528,7 +5709,25 @@ class KeyedTableStore:
             out = out.repartitionByRange(
                 max(len(affected), 1), ROW_KEY
             ).sortWithinPartitions(ROW_KEY)
-        self._swap_write_with_carry(spec, out, path, set(affected))
+        outs = [out]
+        if append is not None:
+            # ``append`` rides the SAME staged generation as a fresh
+            # key-sorted run (insert()'s layout), so a caller that must
+            # drop rows AND add rows (incremental index maintenance)
+            # pays one swap instead of a swap followed by an append
+            outs.append(
+                self._region_layout(
+                    spec,
+                    append.select(
+                        *[
+                            F.col(f"`{f.name}`").cast(f.dataType)
+                            .alias(f.name)
+                            for f in schema.fields
+                        ]
+                    ),
+                )
+            )
+        self._swap_write_with_carry(spec, outs, path, set(affected))
 
     def _swap_write_with_carry(
         self, spec: TableSpec, out, src_path: str,
