@@ -85,6 +85,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def assert_multiset_equal(a: DataFrame, b: DataFrame) -> None:
+    """Assert two DataFrames are multiset-equal in ONE Spark action.
+
+    ``a == b`` as multisets iff BOTH ``a.exceptAll(b)`` and
+    ``b.exceptAll(a)`` are empty iff their union is empty — so the
+    replication gates' convergence check runs as one ``isEmpty`` job
+    over the unioned symmetric difference instead of two separate
+    actions that each re-scan both stores (guide §1.2: fewer passes)."""
+    diff = a.exceptAll(b).unionAll(b.exceptAll(a))
+    assert diff.isEmpty(), "multiset divergence between source and replica"
+
+
 def load_all() -> dict[str, QueryDef]:
     """Import every query module so REGISTRY is fully populated."""
     from spark_sql_hbase_spark.queries import relational  # noqa: F401

@@ -19,7 +19,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_sql_hbase_spark.queries import register, table
+from spark_sql_hbase_spark.queries import (
+    assert_multiset_equal,
+    register,
+    table,
+)
 
 
 def _store(spark: SparkSession):
@@ -1556,7 +1560,7 @@ def zg90_replication_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = store.read("gate.part_repl")
     dst = replica.read("gate.part_repl")
     # convergence: the replica equals the source exactly (multiset)
-    assert dst.exceptAll(src).isEmpty() and src.exceptAll(dst).isEmpty()
+    assert_multiset_equal(dst, src)
     return dst.select("row_key", F.col("`p:price`").alias("price"))
 
 
@@ -1655,7 +1659,7 @@ def zh07_versioned_cell_replication(
     )
     src = store.read("gate.part_vrepl")
     dst = replica.read("gate.part_vrepl")
-    assert dst.exceptAll(src).isEmpty() and src.exceptAll(dst).isEmpty()
+    assert_multiset_equal(dst, src)
     return dst.select(
         "row_key",
         F.col("`p:price`").alias("price"),
@@ -2056,7 +2060,7 @@ def k30_replica_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # INDEX ONLY — freshness of the index is the thing under test
     src = store.read("gate.cust_ridx")
     dst = replica.read("gate.cust_ridx")
-    assert dst.exceptAll(src).isEmpty() and src.exceptAll(dst).isEmpty()
+    assert_multiset_equal(dst, src)
     idx = replica.read("gate.cust_ridx_by_nation")
     return idx.filter(
         (F.col("row_key") >= "00005|") & (F.col("row_key") < "00005}")

@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_sql_hbase_spark.functions.det import DEC
-from spark_sql_hbase_spark.queries import register, table
+from spark_sql_hbase_spark.queries import (
+    assert_multiset_equal,
+    register,
+    table,
+)
 from spark_sql_hbase_spark.streaming.pipelines import (
     sessionize_stream,
     streaming_dedup,
@@ -978,8 +982,7 @@ def zg92_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship("zg92_s2")
     src_df = src.read("gate.part_scdc")
     dst_df = dst.read("gate.part_scdc")
-    assert dst_df.exceptAll(src_df).isEmpty() and \
-        src_df.exceptAll(dst_df).isEmpty()
+    assert_multiset_equal(dst_df, src_df)
     return dst_df.select("row_key", F.col("`p:price`").alias("price"))
 
 
@@ -1078,8 +1081,7 @@ def st16_stream_cdc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship("zg29_s2")
     src_df = src.read("gate.part_sc")
     dst_df = dst.read("gate.part_sc")
-    assert dst_df.exceptAll(src_df).isEmpty() and \
-        src_df.exceptAll(dst_df).isEmpty()
+    assert_multiset_equal(dst_df, src_df)
     return dst_df.select(
         "row_key",
         F.col("`p:price`").alias("price"),
