@@ -54,27 +54,84 @@ def _one_batch_stream(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Rewrite ``df`` as a single parquet file and open it as a file
     stream — one file → one micro-batch, the precondition for the
     deterministic-emission argument in the module docstring."""
+    stream, _ = _one_batch_stream_sized(spark, df)
+    return stream
+
+
+def _one_batch_stream_sized(
+    spark: SparkSession, df: DataFrame
+) -> tuple[DataFrame, int]:
+    """:func:`_one_batch_stream` plus the written input's byte size, so
+    the caller can derive a scale-adaptive state-partition count from
+    the actual input volume (guide §2: derive partitioning from input
+    size, never from a constant)."""
     src = os.path.join(tempfile.mkdtemp(prefix="stream_gate_src_"), "in")
     df.coalesce(1).write.mode("overwrite").parquet(src)
-    return spark.readStream.schema(df.schema).parquet(src)
+    nbytes = sum(
+        e.stat().st_size
+        for e in os.scandir(src)
+        if e.name.endswith(".parquet")
+    )
+    return spark.readStream.schema(df.schema).parquet(src), nbytes
 
 
-def _run_available_now(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+def _scaled_state_partitions(spark: SparkSession, input_bytes: int) -> int:
+    """Shuffle/state-partition count for a bounded one-batch stream,
+    derived from the batch's input size: ~32 MB of input per state
+    partition, clamped to [4, the session's shuffle partitions].
+
+    Why this exists: a stateful streaming operator creates one state
+    store per shuffle partition, and EVERY micro-batch (including the
+    availableNow no-data flush batch) pays a per-store load+commit
+    cycle — measured ~0.4-0.6 s of summed commit time per 32 stores on
+    a few MB of state, i.e. pure per-instance overhead.  AQE cannot
+    coalesce stateful streaming exchanges (the count is pinned into the
+    state checkpoint at the first batch), so deriving the count from
+    input volume replaces the coalescing AQE would have done for an
+    equivalent batch plan.  Growing inputs scale the count back up to
+    the session's shuffle partitions; the session value itself scales
+    with $SPARK_GRAFT_SHUFFLE_PARTITIONS / cluster config."""
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(4, min(cur, input_bytes // (32 << 20) + 4))
+
+
+def _run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drain the stream into a uniquely-named memory sink; return the
     sink's table. Memory sink is test/gate-only — production sinks are the
-    keyed-table / parquet / kafka writers (streaming/pipelines.py)."""
+    keyed-table / parquet / kafka writers (streaming/pipelines.py).
+
+    ``state_partitions`` (from :func:`_scaled_state_partitions`) pins
+    the query's shuffle-partition count — and therefore its state-store
+    instance count — for the query's lifetime: Structured Streaming
+    snapshots ``spark.sql.shuffle.partitions`` into the offset log at
+    the first batch, so the session conf only needs to hold the value
+    until the drain completes, and later batches (none here — fresh
+    checkpoint per gate) would reuse the pinned value regardless of the
+    session conf."""
     spark = stream_df.sparkSession
     name = f"gate_{uuid.uuid4().hex}"
     ckpt = tempfile.mkdtemp(prefix=f"stream_gate_ckpt_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_parts = None
+    if state_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
@@ -104,9 +161,10 @@ def z43_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "ts", "event_type", F.col("value").cast(DEC).alias("value")
     )
-    stream = _one_batch_stream(spark, ev)
+    stream, nbytes = _one_batch_stream_sized(spark, ev)
     out = _run_available_now(
-        windowed_event_counts(stream, watermark=f"{_WM_MIN} minutes")
+        windowed_event_counts(stream, watermark=f"{_WM_MIN} minutes"),
+        state_partitions=_scaled_state_partitions(spark, nbytes),
     )
     # append mode == only watermark-finalized windows are in the sink
     return out.select(
@@ -156,6 +214,12 @@ def z43_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def zf16_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    # NOT sized down like the sibling gates: this pipeline's state work
+    # is applyInPandasWithState over per-user event groups — Python-CPU
+    # bound, so shrinking partitions shrinks worker parallelism and
+    # measured SLOWER (interleaved 5-rep A/B at sf0.1: 3.77 -> 4.81 s at
+    # 4 partitions).  st13's applyInPandasWithState keeps the sizing
+    # because its per-group work is one long: commit-overhead bound.
     stream = _one_batch_stream(spark, ev)
     out = _run_available_now(sessionize_stream(stream, gap_minutes=_GAP_MIN))
     return out.select(
@@ -183,8 +247,11 @@ def z34_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (0 ms) and is filtered as late.
         F.timestamp_micros((F.col("doc_id") + 86_400) * 1_000_000).alias("ts"),
     )
-    stream = _one_batch_stream(spark, docs)
-    out = _run_available_now(streaming_dedup(stream, watermark="1 hour"))
+    stream, nbytes = _one_batch_stream_sized(spark, docs)
+    out = _run_available_now(
+        streaming_dedup(stream, watermark="1 hour"),
+        state_partitions=_scaled_state_partitions(spark, nbytes),
+    )
     return out.select("text_sha").distinct()
 
 
@@ -218,8 +285,11 @@ def zf17_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = table(spark, sf_dir, "events")
-    stream = _one_batch_stream(spark, ev)
-    return _run_available_now(click_purchase_attribution(stream, 10))
+    stream, nbytes = _one_batch_stream_sized(spark, ev)
+    return _run_available_now(
+        click_purchase_attribution(stream, 10),
+        state_partitions=_scaled_state_partitions(spark, nbytes),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -278,8 +348,11 @@ def zf18_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     ev = table(spark, sf_dir, "events")
-    stream = _one_batch_stream(spark, ev)
-    return _run_available_now(click_purchase_attribution_outer(stream, _SS_W_MIN))
+    stream, nbytes = _one_batch_stream_sized(spark, ev)
+    return _run_available_now(
+        click_purchase_attribution_outer(stream, _SS_W_MIN),
+        state_partitions=_scaled_state_partitions(spark, nbytes),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +423,11 @@ def st09_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     ev = table(spark, sf_dir, "events")
-    stream = _one_batch_stream(spark, ev)
-    return _run_available_now(click_purchase_attribution_full(stream, _SS_W_MIN))
+    stream, nbytes = _one_batch_stream_sized(spark, ev)
+    return _run_available_now(
+        click_purchase_attribution_full(stream, _SS_W_MIN),
+        state_partitions=_scaled_state_partitions(spark, nbytes),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -454,9 +530,13 @@ def zh09_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.streaming.pipelines import streaming_cms_sketch
 
     docs = table(spark, sf_dir, "documents").select("text")
-    stream = _one_batch_stream(spark, docs)
+    stream, nbytes = _one_batch_stream_sized(spark, docs)
     agg = streaming_cms_sketch(stream, "text", depth=3, width=512)
-    return _run_available_now(agg, output_mode="complete")
+    return _run_available_now(
+        agg,
+        output_mode="complete",
+        state_partitions=_scaled_state_partitions(spark, nbytes),
+    )
 
 
 def _z72_oracle() -> str:
@@ -660,10 +740,11 @@ def st13_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_sql_hbase_spark.streaming.pipelines import quota_admission_stream
 
     ev = table(spark, sf_dir, "events").select("user_id")
-    stream = _one_batch_stream(spark, ev)
+    stream, nbytes = _one_batch_stream_sized(spark, ev)
     out = _run_available_now(
         quota_admission_stream(stream, "user_id", _Z88_QUOTA),
         output_mode="update",
+        state_partitions=_scaled_state_partitions(spark, nbytes),
     )
     return out.select(F.col("key").alias("user_id"), "admitted", "rejected")
 
@@ -688,13 +769,17 @@ def st14_stream_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame
     from spark_sql_hbase_spark.functions.texthash import tokens as _tokens
 
     docs = table(spark, sf_dir, "documents").select("source", "text")
-    stream = _one_batch_stream(spark, docs)
+    stream, nbytes = _one_batch_stream_sized(spark, docs)
     agg = (
         stream.select("source", F.explode(_tokens(F.col("text"))).alias("term"))
         .groupBy("source")
         .agg(F.approx_count_distinct("term", rsd=0.02).alias("est"))
     )
-    est = _run_available_now(agg, output_mode="complete")
+    est = _run_available_now(
+        agg,
+        output_mode="complete",
+        state_partitions=_scaled_state_partitions(spark, nbytes),
+    )
     exact = (
         docs.select(
             "source", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
