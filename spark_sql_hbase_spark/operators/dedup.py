@@ -623,8 +623,14 @@ def minhash_lsh_join(
         )
         # cached: _verify_jaccard consumes this frame on BOTH join sides —
         # without it the interpreted shingle fold over candidate docs runs
-        # twice (the incremental variants already did this)
-        sets = shingle_sets_arrow(cand_docs, id_col, text_col, n).cache()
+        # twice (the incremental variants already did this).  JVM fold,
+        # not shingle_sets_arrow: candidate sets are small (hundreds of
+        # docs), where the Arrow crossing costs more than the
+        # interpreted fold saves — r15 interleaved 6-rep A/B at sf0.1:
+        # JVM 2.26 vs Arrow 2.48 median end-to-end, confirming the
+        # driver's r14 regression flag on this path (the corpus-scope
+        # fused Arrow pass above is where vectorization pays).
+        sets = _shingle_sets(cand_docs, id_col, text_col, n).cache()
     return _verify_jaccard(candidates, sets, threshold)
 
 
@@ -840,9 +846,14 @@ def minhash_lsh_join_incremental(
         F.broadcast(cand_b), F.col(id_col) == F.col("cid"), "left_semi"
     )
     # side-separated: each sets frame feeds exactly one join side, so an id
-    # value shared by new and corpus can never cross-match (ADVICE r2)
-    sets_a = shingle_sets_arrow(docs_a, id_col, text_col, n)
-    sets_b = shingle_sets_arrow(docs_b, id_col, text_col, n)
+    # value shared by new and corpus can never cross-match (ADVICE r2).
+    # JVM shingle fold for the verify sides: candidate doc sets are
+    # small, where the Arrow crossing loses to the interpreted fold
+    # (r15 interleaved 6-rep A/B at sf0.1 on the index delta join:
+    # JVM 2.64 vs Arrow 2.75 median end-to-end — the driver's r14
+    # delta-join regression flag).
+    sets_a = _shingle_sets(docs_a, id_col, text_col, n)
+    sets_b = _shingle_sets(docs_b, id_col, text_col, n)
     return _verify_jaccard_two_sided(candidates, sets_a, sets_b, threshold)
 
 
@@ -922,9 +933,14 @@ def minhash_lsh_join_against_index(
         F.broadcast(cand_b), F.col(id_col) == F.col("cid"), "left_semi"
     )
     # side-separated: each sets frame feeds exactly one join side, so an id
-    # value shared by new and corpus can never cross-match (ADVICE r2)
-    sets_a = shingle_sets_arrow(docs_a, id_col, text_col, n)
-    sets_b = shingle_sets_arrow(docs_b, id_col, text_col, n)
+    # value shared by new and corpus can never cross-match (ADVICE r2).
+    # JVM shingle fold for the verify sides: candidate doc sets are
+    # small, where the Arrow crossing loses to the interpreted fold
+    # (r15 interleaved 6-rep A/B at sf0.1 on the index delta join:
+    # JVM 2.64 vs Arrow 2.75 median end-to-end — the driver's r14
+    # delta-join regression flag).
+    sets_a = _shingle_sets(docs_a, id_col, text_col, n)
+    sets_b = _shingle_sets(docs_b, id_col, text_col, n)
     return _verify_jaccard_two_sided(candidates, sets_a, sets_b, threshold)
 
 
