@@ -1340,3 +1340,27 @@ def test_r14_c4_line_clean_is_shuffle_free(spark, registry):
     plan = formatted_plan(registry["zh16_c4_line_clean"].fn(spark, SF))
     assert "Exchange" not in plan, plan[:1500]
     assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_q07_two_exchange_agg_then_window(spark, registry):
+    """q07's agg-then-window keeps exactly two exchanges with the
+    WindowGroupLimit partial->final pair (r14 VERDICT item 6): the
+    partial aggregate shrinks BOTH exchanges ~7.5x at the real TPC-H
+    lineitem/partsupp = 7.5 rows-per-pair distribution (a table-ratio
+    constant, SF-independent), which is the 100 TB-correct trade even
+    though the pairs are ~unique in this synthetic data.  Executed
+    (final AQE) plan, since WindowGroupLimit placement is what's
+    defended; measured exchange cardinalities recorded in
+    plans/r15/q07_topk_parts_per_supplier_executed.txt."""
+    df = registry["zd07_topk_parts_per_supplier"].fn(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan"
+    # section — pin the FINAL plan only
+    executed = executed.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", executed)) == 2, executed
+    assert "Exchange rangepartitioning" not in executed  # no global sort
+    limits = re.findall(r"WindowGroupLimit.*?(Partial|Final)", executed)
+    assert "Partial" in limits and "Final" in limits, executed
+    # the window exchange is keyed on the supplier alone (top-k per group)
+    assert re.search(r"Exchange hashpartitioning\(l_suppkey", executed), executed
