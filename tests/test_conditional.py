@@ -136,6 +136,7 @@ def test_duplicate_key_is_refused(store):
         store.check_and_put("cd.t7", "a", "cf:n", 1, {"cf:n": 2})
 
 
+@pytest.mark.slow
 def test_concurrent_cas_counters_lose_no_update(store):
     """The compare-and-swap counter law: two writers increment one
     cell through check_and_put, retrying on a failed check — every
@@ -204,6 +205,7 @@ def test_increment_and_append(store):
     assert store.read("cd.t11").count() == 2
 
 
+@pytest.mark.slow
 def test_concurrent_increments_lose_no_update(store):
     _table(store, "t12", [("ctr", 0, None)])
     per_writer, errors = 5, []
@@ -224,6 +226,7 @@ def test_concurrent_increments_lose_no_update(store):
     assert _cell(store, "cd.t12", "ctr", "cf:n") == 2 * per_writer
 
 
+@pytest.mark.slow
 def test_increment_survives_concurrent_compaction(store):
     """Cross-op CAS interplay: increments racing a major compaction
     both retry through the generation CAS; every increment lands and
@@ -381,6 +384,7 @@ def test_mutate_refused_only_batch_swaps_nothing(store):
     assert _cell(store, "cd.b3", "a", "cf:n") == 1
 
 
+@pytest.mark.slow
 def test_mutate_concurrent_batches_lose_no_update(store):
     """Two threads each running increment batches on overlapping keys:
     the generation CAS re-runs a losing batch wholesale, so the final
@@ -485,6 +489,7 @@ def _mutate_case():
     ), keyspace
 
 
+@pytest.mark.slow
 def test_mutate_matches_serial_model(store):
     """Property: one mutate() batch produces exactly the state and
     results a serial model of the single-op semantics produces —

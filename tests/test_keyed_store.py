@@ -1923,6 +1923,7 @@ def test_swap_cas_refuses_stale_flip_and_marker_shields_build(
     assert not st._flock_live(os.path.join(root, st._WRITER_LOCK))
 
 
+@pytest.mark.slow
 def test_concurrent_dml_writers_lose_no_updates(spark, tmp_path):
     """VERDICT r7 item 3 acceptance: two threads running MERGE/DELETE
     on the SAME table in a loop — every mutation lands (the CAS loser
@@ -2196,6 +2197,7 @@ def test_writer_lock_excludes_and_survives_kill(spark, tmp_path):
         pass
 
 
+@pytest.mark.slow
 def test_three_writer_stress_compact_upsert_delete(spark, tmp_path):
     """Optimistic-concurrency acceptance for the full protocol: a
     MERGE loop, a DELETE loop, and a major-compaction loop race on ONE
@@ -2385,6 +2387,7 @@ def test_dead_scan_lease_does_not_protect(spark, tmp_path):
     assert f".reading-{cur}.deadbeef" not in entries
 
 
+@pytest.mark.slow
 def test_dml_pruning_soundness_condition_sweep(spark, tmp_path):
     """Ground-truth sweep for the footer-pruning fast path: for a
     battery of DML conditions (typed bounds, BETWEEN/IN/LIKE, custom
@@ -2957,6 +2960,7 @@ def test_auto_minor_compaction_threshold(spark, tmp_path):
         ), generate_row_key=False)
 
 
+@pytest.mark.slow
 def test_scan_page_walks_the_whole_table_exactly_once(spark, tmp_path):
     """Paging to exhaustion reconstructs the full table in key order
     with no duplicate and no gap; an empty page ends the walk; a
@@ -3061,6 +3065,7 @@ def test_scan_page_versioned_walks_cells_key_safe(spark, tmp_path):
         store.scan_page("pg.ver", 0)
 
 
+@pytest.mark.slow
 def test_scan_page_versioned_walk_overlapping_spans(spark, tmp_path):
     """r13: the metadata-pruned page boundary must stay exhaustive when
     APPENDED runs overlap the base files' key ranges (the straddler +

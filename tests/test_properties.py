@@ -202,6 +202,7 @@ def _uf_components(edges):
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(edge_lists)
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     from spark_sql_hbase_spark.operators.graph import connected_components
 
@@ -292,6 +293,7 @@ def test_pack_plan_invariants(spark):
     assert by_stream["c"][0]["seq_id"] == 0 and by_stream["c"][0]["seq_offset"] == 0
 
 
+@pytest.mark.slow
 def test_python_shingles_match_jvm(spark, sf_dir):
     """LSH candidate recall depends on the Python shingle twin producing
     the same shingle SETS as the JVM fold (verification exactness never
@@ -310,6 +312,7 @@ def test_python_shingles_match_jvm(spark, sf_dir):
         assert set(_py_shingles(r["text"], 3)) == jvm[r["doc_id"]], r["doc_id"]
 
 
+@pytest.mark.slow
 def test_simhash_arrow_matches_jvm(spark, sf_dir):
     """The Arrow/numpy simhash (md5-per-distinct-token + segment-sum
     votes) must reproduce the JVM expression fold EXACTLY — same word
@@ -327,6 +330,7 @@ def test_simhash_arrow_matches_jvm(spark, sf_dir):
     assert arrow == jvm and len(arrow) > 0
 
 
+@pytest.mark.slow
 def test_fused_shingle_bands_match_unfused(spark, sf_dir):
     """The fused Arrow pass (shingles + OPH band keys in one crossing)
     must produce the same shingle arrays as the JVM fold and the same
@@ -363,6 +367,7 @@ def test_fused_shingle_bands_match_unfused(spark, sf_dir):
     assert got_bands == want_bands
 
 
+@pytest.mark.slow
 def test_cosine_topk_arrow_matches_jvm(spark, sf_dir):
     """The Arrow brute-force scorer must reproduce the JVM
     zip_with/aggregate fold BIT-exactly (sequential prefix-sum dots, same
@@ -382,6 +387,7 @@ def test_cosine_topk_arrow_matches_jvm(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_assign_cells_arrow_matches_jvm(spark, sf_dir):
     """assign_cells with a driver-side model (Arrow argmin) must produce
     the identical cell per vector as the broadcast-relation expression
@@ -406,6 +412,7 @@ def test_assign_cells_arrow_matches_jvm(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_pq_encode_arrow_matches_jvm(spark, sf_dir):
     """pq_encode with driver-side books (Arrow argmin) must produce the
     identical code arrays as the broadcast-relation expression path."""
@@ -436,6 +443,7 @@ def test_pq_encode_arrow_matches_jvm(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_sq8_ann_arrow_matches_jvm(spark, sf_dir):
     """The Arrow SQ8 scorer (numpy encode/decode/dot in the JVM
     expressions' exact FP order + Spark's HALF_UP rounding) must produce
@@ -455,6 +463,7 @@ def test_sq8_ann_arrow_matches_jvm(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_kmeans_step_list_matches_df(spark, sf_dir):
     """kmeans_step with a driver-side [(cluster_id, cv)] list (Arrow
     argmin assignment, round 14) must produce the identical long-format
@@ -481,6 +490,7 @@ def test_kmeans_step_list_matches_df(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_residualize_list_matches_df(spark, sf_dir):
     """residualize with a driver-side model (fused Arrow assign+subtract,
     round 14) must produce bit-identical residuals and cells to the
@@ -516,6 +526,7 @@ def test_residualize_list_matches_df(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_ivfpq_index_codes_matches_composition(spark, sf_dir):
     """The fused one-pass IVF-PQ index build (both models as driver-side
     lists) must emit the identical (id, cell, codes) relation as the
@@ -565,6 +576,7 @@ def test_ivfpq_index_codes_matches_composition(spark, sf_dir):
         assert got == want and len(got) > 0, f"residual={residual}"
 
 
+@pytest.mark.slow
 def test_duplicate_span_hashes_arrow_matches_jvm(spark, sf_dir):
     """The Arrow rolling-window md5 hashes must equal the OLD JVM
     ``conv(substring(md5(concat_ws(' ', slice(...)))), 16, 10)``
@@ -870,6 +882,7 @@ def test_incremental_lsh_tolerates_overlapping_ids(spark):
     assert (2, 2) not in pairs
 
 
+@pytest.mark.slow
 def test_pq_trained_codebooks_beat_untrained_reconstruction(spark, sf_dir):
     """Lloyd training per subspace must reduce PQ quantization error:
     mean squared reconstruction error with pq_train codebooks < error
@@ -920,6 +933,7 @@ def test_pq_trained_codebooks_beat_untrained_reconstruction(spark, sf_dir):
     assert mse(trained) < mse(naive), (mse(trained), mse(naive))
 
 
+@pytest.mark.slow
 def test_pq_adc_recall_beats_random(spark, sf_dir):
     """PQ ADC top-10 must overlap the exact L2 top-10 far above the
     random baseline (10/N) — the approximation has to carry signal."""
@@ -964,6 +978,7 @@ def test_pq_adc_recall_beats_random(spark, sf_dir):
     assert recall >= max(0.15, 5 * random_baseline), (recall, random_baseline)
 
 
+@pytest.mark.slow
 def test_ivfadc_recall_dominates_flat_pq_at_equal_scan_fraction(spark, sf_dir):
     """IVFADC with a TRAINED coarse quantizer (kmeans cells + pq_train
     books, nprobe=2 of 4 cells) scores only the rows in probed cells —
@@ -1059,6 +1074,7 @@ def test_ivfadc_recall_dominates_flat_pq_at_equal_scan_fraction(spark, sf_dir):
     assert all_ivf == all_flat
 
 
+@pytest.mark.slow
 def test_residual_ivfpq_reconstructs_better_than_raw_pq(spark, sf_dir):
     """IVFADC proper (Jegou et al. 2011 §IV.B): quantizing CELL RESIDUALS
     with the same m x ksub code budget must reconstruct the vectors with
@@ -1123,6 +1139,7 @@ def test_residual_ivfpq_reconstructs_better_than_raw_pq(spark, sf_dir):
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.lists(st.sampled_from("abc"), min_size=0, max_size=8), min_size=1, max_size=6))
+@pytest.mark.slow
 def test_duplicate_spans_matches_python_reference(spark, token_docs):
     """duplicate_spans must agree with a plain-Python rolling-window
     counter on arbitrary tiny corpora (short docs, empty docs, heavy
@@ -1221,6 +1238,7 @@ def test_budget_sample_invariants(spark, sf_dir):
     assert 0.2 * agg_budget <= agg_kept <= 2.5 * agg_budget, (agg_kept, agg_budget)
 
 
+@pytest.mark.slow
 def test_sample_rows_helpers_match_reports(spark, sf_dir):
     """budget_sample_rows / quota_sample_rows materialize EXACTLY what
     the audit report / selection claims (VERDICT r4 "What's missing"
@@ -1277,6 +1295,7 @@ def test_sample_rows_helpers_match_reports(spark, sf_dir):
     assert got_ids == sel_ids
 
 
+@pytest.mark.slow
 def test_dataframe_model_matches_list_model(spark, sf_dir):
     """Round 5: every ANN entry point accepts the model as DataFrames —
     persist the model as catalog tables, load it back, and the full
@@ -1393,6 +1412,7 @@ def test_round4_operator_edge_cases(spark):
     assert b[0]["kept_docs"] == 2  # frac=1 when budget covers the stratum
 
 
+@pytest.mark.slow
 def test_persisted_residual_ivfpq_index_matches_direct(spark, sf_dir):
     """persist_ivfpq_index(residual=True) + ivfadc_ann_topk(residual=
     True) over the catalog table must equal the in-memory residual
@@ -2307,6 +2327,7 @@ def test_prefix_scan_spark_roundtrip_edge_prefixes(spark, tmp_path_factory):
     ),
     st.integers(0, 5),
 )
+@pytest.mark.slow
 def test_selective_dml_equals_dataframe_semantics(spark, tmp_path_factory, rows, pivot):
     """The selective locate-and-rewrite path (only files containing
     matches are rewritten; the rest hardlink-carry) must be
@@ -2428,6 +2449,7 @@ _repl_ops = st.lists(
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_repl_ops)
+@pytest.mark.slow
 def test_replication_converges_for_any_mutation_program(spark, tmp_path_factory, ops):
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
@@ -2496,6 +2518,7 @@ _cell_ops = st.lists(
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_cell_ops)
+@pytest.mark.slow
 def test_versioned_cell_replication_converges(spark, tmp_path_factory, ops):
     from spark_sql_hbase_spark.catalog import TableSpec
     from spark_sql_hbase_spark.sources.keyed_parquet import KeyedTableStore
@@ -3890,6 +3913,7 @@ def test_bm25_regex_matches_hof(spark, sf_dir):
         assert got == want and len(got) > 0, (len(got), len(want))
 
 
+@pytest.mark.slow
 def test_doc_feat_tf_arrow_matches_jvm(spark, sf_dir):
     """The Arrow hashed-unigram counter (md5 once per distinct token,
     numpy group-by, no exchange) must produce the identical
@@ -3911,6 +3935,7 @@ def test_doc_feat_tf_arrow_matches_jvm(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_cms_cand_arrow_matches_jvm(spark, sf_dir):
     """The Arrow CMS partial counter must combine to the identical exact
     per-(term, row, bucket) counts as the explode form of cms_placed —

@@ -16,6 +16,21 @@ def test_query_matches_oracle(spark, sf_dir, name):
     qd = QUERIES[name]
     df = qd.fn(spark, sf_dir)
     assert df is not None
+    # Scalar-schema law (was its own parametrized test): the driver's row
+    # digest dies on non-scalar cells (pandas unique on a list) — q16's
+    # round-1 ERR.  Asserted here on the SAME execution because building
+    # the DataFrame is the expensive part for the procedural keyed /
+    # streaming gates (fn() runs the whole store/stream pipeline), and a
+    # separate parametrized test re-ran every gate just to read
+    # df.schema — ~400 s of pure duplication across the battery (r15).
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name}: non-scalar result columns {bad}"
     if qd.oracle is None:
         assert df.count() >= 0  # rows-only smoke
         return
@@ -46,22 +61,6 @@ def test_oracle_harness_is_type_sensitive(spark, sf_dir):
     )
     ok, msg = compare(df, cast, sf_dir)
     assert ok, msg
-
-
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_schema_is_scalar(spark, sf_dir, name):
-    """The driver's row digest dies on non-scalar cells (pandas unique on a
-    list) — q16's round-1 ERR.  No registered query may return array/map/
-    struct columns."""
-    from pyspark.sql import types as T
-
-    df = QUERIES[name].fn(spark, sf_dir)
-    bad = [
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
-    ]
-    assert not bad, f"{name}: non-scalar result columns {bad}"
 
 
 SF_DRIVER = os.environ.get("SPARK_GRAFT_DRIVER_SF", "/root/testdata/sf0.01")

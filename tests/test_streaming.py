@@ -94,6 +94,7 @@ def test_windowed_counts_match_batch(spark, events_stream_dir):
     assert mismatched.count() == 0, mismatched.limit(5).collect()
 
 
+@pytest.mark.slow
 def test_streaming_dedup_bounded_state(spark, tmp_path):
     src = str(tmp_path / "docs")
     docs = spark.createDataFrame(
@@ -115,6 +116,7 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     assert kept_texts == ["alpha", "beta", "gamma"]
 
 
+@pytest.mark.slow
 def test_sessionize_stream_emits_closed_sessions(spark, events_stream_dir):
     ev = spark.read.parquet(events_stream_dir)
     stream = _read_stream(spark, events_stream_dir, ev.schema)
