@@ -954,30 +954,79 @@ class KeyedTableStore:
             F.sum(F.when(ch == "update", 1).otherwise(0)).alias("__n_upd"),
             F.sum(F.when(ch == "delete", 1).otherwise(0)).alias("__n_del"),
         )
-        s = tagged.agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            F.count(F.when(F.col("__put"), 1)).alias("n_put"),
-            F.count(F.when(F.col("__del"), 1)).alias("n_del"),
-            F.count(F.when(F.col("__put") & F.col("__del"), 1)).alias(
-                "n_both"
-            ),
-            F.count(F.when(F.col("__unk"), 1)).alias("n_unk"),
-            F.sum(F.col("__n_ins") + F.col("__n_upd") + F.col("__n_del"))
-            .alias("n_rows"),
-            F.sum("__n_ins").alias("n_ins_rows"),
-            F.sum("__n_upd").alias("n_upd_rows"),
-            F.sum("__n_del").alias("n_del_rows"),
-            F.min("__ck").alias("lo"),
-            F.max("__ck").alias("hi"),
-            F.min(F.when(F.col("__put"), F.col("__ck"))).alias("put_lo"),
-            F.max(F.when(F.col("__put"), F.col("__ck"))).alias("put_hi"),
-            F.count(
-                F.when(F.col("__ck").isNull() & F.col("__del"), 1)
-            ).alias("n_del_null"),
-            F.count(
-                F.when(F.col("__ck").isNull() & F.col("__put"), 1)
-            ).alias("n_put_null"),
-        ).first()
+        # One BOUNDED collect of the per-key rollup serves the stats AND
+        # (for small feeds) the Bloom probe keys in the same job: at
+        # most _BLOOM_MERGE_PROBE_MAX + 1 rows come back, and if the
+        # limit was not hit the driver holds every per-key row, so all
+        # sixteen statistics are computed exactly in Python (replicating
+        # the aggregate's null laws: count(when(c,1)) counts TRUE only,
+        # min/max skip NULLs; Python's str/int/bytes ordering equals
+        # Spark's UTF8-binary/numeric ordering).  A feed larger than the
+        # probe cap (which would skip probe pruning anyway) falls back
+        # to the one-row global aggregate exactly as before — its only
+        # extra cost is the bounded collect over the already-pinned
+        # feed.  Gate-scale effect: 2 feed jobs -> 1.
+        krows = tagged.select(
+            "__ck", "__put", "__del", "__unk",
+            "__n_ins", "__n_upd", "__n_del",
+            F.col("__ck").cast("string").alias("__cs"),
+        ).limit(self._BLOOM_MERGE_PROBE_MAX + 1).collect()
+        if len(krows) <= self._BLOOM_MERGE_PROBE_MAX:
+            ck = [r["__ck"] for r in krows]
+            put = [bool(r["__put"]) for r in krows]
+            dl = [bool(r["__del"]) for r in krows]
+            put_ck = [k for k, p in zip(ck, put) if p and k is not None]
+            nonnull = [k for k in ck if k is not None]
+            n_ins = sum(r["__n_ins"] for r in krows)
+            n_upd = sum(r["__n_upd"] for r in krows)
+            n_delr = sum(r["__n_del"] for r in krows)
+            s = {
+                "n_keys": len(krows),
+                "n_put": sum(put),
+                "n_del": sum(dl),
+                "n_both": sum(1 for p, d in zip(put, dl) if p and d),
+                "n_unk": sum(1 for r in krows if r["__unk"]),
+                "n_rows": n_ins + n_upd + n_delr,
+                "n_ins_rows": n_ins,
+                "n_upd_rows": n_upd,
+                "n_del_rows": n_delr,
+                "lo": min(nonnull, default=None),
+                "hi": max(nonnull, default=None),
+                "put_lo": min(put_ck, default=None),
+                "put_hi": max(put_ck, default=None),
+                "n_del_null": sum(
+                    1 for k, d in zip(ck, dl) if k is None and d
+                ),
+                "n_put_null": sum(
+                    1 for k, p in zip(ck, put) if k is None and p
+                ),
+            }
+        else:
+            krows = None  # over the probe cap: no probe pruning either
+            s = tagged.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.count(F.when(F.col("__put"), 1)).alias("n_put"),
+                F.count(F.when(F.col("__del"), 1)).alias("n_del"),
+                F.count(F.when(F.col("__put") & F.col("__del"), 1)).alias(
+                    "n_both"
+                ),
+                F.count(F.when(F.col("__unk"), 1)).alias("n_unk"),
+                F.sum(F.col("__n_ins") + F.col("__n_upd") + F.col("__n_del"))
+                .alias("n_rows"),
+                F.sum("__n_ins").alias("n_ins_rows"),
+                F.sum("__n_upd").alias("n_upd_rows"),
+                F.sum("__n_del").alias("n_del_rows"),
+                F.min("__ck").alias("lo"),
+                F.max("__ck").alias("hi"),
+                F.min(F.when(F.col("__put"), F.col("__ck"))).alias("put_lo"),
+                F.max(F.when(F.col("__put"), F.col("__ck"))).alias("put_hi"),
+                F.count(
+                    F.when(F.col("__ck").isNull() & F.col("__del"), 1)
+                ).alias("n_del_null"),
+                F.count(
+                    F.when(F.col("__ck").isNull() & F.col("__put"), 1)
+                ).alias("n_put_null"),
+            ).first()
         if s["n_unk"]:
             # a row with a mistyped/NULL change tag would otherwise be
             # dropped SILENTLY — a replica that quietly misses changes
@@ -1087,28 +1136,22 @@ class KeyedTableStore:
             ).localCheckpoint(eager=True)
         else:
             puts_alive = puts
-        # small-feed Bloom probe values — ONE bounded collect serves
-        # both the main-table row-key pruning (native-typed) and every
-        # index's src-key pruning (string-rendered, the index write
-        # path's cast), so the per-index _collect_probe_keys job never
-        # runs on this path
+        # small-feed Bloom probe values — served by the SAME bounded
+        # collect that computed the feed statistics above (native-typed
+        # keys for the main-table row-key pruning, string-rendered for
+        # every index's src-key pruning — the index write path's cast),
+        # so neither a second collect nor the per-index
+        # _collect_probe_keys job ever runs on this path
         probe_keys = src_probe_keys = None
-        small = s["n_keys"] <= self._BLOOM_MERGE_PROBE_MAX
+        small = krows is not None
         need_main = small and self._bloom_enabled(spec)
         need_src = small and feed_maintenance
-        if need_main or need_src:
-            try:
-                krows = tagged.select(
-                    "__ck", F.col("__ck").cast("string").alias("__cs")
-                ).collect()
-                if need_main:
-                    probe_keys = [r["__ck"] for r in krows]
-                if need_src:
-                    src_probe_keys = [
-                        r["__cs"] for r in krows if r["__cs"] is not None
-                    ]
-            except Exception:
-                probe_keys = src_probe_keys = None
+        if need_main:
+            probe_keys = [r["__ck"] for r in krows]
+        if need_src:
+            src_probe_keys = [
+                r["__cs"] for r in krows if r["__cs"] is not None
+            ]
 
         def attempt() -> int:
             path = self.table_path(spec)
