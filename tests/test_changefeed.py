@@ -733,3 +733,52 @@ def test_apply_changes_empty_feed_is_true_noop_on_indexed_table(store, spark):
     assert n == 0
     assert not store.index_is_stale("cdc.noop_src_by_v")
     assert sorted(map(tuple, store.read("cdc.noop_src_by_v").collect())) == before
+
+
+def test_dml_job_counts_stay_fused(store, spark):
+    """Job-count pins for the fused commit machinery (r15): the
+    changefeed replay is ONE locate+rewrite+swap commit riding one
+    bounded feed-stats collect, not an upsert cycle followed by a
+    delete_keys cycle with five probe jobs.  Bounds are loose (current
+    measured counts ~21 for a put+delete replay, ~6 for upsert, ~12
+    for delete_keys at gate scale) so AQE variance cannot flake them,
+    but tight enough that a regression to the pre-fusion sequential
+    replay (41+ jobs) fails loudly."""
+    sc = spark.sparkContext
+    tag = "man" if store.manifest_authority else "pos"
+
+    def jobs(label, fn):
+        label = f"{label}_{tag}"  # group ids accumulate per session
+        sc.setJobGroup(label, label)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("idle", "idle")
+        return len(sc.statusTracker().getJobIdsForGroup(label))
+
+    _mk(store, spark, "jobpin", [(f"k{i:03d}", i) for i in range(120)])
+    store.snapshot("cdc.jobpin", "jp_s1")
+    n = jobs("jp_upsert", lambda: store.upsert(
+        "cdc.jobpin",
+        spark.createDataFrame(
+            [("k005", 500), ("x900", 900)], "row_key string, `cf:v` long"
+        ),
+    ))
+    assert n <= 19, f"upsert commit grew to {n} jobs"
+    n = jobs("jp_delete", lambda: store.delete_keys(
+        "cdc.jobpin", spark.createDataFrame([("k010",)], "row_key string")
+    ))
+    assert n <= 14, f"delete_keys commit grew to {n} jobs"
+    feed = store.read_changes("cdc.jobpin", versus="jp_s1")
+    replica = KeyedTableStore(
+        store.spark, store.warehouse_dir + "_jp_replica",
+        manifest_authority=store.manifest_authority,
+    )
+    store.export_snapshot("jp_s1", replica.warehouse_dir)
+    replica.clone_snapshot("jp_s1", "cdc.jobpin")
+    n = jobs("jp_apply", lambda: replica.apply_changes("cdc.jobpin", feed))
+    assert n <= 28, f"apply_changes replay grew to {n} jobs"
+    # and the replay converged (the pin must never trade correctness)
+    src = store.read("cdc.jobpin")
+    dst = replica.read("cdc.jobpin")
+    assert dst.exceptAll(src).unionAll(src.exceptAll(dst)).isEmpty()
