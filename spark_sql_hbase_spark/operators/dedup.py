@@ -875,6 +875,15 @@ def persist_band_index(
     and every subsequent delta join reads it bucket-aligned, so the big
     side never reshuffles — only the incoming batch's (id, band_key)
     pairs exchange (see ``test_band_index_join_reuses_buckets``).
+
+    Size ``buckets`` with the corpus, not the default: the bucket-key
+    pre-partition below gives one writer task and one file per bucket,
+    so ``buckets`` bounds BOTH the write parallelism and the per-bucket
+    file size.  The default 32 suits test-scale corpora; at the 100 TB
+    corpus scale pick buckets ≈ index_bytes / target_file_size (e.g.
+    512 MB files) so writers stay parallel and no single bucket file
+    grows unboundedly — delta joins stay shuffle-free on the index side
+    at any bucket count.
     """
     bands = minhash_band_keys_arrow_text(
         _parallelized(corpus), id_col, text_col, n, num_hashes, rows_per_band
